@@ -1,0 +1,472 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.transform.WeatherTransforms
+import graft.warehouse.Merge
+import graft.schemas.Schemas
+
+/** Shared helpers for the verified query suite. */
+object Q {
+  /** Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark has no native type for — it is read as nanos-since-epoch Long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and converted to a
+    * microsecond timestamp (values are µs-aligned; verified remainder 0,
+    * and DuckDB reads the same column as µs TIMESTAMP).
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Order-independent, cross-engine-exact monetary aggregate: round each
+    * row to integer cents (identical IEEE double op in Spark and DuckDB),
+    * sum as BIGINT (exact), divide once by 100.0 (identical double op).
+    * Avoids the accumulation-order nondeterminism of sum(double).
+    */
+  def centsSum(rowExpr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(rowExpr * 100).cast("long")) / lit(100.0)
+
+  /** The same in DuckDB SQL. sum(BIGINT) is HUGEINT there; /100.0 takes it
+    * back through the identical double division.
+    */
+  def centsSumSql(rowExpr: String): String =
+    s"sum(CAST(round(($rowExpr)*100) AS BIGINT))/100.0"
+}
+
+/** Reference-surface queries (SURVEY.md §2.1-§2.10) over the driver
+  * testdata, each with a DuckDB oracle twin. Determinism rules:
+  * explicit ORDER BY with full tiebreaks; aggregates of non-integral
+  * doubles via [[Q.centsSum]]; per-row double arithmetic left unrounded
+  * (bit-identical across engines on identical inputs).
+  */
+object CoreQueries {
+  import Q._
+
+  // ---------------------------------------------------------------- q01
+  // §2.4 aggregation surface (TPC-H Q1 shape): groupBy + sum/count/avg.
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integral doubles: exact sum
+        centsSum(col("l_extendedprice")).as("sum_base_price"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(l_quantity) AS sum_qty,
+       |  ${centsSumSql("l_extendedprice")} AS sum_base_price,
+       |  ${centsSumSql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+       |  count(*) AS count_order,
+       |  sum(l_quantity)/count(*) AS avg_qty
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  // §3.3 flagship: the whole weather transform pipeline (D1-D4, M1-M3,
+  // J1/P2/P4, P3) mapped onto events ⟕ customer. `value` plays
+  // winddirection (same [0,360] domain), the cardinal CaseWhen is the
+  // reference's exact branch table (transf.py:55-81).
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val shifted = WeatherTransforms.shiftToLocalTime(col("ts"))
+    t(s, dir, "events")
+      .withColumn("date", date_format(shifted, "dd/MM/yyyy"))
+      .withColumn("time", date_format(shifted, "HH:mm"))
+      .withColumn("dir_cardinal", WeatherTransforms.windCardinal(col("value")))
+      .withColumn("value_mmhg", WeatherTransforms.hPaToMmHg(col("value")))
+      .withColumn("is_flag", col("event_type") === "click")
+      .join(broadcast(
+          t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .drop("c_custkey")
+      .withColumnRenamed("c_name", "city")
+      .select("event_id", "date", "time", "dir_cardinal", "value_mmhg",
+        "is_flag", "city", "c_mktsegment")
+      .orderBy("event_id")
+  }
+
+  private val q02Sql =
+    """SELECT e.event_id,
+      |  strftime(e.ts - INTERVAL 3 HOUR, '%d/%m/%Y') AS date,
+      |  strftime(e.ts - INTERVAL 3 HOUR, '%H:%M') AS time,
+      |  CASE WHEN e.value = 0 OR e.value = 360 THEN 'N'
+      |       WHEN e.value > 0 AND e.value < 90 THEN 'NO'
+      |       WHEN e.value = 90 THEN 'W'
+      |       WHEN e.value > 90 AND e.value < 180 THEN 'SE'
+      |       WHEN e.value = 180 THEN 'S'
+      |       WHEN e.value > 180 AND e.value < 270 THEN 'SO'
+      |       WHEN e.value = 270 THEN 'E'
+      |       ELSE 'NE' END AS dir_cardinal,
+      |  e.value * 0.750064 AS value_mmhg,
+      |  (e.event_type = 'click') AS is_flag,
+      |  c.c_name AS city, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  // §1.3 schema alignment (P8+M4+P3, main.py:242-263): conform a frame
+  // missing columns to a fixed schema — absent fields become typed nulls.
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val target = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_size", IntegerType),
+      StructField("region_hint", StringType)))
+    Schemas.conformTo(target)(t(s, dir, "part").select("p_partkey", "p_name"))
+      .orderBy("p_partkey")
+  }
+
+  private val q03Sql =
+    """SELECT p_partkey, p_name, CAST(NULL AS INTEGER) AS p_size,
+      |  CAST(NULL AS VARCHAR) AS region_hint
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  // MG1 (transf.py:329-362): insert-if-absent on a composite key as a
+  // left-anti join — stage rows whose (o_orderdate, o_orderkey) is not in
+  // the target slice.
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val stage = orders.filter(col("o_orderkey") % 7 === 0)
+    val target = orders.filter(col("o_orderkey") % 3 === 0)
+    Merge.insertIfAbsent(target, stage, Seq("o_orderdate", "o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  private val q04Sql =
+    """SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_orderdate
+      |FROM orders s
+      |WHERE s.o_orderkey % 7 = 0 AND NOT EXISTS (
+      |  SELECT 1 FROM orders t WHERE t.o_orderkey % 3 = 0
+      |    AND t.o_orderdate = s.o_orderdate AND t.o_orderkey = s.o_orderkey)
+      |ORDER BY s.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  // MG2 (transf.py:215-273): SCD Type 1 upsert — unmatched target rows ∪
+  // stage rows (stage wins), audit date set, creation date preserved.
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val target = cust
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        to_date(lit("2025-01-01")).as("fecha_actualizacion_origen"),
+        to_date(lit("2025-01-01")).as("fecha_actualizacion"))
+    val stage = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), concat(col("c_name"), lit(" (upd)")).as("c_name"),
+        (round(col("c_acctbal") * 100).cast("long") / lit(100.0) + lit(100.0))
+          .as("c_acctbal"),
+        to_date(lit("2026-08-01")).as("fecha_actualizacion_origen"),
+        to_date(lit("2026-08-01")).as("fecha_actualizacion"))
+    Merge.scd1(target, stage, "c_custkey",
+        auditDate = to_date(lit("2026-08-12")))
+      .orderBy("c_custkey")
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |  DATE '2025-01-01' AS fecha_actualizacion_origen,
+      |  DATE '2025-01-01' AS fecha_actualizacion
+      |FROM customer WHERE c_custkey % 10 <> 0
+      |UNION ALL
+      |SELECT c_custkey, c_name || ' (upd)' AS c_name,
+      |  CAST(round(c_acctbal*100) AS BIGINT)/100.0 + 100.0 AS c_acctbal,
+      |  DATE '2025-01-01' AS fecha_actualizacion_origen,
+      |  DATE '2026-08-12' AS fecha_actualizacion
+      |FROM customer WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  // §2.9 window functions: top-3 orders per customer by totalprice.
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val q06Sql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  // §2.11 exact dedup, deterministic representative: first event_id per
+  // (user_id, event_type) + duplicate count. The scalable groupBy form of
+  // dropDuplicates (hash-agg, map-side partial).
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_dups"))
+      .orderBy("user_id", "event_type")
+
+  private val q07Sql =
+    """SELECT user_id, event_type, min(event_id) AS first_event_id,
+      |  count(*) AS n_dups
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  // §2.9 top-k: global orderBy + limit with full tiebreak (A2 analogue).
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private val q08Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  // §2.5 datetime surface: D1-D5 formats + fixed-offset shift on orders.
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "dd/MM/yyyy").as("date_ddmmyyyy"),
+        date_format(col("o_orderdate"), "MM-dd-yy").as("fecha_partic"),
+        date_format(WeatherTransforms.shiftToLocalTime(col("o_orderdate")),
+          "HH:mm").as("hhmm_gmt3"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"))
+      .orderBy("o_orderkey")
+
+  private val q09Sql =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%d/%m/%Y') AS date_ddmmyyyy,
+      |  strftime(o_orderdate, '%m-%d-%y') AS fecha_partic,
+      |  strftime(o_orderdate - INTERVAL 3 HOUR, '%H:%M') AS hhmm_gmt3,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // U1 union-by-name append of two disjoint slices (column orders differ;
+  // unionByName realigns — the Spark-native form of the reference's
+  // implicit append union, main.py:109-114).
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val a = part.filter(col("p_size") < 10)
+      .select("p_partkey", "p_name", "p_size")
+    val b = part.filter(col("p_size") >= 40)
+      .select("p_size", "p_partkey", "p_name") // shuffled order on purpose
+    a.unionByName(b.select("p_partkey", "p_name", "p_size"))
+      .orderBy("p_partkey")
+  }
+
+  private val q10Sql =
+    """SELECT p_partkey, p_name, p_size FROM part
+      |WHERE p_size < 10 OR p_size >= 40
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  // J2-semi: membership probe (EXISTS) — customers having orders.
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val q11Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  // J2-anti: the dedup gate shape (main.py:127-133) — customers with NO
+  // orders (NOT EXISTS).
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val q12Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  // §2.7 string surface: translate (T1's strip), upper, substring, length,
+  // concat — all codegen'd built-ins.
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("p_name_vup"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  private val q13Sql =
+    """SELECT p_partkey,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS p_name_vup,
+      |  upper(p_brand) AS brand_up,
+      |  substring(p_type, 1, 5) AS type5,
+      |  length(p_name) AS name_len,
+      |  p_brand || '|' || p_type AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  // §2.4 stats: count / exact distinct / min / max per group.
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"))
+      .orderBy("l_returnflag")
+
+  private val q14Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  // §2.9 grouping sets: ROLLUP subtotals (Catalyst Expand).
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val q15Sql =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // §2.3 multi-join star: revenue per region — fact shuffles ONCE for the
+  // agg; all three dims broadcast (no fact-side shuffle for joins).
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+
+  private val q16Sql =
+    s"""SELECT r_name,
+       |  ${centsSumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  // §2.11 JSON props extraction (S8 family): get_json_object on
+  // events.props, aggregated per event_type.
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(col("k")).as("n_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val q17Sql =
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  // ST4/ST5 batch form: 15-minute tumbling event-time window (epoch
+  // aligned in both engines) — the batch twin of the streaming agg.
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long"))
+        .as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+      .orderBy("window_start", "event_type")
+
+  private val q18Sql =
+    """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+      |  event_type, count(*) AS n,
+      |  sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing" -> (q01 _),
+    "q02_flagship_pipeline" -> (q02 _),
+    "q03_schema_conform" -> (q03 _),
+    "q04_merge_insert_if_absent" -> (q04 _),
+    "q05_merge_scd1" -> (q05 _),
+    "q06_window_topk_per_group" -> (q06 _),
+    "q07_dedup_exact" -> (q07 _),
+    "q08_orderby_limit" -> (q08 _),
+    "q09_datetime_formats" -> (q09 _),
+    "q10_union_by_name" -> (q10 _),
+    "q11_semi_join" -> (q11 _),
+    "q12_anti_join" -> (q12 _),
+    "q13_string_funcs" -> (q13 _),
+    "q14_agg_stats" -> (q14 _),
+    "q15_rollup" -> (q15 _),
+    "q16_star_join_revenue" -> (q16 _),
+    "q17_json_props" -> (q17 _),
+    "q18_tumbling_window" -> (q18 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" -> q01Sql,
+    "q02_flagship_pipeline" -> q02Sql,
+    "q03_schema_conform" -> q03Sql,
+    "q04_merge_insert_if_absent" -> q04Sql,
+    "q05_merge_scd1" -> q05Sql,
+    "q06_window_topk_per_group" -> q06Sql,
+    "q07_dedup_exact" -> q07Sql,
+    "q08_orderby_limit" -> q08Sql,
+    "q09_datetime_formats" -> q09Sql,
+    "q10_union_by_name" -> q10Sql,
+    "q11_semi_join" -> q11Sql,
+    "q12_anti_join" -> q12Sql,
+    "q13_string_funcs" -> q13Sql,
+    "q14_agg_stats" -> q14Sql,
+    "q15_rollup" -> q15Sql,
+    "q16_star_join_revenue" -> q16Sql,
+    "q17_json_props" -> q17Sql,
+    "q18_tumbling_window" -> q18Sql)
+}

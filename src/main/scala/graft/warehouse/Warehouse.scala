@@ -1,0 +1,95 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse load strategies — the reference's PostgreSQL staging + MERGE
+  * design (transf.py:136-369, main.py:330-454) re-expressed over Spark
+  * managed tables (environment is zero-egress; SURVEY.md §1.4 keeps JDBC
+  * as an optional path the same API shape would serve).
+  *
+  * The reference's only pushed-down compute is two server-side MERGEs
+  * (transf.py:215-273, 329-362). Spark-native equivalents are anti-join /
+  * union jobs; Catalyst + AQE pick broadcast-hash vs sort-merge per side
+  * sizes, so the same code serves a 1 k dim and a 100 TB fact.
+  */
+object Warehouse {
+
+  /** DD1 (main.py:353-360). */
+  def ensureDatabase(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+
+  /** DD2 (main.py:363-390): CREATE TABLE IF NOT EXISTS from a schema.
+    * The reference builds DDL from a col→type dict; here the StructType IS
+    * the dict. (The reference's `id_auto` SERIAL-PK flag is dead code —
+    * always False at transf.py:175,205,310,317 — and Spark tables have no
+    * serial PKs; dropped.)
+    */
+  def ensureTable(spark: SparkSession, name: String, schema: StructType): Unit =
+    if (!spark.catalog.tableExists(name))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.format("parquet").saveAsTable(name)
+
+  /** U2 (transf.py:211,275,324,366): TRUNCATE. */
+  def truncate(spark: SparkSession, name: String): Unit =
+    spark.sql(s"TRUNCATE TABLE $name")
+
+  /** S9 (main.py:392-416): bulk append into a staging/target table. The
+    * reference chunks JDBC inserts at 1000 rows (main.py:413); a Spark
+    * table write is already parallel-per-partition, so no chunk knob.
+    * Columns are aligned by name against the table schema (insertInto is
+    * positional — misordered frames would silently corrupt).
+    */
+  def appendInto(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    val cols = spark.table(table).columns
+    df.select(cols.map(col).toSeq: _*).write.mode(SaveMode.Append)
+      .insertInto(table)
+  }
+
+  /** MG1 (transf.py:329-362): MERGE insert-if-absent — the idempotent fact
+    * load. `WHEN MATCHED DO NOTHING / WHEN NOT MATCHED INSERT` on a
+    * composite key becomes a left-anti join on the key columns, then
+    * append. Returns rows inserted.
+    *
+    * Scale: the anti-join probes only the key columns of the target
+    * (column-pruned scan); with a date-partitioned target the probe can be
+    * partition-pruned further by restricting to the stage's date range.
+    */
+  def insertIfAbsent(spark: SparkSession, table: String, stage: DataFrame,
+      keys: Seq[String]): Long = {
+    val fresh = Merge.insertIfAbsent(spark.table(table), stage, keys)
+    val n = fresh.count()
+    if (n > 0) appendInto(spark, table, fresh)
+    n
+  }
+
+  /** MG2 (transf.py:215-273): MERGE SCD Type 1 — dimension upsert. The
+    * target is rewritten as `unmatchedTarget ∪ stage-with-audit-cols`:
+    *  - matched rows take ALL stage columns (SCD1 overwrite),
+    *  - `fecha_actualizacion` (last-update audit) is set to `auditDate`,
+    *  - `fecha_actualizacion_origen` (creation date) is PRESERVED from the
+    *    existing target row on match — the reference overwrites it
+    *    (transf.py:240), defeating its documented purpose (README.md:87);
+    *    fixed + documented per SURVEY.md §7. (The reference's
+    *    `admin4 = stg.admin3` copy-paste typo at transf.py:239 is likewise
+    *    not replicated.)
+    *
+    * Implemented via a staging table (mirroring the reference's `_stg`
+    * twins, transf.py:139-142) so the rewrite never reads the table it
+    * overwrites. Full-rewrite SCD1 is the documented trade-off for a plain
+    * parquet warehouse (SURVEY.md §7): fine for dimensions; a 100 TB
+    * MERGE-heavy fact would use a merge-capable table format.
+    */
+  def scd1Upsert(spark: SparkSession, table: String, stage: DataFrame,
+      key: String, auditCol: String = "fecha_actualizacion",
+      originCol: String = "fecha_actualizacion_origen",
+      auditDate: org.apache.spark.sql.Column = current_date()): Unit = {
+    val result =
+      Merge.scd1(spark.table(table), stage, key, auditCol, originCol, auditDate)
+    val stg = table + "_rewrite_stg"
+    result.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stg)
+    spark.table(stg).write.mode(SaveMode.Overwrite).insertInto(table)
+    spark.sql(s"DROP TABLE IF EXISTS $stg")
+  }
+}

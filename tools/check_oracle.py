@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.queries vs their DuckDB oracles.
+
+Mimics the driver's t2 check as strictly as possible: run each oracle SQL
+in DuckDB over the sf tables, load the Verify-dumped parquet, sort columns
+by name, sort rows, compare values exactly (floats bit-exact).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v  # exact compare; struct_pack floats stay floats
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
+            exp_rel = con.sql(sql)
+            exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: cols {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+        elif got != exp:
+            bad = [(a, b) for a, b in zip(got, exp) if a != b]
+            print(f"FAIL {name}: {len(bad)} differing rows; first: "
+                  f"got={bad[0][0]} exp={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
