@@ -1,0 +1,175 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.11):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard. Generalizes the
+  * reference's two hand-rolled dedup gates (MG1 composite-key anti-join,
+  * transf.py:329-362; J2 id-membership gate, main.py:127-133).
+  *
+  * Scale design: signatures (MinHash/SimHash) are computed per-row with
+  * higher-order expressions — one scan, no shuffle, no UDF. The only
+  * shuffle in the whole near-dup pipeline is the band-bucket exchange of
+  * `(band, bucket, id)` tuples — a few bytes per row regardless of
+  * document size — followed by a bucket-local self-join. That is the
+  * standard 100 TB MinHash topology (shuffle the sketch, never the text).
+  */
+object Dedup {
+
+  /** Exact dedup, deterministic representative: smallest `idCol` per key
+    * group + group size. The scalable groupBy form of `dropDuplicates`
+    * (hash aggregate with map-side partial; `dropDuplicates` itself keeps
+    * an arbitrary row — unusable against an oracle).
+    */
+  def exact(keys: Seq[String], idCol: String)(df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("n_dups"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles: tokens joined back with spaces, one shingle per
+    * window of `n` consecutive tokens. Empty array when the doc has fewer
+    * than `n` tokens.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** DuckDB twin of [[wordShingles]] (1-based inclusive list slicing). */
+  def wordShinglesSql(e: String, n: Int = 3): String =
+    s"list_transform(generate_series(1, greatest(len(string_split($e,' ')) - ${n - 1}, 0)), " +
+      s"i -> array_to_string(string_split($e,' ')[i:i+${n - 1}], ' '))"
+
+  /** Portable hashes of the shingle set. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(wordShingles(text, n), s => polyHash(s))
+
+  def shingleHashesSql(e: String, n: Int = 3): String =
+    s"list_transform(${wordShinglesSql(e, n)}, s -> ${polyHashSql("s")})"
+
+  // -------------------------------------------------------------- MinHash
+
+  /** MinHash signature: k minima of affine-permuted shingle hashes.
+    * Null-free only when the doc has ≥ n tokens (else empty shingle set →
+    * null minima); callers filter short docs first.
+    */
+  def minHashSignature(text: Column, k: Int = 16, n: Int = 3): Column = {
+    val hs = shingleHashes(text, n)
+    transform(sequence(lit(1), lit(k)),
+      j => array_min(transform(hs, x => affine(j, x))))
+  }
+
+  def minHashSignatureSql(e: String, k: Int = 16, n: Int = 3): String =
+    s"list_transform(generate_series(1, $k), " +
+      s"j -> list_min(list_transform(${shingleHashesSql(e, n)}, x -> ${affineSql("j", "x")})))"
+
+  /** Band hashes for LSH: the signature cut into `bands` slices of
+    * `rows` entries, each folded to one bucket id.
+    */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => combine(slice(sig, b * rows + 1, lit(rows))))
+
+  def bandHashesSql(sigE: String, bands: Int, rows: Int): String =
+    s"list_transform(generate_series(0, ${bands - 1}), " +
+      s"b -> ${combineSql(s"($sigE)[b*$rows+1:b*$rows+$rows]")})"
+
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 band bucket.
+    * Output: (idA, idB) with idA < idB, distinct.
+    *
+    * This is the scale path: only `(band, bucket, id)` shuffles; the
+    * self-join is per-bucket. Skewed mega-buckets (boilerplate docs) are
+    * the known hazard — AQE skew-join handles moderate skew; a production
+    * run would also cap bucket size.
+    */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, minTokens: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sig = minHashSignature(col(textCol), k)
+    val buckets = df
+      .filter(size(split(col(textCol), " ")) >= minTokens)
+      .select(col(idCol), posexplode(bandHashes(sig, bands, rows))
+        .as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over word-shingle hashes: bit b is set when the
+    * majority of shingle hashes have bit b set (sum of ±1 > 0). Built as
+    * 32 generated bit terms — all integer arithmetic, codegen'd.
+    * (Single-pass array-accumulator formulation is the known further
+    * optimization; at 32×|tokens| integer ops per row this is already
+    * scan-bound, not compute-bound.)
+    */
+  def simHash(text: Column, n: Int = 3): Column = {
+    val hs = shingleHashes(text, n)
+    (0 until 32).map { b =>
+      val contrib = aggregate(hs, lit(0L), (acc, x) =>
+        acc + when(shiftright(x, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def simHashSql(e: String, n: Int = 3): String = {
+    val hsE = shingleHashesSql(e, n)
+    (0 until 32).map { b =>
+      val reduce = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($hsE, x -> CASE WHEN (x >> $b) & 1 = 1 " +
+        s"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a,v) -> a+v)"
+      s"(CASE WHEN $reduce > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Hamming distance between two SimHashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Jaccard similarity of the distinct word-shingle sets of two texts.
+    * Integer set sizes → one double division: bit-identical across
+    * engines.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(wordShingles(a, n))
+    val sb = array_distinct(wordShingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(sa) + size(sb) - size(array_intersect(sa, sb))
+    inter / union.cast("double")
+  }
+
+  def ngramJaccardSql(aE: String, bE: String, n: Int = 3): String = {
+    val sa = s"list_distinct(${wordShinglesSql(aE, n)})"
+    val sb = s"list_distinct(${wordShinglesSql(bE, n)})"
+    val inter = s"len(list_filter($sa, x -> list_contains($sb, x)))"
+    s"CAST($inter AS DOUBLE) / CAST(len($sa) + len($sb) - $inter AS DOUBLE)"
+  }
+
+  /** Candidate verification: Jaccard-score MinHash candidate pairs and
+    * keep those ≥ threshold — the standard two-phase near-dup pipeline
+    * (cheap LSH recall, exact verify on the tiny candidate set).
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, k, bands)
+    val docs = df.select(col(idCol), col(textCol))
+    cands
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — SURVEY.md
+  * §2.11. Two paths:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k. O(|probes|·|corpus|) — the
+  *    correctness baseline, viable when one side broadcasts.
+  *  - [[annTopK]]: LSH-bucketed ANN (random-hyperplane signs). At 100 TB
+  *    the corpus is scanned once to bucket ids (per-row arithmetic, no
+  *    shuffle), and probes join only their bucket — candidate sets shrink
+  *    by ~2^planes, at the cost of recall. Deterministic integer-derived
+  *    hyperplanes keep it oracle-verifiable.
+  *
+  * All scoring is higher-order-function arithmetic (zip_with/aggregate),
+  * codegen'd, sequential-association so DuckDB's `list_reduce` twin is
+  * bit-identical.
+  */
+object Similarity {
+
+  /** Widen a float array to double (exact). */
+  def toDouble(emb: Column): Column = transform(emb, _.cast("double"))
+
+  /** Sequential dot product (left-to-right fold — same association as the
+    * oracle's list_reduce).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def dotSql(aE: String, bE: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($aE)), i -> ($aE)[i] * ($bE)[i])), " +
+      s"(acc, v) -> acc + v)"
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def cosineSql(aE: String, bE: String): String =
+    s"${dotSql(aE, bE)} / (sqrt(${dotSql(aE, aE)}) * sqrt(${dotSql(bE, bE)}))"
+
+  /** Exact cosine top-k: every probe against every corpus row, ranked per
+    * probe. The cross join is explicitly broadcast on the probe side —
+    * the corpus never shuffles, so the plan scales linearly with corpus
+    * size (the realistic "small probe set × huge corpus" shape).
+    */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      toDouble(col(embCol)).as("probe_emb"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      toDouble(col(embCol)).as("cand_emb"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(p))
+      .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "cand_id", "score")
+  }
+
+  // ------------------------------------------------------------- LSH ANN
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane j,
+    * dim i): integer in [-1000000, 1000000], derived arithmetically so
+    * the oracle reproduces it.
+    */
+  private def planeCoef(j: Int, i: Column): Column =
+    (lit(j.toLong) * 131071L + i.cast("long") * 524287L) % 2000001L - 1000000L
+
+  private def planeCoefSql(j: Int, iE: String): String =
+    s"(($j * 131071 + $iE * 524287) % 2000001 - 1000000)"
+
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes. */
+  def lshBucket(embD: Column, planes: Int = 8): Column =
+    (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(embD, transform(sequence(lit(1), size(embD)),
+          i => planeCoef(j, i).cast("double")), _ * _),
+        lit(0.0), _ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(embE: String, planes: Int = 8): String =
+    (0 until planes).map { j =>
+      val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(1, len($embE)), " +
+        s"i -> ($embE)[i] * CAST(${planeCoefSql(j, "i")} AS DOUBLE))), (a,v) -> a+v)"
+      s"(CASE WHEN $proj > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  /** ANN top-k: probes meet only corpus rows in the same LSH bucket, then
+    * exact cosine re-rank. Equi-join on bucket → shuffle carries
+    * (bucket, id, embedding) once; no cross product.
+    */
+  def annTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 8, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      toDouble(col(embCol)).as("probe_emb"))
+      .withColumn("bucket", lshBucket(col("probe_emb"), planes))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      toDouble(col(embCol)).as("cand_emb"))
+      .withColumn("bucket", lshBucket(col("cand_emb"), planes))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    c.join(broadcast(p), Seq("bucket"))
+      .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "cand_id", "score")
+  }
+
+  /** Embedding-cosine near-dup pairs: same-bucket pairs above a cosine
+    * threshold (id_a < id_b). The embedding analogue of
+    * [[Dedup.nearDuplicates]].
+    */
+  def embeddingNearDups(df: DataFrame, threshold: Double, planes: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = df.select(col(idCol), toDouble(col(embCol)).as("embd"))
+      .withColumn("bucket", lshBucket(col("embd"), planes))
+    val a = e.select(col("bucket"), col(idCol).as("id_a"),
+      col("embd").as("emb_a"))
+    val b = e.select(col("bucket"), col(idCol).as("id_b"),
+      col("embd").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos").distinct()
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Text analysis for large-scale training-data pipelines (north-star
+  * extension surface, SURVEY.md §2.11): language-ID heuristic, quality
+  * scoring, token counting, document fingerprinting. Everything is
+  * built-in Catalyst expressions (codegen'd, shuffle-free, embarrassingly
+  * parallel per row) — the correct shape for a 100 TB corpus: one scan,
+  * no shuffle, columns pruned to `text` + id.
+  */
+object Text {
+
+  /** Whitespace tokens (single-space split, reference-style simplicity).
+    * Empties kept — consistent with DuckDB `string_split`.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count: words + digit runs + punctuation marks each
+    * count as tokens, long words count extra per 4 chars (crude BPE
+    * length prior). Deterministic integer arithmetic only.
+    */
+  def subwordCount(text: Column): Column = {
+    val words = tokens(text)
+    aggregate(words, lit(0L),
+      (acc, w) => acc + lit(1L) + floor(length(w) / lit(4)).cast("long"))
+  }
+
+  /** Stopword hits among tokens. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text),
+      t => t.isin(stopwords.map(s => s: Any): _*)))
+
+  /** Punctuation characters in the text. */
+  val punctClass = "[.,!?;:]"
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, punctClass, ""))
+
+  /** Quality score ∈ ℝ: favors mid-length docs with sane stopword and
+    * punctuation ratios (the standard corpus-filtering heuristics:
+    * length / punct / stopword ratios). Pure double arithmetic from
+    * integers — bit-identical across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nStop = stopwordCount(text).cast("double")
+    val nPunct = punctCount(text).cast("double")
+    val len = length(text).cast("double")
+    (nStop / nTok) * lit(2.0) +
+      (lit(1.0) - nPunct / len) +
+      least(nTok / lit(100.0), lit(1.0))
+  }
+
+  /** Language-ID by bigram profile: occurrence counts of a few
+    * discriminative letter bigrams, argmax with deterministic tie-break
+    * (first in list order). A real system would use a trained profile;
+    * the operator shape — per-row O(len) scoring, no shuffle — is what
+    * matters at 100 TB.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in"),
+    "es" -> Seq("es", "os", "la"),
+    "de" -> Seq("de", "er", "ch"),
+    "fr" -> Seq("le", "ou", "ai"))
+
+  private def bigramCount(text: Column, bg: String): Column =
+    (length(text) - length(regexp_replace(text, bg, ""))) / bg.length
+
+  def langScore(text: Column, lang: String): Column =
+    langProfiles.toMap.apply(lang)
+      .map(bigramCount(text, _)).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (l, _) => l -> langScore(text, l) }
+    // argmax, ties broken by profile order (strict > against the running max)
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          greatest(s, bestScore))
+    }._1
+  }
+
+  /** Document fingerprint: normalize (lowercase, collapse runs of
+    * whitespace, strip punctuation, sort tokens) then rolling-hash
+    * (PortableHash.polyHash) — near-identical docs that differ only in
+    * case/punctuation/token order collapse to one fingerprint.
+    */
+  def normalizedText(text: Column): Column =
+    array_join(
+      array_sort(filter(
+        split(regexp_replace(lower(text), punctClass, ""), " +"),
+        t => t =!= lit(""))),
+      " ")
+
+  def fingerprint(text: Column): Column =
+    PortableHash.polyHash(normalizedText(text))
+
+  /** Whole-table convenience: the standard text-analysis projection. */
+  def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("n_stopwords", stopwordCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.functions.PortableHash
+import Q.t
+
+/** North-star extension queries (SURVEY.md §2.11): dedup, similarity
+  * search, text analysis, multimodal — each with a DuckDB oracle twin
+  * generated from the SAME constants/SQL builders as the Spark plan, so
+  * the two sides cannot drift. All hashing is [[PortableHash]] (portable
+  * integer arithmetic); production runs would flip to xxhash64.
+  */
+object ExtQueries {
+
+  // ---------------------------------------------------------------- q20
+  // Text analysis: token/subword/stopword/punct counts + quality score.
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .transform(Text.analyze())
+      .select("doc_id", "n_tokens", "n_subwords", "n_stopwords", "n_punct",
+        "quality")
+      .orderBy("doc_id")
+
+  private val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val q20Sql = {
+    val nTok = "len(string_split(text,' '))"
+    val nStop = s"len(list_filter(string_split(text,' '), x -> list_contains($stopList, x)))"
+    val nPunct = s"length(text) - length(regexp_replace(text, '${Text.punctClass}', '', 'g'))"
+    val nSub = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(text,' '), w -> CAST(1 AS BIGINT) + length(w) // 4)), (a,v) -> a+v)"
+    s"""SELECT doc_id, $nTok AS n_tokens, $nSub AS n_subwords,
+       |  $nStop AS n_stopwords, $nPunct AS n_punct,
+       |  (CAST($nStop AS DOUBLE) / CAST($nTok AS DOUBLE)) * 2.0
+       |    + (1.0 - CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE))
+       |    + least(CAST($nTok AS DOUBLE) / 100.0, 1.0) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q21
+  // Language-ID heuristic: bigram-profile argmax per doc, summarized as a
+  // (label, prediction) contingency table.
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("lang_pred", Text.langId(col("text")))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  private val q21Sql = {
+    def score(lang: String): String =
+      Text.langProfiles.toMap.apply(lang)
+        .map(bg => s"((length(text) - length(replace(text, '$bg', ''))) // ${bg.length})")
+        .mkString("(", " + ", ")")
+    // same argmax/tie-break as Text.langId: strict > against running best,
+    // profile order en, es, de, fr
+    val pred =
+      s"""CASE
+         |  WHEN ${score("fr")} > greatest(${score("en")}, ${score("es")}, ${score("de")}) THEN 'fr'
+         |  WHEN ${score("de")} > greatest(${score("en")}, ${score("es")}) THEN 'de'
+         |  WHEN ${score("es")} > ${score("en")} THEN 'es'
+         |  ELSE 'en' END""".stripMargin
+    s"""SELECT lang, $pred AS lang_pred, count(*) AS n
+       |FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q22
+  // Document fingerprinting: normalized rolling-hash fingerprint, dup
+  // groups (same fingerprint) surfaced with a deterministic keeper.
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fingerprint", Text.fingerprint(col("text")))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_doc_id")
+
+  private val q22Sql = {
+    val norm = "array_to_string(list_sort(list_filter(" +
+      s"string_split_regex(regexp_replace(lower(text), '${Text.punctClass}', '', 'g'), ' +'), " +
+      "x -> x <> '')), ' ')"
+    s"""SELECT ${PortableHash.polyHashSql(norm)} AS fingerprint,
+       |  min(doc_id) AS keep_doc_id, count(*) AS n_dups
+       |FROM documents GROUP BY fingerprint ORDER BY keep_doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q23
+  // MinHash signatures: per-doc signature folded to one hash + the 4 LSH
+  // band buckets (scalars, so the compare stays simple).
+  private val K = 16
+  private val BANDS = 4
+  private val ROWS = K / BANDS
+
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minHashSignature(col("text"), K)
+    val bands = Dedup.bandHashes(sig, BANDS, ROWS)
+    t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        PortableHash.combine(sig).as("sig_hash"),
+        element_at(bands, 1).as("band0"), element_at(bands, 2).as("band1"),
+        element_at(bands, 3).as("band2"), element_at(bands, 4).as("band3"))
+      .orderBy("doc_id")
+  }
+
+  private def sigSql = Dedup.minHashSignatureSql("text", K)
+
+  private val q23Sql =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $sigSql AS sig FROM documents
+       |  WHERE len(string_split(text,' ')) >= 3)
+       |SELECT doc_id, ${PortableHash.combineSql("sig")} AS sig_hash,
+       |  ${PortableHash.combineSql(s"sig[1:$ROWS]")} AS band0,
+       |  ${PortableHash.combineSql(s"sig[${ROWS + 1}:${2 * ROWS}]")} AS band1,
+       |  ${PortableHash.combineSql(s"sig[${2 * ROWS + 1}:${3 * ROWS}]")} AS band2,
+       |  ${PortableHash.combineSql(s"sig[${3 * ROWS + 1}:${4 * ROWS}]")} AS band3
+       |FROM sigs ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  // MinHash-LSH near-dup pipeline end-to-end: candidate pairs (shared
+  // band bucket) verified with exact n-gram Jaccard.
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2, k = K, bands = BANDS)
+      .orderBy("id_a", "id_b")
+
+  private val q24Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len(string_split(text,' ')) >= 3),
+       |sigs AS (SELECT doc_id, $sigSql AS sig FROM docs),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    ${PortableHash.combineSql(s"sig[band*$ROWS+1:band*$ROWS+$ROWS]")} AS bucket
+       |  FROM sigs, range($BANDS) t(band)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  ${Dedup.ngramJaccardSql("da.text", "db.text")} AS jaccard
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = id_a
+       |JOIN documents db ON db.doc_id = id_b
+       |WHERE ${Dedup.ngramJaccardSql("da.text", "db.text")} >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  // SimHash: 32-bit signature per doc + hamming-distance near-dup pairs
+  // within a bounded id window (window keeps the oracle's pair join
+  // small; the Spark side uses the same explicit predicate).
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b") && col("id_b") <= col("id_a") + 25)
+      .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= 10)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q25Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${Dedup.simHashSql("text")} AS simhash FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  // Brute-force cosine top-k: 5 probe vectors ranked against the corpus.
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val embD = "emb"
+  private def cosSql(a: String, b: String) = Similarity.cosineSql(a, b)
+
+  private val q26Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ${cosSql("p.emb", "c.emb")} AS score
+       |  FROM e p, e c WHERE p.vec_id < 5),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, score FROM ranked WHERE rank <= 10
+       |ORDER BY probe_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  // LSH-bucketed ANN top-k: same probes, candidates restricted to the
+  // probe's hyperplane-sign bucket (the 100 TB path), exact re-rank.
+  private val PLANES = 8
+
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.annTopK(emb.filter(col("vec_id") < 5), emb, k = 10,
+        planes = PLANES)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val q27Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    ${Similarity.lshBucketSql("embedding::DOUBLE[]", PLANES)} AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ${cosSql("p.emb", "c.emb")} AS score
+       |  FROM e p JOIN e c USING (bucket) WHERE p.vec_id < 5),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, score FROM ranked WHERE rank <= 10
+       |ORDER BY probe_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  // Embedding-cosine near-dup: same-bucket pairs above threshold.
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35,
+        planes = PLANES)
+      .orderBy("id_a", "id_b")
+
+  private val q28Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    ${Similarity.lshBucketSql("embedding::DOUBLE[]", PLANES)} AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${cosSql("a.emb", "b.emb")} AS cos
+       |FROM e a JOIN e b USING (bucket)
+       |WHERE a.vec_id < b.vec_id AND ${cosSql("a.emb", "b.emb")} >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  // Multimodal plumbing, expression side: synthetic media table → payload
+  // length, md5 content hash, byte-sampled "frames". (The mapPartitions
+  // decode stub is exercised in ScalaTest; its codec core is a stub by
+  // necessity — no codecs in the container.)
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeFromText(t(s, dir, "documents"))
+    media.select(col("media_id"), col("kind"),
+        octet_length(col("bytes")).as("n_bytes"),
+        md5(col("bytes")).as("content_md5"),
+        col("meta.width").as("width"),
+        Multimodal.sampleBytes(col("bytes"), 16, 8).as("samples"))
+      .withColumn("sample_sum",
+        aggregate(col("samples"), lit(0L), (a, v) => a + v))
+      .drop("samples")
+      .orderBy("media_id")
+  }
+
+  private val q29Sql =
+    s"""SELECT doc_id AS media_id,
+       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  md5(text) AS content_md5,
+       |  CAST(doc_id % 640 + 64 AS INTEGER) AS width,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    ${Multimodal.sampleBytesSql("text", 16, 8)}), (a,v) -> a + CAST(v AS BIGINT)) AS sample_sum
+       |FROM documents ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_text_stats" -> (q20 _),
+    "q21_lang_id" -> (q21 _),
+    "q22_fingerprint_dedup" -> (q22 _),
+    "q23_minhash_signatures" -> (q23 _),
+    "q24_minhash_lsh_neardup" -> (q24 _),
+    "q25_simhash_hamming" -> (q25 _),
+    "q26_cosine_topk_brute" -> (q26 _),
+    "q27_cosine_topk_ann" -> (q27 _),
+    "q28_embedding_neardup" -> (q28 _),
+    "q29_multimodal_meta" -> (q29 _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_text_stats" -> q20Sql,
+    "q21_lang_id" -> q21Sql,
+    "q22_fingerprint_dedup" -> q22Sql,
+    "q23_minhash_signatures" -> q23Sql,
+    "q24_minhash_lsh_neardup" -> q24Sql,
+    "q25_simhash_hamming" -> q25Sql,
+    "q26_cosine_topk_brute" -> q26Sql,
+    "q27_cosine_topk_ann" -> q27Sql,
+    "q28_embedding_neardup" -> q28Sql,
+    "q29_multimodal_meta" -> q29Sql)
+}
