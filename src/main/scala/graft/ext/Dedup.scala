@@ -37,9 +37,14 @@ object Dedup {
     */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    val m = size(toks) - (n - 1)
+    // NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (it infers a
+    // negative step), unlike DuckDB's empty generate_series(1, 0) — docs
+    // shorter than n tokens must short-circuit to an empty shingle set.
+    when(m < 1, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(m, lit(1))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
   /** DuckDB twin of [[wordShingles]] (1-based inclusive list slicing). */
@@ -147,14 +152,15 @@ object Dedup {
     val sb = array_distinct(wordShingles(b, n))
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(sa) + size(sb) - size(array_intersect(sa, sb))
-    inter / union.cast("double")
+    // two empty shingle sets → NULL (avoids ANSI div-by-zero; NULLIF twin)
+    inter / nullif(union.cast("double"), lit(0.0))
   }
 
   def ngramJaccardSql(aE: String, bE: String, n: Int = 3): String = {
     val sa = s"list_distinct(${wordShinglesSql(aE, n)})"
     val sb = s"list_distinct(${wordShinglesSql(bE, n)})"
     val inter = s"len(list_filter($sa, x -> list_contains($sb, x)))"
-    s"CAST($inter AS DOUBLE) / CAST(len($sa) + len($sb) - $inter AS DOUBLE)"
+    s"CAST($inter AS DOUBLE) / NULLIF(CAST(len($sa) + len($sb) - $inter AS DOUBLE), 0.0)"
   }
 
   /** Candidate verification: Jaccard-score MinHash candidate pairs and

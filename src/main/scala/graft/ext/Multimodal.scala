@@ -63,13 +63,15 @@ object Multimodal {
     * the shape of video frame-sampling / audio downsampling, expressed on
     * the raw payload. Pure expressions: no data leaves the row.
     */
-  def sampleBytes(bin: Column, stride: Int, maxSamples: Int = 16): Column =
-    transform(
-      sequence(lit(1L),
-        least(floor(octet_length(bin) / lit(stride)).cast("long"),
-          lit(maxSamples.toLong))),
-      i => conv(hex(substrDyn(bin, (i - 1) * stride + 1, 1)), 16, 10)
-        .cast("int"))
+  def sampleBytes(bin: Column, stride: Int, maxSamples: Int = 16): Column = {
+    val m = least(floor(octet_length(bin) / lit(stride)).cast("long"),
+      lit(maxSamples.toLong))
+    // guard: Spark's sequence(1, 0) is a descending [1, 0], not empty
+    when(m < 1, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(1L), greatest(m, lit(1L))),
+        i => conv(hex(substrDyn(bin, (i - 1) * stride + 1, 1)), 16, 10)
+          .cast("int")))
+  }
 
   /** DuckDB twin of [[sampleBytes]] over a VARCHAR source (the synthetic
     * payload is UTF-8 text; ascii() of the 1-char substring = byte value

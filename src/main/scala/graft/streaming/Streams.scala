@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface — the Spark-native replacement for the
+  * reference's daemon-thread polling loop (`Autom`, main.py:268-325).
+  *
+  * | reference | here |
+  * |---|---|
+  * | `while True: fetch; write; sleep(900)` (main.py:284-300, ST1) | micro-batch trigger `ProcessingTime(interval)` |
+  * | daemon thread (main.py:309-311, ST2) | async `StreamingQuery` |
+  * | inert console stop flag (main.py:313-325, ST3) | `query.stop()` — actually effective; checkpointing adds the restart story the reference lacks |
+  * | newest-time duplicate suppression (main.py:100-107, ST4) | `dropDuplicates` within watermark + lake max-time probe in `foreachBatch` |
+  * | late data unhandled (ST5) | `withWatermark` event-time semantics |
+  */
+object Streams {
+
+  /** ST1/ST2/ST4: micro-batch ingest into the partitioned lake. Each
+    * batch is deduplicated against the lake with the pruned max-time
+    * probe (graft.lake.DataLake.appendIncremental) and appended under its
+    * partition dirs. `foreachBatch` gives exactly-once per-batch replay
+    * semantics via the checkpoint.
+    */
+  def ingestToLake(stream: DataFrame, lakeDir: String, checkpointDir: String,
+      intervalSec: Long = 900,
+      partitionCol: String = "fecha_partic",
+      timeCol: String = "time"): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$intervalSec seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.lake.DataLake.appendIncremental(
+          batch.sparkSession, batch, lakeDir, partitionCol, timeCol)
+        ()
+      }
+      .start()
+
+  /** ST4 (true event-time form): drop duplicate keys within the watermark
+    * horizon — bounded state, unlike a global distinct.
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** ST5: watermarked tumbling-window aggregate (the streaming twin of
+    * batch query q18). Late rows beyond `watermark` are dropped; state is
+    * evicted per window close — bounded memory at any rate.
+    */
+  def windowedCounts(df: DataFrame, tsCol: String, windowLen: String,
+      watermark: String, keyCol: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("value_cents"))
+
+  // ----------------------------------------------------- custom state
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(n: Long, total: Double, lastMs: Long)
+  case class Session(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator (`flatMapGroupsWithState`): gap-based
+    * sessionization per user. Emits a session when the gap between
+    * consecutive events exceeds `gapMs`. State per key is O(1); the
+    * 100 TB-scale knob is key cardinality, not event count.
+    */
+  def sessionize(ds: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n > 0 && t - st.lastMs > gapMs) {
+              out += Session(user, st.n, st.total)
+              st = SessionState(0L, 0.0, t)
+            }
+            st = SessionState(st.n + 1, st.total + e.value, t)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Flush any open sessions (batch-mode tail call used in tests/demos). */
+  def sessionizeBatch(ds: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    // In batch execution flatMapGroupsWithState sees each key once, so
+    // emit the trailing open session too.
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], _: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val out = Seq.newBuilder[Session]
+          var st = SessionState(0L, 0.0, Long.MinValue)
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n > 0 && t - st.lastMs > gapMs) {
+              out += Session(user, st.n, st.total)
+              st = SessionState(0L, 0.0, t)
+            }
+            st = SessionState(st.n + 1, st.total + e.value, t)
+          }
+          if (st.n > 0) out += Session(user, st.n, st.total)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
+
+/** Extension operators: dedup invariants, similarity ranking, text
+  * analysis, multimodal plumbing.
+  */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog indeed"), // near dup (superset)
+    (3L, "completely different content about spark engines and scale"),
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per group") {
+    val out = docs.transform(Dedup.exact(Seq("text"), "doc_id"))
+      .orderBy("keep_doc_id").collect()
+    assert(out.length == 4)
+    assert(out.head.getLong(1) == 0L && out.head.getLong(2) == 2L)
+  }
+
+  test("minhash: identical docs → identical signature; near-dup shares buckets") {
+    val sigs = docs.filter($"doc_id" < 4)
+      .select($"doc_id", Dedup.minHashSignature($"text", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L))) // exact dup always a candidate
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc isn't
+  }
+
+  test("ngram jaccard: 1.0 for identical, 0 for disjoint, symmetric-ish middle") {
+    val rows = docs.as("a").crossJoin(docs.as("b"))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        Dedup.ngramJaccard($"a.text", $"b.text").as("j"))
+      .collect()
+    // doc 4 has < 3 tokens → empty shingle set → NULL jaccard by definition
+    assert(rows.filter(r => r.getLong(0) == 4L && r.getLong(1) == 4L)
+      .forall(_.isNullAt(2)))
+    val j = rows.filterNot(_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 3L)) == 0.0)
+    assert(j((0L, 2L)) == 7.0 / 8.0) // shingles of 0 ⊂ shingles of 2
+  }
+
+  test("simhash: identical → hamming 0; near-dup closer than unrelated") {
+    val sh = docs.select($"doc_id", Dedup.simHash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(0L, 1L) == 0)
+    assert(ham(0L, 2L) < ham(0L, 3L))
+  }
+
+  test("nearDuplicates two-phase pipeline finds the planted pair") {
+    val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)) && nd.contains((0L, 2L)))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine top-k ranks by similarity with deterministic ties") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, k = 4).orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(top.head.getDouble(3) == 1.0) // self-similarity exactly 1? (a·a)/(|a||a|)
+  }
+
+  test("lsh ann: identical vectors share a bucket; opposite vectors don't") {
+    val b = vecs.select($"vec_id",
+      Similarity.lshBucket(Similarity.toDouble($"embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) != b(3L)) // sign-flipped → complement bucket
+    val ann = Similarity.annTopK(vecs.filter($"vec_id" === 0), vecs, k = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(ann.contains(0L) && !ann.contains(3L))
+  }
+
+  test("text analysis counts and fingerprint invariance") {
+    val r = Seq("The quick, brown fox! the end.").toDF("text")
+      .transform(Text.analyze()).head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_stopwords") == 1) // only the bare lowercase "the"
+    assert(r.getAs[Int]("n_punct") == 3)
+    // fingerprint invariant to case, punctuation, token order
+    val fp = Seq(
+      "Hello World again", "world hello AGAIN!", "hello world other")
+      .toDF("text").select(Text.fingerprint($"text")).as[Long].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("langId is deterministic and favors matching bigram profiles") {
+    val out = Seq("the then there rhythm", "esos estados espanoles")
+      .toDF("text").select(Text.langId($"text")).as[String].collect()
+    assert(out(0) == "en" && out(1) == "es")
+  }
+
+  test("multimodal: synthetic schema, byte sampling, decode stub") {
+    val media = Multimodal.synthesizeFromText(docs, "doc_id", "text")
+    assert(media.schema("bytes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(media.select("meta.width").head.getInt(0) == 64 + 0 % 640)
+    // sampleBytes: stride 1 over 'the...' → ascii codes of the text
+    val s = media.filter($"media_id" === 4L)
+      .select(Multimodal.sampleBytes($"bytes", 1, 4)).head.getSeq[Int](0)
+    assert(s == Seq('s'.toInt, 'h'.toInt, 'o'.toInt, 'r'.toInt))
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(4L).n_bytes == "short doc".length)
+    val expBright = "short doc".getBytes.map(_ & 0xff).sum.toDouble / 9
+    assert(feats(4L).brightness == expBright)
+    assert(feats(4L).resized_w <= 224 && feats(4L).resized_h <= 224)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.DataLake
+
+/** Lake IO: S1-S5 + dedup gates (main.py:80-150 semantics). */
+class LakeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rec(t: String, v: Double) =
+    Seq((t, v)).toDF("time", "temp")
+      .select(to_timestamp($"time").as("time"), $"temp",
+        date_format(to_timestamp($"time"), "MM-dd-yy").as("fecha_partic"))
+
+  test("read returns None for missing and empty paths") {
+    assert(DataLake.read(spark, tmpDir() + "/nope").isEmpty)
+  }
+
+  test("appendIncremental writes, suppresses duplicate poll, accepts new time") {
+    val dir = tmpDir() + "/regmeteor"
+    assert(DataLake.appendIncremental(spark, rec("2023-11-30T14:00:00", 24.3), dir))
+    // same newest time → suppressed (ST4 / main.py:101-107)
+    assert(!DataLake.appendIncremental(spark, rec("2023-11-30T14:00:00", 24.3), dir))
+    assert(spark.read.parquet(dir).count() == 1)
+    // newer time → appended
+    assert(DataLake.appendIncremental(spark, rec("2023-11-30T14:15:00", 24.5), dir))
+    val lake = spark.read.parquet(dir)
+    assert(lake.count() == 2)
+    // hive partition restored on read
+    assert(lake.columns.contains("fecha_partic"))
+    // partition dirs actually exist on disk
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("fecha_partic=")))
+  }
+
+  test("appendIncremental probe prunes to incoming partitions (cross-day append works)") {
+    val dir = tmpDir() + "/regmeteor"
+    DataLake.appendIncremental(spark, rec("2023-11-30T23:45:00", 1.0), dir)
+    assert(DataLake.appendIncremental(spark, rec("2023-12-01T00:00:00", 2.0), dir))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("appendFull all-or-nothing gate (main.py:127-150)") {
+    val path = tmpDir() + "/localid"
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val batch2 = Seq((2L, "b"), (3L, "c")).toDF("id", "name") // one dup
+    assert(DataLake.appendFull(spark, batch1, path))
+    assert(!DataLake.appendFull(spark, batch2, path)) // whole batch skipped
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("appendFullNewOnly appends only unseen ids (improved variant)") {
+    val path = tmpDir() + "/localid"
+    DataLake.appendFull(spark, Seq((1L, "a")).toDF("id", "name"), path)
+    val n = DataLake.appendFullNewOnly(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), path)
+    assert(n == 1 && spark.read.parquet(path).count() == 2)
+  }
+}

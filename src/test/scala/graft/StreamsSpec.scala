@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Streaming surface ST1-ST5: micro-batch lake ingest with dedup,
+  * watermarked windows, custom sessionization state.
+  */
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("ingestToLake: micro-batches append to partitioned lake with dedup (ST1/ST2/ST4)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val stream = input.toDF().toDF("time_s", "temp")
+      .select(to_timestamp($"time_s").as("time"), $"temp",
+        date_format(to_timestamp($"time_s"), "MM-dd-yy").as("fecha_partic"))
+    val lake = tmpDir() + "/lake"
+    val q = Streams.ingestToLake(stream, lake, tmpDir() + "/ckpt",
+      intervalSec = 1)
+    try {
+      input.addData(("2023-11-30 14:00:00", 24.3))
+      q.processAllAvailable()
+      input.addData(("2023-11-30 14:00:00", 24.3)) // duplicate poll
+      q.processAllAvailable()
+      input.addData(("2023-11-30 14:15:00", 24.5))
+      q.processAllAvailable()
+    } finally q.stop() // ST3: an actually-working stop, unlike main.py:316
+    val out = spark.read.parquet(lake)
+    assert(out.count() == 2) // duplicate batch suppressed
+    assert(out.columns.contains("fecha_partic"))
+  }
+
+  test("windowedCounts: watermarked tumbling windows drop late rows (ST5)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "15 minutes", "10 minutes", "event_type")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wc").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "click", 1.0),
+        (ts("2024-01-01 00:05:00"), "click", 2.0),
+        (ts("2024-01-01 00:20:00"), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData((ts("2024-01-01 01:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      // this event is now behind the watermark → dropped
+      input.addData((ts("2024-01-01 00:02:00"), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 02:00:00"), "click", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wc").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L))) // late 99.0 NOT counted
+    assert(rows.contains(("2024-01-01 00:15:00.0", "view", 1L)))
+  }
+
+  test("dedupStream drops duplicate keys within the watermark (ST4)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = Streams.dedupStream(
+      input.toDF().toDF("ts", "api_loc_id"), Seq("api_loc_id"), "ts", "1 hour")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dd").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:05:00"), 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dd").count() == 2)
+  }
+
+  test("sessionize: gap-based sessions with custom state") {
+    val evs = Seq(
+      Streams.Ev(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Streams.Ev(1L, ts("2024-01-01 00:05:00"), 2.0),
+      Streams.Ev(1L, ts("2024-01-01 02:00:00"), 3.0), // > 1h gap → new session
+      Streams.Ev(2L, ts("2024-01-01 00:00:00"), 4.0)
+    ).toDS()
+    val sessions = Streams.sessionizeBatch(evs, gapMs = 3600 * 1000L)
+      .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    assert(sessions == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+}
