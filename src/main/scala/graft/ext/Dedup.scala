@@ -52,8 +52,15 @@ object Dedup {
     s"list_transform(generate_series(1, greatest(len(string_split($e,' ')) - ${n - 1}, 0)), " +
       s"i -> array_to_string(string_split($e,' ')[i:i+${n - 1}], ' '))"
 
-  /** Portable hashes of the shingle set. */
+  /** Portable hashes of the shingle set — native codegen'd expression
+    * (graft.functions.NativeHash); [[shingleHashesHof]] is the
+    * higher-order-function reference formulation (same values,
+    * interpreted, ~100× slower — kept as the executable spec).
+    */
   def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.NativeHash.shingleHashes(text, n)
+
+  def shingleHashesHof(text: Column, n: Int = 3): Column =
     transform(wordShingles(text, n), s => polyHash(s))
 
   def shingleHashesSql(e: String, n: Int = 3): String =
@@ -65,8 +72,12 @@ object Dedup {
     * Null-free only when the doc has ≥ n tokens (else empty shingle set →
     * null minima); callers filter short docs first.
     */
-  def minHashSignature(text: Column, k: Int = 16, n: Int = 3): Column = {
-    val hs = shingleHashes(text, n)
+  def minHashSignature(text: Column, k: Int = 16, n: Int = 3): Column =
+    graft.functions.NativeHash.minHashSig(shingleHashes(text, n), k)
+
+  /** HOF reference formulation of [[minHashSignature]] (same values). */
+  def minHashSignatureHof(text: Column, k: Int = 16, n: Int = 3): Column = {
+    val hs = shingleHashesHof(text, n)
     transform(sequence(lit(1), lit(k)),
       j => array_min(transform(hs, x => affine(j, x))))
   }
@@ -98,10 +109,14 @@ object Dedup {
       k: Int = 16, bands: Int = 4, minTokens: Int = 3): DataFrame = {
     val rows = k / bands
     val sig = minHashSignature(col(textCol), k)
+    // Persist the sketches: the self-join would otherwise recompute every
+    // signature on both sides. This is (band, bucket, id) only — a few
+    // dozen bytes per document regardless of text size.
     val buckets = df
       .filter(size(split(col(textCol), " ")) >= minTokens)
       .select(col(idCol), posexplode(bandHashes(sig, bands, rows))
         .as(Seq("band", "bucket")))
+      .persist()
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -118,14 +133,35 @@ object Dedup {
     * optimization; at 32×|tokens| integer ops per row this is already
     * scan-bound, not compute-bound.)
     */
-  def simHash(text: Column, n: Int = 3): Column = {
-    val hs = shingleHashes(text, n)
+  def simHash(text: Column, n: Int = 3): Column =
+    graft.functions.NativeHash.simHash32(shingleHashes(text, n))
+
+  /** HOF reference formulation of [[simHash]] (same values). */
+  def simHashHof(text: Column, n: Int = 3): Column = {
+    val hs = shingleHashesHof(text, n)
     (0 until 32).map { b =>
       val contrib = aggregate(hs, lit(0L), (acc, x) =>
         acc + when(shiftright(x, b).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L))
       when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within a bounded id window: sketches computed
+    * once (persisted — they are 16 bytes/doc), pair-joined, filtered by
+    * hamming distance.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      idWindow: Long, maxHamming: Int): DataFrame = {
+    val sh = df.select(col(idCol), simHash(col(textCol)).as("simhash"))
+      .persist()
+    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b") &&
+        col("id_b") <= col("id_a") + idWindow)
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   def simHashSql(e: String, n: Int = 3): String = {

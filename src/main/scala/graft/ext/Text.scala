@@ -102,7 +102,7 @@ object Text {
       " ")
 
   def fingerprint(text: Column): Column =
-    PortableHash.polyHash(normalizedText(text))
+    graft.functions.NativeHash.polyHash(normalizedText(text))
 
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {

@@ -151,17 +151,10 @@ object ExtQueries {
   // SimHash: 32-bit signature per doc + hamming-distance near-dup pairs
   // within a bounded id window (window keeps the oracle's pair join
   // small; the Spark side uses the same explicit predicate).
-  private def q25(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
-    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b") && col("id_b") <= col("id_a") + 25)
-      .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= 10)
-      .select("id_a", "id_b", "hamming")
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        idWindow = 25, maxHamming = 10)
       .orderBy("id_a", "id_b")
-  }
 
   private val q25Sql =
     s"""WITH sh AS (

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Spark 4 made Column a ColumnNode wrapper and the Expression bridge
+  * `private[sql]`; custom-Expression libraries conventionally expose it
+  * from inside the package namespace. Used only by
+  * graft.functions.NativeHash to wrap its codegen'd expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}

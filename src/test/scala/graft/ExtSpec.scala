@@ -51,6 +51,25 @@ class ExtSpec extends SparkSuite {
     assert(j((0L, 2L)) == 7.0 / 8.0) // shingles of 0 ⊂ shingles of 2
   }
 
+  test("native hash expressions are bit-identical to the HOF reference forms") {
+    // ≥3 tokens: the domain every caller filters to (short docs diverge by
+    // design: native minhash yields zeros where the HOF form yields nulls)
+    val cmp = docs.filter(size(split($"text", " ")) >= 3).select(
+      Dedup.minHashSignature($"text", 16).as("nat_sig"),
+      Dedup.minHashSignatureHof($"text", 16).as("hof_sig"),
+      Dedup.simHash($"text").as("nat_sh"),
+      Dedup.simHashHof($"text").as("hof_sh"),
+      graft.functions.NativeHash.polyHash($"text").as("nat_ph"),
+      graft.functions.PortableHash.polyHash($"text").as("hof_ph"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+      assert(r.getLong(4) == r.getLong(5))
+    }
+  }
+
   test("simhash: identical → hamming 0; near-dup closer than unrelated") {
     val sh = docs.select($"doc_id", Dedup.simHash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
