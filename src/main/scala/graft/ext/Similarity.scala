@@ -25,10 +25,15 @@ object Similarity {
   def toDouble(emb: Column): Column = transform(emb, _.cast("double"))
 
   /** Sequential dot product (left-to-right fold — same association as the
-    * oracle's list_reduce).
+    * oracle's list_reduce). HOF reference form; the native expression
+    * (graft.functions.NativeVector) computes identical doubles in one
+    * JIT pass.
     */
-  def dot(a: Column, b: Column): Column =
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def dot(a: Column, b: Column): Column =
+    graft.functions.NativeVector.dot(a, b)
 
   def dotSql(aE: String, bE: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -36,7 +41,10 @@ object Similarity {
       s"(acc, v) -> acc + v)"
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.NativeVector.cosine(a, b)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   def cosineSql(aE: String, bE: String): String =
     s"${dotSql(aE, bE)} / (sqrt(${dotSql(aE, aE)}) * sqrt(${dotSql(bE, bE)}))"
@@ -58,7 +66,8 @@ object Similarity {
       .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("probe_id", "rank", "cand_id", "score")
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("score"))
   }
 
   // ------------------------------------------------------------- LSH ANN
@@ -73,8 +82,13 @@ object Similarity {
   private def planeCoefSql(j: Int, iE: String): String =
     s"(($j * 131071 + $iE * 524287) % 2000001 - 1000000)"
 
-  /** Sign-bit LSH bucket id from `planes` random hyperplanes. */
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes (native
+    * one-pass expression; [[lshBucketHof]] is the reference form).
+    */
   def lshBucket(embD: Column, planes: Int = 8): Column =
+    graft.functions.NativeVector.lshBucket(embD, planes)
+
+  def lshBucketHof(embD: Column, planes: Int = 8): Column =
     (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(embD, transform(sequence(lit(1), size(embD)),
@@ -110,7 +124,8 @@ object Similarity {
       .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("probe_id", "rank", "cand_id", "score")
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("score"))
   }
 
   /** Embedding-cosine near-dup pairs: same-bucket pairs above a cosine

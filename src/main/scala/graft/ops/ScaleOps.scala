@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew/shuffle-shaping utilities — the knobs a 100 TB deployment turns
+  * (SURVEY.md §4.2, builder prompt "Partitioning & shuffle"). AQE handles
+  * moderate runtime skew; these are the explicit forms for pathological
+  * keys and for shuffle-free repeat joins.
+  */
+object ScaleOps {
+
+  /** Deterministic salt in [0, salts) from arbitrary columns (xxhash64 —
+    * salting only needs dispersion, not cross-engine portability).
+    */
+  def saltOf(salts: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(salts.toLong))
+
+  /** Two-phase (salted) aggregation: partial per (key, salt), final per
+    * key. For sum/count the result is exactly the plain aggregate —
+    * verified against the same SQL oracle — but no single reducer ever
+    * sees a whole hot key.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      salts: Int = 16, saltSource: Seq[String] = Nil): DataFrame = {
+    val src = if (saltSource.isEmpty) Seq(col(valueCol)) else saltSource.map(col)
+    df.withColumn("__salt", saltOf(salts, src: _*))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("sum_" + valueCol),
+        sum(col("__n")).as("n_rows"))
+  }
+
+  /** Salted equi-join for a skewed probe side: the skewed side gets a
+    * deterministic salt, the build side is replicated once per salt
+    * value, and the join key becomes (keys..., salt). Row multiplicity is
+    * unchanged (each skewed row meets each matching build row exactly
+    * once); the hot key's rows now spread over `salts` reducers.
+    */
+  def saltedJoin(skewed: DataFrame, build: DataFrame, keys: Seq[String],
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      saltOf(salts, skewed.columns.map(col).toSeq: _*))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Bucketed managed-table write: pre-shuffles ONCE at write time so
+    * every later equi-join/aggregate on `bucketCols` runs shuffle-free
+    * (bucket-local sort-merge). The pattern for fact tables joined
+    * repeatedly on the same key at 100 TB.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+}

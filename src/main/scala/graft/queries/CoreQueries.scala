@@ -195,7 +195,8 @@ object CoreQueries {
     t(s, dir, "orders")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rn")
   }
 
@@ -315,7 +316,7 @@ object CoreQueries {
         translate(col("p_name"), "aeiou", "AEIOU").as("p_name_vup"),
         upper(col("p_brand")).as("brand_up"),
         substring(col("p_type"), 1, 5).as("type5"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy("p_partkey")
 
@@ -403,7 +404,7 @@ object CoreQueries {
 
   private val q17Sql =
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
       |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
@@ -424,7 +425,7 @@ object CoreQueries {
   private val q18Sql =
     """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
       |  event_type, count(*) AS n,
-      |  sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 

@@ -20,8 +20,9 @@ object ExtQueries {
   private def q20(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .transform(Text.analyze())
-      .select("doc_id", "n_tokens", "n_subwords", "n_stopwords", "n_punct",
-        "quality")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_subwords"), col("n_stopwords").cast("long").as("n_stopwords"),
+        col("n_punct").cast("long").as("n_punct"), col("quality"))
       .orderBy("doc_id")
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -154,16 +155,17 @@ object ExtQueries {
   private def q25(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
         idWindow = 25, maxHamming = 10)
+      .withColumn("hamming", col("hamming").cast("long"))
       .orderBy("id_a", "id_b")
 
   private val q25Sql =
     s"""WITH sh AS (
        |  SELECT doc_id, ${Dedup.simHashSql("text")} AS simhash FROM documents)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sh a JOIN sh b
        |  ON a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+       |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 10
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q26
@@ -247,7 +249,7 @@ object ExtQueries {
   private def q29(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesizeFromText(t(s, dir, "documents"))
     media.select(col("media_id"), col("kind"),
-        octet_length(col("bytes")).as("n_bytes"),
+        octet_length(col("bytes")).cast("long").as("n_bytes"),
         md5(col("bytes")).as("content_md5"),
         col("meta.width").as("width"),
         Multimodal.sampleBytes(col("bytes"), 16, 8).as("samples"))

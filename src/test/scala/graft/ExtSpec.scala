@@ -91,6 +91,23 @@ class ExtSpec extends SparkSuite {
     (3L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("native vector expressions are bit-identical to HOF reference forms") {
+    val e = Similarity.toDouble($"embedding")
+    val cmp = vecs.as("a").crossJoin(vecs.as("b")).select(
+      Similarity.cosine(Similarity.toDouble($"a.embedding"),
+        Similarity.toDouble($"b.embedding")).as("nat"),
+      Similarity.cosineHof(Similarity.toDouble($"a.embedding"),
+        Similarity.toDouble($"b.embedding")).as("hof"),
+      Similarity.lshBucket(Similarity.toDouble($"a.embedding"), 8).as("nb"),
+      Similarity.lshBucketHof(Similarity.toDouble($"a.embedding"), 8).as("hb"))
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("cosine top-k ranks by similarity with deterministic ties") {
     val top = Similarity.bruteForceTopK(
       vecs.filter($"vec_id" === 0), vecs, k = 4).orderBy("rank").collect()

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleOps
+
+/** Skew/shuffle-shaping: salted ops must not change answers; bucketed
+  * tables must join without an exchange.
+  */
+class ScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val li = (1L to 1000L).map(i =>
+    (i, if (i % 10 == 0) 1L else i % 50, (i % 7).toDouble))
+    .toDF("id", "key", "v")
+  private lazy val dim = (0L until 50L).map(k => (k, s"name_$k"))
+    .toDF("key", "name")
+
+  test("saltedSum equals plain aggregate") {
+    val salted = ScaleOps.saltedSum(li, Seq("key"), "v",
+        salts = 8, saltSource = Seq("id"))
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val plain = li.groupBy("key")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("saltedJoin preserves join multiplicity and results") {
+    val salted = ScaleOps.saltedJoin(li, dim, Seq("key"), salts = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("name").collect().toSeq
+    val plain = li.join(dim, Seq("key"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("name").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS btest")
+    ScaleOps.writeBucketed(li, "btest.li_b", Seq("key"), 4)
+    ScaleOps.writeBucketed(dim, "btest.dim_b", Seq("key"), 4)
+    val joined = spark.table("btest.li_b")
+      .join(spark.table("btest.dim_b"), Seq("key"))
+    assert(joined.count() == li.join(dim, Seq("key")).count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should be shuffle-free, got:\n$plan")
+  }
+}
