@@ -83,17 +83,38 @@ object ScaleQueries {
       |  least(48 + length(text) % 384, 224) AS resized_h
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  // Scan hygiene: selective filter + narrow projection. The physical plan
+  // (graft.Explain) shows PushedFilters on l_shipdate/l_quantity and a
+  // 3-column ReadSchema — the scan does the pruning, not the executor.
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") && col("l_quantity") < 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  private val q34Sql =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity < 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
-    "q33_multimodal_decode" -> (q33 _))
+    "q33_multimodal_decode" -> (q33 _),
+    "q34_pushdown_scan" -> (q34 _))
 
   /** q32 intentionally absent: HLL sketches are engine-specific. */
   val oracles: Map[String, String] = Map(
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
-    "q33_multimodal_decode" -> q33Sql)
+    "q33_multimodal_decode" -> q33Sql,
+    "q34_pushdown_scan" -> q34Sql)
 }
