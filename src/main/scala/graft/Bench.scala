@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/scheduler once so the first measured query
+    // doesn't absorb session startup (standard benchmarking hygiene; the
+    // per-query numbers then reflect the plans, not JIT warmup).
+    spark.range(1000000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -109,14 +109,16 @@ object Dedup {
       k: Int = 16, bands: Int = 4, minTokens: Int = 3): DataFrame = {
     val rows = k / bands
     val sig = minHashSignature(col(textCol), k)
-    // Persist the sketches: the self-join would otherwise recompute every
-    // signature on both sides. This is (band, bucket, id) only — a few
-    // dozen bytes per document regardless of text size.
+    // Repartition on the join keys BEFORE the self-join: both sides then
+    // share one canonical Exchange subtree, so Spark's exchange reuse
+    // computes the signatures exactly once and the join itself needs no
+    // further shuffle. (More robust than caching: no memory-manager
+    // eviction races, and the shuffled payload is only (band,bucket,id).)
     val buckets = df
       .filter(size(split(col(textCol), " ")) >= minTokens)
       .select(col(idCol), posexplode(bandHashes(sig, bands, rows))
         .as(Seq("band", "bucket")))
-      .persist()
+      .repartition(col("band"), col("bucket"))
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -153,8 +155,10 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       idWindow: Long, maxHamming: Int): DataFrame = {
+    // sketches are 16 bytes/doc; the range join broadcasts one side and
+    // recomputing the native simhash on the other is cheaper (and more
+    // predictable) than cache-eviction races
     val sh = df.select(col(idCol), simHash(col(textCol)).as("simhash"))
-      .persist()
     val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, col("id_a") < col("id_b") &&

@@ -136,6 +136,8 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val e = df.select(col(idCol), toDouble(col(embCol)).as("embd"))
       .withColumn("bucket", lshBucket(col("embd"), planes))
+      // shared Exchange subtree → bucketing computed once (exchange reuse)
+      .repartition(col("bucket"))
     val a = e.select(col("bucket"), col(idCol).as("id_a"),
       col("embd").as("emb_a"))
     val b = e.select(col("bucket"), col(idCol).as("id_b"),

@@ -73,7 +73,14 @@ object Text {
     "fr" -> Seq("le", "ou", "ai"))
 
   private def bigramCount(text: Column, bg: String): Column =
-    (length(text) - length(regexp_replace(text, bg, ""))) / bg.length
+    graft.functions.NativeString.countSubstr(text, bg)
+
+  /** HOF reference form of [[bigramCount]] (same values: a single-pass
+    * replace removes exactly the non-overlapping occurrences).
+    */
+  private[graft] def bigramCountHof(text: Column, bg: String): Column =
+    floor((length(text) - length(regexp_replace(text, bg, ""))) / bg.length)
+      .cast("long")
 
   def langScore(text: Column, lang: String): Column =
     langProfiles.toMap.apply(lang)

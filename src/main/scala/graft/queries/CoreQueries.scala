@@ -293,18 +293,21 @@ object CoreQueries {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q12
-  // J2-anti: the dedup gate shape (main.py:127-133) — customers with NO
-  // orders (NOT EXISTS).
+  // J2-anti: the dedup gate shape (main.py:127-133) — customers with no
+  // high-value order (every customer has SOME order in this data, so the
+  // probe side is filtered to keep the anti-join non-trivial).
   private def q12(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
   private val q12Sql =
     """SELECT c_custkey, c_name FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q13

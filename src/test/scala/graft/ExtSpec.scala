@@ -138,6 +138,17 @@ class ExtSpec extends SparkSuite {
     assert(fp(0) == fp(1) && fp(0) != fp(2))
   }
 
+  test("native countSubstr equals the replace-based HOF formula") {
+    val texts = Seq("ababab", "the then there", "", "aaaa", "xyz").toDF("text")
+    Seq("ab", "th", "aa").foreach { bg =>
+      val rows = texts.select(
+        graft.functions.NativeString.countSubstr($"text", bg).as("nat"),
+        Text.bigramCountHof($"text", bg).as("hof")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"bg=$bg got ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+  }
+
   test("langId is deterministic and favors matching bigram profiles") {
     val out = Seq("the then there rhythm", "esos estados espanoles")
       .toDF("text").select(Text.langId($"text")).as[String].collect()
