@@ -68,4 +68,11 @@ object Ingest {
     val raw = flattenJsonArray(spark, source.fetch(Map.empty), "results", elem)
     graft.schemas.Schemas.conformTo(graft.schemas.Schemas.locality)(raw)
   }
+
+  /** A2 (extrac_almac.py:21-23): first-row probe — lat/long of the top
+    * geocoding result (the API returns relevance-ordered rows).
+    */
+  def firstLatLong(locs: DataFrame): Option[(Double, Double)] =
+    locs.select("latitude", "longitude").head(1).headOption
+      .map(r => (r.getDouble(0), r.getDouble(1)))
 }

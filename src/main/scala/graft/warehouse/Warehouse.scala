@@ -47,6 +47,28 @@ object Warehouse {
       .insertInto(table)
   }
 
+  /** S12 (main.py:437-454, transf.py:29-34): console sink — the
+    * reference's `impr_tabla` verification print.
+    */
+  def printTable(spark: SparkSession, name: String, n: Int = 20): Unit =
+    spark.table(name).show(n, truncate = false)
+
+  /** S9 (main.py:392-416): JDBC append sink, chunked like the reference's
+    * `to_sql(chunksize=1000)`. Kept behind the same API as the native
+    * path; unused in this zero-egress environment (no live database), so
+    * exercised only at the API level.
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, batchSize: Int = 1000): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+
+  /** S10 (main.py:437-454): JDBC full-table scan. */
+  def jdbcRead(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
   /** MG1 (transf.py:329-362): MERGE insert-if-absent — the idempotent fact
     * load. `WHEN MATCHED DO NOTHING / WHEN NOT MATCHED INSERT` on a
     * composite key becomes a left-anti join on the key columns, then
