@@ -111,6 +111,44 @@ object Text {
   def fingerprint(text: Column): Column =
     graft.functions.NativeHash.polyHash(normalizedText(text))
 
+  /** Corpus token statistics: one explode + hash aggregate — the
+    * canonical "shuffle the tokens, not the docs" shape. At 100 TB the
+    * map-side partial aggregation collapses each partition's token counts
+    * before the exchange, so shuffle volume is bounded by vocabulary ×
+    * partitions, not token count.
+    */
+  def tokenFrequencies(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+
+  /** TF-IDF (linear idf = N/df — avoids ln(), whose last-ulp behavior is
+    * libm-specific and would break cross-engine bit-equality) with top-k
+    * tokens per document. Two aggregates + one broadcastable join + one
+    * window — the whole pipeline shuffles tokens once.
+    */
+  def tfidfTopK(df: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("score",
+        col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

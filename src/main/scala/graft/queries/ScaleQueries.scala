@@ -102,6 +102,88 @@ object ScaleQueries {
       |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity < 10
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  // Corpus token frequencies: explode → two-level hash agg, top-50 by
+  // occurrence (full tiebreak on token).
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.tokenFrequencies(t(s, dir, "documents"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(50)
+
+  private val q35Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS n_occurrences,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM tok GROUP BY token
+      |ORDER BY n_occurrences DESC, token ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  // TF-IDF top-3 tokens per doc (linear idf keeps it bit-exact: no ln()).
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.tfidfTopK(t(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "rank")
+
+  private val q36Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs_total FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (
+      |  SELECT token, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+      |scored AS (
+      |  SELECT doc_id, token, tf, df,
+      |    CAST(tf AS DOUBLE) * (CAST(n_docs_total AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+      |  FROM tf JOIN dfreq USING (token), n),
+      |ranked AS (
+      |  SELECT doc_id, token, tf, df, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, token ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, token, tf, df, score FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  // Structured Streaming, verified: the events file replayed through a
+  // real StreamingQuery (complete-mode windowed aggregate, AvailableNow
+  // trigger) must equal the batch oracle — streaming and batch semantics
+  // coincide on bounded input.
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft-stream-src")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val static = t(s, dir, "events") // establishes schema + ns handling
+    val stream = s.readStream.schema(
+        s.read.parquet(tmp.toString).schema)
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q37_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    s.table("q37_stream").orderBy("window_start", "event_type")
+  }
+
+  private val q37Sql =
+    """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -109,12 +191,18 @@ object ScaleQueries {
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
     "q33_multimodal_decode" -> (q33 _),
-    "q34_pushdown_scan" -> (q34 _))
+    "q34_pushdown_scan" -> (q34 _),
+    "q35_token_frequencies" -> (q35 _),
+    "q36_tfidf_topk" -> (q36 _),
+    "q37_streaming_window" -> (q37 _))
 
   /** q32 intentionally absent: HLL sketches are engine-specific. */
   val oracles: Map[String, String] = Map(
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q33_multimodal_decode" -> q33Sql,
-    "q34_pushdown_scan" -> q34Sql)
+    "q34_pushdown_scan" -> q34Sql,
+    "q35_token_frequencies" -> q35Sql,
+    "q36_tfidf_topk" -> q36Sql,
+    "q37_streaming_window" -> q37Sql)
 }
