@@ -128,6 +128,63 @@ object Similarity {
         col("cand_id"), col("score"))
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  /** IVF (inverted-file) ANN top-k: k-means partitions the corpus into
+    * `nCentroids` cells once (index build); each probe searches only its
+    * `nProbe` nearest cells, exact cosine re-rank inside.
+    *
+    * Scale shape: the index build is one MLlib KMeans job (sampled
+    * initialization, iterative refinement — all distributed); at query
+    * time the centroid table is tiny and driver-local, so cell selection
+    * is a broadcast map-side step and the candidate join is an equi-join
+    * on `cluster`. Complements [[annTopK]]: LSH is cheaper to build /
+    * oracle-reproducible; IVF adapts to the data distribution (better
+    * recall per candidate at the same fan-in).
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val c = corpus.select(col(idCol).as("cand_id"),
+      toDouble(col(embCol)).as("cand_emb"))
+      .withColumn("features", array_to_vector(col("cand_emb")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(c)
+    val assigned = model.transform(c)
+      .withColumnRenamed("prediction", "cluster")
+      .drop("features")
+
+    // centroid table: nCentroids × dim — driver-local by construction
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+
+    val p = probes.select(col(idCol).as("probe_id"),
+      toDouble(col(embCol)).as("probe_emb"))
+    val wCell = Window.partitionBy("probe_id")
+      .orderBy(col("cell_dist").asc, col("cluster").asc)
+    val probeCells = p.crossJoin(broadcast(centroids))
+      .withColumn("cell_dist",
+        -dot(col("probe_emb"), col("centroid"))) // max inner product cell
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select("probe_id", "probe_emb", "cluster")
+
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    assigned.join(broadcast(probeCells), Seq("cluster"))
+      .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("score"))
+  }
+
   /** Embedding-cosine near-dup pairs: same-bucket pairs above a cosine
     * threshold (id_a < id_b). The embedding analogue of
     * [[Dedup.nearDuplicates]].

@@ -184,6 +184,16 @@ object ScaleQueries {
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  // IVF ANN: k-means cells + nProbe cell search + exact re-rank. No
+  // oracle (k-means isn't SQL-reproducible) → rows-only check; recall vs
+  // the brute-force oracle q26 is asserted in ExtSpec.
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.ext.Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy("probe_id", "rank")
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -194,7 +204,8 @@ object ScaleQueries {
     "q34_pushdown_scan" -> (q34 _),
     "q35_token_frequencies" -> (q35 _),
     "q36_tfidf_topk" -> (q36 _),
-    "q37_streaming_window" -> (q37 _))
+    "q37_streaming_window" -> (q37 _),
+    "q38_ivf_topk" -> (q38 _))
 
   /** q32 intentionally absent: HLL sketches are engine-specific. */
   val oracles: Map[String, String] = Map(

@@ -125,6 +125,29 @@ class ExtSpec extends SparkSuite {
     assert(ann.contains(0L) && !ann.contains(3L))
   }
 
+  test("ivf ann: self-match first, decent recall vs brute force") {
+    // denser corpus: 40 deterministic pseudo-random 8-dim vectors
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (((i * 131 + d * 31 + 7) % 97).toFloat - 48f) / 48f))
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(probes, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val ivf = Similarity.ivfTopK(probes, corpus, k = 5,
+        nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // self-match always rank 1 (cosine 1.0, probe ∈ corpus ∈ its own cell)
+    ivf.filter(_._2 == 1L).foreach { case (p, _, c) => assert(p == c) }
+    // recall@5 ≥ 3/5 per probe with half the cells probed
+    val byProbe = ivf.groupBy(_._1)
+    byProbe.foreach { case (p, rows) =>
+      val hit = rows.map(_._3).toSet
+        .intersect(brute(p).map(_._2).toSet).size
+      assert(hit >= 3, s"probe $p recall $hit/5")
+    }
+  }
+
   test("text analysis counts and fingerprint invariance") {
     val r = Seq("The quick, brown fox! the end.").toDF("text")
       .transform(Text.analyze()).head
