@@ -119,11 +119,16 @@ object Dedup {
       .select(col(idCol), posexplode(bandHashes(sig, bands, rows))
         .as(Seq("band", "bucket")))
       .repartition(col("band"), col("bucket"))
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Self-join via dataset aliases (NOT per-side renames): renames would
+    // sit below the Exchange and defeat canonical plan matching; with
+    // identical subtrees the planner emits one Exchange + ReusedExchange,
+    // so signatures are computed exactly once.
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
   }
 
   // -------------------------------------------------------------- SimHash

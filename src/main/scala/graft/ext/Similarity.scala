@@ -191,18 +191,19 @@ object Similarity {
     */
   def embeddingNearDups(df: DataFrame, threshold: Double, planes: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // identical aliased subtrees below the join → one Exchange + reuse
+    // (per-side renames would break canonical matching; see
+    // Dedup.minHashCandidates)
     val e = df.select(col(idCol), toDouble(col(embCol)).as("embd"))
       .withColumn("bucket", lshBucket(col("embd"), planes))
-      // shared Exchange subtree → bucketing computed once (exchange reuse)
       .repartition(col("bucket"))
-    val a = e.select(col("bucket"), col(idCol).as("id_a"),
-      col("embd").as("emb_a"))
-    val b = e.select(col("bucket"), col(idCol).as("id_b"),
-      col("embd").as("emb_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+    e.as("a")
+      .join(e.as("b"), col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", cosine(col("a.embd"), col("b.embd")))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos").distinct()
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("cos"))
+      .distinct()
   }
 }

@@ -109,7 +109,11 @@ object Text {
       " ")
 
   def fingerprint(text: Column): Column =
-    graft.functions.NativeHash.polyHash(normalizedText(text))
+    graft.functions.NativeHash.normFingerprintCol(text)
+
+  /** HOF reference form of [[fingerprint]] (same values). */
+  def fingerprintHof(text: Column): Column =
+    graft.functions.PortableHash.polyHash(normalizedText(text))
 
   /** Corpus token statistics: one explode + hash aggregate — the
     * canonical "shuffle the tokens, not the docs" shape. At 100 TB the

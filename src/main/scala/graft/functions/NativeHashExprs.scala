@@ -117,6 +117,31 @@ object NativeHash {
     out
   }
 
+  /** Normalized document fingerprint in one pass: lowercase, strip
+    * `[.,!?;:]`, split on space runs, drop empties, sort tokens, join
+    * with single spaces, rolling-hash. Exactly
+    * `polyHash(Text.normalizedText(c))` (equality asserted in tests) —
+    * ASCII-exact like the rest of this file.
+    */
+  def normFingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = Character.toLowerCase(str.charAt(i))
+      c match {
+        case '.' | ',' | '!' | '?' | ';' | ':' => ()
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    // split(" +", -1) + drop empties ≡ Spark's split/filter pair
+    val tokens = sb.toString.split(" +", -1).filter(_.nonEmpty)
+    java.util.Arrays.sort(tokens, java.util.Comparator.naturalOrder[String]())
+    val joined = tokens.mkString(" ")
+    polyRange(joined, 0, joined.length)
+  }
+
   // ------------------------------------------------------ Column fronts
   // Spark 4 Columns wrap ColumnNodes; ExpressionUtils bridges a raw
   // Catalyst Expression both ways.
@@ -129,6 +154,20 @@ object NativeHash {
     column(MinHashSigExpr(expression(hashes), k))
   def simHash32(hashes: Column): Column =
     column(SimHash32Expr(expression(hashes)))
+  def normFingerprintCol(c: Column): Column =
+    column(NormFingerprintExpr(expression(c)))
+}
+
+/** normFingerprint(string) → long (normalize + sort + rolling hash). */
+case class NormFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHash.normFingerprint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHash.normFingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): NormFingerprintExpr =
+    copy(child = c)
 }
 
 /** polyHash(string) → long — codegen'd twin of [[PortableHash.polyHash]]. */

@@ -60,13 +60,16 @@ class ExtSpec extends SparkSuite {
       Dedup.simHash($"text").as("nat_sh"),
       Dedup.simHashHof($"text").as("hof_sh"),
       graft.functions.NativeHash.polyHash($"text").as("nat_ph"),
-      graft.functions.PortableHash.polyHash($"text").as("hof_ph"))
+      graft.functions.PortableHash.polyHash($"text").as("hof_ph"),
+      Text.fingerprint($"text").as("nat_fp"),
+      Text.fingerprintHof($"text").as("hof_fp"))
       .collect()
     assert(cmp.nonEmpty)
     cmp.foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
       assert(r.getLong(2) == r.getLong(3))
       assert(r.getLong(4) == r.getLong(5))
+      assert(r.getLong(6) == r.getLong(7))
     }
   }
 
