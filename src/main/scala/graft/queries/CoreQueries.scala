@@ -432,6 +432,61 @@ object CoreQueries {
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q19a
+  // §2.9 windows beyond row_number: running totals (ROWS frame), lag,
+  // rank. Running sums stay on integer cents — engines disagree on
+  // windowed double-sum association (segment trees vs running), integers
+  // don't care.
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(frame)
+          .as("running_cents"),
+        count(lit(1)).over(frame).as("running_n"),
+        lag(col("o_orderkey"), 1).over(order).as("prev_orderkey"),
+        rank().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderpriority").asc, col("o_orderkey").asc))
+          .cast("long").as("prio_rank"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val q19Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+      |  count(*) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+      |  lag(o_orderkey, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |    AS prev_orderkey,
+      |  rank() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderpriority ASC, o_orderkey ASC) AS prio_rank
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q19b
+  // §2.9 grouping sets: CUBE (all 4 grouping combinations in one pass
+  // via Catalyst Expand).
+  private def q19b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val q19bSql =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -452,7 +507,9 @@ object CoreQueries {
     "q15_rollup" -> (q15 _),
     "q16_star_join_revenue" -> (q16 _),
     "q17_json_props" -> (q17 _),
-    "q18_tumbling_window" -> (q18 _))
+    "q18_tumbling_window" -> (q18 _),
+    "q19_window_running" -> (q19 _),
+    "q19b_cube" -> (q19b _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> q01Sql,
@@ -472,5 +529,7 @@ object CoreQueries {
     "q15_rollup" -> q15Sql,
     "q16_star_join_revenue" -> q16Sql,
     "q17_json_props" -> q17Sql,
-    "q18_tumbling_window" -> q18Sql)
+    "q18_tumbling_window" -> q18Sql,
+    "q19_window_running" -> q19Sql,
+    "q19b_cube" -> q19bSql)
 }
