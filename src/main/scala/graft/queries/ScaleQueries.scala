@@ -184,6 +184,41 @@ object ScaleQueries {
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  // Custom-state sessionization (flatMapGroupsWithState) verified against
+  // a declarative SQL twin (lag → gap flag → running session id → group):
+  // the imperative state machine and the window algebra must agree row
+  // for row. 30-minute gap; totals in integer cents for exactness.
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.Streams.Ev]
+    graft.streaming.Streams.sessionizeBatch(evs, gapMs = 30 * 60 * 1000L)
+      .toDF()
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q39Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |flags AS (
+      |  SELECT user_id, ts, cents,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts ASC, cents ASC) > INTERVAL 30 MINUTES
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, cents,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, cents ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flags)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   // ---------------------------------------------------------------- q38
   // IVF ANN: k-means cells + nProbe cell search + exact re-rank. No
   // oracle (k-means isn't SQL-reproducible) → rows-only check; recall vs
@@ -205,7 +240,8 @@ object ScaleQueries {
     "q35_token_frequencies" -> (q35 _),
     "q36_tfidf_topk" -> (q36 _),
     "q37_streaming_window" -> (q37 _),
-    "q38_ivf_topk" -> (q38 _))
+    "q38_ivf_topk" -> (q38 _),
+    "q39_sessionize_state" -> (q39 _))
 
   /** q32 intentionally absent: HLL sketches are engine-specific. */
   val oracles: Map[String, String] = Map(
@@ -215,5 +251,6 @@ object ScaleQueries {
     "q34_pushdown_scan" -> q34Sql,
     "q35_token_frequencies" -> q35Sql,
     "q36_tfidf_topk" -> q36Sql,
-    "q37_streaming_window" -> q37Sql)
+    "q37_streaming_window" -> q37Sql,
+    "q39_sessionize_state" -> q39Sql)
 }

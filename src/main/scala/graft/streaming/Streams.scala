@@ -64,13 +64,28 @@ object Streams {
   // ----------------------------------------------------- custom state
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
-  case class SessionState(n: Long, total: Double, lastMs: Long)
-  case class Session(user_id: Long, n_events: Long, total_value: Double)
+  case class SessionState(idx: Long, n: Long, cents: Long, lastMs: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+      total_cents: Long)
+
+  /** Per-event value in integer cents (`round` half-away-from-zero for
+    * positives — the same rounding Spark/DuckDB `round(x*100)` applies,
+    * so session totals are exactly oracle-comparable).
+    */
+  private def cents(v: Double): Long = Math.round(v * 100)
+
+  /** Full microsecond epoch offset — `getTime` alone is ms-truncated,
+    * and a gap comparison at ms precision can disagree with the
+    * µs-precision SQL oracle on near-threshold gaps.
+    */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Custom stateful operator (`flatMapGroupsWithState`): gap-based
-    * sessionization per user. Emits a session when the gap between
-    * consecutive events exceeds `gapMs`. State per key is O(1); the
-    * 100 TB-scale knob is key cardinality, not event count.
+    * sessionization per user. Emits a session (with a chronological
+    * 0-based session_id) when the gap between consecutive events exceeds
+    * `gapMs`. State per key is O(1); the 100 TB-scale knob is key
+    * cardinality, not event count.
     */
   def sessionize(ds: Dataset[Ev], gapMs: Long): Dataset[Session] = {
     import ds.sparkSession.implicits._
@@ -78,43 +93,44 @@ object Streams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
+          var st = state.getOption
+            .getOrElse(SessionState(0L, 0L, 0L, Long.MinValue))
           val out = Seq.newBuilder[Session]
           sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.n > 0 && t - st.lastMs > gapMs) {
-              out += Session(user, st.n, st.total)
-              st = SessionState(0L, 0.0, t)
+            val t = micros(e.ts)
+            if (st.n > 0 && t - st.lastMs > gapMs * 1000L) {
+              out += Session(user, st.idx, st.n, st.cents)
+              st = SessionState(st.idx + 1, 0L, 0L, t)
             }
-            st = SessionState(st.n + 1, st.total + e.value, t)
+            st = SessionState(st.idx, st.n + 1, st.cents + cents(e.value), t)
           }
           state.update(st)
           out.result().iterator
       }
   }
 
-  /** Flush any open sessions (batch-mode tail call used in tests/demos). */
+  /** Flush any open sessions (batch-mode variant: each key is seen once,
+    * so the trailing open session is emitted too).
+    */
   def sessionizeBatch(ds: Dataset[Ev], gapMs: Long): Dataset[Session] = {
     import ds.sparkSession.implicits._
-    // In batch execution flatMapGroupsWithState sees each key once, so
-    // emit the trailing open session too.
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], _: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
           val out = Seq.newBuilder[Session]
-          var st = SessionState(0L, 0.0, Long.MinValue)
+          var st = SessionState(0L, 0L, 0L, Long.MinValue)
           sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.n > 0 && t - st.lastMs > gapMs) {
-              out += Session(user, st.n, st.total)
-              st = SessionState(0L, 0.0, t)
+            val t = micros(e.ts)
+            if (st.n > 0 && t - st.lastMs > gapMs * 1000L) {
+              out += Session(user, st.idx, st.n, st.cents)
+              st = SessionState(st.idx + 1, 0L, 0L, t)
             }
-            st = SessionState(st.n + 1, st.total + e.value, t)
+            st = SessionState(st.idx, st.n + 1, st.cents + cents(e.value), t)
           }
-          if (st.n > 0) out += Session(user, st.n, st.total)
+          if (st.n > 0) out += Session(user, st.idx, st.n, st.cents)
           out.result().iterator
       }
   }

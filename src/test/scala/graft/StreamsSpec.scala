@@ -88,7 +88,9 @@ class StreamsSpec extends SparkSuite {
       Streams.Ev(2L, ts("2024-01-01 00:00:00"), 4.0)
     ).toDS()
     val sessions = Streams.sessionizeBatch(evs, gapMs = 3600 * 1000L)
-      .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSet
-    assert(sessions == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+      .collect()
+      .map(s => (s.user_id, s.session_id, s.n_events, s.total_cents)).toSet
+    assert(sessions ==
+      Set((1L, 0L, 2L, 300L), (1L, 1L, 1L, 300L), (2L, 0L, 1L, 400L)))
   }
 }
