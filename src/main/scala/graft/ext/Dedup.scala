@@ -29,6 +29,13 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("n_dups"))
 
+  /** API-parity one-liner: Spark's own `dropDuplicates` (keeps an
+    * ARBITRARY row per key — fine in production, unusable against an
+    * oracle; [[exact]] is the deterministic form).
+    */
+  def dropExact(keys: Seq[String])(df: DataFrame): DataFrame =
+    df.dropDuplicates(keys)
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles: tokens joined back with spaces, one shingle per
