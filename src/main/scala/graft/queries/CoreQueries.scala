@@ -487,6 +487,31 @@ object CoreQueries {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q19c
+  // Pivot (wide aggregation): event counts per user × event_type. The
+  // value list is explicit — required for a deterministic column set at
+  // scale (implicit pivot collects distinct values to the driver).
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def q19c(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    // absent combos: Spark pivot yields null, the oracle's FILTER count
+    // yields 0 — align on 0
+    eventTypes.foldLeft(pivoted)((d, c) =>
+        d.withColumn(c, coalesce(col(c), lit(0L))))
+      .orderBy("user_id")
+  }
+
+  private val q19cSql = {
+    val cols = eventTypes.map(t =>
+      s"""count(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n  ")
+    s"""SELECT user_id, $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -509,7 +534,8 @@ object CoreQueries {
     "q17_json_props" -> (q17 _),
     "q18_tumbling_window" -> (q18 _),
     "q19_window_running" -> (q19 _),
-    "q19b_cube" -> (q19b _))
+    "q19b_cube" -> (q19b _),
+    "q19c_pivot" -> (q19c _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> q01Sql,
@@ -531,5 +557,6 @@ object CoreQueries {
     "q17_json_props" -> q17Sql,
     "q18_tumbling_window" -> q18Sql,
     "q19_window_running" -> q19Sql,
-    "q19b_cube" -> q19bSql)
+    "q19b_cube" -> q19bSql,
+    "q19c_pivot" -> q19cSql)
 }
