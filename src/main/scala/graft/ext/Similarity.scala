@@ -151,8 +151,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"),
       toDouble(col(embCol)).as("cand_emb"))
       .withColumn("features", array_to_vector(col("cand_emb")))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .fit(c)
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .fit(c) // 5 iterations: cell quality plateaus early; recall asserted in tests
     val assigned = model.transform(c)
       .withColumnRenamed("prediction", "cluster")
       .drop("features")

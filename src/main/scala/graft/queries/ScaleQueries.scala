@@ -167,12 +167,19 @@ object ScaleQueries {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("q37_stream")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // a handful of state partitions is plenty for this stream; each
+    // shuffle partition becomes a checkpointed state store (init+fsync
+    // dominates small streams). Scoped: restored right after start.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("q37_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try { q.processAllAvailable() } finally q.stop()
     s.table("q37_stream").orderBy("window_start", "event_type")
   }
