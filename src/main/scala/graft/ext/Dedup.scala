@@ -73,6 +73,30 @@ object Dedup {
   def shingleHashesSql(e: String, n: Int = 3): String =
     s"list_transform(${wordShinglesSql(e, n)}, s -> ${polyHashSql("s")})"
 
+  // ------------------------------------------------------- char shingles
+
+  /** Character n-gram shingles (stride 1) — robust to intra-token edits
+    * where word shingles are not (a one-char typo kills 3 word-shingles
+    * but only n char-shingles out of hundreds).
+    */
+  def charShingles(text: Column, n: Int = 5): Column = {
+    val m = length(text) - (n - 1)
+    when(m < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), greatest(m, lit(1))),
+        i => call_function("substring", text, i, lit(n))))
+  }
+
+  def charShinglesSql(e: String, n: Int = 5): String =
+    s"list_transform(generate_series(1, greatest(length($e) - ${n - 1}, 0)), " +
+      s"i -> substring($e, i, $n))"
+
+  /** Native hashes of the char shingle windows. */
+  def charShingleHashes(text: Column, n: Int = 5): Column =
+    graft.functions.NativeHash.charShingleHashes(text, n)
+
+  def charShingleHashesSql(e: String, n: Int = 5): String =
+    s"list_transform(${charShinglesSql(e, n)}, s -> ${polyHashSql("s")})"
+
   // -------------------------------------------------------------- MinHash
 
   /** MinHash signature: k minima of affine-permuted shingle hashes.
@@ -113,16 +137,27 @@ object Dedup {
     * run would also cap bucket size.
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, minTokens: Int = 3): DataFrame = {
+      k: Int = 16, bands: Int = 4, minTokens: Int = 3): DataFrame =
+    lshCandidates(df.filter(size(split(col(textCol), " ")) >= minTokens),
+      idCol, shingleHashes(col(textCol)), k, bands)
+
+  /** Char-level variant of [[minHashCandidates]]. */
+  def charMinHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 5): DataFrame =
+    lshCandidates(df.filter(length(col(textCol)) >= n), idCol,
+      charShingleHashes(col(textCol), n), k, bands)
+
+  /** Shared LSH banding core over any shingle-hash column. */
+  private def lshCandidates(df: DataFrame, idCol: String, hashes: Column,
+      k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sig = minHashSignature(col(textCol), k)
+    val sig = graft.functions.NativeHash.minHashSig(hashes, k)
     // Repartition on the join keys BEFORE the self-join: both sides then
     // share one canonical Exchange subtree, so Spark's exchange reuse
     // computes the signatures exactly once and the join itself needs no
     // further shuffle. (More robust than caching: no memory-manager
     // eviction races, and the shuffled payload is only (band,bucket,id).)
     val buckets = df
-      .filter(size(split(col(textCol), " ")) >= minTokens)
       .select(col(idCol), posexplode(bandHashes(sig, bands, rows))
         .as(Seq("band", "bucket")))
       .repartition(col("band"), col("bucket"))
@@ -199,9 +234,16 @@ object Dedup {
     * Integer set sizes → one double division: bit-identical across
     * engines.
     */
-  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val sa = array_distinct(wordShingles(a, n))
-    val sb = array_distinct(wordShingles(b, n))
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    jaccardOf(wordShingles(a, n), wordShingles(b, n))
+
+  /** Jaccard over char n-gram shingle sets. */
+  def charNgramJaccard(a: Column, b: Column, n: Int = 5): Column =
+    jaccardOf(charShingles(a, n), charShingles(b, n))
+
+  private def jaccardOf(rawA: Column, rawB: Column): Column = {
+    val sa = array_distinct(rawA)
+    val sb = array_distinct(rawB)
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(sa) + size(sb) - size(array_intersect(sa, sb))
     // two empty shingle sets → NULL (avoids ANSI div-by-zero; NULLIF twin)
@@ -220,13 +262,27 @@ object Dedup {
     * (cheap LSH recall, exact verify on the tiny candidate set).
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minHashCandidates(df, idCol, textCol, k, bands)
+      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame =
+    verifyCandidates(df, minHashCandidates(df, idCol, textCol, k, bands),
+      idCol, textCol, ngramJaccard(_, _), threshold)
+
+  /** Char-level two-phase near-dup (char MinHash recall, char Jaccard
+    * verify).
+    */
+  def charNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 16, bands: Int = 4, n: Int = 5): DataFrame =
+    verifyCandidates(df,
+      charMinHashCandidates(df, idCol, textCol, k, bands, n),
+      idCol, textCol, charNgramJaccard(_, _, n), threshold)
+
+  private def verifyCandidates(df: DataFrame, cands: DataFrame,
+      idCol: String, textCol: String, jaccard: (Column, Column) => Column,
+      threshold: Double): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
     cands
       .join(docs.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
-      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b")))
+      .withColumn("jaccard", jaccard(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

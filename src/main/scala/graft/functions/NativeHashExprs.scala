@@ -71,6 +71,24 @@ object NativeHash {
     }
   }
 
+  /** Hashes of all character n-gram windows (stride 1) — the char-level
+    * counterpart of [[shingles]], robust to intra-token edits.
+    */
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val m = str.length - (n - 1)
+    if (m < 1) new GenericArrayData(Array.empty[Long])
+    else {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        out(i) = polyRange(str, i, i + n)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** k-permutation MinHash minima over an array of hashes — same affine
     * family as [[PortableHash.affine]]: h_j(x) = (a_j·x % P + b_j) % P.
     */
@@ -150,6 +168,8 @@ object NativeHash {
   def polyHash(c: Column): Column = column(PolyHashExpr(expression(c)))
   def shingleHashes(c: Column, n: Int = 3): Column =
     column(ShingleHashesExpr(expression(c), n))
+  def charShingleHashes(c: Column, n: Int = 5): Column =
+    column(CharShingleHashesExpr(expression(c), n))
   def minHashSig(hashes: Column, k: Int): Column =
     column(MinHashSigExpr(expression(hashes), k))
   def simHash32(hashes: Column): Column =
@@ -192,6 +212,19 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.NativeHash.shingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+}
+
+/** charShingleHashes(string) → array<long> (char n-gram rolling hashes). */
+case class CharShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHash.charShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHash.charShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharShingleHashesExpr =
     copy(child = c)
 }
 

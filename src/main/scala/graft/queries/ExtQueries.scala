@@ -148,6 +148,53 @@ object ExtQueries {
        |WHERE ${Dedup.ngramJaccardSql("da.text", "db.text")} >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q24c
+  // Char 5-gram MinHash near-dup (robust to intra-token edits), on a
+  // doc_id<200 slice with k=8 to keep the oracle's per-window hashing
+  // tractable.
+  private def q24c(s: SparkSession, dir: String): DataFrame =
+    Dedup.charNearDuplicates(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", threshold = 0.3, k = 8, bands = 4)
+      .orderBy("id_a", "id_b")
+
+  // MATERIALIZED CTEs: DuckDB inlines plain CTEs per reference, which
+  // re-derives the shingle sets once per mention (~8 min); materialized,
+  // each is computed once (~seconds).
+  private val q24cSql = {
+    val sigE = "list_transform(generate_series(1, 8), " +
+      "j -> list_min(list_transform(hs, " +
+      s"x -> ${graft.functions.PortableHash.affineSql("j", "x")})))"
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id < 200 AND length(text) >= 5),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, ${Dedup.charShingleHashesSql("text")} AS hs,
+       |    list_distinct(${Dedup.charShinglesSql("text")}) AS sset
+       |  FROM docs),
+       |sigs AS MATERIALIZED (SELECT doc_id, $sigE AS sig FROM sh),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, band,
+       |    ${graft.functions.PortableHash.combineSql("sig[band*2+1:band*2+2]")} AS bucket
+       |  FROM sigs, range(4) t(band)),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id),
+       |scored AS MATERIALIZED (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS inter,
+       |    len(sa.sset) AS na, len(sb.sset) AS nb
+       |  FROM pairs
+       |  JOIN sh sa ON sa.doc_id = id_a
+       |  JOIN sh sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / NULLIF(CAST(na + nb - inter AS DOUBLE), 0.0) AS jaccard
+       |FROM scored
+       |WHERE CAST(inter AS DOUBLE) / NULLIF(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q25
   // SimHash: 32-bit signature per doc + hamming-distance near-dup pairs
   // within a bounded id window (window keeps the oracle's pair join
@@ -277,6 +324,7 @@ object ExtQueries {
     "q22_fingerprint_dedup" -> (q22 _),
     "q23_minhash_signatures" -> (q23 _),
     "q24_minhash_lsh_neardup" -> (q24 _),
+    "q24c_char_minhash_neardup" -> (q24c _),
     "q25_simhash_hamming" -> (q25 _),
     "q26_cosine_topk_brute" -> (q26 _),
     "q27_cosine_topk_ann" -> (q27 _),
@@ -289,6 +337,7 @@ object ExtQueries {
     "q22_fingerprint_dedup" -> q22Sql,
     "q23_minhash_signatures" -> q23Sql,
     "q24_minhash_lsh_neardup" -> q24Sql,
+    "q24c_char_minhash_neardup" -> q24cSql,
     "q25_simhash_hamming" -> q25Sql,
     "q26_cosine_topk_brute" -> q26Sql,
     "q27_cosine_topk_ann" -> q27Sql,
