@@ -109,7 +109,7 @@ object ExtQueries {
   private def sigSql = Dedup.minHashSignatureSql("text", K)
 
   private val q23Sql =
-    s"""WITH sigs AS (
+    s"""WITH sigs AS MATERIALIZED (
        |  SELECT doc_id, $sigSql AS sig FROM documents
        |  WHERE len(string_split(text,' ')) >= 3)
        |SELECT doc_id, ${PortableHash.combineSql("sig")} AS sig_hash,
@@ -128,15 +128,15 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
 
   private val q24Sql =
-    s"""WITH docs AS (
+    s"""WITH docs AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
        |  WHERE len(string_split(text,' ')) >= 3),
-       |sigs AS (SELECT doc_id, $sigSql AS sig FROM docs),
-       |bands AS (
+       |sigs AS MATERIALIZED (SELECT doc_id, $sigSql AS sig FROM docs),
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, band,
        |    ${PortableHash.combineSql(s"sig[band*$ROWS+1:band*$ROWS+$ROWS]")} AS bucket
        |  FROM sigs, range($BANDS) t(band)),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b USING (band, bucket)
        |  WHERE a.doc_id < b.doc_id)
@@ -206,7 +206,7 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
 
   private val q25Sql =
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
        |  SELECT doc_id, ${Dedup.simHashSql("text")} AS simhash FROM documents)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -227,13 +227,13 @@ object ExtQueries {
   private def cosSql(a: String, b: String) = Similarity.cosineSql(a, b)
 
   private val q26Sql =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
        |    ${cosSql("p.emb", "c.emb")} AS score
        |  FROM e p, e c WHERE p.vec_id < 5),
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT probe_id, cand_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id
        |      ORDER BY score DESC, cand_id ASC) AS rank
@@ -254,15 +254,15 @@ object ExtQueries {
   }
 
   private val q27Sql =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
        |    ${Similarity.lshBucketSql("embedding::DOUBLE[]", PLANES)} AS bucket
        |  FROM embeddings),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
        |    ${cosSql("p.emb", "c.emb")} AS score
        |  FROM e p JOIN e c USING (bucket) WHERE p.vec_id < 5),
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT probe_id, cand_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id
        |      ORDER BY score DESC, cand_id ASC) AS rank
@@ -278,7 +278,7 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
 
   private val q28Sql =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
        |    ${Similarity.lshBucketSql("embedding::DOUBLE[]", PLANES)} AS bucket
        |  FROM embeddings)

@@ -111,7 +111,7 @@ object ScaleQueries {
       .limit(50)
 
   private val q35Sql =
-    """WITH tok AS (
+    """WITH tok AS MATERIALIZED (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |  FROM documents)
       |SELECT token, count(*) AS n_occurrences,
@@ -126,19 +126,19 @@ object ScaleQueries {
       .orderBy("doc_id", "rank")
 
   private val q36Sql =
-    """WITH tok AS (
+    """WITH tok AS MATERIALIZED (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |  FROM documents),
-      |n AS (SELECT count(*) AS n_docs_total FROM documents),
-      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-      |dfreq AS (
+      |n AS MATERIALIZED (SELECT count(*) AS n_docs_total FROM documents),
+      |tf AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS MATERIALIZED (
       |  SELECT token, count(*) AS df
       |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
-      |scored AS (
+      |scored AS MATERIALIZED (
       |  SELECT doc_id, token, tf, df,
       |    CAST(tf AS DOUBLE) * (CAST(n_docs_total AS DOUBLE) / CAST(df AS DOUBLE)) AS score
       |  FROM tf JOIN dfreq USING (token), n),
-      |ranked AS (
+      |ranked AS MATERIALIZED (
       |  SELECT doc_id, token, tf, df, score,
       |    ROW_NUMBER() OVER (PARTITION BY doc_id
       |      ORDER BY score DESC, token ASC) AS rank
@@ -207,16 +207,16 @@ object ScaleQueries {
   }
 
   private val q39Sql =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
       |  FROM events),
-      |flags AS (
+      |flags AS MATERIALIZED (
       |  SELECT user_id, ts, cents,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
       |        ORDER BY ts ASC, cents ASC) > INTERVAL 30 MINUTES
       |      THEN 1 ELSE 0 END AS new_s
       |  FROM e),
-      |sess AS (
+      |sess AS MATERIALIZED (
       |  SELECT user_id, cents,
       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, cents ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
