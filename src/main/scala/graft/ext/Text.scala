@@ -140,8 +140,9 @@ object Text {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col(idCol), col("token")).distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // document frequency derived FROM tf (already one row per (doc,token))
+    // — avoids a second explode + distinct over the token stream
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("token").asc)
     tf.join(dfreq, "token")
