@@ -237,8 +237,14 @@ object Dedup {
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     jaccardOf(wordShingles(a, n), wordShingles(b, n))
 
-  /** Jaccard over char n-gram shingle sets. */
+  /** Jaccard over char n-gram shingle sets — native one-pass expression
+    * with exact string-set semantics ([[charNgramJaccardHof]] is the
+    * built-in-composed reference form; equality asserted in tests).
+    */
   def charNgramJaccard(a: Column, b: Column, n: Int = 5): Column =
+    graft.functions.NativeString.charJaccard(a, b, n)
+
+  def charNgramJaccardHof(a: Column, b: Column, n: Int = 5): Column =
     jaccardOf(charShingles(a, n), charShingles(b, n))
 
   private def jaccardOf(rawA: Column, rawB: Column): Column = {

@@ -31,6 +31,50 @@ object NativeString {
 
   def countSubstr(c: Column, sub: String): Column =
     column(CountSubstrExpr(expression(c), sub))
+
+  /** Jaccard of the DISTINCT char n-gram STRING sets of two texts (set
+    * semantics on the strings themselves, exactly like
+    * `array_intersect(array_distinct(...))` — no hash-collision slack).
+    * Returns -1.0 when both sets are empty; [[charJaccard]] maps that to
+    * NULL (sentinel keeps the codegen primitive-typed).
+    */
+  def charJaccardRaw(a: String, b: String, n: Int): Double = {
+    val sa = new java.util.HashSet[String]()
+    var i = 0
+    while (i + n <= a.length) { sa.add(a.substring(i, i + n)); i += 1 }
+    val sb = new java.util.HashSet[String]()
+    i = 0
+    while (i + n <= b.length) { sb.add(b.substring(i, i + n)); i += 1 }
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
+    val union = sa.size + sb.size - inter
+    if (union == 0) -1.0 else inter.toDouble / union
+  }
+
+  def charJaccardRawU(a: UTF8String, b: UTF8String, n: Int): Double =
+    charJaccardRaw(a.toString, b.toString, n)
+
+  def charJaccard(a: Column, b: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, nullif}
+    nullif(column(CharJaccardExpr(expression(a), expression(b), n)),
+      lit(-1.0))
+  }
+}
+
+/** charJaccard(string, string) → double (-1.0 sentinel for empty∪empty). */
+case class CharJaccardExpr(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeString.charJaccardRawU(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NativeString.charJaccardRawU($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CharJaccardExpr =
+    copy(left = l, right = r)
 }
 
 /** countSubstr(string) → long (non-overlapping). */

@@ -164,6 +164,18 @@ class ExtSpec extends SparkSuite {
     assert(fp(0) == fp(1) && fp(0) != fp(2))
   }
 
+  test("native char jaccard equals the array-built HOF form") {
+    val rows = docs.as("a").crossJoin(docs.as("b")).select(
+      Dedup.charNgramJaccard($"a.text", $"b.text").as("nat"),
+      Dedup.charNgramJaccardHof($"a.text", $"b.text").as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("native countSubstr equals the replace-based HOF formula") {
     val texts = Seq("ababab", "the then there", "", "aaaa", "xyz").toDF("text")
     Seq("ab", "th", "aa").foreach { bg =>
