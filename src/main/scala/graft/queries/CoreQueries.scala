@@ -512,6 +512,42 @@ object CoreQueries {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q19d
+  // Statistical aggregates, order-independently: exact interpolated
+  // percentiles (both engines sort, then interpolate linearly on
+  // identical doubles) and stddev derived from exact integer-cents
+  // Σc/Σc² instead of streaming-variance merges (whose merge order
+  // differs between engines).
+  private def q19d(s: SparkSession, dir: String): DataFrame = {
+    val c = round(col("l_extendedprice") * 100).cast("long")
+    val nd = col("n").cast("double")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"),
+        sum(c).as("s_c"), sum(c * c).as("q_c"))
+      .withColumn("stddev_price",
+        sqrt((col("q_c").cast("double")
+          - col("s_c").cast("double") * col("s_c").cast("double") / nd)
+          / (nd - 1.0)) / 100.0)
+      .select("l_returnflag", "median_qty", "p90_qty", "n", "stddev_price")
+      .orderBy("l_returnflag")
+  }
+
+  private val q19dSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  count(*) AS n,
+      |  sqrt((CAST(sum(c*c) AS DOUBLE)
+      |    - CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+      |    / (CAST(count(*) AS DOUBLE) - 1.0)) / 100.0 AS stddev_price
+      |FROM (SELECT l_returnflag, l_quantity,
+      |        CAST(round(l_extendedprice*100) AS BIGINT) AS c
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -535,7 +571,8 @@ object CoreQueries {
     "q18_tumbling_window" -> (q18 _),
     "q19_window_running" -> (q19 _),
     "q19b_cube" -> (q19b _),
-    "q19c_pivot" -> (q19c _))
+    "q19c_pivot" -> (q19c _),
+    "q19d_stats_percentiles" -> (q19d _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> q01Sql,
@@ -558,5 +595,6 @@ object CoreQueries {
     "q18_tumbling_window" -> q18Sql,
     "q19_window_running" -> q19Sql,
     "q19b_cube" -> q19bSql,
-    "q19c_pivot" -> q19cSql)
+    "q19c_pivot" -> q19cSql,
+    "q19d_stats_percentiles" -> q19dSql)
 }
