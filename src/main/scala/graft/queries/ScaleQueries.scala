@@ -236,6 +236,35 @@ object ScaleQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q40
+  // As-of join (composed, SURVEY-preference (a)): each purchase event
+  // matched to the user's latest click at-or-before it. Oracle = DuckDB's
+  // native ASOF LEFT JOIN — two entirely different formulations must
+  // agree row for row.
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max("event_id").as("click_event_id")) // unique per (key, time)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.ops.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "click_ts")
+      .select("event_id", "user_id", "ts", "click_ts", "click_event_id")
+      .orderBy("event_id")
+  }
+
+  private val q40Sql =
+    """WITH clicks AS MATERIALIZED (
+      |  SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purch AS MATERIALIZED (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_event_id
+      |FROM purch p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY p.event_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -248,7 +277,8 @@ object ScaleQueries {
     "q36_tfidf_topk" -> (q36 _),
     "q37_streaming_window" -> (q37 _),
     "q38_ivf_topk" -> (q38 _),
-    "q39_sessionize_state" -> (q39 _))
+    "q39_sessionize_state" -> (q39 _),
+    "q40_asof_join" -> (q40 _))
 
   /** q32 intentionally absent: HLL sketches are engine-specific. */
   val oracles: Map[String, String] = Map(
@@ -259,5 +289,6 @@ object ScaleQueries {
     "q35_token_frequencies" -> q35Sql,
     "q36_tfidf_topk" -> q36Sql,
     "q37_streaming_window" -> q37Sql,
-    "q39_sessionize_state" -> q39Sql)
+    "q39_sessionize_state" -> q39Sql,
+    "q40_asof_join" -> q40Sql)
 }

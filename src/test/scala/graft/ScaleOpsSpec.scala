@@ -35,6 +35,27 @@ class ScaleOpsSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("asOf join: backward match, >= tie semantics, no-match null") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 12:00:00")),
+      (2L, 20L, ts("2024-01-01 09:00:00")) // no click before → null
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // exact tie with event 10
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (2L, ts("2024-01-01 09:30:00"), 200L) // after left → not matched
+    ).toDF("user_id", "click_ts", "click_id")
+    val out = graft.ops.AsOfJoin
+      .asOf(left, right, "user_id", "ts", "click_ts")
+      .select("event_id", "click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(10L -> 100L, 11L -> 101L, 20L -> -1L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("CREATE DATABASE IF NOT EXISTS btest")
     ScaleOps.writeBucketed(li, "btest.li_b", Seq("key"), 4)
