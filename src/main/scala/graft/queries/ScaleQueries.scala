@@ -265,6 +265,38 @@ object ScaleQueries {
       |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
       |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  // Range join (bucket-decomposed): purchases inside any [click,
+  // click+10min] window of the same user. Oracle = the plain BETWEEN
+  // non-equi join — the scalable bucket plan must produce identical
+  // pairs.
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val windows = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.ops.RangeJoin.pointInInterval(purchases, windows, "user_id",
+        "ts", "win_start", "win_end", bucketMicros = 10L * 60 * 1000000)
+      .select("event_id", "click_event_id", "user_id")
+      .orderBy("event_id", "click_event_id")
+  }
+
+  private val q41Sql =
+    """WITH w AS MATERIALIZED (
+      |  SELECT user_id, event_id AS click_event_id, ts AS win_start,
+      |    ts + INTERVAL 10 MINUTES AS win_end
+      |  FROM events WHERE event_type = 'click'),
+      |p AS MATERIALIZED (
+      |  SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, w.click_event_id, p.user_id
+      |FROM p JOIN w ON p.user_id = w.user_id
+      |  AND p.ts >= w.win_start AND p.ts <= w.win_end
+      |ORDER BY p.event_id, w.click_event_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,7 +310,8 @@ object ScaleQueries {
     "q37_streaming_window" -> (q37 _),
     "q38_ivf_topk" -> (q38 _),
     "q39_sessionize_state" -> (q39 _),
-    "q40_asof_join" -> (q40 _))
+    "q40_asof_join" -> (q40 _),
+    "q41_range_join" -> (q41 _))
 
   /** q32 intentionally absent: HLL sketches are engine-specific. */
   val oracles: Map[String, String] = Map(
@@ -290,5 +323,6 @@ object ScaleQueries {
     "q36_tfidf_topk" -> q36Sql,
     "q37_streaming_window" -> q37Sql,
     "q39_sessionize_state" -> q39Sql,
-    "q40_asof_join" -> q40Sql)
+    "q40_asof_join" -> q40Sql,
+    "q41_range_join" -> q41Sql)
 }

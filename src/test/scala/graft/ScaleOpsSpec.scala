@@ -56,6 +56,26 @@ class ScaleOpsSpec extends SparkSuite {
     assert(out == Map(10L -> 100L, 11L -> 101L, 20L -> -1L))
   }
 
+  test("range join: boundary inclusion, bucket straddling, key isolation") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // == interval start
+      (1L, 11L, ts("2024-01-01 10:10:00")), // == interval end
+      (1L, 12L, ts("2024-01-01 10:11:00")), // just outside
+      (2L, 20L, ts("2024-01-01 10:05:00"))  // other key, same times
+    ).toDF("user_id", "event_id", "ts")
+    val intervals = Seq(
+      // straddles a 10-min bucket boundary (09:55 → 10:10)
+      (1L, 100L, ts("2024-01-01 09:55:00"), ts("2024-01-01 10:10:00"))
+    ).toDF("user_id", "iv_id", "win_start", "win_end")
+    val got = graft.ops.RangeJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "win_start", "win_end", 10L * 60 * 1000000)
+      .select("event_id", "iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 100L), (11L, 100L)))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("CREATE DATABASE IF NOT EXISTS btest")
     ScaleOps.writeBucketed(li, "btest.li_b", Seq("key"), 4)
