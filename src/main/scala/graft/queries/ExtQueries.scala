@@ -316,6 +316,60 @@ object ExtQueries {
        |    ${Multimodal.sampleBytesSql("text", 16, 8)}), (a,v) -> a + CAST(v AS BIGINT)) AS sample_sum
        |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  // Capstone: the whole corpus-curation pipeline (quality filter → exact
+  // dedup → near-dup removal) in one verified flow.
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Curation.curate(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  private val q42Sql = {
+    val nTok = "len(string_split(text,' '))"
+    val nStop = s"len(list_filter(string_split(text,' '), x -> list_contains($stopList, x)))"
+    val nPunct = s"length(text) - length(regexp_replace(text, '${Text.punctClass}', '', 'g'))"
+    val quality =
+      s"(CAST($nStop AS DOUBLE) / CAST($nTok AS DOUBLE)) * 2.0" +
+        s" + (1.0 - CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE))" +
+        s" + least(CAST($nTok AS DOUBLE) / 100.0, 1.0)"
+    val norm = "array_to_string(list_sort(list_filter(" +
+      s"string_split_regex(regexp_replace(lower(text), '${Text.punctClass}', '', 'g'), ' +'), " +
+      "x -> x <> '')), ' ')"
+    s"""WITH qf AS MATERIALIZED (
+       |  SELECT doc_id, text, $quality AS quality,
+       |    ${PortableHash.polyHashSql(norm)} AS fingerprint
+       |  FROM documents),
+       |qualified AS MATERIALIZED (SELECT * FROM qf WHERE quality >= 1.5),
+       |keep AS MATERIALIZED (
+       |  SELECT fingerprint, min(doc_id) AS doc_id
+       |  FROM qualified GROUP BY fingerprint),
+       |ek AS MATERIALIZED (
+       |  SELECT q.doc_id, q.text, q.quality FROM qualified q
+       |  JOIN keep k ON q.fingerprint = k.fingerprint AND q.doc_id = k.doc_id),
+       |docs3 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM ek WHERE len(string_split(text,' ')) >= 3),
+       |sigs AS MATERIALIZED (
+       |  SELECT doc_id, ${Dedup.minHashSignatureSql("text", K)} AS sig FROM docs3),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, band,
+       |    ${PortableHash.combineSql(s"sig[band*$ROWS+1:band*$ROWS+$ROWS]")} AS bucket
+       |  FROM sigs, range($BANDS) t(band)),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id),
+       |scored AS MATERIALIZED (
+       |  SELECT id_a, id_b,
+       |    ${Dedup.ngramJaccardSql("da.text", "db.text")} AS j
+       |  FROM pairs
+       |  JOIN ek da ON da.doc_id = id_a
+       |  JOIN ek db ON db.doc_id = id_b),
+       |drops AS MATERIALIZED (
+       |  SELECT DISTINCT id_b AS doc_id FROM scored WHERE j >= 0.5)
+       |SELECT e.doc_id, e.quality FROM ek e
+       |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = e.doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -329,7 +383,8 @@ object ExtQueries {
     "q26_cosine_topk_brute" -> (q26 _),
     "q27_cosine_topk_ann" -> (q27 _),
     "q28_embedding_neardup" -> (q28 _),
-    "q29_multimodal_meta" -> (q29 _))
+    "q29_multimodal_meta" -> (q29 _),
+    "q42_corpus_curation" -> (q42 _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_stats" -> q20Sql,
@@ -342,5 +397,6 @@ object ExtQueries {
     "q26_cosine_topk_brute" -> q26Sql,
     "q27_cosine_topk_ann" -> q27Sql,
     "q28_embedding_neardup" -> q28Sql,
-    "q29_multimodal_meta" -> q29Sql)
+    "q29_multimodal_meta" -> q29Sql,
+    "q42_corpus_curation" -> q42Sql)
 }
