@@ -196,19 +196,31 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs within a bounded id window: sketches computed
-    * once (persisted — they are 16 bytes/doc), pair-joined, filtered by
-    * hamming distance.
+  /** SimHash near-dup pairs within a bounded id window, bucket-decomposed
+    * into an equi-join (same topology as
+    * [[graft.ops.RangeJoin.pointInInterval]]): ids map to fixed-width
+    * buckets of `idWindow`; a pair with `id_a < id_b <= id_a + idWindow`
+    * always has `bucket(id_b) ∈ {bucket(id_a), bucket(id_a)+1}`, so the
+    * a-side explodes to those two bucket keys, the join is a plain
+    * shuffle-hash/sort-merge equi-join on `__bucket`, and the exact
+    * inequalities run as a post-filter. Each pair matches exactly one
+    * exploded key — no distinct needed. Work is linear in rows × window
+    * density, never all-pairs (the naive inequality-only join plans as a
+    * BroadcastNestedLoopJoin — O(n²), a 100 TB scale-killer).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       idWindow: Long, maxHamming: Int): DataFrame = {
-    // sketches are 16 bytes/doc; the range join broadcasts one side and
-    // recomputing the native simhash on the other is cheaper (and more
-    // predictable) than cache-eviction races
+    // sketches are 16 bytes/doc; recomputing the native simhash per side
+    // is cheaper (and more predictable) than cache-eviction races
     val sh = df.select(col(idCol), simHash(col(textCol)).as("simhash"))
-    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b") &&
+    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+        floor(col(idCol) / idWindow).cast("long").as("__b0"))
+      .withColumn("__bucket", explode(array(col("__b0"), col("__b0") + 1L)))
+      .drop("__b0")
+    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      floor(col(idCol) / idWindow).cast("long").as("__bucket"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b") &&
         col("id_b") <= col("id_a") + idWindow)
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)

@@ -131,12 +131,15 @@ object Text {
   /** TF-IDF (linear idf = N/df — avoids ln(), whose last-ulp behavior is
     * libm-specific and would break cross-engine bit-equality) with top-k
     * tokens per document. Two aggregates + one broadcastable join + one
-    * window — the whole pipeline shuffles tokens once.
+    * window — the whole pipeline shuffles tokens once. The corpus size N
+    * is a 1-row aggregate broadcast-cross-joined INTO the plan (no
+    * driver-side `count()` action, which would re-scan the corpus once
+    * before the real job — one extra full pass at 100 TB).
     */
   def tfidfTopK(df: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = df.count()
+    val nDf = df.agg(count(lit(1)).cast("double").as("__corpus_n"))
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -146,8 +149,9 @@ object Text {
     val w = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("token").asc)
     tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+        col("tf").cast("double") * (col("__corpus_n") / col("df").cast("double")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),

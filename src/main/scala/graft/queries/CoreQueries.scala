@@ -457,9 +457,10 @@ object CoreQueries {
 
   private val q19Sql =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS running_cents,
       |  count(*) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,

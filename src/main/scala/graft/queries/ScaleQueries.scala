@@ -47,17 +47,38 @@ object ScaleQueries {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------- q32
-  // Sketch-based distinct counting (HLL++). Estimates are engine-specific
-  // → NO oracle entry (driver records the weaker rows-only check); the
-  // exact-distinct twin q14 is the hash-checked ground truth.
-  private def q32(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  // Sketch-based distinct counting (HLL++). Raw estimates are
+  // engine-specific, so the query emits engine-independent DERIVED facts
+  // instead: the exact distinct counts plus a boolean per sketch asserting
+  // |approx−exact|/exact ≤ 2·rsd. The oracle computes the same exact
+  // counts and literal TRUEs — a sketch outside its advertised error bound
+  // fails the hash compare.
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
+    val est = t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02)
-        .as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02)
-          .as("approx_orders"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    def ok(approx: String, exact: String) =
+      abs(col(approx).cast("double") - col(exact).cast("double")) /
+        col(exact).cast("double") <= lit(2 * rsd)
+    est.select(col("l_returnflag"),
+        col("exact_parts"), col("exact_orders"),
+        ok("approx_parts", "exact_parts").as("parts_within_tol"),
+        ok("approx_orders", "exact_orders").as("orders_within_tol"))
       .orderBy("l_returnflag")
+  }
+
+  private val q32Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  true AS parts_within_tol,
+      |  true AS orders_within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q33
   // Multimodal batch decode via mapPartitions (the stubbed-codec
@@ -218,8 +239,9 @@ object ScaleQueries {
       |  FROM e),
       |sess AS MATERIALIZED (
       |  SELECT user_id, cents,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, cents ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, cents ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
       |  FROM flags)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  CAST(sum(cents) AS BIGINT) AS total_cents
@@ -227,14 +249,44 @@ object ScaleQueries {
       |ORDER BY user_id, session_id""".stripMargin
 
   // ---------------------------------------------------------------- q38
-  // IVF ANN: k-means cells + nProbe cell search + exact re-rank. No
-  // oracle (k-means isn't SQL-reproducible) → rows-only check; recall vs
-  // the brute-force oracle q26 is asserted in ExtSpec.
+  // IVF ANN: k-means cells + nProbe cell search + exact re-rank, against
+  // a session-cached prebuilt index (IvfIndex.cached — the build is one
+  // KMeans job per corpus, not per query). K-means isn't
+  // SQL-reproducible, so the query emits engine-independent DERIVED
+  // facts: per probe, recall@10 of the IVF search against the in-Spark
+  // brute-force ground truth (q26's exact path) plus the self-hit
+  // invariant (rank-1 must be the probe itself, cosine 1). The oracle is
+  // the expected-facts row: 10 true neighbors, self-hit, recall above
+  // threshold.
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    graft.ext.Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
-      .orderBy("probe_id", "rank")
+    val probes = emb.filter(col("vec_id") < 5)
+    val idx = graft.ext.Similarity.IvfIndex.cached(
+      s"${System.identityHashCode(s)}:$dir/embeddings", emb)
+    // nProbe=6/16 cells: measured recall@10 ∈ [0.7, 1.0] per probe at
+    // sf0.01 and sf0.1 (deterministic — seeded k-means) → 0.5 threshold
+    // has a two-neighbor margin.
+    val ivf = idx.search(probes, k = 10, nProbe = 6)
+    val brute = graft.ext.Similarity.bruteForceTopK(probes, emb, k = 10)
+    val retrieved = ivf.select(col("probe_id"), col("cand_id"),
+      (col("rank") === 1L && col("cand_id") === col("probe_id"))
+        .as("self_hit"))
+    brute.select(col("probe_id"), col("cand_id"))
+      .join(retrieved, Seq("probe_id", "cand_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_true"),
+        (sum(when(col("self_hit").isNotNull, 1L).otherwise(0L)) /
+          count(lit(1))).as("recall"),
+        max(coalesce(col("self_hit"), lit(false))).as("self_hit"))
+      .select(col("probe_id"), col("n_true"),
+        (col("recall") >= lit(0.5)).as("recall_ok"), col("self_hit"))
+      .orderBy("probe_id")
   }
+
+  private val q38Sql =
+    """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_true,
+      |  true AS recall_ok, true AS self_hit
+      |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin
 
   // ---------------------------------------------------------------- q40
   // As-of join (composed, SURVEY-preference (a)): each purchase event
@@ -313,10 +365,14 @@ object ScaleQueries {
     "q40_asof_join" -> (q40 _),
     "q41_range_join" -> (q41 _))
 
-  /** q32 intentionally absent: HLL sketches are engine-specific. */
+  /** q32/q38 emit derived facts (tolerance/recall booleans + exact
+    * counts) precisely so the sketch/k-means paths stay oracle-checkable.
+    */
   val oracles: Map[String, String] = Map(
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
+    "q32_approx_distinct_hll" -> q32Sql,
+    "q38_ivf_topk" -> q38Sql,
     "q33_multimodal_decode" -> q33Sql,
     "q34_pushdown_scan" -> q34Sql,
     "q35_token_frequencies" -> q35Sql,
