@@ -20,6 +20,94 @@ final class FixtureSource(body: String) extends RestSource {
   def fetch(params: Map[String, String]): String = body
 }
 
+/** T2 (main.py:196-199, 226-239): URL/query-string building. The
+  * reference concatenates `latitude=...&longitude=...` fragments onto a
+  * configured base URL and hand-encodes city names with
+  * `ciudad.replace(" ", "+")`; this is the same
+  * application/x-www-form-urlencoded convention (space → '+'), done
+  * properly for every reserved character via `URLEncoder`.
+  */
+object QueryString {
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** `k1=v1&k2=v2` with both sides form-encoded (space → '+'). */
+  def encode(params: Seq[(String, String)]): String =
+    params.map { case (k, v) =>
+      java.net.URLEncoder.encode(k, Utf8) + "=" +
+        java.net.URLEncoder.encode(v, Utf8)
+    }.mkString("&")
+
+  /** Append params to a base URL, reusing an existing `?` if present
+    * (the reference's config bases already end mid-query).
+    */
+  def url(base: String, params: Seq[(String, String)]): String =
+    if (params.isEmpty) base
+    else {
+      val sep =
+        if (!base.contains('?')) "?"
+        else if (base.endsWith("?") || base.endsWith("&")) ""
+        else "&"
+      base + sep + encode(params)
+    }
+}
+
+/** Connection failure — the reference's bare
+  * `Exception("Error de conexión...")` (main.py:177-180, 231-235) typed.
+  */
+final class RestConnectionException(url: String, cause: Throwable)
+  extends RuntimeException(s"REST connection error: $url", cause)
+
+/** API-level failure — the reference's `"error" in dic.keys()` check
+  * (main.py:184-185).
+  */
+final class RestApiException(url: String)
+  extends RuntimeException(s"REST API returned an error payload: $url")
+
+/** S6/S7 real implementation: driver-side `java.net.http` GET with the
+  * reference's semantics (main.py:168-188) — connection errors wrapped,
+  * response parsed as JSON, a top-level `"error"` key rejected. Tests
+  * stay network-free (loopback fixture server); production points `base`
+  * at the configured endpoint. Jackson (already on Spark's classpath)
+  * does the error-key probe.
+  */
+final class HttpSource(base: String,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+  extends RestSource {
+
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(timeout)
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
+
+  def fetch(params: Map[String, String]): String = {
+    val url = QueryString.url(base, params.toSeq.sortBy(_._1))
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(timeout).GET().build()
+    val body =
+      try client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      catch {
+        case e: java.io.IOException => throw new RestConnectionException(url, e)
+        case e: InterruptedException => throw new RestConnectionException(url, e)
+      }
+    if (HttpSource.hasErrorKey(body)) throw new RestApiException(url)
+    body
+  }
+}
+
+object HttpSource {
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The reference's `"error" in list(dic.keys())` (main.py:184): true iff
+    * the body is a JSON object with a top-level `error` field.
+    */
+  private[ingest] def hasErrorKey(body: String): Boolean =
+    try {
+      val node = mapper.readTree(body)
+      node != null && node.isObject && node.has("error")
+    } catch { case _: java.io.IOException => false }
+}
+
 object Ingest {
 
   /** S8 (main.py:210,239): nested JSON object → flat columns.
