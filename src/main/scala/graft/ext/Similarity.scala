@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`) — SURVEY.md
@@ -49,6 +48,25 @@ object Similarity {
   def cosineSql(aE: String, bE: String): String =
     s"${dotSql(aE, bE)} / (sqrt(${dotSql(aE, aE)}) * sqrt(${dotSql(bE, bE)}))"
 
+  /** Per-probe exact top-k over a scored candidate frame
+    * (`probe_id, cand_id, score`) WITHOUT a global window. The
+    * `row_number().over(partitionBy(probe_id))` idiom funnels every scored
+    * candidate of one probe onto a single reducer before discarding all
+    * but k — the 100 TB scale-killer flagged in round 2. Here
+    * [[graft.functions.TopK.topKByScore]] (a bounded-heap
+    * TypedImperativeAggregate) runs as a two-phase ObjectHashAggregate:
+    * partitions keep k-bounded heaps map-side and only ≤k-entry heaps
+    * shuffle. Top-k is monotone under union → identical rows and ranks
+    * (score desc, cand_id asc tiebreak) to the window formulation.
+    */
+  private[graft] def topKPerProbe(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("probe_id")
+      .agg(graft.functions.TopK.topKByScore(col("score"), col("cand_id"), k)
+        .as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("probe_id"), (col("__i") + 1).cast("long").as("rank"),
+        col("__e.item").as("cand_id"), col("__e.score").as("score"))
+
   /** Exact cosine top-k: every probe against every corpus row, ranked per
     * probe. The cross join is explicitly broadcast on the probe side —
     * the corpus never shuffles, so the plan scales linearly with corpus
@@ -60,14 +78,10 @@ object Similarity {
       toDouble(col(embCol)).as("probe_emb"))
     val c = corpus.select(col(idCol).as("cand_id"),
       toDouble(col(embCol)).as("cand_emb"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score").desc, col("cand_id").asc)
-    c.crossJoin(broadcast(p))
+    val scored = c.crossJoin(broadcast(p))
       .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("cand_id"), col("score"))
+      .select("probe_id", "cand_id", "score")
+    topKPerProbe(scored, k)
   }
 
   // ------------------------------------------------------------- LSH ANN
@@ -118,14 +132,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"),
       toDouble(col(embCol)).as("cand_emb"))
       .withColumn("bucket", lshBucket(col("cand_emb"), planes))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score").desc, col("cand_id").asc)
-    c.join(broadcast(p), Seq("bucket"))
+    val scored = c.join(broadcast(p), Seq("bucket"))
       .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("cand_id"), col("score"))
+      .select("probe_id", "cand_id", "score")
+    topKPerProbe(scored, k)
   }
 
   // ------------------------------------------------------------- IVF ANN
@@ -153,28 +163,30 @@ object Similarity {
 
     /** ANN top-k against the prebuilt index: each probe searches its
       * `nProbe` nearest cells, exact cosine re-rank inside.
+      *
+      * Cell selection uses the SAME metric as assignment (squared
+      * Euclidean): ‖p−c‖² = ‖p‖² − 2·p·c + ‖c‖², and ‖p‖² is constant per
+      * probe, so cells rank by maximizing 2·p·c − ‖c‖². A corpus probe's
+      * own cell is its Euclidean-argmin centroid, so it is always among
+      * the probed cells — the self-hit invariant holds structurally
+      * (ranking cells by max inner product could skip it).
       */
     def search(probes: DataFrame, k: Int, nProbe: Int = 4,
         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
       val p = probes.select(col(idCol).as("probe_id"),
         toDouble(col(embCol)).as("probe_emb"))
-      val wCell = Window.partitionBy("probe_id")
-        .orderBy(col("cell_dist").asc, col("cluster").asc)
-      val probeCells = p.crossJoin(broadcast(centroids))
-        .withColumn("cell_dist",
-          -dot(col("probe_emb"), col("centroid"))) // max inner product cell
-        .withColumn("cell_rank", row_number().over(wCell))
-        .filter(col("cell_rank") <= nProbe)
-        .select("probe_id", "probe_emb", "cluster")
+      val cellScored = p.crossJoin(broadcast(centroids))
+        .withColumn("score", lit(2.0) * dot(col("probe_emb"), col("centroid"))
+          - dot(col("centroid"), col("centroid")))
+        .select(col("probe_id"), col("cluster").as("cand_id"), col("score"))
+      val probeCells = topKPerProbe(cellScored, nProbe)
+        .select(col("probe_id"), col("cand_id").as("cluster"))
+        .join(p, Seq("probe_id")) // reattach probe_emb (both sides tiny)
 
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("score").desc, col("cand_id").asc)
-      assigned.join(broadcast(probeCells), Seq("cluster"))
+      val scored = assigned.join(broadcast(probeCells), Seq("cluster"))
         .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("probe_id"), col("rank").cast("long").as("rank"),
-          col("cand_id"), col("score"))
+        .select("probe_id", "cand_id", "score")
+      topKPerProbe(scored, k)
     }
 
     /** Release the persisted assignment. */
@@ -192,6 +204,11 @@ object Similarity {
 
       val c = corpus.select(col(idCol).as("cand_id"),
         toDouble(col(embCol)).as("cand_emb"))
+        // pin partitioning by id hash BEFORE the fit: k-means|| init
+        // samples per partition, so an environment-dependent split layout
+        // (file sizes, core count) would otherwise vary the centroids
+        // even at a fixed seed
+        .repartition(32, col("cand_id"))
         .withColumn("features", array_to_vector(col("cand_emb")))
       val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
         .fit(c) // 5 iterations: cell quality plateaus early; recall asserted in tests
@@ -210,9 +227,12 @@ object Similarity {
       new IvfIndex(assigned, centroids)
     }
 
-    // Session-scoped index reuse for repeated queries over the same
-    // corpus (keyed by an explicit caller-chosen key, e.g. the corpus
-    // path — DataFrame plans don't hash usefully).
+    // Application-scoped index reuse for repeated queries over the same
+    // corpus. Callers key by `applicationId + corpus path` (persisted
+    // blocks are application-scoped, so an applicationId in the key can
+    // never alias a stopped context's blocks — unlike identity hashes,
+    // which the JVM reuses after GC). Entries pin persisted partitions
+    // until evicted: [[invalidate]]/[[clearCache]] are the release path.
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
@@ -220,6 +240,16 @@ object Similarity {
         idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex =
       cache.computeIfAbsent(key,
         _ => build(corpus, nCentroids, idCol, embCol))
+
+    /** Drop one cached index and unpersist its assignment blocks. */
+    def invalidate(key: String): Unit =
+      Option(cache.remove(key)).foreach(_.unpersist())
+
+    /** Drop every cached index (e.g. on application shutdown). */
+    def clearCache(): Unit = {
+      val keys = cache.keySet.toArray(Array.empty[String])
+      keys.foreach(invalidate)
+    }
   }
 
   /** One-shot convenience: build + search (the round-1 API; prefer

@@ -261,8 +261,10 @@ object ScaleQueries {
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
+    // applicationId can't alias a stopped context (identity hashes can be
+    // reused after GC); blocks are app-scoped so the key matches their life
     val idx = graft.ext.Similarity.IvfIndex.cached(
-      s"${System.identityHashCode(s)}:$dir/embeddings", emb)
+      s"${s.sparkContext.applicationId}:$dir/embeddings", emb)
     // nProbe=6/16 cells: measured recall@10 ∈ [0.7, 1.0] per probe at
     // sf0.01 and sf0.1 (deterministic — seeded k-means) → 0.5 threshold
     // has a two-neighbor margin.
