@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end corpus curation — the canonical training-data pipeline
   * composed from the §2.11 operators:
@@ -29,8 +30,15 @@ object Curation {
 
     val keepers = qualified.groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol))
+    // exactKept feeds three consumers (LSH candidates, the Jaccard verify
+    // join, the final anti-join). Persist the boundary so the corpus is
+    // scanned + quality-scored + fingerprinted once, not once per stage.
+    // Blocks are released by Spark's ContextCleaner once the plan is
+    // unreferenced; MEMORY_AND_DISK so an over-memory corpus spills
+    // instead of silently recomputing the whole subtree.
     val exactKept = qualified
       .join(keepers, Seq("fingerprint", idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val drops = Dedup
       .nearDuplicates(exactKept, idCol, textCol, nearThreshold, k, bands)

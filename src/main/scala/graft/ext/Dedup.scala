@@ -137,19 +137,49 @@ object Dedup {
     * run would also cap bucket size.
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, minTokens: Int = 3): DataFrame =
+      k: Int = 16, bands: Int = 4, minTokens: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     lshCandidates(df.filter(size(split(col(textCol), " ")) >= minTokens),
-      idCol, shingleHashes(col(textCol)), k, bands)
+      idCol, shingleHashes(col(textCol)), k, bands, maxBucket)
 
   /** Char-level variant of [[minHashCandidates]]. */
   def charMinHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, n: Int = 5): DataFrame =
+      k: Int = 16, bands: Int = 4, n: Int = 5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     lshCandidates(df.filter(length(col(textCol)) >= n), idCol,
-      charShingleHashes(col(textCol), n), k, bands)
+      charShingleHashes(col(textCol), n), k, bands, maxBucket)
+
+  /** Mega-bucket guard: an LSH bucket holding b rows yields b² candidate
+    * pairs, so ONE boilerplate bucket (empty docs, license headers) turns
+    * the bucket-local self-join quadratic. Buckets over the cap are
+    * dropped before pairing — a documented recall trade (members of a
+    * dropped bucket can still pair through their other bands; rows that
+    * degenerate are exactly the ones near-dup semantics shouldn't chain
+    * through). The default never triggers below ~16 M candidate pairs per
+    * bucket; [[oversizedBuckets]] is the audit path for what a given cap
+    * would drop.
+    */
+  val DefaultMaxBucket: Int = 4096
+
+  /** Audit twin of the [[minHashCandidates]] cap: the (band, bucket, size)
+    * rows a given `maxBucket` would drop.
+    */
+  def oversizedBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, minTokens: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val rows = k / bands
+    val sig = graft.functions.NativeHash
+      .minHashSig(shingleHashes(col(textCol)), k)
+    df.filter(size(split(col(textCol), " ")) >= minTokens)
+      .select(col(idCol), posexplode(bandHashes(sig, bands, rows))
+        .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+  }
 
   /** Shared LSH banding core over any shingle-hash column. */
   private def lshCandidates(df: DataFrame, idCol: String, hashes: Column,
-      k: Int, bands: Int): DataFrame = {
+      k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rows = k / bands
     val sig = graft.functions.NativeHash.minHashSig(hashes, k)
     // Repartition on the join keys BEFORE the self-join: both sides then
@@ -157,10 +187,17 @@ object Dedup {
     // computes the signatures exactly once and the join itself needs no
     // further shuffle. (More robust than caching: no memory-manager
     // eviction races, and the shuffled payload is only (band,bucket,id).)
+    // The bucket-size window on top runs per (band,bucket) group — its
+    // required distribution is satisfied by the same Exchange, so the cap
+    // costs a partition-local sort, never a second shuffle.
     val buckets = df
       .select(col(idCol), posexplode(bandHashes(sig, bands, rows))
         .as(Seq("band", "bucket")))
       .repartition(col("band"), col("bucket"))
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     // Self-join via dataset aliases (NOT per-side renames): renames would
     // sit below the Exchange and defeat canonical plan matching; with
     // identical subtrees the planner emits one Exchange + ReusedExchange,
@@ -213,15 +250,23 @@ object Dedup {
     // sketches are 16 bytes/doc; recomputing the native simhash per side
     // is cheaper (and more predictable) than cache-eviction races
     val sh = df.select(col(idCol), simHash(col(textCol)).as("simhash"))
+    // exact long floor-division: (id - pmod(id, W)) is a multiple of W, so
+    // `div` is exact for any 64-bit id and any sign — floor(id/W) as a
+    // DOUBLE quotient would misbucket ids above 2^53 and silently drop
+    // pairs (hash-derived 64-bit ids are routine at corpus scale)
+    val bucketOf: Column =
+      expr(s"(`$idCol` - pmod(`$idCol`, ${idWindow}L)) div ${idWindow}L")
     val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-        floor(col(idCol) / idWindow).cast("long").as("__b0"))
+        bucketOf.as("__b0"))
       .withColumn("__bucket", explode(array(col("__b0"), col("__b0") + 1L)))
       .drop("__b0")
     val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      floor(col(idCol) / idWindow).cast("long").as("__bucket"))
+      bucketOf.as("__bucket"))
     a.join(b, Seq("__bucket"))
+      // id_b - id_a <= W, not id_b <= id_a + W: the sum can overflow Long
+      // near MaxValue; the difference of two co-bucketed ids cannot
       .filter(col("id_a") < col("id_b") &&
-        col("id_b") <= col("id_a") + idWindow)
+        col("id_b") - col("id_a") <= idWindow)
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -265,15 +265,25 @@ object Similarity {
   /** Embedding-cosine near-dup pairs: same-bucket pairs above a cosine
     * threshold (id_a < id_b). The embedding analogue of
     * [[Dedup.nearDuplicates]].
+    *
+    * `maxBucket` drops mega-buckets before the self-join (a bucket of b
+    * rows is b² pairs — one degenerate hyperplane cell would be
+    * quadratic); the bucket-size window rides the same Exchange the join
+    * needs, so the cap adds no shuffle. See [[Dedup.DefaultMaxBucket]].
     */
   def embeddingNearDups(df: DataFrame, threshold: Double, planes: Int = 8,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // identical aliased subtrees below the join → one Exchange + reuse
     // (per-side renames would break canonical matching; see
     // Dedup.minHashCandidates)
     val e = df.select(col(idCol), toDouble(col(embCol)).as("embd"))
       .withColumn("bucket", lshBucket(col("embd"), planes))
       .repartition(col("bucket"))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     e.as("a")
       .join(e.as("b"), col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))

@@ -111,9 +111,13 @@ object DataLake {
         incoming.write.mode("append").parquet(path)
         incoming.count()
       case Some(prev) =>
+        // persist: count + write must probe the existing lake once, not twice
         val fresh = incoming.join(prev.select(key), Seq(key), "left_anti")
-        val n = fresh.count()
-        if (n > 0) fresh.write.mode("append").parquet(path)
-        n
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = fresh.count()
+          if (n > 0) fresh.write.mode("append").parquet(path)
+          n
+        } finally { fresh.unpersist(); () }
     }
 }

@@ -80,10 +80,15 @@ object Warehouse {
     */
   def insertIfAbsent(spark: SparkSession, table: String, stage: DataFrame,
       keys: Seq[String]): Long = {
+    // persist the anti-join so count + append are one probe of the target,
+    // not two (round-2 review: at 100 TB the second probe dominates)
     val fresh = Merge.insertIfAbsent(spark.table(table), stage, keys)
-    val n = fresh.count()
-    if (n > 0) appendInto(spark, table, fresh)
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) appendInto(spark, table, fresh)
+      n
+    } finally { fresh.unpersist(); () }
   }
 
   /** MG2 (transf.py:215-273): MERGE SCD Type 1 — dimension upsert. The

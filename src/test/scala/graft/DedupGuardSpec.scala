@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** Guards added in round 3: LSH mega-bucket caps (one boilerplate bucket
+  * must not turn the bucket-local self-join quadratic) and exact integer
+  * bucketing in simHashPairs (floor of a double quotient misbuckets ids
+  * above 2^53; negatives need floor, not truncation).
+  */
+class DedupGuardSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val boilerplate = (0L until 20L)
+    .map(i => (i, "the same license header text repeated verbatim " +
+      "across every single document in this synthetic corpus"))
+    .toDF("doc_id", "text")
+
+  test("minhash lsh: mega-bucket dropped under cap, kept by default") {
+    // 20 identical docs land in one bucket per band: 190 pairs by default
+    val open = Dedup.minHashCandidates(boilerplate, "doc_id", "text")
+    assert(open.count() == 190)
+    val capped = Dedup.minHashCandidates(boilerplate, "doc_id", "text",
+      maxBucket = 8)
+    assert(capped.count() == 0)
+    // the audit twin reports exactly what the cap dropped
+    val over = Dedup.oversizedBuckets(boilerplate, "doc_id", "text",
+        maxBucket = 8)
+      .select("bucket_size").as[Long].collect()
+    assert(over.nonEmpty && over.forall(_ == 20L))
+    // and a cap at the bucket size drops nothing
+    assert(Dedup.oversizedBuckets(boilerplate, "doc_id", "text",
+      maxBucket = 20).isEmpty)
+  }
+
+  test("embedding near-dups: mega-bucket dropped under cap") {
+    val vecs = (0L until 12L)
+      .map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val open = Similarity.embeddingNearDups(vecs, threshold = 0.9)
+    assert(open.count() == 66) // 12 identical vectors → all pairs
+    val capped = Similarity.embeddingNearDups(vecs, threshold = 0.9,
+      maxBucket = 4)
+    assert(capped.count() == 0)
+  }
+
+  test("simhash pairs: exact floor bucketing incl. negative ids") {
+    // identical texts → hamming 0; expected pairs are exactly the id
+    // windows, including across the 0 boundary (floor, not truncation)
+    val docs = (-5L to 5L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simHashPairs(docs, "doc_id", "text",
+        idWindow = 3L, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      a <- -5L to 5L; b <- -5L to 5L
+      if a < b && b - a <= 3L
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+}
