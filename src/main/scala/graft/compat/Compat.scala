@@ -48,23 +48,29 @@ final class DataLake(spark: SparkSession, cfg: GraftConfig = GraftConfig()) {
     graft.lake.DataLake.appendFull(spark, registro, cfg.lake.dimPath)
 }
 
+/** main.py:190-199: the reference's `Extrac(id, latitud, longitud)` ctor
+  * builds the weather endpoint from the locality's coordinates; here they
+  * become the request params of every `regist_tiempo_df` fetch.
+  */
 final class Extrac(spark: SparkSession, source: RestSource,
-    apiLocId: Long) {
+    apiLocId: Long, latitud: Double, longitud: Double) {
 
   /** main.py:201-217: one weather record, partition date + loc id added. */
   def regist_tiempo_df(): DataFrame =
     Ingest.weatherRecord(spark, source, apiLocId,
-      graft.examples.Pipeline.weatherPayload)
+      graft.examples.Pipeline.weatherPayload,
+      Ingest.weatherParams(latitud, longitud))
 }
 
 object Extrac {
   /** main.py:219-263: geocoding search → canonical 20-column frame.
-    * (`nres`/`ciudad` shape the HTTP request in the reference; the
-    * injected source carries them here.)
+    * `ciudad`/`nres` shape the request exactly as main.py:227-229
+    * (name/count/language=es/format=json; space→'+' in QueryString).
     */
   def ciudad_df(spark: SparkSession, source: RestSource, ciudad: String,
       nres: Int = 1): DataFrame =
-    Ingest.localities(spark, source, Schemas.locality)
+    Ingest.localities(spark, source, Schemas.locality,
+      Ingest.geocodingParams(ciudad, nres))
 }
 
 /** main.py:268-325: the polling daemon → a StreamingQuery. */

@@ -35,16 +35,23 @@ object Pipeline {
       .filterNot(f => f.name == "api_loc_id" || f.name == "fecha_partic")
       .map(f => if (f.name == "time") f.copy(dataType = StringType) else f))
 
-  /** Entry point 1 (§3.1). Returns (localityBatchWritten, recordWritten). */
+  /** Entry point 1 (§3.1). The geocoding request carries the city search
+    * params (main.py:227-229) and the weather request the first result's
+    * lat/long (extrac_almac.py:20-23 → main.py:195-196). Returns
+    * (localityBatchWritten, recordWritten).
+    */
   def extractAndStore(spark: SparkSession, cfg: GraftConfig,
-      geocoding: RestSource, weather: RestSource,
-      apiLocId: Long): (Boolean, Boolean) = {
-    val locs = Ingest.localities(spark, geocoding, Schemas.locality)
+      geocoding: RestSource, weather: RestSource, apiLocId: Long,
+      ciudad: String = "La Plata", nres: Int = 10): (Boolean, Boolean) = {
+    val locs = Ingest.localities(spark, geocoding, Schemas.locality,
+      Ingest.geocodingParams(ciudad, nres))
     val locWritten = DataLake.appendFull(spark, locs, cfg.lake.dimPath)
     // first-row probe (A2) — lat/long feed the weather endpoint params
     val latLong = Ingest.firstLatLong(locs)
     require(latLong.nonEmpty, "geocoding returned no results")
-    val record = Ingest.weatherRecord(spark, weather, apiLocId, weatherPayload)
+    val (lat, long) = latLong.get
+    val record = Ingest.weatherRecord(spark, weather, apiLocId,
+      weatherPayload, Ingest.weatherParams(lat, long))
     val recWritten = DataLake.appendIncremental(spark, record,
       cfg.lake.factDir, cfg.lake.partitionCol, cfg.lake.timeCol)
     (locWritten, recWritten)

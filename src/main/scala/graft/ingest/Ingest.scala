@@ -58,10 +58,12 @@ final class RestConnectionException(url: String, cause: Throwable)
   extends RuntimeException(s"REST connection error: $url", cause)
 
 /** API-level failure — the reference's `"error" in dic.keys()` check
-  * (main.py:184-185).
+  * (main.py:184-185), plus non-2xx statuses (hardening the reference,
+  * which would ingest a 5xx error page as data).
   */
-final class RestApiException(url: String)
-  extends RuntimeException(s"REST API returned an error payload: $url")
+final class RestApiException(url: String,
+    detail: String = "error payload in response")
+  extends RuntimeException(s"REST API failure ($detail): $url")
 
 /** S6/S7 real implementation: driver-side `java.net.http` GET with the
   * reference's semantics (main.py:168-188) — connection errors wrapped,
@@ -83,13 +85,18 @@ final class HttpSource(base: String,
     val url = QueryString.url(base, params.toSeq.sortBy(_._1))
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(timeout).GET().build()
-    val body =
-      try client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    val resp =
+      try client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       catch {
         case e: java.io.IOException => throw new RestConnectionException(url, e)
-        case e: InterruptedException => throw new RestConnectionException(url, e)
+        case e: InterruptedException =>
+          // restore the flag: Spark task/driver cancellation is cooperative
+          Thread.currentThread().interrupt()
+          throw new RestConnectionException(url, e)
       }
+    if (resp.statusCode() / 100 != 2)
+      throw new RestApiException(url, s"HTTP ${resp.statusCode()}")
+    val body = resp.body()
     if (HttpSource.hasErrorKey(body)) throw new RestApiException(url)
     body
   }
@@ -109,6 +116,22 @@ object HttpSource {
 }
 
 object Ingest {
+
+  /** Weather endpoint location params (main.py:195-196:
+    * `ubic = f"latitude={lat}&longitude={long}"`; the variable-selection
+    * fragment rides on the configured base URL, as in config.ini).
+    */
+  def weatherParams(latitude: Double, longitude: Double): Map[String, String] =
+    Map("latitude" -> latitude.toString, "longitude" -> longitude.toString)
+
+  /** Geocoding search params (main.py:227-229:
+    * `name={ciudad}&count={nres}&language=es&format=json`; space→'+'
+    * form-encoding happens in [[QueryString.encode]]).
+    */
+  def geocodingParams(ciudad: String, nres: Int = 1,
+      language: String = "es"): Map[String, String] =
+    Map("name" -> ciudad, "count" -> nres.toString,
+      "language" -> language, "format" -> "json")
 
   /** S8 (main.py:210,239): nested JSON object → flat columns.
     * `json_normalize(dic["current"])` ≡ parse + `select("current.*")` —
@@ -138,22 +161,26 @@ object Ingest {
 
   /** Weather record ingest (main.py:201-217): flatten the `current`
     * object, parse `time`, inject the partition date (D5, "MM-dd-yy") and
-    * the locality id (P6).
+    * the locality id (P6). `params` carries the request's lat/long
+    * ([[weatherParams]]) to the source.
     */
   def weatherRecord(spark: SparkSession, source: RestSource, apiLocId: Long,
-      schema: StructType): DataFrame =
-    flattenJson(spark, source.fetch(Map.empty), "current", schema)
+      schema: StructType,
+      params: Map[String, String] = Map.empty): DataFrame =
+    flattenJson(spark, source.fetch(params), "current", schema)
       .withColumn("time", to_timestamp(col("time")))
       .withColumn("fecha_partic", date_format(col("time"), "MM-dd-yy"))
       .withColumn("api_loc_id", lit(apiLocId))
 
   /** Locality ingest (main.py:226-263): flatten `results`, then conform to
     * the canonical 20-column schema (adds dropped fields as nulls, casts,
-    * reorders — graft.schemas.Schemas.conformTo).
+    * reorders — graft.schemas.Schemas.conformTo). `params` carries the
+    * search's name/count/language ([[geocodingParams]]).
     */
   def localities(spark: SparkSession, source: RestSource,
-      elem: StructType): DataFrame = {
-    val raw = flattenJsonArray(spark, source.fetch(Map.empty), "results", elem)
+      elem: StructType,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val raw = flattenJsonArray(spark, source.fetch(params), "results", elem)
     graft.schemas.Schemas.conformTo(graft.schemas.Schemas.locality)(raw)
   }
 

@@ -33,7 +33,8 @@ class CompatSpec extends SparkSuite {
     assert(lake.a_parquet_full(loc))
     assert(!lake.a_parquet_full(loc)) // duplicate-id gate
 
-    val ex = new Extrac(spark, new FixtureSource(weatherJson), 1L)
+    val ex = new Extrac(spark, new FixtureSource(weatherJson), 1L,
+      latitud = 1.0, longitud = 2.0)
     val reg = ex.regist_tiempo_df()
     assert(lake.a_parquet_inc(reg, Seq("fecha_partic")))
     assert(!lake.a_parquet_inc(reg, Seq("fecha_partic"))) // repeat poll

@@ -25,6 +25,15 @@ class ExamplePipelineSpec extends SparkSuite {
       |  "country": "Argentina", "admin1": "Buenos Aires",
       |  "postcodes": ["1900"]}]}""".stripMargin.replace("\n", " ")
 
+  /** Fixture that records the request params each fetch received. */
+  private final class RecordingSource(body: String)
+      extends graft.ingest.RestSource {
+    @volatile var lastParams: Map[String, String] = Map.empty
+    def fetch(params: Map[String, String]): String = {
+      lastParams = params; body
+    }
+  }
+
   test("extract → lake → transform → warehouse, idempotent on replay") {
     val root = tmpDir()
     val db = "ex" + root.hashCode.abs
@@ -33,9 +42,17 @@ class ExamplePipelineSpec extends SparkSuite {
       warehouse = WarehouseConfig(database = db))
 
     // ---- entry point 1: extract + store
+    val geo = new RecordingSource(locJson)
+    val wea = new RecordingSource(weatherJson)
     val (locW, recW) = Pipeline.extractAndStore(spark, cfg,
-      new FixtureSource(locJson), new FixtureSource(weatherJson), 3432043L)
+      geo, wea, 3432043L, ciudad = "La Plata", nres = 10)
     assert(locW && recW)
+    // request params threaded end-to-end (extrac_almac.py:20-23 flow):
+    // geocoding got the search, weather got the first result's lat/long
+    assert(geo.lastParams == Map("name" -> "La Plata", "count" -> "10",
+      "language" -> "es", "format" -> "json"))
+    assert(wea.lastParams == Map("latitude" -> "-34.92145",
+      "longitude" -> "-57.95453"))
     // replay: both gates must refuse (duplicate id / duplicate poll time)
     val (locW2, recW2) = Pipeline.extractAndStore(spark, cfg,
       new FixtureSource(locJson), new FixtureSource(weatherJson), 3432043L)

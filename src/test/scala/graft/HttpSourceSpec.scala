@@ -72,6 +72,38 @@ class HttpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch: reference request URLs built from the typed param helpers") {
+    withServer(q => s"""{"echo": "$q"}""") { base =>
+      // weather (main.py:195-196): latitude/longitude from the locality
+      val w = new HttpSource(base)
+        .fetch(graft.ingest.Ingest.weatherParams(-34.92145, -57.95453))
+      assert(w === """{"echo": "latitude=-34.92145&longitude=-57.95453"}""")
+      // geocoding (main.py:227-229): name/count/language/format, space→'+'
+      val g = new HttpSource(base)
+        .fetch(graft.ingest.Ingest.geocodingParams("La Plata", nres = 10))
+      assert(g ===
+        """{"echo": "count=10&format=json&language=es&name=La+Plata"}""")
+    }
+  }
+
+  test("fetch: non-2xx status raises RestApiException") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", ex => {
+      val body = "oops".getBytes(UTF_8)
+      ex.sendResponseHeaders(500, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val ex = intercept[RestApiException] {
+        new HttpSource(s"http://127.0.0.1:${server.getAddress.getPort}/api")
+          .fetch(Map.empty)
+      }
+      assert(ex.getMessage.contains("HTTP 500"))
+    } finally server.stop(0)
+  }
+
   test("fetch: connection failure wraps in RestConnectionException") {
     // unroutable port on loopback — connection refused, no egress
     intercept[RestConnectionException] {
