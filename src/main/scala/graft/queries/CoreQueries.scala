@@ -549,9 +549,54 @@ object CoreQueries {
       |      FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  // MG2 at fact scale (transf.py:215-273): SCD1 against a PARTITIONED
+  // managed table via Warehouse.scd1UpsertPartitioned — only partitions
+  // containing staged keys are rewritten (dynamic partition overwrite),
+  // retiring the full-table-rewrite trade-off. End-to-end side-effecting:
+  // the query builds the table, runs the upsert, and returns the final
+  // table content for the oracle compare.
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val target = nation.select(col("n_nationkey"), col("n_name"),
+      col("n_regionkey"),
+      to_date(lit("2025-01-01")).as("fecha_actualizacion_origen"),
+      to_date(lit("2025-01-01")).as("fecha_actualizacion"))
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_q43")
+    s.sql("DROP TABLE IF EXISTS graft_q43.dim_nation")
+    target.write.partitionBy("n_regionkey")
+      .saveAsTable("graft_q43.dim_nation")
+    val stage = nation.filter(col("n_nationkey") % 5 === 0)
+      .select(col("n_nationkey"),
+        concat(col("n_name"), lit(" (upd)")).as("n_name"),
+        col("n_regionkey"),
+        to_date(lit("2026-08-01")).as("fecha_actualizacion_origen"),
+        to_date(lit("2026-08-01")).as("fecha_actualizacion"))
+    graft.warehouse.Warehouse.scd1UpsertPartitioned(s,
+      "graft_q43.dim_nation", stage, "n_nationkey", "n_regionkey",
+      auditDate = to_date(lit("2026-08-12")))
+    s.table("graft_q43.dim_nation")
+      .select("n_nationkey", "n_name", "n_regionkey",
+        "fecha_actualizacion_origen", "fecha_actualizacion")
+      .orderBy("n_nationkey")
+  }
+
+  private val q43Sql =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  DATE '2025-01-01' AS fecha_actualizacion_origen,
+      |  DATE '2025-01-01' AS fecha_actualizacion
+      |FROM nation WHERE n_nationkey % 5 <> 0
+      |UNION ALL
+      |SELECT n_nationkey, n_name || ' (upd)' AS n_name, n_regionkey,
+      |  DATE '2025-01-01' AS fecha_actualizacion_origen,
+      |  DATE '2026-08-12' AS fecha_actualizacion
+      |FROM nation WHERE n_nationkey % 5 = 0
+      |ORDER BY n_nationkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_scd1_partitioned" -> (q43 _),
     "q01_agg_pricing" -> (q01 _),
     "q02_flagship_pipeline" -> (q02 _),
     "q03_schema_conform" -> (q03 _),
@@ -576,6 +621,7 @@ object CoreQueries {
     "q19d_stats_percentiles" -> (q19d _))
 
   val oracles: Map[String, String] = Map(
+    "q43_scd1_partitioned" -> q43Sql,
     "q01_agg_pricing" -> q01Sql,
     "q02_flagship_pipeline" -> q02Sql,
     "q03_schema_conform" -> q03Sql,

@@ -119,4 +119,51 @@ object Warehouse {
     spark.table(stg).write.mode(SaveMode.Overwrite).insertInto(table)
     spark.sql(s"DROP TABLE IF EXISTS $stg")
   }
+
+  /** MG2 at fact scale: SCD1 upsert against a `partCol`-partitioned
+    * target, rewriting ONLY the partitions the merge can change — the
+    * affected set is the union of the stage's partitions and the
+    * partitions holding current rows of staged keys (a column-pruned
+    * (key, partCol) probe). The merge itself runs on the pruned slice and
+    * lands via dynamic partition overwrite, so a 100 TB dimension pays
+    * O(changed partitions), not a full-table rewrite (the round-2
+    * trade-off note on plain-parquet MERGE, retired here).
+    *
+    * Same convergence semantics as [[scd1Upsert]] with one constraint: a
+    * key whose partition value changes leaves its old partition rewritten
+    * without it, EXCEPT when that rewrite would empty the partition
+    * entirely (dynamic overwrite cannot replace a partition with zero
+    * rows) — keep `partCol` stable per key, the usual contract for a
+    * partitioned dimension.
+    */
+  def scd1UpsertPartitioned(spark: SparkSession, table: String,
+      stage: DataFrame, key: String, partCol: String,
+      auditCol: String = "fecha_actualizacion",
+      originCol: String = "fecha_actualizacion_origen",
+      auditDate: org.apache.spark.sql.Column = current_date()): Unit = {
+    val target = spark.table(table)
+    // affected partitions: stage rows' partitions ∪ partitions of target
+    // rows whose key is staged (covers keys whose partition value moves);
+    // a dimension's changed-partition set is driver-small by definition
+    val affected = target
+      .join(stage.select(key).distinct(), Seq(key), "left_semi")
+      .select(partCol)
+      .union(stage.select(partCol))
+      .distinct().collect().map(_.get(0)).filter(_ != null)
+    if (affected.nonEmpty) {
+      val slice = target.filter(col(partCol).isin(affected.toSeq: _*))
+      val merged =
+        Merge.scd1(slice, stage, key, auditCol, originCol, auditDate)
+      val stg = table + "_rewrite_stg"
+      merged.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stg)
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(modeKey)
+      try {
+        spark.conf.set(modeKey, "dynamic")
+        spark.table(stg).select(target.columns.map(col).toSeq: _*)
+          .write.mode(SaveMode.Overwrite).insertInto(table)
+      } finally spark.conf.set(modeKey, prev)
+      spark.sql(s"DROP TABLE IF EXISTS $stg")
+    }
+  }
 }

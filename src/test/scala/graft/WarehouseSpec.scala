@@ -79,6 +79,74 @@ class WarehouseSpec extends SparkSuite {
     assert(out(2).getDate(2).toString == "2026-08-01") // origin from stage
   }
 
+  test("jdbcAppend / jdbcRead round-trip against in-process Derby (S9/S10)") {
+    // Embedded Derby (on Spark's classpath) stands in for the reference's
+    // PostgreSQL (main.py:392-416): the same spark.write.jdbc /
+    // spark.read.jdbc path, chunked at the reference's 1000 rows, with no
+    // network — closes the round-2 "JDBC wrappers unexercised" gap.
+    System.setProperty("derby.system.home", tmpDir())
+    val url = s"jdbc:derby:memory:graftwh${System.nanoTime()};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    val df = spark.range(0, 2500) // > 2 batches at batchsize=1000
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    Warehouse.jdbcAppend(df, url, "t_jdbc", props, batchSize = 1000)
+    val back = Warehouse.jdbcRead(spark, url, "t_jdbc", props)
+    assert(back.count() == 2500)
+    assert(back.agg(sum("id")).head.getLong(0) == 2500L * 2499 / 2)
+    assert(back.filter(col("id") === 7).head.getString(1) == "v7")
+
+    // SaveMode.Append accumulates rather than replacing
+    Warehouse.jdbcAppend(df.limit(10), url, "t_jdbc", props)
+    assert(Warehouse.jdbcRead(spark, url, "t_jdbc", props).count() == 2510)
+  }
+
+  test("scd1UpsertPartitioned rewrites only affected partitions (MG2 at scale)") {
+    val dir = tmpDir() + "/dimpart"
+    val tbl = "wtest_part.dim"
+    spark.sql("CREATE DATABASE IF NOT EXISTS wtest_part")
+    Seq((1L, "a", "AR"), (2L, "b", "AR"), (3L, "c", "BR"), (4L, "d", "UY"))
+      .toDF("id", "name", "country")
+      .withColumn("fecha_actualizacion_origen", to_date(lit("2025-01-01")))
+      .withColumn("fecha_actualizacion", to_date(lit("2025-01-01")))
+      .write.partitionBy("country").option("path", dir).saveAsTable(tbl)
+
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/country=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val brBefore = files("BR")
+    val uyBefore = files("UY")
+
+    // stage touches AR (update id=2) and BR (new id=5); UY must not move
+    val stage = Seq((2L, "b2", "AR"), (5L, "e", "BR"))
+      .toDF("id", "name", "country")
+      .withColumn("fecha_actualizacion_origen", to_date(lit("2026-08-01")))
+      .withColumn("fecha_actualizacion", to_date(lit("2026-08-01")))
+    val audit = to_date(lit("2026-08-12"))
+    Warehouse.scd1UpsertPartitioned(spark, tbl, stage, "id", "country",
+      auditDate = audit)
+
+    val out = spark.table(tbl).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val r2 = out(1)
+    assert(r2.getString(1) == "b2") // stage wins
+    assert(r2.getAs[java.sql.Date]("fecha_actualizacion_origen").toString
+      == "2025-01-01") // origin preserved on match
+    assert(r2.getAs[java.sql.Date]("fecha_actualizacion").toString
+      == "2026-08-12")
+    // BR was rewritten (new key), UY files are byte-for-byte untouched
+    assert(files("BR") != brBefore)
+    assert(files("UY") == uyBefore)
+
+    // convergence: replaying the same stage leaves the table identical
+    Warehouse.scd1UpsertPartitioned(spark, tbl, stage, "id", "country",
+      auditDate = audit)
+    assert(spark.table(tbl).orderBy("id").collect().toSeq == out.toSeq)
+  }
+
   test("Merge.scd1 converges: applying the same stage twice equals once") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
       .withColumn("fecha_actualizacion_origen", to_date(lit("2025-01-01")))
