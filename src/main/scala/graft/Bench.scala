@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Methodology (round 3, per the round-2 review's
+  * "re-bench honestly: n≥3 interleaved runs"): the FULL query suite runs
+  * `SPARK_GRAFT_REPS` times (default 3) in sorted-name order, interleaved
+  * — run 1 of every query, then run 2 of every query, ... — and each
+  * query reports its minimum across runs. Interleaved minima measure the
+  * steady-state plan cost (what scales to 100 TB) instead of one-shot
+  * codegen/JIT compilation noise, which at sf0.1 is 2-4× the actual query
+  * time and reshuffles whenever the suite order changes. Per-run totals
+  * are also emitted (`run_totals`) so single-shot numbers stay visible.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,18 +22,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/scheduler once so the first measured query
-    // doesn't absorb session startup (standard benchmarking hygiene; the
-    // per-query numbers then reflect the plans, not JIT warmup).
+    // doesn't absorb session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Optional focus filter for local iteration: comma-separated query-name
+    // substrings. Unset (the driver's path) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .toSeq.sortBy(_._1)
+    val runs = (1 to reps).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val best = selected.map { case (name, _) =>
+      name -> runs.map(_.toMap.apply(name)).min }
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runTotals = runs.map(_.map(_._2).sum)
+      .map(t => f"$t%.3f").mkString("[", ",", "]")
+    val total = best.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"run_totals":$runTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
