@@ -31,21 +31,37 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .toSeq.sortBy(_._1)
+    // A failing query is recorded, not swallowed (round-3 review: "a
+    // bench that can't fail is not a bench"): its time reports as the
+    // sentinel -1, its message lands in `errors`, and the exit code is
+    // non-zero — so a broken query can never hide inside a fast total.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs = (1 to reps).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+                .replaceAll("[\"\\n\\r\\\\]", " ").take(300))
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
     val best = selected.map { case (name, _) =>
-      name -> runs.map(_.toMap.apply(name)).min }
+      val ts = runs.map(_.toMap.apply(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min) }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runTotals = runs.map(_.map(_._2).sum)
+    val runTotals = runs.map(_.map(_._2).filter(_ >= 0).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
-    val total = best.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"run_totals":$runTotals,"sf":"$sfDir"}""")
+    val total = best.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"run_totals":$runTotals,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

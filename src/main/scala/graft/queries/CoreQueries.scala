@@ -563,10 +563,11 @@ object CoreQueries {
       to_date(lit("2025-01-01")).as("fecha_actualizacion_origen"),
       to_date(lit("2025-01-01")).as("fecha_actualizacion"))
     s.sql("CREATE DATABASE IF NOT EXISTS graft_q43")
-    s.sql("DROP TABLE IF EXISTS graft_q43.dim_nation")
-    // overwrite, not error-if-exists: the in-memory catalog is per-JVM but
-    // the warehouse dir persists, so a fresh session's DROP can be a no-op
-    // while the stale location still exists on disk
+    // the in-memory catalog is per-JVM but the warehouse dir persists, so
+    // a fresh session's plain DROP is a no-op while the stale location
+    // still exists on disk and saveAsTable's CREATE path then throws
+    // LOCATION_ALREADY_EXISTS; dropManagedTable clears both
+    graft.warehouse.Warehouse.dropManagedTable(s, "graft_q43.dim_nation")
     target.write.mode("overwrite").partitionBy("n_regionkey")
       .saveAsTable("graft_q43.dim_nation")
     val stage = nation.filter(col("n_nationkey") % 5 === 0)

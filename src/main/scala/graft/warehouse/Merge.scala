@@ -24,20 +24,38 @@ object Merge {
     * `auditCol` ← auditDate; `originCol` ← preserved from target on match
     * (reference overwrote it, transf.py:240 — fixed per SURVEY.md §7).
     * Output column order = target's.
+    *
+    * Single full-outer join on the key, branches derived from side
+    * presence — ONE probe of the target (the round-3 formulation's
+    * anti-join + origin-preservation join scanned the target slice twice;
+    * at a 100 TB dimension the second scan dominates). The stage side
+    * carries an explicit presence flag rather than testing its key for
+    * null: a null-keyed stage row never equi-joins, and must still
+    * surface as an insert, not collapse into all-null target columns.
     */
   def scd1(target: DataFrame, stage: DataFrame, key: String,
       auditCol: String = "fecha_actualizacion",
       originCol: String = "fecha_actualizacion_origen",
       auditDate: Column = current_date()): DataFrame = {
     val cols = target.columns
-    val unmatched = target.join(stage.select(key), Seq(key), "left_anti")
-    val origin = target.select(col(key), col(originCol).as("__origin_prev"))
-    val upserts = stage
-      .join(origin, Seq(key), "left")
-      .withColumn(originCol, coalesce(col("__origin_prev"), col(originCol)))
-      .withColumn(auditCol, auditDate.cast("date"))
-      .drop("__origin_prev")
-    unmatched.select(cols.map(col).toSeq: _*)
-      .unionByName(upserts.select(cols.map(col).toSeq: _*))
+    val pref = "__s_"
+    val stg = stage.columns.foldLeft(stage)((d, c) =>
+        d.withColumnRenamed(c, pref + c))
+      .withColumn(pref + "present", lit(true))
+    val matched = col(pref + "present").isNotNull
+    val out = cols.map {
+      case c if c == key =>
+        coalesce(col(pref + key), col(key)).as(key)
+      case c if c == originCol =>
+        // creation date: target's on match (stage's only for inserts)
+        coalesce(col(originCol), col(pref + originCol)).as(originCol)
+      case c if c == auditCol =>
+        when(matched, auditDate.cast("date"))
+          .otherwise(col(auditCol)).as(auditCol)
+      case c =>
+        when(matched, col(pref + c)).otherwise(col(c)).as(c)
+    }
+    target.join(stg, col(key) === col(pref + key), "full_outer")
+      .select(out.toSeq: _*)
   }
 }

@@ -35,6 +35,32 @@ object Warehouse {
   def truncate(spark: SparkSession, name: String): Unit =
     spark.sql(s"TRUNCATE TABLE $name")
 
+  /** DROP TABLE IF EXISTS that also clears a stale MANAGED location.
+    *
+    * The in-memory catalog is per-JVM while the warehouse directory
+    * persists, so after a restart `DROP TABLE IF EXISTS` can be a catalog
+    * no-op while `<db>.db/<table>` still exists on disk — a subsequent
+    * `saveAsTable` then takes the CREATE path and throws
+    * `LOCATION_ALREADY_EXISTS` (the round-3 q43 fresh-session failure).
+    * Deleting the leftover directory through the Hadoop FS restores the
+    * invariant "dropped ⇒ location free". Managed fixture/staging tables
+    * only — an EXTERNAL table's location is user data and is never
+    * touched (external locations don't live under `<db>.db/` anyway).
+    */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val parts = table.split('.')
+    val (db, tbl) =
+      if (parts.length == 2) (parts(0), parts(1)) else ("default", parts(0))
+    if (spark.catalog.databaseExists(db)) {
+      val dbLoc = new org.apache.hadoop.fs.Path(
+        spark.catalog.getDatabase(db).locationUri)
+      val tblLoc = new org.apache.hadoop.fs.Path(dbLoc, tbl.toLowerCase)
+      val fs = tblLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(tblLoc)) { fs.delete(tblLoc, true); () }
+    }
+  }
+
   /** S9 (main.py:392-416): bulk append into a staging/target table. The
     * reference chunks JDBC inserts at 1000 rows (main.py:413); a Spark
     * table write is already parallel-per-partition, so no chunk knob.
@@ -114,10 +140,29 @@ object Warehouse {
       auditDate: org.apache.spark.sql.Column = current_date()): Unit = {
     val result =
       Merge.scd1(spark.table(table), stage, key, auditCol, originCol, auditDate)
-    val stg = table + "_rewrite_stg"
-    result.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stg)
-    spark.table(stg).write.mode(SaveMode.Overwrite).insertInto(table)
-    spark.sql(s"DROP TABLE IF EXISTS $stg")
+    withStagingTable(spark, table, result) { stg =>
+      spark.table(stg).write.mode(SaveMode.Overwrite).insertInto(table)
+    }
+  }
+
+  /** Materialize `df` into a uniquely-named staging table, run `body`,
+    * and drop the stage even on failure. A per-call unique suffix (not a
+    * fixed `_rewrite_stg` name — round-3 review) means two concurrent
+    * upserts of the same dimension can't clobber each other's stage, and
+    * a crash can't leave an orphan that a later run silently reuses; the
+    * finally-DROP also clears the on-disk location so no stale dir
+    * survives into a fresh session (see [[dropManagedTable]]).
+    * Writers are still single-writer per TARGET table — concurrent
+    * rewrites of one dimension race on the final overwrite itself, as
+    * with any non-transactional table format.
+    */
+  private def withStagingTable(spark: SparkSession, table: String,
+      df: DataFrame)(body: String => Unit): Unit = {
+    val stg = table + "_stg_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stg)
+    try body(stg)
+    finally dropManagedTable(spark, stg)
   }
 
   /** MG2 at fact scale: SCD1 upsert against a `partCol`-partitioned
@@ -154,16 +199,15 @@ object Warehouse {
       val slice = target.filter(col(partCol).isin(affected.toSeq: _*))
       val merged =
         Merge.scd1(slice, stage, key, auditCol, originCol, auditDate)
-      val stg = table + "_rewrite_stg"
-      merged.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stg)
-      val modeKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.get(modeKey)
-      try {
-        spark.conf.set(modeKey, "dynamic")
-        spark.table(stg).select(target.columns.map(col).toSeq: _*)
-          .write.mode(SaveMode.Overwrite).insertInto(table)
-      } finally spark.conf.set(modeKey, prev)
-      spark.sql(s"DROP TABLE IF EXISTS $stg")
+      withStagingTable(spark, table, merged) { stg =>
+        val modeKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.get(modeKey)
+        try {
+          spark.conf.set(modeKey, "dynamic")
+          spark.table(stg).select(target.columns.map(col).toSeq: _*)
+            .write.mode(SaveMode.Overwrite).insertInto(table)
+        } finally spark.conf.set(modeKey, prev)
+      }
     }
   }
 }

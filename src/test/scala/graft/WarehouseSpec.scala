@@ -160,4 +160,35 @@ class WarehouseSpec extends SparkSuite {
     assert(once.orderBy("id").collect().toSeq ==
       twice.orderBy("id").collect().toSeq)
   }
+
+  test("Merge.scd1 probes the target once (single-scan plan)") {
+    // round-3 review: the anti-join + origin-join formulation scanned the
+    // target slice twice; the full-outer rewrite must scan it exactly once
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .withColumn("fecha_actualizacion_origen", to_date(lit("2025-01-01")))
+      .withColumn("fecha_actualizacion", to_date(lit("2025-01-01")))
+      .write.mode("overwrite").parquet(dir)
+    val target = spark.read.parquet(dir)
+    val stage = Seq((2L, "b2"), (3L, "c")).toDF("id", "name")
+      .withColumn("fecha_actualizacion_origen", to_date(lit("2026-08-01")))
+      .withColumn("fecha_actualizacion", to_date(lit("2026-08-01")))
+    val merged = Merge.scd1(target, stage, "id",
+      auditDate = to_date(lit("2026-08-12")))
+    val plan = merged.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted explain prints each node once in the tree and once in the
+    // numbered detail section — count only the detail headers
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one target scan, got $scans in:\n$plan")
+    // null-keyed stage rows surface as inserts (never equi-join, must not
+    // collapse into all-null target columns)
+    val nullStage = Seq((Option.empty[java.lang.Long], "nk")).toDF("id", "name")
+      .withColumn("fecha_actualizacion_origen", to_date(lit("2026-08-01")))
+      .withColumn("fecha_actualizacion", to_date(lit("2026-08-01")))
+    val withNull = Merge.scd1(target, nullStage, "id",
+      auditDate = to_date(lit("2026-08-12"))).collect()
+    assert(withNull.length == 3 &&
+      withNull.exists(r => r.isNullAt(0) && r.getString(1) == "nk"))
+  }
 }
