@@ -166,12 +166,22 @@ object Dedup {
     */
   def oversizedBuckets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, minTokens: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    oversizedOf(df.filter(size(split(col(textCol), " ")) >= minTokens),
+      idCol, shingleHashes(col(textCol)), k, bands, maxBucket)
+
+  /** Char-shingle audit twin of the [[charMinHashCandidates]] cap. */
+  def charOversizedBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    oversizedOf(df.filter(length(col(textCol)) >= n), idCol,
+      charShingleHashes(col(textCol), n), k, bands, maxBucket)
+
+  private def oversizedOf(df: DataFrame, idCol: String, hashes: Column,
+      k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rows = k / bands
-    val sig = graft.functions.NativeHash
-      .minHashSig(shingleHashes(col(textCol)), k)
-    df.filter(size(split(col(textCol), " ")) >= minTokens)
-      .select(col(idCol), posexplode(bandHashes(sig, bands, rows))
+    val sig = graft.functions.NativeHash.minHashSig(hashes, k)
+    df.select(col(idCol), posexplode(bandHashes(sig, bands, rows))
         .as(Seq("band", "bucket")))
       .groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)

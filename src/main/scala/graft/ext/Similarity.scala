@@ -57,7 +57,14 @@ object Similarity {
     * TypedImperativeAggregate) runs as a two-phase ObjectHashAggregate:
     * partitions keep k-bounded heaps map-side and only ≤k-entry heaps
     * shuffle. Top-k is monotone under union → identical rows and ranks
-    * (score desc, cand_id asc tiebreak) to the window formulation.
+    * (score desc, cand_id asc tiebreak) to the window formulation —
+    * for non-null scores: TopKByScore drops null-score/null-item
+    * candidates, where the window idiom would rank them NULLS LAST, so a
+    * probe with fewer than k non-null-scored candidates returns only the
+    * non-null ones here. Cosine yields null exactly when an embedding is
+    * null/empty — a row that MUST not count as a "nearest neighbor" —
+    * so dropping is the intended semantics (and what the oracle SQL
+    * computes); divergence documented rather than papered over.
     */
   private[graft] def topKPerProbe(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("probe_id")
@@ -197,8 +204,17 @@ object Similarity {
     /** Fit k-means and persist the cell assignment (materialized eagerly
       * so the first search doesn't absorb the build).
       */
+    /** `nPartitions` sizes the pinned k-means input layout. The default
+      * (32) is the verification setting — deterministic at local[32] test
+      * scale; a real 100 TB corpus should pass executors×cores-scale
+      * parallelism (e.g. 4000 on a 1000-executor cluster) or the fit
+      * bottlenecks on 32 tasks. Changing it changes which rows k-means||
+      * init samples, hence the centroids — same recall, different cells —
+      * so pin one value per corpus for reproducible indexes.
+      */
     def build(corpus: DataFrame, nCentroids: Int = 16,
-        idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex = {
+        idCol: String = "vec_id", embCol: String = "embedding",
+        nPartitions: Int = 32): IvfIndex = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
 
@@ -208,7 +224,7 @@ object Similarity {
         // samples per partition, so an environment-dependent split layout
         // (file sizes, core count) would otherwise vary the centroids
         // even at a fixed seed
-        .repartition(32, col("cand_id"))
+        .repartition(nPartitions, col("cand_id"))
         .withColumn("features", array_to_vector(col("cand_emb")))
       val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
         .fit(c) // 5 iterations: cell quality plateaus early; recall asserted in tests
@@ -293,4 +309,15 @@ object Similarity {
         col("cos"))
       .distinct()
   }
+
+  /** Embedding-bucket audit twin of the [[embeddingNearDups]] cap: the
+    * (bucket, size) rows a given `maxBucket` would drop (see
+    * [[Dedup.oversizedBuckets]]).
+    */
+  def embeddingOversizedBuckets(df: DataFrame, planes: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    df.select(lshBucket(toDouble(col(embCol)), planes).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 }

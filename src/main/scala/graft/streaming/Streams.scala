@@ -23,7 +23,11 @@ object Streams {
     * batch is deduplicated against the lake with the pruned max-time
     * probe (graft.lake.DataLake.appendIncremental) and appended under its
     * partition dirs. `foreachBatch` gives exactly-once per-batch replay
-    * semantics via the checkpoint.
+    * semantics via the checkpoint: a restarted query resumes after the
+    * last committed offset, so committed batches are not re-ingested and
+    * data arriving during downtime is picked up (StreamsSpec
+    * "restarts from checkpoint" drives a stop + restart end-to-end —
+    * the restart story the reference's daemon loop lacked).
     */
   def ingestToLake(stream: DataFrame, lakeDir: String, checkpointDir: String,
       intervalSec: Long = 900,

@@ -43,6 +43,35 @@ class DedupGuardSpec extends SparkSuite {
     val capped = Similarity.embeddingNearDups(vecs, threshold = 0.9,
       maxBucket = 4)
     assert(capped.count() == 0)
+    // audit twin reports the one shared bucket of all 12 vectors
+    val over = Similarity.embeddingOversizedBuckets(vecs, maxBucket = 4)
+      .select("bucket_size").as[Long].collect()
+    assert(over.toSeq == Seq(12L))
+  }
+
+  test("char minhash: audit twin mirrors the cap (round-4 advice)") {
+    val over = Dedup.charOversizedBuckets(boilerplate, "doc_id", "text",
+        maxBucket = 8)
+      .select("bucket_size").as[Long].collect()
+    assert(over.nonEmpty && over.forall(_ == 20L))
+    assert(Dedup.charMinHashCandidates(boilerplate, "doc_id", "text",
+      maxBucket = 8).count() == 0)
+  }
+
+  test("curate releases its persisted boundary (no CacheManager pin)") {
+    val docs = (0L until 30L).map(i =>
+      (i, s"document number $i with some reasonable words inside it " +
+        "to pass the quality floor easily")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = graft.ext.Curation.curate(docs, minQuality = 0.0,
+      auditOversized = true)
+    assert(out.count() > 0)
+    // the corpus-sized boundary must not stay pinned after curate()
+    // returns (round-3 advice: CacheManager holds strong refs forever);
+    // only the narrow localCheckpoint result may remain persistent
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"curate leaked persisted RDDs: $before -> $after")
   }
 
   test("simhash pairs: exact floor bucketing incl. negative ids") {

@@ -56,6 +56,31 @@ class ScaleOpsSpec extends SparkSuite {
     assert(out == Map(10L -> 100L, 11L -> 101L, 20L -> -1L))
   }
 
+  test("asOfSliced equals asOf on a hot key spanning many slices") {
+    import java.sql.Timestamp
+    // one hot key with events across hours (many 10-min slices, incl.
+    // left-only slices that need carry-in), one cold key, one no-match key
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    val left = ((1L to 300L).map(i => (1L, i, ts(i))) ++
+      Seq((2L, 901L, ts(5L)), (3L, 950L, ts(1L))))
+      .toDF("user_id", "event_id", "ts")
+    // right rows only every 37 min → most slices have no right row
+    val right = ((1L to 8L).map(j => (1L, ts(j * 37L), j * 100L)) ++
+      Seq((2L, ts(3L), 999L)))
+      .toDF("user_id", "click_ts", "click_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "click_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val plain = run(graft.ops.AsOfJoin
+      .asOf(left, right, "user_id", "ts", "click_ts"))
+    val sliced = run(graft.ops.AsOfJoin
+      .asOfSliced(left, right, "user_id", "ts", "click_ts", 600L))
+    assert(sliced == plain)
+    assert(plain(950L) == -1L && plain(901L) == 999L)
+  }
+
   test("range join: boundary inclusion, bucket straddling, key isolation") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
