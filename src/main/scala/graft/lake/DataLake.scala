@@ -35,6 +35,25 @@ object DataLake {
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
+  /** Schema-evolution read. The reference aligns schemas only at INGEST
+    * ("the API deletes empty fields", main.py:241-263); a long-lived lake
+    * also needs the READ side: partitions written under older schemas
+    * must surface with nulls for columns they predate. `mergeSchema`
+    * unions parquet footers by name across all discovered files.
+    *
+    * Scale note: merging reads every file's footer at planning time —
+    * fine for a dimension or a bounded partition range, expensive over
+    * millions of fact files; production fact tables pin a declared
+    * schema (`spark.read.schema(s)`) and evolve via the catalog instead.
+    */
+  def readMerged(spark: SparkSession, path: String): Option[DataFrame] =
+    try {
+      val df = spark.read.option("mergeSchema", "true").parquet(path)
+      if (df.isEmpty) None else Some(df)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
   /** S4 + A1/ST4 (main.py:80-114): partitioned append of an incremental
     * batch with duplicate-poll suppression.
     *

@@ -351,9 +351,56 @@ object ScaleQueries {
       |  AND p.ts >= w.win_start AND p.ts <= w.win_end
       |ORDER BY p.event_id, w.click_event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  // Skew-safe as-of join: the q40 semantics through AsOfJoin.asOfSliced
+  // (windows partitioned by (key, 1-hour time slice) + slice-spine carry,
+  // so one hot user cannot funnel onto one reducer). Same DuckDB ASOF
+  // oracle as q40 — the sliced plan must not change a single match.
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max("event_id").as("click_event_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.ops.AsOfJoin.asOfSliced(purchases, clicks, "user_id", "ts",
+        "click_ts", sliceSeconds = 3600L)
+      .select("event_id", "user_id", "ts", "click_ts", "click_event_id")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q45
+  // Lake schema evolution on read: two generations of a dimension are
+  // written under one lake dir — the old generation predates n_regionkey
+  // — and DataLake.readMerged (mergeSchema) surfaces old rows with null
+  // for the missing column. Oracle computes the same union from the
+  // source table directly.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_q45_lake").toString
+    nation.select("n_nationkey", "n_name")
+      .write.parquet(lake + "/gen=old")
+    nation.select("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(lake + "/gen=new")
+    graft.lake.DataLake.readMerged(s, lake).get
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("gen"))
+      .orderBy("gen", "n_nationkey")
+  }
+
+  private val q45Sql =
+    """SELECT n_nationkey, n_name, n_regionkey, 'new' AS gen FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+      |  'old' AS gen FROM nation
+      |ORDER BY gen, n_nationkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_sliced" -> (q44 _),
+    "q45_schema_evolution" -> (q45 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -371,6 +418,8 @@ object ScaleQueries {
     * counts) precisely so the sketch/k-means paths stay oracle-checkable.
     */
   val oracles: Map[String, String] = Map(
+    "q44_asof_sliced" -> q40Sql, // identical semantics to q40 by design
+    "q45_schema_evolution" -> q45Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,
