@@ -35,13 +35,20 @@ final class DataLake(spark: SparkSession, cfg: GraftConfig = GraftConfig()) {
   }
 
   /** S4+A1 (main.py:80-114): partitioned incremental append with
-    * duplicate-poll suppression. `adv` gated the reference's console
-    * warning (main.py:106); the boolean return carries that signal here.
+    * duplicate-poll suppression. `adv` gates the duplicate-poll warning
+    * exactly as in the reference (main.py:106); the boolean return
+    * additionally carries the signal programmatically.
     */
   def a_parquet_inc(registro: DataFrame, partic: Seq[String],
-      adv: Boolean = true): Boolean =
-    graft.lake.DataLake.appendIncremental(spark, registro, cfg.lake.factDir,
+      adv: Boolean = true): Boolean = {
+    val appended = graft.lake.DataLake.appendIncremental(spark, registro,
+      cfg.lake.factDir,
       partic.headOption.getOrElse(cfg.lake.partitionCol), cfg.lake.timeCol)
+    if (!appended && adv)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn("a_parquet_inc: duplicate poll suppressed (no newer rows)")
+    appended
+  }
 
   /** S5+J2 (main.py:116-150): all-or-nothing dimension append. */
   def a_parquet_full(registro: DataFrame): Boolean =

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -17,29 +17,90 @@ import org.apache.spark.storage.StorageLevel
   * dropping is deterministic; full transitive clustering (connected
   * components) is the documented heavier alternative when dup chains
   * matter.
+  *
+  * Lifecycle: [[Curation.curate]] is the one-shot path (scan, cure,
+  * release — nothing stays pinned). [[Curation.open]] returns a
+  * [[CurationSession]] for repeated curation of ONE corpus (e.g. sweeping
+  * `nearThreshold`): the scored+exact-deduped boundary is scanned and
+  * cached once, every `session.curate(...)` reuses it, and the caller
+  * releases it explicitly — mirroring `IvfIndex.cached`/`invalidate`.
   */
 object Curation {
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
-  /** Runs the pipeline and returns the curated `(id, quality)` set,
-    * MATERIALIZED (localCheckpoint): the corpus-sized persisted boundary
-    * is released before returning, in a finally.
+  /** Runs the full pipeline once and returns the curated `(id, quality)`
+    * set, MATERIALIZED (localCheckpoint): the corpus-sized persisted
+    * boundary is released before returning, in a finally.
     *
-    * Why eager: `Dataset.persist` registers the plan in the session's
-    * CacheManager, which holds a STRONG reference — ContextCleaner never
-    * frees it when the plan merely becomes unreferenced, so a lazy curate
-    * would pin a full scored copy of every corpus it ever touched for the
-    * application lifetime (round-3 advice). Materializing the narrow
-    * two-column result while the boundary is hot, then unpersisting,
-    * bounds the retained footprint to the output. The checkpointed blocks
-    * ARE RDD-scoped, so those the ContextCleaner does free on GC.
+    * Why the explicit release: `Dataset.persist` registers the plan in
+    * the session's CacheManager, which holds a STRONG reference —
+    * ContextCleaner never frees it when the plan merely becomes
+    * unreferenced, so a leaked boundary would pin a full scored copy of
+    * every corpus it ever touched for the application lifetime (round-3
+    * advice). Materializing the narrow two-column result while the
+    * boundary is hot, then unpersisting, bounds the retained footprint to
+    * the output. The checkpointed blocks ARE RDD-scoped, so those the
+    * ContextCleaner does free on GC.
     *
     * Scale note: localCheckpoint truncates lineage — an executor lost
     * after curate() returns cannot recompute its result blocks. The
     * output is O(kept ids) × 2 narrow columns; a production 100 TB run
     * lands it in a table immediately anyway (at which point the
     * checkpoint blocks are dead weight and GC reclaims them).
+    */
+  def curate(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minQuality: Double = 1.5,
+      nearThreshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      auditOversized: Boolean = false): DataFrame = {
+    val session = open(df, idCol, textCol, minQuality)
+    try session.curate(nearThreshold, k, bands, auditOversized)
+    finally session.release()
+  }
+
+  /** Scores + exact-dedups the corpus ONCE into a cached boundary and
+    * hands the caller its lifecycle. The scan happens here (eager
+    * materialize), so every subsequent `session.curate(...)` — different
+    * thresholds, bands, audit on/off — touches only the cached boundary.
+    *
+    * MEMORY_AND_DISK: an over-memory corpus spills instead of silently
+    * recomputing the whole scored subtree on each reuse. The caller MUST
+    * `release()` (or the blocks stay pinned by the CacheManager for the
+    * application lifetime — see [[curate]]).
+    */
+  def open(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minQuality: Double = 1.5): CurationSession = {
+    val qualified = df
+      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .withColumn("fingerprint", Text.fingerprint(col(textCol)))
+      .filter(col("quality") >= minQuality)
+    // exact dedup: deterministic keeper = min id per normalized fingerprint
+    val keepers = qualified.groupBy("fingerprint")
+      .agg(min(col(idCol)).as(idCol))
+    val exactKept = qualified
+      .join(keepers, Seq("fingerprint", idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    exactKept.count() // materialize now — the corpus scan stays in open()
+    new CurationSession(exactKept, idCol, textCol)
+  }
+}
+
+/** A cached curation boundary over one corpus: quality-scored,
+  * fingerprinted, exact-deduped, persisted. Obtain via [[Curation.open]];
+  * call [[release]] when done (the cache is CacheManager-pinned until
+  * then).
+  */
+final class CurationSession private[ext] (
+    /** The cached boundary (`corpus columns + quality + fingerprint`,
+      * exact-dups removed). Exposed for audits and tests; treat as
+      * read-only.
+      */
+    val exactKept: DataFrame,
+    idCol: String, textCol: String) {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Near-dup removal over the cached boundary → curated `(id, quality)`
+    * set, materialized (localCheckpoint) so the result outlives
+    * [[release]].
     *
     * `auditOversized = true` additionally logs what the LSH mega-bucket
     * cap dropped (count + total rows of buckets over
@@ -47,41 +108,27 @@ object Curation {
     * quadratic-bucket guard, priced as one extra pass over the cached
     * boundary (opt-in for that reason).
     */
-  def curate(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minQuality: Double = 1.5,
-      nearThreshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+  def curate(nearThreshold: Double = 0.5, k: Int = 16, bands: Int = 4,
       auditOversized: Boolean = false): DataFrame = {
-    val analyzed = df
-      .withColumn("quality", Text.qualityScore(col(textCol)))
-      .withColumn("fingerprint", Text.fingerprint(col(textCol)))
-    val qualified = analyzed.filter(col("quality") >= minQuality)
+    if (auditOversized) {
+      val over = Dedup.oversizedBuckets(exactKept, idCol, textCol, k, bands)
+        .agg(count(lit(1)).as("n"), sum("bucket_size").as("rows"))
+        .collect()(0)
+      log.warn(s"curate: LSH cap (${Dedup.DefaultMaxBucket}) drops " +
+        s"${over.getLong(0)} oversized buckets covering " +
+        s"${if (over.isNullAt(1)) 0L else over.getLong(1)} bucket rows")
+    }
+    val drops = Dedup
+      .nearDuplicates(exactKept, idCol, textCol, nearThreshold, k, bands)
+      .select(col("id_b").as(idCol)).distinct()
 
-    val keepers = qualified.groupBy("fingerprint")
-      .agg(min(col(idCol)).as(idCol))
-    // exactKept feeds three consumers (LSH candidates, the Jaccard verify
-    // join, the final anti-join). Persist the boundary so the corpus is
-    // scanned + quality-scored + fingerprinted once, not once per stage;
-    // MEMORY_AND_DISK so an over-memory corpus spills instead of silently
-    // recomputing the whole subtree.
-    val exactKept = qualified
-      .join(keepers, Seq("fingerprint", idCol), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (auditOversized) {
-        val over = Dedup.oversizedBuckets(exactKept, idCol, textCol, k, bands)
-          .agg(count(lit(1)).as("n"), sum("bucket_size").as("rows"))
-          .collect()(0)
-        log.warn(s"curate: LSH cap (${Dedup.DefaultMaxBucket}) drops " +
-          s"${over.getLong(0)} oversized buckets covering " +
-          s"${if (over.isNullAt(1)) 0L else over.getLong(1)} bucket rows")
-      }
-      val drops = Dedup
-        .nearDuplicates(exactKept, idCol, textCol, nearThreshold, k, bands)
-        .select(col("id_b").as(idCol)).distinct()
-
-      exactKept.join(drops, Seq(idCol), "left_anti")
-        .select(col(idCol), col("quality"))
-        .localCheckpoint(true)
-    } finally { exactKept.unpersist(); () }
+    exactKept.join(drops, Seq(idCol), "left_anti")
+      .select(col(idCol), col("quality"))
+      .localCheckpoint(true)
   }
+
+  /** Unpersist the boundary. Results already returned by [[curate]] are
+    * checkpoint-materialized and unaffected.
+    */
+  def release(): Unit = { exactKept.unpersist(); () }
 }

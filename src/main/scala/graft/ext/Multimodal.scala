@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, plus the Spark-side
   * plumbing for decode / feature-extract / resize / frame-sample.
   *
-  * The actual codec step is STUBBED — image/audio libraries are not in
-  * this container — as a deterministic fake over the raw bytes (clearly
-  * marked below). Everything around it is real and tested: the schema,
-  * the partitioning, the per-partition batch iteration shape, and the
-  * byte-level sampling operators (those are pure Spark expressions and
-  * ARE verified against the DuckDB oracle).
+  * The image decode path is REAL end-to-end: [[synthesizeImages]] encodes
+  * genuine PNG/BMP payloads (JDK `javax.imageio`, no external codecs) with
+  * a deterministic pixel pattern, and [[decodeImages]] decodes them back
+  * with `ImageIO.read` inside `mapPartitions`, extracting true
+  * width/height/mean-pixel plus a nearest-neighbor resize — every derived
+  * fact arithmetically reproducible by the DuckDB oracle (both formats
+  * are lossless, so decoded samples equal the synthesis formula exactly).
+  * [[synthesizeFromText]] + [[sampleBytes]] cover the
+  * byte-level/opaque-payload operators (frame sampling, metadata reads).
   *
   * Scale design: media bytes are the heaviest column in any multimodal
   * table — every operator here either prunes it (metadata-only reads
@@ -81,44 +84,116 @@ object Multimodal {
     s"list_transform(generate_series(1, least(length($textE) // $stride, $maxSamples)), " +
       s"i -> ascii(substring($textE, (i-1)*$stride + 1, 1)))"
 
-  /** Decoded-feature record produced by the stubbed decoder. */
-  case class DecodedFeatures(media_id: Long, kind: String, n_bytes: Int,
-      brightness: Double, resized_w: Int, resized_h: Int)
+  /** One synthesized real image: genuine encoded PNG/BMP payload. */
+  case class MediaImage(media_id: Long, fmt: String, bytes: Array[Byte])
 
-  /** Decode + feature-extract + resize, batched per partition.
-    *
-    * The `mapPartitions` shape is the real contract at scale: one
-    * decoder-context per partition (codecs are expensive to init), bytes
-    * streamed once, nothing shuffled. ==== STUB ====: the codec call
-    * itself is replaced by a deterministic fake (byte statistics) because
-    * no image/audio codec ships in this container; swap `fakeDecode` for
-    * a real decoder binding in production. ==============
+  /** Decoded-feature record: true dimensions and pixel statistics from
+    * the actual decoded raster, plus a nearest-neighbor resize.
     */
-  def decodeFeatures(media: DataFrame, targetW: Int = 224,
-      targetH: Int = 224): Dataset[DecodedFeatures] = {
-    val spark = media.sparkSession
+  case class DecodedImage(media_id: Long, fmt: String, width: Int,
+      height: Int, n_pixels: Long, brightness: Double,
+      resized_w: Int, resized_h: Int, resized_brightness: Double)
+
+  /** Synthesized-image dimension formulas (shared by encode, decode spec
+    * and the SQL oracle twin): w ∈ [2,8], h ∈ [2,6], gray value
+    * v(x,y) = (id·31 + x·7 + y·13) mod 256. Ids are expected non-negative
+    * (`floorMod` here; the oracle's `%` agrees on non-negatives).
+    */
+  private[graft] def synthWidth(id: Long): Int =
+    (Math.floorMod(id, 7L) + 2).toInt
+  private[graft] def synthHeight(id: Long): Int =
+    (Math.floorMod(id, 5L) + 2).toInt
+  private[graft] def synthPixel(id: Long, x: Int, y: Int): Int =
+    Math.floorMod(id * 31L + x * 7L + y * 13L, 256L).toInt
+
+  /** Deterministic REAL image table derived from an id column: each row
+    * carries an actual PNG or BMP payload (format cycles by id) encoded
+    * with JDK `ImageIO` from the [[synthPixel]] gray pattern. Both formats
+    * are lossless 24-bit RGB, so any decoder recovers the exact pixel
+    * values — which is what makes [[decodeImages]] oracle-checkable.
+    *
+    * `mapPartitions`: one encoder pass per partition; the payload is born
+    * on the executor and never shuffles.
+    */
+  def synthesizeImages(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        // one decoder context per partition would be created HERE
-        rows.map { case (id, kind, bytes) =>
-          val (bright, w, h) = fakeDecode(bytes)
-          DecodedFeatures(id, kind, bytes.length, bright,
-            math.min(w, targetW), math.min(h, targetH))
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val w = synthWidth(id)
+        val h = synthHeight(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = synthPixel(id, x, y)
+            raster.setSample(x, y, 0, v)
+            raster.setSample(x, y, 1, v)
+            raster.setSample(x, y, 2, v)
+            x += 1
+          }
+          y += 1
         }
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, fmt, bos),
+          s"no ImageIO writer for format $fmt")
+        MediaImage(id, fmt, bos.toByteArray)
       }
+    }.toDF()
   }
 
-  /** ==== STUB ==== deterministic fake decoder: "brightness" = mean byte
-    * value, "dimensions" derived from payload length. A real
-    * implementation calls the image/audio codec here.
+  /** REAL decode + feature-extract + resize, batched per partition:
+    * `ImageIO.read` parses the actual PNG/BMP payload; width/height and
+    * brightness (mean of the first raster band — channels are equal by
+    * construction) come from decoded pixels, and the resize is a true
+    * nearest-neighbor resample of the raster (source pixel of output
+    * (x',y') is (⌊x'·w/rw⌋, ⌊y'·h/rh⌋) — integer arithmetic, so the
+    * oracle reproduces the resized statistics too).
+    *
+    * The `mapPartitions` shape is the contract at scale: decoder setup
+    * amortized per partition, bytes streamed once, nothing shuffled.
     */
-  private def fakeDecode(bytes: Array[Byte]): (Double, Int, Int) = {
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    val brightness =
-      if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    (brightness, 64 + bytes.length % 512, 48 + bytes.length % 384)
+  def decodeImages(media: DataFrame, targetW: Int = 224,
+      targetH: Int = 224): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "fmt", "bytes").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, fmt, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable payload for media_id=$id")
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          val n = w.toLong * h
+          val rw = math.min(w, targetW)
+          val rh = math.min(h, targetH)
+          var sumR = 0L
+          var yp = 0
+          while (yp < rh) {
+            val sy = yp * h / rh
+            var xp = 0
+            while (xp < rw) {
+              sumR += raster.getSample(xp * w / rw, sy, 0)
+              xp += 1
+            }
+            yp += 1
+          }
+          DecodedImage(id, fmt, w, h, n, sum.toDouble / n, rw, rh,
+            sumR.toDouble / (rw.toLong * rh))
+        }
+      }
   }
 }

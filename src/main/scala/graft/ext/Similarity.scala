@@ -252,10 +252,17 @@ object Similarity {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
+    /** Signature parity with [[build]] — `nPartitions` reaches the
+      * k-means input layout on the cached path too (a 100 TB corpus
+      * indexed through `cached` must be able to set fit parallelism;
+      * note it participates in centroid determinism, so keep it constant
+      * per cache key).
+      */
     def cached(key: String, corpus: => DataFrame, nCentroids: Int = 16,
-        idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex =
+        idCol: String = "vec_id", embCol: String = "embedding",
+        nPartitions: Int = 32): IvfIndex =
       cache.computeIfAbsent(key,
-        _ => build(corpus, nCentroids, idCol, embCol))
+        _ => build(corpus, nCentroids, idCol, embCol, nPartitions))
 
     /** Drop one cached index and unpersist its assignment blocks. */
     def invalidate(key: String): Unit =

@@ -38,6 +38,19 @@ object Q {
     */
   def centsSumSql(rowExpr: String): String =
     s"sum(CAST(round(($rowExpr)*100) AS BIGINT))/100.0"
+
+  /** Remove a fixture temp dir (best-effort): repeated bench/verify runs
+    * must not accumulate copies of the testdata under /tmp.
+    */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => { Files.deleteIfExists(q); () })
+      finally walk.close()
+    }
+  }
 }
 
 /** Reference-surface queries (SURVEY.md §2.1-§2.10) over the driver

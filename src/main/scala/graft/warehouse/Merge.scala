@@ -39,10 +39,18 @@ object Merge {
       auditDate: Column = current_date()): DataFrame = {
     val cols = target.columns
     val pref = "__s_"
+    // presence-flag name derived fresh against the stage columns: a stage
+    // that legitimately has a column named "present" renames to
+    // __s_present, and a fixed flag name would silently overwrite it with
+    // `true` — corrupting that column on every matched row.
+    val flag = (Iterator.single("present") ++
+        Iterator.from(2).map(i => s"present_$i"))
+      .map(pref + _).find(f => !stage.columns.contains(f.drop(pref.length)))
+      .get
     val stg = stage.columns.foldLeft(stage)((d, c) =>
         d.withColumnRenamed(c, pref + c))
-      .withColumn(pref + "present", lit(true))
-    val matched = col(pref + "present").isNotNull
+      .withColumn(flag, lit(true))
+    val matched = col(flag).isNotNull
     val out = cols.map {
       case c if c == key =>
         coalesce(col(pref + key), col(key)).as(key)

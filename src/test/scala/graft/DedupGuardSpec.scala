@@ -74,6 +74,30 @@ class DedupGuardSpec extends SparkSuite {
       s"curate leaked persisted RDDs: $before -> $after")
   }
 
+  test("CurationSession: repeated curate calls scan the corpus once") {
+    // count real passes over the source with an accumulator inside a
+    // pass-through mapPartitions: any boundary recompute re-fires it
+    val acc = spark.sparkContext.longAccumulator("corpus-scans")
+    val corpus = (0L until 30L).map(i =>
+        (i, s"unique document number $i with enough distinct words to " +
+          "clear the default quality floor comfortably"))
+      .toDF("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions { it => acc.add(1L); it }
+      .toDF("doc_id", "text")
+    val session = graft.ext.Curation.open(corpus, minQuality = 0.0)
+    try {
+      val scansAfterOpen = acc.value.longValue
+      assert(scansAfterOpen > 0)
+      val r1 = session.curate(nearThreshold = 0.5)
+      val r2 = session.curate(nearThreshold = 0.95)
+      assert(r1.count() > 0 && r2.count() > 0)
+      // both curate calls ran entirely off the cached boundary
+      assert(acc.value.longValue == scansAfterOpen,
+        s"curate recomputed the boundary: $scansAfterOpen -> ${acc.value}")
+    } finally session.release()
+  }
+
   test("simhash pairs: exact floor bucketing incl. negative ids") {
     // identical texts → hamming 0; expected pairs are exactly the id
     // windows, including across the 0 boundary (floor, not truncation)

@@ -193,7 +193,7 @@ class ExtSpec extends SparkSuite {
     assert(out(0) == "en" && out(1) == "es")
   }
 
-  test("multimodal: synthetic schema, byte sampling, decode stub") {
+  test("multimodal: synthetic schema and byte sampling") {
     val media = Multimodal.synthesizeFromText(docs, "doc_id", "text")
     assert(media.schema("bytes").dataType ==
       org.apache.spark.sql.types.BinaryType)
@@ -202,11 +202,40 @@ class ExtSpec extends SparkSuite {
     val s = media.filter($"media_id" === 4L)
       .select(Multimodal.sampleBytes($"bytes", 1, 4)).head.getSeq[Int](0)
     assert(s == Seq('s'.toInt, 'h'.toInt, 'o'.toInt, 'r'.toInt))
-    val feats = Multimodal.decodeFeatures(media).collect()
-      .map(f => f.media_id -> f).toMap
-    assert(feats(4L).n_bytes == "short doc".length)
-    val expBright = "short doc".getBytes.map(_ & 0xff).sum.toDouble / 9
-    assert(feats(4L).brightness == expBright)
-    assert(feats(4L).resized_w <= 224 && feats(4L).resized_h <= 224)
+  }
+
+  test("multimodal: real PNG/BMP payloads decode back to the exact pattern") {
+    val imgs = Multimodal.synthesizeImages(docs, "doc_id")
+    // payloads are genuine container formats (magic bytes), not fakes
+    imgs.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      r.getAs[String]("fmt") match {
+        case "png" => assert(bytes.take(4).toSeq ==
+          Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+        case "bmp" => assert(bytes.take(2).toSeq ==
+          Seq('B'.toByte, 'M'.toByte))
+        case other => fail(s"unexpected fmt $other")
+      }
+    }
+    val feats = Multimodal.decodeImages(imgs, targetW = 4, targetH = 3)
+      .collect()
+    assert(feats.length == 5)
+    feats.foreach { f =>
+      val id = f.media_id
+      val w = Multimodal.synthWidth(id)
+      val h = Multimodal.synthHeight(id)
+      // decoded dims and mean pixel must equal the synthesis formula —
+      // PNG and BMP are lossless, so this is exact, not approximate
+      assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+      val exp = (for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.synthPixel(id, x, y)).sum
+      assert(f.brightness == exp.toDouble / (w * h))
+      val rw = math.min(w, 4)
+      val rh = math.min(h, 3)
+      assert(f.resized_w == rw && f.resized_h == rh)
+      val expR = (for { yp <- 0 until rh; xp <- 0 until rw }
+        yield Multimodal.synthPixel(id, xp * w / rw, yp * h / rh)).sum
+      assert(f.resized_brightness == expR.toDouble / (rw * rh))
+    }
   }
 }

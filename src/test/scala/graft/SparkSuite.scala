@@ -4,9 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session per suite (SURVEY.md §5.2 determinism
-  * hygiene: UTC, fixed shuffle partitions).
+  * hygiene: UTC, fixed shuffle partitions). Every temp path a suite
+  * creates — including the session warehouse — is removed recursively on
+  * JVM exit (`File.deleteOnExit` alone silently leaks non-empty dirs).
   */
 trait SparkSuite extends AnyFunSuite {
+  private def rmOnExit(path: String): String = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(path))))
+    path
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
@@ -14,12 +22,10 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
-      s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
+      rmOnExit(s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}"))
     .getOrCreate()
 
-  def tmpDir(): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-test-").toFile
-    d.deleteOnExit()
-    d.getAbsolutePath
-  }
+  def tmpDir(): String =
+    rmOnExit(java.nio.file.Files.createTempDirectory("graft-test-")
+      .toAbsolutePath.toString)
 }

@@ -191,4 +191,25 @@ class WarehouseSpec extends SparkSuite {
     assert(withNull.length == 3 &&
       withNull.exists(r => r.isNullAt(0) && r.getString(1) == "nk"))
   }
+
+  test("Merge.scd1 survives a stage column literally named 'present'") {
+    // the presence flag is derived fresh against the stage columns: a
+    // fixed "__s_present" name would silently overwrite the renamed user
+    // column with `true` on every row (round-4 review)
+    val target = Seq((1L, "a", false), (2L, "b", true))
+      .toDF("id", "name", "present")
+      .withColumn("fecha_actualizacion_origen", to_date(lit("2025-01-01")))
+      .withColumn("fecha_actualizacion", to_date(lit("2025-01-01")))
+    val stage = Seq((2L, "b2", false), (3L, "c", false))
+      .toDF("id", "name", "present")
+      .withColumn("fecha_actualizacion_origen", to_date(lit("2026-08-01")))
+      .withColumn("fecha_actualizacion", to_date(lit("2026-08-01")))
+    val out = Merge.scd1(target, stage, "id",
+        auditDate = to_date(lit("2026-08-12")))
+      .orderBy("id").collect()
+    // matched + inserted rows must take the STAGE's present=false, not a
+    // leaked literal true; unmatched target row keeps its own value
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((1L, false), (2L, false), (3L, false)))
+  }
 }
