@@ -36,7 +36,10 @@ object Bench {
     // sentinel -1, its message lands in `errors`, and the exit code is
     // non-zero — so a broken query can never hide inside a fast total.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val runs = (1 to reps).map { _ =>
+    // SPARK_GRAFT_TRACE=1: per-rep per-query times to stderr, for chasing
+    // warmup-rep variance locally (run_totals only shows the sum).
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+    val runs = (1 to reps).map { rep =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -47,7 +50,9 @@ object Bench {
                 .replaceAll("[\"\\n\\r\\\\]", " ").take(300))
             false
           }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (trace) System.err.println(f"TRACE rep=$rep $name%-28s $dt%8.3f s")
+        name -> dt
       }
     }
     val best = selected.map { case (name, _) =>

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Deterministic, engine-portable sampling — the subsampling stage of a
+  * training-data mixer ("keep 100% of code, 30% of English web, 5% of
+  * low-quality crawl"), built so the SAME rows are selected on every
+  * run, every engine, every cluster size.
+  *
+  * Mechanism: a row is kept iff `sampleHash(key) < rate·P` — a pure
+  * per-row predicate on a stable key. That buys, for free:
+  *   - reproducibility: re-runs (and the DuckDB oracle) pick identical
+  *     rows, unlike `df.sample()` whose selection depends on partition
+  *     layout and seed plumbing;
+  *   - consistency under growth: a row's fate never changes as the
+  *     corpus around it grows, so incremental pipelines don't churn;
+  *   - nested samples: a 5% sample IS a subset of a 30% sample of the
+  *     same key — rate sweeps are monotone, no resample noise;
+  *   - scale: zero shuffle, zero state — the predicate rides the scan
+  *     (codegen'd) on any number of executors.
+  *
+  * The hash is [[sampleHash]]: [[PortableHash.polyHash]] scrambled
+  * through one [[PortableHash.affine]] step. The scramble is
+  * load-bearing, not decoration — a bare Horner fold of a SHORT key
+  * (numeric ids are 1-10 chars) lands in [0, ~31^len·127], far below
+  * P, so every row would pass any non-tiny threshold and the "sample"
+  * would silently keep everything; the affine multiply spreads those
+  * small values across [0, P) (measured: rates accurate to ~2% at
+  * n=600, ~0.1% at n=60k). Production at 100 TB swaps in `xxhash64`
+  * via the `hash` parameter — same topology, ~4× cheaper per char, no
+  * longer cross-engine-checkable.
+  */
+object Sampling {
+
+  import PortableHash.P
+
+  /** Keep-decision hash: poly fold + affine scramble, uniform on [0, P)
+    * even for short keys. The DuckDB twin is [[sampleHashSql]].
+    */
+  def sampleHash(c: Column): Column =
+    PortableHash.affine(lit(7), PortableHash.polyHash(c))
+
+  def sampleHashSql(e: String): String =
+    PortableHash.affineSql("7", s"(${PortableHash.polyHashSql(e)})")
+
+  private def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    math.round(rate * P)
+  }
+
+  /** Uniform deterministic sample: keep rows with hash(key) < rate·P. */
+  def deterministic(df: DataFrame, key: Column, rate: Double,
+      hash: Column => Column = sampleHash): DataFrame =
+    df.filter(hash(key.cast("string")) < lit(threshold(rate)))
+
+  /** Per-stratum deterministic sample. `rates` maps stratum values to
+    * keep-rates; unlisted strata fall back to `defaultRate`. The rate
+    * lookup is a broadcast-free map literal (`element_at` over a
+    * `typedLit` map — pure expression, stays inside whole-stage
+    * codegen); the keep decision is the same per-row hash predicate as
+    * [[deterministic]], so stratified output = union of per-stratum
+    * uniform samples, with all the same guarantees.
+    */
+  def stratified(df: DataFrame, key: Column, strata: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      hash: Column => Column = sampleHash): DataFrame = {
+    val thresholds: Map[String, Long] =
+      rates.map { case (s, r) => s -> threshold(r) }
+    val t = coalesce(
+      element_at(typedLit(thresholds), strata.cast("string")),
+      lit(threshold(defaultRate)))
+    df.filter(hash(key.cast("string")) < t)
+  }
+
+  /** DuckDB twin of the [[stratified]] keep-predicate, for oracle SQL:
+    * `CASE strata WHEN 's1' THEN h < t1 ... ELSE h < tDefault END`.
+    */
+  def stratifiedSql(keyE: String, strataE: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): String = {
+    val h = sampleHashSql(s"CAST($keyE AS VARCHAR)")
+    val arms = rates.toSeq.sortBy(_._1).map { case (s, r) =>
+      s"WHEN '$s' THEN $h < ${threshold(r)}" }.mkString(" ")
+    s"(CASE CAST($strataE AS VARCHAR) $arms ELSE $h < ${threshold(defaultRate)} END)"
+  }
+}

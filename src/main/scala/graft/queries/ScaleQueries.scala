@@ -422,11 +422,55 @@ object ScaleQueries {
       |  'old' AS gen FROM nation
       |ORDER BY gen, n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  // Bloom-prefiltered exact anti join — the incremental-dedup gate
+  // ("drop rows whose key is in the seen set") with the 100 TB shuffle
+  // fix: rows failing the distributed-built bloom skip the anti join
+  // entirely; only mightContain hits (matches + fpp noise) shuffle. The
+  // result is exact, so the oracle is the plain NOT EXISTS.
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val seen = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"))
+    graft.ops.BloomJoin.antiJoin(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+        seen, "l_orderkey", expectedItems = 1L << 21, fpp = 0.01)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q46Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  // Deterministic stratified sampling — the training-data mixer stage.
+  // Keep-decision is a portable per-row hash predicate (zero shuffle,
+  // reproducible across engines/runs/cluster sizes), so the DuckDB
+  // oracle selects the IDENTICAL rows, not just the same count.
+  private val q47Rates = Map("en" -> 0.8, "de" -> 0.5, "zh" -> 0.25)
+
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.stratified(
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        key = col("doc_id"), strata = col("lang"),
+        rates = q47Rates, defaultRate = 0.1)
+      .orderBy("doc_id")
+
+  private val q47Sql =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE ${graft.ext.Sampling.stratifiedSql("doc_id", "lang", q47Rates, 0.1)}
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_sliced" -> (q44 _),
     "q45_schema_evolution" -> (q45 _),
+    "q46_bloom_anti_join" -> (q46 _),
+    "q47_stratified_sample" -> (q47 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -446,6 +490,8 @@ object ScaleQueries {
   val oracles: Map[String, String] = Map(
     "q44_asof_sliced" -> q40Sql, // identical semantics to q40 by design
     "q45_schema_evolution" -> q45Sql,
+    "q46_bloom_anti_join" -> q46Sql,
+    "q47_stratified_sample" -> q47Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+import graft.ops.BloomJoin
+
+/** Bloom anti-join must be byte-equal to the plain anti join (the bloom
+  * only routes rows, never decides membership); deterministic sampling
+  * must be reproducible, nested across rates, and per-stratum exact.
+  */
+class BloomSamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val big = ((1L to 500L).map(i => (Some(i), s"p_$i")) ++
+    Seq((Option.empty[Long], "p_null1"), (Option.empty[Long], "p_null2")))
+    .toDF("k", "payload")
+  // seen: every third key, plus keys the big side doesn't have
+  private lazy val seen = (3L to 900L by 3L).map(Tuple1(_)).toDF("k")
+
+  test("bloom antiJoin equals plain left_anti, null keys kept") {
+    val viaBloom = BloomJoin.antiJoin(big, seen, "k",
+        expectedItems = 1000L, fpp = 0.03)
+      .orderBy(col("k").asc_nulls_first, col("payload"))
+      .collect().toSeq
+    val plain = big.join(seen, Seq("k"), "left_anti")
+      .orderBy(col("k").asc_nulls_first, col("payload"))
+      .collect().toSeq
+    assert(viaBloom == plain)
+    assert(viaBloom.count(_.isNullAt(0)) == 2) // null-key rows survive
+  }
+
+  test("bloom has no false negatives: every seen key is a might-hit") {
+    val bf = BloomJoin.buildFilter(seen, "k", expectedItems = 1000L,
+      fpp = 0.03)
+    val misses = seen.filter(!BloomJoin.mightContain(bf, col("k"))).count()
+    assert(misses == 0L)
+  }
+
+  test("deterministic sample: reproducible, nested, roughly sized") {
+    val docs = (1L to 2000L).map(i => (i, s"text $i")).toDF("id", "text")
+    def ids(rate: Double): Set[Long] =
+      Sampling.deterministic(docs, col("id"), rate)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s20a = ids(0.2)
+    val s20b = ids(0.2)
+    val s50 = ids(0.5)
+    assert(s20a == s20b)            // reproducible
+    assert(s20a.subsetOf(s50))      // nested: lower rate ⊆ higher rate
+    assert(math.abs(s20a.size - 400) < 120) // ~rate·n, hash-uniform
+    assert(math.abs(s50.size - 1000) < 150)
+  }
+
+  test("stratified sample equals per-stratum uniform samples") {
+    val docs = (1L to 1500L).map(i =>
+      (i, Seq("en", "de", "zh")(i.toInt % 3))).toDF("id", "lang")
+    val rates = Map("en" -> 0.6, "de" -> 0.3)
+    val got = Sampling.stratified(docs, col("id"), col("lang"), rates,
+        defaultRate = 0.05)
+      .orderBy("id").collect().toSeq
+    val want = Seq("en" -> 0.6, "de" -> 0.3, "zh" -> 0.05).map {
+      case (lang, r) =>
+        Sampling.deterministic(docs.filter(col("lang") === lang),
+          col("id"), r)
+    }.reduce(_ unionByName _).orderBy("id").collect().toSeq
+    assert(got == want)
+    // the zh stratum exercises the default-rate fallback, non-trivially
+    assert(got.exists(_.getString(1) == "zh"))
+  }
+}
