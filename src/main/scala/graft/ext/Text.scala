@@ -158,6 +158,60 @@ object Text {
         col("score"))
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * token windows of `size` tokens advancing by `size - overlap` — the
+    * sequence-preparation stage before training/embedding (a document
+    * longer than the model context must become several windows; the
+    * overlap preserves cross-boundary context).
+    *
+    * Chunk i covers tokens `[i·stride, i·stride + size)`;
+    * `1 + ceil(max(n - size, 0) / stride)` chunks per doc, so a short
+    * doc yields exactly one chunk and the last chunk is never empty.
+    * All integer arithmetic + array slicing — per-row, zero shuffle,
+    * codegen'd, linear in corpus size; output order is (id, chunk_id)
+    * with no window function needed (posexplode carries the index).
+    */
+  def chunkTokens(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", size: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size: size=$size overlap=$overlap")
+    val stride = size - overlap
+    val winLen = lit(size) // `size` the Int param, not functions.size
+    val toks = tokens(col(textCol))
+    val n = tokenCount(col(textCol))
+    // ceil((n-size)/stride) via exact integer arithmetic (x - x mod s)/s
+    // — no double division anywhere, mirroring AsOfJoin's bucket math
+    val x = greatest(n - winLen, lit(0)) + lit(stride - 1)
+    val lastChunk = ((x - pmod(x, lit(stride))) / lit(stride)).cast("int")
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), lastChunk)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, winLen), " ")
+          .as("chunk_text"),
+        least(org.apache.spark.sql.functions.size(col("__toks"))
+            - col("chunk_id") * stride, winLen)
+          .cast("long").as("n_tokens"))
+  }
+
+  /** DuckDB twin of [[chunkTokens]] (same slicing arithmetic). */
+  def chunkTokensSql(table: String, idE: String, textE: String,
+      size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""WITH __d AS MATERIALIZED (
+       |  SELECT $idE AS doc_id, string_split($textE, ' ') AS toks
+       |  FROM $table),
+       |__e AS (SELECT doc_id, toks,
+       |  unnest(generate_series(0,
+       |    CAST((greatest(len(toks) - $size, 0) + ${stride - 1}) // $stride AS INT)))
+       |    AS chunk_id FROM __d)
+       |SELECT doc_id, chunk_id,
+       |  array_to_string(toks[chunk_id*$stride+1 : chunk_id*$stride+$size], ' ')
+       |    AS chunk_text,
+       |  CAST(least(len(toks) - chunk_id*$stride, $size) AS BIGINT) AS n_tokens
+       |FROM __e""".stripMargin
+  }
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)
