@@ -359,4 +359,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  // --------------------------------------------- transitive dup clusters
+
+  /** Connected components over verified near-dup pairs — the transitive
+    * clustering that greedy per-pair dropping approximates (a~b, b~c ⇒
+    * {a,b,c} are one cluster even when a~c was never a candidate).
+    * Output: one row per id appearing in `pairs`, with `component` = the
+    * minimum id reachable from it (the canonical cluster keeper).
+    * Isolated docs never enter `pairs`, so absence from the output means
+    * "its own cluster".
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round every
+    * vertex takes the min of its own label and its neighbors' labels —
+    * one shuffle join + one partial-agg'd groupBy over `(id, long)`
+    * pairs only (text/sketches never enter). Rounds = component
+    * diameter, which for near-dup clusters is small (boilerplate
+    * families collapse through their hub doc in 1-2 hops); the
+    * alternating large-star/small-star scheme is the documented
+    * O(log n)-rounds alternative if pathological chains ever dominate.
+    * Every round is `localCheckpoint`ed (eager): lineage stays one round
+    * deep — no exponentially nested plan — and the superseded round's
+    * blocks are RDD-scoped, so the ContextCleaner frees them on GC.
+    * The driver sees only an emptiness probe per round (limit-1 under
+    * the hood), never data.
+    */
+  def dupComponents(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("__nb_min"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("__nb_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") =!= col("__old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"dupComponents: no fixpoint after $maxIter rounds " +
+      "— component diameter exceeds maxIter; raise it or switch to the " +
+      "large-star/small-star formulation")
+    labels
+  }
 }

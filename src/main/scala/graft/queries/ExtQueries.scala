@@ -370,6 +370,50 @@ object ExtQueries {
        |ORDER BY e.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q49
+  // Transitive dup clustering: connected components over the SAME
+  // verified near-dup pairs as q24 (a~b, b~c ⇒ one cluster even when
+  // a~c never surfaced as a candidate). Spark runs iterative min-label
+  // propagation to fixpoint; the oracle derives components as
+  // min-reachable-id via a recursive CTE — two entirely different
+  // algorithms that must land on identical clusters.
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupComponents(
+        Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.2, k = K, bands = BANDS))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+
+  private val q49Sql = {
+    val jac = Dedup.ngramJaccardSql("da.text", "db.text")
+    s"""WITH RECURSIVE docs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len(string_split(text,' ')) >= 3),
+       |sigs AS MATERIALIZED (SELECT doc_id, $sigSql AS sig FROM docs),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, band,
+       |    ${PortableHash.combineSql(s"sig[band*$ROWS+1:band*$ROWS+$ROWS]")} AS bucket
+       |  FROM sigs, range($BANDS) t(band)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id),
+       |ver AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN documents da ON da.doc_id = id_a
+       |  JOIN documents db ON db.doc_id = id_b
+       |  WHERE $jac >= 0.2),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS s, id_b AS d FROM ver
+       |  UNION ALL SELECT id_b, id_a FROM ver),
+       |reach AS (
+       |  SELECT s AS v, s AS r FROM edges
+       |  UNION
+       |  SELECT reach.v, e.d FROM reach JOIN edges e ON reach.r = e.s)
+       |SELECT v AS doc_id, min(r) AS component
+       |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -384,7 +428,8 @@ object ExtQueries {
     "q27_cosine_topk_ann" -> (q27 _),
     "q28_embedding_neardup" -> (q28 _),
     "q29_multimodal_meta" -> (q29 _),
-    "q42_corpus_curation" -> (q42 _))
+    "q42_corpus_curation" -> (q42 _),
+    "q49_dup_components" -> (q49 _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_stats" -> q20Sql,
@@ -398,5 +443,6 @@ object ExtQueries {
     "q27_cosine_topk_ann" -> q27Sql,
     "q28_embedding_neardup" -> q28Sql,
     "q29_multimodal_meta" -> q29Sql,
-    "q42_corpus_curation" -> q42Sql)
+    "q42_corpus_curation" -> q42Sql,
+    "q49_dup_components" -> q49Sql)
 }

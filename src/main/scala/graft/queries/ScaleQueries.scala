@@ -433,13 +433,16 @@ object ScaleQueries {
   // fix: rows failing the distributed-built bloom skip the anti join
   // entirely; only mightContain hits (matches + fpp noise) shuffle. The
   // result is exact, so the oracle is the plain NOT EXISTS.
+  // expectedItems ~2x the sf0.1 seen-set: oversizing costs real time
+  // (bitmap bytes scale with it, and 32 partition bitmaps merge at the
+  // driver) — 1<<21 measured 1.79 s vs 0.86 s at 1<<18.
   private def q46(s: SparkSession, dir: String): DataFrame = {
     val seen = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("l_orderkey"))
     graft.ops.BloomJoin.antiJoin(
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
-        seen, "l_orderkey", expectedItems = 1L << 21, fpp = 0.01)
+        seen, "l_orderkey", expectedItems = 1L << 18, fpp = 0.01)
       .orderBy("l_orderkey", "l_linenumber")
   }
 

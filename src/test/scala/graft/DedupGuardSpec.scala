@@ -98,6 +98,30 @@ class DedupGuardSpec extends SparkSuite {
     } finally session.release()
   }
 
+  test("dupComponents: multi-hop chains collapse to one min-labeled cluster") {
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds), a
+    // separate pair, and a triangle; ids never pair across groups
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain
+      (10L, 11L),                             // pair
+      (20L, 21L), (21L, 22L), (20L, 22L))     // triangle
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val want = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == want)
+  }
+
+  test("dupComponents: maxIter too small for the diameter fails loudly") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("simhash pairs: exact floor bucketing incl. negative ids") {
     // identical texts → hamming 0; expected pairs are exactly the id
     // windows, including across the 0 boundary (floor, not truncation)
