@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pass the forked JVM's stdout through verbatim: Bench prints ONE JSON
+// line the driver machine-parses, and sbt's default logger would prefix
+// it with "[info] " (every prior round's BENCH_r*.json shows
+// parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -386,9 +386,14 @@ object Dedup {
     */
   def dupComponents(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: every propagation round joins
+    // against it, and without this the whole upstream pair pipeline
+    // (LSH + verify, for near-dup input) would re-run per round —
+    // measured 4.95 s → 1.2 s at sf0.1 for q49
     val edges = pairs
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -399,17 +404,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("__nb_min"))
+      // carry the old label through the checkpoint: convergence is then
+      // a scan of materialized blocks, not another shuffle join
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"),
             coalesce(col("__nb_min"), col("component"))).as("component"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("component", "__old"), "id")
-        .filter(col("component") =!= col("__old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      labels = next.select("id", "component")
       iter += 1
     }
     require(converged, s"dupComponents: no fixpoint after $maxIter rounds " +
