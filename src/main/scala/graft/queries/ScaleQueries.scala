@@ -486,6 +486,29 @@ object ScaleQueries {
     graft.ext.Text.chunkTokensSql("documents", "doc_id", "text", 32, 8) +
       "\nORDER BY doc_id, chunk_id"
 
+  // ---------------------------------------------------------------- q50
+  // Greedy sequence packing: documents hash-sharded 16 ways, each shard
+  // packed into ≤256-token bins in doc_id order — Spark runs the
+  // secondary-sort mapPartitions fold; the oracle replays the identical
+  // sequential semantics with a recursive CTE. Deterministic bin ids,
+  // any cluster size.
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.packGreedy(
+        t(s, dir, "documents")
+          .select(pmod(col("doc_id"), lit(16)).as("shard"),
+            col("doc_id"),
+            graft.ext.Text.tokenCount(col("text")).as("n_tok")),
+        "shard", "doc_id", "n_tok", budget = 256L)
+      .toDF()
+      .orderBy("shard", "id")
+
+  private val q50Sql =
+    graft.ext.Packing.packGreedySql(
+      """SELECT doc_id % 16 AS shard, doc_id AS id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents""".stripMargin, budget = 256L) +
+      "\nORDER BY shard, id"
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -494,6 +517,7 @@ object ScaleQueries {
     "q46_bloom_anti_join" -> (q46 _),
     "q47_stratified_sample" -> (q47 _),
     "q48_doc_chunking" -> (q48 _),
+    "q50_sequence_packing" -> (q50 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -516,6 +540,7 @@ object ScaleQueries {
     "q46_bloom_anti_join" -> q46Sql,
     "q47_stratified_sample" -> q47Sql,
     "q48_doc_chunking" -> q48Sql,
+    "q50_sequence_packing" -> q50Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,
