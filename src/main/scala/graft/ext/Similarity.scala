@@ -48,6 +48,48 @@ object Similarity {
   def cosineSql(aE: String, bE: String): String =
     s"${dotSql(aE, bE)} / (sqrt(${dotSql(aE, aE)}) * sqrt(${dotSql(bE, bE)}))"
 
+  // -------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 scalar quantization: `q_i = clamp(⌊v_i·s + 0.5⌋)`
+    * with `s = 127 / max|v|` — the standard 4× memory cut for
+    * ANN-at-scale (an int8 corpus index holds 4× the vectors per
+    * executor; dequantized scores then re-rank the short list).
+    *
+    * Engine-portable by construction: rounding is the explicit
+    * `floor(x + 0.5)` (half-up) — never the engine's `round()`, whose
+    * half-way tie-breaking differs across engines — and every step is
+    * deterministic IEEE double arithmetic, so the DuckDB twin
+    * reproduces the quantized codes EXACTLY, not approximately.
+    * An all-zero vector quantizes to all-zero codes with scale null
+    * (nothing to scale).
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val maxAbs = array_max(transform(toDouble(emb), abs(_)))
+    val s = lit(127.0) / nullif(maxAbs, lit(0.0))
+    // the zero-vector branch must be an EXPLICIT when: least/greatest
+    // SKIP nulls (in Spark and DuckDB both), so clamp(null·v) would
+    // silently resolve to 127, not propagate null to a coalesce
+    transform(toDouble(emb), v =>
+      when(s.isNull, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(v * s + lit(0.5)).cast("long")))))
+  }
+
+  /** The quantization scale (127 / max|v|), null for all-zero vectors. */
+  def quantScale(emb: Column): Column =
+    lit(127.0) / nullif(array_max(transform(toDouble(emb), abs(_))), lit(0.0))
+
+  def quantizeInt8Sql(e: String): String = {
+    val mx = s"list_max(list_transform($e, v -> abs(CAST(v AS DOUBLE))))"
+    val s = s"(127.0 / NULLIF($mx, 0.0))"
+    s"list_transform($e, v -> CASE WHEN $s IS NULL THEN CAST(0 AS BIGINT) " +
+      s"ELSE greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), " +
+      s"CAST(floor(CAST(v AS DOUBLE) * $s + 0.5) AS BIGINT))) END)"
+  }
+
+  def quantScaleSql(e: String): String =
+    s"(127.0 / NULLIF(list_max(list_transform($e, v -> abs(CAST(v AS DOUBLE)))), 0.0))"
+
   /** Per-probe exact top-k over a scored candidate frame
     * (`probe_id, cand_id, score`) WITHOUT a global window. The
     * `row_number().over(partitionBy(probe_id))` idiom funnels every scored

@@ -414,6 +414,49 @@ object ExtQueries {
        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q51
+  // Int8 embedding quantization (the 4× ANN memory cut), exact across
+  // engines: codes use explicit half-up rounding (floor(x+0.5), never
+  // the engine's round()), so the oracle reproduces them bit-for-bit.
+  // Emitted facts: quant scale, a portable hash of the code vector, the
+  // exact integer self-norm, and the exact integer dot against probe 0
+  // — i.e. real scoring on quantized codes, not just the codes.
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = Similarity.quantizeInt8(col("embedding"))
+    val quantized = emb.select(col("vec_id"), q.as("q"),
+      Similarity.quantScale(col("embedding")).as("scale"))
+    val probe = quantized.filter(col("vec_id") === 0)
+      .select(col("q").as("pq"))
+    quantized.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("scale"),
+        PortableHash.combine(transform(col("q"), _ + lit(127L)))
+          .as("qhash"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v * v)
+          .as("qnorm2"),
+        aggregate(zip_with(col("q"), col("pq"), _ * _), lit(0L), _ + _)
+          .as("qdot0"))
+      .orderBy("vec_id")
+  }
+
+  private val q51Sql = {
+    val q = Similarity.quantizeInt8Sql("embedding")
+    val idot = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, len(q)), i -> q[i] * pq[i])), " +
+      "(acc, v) -> acc + v)"
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT vec_id, $q AS q,
+       |    ${Similarity.quantScaleSql("embedding")} AS scale
+       |  FROM embeddings),
+       |probe AS MATERIALIZED (SELECT q AS pq FROM qe WHERE vec_id = 0)
+       |SELECT vec_id, scale,
+       |  ${PortableHash.combineSql("list_transform(q, v -> v + 127)")} AS qhash,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(q, v -> v * v)), (acc, v) -> acc + v) AS qnorm2,
+       |  $idot AS qdot0
+       |FROM qe, probe ORDER BY vec_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,7 +472,8 @@ object ExtQueries {
     "q28_embedding_neardup" -> (q28 _),
     "q29_multimodal_meta" -> (q29 _),
     "q42_corpus_curation" -> (q42 _),
-    "q49_dup_components" -> (q49 _))
+    "q49_dup_components" -> (q49 _),
+    "q51_int8_quantization" -> (q51 _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_stats" -> q20Sql,
@@ -444,5 +488,6 @@ object ExtQueries {
     "q28_embedding_neardup" -> q28Sql,
     "q29_multimodal_meta" -> q29Sql,
     "q42_corpus_curation" -> q42Sql,
-    "q49_dup_components" -> q49Sql)
+    "q49_dup_components" -> q49Sql,
+    "q51_int8_quantization" -> q51Sql)
 }

@@ -111,6 +111,27 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("int8 quantization: codes bounded, signs preserved, max maps to ±127") {
+    val rows = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)), // max|v|=1.0 → -1.0 → -127
+      (2L, Array(0.0f, 0.0f)),               // all-zero → zero codes, null scale
+      (3L, Array(3.0f)))                     // single → 127
+      .toDF("vec_id", "embedding")
+    val got = rows.select($"vec_id",
+        Similarity.quantizeInt8($"embedding").as("q"),
+        Similarity.quantScale($"embedding").as("s"))
+      .orderBy("vec_id").collect()
+    assert(got(0).getSeq[Long](1) == Seq(64L, -127L, 32L, 0L)) // 0.5*127+0.5 → 64
+    assert(got(1).getSeq[Long](1) == Seq(0L, 0L) && got(1).isNullAt(2))
+    assert(got(2).getSeq[Long](1) == Seq(127L))
+    // dequantized values stay within half a step of the originals
+    val s0 = got(0).getDouble(2)
+    val deq = got(0).getSeq[Long](1).map(_ / s0)
+    Seq(0.5, -1.0, 0.25, 0.0).zip(deq).foreach { case (v, d) =>
+      assert(math.abs(v - d) <= 0.5 / s0 + 1e-12)
+    }
+  }
+
   test("cosine top-k ranks by similarity with deterministic ties") {
     val top = Similarity.bruteForceTopK(
       vecs.filter($"vec_id" === 0), vecs, k = 4).orderBy("rank").collect()
