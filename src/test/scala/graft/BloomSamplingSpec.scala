@@ -51,6 +51,22 @@ class BloomSamplingSpec extends SparkSuite {
     assert(math.abs(s50.size - 1000) < 150)
   }
 
+  test("sampleHash matches a pure-Scala reference (constants pinned)") {
+    // guards the portable constants: a drift here silently desyncs every
+    // committed q47-style oracle
+    val P = 1000000007L; val B = 31L
+    def ref(s: String): Long = {
+      val poly = s.foldLeft(0L)((acc, ch) => (acc * B + ch.toLong) % P)
+      (((7L * 40503 + 17) % P) * poly % P + (7L * 97 + 1) % P) % P
+    }
+    val keys = Seq("0", "1", "42", "999983", "-7", "hello world", "",
+      (1L to 40L).mkString(","))
+    val got = keys.toDF("k")
+      .select(Sampling.sampleHash(col("k")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == keys.map(ref))
+  }
+
   test("stratified sample equals per-stratum uniform samples") {
     val docs = (1L to 1500L).map(i =>
       (i, Seq("en", "de", "zh")(i.toInt % 3))).toDF("id", "lang")
