@@ -187,7 +187,18 @@ object Dedup {
       .filter(col("bucket_size") > maxBucket)
   }
 
-  /** Shared LSH banding core over any shingle-hash column. */
+  /** Shared LSH banding core over any shingle-hash column.
+    *
+    * Why the cap's dropped-row count is NOT observed inline (the audit
+    * twins + `Curation`'s opt-in log carry that signal instead): an
+    * `observe`/CollectMetrics node would have to sit under BOTH sides
+    * of the self-join, and observed-metric names must be unique within
+    * a query — while making the names differ per side would break the
+    * canonical-subtree equality that gives this plan its single
+    * Exchange + ReusedExchange (signatures computed once). One shuffle
+    * beats an inline counter; the audit pass prices the same window
+    * aggregate only when someone asks the question.
+    */
   private def lshCandidates(df: DataFrame, idCol: String, hashes: Column,
       k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rows = k / bands

@@ -223,7 +223,6 @@ object ExtQueries {
       .orderBy("probe_id", "rank")
   }
 
-  private val embD = "emb"
   private def cosSql(a: String, b: String) = Similarity.cosineSql(a, b)
 
   private val q26Sql =
