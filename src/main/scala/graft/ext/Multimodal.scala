@@ -196,4 +196,118 @@ object Multimodal {
         }
       }
   }
+
+  // ------------------------------------------------------- audio (WAV)
+
+  /** One synthesized real audio clip: genuine RIFF/WAVE payload
+    * (canonical 44-byte header + 8-bit mono PCM). WAV needs no codec —
+    * the container is pure byte arithmetic — so unlike the image path
+    * there is no library between the synthesis formula and the wire
+    * format at all.
+    */
+  case class MediaAudio(media_id: Long, bytes: Array[Byte])
+
+  /** Features extracted by genuinely parsing the WAV container. All
+    * integers (PCM is integral), so the oracle reproduces every column
+    * exactly: `duration_us = n·1e6 div rate`, `decim_sum` = sum of every
+    * 4th sample (the audio-downsampling op).
+    */
+  case class DecodedAudio(media_id: Long, sample_rate: Int,
+      bits_per_sample: Int, n_samples: Long, sum_samples: Long,
+      max_sample: Int, duration_us: Long, decim_sum: Long)
+
+  private[graft] val AudioRate = 8000
+  private[graft] def synthSampleCount(id: Long): Int =
+    (Math.floorMod(id, 50L) + 10).toInt
+  private[graft] def synthSample(id: Long, i: Int): Int =
+    Math.floorMod(id * 17L + i * 29L, 256L).toInt
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Deterministic REAL audio table: each row is a complete, valid WAV
+    * file (any audio tool opens it) with samples from [[synthSample]].
+    * Same scale shape as [[synthesizeImages]]: payloads are born on the
+    * executor inside `mapPartitions` and never shuffle.
+    */
+  def synthesizeAudio(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = synthSampleCount(id)
+        val bos = new java.io.ByteArrayOutputStream(44 + n)
+        bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(36 + n))
+        bos.write("WAVE".getBytes("US-ASCII"))
+        bos.write("fmt ".getBytes("US-ASCII")); bos.write(le32(16))
+        bos.write(le16(1))          // PCM
+        bos.write(le16(1))          // mono
+        bos.write(le32(AudioRate))
+        bos.write(le32(AudioRate))  // byte rate (8-bit mono)
+        bos.write(le16(1))          // block align
+        bos.write(le16(8))          // bits/sample
+        bos.write("data".getBytes("US-ASCII")); bos.write(le32(n))
+        var i = 0
+        while (i < n) { bos.write(synthSample(id, i)); i += 1 }
+        MediaAudio(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  private def rdLE16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def rdLE32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** REAL WAV parse + feature-extract, batched per partition: validates
+    * the RIFF/WAVE magics, reads the fmt chunk, then WALKS the chunk
+    * list to find `data` (not a fixed offset — extra chunks like LIST
+    * are skipped correctly, as a real parser must).
+    */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, b) =>
+          require(b.length >= 44 &&
+            new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+            new String(b, 8, 4, "US-ASCII") == "WAVE",
+            s"not a RIFF/WAVE payload for media_id=$id")
+          var off = 12
+          var rate = -1; var bits = -1; var channels = -1
+          var dataOff = -1; var dataLen = -1
+          while (off + 8 <= b.length && dataOff < 0) {
+            val ckId = new String(b, off, 4, "US-ASCII")
+            val ckLen = rdLE32(b, off + 4)
+            if (ckId == "fmt ") {
+              require(rdLE16(b, off + 8) == 1, "not PCM")
+              channels = rdLE16(b, off + 10)
+              rate = rdLE32(b, off + 12)
+              bits = rdLE16(b, off + 22)
+            } else if (ckId == "data") {
+              dataOff = off + 8; dataLen = ckLen
+            }
+            off += 8 + ckLen + (ckLen & 1) // chunks are word-aligned
+          }
+          require(rate > 0 && bits == 8 && channels == 1 && dataOff >= 0,
+            s"unsupported WAV layout for media_id=$id")
+          var sum = 0L; var max = 0; var decim = 0L
+          var i = 0
+          while (i < dataLen) {
+            val v = b(dataOff + i) & 0xff
+            sum += v
+            if (v > max) max = v
+            if (i % 4 == 0) decim += v
+            i += 1
+          }
+          DecodedAudio(id, rate, bits, dataLen.toLong, sum, max,
+            dataLen.toLong * 1000000L / rate, decim)
+        }
+      }
+  }
 }

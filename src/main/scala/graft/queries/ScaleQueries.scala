@@ -509,6 +509,38 @@ object ScaleQueries {
         |  FROM documents""".stripMargin, budget = 256L) +
       "\nORDER BY shard, id"
 
+  // ---------------------------------------------------------------- q52
+  // Multimodal audio, REAL end-to-end: each doc id becomes a complete
+  // valid WAV file (RIFF header + 8-bit PCM — pure byte math, no codec
+  // needed), and decodeAudio genuinely parses the container (magic
+  // validation + chunk walk) before extracting all-integer features the
+  // oracle reproduces arithmetically, incl. the every-4th-sample
+  // decimation (audio downsampling op).
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(
+        Multimodal.synthesizeAudio(t(s, dir, "documents")))
+      .toDF()
+      .withColumn("sample_rate", col("sample_rate").cast("long"))
+      .withColumn("bits_per_sample", col("bits_per_sample").cast("long"))
+      .withColumn("max_sample", col("max_sample").cast("long"))
+      .orderBy("media_id")
+
+  private val q52Sql =
+    """WITH a AS MATERIALIZED (
+      |  SELECT doc_id, doc_id % 50 + 10 AS n FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(8 AS BIGINT) AS bits_per_sample,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  list_sum(list_transform(generate_series(0, n-1), i ->
+      |    (doc_id*17 + i*29) % 256)) AS sum_samples,
+      |  list_max(list_transform(generate_series(0, n-1), i ->
+      |    (doc_id*17 + i*29) % 256)) AS max_sample,
+      |  CAST(n AS BIGINT) * 1000000 // 8000 AS duration_us,
+      |  list_sum(list_transform(generate_series(0, n-1, 4), i ->
+      |    (doc_id*17 + i*29) % 256)) AS decim_sum
+      |FROM a ORDER BY media_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -518,6 +550,7 @@ object ScaleQueries {
     "q47_stratified_sample" -> (q47 _),
     "q48_doc_chunking" -> (q48 _),
     "q50_sequence_packing" -> (q50 _),
+    "q52_audio_decode" -> (q52 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -541,6 +574,7 @@ object ScaleQueries {
     "q47_stratified_sample" -> q47Sql,
     "q48_doc_chunking" -> q48Sql,
     "q50_sequence_packing" -> q50Sql,
+    "q52_audio_decode" -> q52Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,

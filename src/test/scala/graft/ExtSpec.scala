@@ -225,6 +225,46 @@ class ExtSpec extends SparkSuite {
     assert(s == Seq('s'.toInt, 'h'.toInt, 'o'.toInt, 'r'.toInt))
   }
 
+  test("multimodal: real WAV payloads parse back to the exact samples") {
+    import graft.ext.Multimodal
+    val ids = Seq(0L, 1L, 7L, 49L, 123L).toDF("doc_id")
+    val got = Multimodal.decodeAudio(Multimodal.synthesizeAudio(ids))
+      .orderBy("media_id").collect()
+    got.foreach { d =>
+      val n = Multimodal.synthSampleCount(d.media_id)
+      val samples = (0 until n).map(Multimodal.synthSample(d.media_id, _))
+      assert(d.sample_rate == Multimodal.AudioRate && d.bits_per_sample == 8)
+      assert(d.n_samples == n.toLong)
+      assert(d.sum_samples == samples.map(_.toLong).sum)
+      assert(d.max_sample == samples.max)
+      assert(d.duration_us == n.toLong * 1000000L / Multimodal.AudioRate)
+      assert(d.decim_sum ==
+        samples.zipWithIndex.collect { case (v, i) if i % 4 == 0 => v.toLong }.sum)
+    }
+  }
+
+  test("multimodal: WAV chunk walk skips unknown chunks before data") {
+    import graft.ext.Multimodal
+    // take a synthesized WAV and splice a LIST chunk between fmt and data
+    val wav = Multimodal.synthesizeAudio(Seq(5L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    val listChunk =
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+        "INFO".getBytes("US-ASCII")
+    val spliced = wav.slice(0, 36) ++ listChunk ++ wav.drop(36)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val total = spliced.length - 8
+    Seq(0, 1, 2, 3).foreach(i =>
+      spliced(4 + i) = ((total >> (8 * i)) & 0xff).toByte)
+    val d = Multimodal.decodeAudio(
+        Seq((5L, spliced)).toDF("media_id", "bytes"))
+      .collect()(0)
+    val n = Multimodal.synthSampleCount(5L)
+    assert(d.n_samples == n.toLong)
+    assert(d.sum_samples ==
+      (0 until n).map(Multimodal.synthSample(5L, _).toLong).sum)
+  }
+
   test("multimodal: real PNG/BMP payloads decode back to the exact pattern") {
     val imgs = Multimodal.synthesizeImages(docs, "doc_id")
     // payloads are genuine container formats (magic bytes), not fakes
