@@ -310,4 +310,119 @@ object Multimodal {
         }
       }
   }
+
+  // ------------------------------------------------------- video (Y4M)
+
+  /** One synthesized real video clip: genuine YUV4MPEG2 (y4m) payload —
+    * a plain-text stream header (`YUV4MPEG2 W.. H.. F25:1 Cmono`), then
+    * `FRAME\n` + raw luma plane per frame. Like WAV, the container is
+    * codec-free, so the third modality is also real end-to-end (any
+    * ffmpeg/mpv opens these bytes).
+    */
+  case class MediaVideo(media_id: Long, bytes: Array[Byte])
+
+  /** Frame-sampled features from genuinely parsing the y4m stream. The
+    * sampled-luma column IS the frame-sampling op: only every
+    * `frameStride`-th frame contributes. All integers except nothing —
+    * fully oracle-exact.
+    */
+  case class DecodedVideo(media_id: Long, width: Int, height: Int,
+      n_frames: Long, duration_us: Long, total_luma: Long,
+      sampled_luma: Long)
+
+  private[graft] val VideoFps = 25
+  private[graft] def synthFrames(id: Long): Int =
+    (Math.floorMod(id, 5L) + 2).toInt
+  private[graft] def synthVideoW(id: Long): Int =
+    (Math.floorMod(id, 4L) * 2 + 2).toInt
+  private[graft] def synthVideoH(id: Long): Int =
+    (Math.floorMod(id, 3L) * 2 + 2).toInt
+  private[graft] def synthLuma(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 7L + f * 11L + x * 3L + y * 5L, 256L).toInt
+
+  /** Deterministic REAL video table; `mapPartitions`, payloads never
+    * shuffle (the scale contract shared by all three modalities).
+    */
+  def synthesizeVideo(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = synthVideoW(id); val h = synthVideoH(id)
+        val n = synthFrames(id)
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(s"YUV4MPEG2 W$w H$h F$VideoFps:1 Ip A1:1 Cmono\n"
+          .getBytes("US-ASCII"))
+        var f = 0
+        while (f < n) {
+          bos.write("FRAME\n".getBytes("US-ASCII"))
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { bos.write(synthLuma(id, f, x, y)); x += 1 }
+            y += 1
+          }
+          f += 1
+        }
+        MediaVideo(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** REAL y4m parse + frame-sample, batched per partition: reads the
+    * stream header (tagged parameters, order-independent, as the format
+    * specifies), then walks FRAME markers — tolerating per-frame
+    * parameters after `FRAME` — accumulating total luma and the
+    * `frameStride`-sampled luma.
+    */
+  def decodeVideo(media: DataFrame, frameStride: Int = 2): Dataset[DecodedVideo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, b) =>
+          var eol = 0
+          while (eol < b.length && b(eol) != '\n') eol += 1
+          val header = new String(b, 0, eol, "US-ASCII")
+          val tags = header.split(" ")
+          require(tags.headOption.contains("YUV4MPEG2"),
+            s"not a YUV4MPEG2 stream for media_id=$id")
+          def tag(p: Char): Option[String] =
+            tags.tail.find(_.headOption.contains(p)).map(_.drop(1))
+          val w = tag('W').map(_.toInt).getOrElse(
+            sys.error(s"y4m missing width for media_id=$id"))
+          val h = tag('H').map(_.toInt).getOrElse(
+            sys.error(s"y4m missing height for media_id=$id"))
+          val Array(fpsNum, fpsDen) =
+            tag('F').getOrElse(s"$VideoFps:1").split(":").map(_.toLong)
+          require(tag('C').forall(_.startsWith("mono")),
+            s"only Cmono layout supported, media_id=$id")
+          val frameLen = w * h
+          var off = eol + 1
+          var frames = 0L
+          var total = 0L
+          var sampled = 0L
+          while (off < b.length) {
+            // FRAME marker, possibly with parameters up to newline
+            require(off + 5 <= b.length &&
+              new String(b, off, 5, "US-ASCII") == "FRAME",
+              s"corrupt frame marker at $off for media_id=$id")
+            off += 5
+            while (off < b.length && b(off) != '\n') off += 1
+            off += 1
+            require(off + frameLen <= b.length,
+              s"truncated frame for media_id=$id")
+            var s = 0L
+            var i = 0
+            while (i < frameLen) { s += b(off + i) & 0xff; i += 1 }
+            total += s
+            if (frames % frameStride == 0) sampled += s
+            frames += 1
+            off += frameLen
+          }
+          DecodedVideo(id, w, h, frames,
+            frames * 1000000L * fpsDen / fpsNum, total, sampled)
+        }
+      }
+  }
 }

@@ -541,6 +541,42 @@ object ScaleQueries {
       |    (doc_id*17 + i*29) % 256)) AS decim_sum
       |FROM a ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  // Multimodal video, REAL end-to-end: each doc id becomes a genuine
+  // YUV4MPEG2 stream (text header + raw mono luma frames — codec-free),
+  // decodeVideo parses header tags and walks FRAME markers, and the
+  // sampled_luma column is the frame-sampling op (every 2nd frame).
+  // All-integer features, pure-arithmetic oracle.
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideo(
+        Multimodal.synthesizeVideo(t(s, dir, "documents")), frameStride = 2)
+      .toDF()
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy("media_id")
+
+  private val q53Sql =
+    """WITH v AS MATERIALIZED (
+      |  SELECT doc_id, doc_id % 4 * 2 + 2 AS w, doc_id % 3 * 2 + 2 AS h,
+      |    doc_id % 5 + 2 AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, nf, unnest(generate_series(0, nf-1)) AS fr
+      |  FROM v),
+      |fl AS MATERIALIZED (
+      |  SELECT doc_id, w, h, nf, fr,
+      |    list_sum(flatten(list_transform(generate_series(0, h-1), y ->
+      |      list_transform(generate_series(0, w-1), x ->
+      |        (doc_id*7 + fr*11 + x*3 + y*5) % 256)))) AS luma
+      |  FROM f)
+      |SELECT doc_id AS media_id,
+      |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+      |  CAST(max(nf) AS BIGINT) AS n_frames,
+      |  CAST(max(nf) AS BIGINT) * 1000000 // 25 AS duration_us,
+      |  sum(luma) AS total_luma,
+      |  sum(CASE WHEN fr % 2 = 0 THEN luma ELSE 0 END) AS sampled_luma
+      |FROM fl GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -551,6 +587,7 @@ object ScaleQueries {
     "q48_doc_chunking" -> (q48 _),
     "q50_sequence_packing" -> (q50 _),
     "q52_audio_decode" -> (q52 _),
+    "q53_video_decode" -> (q53 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -575,6 +612,7 @@ object ScaleQueries {
     "q48_doc_chunking" -> q48Sql,
     "q50_sequence_packing" -> q50Sql,
     "q52_audio_decode" -> q52Sql,
+    "q53_video_decode" -> q53Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,

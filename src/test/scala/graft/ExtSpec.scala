@@ -265,6 +265,51 @@ class ExtSpec extends SparkSuite {
       (0 until n).map(Multimodal.synthSample(5L, _).toLong).sum)
   }
 
+  test("multimodal: real y4m payloads parse back to exact frame lumas") {
+    import graft.ext.Multimodal
+    val ids = Seq(0L, 1L, 4L, 11L, 59L).toDF("doc_id")
+    val got = Multimodal.decodeVideo(
+        Multimodal.synthesizeVideo(ids), frameStride = 2)
+      .orderBy("media_id").collect()
+    got.foreach { d =>
+      val id = d.media_id
+      val (w, h, nf) = (Multimodal.synthVideoW(id),
+        Multimodal.synthVideoH(id), Multimodal.synthFrames(id))
+      def frameLuma(f: Int): Long =
+        (for { y <- 0 until h; x <- 0 until w }
+          yield Multimodal.synthLuma(id, f, x, y).toLong).sum
+      assert(d.width == w && d.height == h && d.n_frames == nf.toLong)
+      assert(d.duration_us == nf.toLong * 1000000L / Multimodal.VideoFps)
+      assert(d.total_luma == (0 until nf).map(frameLuma).sum)
+      assert(d.sampled_luma ==
+        (0 until nf by 2).map(frameLuma).sum)
+    }
+  }
+
+  test("multimodal: y4m parser tolerates per-frame parameters") {
+    import graft.ext.Multimodal
+    val wav = Multimodal.synthesizeVideo(Seq(3L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    // rewrite each bare "FRAME\n" marker as "FRAME Xtest\n" (the format
+    // allows per-frame parameters; a fixed-offset parser would break)
+    val raw = new String(wav.map(_.toChar))
+    val hdrEnd = raw.indexOf('\n') + 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(wav, 0, hdrEnd)
+    var off = hdrEnd
+    val frameLen = Multimodal.synthVideoW(3L) * Multimodal.synthVideoH(3L)
+    while (off < wav.length) {
+      out.write("FRAME Xtest\n".getBytes("US-ASCII"))
+      off += 6 // past original FRAME\n
+      out.write(wav, off, frameLen)
+      off += frameLen
+    }
+    val d = Multimodal.decodeVideo(
+        Seq((3L, out.toByteArray)).toDF("media_id", "bytes"))
+      .collect()(0)
+    assert(d.n_frames == Multimodal.synthFrames(3L).toLong)
+  }
+
   test("multimodal: real PNG/BMP payloads decode back to the exact pattern") {
     val imgs = Multimodal.synthesizeImages(docs, "doc_id")
     // payloads are genuine container formats (magic bytes), not fakes
