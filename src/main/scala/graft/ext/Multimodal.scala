@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, plus the Spark-side
   * plumbing for decode / feature-extract / resize / frame-sample.
   *
-  * The image decode path is REAL end-to-end: [[synthesizeImages]] encodes
-  * genuine PNG/BMP payloads (JDK `javax.imageio`, no external codecs) with
-  * a deterministic pixel pattern, and [[decodeImages]] decodes them back
-  * with `ImageIO.read` inside `mapPartitions`, extracting true
-  * width/height/mean-pixel plus a nearest-neighbor resize — every derived
-  * fact arithmetically reproducible by the DuckDB oracle (both formats
-  * are lossless, so decoded samples equal the synthesis formula exactly).
+  * ALL THREE modalities run REAL containers end-to-end, zero external
+  * dependencies:
+  *  - image: genuine PNG/BMP via JDK `javax.imageio`
+  *    ([[synthesizeImages]]/[[decodeImages]] — decode, brightness,
+  *    nearest-neighbor resize);
+  *  - audio: genuine RIFF/WAVE, pure byte math
+  *    ([[synthesizeAudio]]/[[decodeAudio]] — chunk-walking parser,
+  *    PCM stats, decimation = downsampling);
+  *  - video: genuine YUV4MPEG2 ([[synthesizeVideo]]/[[decodeVideo]] —
+  *    tagged-header parse, FRAME walk, frame-sampling).
+  * Payload contents are deterministic formulas, so every decoded fact is
+  * arithmetically reproducible by the DuckDB oracle (q33/q52/q53).
   * [[synthesizeFromText]] + [[sampleBytes]] cover the
   * byte-level/opaque-payload operators (frame sampling, metadata reads).
   *
