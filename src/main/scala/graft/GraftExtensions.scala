@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SQL surface for the native graft expressions, registered through the
+  * sanctioned `SparkSessionExtensions` path:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions") // owns its context
+  *     // or .withExtensions(new GraftExtensions)  // any builder
+  *     ...
+  *   // NOTE the conf form is a STATIC conf, read from the SparkContext
+  *   // when the first session is built — on a pre-existing context use
+  *   // withExtensions. Extensions bind at session build either way; on
+  *   // an already-built session use the DataFrame API (graft.functions.*).
+  *
+  *   spark.sql("SELECT graft_simhash32(graft_shingle_hashes(text, 3)) ...")
+  * }}}
+  *
+  * Every function resolves to the SAME codegen'd `Expression` the
+  * DataFrame API uses — SQL users get identical semantics and identical
+  * plans (no wrapper, no UDF). Integer parameters (shingle width, k,
+  * planes) must be foldable literals: they parameterize generated code,
+  * so a per-row value has no meaning.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  /** name → builder; shared by [[GraftExtensions.apply]] and tests. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_poly_hash" -> { case Seq(s) => PolyHashExpr(s) },
+    "graft_norm_fingerprint" -> { case Seq(s) => NormFingerprintExpr(s) },
+    "graft_shingle_hashes" -> {
+      case Seq(s) => ShingleHashesExpr(s, 3)
+      case Seq(s, n) => ShingleHashesExpr(s, intLit(n, "shingle width"))
+    },
+    "graft_char_shingle_hashes" -> {
+      case Seq(s) => CharShingleHashesExpr(s, 5)
+      case Seq(s, n) => CharShingleHashesExpr(s, intLit(n, "shingle width"))
+    },
+    "graft_minhash_sig" -> {
+      case Seq(h) => MinHashSigExpr(h, 16)
+      case Seq(h, k) => MinHashSigExpr(h, intLit(k, "signature size"))
+    },
+    "graft_simhash32" -> { case Seq(h) => SimHash32Expr(h) },
+    "graft_char_jaccard" -> {
+      case Seq(a, b) => CharJaccardExpr(a, b, 5)
+      case Seq(a, b, n) => CharJaccardExpr(a, b, intLit(n, "ngram width"))
+    },
+    "graft_cosine" -> { case Seq(a, b) => CosineSimExpr(a, b) },
+    "graft_dot" -> { case Seq(a, b) => DotExpr(a, b) },
+    "graft_lsh_bucket" -> {
+      case Seq(v) => LshBucketExpr(v, 8)
+      case Seq(v, p) => LshBucketExpr(v, intLit(p, "plane count"))
+    })
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NativeHash, NativeString, NativeVector}
+
+/** The SQL surface: a session built with
+  * `spark.sql.extensions=graft.GraftExtensions` must resolve the
+  * graft_* functions to the SAME native expressions as the DataFrame
+  * API — checked by comparing SQL results against the Column-API values
+  * in the extended session itself.
+  */
+class ExtensionsSpec extends SparkSuite {
+
+  test("graft_* functions resolve from SQL and match the DataFrame API") {
+    spark // force the shared suite session first
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // new session object on the SAME SparkContext. withExtensions, not
+    // config("spark.sql.extensions", ...): the conf is STATIC — read
+    // from the SparkContext at first-session build — so on a shared
+    // test context it would be silently ignored; a production session
+    // that owns its context uses the conf form from the class Scaladoc.
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    try {
+      val viaSql = ext.sql(
+        """SELECT
+          |  graft_poly_hash('hello world') AS ph,
+          |  graft_norm_fingerprint('B a. a c!') AS nf,
+          |  graft_simhash32(graft_shingle_hashes('a b c d e f g', 3)) AS sh,
+          |  graft_minhash_sig(graft_shingle_hashes('a b c d e f g'), 4) AS sig,
+          |  graft_char_jaccard('abcdefgh', 'abcdefxx', 3) AS cj,
+          |  graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS cos,
+          |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot
+          |""".stripMargin).collect()(0)
+      val viaApi = ext.range(1).select(
+        NativeHash.polyHash(lit("hello world")).as("ph"),
+        NativeHash.normFingerprintCol(lit("B a. a c!")).as("nf"),
+        NativeHash.simHash32(
+          NativeHash.shingleHashes(lit("a b c d e f g"), 3)).as("sh"),
+        NativeHash.minHashSig(
+          NativeHash.shingleHashes(lit("a b c d e f g"), 3), 4).as("sig"),
+        NativeString.charJaccard(lit("abcdefgh"), lit("abcdefxx"), 3).as("cj"),
+        NativeVector.cosine(
+          array(lit(1.0), lit(2.0)), array(lit(2.0), lit(4.0))).as("cos"),
+        NativeVector.dot(
+          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dot"))
+        .collect()(0)
+      assert(viaSql.getLong(0) == viaApi.getLong(0))
+      assert(viaSql.getLong(1) == viaApi.getLong(1))
+      assert(viaSql.getLong(2) == viaApi.getLong(2))
+      assert(viaSql.getSeq[Long](3) == viaApi.getSeq[Long](3))
+      assert(viaSql.getDouble(4) == viaApi.getDouble(4))
+      assert(viaSql.getDouble(5) == viaApi.getDouble(5))
+      assert(viaSql.getDouble(6) == viaApi.getDouble(6))
+      assert(viaSql.getDouble(6) == 11.0)
+      // non-literal width parameter must fail loudly, not mis-generate
+      val e = intercept[Exception] {
+        ext.sql("SELECT graft_shingle_hashes('a b c', CAST(id AS INT)) " +
+          "FROM range(1)").collect()
+      }
+      assert(e.getMessage.contains("integer literal"))
+    } finally {
+      // detach the extended session and restore the suite's default so
+      // later suites keep their un-extended resolution behavior
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
