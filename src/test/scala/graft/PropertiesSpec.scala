@@ -101,4 +101,56 @@ class PropertiesSpec extends SparkSuite {
       true
     })
   }
+
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.zip(Gen.choose(1L, 500L),
+        Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+      .map(List(_))
+      .flatMap(h => Gen.listOfN(5, Gen.zip(Gen.choose(1L, 500L),
+        Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))))
+        .map(t => (h ++ t).distinctBy(_._1)))
+
+  test("chunkTokens covers every token, in order, with exact seam overlap") {
+    check(Prop.forAll(docGen, Gen.choose(2, 6), Gen.choose(0, 1)) {
+      (docs, size, ov) =>
+        val chunks = graft.ext.Text.chunkTokens(
+            docs.toDF("doc_id", "text"), size = size, overlap = ov)
+          .orderBy("doc_id", "chunk_id").collect()
+          .groupBy(_.getLong(0))
+        docs.foreach { case (id, text) =>
+          val toks = text.split(" ", -1).toSeq
+          val stride = size - ov
+          val got = chunks(id).map(_.getString(2))
+          // reassembly: first chunk + the non-overlap tail of the rest
+          val rebuilt = got.head.split(" ", -1).toSeq ++
+            got.tail.toSeq.flatMap(_.split(" ", -1).drop(ov).toSeq)
+          assert(rebuilt == toks, s"reassembly mismatch for doc $id")
+          // chunk count formula
+          val want = 1 + math.max(0,
+            (toks.length - size + stride - 1) / stride)
+          assert(got.length == want)
+        }
+        true
+    }, n = 6)
+  }
+
+  test("packGreedy partitions rows exactly and respects the budget") {
+    check(Prop.forAll(
+        Gen.listOfN(40, Gen.zip(Gen.choose(0L, 3L), Gen.choose(1L, 60L))),
+        Gen.choose(50L, 120L)) { (rows, budget) =>
+      val in = rows.zipWithIndex
+        .map { case ((sh, sz), i) => (sh, i.toLong, sz) }
+      val packed = graft.ext.Packing.packGreedy(
+          in.toDF("s", "i", "n"), "s", "i", "n", budget)
+        .collect()
+      assert(packed.length == in.length) // bijection on rows
+      // bins over budget only as singletons; fills are running sums
+      packed.groupBy(p => (p.shard, p.bin)).foreach { case (_, bs) =>
+        val tot = bs.map(_.n_tokens).sum
+        assert(tot <= budget || bs.length == 1)
+        assert(bs.maxBy(_.id).bin_fill == tot)
+      }
+      true
+    }, n = 6)
+  }
 }
