@@ -577,6 +577,22 @@ object ScaleQueries {
       |  sum(CASE WHEN fr % 2 = 0 THEN luma ELSE 0 END) AS sampled_luma
       |FROM fl GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  // One-pass column profiling (the pre-training data-quality gate):
+  // counts, null counts, exact cardinalities and min/max for four
+  // columns of orders from a single aggregate over a single scan,
+  // unpivoted per-row. Oracle recomputes the same stats per column.
+  private val q54Cols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiler.profile(t(s, dir, "orders"), q54Cols)
+      .orderBy("col_name")
+
+  private val q54Sql =
+    graft.ext.Profiler.profileSql("orders", q54Cols) +
+      "\nORDER BY col_name"
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -588,6 +604,7 @@ object ScaleQueries {
     "q50_sequence_packing" -> (q50 _),
     "q52_audio_decode" -> (q52 _),
     "q53_video_decode" -> (q53 _),
+    "q54_column_profile" -> (q54 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -613,6 +630,7 @@ object ScaleQueries {
     "q50_sequence_packing" -> q50Sql,
     "q52_audio_decode" -> q52Sql,
     "q53_video_decode" -> q53Sql,
+    "q54_column_profile" -> q54Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,

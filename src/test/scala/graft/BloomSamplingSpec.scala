@@ -37,6 +37,20 @@ class BloomSamplingSpec extends SparkSuite {
     assert(misses == 0L)
   }
 
+  test("profiler: nulls counted, distinct excludes null, min/max ignore null") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null),
+      (2L, "b"), (null, "a")).toDF("k", "v")
+    val got = graft.ext.Profiler.profile(df, Seq("k", "v"))
+      .orderBy("col_name").collect()
+    val k = got(0)
+    assert(k.getString(0) == "k" && k.getLong(1) == 3 && k.getLong(2) == 1)
+    assert(k.getLong(3) == 2) // distinct non-null {1,2}
+    assert(k.getString(4) == "1" && k.getString(5) == "2")
+    val v = got(1)
+    assert(v.getLong(1) == 3 && v.getLong(2) == 1 && v.getLong(3) == 2)
+    assert(v.getString(4) == "a" && v.getString(5) == "b")
+  }
+
   test("deterministic sample: reproducible, nested, roughly sized") {
     val docs = (1L to 2000L).map(i => (i, s"text $i")).toDF("id", "text")
     def ids(rate: Double): Set[Long] =
