@@ -432,4 +432,35 @@ object Dedup {
       "large-star/small-star formulation")
     labels
   }
+
+  // -------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word n-gram with the benchmark set — the standard
+    * test-set-leakage gate a training corpus passes before a run (an
+    * eval question that appears verbatim in training data invalidates
+    * the eval).
+    *
+    * Scale shape (corpus = 100 TB, benchmark = the eval suites, MBs):
+    * the benchmark's distinct n-grams are tiny and BROADCAST; corpus
+    * n-grams are a per-row flatMap that feeds a broadcast semi-join, so
+    * no corpus byte ever shuffles — the only exchange is the distinct
+    * over matched doc ids (bounded by the contamination rate, not the
+    * corpus). The final anti-join broadcasts those ids back over a
+    * second corpus scan. For a single-scan variant at extreme scale,
+    * gate the n-gram check behind [[graft.ops.BloomJoin]]'s bloom of
+    * benchmark grams (misses skip gram generation entirely); the exact
+    * semantics here are what that fast path must preserve.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordShingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__gram"))
+      .join(broadcast(benchGrams), "__gram")
+      .select(idCol).distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
 }

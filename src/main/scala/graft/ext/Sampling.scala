@@ -85,4 +85,47 @@ object Sampling {
       s"WHEN '$s' THEN $h < ${threshold(r)}" }.mkString(" ")
     s"(CASE CAST($strataE AS VARCHAR) $arms ELSE $h < ${threshold(defaultRate)} END)"
   }
+
+  /** Temperature-flattened mixture resampling — the domain-mixing stage
+    * of a training-data pipeline: a raw crawl is dominated by a few huge
+    * sources; flattening keeps rare domains/languages represented
+    * without manually tuning a rate per stratum. Stratum `s` with `n_s`
+    * rows keeps rate `min(1, baseRate · sqrt(n_max / n_s))` — the
+    * largest stratum keeps `baseRate`, a 4×-smaller one keeps 2× that
+    * (temperature α = 0.5 relative to the head stratum).
+    *
+    * Normalizing against `max` rather than `Σ n_s^α` is deliberate:
+    * max of integers is exact and order-independent, while a float sum
+    * over strata would make the rates depend on engine accumulation
+    * order and break bit-equal verification. `sqrt` and one multiply /
+    * divide are correctly-rounded IEEE ops — identical in any engine.
+    *
+    * Scale shape: the stratum-count aggregate is map-side-combined
+    * (bytes ∝ #strata); rates broadcast back onto the scan; the keep
+    * decision is the same deterministic per-row hash predicate as
+    * [[deterministic]] (reproducible, nested across baseRate sweeps,
+    * zero shuffle of corpus rows).
+    */
+  def temperatureMix(df: DataFrame, key: Column, strata: Column,
+      baseRate: Double, hash: Column => Column = sampleHash): DataFrame = {
+    require(baseRate >= 0.0 && baseRate <= 1.0,
+      s"baseRate must be in [0,1]: $baseRate")
+    val counts = df.groupBy(strata.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val nMax = counts.agg(max(col("__n")).as("__n_max"))
+    val rates = counts.crossJoin(broadcast(nMax)).select(col("__stratum"),
+      least(lit(1.0), lit(baseRate) *
+        sqrt(col("__n_max").cast("double") / col("__n").cast("double")))
+        .as("__rate"))
+    df.join(broadcast(rates), strata === col("__stratum"))
+      .filter(hash(key.cast("string")).cast("double") <
+        col("__rate") * lit(P.toDouble))
+      .drop("__stratum", "__rate")
+  }
+
+  /** DuckDB twin of the [[temperatureMix]] rate formula (one stratum's
+    * keep-rate, given per-stratum count `nE` and global max `nMaxE`).
+    */
+  def temperatureRateSql(baseRate: Double, nE: String, nMaxE: String): String =
+    s"least(1.0, $baseRate * sqrt(CAST($nMaxE AS DOUBLE) / CAST($nE AS DOUBLE)))"
 }

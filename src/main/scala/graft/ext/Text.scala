@@ -212,6 +212,90 @@ object Text {
        |FROM __e""".stripMargin
   }
 
+  /** Repetition-aware quality rules (the Gopher/C4-style corpus gate):
+    * per-document structural metrics plus a boolean per rule and an
+    * overall keep decision. All metrics are exact integer counts with at
+    * most one double division each — bit-identical across engines.
+    *
+    *   - `n_tokens` within [minTokens, maxTokens] (fragment / runaway cut)
+    *   - `mean_token_len` within [2, 10] (gibberish / binary-blob cut)
+    *   - `unique_ratio` = distinct tokens / tokens ≥ minUniqueRatio
+    *     (degenerate repetition cut)
+    *   - `dup_3gram_ratio` = 1 − distinct 3-grams / 3-grams ≤
+    *     maxDup3gramRatio (looped-paragraph cut)
+    *
+    * Per-row array ops only — zero shuffle, codegen'd, linear scan; the
+    * decision column lets the caller audit WHY a doc was dropped (filter
+    * on `passes` for the keep-side, on individual rules for triage).
+    */
+  def qualityRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTokens: Int = 30, maxTokens: Int = 10000,
+      minUniqueRatio: Double = 0.3, maxDup3gramRatio: Double = 0.2)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams3 = Dedup.wordShingles(col(textCol), 3)
+    val n = size(toks).cast("long")
+    val meanLen = (length(col(textCol)).cast("double") -
+      (n.cast("double") - lit(1.0))) / n.cast("double")
+    val uniqueRatio =
+      size(array_distinct(toks)).cast("double") / n.cast("double")
+    val dup3 = lit(1.0) - size(array_distinct(grams3)).cast("double") /
+      nullif(size(grams3).cast("double"), lit(0.0))
+    df.select(col(idCol), n.as("n_tokens"),
+        meanLen.as("mean_token_len"), uniqueRatio.as("unique_ratio"),
+        coalesce(dup3, lit(0.0)).as("dup_3gram_ratio"))
+      .withColumn("len_ok",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("mean_len_ok",
+        col("mean_token_len") >= 2.0 && col("mean_token_len") <= 10.0)
+      .withColumn("unique_ok", col("unique_ratio") >= minUniqueRatio)
+      .withColumn("rep_ok", col("dup_3gram_ratio") <= maxDup3gramRatio)
+      .withColumn("passes",
+        col("len_ok") && col("mean_len_ok") && col("unique_ok") &&
+          col("rep_ok"))
+  }
+
+  /** `mean_token_len` above exploits the single-space tokenization the
+    * whole Text module assumes: total token chars = len(text) − (n−1)
+    * separators — one length() instead of a per-token fold.
+    */
+
+  // -------------------------------------------------------- PII redaction
+
+  /** Redaction patterns: common-subset regex (no lookaround, no \b) that
+    * Java's engine and DuckDB's RE2 compile identically. Order matters —
+    * emails are masked before digit runs so the digits inside an already
+    * masked email can't double-fire.
+    */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "[0-9][0-9 ()+.-]{6,}[0-9]" -> "<PHONE>",
+    "[0-9][0-9][0-9][0-9]+" -> "<NUM>")
+
+  /** PII scrub — the privacy pass a web corpus takes before training:
+    * masks emails, URLs, phone-shaped digit runs and long numbers with
+    * typed placeholder tokens (typed masks preserve more signal than
+    * deletion and make redaction rates auditable by counting them).
+    * Chained `regexp_replace` — per-row, codegen'd, zero shuffle; at
+    * 100 TB this rides the same single scan as the rest of the cleanup
+    * projection.
+    */
+  def redact(text: Column): Column =
+    redactionPatterns.foldLeft(text) { case (c, (pat, mask)) =>
+      regexp_replace(c, pat, mask)
+    }
+
+  /** DuckDB twin of [[redact]] (global flag — Spark replaces all
+    * occurrences by default, DuckDB only the first without 'g'; DuckDB
+    * single-quoted literals pass backslashes through verbatim, so the
+    * Scala pattern string is already the right literal body).
+    */
+  def redactSql(e: String): String =
+    redactionPatterns.foldLeft(e) { case (s, (pat, mask)) =>
+      s"regexp_replace($s, '${pat.replace("'", "''")}', '$mask', 'g')"
+    }
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

@@ -593,6 +593,125 @@ object ScaleQueries {
     graft.ext.Profiler.profileSql("orders", q54Cols) +
       "\nORDER BY col_name"
 
+  // ---------------------------------------------------------------- q55
+  // Benchmark decontamination: docs with doc_id % 97 == 0 play the eval
+  // set; any corpus doc sharing a 4-token n-gram with them is dropped.
+  // Benchmark grams broadcast; no corpus byte shuffles (the only
+  // exchange is the distinct over contaminated ids).
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(s, dir, "documents")
+    graft.ext.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val q55Sql = {
+    val grams = graft.ext.Dedup.wordShinglesSql("text", 4)
+    s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+       |bg AS (SELECT DISTINCT unnest($grams) AS gram FROM bench),
+       |corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+       |cg AS (SELECT doc_id, unnest($grams) AS gram FROM corpus),
+       |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+       |SELECT doc_id, lang, source, n_chars
+       |FROM corpus ANTI JOIN bad USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q56
+  // Temperature-flattened mixture resampling over `lang` (en is 3× the
+  // other languages in the testdata): the head language keeps the base
+  // rate, rare ones keep sqrt(n_max/n_s)× more. Rates derive in-plan
+  // from exact counts + IEEE sqrt — bit-identical across engines.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.ext.Sampling.temperatureMix(
+        t(s, dir, "documents"), col("doc_id"), col("lang"), baseRate = 0.3)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val q56Sql = {
+    import graft.ext.Sampling
+    import graft.functions.PortableHash.P
+    val rate = Sampling.temperatureRateSql(0.3, "n_s", "n_max")
+    val h = Sampling.sampleHashSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+       |m AS (SELECT max(n_s) AS n_max FROM n),
+       |r AS (SELECT lang, $rate AS rate FROM n, m)
+       |SELECT doc_id, lang, source, n_chars
+       |FROM documents JOIN r USING (lang)
+       |WHERE CAST($h AS DOUBLE) < rate * CAST($P AS DOUBLE)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q57
+  // Repetition-aware quality gate: per-doc structural metrics + one
+  // boolean per rule + overall keep decision (exact integer counts, one
+  // double division per ratio).
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.qualityRules(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  private val q57Sql = {
+    val grams3 = graft.ext.Dedup.wordShinglesSql("text", 3)
+    s"""WITH m AS MATERIALIZED (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  (CAST(length(text) AS DOUBLE) -
+       |    (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0)) /
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+       |  coalesce(1.0 - CAST(len(list_distinct($grams3)) AS DOUBLE) /
+       |    NULLIF(CAST(len($grams3) AS DOUBLE), 0.0), 0.0) AS dup_3gram_ratio
+       |FROM documents)
+       |SELECT doc_id, n_tokens, mean_token_len, unique_ratio,
+       |  dup_3gram_ratio,
+       |  n_tokens >= 30 AND n_tokens <= 10000 AS len_ok,
+       |  mean_token_len >= 2.0 AND mean_token_len <= 10.0 AS mean_len_ok,
+       |  unique_ratio >= 0.3 AS unique_ok,
+       |  dup_3gram_ratio <= 0.2 AS rep_ok,
+       |  (n_tokens >= 30 AND n_tokens <= 10000)
+       |    AND (mean_token_len >= 2.0 AND mean_token_len <= 10.0)
+       |    AND unique_ratio >= 0.3 AND dup_3gram_ratio <= 0.2 AS passes
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q58
+  // PII redaction: the corpus text is augmented in-plan with synthetic
+  // contact strings derived from doc_id (the testdata has no organic
+  // PII), then scrubbed; the mask count is recomputed from the result.
+  // Both engines build and redact the identical string.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = col("doc_id").cast("string")
+    val augmented = concat(col("text"),
+      lit(" reach user"), id, lit("@mail.example.org or https://example.org/u/"),
+      id, lit(" call +1 415 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ref "), (col("doc_id") + 1000000).cast("string"))
+    val red = graft.ext.Text.redact(augmented)
+    t(s, dir, "documents")
+      .select(col("doc_id"), red.as("redacted"),
+        (length(red) - length(regexp_replace(red, "<", "")))
+          .cast("long").as("n_masks"))
+      .orderBy("doc_id")
+  }
+
+  private val q58Sql = {
+    val augmented = "concat(text, ' reach user', CAST(doc_id AS VARCHAR), " +
+      "'@mail.example.org or https://example.org/u/', CAST(doc_id AS VARCHAR), " +
+      "' call +1 415 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), " +
+      "' ref ', CAST(doc_id + 1000000 AS VARCHAR))"
+    val red = graft.ext.Text.redactSql(augmented)
+    s"""SELECT doc_id, $red AS redacted,
+       |  CAST(length($red) - length(replace($red, '<', '')) AS BIGINT)
+       |    AS n_masks
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -605,6 +724,10 @@ object ScaleQueries {
     "q52_audio_decode" -> (q52 _),
     "q53_video_decode" -> (q53 _),
     "q54_column_profile" -> (q54 _),
+    "q55_decontaminate" -> (q55 _),
+    "q56_temperature_mix" -> (q56 _),
+    "q57_quality_rules" -> (q57 _),
+    "q58_pii_redaction" -> (q58 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -631,6 +754,10 @@ object ScaleQueries {
     "q52_audio_decode" -> q52Sql,
     "q53_video_decode" -> q53Sql,
     "q54_column_profile" -> q54Sql,
+    "q55_decontaminate" -> q55Sql,
+    "q56_temperature_mix" -> q56Sql,
+    "q57_quality_rules" -> q57Sql,
+    "q58_pii_redaction" -> q58Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Sampling, Text}
+
+/** Round-6 corpus-preparation operators: decontamination, temperature
+  * mixture resampling, quality rules, PII redaction.
+  */
+class MixGateSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("decontaminate: drops exactly docs sharing an n-gram with benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 4-gram with bench
+      (2L, "one two three four five"),        // clean
+      (3L, "zz alpha beta gamma delta"),      // shares (shifted window)
+      (4L, "beta alpha gamma delta epsilon")  // same tokens, no shared 4-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "intro alpha beta gamma delta outro"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  test("decontaminate: short benchmark docs contribute no grams") {
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b")).toDF("doc_id", "text") // < n tokens
+    assert(Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .count() == 1L)
+  }
+
+  test("temperatureMix: head stratum keeps baseRate, rare strata keep more") {
+    val docs = (1L to 4000L).map { i =>
+      (i, if (i % 5 == 0) "rare" else "head") // 800 rare, 3200 head
+    }.toDF("id", "s")
+    val out = Sampling.temperatureMix(docs, col("id"), col("s"), 0.2)
+    val by = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    // head: rate 0.2 of 3200 = ~640; rare: 0.2*sqrt(4) = 0.4 of 800 = ~320
+    assert(math.abs(by("head") - 640.0) / 640.0 < 0.15, by.toString)
+    assert(math.abs(by("rare") - 320.0) / 320.0 < 0.15, by.toString)
+    // deterministic: identical selection on re-run
+    val again = Sampling.temperatureMix(docs, col("id"), col("s"), 0.2)
+    assert(out.select("id").except(again.select("id")).isEmpty)
+    assert(again.select("id").except(out.select("id")).isEmpty)
+  }
+
+  test("temperatureMix: nested across baseRate sweeps") {
+    val docs = (1L to 1000L).map(i => (i, s"s${i % 3}")).toDF("id", "s")
+    val lo = Sampling.temperatureMix(docs, col("id"), col("s"), 0.1)
+      .select("id").as[Long].collect().toSet
+    val hi = Sampling.temperatureMix(docs, col("id"), col("s"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), s"${(lo -- hi).take(5)} kept at 0.1 but not 0.5")
+  }
+
+  test("qualityRules: each degenerate doc fails exactly its rule") {
+    val docs = Seq(
+      (1L, Seq.fill(50)("word").mkString(" ")),          // repetition
+      (2L, "too short"),                                  // length
+      (3L, Seq.fill(40)("abcdefghijklmnop").zipWithIndex
+        .map { case (w, i) => w + i }.mkString(" ")),     // long tokens
+      (4L, (1 to 50).map(i => s"tok$i").mkString(" "))    // healthy
+    ).toDF("doc_id", "text")
+    val r = Text.qualityRules(docs).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(!r(1L).getAs[Boolean]("unique_ok"))
+    assert(!r(1L).getAs[Boolean]("rep_ok"))
+    assert(!r(2L).getAs[Boolean]("len_ok"))
+    assert(!r(3L).getAs[Boolean]("mean_len_ok"))
+    assert(r(4L).getAs[Boolean]("passes"))
+    assert(!r(1L).getAs[Boolean]("passes") &&
+      !r(2L).getAs[Boolean]("passes") && !r(3L).getAs[Boolean]("passes"))
+  }
+
+  test("redact: masks email, url, phone, long number; leaves prose alone") {
+    val got = Seq("ping bob.smith+x@corp.example.com or " +
+        "https://x.example/path?q=1 call +1 (415) 555-0199 acct 54321 " +
+        "but keep year 199 and word9 intact")
+      .toDF("text").select(Text.redact(col("text"))).as[String].head()
+    // (an 8+-digit run is phone-shaped to the heuristic and masks as
+    // <PHONE> — still masked, just typed differently; 4-7 digit runs
+    // fall through to <NUM>)
+    assert(got == "ping <EMAIL> or <URL> call +<PHONE> acct <NUM> " +
+      "but keep year 199 and word9 intact", got)
+  }
+
+  test("redact: mask order prevents double-firing inside masked spans") {
+    val got = Seq("mail a1234567@ex.org end")
+      .toDF("text").select(Text.redact(col("text"))).as[String].head()
+    // digits inside the email must not survive as a separate <NUM>
+    assert(got == "mail <EMAIL> end", got)
+  }
+}
