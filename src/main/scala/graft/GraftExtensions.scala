@@ -37,11 +37,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
-        builder))
+        safeBuilder(name, builder)))
     }
 }
 
 object GraftExtensions {
+
+  /** The builders below are partial functions on argument count; a raw
+    * `scala.MatchError` is useless to a SQL user, so wrap each one to
+    * surface a named invalid-arity error instead.
+    */
+  private def safeBuilder(name: String,
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      try builder(args)
+      catch {
+        case _: MatchError => throw new IllegalArgumentException(
+          s"invalid number of arguments for function $name: got " +
+            s"${args.length}; see graft.GraftExtensions for the signature")
+      }
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v

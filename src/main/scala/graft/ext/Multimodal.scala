@@ -286,7 +286,10 @@ object Multimodal {
           var off = 12
           var rate = -1; var bits = -1; var channels = -1
           var dataOff = -1; var dataLen = -1
-          while (off + 8 <= b.length && dataOff < 0) {
+          // Walk until BOTH chunks are found: the spec does not order
+          // `fmt ` before `data`, so stopping at the first `data` would
+          // reject a legal WAV whose fmt chunk comes second.
+          while (off + 8 <= b.length && (dataOff < 0 || rate < 0)) {
             val ckId = new String(b, off, 4, "US-ASCII")
             val ckLen = rdLE32(b, off + 4)
             if (ckId == "fmt ") {
@@ -301,6 +304,9 @@ object Multimodal {
           }
           require(rate > 0 && bits == 8 && channels == 1 && dataOff >= 0,
             s"unsupported WAV layout for media_id=$id")
+          require(dataLen >= 0 && dataOff.toLong + dataLen <= b.length,
+            s"truncated data chunk for media_id=$id: " +
+              s"declared $dataLen bytes at $dataOff, have ${b.length}")
           var sum = 0L; var max = 0; var decim = 0L
           var i = 0
           while (i < dataLen) {

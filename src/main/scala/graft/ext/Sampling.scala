@@ -69,8 +69,11 @@ object Sampling {
       hash: Column => Column = sampleHash): DataFrame = {
     val thresholds: Map[String, Long] =
       rates.map { case (s, r) => s -> threshold(r) }
+    // try_element_at, not element_at: under spark.sql.ansi.enabled a
+    // missing map key must fall through to defaultRate, not throw
+    // MAP_KEY_DOES_NOT_EXIST.
     val t = coalesce(
-      element_at(typedLit(thresholds), strata.cast("string")),
+      try_element_at(typedLit(thresholds), strata.cast("string")),
       lit(threshold(defaultRate)))
     df.filter(hash(key.cast("string")) < t)
   }
@@ -82,7 +85,8 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 0.0): String = {
     val h = sampleHashSql(s"CAST($keyE AS VARCHAR)")
     val arms = rates.toSeq.sortBy(_._1).map { case (s, r) =>
-      s"WHEN '$s' THEN $h < ${threshold(r)}" }.mkString(" ")
+      s"WHEN '${s.replace("'", "''")}' THEN $h < ${threshold(r)}"
+    }.mkString(" ")
     s"(CASE CAST($strataE AS VARCHAR) $arms ELSE $h < ${threshold(defaultRate)} END)"
   }
 
@@ -117,7 +121,10 @@ object Sampling {
       least(lit(1.0), lit(baseRate) *
         sqrt(col("__n_max").cast("double") / col("__n").cast("double")))
         .as("__rate"))
-    df.join(broadcast(rates), strata === col("__stratum"))
+    // Null-safe equality: a null stratum forms its own group in the
+    // count aggregate, so it must also match its rate row here — a
+    // plain === would silently drop every null-stratum row.
+    df.join(broadcast(rates), strata <=> col("__stratum"))
       .filter(hash(key.cast("string")).cast("double") <
         col("__rate") * lit(P.toDouble))
       .drop("__stratum", "__rate")

@@ -532,13 +532,13 @@ object ScaleQueries {
       |  CAST(8000 AS BIGINT) AS sample_rate,
       |  CAST(8 AS BIGINT) AS bits_per_sample,
       |  CAST(n AS BIGINT) AS n_samples,
-      |  list_sum(list_transform(generate_series(0, n-1), i ->
-      |    (doc_id*17 + i*29) % 256)) AS sum_samples,
+      |  CAST(list_sum(list_transform(generate_series(0, n-1), i ->
+      |    (doc_id*17 + i*29) % 256)) AS BIGINT) AS sum_samples,
       |  list_max(list_transform(generate_series(0, n-1), i ->
       |    (doc_id*17 + i*29) % 256)) AS max_sample,
       |  CAST(n AS BIGINT) * 1000000 // 8000 AS duration_us,
-      |  list_sum(list_transform(generate_series(0, n-1, 4), i ->
-      |    (doc_id*17 + i*29) % 256)) AS decim_sum
+      |  CAST(list_sum(list_transform(generate_series(0, n-1, 4), i ->
+      |    (doc_id*17 + i*29) % 256)) AS BIGINT) AS decim_sum
       |FROM a ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q53
@@ -573,8 +573,9 @@ object ScaleQueries {
       |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
       |  CAST(max(nf) AS BIGINT) AS n_frames,
       |  CAST(max(nf) AS BIGINT) * 1000000 // 25 AS duration_us,
-      |  sum(luma) AS total_luma,
-      |  sum(CASE WHEN fr % 2 = 0 THEN luma ELSE 0 END) AS sampled_luma
+      |  CAST(sum(luma) AS BIGINT) AS total_luma,
+      |  CAST(sum(CASE WHEN fr % 2 = 0 THEN luma ELSE 0 END) AS BIGINT)
+      |    AS sampled_luma
       |FROM fl GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q54

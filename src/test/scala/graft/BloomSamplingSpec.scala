@@ -97,4 +97,25 @@ class BloomSamplingSpec extends SparkSuite {
     // the zh stratum exercises the default-rate fallback, non-trivially
     assert(got.exists(_.getString(1) == "zh"))
   }
+
+  test("stratified: unlisted stratum falls back under ANSI mode") {
+    val docs = (1L to 200L).map(i => (i, "xx")).toDF("id", "lang")
+    val prior = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // "xx" is absent from the rate map: element_at would throw
+      // MAP_KEY_DOES_NOT_EXIST here; try_element_at must fall through
+      // to defaultRate.
+      val kept = Sampling.stratified(docs, col("id"), col("lang"),
+        Map("en" -> 0.9), defaultRate = 1.0).count()
+      assert(kept == 200L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
+  test("stratifiedSql escapes single quotes in stratum values") {
+    val sql = Sampling.stratifiedSql("id", "lang",
+      Map("o'brien" -> 0.5), defaultRate = 0.1)
+    assert(sql.contains("'o''brien'"))
+    assert(!sql.contains("'o'brien'"))
+  }
 }

@@ -265,6 +265,39 @@ class ExtSpec extends SparkSuite {
       (0 until n).map(Multimodal.synthSample(5L, _).toLong).sum)
   }
 
+  test("multimodal: WAV with fmt after data still parses (spec-legal order)") {
+    import graft.ext.Multimodal
+    // id=6 → n = 6%50+10 = 16 samples (even, so no pad-byte ambiguity)
+    val wav = Multimodal.synthesizeAudio(Seq(6L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    val header = wav.slice(0, 12)        // RIFF....WAVE
+    val fmtChunk = wav.slice(12, 36)     // "fmt " + len + 16-byte body
+    val dataChunk = wav.drop(36)         // "data" + len + samples
+    val reordered = header ++ dataChunk ++ fmtChunk
+    val d = Multimodal.decodeAudio(
+        Seq((6L, reordered)).toDF("media_id", "bytes"))
+      .collect()(0)
+    val n = Multimodal.synthSampleCount(6L)
+    assert(d.n_samples == n.toLong)
+    assert(d.sum_samples ==
+      (0 until n).map(Multimodal.synthSample(6L, _).toLong).sum)
+  }
+
+  test("multimodal: truncated WAV data chunk fails loudly, not with AIOOBE") {
+    import graft.ext.Multimodal
+    val wav = Multimodal.synthesizeAudio(Seq(6L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    val truncated = wav.dropRight(5) // declared data length now exceeds bytes
+    val e = intercept[Exception] {
+      Multimodal.decodeAudio(
+        Seq((6L, truncated)).toDF("media_id", "bytes")).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(messages.exists(_.contains("truncated data chunk")))
+  }
+
   test("multimodal: real y4m payloads parse back to exact frame lumas") {
     import graft.ext.Multimodal
     val ids = Seq(0L, 1L, 4L, 11L, 59L).toDF("doc_id")

@@ -66,6 +66,15 @@ class ExtensionsSpec extends SparkSuite {
           "FROM range(1)").collect()
       }
       assert(e.getMessage.contains("integer literal"))
+      // wrong argument count must name the function, not MatchError
+      val arity = intercept[Exception] {
+        ext.sql("SELECT graft_cosine(array(1.0D))").collect()
+      }
+      val msgs = Iterator.iterate(arity: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .toSeq
+      assert(msgs.exists(m => m.contains("graft_cosine") &&
+        m.contains("invalid number of arguments")), msgs.mkString(" | "))
     } finally {
       // detach the extended session and restore the suite's default so
       // later suites keep their un-extended resolution behavior

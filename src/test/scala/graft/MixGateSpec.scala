@@ -46,6 +46,20 @@ class MixGateSpec extends SparkSuite {
     assert(again.select("id").except(out.select("id")).isEmpty)
   }
 
+  test("temperatureMix: null-stratum rows form a stratum, not a drop") {
+    val docs = ((1L to 300L).map(i => (i, "head")) ++
+      (301L to 400L).map(i => (i, null: String))).toDF("id", "s")
+    val out = Sampling.temperatureMix(docs, col("id"), col("s"), 0.5)
+    val nullKept = out.filter(col("s").isNull).count()
+    // null stratum: 100 rows at rate min(1, 0.5*sqrt(3)) ≈ 0.866 → ~87;
+    // the pre-fix === join dropped all of them.
+    assert(nullKept > 50L, s"null-stratum rows dropped: kept $nullKept")
+    // and the non-null stratum is unaffected by the null group's presence
+    val headOnly = Sampling.temperatureMix(
+      docs.filter(col("s").isNotNull), col("id"), col("s"), 0.5)
+    assert(out.filter(col("s") === "head").count() >= headOnly.count())
+  }
+
   test("temperatureMix: nested across baseRate sweeps") {
     val docs = (1L to 1000L).map(i => (i, s"s${i % 3}")).toDF("id", "s")
     val lo = Sampling.temperatureMix(docs, col("id"), col("s"), 0.1)
