@@ -58,15 +58,23 @@ object Bench {
     val best = selected.map { case (name, _) =>
       val ts = runs.map(_.toMap.apply(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min) }
-    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision, not full double digits: the driver keeps only
+    // the LAST 2000 chars of output, and at 58 queries a full-precision
+    // line is ~4 KB — every prior round's bench artifact ended up
+    // truncated mid-line ("parsed": null). 3 decimals keeps the whole
+    // line (plus sbt's trailing "[success]" line) inside that window.
+    val qs = best.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val runTotals = runs.map(_.map(_._2).filter(_ >= 0).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"run_totals":$runTotals,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"run_totals":$runTotals,"errors":$errJson,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing: executor/DAGScheduler shutdown warnings
+    // must not land after the JSON line and eat the tail window.
     spark.stop()
+    println(line)
     if (errors.nonEmpty) sys.exit(1)
   }
 }
