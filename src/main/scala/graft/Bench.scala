@@ -70,10 +70,13 @@ object Bench {
     val total = best.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"run_totals":$runTotals,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing: executor/DAGScheduler shutdown warnings
     // must not land after the JSON line and eat the tail window.
     spark.stop()
+    // run_totals (per-rep sums incl. warmup variance) go to stderr — info
+    // for humans chasing rep noise, not part of the parsed metric line.
+    System.err.println(s"run_totals=$runTotals")
     println(line)
     if (errors.nonEmpty) sys.exit(1)
   }

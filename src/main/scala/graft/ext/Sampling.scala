@@ -135,4 +135,56 @@ object Sampling {
     */
   def temperatureRateSql(baseRate: Double, nE: String, nMaxE: String): String =
     s"least(1.0, $baseRate * sqrt(CAST($nMaxE AS DOUBLE) / CAST($nE AS DOUBLE)))"
+
+  /** Per-key cap — "keep at most `n` docs per domain/source", the standard
+    * web-curation guard against a single crawl host dominating the mix.
+    * Which `n` survive is deterministic: the `n` highest [[sampleHash]]
+    * values win (ties by smallest id), so the kept set is stable across
+    * runs and engines, and re-crawling a domain only displaces rows at the
+    * hash boundary.
+    *
+    * Scale shape: NOT a `row_number()` window — a hot domain would funnel
+    * its millions of rows through one reducer just to discard all but
+    * `n`. [[graft.functions.TopK.topKByScore]] runs as a two-phase
+    * ObjectHashAggregate: each map task keeps an `n`-bounded heap per key,
+    * and only heaps (≤ `n` ids each) cross the shuffle. The final
+    * semi-join back to the corpus is a plain equi-join on the id (AQE
+    * broadcasts it when `n`·|keys| is small).
+    *
+    * `idCol` must uniquely identify rows (it is the semi-join key).
+    */
+  def capPerKey(df: DataFrame, key: Column, idCol: String, n: Int,
+      hash: Column => Column = sampleHash): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val kept = df
+      .select(key.as("__key"), col(idCol),
+        hash(col(idCol).cast("string")).cast("double").as("__h"))
+      .groupBy(col("__key"))
+      .agg(graft.functions.TopK.topKByScore(col("__h"), col(idCol), n)
+        .as("__top"))
+      .select(explode(col("__top.item")).as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
+  /** Training-order shuffle + shard assignment: `pos` is the portable
+    * hash of the key (a deterministic global permutation — the "shuffle
+    * the corpus before training" step), `shard` spreads that order over
+    * `numShards` output files. Pure per-row arithmetic: zero shuffle to
+    * ASSIGN; the physical clustering is the caller's one
+    * `repartitionByRange(shard, pos)` + `sortWithinPartitions` before the
+    * sharded write (each output file is then a contiguous, sorted slice
+    * of the global order).
+    */
+  def shardAssign(df: DataFrame, key: Column, numShards: Int,
+      hash: Column => Column = sampleHash): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    df.withColumn("pos", hash(key.cast("string")))
+      .withColumn("shard", pmod(col("pos"), lit(numShards.toLong)).cast("int"))
+  }
+
+  /** DuckDB twin of [[shardAssign]]'s two derived columns. */
+  def shardAssignSql(keyE: String, numShards: Int): (String, String) = {
+    val pos = sampleHashSql(s"CAST($keyE AS VARCHAR)")
+    (pos, s"CAST(($pos) % $numShards AS INTEGER)")
+  }
 }

@@ -369,4 +369,60 @@ object Similarity {
     df.select(lshBucket(toDouble(col(embCol)), planes).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
+
+  // --------------------------------------- random-projection reduction
+
+  /** Johnson–Lindenstrauss-style dimensionality reduction: project an
+    * embedding onto `outDim` pseudo-random ±1 directions. Output dim j is
+    * `Σ_k v[k]·sign(j,k)` with the sign derived from
+    * [[graft.functions.PortableHash.affine]] parity — a fixed,
+    * engine-independent projection matrix that is never materialized,
+    * shipped, or broadcast: each executor regenerates coefficients inside
+    * codegen. The fold runs left-to-right over k, the same association as
+    * DuckDB's `list_reduce`, so reduced vectors are bit-identical across
+    * engines (floats widen to double exactly; each product and addition
+    * is one correctly-rounded IEEE op in a fixed order).
+    *
+    * This is the scale lever for brute-force cosine: scoring cost is
+    * linear in dimension, so 64→16 cuts the dominant term 4× while
+    * approximately preserving inner products (JL); the reduced corpus
+    * also shrinks the ANN build. Unscaled (no 1/√outDim factor): rankings
+    * and bucket signs are scale-invariant, and omitting the multiply
+    * keeps one fewer rounding step to reason about.
+    *
+    * Input dimension must be ≤ 1024 so (j,k) index pairs stay unique in
+    * the sign-hash domain.
+    */
+  def randomProject(emb: Column, outDim: Int, seed: Int = 7): Column = {
+    require(outDim > 0, s"outDim must be positive: $outDim")
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), size(emb) - 1), lit(0.0d),
+        (acc, k) => acc +
+          element_at(emb, k + 1).cast("double") * rpSign(j, k, seed)))
+  }
+
+  /** Sign bit: parity of a DOUBLE affine pass. One pass is degenerate
+    * here — for x = j·1024+k ≲ 3500 the first affine never wraps mod P,
+    * so h is a plain linear form with even coefficients and every sign
+    * comes out +1. The second pass wraps for all h ≳ 2300 and restores
+    * parity mixing (measured: 50.2% +1 over a 16×64 matrix).
+    */
+  private def rpSign(j: Column, k: Column, seed: Int): Column = {
+    import graft.functions.PortableHash.affine
+    when(affine(lit(seed + 4),
+        affine(lit(seed), j.cast("long") * 1024L + k.cast("long"))) % 2 === 0,
+      lit(1.0d)).otherwise(lit(-1.0d))
+  }
+
+  /** DuckDB twin of [[randomProject]] (same fold order → bit-equal). */
+  def randomProjectSql(embE: String, outDim: Int, seed: Int = 7): String = {
+    import graft.functions.PortableHash.affineSql
+    val h = affineSql((seed + 4).toString,
+      s"(${affineSql(seed.toString, "(j*1024 + k)")})")
+    val sign = s"CASE WHEN ($h) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    s"list_transform(generate_series(0, ${outDim - 1}), j -> " +
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(0, len($embE)-1), k -> " +
+      s"CAST(($embE)[k+1] AS DOUBLE) * $sign)), (acc, v) -> acc + v))"
+  }
 }

@@ -296,6 +296,39 @@ object Text {
       s"regexp_replace($s, '${pat.replace("'", "''")}', '$mask', 'g')"
     }
 
+  /** Vocabulary-coverage quality stats (CCNet-style corpus-frequency
+    * scoring, integer-exact): build the corpus's top-`topK` vocabulary
+    * (by token count, ties by token), then report per doc how many of its
+    * token OCCURRENCES are in-vocabulary and the out-of-vocabulary ratio.
+    * A high OOV ratio marks boilerplate/garbage/wrong-language docs the
+    * way LM-perplexity filters do, without a float model.
+    *
+    * Scale shape: the vocab aggregate is map-side combined (bytes ∝
+    * distinct tokens, Zipf-bounded) and the result is `topK`-bounded by
+    * construction before the one driver collect (same driver-small
+    * pattern as IVF centroids). Scoring is then a zero-shuffle per-row
+    * filter against the vocabulary literal inside whole-stage codegen —
+    * corpus text never shuffles. The literal linear scan is right for
+    * topK ≲ 10⁴; past that, swap the membership test for a bloom-filter
+    * expression or a broadcast join + per-doc re-aggregate.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val vocab: Seq[String] = df
+      .select(explode(tokens(col(textCol))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tk").asc)
+      .limit(topK)
+      .collect().map(_.getString(0)).toSeq
+    val vlit = typedLit(vocab)
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val inv = size(filter(toks, t => array_contains(vlit, t))).cast("long")
+    df.select(col(idCol), n.as("n_tokens"), inv.as("n_invocab"),
+      (lit(1.0) - inv.cast("double") / n.cast("double")).as("oov_ratio"))
+  }
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

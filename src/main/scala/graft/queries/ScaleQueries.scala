@@ -713,6 +713,97 @@ object ScaleQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q59
+  // Per-source cap (web-curation "max N docs per domain"): the 15
+  // highest-hash docs of each of the 20 sources survive. Runs through the
+  // bounded-heap TopKByScore aggregate — only ≤15 ids per source cross
+  // the shuffle, never the corpus — and the oracle reproduces the exact
+  // same winners with a row_number window (fine at oracle scale).
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.capPerKey(
+        t(s, dir, "documents"), col("source"), "doc_id", n = 15)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  private val q59Sql = {
+    val h = graft.ext.Sampling.sampleHashSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ($h) DESC, doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, source, lang, n_chars FROM r
+       |WHERE rn <= 15 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q60
+  // Deterministic training-order shuffle + shard assignment: pos = hash
+  // of the doc id (a global permutation), shard = pos mod 8. Assignment
+  // is pure per-row arithmetic (zero shuffle); the physical clustering
+  // for a sharded write is ONE repartitionByRange(shard, pos) +
+  // sortWithinPartitions, exercised here without changing rows.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.ext.Sampling.shardAssign(
+      t(s, dir, "documents").select("doc_id", "source"),
+      col("doc_id"), numShards = 8)
+    assigned
+      .repartitionByRange(8, col("shard"), col("pos"))
+      .sortWithinPartitions("shard", "pos")
+      .select("doc_id", "source", "pos", "shard")
+      .orderBy("doc_id")
+  }
+
+  private val q60Sql = {
+    val (pos, shard) = graft.ext.Sampling.shardAssignSql("doc_id", 8)
+    s"""SELECT doc_id, source, $pos AS pos, $shard AS shard
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q61
+  // Random-projection dimensionality reduction 64→16 (JL transform with
+  // a hash-derived ±1 matrix that is never materialized). Fold order is
+  // fixed left-to-right in both engines → reduced vectors compare
+  // bit-exactly, double for double.
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.ext.Similarity.randomProject(col("embedding"), 16).as("proj"))
+      .orderBy("vec_id")
+
+  private val q61Sql =
+    s"""SELECT vec_id,
+       |  ${graft.ext.Similarity.randomProjectSql("embedding", 16)} AS proj
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  // Vocabulary-coverage quality stats: top-256 corpus vocabulary, then
+  // per-doc in-vocab occurrence count + OOV ratio. Spark scores with a
+  // zero-shuffle literal-membership filter; the oracle recomputes the
+  // same vocab in a CTE and counts via a join — same semantics, both
+  // deterministic under the (count DESC, token ASC) tie-break.
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.vocabCoverage(
+        t(s, dir, "documents"), "doc_id", "text", topK = 256)
+      .orderBy("doc_id")
+
+  private val q62Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tk FROM tok GROUP BY tk
+      |  ORDER BY count(*) DESC, tk LIMIT 256),
+      |cov AS (
+      |  SELECT doc_id, count(*) AS n_invocab
+      |  FROM tok JOIN vocab USING (tk) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(c.n_invocab, 0) AS BIGINT) AS n_invocab,
+      |  1.0 - CAST(coalesce(c.n_invocab, 0) AS DOUBLE) /
+      |    CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS oov_ratio
+      |FROM documents d LEFT JOIN cov c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -729,6 +820,10 @@ object ScaleQueries {
     "q56_temperature_mix" -> (q56 _),
     "q57_quality_rules" -> (q57 _),
     "q58_pii_redaction" -> (q58 _),
+    "q59_per_source_cap" -> (q59 _),
+    "q60_shard_assign" -> (q60 _),
+    "q61_random_projection" -> (q61 _),
+    "q62_vocab_coverage" -> (q62 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -759,6 +854,10 @@ object ScaleQueries {
     "q56_temperature_mix" -> q56Sql,
     "q57_quality_rules" -> q57Sql,
     "q58_pii_redaction" -> q58Sql,
+    "q59_per_source_cap" -> q59Sql,
+    "q60_shard_assign" -> q60Sql,
+    "q61_random_projection" -> q61Sql,
+    "q62_vocab_coverage" -> q62Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,

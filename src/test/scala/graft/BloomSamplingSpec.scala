@@ -118,4 +118,45 @@ class BloomSamplingSpec extends SparkSuite {
     assert(sql.contains("'o''brien'"))
     assert(!sql.contains("'o'brien'"))
   }
+
+  test("capPerKey: keeps exactly the top-n hash winners per key") {
+    val docs = (1L to 900L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val capped = Sampling.capPerKey(docs, col("src"), "id", n = 10)
+    val byKey = capped.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey.values.toSet == Set(10L), byKey.toString)
+    // same winners as the window formulation, row for row
+    import org.apache.spark.sql.expressions.Window
+    val want = docs
+      .withColumn("__h", Sampling.sampleHash(col("id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("__h").desc, col("id").asc)))
+      .filter(col("rn") <= 10).select("id").as[Long].collect().toSet
+    assert(capped.select("id").as[Long].collect().toSet == want)
+    // scale contract: the plan aggregates with bounded heaps, no Window
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by_score"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("capPerKey: a key with fewer rows than the cap keeps them all") {
+    val docs = ((1L to 3L).map(i => (i, "tiny")) ++
+      (4L to 40L).map(i => (i, "big"))).toDF("id", "src")
+    val capped = Sampling.capPerKey(docs, col("src"), "id", n = 5)
+    assert(capped.filter(col("src") === "tiny").count() == 3L)
+    assert(capped.filter(col("src") === "big").count() == 5L)
+  }
+
+  test("shardAssign: pos is the portable hash, shard its mod, rows intact") {
+    val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val out = Sampling.shardAssign(docs, col("id"), numShards = 8)
+    assert(out.count() == 400L)
+    assert(out.filter(col("shard") < 0 || col("shard") >= 8).isEmpty)
+    assert(out.filter(col("pos") =!=
+      Sampling.sampleHash(col("id").cast("string"))).isEmpty)
+    assert(out.filter(col("shard") =!= pmod(col("pos"), lit(8L)).cast("int"))
+      .isEmpty)
+    // every shard is hit at n=400 (hash spreads short numeric keys)
+    assert(out.select("shard").distinct().count() == 8L)
+  }
 }

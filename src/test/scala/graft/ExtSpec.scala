@@ -377,4 +377,49 @@ class ExtSpec extends SparkSuite {
       assert(f.resized_brightness == expR.toDouble / (rw * rh))
     }
   }
+
+  test("randomProject: matches the scalar replica, dims and signs right") {
+    val P = 1000000007L
+    def aff(j: Long, x: Long): Long =
+      ((j * 40503L + 17L) % P * x % P + (j * 97L + 1L) % P) % P
+    def sign(j: Int, k: Int, seed: Long = 7L): Double =
+      if (aff(seed + 4, aff(seed, j * 1024L + k)) % 2 == 0) 1.0 else -1.0
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(-0.5f, 0.25f, 8.0f, -2.0f)))
+    val got = vecs.toDF("id", "emb")
+      .select(col("id"), Similarity.randomProject(col("emb"), 3).as("p"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    vecs.zip(got).foreach { case ((id, emb), (gid, proj)) =>
+      assert(id == gid && proj.length == 3)
+      val want = (0 until 3).map(j =>
+        emb.indices.foldLeft(0.0)((acc, k) =>
+          acc + emb(k).toDouble * sign(j, k)))
+      assert(proj == want, s"id=$id got=$proj want=$want")
+    }
+    // the sign matrix is not degenerate: some sign differs across (j,k)
+    val signs = for { j <- 0 until 3; k <- 0 until 4 } yield sign(j, k)
+    assert(signs.toSet == Set(1.0, -1.0))
+  }
+
+  test("vocabCoverage: counts in-vocab occurrences, ties broken by token") {
+    val docs = Seq(
+      (1L, "a a b rare1"),   // 4 tokens
+      (2L, "a b b rare2"),
+      (3L, "c c c c")
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=4, rare1=1, rare2=1 → top-3 = c(4), a(3), b(3)
+    val got = Text.vocabCoverage(docs, "doc_id", "text", topK = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 4L, 3L, 1.0 - 3.0 / 4.0)))
+    assert(got(1) == ((2L, 4L, 3L, 1.0 - 3.0 / 4.0)))
+    assert(got(2) == ((3L, 4L, 4L, 0.0)))
+    // topK boundary tie (a vs b at count 3) resolves by token order: with
+    // topK=2 the vocab is {c, a} — b no longer counts
+    val k2 = Text.vocabCoverage(docs, "doc_id", "text", topK = 2)
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(k2.toSeq == Seq(2L, 1L, 4L))
+  }
 }
