@@ -66,6 +66,53 @@ object Curation {
     * `release()` (or the blocks stay pinned by the CacheManager for the
     * application lifetime — see [[curate]]).
     */
+  /** The full training-data preparation pipeline, stage-composed from
+    * the round-6/7 corpus operators:
+    *
+    *   structural quality gate ([[Text.qualityRules]]) →
+    *   exact dedup (normalized fingerprint, min-id keeper) →
+    *   benchmark decontamination ([[Dedup.decontaminate]]) →
+    *   per-source cap ([[Sampling.capPerKey]]) →
+    *   temperature mixture over languages ([[Sampling.temperatureMix]]) →
+    *   training-order shard assignment ([[Sampling.shardAssign]]).
+    *
+    * Output = surviving corpus rows + `pos`/`shard`. Fully deterministic
+    * (every stage is hash-predicate or exact-arithmetic driven), so the
+    * whole pipeline is oracle-checkable end to end (q63).
+    *
+    * The three hash-driven stages use DIFFERENT seeds
+    * ([[Sampling.seededHash]]): cap keeps the HIGHEST hashes and the mix
+    * keeps `h < rate·P` — on one shared hash the cap would feed the mix
+    * only high-h rows and the realized mix rate would collapse.
+    *
+    * Scale shape: corpus text shuffles zero times — the only exchanges
+    * are (fingerprint, id) pairs, (gram-hash, id) pairs for
+    * decontamination, bounded per-source heaps, and per-language counts;
+    * every keep decision then rides the scan as a semi-join or predicate.
+    */
+  def prepareTrainingData(corpus: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source",
+      capPerSource: Int = 15, baseRate: Double = 0.5, numShards: Int = 4,
+      decontamN: Int = 4): DataFrame = {
+    val passing = Text.qualityRules(corpus, idCol, textCol)
+      .filter(col("passes")).select(col(idCol))
+    val gated = corpus.join(passing, Seq(idCol), "left_semi")
+    val keepers = gated
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val deduped = gated.join(keepers, Seq(idCol), "left_semi")
+    val clean = Dedup.decontaminate(deduped, bench, idCol, textCol,
+      decontamN)
+    val capped = Sampling.capPerKey(clean, col(sourceCol), idCol,
+      capPerSource, Sampling.seededHash(7))
+    val mixed = Sampling.temperatureMix(capped, col(idCol), col(langCol),
+      baseRate, Sampling.seededHash(13))
+    Sampling.shardAssign(mixed, col(idCol), numShards,
+      Sampling.seededHash(19))
+  }
+
   def open(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minQuality: Double = 1.5): CurationSession = {
     val qualified = df

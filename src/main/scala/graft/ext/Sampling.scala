@@ -40,11 +40,22 @@ object Sampling {
   /** Keep-decision hash: poly fold + affine scramble, uniform on [0, P)
     * even for short keys. The DuckDB twin is [[sampleHashSql]].
     */
-  def sampleHash(c: Column): Column =
-    PortableHash.affine(lit(7), PortableHash.polyHash(c))
+  def sampleHash(c: Column): Column = seededHash(7)(c)
 
-  def sampleHashSql(e: String): String =
-    PortableHash.affineSql("7", s"(${PortableHash.polyHashSql(e)})")
+  def sampleHashSql(e: String): String = seededHashSql(7)(e)
+
+  /** Seeded variant: pipelines that sample/cap/shard the SAME key column
+    * in successive stages must use a DIFFERENT seed per stage — with one
+    * shared hash the stages' keep decisions correlate (e.g. a per-domain
+    * cap keeping the highest hashes starves a downstream `h < rate·P`
+    * sample that keeps the lowest), silently skewing effective rates.
+    */
+  def seededHash(seed: Int)(c: Column): Column =
+    PortableHash.affine(lit(seed), PortableHash.polyHash(c))
+
+  def seededHashSql(seed: Int)(e: String): String =
+    PortableHash.affineSql(seed.toString,
+      s"(${PortableHash.polyHashSql(e)})")
 
   private def threshold(rate: Double): Long = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")

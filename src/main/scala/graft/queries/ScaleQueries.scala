@@ -804,6 +804,72 @@ object ScaleQueries {
       |FROM documents d LEFT JOIN cov c USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  // The training-data preparation capstone: quality gate → exact dedup →
+  // benchmark decontamination → per-source cap → temperature mix →
+  // shard assignment, one composed pipeline (Curation.prepareTrainingData)
+  // checked end to end against a single CTE-chain oracle. Every stage is
+  // deterministic (hash predicates + exact arithmetic), so the FULL
+  // composition hash-matches, not just each stage in isolation.
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ext.Curation.prepareTrainingData(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+      .select("doc_id", "lang", "source", "n_chars", "pos", "shard")
+      .orderBy("doc_id")
+  }
+
+  private val q63Sql = {
+    import graft.ext.{Dedup, Sampling, Text}
+    import graft.functions.PortableHash
+    val grams3 = Dedup.wordShinglesSql("text", 3)
+    val grams4 = Dedup.wordShinglesSql("text", 4)
+    val norm = "array_to_string(list_sort(list_filter(" +
+      s"string_split_regex(regexp_replace(lower(text), '${Text.punctClass}', '', 'g'), ' +'), " +
+      "x -> x <> '')), ' ')"
+    val h7 = Sampling.seededHashSql(7)("CAST(doc_id AS VARCHAR)")
+    val h13 = Sampling.seededHashSql(13)("CAST(doc_id AS VARCHAR)")
+    val h19 = Sampling.seededHashSql(19)("CAST(doc_id AS VARCHAR)")
+    val rate = Sampling.temperatureRateSql(0.5, "n_s", "n_max")
+    val nTok = "len(string_split(text, ' '))"
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+       |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+       |m AS MATERIALIZED (SELECT doc_id,
+       |  CAST($nTok AS BIGINT) AS n_tokens,
+       |  (CAST(length(text) AS DOUBLE) - (CAST($nTok AS DOUBLE) - 1.0)) /
+       |    CAST($nTok AS DOUBLE) AS mean_token_len,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+       |    CAST($nTok AS DOUBLE) AS unique_ratio,
+       |  coalesce(1.0 - CAST(len(list_distinct($grams3)) AS DOUBLE) /
+       |    NULLIF(CAST(len($grams3) AS DOUBLE), 0.0), 0.0) AS dup3
+       |FROM corpus),
+       |g AS MATERIALIZED (SELECT corpus.* FROM corpus JOIN m USING (doc_id)
+       |  WHERE m.n_tokens BETWEEN 30 AND 10000
+       |    AND m.mean_token_len BETWEEN 2.0 AND 10.0
+       |    AND m.unique_ratio >= 0.3 AND m.dup3 <= 0.2),
+       |fp AS (SELECT min(doc_id) AS doc_id FROM
+       |  (SELECT doc_id, ${PortableHash.polyHashSql(norm)} AS f FROM g)
+       |  GROUP BY f),
+       |d AS MATERIALIZED (SELECT g.* FROM g JOIN fp USING (doc_id)),
+       |bg AS (SELECT DISTINCT unnest($grams4) AS gram FROM bench),
+       |cg AS (SELECT doc_id, unnest($grams4) AS gram FROM d),
+       |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+       |cl AS MATERIALIZED (SELECT * FROM d ANTI JOIN bad USING (doc_id)),
+       |r AS (SELECT cl.*, row_number() OVER (PARTITION BY source
+       |  ORDER BY ($h7) DESC, doc_id) AS rn FROM cl),
+       |cap AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 15),
+       |n AS (SELECT lang, count(*) AS n_s FROM cap GROUP BY lang),
+       |mx AS (SELECT max(n_s) AS n_max FROM n),
+       |rt AS (SELECT lang, $rate AS rate FROM n, mx),
+       |mixed AS (SELECT cap.* FROM cap JOIN rt USING (lang)
+       |  WHERE CAST($h13 AS DOUBLE) < rate * CAST(${PortableHash.P} AS DOUBLE))
+       |SELECT doc_id, lang, source, n_chars,
+       |  $h19 AS pos, CAST(($h19) % 4 AS INTEGER) AS shard
+       |FROM mixed ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -824,6 +890,7 @@ object ScaleQueries {
     "q60_shard_assign" -> (q60 _),
     "q61_random_projection" -> (q61 _),
     "q62_vocab_coverage" -> (q62 _),
+    "q63_training_pipeline" -> (q63 _),
     "q30_salted_agg" -> (q30 _),
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
@@ -858,6 +925,7 @@ object ScaleQueries {
     "q60_shard_assign" -> q60Sql,
     "q61_random_projection" -> q61Sql,
     "q62_vocab_coverage" -> q62Sql,
+    "q63_training_pipeline" -> q63Sql,
     "q30_salted_agg" -> q30Sql,
     "q31_salted_join" -> q31Sql,
     "q32_approx_distinct_hll" -> q32Sql,

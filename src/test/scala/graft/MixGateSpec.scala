@@ -69,6 +69,36 @@ class MixGateSpec extends SparkSuite {
     assert(lo.subsetOf(hi), s"${(lo -- hi).take(5)} kept at 0.1 but not 0.5")
   }
 
+  test("prepareTrainingData equals the hand-chained stages") {
+    import graft.ext.{Curation, Sampling}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val got = Curation.prepareTrainingData(corpus, bench)
+      .select("doc_id", "shard").orderBy("doc_id").collect().toSeq
+
+    val passing = Text.qualityRules(corpus).filter(col("passes"))
+      .select("doc_id")
+    val gated = corpus.join(passing, Seq("doc_id"), "left_semi")
+    val keepers = gated
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi")
+    val clean = Dedup.decontaminate(deduped, bench, "doc_id", "text", 4)
+    val capped = Sampling.capPerKey(clean, col("source"), "doc_id", 15,
+      Sampling.seededHash(7))
+    val mixed = Sampling.temperatureMix(capped, col("doc_id"), col("lang"),
+      0.5, Sampling.seededHash(13))
+    val want = Sampling.shardAssign(mixed, col("doc_id"), 4,
+      Sampling.seededHash(19))
+      .select("doc_id", "shard").orderBy("doc_id").collect().toSeq
+    assert(got == want)
+    // every stage genuinely filters at this SF (no stage is a no-op)
+    assert(got.nonEmpty && got.size < corpus.count())
+    assert(capped.count() < clean.count())
+    assert(mixed.count() < capped.count())
+  }
+
   test("qualityRules: each degenerate doc fails exactly its rule") {
     val docs = Seq(
       (1L, Seq.fill(50)("word").mkString(" ")),          // repetition
