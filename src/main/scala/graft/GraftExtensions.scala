@@ -90,5 +90,35 @@ object GraftExtensions {
     "graft_lsh_bucket" -> {
       case Seq(v) => LshBucketExpr(v, 8)
       case Seq(v, p) => LshBucketExpr(v, intLit(p, "plane count"))
+    },
+    // Aggregate: wrapped into an AggregateExpression here — an injected
+    // builder's result is used as-is (unlike built-in registry entries,
+    // which the analyzer wraps), so a bare AggregateFunction would reach
+    // codegen unwrapped and fail.
+    "graft_top_k" -> {
+      case Seq(score, item, k) =>
+        TopKByScore(score, item, intLit(k, "k")).toAggregateExpression()
+    },
+    // The deterministic-sampling hash family in SQL. Built directly in
+    // Catalyst (a Column-composed tree can't be injected: in Spark 4 the
+    // Column API builds backend-neutral ColumnNodes whose UnresolvedF.
+    // children are not re-resolved inside a function builder's output):
+    // affine-with-folded-constants over the native PolyHashExpr, which
+    // tests pin bit-identical to the HOF form the Scala API composes.
+    "graft_sample_hash" -> { case Seq(s) => seededHashExpr(7, s) },
+    "graft_seeded_hash" -> { case Seq(s, seed) =>
+      seededHashExpr(intLit(seed, "seed"), s)
     })
+
+  private def seededHashExpr(seed: Int, s: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Remainder}
+    val p = graft.functions.PortableHash.P
+    val a = (seed.toLong * 40503L + 17L) % p
+    val b = (seed.toLong * 97L + 1L) % p
+    // ((a·polyHash(s)) mod P + b) mod P — products stay ≤ ~2^60
+    Remainder(
+      Add(Remainder(Multiply(Literal(a), PolyHashExpr(s)), Literal(p)),
+        Literal(b)),
+      Literal(p))
+  }
 }

@@ -42,7 +42,14 @@ object Dedup {
     * window of `n` consecutive tokens. Empty array when the doc has fewer
     * than `n` tokens.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingle strings — native one-pass expression
+    * ([[wordShinglesHof]] is the built-in-composed reference form;
+    * equality asserted in tests).
+    */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    graft.functions.NativeString.wordShingles(text, n)
+
+  def wordShinglesHof(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
     val m = size(toks) - (n - 1)
     // NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (it infers a
@@ -453,14 +460,25 @@ object Dedup {
     * semantics here are what that fast path must preserve.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 4): DataFrame =
+    corpus.join(
+      broadcast(contaminatedIds(corpus, benchmark, idCol, textCol, n)),
+      Seq(idCol), "left_anti")
+
+  /** The id set [[decontaminate]] drops — for pipelines that track
+    * survivors as id-frames: `corpus anti contaminatedIds` needs ONE
+    * gram scan of the corpus, where `decontaminate(...).select(id)`
+    * would re-derive its input for both the gram explode and the final
+    * anti join (the input's lineage runs twice).
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 4): DataFrame = {
     val benchGrams = benchmark
       .select(explode(wordShingles(col(textCol), n)).as("__gram"))
       .distinct()
-    val contaminated = corpus
+    corpus
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__gram"))
       .join(broadcast(benchGrams), "__gram")
       .select(idCol).distinct()
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 }

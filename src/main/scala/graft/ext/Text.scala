@@ -228,22 +228,46 @@ object Text {
     * decision column lets the caller audit WHY a doc was dropped (filter
     * on `passes` for the keep-side, on individual rules for triage).
     */
+  /** The four structural metrics of [[qualityRules]], as columns over a
+    * text column — single source of truth for both the audit projection
+    * and the composable [[passesQuality]] predicate.
+    */
+  private def qualityMetrics(text: Column)
+      : (Column, Column, Column, Column) = {
+    val toks = tokens(text)
+    val grams3 = Dedup.wordShingles(text, 3)
+    val n = size(toks).cast("long")
+    val meanLen = (length(text).cast("double") -
+      (n.cast("double") - lit(1.0))) / n.cast("double")
+    val uniqueRatio =
+      size(array_distinct(toks)).cast("double") / n.cast("double")
+    val dup3 = coalesce(
+      lit(1.0) - size(array_distinct(grams3)).cast("double") /
+        nullif(size(grams3).cast("double"), lit(0.0)), lit(0.0))
+    (n, meanLen, uniqueRatio, dup3)
+  }
+
+  /** The [[qualityRules]] keep decision as ONE composable boolean column,
+    * for pipelines that gate inside a wider projection (one text scan
+    * instead of a rules frame + semi join).
+    */
+  def passesQuality(text: Column, minTokens: Int = 30,
+      maxTokens: Int = 10000, minUniqueRatio: Double = 0.3,
+      maxDup3gramRatio: Double = 0.2): Column = {
+    val (n, meanLen, uniqueRatio, dup3) = qualityMetrics(text)
+    n >= minTokens && n <= maxTokens &&
+      meanLen >= 2.0 && meanLen <= 10.0 &&
+      uniqueRatio >= minUniqueRatio && dup3 <= maxDup3gramRatio
+  }
+
   def qualityRules(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minTokens: Int = 30, maxTokens: Int = 10000,
       minUniqueRatio: Double = 0.3, maxDup3gramRatio: Double = 0.2)
       : DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams3 = Dedup.wordShingles(col(textCol), 3)
-    val n = size(toks).cast("long")
-    val meanLen = (length(col(textCol)).cast("double") -
-      (n.cast("double") - lit(1.0))) / n.cast("double")
-    val uniqueRatio =
-      size(array_distinct(toks)).cast("double") / n.cast("double")
-    val dup3 = lit(1.0) - size(array_distinct(grams3)).cast("double") /
-      nullif(size(grams3).cast("double"), lit(0.0))
+    val (n, meanLen, uniqueRatio, dup3) = qualityMetrics(col(textCol))
     df.select(col(idCol), n.as("n_tokens"),
         meanLen.as("mean_token_len"), uniqueRatio.as("unique_ratio"),
-        coalesce(dup3, lit(0.0)).as("dup_3gram_ratio"))
+        dup3.as("dup_3gram_ratio"))
       .withColumn("len_ok",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .withColumn("mean_len_ok",

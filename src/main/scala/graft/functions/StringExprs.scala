@@ -60,6 +60,43 @@ object NativeString {
     nullif(column(CharJaccardExpr(expression(a), expression(b), n)),
       lit(-1.0))
   }
+
+  /** Word n-gram shingle STRINGS in one pass — value-identical to the
+    * HOF form `transform(sequence(...), i -> array_join(slice(split(s,
+    * ' '), i, n), ' '))` (equality asserted in tests), but ~10× faster:
+    * higher-order functions run interpreted per element and allocate a
+    * slice array per gram, which made the 3-gram pass the dominant cost
+    * of every quality/decontamination scan.
+    */
+  def wordShinglesRaw(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // split(" ", -1): trailing empty tokens kept, same as Spark's
+    // split(text, " ") (regex, default limit -1)
+    val toks = s.toString.split(" ", -1)
+    val m = toks.length - (n - 1)
+    if (m < 1)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  def wordShingles(c: Column, n: Int): Column =
+    column(WordShinglesExpr(expression(c), n))
 }
 
 /** charJaccard(string, string) → double (-1.0 sentinel for empty∪empty). */
@@ -75,6 +112,19 @@ case class CharJaccardExpr(left: Expression, right: Expression, n: Int)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CharJaccardExpr =
     copy(left = l, right = r)
+}
+
+/** wordShingles(string) → array<string> of word n-grams, one codegen pass. */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NativeString.wordShinglesRaw(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeString.wordShinglesRaw($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
 }
 
 /** countSubstr(string) → long (non-overlapping). */

@@ -378,6 +378,27 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("native wordShingles equals the HOF reference form") {
+    val texts = Seq(
+      "a b c d e",            // normal
+      "a b",                  // shorter than n
+      "",                     // empty → one empty token
+      "a  b c",               // double space → empty middle token
+      "a b c ",               // trailing space → trailing empty token
+      "one",                  // single token
+      "x y z"                 // exactly n tokens
+    ).toDF("t")
+    Seq(1, 2, 3, 4).foreach { n =>
+      val rows = texts.select(
+        Dedup.wordShingles(col("t"), n).as("native"),
+        Dedup.wordShinglesHof(col("t"), n).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("randomProject: matches the scalar replica, dims and signs right") {
     val P = 1000000007L
     def aff(j: Long, x: Long): Long =

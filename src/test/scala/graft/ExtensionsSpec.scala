@@ -66,6 +66,26 @@ class ExtensionsSpec extends SparkSuite {
           "FROM range(1)").collect()
       }
       assert(e.getMessage.contains("integer literal"))
+      // aggregate + composed-hash functions from SQL
+      val agg = ext.sql(
+        """SELECT k, graft_top_k(CAST(v AS DOUBLE), id, 2) AS top
+          |FROM VALUES (1, 10.0, 100L), (1, 30.0, 300L), (1, 20.0, 200L),
+          |            (2, 5.0, 500L) AS t(k, v, id)
+          |GROUP BY k ORDER BY k""".stripMargin).collect()
+      val top1 = agg(0).getSeq[org.apache.spark.sql.Row](1)
+      assert(top1.map(_.getLong(1)) == Seq(300L, 200L))
+      assert(agg(1).getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getLong(1)) == Seq(500L))
+      val hashes = ext.sql(
+        """SELECT graft_sample_hash('42') AS h7,
+          |       graft_seeded_hash('42', 7) AS h7b,
+          |       graft_seeded_hash('42', 13) AS h13""".stripMargin)
+        .collect()(0)
+      assert(hashes.getLong(0) == hashes.getLong(1)) // seed 7 IS the default
+      assert(hashes.getLong(0) != hashes.getLong(2)) // seeds decorrelate
+      val viaApiHash = ext.range(1).select(
+        graft.ext.Sampling.sampleHash(lit("42"))).collect()(0).getLong(0)
+      assert(hashes.getLong(0) == viaApiHash)
       // wrong argument count must name the function, not MatchError
       val arity = intercept[Exception] {
         ext.sql("SELECT graft_cosine(array(1.0D))").collect()
