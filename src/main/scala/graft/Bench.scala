@@ -58,13 +58,21 @@ object Bench {
     val best = selected.map { case (name, _) =>
       val ts = runs.map(_.toMap.apply(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min) }
-    // Millisecond precision, not full double digits: the driver keeps only
-    // the LAST 2000 chars of output, and at 58 queries a full-precision
-    // line is ~4 KB — every prior round's bench artifact ended up
-    // truncated mid-line ("parsed": null). 3 decimals keeps the whole
-    // line (plus sbt's trailing "[success]" line) inside that window.
-    val qs = best.map { case (k, v) => f""""$k":$v%.3f""" }
+    // The driver keeps only the LAST 2000 chars of output, and sbt appends
+    // a trailing "[success] Total time..." line (~80 chars) after ours. At
+    // 63+ queries even a 3-decimal full-name line is ~1950 chars — round 6
+    // still landed "parsed": null. So the printed line uses SHORT query ids
+    // (the `qNN`/`qNNx` prefix before the first underscore: "q01", "q19b",
+    // "q24c" — unique across the suite) at 3 decimals (~980 chars, ~900
+    // chars of headroom for future rounds). The full-name map goes to
+    // stderr for humans.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    require(best.map { case (k, _) => shortId(k) }.distinct.size == best.size,
+      "short query ids collide; bench line would drop a query")
+    val qs = best.map { case (k, v) => f""""${shortId(k)}":$v%.3f""" }
       .mkString("{", ",", "}")
+    System.err.println(best.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("full_queries={", ",", "}"))
     val runTotals = runs.map(_.map(_._2).filter(_ >= 0).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
