@@ -366,6 +366,56 @@ object Dedup {
       charMinHashCandidates(df, idCol, textCol, k, bands, n),
       idCol, textCol, charNgramJaccard(_, _, n), threshold)
 
+  /** Incremental near-dup: match a NEW batch against an already-ACCEPTED
+    * corpus — the shape a continuously-ingesting pipeline actually runs
+    * (re-deduping the full corpus per batch is O(corpus) per day;
+    * matching batch-vs-seen is O(batch)). Same two-phase semantics as
+    * [[nearDuplicates]] — MinHash-LSH recall, exact word-shingle Jaccard
+    * verify — but the band join is new×seen only: no seen×seen pairs
+    * (they were already adjudicated when those docs were admitted) and
+    * no new×new pairs (callers run [[nearDuplicates]] within the batch
+    * separately if they want intra-batch dedup).
+    *
+    * Output: (id_new, id_seen, jaccard) pairs ≥ threshold; admit the
+    * batch with an anti-join on `id_new` and append the survivors'
+    * band rows to the seen-side bucket table — which at 100 TB is
+    * PRECOMPUTED once and stored bucketed on (band, bucket), so each
+    * day's join shuffles only the batch's (band, bucket, id) rows, never
+    * the corpus. The mega-bucket cap guards the seen side: a boilerplate
+    * bucket accumulated over months would otherwise cross-join against
+    * every matching new row (same recall trade as [[minHashCandidates]],
+    * audit via [[oversizedBuckets]]).
+    */
+  def incrementalNearDuplicates(newDf: DataFrame, seenDf: DataFrame,
+      idCol: String, textCol: String, threshold: Double, k: Int = 16,
+      bands: Int = 4, minTokens: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val rows = k / bands
+    def bucketsOf(df: DataFrame, as: String): DataFrame = {
+      val sig = graft.functions.NativeHash.minHashSig(
+        shingleHashes(col(textCol)), k)
+      df.filter(size(split(col(textCol), " ")) >= minTokens)
+        .select(col(idCol).as(as),
+          posexplode(bandHashes(sig, bands, rows)).as(Seq("band", "bucket")))
+    }
+    val seenB = bucketsOf(seenDf, "id_seen")
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val cands = bucketsOf(newDf, "id_new")
+      .join(seenB, Seq("band", "bucket"))
+      .select("id_new", "id_seen").distinct()
+    cands
+      .join(newDf.select(col(idCol).as("id_new"),
+        col(textCol).as("__text_new")), "id_new")
+      .join(seenDf.select(col(idCol).as("id_seen"),
+        col(textCol).as("__text_seen")), "id_seen")
+      .withColumn("jaccard", ngramJaccard(col("__text_new"), col("__text_seen")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_seen"), col("jaccard"))
+  }
+
   private def verifyCandidates(df: DataFrame, cands: DataFrame,
       idCol: String, textCol: String, jaccard: (Column, Column) => Column,
       threshold: Double): DataFrame = {

@@ -177,6 +177,76 @@ object Sampling {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Token-budget cap — "take documents per source, in deterministic
+    * hash order, until the source's token budget is spent" (the
+    * Dolma/DataComp-style mixer stage where quotas are in TOKENS, not
+    * document counts, so [[capPerKey]]'s fixed-N is the wrong unit).
+    * A document is admitted iff the running token total of the docs
+    * ahead of it (same key, (hash, id) order) is still below `budget`
+    * — so one oversized doc can overshoot by at most itself, and the
+    * admitted set is stable across runs/engines and monotone in
+    * `budget`.
+    *
+    * Scale shape — the scalable windowed cumsum: a plain
+    * `sum() over (partition by key order by ...)` funnels every hot
+    * source through ONE reducer (the same hazard [[capPerKey]] and
+    * `AsOfJoin.asOfSliced` dodge). Instead the hash order is cut into
+    * `slices` contiguous ranges of the hash domain, and the cumsum
+    * decomposes into:
+    *   1. per-(key, slice) totals — map-side-combined hash aggregate,
+    *      ≤ `slices` rows per key cross the shuffle;
+    *   2. per-key running offsets over those totals — a window whose
+    *      partitions hold ≤ `slices` rows by construction;
+    *   3. a per-(key, slice) local running sum + the slice's offset —
+    *      window partitions now hold ~1/`slices` of a hot key each.
+    * Identical result to the single-window form (the oracle IS the
+    * single-window form); reducer bound improves `slices`-fold, and
+    * `slices` scales independently of cluster size.
+    */
+  def budgetPerKey(df: DataFrame, key: Column, idCol: String,
+      weight: Column, budget: Long, slices: Int = 16,
+      hash: Column => Column = sampleHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive: $budget")
+    require(slices > 0, s"slices must be positive: $slices")
+    val base = df.select(key.as("__key"), col(idCol),
+      weight.cast("long").as("__w"),
+      hash(col(idCol).cast("string")).as("__h"))
+    // hash ∈ [0, P); slice = h·slices / P is contiguous in hash order,
+    // so per-slice sums + offsets reassemble the exact per-key cumsum.
+    // h < 2^30 and slices ≤ ~2^30 keep the product below 2^63.
+    val sliced = base.withColumn("__slice",
+      floor(col("__h") * lit(slices.toLong) / lit(P)).cast("int"))
+    val offsetW = Window.partitionBy("__key").orderBy("__slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy("__key", "__slice")
+      .agg(sum("__w").as("__slice_total"))
+      .withColumn("__offset",
+        coalesce(sum("__slice_total").over(offsetW), lit(0L)))
+      .drop("__slice_total")
+    val localW = Window.partitionBy("__key", "__slice")
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sliced.join(offsets, Seq("__key", "__slice"))
+      .withColumn("__cum", col("__offset") + sum("__w").over(localW))
+      .filter(col("__cum") - col("__w") < budget)
+      .select(col(idCol), col("__key").as("key"), col("__w").as("weight"),
+        col("__cum").as("running_total"))
+  }
+
+  /** DuckDB twin of [[budgetPerKey]]: the single-window formulation the
+    * sliced decomposition must reproduce exactly.
+    */
+  def budgetPerKeySql(table: String, keyE: String, idE: String,
+      weightE: String, budget: Long): String = {
+    val h = sampleHashSql(s"CAST($idE AS VARCHAR)")
+    s"""SELECT $idE, $keyE AS key, CAST($weightE AS BIGINT) AS weight,
+       |  sum(CAST($weightE AS BIGINT)) OVER (PARTITION BY $keyE
+       |    ORDER BY ($h), $idE ROWS UNBOUNDED PRECEDING) AS running_total
+       |FROM $table
+       |QUALIFY running_total - CAST($weightE AS BIGINT) < $budget""".stripMargin
+  }
+
   /** Training-order shuffle + shard assignment: `pos` is the portable
     * hash of the key (a deterministic global permutation — the "shuffle
     * the corpus before training" step), `shard` spreads that order over

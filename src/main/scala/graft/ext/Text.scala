@@ -353,6 +353,91 @@ object Text {
       (lit(1.0) - inv.cast("double") / n.cast("double")).as("oov_ratio"))
   }
 
+  /** Gopher-style top-n-gram concentration: per document, the single
+    * most frequent word n-gram and the fraction of all n-gram
+    * occurrences it accounts for. A high fraction marks the "same
+    * phrase looped forever" failure mode that per-row distinct ratios
+    * ([[qualityRules]]' `dup_3gram_ratio`) under-report when the loop
+    * body is long (many distinct grams, all from one phrase).
+    *
+    * Scale shape: this is NOT computable per-row in o(len²), so it takes
+    * the token-shuffle shape — explode n-grams, two-level aggregate. Both
+    * aggregates are hash aggregates with map-side partial combine, keyed
+    * by (doc, gram) then doc: shuffle volume is bounded by distinct
+    * grams per doc, and no reducer ever sees more than one document's
+    * gram counts (no corpus-hot-key hazard — the key includes the doc).
+    * The argmax is `min(struct(-cnt, gram))` — count desc, gram asc —
+    * one aggregate, no per-doc window sort.
+    *
+    * Docs with fewer than `n` tokens have no n-grams: they surface with
+    * `n_ngrams = 0`, `top_gram = ''`, `top_frac = 0.0` (kept visible —
+    * a repetition gate must not silently pass fragments).
+    */
+  def topNgramStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(Dedup.wordShingles(col(textCol), n)).as("__gram"))
+    val top = grams
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__cnt")).as("nc"), col("__gram").as("g")))
+          .as("__top"),
+        sum("__cnt").as("__n"))
+    df.select(col(idCol)).join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_ngrams"),
+        coalesce(col("__top.g"), lit("")).as("top_gram"),
+        coalesce(-col("__top.nc"), lit(0L)).as("top_count"),
+        coalesce((-col("__top.nc")).cast("double") /
+          col("__n").cast("double"), lit(0.0)).as("top_frac"))
+  }
+
+  /** CCNet-style familiarity score — the integer-exact stand-in for an
+    * LM-perplexity filter: build the corpus's top-`topK` unigram table,
+    * then score each document by the mean corpus frequency of its
+    * tokens (out-of-vocabulary tokens score 0). Documents land in the
+    * `head` / `middle` / `tail` quality buckets by fixed thresholds on
+    * that mean, mirroring CCNet's perplexity terciles: `head` = built
+    * from the language's most common material, `tail` = rare/garbled.
+    *
+    * Everything is integer until the single final division, so scores
+    * hash-match across engines (no log(): libm last-ulp drift).
+    *
+    * Scale shape: the vocabulary aggregate is map-side combined and
+    * `topK`-bounded before the one driver collect (same driver-small
+    * pattern as IVF centroids / [[vocabCoverage]]); scoring is then a
+    * zero-shuffle per-row fold against a literal map inside codegen —
+    * corpus text never shuffles. `try_element_at`, not `element_at`:
+    * OOV lookups must yield null, not an ANSI-mode error.
+    */
+  def familiarity(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 16,
+      headMin: Double = 550.0, tailMax: Double = 466.0): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(tailMax <= headMin,
+      s"need tailMax <= headMin: $tailMax > $headMin")
+    val vocab: Seq[(String, Long)] = df
+      .select(explode(tokens(col(textCol))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tk").asc)
+      .limit(topK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val vmap = typedLit(vocab.toMap)
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val mass = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(try_element_at(vmap, t), lit(0L)))
+    val nOov = size(filter(toks,
+      t => try_element_at(vmap, t).isNull)).cast("long")
+    val mean = mass.cast("double") / n.cast("double")
+    df.select(col(idCol), n.as("n_tokens"), mass.as("familiarity_mass"),
+      nOov.as("n_oov"), mean.as("mean_familiarity"),
+      when(mean >= headMin, lit("head"))
+        .when(mean < tailMax, lit("tail"))
+        .otherwise(lit("middle")).as("bucket"))
+  }
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ext.{Dedup, Sampling, Text}
+
+/** Round-7 corpus-prep operators: top-n-gram concentration, familiarity
+  * scoring, token-budget cap (sliced running sum), incremental near-dup.
+  */
+class PrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------ topNgramStats
+
+  test("topNgramStats: argmax with (count desc, gram asc) tie-break") {
+    val df = Seq(
+      (1L, "a b a b c d"), // "a b" x2 beats the rest
+      (2L, "x y z w")      // all bigrams unique -> lexicographic min wins
+    ).toDF("doc_id", "text")
+    val got = Text.topNgramStats(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("top_gram") == "a b")
+    assert(got(0).getAs[Long]("top_count") == 2L)
+    assert(got(0).getAs[Long]("n_ngrams") == 5L)
+    assert(got(0).getAs[Double]("top_frac") == 2.0 / 5.0)
+    // doc 2: all 3 bigrams count 1, tie broken by smallest gram
+    assert(got(1).getAs[String]("top_gram") == "x y")
+    assert(got(1).getAs[Double]("top_frac") == 1.0 / 3.0)
+  }
+
+  test("topNgramStats: short doc surfaces with zero grams, not dropped") {
+    val df = Seq((1L, "only"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Text.topNgramStats(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_ngrams") == 0L)
+    assert(got(0).getAs[String]("top_gram") == "")
+    assert(got(0).getAs[Double]("top_frac") == 0.0)
+  }
+
+  // -------------------------------------------------------- familiarity
+
+  test("familiarity: mass/oov/bucket from the corpus vocabulary") {
+    // corpus counts: common x6 (in 3 docs), rare x1, mid x2
+    val df = Seq(
+      (1L, "common common common"),
+      (2L, "common common mid"),
+      (3L, "common mid rare")
+    ).toDF("doc_id", "text")
+    // topK=2 vocab: common(6), mid(3)?? mid appears 2x -> vocab by count:
+    // common=6, mid=2, rare=1 -> top2 = {common:6, mid:2}; rare is OOV
+    val got = Text.familiarity(df, "doc_id", "text", topK = 2,
+        headMin = 5.0, tailMax = 4.0)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("familiarity_mass") == 18L) // 3*6
+    assert(got(0).getAs[Long]("n_oov") == 0L)
+    assert(got(0).getAs[String]("bucket") == "head") // mean 6 >= 5
+    assert(got(1).getAs[Long]("familiarity_mass") == 14L) // 6+6+2
+    assert(got(2).getAs[Long]("familiarity_mass") == 8L) // 6+2+0
+    assert(got(2).getAs[Long]("n_oov") == 1L) // rare
+    assert(got(2).getAs[String]("bucket") == "tail") // mean 8/3 < 4
+    assert(got(1).getAs[String]("bucket") == "middle") // 14/3 in [4,5)
+  }
+
+  // ------------------------------------------------------- budgetPerKey
+
+  test("budgetPerKey: sliced cumsum equals the single-window form") {
+    val df = (1L to 400L).map(i => (i, s"k${i % 3}", 10L + i % 7))
+      .toDF("id", "key", "w")
+    val got = Sampling.budgetPerKey(df, col("key"), "id", col("w"),
+        budget = 300L, slices = 8)
+      .orderBy("id").collect().toSeq
+    // reference: one window per key over the same (hash, id) order
+    val h = Sampling.sampleHash(col("id").cast("string"))
+    val ref = df
+      .withColumn("running_total", sum(col("w")).over(
+        Window.partitionBy("key").orderBy(h, col("id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("running_total") - col("w") < 300L)
+      .select(col("id"), col("key"), col("w").as("weight"),
+        col("running_total"))
+      .orderBy("id").collect().toSeq
+    assert(got == ref)
+    assert(got.nonEmpty && got.size < 400) // the budget actually bites
+  }
+
+  test("budgetPerKey: monotone in budget; oversized first doc admitted") {
+    val df = (1L to 100L).map(i => (i, "all", 50L)).toDF("id", "key", "w")
+    def ids(b: Long): Set[Long] =
+      Sampling.budgetPerKey(df, col("key"), "id", col("w"), b)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val small = ids(200L)
+    val large = ids(400L)
+    assert(small.subsetOf(large))
+    assert(small.size == 4 && large.size == 8)
+    // a single doc heavier than the whole budget is still admitted
+    // (cum - w = 0 < budget) so the output is never empty
+    val heavy = Seq((1L, "k", 1000L)).toDF("id", "key", "w")
+    assert(Sampling.budgetPerKey(heavy, col("key"), "id", col("w"),
+      budget = 10L).count() == 1L)
+  }
+
+  test("budgetPerKey: hot key spreads across more than one slice") {
+    val df = (1L to 300L).map(i => (i, "hot", 1L)).toDF("id", "key", "w")
+    val h = Sampling.sampleHash(col("id").cast("string"))
+    val slices = df.select(
+        floor(h * lit(8L) / lit(graft.functions.PortableHash.P))
+          .cast("int").as("slice"))
+      .distinct().count()
+    assert(slices > 1, "hash order must cut into multiple slices")
+  }
+
+  // -------------------------------------- incrementalNearDuplicates
+
+  test("incremental near-dup equals union near-dup restricted cross-side") {
+    // identical texts across sides (identical signature ⇒ the LSH
+    // recall is deterministic, no banding luck) + unrelated noise
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "uno dos tres cuatro cinco seis siete")
+    ).toDF("doc_id", "text")
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 =!= 0)
+    val inc = Dedup.incrementalNearDuplicates(fresh, seen,
+        "doc_id", "text", threshold = 0.2)
+      .select("id_new", "id_seen").as[(Long, Long)].collect().toSet
+    val full = Dedup.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cross = full.collect {
+      case (a, b) if a % 2 != 0 && b % 2 == 0 => (a, b)
+      case (a, b) if b % 2 != 0 && a % 2 == 0 => (b, a)
+    }
+    assert(inc == cross)
+    assert(inc.nonEmpty)
+    // never pairs within one side
+    assert(inc.forall { case (n, s) => n % 2 != 0 && s % 2 == 0 })
+  }
+}
