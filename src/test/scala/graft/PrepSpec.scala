@@ -111,6 +111,53 @@ class PrepSpec extends SparkSuite {
     assert(slices > 1, "hash order must cut into multiple slices")
   }
 
+  // ---------------------------------------------- plan-shape contracts
+
+  test("topNgramStats plan: hash aggregates only, no per-doc window sort") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Text.topNgramStats(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"), plan.take(800))
+  }
+
+  test("familiarity plan: scoring is zero-shuffle (scan + project only)") {
+    val df = Seq((1L, "a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val plan = Text.familiarity(df, "doc_id", "text", topK = 2,
+        headMin = 2.0, tailMax = 1.0)
+      .queryExecution.executedPlan.toString
+    // the vocabulary was collected at construction; the returned frame
+    // must ride the scan with no exchange of its own
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("budgetPerKey plan: data window is keyed by (key, slice)") {
+    val df = (1L to 50L).map(i => (i, s"k${i % 2}", 1L))
+      .toDF("id", "key", "w")
+    val out = Sampling.budgetPerKey(df, col("key"), "id", col("w"), 100L)
+    // optimizedPlan, not executedPlan: AQE wraps the physical tree in an
+    // AdaptiveSparkPlanExec whose children aren't visible pre-execution
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.size
+    }
+    // exactly two windows: per-key offsets over <= `slices` aggregated
+    // rows (1 key col), and the data-sized local window over (key, slice)
+    // (2 cols) — never a data-sized window over the key alone
+    assert(windows.sorted == Seq(1, 2), s"window partition specs: $windows")
+  }
+
+  test("incremental near-dup plan: equi band join, no nested loop") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.incrementalNearDuplicates(docs, docs, "doc_id",
+        "text", threshold = 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   // -------------------------------------- incrementalNearDuplicates
 
   test("incremental near-dup equals union near-dup restricted cross-side") {
