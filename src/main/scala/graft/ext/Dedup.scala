@@ -531,4 +531,53 @@ object Dedup {
       .join(broadcast(benchGrams), "__gram")
       .select(idCol).distinct()
   }
+
+  // ---------------------------------------- cross-doc shared n-grams
+
+  /** ExactSubstr-lite corpus-duplication stats (the cross-document twin
+    * of `Text.topNgramStats`, which is within-doc): per document, how
+    * many of its word n-gram OCCURRENCES also occur in at least one
+    * OTHER document, and the shared fraction. Exact-substring overlap
+    * is the strongest duplication signal a training corpus has —
+    * MinHash answers "is this whole doc a near-copy?", this answers
+    * "how much of this doc is copied from anywhere?" (templated
+    * boilerplate, quoted chains, mirrored paragraphs), which MinHash
+    * misses when the copied span is a minority of the doc.
+    *
+    * A gram is shared-for-this-doc iff the corpus-wide occurrence total
+    * exceeds the doc's own count (`tot > cnt` ⟺ ≥ 2 distinct docs
+    * contain it) — one integer comparison, no distinct-doc count.
+    *
+    * Scale shape: only `(id, gramHash64, count)` triples ever shuffle —
+    * grams are hashed per-row inside codegen ([[shingleHashes]]), text
+    * never leaves the scan. Three hash aggregates, all map-side
+    * combined: (id, gram) — key includes the doc, no corpus hot key;
+    * (gram) — corpus totals, Zipf-bounded; (id) — the final per-doc
+    * rollup. The one join (per-doc counts × corpus totals) is equi on
+    * the gram hash with exactly ONE row per key on the totals side, so
+    * an AQE skew split (or a salted replicate of that single row) flat
+    * spreads a boilerplate gram's millions of probe rows — no quadratic
+    * blowup is possible. Docs with < n tokens surface as
+    * (0, 0, 0.0), kept visible like [[Text.topNgramStats]] fragments.
+    */
+  def sharedNgramStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val perDoc = df
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__gh"))
+      .groupBy(col(idCol), col("__gh"))
+      .agg(count(lit(1)).as("__cnt"))
+    val totals = perDoc.groupBy(col("__gh"))
+      .agg(sum("__cnt").as("__tot"))
+    val scored = perDoc.join(totals, "__gh")
+      .groupBy(col(idCol))
+      .agg(sum("__cnt").as("n_ngrams"),
+        sum(when(col("__tot") > col("__cnt"), col("__cnt"))
+          .otherwise(lit(0L))).as("n_shared"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("n_shared").cast("double") /
+          col("n_ngrams").cast("double"), lit(0.0)).as("shared_frac"))
+  }
 }

@@ -438,6 +438,16 @@ object Text {
         .otherwise(lit("middle")).as("bucket"))
   }
 
+  /** DuckDB twin of [[fingerprint]] (normalize + rolling hash), for
+    * oracles that replay fingerprint-keyed admission (q22/q70).
+    */
+  def fingerprintSql(e: String): String = {
+    val norm = "array_to_string(list_sort(list_filter(" +
+      s"string_split_regex(regexp_replace(lower($e), '$punctClass', '', 'g'), ' +'), " +
+      "x -> x <> '')), ' ')"
+    graft.functions.PortableHash.polyHashSql(norm)
+  }
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

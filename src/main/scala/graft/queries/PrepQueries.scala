@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Sampling, Text}
+import graft.ops.SnapshotDiff
+import graft.streaming.Streams
+import graft.warehouse.Warehouse
 import Q.t
 
 /** Round-7 corpus-preparation queries: the quality/budget/incremental
@@ -141,17 +144,146 @@ object PrepQueries {
        |ORDER BY id_new, id_seen""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q68
+  // ExactSubstr-lite cross-doc duplication: per doc, the fraction of its
+  // word 3-gram occurrences that also occur in at least one OTHER doc
+  // (tot > own count ⟺ ≥ 2 docs share the gram). Only hashed gram
+  // triples shuffle; the totals join has one row per gram on the build
+  // side. The within-doc twin is q64.
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
+  private val q68Sql = {
+    val gh = Dedup.shingleHashesSql("text", 3)
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, unnest($gh) AS gh FROM documents),
+       |c AS (SELECT doc_id, gh, count(*) AS cnt FROM g GROUP BY doc_id, gh),
+       |tot AS (SELECT gh, sum(cnt) AS tot FROM c GROUP BY gh),
+       |sc AS (SELECT c.doc_id, sum(c.cnt) AS n_ngrams,
+       |  sum(CASE WHEN tot.tot > c.cnt THEN c.cnt ELSE 0 END) AS n_shared
+       |  FROM c JOIN tot USING (gh) GROUP BY c.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       |  CAST(coalesce(sc.n_shared, 0) AS BIGINT) AS n_shared,
+       |  coalesce(CAST(sc.n_shared AS DOUBLE) / CAST(sc.n_ngrams AS DOUBLE),
+       |    0.0) AS shared_frac
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q69
+  // Snapshot diff (CDC): two deterministic versions of `orders` — the
+  // old one missing keys ≡3 (mod 11), the new one missing ≡7 (mod 11)
+  // and with o_totalprice bumped on keys ≡0 (mod 5) — classified
+  // added/removed/changed by one full-outer join on the key. The +1.0
+  // is the same IEEE double add in both engines, so 'changed' is exact.
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val old = orders.filter(col("o_orderkey") % 11 =!= 3)
+    val nw = orders.filter(col("o_orderkey") % 11 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    SnapshotDiff.diff(old, nw, Seq("o_orderkey")).orderBy("o_orderkey")
+  }
+
+  private val q69Sql =
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 3),
+      |n AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 11 <> 7),
+      |d AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |       WHEN n.o_orderkey IS NULL THEN 'removed'
+      |       WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+      |         AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+      |         AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+      |         AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+      |         AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+      |         THEN 'changed'
+      |       ELSE 'unchanged' END AS change
+      |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+      |SELECT o_orderkey, change FROM d
+      |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  // Continuous-ingest exact dedup: documents split into three "daily"
+  // batch files (batch = doc_id % 3) streamed oldest-first one file per
+  // trigger; each batch is fingerprinted, batch-deduped (min doc_id per
+  // fingerprint), bloom-gated anti-joined against the accepted table,
+  // survivors appended. Accepted = earliest batch's min-id doc per
+  // fingerprint — the oracle's row_number over (batch, doc_id).
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, attribute}
+    val tmp = Files.createTempDirectory("graft-ingest-src")
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt")
+    val table = "graft.q70_accepted"
+    try {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      (0 to 2).foreach { b =>
+        val stage = Files.createTempDirectory(s"graft-ingest-stage$b")
+        try {
+          docs.filter(col("doc_id") % 3 === b).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          val part = {
+            val st = Files.list(stage)
+            try st.filter(p => p.getFileName.toString.startsWith("part-") &&
+                p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally st.close()
+          }
+          val dst = tmp.resolve(s"b$b.parquet")
+          Files.move(part, dst)
+          // the file source replays oldest-(modtime, path)-first; stamp
+          // strictly ascending times so batch order IS b's order
+          Files.setLastModifiedTime(dst,
+            attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+          ()
+        } finally Q.deleteRecursively(stage)
+      }
+      Warehouse.ensureDatabase(s, "graft")
+      Warehouse.dropManagedTable(s, table)
+      docs.limit(0)
+        .withColumn("fingerprint", Text.fingerprint(col("text")))
+        .write.saveAsTable(table)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val q = Streams.dedupIngest(stream, table, ckpt.toString)
+      try q.processAllAvailable() finally q.stop()
+    } finally { Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt) }
+    s.table(table).select("doc_id", "fingerprint").orderBy("doc_id")
+  }
+
+  private val q70Sql =
+    s"""WITH fp AS (SELECT doc_id, ${Text.fingerprintSql("text")} AS fingerprint,
+       |  doc_id % 3 AS batch FROM documents),
+       |r AS (SELECT doc_id, fingerprint,
+       |  row_number() OVER (PARTITION BY fingerprint
+       |    ORDER BY batch, doc_id) AS rn FROM fp)
+       |SELECT doc_id, fingerprint FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_top_ngram_frac" -> (q64 _),
     "q65_familiarity" -> (q65 _),
     "q66_token_budget_cap" -> (q66 _),
-    "q67_incremental_neardup" -> (q67 _))
+    "q67_incremental_neardup" -> (q67 _),
+    "q68_shared_ngrams" -> (q68 _),
+    "q69_snapshot_diff" -> (q69 _),
+    "q70_streaming_dedup_ingest" -> (q70 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
     "q65_familiarity" -> q65Sql,
     "q66_token_budget_cap" -> q66Sql,
-    "q67_incremental_neardup" -> q67Sql)
+    "q67_incremental_neardup" -> q67Sql,
+    "q68_shared_ngrams" -> q68Sql,
+    "q69_snapshot_diff" -> q69Sql,
+    "q70_streaming_dedup_ingest" -> q70Sql)
 }

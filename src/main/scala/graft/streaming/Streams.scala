@@ -114,6 +114,66 @@ object Streams {
       }
   }
 
+  // ------------------------------------------- continuous-ingest dedup
+
+  /** Continuous-ingest exact dedup — the streaming form of the
+    * incremental admission gate ([[graft.ext.Dedup.incrementalNearDuplicates]]
+    * is the near-dup flavor of the same shape): every micro-batch is
+    * fingerprinted ([[graft.ext.Text.fingerprint]] — normalized rolling
+    * hash, computed per-row in codegen), deduplicated WITHIN the batch
+    * (deterministic min-`idCol` keeper per fingerprint, groupBy + semi
+    * join — not a window, so a viral doc re-posted millions of times in
+    * one batch never funnels through one reducer), anti-joined against
+    * the already-accepted corpus on fingerprint, and the survivors
+    * appended to the accepted table. `foreachBatch` + the checkpoint
+    * give exactly-once admission per batch: a restarted query resumes
+    * after the last committed batch, so accepted rows are never
+    * re-admitted (the restart story StreamsSpec drives for the lake).
+    *
+    * The seen-set gate runs through [[graft.ops.BloomJoin.antiJoin]]:
+    * rows whose fingerprint fails the bloom (the overwhelming majority
+    * of a healthy crawl) skip the join entirely; only might-contain
+    * hits shuffle into the exact anti join. The bloom is rebuilt per
+    * batch here (one scan of the accepted keys — fine at fixture
+    * scale); a 100 TB deployment maintains it incrementally instead:
+    * `BloomFilter.mergeInPlace` the per-batch survivor bloom into a
+    * persisted filter, so the accepted table is never re-scanned and
+    * each batch pays O(batch) total. The per-batch `count()` sizing
+    * probe is parquet-metadata-only.
+    */
+  def dedupIngest(src: DataFrame, acceptedTable: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", bloomFpp: Double = 0.01): StreamingQuery = {
+    // foreachBatch runs in a CLONED session: its insert refreshes the
+    // clone's relation cache, but the HOST session (the one callers
+    // read the accepted table from) would keep serving the pre-batch
+    // file listing if it ever read the table before — refresh it too.
+    val host = src.sparkSession
+    src.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val fp = batch.withColumn("fingerprint",
+          graft.ext.Text.fingerprint(col(textCol)))
+        val keeper = fp.groupBy("fingerprint")
+          .agg(min(col(idCol)).as(idCol))
+        val inBatch = fp.join(keeper, Seq("fingerprint", idCol), "left_semi")
+        val accepted = s.table(acceptedTable)
+        val nAccepted = accepted.count()
+        val fresh =
+          if (nAccepted == 0L) inBatch
+          else graft.ops.BloomJoin.antiJoin(inBatch,
+            accepted.select("fingerprint"), "fingerprint", nAccepted, bloomFpp)
+        fresh.select(accepted.columns.map(col).toSeq: _*)
+          .write.mode("append").insertInto(acceptedTable)
+        host.catalog.refreshTable(acceptedTable)
+        ()
+      }
+      .start()
+  }
+
   /** Flush any open sessions (batch-mode variant: each key is seen once,
     * so the trailing open session is emitted too).
     */

@@ -158,6 +158,44 @@ class PrepSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  // ------------------------------------------------ sharedNgramStats
+
+  test("sharedNgramStats: shared iff a gram occurs in another doc") {
+    val df = Seq(
+      (1L, "a b c d"), // grams "a b c", "b c d"
+      (2L, "a b c x"), // shares "a b c" with doc 1
+      (3L, "q r s t")  // isolated
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedNgramStats(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_ngrams") == 2L)
+    assert(got(0).getAs[Long]("n_shared") == 1L)
+    assert(got(0).getAs[Double]("shared_frac") == 0.5)
+    assert(got(1).getAs[Long]("n_shared") == 1L)
+    assert(got(2).getAs[Long]("n_shared") == 0L)
+  }
+
+  test("sharedNgramStats: within-doc repeats are not shared; short docs kept") {
+    val df = Seq(
+      (1L, "a b c a b c"), // "a b c" twice — but only in this doc
+      (2L, "xy")           // < 3 tokens -> no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedNgramStats(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_ngrams") == 4L)
+    assert(got(0).getAs[Long]("n_shared") == 0L)
+    assert(got(1).getAs[Long]("n_ngrams") == 0L)
+    assert(got(1).getAs[Double]("shared_frac") == 0.0)
+  }
+
+  test("sharedNgramStats plan: aggregates + equi joins, no window/NLJ") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.sharedNgramStats(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   // -------------------------------------- incrementalNearDuplicates
 
   test("incremental near-dup equals union near-dup restricted cross-side") {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SnapshotDiff
+
+/** Snapshot diff (CDC): classification, null-safety, key handling. */
+class SnapshotDiffSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("diff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val nw = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = SnapshotDiff.diff(old, nw, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("null-safe compare: value<->null transitions are 'changed'") {
+    val old = Seq((1L, Some(1.0)), (2L, None), (3L, None))
+      .toDF("k", "v")
+    val nw = Seq((1L, None), (2L, Some(2.0)), (3L, None))
+      .toDF("k", "v")
+    val got = SnapshotDiff.diff(old, nw, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    // 3 is null->null = unchanged; 1 and 2 flip nullness = changed
+    assert(got == Seq(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("key-only snapshots diff to added/removed presence changes") {
+    val old = Seq(1L, 2L).toDF("k")
+    val nw = Seq(2L, 3L).toDF("k")
+    val got = SnapshotDiff.diff(old, nw, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "removed", 3L -> "added"))
+  }
+
+  test("composite keys compare per key tuple") {
+    val old = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")
+    val nw = Seq((1L, "x", 9.0), (2L, "y", 2.0)).toDF("k1", "k2", "v")
+    val got = SnapshotDiff.diff(old, nw, Seq("k1", "k2"))
+      .orderBy("k1", "k2").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "x", "changed"), (1L, "y", "removed"),
+      (2L, "y", "added")))
+  }
+
+  test("mismatched schemas and empty keys are rejected") {
+    val a = Seq((1L, 1.0)).toDF("k", "v")
+    val b = Seq((1L, 1.0)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(a, b, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(a, a, Nil)
+    }
+  }
+
+  test("plan shape: one equi full-outer join, no nested loop") {
+    val a = Seq((1L, 1.0)).toDF("k", "v")
+    val b = Seq((1L, 2.0)).toDF("k", "v")
+    val plan = SnapshotDiff.diff(a, b, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+}

@@ -69,6 +69,35 @@ class StreamsSpec extends SparkSuite {
       "2023-11-30 14:30:00.0"))
   }
 
+  test("dedupIngest: within-batch min-id keeper + cross-batch fingerprint gate") {
+    implicit val sc = spark.sqlContext
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.acc")
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("fingerprint", graft.ext.Text.fingerprint($"text"))
+      .write.saveAsTable("graft_test.acc")
+    val ckpt = tmpDir() + "/ckpt"
+    val input = MemoryStream[(Long, String)]
+    // AvailableNow drains what's queued then finishes; each incarnation
+    // shares the checkpoint, so committed batches never re-admit
+    def drain(): Unit = {
+      val q = Streams.dedupIngest(input.toDF().toDF("doc_id", "text"),
+        "graft_test.acc", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 0: 12 is a normalized dup of 10 (case/punct/token order)
+    input.addData((10L, "alpha beta"), (11L, "gamma delta"),
+      (12L, "Beta ALPHA!"))
+    drain()
+    assert(spark.table("graft_test.acc").count() == 2)
+    // batch 1, new incarnation: 20 duplicates the ACCEPTED 10 -> dropped
+    input.addData((20L, "alpha beta"), (21L, "epsilon zeta"))
+    drain()
+    val got = spark.table("graft_test.acc").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 11L, 21L))
+  }
+
   test("windowedCounts: watermarked tumbling windows drop late rows (ST5)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
