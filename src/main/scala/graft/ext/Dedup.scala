@@ -557,8 +557,18 @@ object Dedup {
     * the gram hash with exactly ONE row per key on the totals side, so
     * an AQE skew split (or a salted replicate of that single row) flat
     * spreads a boilerplate gram's millions of probe rows — no quadratic
-    * blowup is possible. Docs with < n tokens surface as
-    * (0, 0, 0.0), kept visible like [[Text.topNgramStats]] fragments.
+    * blowup is possible (a whole-partition window over the gram would
+    * funnel that hot gram through one reducer with no AQE remedy —
+    * rejected). Docs with < n tokens surface as (0, 0, 0.0), kept
+    * visible like [[Text.topNgramStats]] fragments.
+    *
+    * The per-doc count table feeds BOTH join sides, so it is
+    * materialized eagerly (`localCheckpoint`, the [[dupComponents]]
+    * edge-list pattern): without the boundary Spark re-runs the gram
+    * explode + first aggregate once per side — at corpus scale that is
+    * the single most expensive pass, paid twice. Blocks are RDD-scoped
+    * (ContextCleaner frees them on GC); the lost-executor recompute
+    * caveat is the same one dupComponents documents.
     */
   def sharedNgramStats(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
@@ -566,6 +576,7 @@ object Dedup {
       .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__gh"))
       .groupBy(col(idCol), col("__gh"))
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
     val totals = perDoc.groupBy(col("__gh"))
       .agg(sum("__cnt").as("__tot"))
     val scored = perDoc.join(totals, "__gh")

@@ -247,6 +247,68 @@ object Sampling {
        |QUALIFY running_total - CAST($weightE AS BIGINT) < $budget""".stripMargin
   }
 
+  /** Epoch-based source upsampling — the inverse of [[temperatureMix]]:
+    * instead of downsampling dominant sources, REPEAT scarce high-value
+    * sources a fractional number of epochs (the "2.5 epochs of
+    * Wikipedia, 0.4 of common crawl" mixing recipe of LLM training
+    * runs). Stratum with `epochs = e` emits `floor(e)` copies of every
+    * row, plus one more iff `hash(key) < frac(e)·P` — so the expected
+    * multiplicity is exactly `e`, the extra-copy set is a deterministic
+    * nested sample (2.3 epochs ⊂ 2.7 epochs for the same stratum), and
+    * `e < 1` degenerates to [[deterministic]] sampling. Each copy
+    * carries a 0-based `epoch` index so the downstream training-order
+    * shuffle ([[shardAssign]] on `(key, epoch)`) spreads repeats across
+    * shards instead of emitting them adjacent.
+    *
+    * Fractional thresholds are folded into a per-stratum LONG literal
+    * map at build time (same integer-exact shape as [[stratified]]);
+    * the multiplicity is pure per-row arithmetic and the copies come
+    * from one codegen'd `explode(sequence(...))` — zero shuffle, zero
+    * state, output size = Σ multiplicities. The dedup/dup-aware caveat:
+    * run this AFTER dedup and budget stages — upsampled copies are
+    * intentional duplicates and must not re-enter them.
+    */
+  def epochMix(df: DataFrame, key: Column, strata: Column,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      hash: Column => Column = seededHash(19)): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0),
+      s"epochs must be non-negative: $epochs default=$defaultEpochs")
+    def base(e: Double): Long = math.floor(e).toLong
+    def thr(e: Double): Long = math.round((e - math.floor(e)) * P)
+    val baseMap = epochs.map { case (s, e) => s -> base(e) }
+    val thrMap = epochs.map { case (s, e) => s -> thr(e) }
+    val s = strata.cast("string")
+    val b = coalesce(try_element_at(typedLit(baseMap), s),
+      lit(base(defaultEpochs)))
+    val t = coalesce(try_element_at(typedLit(thrMap), s),
+      lit(thr(defaultEpochs)))
+    val n = b + when(hash(key.cast("string")) < t, lit(1L)).otherwise(lit(0L))
+    // sequence(0, -1) would yield a DESCENDING [0, -1] (negative-step
+    // inference), so zero-multiplicity rows must be filtered BEFORE the
+    // explode, not emptied by it.
+    df.withColumn("__n", n)
+      .filter(col("__n") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1L)))
+      .drop("__n")
+  }
+
+  /** DuckDB twin of [[epochMix]]'s multiplicity expression (the `n`
+    * copies a row of stratum `strataE` with key `keyE` receives).
+    */
+  def epochMixSql(keyE: String, strataE: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      seed: Int = 19): String = {
+    val h = seededHashSql(seed)(s"CAST($keyE AS VARCHAR)")
+    def base(e: Double): Long = math.floor(e).toLong
+    def thr(e: Double): Long = math.round((e - math.floor(e)) * P)
+    val arms = epochs.toSeq.sortBy(_._1).map { case (s, e) =>
+      s"WHEN '${s.replace("'", "''")}' THEN ${base(e)} + " +
+        s"(CASE WHEN $h < ${thr(e)} THEN 1 ELSE 0 END)"
+    }.mkString(" ")
+    s"(CASE CAST($strataE AS VARCHAR) $arms ELSE ${base(defaultEpochs)} + " +
+      s"(CASE WHEN $h < ${thr(defaultEpochs)} THEN 1 ELSE 0 END) END)"
+  }
+
   /** Training-order shuffle + shard assignment: `pos` is the portable
     * hash of the key (a deterministic global permutation — the "shuffle
     * the corpus before training" step), `shard` spreads that order over

@@ -216,6 +216,10 @@ object PrepQueries {
   // fingerprint), bloom-gated anti-joined against the accepted table,
   // survivors appended. Accepted = earliest batch's min-id doc per
   // fingerprint — the oracle's row_number over (batch, doc_id).
+  // Bench note: q70's ~4 s is fixture + streaming lifecycle (3 batch
+  // file writes, managed-table create, 3 checkpointed commits + table
+  // appends), not plan cost — q37's documented fixed floor, paid 3×
+  // plus the warehouse round-trips.
   private def q70(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, attribute}
     val tmp = Files.createTempDirectory("graft-ingest-src")
@@ -252,8 +256,15 @@ object PrepQueries {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp.toString)
-      val q = Streams.dedupIngest(stream, table, ckpt.toString)
-      try q.processAllAvailable() finally q.stop()
+      // like q37: a handful of shuffle partitions is plenty for the
+      // per-batch aggregates/joins at this scale — 32 would pay ~10×
+      // the task overhead per micro-batch. Scoped: restored after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = Streams.dedupIngest(stream, table, ckpt.toString)
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     } finally { Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt) }
     s.table(table).select("doc_id", "fingerprint").orderBy("doc_id")
   }
@@ -267,6 +278,30 @@ object PrepQueries {
        |SELECT doc_id, fingerprint FROM r WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  // Epoch-based source upsampling: src0 repeats 2.5 epochs, src1 is
+  // subsampled to 0.4, src2 gets 1.25, everything else exactly 1 —
+  // fractional parts are a deterministic nested hash sample, copies
+  // carry a 0-based epoch index. Zero-shuffle explode; the oracle
+  // replays the multiplicity CASE with generate_series.
+  private val q71Epochs =
+    Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.25)
+
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochMix(t(s, dir, "documents"), col("doc_id"), col("source"),
+        q71Epochs, defaultEpochs = 1.0)
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+
+  private val q71Sql = {
+    val n = Sampling.epochMixSql("doc_id", "source", q71Epochs,
+      defaultEpochs = 1.0)
+    s"""WITH e AS (SELECT doc_id, source, $n AS n FROM documents)
+       |SELECT doc_id, source,
+       |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS epoch
+       |FROM e WHERE n >= 1 ORDER BY doc_id, epoch""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -276,7 +311,8 @@ object PrepQueries {
     "q67_incremental_neardup" -> (q67 _),
     "q68_shared_ngrams" -> (q68 _),
     "q69_snapshot_diff" -> (q69 _),
-    "q70_streaming_dedup_ingest" -> (q70 _))
+    "q70_streaming_dedup_ingest" -> (q70 _),
+    "q71_epoch_mix" -> (q71 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -285,5 +321,6 @@ object PrepQueries {
     "q67_incremental_neardup" -> q67Sql,
     "q68_shared_ngrams" -> q68Sql,
     "q69_snapshot_diff" -> q69Sql,
-    "q70_streaming_dedup_ingest" -> q70Sql)
+    "q70_streaming_dedup_ingest" -> q70Sql,
+    "q71_epoch_mix" -> q71Sql)
 }

@@ -196,6 +196,45 @@ class PrepSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  // ------------------------------------------------------- epochMix
+
+  test("epochMix: integer epochs repeat exactly; epoch indices 0..n-1") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val got = Sampling.epochMix(df, col("id"), col("src"),
+        Map("a" -> 2.0), defaultEpochs = 1.0)
+      .orderBy("id", "epoch")
+      .select("id", "epoch").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("epochMix: fractional extra copies are a nested sample; 0 drops") {
+    val df = (1L to 300L).map(i => (i, "s")).toDF("id", "src")
+    def ids(e: Double): Map[Long, Long] =
+      Sampling.epochMix(df, col("id"), col("src"), Map("s" -> e))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+    val lo = ids(1.3)
+    val hi = ids(1.7)
+    // every row appears at least floor(e) times; the 2-copy sets nest
+    assert(lo.values.forall(n => n == 1L || n == 2L))
+    assert(lo.filter(_._2 == 2L).keySet.subsetOf(
+      hi.filter(_._2 == 2L).keySet))
+    // rates roughly track the fraction (hash-uniformity sanity)
+    val frac = lo.values.count(_ == 2L).toDouble / 300
+    assert(frac > 0.15 && frac < 0.45, s"extra-copy rate $frac")
+    // epochs = 0 removes the stratum entirely
+    assert(Sampling.epochMix(df, col("id"), col("src"),
+      Map("s" -> 0.0)).isEmpty)
+  }
+
+  test("epochMix plan: zero shuffle — explode rides the scan") {
+    val df = Seq((1L, "a")).toDF("id", "src")
+    val plan = Sampling.epochMix(df, col("id"), col("src"),
+        Map("a" -> 2.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   // -------------------------------------- incrementalNearDuplicates
 
   test("incremental near-dup equals union near-dup restricted cross-side") {
