@@ -141,7 +141,7 @@ object Ingest {
       schema: StructType): DataFrame = {
     import spark.implicits._
     spark.read.schema(new StructType().add(field, schema))
-      .json(Seq(body).toDS)
+      .json(Seq(body).toDS())
       .select(col(field + ".*"))
   }
 
@@ -154,7 +154,7 @@ object Ingest {
     spark.read
       .schema(new StructType().add(field,
         org.apache.spark.sql.types.ArrayType(elem)))
-      .json(Seq(body).toDS)
+      .json(Seq(body).toDS())
       .select(explode(col(field)).as("r"))
       .select(col("r.*"))
   }

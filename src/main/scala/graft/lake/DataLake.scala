@@ -84,8 +84,8 @@ object DataLake {
           .collect().map(_.get(0)).filter(_ != null).map(_.toString)
         val newestStored = prev
           .filter(col(partitionCol).isin(parts.toSeq: _*)) // partition-pruned
-          .agg(max(col(timeCol))).head.get(0)
-        val newestIncoming = incoming.agg(max(col(timeCol))).head.get(0)
+          .agg(max(col(timeCol))).head().get(0)
+        val newestIncoming = incoming.agg(max(col(timeCol))).head().get(0)
         val duplicate = newestStored != null && newestStored == newestIncoming
         if (!duplicate)
           incoming.write.partitionBy(partitionCol).mode("append").parquet(dir)

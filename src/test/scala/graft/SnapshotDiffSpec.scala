@@ -57,6 +57,28 @@ class SnapshotDiffSpec extends SparkSuite {
     }
   }
 
+  test("invariants: diff(a,a) empty; diff(a,b) mirrors diff(b,a)") {
+    // deterministic pseudo-random snapshots sharing ~2/3 of keys
+    val a = (1L to 200L).filter(_ % 3 != 0)
+      .map(k => (k, (k * 37) % 11, s"v${(k * 13) % 7}"))
+      .toDF("k", "num", "s")
+    val b = (1L to 200L).filter(_ % 5 != 0)
+      .map(k => (k, (k * 37) % 11 + (k % 9) / 8, s"v${(k * 13) % 7}"))
+      .toDF("k", "num", "s")
+    assert(graft.ops.SnapshotDiff.diff(a, a, Seq("k")).isEmpty)
+    val ab = graft.ops.SnapshotDiff.diff(a, b, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    val ba = graft.ops.SnapshotDiff.diff(b, a, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(ab.keySet == ba.keySet)
+    assert(ab.forall { case (k, c) => ba(k) == (c match {
+      case "added" => "removed"
+      case "removed" => "added"
+      case other => other
+    })})
+    assert(ab.values.toSet == Set("added", "removed", "changed"))
+  }
+
   test("plan shape: one equi full-outer join, no nested loop") {
     val a = Seq((1L, 1.0)).toDF("k", "v")
     val b = Seq((1L, 2.0)).toDF("k", "v")
