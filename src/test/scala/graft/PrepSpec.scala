@@ -194,6 +194,13 @@ class PrepSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // the gram explode must NOT appear in the result plan at all: it ran
+    // once, at the localCheckpoint boundary — both join sides read the
+    // materialized per-doc counts (pre-fix, the explode+aggregate planned
+    // twice, once per side)
+    assert(!plan.contains("shinglehashes"), plan.take(1200))
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan.take(1200))
   }
 
   // ------------------------------------------------------- epochMix

@@ -79,6 +79,32 @@ class SnapshotDiffSpec extends SparkSuite {
     assert(ab.values.toSet == Set("added", "removed", "changed"))
   }
 
+  test("CDC composition: reprocess only the delta, match full recompute") {
+    // the operator's purpose — incremental reprocessing: fingerprint
+    // only added/changed docs, carry the rest forward, equal the full
+    // recompute of the new snapshot
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "kappa mu"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "alpha beta"), (2L, "gamma delta REVISED"),
+      (4L, "nu xi")).toDF("doc_id", "text")
+    val oldFp = old.withColumn("fp", graft.ext.Text.fingerprint($"text"))
+    val delta = graft.ops.SnapshotDiff.diff(old, nw, Seq("doc_id"))
+    val carried = oldFp.join(
+      delta.filter($"change".isin("removed", "changed")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val reproc = nw.join(
+      delta.filter($"change".isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .withColumn("fp", graft.ext.Text.fingerprint($"text"))
+    val incremental = carried.unionByName(reproc)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val full = nw.withColumn("fp", graft.ext.Text.fingerprint($"text"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(incremental == full)
+    // and the delta really was smaller than the table
+    assert(delta.count() == 3) // changed 2, removed 3, added 4
+  }
+
   test("plan shape: one equi full-outer join, no nested loop") {
     val a = Seq((1L, 1.0)).toDF("k", "v")
     val b = Seq((1L, 2.0)).toDF("k", "v")
