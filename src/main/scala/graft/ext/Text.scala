@@ -438,6 +438,40 @@ object Text {
         .otherwise(lit("middle")).as("bucket"))
   }
 
+  /** Capped inverted index — token → posting list, the support
+    * structure for corpus search, targeted decontamination ("which docs
+    * contain this eval question's tokens?") and cheap candidate lookup.
+    * Per token: document frequency, total occurrences, and the first
+    * `maxPostings` doc ids ascending.
+    *
+    * Scale shape: tokens explode per-row; the (token, doc) aggregate is
+    * map-side combined; the per-token rollup runs document frequency and
+    * occurrence mass as plain sums and the posting list through the
+    * k-bounded [[graft.functions.TopK.topKByScore]] heap (score =
+    * −doc_id ⇒ smallest ids win) — so a stopword's hundred million
+    * postings NEVER cross the shuffle as a list: map-side heaps of
+    * ≤ `maxPostings` entries do. The deliberate cap is the honest
+    * contract — a full posting list per stopword is exactly the
+    * unbounded `collect_list` hazard this library bans; a real search
+    * index shards postings by (token, docRange) instead, which is the
+    * same bounded-per-group shape.
+    */
+  def invertedIndex(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxPostings: Int = 8): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive: $maxPostings")
+    val perDoc = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("__tf"))
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__tf").as("n_occurrences"),
+        graft.functions.TopK.topKByScore(
+          -col(idCol).cast("double"), col(idCol), maxPostings).as("__top"))
+      .select(col("token"), col("n_docs"), col("n_occurrences"),
+        col("__top.item").as("postings"))
+  }
+
   /** DuckDB twin of [[fingerprint]] (normalize + rolling hash), for
     * oracles that replay fingerprint-keyed admission (q22/q70).
     */

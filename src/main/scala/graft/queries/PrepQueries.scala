@@ -302,6 +302,26 @@ object PrepQueries {
        |FROM e WHERE n >= 1 ORDER BY doc_id, epoch""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q72
+  // Capped inverted index: token -> (doc freq, occurrence mass, first-8
+  // posting list). Posting lists go through the bounded TopK heap, not
+  // collect_list — a stopword's postings never cross the shuffle whole.
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Text.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 8)
+      .orderBy("token")
+
+  private val q72Sql =
+    """WITH tok AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |pd AS (SELECT token, doc_id, count(*) AS tf FROM tok
+      |  GROUP BY token, doc_id)
+      |SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tf) AS BIGINT) AS n_occurrences,
+      |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
+      |FROM pd GROUP BY token ORDER BY token""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -312,7 +332,8 @@ object PrepQueries {
     "q68_shared_ngrams" -> (q68 _),
     "q69_snapshot_diff" -> (q69 _),
     "q70_streaming_dedup_ingest" -> (q70 _),
-    "q71_epoch_mix" -> (q71 _))
+    "q71_epoch_mix" -> (q71 _),
+    "q72_inverted_index" -> (q72 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -322,5 +343,6 @@ object PrepQueries {
     "q68_shared_ngrams" -> q68Sql,
     "q69_snapshot_diff" -> q69Sql,
     "q70_streaming_dedup_ingest" -> q70Sql,
-    "q71_epoch_mix" -> q71Sql)
+    "q71_epoch_mix" -> q71Sql,
+    "q72_inverted_index" -> q72Sql)
 }

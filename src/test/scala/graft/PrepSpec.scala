@@ -203,6 +203,30 @@ class PrepSpec extends SparkSuite {
       plan.take(1200))
   }
 
+  // --------------------------------------------------- invertedIndex
+
+  test("invertedIndex: df/occurrence counts and capped ascending postings") {
+    val df = Seq(
+      (3L, "b a a"),
+      (1L, "a c"),
+      (2L, "a b")
+    ).toDF("doc_id", "text")
+    val got = Text.invertedIndex(df, "doc_id", "text", maxPostings = 2)
+      .orderBy("token").as[(String, Long, Long, Seq[Long])].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 4L, Seq(1L, 2L)), // in all 3 docs, 4 occurrences, cap 2
+      ("b", 2L, 2L, Seq(2L, 3L)),
+      ("c", 1L, 1L, Seq(1L))))
+  }
+
+  test("invertedIndex plan: bounded heap aggregate, no window, no collect_list") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = Text.invertedIndex(df).queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by_score"), plan.take(800))
+    assert(!plan.contains("Window") && !plan.contains("collect_list"),
+      plan.take(800))
+  }
+
   // ------------------------------------------------------- epochMix
 
   test("epochMix: integer epochs repeat exactly; epoch indices 0..n-1") {
