@@ -322,6 +322,47 @@ object PrepQueries {
       |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
       |FROM pd GROUP BY token ORDER BY token""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  // Mixer capstone: token-budget admission per source → fractional-epoch
+  // upsampling → training-order shard assignment, composed end-to-end
+  // and hash-checked against one CTE chain (every stage is
+  // deterministic hash/integer arithmetic, so the composition — not
+  // just each stage — is exactly reproducible). Seeds differ per stage
+  // (budget 7, epochs 19) so keep decisions don't correlate; the shard
+  // key includes the epoch so repeats scatter across shards.
+  private val q73Epochs = Map("src0" -> 2.0, "src3" -> 1.5, "src1" -> 0.5)
+
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val admitted = Sampling.budgetPerKey(docs, col("source"), "doc_id",
+      Text.tokenCount(col("text")), budget = 900L, slices = 8)
+    val kept = docs.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+    val mixed = Sampling.epochMix(kept, col("doc_id"), col("source"),
+      q73Epochs, defaultEpochs = 1.0)
+    Sampling.shardAssign(mixed,
+        concat(col("doc_id"), lit(":"), col("epoch")), numShards = 4)
+      .select("doc_id", "source", "epoch", "pos", "shard")
+      .orderBy("doc_id", "epoch")
+  }
+
+  private val q73Sql = {
+    val adm = Sampling.budgetPerKeySql("documents", "source", "doc_id",
+      "len(string_split(text, ' '))", budget = 900L)
+    val n = Sampling.epochMixSql("doc_id", "source", q73Epochs,
+      defaultEpochs = 1.0)
+    val shardKey = "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
+    val (pos, shard) = Sampling.shardAssignSql(shardKey, 4)
+    s"""WITH adm AS MATERIALIZED ($adm),
+       |kept AS (SELECT d.* FROM documents d
+       |  WHERE d.doc_id IN (SELECT doc_id FROM adm)),
+       |e AS (SELECT doc_id, source, $n AS n FROM kept),
+       |x AS (SELECT doc_id, source,
+       |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS epoch
+       |  FROM e WHERE n >= 1)
+       |SELECT doc_id, source, epoch, $pos AS pos, $shard AS shard
+       |FROM x ORDER BY doc_id, epoch""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -333,7 +374,8 @@ object PrepQueries {
     "q69_snapshot_diff" -> (q69 _),
     "q70_streaming_dedup_ingest" -> (q70 _),
     "q71_epoch_mix" -> (q71 _),
-    "q72_inverted_index" -> (q72 _))
+    "q72_inverted_index" -> (q72 _),
+    "q73_mixer_pipeline" -> (q73 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -344,5 +386,6 @@ object PrepQueries {
     "q69_snapshot_diff" -> q69Sql,
     "q70_streaming_dedup_ingest" -> q70Sql,
     "q71_epoch_mix" -> q71Sql,
-    "q72_inverted_index" -> q72Sql)
+    "q72_inverted_index" -> q72Sql,
+    "q73_mixer_pipeline" -> q73Sql)
 }
