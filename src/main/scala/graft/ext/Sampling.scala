@@ -273,6 +273,10 @@ object Sampling {
       hash: Column => Column = seededHash(19)): DataFrame = {
     require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0),
       s"epochs must be non-negative: $epochs default=$defaultEpochs")
+    // the output ADDS `epoch`; an existing column of that name would be
+    // silently overwritten (the scd1-flag-collision class of bug)
+    require(!df.columns.contains("epoch"),
+      "epochMix adds an `epoch` column; the input already has one")
     def base(e: Double): Long = math.floor(e).toLong
     def thr(e: Double): Long = math.round((e - math.floor(e)) * P)
     val baseMap = epochs.map { case (s, e) => s -> base(e) }

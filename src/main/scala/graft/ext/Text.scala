@@ -459,6 +459,8 @@ object Text {
   def invertedIndex(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxPostings: Int = 8): DataFrame = {
     require(maxPostings > 0, s"maxPostings must be positive: $maxPostings")
+    require(idCol != "token",
+      "invertedIndex derives a `token` column; idCol must not be `token`")
     val perDoc = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col(idCol))

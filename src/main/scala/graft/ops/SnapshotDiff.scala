@@ -39,6 +39,11 @@ object SnapshotDiff {
     require(keys.nonEmpty, "diff needs at least one key column")
     require(oldDf.columns.toSeq == newDf.columns.toSeq,
       s"snapshot schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    // the output is keys + `change`; a KEY named `change` would emit two
+    // columns with one name (value columns named `change` are fine —
+    // they live inside the comparison struct and never surface)
+    require(!keys.contains("change"),
+      "diff emits a `change` column; a key of that name would collide")
     val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
     def packed(df: DataFrame, as: String): DataFrame =
       if (valueCols.isEmpty)

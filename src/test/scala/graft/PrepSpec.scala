@@ -258,6 +258,21 @@ class PrepSpec extends SparkSuite {
       Map("s" -> 0.0)).isEmpty)
   }
 
+  test("column-collision guards reject rather than corrupt") {
+    val withEpoch = Seq((1L, "a", 0L)).toDF("id", "src", "epoch")
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(withEpoch, col("id"), col("src"), Map("a" -> 2.0))
+    }
+    val keyedChange = Seq((1L, 1.0)).toDF("change", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.SnapshotDiff.diff(keyedChange, keyedChange, Seq("change"))
+    }
+    val tokenId = Seq((1L, "a b")).toDF("token", "text")
+    intercept[IllegalArgumentException] {
+      Text.invertedIndex(tokenId, "token", "text")
+    }
+  }
+
   test("epochMix plan: zero shuffle — explode rides the scan") {
     val df = Seq((1L, "a")).toDF("id", "src")
     val plan = Sampling.epochMix(df, col("id"), col("src"),
