@@ -532,6 +532,38 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Audit twin of [[decontaminate]]: instead of silently dropping
+    * contaminated docs, report WHICH benchmark items leak into WHICH
+    * corpus docs and how strongly — `(idCol, benchIdCol,
+    * n_shared_grams)` for every pair sharing ≥ 1 distinct word n-gram.
+    * An eval owner triages this (a 1-gram graze vs a verbatim question)
+    * before the drop list is final; the drop set of [[decontaminate]]
+    * is exactly the distinct `idCol` of this report.
+    *
+    * Scale shape: same as [[decontaminate]] — the benchmark's
+    * (gram, bench id) pairs are tiny and BROADCAST; corpus grams are a
+    * per-row flatMap feeding the broadcast join, so no corpus byte
+    * shuffles; the only exchange is the (doc, bench) pair aggregate,
+    * bounded by the contamination rate. Grams are DISTINCT per side so
+    * the count means "shared vocabulary of n-grams", not an
+    * occurrence product.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchIdCol: String, n: Int = 4)
+      : DataFrame = {
+    require(idCol != benchIdCol,
+      s"corpus and benchmark id columns must differ, both were `$idCol`")
+    val benchGrams = benchmark
+      .select(col(benchIdCol),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("__gram"))
+    corpus
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("__gram"))
+      .join(broadcast(benchGrams), "__gram")
+      .groupBy(col(idCol), col(benchIdCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   // ---------------------------------------- cross-doc shared n-grams
 
   /** ExactSubstr-lite corpus-duplication stats (the cross-document twin

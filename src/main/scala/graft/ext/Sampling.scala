@@ -57,6 +57,31 @@ object Sampling {
     PortableHash.affineSql(seed.toString,
       s"(${PortableHash.polyHashSql(e)})")
 
+  /** Threshold-grade scramble: cube then affine. [[seededHash]] is
+    * LINEAR in the poly hash, and short numeric keys span only
+    * ~10⁴-10⁵ of the [0, P) domain — a·x+b maps such a set onto a
+    * handful of wrapping segments, so a small threshold bucket
+    * (`h < 0.05·P`) can catch almost nothing (measured: an
+    * 0.8/0.1/0.1 split of 500 numeric ids landed 489/1/10 under
+    * seededHash). Cubing mod P first is non-linear, so nearby keys
+    * scatter across the domain before the affine mixes the seed in —
+    * the same 500-id split lands within a few percent of nominal.
+    * Use this for threshold-bucket ops (splits, fractional epochs);
+    * rank-based ops (capPerKey, budgetPerKey, shardAssign) only need
+    * a consistent order and keep the cheaper [[seededHash]].
+    * All intermediates stay < 2^63: x < P ≈ 2^30 ⇒ x² < 2^60, and
+    * (x² mod P)·x < 2^60.
+    */
+  def spreadHash(seed: Int)(c: Column): Column = {
+    val x = PortableHash.polyHash(c)
+    PortableHash.affine(lit(seed), x * x % P * x % P)
+  }
+
+  def spreadHashSql(seed: Int)(e: String): String = {
+    val x = s"(${PortableHash.polyHashSql(e)})"
+    PortableHash.affineSql(seed.toString, s"($x * $x % $P * $x % $P)")
+  }
+
   private def threshold(rate: Double): Long = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
     math.round(rate * P)
@@ -270,7 +295,7 @@ object Sampling {
     */
   def epochMix(df: DataFrame, key: Column, strata: Column,
       epochs: Map[String, Double], defaultEpochs: Double = 1.0,
-      hash: Column => Column = seededHash(19)): DataFrame = {
+      hash: Column => Column = spreadHash(19)): DataFrame = {
     require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0),
       s"epochs must be non-negative: $epochs default=$defaultEpochs")
     // the output ADDS `epoch`; an existing column of that name would be
@@ -302,7 +327,7 @@ object Sampling {
   def epochMixSql(keyE: String, strataE: String,
       epochs: Map[String, Double], defaultEpochs: Double = 1.0,
       seed: Int = 19): String = {
-    val h = seededHashSql(seed)(s"CAST($keyE AS VARCHAR)")
+    val h = spreadHashSql(seed)(s"CAST($keyE AS VARCHAR)")
     def base(e: Double): Long = math.floor(e).toLong
     def thr(e: Double): Long = math.round((e - math.floor(e)) * P)
     val arms = epochs.toSeq.sortBy(_._1).map { case (s, e) =>
@@ -311,6 +336,48 @@ object Sampling {
     }.mkString(" ")
     s"(CASE CAST($strataE AS VARCHAR) $arms ELSE ${base(defaultEpochs)} + " +
       s"(CASE WHEN $h < ${thr(defaultEpochs)} THEN 1 ELSE 0 END) END)"
+  }
+
+  /** Disjoint multi-way split assignment — train/val/test (or any
+    * weighted partition) from ONE hash: bucket `i` takes the hash range
+    * `[cum_{i-1}·P, cum_i·P)`, so the splits are disjoint and
+    * exhaustive BY CONSTRUCTION (three independent rate-samples would
+    * overlap), deterministic across runs/engines/cluster sizes, and
+    * stable under corpus growth — a doc never migrates between splits
+    * as data is added, which is what keeps eval sets honest over time.
+    * Zero shuffle: one hash + a literal CASE chain riding the scan.
+    */
+  def splitAssign(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)],
+      hash: Column => Column = spreadHash(23)): DataFrame = {
+    require(splits.nonEmpty, "splitAssign needs at least one split")
+    require(splits.forall(_._2 > 0.0), s"weights must be positive: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be unique: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: $splits")
+    require(!df.columns.contains("split"),
+      "splitAssign adds a `split` column; the input already has one")
+    val h = hash(key.cast("string"))
+    // cumulative thresholds; the LAST bucket is the otherwise-branch so
+    // rounding at the top end can never leave a row unassigned
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val cased = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), cum), rest) =>
+        when(h < lit(math.round(cum * P)), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", cased)
+  }
+
+  /** DuckDB twin of [[splitAssign]]'s CASE chain. */
+  def splitAssignSql(keyE: String, splits: Seq[(String, Double)],
+      seed: Int = 23): String = {
+    val h = spreadHashSql(seed)(s"CAST($keyE AS VARCHAR)")
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val arms = splits.init.zip(cums.init).map { case ((name, _), cum) =>
+      s"WHEN $h < ${math.round(cum * P)} THEN '${name.replace("'", "''")}'"
+    }.mkString(" ")
+    s"(CASE $arms ELSE '${splits.last._1.replace("'", "''")}' END)"
   }
 
   /** Training-order shuffle + shard assignment: `pos` is the portable

@@ -363,6 +363,51 @@ object PrepQueries {
        |FROM x ORDER BY doc_id, epoch""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q74
+  // Disjoint train/val/test assignment from one hash: bucket i owns the
+  // hash range [cum_{i-1}·P, cum_i·P) — disjoint + exhaustive by
+  // construction, stable as the corpus grows. Zero shuffle.
+  private val q74Splits =
+    Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(t(s, dir, "documents"), col("doc_id"), q74Splits)
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  private val q74Sql =
+    s"""SELECT doc_id, ${Sampling.splitAssignSql("doc_id", q74Splits)}
+       |  AS split FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  // Contamination audit (the report q55's drop list is derived from):
+  // which benchmark items (doc_id % 97 = 0) leak into which corpus
+  // docs, by count of shared distinct 4-grams. Benchmark grams
+  // broadcast; the only exchange is the (doc, bench) pair aggregate.
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        "doc_id", "text", "bench_id", n = 4)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  private val q75Sql = {
+    val grams = s"list_distinct(${Dedup.wordShinglesSql("text", 4)})"
+    s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents
+       |  WHERE doc_id % 97 = 0),
+       |bg AS (SELECT bench_id, unnest($grams) AS gram FROM bench),
+       |corpus AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 97 <> 0),
+       |cg AS (SELECT doc_id, unnest($grams) AS gram FROM corpus)
+       |SELECT doc_id, bench_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared_grams
+       |FROM cg JOIN bg USING (gram) GROUP BY doc_id, bench_id
+       |ORDER BY doc_id, bench_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -375,7 +420,9 @@ object PrepQueries {
     "q70_streaming_dedup_ingest" -> (q70 _),
     "q71_epoch_mix" -> (q71 _),
     "q72_inverted_index" -> (q72 _),
-    "q73_mixer_pipeline" -> (q73 _))
+    "q73_mixer_pipeline" -> (q73 _),
+    "q74_split_assign" -> (q74 _),
+    "q75_contamination_report" -> (q75 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -387,5 +434,7 @@ object PrepQueries {
     "q70_streaming_dedup_ingest" -> q70Sql,
     "q71_epoch_mix" -> q71Sql,
     "q72_inverted_index" -> q72Sql,
-    "q73_mixer_pipeline" -> q73Sql)
+    "q73_mixer_pipeline" -> q73Sql,
+    "q74_split_assign" -> q74Sql,
+    "q75_contamination_report" -> q75Sql)
 }

@@ -203,6 +203,64 @@ class PrepSpec extends SparkSuite {
       plan.take(1200))
   }
 
+  // ----------------------------------------------------- splitAssign
+
+  test("splitAssign: disjoint + exhaustive; train set grows with weight") {
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("id", "t")
+    val got = Sampling.splitAssign(df, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.values.sum == 500L) // every row assigned exactly once
+    assert(got("train") > got("val") && got("train") > got("test"))
+    // rough proportions (hash uniformity)
+    assert(got("train") > 350 && got("train") < 450, got.toString)
+    // monotone: the 0.8-train set is contained in the 0.9-train set
+    def trainIds(w: Double): Set[Long] =
+      Sampling.splitAssign(df, col("id"),
+          Seq("train" -> w, "rest" -> (1.0 - w)))
+        .filter($"split" === "train").select("id")
+        .as[Long].collect().toSet
+    assert(trainIds(0.8).subsetOf(trainIds(0.9)))
+  }
+
+  test("splitAssign: bad weights and name collisions rejected") {
+    val df = Seq((1L, "x")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, col("id"), Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df.withColumn("split", lit("x")), col("id"),
+        Seq("a" -> 1.0))
+    }
+  }
+
+  // --------------------------------------------- contaminationReport
+
+  test("contaminationReport: shared distinct grams per (doc, bench) pair") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high today")
+    ).toDF("bench_id", "text")
+    val got = Dedup.contaminationReport(corpus, bench,
+        "doc_id", "text", "bench_id", n = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 shares "the quick brown fox" and "quick brown fox jumps"
+    assert(got == Seq((1L, 100L, 2L)))
+    // the report's doc set IS decontaminate's drop set
+    val dropSet = Dedup.contaminatedIds(corpus,
+        bench.select(col("bench_id").as("doc_id"), col("text")),
+        "doc_id", "text", n = 4)
+      .as[Long].collect().toSet
+    assert(got.map(_._1).toSet == dropSet)
+  }
+
   // --------------------------------------------------- invertedIndex
 
   test("invertedIndex: df/occurrence counts and capped ascending postings") {
