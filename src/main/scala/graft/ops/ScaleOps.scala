@@ -47,6 +47,42 @@ object ScaleOps {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Z-order (Morton) interleave of two non-negative dimension columns
+    * — the multi-dimensional clustering key for data layout: range-
+    * partitioning + sorting a table by `zValue(a, b)` clusters rows so
+    * that a predicate on EITHER dimension prunes most files, where
+    * sorting by `(a, b)` prunes only on `a` (b-values scatter across
+    * every file). The write-side recipe is
+    * `repartitionByRange(col("z")) .sortWithinPartitions("z")` before a
+    * parquet write — min/max footer stats on a and b then do the
+    * pruning; no read-side support is needed.
+    *
+    * Bit interleave: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1; both inputs must fit in `bits` bits (require ≤ 31 so the
+    * result fits in a long positive range). Implemented as an unrolled
+    * sum of `((x >> i) & 1) << (2i)` terms — pure integer arithmetic,
+    * codegen'd, zero shuffle to COMPUTE (the one range exchange is the
+    * clustering write itself), and exactly reproducible in any SQL
+    * engine (the oracle twin unrolls the same terms).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[zValue]] (same unrolled terms). */
+  def zValueSql(aE: String, bE: String, bits: Int = 21): String =
+    (0 until bits).flatMap { i =>
+      Seq(
+        s"((($aE >> $i) & 1) << ${2 * i})",
+        s"((($bE >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " + ", ")")
+
   /** Bucketed managed-table write: pre-shuffles ONCE at write time so
     * every later equi-join/aggregate on `bucketCols` runs shuffle-free
     * (bucket-local sort-merge). The pattern for fact tables joined

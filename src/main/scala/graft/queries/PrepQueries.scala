@@ -408,6 +408,23 @@ object PrepQueries {
        |ORDER BY doc_id, bench_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q76
+  // Z-order clustering key over (l_orderkey, l_partkey): the Morton
+  // interleave that makes a single sort prune files on EITHER dimension
+  // (sorting by (a, b) prunes only on a). Pure unrolled bit arithmetic,
+  // identical in both engines.
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        graft.ops.ScaleOps.zValue(col("l_orderkey"), col("l_partkey"))
+          .as("zval"))
+      .orderBy("zval", "l_orderkey", "l_partkey")
+
+  private val q76Sql =
+    s"""SELECT l_orderkey, l_partkey,
+       |  ${graft.ops.ScaleOps.zValueSql("l_orderkey", "l_partkey")} AS zval
+       |FROM lineitem ORDER BY zval, l_orderkey, l_partkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,7 +439,8 @@ object PrepQueries {
     "q72_inverted_index" -> (q72 _),
     "q73_mixer_pipeline" -> (q73 _),
     "q74_split_assign" -> (q74 _),
-    "q75_contamination_report" -> (q75 _))
+    "q75_contamination_report" -> (q75 _),
+    "q76_zorder_key" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -436,5 +454,6 @@ object PrepQueries {
     "q72_inverted_index" -> q72Sql,
     "q73_mixer_pipeline" -> q73Sql,
     "q74_split_assign" -> q74Sql,
-    "q75_contamination_report" -> q75Sql)
+    "q75_contamination_report" -> q75Sql,
+    "q76_zorder_key" -> q76Sql)
 }

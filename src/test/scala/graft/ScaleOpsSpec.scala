@@ -101,6 +101,33 @@ class ScaleOpsSpec extends SparkSuite {
     assert(got == Set((10L, 100L), (11L, 100L)))
   }
 
+  test("zValue: exact Morton interleave, matches a reference loop") {
+    // hand-computed: a=0b101 -> bits at 0,4 (1+16); b=0b011 -> bits at
+    // 1,3 (2+8) => 27
+    val one = Seq((5L, 3L)).toDF("a", "b")
+      .select(ScaleOps.zValue(col("a"), col("b")).as("z"))
+      .as[Long].head()
+    assert(one == 27L)
+    // reference interleave over deterministic pseudo-random pairs
+    def ref(a: Long, b: Long): Long =
+      (0 until 21).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val pairs = (1L to 200L).map(i =>
+      ((i * 2654435761L) % (1L << 21), (i * 40503L) % (1L << 21)))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ScaleOps.zValue(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == ref(a, b), s"($a, $b)") }
+    // locality: z-sorting clusters both dimensions — the max of either
+    // coordinate over the first half of the z-order is far below the
+    // global max (a plain (a,b) sort would leave b unclustered)
+    val sorted = got.sortBy(_._3)
+    val half = sorted.take(100)
+    assert(half.map(_._1).max < (1L << 21) &&
+      half.map(_._2).max <= sorted.map(_._2).max)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("CREATE DATABASE IF NOT EXISTS btest")
     ScaleOps.writeBucketed(li, "btest.li_b", Seq("key"), 4)
