@@ -209,6 +209,35 @@ object PrepQueries {
       |SELECT o_orderkey, change FROM d
       |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin
 
+  /** Shared streaming fixture: split `docs` into three "daily" batch
+    * files (batch = doc_id % 3) with strictly ascending mod-times, so
+    * the file source (oldest-(modtime, path)-first) replays them in
+    * batch order.
+    */
+  private def writeDailyBatches(docs: DataFrame,
+      tmp: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, attribute}
+    (0 to 2).foreach { b =>
+      val stage = Files.createTempDirectory(s"graft-ingest-stage$b")
+      try {
+        docs.filter(col("doc_id") % 3 === b).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = {
+          val st = Files.list(stage)
+          try st.filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally st.close()
+        }
+        val dst = tmp.resolve(s"b$b.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+        ()
+      } finally Q.deleteRecursively(stage)
+    }
+  }
+
   // ---------------------------------------------------------------- q70
   // Continuous-ingest exact dedup: documents split into three "daily"
   // batch files (batch = doc_id % 3) streamed oldest-first one file per
@@ -221,33 +250,13 @@ object PrepQueries {
   // appends), not plan cost — q37's documented fixed floor, paid 3×
   // plus the warehouse round-trips.
   private def q70(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, attribute}
+    import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft-ingest-src")
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt")
     val table = "graft.q70_accepted"
     try {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      (0 to 2).foreach { b =>
-        val stage = Files.createTempDirectory(s"graft-ingest-stage$b")
-        try {
-          docs.filter(col("doc_id") % 3 === b).coalesce(1)
-            .write.mode("overwrite").parquet(stage.toString)
-          val part = {
-            val st = Files.list(stage)
-            try st.filter(p => p.getFileName.toString.startsWith("part-") &&
-                p.getFileName.toString.endsWith(".parquet"))
-              .findFirst().get()
-            finally st.close()
-          }
-          val dst = tmp.resolve(s"b$b.parquet")
-          Files.move(part, dst)
-          // the file source replays oldest-(modtime, path)-first; stamp
-          // strictly ascending times so batch order IS b's order
-          Files.setLastModifiedTime(dst,
-            attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
-          ()
-        } finally Q.deleteRecursively(stage)
-      }
+      writeDailyBatches(docs, tmp)
       Warehouse.ensureDatabase(s, "graft")
       Warehouse.dropManagedTable(s, table)
       docs.limit(0)
@@ -425,6 +434,80 @@ object PrepQueries {
        |  ${graft.ops.ScaleOps.zValueSql("l_orderkey", "l_partkey")} AS zval
        |FROM lineitem ORDER BY zval, l_orderkey, l_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  // Streaming NEAR-dup admission (the LSH flavor of q70): three daily
+  // batches; each is MinHash-band-matched against the accepted corpus
+  // (batch×seen only) and Jaccard-verified at 0.2; survivors append.
+  // The oracle UNROLLS the loop: accepted_0 = b0; accepted_i =
+  // accepted_{i-1} + (b_i minus its verified matches vs accepted_{i-1})
+  // — same sig/band/jaccard twins as q67, applied twice in a CTE chain.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-ingest-src")
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt")
+    val table = "graft.q77_accepted"
+    try {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      writeDailyBatches(docs, tmp)
+      Warehouse.ensureDatabase(s, "graft")
+      Warehouse.dropManagedTable(s, table)
+      docs.limit(0).write.saveAsTable(table)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = Streams.nearDedupIngest(stream, table, ckpt.toString,
+          threshold = 0.2)
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally { Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt) }
+    s.table(table).select("doc_id").orderBy("doc_id")
+  }
+
+  /** Verified new×seen match ids (`SELECT id_new ...`) between two CTE
+    * names — the q67 pipeline as a reusable fragment, inlined twice by
+    * the q77 oracle (once per ingested batch).
+    */
+  private def crossMatchIdsSql(newT: String, seenT: String): String = {
+    val sig = Dedup.minHashSignatureSql("text")
+    val bucket = graft.functions.PortableHash.combineSql(
+      "sig[band*4+1:band*4+4]")
+    def bandsOf(tbl: String): String =
+      s"""SELECT doc_id, band, $bucket AS bucket FROM
+         |    (SELECT doc_id, $sig AS sig FROM $tbl
+         |     WHERE len(string_split(text, ' ')) >= 3) sigs,
+         |    range(4) t(band)""".stripMargin
+    s"""SELECT DISTINCT p.id_new FROM
+       |  (SELECT DISTINCT n.doc_id AS id_new, s.doc_id AS id_seen
+       |   FROM (${bandsOf(newT)}) n
+       |   JOIN (${bandsOf(seenT)}) s USING (band, bucket)) p
+       |JOIN $newT dn ON dn.doc_id = p.id_new
+       |JOIN $seenT ds ON ds.doc_id = p.id_seen
+       |WHERE ${Dedup.ngramJaccardSql("dn.text", "ds.text")} >= 0.2""".stripMargin
+  }
+
+  private val q77Sql =
+    s"""WITH b0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 0),
+       |b1 AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 1),
+       |b2 AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 2),
+       |acc0 AS MATERIALIZED (SELECT * FROM b0),
+       |m1 AS MATERIALIZED (${crossMatchIdsSql("b1", "acc0")}),
+       |acc1 AS MATERIALIZED (
+       |  SELECT * FROM acc0
+       |  UNION ALL
+       |  SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id_new FROM m1)),
+       |m2 AS MATERIALIZED (${crossMatchIdsSql("b2", "acc1")}),
+       |acc2 AS (
+       |  SELECT * FROM acc1
+       |  UNION ALL
+       |  SELECT * FROM b2 WHERE doc_id NOT IN (SELECT id_new FROM m2))
+       |SELECT doc_id FROM acc2 ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -440,7 +523,8 @@ object PrepQueries {
     "q73_mixer_pipeline" -> (q73 _),
     "q74_split_assign" -> (q74 _),
     "q75_contamination_report" -> (q75 _),
-    "q76_zorder_key" -> (q76 _))
+    "q76_zorder_key" -> (q76 _),
+    "q77_streaming_neardup_ingest" -> (q77 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -455,5 +539,6 @@ object PrepQueries {
     "q73_mixer_pipeline" -> q73Sql,
     "q74_split_assign" -> q74Sql,
     "q75_contamination_report" -> q75Sql,
-    "q76_zorder_key" -> q76Sql)
+    "q76_zorder_key" -> q76Sql,
+    "q77_streaming_neardup_ingest" -> q77Sql)
 }

@@ -174,6 +174,51 @@ object Streams {
       .start()
   }
 
+  /** Continuous-ingest NEAR-dup admission — the LSH flavor of
+    * [[dedupIngest]] (exact fingerprints catch reposts; this catches
+    * paraphrases/near-copies): each micro-batch is MinHash-LSH matched
+    * against the accepted corpus via
+    * [[graft.ext.Dedup.incrementalNearDuplicates]] (band join is
+    * batch×seen ONLY — O(batch) per trigger, never O(corpus)), and
+    * rows with a verified Jaccard match ≥ `threshold` are rejected;
+    * the rest append. Intra-batch near-dups are NOT adjudicated here
+    * (both admit) — run [[graft.ext.Dedup.nearDuplicates]] within the
+    * batch first if that matters; keeping the gate batch×seen keeps
+    * the semantics exactly replayable (and is what the q77 oracle
+    * unrolls batch by batch).
+    *
+    * Scale notes: at production scale the seen side's band table is
+    * precomputed and stored bucketed on (band, bucket) — see the
+    * incrementalNearDuplicates scaladoc — and survivors append their
+    * band rows in the same foreachBatch; here the bands recompute per
+    * batch, which is fine at fixture scale. Exactly-once admission
+    * across restarts comes from the checkpoint as in [[dedupIngest]].
+    */
+  def nearDedupIngest(src: DataFrame, acceptedTable: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.2, k: Int = 16,
+      bands: Int = 4, minTokens: Int = 3): StreamingQuery = {
+    val host = src.sparkSession
+    src.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val accepted = s.table(acceptedTable)
+        val matches = graft.ext.Dedup.incrementalNearDuplicates(
+          batch, accepted, idCol, textCol, threshold, k, bands, minTokens)
+        val fresh = batch.join(
+          matches.select(col("id_new").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        fresh.select(accepted.columns.map(col).toSeq: _*)
+          .write.mode("append").insertInto(acceptedTable)
+        host.catalog.refreshTable(acceptedTable)
+        ()
+      }
+      .start()
+  }
+
   /** Flush any open sessions (batch-mode variant: each key is seen once,
     * so the trailing open session is emitted too).
     */

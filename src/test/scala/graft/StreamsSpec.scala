@@ -98,6 +98,35 @@ class StreamsSpec extends SparkSuite {
     assert(got == Seq(10L, 11L, 21L))
   }
 
+  test("nearDedupIngest: verified near-dups rejected, novel docs admitted") {
+    implicit val sc = spark.sqlContext
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.nacc")
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.saveAsTable("graft_test.nacc")
+    val ckpt = tmpDir() + "/nckpt"
+    val input = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = Streams.nearDedupIngest(input.toDF().toDF("doc_id", "text"),
+        "graft_test.nacc", ckpt, threshold = 0.2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // identical texts -> identical signatures -> deterministic LSH recall
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven"))
+    drain()
+    assert(spark.table("graft_test.nacc").count() == 2)
+    // 20 is a verbatim copy of accepted 10 -> rejected; 21 is novel
+    input.addData(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "uno dos tres cuatro cinco seis siete"))
+    drain()
+    val got = spark.table("graft_test.nacc").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 11L, 21L))
+  }
+
   test("windowedCounts: watermarked tumbling windows drop late rows (ST5)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
