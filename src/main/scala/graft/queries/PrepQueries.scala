@@ -441,6 +441,9 @@ object PrepQueries {
   // The oracle UNROLLS the loop: accepted_0 = b0; accepted_i =
   // accepted_{i-1} + (b_i minus its verified matches vs accepted_{i-1})
   // — same sig/band/jaccard twins as q67, applied twice in a CTE chain.
+  // Bench note: like q70, the measured seconds are fixture + streaming
+  // lifecycle (batch writes, table create, 3 checkpointed commits),
+  // not plan cost.
   private def q77(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft-ingest-src")
