@@ -623,4 +623,72 @@ object Dedup {
         coalesce(col("n_shared").cast("double") /
           col("n_ngrams").cast("double"), lit(0.0)).as("shared_frac"))
   }
+
+  // ------------------------------------------------- segment-level dedup
+
+  /** Segment-level dedup with document reassembly (the CCNet paragraph
+    * dedup shape, arXiv:1911.00359 — the corpus has no paragraph breaks,
+    * so the unit is a fixed window of `segSize` consecutive tokens):
+    * split every document into non-overlapping segments, keep exactly one
+    * copy of each distinct segment corpus-wide (the first by
+    * `(id, segment index)` order), and rebuild each document from its
+    * surviving segments in order. Unlike [[sharedNgramStats]] (which
+    * *measures* cross-document duplication) this *removes* it — the
+    * boilerplate-stripping stage a web-scale corpus runs before training.
+    *
+    * Scale shape (100 TB): segmentation is per-row arithmetic on the
+    * existing [[Text.chunkTokens]] slicing (zero shuffle). The keeper
+    * election groups by the segment's [[PortableHash.polyHash]] — an
+    * 8-byte key, map-side combined — NOT by the segment text, so the
+    * exchange carries `(hash, id, idx)` a few bytes per segment no matter
+    * how long segments are. The join back is equi on that same hash with
+    * exactly one keeper row per key (skew-safe: AQE can split a hot
+    * boilerplate hash; the keeper side never amplifies). Reassembly
+    * groups by the document id — the natural output partitioning.
+    * Hash collisions (p ≈ n²/2P per pair) conflate two distinct segments
+    * — the standard hash-dedup trade-off; at production scale swap in a
+    * 128-bit `xxhash64` pair the same way the MinHash operators do.
+    */
+  def segmentDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", segSize: Int = 20): DataFrame = {
+    require(segSize > 0, s"segSize must be positive: $segSize")
+    val seg = Text.chunkTokens(df, idCol, textCol, size = segSize, overlap = 0)
+      .withColumn("__h", polyHash(col("chunk_text")))
+    val keepers = seg.groupBy("__h")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__keep"))
+    seg.join(keepers, "__h")
+      .withColumn("__kept",
+        struct(col(idCol), col("chunk_id")) === col("__keep"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        // collect_list drops the nulls `when` emits for dropped segments;
+        // array_sort on (chunk_id, text) structs restores document order
+        // regardless of shuffle arrival order.
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("dedup_text"))
+  }
+
+  /** DuckDB twin of [[segmentDedup]]: same slicing, same hash, keeper by
+    * `row_number` over `(id, idx)` — the window formulation of the same
+    * min-struct election.
+    */
+  def segmentDedupSql(table: String, idE: String, textE: String,
+      segSize: Int): String = {
+    val chunk = Text.chunkTokensSql(table, idE, textE, segSize, 0)
+    s"""WITH seg AS MATERIALIZED ($chunk),
+       |__sh AS (SELECT doc_id, chunk_id, chunk_text,
+       |  ${polyHashSql("chunk_text")} AS h FROM seg),
+       |__sk AS (SELECT *, row_number() OVER (PARTITION BY h
+       |  ORDER BY doc_id, chunk_id) AS rn FROM __sh)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_segments,
+       |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+       |    FILTER (rn = 1), '') AS dedup_text
+       |FROM __sk GROUP BY doc_id""".stripMargin
+  }
 }

@@ -425,4 +425,76 @@ object Similarity {
       s"list_transform(generate_series(0, len($embE)-1), k -> " +
       s"CAST(($embE)[k+1] AS DOUBLE) * $sign)), (acc, v) -> acc + v))"
   }
+
+  // ------------------------------------------------- corpus diversity
+
+  /** Per-group embedding diversity in ONE pass via the centroid trick:
+    * the mean squared distance of a group's vectors to their centroid is
+    * `E[‖x‖²] − ‖E[x]‖²` — so a data-mixture curator can score how
+    * redundant each source/cluster is (low diversity ⇒ near-duplicate
+    * mass worth downweighting, the SemDeDup signal, arXiv:2303.09540)
+    * WITHOUT any pairwise join.
+    *
+    * Cross-engine exactness: float sums are order-sensitive, so every
+    * element is first quantized to an integer (`round(x·10⁶)` — one
+    * identical IEEE double op per element); all aggregation is then
+    * exact BIGINT arithmetic, and the final three doubles come from the
+    * same division sequence in both engines.
+    *
+    * Scale shape (100 TB): one explode of `(group, dim, q)` scalars with
+    * map-side partial aggregation — the exchange carries per-(group,dim)
+    * partials, not vectors, and the second-level rollup is |groups|·|dims|
+    * rows. No pairwise anything; linear in corpus size. Overflow headroom:
+    * |q| ≲ 2²¹ for unit-norm floats, so Σq² fits BIGINT to ~2²⁰ rows per
+    * group per dim and (Σq)² to ~2³⁰ rows; beyond that, mean-center per
+    * partition first or widen to DECIMAL(38) the same shape.
+    */
+  def groupDiversity(df: DataFrame, groupCol: String = "label",
+      embCol: String = "embedding"): DataFrame = {
+    val q = df.select(col(groupCol).as("__g"),
+      posexplode(transform(col(embCol),
+        x => round(x.cast("double") * 1000000).cast("long")))
+        .as(Seq("__pos", "__q")))
+    val perDim = q.groupBy(col("__g"), col("__pos"))
+      .agg(sum("__q").as("__s"),
+        sum(col("__q") * col("__q")).as("__ss"),
+        count(lit(1)).as("__cnt"))
+    val g = perDim.groupBy("__g").agg(
+      max("__cnt").as("n"),
+      sum("__ss").as("__sum_sq"),
+      sum(col("__s") * col("__s")).as("__sum_cs"))
+    val meanSq = (col("__sum_sq").cast("double") / col("n")) / lit(1e12)
+    val centSq =
+      (col("__sum_cs").cast("double") / col("n") / col("n")) / lit(1e12)
+    g.select(col("__g").as(groupCol), col("n"),
+      meanSq.as("mean_sq_norm"),
+      centSq.as("centroid_sq_norm"),
+      (meanSq - centSq).as("diversity"))
+  }
+
+  /** DuckDB twin of [[groupDiversity]] (same quantization, same division
+    * sequence → bit-equal doubles).
+    */
+  def groupDiversitySql(table: String, groupE: String,
+      embE: String): String =
+    s"""WITH __e AS MATERIALIZED (
+       |  SELECT g, CAST(round(CAST(($embE)[CAST(i AS INT)] AS DOUBLE)
+       |      * 1000000) AS BIGINT) AS q, i AS pos
+       |  FROM (SELECT $groupE AS g, $embE,
+       |          unnest(generate_series(1, len($embE))) AS i
+       |        FROM $table)),
+       |__d AS (SELECT g, pos, sum(q) AS s, sum(q*q) AS ss,
+       |    count(*) AS cnt
+       |  FROM __e GROUP BY g, pos),
+       |__gr AS (SELECT g,
+       |    CAST(max(cnt) AS BIGINT) AS n,
+       |    CAST(sum(ss) AS BIGINT) AS sum_sq,
+       |    CAST(sum(s*s) AS BIGINT) AS sum_cs
+       |  FROM __d GROUP BY g)
+       |SELECT g AS $groupE, n,
+       |  (CAST(sum_sq AS DOUBLE) / n) / 1e12 AS mean_sq_norm,
+       |  (CAST(sum_cs AS DOUBLE) / n / n) / 1e12 AS centroid_sq_norm,
+       |  (CAST(sum_sq AS DOUBLE) / n) / 1e12
+       |    - (CAST(sum_cs AS DOUBLE) / n / n) / 1e12 AS diversity
+       |FROM __gr""".stripMargin
 }

@@ -484,6 +484,60 @@ object Text {
     graft.functions.PortableHash.polyHashSql(norm)
   }
 
+  // ---------------------------------------------- BPE pair statistics
+
+  /** The inner loop of BPE tokenizer training (Sennrich et al. 2016,
+    * arXiv:1508.07909): count every adjacent character pair across the
+    * corpus vocabulary, weighted by word frequency — the top pair is the
+    * next merge a tokenizer trainer would apply. One step is emitted
+    * (the iterated re-tokenize is driver-orchestrated at training time);
+    * this is the pass that dominates cost at corpus scale because it is
+    * the one that scans all text.
+    *
+    * Scale shape (100 TB): tokens collapse to the vocabulary FIRST
+    * (Zipf-bounded key space, map-side combined), so pair extraction
+    * runs over distinct words × their counts — orders of magnitude
+    * smaller than the corpus. Pair aggregation has at most |alphabet|²
+    * keys; the global top-K is a `TakeOrdered` (no full sort), and the
+    * `row_number` ranking window runs on ≤ K rows.
+    */
+  def bpePairStats(df: DataFrame, textCol: String = "text",
+      topK: Int = 32): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val vocab = df.select(explode(tokens(col(textCol))).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__wcnt"))
+    val ranked = vocab
+      .select(explode(Dedup.charShingles(col("__w"), 2)).as("pair"),
+        col("__wcnt"))
+      .groupBy("pair").agg(sum("__wcnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topK)
+    ranked.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair")))
+        .cast("long").as("rank"),
+      col("pair"), col("cnt"))
+  }
+
+  /** DuckDB twin of [[bpePairStats]] (same vocabulary weighting, same
+    * `(count DESC, pair)` tie-break).
+    */
+  def bpePairStatsSql(table: String, textE: String, topK: Int): String =
+    s"""WITH __tok AS MATERIALIZED (
+       |  SELECT unnest(string_split($textE, ' ')) AS w FROM $table),
+       |__vocab AS MATERIALIZED (
+       |  SELECT w, count(*) AS wcnt FROM __tok WHERE w <> '' GROUP BY w),
+       |__idx AS (SELECT w, wcnt,
+       |  unnest(generate_series(1, len(w) - 1)) AS i FROM __vocab),
+       |__pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wcnt
+       |  FROM __idx),
+       |__agg AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+       |  FROM __pairs GROUP BY pair)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+       |    AS rank,
+       |  pair, cnt
+       |FROM __agg ORDER BY cnt DESC, pair LIMIT $topK""".stripMargin
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

@@ -511,6 +511,46 @@ object PrepQueries {
        |  SELECT * FROM b2 WHERE doc_id NOT IN (SELECT id_new FROM m2))
        |SELECT doc_id FROM acc2 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  // CCNet-style segment dedup WITH reassembly: one keeper per distinct
+  // 20-token segment corpus-wide, documents rebuilt from survivors.
+  // Unlike q68 (which measures shared mass) this emits the cleaned text.
+  // Keeper election groups on the segment's 8-byte polyHash; the oracle
+  // replays the same election as a row_number window over the same hash.
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        segSize = 20)
+      .orderBy("doc_id")
+
+  private val q78Sql =
+    Dedup.segmentDedupSql("documents", "doc_id", "text", 20) +
+      "\nORDER BY doc_id"
+
+  // ---------------------------------------------------------------- q79
+  // BPE tokenizer-training inner loop: corpus-frequency-weighted adjacent
+  // character-pair counts over the vocabulary — the top pair is the next
+  // merge. Vocabulary collapse first (Zipf-bounded), pair keys bounded by
+  // |alphabet|², global top-32 via TakeOrdered.
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Text.bpePairStats(t(s, dir, "documents"), "text", topK = 32)
+
+  private val q79Sql = Text.bpePairStatsSql("documents", "text", 32)
+
+  // ---------------------------------------------------------------- q80
+  // Per-label embedding diversity via the centroid trick
+  // (E[|x|²] − |E[x]|²) — the SemDeDup redundancy signal without any
+  // pairwise join. Elements quantized to round(x·10⁶) BIGINTs so both
+  // engines aggregate exact integers; the three output doubles come from
+  // the identical division sequence.
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.groupDiversity(t(s, dir, "embeddings"),
+        "label", "embedding")
+      .orderBy("label")
+
+  private val q80Sql =
+    graft.ext.Similarity.groupDiversitySql(
+      "embeddings", "label", "embedding") + "\nORDER BY label"
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -527,7 +567,10 @@ object PrepQueries {
     "q74_split_assign" -> (q74 _),
     "q75_contamination_report" -> (q75 _),
     "q76_zorder_key" -> (q76 _),
-    "q77_streaming_neardup_ingest" -> (q77 _))
+    "q77_streaming_neardup_ingest" -> (q77 _),
+    "q78_segment_dedup" -> (q78 _),
+    "q79_bpe_pair_stats" -> (q79 _),
+    "q80_embedding_diversity" -> (q80 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -543,5 +586,8 @@ object PrepQueries {
     "q74_split_assign" -> q74Sql,
     "q75_contamination_report" -> q75Sql,
     "q76_zorder_key" -> q76Sql,
-    "q77_streaming_neardup_ingest" -> q77Sql)
+    "q77_streaming_neardup_ingest" -> q77Sql,
+    "q78_segment_dedup" -> q78Sql,
+    "q79_bpe_pair_stats" -> q79Sql,
+    "q80_embedding_diversity" -> q80Sql)
 }

@@ -368,4 +368,66 @@ class PrepSpec extends SparkSuite {
     // never pairs within one side
     assert(inc.forall { case (n, s) => n % 2 != 0 && s % 2 == 0 })
   }
+
+  // ------------------------------------------------------- segmentDedup
+
+  test("segmentDedup: first (doc, idx) keeps, later copies dropped, " +
+      "docs reassembled in order") {
+    val df = Seq(
+      (1L, "a b c d e f"), // segs: "a b c", "d e f"
+      (2L, "a b c x y z"), // "a b c" is doc1's — dropped here
+      (3L, "a b c")        // dropped entirely
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, "doc_id", "text", segSize = 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("n_segments")).toSeq == Seq(2L, 2L, 1L))
+    assert(got.map(_.getAs[Long]("n_kept")).toSeq == Seq(2L, 1L, 0L))
+    assert(got.map(_.getAs[String]("dedup_text")).toSeq ==
+      Seq("a b c d e f", "x y z", ""))
+  }
+
+  test("segmentDedup: within-document repeats collapse too") {
+    val df = Seq((7L, "a b a b")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, "doc_id", "text", segSize = 2)
+      .collect().head
+    assert(got.getAs[Long]("n_segments") == 2L)
+    assert(got.getAs[Long]("n_kept") == 1L)
+    assert(got.getAs[String]("dedup_text") == "a b")
+  }
+
+  // ------------------------------------------------------- bpePairStats
+
+  test("bpePairStats: pairs weighted by word frequency, " +
+      "(cnt desc, pair) rank") {
+    val df = Seq("ab ab abc").toDF("text")
+    // vocab: ab x2, abc x1 -> pair "ab" = 2+1 = 3, "bc" = 1
+    val got = Text.bpePairStats(df, "text", topK = 32)
+      .collect().map(r => (r.getAs[Long]("rank"),
+        r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+    assert(got.toSeq == Seq((1L, "ab", 3L), (2L, "bc", 1L)))
+  }
+
+  test("bpePairStats: single-char words yield no pairs; topK truncates") {
+    val df = Seq("a a a xy yz").toDF("text")
+    val got = Text.bpePairStats(df, "text", topK = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("pair") == "xy") // tie 1-1 -> lexicographic
+  }
+
+  // ----------------------------------------------------- groupDiversity
+
+  test("groupDiversity: identical vectors -> 0; antipodal -> mean sq norm") {
+    val df = Seq(
+      (0, Array(0.5f, 0.5f)), (0, Array(0.5f, 0.5f)),   // no spread
+      (1, Array(1.0f, 0.0f)), (1, Array(-1.0f, 0.0f))   // centroid 0
+    ).toDF("label", "embedding")
+    val got = graft.ext.Similarity.groupDiversity(df, "label", "embedding")
+      .orderBy("label").collect()
+    assert(got(0).getAs[Long]("n") == 2L)
+    assert(got(0).getAs[Double]("diversity") == 0.0)
+    assert(got(0).getAs[Double]("mean_sq_norm") == 0.5)
+    assert(got(1).getAs[Double]("centroid_sq_norm") == 0.0)
+    assert(got(1).getAs[Double]("mean_sq_norm") == 1.0)
+    assert(got(1).getAs[Double]("diversity") == 1.0)
+  }
 }
