@@ -636,15 +636,20 @@ object Dedup {
     * *measures* cross-document duplication) this *removes* it — the
     * boilerplate-stripping stage a web-scale corpus runs before training.
     *
-    * Scale shape (100 TB): segmentation is per-row arithmetic on the
-    * existing [[Text.chunkTokens]] slicing (zero shuffle). The keeper
-    * election groups by the segment's [[PortableHash.polyHash]] — an
-    * 8-byte key, map-side combined — NOT by the segment text, so the
-    * exchange carries `(hash, id, idx)` a few bytes per segment no matter
-    * how long segments are. The join back is equi on that same hash with
+    * Scale shape (100 TB): segment text NEVER shuffles. Segmentation +
+    * hashing is per-row arithmetic on the existing [[Text.chunkTokens]]
+    * slicing (one scan, zero shuffle), after which the text is DROPPED:
+    * the keeper election and the kept-flag join move only
+    * `(hash, id, idx)` tuples — bytes per segment no matter how long
+    * segments are — and the per-document rollup moves `(id, idx)` ints.
+    * Cleaned text is rebuilt at the END, per-row, by re-slicing the
+    * document's own token array at its kept segment indices — so the one
+    * exchange that touches documents is the final equi-join of the
+    * corpus with its per-doc kept-index arrays on the document id (the
+    * natural output partitioning; exchange-free on the big side if the
+    * corpus is bucketed by id). The keeper join is equi on the hash with
     * exactly one keeper row per key (skew-safe: AQE can split a hot
-    * boilerplate hash; the keeper side never amplifies). Reassembly
-    * groups by the document id — the natural output partitioning.
+    * boilerplate hash; the one-row side never amplifies).
     * Hash collisions (p ≈ n²/2P per pair) conflate two distinct segments
     * — the standard hash-dedup trade-off; at production scale swap in a
     * 128-bit `xxhash64` pair the same way the MinHash operators do.
@@ -652,24 +657,37 @@ object Dedup {
   def segmentDedup(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", segSize: Int = 20): DataFrame = {
     require(segSize > 0, s"segSize must be positive: $segSize")
-    val seg = Text.chunkTokens(df, idCol, textCol, size = segSize, overlap = 0)
-      .withColumn("__h", polyHash(col("chunk_text")))
-    val keepers = seg.groupBy("__h")
+    // (id, idx, hash) — the native segment hasher range-hashes the
+    // original char spans directly (single-space split ∘ join is the
+    // identity), so no segment string is ever built and nothing but
+    // 8-byte keys enters any exchange. Bit-equal to polyHash of
+    // chunkTokens(overlap=0).chunk_text — asserted in PrepSpec.
+    val segKeys = df.select(col(idCol),
+      posexplode(graft.functions.NativeHash
+          .segmentHashes(col(textCol), segSize))
+        .as(Seq("chunk_id", "__h")))
+    val keepers = segKeys.groupBy("__h")
       .agg(min(struct(col(idCol), col("chunk_id"))).as("__keep"))
-    seg.join(keepers, "__h")
+    val perDoc = segKeys.join(keepers, "__h")
       .withColumn("__kept",
         struct(col(idCol), col("chunk_id")) === col("__keep"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_segments"),
         sum(when(col("__kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
-        // collect_list drops the nulls `when` emits for dropped segments;
-        // array_sort on (chunk_id, text) structs restores document order
-        // regardless of shuffle arrival order.
-        array_join(transform(
-          array_sort(collect_list(when(col("__kept"),
-            struct(col("chunk_id"), col("chunk_text"))))),
-          s => s.getField("chunk_text")), " ").as("dedup_text"))
+        // collect_list drops the nulls `when` emits for dropped
+        // segments; sorting restores document order.
+        array_sort(collect_list(when(col("__kept"), col("chunk_id"))))
+          .as("__kept_ids"))
+    // tokenize ONCE per row before the lambda — an expression inside the
+    // transform body would re-split the document per kept segment
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .join(perDoc, Seq(idCol))
+      .select(col(idCol), col("n_segments"), col("n_kept"),
+        array_join(transform(col("__kept_ids"),
+            i => array_join(slice(col("__toks"),
+              i.cast("int") * segSize + 1, lit(segSize)), " ")),
+          " ").as("dedup_text"))
   }
 
   /** DuckDB twin of [[segmentDedup]]: same slicing, same hash, keeper by

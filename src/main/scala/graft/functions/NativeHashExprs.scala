@@ -71,6 +71,37 @@ object NativeHash {
     }
   }
 
+  /** Hashes of consecutive non-overlapping `seg`-token segments — the
+    * stride-`seg` counterpart of [[shingles]] (same span identity:
+    * single-space split ∘ single-space join ≡ the original char range,
+    * so no segment string is ever materialized). Segment count is
+    * `max(1, ceil(nTokens/seg))`, matching [[graft.ext.Text.chunkTokens]]
+    * with `overlap = 0` — each hash is bit-equal to `poly` of that
+    * chunk's `chunk_text`.
+    */
+  def segmentHashes(s: UTF8String, seg: Int): ArrayData = {
+    val str = s.toString
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < str.length) {
+      if (str.charAt(i) == ' ') { ends += i; starts += i + 1 }
+      i += 1
+    }
+    ends += str.length
+    val nTok = starts.length
+    val nSeg = math.max(1, (nTok + seg - 1) / seg)
+    val out = new Array[Long](nSeg)
+    var c = 0
+    while (c < nSeg) {
+      val t0 = c * seg
+      val t1 = math.min(t0 + seg, nTok) - 1
+      out(c) = polyRange(str, starts(t0), ends(t1))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hashes of all character n-gram windows (stride 1) — the char-level
     * counterpart of [[shingles]], robust to intra-token edits.
     */
@@ -170,6 +201,8 @@ object NativeHash {
     column(ShingleHashesExpr(expression(c), n))
   def charShingleHashes(c: Column, n: Int = 5): Column =
     column(CharShingleHashesExpr(expression(c), n))
+  def segmentHashes(c: Column, seg: Int): Column =
+    column(SegmentHashesExpr(expression(c), seg))
   def minHashSig(hashes: Column, k: Int): Column =
     column(MinHashSigExpr(expression(hashes), k))
   def simHash32(hashes: Column): Column =
@@ -212,6 +245,19 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.NativeHash.shingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+}
+
+/** segmentHashes(string) → array<long> (non-overlapping segment hashes). */
+case class SegmentHashesExpr(child: Expression, seg: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHash.segmentHashes(v.asInstanceOf[UTF8String], seg)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHash.segmentHashes($c, $seg)")
+  override protected def withNewChildInternal(c: Expression): SegmentHashesExpr =
     copy(child = c)
 }
 

@@ -395,6 +395,20 @@ class PrepSpec extends SparkSuite {
     assert(got.getAs[String]("dedup_text") == "a b")
   }
 
+  test("segmentHashes: native ≡ polyHash of chunkTokens(overlap=0) text") {
+    val df = Seq((1L, "a b c d e"), (2L, "x"), (3L, ""),
+      (4L, "a  b c"), (5L, "lorem ipsum dolor sit amet consect"))
+      .toDF("doc_id", "text")
+    val viaChunks = Text.chunkTokens(df, "doc_id", "text", 2, 0)
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        graft.functions.NativeHash.polyHash(col("chunk_text")).as("h"))
+    val native = df.select(col("doc_id"),
+      posexplode(graft.functions.NativeHash.segmentHashes(col("text"), 2))
+        .as(Seq("chunk_id", "h")))
+    assert(native.exceptAll(viaChunks).isEmpty &&
+      viaChunks.exceptAll(native).isEmpty)
+  }
+
   // ------------------------------------------------------- bpePairStats
 
   test("bpePairStats: pairs weighted by word frequency, " +
