@@ -490,6 +490,34 @@ object Dedup {
     labels
   }
 
+  /** Canonical-document election per duplicate cluster: given
+    * [[dupComponents]] labels, pick the one copy of each cluster worth
+    * keeping — the longest document, ties to the smallest id — and
+    * report cluster size. This is the decision step after transitive
+    * clustering: q49 says WHICH docs are mutual near-dups; this says
+    * which single doc survives (every pipeline that clusters dups needs
+    * exactly this reduce before the drop list exists).
+    *
+    * Scale shape: one equi-join of the (id, component) labels with an
+    * (id, n_tokens) projection of the corpus — text itself never moves —
+    * then a map-side-combined argmax per component
+    * (`min(struct(-n_tokens, id))`, one aggregate, no window funnel).
+    */
+  def canonicalPerCluster(components: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sized = docs.select(col(idCol),
+      Text.tokenCount(col(textCol)).cast("long").as("__ntok"))
+    components.select(col("id").as(idCol), col("component"))
+      .join(sized, Seq(idCol))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("__ntok")).as("__neg"), col(idCol).as("__id")))
+          .as("__best"))
+      .select(col("component"), col("n_members"),
+        col("__best").getField("__id").as("canonical_id"),
+        (-col("__best").getField("__neg")).as("canonical_tokens"))
+  }
+
   // -------------------------------------------------- decontamination
 
   /** Benchmark decontamination: drop every corpus document sharing at

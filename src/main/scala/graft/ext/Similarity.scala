@@ -472,6 +472,87 @@ object Similarity {
       (meanSq - centSq).as("diversity"))
   }
 
+  /** Nearest-centroid assignment — the label-noise / cluster-quality
+    * audit: compute each label's exact centroid, then assign every
+    * vector to its closest centroid; a vector whose `assigned` differs
+    * from its `label` is a mislabel/outlier candidate, and the
+    * (label × assigned) confusion counts grade the labeling wholesale.
+    *
+    * Determinism: centroids come from the same integer-quantized sums as
+    * [[groupDiversity]] (exact in any engine); per-vector distances are
+    * sequential-association folds in index order (`zip_with` +
+    * `aggregate` ≡ DuckDB `list_reduce`), so both engines produce
+    * bit-identical doubles; argmin ties break on the centroid label.
+    *
+    * Scale shape (100 TB): centroids are |labels|·|dims| partials
+    * (map-side combined) collapsing to |labels| rows — BROADCAST back;
+    * the corpus is scanned once more, each row scored against the
+    * broadcast centroid table with no shuffle, and the argmin groupBy is
+    * |corpus|·|labels| scalar tuples. For |labels| in the thousands,
+    * fold the argmin into the scoring pass per-row (centroids as one
+    * broadcast array) — same topology, one less exchange.
+    */
+  def centroidAssign(df: DataFrame, idCol: String = "vec_id",
+      labelCol: String = "label", embCol: String = "embedding"): DataFrame = {
+    val q = df.select(col(labelCol).as("__l"),
+      posexplode(transform(col(embCol),
+        x => round(x.cast("double") * 1000000).cast("long")))
+        .as(Seq("__pos", "__q")))
+    val cent = q.groupBy(col("__l"), col("__pos"))
+      .agg(sum("__q").as("__s"), count(lit(1)).as("__cnt"))
+      .groupBy(col("__l"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__s"))))
+          .as("__ps"),
+        max("__cnt").as("__n"))
+      .select(col("__l").as("__cl"),
+        transform(col("__ps"),
+          p => (p.getField("__s").cast("double") / col("__n")) / lit(1e6))
+          .as("__cent"))
+    df.select(col(idCol), col(labelCol), col(embCol))
+      .crossJoin(broadcast(cent))
+      .withColumn("__d2",
+        aggregate(zip_with(toDouble(col(embCol)), col("__cent"),
+          (x, c) => (x - c) * (x - c)), lit(0.0d), (acc, v) => acc + v))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(min(struct(col("__d2"), col("__cl"))).as("__best"))
+      .select(col(idCol), col(labelCol),
+        col("__best").getField("__cl").as("assigned"),
+        col("__best").getField("__d2").as("dist2"))
+  }
+
+  /** DuckDB twin of [[centroidAssign]] (same quantized centroids, same
+    * fold order, same `(dist, label)` tie-break).
+    */
+  def centroidAssignSql(table: String, idE: String, labelE: String,
+      embE: String): String =
+    s"""WITH __e AS MATERIALIZED (
+       |  SELECT g, CAST(round(CAST(($embE)[CAST(i AS INT)] AS DOUBLE)
+       |      * 1000000) AS BIGINT) AS q, i AS pos
+       |  FROM (SELECT $labelE AS g, $embE,
+       |          unnest(generate_series(1, len($embE))) AS i
+       |        FROM $table)),
+       |__d AS (SELECT g, pos, sum(q) AS s, count(*) AS cnt
+       |  FROM __e GROUP BY g, pos),
+       |__c AS (SELECT g AS cl, CAST(max(cnt) AS BIGINT) AS n,
+       |    list(CAST(s AS BIGINT) ORDER BY pos) AS sv
+       |  FROM __d GROUP BY g),
+       |__cent AS (SELECT cl,
+       |    list_transform(sv, s -> (CAST(s AS DOUBLE) / n) / 1e6) AS cent
+       |  FROM __c),
+       |__score AS (SELECT v.$idE AS vid, v.$labelE AS vlabel, c.cl,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(v.$embE)), i ->
+       |        (CAST((v.$embE)[CAST(i AS INT)] AS DOUBLE)
+       |            - c.cent[CAST(i AS INT)])
+       |        * (CAST((v.$embE)[CAST(i AS INT)] AS DOUBLE)
+       |            - c.cent[CAST(i AS INT)]))),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM $table v CROSS JOIN __cent c),
+       |__assign AS (SELECT *, row_number() OVER (PARTITION BY vid
+       |    ORDER BY d2, cl) AS rn FROM __score)
+       |SELECT vid AS $idE, vlabel AS $labelE, cl AS assigned, d2 AS dist2
+       |FROM __assign WHERE rn = 1""".stripMargin
+
   /** DuckDB twin of [[groupDiversity]] (same quantization, same division
     * sequence → bit-equal doubles).
     */

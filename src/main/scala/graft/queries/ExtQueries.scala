@@ -383,7 +383,10 @@ object ExtQueries {
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
-  private val q49Sql = {
+  /** The q49 recursive-CTE chain (LSH candidates → Jaccard verify →
+    * edges → min-reachable-id components), shared by q49 and q81.
+    */
+  private def componentsCte = {
     val jac = Dedup.ngramJaccardSql("da.text", "db.text")
     s"""WITH RECURSIVE docs AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
@@ -408,10 +411,42 @@ object ExtQueries {
        |reach AS (
        |  SELECT s AS v, s AS r FROM edges
        |  UNION
-       |  SELECT reach.v, e.d FROM reach JOIN edges e ON reach.r = e.s)
-       |SELECT v AS doc_id, min(r) AS component
-       |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+       |  SELECT reach.v, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT v AS doc_id, min(r) AS component
+       |  FROM reach GROUP BY v)""".stripMargin
   }
+
+  private val q49Sql =
+    componentsCte +
+      "\nSELECT doc_id, component FROM comp ORDER BY doc_id"
+
+  // ---------------------------------------------------------------- q81
+  // Canonical election on q49's clusters: the longest member survives
+  // (ties to smallest id) — the decision step that turns transitive
+  // near-dup clusters into a keep/drop list. Spark runs a map-side
+  // argmax (min of (-tokens, id) structs); the oracle ranks with a
+  // window over the same recursive-CTE components.
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.canonicalPerCluster(
+        Dedup.dupComponents(
+          Dedup.nearDuplicates(docs, "doc_id", "text",
+            threshold = 0.2, k = K, bands = BANDS)),
+        docs)
+      .orderBy("component")
+  }
+
+  private val q81Sql =
+    componentsCte + s""",
+       |j AS (SELECT c.component, c.doc_id,
+       |    len(string_split(d.text, ' ')) AS ntok
+       |  FROM comp c JOIN documents d USING (doc_id)),
+       |rnk AS (SELECT *, row_number() OVER (PARTITION BY component
+       |    ORDER BY ntok DESC, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY component) AS nm FROM j)
+       |SELECT component, CAST(nm AS BIGINT) AS n_members,
+       |  doc_id AS canonical_id, CAST(ntok AS BIGINT) AS canonical_tokens
+       |FROM rnk WHERE rn = 1 ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------- q51
   // Int8 embedding quantization (the 4× ANN memory cut), exact across
@@ -472,7 +507,8 @@ object ExtQueries {
     "q29_multimodal_meta" -> (q29 _),
     "q42_corpus_curation" -> (q42 _),
     "q49_dup_components" -> (q49 _),
-    "q51_int8_quantization" -> (q51 _))
+    "q51_int8_quantization" -> (q51 _),
+    "q81_canonical_per_cluster" -> (q81 _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_stats" -> q20Sql,
@@ -488,5 +524,6 @@ object ExtQueries {
     "q29_multimodal_meta" -> q29Sql,
     "q42_corpus_curation" -> q42Sql,
     "q49_dup_components" -> q49Sql,
-    "q51_int8_quantization" -> q51Sql)
+    "q51_int8_quantization" -> q51Sql,
+    "q81_canonical_per_cluster" -> q81Sql)
 }

@@ -551,6 +551,27 @@ object PrepQueries {
     graft.ext.Similarity.groupDiversitySql(
       "embeddings", "label", "embedding") + "\nORDER BY label"
 
+  // ---------------------------------------------------------------- q82
+  // Label-noise audit: nearest-centroid confusion matrix. Every vector
+  // scores against each label's exact (integer-quantized) centroid;
+  // (label × assigned) counts reveal mislabeled/overlapping clusters.
+  // Distances are index-order folds — bit-identical across engines.
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.centroidAssign(t(s, dir, "embeddings"),
+        "vec_id", "label", "embedding")
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "assigned")
+
+  private val q82Sql = {
+    val assign = graft.ext.Similarity.centroidAssignSql(
+      "embeddings", "vec_id", "label", "embedding")
+    s"""SELECT label, assigned, CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM ($assign)
+       |GROUP BY label, assigned
+       |ORDER BY label, assigned""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -570,7 +591,8 @@ object PrepQueries {
     "q77_streaming_neardup_ingest" -> (q77 _),
     "q78_segment_dedup" -> (q78 _),
     "q79_bpe_pair_stats" -> (q79 _),
-    "q80_embedding_diversity" -> (q80 _))
+    "q80_embedding_diversity" -> (q80 _),
+    "q82_centroid_confusion" -> (q82 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -589,5 +611,6 @@ object PrepQueries {
     "q77_streaming_neardup_ingest" -> q77Sql,
     "q78_segment_dedup" -> q78Sql,
     "q79_bpe_pair_stats" -> q79Sql,
-    "q80_embedding_diversity" -> q80Sql)
+    "q80_embedding_diversity" -> q80Sql,
+    "q82_centroid_confusion" -> q82Sql)
 }

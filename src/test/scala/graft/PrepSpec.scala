@@ -428,6 +428,44 @@ class PrepSpec extends SparkSuite {
     assert(got.head.getAs[String]("pair") == "xy") // tie 1-1 -> lexicographic
   }
 
+  // ----------------------------------------------- canonicalPerCluster
+
+  test("canonicalPerCluster: longest member wins, ties to smallest id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "component")
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c d"), (3L, "a b c"),   // longest: doc 2
+      (5L, "x y"), (6L, "p q"),                      // tie -> doc 5
+      (9L, "unclustered ignored")
+    ).toDF("doc_id", "text")
+    val got = Dedup.canonicalPerCluster(comps, docs)
+      .orderBy("component").collect()
+    assert(got.map(r => (r.getAs[Long]("component"),
+      r.getAs[Long]("n_members"), r.getAs[Long]("canonical_id"),
+      r.getAs[Long]("canonical_tokens"))).toSeq ==
+      Seq((1L, 3L, 2L, 4L), (5L, 2L, 5L, 2L)))
+  }
+
+  // ------------------------------------------------------ centroidAssign
+
+  test("centroidAssign: vectors map to the nearest label centroid") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.8f, 0.0f)),
+      (3L, 1, Array(0.0f, 1.0f)), (4L, 1, Array(0.0f, 0.9f)),
+      // labeled 0 but sits on cluster 1 -> flagged
+      (5L, 0, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = graft.ext.Similarity
+      .centroidAssign(df, "vec_id", "label", "embedding")
+      .orderBy("vec_id").collect()
+    val assigned = got.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("assigned")).toMap
+    assert(assigned(1L) == 0 && assigned(2L) == 0)
+    assert(assigned(3L) == 1 && assigned(4L) == 1)
+    assert(assigned(5L) == 1) // the mislabel is caught
+    assert(got.forall(_.getAs[Double]("dist2") >= 0.0))
+  }
+
   // ----------------------------------------------------- groupDiversity
 
   test("groupDiversity: identical vectors -> 0; antipodal -> mean sq norm") {
