@@ -572,6 +572,27 @@ object PrepQueries {
        |ORDER BY label, assigned""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q83
+  // Export manifest: shard the corpus (q60's assignment), then per shard
+  // emit doc count, token count, and an order-independent XOR content
+  // checksum — the integrity record a consumer verifies after transfer.
+  // XOR partials combine associatively, so the checksum is stable under
+  // any partitioning or task order (asserted in PrepSpec).
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Export.shardManifest(
+        Sampling.shardAssign(t(s, dir, "documents"), col("doc_id"), 8),
+        "shard", "doc_id", "text")
+      .orderBy("shard")
+
+  private val q83Sql = {
+    val (_, shard) = Sampling.shardAssignSql("doc_id", 8)
+    s"""WITH sharded AS MATERIALIZED (
+       |  SELECT doc_id, text, $shard AS shard FROM documents)
+       |${graft.ops.Export.shardManifestSql(
+          "sharded", "shard", "doc_id", "text")}
+       |ORDER BY shard""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -592,7 +613,8 @@ object PrepQueries {
     "q78_segment_dedup" -> (q78 _),
     "q79_bpe_pair_stats" -> (q79 _),
     "q80_embedding_diversity" -> (q80 _),
-    "q82_centroid_confusion" -> (q82 _))
+    "q82_centroid_confusion" -> (q82 _),
+    "q83_export_manifest" -> (q83 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -612,5 +634,6 @@ object PrepQueries {
     "q78_segment_dedup" -> q78Sql,
     "q79_bpe_pair_stats" -> q79Sql,
     "q80_embedding_diversity" -> q80Sql,
-    "q82_centroid_confusion" -> q82Sql)
+    "q82_centroid_confusion" -> q82Sql,
+    "q83_export_manifest" -> q83Sql)
 }

@@ -466,6 +466,26 @@ class PrepSpec extends SparkSuite {
     assert(got.forall(_.getAs[Double]("dist2") >= 0.0))
   }
 
+  // ------------------------------------------------------ shardManifest
+
+  test("shardManifest: checksum invariant under repartitioning; " +
+      "writeShards round-trips") {
+    val df = Seq(
+      (1L, "a b c", 0), (2L, "d e", 0), (3L, "f", 1), (4L, "g h i j", 1)
+    ).toDF("doc_id", "text", "shard")
+    val m1 = graft.ops.Export.shardManifest(df).orderBy("shard").collect()
+    val m2 = graft.ops.Export.shardManifest(df.repartition(7))
+      .orderBy("shard").collect()
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_tokens"))).toSeq == Seq((0, 2L, 5L), (1, 2L, 5L)))
+    // what lands on disk carries the same manifest
+    val out = tmpDir() + "/shards"
+    val m3 = graft.ops.Export.writeShards(df, out)
+      .orderBy("shard").collect()
+    assert(m3.map(_.toSeq).toSeq == m1.map(_.toSeq).toSeq)
+  }
+
   // ----------------------------------------------------- groupDiversity
 
   test("groupDiversity: identical vectors -> 0; antipodal -> mean sq norm") {
