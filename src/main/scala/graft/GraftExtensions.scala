@@ -76,6 +76,10 @@ object GraftExtensions {
       case Seq(s) => CharShingleHashesExpr(s, 5)
       case Seq(s, n) => CharShingleHashesExpr(s, intLit(n, "shingle width"))
     },
+    "graft_segment_hashes" -> {
+      case Seq(s) => SegmentHashesExpr(s, 20)
+      case Seq(s, n) => SegmentHashesExpr(s, intLit(n, "segment size"))
+    },
     "graft_minhash_sig" -> {
       case Seq(h) => MinHashSigExpr(h, 16)
       case Seq(h, k) => MinHashSigExpr(h, intLit(k, "signature size"))

@@ -34,6 +34,7 @@ class ExtensionsSpec extends SparkSuite {
           |  graft_poly_hash('hello world') AS ph,
           |  graft_norm_fingerprint('B a. a c!') AS nf,
           |  graft_simhash32(graft_shingle_hashes('a b c d e f g', 3)) AS sh,
+          |  graft_segment_hashes('a b c d e', 2) AS segs,
           |  graft_minhash_sig(graft_shingle_hashes('a b c d e f g'), 4) AS sig,
           |  graft_char_jaccard('abcdefgh', 'abcdefxx', 3) AS cj,
           |  graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS cos,
@@ -44,6 +45,7 @@ class ExtensionsSpec extends SparkSuite {
         NativeHash.normFingerprintCol(lit("B a. a c!")).as("nf"),
         NativeHash.simHash32(
           NativeHash.shingleHashes(lit("a b c d e f g"), 3)).as("sh"),
+        NativeHash.segmentHashes(lit("a b c d e"), 2).as("segs"),
         NativeHash.minHashSig(
           NativeHash.shingleHashes(lit("a b c d e f g"), 3), 4).as("sig"),
         NativeString.charJaccard(lit("abcdefgh"), lit("abcdefxx"), 3).as("cj"),
@@ -56,10 +58,12 @@ class ExtensionsSpec extends SparkSuite {
       assert(viaSql.getLong(1) == viaApi.getLong(1))
       assert(viaSql.getLong(2) == viaApi.getLong(2))
       assert(viaSql.getSeq[Long](3) == viaApi.getSeq[Long](3))
-      assert(viaSql.getDouble(4) == viaApi.getDouble(4))
+      assert(viaSql.getSeq[Long](3).length == 3) // ceil(5 tokens / 2)
+      assert(viaSql.getSeq[Long](4) == viaApi.getSeq[Long](4))
       assert(viaSql.getDouble(5) == viaApi.getDouble(5))
       assert(viaSql.getDouble(6) == viaApi.getDouble(6))
-      assert(viaSql.getDouble(6) == 11.0)
+      assert(viaSql.getDouble(7) == viaApi.getDouble(7))
+      assert(viaSql.getDouble(7) == 11.0)
       // non-literal width parameter must fail loudly, not mis-generate
       val e = intercept[Exception] {
         ext.sql("SELECT graft_shingle_hashes('a b c', CAST(id AS INT)) " +
