@@ -538,6 +538,71 @@ object Text {
        |  pair, cnt
        |FROM __agg ORDER BY cnt DESC, pair LIMIT $topK""".stripMargin
 
+  // ---------------------------------------------------- vocabulary drift
+
+  /** Distribution-shift monitor between two corpus snapshots: the
+    * tokens whose relative frequency moved most from A to B — the check
+    * a continuously-ingesting pipeline runs per batch window to catch a
+    * source going off the rails (spam burst, language flip, template
+    * leak) before the data trains anything.
+    *
+    * Ranking is EXACT integer arithmetic: the rate difference
+    * `cnt_a/total_a − cnt_b/total_b` has the same sign and order as the
+    * cross product `cnt_a·total_b − cnt_b·total_a`, which stays in
+    * BIGINT (document the DECIMAL widening past ~10¹² tokens per side)
+    * — so the top-K is bit-stable across engines with no float rate
+    * anywhere near the sort.
+    *
+    * Scale shape: each snapshot collapses to its Zipf-bounded
+    * vocabulary (map-side combined) before anything joins; the full
+    * outer join is vocab×vocab on the token; totals are 1-row
+    * aggregates broadcast in-plan (no driver collect); top-K is a
+    * TakeOrdered, no global sort.
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String = "text",
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    def counts(df: DataFrame) =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ca = counts(a)
+    val cb = counts(b)
+    ca.withColumnRenamed("cnt", "cnt_a")
+      .join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("token"), "full")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(ca.agg(sum("cnt").as("total_a"))))
+      .crossJoin(broadcast(cb.agg(sum("cnt").as("total_b"))))
+      .withColumn("drift_x",
+        col("cnt_a") * col("total_b") - col("cnt_b") * col("total_a"))
+      .orderBy(abs(col("drift_x")).desc, col("token"))
+      .limit(topK)
+      .select(col("token"), col("cnt_a"), col("cnt_b"), col("drift_x"))
+  }
+
+  /** DuckDB twin of [[vocabDrift]] over two table expressions. */
+  def vocabDriftSql(tableA: String, tableB: String, textE: String,
+      topK: Int): String =
+    s"""WITH __ca AS MATERIALIZED (
+       |  SELECT tk AS token, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split($textE, ' ')) AS tk FROM $tableA)
+       |  WHERE tk <> '' GROUP BY tk),
+       |__cb AS MATERIALIZED (
+       |  SELECT tk AS token, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split($textE, ' ')) AS tk FROM $tableB)
+       |  WHERE tk <> '' GROUP BY tk),
+       |__j AS (SELECT coalesce(a.token, b.token) AS token,
+       |    CAST(coalesce(a.cnt, 0) AS BIGINT) AS cnt_a,
+       |    CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt_b
+       |  FROM __ca a FULL OUTER JOIN __cb b ON a.token = b.token)
+       |SELECT token, cnt_a, cnt_b,
+       |  CAST(cnt_a * (SELECT sum(cnt) FROM __cb)
+       |    - cnt_b * (SELECT sum(cnt) FROM __ca) AS BIGINT) AS drift_x
+       |FROM __j
+       |ORDER BY abs(cnt_a * (SELECT sum(cnt) FROM __cb)
+       |  - cnt_b * (SELECT sum(cnt) FROM __ca)) DESC, token
+       |LIMIT $topK""".stripMargin
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

@@ -593,6 +593,23 @@ object PrepQueries {
        |ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q84
+  // Vocabulary drift between two snapshot halves of the corpus (even vs
+  // odd doc_id — a deterministic stand-in for batch windows): top-20
+  // tokens by relative-frequency shift, ranked by the exact integer
+  // cross product cnt_a·total_b − cnt_b·total_a (same order as the rate
+  // difference, no float near the sort).
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Text.vocabDrift(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text", topK = 20)
+  }
+
+  private val q84Sql = Text.vocabDriftSql(
+    "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+    "text", 20)
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -614,7 +631,8 @@ object PrepQueries {
     "q79_bpe_pair_stats" -> (q79 _),
     "q80_embedding_diversity" -> (q80 _),
     "q82_centroid_confusion" -> (q82 _),
-    "q83_export_manifest" -> (q83 _))
+    "q83_export_manifest" -> (q83 _),
+    "q84_vocab_drift" -> (q84 _))
 
   val oracles: Map[String, String] = Map(
     "q64_top_ngram_frac" -> q64Sql,
@@ -635,5 +653,6 @@ object PrepQueries {
     "q79_bpe_pair_stats" -> q79Sql,
     "q80_embedding_diversity" -> q80Sql,
     "q82_centroid_confusion" -> q82Sql,
-    "q83_export_manifest" -> q83Sql)
+    "q83_export_manifest" -> q83Sql,
+    "q84_vocab_drift" -> q84Sql)
 }

@@ -466,6 +466,19 @@ class PrepSpec extends SparkSuite {
     assert(got.forall(_.getAs[Double]("dist2") >= 0.0))
   }
 
+  // --------------------------------------------------------- vocabDrift
+
+  test("vocabDrift: exact cross-product ranking, absent tokens count 0") {
+    val a = Seq("x x x y", "x z").toDF("text") // totals: x4 y1 z1 -> 6
+    val b = Seq("y y y z z").toDF("text")      // totals: y3 z2     -> 5
+    val got = Text.vocabDrift(a, b, "text", topK = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt_a"),
+        r.getAs[Long]("cnt_b"), r.getAs[Long]("drift_x")))
+    // drift_x = cnt_a*5 - cnt_b*6: x -> 20, y -> 5-18 = -13, z -> 5-12 = -7
+    assert(got.toSeq == Seq(("x", 4L, 0L, 20L), ("y", 1L, 3L, -13L),
+      ("z", 1L, 2L, -7L)))
+  }
+
   // ------------------------------------------------------ shardManifest
 
   test("shardManifest: checksum invariant under repartitioning; " +
