@@ -444,10 +444,14 @@ object Similarity {
     * Scale shape (100 TB): one explode of `(group, dim, q)` scalars with
     * map-side partial aggregation — the exchange carries per-(group,dim)
     * partials, not vectors, and the second-level rollup is |groups|·|dims|
-    * rows. No pairwise anything; linear in corpus size. Overflow headroom:
-    * |q| ≲ 2²¹ for unit-norm floats, so Σq² fits BIGINT to ~2²⁰ rows per
-    * group per dim and (Σq)² to ~2³⁰ rows; beyond that, mean-center per
-    * partition first or widen to DECIMAL(38) the same shape.
+    * rows. No pairwise anything; linear in corpus size. Overflow headroom
+    * (the binding term is the centroid one): Σ_d(Σq)² ≈ n²·10¹²·‖c̄‖², so
+    * for unit-norm vectors in a TIGHT cluster (‖c̄‖ ≈ 1 — exactly the
+    * redundancy case this targets) BIGINT holds only to n ≈ 3·10³ rows
+    * per group; Spark would wrap silently while DuckDB's HUGEINT path
+    * errors. Past that, mean-center per group first (‖c̄‖ → ~0 moves the
+    * bound to ~2³⁰ rows) or widen the two sums to DECIMAL(38) — same
+    * shape either way; this integer form is the verification path.
     */
   def groupDiversity(df: DataFrame, groupCol: String = "label",
       embCol: String = "embedding"): DataFrame = {
@@ -508,11 +512,21 @@ object Similarity {
         transform(col("__ps"),
           p => (p.getField("__s").cast("double") / col("__n")) / lit(1e6))
           .as("__cent"))
+    // a ragged embedding must fail LOUDLY in both engines — zip_with
+    // would null-pad a short vector into a null distance that Spark's
+    // struct-min sorts first while the oracle's ORDER BY sorts last,
+    // silently diverging the argmin instead of surfacing the bad row
     df.select(col(idCol), col(labelCol), col(embCol))
       .crossJoin(broadcast(cent))
       .withColumn("__d2",
-        aggregate(zip_with(toDouble(col(embCol)), col("__cent"),
-          (x, c) => (x - c) * (x - c)), lit(0.0d), (acc, v) => acc + v))
+        when(size(col(embCol)) =!= size(col("__cent")),
+          raise_error(concat(lit("centroidAssign: embedding dim "),
+            size(col(embCol)).cast("string"),
+            lit(" != centroid dim "),
+            size(col("__cent")).cast("string"))))
+        .otherwise(
+          aggregate(zip_with(toDouble(col(embCol)), col("__cent"),
+            (x, c) => (x - c) * (x - c)), lit(0.0d), (acc, v) => acc + v)))
       .groupBy(col(idCol), col(labelCol))
       .agg(min(struct(col("__d2"), col("__cl"))).as("__best"))
       .select(col(idCol), col(labelCol),
@@ -540,13 +554,16 @@ object Similarity {
        |    list_transform(sv, s -> (CAST(s AS DOUBLE) / n) / 1e6) AS cent
        |  FROM __c),
        |__score AS (SELECT v.$idE AS vid, v.$labelE AS vlabel, c.cl,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    CASE WHEN len(v.$embE) <> len(c.cent)
+       |      THEN error('centroidAssign: embedding dim '
+       |        || len(v.$embE) || ' != centroid dim ' || len(c.cent))
+       |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(generate_series(1, len(v.$embE)), i ->
        |        (CAST((v.$embE)[CAST(i AS INT)] AS DOUBLE)
        |            - c.cent[CAST(i AS INT)])
        |        * (CAST((v.$embE)[CAST(i AS INT)] AS DOUBLE)
        |            - c.cent[CAST(i AS INT)]))),
-       |      (acc, x) -> acc + x) AS d2
+       |      (acc, x) -> acc + x) END AS d2
        |  FROM $table v CROSS JOIN __cent c),
        |__assign AS (SELECT *, row_number() OVER (PARTITION BY vid
        |    ORDER BY d2, cl) AS rn FROM __score)

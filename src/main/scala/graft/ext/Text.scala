@@ -548,15 +548,20 @@ object Text {
     *
     * Ranking is EXACT integer arithmetic: the rate difference
     * `cnt_a/total_a − cnt_b/total_b` has the same sign and order as the
-    * cross product `cnt_a·total_b − cnt_b·total_a`, which stays in
-    * BIGINT (document the DECIMAL widening past ~10¹² tokens per side)
-    * — so the top-K is bit-stable across engines with no float rate
-    * anywhere near the sort.
+    * cross product `cnt_a·total_b − cnt_b·total_a` — so the top-K is
+    * bit-stable across engines with no float rate anywhere near the
+    * sort. Overflow headroom: the worst-case product is `total_a·
+    * total_b`, so pure BIGINT holds to ~3·10⁹ tokens PER SIDE (Spark
+    * would wrap silently past that; DuckDB errors loudly) — widen the
+    * product to DECIMAL(38) for larger windows; this integer form is
+    * the verification path.
     *
     * Scale shape: each snapshot collapses to its Zipf-bounded
-    * vocabulary (map-side combined) before anything joins; the full
-    * outer join is vocab×vocab on the token; totals are 1-row
-    * aggregates broadcast in-plan (no driver collect); top-K is a
+    * vocabulary (map-side combined) before anything joins; the joined
+    * vocab is materialized once (`localCheckpoint`, the dupComponents
+    * boundary pattern) so the totals derive from it rather than
+    * re-scanning the corpus; the full outer join is vocab×vocab on the
+    * token; totals broadcast in-plan (no driver collect); top-K is a
     * TakeOrdered, no global sort.
     */
   def vocabDrift(a: DataFrame, b: DataFrame, textCol: String = "text",
@@ -566,13 +571,16 @@ object Text {
       df.select(explode(tokens(col(textCol))).as("token"))
         .where(col("token") =!= "")
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val ca = counts(a)
-    val cb = counts(b)
-    ca.withColumnRenamed("cnt", "cnt_a")
-      .join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("token"), "full")
+    // materialize the joined vocab ONCE: totals and ranking both read
+    // it, and without the boundary each corpus would be scanned twice
+    val joined = counts(a).withColumnRenamed("cnt", "cnt_a")
+      .join(counts(b).withColumnRenamed("cnt", "cnt_b"),
+        Seq("token"), "full")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
-      .crossJoin(broadcast(ca.agg(sum("cnt").as("total_a"))))
-      .crossJoin(broadcast(cb.agg(sum("cnt").as("total_b"))))
+      .localCheckpoint(true)
+    val totals = joined.agg(sum("cnt_a").as("total_a"),
+      sum("cnt_b").as("total_b"))
+    joined.crossJoin(broadcast(totals))
       .withColumn("drift_x",
         col("cnt_a") * col("total_b") - col("cnt_b") * col("total_a"))
       .orderBy(abs(col("drift_x")).desc, col("token"))

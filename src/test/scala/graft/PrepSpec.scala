@@ -466,6 +466,20 @@ class PrepSpec extends SparkSuite {
     assert(got.forall(_.getAs[Double]("dist2") >= 0.0))
   }
 
+  test("centroidAssign: ragged embedding fails loudly, not silently") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.8f, 0.2f)),
+      (3L, 0, Array(1.0f)) // truncated vector
+    ).toDF("vec_id", "label", "embedding")
+    val e = intercept[Exception] {
+      graft.ext.Similarity
+        .centroidAssign(df, "vec_id", "label", "embedding").collect()
+    }
+    assert(e.getMessage.contains("centroidAssign")
+      || e.getCause != null &&
+         e.getCause.getMessage.contains("centroidAssign"))
+  }
+
   // --------------------------------------------------------- vocabDrift
 
   test("vocabDrift: exact cross-product ranking, absent tokens count 0") {
