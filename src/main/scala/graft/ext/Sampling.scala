@@ -266,8 +266,9 @@ object Sampling {
       weightE: String, budget: Long): String = {
     val h = sampleHashSql(s"CAST($idE AS VARCHAR)")
     s"""SELECT $idE, $keyE AS key, CAST($weightE AS BIGINT) AS weight,
-       |  sum(CAST($weightE AS BIGINT)) OVER (PARTITION BY $keyE
-       |    ORDER BY ($h), $idE ROWS UNBOUNDED PRECEDING) AS running_total
+       |  CAST(sum(CAST($weightE AS BIGINT)) OVER (PARTITION BY $keyE
+       |    ORDER BY ($h), $idE ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS running_total
        |FROM $table
        |QUALIFY running_total - CAST($weightE AS BIGINT) < $budget""".stripMargin
   }

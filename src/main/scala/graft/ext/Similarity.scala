@@ -444,14 +444,13 @@ object Similarity {
     * Scale shape (100 TB): one explode of `(group, dim, q)` scalars with
     * map-side partial aggregation — the exchange carries per-(group,dim)
     * partials, not vectors, and the second-level rollup is |groups|·|dims|
-    * rows. No pairwise anything; linear in corpus size. Overflow headroom
-    * (the binding term is the centroid one): Σ_d(Σq)² ≈ n²·10¹²·‖c̄‖², so
-    * for unit-norm vectors in a TIGHT cluster (‖c̄‖ ≈ 1 — exactly the
-    * redundancy case this targets) BIGINT holds only to n ≈ 3·10³ rows
-    * per group; Spark would wrap silently while DuckDB's HUGEINT path
-    * errors. Past that, mean-center per group first (‖c̄‖ → ~0 moves the
-    * bound to ~2³⁰ rows) or widen the two sums to DECIMAL(38) — same
-    * shape either way; this integer form is the verification path.
+    * rows. No pairwise anything; linear in corpus size. The second-level
+    * rollup runs in DECIMAL(38,0) because the centroid term Σ_d(Σq)² is
+    * ≈ n²·10¹²·‖c̄‖² — past BIGINT at only ~3·10³ tight-cluster rows per
+    * group, and a tight cluster (‖c̄‖ ≈ 1) is exactly the redundancy case
+    * this targets. DECIMAL(38) holds to n ≈ 3·10¹² rows per group, both
+    * engines compute it exactly, and past even that both fail loudly
+    * (no silent wrap anywhere).
     */
   def groupDiversity(df: DataFrame, groupCol: String = "label",
       embCol: String = "embedding"): DataFrame = {
@@ -463,10 +462,16 @@ object Similarity {
       .agg(sum("__q").as("__s"),
         sum(col("__q") * col("__q")).as("__ss"),
         count(lit(1)).as("__cnt"))
+    // The rollup sums run in DECIMAL(38,0): the centroid term Σ_d(Σq)²
+    // is ≈ n²·10¹²·‖c̄‖², past BIGINT at only ~3·10³ tight-cluster rows
+    // per group — exactly the redundancy case this operator targets.
+    // DECIMAL(38) holds to n ≈ 3·10¹² and both engines agree exactly;
+    // the final doubles are one identical correctly-rounded cast.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val g = perDim.groupBy("__g").agg(
       max("__cnt").as("n"),
-      sum("__ss").as("__sum_sq"),
-      sum(col("__s") * col("__s")).as("__sum_cs"))
+      sum(dec(col("__ss"))).as("__sum_sq"),
+      sum(dec(col("__s")) * dec(col("__s"))).as("__sum_cs"))
     val meanSq = (col("__sum_sq").cast("double") / col("n")) / lit(1e12)
     val centSq =
       (col("__sum_cs").cast("double") / col("n") / col("n")) / lit(1e12)
@@ -581,13 +586,14 @@ object Similarity {
        |  FROM (SELECT $groupE AS g, $embE,
        |          unnest(generate_series(1, len($embE))) AS i
        |        FROM $table)),
-       |__d AS (SELECT g, pos, sum(q) AS s, sum(q*q) AS ss,
+       |__d AS (SELECT g, pos, CAST(sum(q) AS BIGINT) AS s,
+       |    CAST(sum(q*q) AS BIGINT) AS ss,
        |    count(*) AS cnt
        |  FROM __e GROUP BY g, pos),
        |__gr AS (SELECT g,
        |    CAST(max(cnt) AS BIGINT) AS n,
-       |    CAST(sum(ss) AS BIGINT) AS sum_sq,
-       |    CAST(sum(s*s) AS BIGINT) AS sum_cs
+       |    sum(CAST(ss AS HUGEINT)) AS sum_sq,
+       |    sum(CAST(s AS HUGEINT) * s) AS sum_cs
        |  FROM __d GROUP BY g)
        |SELECT g AS $groupE, n,
        |  (CAST(sum_sq AS DOUBLE) / n) / 1e12 AS mean_sq_norm,

@@ -550,11 +550,13 @@ object Text {
     * `cnt_a/total_a − cnt_b/total_b` has the same sign and order as the
     * cross product `cnt_a·total_b − cnt_b·total_a` — so the top-K is
     * bit-stable across engines with no float rate anywhere near the
-    * sort. Overflow headroom: the worst-case product is `total_a·
-    * total_b`, so pure BIGINT holds to ~3·10⁹ tokens PER SIDE (Spark
-    * would wrap silently past that; DuckDB errors loudly) — widen the
-    * product to DECIMAL(38) for larger windows; this integer form is
-    * the verification path.
+    * sort. The cross product runs in DECIMAL(38,0) (DuckDB: HUGEINT):
+    * the worst case `total_a·total_b` for two full-BIGINT totals is
+    * ~8.5·10³⁷, inside both domains — so the ranking is exact for ANY
+    * corpus size a BIGINT token count can describe. Only the final
+    * `drift_x` narrows back to BIGINT for the output column, and both
+    * engines fail loudly (not wrap) in the astronomically-unlikely case
+    * that the winning difference itself exceeds BIGINT.
     *
     * Scale shape: each snapshot collapses to its Zipf-bounded
     * vocabulary (map-side combined) before anything joins; the joined
@@ -580,12 +582,15 @@ object Text {
       .localCheckpoint(true)
     val totals = joined.agg(sum("cnt_a").as("total_a"),
       sum("cnt_b").as("total_b"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     joined.crossJoin(broadcast(totals))
-      .withColumn("drift_x",
-        col("cnt_a") * col("total_b") - col("cnt_b") * col("total_a"))
-      .orderBy(abs(col("drift_x")).desc, col("token"))
+      .withColumn("__drift",
+        dec(col("cnt_a")) * dec(col("total_b"))
+          - dec(col("cnt_b")) * dec(col("total_a")))
+      .orderBy(abs(col("__drift")).desc, col("token"))
       .limit(topK)
-      .select(col("token"), col("cnt_a"), col("cnt_b"), col("drift_x"))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        col("__drift").cast("long").as("drift_x"))
   }
 
   /** DuckDB twin of [[vocabDrift]] over two table expressions. */
@@ -604,11 +609,13 @@ object Text {
        |    CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt_b
        |  FROM __ca a FULL OUTER JOIN __cb b ON a.token = b.token)
        |SELECT token, cnt_a, cnt_b,
-       |  CAST(cnt_a * (SELECT sum(cnt) FROM __cb)
-       |    - cnt_b * (SELECT sum(cnt) FROM __ca) AS BIGINT) AS drift_x
+       |  CAST(CAST(cnt_a AS HUGEINT) * (SELECT sum(cnt) FROM __cb)
+       |    - CAST(cnt_b AS HUGEINT) * (SELECT sum(cnt) FROM __ca)
+       |    AS BIGINT) AS drift_x
        |FROM __j
-       |ORDER BY abs(cnt_a * (SELECT sum(cnt) FROM __cb)
-       |  - cnt_b * (SELECT sum(cnt) FROM __ca)) DESC, token
+       |ORDER BY abs(CAST(cnt_a AS HUGEINT) * (SELECT sum(cnt) FROM __cb)
+       |  - CAST(cnt_b AS HUGEINT) * (SELECT sum(cnt) FROM __ca))
+       |  DESC, token
        |LIMIT $topK""".stripMargin
 
   /** Whole-table convenience: the standard text-analysis projection. */

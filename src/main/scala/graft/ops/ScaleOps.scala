@@ -67,21 +67,31 @@ object ScaleOps {
     */
   def zValue(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    val lim = 1L << bits
     val terms = (0 until bits).flatMap { i =>
       Seq(
         shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
-    terms.reduce(_ + _)
+    // Out-of-range inputs would silently drop high bits and destroy the
+    // clustering (the oracle cannot catch it — both engines truncate the
+    // same way), so fail loudly instead; the twin carries the same guard.
+    when(a >= 0L && a < lim && b >= 0L && b < lim, terms.reduce(_ + _))
+      .otherwise(raise_error(format_string(
+        s"zValue: inputs must be in [0, $lim): a=%s b=%s", a, b)))
   }
 
-  /** DuckDB twin of [[zValue]] (same unrolled terms). */
-  def zValueSql(aE: String, bE: String, bits: Int = 21): String =
-    (0 until bits).flatMap { i =>
+  /** DuckDB twin of [[zValue]] (same unrolled terms, same range guard). */
+  def zValueSql(aE: String, bE: String, bits: Int = 21): String = {
+    val lim = 1L << bits
+    val terms = (0 until bits).flatMap { i =>
       Seq(
         s"((($aE >> $i) & 1) << ${2 * i})",
         s"((($bE >> $i) & 1) << ${2 * i + 1})")
     }.mkString("(", " + ", ")")
+    s"CASE WHEN $aE >= 0 AND $aE < $lim AND $bE >= 0 AND $bE < $lim " +
+      s"THEN $terms ELSE error('zValue: input out of range') END"
+  }
 
   /** Bucketed managed-table write: pre-shuffles ONCE at write time so
     * every later equi-join/aggregate on `bucketCols` runs shuffle-free

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the event-log → sessions operator: group a
+  * user's events into sessions separated by inactivity gaps longer than
+  * `gapSec`. The assembly step for conversation/interaction training data
+  * (turn logs → dialogue episodes) and the classic clickstream rollup.
+  *
+  * Spark has no native SESSION_WINDOW for batch until 3.2's
+  * `session_window`, but that emits window structs, not stable ordinal
+  * session ids, and its output shape doesn't compose with downstream
+  * joins — so this is the composed form (custom-operator preference (a)):
+  * `lag` flags session starts, a running sum numbers them. ONE shuffle on
+  * the user key; both windows share the same partitioning and sort, so
+  * Catalyst plans a single Exchange + Sort pair.
+  *
+  * Cross-engine exactness: the gap test and session numbering are pure
+  * integer arithmetic on microsecond epochs (`unix_micros` ≡ DuckDB
+  * `epoch_us` on naive UTC timestamps); ordering ties break on the event
+  * id, so session boundaries are bit-stable in any engine.
+  *
+  * Skew bound: windows partition per user, so one pathological user lands
+  * on one reducer — the standard window bound. For hot-key logs, slice
+  * time like [[AsOfJoin.asOfSliced]] / `Sampling.budgetPerKey`: number
+  * sessions per (user, day) then offset by a per-user running day total —
+  * same two-level decomposition, unchanged results when no session spans
+  * a slice boundary (sessions never span a gap > `gapSec`, so slicing on
+  * day boundaries ≥ `gapSec` apart is exact after stitching first/last).
+  */
+object Sessionize {
+
+  /** Per-event session assignment: input columns + `session_idx`
+    * (1-based ordinal per user, ascending by time).
+    */
+  def assign(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSec: Long): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive: $gapSec")
+    val order = Seq(col(tsCol), col(idCol))
+    val lagW = Window.partitionBy(userCol).orderBy(order: _*)
+    val runW = lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(lagW))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol)) - col("__prev") > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("__new").over(runW))
+      .drop("__prev", "__new")
+  }
+
+  /** Per-session rollup: event count, first/last timestamps, exact
+    * microsecond duration. Runs [[assign]] then ONE more aggregate —
+    * Catalyst reuses the assign shuffle's partitioning (`user` is a
+    * prefix of the grouping key), so no second Exchange of the events.
+    */
+  def summary(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSec: Long): DataFrame =
+    assign(df, userCol, tsCol, idCol, gapSec)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start"),
+        max(col(tsCol)).as("t_end"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          .as("duration_us"))
+
+  /** DuckDB twin of [[summary]] (same integer gap test and numbering). */
+  def summarySql(table: String, userE: String, tsE: String,
+      idE: String, gapSec: Long): String =
+    s"""WITH __l AS (
+       |  SELECT $userE AS u, $tsE AS t, $idE AS eid,
+       |    lag(epoch_us($tsE)) OVER (PARTITION BY $userE
+       |      ORDER BY $tsE, $idE) AS prev
+       |  FROM $table),
+       |__s AS (
+       |  SELECT u, t, eid,
+       |    CAST(sum(CASE WHEN prev IS NULL
+       |        OR epoch_us(t) - prev > ${gapSec * 1000000L}
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY u ORDER BY t, eid
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM __l)
+       |SELECT u AS $userE, session_idx,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  min(t) AS t_start, max(t) AS t_end,
+       |  CAST(epoch_us(max(t)) - epoch_us(min(t)) AS BIGINT) AS duration_us
+       |FROM __s GROUP BY u, session_idx""".stripMargin
+}

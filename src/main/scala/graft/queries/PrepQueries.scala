@@ -315,9 +315,14 @@ object PrepQueries {
   // Capped inverted index: token -> (doc freq, occurrence mass, first-8
   // posting list). Posting lists go through the bounded TopK heap, not
   // collect_list — a stopword's postings never cross the shuffle whole.
+  // The verification surface serializes the posting list to one
+  // comma-joined string (the driver harness cannot hash array cells);
+  // the list itself stays typed on the library surface.
   private def q72(s: SparkSession, dir: String): DataFrame =
     Text.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
         maxPostings = 8)
+      .withColumn("postings",
+        array_join(transform(col("postings"), _.cast("string")), ","))
       .orderBy("token")
 
   private val q72Sql =
@@ -328,7 +333,9 @@ object PrepQueries {
       |  GROUP BY token, doc_id)
       |SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(tf) AS BIGINT) AS n_occurrences,
-      |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
+      |  array_to_string(
+      |    (list(CAST(doc_id AS VARCHAR) ORDER BY doc_id))[1:8], ',')
+      |    AS postings
       |FROM pd GROUP BY token ORDER BY token""".stripMargin
 
   // ---------------------------------------------------------------- q73

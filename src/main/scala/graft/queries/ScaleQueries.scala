@@ -763,17 +763,24 @@ object ScaleQueries {
   // Random-projection dimensionality reduction 64→16 (JL transform with
   // a hash-derived ±1 matrix that is never materialized). Fold order is
   // fixed left-to-right in both engines → reduced vectors compare
-  // bit-exactly, double for double.
+  // bit-exactly, double for double. The verification surface unnests to
+  // (vec_id, dim, value) scalar rows — the driver harness cannot hash
+  // array cells — so every component is individually gated.
   private def q61(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"),
-        graft.ext.Similarity.randomProject(col("embedding"), 16).as("proj"))
-      .orderBy("vec_id")
+        posexplode(graft.ext.Similarity.randomProject(col("embedding"), 16)))
+      .select(col("vec_id"), col("pos").cast("int").as("dim"),
+        col("col").as("value"))
+      .orderBy("vec_id", "dim")
 
   private val q61Sql =
-    s"""SELECT vec_id,
+    s"""WITH __p AS (SELECT vec_id,
        |  ${graft.ext.Similarity.randomProjectSql("embedding", 16)} AS proj
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+       |FROM embeddings)
+       |SELECT vec_id, CAST(j AS INT) AS dim, proj[CAST(j AS INT) + 1] AS value
+       |FROM __p, generate_series(0, 15) AS t(j)
+       |ORDER BY vec_id, dim""".stripMargin
 
   // ---------------------------------------------------------------- q62
   // Vocabulary-coverage quality stats: top-256 corpus vocabulary, then

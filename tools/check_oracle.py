@@ -34,6 +34,26 @@ def norm(v):
     return v
 
 
+def driver_hazards(rel, side):
+    """The driver's pandas harness is stricter than a value compare:
+    array-typed cells crash its row sort ('unhashable numpy.ndarray'),
+    and dtype widening (e.g. DuckDB HUGEINT -> object) breaks its hash
+    even when values agree. Reproduce both checks locally so a query
+    that would fail the driver gate fails here first."""
+    probs = []
+    df = rel.df()
+    for c in df.columns:
+        if df[c].dtype.kind == "O":
+            sample = df[c].dropna()
+            v = sample.iloc[0] if len(sample) else None
+            if isinstance(v, (list, tuple, dict, set)) or (
+                    v is not None and type(v).__name__ == "ndarray"):
+                probs.append(
+                    f"{side}.{c} container cell ({type(v).__name__}) — "
+                    "unhashable in the driver's row sort")
+    return probs, {c: df[c].dtype.kind for c in df.columns}
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -46,13 +66,23 @@ def main(sf_dir, out_dir):
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
+            gprobs, gkinds = driver_hazards(
+                con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"),
+                "spark")
             exp_rel = con.sql(sql)
             exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
+            eprobs, ekinds = driver_hazards(con.sql(sql), "oracle")
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
-        if got_cols != exp_cols:
+        if gprobs or eprobs:
+            print(f"FAIL {name}: {'; '.join(gprobs + eprobs)}")
+            n_fail += 1
+        elif gkinds != ekinds:
+            print(f"FAIL {name}: dtype kinds {gkinds} != {ekinds}")
+            n_fail += 1
+        elif got_cols != exp_cols:
             print(f"FAIL {name}: cols {got_cols} != {exp_cols}")
             n_fail += 1
         elif len(got) != len(exp):
