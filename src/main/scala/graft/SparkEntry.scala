@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.all ++ graft.queries.ExtQueries.all ++
-      graft.queries.ScaleQueries.all ++ graft.queries.PrepQueries.all
+      graft.queries.ScaleQueries.all ++ graft.queries.PrepQueries.all ++
+      graft.queries.GraphQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.ExtQueries.oracles ++
-      graft.queries.ScaleQueries.oracles ++ graft.queries.PrepQueries.oracles
+      graft.queries.ScaleQueries.oracles ++ graft.queries.PrepQueries.oracles ++
+      graft.queries.GraphQueries.oracles
 }

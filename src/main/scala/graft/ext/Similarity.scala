@@ -133,6 +133,38 @@ object Similarity {
     topKPerProbe(scored, k)
   }
 
+  /** Top-k retrieval on int8-quantized codes — the memory-bandwidth
+    * scale lever: scoring reads 4× fewer bytes per vector than the
+    * double path, so an executor core scans 4× the corpus per second
+    * and holds 4× the index ([[quantizeInt8]] has the codes' contract).
+    * Scores are EXACT BIGINT dots of the codes (|dot| ≤ 127²·dim), via
+    * the codegen'd [[graft.functions.NativeVector.qdot]] — no float
+    * anywhere from codes to ranking, so retrieval is bit-reproducible
+    * in any engine. Same topology as [[bruteForceTopK]]: probes
+    * broadcast, the corpus never shuffles, ≤ k-entry heaps cross the
+    * wire. In production the corpus side would be quantized ONCE at
+    * ingest and stored (codes + scale columns); quantizing in-plan here
+    * keeps the operator self-contained — the scan-side cost is one
+    * pass over data already in cache for the scoring.
+    *
+    * Re-ranking recipe: take this top-k with k' = 4k, then exact-cosine
+    * re-rank the short list ([[bruteForceTopK]] on the k' ids) — the
+    * standard two-stage ANN layout; both stages are in this file.
+    */
+  def quantizedTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      quantizeInt8(col(embCol)).as("probe_q"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      quantizeInt8(col(embCol)).as("cand_q"))
+    val scored = c.crossJoin(broadcast(p))
+      .withColumn("score", graft.functions.NativeVector
+        .qdot(col("probe_q"), col("cand_q")).cast("double"))
+      .select("probe_id", "cand_id", "score")
+    // integer scores ≤ 127²·dim ≪ 2⁵³ — exact as the heap's double key
+    topKPerProbe(scored, k).withColumn("score", col("score").cast("long"))
+  }
+
   // ------------------------------------------------------------- LSH ANN
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j,

@@ -77,6 +77,22 @@ object NativeVector {
 
   def lshBucket(emb: Column, planes: Int): Column =
     column(LshBucketExpr(expression(emb), planes))
+
+  /** Integer dot over int8 code vectors (stored as array<long>) — the
+    * quantized-retrieval hot path: exact BIGINT arithmetic (|q| ≤ 127 ⇒
+    * |dot| ≤ 127²·dim, nowhere near overflow), so scores are bit-equal
+    * in any engine with no float caveat at all.
+    */
+  def qdotData(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
+  def qdot(a: Column, b: Column): Column =
+    column(QDotExpr(expression(a), expression(b)))
 }
 
 /** lshBucket(array<double>) → long bucket id from hyperplane sign bits. */
@@ -103,6 +119,19 @@ case class CosineSimExpr(left: Expression, right: Expression)
       s"graft.functions.NativeVector.cosineData($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSimExpr = copy(left = l, right = r)
+}
+
+/** qdot(array<long>, array<long>) → long (exact integer dot). */
+case class QDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVector.qdotData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NativeVector.qdotData($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QDotExpr = copy(left = l, right = r)
 }
 
 /** dot(array<double>, array<double>) → double. */

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.ops.{RankProp, Sessionize}
+import Q.t
+
+/** Round-8 queries: event sessionization, quantized-code retrieval, and
+  * integer rank propagation over the near-dup graph — the episode-
+  * assembly / serving / graph-curation stages on top of the existing
+  * surface. All three are exact: integer microsecond gaps, BIGINT code
+  * dots, and ppm fixed-point propagation — no float near any decision.
+  */
+object GraphQueries {
+
+  // ---------------------------------------------------------------- q85
+  // Gap-based sessionization of the event log (6 h inactivity gap):
+  // per-session event count, bounds, and exact microsecond duration.
+  // One shuffle on user_id; the rollup reuses the window's partitioning.
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    Sessionize.summary(t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSec = 21600L)
+      .orderBy("user_id", "session_idx")
+
+  private val q85Sql =
+    Sessionize.summarySql("events", "user_id", "ts", "event_id", 21600L) +
+      "\nORDER BY user_id, session_idx"
+
+  // ---------------------------------------------------------------- q86
+  // Int8-quantized top-k retrieval: 8 probes ranked against the corpus
+  // by EXACT integer code dots (the 4×-bandwidth first stage of the
+  // quantize→shortlist→re-rank ANN layout; q51 verifies the codes
+  // themselves, this verifies retrieval on them). Probes broadcast, the
+  // corpus never shuffles, ≤ k-entry heaps cross the wire.
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb.filter(col("vec_id") < 8), emb, k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val q86Sql = {
+    val q = Similarity.quantizeInt8Sql("embedding")
+    val idot = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, len(pq)), i -> pq[i] * cq[i])), " +
+      "(acc, v) -> acc + v)"
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT vec_id, $q AS code FROM embeddings),
+       |scored AS MATERIALIZED (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    (SELECT $idot FROM (SELECT p.code AS pq, c.code AS cq)) AS score
+       |  FROM qe p, qe c WHERE p.vec_id < 8),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, CAST(score AS BIGINT) AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, score FROM ranked WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q87
+  // Rank propagation over the embedding near-dup graph: nodes = vectors,
+  // edges = same-LSH-bucket pairs, 3 iterations of ppm fixed-point
+  // PageRank — cluster-authority scores for keeper election, exact
+  // BIGINT end-to-end. Per iteration one node-keyed shuffle; the edge
+  // list and degrees are localCheckpointed once.
+  private val RP_PLANES = 8
+
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val buck = emb.select(col("vec_id"),
+      graft.functions.NativeVector.lshBucket(
+        Similarity.toDouble(col("embedding")), RP_PLANES).as("bucket"))
+    val pairs = buck.as("a").join(buck.as("b"), "bucket")
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    RankProp.propagate(pairs, "id_a", "id_b", emb, "vec_id", iters = 3)
+      .orderBy("vec_id")
+  }
+
+  private val q87Sql = {
+    val pairsInner =
+      s"""SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM (SELECT vec_id, ${Similarity.lshBucketSql(
+               "embedding::DOUBLE[]", RP_PLANES)} AS bucket FROM embeddings) a
+         |  JOIN (SELECT vec_id, ${Similarity.lshBucketSql(
+               "embedding::DOUBLE[]", RP_PLANES)} AS bucket FROM embeddings) b
+         |  USING (bucket) WHERE a.vec_id < b.vec_id""".stripMargin
+    RankProp.propagateSql(pairsInner, "SELECT vec_id FROM embeddings",
+      "vec_id", iters = 3) + "\nORDER BY vec_id"
+  }
+
+  // ----------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_sessionize" -> (q85 _),
+    "q86_quantized_ann" -> (q86 _),
+    "q87_rank_propagation" -> (q87 _))
+
+  val oracles: Map[String, String] = Map(
+    "q85_sessionize" -> q85Sql,
+    "q86_quantized_ann" -> q86Sql,
+    "q87_rank_propagation" -> q87Sql)
+}

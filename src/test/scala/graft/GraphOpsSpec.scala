@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{RankProp, Sessionize}
+import graft.ext.Similarity
+
+/** Round-8 operators: sessionization boundaries/rollup, integer rank
+  * propagation invariants, quantized-retrieval exactness.
+  */
+class GraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    // user 1: 3 events in one session, then a 2h gap → second session
+    (1L, 10L, ts("2024-01-01 10:00:00")),
+    (1L, 11L, ts("2024-01-01 10:10:00")),
+    (1L, 12L, ts("2024-01-01 10:40:00")),
+    (1L, 13L, ts("2024-01-01 12:41:00")),
+    // user 2: single event
+    (2L, 20L, ts("2024-01-01 09:00:00")),
+    // user 3: two events EXACTLY gap seconds apart → same session
+    (3L, 30L, ts("2024-01-01 08:00:00")),
+    (3L, 31L, ts("2024-01-01 09:00:00"))
+  ).toDF("user_id", "event_id", "ts")
+
+  test("sessionize.assign numbers sessions per user, 1-based, gap-exact") {
+    val got = Sessionize.assign(events, "user_id", "ts", "event_id",
+        gapSec = 3600L)
+      .select("user_id", "event_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 1L), (1L, 13L, 2L),
+      (2L, 20L, 1L),
+      (3L, 30L, 1L), (3L, 31L, 1L))) // gap == gapSec is NOT a break
+  }
+
+  test("sessionize.summary: counts, bounds, exact microsecond duration") {
+    val got = Sessionize.summary(events, "user_id", "ts", "event_id",
+        gapSec = 3600L)
+      .orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 2400L * 1000000L), // 10:00 → 10:40
+      (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L),
+      (3L, 1L, 2L, 3600L * 1000000L)))
+  }
+
+  test("sessionize plans ONE exchange: rollup reuses the window shuffle") {
+    val plan = Sessionize.summary(events, "user_id", "ts", "event_id", 3600L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("rankProp: isolated nodes keep base score; symmetric pair splits") {
+    // graph: 1—2 (one pair), node 3 isolated
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val got = RankProp.propagate(pairs, "a", "b", nodes, "id", iters = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // deg(1)=deg(2)=1: score alternates but fixed point of
+    // s' = 150000 + 850000*s/1e6 → s = 10^6 exactly at every iteration
+    assert(got.toSeq == Seq((1L, 1000000L), (2L, 1000000L), (3L, 150000L)))
+  }
+
+  test("rankProp: star graph concentrates authority on the hub") {
+    // hub 0 connected to leaves 1..4
+    val pairs = (1L to 4L).map(l => (0L, l)).toDF("a", "b")
+    val nodes = (0L to 4L).toDF("id")
+    val scores = RankProp.propagate(pairs, "a", "b", nodes, "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(0L) > scores(1L), s"hub must outrank leaves: $scores")
+    assert((1L to 4L).map(scores).distinct.size == 1,
+      "leaves are symmetric → equal scores")
+    // exact replay of the recurrence in test code (BIGINT semantics)
+    var hub = 1000000L; var leaf = 1000000L
+    for (_ <- 1 to 3) {
+      val nh = 150000L + 850000L * (4L * (leaf / 1L)) / 1000000L
+      val nl = 150000L + 850000L * (hub / 4L) / 1000000L
+      hub = nh; leaf = nl
+    }
+    assert(scores(0L) == hub && scores(1L) == leaf)
+  }
+
+  test("quantizedTopK: integer scores, self is rank 1, ties break on id") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)), // identical direction to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizedTopK(
+        emb.filter(col("vec_id") === 0), emb, k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // codes for (1,0,0) are (127,0,0): dot=16129 for cands 0 and 1
+    // (tie breaks on cand_id), 0 for the orthogonal vector, -16129 for
+    // the opposite one — k=3 keeps 0, 1, then 2
+    assert(got.toSeq == Seq((1L, 0L, 16129L), (2L, 1L, 16129L),
+      (3L, 2L, 0L)))
+  }
+}
