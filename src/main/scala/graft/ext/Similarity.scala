@@ -165,6 +165,37 @@ object Similarity {
     topKPerProbe(scored, k).withColumn("score", col("score").cast("long"))
   }
 
+  /** Two-stage ANN: [[quantizedTopK]] shortlist (k·`expand` candidates
+    * on exact integer code dots — the cheap 4×-bandwidth scan), then
+    * exact cosine re-rank of the shortlist only. The standard
+    * production layout: stage 1 reads the whole (quantized) corpus,
+    * stage 2 touches `k·expand` full-precision vectors per probe —
+    * at 10⁹ corpus × k=10 that is a 10⁷× cut in full-precision reads.
+    *
+    * Scale shape: the shortlist (≤ probes·k·expand rows of ids) joins
+    * the corpus on `cand_id` — at production scale THAT side is
+    * broadcast (shortlist ≪ corpus), so the corpus is scanned, never
+    * shuffled, in both stages. Determinism: stage 1 is exact integer,
+    * stage 2 is the same index-order cosine fold as [[bruteForceTopK]]
+    * — both replay bit-identically in the oracle.
+    */
+  def twoStageTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      expand: Int = 4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(expand >= 1, s"expand must be >= 1: $expand")
+    val shortlist = quantizedTopK(probes, corpus, k * expand, idCol, embCol)
+      .select(col("probe_id"), col("cand_id"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      toDouble(col(embCol)).as("probe_emb"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      toDouble(col(embCol)).as("cand_emb"))
+    val scored = c.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("score", cosine(col("probe_emb"), col("cand_emb")))
+      .select("probe_id", "cand_id", "score")
+    topKPerProbe(scored, k)
+  }
+
   // ------------------------------------------------------------- LSH ANN
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j,

@@ -60,6 +60,52 @@ object GraphQueries {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q88
+  // Two-stage ANN: integer-code shortlist (k·4 candidates) then exact
+  // cosine re-rank of the shortlist only — the production quantize →
+  // shortlist → re-rank layout end-to-end. Both stages deterministic
+  // (integer dots; index-order cosine folds), so the composed ranking
+  // replays exactly in the oracle.
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.twoStageTopK(emb.filter(col("vec_id") < 8), emb, k = 5,
+        expand = 4)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val q88Sql = {
+    val q = Similarity.quantizeInt8Sql("embedding")
+    val idot = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, len(pq)), i -> pq[i] * cq[i])), " +
+      "(acc, v) -> acc + v)"
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT vec_id, $q AS code FROM embeddings),
+       |s1 AS MATERIALIZED (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    (SELECT $idot FROM (SELECT p.code AS pq, c.code AS cq)) AS qs
+       |  FROM qe p, qe c WHERE p.vec_id < 8),
+       |short AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY qs DESC, cand_id ASC) AS rn
+       |    FROM s1) WHERE rn <= 20),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |scored AS (
+       |  SELECT s.probe_id, s.cand_id,
+       |    ${Similarity.cosineSql("p.emb", "c.emb")} AS score
+       |  FROM short s JOIN e p ON s.probe_id = p.vec_id
+       |    JOIN e c ON s.cand_id = c.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, score FROM ranked WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q87
   // Rank propagation over the embedding near-dup graph: nodes = vectors,
   // edges = same-LSH-bucket pairs, 3 iterations of ppm fixed-point
@@ -97,10 +143,12 @@ object GraphQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_sessionize" -> (q85 _),
     "q86_quantized_ann" -> (q86 _),
-    "q87_rank_propagation" -> (q87 _))
+    "q87_rank_propagation" -> (q87 _),
+    "q88_twostage_ann" -> (q88 _))
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
     "q86_quantized_ann" -> q86Sql,
-    "q87_rank_propagation" -> q87Sql)
+    "q87_rank_propagation" -> q87Sql,
+    "q88_twostage_ann" -> q88Sql)
 }

@@ -104,4 +104,19 @@ class GraphOpsSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 0L, 16129L), (2L, 1L, 16129L),
       (3L, 2L, 0L)))
   }
+
+  test("twoStageTopK == bruteForce when the shortlist covers the corpus") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 12L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // expand=4 → shortlist 12 = whole corpus → stage 2 IS brute force
+    val two = rows(Similarity.twoStageTopK(probes, emb, k = 3, expand = 4))
+    val brute = rows(Similarity.bruteForceTopK(probes, emb, k = 3))
+    assert(two.toSeq == brute.toSeq)
+  }
 }
