@@ -63,7 +63,15 @@ object Similarity {
     * An all-zero vector quantizes to all-zero codes with scale null
     * (nothing to scale).
     */
-  def quantizeInt8(emb: Column): Column = {
+  def quantizeInt8(emb: Column): Column =
+    graft.functions.NativeVector.quantizeInt8(toDouble(emb))
+
+  /** HOF reference form of [[quantizeInt8]] — the executable contract
+    * the native expression is spec-checked against (and the shape the
+    * DuckDB twin mirrors). NOT the production path: `s` re-evaluates
+    * `array_max` inside the per-element lambda (O(d²) interpreted).
+    */
+  def quantizeInt8Hof(emb: Column): Column = {
     val maxAbs = array_max(transform(toDouble(emb), abs(_)))
     val s = lit(127.0) / nullif(maxAbs, lit(0.0))
     // the zero-vector branch must be an EXPLICIT when: least/greatest
@@ -457,6 +465,15 @@ object Similarity {
     * the sign-hash domain.
     */
   def randomProject(emb: Column, outDim: Int, seed: Int = 7): Column = {
+    require(outDim > 0, s"outDim must be positive: $outDim")
+    graft.functions.NativeVector.randomProject(toDouble(emb), outDim, seed)
+  }
+
+  /** HOF reference form of [[randomProject]] — the executable contract
+    * the native expression is spec-checked against. NOT the production
+    * path: interprets outDim·dim affine hashes per row.
+    */
+  def randomProjectHof(emb: Column, outDim: Int, seed: Int = 7): Column = {
     require(outDim > 0, s"outDim must be positive: $outDim")
     transform(sequence(lit(0), lit(outDim - 1)), j =>
       aggregate(sequence(lit(0), size(emb) - 1), lit(0.0d),

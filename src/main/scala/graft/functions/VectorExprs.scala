@@ -93,6 +93,75 @@ object NativeVector {
 
   def qdot(a: Column, b: Column): Column =
     column(QDotExpr(expression(a), expression(b)))
+
+  /** One-pass int8 quantization (codes contract: graft.ext.Similarity
+    * .quantizeInt8Hof — max|v| scan, s = 127/max|v|, half-up
+    * floor(v·s + 0.5), clamp ±127; all-zero → all-zero codes). The HOF
+    * form re-evaluates `array_max` INSIDE the per-element lambda
+    * (O(d²) interpreted per vector — the round-8 q86 hot spot); this is
+    * O(d) and JIT'd, with the identical IEEE double op sequence.
+    */
+  def quantizeData(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (maxAbs != 0.0) {
+      val s = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        val c = math.floor(a.getDouble(i) * s + 0.5).toLong
+        out(i) = if (c < -127L) -127L else if (c > 127L) 127L else c
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def quantizeInt8(embD: Column): Column =
+    column(QuantizeInt8Expr(expression(embD)))
+
+  /** JL random projection to `outDim` dims (coefficient contract:
+    * graft.ext.Similarity.randomProjectHof — sign from the parity of a
+    * double PortableHash.affine pass over j·1024+k). Accumulation runs
+    * k-ascending per output dim — the same sequential association as
+    * the HOF fold and DuckDB's `list_reduce`, so projections are
+    * bit-identical. The HOF form interprets outDim·dim affine hashes
+    * per row; this is one JIT'd loop.
+    */
+  def randomProjectData(emb: ArrayData, outDim: Int, seed: Int): ArrayData = {
+    val P = 1000000007L
+    val n = emb.numElements()
+    val out = new Array[Double](outDim)
+    val a1 = (seed.toLong * 40503L + 17L) % P
+    val b1 = (seed.toLong * 97L + 1L) % P
+    val j2 = seed.toLong + 4L
+    val a2 = (j2 * 40503L + 17L) % P
+    val b2 = (j2 * 97L + 1L) % P
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var k = 0
+      while (k < n) {
+        val x = j.toLong * 1024L + k.toLong
+        val h1 = (a1 * x % P + b1) % P
+        val h2 = (a2 * h1 % P + b2) % P
+        acc += emb.getDouble(k) * (if (h2 % 2L == 0L) 1.0 else -1.0)
+        k += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def randomProject(embD: Column, outDim: Int, seed: Int): Column =
+    column(RandomProjectExpr(expression(embD), outDim, seed))
 }
 
 /** lshBucket(array<double>) → long bucket id from hyperplane sign bits. */
@@ -119,6 +188,32 @@ case class CosineSimExpr(left: Expression, right: Expression)
       s"graft.functions.NativeVector.cosineData($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSimExpr = copy(left = l, right = r)
+}
+
+/** quantizeInt8(array<double>) → array<long> int8 codes. */
+case class QuantizeInt8Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NativeVector.quantizeData(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeVector.quantizeData($c)")
+  override protected def withNewChildInternal(c: Expression): QuantizeInt8Expr =
+    copy(child = c)
+}
+
+/** randomProject(array<double>, outDim, seed) → array<double>. */
+case class RandomProjectExpr(child: Expression, outDim: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NativeVector.randomProjectData(v.asInstanceOf[ArrayData], outDim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeVector.randomProjectData($c, $outDim, $seed)")
+  override protected def withNewChildInternal(c: Expression): RandomProjectExpr =
+    copy(child = c)
 }
 
 /** qdot(array<long>, array<long>) → long (exact integer dot). */

@@ -119,4 +119,22 @@ class GraphOpsSpec extends SparkSuite {
     val brute = rows(Similarity.bruteForceTopK(probes, emb, k = 3))
     assert(two.toSeq == brute.toSeq)
   }
+
+  test("native quantize/randomProject are bit-equal to the HOF contracts") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 50L).map(i => (i,
+      if (i == 0) Array.fill(16)(0f) // all-zero → all-zero codes
+      else Array.fill(16)(rnd.nextFloat() * 4f - 2f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.select(
+        Similarity.quantizeInt8(col("embedding")).as("n"),
+        Similarity.quantizeInt8Hof(col("embedding")).as("h"),
+        Similarity.randomProject(col("embedding"), 5).as("pn"),
+        Similarity.randomProjectHof(col("embedding"), 5).as("ph"))
+      .collect()
+    q.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"codes differ: $r")
+      assert(r.getSeq[Double](2) == r.getSeq[Double](3), s"proj differ: $r")
+    }
+  }
 }
