@@ -91,6 +91,13 @@ object GraftExtensions {
     },
     "graft_cosine" -> { case Seq(a, b) => CosineSimExpr(a, b) },
     "graft_dot" -> { case Seq(a, b) => DotExpr(a, b) },
+    "graft_qdot" -> { case Seq(a, b) => QDotExpr(a, b) },
+    "graft_quantize_int8" -> { case Seq(v) => QuantizeInt8Expr(v) },
+    "graft_random_project" -> {
+      case Seq(v, d) => RandomProjectExpr(v, intLit(d, "output dims"), 7)
+      case Seq(v, d, s) => RandomProjectExpr(v, intLit(d, "output dims"),
+        intLit(s, "seed"))
+    },
     "graft_lsh_bucket" -> {
       case Seq(v) => LshBucketExpr(v, 8)
       case Seq(v, p) => LshBucketExpr(v, intLit(p, "plane count"))

@@ -38,7 +38,10 @@ class ExtensionsSpec extends SparkSuite {
           |  graft_minhash_sig(graft_shingle_hashes('a b c d e f g'), 4) AS sig,
           |  graft_char_jaccard('abcdefgh', 'abcdefxx', 3) AS cj,
           |  graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS cos,
-          |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot
+          |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+          |  graft_qdot(array(2L, -3L), array(10L, 4L)) AS qd,
+          |  graft_quantize_int8(array(0.5D, -1.0D, 0.25D)) AS qc,
+          |  graft_random_project(array(1.0D, 2.0D, 3.0D), 2) AS rp
           |""".stripMargin).collect()(0)
       val viaApi = ext.range(1).select(
         NativeHash.polyHash(lit("hello world")).as("ph"),
@@ -52,7 +55,13 @@ class ExtensionsSpec extends SparkSuite {
         NativeVector.cosine(
           array(lit(1.0), lit(2.0)), array(lit(2.0), lit(4.0))).as("cos"),
         NativeVector.dot(
-          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dot"))
+          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dot"),
+        NativeVector.qdot(
+          array(lit(2L), lit(-3L)), array(lit(10L), lit(4L))).as("qd"),
+        NativeVector.quantizeInt8(
+          array(lit(0.5), lit(-1.0), lit(0.25))).as("qc"),
+        NativeVector.randomProject(
+          array(lit(1.0), lit(2.0), lit(3.0)), 2, 7).as("rp"))
         .collect()(0)
       assert(viaSql.getLong(0) == viaApi.getLong(0))
       assert(viaSql.getLong(1) == viaApi.getLong(1))
@@ -64,6 +73,11 @@ class ExtensionsSpec extends SparkSuite {
       assert(viaSql.getDouble(6) == viaApi.getDouble(6))
       assert(viaSql.getDouble(7) == viaApi.getDouble(7))
       assert(viaSql.getDouble(7) == 11.0)
+      assert(viaSql.getLong(8) == viaApi.getLong(8))
+      assert(viaSql.getLong(8) == 8L) // 2·10 + (−3)·4
+      assert(viaSql.getSeq[Long](9) == viaApi.getSeq[Long](9))
+      assert(viaSql.getSeq[Long](9) == Seq(64L, -127L, 32L))
+      assert(viaSql.getSeq[Double](10) == viaApi.getSeq[Double](10))
       // non-literal width parameter must fail loudly, not mis-generate
       val e = intercept[Exception] {
         ext.sql("SELECT graft_shingle_hashes('a b c', CAST(id AS INT)) " +
