@@ -273,6 +273,176 @@ object Sampling {
        |QUALIFY running_total - CAST($weightE AS BIGINT) < $budget""".stripMargin
   }
 
+  /** Weighted priority sample — k rows per stratum with inclusion odds
+    * ∝ `weight` (Efraimidis-Spirakis A-Res, the deterministic integer
+    * variant): each row draws priority `hash(id) / weight` and the k
+    * SMALLEST priorities per stratum win. A row with twice the weight
+    * halves its priority, so heavier rows win proportionally more of
+    * the time — the standard "sample k docs per domain, favoring long /
+    * high-quality ones" mixer stage. Deterministic: same corpus → same
+    * sample, and the sample is stable under re-partitioning because
+    * the priority depends only on (id, weight).
+    *
+    * Uses [[spreadHash]], not [[seededHash]]: the weighting argument
+    * needs `h` uniform on [0, P), not merely consistently ordered —
+    * the linear hash's segment clustering on short numeric ids would
+    * skew effective inclusion odds.
+    *
+    * Exactness: priority is one IEEE division of two exactly-
+    * representable doubles (h < 2³⁰, integer weight) — bit-identical
+    * in any engine; ties (hash collisions) break on smallest id via
+    * the heap's item ordering = the oracle's `ORDER BY pri ASC, id`.
+    *
+    * Scale shape: per-stratum k-bounded heaps
+    * ([[graft.functions.TopK.topKByScore]]) — map-side partials, only
+    * ≤ k-entry heaps cross the shuffle; NO window, so a hot stratum
+    * never funnels through one reducer. Rows with `weight ≤ 0` are
+    * excluded (a zero weight has no well-defined priority).
+    */
+  def weightedPriority(df: DataFrame, strata: Column, idCol: String,
+      weight: Column, k: Int, seed: Int = 23): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = weight.cast("long")
+    val pri = spreadHash(seed)(col(idCol).cast("string")).cast("double") /
+      w.cast("double")
+    df.filter(w > 0L)
+      .select(strata.as("stratum"), col(idCol), w.as("__w"),
+        pri.as("__pri"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopK.topKByScore(-col("__pri"),
+        struct(col(idCol), col("__w"), col("__pri")), k).as("__top"))
+      .select(col("stratum"), posexplode(col("__top.item")))
+      .select(col("stratum"), (col("pos") + 1L).cast("long").as("rank"),
+        col(s"col.$idCol").as(idCol), col("col.__w").as("weight"),
+        col("col.__pri").as("priority"))
+  }
+
+  /** DuckDB twin of [[weightedPriority]]: the single-window top-k
+    * formulation the bounded-heap aggregate must reproduce exactly.
+    */
+  def weightedPrioritySql(table: String, strataE: String, idE: String,
+      weightE: String, k: Int, seed: Int = 23): String = {
+    val h = spreadHashSql(seed)(s"CAST($idE AS VARCHAR)")
+    s"""SELECT stratum, rank, $idE, weight, priority FROM (
+       |  SELECT $strataE AS stratum, $idE,
+       |    CAST($weightE AS BIGINT) AS weight,
+       |    CAST(($h) AS DOUBLE) / CAST($weightE AS DOUBLE) AS priority,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY $strataE
+       |      ORDER BY CAST(($h) AS DOUBLE) / CAST($weightE AS DOUBLE) ASC,
+       |        $idE ASC) AS BIGINT) AS rank
+       |  FROM $table WHERE CAST($weightE AS BIGINT) > 0)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Token-budget water-filling across sources — the fair-cap computation
+    * of a training-mix recipe: given per-source token totals `T_s` and a
+    * global budget `B < ΣT_s`, find the level `L` such that
+    * `Σ min(T_s, L) = B`: sources under the level keep everything,
+    * sources above are capped at `L` (the `rem = B mod`-ish leftovers go
+    * +1 each to the first capped sources in source order, so the
+    * allocation sums to EXACTLY `B`). This is the principled version of
+    * hand-tuned per-domain caps: one knob (the budget), maximal
+    * smallest-source retention. With `B ≥ ΣT_s` every source keeps its
+    * total (`capped = false`, `level` null).
+    *
+    * All integer arithmetic. The bracket search is the closed form over
+    * sources sorted by total ascending: the first index `i` (totals
+    * `T_1 ≤ … ≤ T_N`, prefix `P`) with `B − P_{i−1} ≤ (N−i+1)·T_i`
+    * holds the level: `L = (B − P_{i−1}) div (N−i+1)` and
+    * `rem = (B − P_{i−1}) mod (N−i+1)`.
+    *
+    * Scale shape: the per-source aggregate is map-side combined (bytes
+    * ∝ #sources); the windows then run over ≤ #sources rows — a global
+    * window is FINE here because its partition is the source list, not
+    * the corpus (tens of rows at any scale). Products stay far below
+    * 2⁶³: `N · T_i ≤ #sources · Σtokens`. Compose with
+    * [[budgetPerKey]] to turn each source's allocation into an actual
+    * document admission set.
+    */
+  def waterfill(df: DataFrame, strata: Column, weight: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive: $budget")
+    val totals = df.groupBy(strata.as("source"))
+      .agg(sum(weight.cast("long")).as("tokens"))
+    val byTok = Window.orderBy(col("tokens").asc, col("source").asc)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bySrc = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = totals
+      .withColumn("__i", row_number().over(byTok).cast("long"))
+      .withColumn("__prefix", coalesce(sum("tokens").over(
+        byTok.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__rest", lit(budget) - col("__prefix"))
+      .withColumn("__bracket", min(when(
+        col("__rest") <= (col("__n") - col("__i") + 1L) * col("tokens"),
+        col("__i"))).over(all))
+      // `div`, not `/`: Column./ on longs is DOUBLE division (exactness
+      // dies past 2^53); div is the exact integer quotient, = DuckDB //.
+      .withColumn("__level", max(when(col("__i") === col("__bracket"),
+        expr("__rest div (__n - __i + 1)"))).over(all))
+      .withColumn("__rem", max(when(col("__i") === col("__bracket"),
+        col("__rest") % (col("__n") - col("__i") + 1L))).over(all))
+      .withColumn("__capRank", sum(when(
+        col("__bracket").isNotNull && col("__i") >= col("__bracket"),
+        1L).otherwise(0L)).over(bySrc))
+    staged.select(col("source"), col("tokens"),
+      when(col("__bracket").isNull || col("__i") < col("__bracket"),
+          col("tokens"))
+        .otherwise(col("__level") +
+          when(col("__capRank") <= col("__rem"), 1L).otherwise(0L))
+        .cast("long").as("alloc"),
+      (col("__bracket").isNotNull && col("__i") >= col("__bracket"))
+        .as("capped"),
+      col("__level").as("level"))
+  }
+
+  /** DuckDB twin of [[waterfill]] over a table. Every windowed sum is
+    * CAST back to BIGINT (DuckDB widens to HUGEINT).
+    */
+  def waterfillSql(table: String, strataE: String, weightE: String,
+      budget: Long): String =
+    s"""WITH __tot AS (
+       |  SELECT $strataE AS source,
+       |    CAST(sum(CAST($weightE AS BIGINT)) AS BIGINT) AS tokens
+       |  FROM $table GROUP BY 1),
+       |__st AS (
+       |  SELECT source, tokens,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT)
+       |      AS i,
+       |    CAST(coalesce(sum(tokens) OVER (ORDER BY tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS prefix,
+       |    CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM __tot),
+       |__br AS (
+       |  SELECT *, $budget - prefix AS rest,
+       |    min(CASE WHEN $budget - prefix <= (n - i + 1) * tokens
+       |      THEN i END) OVER () AS bracket
+       |  FROM __st),
+       |__lv AS (
+       |  SELECT *,
+       |    max(CASE WHEN i = bracket
+       |      THEN CAST(rest // (n - i + 1) AS BIGINT) END) OVER ()
+       |      AS level,
+       |    max(CASE WHEN i = bracket
+       |      THEN CAST(rest % (n - i + 1) AS BIGINT) END) OVER ()
+       |      AS rem,
+       |    CAST(sum(CASE WHEN bracket IS NOT NULL AND i >= bracket
+       |      THEN 1 ELSE 0 END) OVER (ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cap_rank
+       |  FROM __br)
+       |SELECT source, tokens,
+       |  CAST(CASE WHEN bracket IS NULL OR i < bracket THEN tokens
+       |    ELSE level + (CASE WHEN cap_rank <= rem THEN 1 ELSE 0 END)
+       |    END AS BIGINT) AS alloc,
+       |  (bracket IS NOT NULL AND i >= bracket) AS capped,
+       |  level
+       |FROM __lv""".stripMargin
+
   /** Epoch-based source upsampling — the inverse of [[temperatureMix]]:
     * instead of downsampling dominant sources, REPEAT scarce high-value
     * sources a fractional number of epochs (the "2.5 epochs of

@@ -618,6 +618,73 @@ object Text {
        |  DESC, token
        |LIMIT $topK""".stripMargin
 
+  // ---------------------------------------------------------- repetition
+
+  /** Within-document repetition signal — the Gopher/MassiveText "repetition
+    * filter" family (Rae et al. 2021 §A1.1): the fraction of a document's
+    * token n-grams that are repeats of an earlier n-gram in the SAME
+    * document. Boilerplate, keyword-stuffed spam and generation loops
+    * score high; natural prose scores near zero. Emitted per doc for
+    * bigrams and trigrams plus a keep/drop verdict against the caller's
+    * thresholds.
+    *
+    * Repeats are counted on the portable n-gram hashes
+    * ([[graft.ext.Dedup.shingleHashes]], one codegen'd pass per row, no
+    * shingle string materialized). A hash collision can only merge two
+    * distinct n-grams — identically in both engines, so the oracle still
+    * hash-matches; at P ≈ 2³⁰ the within-doc collision odds are
+    * negligible. The fractions are a single double division from two
+    * exact BIGINTs — bit-identical across engines.
+    *
+    * Scale shape: zero shuffle — per-row expressions only, columns
+    * pruned to (id, text). The 100 TB plan is scan → project, nothing
+    * else; this filter composes in front of any dedup stage for free.
+    */
+  def repetition(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dupBigramMax: Double = 0.30,
+      dupTrigramMax: Double = 0.20): DataFrame = {
+    def stats(n: Int): (Column, Column, Column) = {
+      val h = graft.ext.Dedup.shingleHashes(col(textCol), n)
+      val total = size(h).cast("long")
+      val dup = (size(h) - size(array_distinct(h))).cast("long")
+      val frac = when(total === 0L, lit(0.0))
+        .otherwise(dup.cast("double") / total.cast("double"))
+      (total, dup, frac)
+    }
+    val (b, bDup, bFrac) = stats(2)
+    val (t, tDup, tFrac) = stats(3)
+    df.select(col(idCol),
+      b.as("n_bigrams"), bDup.as("n_dup_bigrams"),
+      bFrac.as("dup_bigram_frac"),
+      t.as("n_trigrams"), tDup.as("n_dup_trigrams"),
+      tFrac.as("dup_trigram_frac"),
+      (bFrac <= dupBigramMax && tFrac <= dupTrigramMax).as("keep"))
+  }
+
+  /** DuckDB twin of [[repetition]] over a table. */
+  def repetitionSql(table: String, idE: String, textE: String,
+      dupBigramMax: Double, dupTrigramMax: Double): String = {
+    def frac(h: String) =
+      s"CASE WHEN len($h) = 0 THEN 0.0 ELSE " +
+        s"CAST(len($h) - len(list_distinct($h)) AS DOUBLE) / " +
+        s"CAST(len($h) AS DOUBLE) END"
+    s"""WITH __h AS (
+       |  SELECT $idE,
+       |    ${graft.ext.Dedup.shingleHashesSql(textE, 2)} AS h2,
+       |    ${graft.ext.Dedup.shingleHashesSql(textE, 3)} AS h3
+       |  FROM $table)
+       |SELECT $idE,
+       |  CAST(len(h2) AS BIGINT) AS n_bigrams,
+       |  CAST(len(h2) - len(list_distinct(h2)) AS BIGINT) AS n_dup_bigrams,
+       |  ${frac("h2")} AS dup_bigram_frac,
+       |  CAST(len(h3) AS BIGINT) AS n_trigrams,
+       |  CAST(len(h3) - len(list_distinct(h3)) AS BIGINT) AS n_dup_trigrams,
+       |  ${frac("h3")} AS dup_trigram_frac,
+       |  ${frac("h2")} <= $dupBigramMax AND ${frac("h3")} <= $dupTrigramMax
+       |    AS keep
+       |FROM __h""".stripMargin
+  }
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

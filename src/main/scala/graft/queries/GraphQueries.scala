@@ -138,17 +138,64 @@ object GraphQueries {
       "vec_id", iters = 3) + "\nORDER BY vec_id"
   }
 
+  // ---------------------------------------------------------------- q89
+  // Within-doc repetition filter (Gopher-style): fraction of bigrams /
+  // trigrams that repeat inside the same document, plus the keep/drop
+  // verdict. Zero shuffle — one codegen'd pass per row on the portable
+  // n-gram hashes.
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.repetition(t(s, dir, "documents"), "doc_id", "text",
+        dupBigramMax = 0.30, dupTrigramMax = 0.20)
+      .orderBy("doc_id")
+
+  private val q89Sql =
+    graft.ext.Text.repetitionSql("documents", "doc_id", "text",
+      0.30, 0.20) + "\nORDER BY doc_id"
+
+  // ---------------------------------------------------------------- q90
+  // Weighted priority sampling: 30 docs per source, inclusion odds ∝
+  // doc length (Efraimidis-Spirakis with a deterministic hash draw).
+  // Bounded heaps per stratum — only ≤ k entries cross the shuffle.
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.weightedPriority(t(s, dir, "documents"),
+        col("source"), "doc_id", col("n_chars"), k = 30)
+      .orderBy("stratum", "rank")
+
+  private val q90Sql =
+    graft.ext.Sampling.weightedPrioritySql("documents", "source",
+      "doc_id", "n_chars", 30) + "\nORDER BY stratum, rank"
+
+  // ---------------------------------------------------------------- q93
+  // Token-budget water-filling across sources: the fair per-source cap
+  // such that Σ min(tokens_s, level) = budget. Integer closed form over
+  // the per-source aggregate; windows run on ≤ #sources rows.
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.waterfill(t(s, dir, "documents"), col("source"),
+        graft.ext.Text.tokenCount(col("text")).cast("long"),
+        budget = 10000L)
+      .orderBy("source")
+
+  private val q93Sql =
+    graft.ext.Sampling.waterfillSql("documents", "source",
+      "len(string_split(text, ' '))", 10000L) + "\nORDER BY source"
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_sessionize" -> (q85 _),
     "q86_quantized_ann" -> (q86 _),
     "q87_rank_propagation" -> (q87 _),
-    "q88_twostage_ann" -> (q88 _))
+    "q88_twostage_ann" -> (q88 _),
+    "q89_repetition_filter" -> (q89 _),
+    "q90_weighted_sample" -> (q90 _),
+    "q93_waterfill_budget" -> (q93 _))
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
     "q86_quantized_ann" -> q86Sql,
     "q87_rank_propagation" -> q87Sql,
-    "q88_twostage_ann" -> q88Sql)
+    "q88_twostage_ann" -> q88Sql,
+    "q89_repetition_filter" -> q89Sql,
+    "q90_weighted_sample" -> q90Sql,
+    "q93_waterfill_budget" -> q93Sql)
 }

@@ -137,4 +137,28 @@ class GraphOpsSpec extends SparkSuite {
       assert(r.getSeq[Double](2) == r.getSeq[Double](3), s"proj differ: $r")
     }
   }
+
+  test("repetition: dup n-gram fractions and keep verdict") {
+    val docs = Seq(
+      (1L, "a b c d e"),             // 4 distinct bigrams, 0 dup
+      (2L, "x y x y x y"),           // bigrams: xy yx xy yx xy → 3 dup of 5
+      (3L, "one"),                   // no bigrams at all
+      (4L, "")                       // split("") = [""] → no bigrams
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Text.repetition(docs, "doc_id", "text",
+        dupBigramMax = 0.30, dupTrigramMax = 0.20)
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 0L)
+    assert(r1.getDouble(3) == 0.0 && r1.getBoolean(7))
+    val r2 = got(1)
+    assert(r2.getLong(1) == 5L && r2.getLong(2) == 3L)
+    assert(r2.getDouble(3) == 0.6 && !r2.getBoolean(7))
+    // trigrams of doc 2: xyx yxy xyx yxy → 2 dup of 4
+    assert(r2.getLong(4) == 4L && r2.getLong(5) == 2L)
+    val r3 = got(2)
+    assert(r3.getLong(1) == 0L && r3.getDouble(3) == 0.0
+      && r3.getBoolean(7))
+    assert(got(3).getLong(1) == 0L && got(3).getBoolean(7))
+  }
 }

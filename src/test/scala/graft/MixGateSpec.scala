@@ -136,4 +136,72 @@ class MixGateSpec extends SparkSuite {
     // digits inside the email must not survive as a separate <NUM>
     assert(got == "mail <EMAIL> end", got)
   }
+
+  test("weightedPriority: bounded-heap top-k == window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", (i % 17) + 1L))
+      .toDF("doc_id", "source", "w")
+    val got = Sampling.weightedPriority(docs, col("source"), "doc_id",
+        col("w"), k = 7)
+      .select("stratum", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: explicit priority + row_number window
+    val pri = Sampling.spreadHash(23)(col("doc_id").cast("string"))
+      .cast("double") / col("w").cast("double")
+    val want = docs.withColumn("__pri", pri)
+      .withColumn("rank", row_number().over(Window.partitionBy("source")
+        .orderBy(col("__pri").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= 7)
+      .select(col("source"), col("rank"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.size == 14)
+  }
+
+  test("weightedPriority: zero/negative weights are excluded") {
+    val docs = Seq((1L, "a", 5L), (2L, "a", 0L), (3L, "a", -2L))
+      .toDF("doc_id", "source", "w")
+    val ids = Sampling.weightedPriority(docs, col("source"), "doc_id",
+        col("w"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
+  test("waterfill: allocation sums to budget; under-level sources keep all") {
+    val rows = Seq(("tiny", 10L), ("small", 100L), ("big", 1000L),
+      ("huge", 5000L)).flatMap { case (s, n) => Seq((s, n)) }
+      .toDF("source", "tok")
+    val got = Sampling.waterfill(rows, col("source"), col("tok"),
+        budget = 1500L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // sorted totals: 10, 100, 1000, 5000; budget 1500
+    // i=1: 1500 <= 4*10? no. i=2: 1490 <= 3*100? no.
+    // i=3: 1390 <= 2*1000? yes → level = 1390 div 2 = 695, rem = 0
+    assert(got("tiny") == ((10L, 10L, false)))
+    assert(got("small") == ((100L, 100L, false)))
+    assert(got("big") == ((1000L, 695L, true)))
+    assert(got("huge") == ((5000L, 695L, true)))
+    assert(got.values.map(_._2).sum == 1500L)
+  }
+
+  test("waterfill: remainder goes +1 to first capped sources by name") {
+    val rows = Seq(("a", 100L), ("b", 100L), ("c", 100L))
+      .toDF("source", "tok")
+    val got = Sampling.waterfill(rows, col("source"), col("tok"),
+        budget = 200L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // level = 200 div 3 = 66 rem 2 → a,b get 67, c gets 66
+    assert(got == Map("a" -> 67L, "b" -> 67L, "c" -> 66L))
+  }
+
+  test("waterfill: budget >= total leaves every source uncapped") {
+    val rows = Seq(("a", 10L), ("b", 20L)).toDF("source", "tok")
+    val got = Sampling.waterfill(rows, col("source"), col("tok"),
+        budget = 100L).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3),
+        r.isNullAt(4))).toSet
+    assert(got == Set(("a", 10L, false, true), ("b", 20L, false, true)))
+  }
 }
