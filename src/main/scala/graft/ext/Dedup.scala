@@ -348,6 +348,76 @@ object Dedup {
     s"CAST($inter AS DOUBLE) / NULLIF(CAST(len($sa) + len($sb) - $inter AS DOUBLE), 0.0)"
   }
 
+  // --------------------------------------- edit-distance fuzzy matching
+
+  /** Blocked fuzzy key matching — entity-resolution-style near-identical
+    * KEY pairs (titles, product names, author strings): rows sharing a
+    * cheap blocking key meet in an equi-join, and survivors are the
+    * pairs with Levenshtein distance ≤ `maxDist`. The MinHash family
+    * here targets long documents; edit distance is the right metric for
+    * SHORT strings where a one-character typo is the whole difference.
+    *
+    * Exactness: Levenshtein with unit costs is pure integer DP —
+    * Spark's `levenshtein` and DuckDB's `levenshtein` agree exactly, so
+    * the whole operator is integer-deterministic (no float anywhere).
+    *
+    * Recall caveat (standard blocking trade-off): a pair whose blocking
+    * keys differ is invisible — pick a block the expected edits cannot
+    * touch (e.g. last token for leading-adjective product names, a
+    * phonetic key for person names). `maxBlock` drops degenerate blocks
+    * before the self-join goes quadratic (same hazard and audit pattern
+    * as the LSH `maxBucket`; [[oversizedFuzzyBlocks]] reports drops).
+    *
+    * Scale shape (100 TB): block sizes are a small aggregate broadcast
+    * back (no window — a mega-block would funnel through one reducer
+    * before the cap dropped it); the candidate join is an equi-join on
+    * the block key; each candidate pair costs one O(|a|·|b|) DP on two
+    * SHORT strings — cost is bounded by `maxBlock`² per block, never
+    * corpus².
+    */
+  def fuzzyKeyPairs(df: DataFrame, idCol: String, keyCol: String,
+      block: Column, maxDist: Int, maxBlock: Int = DefaultMaxBucket)
+      : DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    val e = df.select(col(idCol).as("__id"), col(keyCol).as("__key"),
+      block.as("__block"))
+    val sizes = e.groupBy("__block").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBlock)
+      .select("__block")
+    val kept = e.join(broadcast(sizes), Seq("__block"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.__block") === col("b.__block") &&
+        col("a.__id") < col("b.__id"))
+      .withColumn("dist", levenshtein(col("a.__key"), col("b.__key")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__key").as("key_a"), col("b.__key").as("key_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** Audit twin of the [[fuzzyKeyPairs]] cap: the (block, size) rows a
+    * given `maxBlock` would drop.
+    */
+  def oversizedFuzzyBlocks(df: DataFrame, block: Column,
+      maxBlock: Int = DefaultMaxBucket): DataFrame =
+    df.select(block.as("block"))
+      .groupBy("block").agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlock)
+
+  /** DuckDB twin of [[fuzzyKeyPairs]] (same blocks, same integer DP). */
+  def fuzzyKeyPairsSql(table: String, idE: String, keyE: String,
+      blockE: String, maxDist: Int,
+      maxBlock: Int = DefaultMaxBucket): String =
+    s"""WITH __e AS MATERIALIZED (
+       |  SELECT $idE AS id, $keyE AS key, $blockE AS block FROM $table),
+       |__sz AS (SELECT block FROM __e GROUP BY block
+       |  HAVING count(*) <= $maxBlock),
+       |__k AS (SELECT __e.* FROM __e JOIN __sz USING (block))
+       |SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+       |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+       |FROM __k a JOIN __k b ON a.block = b.block AND a.id < b.id
+       |WHERE levenshtein(a.key, b.key) <= $maxDist""".stripMargin
+
   /** Candidate verification: Jaccard-score MinHash candidate pairs and
     * keep those ≥ threshold — the standard two-phase near-dup pipeline
     * (cheap LSH recall, exact verify on the tiny candidate set).

@@ -441,6 +441,76 @@ object Similarity {
       .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
+  // ---------------------------------------------------------- kNN graph
+
+  /** Corpus-wide kNN graph — for EVERY vector, its `k` nearest neighbors
+    * by cosine among vectors sharing its LSH bucket: the building block
+    * of SemDeDup-style semantic clustering, label propagation and graph
+    * curation ([[embeddingNearDups]] emits thresholded PAIRS; this emits
+    * a fixed-degree neighbor list whether or not any pair clears a
+    * threshold). Output: `(vec_id, rank, neighbor_id, score)`, rank 1 =
+    * nearest; a vector whose bucket holds no other vector emits no rows.
+    *
+    * Recall caveat (same as every single-table LSH scheme here): a true
+    * neighbor in a DIFFERENT bucket is invisible. Fewer `planes` → bigger
+    * buckets → higher recall and higher cost; the `maxBucket` cap bounds
+    * the worst case and [[embeddingOversizedBuckets]] audits what it
+    * would drop.
+    *
+    * Scale shape (100 TB): one pass buckets ids (per-row arithmetic);
+    * bucket sizes are a ≤ 2^planes-row aggregate BROADCAST back (no
+    * window — a degenerate bucket would funnel the corpus through one
+    * reducer before the cap could drop it); the self-join is an
+    * equi-join on `bucket`; ranking runs through the bounded
+    * [[graft.functions.TopK.topKByScore]] heap — only ≤ k entries per
+    * vector cross the final shuffle, never a candidate set.
+    */
+  def knnGraph(df: DataFrame, k: Int, planes: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val e = df.select(col(idCol), toDouble(col(embCol)).as("embd"))
+      .withColumn("bucket", lshBucket(col("embd"), planes))
+    val sizes = e.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucket)
+      .select("bucket")
+    val kept = e.join(broadcast(sizes), Seq("bucket"))
+    val scored = kept.as("a")
+      .join(kept.as("b"), col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("probe_id"),
+        col(s"b.$idCol").as("cand_id"),
+        cosine(col("a.embd"), col("b.embd")).as("score"))
+    topKPerProbe(scored, k)
+      .select(col("probe_id").as(idCol), col("rank"),
+        col("cand_id").as("neighbor_id"), col("score"))
+  }
+
+  /** DuckDB twin of [[knnGraph]] (same buckets, same cosine folds, same
+    * `score DESC, neighbor` tie-break).
+    */
+  def knnGraphSql(table: String, k: Int, planes: Int = 4,
+      idE: String = "vec_id", embE: String = "embedding",
+      maxBucket: Int = Dedup.DefaultMaxBucket): String =
+    s"""WITH __e AS MATERIALIZED (
+       |  SELECT $idE, list_transform($embE, x -> CAST(x AS DOUBLE))
+       |      AS embd,
+       |    ${lshBucketSql(s"list_transform($embE, x -> CAST(x AS DOUBLE))",
+            planes)} AS bucket
+       |  FROM $table),
+       |__sz AS (SELECT bucket FROM __e GROUP BY bucket
+       |  HAVING count(*) <= $maxBucket),
+       |__k AS (SELECT __e.* FROM __e JOIN __sz USING (bucket)),
+       |__sc AS (SELECT a.$idE AS id, b.$idE AS neighbor_id,
+       |    ${cosineSql("a.embd", "b.embd")} AS score
+       |  FROM __k a JOIN __k b
+       |    ON a.bucket = b.bucket AND a.$idE <> b.$idE),
+       |__r AS (SELECT *, CAST(row_number() OVER (PARTITION BY id
+       |    ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM __sc)
+       |SELECT id AS $idE, rank, neighbor_id, score
+       |FROM __r WHERE rank <= $k""".stripMargin
+
   // --------------------------------------- random-projection reduction
 
   /** Johnson–Lindenstrauss-style dimensionality reduction: project an

@@ -618,6 +618,96 @@ object Text {
        |  DESC, token
        |LIMIT $topK""".stripMargin
 
+  // --------------------------------------------------------- collocations
+
+  /** PMI collocation mining: the top-K adjacent word pairs that co-occur
+    * far more than their unigram frequencies predict — the classic
+    * multiword-expression extractor ("new york", "machine learning") a
+    * tokenizer-vocabulary or phrase-normalization stage runs over a
+    * corpus. Pairs are ranked by LIFT `c_xy·N / (c_x·c_y)` (N = total
+    * token occurrences) — the monotone inside of PMI = log₂(lift) — so
+    * no engine-specific `log` implementation sits anywhere near the
+    * ranking OR the output (Math.log and libm log may differ in the last
+    * ulp; a reader wanting PMI takes log₂ of the emitted lift).
+    *
+    * Cross-engine exactness: every count is exact BIGINT; lift is the
+    * FIXED op sequence `(c_xy / c_x) · (N / c_y)` — each step one
+    * correctly-rounded IEEE double op on exactly-representable inputs
+    * (counts < 2⁵³), so both engines produce bit-identical doubles and
+    * an identical sort; ties break on the pair string. (A single-fraction
+    * `c_xy·N/(c_x·c_y)` would need 128-bit products at corpus scale —
+    * the two-step form never leaves the double domain.)
+    *
+    * `minCount` floors the pair count: a hapax pair's lift is huge and
+    * meaningless (classic PMI pathology), and the floor also bounds the
+    * candidate set long before the sort.
+    *
+    * Scale shape (100 TB): unigram and bigram counts are Zipf-bounded
+    * map-side-combined aggregates; the two enrichment joins are
+    * vocab×vocab equi-joins (never corpus-sized); N rides in-plan as a
+    * broadcast 1-row cross join (no driver collect); top-K is a
+    * TakeOrdered over the minCount-floored survivors, not a global sort.
+    */
+  def collocations(df: DataFrame, textCol: String = "text", topK: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(minCount > 0, s"minCount must be positive: $minCount")
+    val uni = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum("cnt").as("__n"))
+    val pairs = df.select(
+        explode(graft.ext.Dedup.wordShingles(col(textCol), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val lift = (col("pair_count").cast("double") /
+        col("left_count").cast("double")) *
+      (col("__n").cast("double") / col("right_count").cast("double"))
+    pairs
+      .withColumn("__x", substring_index(col("gram"), " ", 1))
+      .withColumn("__y", substring_index(col("gram"), " ", -1))
+      .join(uni.select(col("token").as("__x"),
+        col("cnt").as("left_count")), Seq("__x"))
+      .join(uni.select(col("token").as("__y"),
+        col("cnt").as("right_count")), Seq("__y"))
+      .crossJoin(broadcast(total))
+      .select(col("gram"), col("pair_count"), col("left_count"),
+        col("right_count"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("gram"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[collocations]] (same counts, same two-step IEEE
+    * lift sequence, same `lift DESC, gram` tie-break).
+    */
+  def collocationsSql(table: String, textE: String, topK: Int,
+      minCount: Long): String = {
+    val lift = "(CAST(pair_count AS DOUBLE) / CAST(left_count AS DOUBLE))" +
+      " * (CAST(n AS DOUBLE) / CAST(right_count AS DOUBLE))"
+    s"""WITH __uni AS MATERIALIZED (
+       |  SELECT tk AS token, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split($textE, ' ')) AS tk FROM $table)
+       |  GROUP BY tk),
+       |__tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM __uni),
+       |__p AS (
+       |  SELECT gram, count(*) AS pair_count FROM (
+       |    SELECT unnest(${graft.ext.Dedup.wordShinglesSql(textE, 2)})
+       |      AS gram FROM $table)
+       |  GROUP BY gram HAVING count(*) >= $minCount),
+       |__j AS (
+       |  SELECT p.gram, CAST(p.pair_count AS BIGINT) AS pair_count,
+       |    CAST(lx.cnt AS BIGINT) AS left_count,
+       |    CAST(ry.cnt AS BIGINT) AS right_count, t.n
+       |  FROM __p p
+       |  JOIN __uni lx ON lx.token = string_split(p.gram, ' ')[1]
+       |  JOIN __uni ry ON ry.token = string_split(p.gram, ' ')[-1]
+       |  CROSS JOIN __tot t)
+       |SELECT gram, pair_count, left_count, right_count,
+       |  $lift AS lift
+       |FROM __j
+       |ORDER BY $lift DESC, gram
+       |LIMIT $topK""".stripMargin
+  }
+
   // ---------------------------------------------------------- repetition
 
   /** Within-document repetition signal — the Gopher/MassiveText "repetition

@@ -165,6 +165,52 @@ object GraphQueries {
     graft.ext.Sampling.weightedPrioritySql("documents", "source",
       "doc_id", "n_chars", 30) + "\nORDER BY stratum, rank"
 
+  // ---------------------------------------------------------------- q91
+  // Corpus-wide kNN graph (SemDeDup building block): every vector's 5
+  // nearest same-LSH-bucket neighbors by cosine. Bucket sizes broadcast,
+  // candidates equi-join on bucket, ≤ k-entry heaps cross the shuffle.
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(t(s, dir, "embeddings"), k = 5, planes = 4)
+      .orderBy("vec_id", "rank")
+
+  private val q91Sql =
+    Similarity.knnGraphSql("embeddings", k = 5, planes = 4) +
+      "\nORDER BY vec_id, rank"
+
+  // ---------------------------------------------------------------- q92
+  // PMI collocation mining: top-30 adjacent word pairs by lift (the
+  // monotone inside of PMI), exact BIGINT counts, fixed two-step IEEE
+  // division sequence — no engine log anywhere near the ranking.
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.collocations(t(s, dir, "documents"), "text",
+        topK = 30, minCount = 5L)
+      .orderBy(col("lift").desc, col("gram"))
+
+  private val q92Sql =
+    graft.ext.Text.collocationsSql("documents", "text", 30, 5L)
+    // collocationsSql already ends in the deterministic ORDER BY + LIMIT
+
+  // ---------------------------------------------------------------- q94
+  // Blocked fuzzy key matching over the DISTINCT key dictionary: part
+  // names collapse to (name, min partkey) first — the corpus-sized
+  // stage, map-side combined — then the Zipf-bounded dictionary is
+  // blocked on its last token and paired at Levenshtein ≤ 3. Pure
+  // integer DP in both engines; matching rows instead of the dictionary
+  // would re-find every exact-dup pair n² times.
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val dict = t(s, dir, "part").groupBy("p_name")
+      .agg(min("p_partkey").as("pk"))
+    graft.ext.Dedup.fuzzyKeyPairs(dict, "pk", "p_name",
+        substring_index(col("p_name"), " ", -1), maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q94Sql =
+    graft.ext.Dedup.fuzzyKeyPairsSql(
+      "(SELECT p_name, min(p_partkey) AS pk FROM part GROUP BY p_name)",
+      "pk", "p_name", "string_split(p_name, ' ')[-1]", maxDist = 3) +
+      "\nORDER BY id_a, id_b"
+
   // ---------------------------------------------------------------- q93
   // Token-budget water-filling across sources: the fair per-source cap
   // such that Σ min(tokens_s, level) = budget. Integer closed form over
@@ -188,7 +234,10 @@ object GraphQueries {
     "q88_twostage_ann" -> (q88 _),
     "q89_repetition_filter" -> (q89 _),
     "q90_weighted_sample" -> (q90 _),
-    "q93_waterfill_budget" -> (q93 _))
+    "q91_knn_graph" -> (q91 _),
+    "q92_collocations" -> (q92 _),
+    "q93_waterfill_budget" -> (q93 _),
+    "q94_fuzzy_key_match" -> (q94 _))
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
@@ -197,5 +246,8 @@ object GraphQueries {
     "q88_twostage_ann" -> q88Sql,
     "q89_repetition_filter" -> q89Sql,
     "q90_weighted_sample" -> q90Sql,
-    "q93_waterfill_budget" -> q93Sql)
+    "q91_knn_graph" -> q91Sql,
+    "q92_collocations" -> q92Sql,
+    "q93_waterfill_budget" -> q93Sql,
+    "q94_fuzzy_key_match" -> q94Sql)
 }

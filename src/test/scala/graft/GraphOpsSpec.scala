@@ -161,4 +161,91 @@ class GraphOpsSpec extends SparkSuite {
       && r3.getBoolean(7))
     assert(got(3).getLong(1) == 0L && got(3).getBoolean(7))
   }
+
+  test("knnGraph: bounded-heap top-k == window formulation per bucket") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = (1L to 60L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 13) % 29 - 14).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.knnGraph(vecs, k = 3, planes = 2)
+      .select("vec_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: explicit bucket + cosine + row_number window
+    val e = vecs.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("embd"))
+      .withColumn("bucket", Similarity.lshBucket(col("embd"), 2))
+    val want = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("neighbor_id"),
+        Similarity.cosine(col("a.embd"), col("b.embd")).as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("vec_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("knnGraph: oversized buckets are dropped, not exploded") {
+    // planes=1 → 2 buckets; cap of 5 must drop any bucket bigger than 5
+    val vecs = (1L to 40L).map { i =>
+      (i, Array.tabulate(4)(d => (i + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val all = Similarity.knnGraph(vecs, k = 2, planes = 1,
+      maxBucket = 5)
+    val sizes = vecs.select(
+        Similarity.lshBucket(Similarity.toDouble(col("embedding")), 1)
+          .as("bucket"))
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptIds = all.select("vec_id").distinct().count()
+    val expected = sizes.valuesIterator.filter(_ <= 5).sum
+    assert(keptIds == expected,
+      s"sizes=$sizes kept=$keptIds expected=$expected")
+  }
+
+  test("collocations: lift ranks glued pairs above frequent-word pairs") {
+    // "new york" always adjacent; "the" everywhere dilutes "the end"
+    val docs = Seq.tabulate(10) { i =>
+      (i.toLong, "new york " + ("the end " * (i % 3 + 1)).trim)
+    }.toDF("doc_id", "text")
+    val got = graft.ext.Text.collocations(docs, "text", topK = 5,
+      minCount = 5L).collect()
+    assert(got.nonEmpty)
+    val top = got.head
+    assert(top.getString(0) == "new york", s"top=$top")
+    // hand-check: c_xy=10, c_x=10, c_y=10, N = total tokens
+    val n = docs.select(explode(split(col("text"), " "))).count()
+    val lift = (10.0 / 10.0) * (n.toDouble / 10.0)
+    assert(top.getLong(1) == 10L && top.getDouble(4) == lift)
+    // every emitted pair respects the minCount floor
+    got.foreach(r => assert(r.getLong(1) >= 5L))
+  }
+
+  test("fuzzyKeyPairs: blocked levenshtein pairs, cap respected") {
+    val rows = Seq(
+      (1L, "red widget"), (2L, "rad widget"),   // dist 1, same block
+      (3L, "blue widget"),                      // dist 4 from both
+      (4L, "red bolt"), (5L, "red belt"),       // dist 1, blocks differ
+      (6L, "green gear")
+    ).toDF("id", "name")
+    val got = graft.ext.Dedup.fuzzyKeyPairs(rows, "id", "name",
+        substring_index(col("name"), " ", -1), maxDist = 4)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (4,5) NOT found: blocks "bolt" vs "belt" differ — the documented
+    // blocking recall trade-off
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // cap: block "widget" has 3 rows; maxBlock=2 must drop all its pairs
+    val capped = graft.ext.Dedup.fuzzyKeyPairs(rows, "id", "name",
+        substring_index(col("name"), " ", -1), maxDist = 4, maxBlock = 2)
+      .count()
+    assert(capped == 0L)
+    val audit = graft.ext.Dedup.oversizedFuzzyBlocks(rows,
+        substring_index(col("name"), " ", -1), maxBlock = 2).collect()
+    assert(audit.map(_.getString(0)).toSet == Set("widget"))
+  }
 }
