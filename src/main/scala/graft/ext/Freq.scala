@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequency-sketch operators over a pre-exploded item column — the
+  * "which items are FREQUENT" half of the approximate-analytics pair
+  * (HLL / q32 answers "how many DISTINCT"). Backed by the distributed
+  * Misra–Gries aggregate ([[graft.functions.MisraGries]]): partials are
+  * `capacity`-bounded maps built map-side; only those maps — never the
+  * item stream — cross the shuffle.
+  *
+  * Production use is [[heavyHitters]] alone (no exact pass anywhere).
+  * [[heavyHittersAudit]] additionally computes EXACT counts to check the
+  * sketch's guarantees — that is the oracle-checkable surface, because
+  * raw `est` values depend on partition order (the GUARANTEES hold for
+  * every order; the values do not).
+  */
+object Freq {
+
+  /** The Misra–Gries summary as rows: `(rank, item, est)`, est
+    * descending (item ascending on ties), rank 1 = most frequent.
+    * At most `capacity` rows. `est` never overcounts and undercounts by
+    * at most N/(capacity+1); every item with true count above that
+    * threshold is present.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, capacity: Int): DataFrame =
+    df.agg(graft.functions.FreqSketch.misraGries(col(itemCol), capacity)
+        .as("__sk"))
+      .select(posexplode(col("__sk")))
+      .select((col("pos") + 1L).cast("long").as("rank"),
+        col("col.item").as(itemCol), col("col.est").as("est"))
+
+  /** Derived-fact audit of the sketch guarantees against exact counts,
+    * over the exact top-`topK` items (a deterministic row set no matter
+    * how the sketch's internal state fell out):
+    *
+    *  - `no_overcount`: est ≤ true count (absent ⇒ est 0);
+    *  - `err_bounded`:  (true − est)·(capacity+1) ≤ N;
+    *  - `covered`:      in the sketch, OR below the guarantee threshold
+    *                    (true·(capacity+1) ≤ N) where absence is allowed.
+    *
+    * All three are theorems of Misra–Gries for EVERY partitioning and
+    * merge order, so the oracle emits literal TRUE. Products run in
+    * DECIMAL(38,0) so a corpus big enough to overflow BIGINT fails
+    * loudly in both engines instead of wrapping (same policy as
+    * vocabDrift/groupDiversity).
+    *
+    * Scale shape: the exact side is the audit's own cost (a count
+    * aggregate, map-side combined — the very thing the sketch avoids in
+    * production); the sketch side is one `capacity`-bounded global
+    * aggregate broadcast into the comparison.
+    */
+  def heavyHittersAudit(df: DataFrame, itemCol: String, capacity: Int,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val exact = df.groupBy(col(itemCol)).agg(count(lit(1)).as("cnt"))
+    val totals = exact.agg(sum("cnt").as("__n"))
+    val sketch = heavyHitters(df, itemCol, capacity)
+      .select(col(itemCol), col("est"))
+    exact
+      .join(sketch, Seq(itemCol), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(itemCol), col("cnt"),
+        (coalesce(col("est"), lit(0L)) <= col("cnt")).as("no_overcount"),
+        (dec(col("cnt") - coalesce(col("est"), lit(0L)))
+          * dec(lit(capacity + 1L)) <= dec(col("__n"))).as("err_bounded"),
+        (col("est").isNotNull ||
+          dec(col("cnt")) * dec(lit(capacity + 1L)) <= dec(col("__n")))
+          .as("covered"))
+      .orderBy(col("cnt").desc, col(itemCol))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[heavyHittersAudit]]: exact top-`topK` counts with
+    * the guarantee booleans as literal TRUE (they are theorems).
+    */
+  def heavyHittersAuditSql(table: String, itemE: String,
+      topK: Int): String =
+    s"""SELECT $itemE, CAST(count(*) AS BIGINT) AS cnt,
+       |  TRUE AS no_overcount, TRUE AS err_bounded, TRUE AS covered
+       |FROM $table GROUP BY $itemE
+       |ORDER BY cnt DESC, $itemE LIMIT $topK""".stripMargin
+}

@@ -211,6 +211,23 @@ object GraphQueries {
       "pk", "p_name", "string_split(p_name, ' ')[-1]", maxDist = 3) +
       "\nORDER BY id_a, id_b"
 
+  // ---------------------------------------------------------------- q95
+  // Misra–Gries heavy-hitter sketch audit: capacity 16 < the 31-token
+  // vocabulary, so partial-map trimming genuinely runs; the surface is
+  // the exact top-20 tokens with the three sketch guarantees as derived
+  // facts (theorems for ANY partition/merge order — raw est values are
+  // order-dependent and never cross the gate).
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Freq.heavyHittersAudit(
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token")),
+      "token", capacity = 16, topK = 20)
+
+  private val q95Sql =
+    graft.ext.Freq.heavyHittersAuditSql(
+      "(SELECT unnest(string_split(text, ' ')) AS token FROM documents)",
+      "token", 20)
+
   // ---------------------------------------------------------------- q93
   // Token-budget water-filling across sources: the fair per-source cap
   // such that Σ min(tokens_s, level) = budget. Integer closed form over
@@ -237,7 +254,8 @@ object GraphQueries {
     "q91_knn_graph" -> (q91 _),
     "q92_collocations" -> (q92 _),
     "q93_waterfill_budget" -> (q93 _),
-    "q94_fuzzy_key_match" -> (q94 _))
+    "q94_fuzzy_key_match" -> (q94 _),
+    "q95_heavy_hitters" -> (q95 _))
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
@@ -249,5 +267,6 @@ object GraphQueries {
     "q91_knn_graph" -> q91Sql,
     "q92_collocations" -> q92Sql,
     "q93_waterfill_budget" -> q93Sql,
-    "q94_fuzzy_key_match" -> q94Sql)
+    "q94_fuzzy_key_match" -> q94Sql,
+    "q95_heavy_hitters" -> q95Sql)
 }

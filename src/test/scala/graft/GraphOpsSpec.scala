@@ -225,6 +225,48 @@ class GraphOpsSpec extends SparkSuite {
     got.foreach(r => assert(r.getLong(1) >= 5L))
   }
 
+  test("misraGries: exact when distinct items fit the capacity") {
+    val items = Seq("a", "a", "a", "b", "b", "c").toDF("item")
+      .repartition(3)
+    val got = graft.ext.Freq.heavyHitters(items, "item", capacity = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L)))
+  }
+
+  test("misraGries: guarantees hold under eviction and merge") {
+    // zipf-ish stream: item i occurs 2^(8-i) times, i = 1..8 → N = 510;
+    // capacity 3 forces constant eviction, repartition(7) forces merges
+    val stream = (1 to 8).flatMap(i => Seq.fill(1 << (8 - i))(s"t$i"))
+    val items = stream.toDF("item").repartition(7)
+    val n = stream.size.toLong
+    val cap = 3
+    val est = graft.ext.Freq.heavyHitters(items, "item", cap)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(est.size <= cap)
+    val exact = stream.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong
+    }
+    exact.foreach { case (k, cnt) =>
+      val e = est.getOrElse(k, 0L)
+      assert(e <= cnt, s"$k overcounted: est=$e cnt=$cnt")
+      assert((cnt - e) * (cap + 1) <= n, s"$k err bound: est=$e cnt=$cnt")
+      if (cnt * (cap + 1) > n)
+        assert(est.contains(k), s"heavy item $k missing from sketch")
+    }
+  }
+
+  test("heavyHittersAudit: exact top-k rows, all guarantee facts true") {
+    val items = (1 to 6).flatMap(i => Seq.fill(i * i)(s"w$i"))
+      .toDF("item").repartition(5)
+    val got = graft.ext.Freq.heavyHittersAudit(items, "item",
+      capacity = 2, topK = 4).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("w6", "w5", "w4", "w3"))
+    assert(got.map(_.getLong(1)).toSeq == Seq(36L, 25L, 16L, 9L))
+    got.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4), r)
+    }
+  }
+
   test("fuzzyKeyPairs: blocked levenshtein pairs, cap respected") {
     val rows = Seq(
       (1L, "red widget"), (2L, "rad widget"),   // dist 1, same block
