@@ -110,6 +110,10 @@ object GraftExtensions {
       case Seq(score, item, k) =>
         TopKByScore(score, item, intLit(k, "k")).toAggregateExpression()
     },
+    "graft_misra_gries" -> {
+      case Seq(item, capacity) =>
+        MisraGries(item, intLit(capacity, "capacity")).toAggregateExpression()
+    },
     // The deterministic-sampling hash family in SQL. Built directly in
     // Catalyst (a Column-composed tree can't be injected: in Spark 4 the
     // Column API builds backend-neutral ColumnNodes whose UnresolvedF.

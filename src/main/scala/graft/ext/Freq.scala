@@ -82,4 +82,66 @@ object Freq {
        |  TRUE AS no_overcount, TRUE AS err_bounded, TRUE AS covered
        |FROM $table GROUP BY $itemE
        |ORDER BY cnt DESC, $itemE LIMIT $topK""".stripMargin
+
+  /** Derived-fact audit of Spark's rank sketch (`approx_percentile`,
+    * Greenwald–Khanna summaries) — the THIRD sketch of the approximate
+    * family: HLL counts distinct, Misra–Gries finds frequent, GK places
+    * ranks. Production use is plain `percentile_approx` (mergeable
+    * map-side summaries, no sort, no shuffle of values — the way to get
+    * p99s out of 100 TB); this audit checks each estimate's GK
+    * guarantee against exact rank counts:
+    *
+    *  - `rank_lo_ok` / `rank_hi_ok`: the estimate's exact rank is
+    *    within ε·N of the target rank p·N (ε = 1/accuracy; ±1 row of
+    *    slack for the summary's discrete rank arithmetic);
+    *  - `in_range`: the estimate is an actual data value (GK returns
+    *    retained samples, never interpolates).
+    *
+    * The booleans hold for any partitioning (GK summaries merge with
+    * additive error), so the oracle emits literal TRUE alongside the
+    * exact, deterministic `n_rows` — the same pattern as
+    * [[heavyHittersAudit]] and the HLL audit (q32).
+    */
+  def quantileAudit(df: DataFrame, valueCol: String, ps: Seq[Double],
+      accuracy: Int = 1000): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"ps must be in [0,1]: $ps")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    val eps = 1.0 / accuracy
+    val vals = df.filter(col(valueCol).isNotNull)
+    val pArr = array(ps.map(lit): _*)
+    val est = vals
+      .agg(percentile_approx(col(valueCol), pArr, lit(accuracy)).as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", "est")))
+      .select(element_at(pArr, col("__i") + 1).as("p"), col("est"))
+    vals.crossJoin(broadcast(est))
+      .groupBy("p", "est")
+      .agg(
+        sum(when(col(valueCol) <= col("est"), 1L).otherwise(0L)).as("__le"),
+        sum(when(col(valueCol) < col("est"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(col(valueCol) === col("est"), 1L).otherwise(0L)).as("__eq"),
+        count(lit(1)).as("n_rows"))
+      .select(col("p"), col("n_rows"),
+        (col("__le").cast("double") >=
+          (col("p") - eps) * col("n_rows").cast("double") - 1.0)
+          .as("rank_lo_ok"),
+        (col("__lt").cast("double") <=
+          (col("p") + eps) * col("n_rows").cast("double") + 1.0)
+          .as("rank_hi_ok"),
+        (col("__eq") > 0L).as("in_range"))
+      .orderBy("p")
+  }
+
+  /** DuckDB twin of [[quantileAudit]]: the probe list with the exact
+    * non-null row count and the guarantee booleans as literal TRUE.
+    */
+  def quantileAuditSql(table: String, valueE: String,
+      ps: Seq[Double]): String = {
+    val probes = ps.map(p => s"($p)").mkString(", ")
+    s"""SELECT CAST(t.p AS DOUBLE) AS p,
+       |  (SELECT CAST(count($valueE) AS BIGINT) FROM $table) AS n_rows,
+       |  TRUE AS rank_lo_ok, TRUE AS rank_hi_ok, TRUE AS in_range
+       |FROM (VALUES $probes) AS t(p)
+       |ORDER BY CAST(t.p AS DOUBLE)""".stripMargin
+  }
 }

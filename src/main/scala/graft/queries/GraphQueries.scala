@@ -228,6 +228,19 @@ object GraphQueries {
       "(SELECT unnest(string_split(text, ' ')) AS token FROM documents)",
       "token", 20)
 
+  // ---------------------------------------------------------------- q96
+  // GK rank-sketch audit: approx_percentile estimates at five probes
+  // over the event values, each checked against its exact rank window
+  // (ε = 1/accuracy) — the third sketch family (HLL=distinct, MG=
+  // frequent, GK=rank), all gated by guarantee-derived facts.
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Freq.quantileAudit(t(s, dir, "events"), "value",
+      ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99), accuracy = 100)
+
+  private val q96Sql =
+    graft.ext.Freq.quantileAuditSql("events", "value",
+      Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+
   // ---------------------------------------------------------------- q93
   // Token-budget water-filling across sources: the fair per-source cap
   // such that Σ min(tokens_s, level) = budget. Integer closed form over
@@ -255,7 +268,8 @@ object GraphQueries {
     "q92_collocations" -> (q92 _),
     "q93_waterfill_budget" -> (q93 _),
     "q94_fuzzy_key_match" -> (q94 _),
-    "q95_heavy_hitters" -> (q95 _))
+    "q95_heavy_hitters" -> (q95 _),
+    "q96_quantile_audit" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
@@ -268,5 +282,6 @@ object GraphQueries {
     "q92_collocations" -> q92Sql,
     "q93_waterfill_budget" -> q93Sql,
     "q94_fuzzy_key_match" -> q94Sql,
-    "q95_heavy_hitters" -> q95Sql)
+    "q95_heavy_hitters" -> q95Sql,
+    "q96_quantile_audit" -> q96Sql)
 }

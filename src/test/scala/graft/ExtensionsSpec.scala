@@ -94,6 +94,13 @@ class ExtensionsSpec extends SparkSuite {
       assert(top1.map(_.getLong(1)) == Seq(300L, 200L))
       assert(agg(1).getSeq[org.apache.spark.sql.Row](1)
         .map(_.getLong(1)) == Seq(500L))
+      val mg = ext.sql(
+        """SELECT graft_misra_gries(w, 8) AS sk
+          |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('b'), ('c')
+          |AS t(w)""".stripMargin).collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(mg.map(r => (r.getString(0), r.getLong(1))) ==
+        Seq(("a", 3L), ("b", 2L), ("c", 1L)))
       val hashes = ext.sql(
         """SELECT graft_sample_hash('42') AS h7,
           |       graft_seeded_hash('42', 7) AS h7b,

@@ -267,6 +267,19 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("quantileAudit: GK rank guarantees hold on a skewed column") {
+    // heavy-tailed values, many partitions → summaries genuinely merge
+    val vals = (1 to 2000).map(i => (i.toLong, (i * i).toDouble / 100.0))
+      .toDF("id", "v").repartition(11)
+    val got = graft.ext.Freq.quantileAudit(vals, "v",
+      ps = Seq(0.1, 0.5, 0.9, 0.99), accuracy = 50).collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(0.1, 0.5, 0.9, 0.99))
+    got.foreach { r =>
+      assert(r.getLong(1) == 2000L)
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4), r)
+    }
+  }
+
   test("fuzzyKeyPairs: blocked levenshtein pairs, cap respected") {
     val rows = Seq(
       (1L, "red widget"), (2L, "rad widget"),   // dist 1, same block
