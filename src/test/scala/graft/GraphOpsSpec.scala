@@ -280,6 +280,34 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("plan shapes: knnGraph/weightedPriority/heavyHitters stay off " +
+      "windows and keep map-side partials") {
+    val vecs = (1L to 30L).map(i =>
+      (i, Array.tabulate(8)(d => ((i + d) % 7 - 3).toFloat)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val knn = Similarity.knnGraph(vecs, k = 3, planes = 2)
+      .queryExecution.executedPlan.toString
+    // ranking via bounded heaps (map-side partial), never a window;
+    // the bucket-size cap joins via broadcast, not another shuffle
+    assert(knn.contains("partial_top_k_by_score"), knn.take(800))
+    assert(!knn.contains("Window"), knn.take(800))
+    assert(knn.contains("BroadcastHashJoin"), knn.take(800))
+
+    val docs = (1L to 50L).map(i => (i, s"s${i % 3}", i % 9 + 1))
+      .toDF("doc_id", "source", "w").repartition(4)
+    val wp = graft.ext.Sampling.weightedPriority(docs, col("source"),
+        "doc_id", col("w"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(wp.contains("partial_top_k_by_score"), wp.take(800))
+    assert(!wp.contains("Window"), wp.take(800))
+
+    val items = Seq("a", "b", "a").toDF("item").repartition(3)
+    val hh = graft.ext.Freq.heavyHitters(items, "item", 4)
+      .queryExecution.executedPlan.toString
+    // two-phase sketch: capacity-bounded partial maps, then merge
+    assert(hh.contains("partial_misra_gries"), hh.take(800))
+  }
+
   test("fuzzyKeyPairs: blocked levenshtein pairs, cap respected") {
     val rows = Seq(
       (1L, "red widget"), (2L, "rad widget"),   // dist 1, same block
