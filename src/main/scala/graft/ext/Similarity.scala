@@ -511,6 +511,74 @@ object Similarity {
        |SELECT id AS $idE, rank, neighbor_id, score
        |FROM __r WHERE rank <= $k""".stripMargin
 
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup end-to-end (Abbas et al., arXiv:2303.09540): cluster
+    * vectors whose cosine similarity clears `threshold` into transitive
+    * components via the kNN graph, and elect one canonical survivor per
+    * cluster — the embedding-space analogue of the MinHash →
+    * dupComponents → canonicalPerCluster text chain (q24→q49→q81).
+    * Output: `(component, n_members, canonical_id, n_dropped)` per
+    * cluster of size ≥ 2; a vector with no above-threshold neighbor is
+    * not a cluster and emits nothing (its drop count is zero).
+    *
+    * Canonical = smallest id — deterministic and oracle-reproducible; a
+    * production pipeline with per-doc quality scores would elect by
+    * `min(struct(-quality, id))` instead, exactly as
+    * [[Dedup.canonicalPerCluster]] does with token counts.
+    *
+    * Scale shape (100 TB): [[knnGraph]] does the only corpus-sized work
+    * (bucketed self-join, bounded heaps); thresholded edges are a tiny
+    * pair set; [[Dedup.dupComponents]] iterates on (id, long) labels
+    * only — each round one key shuffle of the EDGE set, lineage kept
+    * flat by localCheckpoint; the final rollup is map-side combined on
+    * |clusters| rows.
+    */
+  def semanticDedup(df: DataFrame, threshold: Double, k: Int = 5,
+      planes: Int = 4, idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val knn = knnGraph(df, k, planes, idCol, embCol, maxBucket)
+    val pairs = knn.filter(col("score") >= threshold)
+      .select(least(col(idCol), col("neighbor_id")).as("id_a"),
+        greatest(col(idCol), col("neighbor_id")).as("id_b"))
+      .distinct()
+    Dedup.dupComponents(pairs)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), min("id").as("canonical_id"))
+      .select(col("component"), col("n_members"), col("canonical_id"),
+        (col("n_members") - 1L).as("n_dropped"))
+  }
+
+  /** DuckDB twin of [[semanticDedup]]: the same kNN edges thresholded,
+    * components as recursive min-reachable-id (a different algorithm
+    * than Spark's label propagation that must land on identical
+    * clusters), same min-id election.
+    */
+  def semanticDedupSql(table: String, threshold: Double, k: Int = 5,
+      planes: Int = 4, idE: String = "vec_id", embE: String = "embedding",
+      maxBucket: Int = Dedup.DefaultMaxBucket): String =
+    s"""WITH RECURSIVE __g AS MATERIALIZED (
+       |  SELECT * FROM (
+       |${knnGraphSql(table, k, planes, idE, embE, maxBucket)})),
+       |__ver AS MATERIALIZED (
+       |  SELECT DISTINCT least($idE, neighbor_id) AS id_a,
+       |    greatest($idE, neighbor_id) AS id_b
+       |  FROM __g WHERE score >= $threshold),
+       |__ed AS MATERIALIZED (
+       |  SELECT id_a AS s, id_b AS d FROM __ver
+       |  UNION ALL SELECT id_b, id_a FROM __ver),
+       |__reach AS (
+       |  SELECT s AS v, s AS r FROM __ed
+       |  UNION
+       |  SELECT __reach.v, e.d FROM __reach JOIN __ed e ON __reach.r = e.s),
+       |__comp AS (SELECT v AS id, min(r) AS component
+       |  FROM __reach GROUP BY v)
+       |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(id) AS canonical_id,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+       |FROM __comp GROUP BY component""".stripMargin
+
   // --------------------------------------- random-projection reduction
 
   /** Johnson–Lindenstrauss-style dimensionality reduction: project an

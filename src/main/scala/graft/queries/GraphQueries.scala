@@ -241,6 +241,20 @@ object GraphQueries {
     graft.ext.Freq.quantileAuditSql("events", "value",
       Seq(0.01, 0.25, 0.5, 0.75, 0.99))
 
+  // ---------------------------------------------------------------- q97
+  // SemDeDup capstone: kNN graph → cosine-thresholded edges →
+  // transitive components (Spark: label propagation; oracle: recursive
+  // min-reachable-id — different algorithms, identical clusters) →
+  // min-id canonical election with drop counts.
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.35,
+        k = 5, planes = 4)
+      .orderBy("component")
+
+  private val q97Sql =
+    Similarity.semanticDedupSql("embeddings", threshold = 0.35,
+      k = 5, planes = 4) + "\nORDER BY component"
+
   // ---------------------------------------------------------------- q93
   // Token-budget water-filling across sources: the fair per-source cap
   // such that Σ min(tokens_s, level) = budget. Integer closed form over
@@ -269,7 +283,8 @@ object GraphQueries {
     "q93_waterfill_budget" -> (q93 _),
     "q94_fuzzy_key_match" -> (q94 _),
     "q95_heavy_hitters" -> (q95 _),
-    "q96_quantile_audit" -> (q96 _))
+    "q96_quantile_audit" -> (q96 _),
+    "q97_semantic_dedup" -> (q97 _))
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
@@ -283,5 +298,6 @@ object GraphQueries {
     "q93_waterfill_budget" -> q93Sql,
     "q94_fuzzy_key_match" -> q94Sql,
     "q95_heavy_hitters" -> q95Sql,
-    "q96_quantile_audit" -> q96Sql)
+    "q96_quantile_audit" -> q96Sql,
+    "q97_semantic_dedup" -> q97Sql)
 }

@@ -308,6 +308,25 @@ class GraphOpsSpec extends SparkSuite {
     assert(hh.contains("partial_misra_gries"), hh.take(800))
   }
 
+  test("semanticDedup: transitive clusters, min-id canonical, drops") {
+    // two tight clusters (1,2,3 near-identical; 10,11 near-identical)
+    // plus isolated 20: chains must close transitively even if e.g.
+    // 1~3 only ever surfaces via 2
+    def v(base: Int, jitter: Float) =
+      Array.tabulate(8)(d => math.sin(base * 31 + d).toFloat + jitter)
+    val vecs = Seq(
+      (1L, v(1, 0f)), (2L, v(1, 0.01f)), (3L, v(1, 0.02f)),
+      (10L, v(2, 0f)), (11L, v(2, 0.01f)),
+      (20L, v(3, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, threshold = 0.99,
+        k = 5, planes = 1)
+      .orderBy("component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 1L, 2L), (10L, 2L, 10L, 1L)),
+      got.mkString(", "))
+  }
+
   test("fuzzyKeyPairs: blocked levenshtein pairs, cap respected") {
     val rows = Seq(
       (1L, "red widget"), (2L, "rad widget"),   // dist 1, same block
