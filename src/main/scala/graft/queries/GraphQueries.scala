@@ -255,6 +255,88 @@ object GraphQueries {
     Similarity.semanticDedupSql("embeddings", threshold = 0.35,
       k = 5, planes = 4) + "\nORDER BY component"
 
+  // ---------------------------------------------------------------- q98
+  // Streaming trending items: the Misra–Gries sketch as a WINDOWED
+  // aggregate inside a real StreamingQuery (complete mode, AvailableNow)
+  // — per-hour top event types with fixed-size state per window instead
+  // of a per-key count state that grows with cardinality. Capacity 4 <
+  // the 5 event types, so eviction genuinely runs inside the state
+  // store. Gated like q95: the surface is the exact per-window top-3
+  // with the sketch guarantees as derived facts (est values are
+  // batch/partition-order-dependent; the guarantees are theorems).
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cap = 4
+    val tmp = Files.createTempDirectory("graft-stream-src")
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val stream = s.readStream.schema(
+          s.read.parquet(tmp.toString).schema)
+        .parquet(tmp.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(graft.functions.FreqSketch.misraGries(col("event_type"), cap)
+          .as("sk"))
+        .select(col("w.start").as("window_start"), col("sk"))
+      // same scoped state-partition floor as q37 (each shuffle partition
+      // is a checkpointed state store; 4 is the probed optimum)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName("q98_stream")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try { q.processAllAvailable() } finally q.stop()
+    } finally Q.deleteRecursively(tmp)
+    val sketch = s.table("q98_stream")
+      .select(col("window_start"), explode(col("sk")))
+      .select(col("window_start"), col("col.item").as("event_type"),
+        col("col.est").as("est"))
+    // exact side (batch) + guarantee facts, over the exact top-3 per
+    // window — a deterministic row set whatever the sketch state did
+    val exact = t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"))
+    val totals = exact.groupBy("window_start")
+      .agg(sum("cnt").as("nw"))
+    val top3 = exact
+      .groupBy("window_start")
+      .agg(graft.functions.TopK.topKByScore(col("cnt").cast("double"),
+        col("event_type"), 3).as("__top"))
+      .select(col("window_start"), explode(col("__top.item"))
+        .as("event_type"))
+    top3
+      .join(exact, Seq("window_start", "event_type"))
+      .join(sketch, Seq("window_start", "event_type"), "left")
+      .join(totals, Seq("window_start"))
+      .select(col("window_start"), col("event_type"), col("cnt"),
+        (coalesce(col("est"), lit(0L)) <= col("cnt")).as("no_overcount"),
+        ((col("cnt") - coalesce(col("est"), lit(0L)))
+          * lit(cap + 1L) <= col("nw")).as("err_bounded"),
+        (col("est").isNotNull || col("cnt") * lit(cap + 1L) <= col("nw"))
+          .as("covered"))
+      .orderBy("window_start", "event_type")
+  }
+
+  private val q98Sql =
+    """WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+      |    event_type FROM events),
+      |c AS (SELECT ws, event_type, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY ws
+      |    ORDER BY cnt DESC, event_type) AS rn FROM c)
+      |SELECT ws AS window_start, event_type, CAST(cnt AS BIGINT) AS cnt,
+      |  TRUE AS no_overcount, TRUE AS err_bounded, TRUE AS covered
+      |FROM r WHERE rn <= 3
+      |ORDER BY window_start, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q93
   // Token-budget water-filling across sources: the fair per-source cap
   // such that Σ min(tokens_s, level) = budget. Integer closed form over
@@ -284,7 +366,8 @@ object GraphQueries {
     "q94_fuzzy_key_match" -> (q94 _),
     "q95_heavy_hitters" -> (q95 _),
     "q96_quantile_audit" -> (q96 _),
-    "q97_semantic_dedup" -> (q97 _))
+    "q97_semantic_dedup" -> (q97 _),
+    "q98_streaming_trending" -> (q98 _))
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
@@ -299,5 +382,6 @@ object GraphQueries {
     "q94_fuzzy_key_match" -> q94Sql,
     "q95_heavy_hitters" -> q95Sql,
     "q96_quantile_audit" -> q96Sql,
-    "q97_semantic_dedup" -> q97Sql)
+    "q97_semantic_dedup" -> q97Sql,
+    "q98_streaming_trending" -> q98Sql)
 }
