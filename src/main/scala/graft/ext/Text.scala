@@ -708,6 +708,73 @@ object Text {
        |LIMIT $topK""".stripMargin
   }
 
+  // ------------------------------------------------------ source overlap
+
+  /** Cross-source vocabulary overlap matrix — the mixture-design
+    * diagnostic: for every pair of sources, the Jaccard overlap of
+    * their token vocabularies. Near-identical vocabularies flag
+    * mirrored/scraped-twice sources worth merging before weighting;
+    * near-disjoint ones flag domains a temperature mix should protect.
+    *
+    * Exactness: set sizes are exact BIGINTs; Jaccard is one double
+    * division of exact values — bit-identical across engines.
+    *
+    * Scale shape (100 TB): the corpus collapses to the DISTINCT
+    * (source, token) vocabulary first — map-side combined, Zipf-bounded
+    * per source; the pair intersection is an equi-join ON TOKEN between
+    * vocab tables (never corpus-sized, never a cross join of sources);
+    * per-source sizes broadcast back onto the |sources|² result. Output
+    * is |sources|·(|sources|−1)/2 rows — tiny at any corpus scale.
+    */
+  def sourceOverlap(df: DataFrame, keyCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val vocab = df.select(col(keyCol).as("__src"),
+        explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+    val sizes = vocab.groupBy("__src").agg(count(lit(1)).as("__vsz"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("__src").as("src_a"),
+        col("__vsz").as("vocab_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("__src").as("src_b"),
+        col("__vsz").as("vocab_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_common"))
+            .cast("double")).as("jaccard"))
+  }
+
+  /** DuckDB twin of [[sourceOverlap]] (same vocab collapse, same
+    * division).
+    */
+  def sourceOverlapSql(table: String, keyE: String,
+      textE: String): String =
+    s"""WITH __v AS MATERIALIZED (
+       |  SELECT DISTINCT $keyE AS src, tk AS token FROM (
+       |    SELECT $keyE, unnest(string_split($textE, ' ')) AS tk
+       |    FROM $table)
+       |  WHERE tk <> ''),
+       |__sz AS (SELECT src, count(*) AS vsz FROM __v GROUP BY src),
+       |__i AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+       |  FROM __v a JOIN __v b ON a.token = b.token AND a.src < b.src
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b,
+       |  CAST(sa.vsz AS BIGINT) AS vocab_a,
+       |  CAST(sb.vsz AS BIGINT) AS vocab_b,
+       |  CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(n_common AS DOUBLE)
+       |    / CAST(sa.vsz + sb.vsz - n_common AS DOUBLE) AS jaccard
+       |FROM __i
+       |JOIN __sz sa ON sa.src = src_a
+       |JOIN __sz sb ON sb.src = src_b""".stripMargin
+
   // ---------------------------------------------------------- repetition
 
   /** Within-document repetition signal — the Gopher/MassiveText "repetition

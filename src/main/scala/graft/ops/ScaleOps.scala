@@ -93,6 +93,96 @@ object ScaleOps {
       s"THEN $terms ELSE error('zValue: input out of range') END"
   }
 
+  /** Exact per-key dense ranking WITHOUT a per-key window — the
+    * scale-safe `row_number().over(partitionBy(key).orderBy(score))`:
+    * a plain window funnels EVERY row of a hot key through one reducer;
+    * this decomposes the key's order into `slices` score-contiguous
+    * sub-ranges (rank = sub-range offset + local rank), so a hot key
+    * spreads over `slices` reducers and the windows that remain are
+    * per-(key, slice). The same decomposition as
+    * [[graft.ext.Sampling.budgetPerKey]]'s sliced running sum, applied
+    * to ranking; the bounded-heap `TopKByScore` covers top-K — this
+    * covers FULL ranking (quantile normalization, curriculum ordering,
+    * per-source percentile quality calibration), where every row needs
+    * its position.
+    *
+    * Slicing is the pure monotone map `floor((score−lo)·slices/(hi−lo))`
+    * clamped to [0, slices): equal scores always land in the same slice
+    * (ties stay intact; they break on `id`, matching the oracle's
+    * `ORDER BY score DESC, id`), and a mis-estimated [lo, hi) only
+    * unbalances slices — never changes the output. A structural guard
+    * still verifies the slice ranges are disjoint per key and
+    * `raise_error`s on overlap (future non-monotone slicing bugs fail
+    * loudly, not silently re-rank).
+    *
+    * Output: `(id, key, score, rank, pct)` — rank 1 = highest score per
+    * key; `pct` = PERCENT_RANK = (rank−1)/(n−1), 0.0 for a 1-row key.
+    * One shuffle of the fact side (the (key, slice) exchange that also
+    * serves the local windows); offsets and key sizes ride tiny
+    * broadcast aggregates.
+    */
+  def rankSliced(df: DataFrame, key: Column, idCol: String, score: Column,
+      slices: Int = 16, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slices > 0, s"slices must be positive: $slices")
+    require(hi > lo, s"need hi > lo: [$lo, $hi)")
+    val s = score.cast("double")
+    val slice = least(greatest(
+        floor((s - lit(lo)) * lit(slices.toDouble) / lit(hi - lo)),
+        lit(0L)), lit(slices.toLong - 1)).cast("int")
+    val base = df.select(key.as("__key"), col(idCol), s.as("__score"),
+      slice.as("__slice"))
+    // per-(key, slice) counts + score ranges; the offset window runs
+    // over ≤ |keys|·slices rows. Descending slice order: rank counts
+    // from the TOP score down.
+    val offsetW = Window.partitionBy("__key").orderBy(col("__slice").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ordW = Window.partitionBy("__key").orderBy(col("__slice").asc)
+    val offsets = base.groupBy("__key", "__slice")
+      .agg(count(lit(1)).as("__cnt"),
+        min("__score").as("__lo"), max("__score").as("__hi"))
+      .withColumn("__offset",
+        coalesce(sum("__cnt").over(offsetW), lit(0L)))
+      .withColumn("__prev_hi", lag("__hi", 1).over(ordW))
+      // disjointness guard: a lower slice's max must stay strictly
+      // below this slice's min (pure monotone slicing guarantees it;
+      // anything else must explode, not silently mis-rank)
+      .withColumn("__guard",
+        when(col("__prev_hi").isNotNull && col("__prev_hi") >= col("__lo"),
+          raise_error(format_string(
+            "rankSliced: slice ranges overlap for key=%s slice=%s",
+            col("__key"), col("__slice")))).otherwise(lit(0)))
+      .select(col("__key"), col("__slice"), col("__offset"), col("__guard"))
+    val sizes = base.groupBy("__key").agg(count(lit(1)).as("__n"))
+    val localW = Window.partitionBy("__key", "__slice")
+      .orderBy(col("__score").desc, col(idCol).asc)
+    base.join(offsets, Seq("__key", "__slice"))
+      .join(broadcast(sizes), Seq("__key"))
+      .withColumn("rank",
+        (col("__offset") + row_number().over(localW) + col("__guard"))
+          .cast("long"))
+      .select(col(idCol), col("__key").as("key"), col("__score").as("score"),
+        col("rank"),
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("rank") - 1L).cast("double") /
+            (col("__n") - 1L).cast("double")).as("pct"))
+  }
+
+  /** DuckDB twin of [[rankSliced]]: the single-window formulation the
+    * sliced decomposition must reproduce exactly.
+    */
+  def rankSlicedSql(table: String, keyE: String, idE: String,
+      scoreE: String): String =
+    s"""SELECT $idE, $keyE AS key, CAST($scoreE AS DOUBLE) AS score,
+       |  CAST(row_number() OVER w AS BIGINT) AS rank,
+       |  CASE WHEN count(*) OVER (PARTITION BY $keyE) = 1 THEN 0.0
+       |    ELSE CAST(row_number() OVER w - 1 AS DOUBLE)
+       |      / CAST(count(*) OVER (PARTITION BY $keyE) - 1 AS DOUBLE)
+       |  END AS pct
+       |FROM $table
+       |WINDOW w AS (PARTITION BY $keyE
+       |  ORDER BY CAST($scoreE AS DOUBLE) DESC, $idE)""".stripMargin
+
   /** Bucketed managed-table write: pre-shuffles ONCE at write time so
     * every later equi-join/aggregate on `bucketCols` runs shuffle-free
     * (bucket-local sort-merge). The pattern for fact tables joined

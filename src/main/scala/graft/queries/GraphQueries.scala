@@ -337,6 +337,32 @@ object GraphQueries {
       |FROM r WHERE rn <= 3
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  // Cross-source vocabulary overlap matrix: per source pair, exact
+  // vocab sizes + intersection + Jaccard. Corpus collapses to the
+  // distinct (source, token) vocab before anything joins.
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.sourceOverlap(t(s, dir, "documents"))
+      .orderBy("src_a", "src_b")
+
+  private val q99Sql =
+    graft.ext.Text.sourceOverlapSql("documents", "source", "text") +
+      "\nORDER BY src_a, src_b"
+
+  // --------------------------------------------------------------- q100
+  // Scale-safe exact per-key ranking: every event ranked within its
+  // event type by value (rank + PERCENT_RANK), via the sliced
+  // decomposition — a hot type spreads over 16 reducers; the oracle is
+  // the single-window formulation the slices must reproduce exactly.
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.rankSliced(t(s, dir, "events"), col("event_type"),
+        "event_id", col("value"), slices = 16, lo = 0.0, hi = 500.0)
+      .orderBy("key", "rank")
+
+  private val q100Sql =
+    graft.ops.ScaleOps.rankSlicedSql("events", "event_type", "event_id",
+      "value") + "\nORDER BY key, rank"
+
   // ---------------------------------------------------------------- q93
   // Token-budget water-filling across sources: the fair per-source cap
   // such that Σ min(tokens_s, level) = budget. Integer closed form over
@@ -367,7 +393,9 @@ object GraphQueries {
     "q95_heavy_hitters" -> (q95 _),
     "q96_quantile_audit" -> (q96 _),
     "q97_semantic_dedup" -> (q97 _),
-    "q98_streaming_trending" -> (q98 _))
+    "q98_streaming_trending" -> (q98 _),
+    "q99_source_overlap" -> (q99 _),
+    "q100_rank_sliced" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
@@ -383,5 +411,7 @@ object GraphQueries {
     "q95_heavy_hitters" -> q95Sql,
     "q96_quantile_audit" -> q96Sql,
     "q97_semantic_dedup" -> q97Sql,
-    "q98_streaming_trending" -> q98Sql)
+    "q98_streaming_trending" -> q98Sql,
+    "q99_source_overlap" -> q99Sql,
+    "q100_rank_sliced" -> q100Sql)
 }

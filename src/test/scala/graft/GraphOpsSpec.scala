@@ -327,6 +327,51 @@ class GraphOpsSpec extends SparkSuite {
       got.mkString(", "))
   }
 
+  test("rankSliced == window formulation, ties break on id") {
+    import org.apache.spark.sql.expressions.Window
+    // scores collide on purpose (i % 40): tie-break paths are exercised
+    val rows = (1L to 400L).map(i =>
+      (i, s"k${i % 3}", (i % 40).toDouble / 40.0))
+      .toDF("id", "key", "score").repartition(7)
+    val got = graft.ops.ScaleOps.rankSliced(rows, col("key"), "id",
+        col("score"), slices = 8, lo = 0.0, hi = 1.0)
+      .select("id", "rank", "pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy("key")
+      .orderBy(col("score").desc, col("id").asc)
+    val n = Window.partitionBy("key")
+    val want = rows
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("pct",
+        when(count(lit(1)).over(n) === 1L, lit(0.0))
+          .otherwise((col("rank") - 1L).cast("double") /
+            (count(lit(1)).over(n) - 1L).cast("double")))
+      .select("id", "rank", "pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // out-of-range scores clamp into the edge slices, ranks still exact
+    val oob = Seq((1L, "a", -5.0), (2L, "a", 0.5), (3L, "a", 99.0))
+      .toDF("id", "key", "score")
+    val gotOob = graft.ops.ScaleOps.rankSliced(oob, col("key"), "id",
+        col("score"), slices = 4, lo = 0.0, hi = 1.0)
+      .select("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotOob == Set((3L, 1L), (2L, 2L), (1L, 3L)))
+  }
+
+  test("sourceOverlap: exact vocab sizes, intersection, jaccard") {
+    val docs = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "c d"),
+      (3L, "s2", "c d e"), (4L, "s3", "x y")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ext.Text.sourceOverlap(docs, "source", "text")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // s1={a,b,c,d} s2={c,d,e} overlap {c,d}; s3 disjoint → no row
+    assert(got.toSeq == Seq(("s1", "s2", 4L, 3L, 2L, 2.0 / 5.0)))
+  }
+
   test("fuzzyKeyPairs: blocked levenshtein pairs, cap respected") {
     val rows = Seq(
       (1L, "red widget"), (2L, "rad widget"),   // dist 1, same block
