@@ -372,6 +372,18 @@ class GraphOpsSpec extends SparkSuite {
     assert(got.toSeq == Seq(("s1", "s2", 4L, 3L, 2L, 2.0 / 5.0)))
   }
 
+  test("dupComponents: pointer jumping closes a 300-hop chain in " +
+      "20 rounds") {
+    // a pure path graph — worst case for plain min-label propagation
+    // (needs 300 rounds); path halving must close it in O(log n)
+    val chain = (1L until 300L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    val got = graft.ext.Dedup.dupComponents(chain, maxIter = 20)
+      .agg(countDistinct("component").as("nc"),
+        min("component").as("mn"), count(lit(1)).as("n")).collect()(0)
+    assert(got.getLong(0) == 1L && got.getLong(1) == 1L
+      && got.getLong(2) == 300L)
+  }
+
   test("fuzzyKeyPairs: blocked levenshtein pairs, cap respected") {
     val rows = Seq(
       (1L, "red widget"), (2L, "rad widget"),   // dist 1, same block
