@@ -610,10 +610,90 @@ object CoreQueries {
       |FROM nation WHERE n_nationkey % 5 = 0
       |ORDER BY n_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  // SCD Type 2 history-keeping upsert (Merge.scd2): one full-outer join
+  // against the WHOLE target (history rows fall out as join-misses on
+  // the `valid_to IS NULL` residual), changed keys emit closed + opened
+  // rows via a single inline'd struct array. Balances in integer cents
+  // (exact cross-engine). Stage: %10==0 changed, %10==3 identical
+  // (no-op), +1000000-shifted keys brand-new; %7==0 keys carry a closed
+  // history row that must pass through untouched.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val key = col("c_custkey").cast("long")
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val cur = cust.select(key.as("c_custkey"), col("c_name"),
+      cents.as("bal_cents"), to_date(lit("2025-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val hist = cust.filter(col("c_custkey") % 7 === 0)
+      .select(key.as("c_custkey"),
+        concat(col("c_name"), lit(" (v0)")).as("c_name"),
+        (cents - 500L).as("bal_cents"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        to_date(lit("2025-01-01")).as("valid_to"))
+    val stage = cust.filter(col("c_custkey") % 10 === 0 ||
+        col("c_custkey") % 10 === 3)
+      .select(key.as("c_custkey"),
+        when(col("c_custkey") % 10 === 0,
+          concat(col("c_name"), lit(" (v2)"))).otherwise(col("c_name"))
+          .as("c_name"),
+        (cents + when(col("c_custkey") % 10 === 0, 10000L).otherwise(0L))
+          .as("bal_cents"))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 6)
+        .select((key + 1000000L).as("c_custkey"), col("c_name"),
+          cents.as("bal_cents")))
+    Merge.scd2(hist.unionByName(cur), stage, "c_custkey",
+        Seq("c_name", "bal_cents"), to_date(lit("2026-08-13")))
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  private val q101Sql =
+    """WITH cur AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+      |    DATE '2025-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      |  FROM customer),
+      |hist AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |    c_name || ' (v0)' AS c_name,
+      |    CAST(round(c_acctbal*100) AS BIGINT) - 500 AS bal_cents,
+      |    DATE '2024-01-01' AS valid_from, DATE '2025-01-01' AS valid_to
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |stage AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN c_name || ' (v2)'
+      |         ELSE c_name END AS c_name,
+      |    CAST(round(c_acctbal*100) AS BIGINT)
+      |      + CASE WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END
+      |      AS bal_cents
+      |  FROM customer WHERE c_custkey % 10 IN (0, 3)
+      |  UNION ALL
+      |  SELECT CAST(c_custkey AS BIGINT) + 1000000, c_name,
+      |    CAST(round(c_acctbal*100) AS BIGINT)
+      |  FROM customer WHERE c_custkey % 10 = 6),
+      |changed AS (
+      |  SELECT c.c_custkey FROM cur c JOIN stage s USING (c_custkey)
+      |  WHERE s.c_name IS DISTINCT FROM c.c_name
+      |     OR s.bal_cents IS DISTINCT FROM c.bal_cents)
+      |SELECT * FROM hist
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_name, c.bal_cents, c.valid_from,
+      |  CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2026-08-13'
+      |  END AS valid_to
+      |FROM cur c LEFT JOIN changed ch USING (c_custkey)
+      |UNION ALL
+      |SELECT s.c_custkey, s.c_name, s.bal_cents,
+      |  DATE '2026-08-13' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      |FROM stage s LEFT JOIN cur c USING (c_custkey)
+      |WHERE c.c_custkey IS NULL OR s.c_name IS DISTINCT FROM c.c_name
+      |   OR s.bal_cents IS DISTINCT FROM c.bal_cents
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_scd1_partitioned" -> (q43 _),
+    "q101_merge_scd2" -> (q101 _),
     "q01_agg_pricing" -> (q01 _),
     "q02_flagship_pipeline" -> (q02 _),
     "q03_schema_conform" -> (q03 _),
@@ -639,6 +719,7 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q43_scd1_partitioned" -> q43Sql,
+    "q101_merge_scd2" -> q101Sql,
     "q01_agg_pricing" -> q01Sql,
     "q02_flagship_pipeline" -> q02Sql,
     "q03_schema_conform" -> q03Sql,

@@ -212,4 +212,72 @@ class WarehouseSpec extends SparkSuite {
     assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
       Seq((1L, false), (2L, false), (3L, false)))
   }
+
+  test("Merge.scd2: close+open on change, no-op, insert, reappear, " +
+      "history passthrough, null-key insert") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // k=1 history+current; k=2 current only; k=3 closed-only (reappears);
+    // k=4 current (no-op match); k=5 current (no stage row)
+    val target = Seq(
+      (Option(1L), "a-v0", d("2024-01-01"), Option(d("2025-01-01"))),
+      (Option(1L), "a-v1", d("2025-01-01"), Option.empty[java.sql.Date]),
+      (Option(2L), "b-v0", d("2025-01-01"), Option.empty[java.sql.Date]),
+      (Option(3L), "c-v0", d("2024-01-01"), Option(d("2025-01-01"))),
+      (Option(4L), "d-v0", d("2025-01-01"), Option.empty[java.sql.Date]),
+      (Option(5L), "e-v0", d("2025-01-01"), Option.empty[java.sql.Date]))
+      .toDF("id", "name", "valid_from", "valid_to")
+    val stage = Seq(
+      (Option(1L), "a-v2"),            // changed → close + open
+      (Option(3L), "c-v1"),            // closed key reappears → open
+      (Option(4L), "d-v0"),            // identical → no-op
+      (Option(6L), "f-v0"),            // brand-new → open
+      (Option.empty[Long], "nk"))      // null key → open
+      .toDF("id", "name")
+    val load = to_date(lit("2026-08-13"))
+    val out = Merge.scd2(target, stage, "id", Seq("name"), load)
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString)))
+      .sortBy(t => (t._1.getOrElse(Long.MaxValue), t._3))
+    assert(out.toSeq == Seq(
+      (Option(1L), "a-v0", "2024-01-01", Option("2025-01-01")), // history
+      (Option(1L), "a-v1", "2025-01-01", Option("2026-08-13")), // closed
+      (Option(1L), "a-v2", "2026-08-13", None),                 // opened
+      (Option(2L), "b-v0", "2025-01-01", None),                 // untouched
+      (Option(3L), "c-v0", "2024-01-01", Option("2025-01-01")), // history
+      (Option(3L), "c-v1", "2026-08-13", None),                 // reappear
+      (Option(4L), "d-v0", "2025-01-01", None),                 // no-op
+      (Option(5L), "e-v0", "2025-01-01", None),                 // untouched
+      (Option(6L), "f-v0", "2026-08-13", None),                 // insert
+      (None, "nk", "2026-08-13", None)))                        // null key
+  }
+
+  test("Merge.scd2 is idempotent: re-applying the same stage changes " +
+      "nothing") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val target = Seq(
+      (1L, "a-v1", d("2025-01-01"), Option.empty[java.sql.Date]),
+      (2L, "b-v0", d("2025-01-01"), Option.empty[java.sql.Date]))
+      .toDF("id", "name", "valid_from", "valid_to")
+    val stage = Seq((1L, "a-v2"), (3L, "c-v0")).toDF("id", "name")
+    val load = to_date(lit("2026-08-13"))
+    val once = Merge.scd2(target, stage, "id", Seq("name"), load)
+    val twice = Merge.scd2(once, stage, "id", Seq("name"), load)
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("Merge.scd2 probes the target once (single-scan plan)") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val target = Seq((1L, "a", d("2025-01-01"), Option.empty[java.sql.Date]))
+      .toDF("id", "name", "valid_from", "valid_to")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/tmp/graft-scd2-scan"))
+    target.write.mode("overwrite").parquet("/tmp/graft-scd2-scan/t")
+    val tgt = spark.read.parquet("/tmp/graft-scd2-scan/t")
+    val stage = Seq((1L, "a2")).toDF("id", "name")
+    val plan = Merge.scd2(tgt, stage, "id", Seq("name"),
+      to_date(lit("2026-08-13"))).queryExecution.executedPlan.toString
+    val scans = "graft-scd2-scan/t".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one target scan, got $scans:\n$plan")
+  }
 }
