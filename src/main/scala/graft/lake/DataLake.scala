@@ -139,4 +139,37 @@ object DataLake {
           n
         } finally { fresh.unpersist(); () }
     }
+
+  /** Small-file compaction — the maintenance pass every continuously-
+    * ingested lake needs: micro-batch appends ([[appendIncremental]],
+    * streaming `foreachBatch`) each land a few small files, and a year
+    * of polls turns a partition into 10⁵ kilobyte files whose open/seek
+    * overhead dominates scans (and whose footers bloat planning). This
+    * rewrites one table / one hive partition dir — the unit a real
+    * maintenance job iterates, newest-first — into `⌈bytes/target⌉`
+    * files of ~`targetBytes` each.
+    *
+    * Returns (files before, files after). Content is byte-preserved
+    * (gate-checked by q104); only layout changes. `repartition(n)` is a
+    * round-robin exchange — even output sizes regardless of input skew.
+    * The write lands in `outPath` (swap-on-success belongs to the
+    * caller's transactional layer; overwriting in place would lose the
+    * lake on a mid-write crash).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    def dataFiles(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(f => f.isFile &&
+        f.getPath.getName.endsWith(".parquet"))
+    }
+    val in = dataFiles(inPath)
+    val bytes = in.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (in.length, dataFiles(outPath).length)
+  }
 }

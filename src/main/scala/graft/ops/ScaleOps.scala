@@ -122,7 +122,14 @@ object ScaleOps {
     * broadcast aggregates.
     */
   def rankSliced(df: DataFrame, key: Column, idCol: String, score: Column,
-      slices: Int = 16, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+      slices: Int = 16, lo: Double = 0.0, hi: Double = 1.0): DataFrame =
+    rankSlicedFull(df, key, idCol, score, slices, lo, hi).drop("__n")
+
+  /** [[rankSliced]] plus the per-key row count `__n` (needed by
+    * [[equiDepthBins]]'s bin formula without a second pass).
+    */
+  private def rankSlicedFull(df: DataFrame, key: Column, idCol: String,
+      score: Column, slices: Int, lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(slices > 0, s"slices must be positive: $slices")
     require(hi > lo, s"need hi > lo: [$lo, $hi)")
@@ -165,8 +172,49 @@ object ScaleOps {
         col("rank"),
         when(col("__n") === 1L, lit(0.0))
           .otherwise((col("rank") - 1L).cast("double") /
-            (col("__n") - 1L).cast("double")).as("pct"))
+            (col("__n") - 1L).cast("double")).as("pct"),
+        col("__n"))
   }
+
+  /** Exact global equi-depth binning per key WITHOUT a per-key window
+    * funnel: every row lands in bin `⌊(rank−1)·nBins / n⌋` (bin 0 =
+    * highest scores), computed on [[rankSliced]]'s decomposition — pure
+    * BIGINT floor division, so the boundaries are bit-identical to the
+    * single-window oracle. This is the quantile-discretizer /
+    * curriculum-difficulty-bucket / per-source-quality-tier op: unlike
+    * an `approx_percentile`-edged histogram the depths are EXACTLY
+    * balanced (bins differ by ≤ 1 row), and unlike `ntile` over one
+    * window a hot key spreads across `slices` reducers.
+    *
+    * Output: `(key, bin, n_rows, lo_score, hi_score)` — the realized
+    * per-bin depth and score range (the empirical quantile edges). The
+    * rollup reuses the ranking's `(key, slice)` exchange up to the
+    * final tiny `(key, bin)` aggregate.
+    */
+  def equiDepthBins(df: DataFrame, key: Column, idCol: String,
+      score: Column, nBins: Int, slices: Int = 16, lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    rankSlicedFull(df, key, idCol, score, slices, lo, hi)
+      .withColumn("bin", expr(s"(rank - 1L) * ${nBins}L div __n"))
+      .groupBy("key", "bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min("score").as("lo_score"), max("score").as("hi_score"))
+  }
+
+  /** DuckDB twin of [[equiDepthBins]]: the single-window formulation. */
+  def equiDepthBinsSql(table: String, keyE: String, idE: String,
+      scoreE: String, nBins: Int): String =
+    s"""WITH ranked AS (
+       |  SELECT $keyE AS key, CAST($scoreE AS DOUBLE) AS score,
+       |    row_number() OVER (PARTITION BY $keyE
+       |      ORDER BY CAST($scoreE AS DOUBLE) DESC, $idE) AS rank,
+       |    count(*) OVER (PARTITION BY $keyE) AS n
+       |  FROM $table)
+       |SELECT key, CAST(((rank - 1) * $nBins) // n AS BIGINT) AS bin,
+       |  count(*) AS n_rows, min(score) AS lo_score,
+       |  max(score) AS hi_score
+       |FROM ranked GROUP BY key, bin""".stripMargin
 
   /** DuckDB twin of [[rankSliced]]: the single-window formulation the
     * sliced decomposition must reproduce exactly.

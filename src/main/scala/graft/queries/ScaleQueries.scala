@@ -877,9 +877,68 @@ object ScaleQueries {
        |FROM mixed ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q102
+  // Incremental mergeable rollups: per-(day, key) algebraic partials
+  // (count/sum/min/max in exact cents) merged to per-key totals — the
+  // never-rescan-history aggregation pattern. The oracle computes the
+  // totals directly from raw events; the partial-merge decomposition
+  // must reproduce them exactly.
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val parts = graft.ops.IncrementalAgg.partials(t(s, dir, "events"),
+      to_date(col("ts")), col("event_type"), round(col("value") * 100))
+    graft.ops.IncrementalAgg.mergeTotals(parts).orderBy("key")
+  }
+
+  private val q102Sql =
+    graft.ops.IncrementalAgg.totalsSql("events", "event_type",
+      "round(value*100)") + "\nORDER BY key"
+
+  // --------------------------------------------------------------- q103
+  // Exact equi-depth binning per event type (8 bins over value) via the
+  // sliced-ranking decomposition — quantile discretization where a hot
+  // key spreads over 16 reducers instead of one window funnel; depths
+  // balanced to ±1 row, edges bit-equal to the single-window oracle.
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.equiDepthBins(t(s, dir, "events"),
+        col("event_type"), "event_id", col("value"), nBins = 8,
+        slices = 16, lo = 0.0, hi = 500.0)
+      .orderBy("key", "bin")
+
+  private val q103Sql =
+    graft.ops.ScaleOps.equiDepthBinsSql("events", "event_type",
+      "event_id", "value", 8) + "\nORDER BY key, bin"
+
+  // --------------------------------------------------------------- q104
+  // Lake small-file compaction: 64 micro-batch-sized files rewritten to
+  // ~1 MB targets; the gate checks content is byte-preserved across the
+  // rewrite (layout is asserted in LakeSpec — the oracle can't see file
+  // counts). Fixture-writes happen inside the query body; the result is
+  // localCheckpoint'ed so the temp dirs die before it is consumed.
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q104_lake")
+    try {
+      val in = tmp.resolve("in").toString
+      val out = tmp.resolve("out").toString
+      t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(64).write.parquet(in)
+      graft.lake.DataLake.compact(s, in, out, targetBytes = 1L << 20)
+      s.read.parquet(out)
+        .orderBy("event_id")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q104Sql =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_incremental_rollup" -> (q102 _),
+    "q103_equidepth_bins" -> (q103 _),
+    "q104_lake_compaction" -> (q104 _),
     "q44_asof_sliced" -> (q44 _),
     "q45_schema_evolution" -> (q45 _),
     "q46_bloom_anti_join" -> (q46 _),
@@ -915,6 +974,9 @@ object ScaleQueries {
     * counts) precisely so the sketch/k-means paths stay oracle-checkable.
     */
   val oracles: Map[String, String] = Map(
+    "q102_incremental_rollup" -> q102Sql,
+    "q103_equidepth_bins" -> q103Sql,
+    "q104_lake_compaction" -> q104Sql,
     "q44_asof_sliced" -> q40Sql, // identical semantics to q40 by design
     "q45_schema_evolution" -> q45Sql,
     "q46_bloom_anti_join" -> q46Sql,

@@ -56,4 +56,17 @@ class LakeSpec extends SparkSuite {
       Seq((1L, "a"), (2L, "b")).toDF("id", "name"), path)
     assert(n == 1 && spark.read.parquet(path).count() == 2)
   }
+
+  test("compact merges small files, preserves content exactly") {
+    val in = tmpDir() + "/frag"
+    val out = tmpDir() + "/compacted"
+    val rows = (1L to 1000L).map(i => (i, s"row-$i")).toDF("id", "name")
+    rows.repartition(32).write.parquet(in) // 32 micro-batch-sized files
+    val (before, after) = DataLake.compact(spark, in, out,
+      targetBytes = 1L << 30) // everything fits one target file
+    assert(before == 32 && after == 1, s"got ($before, $after)")
+    val a = spark.read.parquet(out).orderBy("id").collect().toSeq
+    val b = rows.orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -139,4 +139,47 @@ class ScaleOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join should be shuffle-free, got:\n$plan")
   }
+
+  test("equiDepthBins: depths balanced to ±1, edges follow rank order") {
+    // 10 rows, 3 bins → depths 4/3/3; bin 0 holds the TOP scores
+    val rows = (1L to 10L).map(i => ("k", i, i.toDouble * 10))
+      .toDF("key", "id", "score")
+    val got = ScaleOps.equiDepthBins(rows, col("key"), "id", col("score"),
+        nBins = 3, slices = 4, lo = 0.0, hi = 120.0)
+      .orderBy("bin")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("k", 0L, 4L, 70.0, 100.0),
+      ("k", 1L, 3L, 40.0, 60.0),
+      ("k", 2L, 3L, 10.0, 30.0)))
+  }
+
+  test("IncrementalAgg: fold-forward merge equals direct totals") {
+    import graft.ops.IncrementalAgg
+    val day1 = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
+      .withColumn("d", lit("2026-01-01"))
+    val day2 = Seq(("a", 30L), ("b", 1L)).toDF("k", "v")
+      .withColumn("d", lit("2026-01-02"))
+    val day3 = Seq(("a", 2L), ("c", 7L)).toDF("k", "v")
+      .withColumn("d", lit("2026-01-03"))
+    def direct(days: org.apache.spark.sql.DataFrame*) =
+      days.reduce(_ unionByName _).groupBy(col("k").as("key"))
+        .agg(count("v").as("cnt"), sum("v").as("sum"),
+          min("v").as("min"), max("v").as("max"))
+        .withColumn("avg",
+          col("sum").cast("double") / col("cnt").cast("double"))
+        .orderBy("key").collect().toSeq
+    def parts(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.partials(df, col("d"), col("k"), col("v"))
+    // (1) merge of two days' partials == direct totals over both days
+    val merged12 = IncrementalAgg.mergeTotals(parts(day1).unionByName(parts(day2)))
+    assert(merged12.orderBy("key").collect().toSeq == direct(day1, day2))
+    // (2) fold-forward: yesterday's merged totals re-enter the merge as
+    // one more state alongside today's partial — no history rescan
+    val folded = IncrementalAgg.mergeTotals(
+      merged12.select("key", "cnt", "sum", "min", "max")
+        .unionByName(parts(day3).drop("slice")))
+    assert(folded.orderBy("key").collect().toSeq ==
+      direct(day1, day2, day3))
+  }
 }
