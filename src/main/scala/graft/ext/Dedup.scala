@@ -500,6 +500,28 @@ object Dedup {
 
   // --------------------------------------------- transitive dup clusters
 
+  /** Eager local checkpoint that also FLATTENS plan statistics.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but propagates the
+    * origin plan's size ESTIMATE into the new leaf (SPARK-39748). In an
+    * iterative loop whose round joins the previous round's checkpoint
+    * with itself, that estimate compounds multiplicatively —
+    * `size_N ≈ size_{N-1}³` for the three-way pointer-jumping round — so
+    * by round ~13 Catalyst's stats arithmetic is multiplying BigIntegers
+    * of 10⁸ bits and each round's PLANNING (JoinSelection /
+    * InjectRuntimeFilter calling `plan.stats`) takes minutes of driver
+    * CPU while executors sit idle (observed on q97 at sf0.1: >20 min
+    * driver-bound in `SizeInBytesOnlyStatsPlanVisitor`). Rebuilding the
+    * frame from the checkpointed RDD yields a fresh leaf with flat
+    * default stats: per-round planning cost stays constant for any
+    * number of rounds. The row round-trip is per-(id,long)-pair and only
+    * on label-sized data.
+    */
+  private def flatCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Connected components over verified near-dup pairs — the transitive
     * clustering that greedy per-pair dropping approximates (a~b, b~c ⇒
     * {a,b,c} are one cluster even when a~c was never a candidate).
@@ -531,13 +553,11 @@ object Dedup {
     // against it, and without this the whole upstream pair pipeline
     // (LSH + verify, for near-dup input) would re-run per round —
     // measured 4.95 s → 1.2 s at sf0.1 for q49
-    val edges = pairs
+    val edges = flatCheckpoint(pairs
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))))
+    var labels = flatCheckpoint(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -565,12 +585,11 @@ object Dedup {
         .select(col("id").as("component"), col("component").as("__via2"))
       // carry the old label through the checkpoint: convergence is then
       // a scan of materialized blocks, not another shuffle join
-      val next = step1
+      val next = flatCheckpoint(step1
         .join(via2, Seq("component"), "left")
         .select(col("id"), col("__old"),
           least(col("component"),
-            coalesce(col("__via2"), col("component"))).as("component"))
-        .localCheckpoint(true)
+            coalesce(col("__via2"), col("component"))).as("component")))
       converged = next.filter(col("component") =!= col("__old")).isEmpty
       labels = next.select("id", "component")
       iter += 1
