@@ -16,12 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.all ++ graft.queries.ExtQueries.all ++
       graft.queries.ScaleQueries.all ++ graft.queries.PrepQueries.all ++
-      graft.queries.GraphQueries.all
+      graft.queries.GraphQueries.all ++ graft.queries.DeltaQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.ExtQueries.oracles ++
       graft.queries.ScaleQueries.oracles ++ graft.queries.PrepQueries.oracles ++
-      graft.queries.GraphQueries.oracles
+      graft.queries.GraphQueries.oracles ++ graft.queries.DeltaQueries.oracles
 }

@@ -55,6 +55,65 @@ object Profiler {
       .select("p.*")
   }
 
+  /** Join-key skew report — the pre-flight check before a big join or
+    * aggregation: the exact top-`topK` heaviest keys, each with its row
+    * count, exact ppm share of the table, a skew verdict (count exceeds
+    * `factor`× the mean key load, decided by integer cross-product —
+    * `cnt·n_keys > factor·total` — so no float touches the verdict), and
+    * the salt fan-out that would level it (`ceil(cnt/mean)` buckets,
+    * i.e. the explode factor [[graft.queries.ScaleQueries]]'s salted
+    * join q31 would need). This is how a 100 TB pipeline *decides* to
+    * salt: measure first, pay the build-side explode only on keys that
+    * need it.
+    *
+    * Scale shape: one map-side-combined count per key (the only
+    * table-sized shuffle, carrying (key, long) pairs), a 1-row total
+    * broadcast back over the counts, and a TakeOrdered top-K — the
+    * counts table never globally sorts. All arithmetic is guarded
+    * BIGINT: Spark raises on the (astronomically distant) overflow
+    * instead of wrapping, mirroring DuckDB's native overflow error.
+    */
+  def skewAdvisor(df: DataFrame, key: Column, topK: Int = 20,
+      factor: Long = 2L): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(factor > 0, s"factor must be positive: $factor")
+    val counts = df.groupBy(key.cast("string").as("key_value"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("tot"), count(lit(1)).as("n_keys"))
+    // exact integer bounds (Column `/` is double division — lossy at
+    // Long.MaxValue scale, so divide in Scala / with DIV instead)
+    val fits = col("cnt") <= lit(Long.MaxValue / 1000000L) &&
+      col("cnt") <= expr(s"${Long.MaxValue}L DIV n_keys") &&
+      col("tot") <= lit(Long.MaxValue / factor)
+    counts.crossJoin(broadcast(totals))
+      .select(col("key_value"), col("cnt"),
+        when(fits, expr("cnt * 1000000 DIV tot")).otherwise(raise_error(
+            lit("skewAdvisor: BIGINT overflow — table too large")))
+          .as("ppm_share"),
+        (col("cnt") * col("n_keys") > lit(factor) * col("tot"))
+          .as("is_skewed"),
+        expr("(cnt * n_keys + tot - 1) DIV tot").as("salt_buckets"))
+      .orderBy(col("cnt").desc, col("key_value"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[skewAdvisor]]. `sum(cnt)` is HUGEINT there — cast
+    * back to BIGINT so the dtype (and the driver's hash) matches Spark.
+    */
+  def skewAdvisorSql(table: String, keyE: String, topK: Int = 20,
+      factor: Long = 2L): String =
+    s"""WITH counts AS MATERIALIZED (
+       |  SELECT CAST($keyE AS VARCHAR) AS key_value, count(*) AS cnt
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+       |  count(*) AS n_keys FROM counts)
+       |SELECT key_value, cnt,
+       |  cnt * 1000000 // tot AS ppm_share,
+       |  cnt * n_keys > $factor * tot AS is_skewed,
+       |  (cnt * n_keys + tot - 1) // tot AS salt_buckets
+       |FROM counts, tot
+       |ORDER BY cnt DESC, key_value LIMIT $topK""".stripMargin
+
   /** DuckDB twin of [[profile]] for one column (UNION ALL per column). */
   def profileColSql(table: String, c: String): String =
     s"""SELECT '$c' AS col_name,

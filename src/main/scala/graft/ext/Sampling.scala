@@ -540,6 +540,39 @@ object Sampling {
     df.withColumn("split", cased)
   }
 
+  /** Leakage-safe split: [[splitAssign]] where every member of a dup
+    * cluster lands in the SAME split. Plain per-doc splitting leaks
+    * evaluation data — a near-duplicate pair straddling train/test means
+    * the model is scored on (a copy of) its own training data, which is
+    * exactly what near-dedup was run to prevent. Hashing the CLUSTER
+    * label (min-id component from [[Dedup.dupComponents]]) instead of
+    * the doc id makes the whole cluster move as one unit; docs in no
+    * cluster hash their own id, so for them the assignment is identical
+    * to [[splitAssign]] — adding edges never migrates an untouched doc.
+    *
+    * Scale shape: `components` is delta-sized (only docs with a dup
+    * edge appear — at production dup rates a few percent of the
+    * corpus), so the left join broadcasts or, past that, shuffles only
+    * (id, component) pairs against the corpus ids; the split itself
+    * stays a zero-shuffle literal CASE on the coalesced label.
+    *
+    * @param components (`idCol`, `component`) pairs from
+    *                   [[graft.ext.Dedup.dupComponents]] (its `id`
+    *                   column renamed/aliased to `idCol` if needed)
+    */
+  def splitByCluster(df: DataFrame, idCol: String, components: DataFrame,
+      splits: Seq[(String, Double)],
+      hash: Column => Column = spreadHash(23)): DataFrame = {
+    require(!df.columns.contains("group_key"),
+      "splitByCluster adds a `group_key` column; the input already has one")
+    val comp = components.select(col(idCol).as("__cid"),
+      col("component").as("__component"))
+    val labeled = df.join(comp, col(idCol) === col("__cid"), "left")
+      .withColumn("group_key", coalesce(col("__component"), col(idCol)))
+      .drop("__cid", "__component")
+    splitAssign(labeled, col("group_key"), splits, hash)
+  }
+
   /** DuckDB twin of [[splitAssign]]'s CASE chain. */
   def splitAssignSql(keyE: String, splits: Seq[(String, Double)],
       seed: Int = 23): String = {

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.ChangeApply
+import Q.t
+
+/** Round-8 incremental-pipeline queries: CDC log replay and the
+  * versioned-table operations built on it. Complements [[SnapshotDiff]]
+  * (producing deltas) with the consuming side (applying them).
+  */
+object DeltaQueries {
+
+  // ---------------------------------------------------------------- q105
+  // CDC log replay: the events table read as a change feed — per user,
+  // the latest entry by (ts, event_id) wins; a final 'error' event
+  // tombstones the user. ONE map-side-combinable struct-max aggregate:
+  // a hot key's million updates cross the shuffle as one candidate per
+  // map task, never through a row_number window's single-reducer sort.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val log = t(s, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    ChangeApply.latestSnapshot(log, "user_id", Seq("ts", "event_id"),
+        "op", Seq("event_type", "value", "props"))
+      .orderBy("user_id")
+  }
+
+  private val q105Sql = ChangeApply.latestSnapshotSql(
+    """SELECT user_id, ts, event_id,
+      |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |  event_type, value, props
+      |FROM events""".stripMargin,
+    "user_id", Seq("ts", "event_id"), "op",
+    Seq("event_type", "value", "props")) + "\nORDER BY user_id"
+
+  // ---------------------------------------------------------------- q107
+  // Join-key skew advisor: exact top-20 heaviest customer keys in
+  // orders with ppm share, integer-cross-product skew verdict, and the
+  // salt fan-out that would level each (the measurement step that
+  // decides whether q31's salted join is worth its build-side explode).
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiler.skewAdvisor(t(s, dir, "orders"), col("o_custkey"),
+      topK = 20, factor = 2L)
+
+  private val q107Sql =
+    graft.ext.Profiler.skewAdvisorSql("orders", "o_custkey",
+      topK = 20, factor = 2L)
+
+  // ---------------------------------------------------------------- q108
+  // Stream-static enrichment ingest: events replayed as three "daily"
+  // micro-batches (batch = event_id % 3), each broadcast-left-joined
+  // with the customer dim and appended to the enriched table exactly
+  // once (checkpointed AvailableNow lifecycle, as q70). The enriched
+  // table must equal the plain batch join — the stream-static contract.
+  // Bench note: the seconds are fixture + streaming lifecycle (3 batch
+  // files, managed-table create, 3 checkpointed commits), not plan cost.
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-enrich-src")
+    val ckpt = Files.createTempDirectory("graft-enrich-ckpt")
+    val table = "graft.q108_enriched"
+    try {
+      val events = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      writeIdBatches(events, "event_id", tmp)
+      val dim = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      graft.warehouse.Warehouse.ensureDatabase(s, "graft")
+      graft.warehouse.Warehouse.dropManagedTable(s, table)
+      events.limit(0)
+        .join(dim, col("user_id") === col("c_custkey"), "left")
+        .drop("c_custkey")
+        .write.saveAsTable(table)
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      // per-batch joins at this scale don't need 32 shuffle partitions
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streams.enrichIngest(stream, dim, table,
+          ckpt.toString, "user_id", "c_custkey")
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally { Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt) }
+    s.table(table).orderBy("event_id")
+  }
+
+  private val q108Sql =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value,
+      |  c.c_name, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Shared streaming fixture (same shape as q70's): split `df` into
+    * three batch files (`idCol` % 3) with strictly ascending mod-times
+    * so the file source replays them oldest-first in batch order.
+    */
+  private def writeIdBatches(df: DataFrame, idCol: String,
+      tmp: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, attribute}
+    (0 to 2).foreach { b =>
+      val stage = Files.createTempDirectory(s"graft-enrich-stage$b")
+      try {
+        df.filter(col(idCol) % 3 === b).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = {
+          val st = Files.list(stage)
+          try st.filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally st.close()
+        }
+        val dst = tmp.resolve(s"b$b.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+        ()
+      } finally Q.deleteRecursively(stage)
+    }
+  }
+
+  // ----------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_cdc_replay" -> (q105 _),
+    "q107_skew_advisor" -> (q107 _),
+    "q108_stream_enrich" -> (q108 _))
+
+  val oracles: Map[String, String] = Map(
+    "q105_cdc_replay" -> q105Sql,
+    "q107_skew_advisor" -> q107Sql,
+    "q108_stream_enrich" -> q108Sql)
+}

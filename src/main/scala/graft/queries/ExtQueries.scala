@@ -491,6 +491,35 @@ object ExtQueries {
        |FROM qe, probe ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q106
+  // Leakage-safe train/val/test split: q74's hash split keyed on q49's
+  // dup-cluster label instead of the doc id, so a near-duplicate pair
+  // can never straddle train and test (the eval-contamination failure
+  // mode near-dedup exists to prevent). Docs in no cluster hash their
+  // own id — identical to plain splitAssign for them.
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ext.Sampling.splitByCluster(
+        docs.select("doc_id", "source"), "doc_id",
+        Dedup.dupComponents(
+          Dedup.nearDuplicates(docs, "doc_id", "text",
+            threshold = 0.2, k = K, bands = BANDS))
+          .select(col("id").as("doc_id"), col("component")),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+  }
+
+  private val q106Sql =
+    componentsCte + s""",
+       |labeled AS (
+       |  SELECT d.doc_id, d.source,
+       |    COALESCE(c.component, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN comp c USING (doc_id))
+       |SELECT doc_id, source, group_key,
+       |  ${graft.ext.Sampling.splitAssignSql("group_key",
+             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+       |FROM labeled ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -508,7 +537,8 @@ object ExtQueries {
     "q42_corpus_curation" -> (q42 _),
     "q49_dup_components" -> (q49 _),
     "q51_int8_quantization" -> (q51 _),
-    "q81_canonical_per_cluster" -> (q81 _))
+    "q81_canonical_per_cluster" -> (q81 _),
+    "q106_leakage_safe_split" -> (q106 _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_stats" -> q20Sql,
@@ -525,5 +555,6 @@ object ExtQueries {
     "q42_corpus_curation" -> q42Sql,
     "q49_dup_components" -> q49Sql,
     "q51_int8_quantization" -> q51Sql,
-    "q81_canonical_per_cluster" -> q81Sql)
+    "q81_canonical_per_cluster" -> q81Sql,
+    "q106_leakage_safe_split" -> q106Sql)
 }

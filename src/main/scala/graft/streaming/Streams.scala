@@ -219,6 +219,44 @@ object Streams {
       .start()
   }
 
+  /** Continuous-ingest ENRICHMENT — the stream-static join stage of an
+    * ingest pipeline: each micro-batch left-joins a slowly-changing
+    * dimension (user/source/geo metadata) and appends the enriched rows
+    * to a managed table, exactly once across restarts (checkpointed
+    * offsets, as in [[dedupIngest]]).
+    *
+    * The dim side is `broadcast()` — the production shape for a
+    * metadata table orders of magnitude smaller than the stream: the
+    * batch never shuffles, each executor probes a local hash map. A
+    * dim too big to broadcast would instead be stored bucketed on the
+    * key ([[graft.ops.ScaleOps.writeBucketed]]) so the per-batch join
+    * shuffles only the (small) batch side. The dim SCANS per batch
+    * (nothing is cached here), but its file listing is pinned when the
+    * caller builds the plan — a dim that must track updates between
+    * triggers should be passed as a catalog table (`s.table(...)`)
+    * and refreshed, not as a path-based read.
+    */
+  def enrichIngest(src: DataFrame, dim: DataFrame, enrichedTable: String,
+      checkpointDir: String, srcKey: String, dimKey: String): StreamingQuery = {
+    val host = src.sparkSession
+    src.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val enriched = batch.join(broadcast(dim),
+            batch(srcKey) === dim(dimKey), "left")
+          .drop(dimKey)
+        val target = s.table(enrichedTable)
+        enriched.select(target.columns.map(col).toSeq: _*)
+          .write.mode("append").insertInto(enrichedTable)
+        host.catalog.refreshTable(enrichedTable)
+        ()
+      }
+      .start()
+  }
+
   /** Flush any open sessions (batch-mode variant: each key is seen once,
     * so the trailing open session is emitted too).
     */

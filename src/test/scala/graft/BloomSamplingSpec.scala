@@ -37,6 +37,27 @@ class BloomSamplingSpec extends SparkSuite {
     assert(misses == 0L)
   }
 
+  test("skewAdvisor: exact shares, cross-product verdict, salt sizing") {
+    // key "hot" has 8 of 12 rows (mean 3, 4 keys): skewed at factor 2;
+    // the others (2, 1, 1) are not
+    val rows = Seq.fill(8)("hot") ++ Seq("warm", "warm", "c1", "c2")
+    val df = rows.toDF("k")
+    val got = graft.ext.Profiler.skewAdvisor(df, col("k"), topK = 10,
+        factor = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    // ordered by cnt desc, key asc
+    assert(got.map(_._1).toSeq == Seq("hot", "warm", "c1", "c2"))
+    val hot = got(0)
+    assert(hot == (("hot", 8L, 666666L, true, 3L))) // 8*1e6/12; ceil(8/3)=3
+    assert(got(1) == (("warm", 2L, 166666L, false, 1L)))
+    assert(got.count(_._4) == 1) // only `hot` flagged at factor 2
+    // topK truncates deterministically
+    val top1 = graft.ext.Profiler.skewAdvisor(df, col("k"), topK = 1,
+      factor = 2L).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "hot")
+  }
+
   test("profiler: nulls counted, distinct excludes null, min/max ignore null") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null),
       (2L, "b"), (null, "a")).toDF("k", "v")

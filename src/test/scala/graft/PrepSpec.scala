@@ -224,6 +224,27 @@ class PrepSpec extends SparkSuite {
     assert(trainIds(0.8).subsetOf(trainIds(0.9)))
   }
 
+  test("splitByCluster: cluster members share a split; singletons match splitAssign") {
+    val docs = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "t")
+    // clusters {1,2,3} and {10,11}; everything else singleton
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.splitByCluster(docs, "id", comps, splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 200)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L))
+    // singletons (no dup edge) get exactly the plain per-id assignment:
+    // adding edges elsewhere never migrates an untouched doc
+    val plain = Sampling.splitAssign(docs, col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 11L)
+    docs.select("id").as[Long].collect().filterNot(clustered).foreach { i =>
+      assert(got(i) == plain(i), s"singleton $i migrated")
+    }
+  }
+
   test("splitAssign: bad weights and name collisions rejected") {
     val df = Seq((1L, "x")).toDF("id", "t")
     intercept[IllegalArgumentException] {

@@ -69,6 +69,33 @@ class StreamsSpec extends SparkSuite {
       "2023-11-30 14:30:00.0"))
   }
 
+  test("enrichIngest: broadcast dim join per batch; restart never re-appends") {
+    implicit val sc = spark.sqlContext
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.enr")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
+    Seq.empty[(Long, Long, Double)].toDF("event_id", "uid", "v")
+      .join(dim, col("uid") === col("id"), "left").drop("id")
+      .write.saveAsTable("graft_test.enr")
+    val ckpt = tmpDir() + "/ckpt"
+    val input = MemoryStream[(Long, Long, Double)]
+    def drain(): Unit = {
+      val q = Streams.enrichIngest(input.toDF().toDF("event_id", "uid", "v"),
+        dim, "graft_test.enr", ckpt, "uid", "id")
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData((100L, 1L, 0.5), (101L, 3L, 0.7)) // 3 has no dim row
+    drain()
+    // second incarnation, same checkpoint: the committed batch must NOT
+    // replay; only the new data lands
+    input.addData((102L, 2L, 0.9))
+    drain()
+    val got = spark.table("graft_test.enr").orderBy("event_id")
+      .as[(Long, Long, Double, String)].collect().toSeq
+    assert(got == Seq((100L, 1L, 0.5, "gold"), (101L, 3L, 0.7, null),
+      (102L, 2L, 0.9, "silver")))
+  }
+
   test("dedupIngest: within-batch min-id keeper + cross-batch fingerprint gate") {
     implicit val sc = spark.sqlContext
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
