@@ -94,6 +94,37 @@ object DeltaQueries {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  // Versioned-lake time travel: three commits build the table (append
+  // v0, append v1, REPLACE as v2 — the compaction/purge shape), then
+  // version 1 is read back AFTER v2 was published: the historical
+  // snapshot must be exactly the first two appends, untouched by the
+  // replace. Bench note: the seconds include the three fixture commits.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-versioned")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      val v1 = Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 3 === 1))
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 3 === 2), replace = true)
+      assert(Versioned.latestVersion(s, tmp.toString).contains(2))
+      Versioned.read(s, tmp.toString, Some(v1))
+        .orderBy("o_orderkey")
+        // materialize before the temp dir is deleted
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q109Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 3 <= 1
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Shared streaming fixture (same shape as q70's): split `df` into
     * three batch files (`idCol` % 3) with strictly ascending mod-times
     * so the file source replays them oldest-first in batch order.
@@ -127,10 +158,12 @@ object DeltaQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_cdc_replay" -> (q105 _),
     "q107_skew_advisor" -> (q107 _),
-    "q108_stream_enrich" -> (q108 _))
+    "q108_stream_enrich" -> (q108 _),
+    "q109_time_travel" -> (q109 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
     "q107_skew_advisor" -> q107Sql,
-    "q108_stream_enrich" -> q108Sql)
+    "q108_stream_enrich" -> q108Sql,
+    "q109_time_travel" -> q109Sql)
 }

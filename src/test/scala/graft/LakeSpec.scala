@@ -57,6 +57,64 @@ class LakeSpec extends SparkSuite {
     assert(n == 1 && spark.read.parquet(path).count() == 2)
   }
 
+  test("versioned: append/replace commits, time travel, snapshot immutability") {
+    import graft.lake.Versioned
+    val dir = tmpDir() + "/vtable"
+    assert(Versioned.latestVersion(spark, dir).isEmpty)
+    val v0 = Versioned.commit(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    val v1 = Versioned.commit(spark, dir, Seq((2L, "b")).toDF("id", "s"))
+    assert(v0 == 0 && v1 == 1)
+    // append semantics: v1 = v0 files + new files
+    assert(Versioned.read(spark, dir).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"))
+    // replace publishes an entirely new state...
+    val v2 = Versioned.commit(spark, dir,
+      Seq((9L, "z")).toDF("id", "s"), replace = true)
+    assert(v2 == 2)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSeq ==
+      Seq(9L -> "z"))
+    // ...and time travel still sees every older snapshot, bit-unchanged
+    assert(Versioned.read(spark, dir, Some(0)).as[(Long, String)]
+      .collect().toSeq == Seq(1L -> "a"))
+    assert(Versioned.read(spark, dir, Some(1)).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"))
+    // compaction-as-commit: replace with the repartitioned latest state
+    val v3 = Versioned.commit(spark, dir,
+      Versioned.read(spark, dir).repartition(1), replace = true)
+    assert(Versioned.read(spark, dir, Some(v3)).as[(Long, String)]
+      .collect().toSeq == Seq(9L -> "z"))
+    // missing version rejected
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, dir, Some(99))
+    }
+  }
+
+  test("versioned expire: old versions gone, shared live files survive") {
+    import graft.lake.Versioned
+    val dir = tmpDir() + "/vexp"
+    Versioned.commit(spark, dir, Seq((1L, "a")).toDF("id", "s")) // v0
+    Versioned.commit(spark, dir, Seq((2L, "b")).toDF("id", "s")) // v1 = v0+new
+    Versioned.commit(spark, dir, Seq((3L, "c")).toDF("id", "s")) // v2 = v1+new
+    val (droppedV, deletedF) = Versioned.expire(spark, dir, keepLast = 2)
+    assert(droppedV == 1) // v0's manifest dropped
+    // v0's DATA file is still referenced by v1/v2 (append lineage) — it
+    // must survive; nothing was exclusively owned by v0
+    assert(deletedF == 0)
+    assert(Versioned.read(spark, dir, Some(1)).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"))
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, dir, Some(0))
+    }
+    // a replace makes v0-v2's files exclusive; expiring to the last 1
+    // version now physically deletes them
+    Versioned.commit(spark, dir, Seq((9L, "z")).toDF("id", "s"),
+      replace = true) // v3
+    val (d2, f2) = Versioned.expire(spark, dir, keepLast = 1)
+    assert(d2 == 2 && f2 >= 3, s"got ($d2, $f2)")
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSeq ==
+      Seq(9L -> "z"))
+  }
+
   test("compact merges small files, preserves content exactly") {
     val in = tmpDir() + "/frag"
     val out = tmpDir() + "/compacted"
