@@ -628,6 +628,69 @@ object Dedup {
         (-col("__best").getField("__neg")).as("canonical_tokens"))
   }
 
+  /** Cluster cohesion audit — the quality check on [[dupComponents]]'s
+    * transitive closure. Transitivity is the known overreach risk of
+    * LSH clustering: a~b and b~c chain {a,b,c} into one cluster even
+    * when a and c share nothing (the "bridge document" failure — a
+    * boilerplate page linking two unrelated families). A true dup
+    * group is a near-CLIQUE (every pair verified similar); a chain is
+    * sparse. Per component this emits member count, verified-edge
+    * count, exact integer density ppm (`2e·10⁶ / (n(n−1))`) and a
+    * suspect flag (`density < minDensityPpm`, only meaningful for
+    * n ≥ 3 — two-member clusters are trivially 100% dense). Suspect
+    * clusters get re-adjudicated (verify the missing pairs, or split)
+    * before [[canonicalPerCluster]] drops all non-canonical members.
+    *
+    * Scale shape: labels and pairs are delta-sized (dup members only);
+    * both collapse to per-component counts via map-side-combined
+    * aggregates before the (tiny) count-table join. BIGINT overflow on
+    * the density cross products raises instead of wrapping (a >3·10⁹-
+    * member component would overflow `n(n−1)` — and is itself a bug).
+    */
+  def clusterCohesion(pairs: DataFrame, labels: DataFrame,
+      minDensityPpm: Long = 800000L, idACol: String = "id_a"): DataFrame = {
+    val members = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    // an edge's endpoints share a component by construction — labeling
+    // by id_a alone is enough
+    val edges = pairs
+      .join(labels.select(col("id").as(idACol), col("component")),
+        Seq(idACol))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_edges"))
+    val fits = col("n_members") <= lit(3037000499L) && // floor(sqrt(Long.Max))
+      col("n_edges") <= lit(Long.MaxValue / 2000000L)
+    members.join(edges, Seq("component"), "left")
+      .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+      .withColumn("density_ppm",
+        when(col("n_members") < 2, lit(1000000L))
+          .when(fits, expr(
+            "n_edges * 2000000 DIV (n_members * (n_members - 1))"))
+          .otherwise(raise_error(
+            lit("clusterCohesion: BIGINT overflow — component too large"))))
+      .withColumn("is_suspect",
+        col("n_members") >= 3 && col("density_ppm") < lit(minDensityPpm))
+  }
+
+  /** DuckDB twin of [[clusterCohesion]] given CTEs `comp` (doc_id,
+    * component) and `ver` (id_a, id_b) — see the q49 oracle chain.
+    */
+  def clusterCohesionSql(minDensityPpm: Long = 800000L): String =
+    s"""SELECT m.component, m.n_members,
+       |  COALESCE(e.n_edges, 0) AS n_edges,
+       |  CASE WHEN m.n_members < 2 THEN 1000000
+       |       ELSE COALESCE(e.n_edges, 0) * 2000000
+       |         // (m.n_members * (m.n_members - 1)) END AS density_ppm,
+       |  m.n_members >= 3 AND (CASE WHEN m.n_members < 2 THEN 1000000
+       |       ELSE COALESCE(e.n_edges, 0) * 2000000
+       |         // (m.n_members * (m.n_members - 1)) END) < $minDensityPpm
+       |    AS is_suspect
+       |FROM (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+       |      FROM comp GROUP BY component) m
+       |LEFT JOIN (SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+       |      FROM ver v JOIN comp c ON v.id_a = c.doc_id
+       |      GROUP BY c.component) e USING (component)""".stripMargin
+
   // -------------------------------------------------- decontamination
 
   /** Benchmark decontamination: drop every corpus document sharing at

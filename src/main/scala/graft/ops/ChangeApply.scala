@@ -49,16 +49,38 @@ object ChangeApply {
       seqCols: Seq[String],
       opCol: String,
       payloadCols: Seq[String],
-      deleteOp: String = "D"): DataFrame = {
-    require(seqCols.nonEmpty, "latestSnapshot needs at least one seq column")
+      deleteOp: String = "D"): DataFrame =
+    compactLog(log, keyCol, seqCols, opCol, payloadCols)
+      .filter(col(opCol) =!= lit(deleteOp))
+      .drop(opCol)
+
+  /** [[latestSnapshot]] WITHOUT the delete filter: one winner row per
+    * key, tombstones retained (`opCol` kept in the output). This is the
+    * state an INCREMENTAL consumer must store: keeping the winning
+    * delete (rather than forgetting the key) makes compaction a pure
+    * max-semilattice — associative and commutative — so applying the
+    * log in any batch split yields byte-identical state:
+    * `compactLog(compactLog(A) ∪ B) = compactLog(A ∪ B)`. Dropping
+    * tombstones instead would let a late update older than an applied
+    * delete resurrect the key. [[graft.streaming.Streams.cdcIngest]]
+    * builds on exactly this property; tombstones are garbage-collected
+    * only once the feed guarantees nothing older can arrive (a
+    * watermark/retention decision, not a compaction one).
+    */
+  def compactLog(
+      log: DataFrame,
+      keyCol: String,
+      seqCols: Seq[String],
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(seqCols.nonEmpty, "compactLog needs at least one seq column")
     val ordered = seqCols ++ (opCol +: payloadCols)
     val winner = max(struct(ordered.map(col): _*)).as("__w")
     log
       .groupBy(col(keyCol))
       .agg(winner)
-      .filter(col(s"__w.$opCol") =!= lit(deleteOp))
       .select(col(keyCol) +:
-        (seqCols ++ payloadCols).map(c => col(s"__w.$c").as(c)): _*)
+        (seqCols ++ (opCol +: payloadCols)).map(c => col(s"__w.$c").as(c)): _*)
   }
 
   /** DuckDB twin of [[latestSnapshot]] (reference semantics as the

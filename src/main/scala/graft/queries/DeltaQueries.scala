@@ -125,6 +125,51 @@ object DeltaQueries {
       |FROM orders WHERE o_orderkey % 3 <= 1
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  // Streaming CDC apply: the q105 change feed replayed as three
+  // micro-batches (batch = event_id % 3 — deliberately NOT per-key
+  // ordered) continuously maintaining a compacted state table with
+  // tombstones retained. Because the merge is a max-semilattice, the
+  // final live view must equal q105's one-shot full-log compaction
+  // exactly — same oracle. Bench note: seconds are fixture + streaming
+  // lifecycle + 3 staged table rewrites, not plan cost.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-cdc-src")
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt")
+    val table = "graft.q111_state"
+    try {
+      val log = t(s, dir, "events")
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .select("user_id", "ts", "event_id", "op", "event_type", "value",
+          "props")
+      writeIdBatches(log, "event_id", tmp)
+      graft.warehouse.Warehouse.ensureDatabase(s, "graft")
+      graft.warehouse.Warehouse.dropManagedTable(s, table)
+      log.limit(0).write.saveAsTable(table)
+      val stream = s.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streams.cdcIngest(stream, table,
+          ckpt.toString, "user_id", Seq("ts", "event_id"), "op",
+          Seq("event_type", "value", "props"))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // live view: tombstoned users stay dead
+      s.table(table).filter(col("op") =!= "D")
+        .select("user_id", "ts", "event_id", "event_type", "value", "props")
+        .orderBy("user_id")
+        .localCheckpoint(true)
+    } finally { Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt) }
+  }
+
+  // identical semantics to the one-shot q105 — that IS the property
+  private val q111Sql = q105Sql
+
   /** Shared streaming fixture (same shape as q70's): split `df` into
     * three batch files (`idCol` % 3) with strictly ascending mod-times
     * so the file source replays them oldest-first in batch order.
@@ -159,11 +204,13 @@ object DeltaQueries {
     "q105_cdc_replay" -> (q105 _),
     "q107_skew_advisor" -> (q107 _),
     "q108_stream_enrich" -> (q108 _),
-    "q109_time_travel" -> (q109 _))
+    "q109_time_travel" -> (q109 _),
+    "q111_streaming_cdc" -> (q111 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
     "q107_skew_advisor" -> q107Sql,
     "q108_stream_enrich" -> q108Sql,
-    "q109_time_travel" -> q109Sql)
+    "q109_time_travel" -> q109Sql,
+    "q111_streaming_cdc" -> q111Sql)
 }

@@ -520,6 +520,22 @@ object ExtQueries {
              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
        |FROM labeled ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  // Cluster cohesion audit on q49's transitive clusters: verified-edge
+  // density per component flags chain-shaped clusters (LSH transitive
+  // overreach — a bridge doc welding unrelated families) before q81's
+  // canonical election drops their members. Exact integer density ppm.
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id",
+      "text", threshold = 0.2, k = K, bands = BANDS)
+    Dedup.clusterCohesion(pairs, Dedup.dupComponents(pairs))
+      .orderBy("component")
+  }
+
+  private val q110Sql =
+    componentsCte + ",\ncoh AS (" + Dedup.clusterCohesionSql() + ")" +
+      "\nSELECT * FROM coh ORDER BY component"
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -538,7 +554,8 @@ object ExtQueries {
     "q49_dup_components" -> (q49 _),
     "q51_int8_quantization" -> (q51 _),
     "q81_canonical_per_cluster" -> (q81 _),
-    "q106_leakage_safe_split" -> (q106 _))
+    "q106_leakage_safe_split" -> (q106 _),
+    "q110_cluster_cohesion" -> (q110 _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_stats" -> q20Sql,
@@ -556,5 +573,6 @@ object ExtQueries {
     "q49_dup_components" -> q49Sql,
     "q51_int8_quantization" -> q51Sql,
     "q81_canonical_per_cluster" -> q81Sql,
-    "q106_leakage_safe_split" -> q106Sql)
+    "q106_leakage_safe_split" -> q106Sql,
+    "q110_cluster_cohesion" -> q110Sql)
 }

@@ -257,6 +257,54 @@ object Streams {
       .start()
   }
 
+  /** Continuous CDC apply — maintain a materialized latest-snapshot
+    * table from a change stream (the streaming closure of
+    * [[graft.ops.ChangeApply]]: SnapshotDiff *produces* deltas,
+    * ChangeApply *compacts* a log, this keeps the compacted state
+    * CONTINUOUSLY current as batches arrive).
+    *
+    * Per micro-batch: `state' = compactLog(state ∪ batch)` — one
+    * max-struct aggregate, then a staged table rewrite
+    * ([[graft.warehouse.Warehouse.rewriteTable]]). Because the state
+    * RETAINS tombstones (see [[graft.ops.ChangeApply.compactLog]]),
+    * the merge is a max-semilattice: associative + commutative, so the
+    * maintained table equals compacting the whole log at once no
+    * matter how the feed was batched or (per-key) ordered — late
+    * updates older than an applied delete stay dead. Exactly-once
+    * across restarts from the checkpoint, as in [[dedupIngest]].
+    *
+    * Scale shape: the aggregate is map-side combinable (a hot key's
+    * churn collapses per map task); the state rewrite is the
+    * fixture-scale simplification — at 100 TB the state table is
+    * key-partitioned and only partitions holding batch keys rewrite
+    * ([[graft.warehouse.Warehouse.scd1UpsertPartitioned]]'s shape), or
+    * the state lives in a MERGE-capable format. The live view is
+    * `state.filter(op <> deleteOp)`.
+    */
+  def cdcIngest(src: DataFrame, stateTable: String, checkpointDir: String,
+      keyCol: String, seqCols: Seq[String], opCol: String,
+      payloadCols: Seq[String]): StreamingQuery = {
+    val host = src.sparkSession
+    val cols = (keyCol +: seqCols) ++ (opCol +: payloadCols)
+    src.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val state = s.table(stateTable)
+        val next = graft.ops.ChangeApply.compactLog(
+          state.select(cols.map(col): _*)
+            .unionByName(batch.select(cols.map(col): _*)),
+          keyCol, seqCols, opCol, payloadCols)
+        graft.warehouse.Warehouse.rewriteTable(s, stateTable,
+          next.select(state.columns.map(col).toSeq: _*))
+        host.catalog.refreshTable(stateTable)
+        ()
+      }
+      .start()
+  }
+
   /** Flush any open sessions (batch-mode variant: each key is seen once,
     * so the trailing open session is emitted too).
     */

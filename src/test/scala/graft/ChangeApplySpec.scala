@@ -60,6 +60,28 @@ class ChangeApplySpec extends SparkSuite {
       full.orderBy("k").collect().toSeq)
   }
 
+  test("compactLog is a semilattice: any batch split compacts identically") {
+    // includes the delete-then-older-upsert hazard: key 2's delete (seq
+    // 2) in one batch, an OLDER upsert (seq 1) arriving in a later
+    // batch — tombstone retention keeps it dead
+    def compact(df: org.apache.spark.sql.DataFrame) =
+      ChangeApply.compactLog(df, "k", Seq("seq"), "op", Seq("s", "v"))
+    val full = compact(log).orderBy("k").collect().toSeq
+    for (m <- 2 to 3) {
+      val parts = (0 until m).map(i => log.filter(col("seq") % m === i))
+      // fold batches incrementally through the compacted state
+      val folded = parts.foldLeft(log.limit(0)) { (state, b) =>
+        compact(state.unionByName(b))
+      }
+      assert(folded.orderBy("k").collect().toSeq == full, s"split mod $m")
+    }
+    // live view of the compacted state == latestSnapshot of the log
+    assert(compact(log).filter(col("op") =!= "D").drop("op")
+      .orderBy("k").collect().toSeq ==
+      ChangeApply.latestSnapshot(log, "k", Seq("seq"), "op", Seq("s", "v"))
+        .orderBy("k").collect().toSeq)
+  }
+
   test("plan is an aggregate, not a window") {
     val plan = ChangeApply.latestSnapshot(log, "k", Seq("seq"), "op",
       Seq("s", "v")).queryExecution.executedPlan.toString

@@ -407,4 +407,21 @@ class GraphOpsSpec extends SparkSuite {
         substring_index(col("name"), " ", -1), maxBlock = 2).collect()
     assert(audit.map(_.getString(0)).toSet == Set("widget"))
   }
+
+  test("clusterCohesion: cliques dense, chains flagged, pairs exempt") {
+    // component 1: triangle {1,2,3} (3 edges, density 1e6)
+    // component 10: chain 10-11-12 (2 edges, density 666666 -> suspect)
+    // component 20: pair {20,21} (density 1e6 by construction, n=2 exempt)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (12L, 10L), (20L, 20L), (21L, 20L)).toDF("id", "component")
+    val got = graft.ext.Dedup.clusterCohesion(pairs, labels)
+      .orderBy("component")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 1000000L, false),
+      (10L, 3L, 2L, 666666L, true),
+      (20L, 2L, 1L, 1000000L, false)))
+  }
 }

@@ -96,6 +96,34 @@ class StreamsSpec extends SparkSuite {
       (102L, 2L, 0.9, "silver")))
   }
 
+  test("cdcIngest: tombstones survive restarts; late-older upsert stays dead") {
+    implicit val sc = spark.sqlContext
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.cdc")
+    Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "op", "s")
+      .write.saveAsTable("graft_test.cdc")
+    val ckpt = tmpDir() + "/ckpt"
+    val input = MemoryStream[(Long, Long, String, String)]
+    def drain(): Unit = {
+      val q = Streams.cdcIngest(input.toDF().toDF("k", "seq", "op", "s"),
+        "graft_test.cdc", ckpt, "k", Seq("seq"), "op", Seq("s"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 0: upsert 1, delete 2 (seq 5)
+    input.addData((1L, 1L, "U", "a"), (2L, 5L, "D", ""))
+    drain()
+    // batch 1, new incarnation: newer upsert for 1; LATE, OLDER upsert
+    // for 2 (seq 3 < the applied delete's 5) — must stay dead
+    input.addData((1L, 2L, "U", "b"), (2L, 3L, "U", "zombie"))
+    drain()
+    val state = spark.table("graft_test.cdc").orderBy("k")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(state == Seq((1L, 2L, "U", "b"), (2L, 5L, "D", "")))
+    val live = spark.table("graft_test.cdc").filter($"op" =!= "D")
+      .select("k", "s").as[(Long, String)].collect().toSeq
+    assert(live == Seq(1L -> "b"))
+  }
+
   test("dedupIngest: within-batch min-id keeper + cross-batch fingerprint gate") {
     implicit val sc = spark.sqlContext
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
