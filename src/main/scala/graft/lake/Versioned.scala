@@ -135,6 +135,30 @@ object Versioned {
     }
   }
 
+  /** Right-to-be-forgotten purge: publish a new version without the
+    * rows matching `predicate`, then [[expire]] history down to
+    * `keepVersions` so purged bytes actually leave disk (time travel
+    * would otherwise keep serving them — a purge that forgets to
+    * expire is a compliance bug, which is why this couples the two).
+    * With `keepVersions = 1` the purged data is physically gone when
+    * this returns; larger values trade a grace window for compliance
+    * latency. Returns (new version, data files physically deleted).
+    *
+    * Scale shape: the rewrite is one filtered scan; at 100 TB the
+    * refinement is file-level pruning — rewrite only files whose
+    * min/max stats admit matching rows, carry the rest by reference
+    * into the new manifest (the same manifest mechanics; the write
+    * path then touches O(affected files)).
+    */
+  def purge(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      keepVersions: Int = 1): (Int, Int) = {
+    val kept = read(spark, dir).filter(!predicate)
+    val v = commit(spark, dir, kept, replace = true)
+    val (_, deleted) = expire(spark, dir, keepVersions)
+    (v, deleted)
+  }
+
   /** Read a specific version (time travel), or the latest when
     * `version` is None. Immutable: committing later versions never
     * changes what this returns.

@@ -170,6 +170,85 @@ object DeltaQueries {
   // identical semantics to the one-shot q105 — that IS the property
   private val q111Sql = q105Sql
 
+  // ---------------------------------------------------------------- q112
+  // Right-to-be-forgotten purge on the versioned lake: commit orders,
+  // purge every o_custkey divisible by 10, THEN expire history to one
+  // version — the purged rows must be gone from the live table AND
+  // physically gone from disk (a purge that leaves time travel serving
+  // the data is a compliance bug; the operator couples the two).
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-purge")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 2 === 0))
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 2 === 1))
+      val (v, deleted) = Versioned.purge(s, tmp.toString,
+        col("o_custkey") % 10 === 0)
+      // both pre-purge versions must be expired and their files gone
+      require(v == 2 && deleted > 0, s"purge kept bytes: v=$v del=$deleted")
+      require(Versioned.latestVersion(s, tmp.toString).contains(2))
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q112Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_custkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  // Version-to-version CDC: SnapshotDiff over two committed versions of
+  // the versioned lake — "what changed since the last pipeline run"
+  // computed from immutable snapshots (no race with concurrent
+  // commits), the input an incremental downstream (re-embed only
+  // changed docs; q102's rollup refresh) consumes.
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vdiff")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      // v0: keys %4 in {0,1,2}; v1: keys %4 in {1,2,3}, %8==1 repriced
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 4 <= 2))
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 4 >= 1)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 8 === 1, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))),
+        replace = true)
+      graft.ops.SnapshotDiff.diff(
+          Versioned.read(s, tmp.toString, Some(0)),
+          Versioned.read(s, tmp.toString, Some(1)),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q113Sql =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 4 <= 2),
+      |n AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 >= 1),
+      |d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |       WHEN n.o_orderkey IS NULL THEN 'removed'
+      |       WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |         THEN 'changed'
+      |       ELSE 'unchanged' END AS change
+      |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+      |SELECT o_orderkey, change FROM d
+      |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin
+
   /** Shared streaming fixture (same shape as q70's): split `df` into
     * three batch files (`idCol` % 3) with strictly ascending mod-times
     * so the file source replays them oldest-first in batch order.
@@ -205,12 +284,16 @@ object DeltaQueries {
     "q107_skew_advisor" -> (q107 _),
     "q108_stream_enrich" -> (q108 _),
     "q109_time_travel" -> (q109 _),
-    "q111_streaming_cdc" -> (q111 _))
+    "q111_streaming_cdc" -> (q111 _),
+    "q112_versioned_purge" -> (q112 _),
+    "q113_version_diff" -> (q113 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
     "q107_skew_advisor" -> q107Sql,
     "q108_stream_enrich" -> q108Sql,
     "q109_time_travel" -> q109Sql,
-    "q111_streaming_cdc" -> q111Sql)
+    "q111_streaming_cdc" -> q111Sql,
+    "q112_versioned_purge" -> q112Sql,
+    "q113_version_diff" -> q113Sql)
 }

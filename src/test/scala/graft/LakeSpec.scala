@@ -115,6 +115,36 @@ class LakeSpec extends SparkSuite {
       Seq(9L -> "z"))
   }
 
+  test("versioned purge: matched rows gone from disk, live table intact") {
+    import graft.lake.Versioned
+    val dir = tmpDir() + "/vpurge"
+    Versioned.commit(spark, dir,
+      Seq((1L, "keep"), (2L, "secret")).toDF("id", "s"))
+    Versioned.commit(spark, dir, Seq((3L, "keep2")).toDF("id", "s"))
+    val (v, deleted) = Versioned.purge(spark, dir, col("s") === "secret")
+    assert(v == 2 && deleted >= 2) // both pre-purge commits' files gone
+    assert(Versioned.latestVersion(spark, dir).contains(2))
+    assert(Versioned.read(spark, dir).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "keep", 3L -> "keep2"))
+    // time travel to pre-purge versions must be impossible
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, dir, Some(0))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, dir, Some(1))
+    }
+    // and no parquet file under the table still holds the purged bytes
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val leak = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .exists(p => new String(java.nio.file.Files.readAllBytes(p))
+          .contains("secret"))
+    } finally files.close()
+    assert(!leak, "purged value still present in a data file")
+  }
+
   test("compact merges small files, preserves content exactly") {
     val in = tmpDir() + "/frag"
     val out = tmpDir() + "/compacted"
