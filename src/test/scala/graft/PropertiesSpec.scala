@@ -153,4 +153,29 @@ class PropertiesSpec extends SparkSuite {
       true
     }, n = 6)
   }
+
+  test("CDC compaction equals the window idiom on random logs") {
+    // random change logs (key, seq unique per key, op, payload):
+    // the aggregate scale path must match row_number-over-seq-desc
+    val logGen: Gen[List[(Long, Long, String, String)]] =
+      Gen.mapOf(Gen.zip(
+        Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)),
+        Gen.zip(Gen.oneOf("U", "U", "D"), Gen.alphaStr.map(_.take(4)))))
+        .map(_.toList.map { case ((k, q), (o, p)) => (k, q, o, p) })
+    check(Prop.forAll(logGen) { rows =>
+      val log = rows.toDF("k", "seq", "op", "s")
+      val viaAgg = graft.ops.ChangeApply
+        .latestSnapshot(log, "k", Seq("seq"), "op", Seq("s"))
+        .orderBy("k").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("seq").desc)
+      val viaWindow = log
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select("k", "seq", "s")
+        .orderBy("k").collect().toSeq
+      assert(viaAgg == viaWindow, s"agg=$viaAgg window=$viaWindow")
+      true
+    }, n = 8)
+  }
 }
