@@ -153,7 +153,13 @@ object Versioned {
   def purge(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       keepVersions: Int = 1): (Int, Int) = {
-    val kept = read(spark, dir).filter(!predicate)
+    // null-safe: a predicate that evaluates to NULL (e.g. `col ===
+    // "x"` on a null field) must KEEP the row — `filter(!predicate)`
+    // alone would silently drop it (three-valued logic), deleting data
+    // the caller never asked to purge
+    val kept = read(spark, dir)
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
     val v = commit(spark, dir, kept, replace = true)
     val (_, deleted) = expire(spark, dir, keepVersions)
     (v, deleted)

@@ -249,6 +249,65 @@ object DeltaQueries {
       |SELECT o_orderkey, change FROM d
       |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  // Export capstone: quality gate → exact dedup → shard assignment →
+  // greedy sequence packing composed end-to-end (the ship-to-training
+  // layout: which doc, in which shard, in which training sequence) and
+  // hash-checked against ONE CTE chain that replays every stage —
+  // including the recursive-CTE packing replay. The composition
+  // property, not just each stage, is what's verified (q63/q73's
+  // curation/mixer analogue for the export side).
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Packing, Sampling, Text}
+    val docs = t(s, dir, "documents")
+    val passing = Text.qualityRules(docs).filter(col("passes"))
+      .select("doc_id")
+    val gated = docs.join(passing, Seq("doc_id"), "left_semi")
+    val fp = gated.withColumn("fp", Text.fingerprint(col("text")))
+    val keeper = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val deduped = fp.join(keeper, Seq("fp", "doc_id"), "left_semi").drop("fp")
+    val sharded = Sampling.shardAssign(deduped, col("doc_id"), numShards = 4)
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+    Packing.packGreedy(
+        sharded.select(col("shard"), col("doc_id").as("id"), col("n_tokens")),
+        "shard", "id", "n_tokens", budget = 300L)
+      .toDF()
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("shard", "bin", "doc_id")
+  }
+
+  private val q114Sql = {
+    val grams3 = graft.ext.Dedup.wordShinglesSql("text", 3)
+    val (_, shardE) = graft.ext.Sampling.shardAssignSql("doc_id", 4)
+    val fpE = graft.ext.Text.fingerprintSql("text")
+    val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    val meanLen = s"""(CAST(length(text) AS DOUBLE) -
+      |    (CAST($nTok AS DOUBLE) - 1.0)) / CAST($nTok AS DOUBLE)"""
+      .stripMargin
+    val uniq = s"CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)" +
+      s" / CAST($nTok AS DOUBLE)"
+    val dup3 = s"coalesce(1.0 - CAST(len(list_distinct($grams3)) AS DOUBLE)" +
+      s" / NULLIF(CAST(len($grams3) AS DOUBLE), 0.0), 0.0)"
+    val passes = s"($nTok >= 30 AND $nTok <= 10000) AND " +
+      s"(($meanLen) >= 2.0 AND ($meanLen) <= 10.0) AND " +
+      s"($uniq) >= 0.3 AND ($dup3) <= 0.2"
+    val pack = graft.ext.Packing.packGreedySql(
+      "SELECT shard, doc_id AS id, n_tokens FROM sharded", 300L)
+    s"""WITH gated AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE $passes),
+       |fpt AS MATERIALIZED (SELECT doc_id, text, $fpE AS fp FROM gated),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fpt GROUP BY fp),
+       |dedup AS (SELECT f.doc_id, f.text FROM fpt f JOIN keep k
+       |  ON f.fp = k.fp AND f.doc_id = k.doc_id),
+       |sharded AS MATERIALIZED (SELECT doc_id,
+       |  CAST($shardE AS BIGINT) AS shard,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |FROM dedup)
+       |SELECT shard, id AS doc_id, n_tokens, bin, bin_fill
+       |FROM ($pack)
+       |ORDER BY shard, bin, doc_id""".stripMargin
+  }
+
   /** Shared streaming fixture (same shape as q70's): split `df` into
     * three batch files (`idCol` % 3) with strictly ascending mod-times
     * so the file source replays them oldest-first in batch order.
@@ -286,7 +345,8 @@ object DeltaQueries {
     "q109_time_travel" -> (q109 _),
     "q111_streaming_cdc" -> (q111 _),
     "q112_versioned_purge" -> (q112 _),
-    "q113_version_diff" -> (q113 _))
+    "q113_version_diff" -> (q113 _),
+    "q114_export_pipeline" -> (q114 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -295,5 +355,6 @@ object DeltaQueries {
     "q109_time_travel" -> q109Sql,
     "q111_streaming_cdc" -> q111Sql,
     "q112_versioned_purge" -> q112Sql,
-    "q113_version_diff" -> q113Sql)
+    "q113_version_diff" -> q113Sql,
+    "q114_export_pipeline" -> q114Sql)
 }

@@ -145,6 +145,18 @@ class LakeSpec extends SparkSuite {
     assert(!leak, "purged value still present in a data file")
   }
 
+  test("versioned purge keeps rows where the predicate is NULL") {
+    import graft.lake.Versioned
+    val dir = tmpDir() + "/vpurgenull"
+    Versioned.commit(spark, dir,
+      Seq((1L, Some("secret")), (2L, Some("ok")), (3L, None))
+        .toDF("id", "s"))
+    // id 3's s is null: `s === "secret"` is NULL there — must be KEPT
+    Versioned.purge(spark, dir, col("s") === "secret")
+    assert(Versioned.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("compact merges small files, preserves content exactly") {
     val in = tmpDir() + "/frag"
     val out = tmpDir() + "/compacted"
