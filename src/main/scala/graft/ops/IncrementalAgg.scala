@@ -51,6 +51,38 @@ object IncrementalAgg {
       .withColumn("avg",
         col("sum").cast("double") / col("cnt").cast("double"))
 
+  /** One-shot totals (merge of a single all-in-one slice) — the direct
+    * form [[refreshByDiff]]'s incremental path must reproduce.
+    */
+  def totals(df: DataFrame, key: Column, value: Column): DataFrame =
+    mergeTotals(partials(df, lit(0L), key, value))
+
+  /** Incremental view maintenance: refresh per-key totals after a table
+    * changed, touching ONLY the keys the change set names. cnt/sum are
+    * invertible but min/max are not (removing the min row invalidates
+    * the stored min), so the sound generic refresh is: carry untouched
+    * keys' totals by reference, RE-AGGREGATE only affected keys from
+    * the new snapshot — O(|untouched| map-side pass-through +
+    * |affected keys' rows|), never a full re-aggregation of unchanged
+    * groups' raw history. `affectedKeys` comes from
+    * [[SnapshotDiff.diff]] (map its changed/added/removed rows to the
+    * rollup's key — include removed rows' keys via the OLD snapshot, or
+    * their groups keep stale totals).
+    *
+    * Keys present only in `oldTotals` and affected (all rows deleted)
+    * drop out naturally: the re-aggregate finds no rows for them.
+    */
+  def refreshByDiff(oldTotals: DataFrame, newSnapshot: DataFrame,
+      affectedKeys: DataFrame, key: Column, value: Column): DataFrame = {
+    val affected = affectedKeys.select(col(affectedKeys.columns.head)
+      .as("key")).distinct()
+    val untouched = oldTotals.join(affected, Seq("key"), "left_anti")
+    val recomputed = totals(
+      newSnapshot.join(affected, key === affected("key"), "left_semi"),
+      key, value)
+    untouched.unionByName(recomputed)
+  }
+
   /** DuckDB twin: totals computed directly from the raw table — the
     * ground truth the partial-merge decomposition must reproduce
     * exactly.

@@ -66,6 +66,62 @@ object Sessionize {
           .as("duration_us"))
 
   /** DuckDB twin of [[summary]] (same integer gap test and numbering). */
+  /** Episode assembly — the step that turns a sessionized event log
+    * into TRAINING EPISODES (conversation/interaction sequences): per
+    * session, the events concatenated in exact `(ts, id)` order as one
+    * sequence string, plus count and duration. The output row is the
+    * unit a sequence model trains on.
+    *
+    * Scale shape: one shuffle on the user key (shared with [[assign]]'s
+    * window via the same partitioning), then a per-session
+    * `sort_array(collect_list(struct(...)))` — state is bounded by the
+    * SESSION length (the gap bounds it in wall-time), never by a user's
+    * full history, which is what makes collect_list admissible here
+    * where it is banned for per-key corpus aggregation. Events carry
+    * only the label column into the list, not the full row.
+    */
+  def episodes(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, labelCol: String, gapSec: Long): DataFrame =
+    assign(df, userCol, tsCol, idCol, gapSec)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          .as("duration_us"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              unix_micros(col(tsCol)).as("t"),
+              col(idCol).as("i"),
+              col(labelCol).cast("string").as("l")))),
+            x => x.getField("l")),
+          ",").as("episode"))
+
+  /** DuckDB twin of [[episodes]]. `list(x ORDER BY t, eid)` replays the
+    * same (ts, id) total order as Spark's struct `array_sort` (struct
+    * compare is field-order lexicographic, (t, i) lead and are unique).
+    */
+  def episodesSql(table: String, userE: String, tsE: String,
+      idE: String, labelE: String, gapSec: Long): String =
+    s"""WITH __l AS (
+       |  SELECT $userE AS u, $tsE AS t, $idE AS eid, $labelE AS lbl,
+       |    lag(epoch_us($tsE)) OVER (PARTITION BY $userE
+       |      ORDER BY $tsE, $idE) AS prev
+       |  FROM $table),
+       |__s AS (
+       |  SELECT u, t, eid, lbl,
+       |    CAST(sum(CASE WHEN prev IS NULL
+       |        OR epoch_us(t) - prev > ${gapSec * 1000000L}
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY u ORDER BY t, eid
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM __l)
+       |SELECT u AS $userE, session_idx,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(epoch_us(max(t)) - epoch_us(min(t)) AS BIGINT) AS duration_us,
+       |  array_to_string(
+       |    list(CAST(lbl AS VARCHAR) ORDER BY t, eid), ',') AS episode
+       |FROM __s GROUP BY u, session_idx""".stripMargin
+
   def summarySql(table: String, userE: String, tsE: String,
       idE: String, gapSec: Long): String =
     s"""WITH __l AS (

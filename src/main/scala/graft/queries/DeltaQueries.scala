@@ -249,6 +249,58 @@ object DeltaQueries {
       |SELECT o_orderkey, change FROM d
       |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  // Incremental view maintenance: per-customer totals maintained across
+  // a replace commit by re-aggregating ONLY the customers the version
+  // diff names (removed rows' customers included via the OLD snapshot);
+  // untouched customers carry their stored totals by reference. Must
+  // hash-match the direct full re-aggregation of the new version —
+  // correctness of the O(delta) refresh, the q102 rollup's missing
+  // half (min/max are not invertible, so sound IVM = carry + re-agg).
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    import graft.ops.{IncrementalAgg, SnapshotDiff}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivm")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 4 <= 2))
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 4 >= 1)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 8 === 1, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))),
+        replace = true)
+      val v0 = Versioned.read(s, tmp.toString, Some(0))
+      val v1 = Versioned.read(s, tmp.toString, Some(1))
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val totals0 = IncrementalAgg.totals(v0, col("o_custkey"), cents)
+      val changed = SnapshotDiff.diff(v0, v1, Seq("o_orderkey"))
+        .select("o_orderkey")
+      val affected = v0.select("o_orderkey", "o_custkey")
+        .unionByName(v1.select("o_orderkey", "o_custkey"))
+        .join(changed, Seq("o_orderkey"), "left_semi")
+        .select("o_custkey")
+      IncrementalAgg.refreshByDiff(totals0, v1, affected,
+          col("o_custkey"), cents)
+        .orderBy("key")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  // ground truth: the refresh must equal a direct re-aggregation of v1
+  private val q115Sql = {
+    val n = """SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 >= 1""".stripMargin
+    s"""WITH n AS ($n)
+       |${graft.ops.IncrementalAgg.totalsSql("n", "o_custkey",
+          "round(o_totalprice * 100)")}
+       |ORDER BY key""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q114
   // Export capstone: quality gate → exact dedup → shard assignment →
   // greedy sequence packing composed end-to-end (the ship-to-training
@@ -346,7 +398,8 @@ object DeltaQueries {
     "q111_streaming_cdc" -> (q111 _),
     "q112_versioned_purge" -> (q112 _),
     "q113_version_diff" -> (q113 _),
-    "q114_export_pipeline" -> (q114 _))
+    "q114_export_pipeline" -> (q114 _),
+    "q115_ivm_refresh" -> (q115 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -356,5 +409,6 @@ object DeltaQueries {
     "q111_streaming_cdc" -> q111Sql,
     "q112_versioned_purge" -> q112Sql,
     "q113_version_diff" -> q113Sql,
-    "q114_export_pipeline" -> q114Sql)
+    "q114_export_pipeline" -> q114Sql,
+    "q115_ivm_refresh" -> q115Sql)
 }

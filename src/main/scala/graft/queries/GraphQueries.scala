@@ -377,10 +377,26 @@ object GraphQueries {
     graft.ext.Sampling.waterfillSql("documents", "source",
       "len(string_split(text, ' '))", 10000L) + "\nORDER BY source"
 
+  // ---------------------------------------------------------------- q116
+  // Episode assembly on q85's sessions: each session's events
+  // concatenated in exact (ts, event_id) order into one training
+  // sequence — the conversation/interaction-data assembly step.
+  // collect_list is admissible HERE because the 6h gap bounds a
+  // session; it stays banned for per-key corpus aggregation.
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    Sessionize.episodes(t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", gapSec = 21600L)
+      .orderBy("user_id", "session_idx")
+
+  private val q116Sql =
+    Sessionize.episodesSql("events", "user_id", "ts", "event_id",
+      "event_type", 21600L) + "\nORDER BY user_id, session_idx"
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_sessionize" -> (q85 _),
+    "q116_episode_assembly" -> (q116 _),
     "q86_quantized_ann" -> (q86 _),
     "q87_rank_propagation" -> (q87 _),
     "q88_twostage_ann" -> (q88 _),
@@ -399,6 +415,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q85_sessionize" -> q85Sql,
+    "q116_episode_assembly" -> q116Sql,
     "q86_quantized_ann" -> q86Sql,
     "q87_rank_propagation" -> q87Sql,
     "q88_twostage_ann" -> q88Sql,

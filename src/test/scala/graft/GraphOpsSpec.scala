@@ -424,4 +424,17 @@ class GraphOpsSpec extends SparkSuite {
       (10L, 3L, 2L, 666666L, true),
       (20L, 2L, 1L, 1000000L, false)))
   }
+
+  test("episodes: in-order label concat per session, gap splits sequences") {
+    val got = Sessionize.episodes(events, "user_id", "ts", "event_id",
+        "event_id", gapSec = 3600L)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "episode")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, "10,11,12"), // one session, exact ts order
+      (1L, 2L, 1L, "13"),       // 2h gap -> new episode
+      (2L, 1L, 1L, "20"),
+      (3L, 1L, 2L, "30,31")))   // exactly-gap boundary stays together
+  }
 }

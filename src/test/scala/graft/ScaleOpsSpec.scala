@@ -182,4 +182,28 @@ class ScaleOpsSpec extends SparkSuite {
     assert(folded.orderBy("key").collect().toSeq ==
       direct(day1, day2, day3))
   }
+
+  test("refreshByDiff: carry + re-agg equals direct totals, incl. deletions") {
+    import graft.ops.IncrementalAgg
+    val old = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("k", "v")
+    // new state: key 1's min row removed (min must recompute), key 2
+    // deleted entirely (group must vanish), key 4 added; key 3 untouched
+    val nw = Seq((1L, 20L), (3L, 7L), (4L, 9L)).toDF("k", "v")
+    val totals0 = IncrementalAgg.totals(old, col("k"), col("v"))
+    val affected = Seq(1L, 2L, 4L).toDF("k") // from the diff, old+new keys
+    val got = IncrementalAgg.refreshByDiff(totals0, nw, affected,
+        col("k"), col("v"))
+      .orderBy("key").collect().toSeq
+    val direct = IncrementalAgg.totals(nw, col("k"), col("v"))
+      .orderBy("key").collect().toSeq
+    assert(got == direct)
+    // and the untouched group's totals row really is carried, not recomputed:
+    // feeding a poisoned new snapshot for key 3 must NOT change its row
+    val poisoned = nw.withColumn("v",
+      when(col("k") === 3L, lit(999L)).otherwise(col("v")))
+    val carried = IncrementalAgg.refreshByDiff(totals0, poisoned, affected,
+        col("k"), col("v"))
+      .filter(col("key") === 3L).collect().toSeq
+    assert(carried == totals0.filter(col("key") === 3L).collect().toSeq)
+  }
 }
