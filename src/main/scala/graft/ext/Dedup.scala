@@ -910,4 +910,86 @@ object Dedup {
        |    FILTER (rn = 1), '') AS dedup_text
        |FROM __sk GROUP BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------- boilerplate removal
+
+  /** Frequency-threshold boilerplate removal (the CCNet/RefinedWeb
+    * header-footer filter, arXiv:1911.00359 §4.1 / arXiv:2306.01116
+    * §3.2): drop EVERY copy of any segment that occurs in ≥ `minDocs`
+    * DISTINCT documents, and rebuild each document from what survives.
+    * Complementary to [[segmentDedup]], which keeps the first copy of
+    * each duplicated segment — a navigation bar or cookie banner that
+    * appears in ten thousand crawled pages should not survive even
+    * once, while a passage quoted twice should. The two operators
+    * differ exactly on that axis: election-by-first vs
+    * document-frequency threshold.
+    *
+    * Scale shape (100 TB): identical to [[segmentDedup]] — segment text
+    * NEVER shuffles. The native segment hasher range-hashes each char
+    * span in place (one scan, zero shuffle, no segment string built);
+    * the document-frequency count moves only distinct `(hash, id)`
+    * pairs (collapsed map-side by the partial-distinct phase), and the
+    * boilerplate set that joins back is threshold-filtered — at most
+    * one row per *frequent* segment, the natural broadcast side since
+    * true boilerplate vocabularies are tiny relative to the corpus.
+    * The per-doc rollup and the final rebuild join move `(id, idx)`
+    * ints and ride the corpus's id partitioning.
+    * Hash collisions conflate two distinct segments (p ≈ n²/2P per
+    * pair) — as with [[segmentDedup]], swap in a 128-bit `xxhash64`
+    * pair at production scale.
+    */
+  def boilerplate(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", segSize: Int = 10,
+      minDocs: Int = 3): DataFrame = {
+    require(segSize > 0, s"segSize must be positive: $segSize")
+    require(minDocs > 1, s"minDocs must be > 1: $minDocs")
+    val segKeys = df.select(col(idCol),
+      posexplode(graft.functions.NativeHash
+          .segmentHashes(col(textCol), segSize))
+        .as(Seq("chunk_id", "__h")))
+    // document frequency per segment hash: explicit two-phase — the
+    // distinct collapses a doc's repeated segments map-side, then the
+    // count shuffles one row per (hash, doc). Only hashes at or above
+    // the threshold survive into the join side.
+    val boiler = segKeys.select(col("__h"), col(idCol)).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"), lit(true).as("__boiler"))
+    val perDoc = segKeys.join(boiler, Seq("__h"), "left")
+      .withColumn("__kept", col("__boiler").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_sort(collect_list(when(col("__kept"), col("chunk_id"))))
+          .as("__kept_ids"))
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .join(perDoc, Seq(idCol))
+      .select(col(idCol), col("n_segments"), col("n_kept"),
+        array_join(transform(col("__kept_ids"),
+            i => array_join(slice(col("__toks"),
+              i.cast("int") * segSize + 1, lit(segSize)), " ")),
+          " ").as("clean_text"))
+  }
+
+  /** DuckDB twin of [[boilerplate]]: same slicing, same hash, document
+    * frequency by `count(DISTINCT doc_id)` per hash.
+    */
+  def boilerplateSql(table: String, idE: String, textE: String,
+      segSize: Int, minDocs: Int): String = {
+    val chunk = Text.chunkTokensSql(table, idE, textE, segSize, 0)
+    s"""WITH seg AS MATERIALIZED ($chunk),
+       |__sh AS (SELECT doc_id, chunk_id, chunk_text,
+       |  ${polyHashSql("chunk_text")} AS h FROM seg),
+       |__df AS (SELECT h, count(DISTINCT doc_id) AS nd
+       |  FROM __sh GROUP BY h),
+       |__fl AS (SELECT s.doc_id, s.chunk_id, s.chunk_text,
+       |  (d.nd < $minDocs) AS kept FROM __sh s JOIN __df d USING (h))
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_segments,
+       |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+       |    FILTER (kept), '') AS clean_text
+       |FROM __fl GROUP BY doc_id""".stripMargin
+  }
 }

@@ -842,6 +842,138 @@ object Text {
        |FROM __h""".stripMargin
   }
 
+  // ------------------------------------- hashed linear classifier
+
+  /** Hashing-trick linear-classifier inference (Weinberger et al. 2009,
+    * "Feature Hashing for Large Scale Multitask Learning"; the
+    * fastText-style quality/safety classifier scoring pass every modern
+    * corpus pipeline runs, arXiv:1607.01759): each token maps to one of
+    * `dim` feature buckets by portable hash, and the document's score
+    * is the sum of its tokens' bucket weights — a sparse dot product
+    * with the weight vector, computed without ever materializing the
+    * feature vector.
+    *
+    * The weights here are a deterministic affine fixture over the
+    * bucket index, `w(j) = ((j·40503 + 17) mod P) mod 1001 − 500`
+    * ∈ [−500, 500] — standing in for trained parameters so the score is
+    * exact BIGINT arithmetic both engines reproduce bit-for-bit. In
+    * production the weight array is a broadcast float vector indexed by
+    * the same bucket id; the plan shape — zero shuffle, one codegen'd
+    * fold per row, columns pruned to (id, text) — is identical, which
+    * is the point: classifier inference at 100 TB is a scan, not a
+    * join.
+    */
+  def classifierScore(text: Column, dim: Int = 1024): Column = {
+    require(dim > 0, s"dim must be positive: $dim")
+    // polyHash ∈ [0, P): plain % stays non-negative, no pmod needed
+    aggregate(tokens(text), lit(0L), (acc, tk) =>
+      acc + ((PortableHash.polyHash(tk) % dim * 40503L + 17L)
+        % PortableHash.P % 1001L - 500L))
+  }
+
+  /** DuckDB twin of [[classifierScore]]. */
+  def classifierScoreSql(textE: String, dim: Int = 1024): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($textE, ' '), tk -> " +
+      s"((${PortableHash.polyHashSql("tk")}) % $dim * 40503 + 17) " +
+      s"% ${PortableHash.P} % 1001 - 500)), (acc, w) -> acc + w)"
+
+  // --------------------------------------------- BM25 ranked retrieval
+
+  /** BM25 top-k ranked retrieval (Robertson & Spärck Jones probabilistic
+    * relevance framework; the decontamination / curation lookup that
+    * asks "which training docs look most like this benchmark prompt").
+    * Log-free variant: the classic `ln((N − df + 0.5)/(df + 0.5))` IDF
+    * is replaced by its argument — a strictly monotone transform, so
+    * per-term ranking is preserved while every arithmetic op stays an
+    * individually-rounded IEEE double that DuckDB reproduces bit-exactly
+    * (`ln` is correctly-rounded in neither engine, so the classic form
+    * could not be oracle-gated).
+    *
+    * Per term t: `score_t = idf_t · (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl))`
+    * summed over `terms` in the given (literal) order — a fixed IEEE op
+    * sequence, like [[collocations]].
+    *
+    * Scale shape (100 TB): the query terms are literals, so per-doc term
+    * frequencies are zero-shuffle array folds on the existing token
+    * split — the corpus is scanned ONCE, no inverted index, no explode,
+    * no join on tokens. Corpus stats (N, Σdl, per-term df) are one tiny
+    * always-broadcastable aggregate row. Top-k is `orderBy.limit` —
+    * Spark plans TakeOrderedAndProject: per-partition bounded heaps, k
+    * rows to the driver, never a global sort.
+    */
+  def bm25TopK(df: DataFrame, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k must be positive: $k")
+    val toks = tokens(col(textCol))
+    val base = df.select(
+      col(idCol) +: tokenCount(col(textCol)).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (tm, i) =>
+          size(filter(toks, t => t === lit(tm))).cast("long").as(s"__tf$i")
+        }: _*)
+    val statsCols =
+      sum(col("dl")).as("__sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, lit(1L)).otherwise(lit(0L)))
+            .as(s"__df$i"))
+    val stats = base.agg(count(lit(1)).as("__n"), statsCols: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val norm = lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("dl").cast("double") / avgdl)
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfd = col(s"__df$i").cast("double")
+      val idf = (col("__n").cast("double") - dfd + lit(0.5)) /
+        (dfd + lit(0.5))
+      idf * (tf * (lit(k1) + lit(1.0))) / (tf + norm)
+    }
+    scored
+      .filter(terms.indices.map(i => col(s"__tf$i")).reduceLeft(_ + _) > 0)
+      .select(col(idCol), col("dl"),
+        termScores.reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]] — the same op sequence, parenthesized
+    * to force the identical IEEE evaluation order.
+    */
+  def bm25TopKSql(table: String, idE: String, textE: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfDefs = terms.zipWithIndex.map { case (tm, i) =>
+      s"CAST(len(list_filter(string_split($textE, ' '), t -> t = '$tm')) " +
+        s"AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val norm = s"($k1 * ((1.0 - $b) + (($b * CAST(dl AS DOUBLE)) / " +
+      "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+    val termScores = terms.indices.map { i =>
+      val idf = s"((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / " +
+        s"(CAST(df$i AS DOUBLE) + 0.5))"
+      s"(($idf * (CAST(tf$i AS DOUBLE) * ($k1 + 1.0))) / " +
+        s"(CAST(tf$i AS DOUBLE) + $norm))"
+    }
+    val score = termScores.reduceLeft((a, c) => s"($a + $c)")
+    val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT $idE AS doc_id,
+       |    CAST(len(string_split($textE, ' ')) AS BIGINT) AS dl,
+       |    $tfDefs
+       |  FROM $table),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS BIGINT) AS sumdl, $dfDefs FROM base)
+       |SELECT doc_id, dl, $score AS score
+       |FROM base, st
+       |WHERE $anyTf > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Whole-table convenience: the standard text-analysis projection. */
   def analyze(textCol: String = "text")(df: DataFrame): DataFrame = {
     val t = col(textCol)

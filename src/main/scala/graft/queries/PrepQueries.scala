@@ -617,9 +617,60 @@ object PrepQueries {
     "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
     "text", 20)
 
+  // ---------------------------------------------------------------- q117
+  // Boilerplate removal: every copy of any 10-token segment occurring in
+  // >= 3 distinct docs is dropped (the CCNet/RefinedWeb header-footer
+  // filter); docs are rebuilt from surviving segments. Complementary to
+  // q78, which KEEPS the first copy of each duplicated segment.
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplate(t(s, dir, "documents"), "doc_id", "text",
+        segSize = 10, minDocs = 3)
+      .orderBy("doc_id")
+
+  private val q117Sql =
+    s"""${Dedup.boilerplateSql("documents", "doc_id", "text", 10, 3)}
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+  // Hashed linear-classifier inference: per-doc quality margin as the
+  // sparse dot product of hashed token features with a deterministic
+  // weight fixture — exact BIGINT, zero shuffle, one codegen'd fold per
+  // row (the fastText-style scoring pass as a scan, not a join).
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ext.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.ext.Text.classifierScore(col("text"), 1024).as("score"))
+      .withColumn("accept", col("score") > 0)
+      .orderBy("doc_id")
+
+  private val q118Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  ${graft.ext.Text.classifierScoreSql("text", 1024)} AS score,
+       |  ${graft.ext.Text.classifierScoreSql("text", 1024)} > 0 AS accept
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  // BM25 top-25 ranked retrieval for a literal query-term set (log-free
+  // monotone IDF so every op is a bit-exact IEEE double in both
+  // engines). One corpus scan: per-doc tf by zero-shuffle array folds,
+  // corpus stats one broadcast row, top-k via TakeOrdered heaps.
+  private val q119Terms = Seq("spark", "hash", "window")
+
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.bm25TopK(t(s, dir, "documents"), q119Terms, k = 25)
+
+  private val q119Sql =
+    graft.ext.Text.bm25TopKSql("documents", "doc_id", "text",
+      q119Terms, k = 25)
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_boilerplate" -> (q117 _),
+    "q118_classifier_score" -> (q118 _),
+    "q119_bm25_topk" -> (q119 _),
     "q64_top_ngram_frac" -> (q64 _),
     "q65_familiarity" -> (q65 _),
     "q66_token_budget_cap" -> (q66 _),
@@ -661,5 +712,8 @@ object PrepQueries {
     "q80_embedding_diversity" -> q80Sql,
     "q82_centroid_confusion" -> q82Sql,
     "q83_export_manifest" -> q83Sql,
-    "q84_vocab_drift" -> q84Sql)
+    "q84_vocab_drift" -> q84Sql,
+    "q117_boilerplate" -> q117Sql,
+    "q118_classifier_score" -> q118Sql,
+    "q119_bm25_topk" -> q119Sql)
 }

@@ -550,4 +550,108 @@ class PrepSpec extends SparkSuite {
     assert(got(1).getAs[Double]("mean_sq_norm") == 1.0)
     assert(got(1).getAs[Double]("diversity") == 1.0)
   }
+
+  // -------------------------------------------------------- boilerplate
+
+  test("boilerplate: df >= minDocs drops EVERY copy; below-threshold " +
+      "duplicates keep all copies (contrast with segmentDedup)") {
+    // seg A ("a b") in 3 docs -> boilerplate, gone everywhere;
+    // seg B ("c d") in 2 docs -> below threshold, kept in BOTH
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d"),
+      (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplate(df, "doc_id", "text",
+        segSize = 2, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("c d", "x y", "c d", "p q r s"))
+    assert(got.map(_.getAs[Long]("n_kept")).toSeq == Seq(1L, 1L, 1L, 2L))
+    assert(got.map(_.getAs[Long]("n_segments")).toSeq ==
+      Seq(2L, 2L, 2L, 2L))
+    // segmentDedup on the same corpus keeps the FIRST "a b" — the two
+    // operators must disagree exactly there
+    val sd = Dedup.segmentDedup(df, "doc_id", "text", segSize = 2)
+      .orderBy("doc_id").collect()
+    assert(sd(0).getAs[String]("dedup_text") == "a b c d")
+  }
+
+  test("boilerplate: within-doc repeats count one doc toward the " +
+      "threshold, but all copies drop once frequent") {
+    val df = Seq(
+      (1L, "a b a b"), // 2 copies, 1 doc
+      (2L, "a b z z"),
+      (3L, "a b w w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplate(df, "doc_id", "text",
+        segSize = 2, minDocs = 3)
+      .orderBy("doc_id").collect()
+    // "a b" occurs in 3 distinct docs -> all 4 copies drop
+    assert(got.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("", "z z", "w w"))
+    // minDocs = 4 would keep everything: distinct docs, not copies
+    val kept = Dedup.boilerplate(df, "doc_id", "text",
+        segSize = 2, minDocs = 4)
+      .orderBy("doc_id").collect()
+    assert(kept.map(_.getAs[Long]("n_kept")).toSeq == Seq(2L, 2L, 2L))
+  }
+
+  // ---------------------------------------------------- classifierScore
+
+  test("classifierScore: linear in the token multiset; empty text = 0 " +
+      "bias term") {
+    val df = Seq((1L, "alpha beta"), (2L, "beta alpha"), (3L, "alpha"),
+      (4L, "beta"), (5L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Text.classifierScore(col("text")).as("s"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(got(0) == got(1))           // order-invariant
+    assert(got(0) == got(2) + got(3))  // additive over tokens
+    // empty split -> one "" token; its bucket weight is the bias
+    assert(got(4) ==
+      df.sparkSession.range(1).select(
+        Text.classifierScore(lit("")).as("s")).head().getLong(0))
+  }
+
+  test("classifierScore plan: zero shuffle, rides the scan") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = df.select(Text.classifierScore(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ------------------------------------------------------------- bm25
+
+  test("bm25TopK: term-bearing docs only, rarer term outweighs common " +
+      "one, k truncates, tiebreak by id") {
+    val df = Seq(
+      (1L, "rare common x y z"),
+      (2L, "common p q r s"),
+      (3L, "common t u v w"),
+      (4L, "none here at all e"),
+      (5L, "rare common rare a")
+    ).toDF("doc_id", "text")
+    val got = Text.bm25TopK(df, Seq("rare", "common"), k = 3,
+      idCol = "doc_id")
+    val rows = got.collect()
+    assert(rows.length == 3)
+    // doc 4 has no query term -> excluded even though k would admit it
+    assert(!rows.map(_.getLong(0)).contains(4L))
+    // doc 5 (rare x2) outranks doc 1 (rare x1) outranks common-only docs
+    assert(rows.map(_.getLong(0)).take(2).toSeq == Seq(5L, 1L))
+    // docs 2 and 3 tie exactly (same tf, same dl): id order decides
+    assert(rows(2).getLong(0) == 2L)
+  }
+
+  test("bm25TopK plan: stats broadcast, top-k via TakeOrdered (no " +
+      "global sort), single corpus scan per side") {
+    val df = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = Text.bm25TopK(df, Seq("b"), k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
