@@ -123,7 +123,30 @@ object GraftExtensions {
     "graft_sample_hash" -> { case Seq(s) => seededHashExpr(7, s) },
     "graft_seeded_hash" -> { case Seq(s, seed) =>
       seededHashExpr(intLit(seed, "seed"), s)
+    },
+    "graft_count_substr" -> { case Seq(s, sub) =>
+      CountSubstrExpr(s, strLit(sub, "substring"))
+    },
+    // merge list as one literal: comma-separated space-separated pairs,
+    // in application order — 't a,l e,b le,ta ble'
+    "graft_bpe_encode" -> { case Seq(s, m) =>
+      val merges = strLit(m, "merge list").split(",").toSeq.map { pair =>
+        pair.split(" ") match {
+          case Array(a, b) if a.nonEmpty && b.nonEmpty => Seq(a, b)
+          case _ => throw new IllegalArgumentException(
+            s"graft_bpe_encode: each merge must be 'a b', got: '$pair'")
+        }
+      }.flatten
+      BpeEncodeExpr(s, merges)
     })
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
 
   private def seededHashExpr(seed: Int, s: Expression): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Remainder}

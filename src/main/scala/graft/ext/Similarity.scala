@@ -819,4 +819,55 @@ object Similarity {
        |  (CAST(sum_sq AS DOUBLE) / n) / 1e12
        |    - (CAST(sum_cs AS DOUBLE) / n / n) / 1e12 AS diversity
        |FROM __gr""".stripMargin
+
+  // ------------------------------------------- reciprocal-rank fusion
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * two ranked retrieval lists — the standard hybrid-search combiner:
+    * lexical (BM25) and semantic (embedding cosine) rankings fuse by
+    * `Σ 1/(kRrf + rank)`, which rewards items ranked well by EITHER
+    * list without comparing their incommensurable scores. An id absent
+    * from one list contributes 0 for that list (its rank column stays
+    * NULL in the output — the audit signal for "lexical-only" vs
+    * "semantic-only" hits).
+    *
+    * Each reciprocal is ONE IEEE double division and the fusion one
+    * addition — bit-exact across engines (the reason RRF oracle-gates
+    * cleanly where score-interpolation hybrids would not).
+    *
+    * Scale shape: inputs are already top-N lists — N rows each,
+    * independent of corpus size — so the full-outer join and the final
+    * TakeOrdered are driver-trivial; the heavy lifting stays in the
+    * upstream retrieval operators ([[bruteForceTopK]]'s
+    * corpus-never-shuffles scan, [[graft.ext.Text.bm25TopK]]'s
+    * single-scan fold).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, topK: Int,
+      rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(kRrf >= 0, s"kRrf must be non-negative: $kRrf")
+    val l = a.select(col(idCol), col(rankCol).cast("long").as("rank_a"))
+    val r = b.select(col(idCol), col(rankCol).cast("long").as("rank_b"))
+    l.join(r, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(kRrf.toDouble) +
+            col("rank_a").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) +
+            col("rank_b").cast("double")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[rrfFuse]] over two ranked CTE/table expressions
+    * (each exposing `$idE` and `rank`).
+    */
+  def rrfFuseSql(aTable: String, bTable: String, idE: String,
+      topK: Int, kRrf: Int = 60): String =
+    s"""SELECT coalesce(a.$idE, b.$idE) AS $idE,
+       |  a.rank AS rank_a, b.rank AS rank_b,
+       |  (coalesce(1.0 / ($kRrf.0 + CAST(a.rank AS DOUBLE)), 0.0)
+       |    + coalesce(1.0 / ($kRrf.0 + CAST(b.rank AS DOUBLE)), 0.0))
+       |    AS rrf
+       |FROM $aTable a FULL OUTER JOIN $bTable b ON a.$idE = b.$idE
+       |ORDER BY rrf DESC, $idE LIMIT $topK""".stripMargin
 }

@@ -878,6 +878,52 @@ object Text {
       s"((${PortableHash.polyHashSql("tk")}) % $dim * 40503 + 17) " +
       s"% ${PortableHash.P} % 1001 - 500)), (acc, w) -> acc + w)"
 
+  // ------------------------------------------------ BPE tokenizer apply
+
+  /** BPE tokenizer inference — the apply half of [[bpePairStats]]'s
+    * training loop (Sennrich et al. 2016): encode each document with a
+    * trained merge list, per-word, one greedy left-to-right pass per
+    * rule. Returns the `;`-joined-symbols / space-joined-words encoding
+    * (see [[graft.functions.NativeString.bpeEncodeRaw]]). Token-budget
+    * planning, fertility monitoring and length-aware packing all need
+    * REAL tokenizer counts, not whitespace counts — this runs them
+    * in-engine.
+    *
+    * Scale shape: one native codegen'd expression per row — zero
+    * shuffle, columns pruned to (id, text); the merge table ships once
+    * per task as a plan constant, never per row. Cost is
+    * O(len · |merges|) per row; a production vocabulary (~30k merges)
+    * would switch the inner loop to the heap-based pair-priority encoder
+    * behind the same expression contract — the plan shape is already
+    * right.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.NativeString.bpeEncode(text, merges)
+
+  /** DuckDB twin of [[bpeEncode]]: the same greedy pass per rule,
+    * expressed as a left fold over the `;`-joined symbol string (the
+    * accumulator-tail re-check is the same function as the pair scan —
+    * within one rule, a merged symbol can never re-merge with the same
+    * rule, since `a+b ≠ a` for non-empty `b`).
+    */
+  def bpeEncodeSql(textE: String, merges: Seq[(String, String)]): String = {
+    var e = "array_to_string(string_split_regex(w, ''), ';')"
+    merges.zipWithIndex.foreach { case ((a, b), lvl) =>
+      require(!(a + b).exists(c => c == ';' || c == ' ' || c == '\''),
+        s"bpeEncodeSql: merge symbols must be plain tokens: ($a, $b)")
+      // level-unique lambda names: the per-rule folds nest lexically
+      val (ac, sy) = (s"a$lvl", s"s$lvl")
+      e = s"substr(list_reduce(list_prepend('', string_split($e, ';')), " +
+        s"($ac, $sy) -> CASE WHEN right($ac, ${a.length + 1}) = ';$a' " +
+        s"AND $sy = '$b' THEN left($ac, len($ac) - ${a.length + 1}) " +
+        s"|| ';$a$b' ELSE $ac || ';' || $sy END), 2)"
+    }
+    // coalesce: DuckDB's array_to_string of an empty list is NULL; the
+    // JVM encoder returns '' for an all-empty-words doc
+    s"coalesce(array_to_string(list_transform(list_filter(" +
+      s"string_split($textE, ' '), w -> w <> ''), w -> $e), ' '), '')"
+  }
+
   // --------------------------------------------- BM25 ranked retrieval
 
   /** BM25 top-k ranked retrieval (Robertson & Spärck Jones probabilistic

@@ -97,6 +97,70 @@ object NativeString {
 
   def wordShingles(c: Column, n: Int): Column =
     column(WordShinglesExpr(expression(c), n))
+
+  /** BPE merge application (tokenizer INFERENCE — [[graft.ext.Text.bpePairStats]]
+    * is the training half): each whitespace word starts as its character
+    * sequence; each merge rule `(a, b)`, in list order, runs ONE greedy
+    * left-to-right pass replacing adjacent symbol pairs `a, b` with the
+    * merged symbol `a+b` (the standard BPE apply step, Sennrich et al.
+    * 2016). Cascading within one rule is impossible (`a+b ≠ a` since `b`
+    * is non-empty), so the greedy pair scan and a left fold that
+    * re-checks the accumulator tail are the SAME function — the DuckDB
+    * twin uses the fold form over a `;`-joined symbol string.
+    *
+    * Output encoding: per word, symbols joined by `;`; words joined by
+    * a single space — `"table value"` with full merges →
+    * `"table va;l;ue"`. `;` and space are reserved: a word containing
+    * `;` fails loudly (the synthetic corpus is alphanumeric; a
+    * production tokenizer would escape).
+    */
+  def bpeEncodeRaw(s: String, merges: Array[String]): String = {
+    val words = s.split(" ", -1)
+    val out = new java.lang.StringBuilder(s.length * 2)
+    var first = true
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        require(w.indexOf(';') < 0,
+          s"bpeEncode: ';' is reserved as the symbol separator: '$w'")
+        var syms = new Array[String](w.length)
+        var i = 0
+        while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+        var m = 0
+        while (m < merges.length) {
+          val a = merges(m); val b = merges(m + 1)
+          val nxt = new Array[String](syms.length)
+          var n = 0
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              nxt(n) = a + b; n += 1; j += 2
+            } else { nxt(n) = syms(j); n += 1; j += 1 }
+          }
+          syms = java.util.Arrays.copyOf(nxt, n)
+          m += 2
+        }
+        if (!first) out.append(' ')
+        first = false
+        var k = 0
+        while (k < syms.length) {
+          if (k > 0) out.append(';')
+          out.append(syms(k))
+          k += 1
+        }
+      }
+      wi += 1
+    }
+    out.toString
+  }
+
+  def bpeEncodeRawU(s: UTF8String, merges: Array[String]): UTF8String =
+    UTF8String.fromString(bpeEncodeRaw(s.toString, merges))
+
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeEncodeExpr(expression(c),
+      merges.flatMap(p => Seq(p._1, p._2))))
 }
 
 /** charJaccard(string, string) → double (-1.0 sentinel for empty∪empty). */
@@ -139,5 +203,25 @@ case class CountSubstrExpr(child: Expression, sub: String)
       c => s"graft.functions.NativeString.countOccurrencesU($c, $subRef)")
   }
   override protected def withNewChildInternal(c: Expression): CountSubstrExpr =
+    copy(child = c)
+}
+
+/** bpeEncode(string) → string (`;`-joined symbols per word, words
+  * space-joined). `merges` is the flattened (a0, b0, a1, b1, ...) rule
+  * list — a plan-time constant, shipped once per task via the codegen
+  * reference array, never per row.
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  private lazy val mergeArr: Array[String] = merges.toArray
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    NativeString.bpeEncodeRawU(v.asInstanceOf[UTF8String], mergeArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("merges", mergeArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeString.bpeEncodeRawU($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
     copy(child = c)
 }

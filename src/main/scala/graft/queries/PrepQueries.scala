@@ -665,10 +665,100 @@ object PrepQueries {
     graft.ext.Text.bm25TopKSql("documents", "doc_id", "text",
       q119Terms, k = 25)
 
+  // ---------------------------------------------------------------- q120
+  // Hybrid retrieval: BM25 lexical top-50 and embedding-cosine top-50
+  // (probe = vec 0) fused by reciprocal rank (RRF, k=60), top-20 out.
+  // Ranks come from bounded lists (50 rows — the single-partition
+  // row_number is k-bounded, not corpus-bounded); the corpus-heavy work
+  // happens inside the two upstream retrieval operators. NULL rank on
+  // either side marks a lexical-only / semantic-only hit.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = graft.ext.Text.bm25TopK(
+        t(s, dir, "documents"), q119Terms, k = 50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank")
+    val emb = t(s, dir, "embeddings")
+    val vec = graft.ext.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, k = 50)
+      .select(col("cand_id").as("doc_id"), col("rank"))
+    graft.ext.Similarity.rrfFuse(text, vec, "doc_id", topK = 20)
+  }
+
+  private val q120Sql = {
+    val bm25 = graft.ext.Text.bm25TopKSql("documents", "doc_id", "text",
+      q119Terms, k = 50)
+    val cos = graft.ext.Similarity.cosineSql("p.emb", "c.emb")
+    s"""WITH t_raw AS MATERIALIZED ($bm25),
+       |t_rank AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM t_raw),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |v_scored AS (SELECT c.vec_id AS doc_id, $cos AS score
+       |  FROM e p, e c WHERE p.vec_id = 0),
+       |v_rank AS (SELECT doc_id, rank FROM (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM v_scored) WHERE rank <= 50)
+       |${graft.ext.Similarity.rrfFuseSql("t_rank", "v_rank", "doc_id", 20)}
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q121
+  // BPE tokenizer inference: encode every doc with a literal trained
+  // merge list (chained merges: ta+ble requires b+le requires l+e) and
+  // report real tokenizer counts — n_bpe_tokens, fertility (BPE tokens
+  // per word) and the exact encoding fingerprint. One native codegen'd
+  // expression per row; merge table is a plan constant.
+  private val q121Merges = Seq("t" -> "a", "l" -> "e", "b" -> "le",
+    "ta" -> "ble", "v" -> "a", "u" -> "e", "s" -> "c", "a" -> "n")
+
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{NativeHash, NativeString}
+    val enc = col("__enc")
+    val nWords = when(length(enc) === 0, lit(0L))
+      .otherwise(NativeString.countSubstr(enc, " ") + lit(1L))
+    val nBpe = when(length(enc) === 0, lit(0L))
+      .otherwise(NativeString.countSubstr(enc, ";") +
+        NativeString.countSubstr(enc, " ") + lit(1L))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ext.Text.bpeEncode(col("text"), q121Merges).as("__enc"))
+      .select(col("doc_id"),
+        nWords.as("n_words"), nBpe.as("n_bpe_tokens"),
+        when(nWords === 0L, lit(0.0))
+          .otherwise(nBpe.cast("double") / nWords.cast("double"))
+          .as("fertility"),
+        NativeHash.polyHash(enc).as("enc_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q121Sql = {
+    val enc = graft.ext.Text.bpeEncodeSql("text", q121Merges)
+    def cnt(sub: String) = s"(len(e) - len(replace(e, '$sub', '')))"
+    val nWords = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt(" ")} + 1 END"
+    val nBpe = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt(";")} + " +
+      s"${cnt(" ")} + 1 END"
+    s"""WITH __enc AS MATERIALIZED (
+       |  SELECT doc_id, $enc AS e FROM documents)
+       |SELECT doc_id,
+       |  CAST($nWords AS BIGINT) AS n_words,
+       |  CAST($nBpe AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN $nWords = 0 THEN 0.0
+       |    ELSE CAST($nBpe AS DOUBLE) / CAST($nWords AS DOUBLE) END
+       |    AS fertility,
+       |  ${graft.functions.PortableHash.polyHashSql("e")} AS enc_fp
+       |FROM __enc ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_boilerplate" -> (q117 _),
+    "q120_hybrid_rrf" -> (q120 _),
+    "q121_bpe_encode" -> (q121 _),
     "q118_classifier_score" -> (q118 _),
     "q119_bm25_topk" -> (q119 _),
     "q64_top_ngram_frac" -> (q64 _),
@@ -715,5 +805,7 @@ object PrepQueries {
     "q84_vocab_drift" -> q84Sql,
     "q117_boilerplate" -> q117Sql,
     "q118_classifier_score" -> q118Sql,
-    "q119_bm25_topk" -> q119Sql)
+    "q119_bm25_topk" -> q119Sql,
+    "q120_hybrid_rrf" -> q120Sql,
+    "q121_bpe_encode" -> q121Sql)
 }

@@ -111,6 +111,25 @@ class ExtensionsSpec extends SparkSuite {
       val viaApiHash = ext.range(1).select(
         graft.ext.Sampling.sampleHash(lit("42"))).collect()(0).getLong(0)
       assert(hashes.getLong(0) == viaApiHash)
+      // tokenizer + substring counting from SQL, same exprs as the API
+      val bpe = ext.sql(
+        """SELECT graft_bpe_encode('table data', 't a,l e,b le,ta ble')
+          |  AS enc,
+          |  graft_count_substr('a;b;c d', ';') AS semis""".stripMargin)
+        .collect()(0)
+      assert(bpe.getString(0) == "table d;a;ta")
+      assert(bpe.getLong(1) == 2L)
+      val viaApiBpe = ext.range(1).select(
+        graft.ext.Text.bpeEncode(lit("table data"),
+          Seq("t" -> "a", "l" -> "e", "b" -> "le", "ta" -> "ble")))
+        .collect()(0).getString(0)
+      assert(bpe.getString(0) == viaApiBpe)
+      val badMerge = intercept[Exception] {
+        ext.sql("SELECT graft_bpe_encode('x', 'a b,broken')").collect()
+      }
+      assert(Iterator.iterate(badMerge: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains("a b"))))
       // wrong argument count must name the function, not MatchError
       val arity = intercept[Exception] {
         ext.sql("SELECT graft_cosine(array(1.0D))").collect()

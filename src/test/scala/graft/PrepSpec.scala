@@ -645,6 +645,67 @@ class PrepSpec extends SparkSuite {
     assert(rows(2).getLong(0) == 2L)
   }
 
+  // ---------------------------------------------------------------- bpe
+
+  test("bpeEncode: chained merges build hierarchically; greedy " +
+      "left-to-right pairing on runs; rules apply in list order") {
+    val merges = Seq("t" -> "a", "l" -> "e", "b" -> "le", "ta" -> "ble")
+    val df = Seq((1L, "table tattle stable data")).toDF("doc_id", "text")
+    val got = df.select(Text.bpeEncode(col("text"), merges)).head.getString(0)
+    // table: full chain; tattle: ta + t + t + le; stable: s + table;
+    // data: d + a + ta (greedy finds (t,a) at position 3 only)
+    assert(got == "table ta;t;t;le s;table d;a;ta")
+    // runs pair greedily left-to-right: aaaa -> (aa)(aa), aaa -> (aa)a
+    val run = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+      .select(Text.bpeEncode(col("text"), Seq("a" -> "a")))
+      .head.getString(0)
+    assert(run == "aa;aa aa;a")
+    // merged symbols do NOT re-merge under a later rule's first side
+    // unless the rule names the merged symbol exactly
+    val noCascade = Seq((1L, "ab")).toDF("doc_id", "text")
+      .select(Text.bpeEncode(col("text"), Seq("a" -> "b", "a" -> "bc")))
+      .head.getString(0)
+    assert(noCascade == "ab")
+  }
+
+  test("bpeEncode: multi-space runs collapse (empty words dropped); " +
+      "empty doc encodes to ''; ';' in a word fails loudly") {
+    val df = Seq((1L, "a  b"), (2L, "")).toDF("doc_id", "text")
+    val got = df.orderBy("doc_id")
+      .select(Text.bpeEncode(col("text"), Seq("a" -> "b")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a b", "")) // not merged: different words
+    val bad = Seq((1L, "a;b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      bad.select(Text.bpeEncode(col("text"), Seq("a" -> "b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("bpeEncode plan: zero shuffle, rides the scan") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = df.select(Text.bpeEncode(col("text"), Seq("a" -> "b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---------------------------------------------------------------- rrf
+
+  test("rrfFuse: both-lists ids sum reciprocals, one-sided ids keep a " +
+      "NULL rank audit column, topK truncates on (rrf desc, id)") {
+    import graft.ext.Similarity
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(a, b, "id", topK = 3, kRrf = 60)
+      .collect()
+    // id 20: 1/62 + 1/61 tops everything; id 10: 1/61 beats id 40: 1/62
+    assert(got.map(_.getLong(0)).toSeq == Seq(20L, 10L, 40L))
+    assert(got(0).getDouble(3) == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(got(1).isNullAt(2) && got(2).isNullAt(1)) // audit NULLs
+    // id 30 (1/63, rank 4 of 4) fell to topK
+    assert(!got.map(_.getLong(0)).contains(30L))
+  }
+
   test("bm25TopK plan: stats broadcast, top-k via TakeOrdered (no " +
       "global sort), single corpus scan per side") {
     val df = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
