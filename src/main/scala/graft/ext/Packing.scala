@@ -95,4 +95,58 @@ object Packing {
        |      THEN d.n_tokens ELSE p.bin_fill + d.n_tokens END
        |  FROM __p p JOIN __d d ON d.shard = p.shard AND d.rn = p.rn + 1)
        |SELECT shard, id, n_tokens, bin, bin_fill FROM __p""".stripMargin
+
+  /** Length-grouped batching audit: bin rows into `nBins` exact
+    * equi-depth LENGTH buckets per key and report, per bucket, the
+    * padding waste a max-length-padded batch of that bucket would pay —
+    * `waste_ppm = (max_len·n − Σlen) · 10⁶ div (max_len·n)`, exact
+    * BIGINT throughout. Length-grouped batching (bucketed batch
+    * sampling) is the standard fix for padding-dominated training
+    * steps; this measures what it buys BEFORE committing to it:
+    * `nBins = 1` is the unbucketed baseline, and the waste drop from 1
+    * to B bins is the padding the bucketing eliminates.
+    *
+    * Scale shape: ranks come from [[graft.ops.ScaleOps.rankSliced]]
+    * (hot keys spread over slices, no per-key window funnel); per-key
+    * sizes ride a broadcast aggregate; the per-bucket rollup is
+    * map-side combinable on (key, bin).
+    */
+  def paddingAudit(df: DataFrame, key: org.apache.spark.sql.Column,
+      idCol: String, len: org.apache.spark.sql.Column, nBins: Int,
+      slices: Int = 16, lo: Double = 0.0,
+      hi: Double = 4096.0): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val ranked = graft.ops.ScaleOps.rankSliced(
+      df.select(key.as("__k"), col(idCol), len.cast("long").as("__len")),
+      col("__k"), idCol, col("__len"), slices, lo, hi)
+    val ns = ranked.groupBy("key").agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(ns), Seq("key"))
+      .withColumn("bin", expr(s"(rank - 1L) * ${nBins}L div __n"))
+      .groupBy("key", "bin")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("score")).cast("long").as("max_len"),
+        sum(col("score").cast("long")).as("sum_len"))
+      .withColumn("waste_ppm",
+        when(col("max_len") * col("n_rows") === 0L, lit(0L))
+          .otherwise(expr(
+            "(max_len * n_rows - sum_len) * 1000000L div (max_len * n_rows)")))
+  }
+
+  /** DuckDB twin of [[paddingAudit]]: the single-window formulation. */
+  def paddingAuditSql(table: String, keyE: String, idE: String,
+      lenE: String, nBins: Int): String =
+    s"""WITH __r AS (
+       |  SELECT $keyE AS key, CAST($lenE AS BIGINT) AS len,
+       |    row_number() OVER (PARTITION BY $keyE
+       |      ORDER BY CAST($lenE AS DOUBLE) DESC, $idE) AS rank,
+       |    count(*) OVER (PARTITION BY $keyE) AS n
+       |  FROM $table)
+       |SELECT key, CAST((rank - 1) * $nBins // n AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(max(len) AS BIGINT) AS max_len,
+       |  CAST(sum(len) AS BIGINT) AS sum_len,
+       |  CAST(CASE WHEN max(len) * count(*) = 0 THEN 0
+       |    ELSE (max(len) * count(*) - sum(len)) * 1000000
+       |      // (max(len) * count(*)) END AS BIGINT) AS waste_ppm
+       |FROM __r GROUP BY key, bin""".stripMargin
 }

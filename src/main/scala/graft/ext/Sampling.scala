@@ -605,4 +605,37 @@ object Sampling {
     val pos = sampleHashSql(s"CAST($keyE AS VARCHAR)")
     (pos, s"CAST(($pos) % $numShards AS INTEGER)")
   }
+
+  /** Curriculum phase assignment: rank every row within its key by a
+    * difficulty score (exact, via
+    * [[graft.ops.ScaleOps.rankSliced]] — no per-key window funnel) and
+    * bucket the percentile into `phases` equal bands. Phase 0 holds the
+    * HIGHEST scores (rank 1 side); a curriculum that trains easy→hard
+    * feeds phases in whichever order its difficulty convention needs.
+    * Per-source ranking IS the calibration: scores from different
+    * sources are never compared directly, only their within-source
+    * percentiles — the standard fix for incomparable quality scales.
+    *
+    * `phase = min(⌊pct · phases⌋, phases−1)`: pct is the exact
+    * PERCENT_RANK both engines compute bit-identically; floor + clamp
+    * are engine-exact.
+    */
+  def curriculum(df: DataFrame, key: Column, idCol: String,
+      difficulty: Column, phases: Int, slices: Int = 16,
+      lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    require(phases > 0, s"phases must be positive: $phases")
+    graft.ops.ScaleOps.rankSliced(df, key, idCol, difficulty, slices, lo, hi)
+      .withColumn("phase",
+        least(floor(col("pct") * lit(phases.toDouble)).cast("long"),
+          lit(phases.toLong - 1)))
+  }
+
+  /** DuckDB twin of [[curriculum]] over a table/CTE expression. */
+  def curriculumSql(table: String, keyE: String, idE: String,
+      scoreE: String, phases: Int): String = {
+    val ranked = graft.ops.ScaleOps.rankSlicedSql(table, keyE, idE, scoreE)
+    s"""SELECT *, least(CAST(floor(pct * $phases.0) AS BIGINT),
+       |  ${phases - 1}) AS phase
+       |FROM ($ranked)""".stripMargin
+  }
 }

@@ -820,6 +820,85 @@ object Similarity {
        |    - (CAST(sum_cs AS DOUBLE) / n / n) / 1e12 AS diversity
        |FROM __gr""".stripMargin
 
+  // ------------------------------------- contrastive training pairs
+
+  /** Contrastive training-pair assembly (the SimCSE/CLIP-style data
+    * layout: anchor, positive, k negatives per row group): positives
+    * are deterministic within a label group (the group's minimum id —
+    * or the second minimum when the anchor IS the minimum), negatives
+    * are hash-probed candidates filtered to label disagreement.
+    *
+    * Determinism over rejection sampling: slot j's candidate is
+    * `affine(j, anchor) mod N` — a fixed universal-family probe — and a
+    * candidate that lands on the anchor's own label is DROPPED, not
+    * re-probed (re-probing is a sequential dependence that cannot be
+    * expressed as one parallel scan). Callers get ≤ k negatives per
+    * anchor plus the audit of which slots were lost; oversample k to
+    * absorb the loss (for L labels uniformly, expect k·(L−1)/L kept).
+    *
+    * Scale shape: the positive map and corpus count are per-label /
+    * scalar aggregates — broadcast back, the corpus never shuffles for
+    * them. Candidate generation is a zero-shuffle explode (k small
+    * ints per row); the only real exchange is the candidate equi-join
+    * on the id (AQE-splittable, no skew: affine scatters uniformly).
+    * A single-member label yields a NULL pos_id (audit, not a drop).
+    */
+  def contrastivePairs(df: DataFrame, k: Int, idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import graft.functions.PortableHash
+    val ids = df.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).as("__lab"))
+    val m1 = ids.groupBy("__lab").agg(min("__id").as("__m1"))
+    val m2 = ids.join(broadcast(m1), "__lab")
+      .filter(col("__id") =!= col("__m1"))
+      .groupBy("__lab").agg(min("__id").as("__m2"))
+    val n = ids.agg(count(lit(1)).as("__n"))
+    val anchors = ids
+      .join(broadcast(m1), Seq("__lab"))
+      .join(broadcast(m2), Seq("__lab"), "left")
+      .select(col("__id"), col("__lab"),
+        when(col("__id") === col("__m1"), col("__m2"))
+          .otherwise(col("__m1")).as("pos_id"))
+    val cands = anchors.crossJoin(broadcast(n))
+      .select(col("__id"), col("__lab"), col("pos_id"), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("slot"))
+      .withColumn("__cand",
+        PortableHash.affine(col("slot"), col("__id")) % col("__n"))
+    cands
+      .join(ids.select(col("__id").as("__cand"), col("__lab").as("neg_label")),
+        Seq("__cand"))
+      .filter(col("neg_label") =!= col("__lab"))
+      .select(col("__id").as("anchor_id"), col("__lab").as("label"),
+        col("pos_id"), col("slot").cast("long").as("slot"),
+        col("__cand").as("neg_id"), col("neg_label"))
+  }
+
+  /** DuckDB twin of [[contrastivePairs]]. */
+  def contrastivePairsSql(table: String, idE: String, labelE: String,
+      k: Int): String = {
+    import graft.functions.PortableHash
+    s"""WITH __ids AS MATERIALIZED (
+       |  SELECT CAST($idE AS BIGINT) AS id, $labelE AS lab FROM $table),
+       |__n AS (SELECT count(*) AS n FROM __ids),
+       |__m1 AS (SELECT lab, min(id) AS m1 FROM __ids GROUP BY lab),
+       |__m2 AS (SELECT i.lab, min(i.id) AS m2 FROM __ids i
+       |  JOIN __m1 USING (lab) WHERE i.id <> __m1.m1 GROUP BY i.lab),
+       |__anchors AS (
+       |  SELECT id, i.lab,
+       |    CASE WHEN id = m1 THEN m2 ELSE m1 END AS pos_id
+       |  FROM __ids i JOIN __m1 USING (lab) LEFT JOIN __m2 USING (lab)),
+       |__cand AS (
+       |  SELECT a.id, a.lab, a.pos_id, t.j AS slot,
+       |    (${PortableHash.affineSql("t.j", "a.id")}) % n.n AS cand
+       |  FROM __anchors a, generate_series(1, $k) t(j), __n n)
+       |SELECT c.id AS anchor_id, c.lab AS label, c.pos_id,
+       |  CAST(c.slot AS BIGINT) AS slot, c.cand AS neg_id,
+       |  i.lab AS neg_label
+       |FROM __cand c JOIN __ids i ON c.cand = i.id
+       |WHERE i.lab <> c.lab""".stripMargin
+  }
+
   // ------------------------------------------- reciprocal-rank fusion
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of

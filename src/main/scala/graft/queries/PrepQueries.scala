@@ -753,12 +753,74 @@ object PrepQueries {
        |FROM __enc ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q122
+  // Contrastive training-pair assembly: per anchor vector, a
+  // deterministic same-label positive and up to 4 hash-probed
+  // different-label negatives (dropped-not-reprobed slots keep the scan
+  // parallel; the slot column audits the loss).
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.contrastivePairs(t(s, dir, "embeddings"), k = 4)
+      .orderBy("anchor_id", "slot")
+
+  private val q122Sql =
+    s"""${graft.ext.Similarity.contrastivePairsSql(
+          "embeddings", "vec_id", "label", 4)}
+       |ORDER BY anchor_id, slot""".stripMargin
+
+  // ---------------------------------------------------------------- q123
+  // Curriculum phases: classifier difficulty ranked WITHIN source
+  // (per-source percentile = calibration across incomparable score
+  // scales), bucketed into 4 phases. Exact ranks via the sliced
+  // decomposition — no per-source window funnel.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.ext.Text.classifierScore(col("text"), 1024).as("difficulty"))
+    Sampling.curriculum(scored, col("source"), "doc_id",
+        col("difficulty"), phases = 4, slices = 16,
+        lo = -20000.0, hi = 20000.0)
+      .orderBy("key", "rank")
+  }
+
+  private val q123Sql = {
+    val scored = s"(SELECT doc_id, source, " +
+      s"${graft.ext.Text.classifierScoreSql("text", 1024)} AS difficulty " +
+      "FROM documents)"
+    s"""${Sampling.curriculumSql(scored, "source", "doc_id",
+          "difficulty", 4)}
+       |ORDER BY key, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q124
+  // Length-grouped batching audit: token lengths in 8 equi-depth
+  // buckets per source; per-bucket padding waste (ppm, exact BIGINT) a
+  // max-length-padded batch would pay. nBins=1 vs 8 quantifies what
+  // bucketed batch sampling saves.
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.paddingAudit(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        col("source"), "doc_id", col("n_tokens"), nBins = 8,
+        slices = 16, lo = 0.0, hi = 512.0)
+      .orderBy("key", "bin")
+
+  private val q124Sql = {
+    val lens = "(SELECT doc_id, source, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents)"
+    s"""${graft.ext.Packing.paddingAuditSql(lens, "source", "doc_id",
+          "n_tokens", 8)}
+       |ORDER BY key, bin""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_boilerplate" -> (q117 _),
     "q120_hybrid_rrf" -> (q120 _),
     "q121_bpe_encode" -> (q121 _),
+    "q122_contrastive_pairs" -> (q122 _),
+    "q123_curriculum" -> (q123 _),
+    "q124_padding_audit" -> (q124 _),
     "q118_classifier_score" -> (q118 _),
     "q119_bm25_topk" -> (q119 _),
     "q64_top_ngram_frac" -> (q64 _),
@@ -807,5 +869,8 @@ object PrepQueries {
     "q118_classifier_score" -> q118Sql,
     "q119_bm25_topk" -> q119Sql,
     "q120_hybrid_rrf" -> q120Sql,
-    "q121_bpe_encode" -> q121Sql)
+    "q121_bpe_encode" -> q121Sql,
+    "q122_contrastive_pairs" -> q122Sql,
+    "q123_curriculum" -> q123Sql,
+    "q124_padding_audit" -> q124Sql)
 }

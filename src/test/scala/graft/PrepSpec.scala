@@ -645,6 +645,79 @@ class PrepSpec extends SparkSuite {
     assert(rows(2).getLong(0) == 2L)
   }
 
+  // ----------------------------------------------- contrastive pairs
+
+  test("contrastivePairs: deterministic same-label positive (min id, " +
+      "or second-min for the min itself); negatives never share the " +
+      "anchor label; single-member label -> NULL pos audit") {
+    import graft.ext.Similarity
+    val df = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"), (4L, "C"))
+      .toDF("vec_id", "label")
+    val got = Similarity.contrastivePairs(df, k = 3)
+      .orderBy("anchor_id", "slot").collect()
+    val byAnchor = got.groupBy(_.getAs[Long]("anchor_id"))
+    // positives: 0 -> 1 (0 is the min of A), 1 -> 0, 2 -> 3, 3 -> 2
+    val posOf = got.map(r => r.getAs[Long]("anchor_id") ->
+      (if (r.isNullAt(2)) -1L else r.getAs[Long]("pos_id"))).toMap
+    assert(posOf.get(0L).forall(_ == 1L))
+    assert(posOf.get(1L).forall(_ == 0L))
+    assert(posOf.get(2L).forall(_ == 3L))
+    assert(posOf.get(3L).forall(_ == 2L))
+    assert(posOf.get(4L).forall(_ == -1L)) // single-member label C
+    // negatives: label always disagrees, ids resolve to real rows
+    val labelOf = Map(0L -> "A", 1L -> "A", 2L -> "B", 3L -> "B", 4L -> "C")
+    got.foreach { r =>
+      assert(r.getAs[String]("neg_label") != r.getAs[String]("label"))
+      assert(labelOf(r.getAs[Long]("neg_id")) == r.getAs[String]("neg_label"))
+    }
+    // slots are a subset of 1..k (label-collision slots dropped)
+    assert(byAnchor.values.forall(_.length <= 3))
+    // deterministic: a second run is row-identical
+    val again = Similarity.contrastivePairs(df, k = 3)
+      .orderBy("anchor_id", "slot").collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  // ----------------------------------------------------- curriculum
+
+  test("curriculum: per-key percentile bands; phase 0 = highest " +
+      "difficulty; clamp keeps the last row in phases-1") {
+    val df = Seq((1L, "s", 50.0), (2L, "s", 40.0), (3L, "s", 30.0),
+      (4L, "s", 20.0), (5L, "s", 10.0), (6L, "t", 99.0))
+      .toDF("doc_id", "src", "diff")
+    val got = Sampling.curriculum(df, col("src"), "doc_id", col("diff"),
+        phases = 4, slices = 4, lo = 0.0, hi = 100.0)
+      .orderBy("key", "rank").collect()
+    // key s: pct 0, .25, .5, .75, 1 -> phases 0,1,2,3,3
+    assert(got.filter(_.getString(1) == "s").map(_.getAs[Long]("phase"))
+      .toSeq == Seq(0L, 1L, 2L, 3L, 3L))
+    // single-row key: pct 0 -> phase 0
+    assert(got.filter(_.getString(1) == "t").map(_.getAs[Long]("phase"))
+      .toSeq == Seq(0L))
+  }
+
+  // -------------------------------------------------- padding audit
+
+  test("paddingAudit: equi-depth length buckets; waste_ppm exact; " +
+      "nBins=1 reproduces the unbucketed baseline") {
+    import graft.ext.Packing
+    val df = Seq((1L, "s", 10L), (2L, "s", 10L), (3L, "s", 10L),
+      (4L, "s", 4L)).toDF("doc_id", "src", "len")
+    val got = Packing.paddingAudit(df, col("src"), "doc_id", col("len"),
+        nBins = 2, slices = 4, lo = 0.0, hi = 16.0)
+      .orderBy("key", "bin").collect()
+    assert(got.length == 2)
+    // bin 0: two 10s, no waste; bin 1: 10 and 4 -> (20-14)/20 = 30%
+    assert(got(0).getAs[Long]("waste_ppm") == 0L)
+    assert(got(1).getAs[Long]("max_len") == 10L)
+    assert(got(1).getAs[Long]("sum_len") == 14L)
+    assert(got(1).getAs[Long]("waste_ppm") == 300000L)
+    val base = Packing.paddingAudit(df, col("src"), "doc_id", col("len"),
+        nBins = 1, slices = 4, lo = 0.0, hi = 16.0).collect()
+    // unbucketed: cap 40, used 34 -> 150000 ppm
+    assert(base.length == 1 && base(0).getAs[Long]("waste_ppm") == 150000L)
+  }
+
   // ---------------------------------------------------------------- bpe
 
   test("bpeEncode: chained merges build hierarchically; greedy " +
