@@ -202,6 +202,49 @@ object Multimodal {
       }
   }
 
+  /** Per-image feature record: 2×2 quadrant brightness sums from the
+    * decoded raster (exact integers carried as doubles — the feature
+    * vector the retrieval stage consumes).
+    */
+  case class ImageFeatures(media_id: Long, features: Array[Double])
+
+  /** REAL decode → feature-extract: quadrant brightness sums as a
+    * 4-dim embedding (the image-retrieval feature stage; a production
+    * pipeline swaps the quadrant sum for a CNN forward pass inside the
+    * SAME mapPartitions shape — decoder + model set up once per
+    * partition, bytes streamed, nothing shuffled). Quadrants split at
+    * the integer midpoints (`x < w/2`, `y < h/2`), so every feature is
+    * an exact integer the oracle reproduces from the synthesis formula
+    * — the decode path is verified THROUGH the feature pipeline.
+    */
+  def imageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable payload for media_id=$id")
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          val sums = new Array[Double](4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val q = (if (y < h / 2) 0 else 2) + (if (x < w / 2) 0 else 1)
+              sums(q) += raster.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(id, sums)
+        }
+      }.toDF()
+  }
+
   // ------------------------------------------------------- audio (WAV)
 
   /** One synthesized real audio clip: genuine RIFF/WAVE payload

@@ -117,6 +117,51 @@ object ScaleQueries {
       |    AS resized_brightness
       |FROM dims ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  // Multimodal retrieval capstone: REAL image decode (ImageIO over
+  // genuine PNG/BMP payloads) → 2×2 quadrant-brightness embedding →
+  // exact cosine top-5 per probe. The oracle recomputes the features
+  // ARITHMETICALLY from the synthesis formula, so a decode error
+  // anywhere in the pipeline breaks the hash — the decode path is
+  // verified through the retrieval geometry, not just summary stats.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeImages(t(s, dir, "documents"))
+    val feats = Multimodal.imageFeatures(media)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    graft.ext.Similarity.bruteForceTopK(
+        feats.filter(col("vec_id") < 3), feats, k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val q125Sql = {
+    def qSum(xlo: String, xhi: String, ylo: String, yhi: String) =
+      s"CAST(coalesce(list_sum(flatten(list_transform(" +
+        s"generate_series($ylo, $yhi), y -> list_transform(" +
+        s"generate_series($xlo, $xhi), x -> " +
+        s"(doc_id*31 + x*7 + y*13) % 256)))), 0) AS DOUBLE)"
+    val cos = graft.ext.Similarity.cosineSql("p.emb", "c.emb")
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
+       |  FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id,
+       |    [${qSum("0", "w//2 - 1", "0", "h//2 - 1")},
+       |     ${qSum("w//2", "w - 1", "0", "h//2 - 1")},
+       |     ${qSum("0", "w//2 - 1", "h//2", "h - 1")},
+       |     ${qSum("w//2", "w - 1", "h//2", "h - 1")}] AS emb
+       |  FROM dims),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, $cos AS score
+       |  FROM f p, f c WHERE p.vec_id < 3),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, score FROM ranked WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q34
   // Scan hygiene: selective filter + narrow projection. The physical plan
   // (graft.Explain) shows PushedFilters on l_shipdate/l_quantity and a
@@ -961,6 +1006,7 @@ object ScaleQueries {
     "q31_salted_join" -> (q31 _),
     "q32_approx_distinct_hll" -> (q32 _),
     "q33_multimodal_decode" -> (q33 _),
+    "q125_image_retrieval" -> (q125 _),
     "q34_pushdown_scan" -> (q34 _),
     "q35_token_frequencies" -> (q35 _),
     "q36_tfidf_topk" -> (q36 _),
@@ -1000,6 +1046,7 @@ object ScaleQueries {
     "q32_approx_distinct_hll" -> q32Sql,
     "q38_ivf_topk" -> q38Sql,
     "q33_multimodal_decode" -> q33Sql,
+    "q125_image_retrieval" -> q125Sql,
     "q34_pushdown_scan" -> q34Sql,
     "q35_token_frequencies" -> q35Sql,
     "q36_tfidf_topk" -> q36Sql,

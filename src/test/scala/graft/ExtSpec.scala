@@ -378,6 +378,25 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: quadrant features from the DECODED raster equal " +
+      "the synthesis formula per quadrant") {
+    val imgs = Multimodal.synthesizeImages(
+      Seq(0L, 1L).toDF("doc_id"), "doc_id")
+    val feats = Multimodal.imageFeatures(imgs)
+      .orderBy("media_id").collect()
+    // id 0: 2×2 — one pixel per quadrant: v(0,0)=0 v(1,0)=7 v(0,1)=13
+    // v(1,1)=20
+    assert(feats(0).getSeq[Double](1) == Seq(0.0, 7.0, 13.0, 20.0))
+    // id 1: 3×3, split at 1: quadrant sums from the formula
+    def v(id: Long, x: Int, y: Int) = Multimodal.synthPixel(id, x, y)
+    val q0 = v(1, 0, 0)
+    val q1 = v(1, 1, 0) + v(1, 2, 0)
+    val q2 = v(1, 0, 1) + v(1, 0, 2)
+    val q3 = v(1, 1, 1) + v(1, 2, 1) + v(1, 1, 2) + v(1, 2, 2)
+    assert(feats(1).getSeq[Double](1) ==
+      Seq(q0.toDouble, q1.toDouble, q2.toDouble, q3.toDouble))
+  }
+
   test("native wordShingles equals the HOF reference form") {
     val texts = Seq(
       "a b c d e",            // normal
