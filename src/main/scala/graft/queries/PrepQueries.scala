@@ -812,10 +812,64 @@ object PrepQueries {
        |ORDER BY key, bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q126
+  // Streaming token-budget admission: three "daily" batch files stream
+  // oldest-first; a doc is admitted while its source's running token
+  // total over everything SEEN (in (batch, doc_id) order) stays within
+  // the budget. Seen-not-accepted running totals make the decision a
+  // pure prefix function — so the batched loop hash-matches the
+  // one-shot window oracle.
+  private val q126Budget = 1000L
+
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-budget-src")
+    val ckpt = Files.createTempDirectory("graft-budget-ckpt")
+    val accepted = "graft.q126_accepted"
+    val state = "graft.q126_state"
+    try {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      writeDailyBatches(docs, tmp)
+      Warehouse.ensureDatabase(s, "graft")
+      Warehouse.dropManagedTable(s, accepted)
+      Warehouse.dropManagedTable(s, state)
+      docs.limit(0).select(col("doc_id"), col("source"),
+          lit(0L).as("w"), lit(0L).as("running_total"))
+        .write.saveAsTable(accepted)
+      docs.limit(0).select(col("source"), lit(0L).as("w"),
+          lit(0L).as("batch_id"))
+        .write.saveAsTable(state)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = Streams.budgetIngest(stream, accepted, state,
+          ckpt.toString, q126Budget,
+          Text.tokenCount(col("text")).cast("long"))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally { Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt) }
+    s.table(accepted).orderBy("doc_id")
+  }
+
+  private val q126Sql =
+    s"""WITH w AS (SELECT doc_id, source,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |  doc_id % 3 AS batch FROM documents),
+       |r AS (SELECT doc_id, source, w,
+       |  CAST(sum(w) OVER (PARTITION BY source ORDER BY batch, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS running_total FROM w)
+       |SELECT doc_id, source, w, running_total FROM r
+       |WHERE running_total <= $q126Budget ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_boilerplate" -> (q117 _),
+    "q126_streaming_budget" -> (q126 _),
     "q120_hybrid_rrf" -> (q120 _),
     "q121_bpe_encode" -> (q121 _),
     "q122_contrastive_pairs" -> (q122 _),
@@ -872,5 +926,6 @@ object PrepQueries {
     "q121_bpe_encode" -> q121Sql,
     "q122_contrastive_pairs" -> q122Sql,
     "q123_curriculum" -> q123Sql,
-    "q124_padding_audit" -> q124Sql)
+    "q124_padding_audit" -> q124Sql,
+    "q126_streaming_budget" -> q126Sql)
 }

@@ -236,6 +236,70 @@ object Streams {
     * triggers should be passed as a catalog table (`s.table(...)`)
     * and refreshed, not as a path-based read.
     */
+  /** Continuous token-budget admission — the streaming form of
+    * [[graft.ext.Sampling.budgetPerKey]]'s cap: accept a row while its
+    * key's RUNNING token total (over everything the stream has SEEN,
+    * accepted or not, in (batch, id) order) stays ≤ `budget`. Because
+    * the running total counts seen rows — not accepted rows — the
+    * admission decision is a pure function of the stream prefix, so
+    * the batched loop provably equals the one-shot window formula the
+    * oracle computes (q126 hash-checks exactly that).
+    *
+    * State = per-(batch, key) weight contributions in `stateTable`,
+    * append-only. Idempotence under foreachBatch retry, both ways:
+    * reads aggregate `max()` per (batch, key) — a retried batch's
+    * duplicate contribution rows are exact duplicates, so max
+    * collapses them — and the accepted append re-gates on an anti
+    * join by id. Seen totals read strictly-earlier batches only, so a
+    * half-written current batch can never poison its own replay.
+    *
+    * Scale: the per-batch window is batch-sized (swap in
+    * `budgetPerKey`'s sliced decomposition if one batch can carry a
+    * hot key); state reads are delta-sized aggregates; production
+    * compacts `stateTable` periodically (sum per key) instead of
+    * re-scanning all batch rows.
+    */
+  def budgetIngest(src: DataFrame, acceptedTable: String,
+      stateTable: String, checkpointDir: String, budget: Long,
+      weight: org.apache.spark.sql.Column, keyCol: String = "source",
+      idCol: String = "doc_id"): StreamingQuery = {
+    val host = src.sparkSession
+    src.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val s = batch.sparkSession
+        val seen = s.table(stateTable)
+          .filter(col("batch_id") < batchId)
+          .groupBy(col("batch_id"), col(keyCol))
+          .agg(max("w").as("__bw"))
+          .groupBy(col(keyCol)).agg(sum("__bw").as("__seen"))
+        val wdf = batch.withColumn("__w", weight.cast("long"))
+        val win = Window.partitionBy(keyCol).orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = wdf.join(broadcast(seen), Seq(keyCol), "left")
+          .withColumn("running_total",
+            coalesce(col("__seen"), lit(0L)) + sum("__w").over(win))
+        val accepted = s.table(acceptedTable)
+        val admit = run.filter(col("running_total") <= budget)
+          .join(accepted.select(idCol), Seq(idCol), "left_anti")
+          .select(col(idCol), col(keyCol), col("__w").as("w"),
+            col("running_total"))
+        admit.select(accepted.columns.map(col).toSeq: _*)
+          .write.mode("append").insertInto(acceptedTable)
+        val contrib = wdf.groupBy(col(keyCol)).agg(sum("__w").as("w"))
+          .withColumn("batch_id", lit(batchId))
+        contrib.select(s.table(stateTable).columns.map(col).toSeq: _*)
+          .write.mode("append").insertInto(stateTable)
+        host.catalog.refreshTable(acceptedTable)
+        host.catalog.refreshTable(stateTable)
+        ()
+      }
+      .start()
+  }
+
   def enrichIngest(src: DataFrame, dim: DataFrame, enrichedTable: String,
       checkpointDir: String, srcKey: String, dimKey: String): StreamingQuery = {
     val host = src.sparkSession

@@ -178,4 +178,48 @@ class PropertiesSpec extends SparkSuite {
       true
     }, n = 8)
   }
+
+  test("bpeEncodeRaw: equals a list-fold reference on random corpora; " +
+      "symbols always reassemble the input; counts never grow") {
+    // independent reference: greedy per-rule pair scan over a List
+    def ref(text: String, merges: Seq[(String, String)]): String =
+      text.split(" ", -1).filter(_.nonEmpty).map { w =>
+        var syms = w.map(_.toString).toList
+        merges.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case x :: y :: t if x == a && y == b =>
+              out += (a + b); rest = t
+            case x :: t => out += x; rest = t
+          }
+          syms = out.toList
+        }
+        syms.mkString(";")
+      }.mkString(" ")
+    val sym = Gen.oneOf("a", "b", "c", "aa", "ab", "ba", "cb")
+    val word = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val text = Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val merges = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(sym, sym)))
+    // pure JVM property — no Spark jobs, so a real sample count is fine
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(text, merges) { (t, m) =>
+        val flat = m.flatMap(p => Seq(p._1, p._2)).toArray
+        val got = graft.functions.NativeString.bpeEncodeRaw(t, flat)
+        val expected = ref(t, m)
+        val reassembled = got.split(" ", -1).map(_.replace(";", ""))
+          .filter(_.nonEmpty).mkString(" ")
+        val original = t.split(" ", -1).filter(_.nonEmpty).mkString(" ")
+        val nSyms = got.split(" ", -1).filter(_.nonEmpty)
+          .map(_.split(";", -1).length).sum
+        val nChars = original.replace(" ", "").length
+        got == expected && reassembled == original &&
+          (original.isEmpty || nSyms <= nChars)
+      })
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -182,6 +182,61 @@ class StreamsSpec extends SparkSuite {
     assert(got == Seq(10L, 11L, 21L))
   }
 
+  test("budgetIngest: running total counts SEEN rows across batches " +
+      "and restarts; admission equals the one-shot window formula") {
+    implicit val sc = spark.sqlContext
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.budg")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.budg_st")
+    Seq.empty[(Long, String, Long, Long)]
+      .toDF("doc_id", "source", "w", "running_total")
+      .write.saveAsTable("graft_test.budg")
+    Seq.empty[(String, Long, Long)].toDF("source", "w", "batch_id")
+      .write.saveAsTable("graft_test.budg_st")
+    val ckpt = tmpDir() + "/ckpt"
+    val input = MemoryStream[(Long, String, Long)]
+    def drain(): Unit = {
+      val q = Streams.budgetIngest(
+        input.toDF().toDF("doc_id", "source", "n"),
+        "graft_test.budg", "graft_test.budg_st", ckpt,
+        budget = 10L, weight = col("n"), keyCol = "source",
+        idCol = "doc_id")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 0: a(4) + a(5) = 9 both fit; b(12) alone blows the budget
+    input.addData((1L, "a", 4L), (2L, "a", 5L), (3L, "b", 12L))
+    drain()
+    // batch 1 AFTER a restart: a(2) pushes a to 11 -> rejected even
+    // though only 9 tokens were ACCEPTED (seen, not accepted, counts);
+    // b(1) is rejected too: b's seen total is already 13
+    input.addData((4L, "a", 2L), (5L, "b", 1L))
+    drain()
+    val got = spark.table("graft_test.budg").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 4L), (2L, 9L)))
+    // replaying the same data into a FRESH checkpoint but one batch:
+    // identical admissions (prefix function, not batching artifact)
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.budg2")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.budg2_st")
+    Seq.empty[(Long, String, Long, Long)]
+      .toDF("doc_id", "source", "w", "running_total")
+      .write.saveAsTable("graft_test.budg2")
+    Seq.empty[(String, Long, Long)].toDF("source", "w", "batch_id")
+      .write.saveAsTable("graft_test.budg2_st")
+    val input2 = MemoryStream[(Long, String, Long)]
+    input2.addData((1L, "a", 4L), (2L, "a", 5L), (3L, "b", 12L),
+      (4L, "a", 2L), (5L, "b", 1L))
+    val q2 = Streams.budgetIngest(
+      input2.toDF().toDF("doc_id", "source", "n"),
+      "graft_test.budg2", "graft_test.budg2_st", tmpDir() + "/ckpt2",
+      budget = 10L, weight = col("n"), keyCol = "source",
+      idCol = "doc_id")
+    try q2.processAllAvailable() finally q2.stop()
+    val oneShot = spark.table("graft_test.budg2").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(oneShot == got)
+  }
+
   test("windowedCounts: watermarked tumbling windows drop late rows (ST5)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
