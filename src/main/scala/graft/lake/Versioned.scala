@@ -69,16 +69,53 @@ object Versioned {
     * still reachable through older manifests). Returns the new version.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      replace: Boolean = false): Int = {
+      replace: Boolean = false): Int =
+    commitImpl(spark, dir, df, replace, statCol = None)
+
+  /** [[commit]] plus per-file min/max stats of `statCol` (an integral
+    * column) recorded in the manifest — the file-skipping index
+    * [[readPruned]] consumes (the mechanism Iceberg/Delta manifests
+    * scale up; pair with a [[graft.ops.ScaleOps.zValue]]-clustered
+    * write so file ranges are tight and stats selective). Files where
+    * `statCol` is all-NULL carry no stats and are never pruned.
+    */
+  def commitWithStats(spark: SparkSession, dir: String, df: DataFrame,
+      statCol: String, replace: Boolean = false): Int =
+    commitImpl(spark, dir, df, replace, statCol = Some(statCol))
+
+  private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
+      replace: Boolean, statCol: Option[String]): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val fs = fileSystem(spark, dir)
     val prev = latestVersion(spark, dir)
     val next = prev.map(_ + 1).getOrElse(0)
     // data files are commit-scoped and immutable once the manifest lands
     val dataDir = new Path(dir, f"data/c$next%05d-${java.util.UUID.randomUUID()}")
     df.write.parquet(dataDir.toString)
+    // per-file stats: ONE column-pruned scan of the just-written files,
+    // grouped by their physical file (footer-only at production scale)
+    val stats: Map[String, (Long, Long)] = statCol match {
+      case None => Map.empty
+      case Some(c) =>
+        spark.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(c).cast("long")).as("__mn"),
+            max(col(c).cast("long")).as("__mx"))
+          .collect()
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+          .map(r => new Path(r.getString(0)).getName ->
+            (r.getLong(1), r.getLong(2)))
+          .toMap
+    }
     val newFiles = fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(f => s"data/${dataDir.getName}/${f.getPath.getName}")
+      .map { f =>
+        val rel = s"data/${dataDir.getName}/${f.getPath.getName}"
+        (stats.get(f.getPath.getName), statCol) match {
+          case (Some((mn, mx)), Some(c)) => s"$rel\t$c\t$mn\t$mx"
+          case _ => rel
+        }
+      }
       .sorted.toSeq
     val carried =
       if (replace) Nil
@@ -93,6 +130,13 @@ object Versioned {
       s"concurrent commit detected publishing version $next of $dir")
     next
   }
+
+  /** Manifest line → (relative path, optional (col, min, max) stats). */
+  private def parseLine(line: String): (String, Option[(String, Long, Long)]) =
+    line.split('\t') match {
+      case Array(rel, c, mn, mx) => (rel, Some((c, mn.toLong, mx.toLong)))
+      case parts => (parts(0), None)
+    }
 
   /** Retention: keep the newest `keepLast` versions, drop older
     * manifests, then delete data files no surviving manifest references
@@ -112,7 +156,7 @@ object Versioned {
           fs.exists(manifestPath(dir, v)))
         val live: Set[String] = (cut to latest)
           .filter(v => fs.exists(manifestPath(dir, v)))
-          .flatMap(v => readManifest(fs, dir, v)).toSet
+          .flatMap(v => readManifest(fs, dir, v)).map(parseLine(_)._1).toSet
         dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
         val dataRoot = new Path(dir, "data")
         var deleted = 0
@@ -175,10 +219,42 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
     require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
-    val files = readManifest(fs, dir, v).map(rel => s"$dir/$rel")
+    val files = readManifest(fs, dir, v)
+      .map(line => s"$dir/${parseLine(line)._1}")
     require(files.nonEmpty,
       s"version $v of $dir is empty (replaced with an empty frame); " +
         "parquet cannot infer a schema from zero files")
     spark.read.parquet(files: _*)
+  }
+
+  /** Stats-pruned read: plan only the files whose recorded
+    * `[min, max]` of `statCol` intersects `[lo, hi]`, then apply the
+    * row-level BETWEEN filter on what remains (pruning is an
+    * optimization; the filter is still the semantics — a file without
+    * stats, or stats on a different column, is always read). THE scale
+    * lever of every table format: a selective predicate over a
+    * well-clustered table plans O(matching files), not O(table).
+    */
+  def readPruned(spark: SparkSession, dir: String, statCol: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(hi >= lo, s"need hi >= lo: [$lo, $hi]")
+    val fs = fileSystem(spark, dir)
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
+    val all = readManifest(fs, dir, v).map(parseLine)
+    require(all.nonEmpty, s"version $v of $dir is empty")
+    val kept = all.collect {
+      case (rel, Some((c, mn, mx))) if c == statCol && (mx < lo || mn > hi) =>
+        None // provably disjoint — skip
+      case (rel, _) => Some(s"$dir/$rel")
+    }.flatten
+    val pred = col(statCol).between(lo, hi)
+    if (kept.isEmpty)
+      // every file pruned: one file supplies the schema, the always-
+      // false residual filter supplies the (empty) rows
+      spark.read.parquet(s"$dir/${all.head._1}").filter(lit(false) && pred)
+    else spark.read.parquet(kept: _*).filter(pred)
   }
 }

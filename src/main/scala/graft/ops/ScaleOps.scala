@@ -244,4 +244,48 @@ object ScaleOps {
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Rolling time-RANGE aggregate per key: for every event, the sum (in
+    * exact integer cents) and count of the key's events in
+    * `[t − windowSec, t]` — the trailing-window rate/exposure feature
+    * (fraud velocity, per-user activity, rate limiting). A RANGE frame,
+    * not ROWS: all time-ties are peers and aggregate identically no
+    * matter how the sort broke them, which is what makes the cents sum
+    * deterministic cross-engine.
+    *
+    * Scale: one shuffle on the key; the frame is per-key bounded by
+    * event density × window. A hot key (one user with millions of
+    * in-window events) funnels its frame through one reducer — the
+    * decomposition for that case is a time-slice spine as in
+    * [[graft.ops.AsOfJoin.asOfSliced]] (carry a running prefix per
+    * slice, range-join the remainder); at typical per-entity densities
+    * the plain frame is the right plan.
+    */
+  def rollingTimeAgg(df: DataFrame, key: Column, tsCol: Column,
+      value: Column, windowSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val tUs = unix_micros(tsCol.cast("timestamp"))
+    val cents = round(value * 100).cast("long")
+    val w = Window.partitionBy("__k").orderBy(col("__t_us"))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    df.select(key.as("__k"), tUs.as("__t_us"), cents.as("__cents"))
+      .select(col("__k").as("key"), col("__t_us").as("t_us"),
+        sum("__cents").over(w).as("window_cents"),
+        count(lit(1)).over(w).cast("long").as("window_events"))
+  }
+
+  /** DuckDB twin of [[rollingTimeAgg]] (numeric RANGE frame over epoch
+    * microseconds — identical peer semantics).
+    */
+  def rollingTimeAggSql(table: String, keyE: String, tsE: String,
+      valueE: String, windowSec: Long): String =
+    s"""SELECT $keyE AS key, epoch_us($tsE) AS t_us,
+       |  CAST(sum(CAST(round(($valueE)*100) AS BIGINT)) OVER w AS BIGINT)
+       |    AS window_cents,
+       |  CAST(count(*) OVER w AS BIGINT) AS window_events
+       |FROM $table
+       |WINDOW w AS (PARTITION BY $keyE ORDER BY epoch_us($tsE)
+       |  RANGE BETWEEN ${windowSec * 1000000L} PRECEDING AND CURRENT ROW)
+       |""".stripMargin
 }

@@ -388,10 +388,44 @@ object DeltaQueries {
     }
   }
 
+  // ---------------------------------------------------------------- q128
+  // Stats-pruned versioned read: three range-clustered commits record
+  // per-file doc_id min/max in the manifest; a selective BETWEEN read
+  // plans ONLY the intersecting file (asserted in-query via
+  // inputFiles), and the row results still hash-match the plain
+  // filtered oracle — the file-skipping mechanism of a table format,
+  // proven semantics-preserving.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vstats")
+    try {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Versioned.commitWithStats(s, tmp.toString,
+        docs.filter(col("doc_id") < 167).coalesce(1), "doc_id")
+      Versioned.commitWithStats(s, tmp.toString,
+        docs.filter(col("doc_id") >= 167 && col("doc_id") < 334)
+          .coalesce(1), "doc_id")
+      Versioned.commitWithStats(s, tmp.toString,
+        docs.filter(col("doc_id") >= 334).coalesce(1), "doc_id")
+      val pruned = Versioned.readPruned(s, tmp.toString, "doc_id",
+        200L, 250L)
+      // the audit that makes this a PRUNING test, not just a filter
+      // test: only the middle commit's single file may be planned
+      require(pruned.inputFiles.length == 1,
+        s"expected 1 planned file, got ${pruned.inputFiles.length}")
+      pruned.orderBy("doc_id").localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q128Sql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id BETWEEN 200 AND 250 ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_cdc_replay" -> (q105 _),
+    "q128_stats_pruned_read" -> (q128 _),
     "q107_skew_advisor" -> (q107 _),
     "q108_stream_enrich" -> (q108 _),
     "q109_time_travel" -> (q109 _),
@@ -410,5 +444,6 @@ object DeltaQueries {
     "q112_versioned_purge" -> q112Sql,
     "q113_version_diff" -> q113Sql,
     "q114_export_pipeline" -> q114Sql,
-    "q115_ivm_refresh" -> q115Sql)
+    "q115_ivm_refresh" -> q115Sql,
+    "q128_stats_pruned_read" -> q128Sql)
 }

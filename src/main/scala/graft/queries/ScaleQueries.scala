@@ -162,6 +162,22 @@ object ScaleQueries {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q127
+  // Rolling time-RANGE aggregate: per user, the exact-cents sum and
+  // count of their events in the trailing 48 h at every event (velocity
+  // / exposure features). RANGE peers aggregate identically however
+  // ties sort — which is what makes the window deterministic enough to
+  // hash-compare.
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.rollingTimeAgg(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"), windowSec = 172800L)
+      .orderBy("key", "t_us")
+
+  private val q127Sql =
+    s"""${graft.ops.ScaleOps.rollingTimeAggSql("events", "user_id", "ts",
+          "value", 172800L)}
+       |ORDER BY key, t_us""".stripMargin
+
   // ---------------------------------------------------------------- q34
   // Scan hygiene: selective filter + narrow projection. The physical plan
   // (graft.Explain) shows PushedFilters on l_shipdate/l_quantity and a
@@ -1007,6 +1023,7 @@ object ScaleQueries {
     "q32_approx_distinct_hll" -> (q32 _),
     "q33_multimodal_decode" -> (q33 _),
     "q125_image_retrieval" -> (q125 _),
+    "q127_rolling_window" -> (q127 _),
     "q34_pushdown_scan" -> (q34 _),
     "q35_token_frequencies" -> (q35 _),
     "q36_tfidf_topk" -> (q36 _),
@@ -1047,6 +1064,7 @@ object ScaleQueries {
     "q38_ivf_topk" -> q38Sql,
     "q33_multimodal_decode" -> q33Sql,
     "q125_image_retrieval" -> q125Sql,
+    "q127_rolling_window" -> q127Sql,
     "q34_pushdown_scan" -> q34Sql,
     "q35_token_frequencies" -> q35Sql,
     "q36_tfidf_topk" -> q36Sql,

@@ -89,6 +89,37 @@ class LakeSpec extends SparkSuite {
     }
   }
 
+  test("versioned stats pruning: disjoint files skipped, stats carried " +
+      "across append commits, statless files never pruned, all-pruned " +
+      "read keeps the schema") {
+    import graft.lake.Versioned
+    val dir = tmpDir() + "/vstats"
+    Versioned.commitWithStats(spark, dir,
+      Seq((1L, "a"), (5L, "b")).toDF("id", "s").coalesce(1), "id")
+    Versioned.commitWithStats(spark, dir,
+      Seq((10L, "c"), (15L, "d")).toDF("id", "s").coalesce(1), "id")
+    // a plain commit (no stats): must always be read
+    Versioned.commit(spark, dir,
+      Seq((100L, "x")).toDF("id", "s").coalesce(1))
+    // [10, 12]: second commit's file + the statless file = 2 planned
+    val pruned = Versioned.readPruned(spark, dir, "id", 10L, 12L)
+    assert(pruned.inputFiles.length == 2)
+    assert(pruned.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(10L -> "c"))
+    // pruning respects time travel: version 1 predates the statless file
+    val prunedV1 = Versioned.readPruned(spark, dir, "id", 10L, 12L,
+      version = Some(1))
+    assert(prunedV1.inputFiles.length == 1)
+    // all stat-bearing files disjoint: only the statless file remains
+    val edge = Versioned.readPruned(spark, dir, "id", 50L, 60L)
+    assert(edge.inputFiles.length == 1 && edge.count() == 0)
+    // all files pruned at v1 -> empty frame, schema intact
+    val none = Versioned.readPruned(spark, dir, "id", 50L, 60L,
+      version = Some(1))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "s"))
+  }
+
   test("versioned expire: old versions gone, shared live files survive") {
     import graft.lake.Versioned
     val dir = tmpDir() + "/vexp"

@@ -206,4 +206,27 @@ class ScaleOpsSpec extends SparkSuite {
       .filter(col("key") === 3L).collect().toSeq
     assert(carried == totals0.filter(col("key") === 3L).collect().toSeq)
   }
+
+  test("rollingTimeAgg: trailing RANGE window includes boundary, " +
+      "expires old rows, and treats time-ties as peers") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(30), 2.0), (1L, ts(60), 4.0),
+      (1L, ts(100), 8.0),
+      (2L, ts(50), 1.0), (2L, ts(50), 2.0) // exact tie: peers
+    ).toDF("user_id", "ts", "value")
+    val got = ScaleOps.rollingTimeAgg(df, col("user_id"), col("ts"),
+        col("value"), windowSec = 60L)
+      .orderBy("key", "t_us", "window_events").collect()
+    val u1 = got.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // t=0: {1}; t=30: {1,2}; t=60: {1,2,4} (boundary INCLUDED);
+    // t=100: {4,8} (t=0 and t=30 expired)
+    assert(u1 == Seq((100L, 1L), (300L, 2L), (700L, 3L), (1200L, 2L)))
+    // tied timestamps are peers: BOTH rows see the combined frame
+    val u2 = got.filter(_.getLong(0) == 2L)
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(u2 == Seq((300L, 2L), (300L, 2L)))
+  }
 }
