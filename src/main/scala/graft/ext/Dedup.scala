@@ -911,6 +911,99 @@ object Dedup {
        |FROM __sk GROUP BY doc_id""".stripMargin
   }
 
+  // --------------------------------------- exact set-similarity join
+
+  /** EXACT all-pairs Jaccard similarity join via prefix filtering
+    * (Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. PPJoin) — the
+    * deterministic complement to MinHash-LSH: every pair with
+    * `J(shingles_a, shingles_b) ≥ num/den` is returned, no
+    * probabilistic misses, no banding tuning. The threshold is a
+    * RATIONAL (`num/den`): prefix lengths and the final acceptance
+    * test are exact integer arithmetic (`c·den ≥ num·(n_a+n_b−c)`) —
+    * no float ever decides membership, so both engines agree exactly.
+    *
+    * Why it still scales: J ≥ t forces an overlap of ⌈t·n⌉ with BOTH
+    * sets, so a pair must share an element inside each side's
+    * `n − ⌈t·n⌉ + 1`-element prefix under ANY fixed global element
+    * order. Ordering rare-first (global document frequency asc) makes
+    * prefix elements the RAREST shingles, so the candidate equi-join
+    * on prefix elements explodes on low-df keys only — the classic
+    * prefix-filter guarantee. Verification then runs on the
+    * candidate-sized set with exact intersections.
+    *
+    * Scale shape: one shuffle for the df count, one fact-side join to
+    * attach dfs, a per-doc bounded sort (doc-length arrays, never a
+    * corpus sort), the prefix equi-join (rare keys), and a
+    * delta-sized verify join. Docs with fewer than `n` tokens have
+    * empty shingle sets and never pair (J undefined) — consistent in
+    * both engines.
+    */
+  def similarityJoinExact(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, thresholdNum: Int = 1,
+      thresholdDen: Int = 2): DataFrame = {
+    require(n > 0, s"shingle width must be positive: $n")
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"threshold must be a rational in (0, 1]: $thresholdNum/$thresholdDen")
+    val sh = df.select(col(idCol).cast("long").as("__id"),
+      explode(array_distinct(shingleHashes(col(textCol), n))).as("__h"))
+    val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val ordered = sh.join(dfreq, "__h")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
+        .as("__arr"))
+      .select(col("__id"),
+        transform(col("__arr"), _.getField("__h")).as("__hs"),
+        size(col("__arr")).cast("long").as("__n"))
+    // prefix length n − ⌈t·n⌉ + 1 in exact integers:
+    // ⌈n·num/den⌉ = (n·num + den − 1) div den
+    val pfxLen = expr(
+      s"__n - ((__n * $thresholdNum + ${thresholdDen - 1}) " +
+        s"div $thresholdDen) + 1")
+    val prefix = ordered.select(col("__id"),
+      explode(slice(col("__hs"), lit(1), pfxLen.cast("int"))).as("__h"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("__ia"), col("b.__id").as("__ib"))
+      .distinct()
+    cands
+      .join(ordered.select(col("__id").as("__ia"), col("__hs").as("__ha"),
+        col("__n").as("__na")), Seq("__ia"))
+      .join(ordered.select(col("__id").as("__ib"), col("__hs").as("__hb"),
+        col("__n").as("__nb")), Seq("__ib"))
+      .withColumn("__c",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .filter(col("__c") * thresholdDen >=
+        lit(thresholdNum.toLong) * (col("__na") + col("__nb") - col("__c")))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        col("__c").as("n_inter"),
+        (col("__na") + col("__nb") - col("__c")).as("n_union"),
+        (col("__c").cast("double") /
+          (col("__na") + col("__nb") - col("__c")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** DuckDB twin of [[similarityJoinExact]] — deliberately the BRUTE
+    * FORCE formulation (all shared-shingle pairs, exact counts): the
+    * oracle proves the prefix filter loses nothing.
+    */
+  def similarityJoinExactSql(table: String, idE: String, textE: String,
+      n: Int, thresholdNum: Int, thresholdDen: Int): String =
+    s"""WITH __sh AS MATERIALIZED (
+       |  SELECT $idE AS id, unnest(list_distinct(
+       |    ${shingleHashesSql(textE, n)})) AS h
+       |  FROM $table),
+       |__sz AS (SELECT id, count(*) AS nn FROM __sh GROUP BY id),
+       |__pair AS (
+       |  SELECT a.id AS ia, b.id AS ib, count(*) AS c
+       |  FROM __sh a JOIN __sh b ON a.h = b.h AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT ia AS id_a, ib AS id_b, CAST(c AS BIGINT) AS n_inter,
+       |  CAST(sa.nn + sb.nn - c AS BIGINT) AS n_union,
+       |  CAST(c AS DOUBLE) / CAST(sa.nn + sb.nn - c AS DOUBLE) AS jaccard
+       |FROM __pair JOIN __sz sa ON ia = sa.id JOIN __sz sb ON ib = sb.id
+       |WHERE c * $thresholdDen >= $thresholdNum * (sa.nn + sb.nn - c)""".stripMargin
+
   // ---------------------------------------------- boilerplate removal
 
   /** Frequency-threshold boilerplate removal (the CCNet/RefinedWeb

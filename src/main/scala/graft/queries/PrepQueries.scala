@@ -865,10 +865,26 @@ object PrepQueries {
        |SELECT doc_id, source, w, running_total FROM r
        |WHERE running_total <= $q126Budget ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  // Exact set-similarity join (prefix filtering): every pair with
+  // 3-gram-shingle Jaccard >= 1/3, rational-threshold integer
+  // acceptance — the oracle is the BRUTE-FORCE pair enumeration, so
+  // the hash match proves the prefix filter loses nothing.
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    Dedup.similarityJoinExact(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, thresholdNum = 1, thresholdDen = 3)
+      .orderBy("id_a", "id_b")
+
+  private val q129Sql =
+    s"""${Dedup.similarityJoinExactSql("documents", "doc_id", "text",
+          3, 1, 3)}
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_boilerplate" -> (q117 _),
+    "q129_similarity_join" -> (q129 _),
     "q126_streaming_budget" -> (q126 _),
     "q120_hybrid_rrf" -> (q120 _),
     "q121_bpe_encode" -> (q121 _),
@@ -927,5 +943,6 @@ object PrepQueries {
     "q122_contrastive_pairs" -> q122Sql,
     "q123_curriculum" -> q123Sql,
     "q124_padding_audit" -> q124Sql,
-    "q126_streaming_budget" -> q126Sql)
+    "q126_streaming_budget" -> q126Sql,
+    "q129_similarity_join" -> q129Sql)
 }

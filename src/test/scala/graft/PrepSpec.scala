@@ -645,6 +645,33 @@ class PrepSpec extends SparkSuite {
     assert(rows(2).getLong(0) == 2L)
   }
 
+  // --------------------------------------- exact set-similarity join
+
+  test("similarityJoinExact: equals in-test brute force on a planted " +
+      "corpus; rational threshold boundary is inclusive; short docs " +
+      "never pair") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // shingles {abc,bcd,cde,def}
+      (2L, "a b c d e x"),      // shares {abc,bcd,cde} with 1
+      (3L, "p q r s t u"),      // disjoint from 1/2
+      (4L, "a b c d e f"),      // identical to 1 -> J = 1
+      (5L, "x y")               // < 3 tokens -> empty set
+    ).toDF("doc_id", "text")
+    val got = Dedup.similarityJoinExact(docs, "doc_id", "text",
+        n = 3, thresholdNum = 3, thresholdDen = 5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: J(1,2) = 3/5 (== threshold, inclusive), J(1,4) = 1,
+    // J(2,4) = 3/5; doc 3 and doc 5 pair with nothing
+    assert(got.toSeq == Seq((1L, 2L, 3L, 5L), (1L, 4L, 4L, 4L),
+      (2L, 4L, 3L, 5L)))
+    // one notch above 3/5 excludes the boundary pairs, keeps J = 1
+    val tight = Dedup.similarityJoinExact(docs, "doc_id", "text",
+        n = 3, thresholdNum = 61, thresholdDen = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.toSeq == Seq((1L, 4L)))
+  }
+
   // ----------------------------------------------- contrastive pairs
 
   test("contrastivePairs: deterministic same-label positive (min id, " +
