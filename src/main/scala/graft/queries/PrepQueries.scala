@@ -880,11 +880,51 @@ object PrepQueries {
           3, 1, 3)}
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  // Tokenized release capstone: REAL tokenizer counts (q121's BPE
+  // encode) gate fragments (< 20 BPE tokens), shard by portable hash,
+  // and pack greedily into 256-token training sequences — the
+  // "tokenize → budget → pack" release flow as ONE composition, whose
+  // oracle chains the BPE fold, the gate, the shard hash, and the
+  // recursive packing replay in a single CTE pipeline.
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeString
+    val enc = graft.ext.Text.bpeEncode(col("text"), q121Merges)
+    val nBpe = when(length(col("__enc")) === 0, lit(0L))
+      .otherwise(NativeString.countSubstr(col("__enc"), ";") +
+        NativeString.countSubstr(col("__enc"), " ") + lit(1L))
+    val counted = t(s, dir, "documents")
+      .select(col("doc_id"), enc.as("__enc"))
+      .select(col("doc_id"), nBpe.as("n_bpe"))
+      .filter(col("n_bpe") >= 20)
+    val sharded = Sampling.shardAssign(counted, col("doc_id"), 4)
+    graft.ext.Packing.packGreedy(sharded, "shard", "doc_id", "n_bpe",
+        budget = 256L)
+      .toDF().orderBy("shard", "id")
+  }
+
+  private val q130Sql = {
+    val encE = graft.ext.Text.bpeEncodeSql("text", q121Merges)
+    def cnt(sub: String) = s"(len(e) - len(replace(e, '$sub', '')))"
+    val nBpe = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt(";")} + " +
+      s"${cnt(" ")} + 1 END"
+    val (_, shard) = Sampling.shardAssignSql("doc_id", 4)
+    val inner =
+      s"""SELECT $shard AS shard, doc_id AS id,
+         |  CAST(n_bpe AS BIGINT) AS n_tokens FROM (
+         |  SELECT doc_id, $nBpe AS n_bpe FROM (
+         |    SELECT doc_id, $encE AS e FROM documents))
+         |WHERE n_bpe >= 20""".stripMargin
+    s"""${graft.ext.Packing.packGreedySql(inner, 256L)}
+       |ORDER BY shard, id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_boilerplate" -> (q117 _),
     "q129_similarity_join" -> (q129 _),
+    "q130_tokenized_packing" -> (q130 _),
     "q126_streaming_budget" -> (q126 _),
     "q120_hybrid_rrf" -> (q120 _),
     "q121_bpe_encode" -> (q121 _),
@@ -944,5 +984,6 @@ object PrepQueries {
     "q123_curriculum" -> q123Sql,
     "q124_padding_audit" -> q124Sql,
     "q126_streaming_budget" -> q126Sql,
-    "q129_similarity_join" -> q129Sql)
+    "q129_similarity_join" -> q129Sql,
+    "q130_tokenized_packing" -> q130Sql)
 }
