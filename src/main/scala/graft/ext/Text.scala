@@ -924,6 +924,141 @@ object Text {
       s"string_split($textE, ' '), w -> w <> ''), w -> $e), ' '), '')"
   }
 
+  // ------------------------------------------------ BPE tokenizer TRAIN
+
+  /** BPE tokenizer TRAINING — the learning loop itself (Sennrich et al.
+    * 2016 alg. 1), completing the BPE story: [[bpePairStats]] counts
+    * once, [[bpeEncode]] applies a given merge list; this LEARNS the
+    * list. Iteration t: segment every vocabulary word with the t−1
+    * merges learned so far, count adjacent symbol pairs weighted by
+    * word frequency, and adopt the argmax (`count DESC, lhs, rhs`
+    * tie-break — deterministic cross-engine on binary string order) as
+    * merge t. Returns the learned merge table
+    * `(rank, lhs, rhs, merged, cnt)`.
+    *
+    * Scale shape (100 TB): the corpus collapses ONCE to its
+    * Zipf-bounded word vocabulary `(word, count)` — the only
+    * corpus-sized pass — and is `localCheckpoint`ed flat (the
+    * dupComponents boundary pattern) so each training iteration rescans
+    * a small materialized table, not the corpus or a growing plan. Per
+    * iteration the heavy step is a map-side-combined pair count over
+    * the vocab (pair space ≪ vocab); the argmax is `orderBy.limit(1)` —
+    * TakeOrdered, per-partition bounded heaps, ONE row to the driver.
+    * Driver state is the merge list (the model being learned — the same
+    * driver/executor split as the k-means IVF trainer, Similarity
+    * q38). Re-segmentation recomputes from scratch with the full list
+    * (O(t) greedy passes/word) rather than holding mutable executor
+    * state: at production vocab sizes the incremental-pair-delta
+    * trainer would slot behind the same loop, but the plan shape —
+    * vocab-local work, one tiny collect per rule — is already the
+    * industrial one.
+    *
+    * Vocabulary is restricted to `^[A-Za-z0-9]+$` words: `;` and space
+    * are the encoding's reserved separators and `'` would need SQL
+    * escaping; the filter is applied identically in [[bpeTrainSql]] so
+    * the restriction is part of the contract, not a divergence.
+    */
+  def bpeTrain(df: DataFrame, nMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val v0 = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "" && col("w").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .localCheckpoint(true)
+    // flat-stats rebuild (SPARK-39748, the dupComponents pattern): the
+    // loop below scans this table nMerges times
+    val vocab = spark.createDataFrame(v0.rdd, v0.schema)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val learned = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, String, String, Long)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val seg = graft.functions.NativeString.bpeEncode(
+        col("w"), merges.toSeq)
+      val top = vocab
+        .select(col("wcnt"), split(seg, ";").as("s"))
+        .select(col("wcnt"),
+          explode(arrays_zip(
+            slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
+            slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("p"))
+        .select(col("p.l").as("lhs"), col("p.r").as("rhs"), col("wcnt"))
+        .groupBy("lhs", "rhs").agg(sum("wcnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += ((a, b))
+        learned += ((merges.length.toLong, a, b, a + b, r.getLong(2)))
+      }
+    }
+    val rows = learned.map { case (rk, a, b, m, c) =>
+      org.apache.spark.sql.Row(rk, a, b, m, c) }
+    val schema = StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the training loop unrolled as CTE
+    * triples — `__pN` (pair counts on the previous segmentation),
+    * `__mN` (argmax, same `cnt DESC, lhs, rhs` tie-break), `__sN`
+    * (re-segment by applying merge N once, the [[bpeEncodeSql]]
+    * accumulator-tail fold with the rule's symbols cross-joined in from
+    * `__mN` instead of inlined as literals — lengths via `len(m.a)`
+    * since the symbols aren't known until the query runs). Incremental
+    * re-segmentation (apply rule N to segmentation N−1) equals the
+    * Spark side's from-scratch recompute because [[bpeEncodeRaw]] is
+    * itself sequential per-rule passes.
+    */
+  def bpeTrainSql(table: String, textE: String, nMerges: Int): String = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    val sb = new StringBuilder
+    sb ++= s"""WITH __v0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM (
+       |    SELECT unnest(string_split($textE, ' ')) AS w FROM $table)
+       |  WHERE w <> '' AND regexp_matches(w, '^[A-Za-z0-9]+$$')
+       |  GROUP BY w),
+       |__s0 AS (SELECT w, wcnt,
+       |  array_to_string(string_split_regex(w, ''), ';') AS seg
+       |  FROM __v0)""".stripMargin
+    for (i <- 1 to nMerges) {
+      val (ac, sy) = (s"a$i", s"s$i")
+      sb ++= s""",
+       |__p$i AS (SELECT l[i] AS lhs, l[i+1] AS rhs,
+       |    CAST(sum(wcnt) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(seg, ';') AS l, wcnt,
+       |      unnest(generate_series(1, len(string_split(seg, ';')) - 1))
+       |        AS i
+       |    FROM __s${i - 1}) GROUP BY 1, 2),
+       |__m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM __p$i
+       |  ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+      if (i < nMerges) sb ++= s""",
+       |__s$i AS MATERIALIZED (SELECT w, wcnt,
+       |  substr(list_reduce(list_prepend('', string_split(seg, ';')),
+       |    ($ac, $sy) -> CASE
+       |      WHEN right($ac, 1 + len(m.lhs)) = ';' || m.lhs
+       |        AND $sy = m.rhs
+       |      THEN left($ac, len($ac) - 1 - len(m.lhs))
+       |        || ';' || m.lhs || m.rhs
+       |      ELSE $ac || ';' || $sy END), 2) AS seg
+       |  FROM __s${i - 1}, __m$i m)""".stripMargin
+    }
+    val union = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs," +
+        s" lhs || rhs AS merged, cnt FROM __m$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb ++= s"\nSELECT * FROM ($union)\nORDER BY rank"
+    sb.toString
+  }
+
   // --------------------------------------------- BM25 ranked retrieval
 
   /** BM25 top-k ranked retrieval (Robertson & Spärck Jones probabilistic

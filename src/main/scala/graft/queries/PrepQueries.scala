@@ -919,12 +919,62 @@ object PrepQueries {
        |ORDER BY shard, id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q131
+  // BPE tokenizer TRAINING: learn 8 merge rules from the documents
+  // corpus — per iteration, segment the (checkpointed, Zipf-bounded)
+  // word vocabulary with the merges learned so far, count adjacent
+  // symbol pairs weighted by word frequency, adopt the argmax. The
+  // oracle unrolls the loop as 8 CTE triples whose merge rules are
+  // DATA-DEPENDENT (cross-joined argmax rows, not literals) — so the
+  // hash match verifies the learned rules themselves, not just one
+  // application of a known list. Completes the BPE story: q79 counts
+  // pairs once, q121 applies a given list, q131 learns the list.
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    Text.bpeTrain(t(s, dir, "documents"), nMerges = 8).orderBy("rank")
+
+  private val q131Sql = Text.bpeTrainSql("documents", "text", 8)
+
+  // ---------------------------------------------------------------- q132
+  // In-engine classifier TRAINING: a batch perceptron distills the
+  // quality-score gate (weak-supervision labels, the fastText pattern)
+  // into a linear model over integer text features — 6 epochs, each one
+  // map-side-combined full-corpus aggregate; weights live on the driver
+  // like the IVF centroids (q38). EXACT integer arithmetic end-to-end;
+  // the oracle unrolls the epoch loop with data-dependent weight CTEs,
+  // so the hash match verifies the whole training trajectory.
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    graft.ext.Learn.perceptron(
+      t(s, dir, "documents"),
+      features = Seq(lit(1L), Text.tokenCount(txt),
+        Text.stopwordCount(txt), Text.punctCount(txt)),
+      label = Text.qualityScore(txt) >= 1.8,
+      epochs = 6)
+  }
+
+  private val q132Sql = {
+    val nTok = "len(string_split(text, ' '))"
+    val stopList = Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val nStop = "len(list_filter(string_split(text, ' '), " +
+      s"x -> list_contains($stopList, x)))"
+    val nPunct = "length(text) - length(regexp_replace(text, " +
+      s"'${Text.punctClass}', '', 'g'))"
+    val quality =
+      s"""(CAST($nStop AS DOUBLE) / CAST($nTok AS DOUBLE)) * 2.0
+         |    + (1.0 - CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE))
+         |    + least(CAST($nTok AS DOUBLE) / 100.0, 1.0)""".stripMargin
+    graft.ext.Learn.perceptronSql("documents",
+      Seq("1", nTok, nStop, nPunct), s"($quality) >= 1.8", epochs = 6)
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_boilerplate" -> (q117 _),
     "q129_similarity_join" -> (q129 _),
     "q130_tokenized_packing" -> (q130 _),
+    "q131_bpe_train" -> (q131 _),
+    "q132_perceptron" -> (q132 _),
     "q126_streaming_budget" -> (q126 _),
     "q120_hybrid_rrf" -> (q120 _),
     "q121_bpe_encode" -> (q121 _),
@@ -985,5 +1035,7 @@ object PrepQueries {
     "q124_padding_audit" -> q124Sql,
     "q126_streaming_budget" -> q126Sql,
     "q129_similarity_join" -> q129Sql,
-    "q130_tokenized_packing" -> q130Sql)
+    "q130_tokenized_packing" -> q130Sql,
+    "q131_bpe_train" -> q131Sql,
+    "q132_perceptron" -> q132Sql)
 }

@@ -222,4 +222,92 @@ class PropertiesSpec extends SparkSuite {
       })
     assert(res.passed, res.status.toString)
   }
+
+  test("bpeTrain: learned merges equal a naive in-memory trainer " +
+      "(same argmax tie-break) on random corpora") {
+    // independent reference: vocab dict + per-iteration pair count +
+    // (cnt DESC, lhs, rhs) argmax, re-segmenting from scratch per round
+    def refTrain(texts: Seq[String], n: Int): Seq[(Long, String, String,
+        String, Long)] = {
+      val vocab = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .filter(_.forall(_.isLetterOrDigit))
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String)]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      var done = false
+      while (merges.length < n && !done) {
+        val flat = merges.toSeq.flatMap(p => Seq(p._1, p._2)).toArray
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        vocab.foreach { case (w, c) =>
+          val syms = graft.functions.NativeString.bpeEncodeRaw(w, flat)
+            .split(";", -1)
+          syms.sliding(2).foreach {
+            case Array(x, y) =>
+              counts((x, y)) = counts.getOrElse((x, y), 0L) + c
+            case _ =>
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.minBy { case ((x, y), c) =>
+            (-c, x, y) }
+          merges += ((a, b))
+          out += ((merges.length.toLong, a, b, a + b, c))
+        }
+      }
+      out.toSeq
+    }
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(corpus) { texts =>
+      val df = texts.toDF("text")
+      val got = graft.ext.Text.bpeTrain(df, nMerges = 3).orderBy("rank")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+      val expected = refTrain(texts, 3)
+      assert(got == expected, s"got=$got expected=$expected texts=$texts")
+      true
+    }, n = 5)
+  }
+
+  test("perceptron: epoch trajectory equals a naive in-memory batch " +
+      "loop on random integer data") {
+    def refTrain(rows: Seq[(Long, Long, Boolean)],
+        epochs: Int): Seq[(Long, Long, Long, Long)] = {
+      var (w0, w1) = (0L, 0L)
+      (1 to epochs).map { e =>
+        val missed = rows.filter { case (x0, x1, lab) =>
+          val y = if (lab) 1L else -1L
+          y * (w0 * x0 + w1 * x1) <= 0
+        }
+        val miss = missed.size.toLong
+        w0 += missed.map { case (x0, _, lab) =>
+          (if (lab) 1L else -1L) * x0 }.sum
+        w1 += missed.map { case (_, x1, lab) =>
+          (if (lab) 1L else -1L) * x1 }.sum
+        (e.toLong, w0, w1, miss)
+      }
+    }
+    val row = Gen.zip(Gen.choose(-5L, 5L), Gen.choose(-5L, 5L),
+      Gen.oneOf(true, false))
+    val data = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, row))
+    check(Prop.forAll(data) { rows =>
+      val df = rows.toDF("x0", "x1", "lab")
+      val got = graft.ext.Learn.perceptron(df,
+          Seq(col("x0"), col("x1")), col("lab"), epochs = 4)
+        .orderBy("epoch").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val expected = refTrain(rows, 4)
+      assert(got == expected, s"got=$got expected=$expected rows=$rows")
+      true
+    }, n = 5)
+  }
 }
