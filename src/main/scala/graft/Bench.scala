@@ -18,6 +18,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like Verify/tests: the NTZ→TIMESTAMP load normalization
+      // (Q.normalizeTs) casts wall-clock through the session zone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

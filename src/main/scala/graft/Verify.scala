@@ -19,11 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that fails to RUN must be loud, not merely absent: round 8's
+    // CORRECTNESS file read 130/130 while 6 registered queries crashed,
+    // because a crash left no row and absence looked like "not declared".
+    // Failures are collected into _errors.json beside oracle_sql.json and
+    // the process exits non-zero — same contract as Bench.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          errors(name) =
+            e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
@@ -42,6 +50,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v.take(300))}" }
+        .mkString("{", ",", "}"))
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

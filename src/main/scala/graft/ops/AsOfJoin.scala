@@ -78,8 +78,9 @@ object AsOfJoin {
     val rightPayload = right.columns.filterNot(_ == key)
 
     // exact floor division (same overflow-safe idiom as Dedup.simHashPairs)
-    def sliceOf(t: Column): Column = {
-      val s = t.cast("long")
+    // over NTZ-safe epoch seconds (TimeCols owns the dtype decision)
+    def sliceOf(dt: org.apache.spark.sql.types.DataType, t: Column): Column = {
+      val s = graft.functions.TimeCols.toSliceLong(dt, t)
       ((s - pmod(s, lit(sliceSeconds))) / lit(sliceSeconds)).cast("long")
     }
 
@@ -94,14 +95,17 @@ object AsOfJoin {
           lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightPayload.map(col)
     val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
-      .withColumn("__slice", sliceOf(col("__t")))
+      .withColumn("__slice",
+        sliceOf(left.schema(leftTime).dataType, col("__t")))
 
     // carry-in: the latest right row of each (key, slice), run forward
     // over the slice SPINE (distinct (key, slice) of both sides — a left
     // slice with no right rows still needs the carry), shifted one slice
     // back so slice s sees only strictly-earlier slices
     val bounds = right
-      .select(col(key), sliceOf(col(rightTime)).as("__slice"),
+      .select(col(key),
+        sliceOf(right.schema(rightTime).dataType, col(rightTime))
+          .as("__slice"),
         col(rightTime).as("__rt"),
         struct(rightPayload.map(col).toSeq: _*).as("__p"))
       .groupBy(key, "__slice").agg(max_by(col("__p"), col("__rt")).as("__p"))

@@ -27,12 +27,14 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
       pointTime: String, startCol: String, endCol: String,
       bucketMicros: Long): DataFrame = {
+    import graft.functions.TimeCols.toMicros
+    def us(df: DataFrame, c: String) = toMicros(df.schema(c).dataType, col(c))
     val p = points.withColumn("__bucket",
-      floor(unix_micros(col(pointTime)) / bucketMicros).cast("long"))
+      floor(us(points, pointTime) / bucketMicros).cast("long"))
     val i = intervals.withColumn("__bucket",
       explode(sequence(
-        floor(unix_micros(col(startCol)) / bucketMicros).cast("long"),
-        floor(unix_micros(col(endCol)) / bucketMicros).cast("long"))))
+        floor(us(intervals, startCol) / bucketMicros).cast("long"),
+        floor(us(intervals, endCol) / bucketMicros).cast("long"))))
     p.join(i, Seq(key, "__bucket"))
       .filter(col(pointTime) >= col(startCol) &&
         col(pointTime) <= col(endCol))

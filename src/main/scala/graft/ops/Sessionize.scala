@@ -38,13 +38,15 @@ object Sessionize {
   def assign(df: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapSec: Long): DataFrame = {
     require(gapSec > 0, s"gapSec must be positive: $gapSec")
+    val tsUs = graft.functions.TimeCols.toMicros(
+      df.schema(tsCol).dataType, col(tsCol))
     val order = Seq(col(tsCol), col(idCol))
     val lagW = Window.partitionBy(userCol).orderBy(order: _*)
     val runW = lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(lagW))
+    df.withColumn("__prev", lag(tsUs, 1).over(lagW))
       .withColumn("__new",
         when(col("__prev").isNull ||
-          unix_micros(col(tsCol)) - col("__prev") > gapSec * 1000000L, 1L)
+          tsUs - col("__prev") > gapSec * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum("__new").over(runW))
       .drop("__prev", "__new")
@@ -56,14 +58,16 @@ object Sessionize {
     * prefix of the grouping key), so no second Exchange of the events.
     */
   def summary(df: DataFrame, userCol: String, tsCol: String,
-      idCol: String, gapSec: Long): DataFrame =
+      idCol: String, gapSec: Long): DataFrame = {
+    val us = graft.functions.TimeCols.toMicros(
+      df.schema(tsCol).dataType, _: org.apache.spark.sql.Column)
     assign(df, userCol, tsCol, idCol, gapSec)
       .groupBy(col(userCol), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("t_start"),
         max(col(tsCol)).as("t_end"),
-        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
-          .as("duration_us"))
+        (us(max(col(tsCol))) - us(min(col(tsCol)))).as("duration_us"))
+  }
 
   /** DuckDB twin of [[summary]] (same integer gap test and numbering). */
   /** Episode assembly — the step that turns a sessionized event log
@@ -81,20 +85,22 @@ object Sessionize {
     * only the label column into the list, not the full row.
     */
   def episodes(df: DataFrame, userCol: String, tsCol: String,
-      idCol: String, labelCol: String, gapSec: Long): DataFrame =
+      idCol: String, labelCol: String, gapSec: Long): DataFrame = {
+    val us = graft.functions.TimeCols.toMicros(
+      df.schema(tsCol).dataType, _: org.apache.spark.sql.Column)
     assign(df, userCol, tsCol, idCol, gapSec)
       .groupBy(col(userCol), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
-        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
-          .as("duration_us"),
+        (us(max(col(tsCol))) - us(min(col(tsCol)))).as("duration_us"),
         array_join(
           transform(
             array_sort(collect_list(struct(
-              unix_micros(col(tsCol)).as("t"),
+              us(col(tsCol)).as("t"),
               col(idCol).as("i"),
               col(labelCol).cast("string").as("l")))),
             x => x.getField("l")),
           ",").as("episode"))
+  }
 
   /** DuckDB twin of [[episodes]]. `list(x ORDER BY t, eid)` replays the
     * same (ts, id) total order as Spark's struct `array_sort` (struct

@@ -10,20 +10,51 @@ import graft.schemas.Schemas
 
 /** Shared helpers for the verified query suite. */
 object Q {
-  /** Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
-    * Spark has no native type for — it is read as nanos-since-epoch Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and converted to a
-    * microsecond timestamp (values are µs-aligned; verified remainder 0,
-    * and DuckDB reads the same column as µs TIMESTAMP).
+  /** Load a testdata table, normalizing `events.ts` to ONE canonical
+    * dtype ([[TimestampType]]) whatever the parquet file encodes — the
+    * engine's front-door schema alignment (the reference aligns drifting
+    * upstream schemas the same way, main.py:241-263). The column has
+    * shipped in three encodings across testdata generations; all are
+    * accepted, anything else fails loudly at load time:
+    *   - TIMESTAMP(NANOS): no native Spark type — read as nanos Long
+    *     (`spark.sql.legacy.parquet.nanosAsLong`), µs-aligned (verified
+    *     remainder 0), converted via `timestamp_micros`.
+    *   - TIMESTAMP_NTZ (µs, isAdjustedToUTC=false): wall-clock cast to
+    *     instant under the pinned UTC session zone — the same instants
+    *     DuckDB's naive read produces.
+    *   - TIMESTAMP: already canonical.
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Streaming read of a testdata-shaped parquet directory with the SAME
+    * `ts` normalization as [[t]] — the q37/q98 stream readers go through
+    * here, so a testdata re-encode can never split the static and
+    * streamed views of the same file.
+    */
+  def streamTable(s: SparkSession, path: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(path))
+  }
+
+  /** Normalize a `ts` column (if present) to canonical [[TimestampType]];
+    * see [[t]]. Works on batch and streaming frames alike.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long read of TIMESTAMP(NANOS)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported ts encoding ${other.sql}: expected TIMESTAMP, " +
+          "TIMESTAMP_NTZ, or legacy nanos BIGINT")
+    }
 
   /** Order-independent, cross-engine-exact monetary aggregate: round each
     * row to integer cents (identical IEEE double op in Spark and DuckDB),

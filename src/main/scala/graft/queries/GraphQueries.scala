@@ -271,10 +271,7 @@ object GraphQueries {
     try {
       Files.copy(Paths.get(s"$dir/events.parquet"),
         tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      val stream = s.readStream.schema(
-          s.read.parquet(tmp.toString).schema)
-        .parquet(tmp.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Q.streamTable(s, tmp.toString)
       val agg = stream
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(graft.functions.FreqSketch.misraGries(col("event_type"), cap)

@@ -252,11 +252,7 @@ object ScaleQueries {
     try {
       Files.copy(Paths.get(s"$dir/events.parquet"),
         tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      val static = t(s, dir, "events") // establishes schema + ns handling
-      val stream = s.readStream.schema(
-          s.read.parquet(tmp.toString).schema)
-        .parquet(tmp.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Q.streamTable(s, tmp.toString)
       val agg = stream
         .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
