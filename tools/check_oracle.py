@@ -61,7 +61,20 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Queries that crashed during Verify leave no dump — absence must read
+    # as FAILURE by name, never as "not declared" (round 8's 130/130
+    # artifact silently dropped 6 crashed queries). Verify writes them to
+    # _errors.json; surface each one as its own FAIL line.
+    try:
+        crashed = json.load(open(f"{out_dir}/_errors.json"))
+    except FileNotFoundError:
+        crashed = {}
+    for name, msg in sorted(crashed.items()):
+        print(f"FAIL {name}: crashed during Verify: {msg}")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in crashed:
+            continue  # already FAILed above; no dump exists to compare
         try:
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
