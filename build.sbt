@@ -27,7 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc JVM flags for perf probes (e.g. -Djava.io.tmpdir=/dev/shm/x
+  // to isolate checkpoint-fsync cost in the streaming queries) without
+  // editing the build — space-separated, empty by default
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
 // Pass the forked JVM's stdout through verbatim: Bench prints ONE JSON
 // line the driver machine-parses, and sbt's default logger would prefix
 // it with "[info] " (every prior round's BENCH_r*.json shows
