@@ -40,21 +40,33 @@ object Q {
       .parquet(path))
   }
 
-  /** Normalize a `ts` column (if present) to canonical [[TimestampType]];
-    * see [[t]]. Works on batch and streaming frames alike.
+  /** Normalize every timestamp-family column to canonical
+    * [[TimestampType]]; see [[t]]. `ts` additionally accepts its legacy
+    * nanos-Long read (TIMESTAMP(NANOS) has no native Spark type) but
+    * rejects any OTHER non-timestamp encoding by name. All remaining
+    * TIMESTAMP_NTZ columns (`o_orderdate`, `l_shipdate`, ... — whatever a
+    * testdata regeneration produces) cast to instants under the pinned
+    * UTC session zone, so operators downstream see exactly one dtype
+    * whichever way the files were written. Works on batch and streaming
+    * frames alike.
     */
-  def normalizeTs(df: DataFrame): DataFrame =
-    if (!df.columns.contains("ts")) df
-    else df.schema("ts").dataType match {
-      case LongType => // legacy nanos-as-long read of TIMESTAMP(NANOS)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType => df
-      case other => throw new IllegalArgumentException(
-        s"unsupported ts encoding ${other.sql}: expected TIMESTAMP, " +
-          "TIMESTAMP_NTZ, or legacy nanos BIGINT")
+  def normalizeTs(df: DataFrame): DataFrame = {
+    val tsFixed =
+      if (!df.columns.contains("ts")) df
+      else df.schema("ts").dataType match {
+        case LongType => // legacy nanos-as-long read of TIMESTAMP(NANOS)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType | TimestampType => df // cast below
+        case other => throw new IllegalArgumentException(
+          s"unsupported ts encoding ${other.sql}: expected TIMESTAMP, " +
+            "TIMESTAMP_NTZ, or legacy nanos BIGINT")
+      }
+    tsFixed.schema.fields.foldLeft(tsFixed) { (d, f) =>
+      if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      else d
     }
+  }
 
   /** Order-independent, cross-engine-exact monetary aggregate: round each
     * row to integer cents (identical IEEE double op in Spark and DuckDB),

@@ -42,14 +42,24 @@ class TestdataGuardSpec extends SparkSuite {
     assert(bad == 0, s"$bad events have ts outside [2020, 2040)")
   }
 
-  test("time-family columns are timestamp-flavored") {
+  test("time-family columns normalize to canonical TimestampType") {
     assume(available)
     for ((table, c) <- Seq("orders" -> "o_orderdate",
         "lineitem" -> "l_shipdate")) {
       val dt = Q.t(spark, dir, table).schema(c).dataType
-      assert(dt == TimestampType || dt == TimestampNTZType,
-        s"$table.$c must be a timestamp flavor, got ${dt.sql}")
+      assert(dt == TimestampType,
+        s"$table.$c must normalize to TIMESTAMP, got ${dt.sql}")
     }
+  }
+
+  test("every registered query has an oracle twin") {
+    // the driver's strong (hash) gate only covers queries with BOTH a
+    // queries entry and an oracleSql entry — a missing oracle silently
+    // downgrades to a rows-only check
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${(q -- o).toSeq.sorted}; " +
+      s"oracles without query: ${(o -- q).toSeq.sorted}")
   }
 
   test("embeddings.embedding is ArrayType(FloatType)") {
