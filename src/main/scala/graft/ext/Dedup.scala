@@ -959,11 +959,18 @@ object Dedup {
     val pfxLen = expr(
       s"__n - ((__n * $thresholdNum + ${thresholdDen - 1}) " +
         s"div $thresholdDen) + 1")
-    val prefix = ordered.select(col("__id"),
+    val prefix = ordered.select(col("__id"), col("__n"),
       explode(slice(col("__hs"), lit(1), pfxLen.cast("int"))).as("__h"))
+    // PPJoin length filter, exact integers: J(a,b) ≤ min(|a|,|b|) /
+    // max(|a|,|b|), so any pair with min·den < num·max can't reach the
+    // threshold — pruned BEFORE the distinct and the wide array joins
+    // (the sizes ride the prefix rows; 8 bytes against a pruned
+    // candidate's whole shingle array downstream)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id") &&
+          least(col("a.__n"), col("b.__n")) * thresholdDen >=
+            lit(thresholdNum.toLong) * greatest(col("a.__n"), col("b.__n")))
       .select(col("a.__id").as("__ia"), col("b.__id").as("__ib"))
       .distinct()
     cands
