@@ -52,6 +52,23 @@ class TestdataGuardSpec extends SparkSuite {
     }
   }
 
+  test("filters on normalized time columns still push to the parquet scan") {
+    assume(available)
+    // the load-time NTZ→TIMESTAMP cast sits between the scan and every
+    // time filter; Catalyst's UnwrapCastInBinaryComparison must strip it
+    // so the comparison reaches PushedFilters in the file's own domain —
+    // without this, every time-sliced read at 100 TB becomes a full scan
+    import org.apache.spark.sql.functions._
+    val plan = Q.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01"))
+      .groupBy("l_returnflag").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
+      s"l_shipdate filter not pushed: ${pushed.take(500)}")
+  }
+
   test("every registered query has an oracle twin") {
     // the driver's strong (hash) gate only covers queries with BOTH a
     // queries entry and an oracleSql entry — a missing oracle silently
