@@ -69,6 +69,41 @@ class TestdataGuardSpec extends SparkSuite {
       s"l_shipdate filter not pushed: ${pushed.take(500)}")
   }
 
+  test("full canonical schema of every table is pinned") {
+    assume(available)
+    // the complete post-normalization surface the 136 queries assume —
+    // ANY regeneration drift (renamed column, widened int, re-encoded
+    // timestamp Q.normalizeTs doesn't absorb) fails here by name. If a
+    // drift is benign, relax the pin deliberately, with the query
+    // surface in view — never discover it through the driver gate.
+    val expected = Map(
+      "region" -> "r_regionkey:INT, r_name:STRING",
+      "nation" -> "n_nationkey:INT, n_name:STRING, n_regionkey:INT",
+      "customer" -> ("c_custkey:BIGINT, c_name:STRING, c_nationkey:INT, " +
+        "c_acctbal:DOUBLE, c_mktsegment:STRING"),
+      "supplier" -> ("s_suppkey:BIGINT, s_name:STRING, s_nationkey:INT, " +
+        "s_acctbal:DOUBLE"),
+      "part" -> ("p_partkey:BIGINT, p_name:STRING, p_brand:STRING, " +
+        "p_type:STRING, p_size:INT, p_retailprice:DOUBLE"),
+      "orders" -> ("o_orderkey:BIGINT, o_custkey:BIGINT, " +
+        "o_orderstatus:STRING, o_totalprice:DOUBLE, " +
+        "o_orderdate:TIMESTAMP, o_orderpriority:STRING"),
+      "lineitem" -> ("l_orderkey:BIGINT, l_partkey:BIGINT, " +
+        "l_suppkey:BIGINT, l_linenumber:INT, l_quantity:DOUBLE, " +
+        "l_extendedprice:DOUBLE, l_discount:DOUBLE, l_tax:DOUBLE, " +
+        "l_returnflag:STRING, l_linestatus:STRING, l_shipdate:TIMESTAMP"),
+      "events" -> ("event_id:BIGINT, ts:TIMESTAMP, user_id:BIGINT, " +
+        "event_type:STRING, value:DOUBLE, props:STRING"),
+      "documents" -> ("doc_id:BIGINT, text:STRING, lang:STRING, " +
+        "source:STRING, n_chars:BIGINT"),
+      "embeddings" -> "vec_id:BIGINT, embedding:ARRAY<FLOAT>, label:INT")
+    for ((table, exp) <- expected) {
+      val got = Q.t(spark, dir, table).schema.fields
+        .map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")
+      assert(got == exp, s"$table schema drifted:\n  got $got\n  exp $exp")
+    }
+  }
+
   test("every registered query has an oracle twin") {
     // the driver's strong (hash) gate only covers queries with BOTH a
     // queries entry and an oracleSql entry — a missing oracle silently
