@@ -97,10 +97,16 @@ class TestdataGuardSpec extends SparkSuite {
       "documents" -> ("doc_id:BIGINT, text:STRING, lang:STRING, " +
         "source:STRING, n_chars:BIGINT"),
       "embeddings" -> "vec_id:BIGINT, embedding:ARRAY<FLOAT>, label:INT")
-    for ((table, exp) <- expected) {
-      val got = Q.t(spark, dir, table).schema.fields
+    // all three scale factors: the driver verifies at sf0.01 and benches
+    // at sf0.1 — a drift in EITHER must fail here, not there (schema
+    // pins read parquet footers only, so this stays cheap)
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    for (d <- sfDirs; (table, exp) <- expected) {
+      val got = Q.t(spark, d, table).schema.fields
         .map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")
-      assert(got == exp, s"$table schema drifted:\n  got $got\n  exp $exp")
+      assert(got == exp, s"$d/$table schema drifted:\n  got $got\n  exp $exp")
     }
   }
 
