@@ -2,28 +2,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure contract (matches Bench): a query that fails to RUN is loud,
+  * not merely absent — round 8's CORRECTNESS file read 130/130 while 6
+  * registered queries crashed, because a crash left no row and absence
+  * looked like "not declared". Failures land in `_errors.json` beside
+  * `oracle_sql.json` and the exit code is non-zero.
+  */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated name substrings — verify only
-    // matching queries (local iteration; the driver always passes 2)
-    val Array(sfDir, outDir) = args.take(2)
-    val only = args.drop(2).headOption.map(_.split(",").toSeq)
+  /** The dump pass, separated from [[main]]'s `sys.exit` so VerifySpec
+    * can drive the failure contract in-JVM. Returns the intended exit
+    * code (0 = every selected query dumped).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Seq[String]]): Int = {
     def selected(name: String) = only.forall(_.exists(name.contains))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // A query that fails to RUN must be loud, not merely absent: round 8's
-    // CORRECTNESS file read 130/130 while 6 registered queries crashed,
-    // because a crash left no row and absence looked like "not declared".
-    // Failures are collected into _errors.json beside oracle_sql.json and
-    // the process exits non-zero — same contract as Bench.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
@@ -53,11 +48,27 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v.take(300))}" }
         .mkString("{", ",", "}"))
-    spark.stop()
-    if (errors.nonEmpty) {
+    if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
-      sys.exit(1)
-    }
+    if (errors.nonEmpty) 1 else 0
+  }
+
+  def main(args: Array[String]): Unit = {
+    // optional 3rd arg: comma-separated name substrings — verify only
+    // matching queries (local iteration; the driver always passes 2)
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).headOption.map(_.split(",").toSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rc = run(spark, sfDir, outDir, only)
+    spark.stop()
+    if (rc != 0) sys.exit(rc)
   }
 }
