@@ -265,6 +265,12 @@ object ScaleOps {
       value: Column, windowSec: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    // NTZ-safe by construction: TIMESTAMP passes through the cast
+    // unchanged, TIMESTAMP_NTZ casts to instant under the pinned UTC
+    // session zone (same rule as functions.TimeCols.toMicros — inlined
+    // here because tsCol is an arbitrary Column, not a schema field, so
+    // there is no dtype to dispatch on). Callers must not pass integer
+    // columns: cast would silently read them as SECONDS.
     val tUs = unix_micros(tsCol.cast("timestamp"))
     val cents = round(value * 100).cast("long")
     val w = Window.partitionBy("__k").orderBy(col("__t_us"))
