@@ -110,6 +110,35 @@ class TestdataGuardSpec extends SparkSuite {
     }
   }
 
+  test("streamTable normalizes ts on the streaming read path too") {
+    assume(available)
+    // round 8 broke EXACTLY here: the batch loader was fixed reads ago
+    // but the q37/q98 stream readers re-encoded ts by hand from the raw
+    // file schema. Stream a copy of the real events file and assert the
+    // streamed result used canonical TimestampType end-to-end.
+    import org.apache.spark.sql.functions._
+    val src = tmpDir()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val stream = Q.streamTable(spark, src)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == TimestampType,
+      s"streamed ts must be TIMESTAMP, got ${stream.schema("ts").dataType.sql}")
+    val agg = stream.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("guard_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("guard_stream")
+      .agg(sum("n")).collect()(0).getLong(0)
+    val static = Q.t(spark, dir, "events").count()
+    assert(streamed == static,
+      s"streamed window counts cover $streamed of $static events")
+  }
+
   test("every registered query has an oracle twin") {
     // the driver's strong (hash) gate only covers queries with BOTH a
     // queries entry and an oracleSql entry — a missing oracle silently
