@@ -310,4 +310,69 @@ class PropertiesSpec extends SparkSuite {
       true
     }, n = 5)
   }
+
+  test("similarityJoinExact equals in-JVM brute force for any rational " +
+      "threshold (prefix + length filters are lossless)") {
+    import graft.ext.Dedup
+    // tiny vocab forces real shingle overlap; docs below the shingle
+    // width produce empty sets and must never pair
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.chooseNum(2, 9).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(5, 12).flatMap(k => Gen.listOfN(k, doc))
+    val thr = Gen.oneOf((1, 3), (1, 2), (2, 3), (3, 4), (1, 1))
+    check(Prop.forAll(corpus, thr) { case (docs, (num, den)) =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.similarityJoinExact(df, "doc_id", "text",
+          n = 3, thresholdNum = num, thresholdDen = den)
+        .select("id_a", "id_b", "n_inter", "n_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // independent reference: the SAME hash expression yields each
+      // doc's shingle set; pair enumeration + exact Jaccard in plain
+      // Scala — no prefix filter, no length filter, no join
+      val sets = df.select(col("doc_id"),
+          array_distinct(Dedup.shingleHashes(col("text"), 3)).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        c = (sets(a).toSet & sets(b).toSet).size.toLong
+        u = (sets(a).toSet | sets(b).toSet).size.toLong
+        if c * den >= num * u
+      } yield (a, b, c, u)).toSet
+      assert(got == expected,
+        s"thr=$num/$den got=$got expected=$expected docs=$docs")
+      true
+    }, n = 6)
+  }
+
+  test("asOfSliced equals asOf on random event sets for any slice width") {
+    import graft.ops.AsOfJoin
+    val key = Gen.chooseNum(0L, 2L)
+    val t = Gen.chooseNum(0L, 500L)
+    val leftG = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(key, t)))
+    // right unique per (key, time) — the operator's documented
+    // requirement (duplicate-time matches are order-dependent)
+    val rightG = Gen.mapOf(Gen.zip(Gen.zip(key, t), Gen.chooseNum(0L, 99L)))
+      .map(_.toList.map { case ((k, rt), v) => (k, rt, v) })
+    check(Prop.forAll(leftG, rightG, Gen.oneOf(7L, 50L, 1000L)) {
+      (l, r, slice) =>
+        val left = l.zipWithIndex
+          .map { case ((k, lt), i) => (k, i.toLong, lt) }
+          .toDF("k", "id", "lt")
+        val right = r.toDF("k", "rt", "v")
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .select("k", "id", "lt", "rt", "v")
+          .as[(Long, Long, Long, Option[Long], Option[Long])]
+          .collect().toSeq.sorted
+        val plain = rows(AsOfJoin.asOf(left, right, "k", "lt", "rt"))
+        val sliced = rows(
+          AsOfJoin.asOfSliced(left, right, "k", "lt", "rt", slice))
+        assert(sliced == plain,
+          s"slice=$slice sliced=$sliced plain=$plain l=$l r=$r")
+        true
+    }, n = 6)
+  }
 }
