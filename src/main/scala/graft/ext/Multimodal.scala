@@ -151,6 +151,53 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Per-partition decoder with reader reuse — the "decoder setup
+    * amortized per partition" contract made real: `ImageIO.read` per
+    * image pays a registry lookup + format sniff every call and, with
+    * the default stream cache, spills each stream wrapper to a TEMP
+    * FILE. One call per partition instead turns off the disk cache and
+    * keeps one `ImageReader` per container format, dispatched on the
+    * payload's own magic bytes (PNG `PNG`, BMP `BM`);
+    * unrecognized magics fall back to plain `ImageIO.read`, so the
+    * path stays decoder-general. Exactly the shape a CNN decode stage
+    * uses: expensive per-format machinery lives partition-long, each
+    * row only streams its bytes through it.
+    */
+  private def partitionDecoder()
+      : (Array[Byte], => String) => java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val readers =
+      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    (bytes, what) => {
+      val fmt =
+        if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
+          bytes(3) == 'G'.toByte) "png"
+        else if (bytes.length >= 2 && bytes(0) == 'B'.toByte &&
+          bytes(1) == 'M'.toByte) "bmp"
+        else null
+      val img =
+        if (fmt == null)
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val r = readers.getOrElseUpdate(fmt, {
+              val it =
+                javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+              require(it.hasNext, s"no ImageIO reader for format $fmt")
+              it.next()
+            })
+            r.setInput(iis)
+            try r.read(0) finally r.setInput(null)
+          } finally iis.close()
+        }
+      require(img != null, s"undecodable payload for $what")
+      img
+    }
+  }
+
   /** REAL decode + feature-extract + resize, batched per partition:
     * `ImageIO.read` parses the actual PNG/BMP payload; width/height and
     * brightness (mean of the first raster band — channels are equal by
@@ -168,10 +215,9 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "fmt", "bytes").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
+        val decode = partitionDecoder()
         rows.map { case (id, fmt, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"undecodable payload for media_id=$id")
+          val img = decode(bytes, s"media_id=$id")
           val w = img.getWidth
           val h = img.getHeight
           val raster = img.getRaster
@@ -222,10 +268,9 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val decode = partitionDecoder()
         rows.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"undecodable payload for media_id=$id")
+          val img = decode(bytes, s"media_id=$id")
           val w = img.getWidth
           val h = img.getHeight
           val raster = img.getRaster
