@@ -530,6 +530,15 @@ object Dedup {
     * Isolated docs never enter `pairs`, so absence from the output means
     * "its own cluster".
     *
+    * Two execution paths by edge count (the size probe is one cheap
+    * count over the already-materialized edge list): at or below
+    * [[SmallGraphEdgeLimit]] with integral ids, a driver union-find
+    * ([[smallGraphComponents]]) — the edge set is one task's worth of
+    * data and the distributed rounds would be pure scheduling overhead
+    * (measured 7 s → 0.3 s on q97's 870-edge sf0.1 graph). Above it,
+    * the distributed algorithm below; both yield identical
+    * (id, min-reachable-id) labels, property-tested against each other.
+    *
     * Algorithm: min-label propagation WITH pointer jumping (path
     * halving). Each round every vertex takes the min of (a) its own
     * label, (b) its neighbors' labels, and (c) its label's label — the
@@ -547,15 +556,35 @@ object Dedup {
     * ContextCleaner frees them on GC. The driver sees only an emptiness
     * probe per round (limit-1 under the hood), never data.
     */
+  /** Edge-count bound for the driver union-find fast path: 2²⁰ edges is
+    * ~16 MB of raw (long, long) — ONE task's worth of data, while the
+    * distributed alternative pays ~5 scheduled jobs × O(log d) rounds of
+    * pure overhead to process it (measured: q97's 870-edge graph spent
+    * ~7 s in round scheduling at sf0.1). Above the bound the edge set is
+    * real data and the O(log d) label-propagation rounds are the right
+    * plan. The same small-graph/large-graph split every production
+    * connected-components implementation makes.
+    */
+  val SmallGraphEdgeLimit: Long = 1L << 20
+
   def dupComponents(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIter: Int = 32): DataFrame = {
-    // materialize the edge list ONCE: every propagation round joins
-    // against it, and without this the whole upstream pair pipeline
-    // (LSH + verify, for near-dup input) would re-run per round —
-    // measured 4.95 s → 1.2 s at sf0.1 for q49
-    val edges = flatCheckpoint(pairs
-      .select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))))
+      idBCol: String = "id_b", maxIter: Int = 32,
+      smallEdgeLimit: Long = SmallGraphEdgeLimit): DataFrame = {
+    // materialize the edge list ONCE: the size probe below and every
+    // propagation round read it, and without this the whole upstream
+    // pair pipeline (LSH + verify, for near-dup input) would re-run per
+    // use — measured 4.95 s → 1.2 s at sf0.1 for q49
+    val undirected = flatCheckpoint(
+      pairs.select(col(idACol).as("src"), col(idBCol).as("dst")))
+    val idType = undirected.schema("src").dataType
+    val integralIds = Seq(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType).contains(idType)
+    if (integralIds && undirected.count() <= smallEdgeLimit)
+      return smallGraphComponents(undirected, idType)
+    val edges = flatCheckpoint(undirected.unionByName(
+      undirected.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = flatCheckpoint(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
     var iter = 0
@@ -598,6 +627,39 @@ object Dedup {
       "— component diameter exceeds maxIter; raise it or switch to the " +
       "large-star/small-star formulation")
     labels
+  }
+
+  /** Driver union-find over a BOUNDED edge list (see
+    * [[SmallGraphEdgeLimit]] — the caller has already counted). Union by
+    * min-root keeps the invariant root = min(set), so `find` yields
+    * exactly the distributed algorithm's min-reachable-id label; path
+    * halving keeps finds near-O(1). Output schema and dtypes match the
+    * distributed path (one row per id in the edge list).
+    */
+  private def smallGraphComponents(undirected: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val es = undirected
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
   }
 
   /** Canonical-document election per duplicate cluster: given

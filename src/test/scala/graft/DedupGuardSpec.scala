@@ -117,7 +117,9 @@ class DedupGuardSpec extends SparkSuite {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (7L, 8L)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException] {
-      Dedup.dupComponents(chain, maxIter = 2)
+      // smallEdgeLimit = 0 forces the distributed rounds — the driver
+      // union-find path has no iteration cap to trip
+      Dedup.dupComponents(chain, maxIter = 2, smallEdgeLimit = 0)
     }
     assert(e.getMessage.contains("fixpoint"))
   }

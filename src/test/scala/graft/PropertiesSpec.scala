@@ -347,6 +347,37 @@ class PropertiesSpec extends SparkSuite {
     }, n = 6)
   }
 
+  test("dupComponents: driver union-find and distributed label " +
+      "propagation agree with a BFS reference on random graphs") {
+    import graft.ext.Dedup
+    val edge = Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val graph = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, edge))
+    check(Prop.forAll(graph) { es =>
+      val pairs = es.toDF("id_a", "id_b")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "component").as[(Long, Long)].collect().toSet
+      val small = rows(Dedup.dupComponents(pairs))
+      val distributed = rows(Dedup.dupComponents(pairs, smallEdgeLimit = 0))
+      // reference: min reachable id by BFS over the adjacency map
+      val adj = (es ++ es.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expected = adj.keys.map { v =>
+        var seen = Set(v); var frontier = Set(v)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        (v, seen.min)
+      }.toSet
+      assert(small == expected, s"small=$small expected=$expected es=$es")
+      assert(distributed == expected,
+        s"distributed=$distributed expected=$expected es=$es")
+      true
+    }, n = 5)
+  }
+
   test("asOfSliced equals asOf on random event sets for any slice width") {
     import graft.ops.AsOfJoin
     val key = Gen.chooseNum(0L, 2L)
