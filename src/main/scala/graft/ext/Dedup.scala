@@ -1027,7 +1027,11 @@ object Dedup {
     // max(|a|,|b|), so any pair with min·den < num·max can't reach the
     // threshold — pruned BEFORE the distinct and the wide array joins
     // (the sizes ride the prefix rows; 8 bytes against a pruned
-    // candidate's whole shingle array downstream)
+    // candidate's whole shingle array downstream). PPJoin's POSITIONAL
+    // filter was probed and rejected: on the sf0.1 corpus it pruned
+    // 0.4% of candidates (short shingle sets leave the positional
+    // bound slack) for posexplode + two extra join columns — the
+    // length filter alone removed 24%.
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id") &&
