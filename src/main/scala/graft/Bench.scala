@@ -76,12 +76,43 @@ object Bench {
       .mkString("{", ",", "}")
     System.err.println(best.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("full_queries={", ",", "}"))
+    // Per-query rep dispersion (stderr, humans only): CoV = stddev/mean
+    // of the reps. This pins the noise band sub-second queries live in —
+    // a cross-round "regression" smaller than this band is rep noise,
+    // not a plan change (the round-9 verdict's q61 case). Summary
+    // percentiles keep it one line; per-query CoV rides TRACE mode.
+    val covs = selected.flatMap { case (name, _) =>
+      val ts = runs.map(_.toMap.apply(name)).filter(_ >= 0)
+      if (ts.size < 2) None else {
+        val m = ts.sum / ts.size
+        val sd = math.sqrt(ts.map(t => (t - m) * (t - m)).sum / (ts.size - 1))
+        if (m <= 0) None else Some(name -> sd / m)
+      }
+    }
+    if (covs.nonEmpty) {
+      val sorted = covs.map(_._2).sorted
+      def pct(p: Double) =
+        sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+      System.err.println(
+        f"""rep_cov={"n":${sorted.size},"median":${pct(0.5)}%.3f,""" +
+          f""""p90":${pct(0.9)}%.3f,"max":${sorted.last}%.3f}""")
+      if (trace) covs.sortBy(-_._2).take(15).foreach { case (n, c) =>
+        System.err.println(f"TRACE cov $n%-28s $c%6.3f") }
+    }
     val runTotals = runs.map(_.map(_._2).filter(_ >= 0).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+    // end-of-run janitor (outside the timed region): managed-table churn
+    // from q43/q101-family queries must not accumulate across rounds
+    try {
+      graft.warehouse.Warehouse.dropGraftDatabases(spark)
+      graft.warehouse.Warehouse.sweepOrphanGraftDirs(spark)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warehouse cleanup failed: ${e.getMessage}")
+    }
     // Stop Spark BEFORE printing: executor/DAGScheduler shutdown warnings
     // must not land after the JSON line and eat the tail window.
     spark.stop()

@@ -51,6 +51,15 @@ object Verify {
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
+    // end-of-run janitor: drop this run's graft databases and sweep
+    // prior runs' orphaned spark-warehouse dirs so repeated rounds
+    // can't accumulate managed-table churn on disk
+    try {
+      graft.warehouse.Warehouse.dropGraftDatabases(spark)
+      graft.warehouse.Warehouse.sweepOrphanGraftDirs(spark)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] warehouse cleanup failed: ${e.getMessage}")
+    }
     if (errors.nonEmpty) 1 else 0
   }
 

@@ -557,7 +557,9 @@ object Dedup {
     * probe per round (limit-1 under the hood), never data.
     */
   /** Edge-count bound for the driver union-find fast path: 2²⁰ edges is
-    * ~16 MB of raw (long, long) — ONE task's worth of data, while the
+    * 16 MB of raw payload (two longs/edge), ~50 MB as the collected
+    * `Array[(Long, Long)]` with tuple-object headers — ONE task's worth
+    * of data, comfortably inside the driver heap, while the
     * distributed alternative pays ~5 scheduled jobs × O(log d) rounds of
     * pure overhead to process it (measured: q97's 870-edge graph spent
     * ~7 s in round scheduling at sf0.1). Above the bound the edge set is
@@ -638,8 +640,16 @@ object Dedup {
     */
   private def smallGraphComponents(undirected: DataFrame,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    // null ids never link anything in the distributed path (the label
+    // join drops them); filter pre-collect so both paths agree instead
+    // of this one NPE'ing on row.getLong
     val es = undirected
-      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("_1"),
+        col("dst").cast("long").as("_2"))
+      .as[(Long, Long)] // typed collect: primitive tuples, no Row wrappers
       .collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -649,14 +659,11 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    es.foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
+    es.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    val spark = undirected.sparkSession
-    import spark.implicits._
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
       .select(col("id").cast(idType).as("id"),
         col("component").cast(idType).as("component"))

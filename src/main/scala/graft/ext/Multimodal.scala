@@ -151,6 +151,18 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Once-per-JVM ImageIO configuration. `setUseCache(false)` is a
+    * JVM-global switch (it makes `createImageInputStream` wrap byte
+    * streams in memory instead of spilling each one to a temp file);
+    * setting it from a deterministic one-shot initializer instead of
+    * every partition task keeps the global side effect intentional,
+    * race-free, and visible in one place.
+    */
+  private object DecoderJvmInit {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ensure(): Unit = ()
+  }
+
   /** Per-partition decoder with reader reuse — the "decoder setup
     * amortized per partition" contract made real: `ImageIO.read` per
     * image pays a registry lookup + format sniff every call and, with
@@ -165,9 +177,17 @@ object Multimodal {
     */
   private def partitionDecoder()
       : (Array[Byte], => String) => java.awt.image.BufferedImage = {
-    javax.imageio.ImageIO.setUseCache(false)
+    DecoderJvmInit.ensure()
     val readers =
       scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    // Reader instances hold native/heap decode buffers; free them when
+    // the task ends (covers both exhaustion and early termination).
+    Option(org.apache.spark.TaskContext.get()).foreach {
+      _.addTaskCompletionListener[Unit] { _ =>
+        readers.valuesIterator.foreach(_.dispose())
+        readers.clear()
+      }
+    }
     (bytes, what) => {
       val fmt =
         if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&

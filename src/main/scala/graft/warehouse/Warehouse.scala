@@ -61,6 +61,47 @@ object Warehouse {
     }
   }
 
+  /** End-of-run janitor: drop every graft-created database (`graft`,
+    * `graft_q*`) WITH its managed-table directories. Queries create
+    * these under `spark-warehouse/` in the launch directory and leave
+    * them for restart-idempotency within a run — but across runs they
+    * only accumulate (a month of Verify/Bench rounds would fill the
+    * sandbox disk). Called by Verify/Bench after the last query; never
+    * touches `default` or any non-graft database.
+    */
+  def dropGraftDatabases(spark: SparkSession): Unit =
+    spark.catalog.listDatabases().collect().map(_.name)
+      .filter(n => n == "graft" || n.startsWith("graft_q"))
+      .foreach { n =>
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.catalog.getDatabase(n).locationUri)
+        spark.sql(s"DROP DATABASE IF EXISTS $n CASCADE")
+        // DROP DATABASE clears the catalog; the `<db>.db` directory can
+        // outlive it (same per-JVM-catalog vs on-disk gap as
+        // [[dropManagedTable]]) — remove it explicitly
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+      }
+
+  /** Sweep ORPHAN `graft*.db` directories under the warehouse root —
+    * leftovers from earlier JVMs that this session's in-memory catalog
+    * never registered, which [[dropGraftDatabases]] therefore cannot
+    * see. Together the two cover both halves of the churn: this run's
+    * databases (catalog drop) and prior runs' corpses (directory sweep).
+    */
+  def sweepOrphanGraftDirs(spark: SparkSession): Unit = {
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.endsWith(".db") &&
+            (n == "graft.db" || n.startsWith("graft_q")))
+          { fs.delete(st.getPath, true); () }
+      }
+  }
+
   /** S9 (main.py:392-416): bulk append into a staging/target table. The
     * reference chunks JDBC inserts at 1000 rows (main.py:413); a Spark
     * table write is already parallel-per-partition, so no chunk knob.

@@ -672,6 +672,38 @@ class PrepSpec extends SparkSuite {
     assert(tight.toSeq == Seq((1L, 4L)))
   }
 
+  test("similarityJoinExact plan (q129): length filter rides the " +
+      "candidate join condition pre-distinct; no nested-loop join") {
+    // the q129 scale contract: the PPJoin length filter must prune
+    // candidates INSIDE the prefix equi-join (before the distinct and
+    // the wide shingle-array joins), and nothing in the pipeline may
+    // degenerate to a cartesian/nested-loop product
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e x"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.similarityJoinExact(docs, "doc_id", "text",
+      n = 3, thresholdNum = 1, thresholdDen = 2)
+    val plan = out.queryExecution.optimizedPlan
+    def hasLengthFilter(j: Join): Boolean = j.condition.exists { c =>
+      val s = c.toString; s.contains("least") && s.contains("greatest")
+    }
+    assert(plan.collect { case j: Join if hasLengthFilter(j) => j }.nonEmpty,
+      s"no join carries the least/greatest length filter:\n$plan")
+    // the pair-distinct Aggregate (grouping == output, no agg functions)
+    // must sit ABOVE a length-filtered join — i.e. the filter already
+    // pruned when the distinct runs
+    val distinctsAbove = plan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.length == a.groupingExpressions.length &&
+          a.collect { case j: Join if hasLengthFilter(j) => j }.nonEmpty => a
+    }
+    assert(distinctsAbove.nonEmpty,
+      s"candidate distinct does not sit above the length-filtered join:\n$plan")
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"), physical.take(800))
+  }
+
   // ----------------------------------------------- contrastive pairs
 
   test("contrastivePairs: deterministic same-label positive (min id, " +

@@ -207,6 +207,40 @@ class ScaleOpsSpec extends SparkSuite {
     assert(carried == totals0.filter(col("key") === 3L).collect().toSeq)
   }
 
+  test("refreshByDiff plan (q115): every re-aggregation is LeftSemi-" +
+      "gated to affected keys; untouched totals carried via LeftAnti") {
+    import graft.ops.IncrementalAgg
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val old = Seq((1L, 10L), (2L, 5L), (3L, 7L)).toDF("k", "v")
+    val nw = Seq((1L, 20L), (3L, 7L), (4L, 9L)).toDF("k", "v")
+    // materialize the stored totals: the refresh plan under inspection
+    // must contain ONLY the refresh's own operators
+    val totals0 = IncrementalAgg.totals(old, col("k"), col("v"))
+      .localCheckpoint(true)
+    val affected = Seq(1L, 2L, 4L).toDF("k")
+    val plan = IncrementalAgg.refreshByDiff(totals0, nw, affected,
+      col("k"), col("v")).queryExecution.optimizedPlan
+    // carry path: stored totals leave through an anti join, never an agg
+    assert(plan.collect { case j: Join if j.joinType == LeftAnti => j }
+      .nonEmpty, s"no LeftAnti carry path:\n$plan")
+    // O(delta) contract: any Aggregate that actually aggregates (has agg
+    // functions — the key-list distinct has none) must sit above the
+    // LeftSemi gate, i.e. it only ever sees affected keys' rows
+    val unGated = plan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.collectFirst {
+            case ae: AggregateExpression => ae
+          }.nonEmpty) &&
+          a.collect { case j: Join if j.joinType == LeftSemi => j }.isEmpty
+        => a
+    }
+    assert(unGated.isEmpty,
+      s"re-aggregation outside the LeftSemi gate (full-scan refresh):\n" +
+        unGated.mkString("\n"))
+  }
+
   test("rollingTimeAgg: trailing RANGE window includes boundary, " +
       "expires old rows, and treats time-ties as peers") {
     import java.sql.Timestamp

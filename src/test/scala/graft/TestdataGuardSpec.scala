@@ -19,6 +19,20 @@ class TestdataGuardSpec extends SparkSuite {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  test("testdata is present (set SPARK_GRAFT_NO_TESTDATA=1 to waive)") {
+    // every other test here opens with assume(available) — correct for a
+    // dev machine without the fixtures, but in the driver environment a
+    // missing /root/testdata would silently cancel the ENTIRE drift
+    // shield and `sbt test` would still report green. This one test
+    // FAILS instead of cancelling, so "guard suite didn't run" is loud;
+    // genuinely local dev opts out with the env var.
+    if (sys.env.get("SPARK_GRAFT_NO_TESTDATA").contains("1")) cancel()
+    assert(available,
+      s"$dir is missing — the testdata guard suite cannot run, so schema " +
+        "drift would reach the driver gate unseen. If this is a dev " +
+        "machine without fixtures, set SPARK_GRAFT_NO_TESTDATA=1.")
+  }
+
   test("every testdata table loads through Q.t with rows > 0") {
     assume(available)
     tables.foreach { name =>
