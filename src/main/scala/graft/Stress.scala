@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-scaled stress probe (round-10 review item #1): the 100× design
+  * claims in SCALING.md have only ever met sf0.1 data, so this main
+  * synthesizes larger corpora LOCALLY (no driver dependency) by unioning
+  * the sf0.1 tables with id-offset copies and measures how the five most
+  * expensive queries actually grow.
+  *
+  * Two synthesis modes, because "10× data" means two different things:
+  *  - `replica`: exact copies, ids offset. Every doc gains s−1 perfect
+  *    duplicates — the heavy-duplication corpus the round-9 review named
+  *    as q129's pressure point. Here the OUTPUT itself grows ~s² for
+  *    dup-cluster pairs, so superlinear cost is partly irreducible
+  *    (output size lower-bounds cost); what the probe isolates is
+  *    whether cost tracks the candidate count or outgrows it.
+  *  - `disjoint`: ids offset AND content perturbed per copy (tokens
+  *    suffixed `_i`; embeddings circularly shifted by i dims) so copies
+  *    never pair across the corpus. Output stays ~linear; this measures
+  *    the ENGINE's scaling alone.
+  *
+  * Only `documents` and `embeddings` are synthesized — the five target
+  * queries (q129, q97, q91, q63, q126) read nothing else.
+  *
+  * Output: one JSON line per measurement on stdout:
+  * `{"probe":"stress","mode":m,"scale":s,"query":q,"sec":t,"rows":n}`.
+  * Growth exponents are fitted offline (log t ratios / log s ratios).
+  *
+  * Usage: `runMain graft.Stress [modes] [scales]` — defaults
+  * `replica,disjoint` and `1,2,3,10`. `SPARK_GRAFT_STRESS_DIR` overrides
+  * the synthesis root (default `/tmp/graft_stress`).
+  */
+object Stress {
+
+  /** Id offset between copies — above any sf0.1 id, so copies never
+    * collide (doc_id ≤ 4999, vec_id ≤ 1999 at sf0.1).
+    */
+  private val IdOffset = 100000L
+
+  def synthesize(spark: SparkSession, sfDir: String, outDir: String,
+      scale: Int, mode: String): Unit = {
+    val docs = queries.Q.t(spark, sfDir, "documents")
+    val copiesD = (0 until scale).map { i =>
+      val base = docs.withColumn("doc_id", col("doc_id") + lit(i * IdOffset))
+      val shifted =
+        if (mode == "disjoint" && i > 0)
+          // suffix every token: every shingle/fingerprint/vocab key is
+          // copy-local, so no pair forms across copies
+          base.withColumn("text",
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit(s"_$i")))))
+        else base
+      // keep the derived-length column honest after perturbation
+      shifted.withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    copiesD.reduce(_ unionByName _).repartition(spark.conf
+        .get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = queries.Q.t(spark, sfDir, "embeddings")
+    val copiesE = (0 until scale).map { i =>
+      val base = emb.withColumn("vec_id", col("vec_id") + lit(i * IdOffset))
+      if (mode == "disjoint" && i > 0) {
+        // circular dim shift: within a copy all pairwise cosines are
+        // preserved (same rotation), across copies dims decorrelate —
+        // copies are s independent corpora, the linear-growth baseline
+        val k = i % 63 + 1
+        base.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+            s"slice(embedding, 1, $k))"))
+      } else base
+    }
+    copiesE.reduce(_ unionByName _).repartition(spark.conf
+        .get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** The five targets, by registry name (runs the exact pinned query). */
+  private val targets = Seq("q129_similarity_join", "q97_semantic_dedup",
+    "q91_knn_graph", "q63_training_pipeline", "q126_streaming_budget")
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val modes = args.lift(0).getOrElse("replica,disjoint").split(",").toSeq
+    val scales = args.lift(1).getOrElse("1,2,3,10").split(",").map(_.toInt)
+    val root = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "/tmp/graft_stress")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def emit(mode: String, scale: Int, query: String, sec: Double,
+        rows: Long): Unit =
+      println(f"""{"probe":"stress","mode":"$mode","scale":$scale,""" +
+        f""""query":"$query","sec":$sec%.3f,"rows":$rows}""")
+    // one unmeasured warmup pass at the smallest scale per mode, so the
+    // first measured point doesn't absorb JIT/codegen compilation
+    for (mode <- modes; scale <- scales) {
+      val dir = s"$root/${mode}_x$scale"
+      val (tSynth, _) = time(synthesize(spark, sfDir, dir, scale, mode))
+      System.err.println(f"[stress] synthesized $dir in $tSynth%.1f s")
+      if (scale == scales.min)
+        targets.foreach(q => SparkEntry.queries(q)(spark, dir).count())
+      for (q <- targets) {
+        val runs = (1 to reps).map(_ => time(
+          SparkEntry.queries(q)(spark, dir).count()))
+        emit(mode, scale, q, runs.map(_._1).min, runs.head._2)
+      }
+      // q129's named pressure point: the candidate-pair count (the
+      // quantity the distinct() and verify join are sized by)
+      val (tc, nc) = time(graft.ext.Dedup.similarityJoinCandidates(
+        queries.Q.t(spark, dir, "documents")).count())
+      emit(mode, scale, "q129_candidates", tc, nc)
+      // LSH plane scaling: q91/q97 pin planes=4 (16 buckets) — correct
+      // at sf0.1, quadratic in bucket occupancy as the corpus grows.
+      // The documented scale path is planes ≈ 4 + log2(s); measure it.
+      if (scale > 1) {
+        val planes = 4 + (math.log(scale.toDouble) / math.log(2.0)).ceil.toInt
+        val emb = queries.Q.t(spark, dir, "embeddings")
+        val (t91, n91) = time(graft.ext.Similarity
+          .knnGraph(emb, k = 5, planes = planes).count())
+        emit(mode, scale, s"q91_planes$planes", t91, n91)
+        val (t97, n97) = time(graft.ext.Similarity
+          .semanticDedup(emb, threshold = 0.35, k = 5, planes = planes)
+          .count())
+        emit(mode, scale, s"q97_planes$planes", t97, n97)
+      }
+    }
+    try {
+      graft.warehouse.Warehouse.dropGraftDatabases(spark)
+      graft.warehouse.Warehouse.sweepOrphanGraftDirs(spark)
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] warehouse cleanup failed: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

@@ -982,6 +982,70 @@ object Dedup {
 
   // --------------------------------------- exact set-similarity join
 
+  /** Rare-first shingle ordering for the prefix filter: per doc, the
+    * distinct shingle hashes sorted by global document frequency asc
+    * (`__hs`) plus the set size (`__n`).
+    */
+  private def orderedShingles(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"shingle width must be positive: $n")
+    val sh = df.select(col(idCol).cast("long").as("__id"),
+      explode(array_distinct(shingleHashes(col(textCol), n))).as("__h"))
+    val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "__h")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
+        .as("__arr"))
+      .select(col("__id"),
+        transform(col("__arr"), _.getField("__h")).as("__hs"),
+        size(col("__arr")).cast("long").as("__n"))
+  }
+
+  /** Candidate-pair stage (prefix equi-join + PPJoin length filter +
+    * distinct), separated from the verify join so scale probes can
+    * measure the candidate count — the one quantity whose growth rate
+    * decides whether the whole join survives a corpus scale-up.
+    */
+  private def candidatesFromOrdered(ordered: DataFrame, thresholdNum: Int,
+      thresholdDen: Int): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"threshold must be a rational in (0, 1]: $thresholdNum/$thresholdDen")
+    // prefix length n − ⌈t·n⌉ + 1 in exact integers:
+    // ⌈n·num/den⌉ = (n·num + den − 1) div den
+    val pfxLen = expr(
+      s"__n - ((__n * $thresholdNum + ${thresholdDen - 1}) " +
+        s"div $thresholdDen) + 1")
+    val prefix = ordered.select(col("__id"), col("__n"),
+      explode(slice(col("__hs"), lit(1), pfxLen.cast("int"))).as("__h"))
+    // PPJoin length filter, exact integers: J(a,b) ≤ min(|a|,|b|) /
+    // max(|a|,|b|), so any pair with min·den < num·max can't reach the
+    // threshold — pruned BEFORE the distinct and the wide array joins
+    // (the sizes ride the prefix rows; 8 bytes against a pruned
+    // candidate's whole shingle array downstream). PPJoin's POSITIONAL
+    // filter was probed and rejected: on the sf0.1 corpus it pruned
+    // 0.4% of candidates (short shingle sets leave the positional
+    // bound slack) for posexplode + two extra join columns — the
+    // length filter alone removed 24%.
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id") &&
+          least(col("a.__n"), col("b.__n")) * thresholdDen >=
+            lit(thresholdNum.toLong) * greatest(col("a.__n"), col("b.__n")))
+      .select(col("a.__id").as("__ia"), col("b.__id").as("__ib"))
+      .distinct()
+  }
+
+  /** The candidate pairs [[similarityJoinExact]] would verify — exposed
+    * for stress probes (candidate count vs corpus scale, the pressure
+    * point named by the round-9 review). Columns: `id_a`, `id_b`.
+    */
+  def similarityJoinCandidates(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, thresholdNum: Int = 1,
+      thresholdDen: Int = 2): DataFrame =
+    candidatesFromOrdered(orderedShingles(df, idCol, textCol, n),
+        thresholdNum, thresholdDen)
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+
   /** EXACT all-pairs Jaccard similarity join via prefix filtering
     * (Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. PPJoin) — the
     * deterministic complement to MinHash-LSH: every pair with
@@ -1010,42 +1074,8 @@ object Dedup {
   def similarityJoinExact(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, thresholdNum: Int = 1,
       thresholdDen: Int = 2): DataFrame = {
-    require(n > 0, s"shingle width must be positive: $n")
-    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
-      s"threshold must be a rational in (0, 1]: $thresholdNum/$thresholdDen")
-    val sh = df.select(col(idCol).cast("long").as("__id"),
-      explode(array_distinct(shingleHashes(col(textCol), n))).as("__h"))
-    val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
-    val ordered = sh.join(dfreq, "__h")
-      .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
-        .as("__arr"))
-      .select(col("__id"),
-        transform(col("__arr"), _.getField("__h")).as("__hs"),
-        size(col("__arr")).cast("long").as("__n"))
-    // prefix length n − ⌈t·n⌉ + 1 in exact integers:
-    // ⌈n·num/den⌉ = (n·num + den − 1) div den
-    val pfxLen = expr(
-      s"__n - ((__n * $thresholdNum + ${thresholdDen - 1}) " +
-        s"div $thresholdDen) + 1")
-    val prefix = ordered.select(col("__id"), col("__n"),
-      explode(slice(col("__hs"), lit(1), pfxLen.cast("int"))).as("__h"))
-    // PPJoin length filter, exact integers: J(a,b) ≤ min(|a|,|b|) /
-    // max(|a|,|b|), so any pair with min·den < num·max can't reach the
-    // threshold — pruned BEFORE the distinct and the wide array joins
-    // (the sizes ride the prefix rows; 8 bytes against a pruned
-    // candidate's whole shingle array downstream). PPJoin's POSITIONAL
-    // filter was probed and rejected: on the sf0.1 corpus it pruned
-    // 0.4% of candidates (short shingle sets leave the positional
-    // bound slack) for posexplode + two extra join columns — the
-    // length filter alone removed 24%.
-    val cands = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id") &&
-          least(col("a.__n"), col("b.__n")) * thresholdDen >=
-            lit(thresholdNum.toLong) * greatest(col("a.__n"), col("b.__n")))
-      .select(col("a.__id").as("__ia"), col("b.__id").as("__ib"))
-      .distinct()
+    val ordered = orderedShingles(df, idCol, textCol, n)
+    val cands = candidatesFromOrdered(ordered, thresholdNum, thresholdDen)
     cands
       .join(ordered.select(col("__id").as("__ia"), col("__hs").as("__ha"),
         col("__n").as("__na")), Seq("__ia"))

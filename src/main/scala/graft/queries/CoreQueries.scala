@@ -29,6 +29,16 @@ object Q {
     normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Shuffle-partition count the streaming queries pin for their
+    * micro-batch joins/aggregates (state-store count is fixed by the
+    * FIRST checkpointed batch, so this is also the number of state
+    * stores committed per batch). 4 measured best at sf0.1 against 32
+    * (≈10× task overhead) — env-overridable so lifecycle-floor probes
+    * can measure other values without a code edit.
+    */
+  def streamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+
   /** Streaming read of a testdata-shaped parquet directory with the SAME
     * `ts` normalization as [[t]] — the q37/q98 stream readers go through
     * here, so a testdata re-encode can never split the static and

@@ -78,7 +78,7 @@ object DeltaQueries {
         .parquet(tmp.toString)
       // per-batch joins at this scale don't need 32 shuffle partitions
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
       try {
         val q = graft.streaming.Streams.enrichIngest(stream, dim, table,
           ckpt.toString, "user_id", "c_custkey")
@@ -152,7 +152,7 @@ object DeltaQueries {
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp.toString)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
       try {
         val q = graft.streaming.Streams.cdcIngest(stream, table,
           ckpt.toString, "user_id", Seq("ts", "event_id"), "op",

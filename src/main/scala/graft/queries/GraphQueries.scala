@@ -280,7 +280,7 @@ object GraphQueries {
       // same scoped state-partition floor as q37 (each shuffle partition
       // is a checkpointed state store; 4 is the probed optimum)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
       val q =
         try agg.writeStream
           .outputMode("complete")

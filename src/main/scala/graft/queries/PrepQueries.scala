@@ -269,7 +269,7 @@ object PrepQueries {
       // per-batch aggregates/joins at this scale — 32 would pay ~10×
       // the task overhead per micro-batch. Scoped: restored after.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
       try {
         val q = Streams.dedupIngest(stream, table, ckpt.toString)
         try q.processAllAvailable() finally q.stop()
@@ -466,7 +466,7 @@ object PrepQueries {
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp.toString)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
       try {
         val q = Streams.nearDedupIngest(stream, table, ckpt.toString,
           threshold = 0.2)
@@ -843,7 +843,7 @@ object PrepQueries {
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp.toString)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
       try {
         val q = Streams.budgetIngest(stream, accepted, state,
           ckpt.toString, q126Budget,

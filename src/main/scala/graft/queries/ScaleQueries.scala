@@ -268,7 +268,7 @@ object ScaleQueries {
       // shape IS the floor; the ~1.4 s is checkpoint/state lifecycle,
       // the price of verifying a real StreamingQuery, not plan cost.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
       val q =
         try agg.writeStream
           .outputMode("complete")
