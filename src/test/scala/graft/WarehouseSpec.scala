@@ -280,4 +280,30 @@ class WarehouseSpec extends SparkSuite {
     val scans = "graft-scd2-scan/t".r.findAllIn(plan).length
     assert(scans == 1, s"expected one target scan, got $scans:\n$plan")
   }
+
+  test("dropGraftDatabases + sweepOrphanGraftDirs clear graft churn " +
+      "and leave everything else") {
+    import spark.implicits._
+    // this run's catalog-registered database, with a managed table
+    Warehouse.ensureDatabase(spark, "graft_q998")
+    Seq((1L, "x")).toDF("id", "v").write.mode("overwrite")
+      .saveAsTable("graft_q998.t")
+    // a non-graft database that must survive
+    Warehouse.ensureDatabase(spark, "wjanitor_keep")
+    // an orphan directory no catalog knows (a previous JVM's corpse)
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, "graft_q999.db")
+    fs.mkdirs(orphan)
+    Warehouse.dropGraftDatabases(spark)
+    Warehouse.sweepOrphanGraftDirs(spark)
+    assert(!spark.catalog.databaseExists("graft_q998"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "graft_q998.db")),
+      "dropped database directory must be removed")
+    assert(!fs.exists(orphan), "orphan graft dir must be swept")
+    assert(spark.catalog.databaseExists("wjanitor_keep"),
+      "non-graft databases must survive the janitor")
+    spark.sql("DROP DATABASE IF EXISTS wjanitor_keep CASCADE")
+  }
 }
