@@ -76,9 +76,18 @@ object Stress {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
-  /** The five targets, by registry name (runs the exact pinned query). */
-  private val targets = Seq("q129_similarity_join", "q97_semantic_dedup",
-    "q91_knn_graph", "q63_training_pipeline", "q126_streaming_budget")
+  /** The five targets, by registry name (runs the exact pinned query);
+    * `SPARK_GRAFT_STRESS_ONLY` (comma-separated substrings) narrows the
+    * set for single-query investigations.
+    */
+  private val targets = {
+    val all = Seq("q129_similarity_join", "q97_semantic_dedup",
+      "q91_knn_graph", "q63_training_pipeline", "q126_streaming_budget")
+    sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
+      case Some(f) => all.filter(n => f.split(",").exists(n.contains))
+      case None => all
+    }
+  }
 
   private def time[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
@@ -95,7 +104,14 @@ object Stress {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE: shuffle-partition override. The bench pins
+      // partitions = cores for sf0.1; a scaled corpus must scale the
+      // partition count with it or per-partition volume grows linearly
+      // until it spills (measured: see the q129 verify-join finding in
+      // README round-10) — exactly the sizing rule SCALING.md §config
+      // prescribes for real deployments.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
