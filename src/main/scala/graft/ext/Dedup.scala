@@ -476,11 +476,13 @@ object Dedup {
     val cands = bucketsOf(newDf, "id_new")
       .join(seenB, Seq("band", "bucket"))
       .select("id_new", "id_seen").distinct()
+    // text-attach joins are LOOKUPS — hash-join, never sort-merge (see
+    // verifyCandidates for the measured 30×-corpus cliff this avoids)
     cands
       .join(newDf.select(col(idCol).as("id_new"),
-        col(textCol).as("__text_new")), "id_new")
+        col(textCol).as("__text_new")).hint("shuffle_hash"), "id_new")
       .join(seenDf.select(col(idCol).as("id_seen"),
-        col(textCol).as("__text_seen")), "id_seen")
+        col(textCol).as("__text_seen")).hint("shuffle_hash"), "id_seen")
       .withColumn("jaccard", ngramJaccard(col("__text_new"), col("__text_seen")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_seen"), col("jaccard"))
@@ -490,9 +492,17 @@ object Dedup {
       idCol: String, textCol: String, jaccard: (Column, Column) => Column,
       threshold: Double): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
+    // The text-attach joins are LOOKUPS and must plan as hash joins:
+    // once the corpus outgrows the auto-broadcast threshold the default
+    // falls back to sort-merge, which SORTS the candidate stream with
+    // its text payloads attached — the exact cliff measured on
+    // similarityJoinExact's verify stage at a 30× corpus (121 → 24 s).
+    // shuffle_hash builds the map on the doc side at any corpus size.
     cands
-      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
-      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("jaccard", jaccard(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
