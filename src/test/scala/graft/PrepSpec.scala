@@ -702,6 +702,21 @@ class PrepSpec extends SparkSuite {
     val physical = out.queryExecution.executedPlan.toString
     assert(!physical.contains("CartesianProduct") &&
       !physical.contains("BroadcastNestedLoopJoin"), physical.take(800))
+    // the verify joins attach shingle arrays to candidate pairs — they
+    // must plan as hash joins (shuffle_hash hints): the sort-merge
+    // fallback sorts the candidate stream with array payloads, the 5×
+    // cliff the 30×-corpus stress probe measured. Two hinted joins →
+    // at least two ShuffledHashJoin nodes, and no SortMergeJoin may
+    // touch a shingle-array column (sorting 8-byte keys elsewhere in
+    // the plan is fine; sorting array payloads is the defect).
+    val shjCount = "ShuffledHashJoin".r.findAllIn(physical).length
+    assert(shjCount >= 2,
+      s"verify joins must be hash joins, found $shjCount ShuffledHashJoin:\n" +
+        physical.take(1200))
+    val smjWithArrays = physical.linesIterator
+      .filter(_.contains("SortMergeJoin")).filter(_.contains("__h"))
+    assert(smjWithArrays.isEmpty,
+      s"sort-merge join over shingle columns:\n${smjWithArrays.mkString("\n")}")
   }
 
   // ----------------------------------------------- contrastive pairs
