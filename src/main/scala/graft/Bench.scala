@@ -18,6 +18,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_INIT_PARTS: AQE coalescePartitions.initialPartitionNum
+      // probe knob (see README round-10 partition-sizing probe). Default =
+      // shuffle partitions, i.e. exactly the historical behavior.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       // pinned like Verify/tests: the NTZ→TIMESTAMP load normalization
       // (Q.normalizeTs) casts wall-clock through the session zone
       .config("spark.sql.session.timeZone", "UTC")

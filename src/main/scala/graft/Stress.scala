@@ -112,6 +112,13 @@ object Stress {
       // prescribes for real deployments.
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // SPARK_GRAFT_INIT_PARTS: AQE's coalescePartitions.initialPartitionNum
+      // — the AUTOMATIC form of the sizing rule above: shuffles start at
+      // this width and AQE coalesces down to the data's actual volume, so
+      // one setting serves every corpus size without retuning.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
