@@ -147,10 +147,11 @@ object Stress {
       emit(mode, scale, "q129_candidates", tc, nc)
       // LSH plane scaling: q91/q97 pin planes=4 (16 buckets) — correct
       // at sf0.1, quadratic in bucket occupancy as the corpus grows.
-      // The documented scale path is planes ≈ 4 + log2(s); measure it.
+      // The shipped sizing rule is Similarity.autoPlanes (occupancy-
+      // constant); the probe drives exactly that rule at each scale.
       if (scale > 1) {
-        val planes = 4 + (math.log(scale.toDouble) / math.log(2.0)).ceil.toInt
         val emb = queries.Q.t(spark, dir, "embeddings")
+        val planes = graft.ext.Similarity.autoPlanes(emb.count())
         val (t91, n91) = time(graft.ext.Similarity
           .knnGraph(emb, k = 5, planes = planes).count())
         emit(mode, scale, s"q91_planes$planes", t91, n91)

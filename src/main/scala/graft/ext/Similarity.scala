@@ -216,6 +216,38 @@ object Similarity {
   private def planeCoefSql(j: Int, iE: String): String =
     s"(($j * 131071 + $iE * 524287) % 2000001 - 1000000)"
 
+  /** Plane-count sizing rule for the LSH family, from the round-10
+    * stress-probe measurements: a pinned `planes` holds the bucket COUNT
+    * constant while the corpus grows, so expected bucket occupancy —
+    * and with it the quadratic per-bucket pair work, and eventually the
+    * `maxBucket` cap (measured crossover: the cap truncates `knnGraph`
+    * output at ~30× the sf0.1 corpus under planes=4, while planes=9
+    * returns the full set) — grows linearly. This helper is the inverse:
+    * pick the fewest planes that keep EXPECTED occupancy ≤
+    * `targetBucket` (`n / 2^planes ≤ targetBucket`), floored at `base`
+    * so small corpora keep the recall of wide buckets. At the sf0.1
+    * corpus (2,000 vectors, target 128) it returns the pinned 4; at 30×
+    * it returns the measured-correct 9. Callers pass a corpus count they
+    * already have (a parquet row count is metadata-cheap at any scale) —
+    * the helper stays pure so bucketing remains plan-constant and
+    * oracle-reproducible.
+    *
+    * Recall trade: occupancy-constant planes also hold RECALL roughly
+    * constant (a fixed-size bucket sees a fixed-size neighborhood);
+    * callers wanting higher recall at scale should raise `targetBucket`,
+    * not pin `planes`.
+    */
+  def autoPlanes(corpusCount: Long, targetBucket: Int = 128,
+      base: Int = 4): Int = {
+    require(corpusCount >= 0, s"negative corpus count: $corpusCount")
+    require(targetBucket > 0, s"targetBucket must be positive: $targetBucket")
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusCount.toDouble / targetBucket)) /
+        math.log(2.0)).toInt
+    // 63-plane ceiling: bucket ids live in the sign bits of one Long
+    math.min(63, math.max(base, needed))
+  }
+
   /** Sign-bit LSH bucket id from `planes` random hyperplanes (native
     * one-pass expression; [[lshBucketHof]] is the reference form).
     */
@@ -455,7 +487,10 @@ object Similarity {
     * neighbor in a DIFFERENT bucket is invisible. Fewer `planes` → bigger
     * buckets → higher recall and higher cost; the `maxBucket` cap bounds
     * the worst case and [[embeddingOversizedBuckets]] audits what it
-    * would drop.
+    * would drop. A PINNED `planes` does not survive corpus growth —
+    * occupancy grows linearly until the cap truncates output (measured
+    * at ~30× the sf0.1 corpus under planes=4); size it with
+    * [[autoPlanes]] from a corpus row count instead.
     *
     * Scale shape (100 TB): one pass buckets ids (per-row arithmetic);
     * bucket sizes are a ≤ 2^planes-row aggregate BROADCAST back (no

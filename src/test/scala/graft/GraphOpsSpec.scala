@@ -162,6 +162,28 @@ class GraphOpsSpec extends SparkSuite {
     assert(got(3).getLong(1) == 0L && got(3).getBoolean(7))
   }
 
+  test("autoPlanes: occupancy-constant sizing pins the measured points") {
+    // the sf0.1 corpus (2,000 vectors) must keep the pinned planes=4,
+    // and the 30x stress corpus must get the measured-correct 9 (the
+    // crossover where planes=4's maxBucket cap truncates knnGraph)
+    assert(Similarity.autoPlanes(2000L) == 4)
+    assert(Similarity.autoPlanes(60000L) == 9)
+    // base floor: tiny corpora never drop below wide-bucket recall
+    assert(Similarity.autoPlanes(0L) == 4)
+    assert(Similarity.autoPlanes(100L) == 4)
+    // the defining invariant: expected occupancy n / 2^planes stays at
+    // or under targetBucket whenever planes isn't floored at base
+    for (n <- Seq(10000L, 123456L, 10000000L, 1234567890L)) {
+      val p = Similarity.autoPlanes(n)
+      assert(n.toDouble / (1L << p) <= 128.0, s"occupancy blown at n=$n")
+      // and minimality: one fewer plane would blow the target
+      assert(p == 4 || n.toDouble / (1L << (p - 1)) > 128.0,
+        s"oversized planes at n=$n")
+    }
+    // 63-plane ceiling (bucket ids are sign bits of one Long)
+    assert(Similarity.autoPlanes(Long.MaxValue, targetBucket = 1) == 63)
+  }
+
   test("knnGraph: bounded-heap top-k == window formulation per bucket") {
     import org.apache.spark.sql.expressions.Window
     val vecs = (1L to 60L).map { i =>
