@@ -74,15 +74,37 @@ object Stress {
     copiesE.reduce(_ unionByName _).repartition(spark.conf
         .get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events, for the time-keyed family (as-of / range / sessionize /
+    // rolling): `replica` offsets only event_id — every (user, ts) point
+    // gains s−1 coincident copies, the hot-key/duplication corpus for
+    // time operators; `disjoint` offsets user_id too, so copies are s
+    // independent populations (pure engine scaling — every time operator
+    // here keys on user_id, so offset users never interact).
+    val ev = queries.Q.t(spark, sfDir, "events")
+    val copiesV = (0 until scale).map { i =>
+      val base = ev.withColumn("event_id", col("event_id") + lit(i * IdOffset))
+      if (mode == "disjoint" && i > 0)
+        base.withColumn("user_id", col("user_id") + lit(i * IdOffset))
+      else base
+    }
+    copiesV.reduce(_ unionByName _).repartition(spark.conf
+        .get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
-  /** The five targets, by registry name (runs the exact pinned query);
+  /** The probe targets, by registry name (runs the exact pinned query):
+    * the five most expensive queries (round-10 review item #1) plus the
+    * time-keyed family — the OTHER funnel class (per-key time order:
+    * as-of, range join, sessionize, episodes, rolling agg), which had
+    * plan-shape arguments but no measured growth slopes.
     * `SPARK_GRAFT_STRESS_ONLY` (comma-separated substrings) narrows the
     * set for single-query investigations.
     */
   private val targets = {
     val all = Seq("q129_similarity_join", "q97_semantic_dedup",
-      "q91_knn_graph", "q63_training_pipeline", "q126_streaming_budget")
+      "q91_knn_graph", "q63_training_pipeline", "q126_streaming_budget",
+      "q40_asof_join", "q44_asof_sliced", "q41_range_join",
+      "q85_sessionize", "q116_episode_assembly", "q127_rolling_window")
     sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
       case Some(f) => all.filter(n => f.split(",").exists(n.contains))
       case None => all
@@ -142,14 +164,17 @@ object Stress {
       }
       // q129's named pressure point: the candidate-pair count (the
       // quantity the distinct() and verify join are sized by)
-      val (tc, nc) = time(graft.ext.Dedup.similarityJoinCandidates(
-        queries.Q.t(spark, dir, "documents")).count())
-      emit(mode, scale, "q129_candidates", tc, nc)
+      if (targets.exists(_.startsWith("q129"))) {
+        val (tc, nc) = time(graft.ext.Dedup.similarityJoinCandidates(
+          queries.Q.t(spark, dir, "documents")).count())
+        emit(mode, scale, "q129_candidates", tc, nc)
+      }
       // LSH plane scaling: q91/q97 pin planes=4 (16 buckets) — correct
       // at sf0.1, quadratic in bucket occupancy as the corpus grows.
       // The shipped sizing rule is Similarity.autoPlanes (occupancy-
       // constant); the probe drives exactly that rule at each scale.
-      if (scale > 1) {
+      if (scale > 1 && targets.exists(n =>
+          n.startsWith("q91") || n.startsWith("q97"))) {
         val emb = queries.Q.t(spark, dir, "embeddings")
         val planes = graft.ext.Similarity.autoPlanes(emb.count())
         val (t91, n91) = time(graft.ext.Similarity
