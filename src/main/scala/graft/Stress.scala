@@ -104,7 +104,13 @@ object Stress {
     val all = Seq("q129_similarity_join", "q97_semantic_dedup",
       "q91_knn_graph", "q63_training_pipeline", "q126_streaming_budget",
       "q40_asof_join", "q44_asof_sliced", "q41_range_join",
-      "q85_sessionize", "q116_episode_assembly", "q127_rolling_window")
+      "q85_sessionize", "q116_episode_assembly", "q127_rolling_window",
+      // text/dedup mid-tier (third sweep): the MinHash family carries
+      // the same verify-join shape q129's 30× cliff exposed — measured
+      // here directly, not fixed by analogy alone
+      "q24_minhash_lsh_neardup", "q49_dup_components",
+      "q35_token_frequencies", "q50_sequence_packing",
+      "q121_bpe_encode", "q66_token_budget_cap")
     sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
       case Some(f) => all.filter(n => f.split(",").exists(n.contains))
       case None => all
