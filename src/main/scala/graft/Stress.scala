@@ -39,6 +39,11 @@ object Stress {
     */
   private val IdOffset = 100000L
 
+  /** Orderkey offset between copies (max l_orderkey/o_orderkey at sf0.1
+    * is 149,999).
+    */
+  private val OrderOffset = 10000000L
+
   def synthesize(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int, mode: String): Unit = {
     val docs = queries.Q.t(spark, sfDir, "documents")
@@ -90,6 +95,35 @@ object Stress {
     copiesV.reduce(_ unionByName _).repartition(spark.conf
         .get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // relational core (fourth sweep): lineitem + orders scale with the
+    // corpus; the orderkey offset applies in BOTH modes (the lineitem ⋈
+    // orders equi-join must keep its 4-rows-per-order multiplicity —
+    // duplicated orderkeys would square it, which is not what "more
+    // data" means for a fact table). `replica` keeps o_custkey, so every
+    // customer gains s× orders — hot-partition growth for per-customer
+    // windows (q06); `disjoint` offsets custkey → independent
+    // populations. Dimension tables are copied UNSCALED: dims grow
+    // slower than facts in any real warehouse, and the broadcast side
+    // staying small is exactly the plan property worth preserving.
+    val li = queries.Q.t(spark, sfDir, "lineitem")
+    (0 until scale).map(i => li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * OrderOffset)))
+      .reduce(_ unionByName _)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    val ord = queries.Q.t(spark, sfDir, "orders")
+    (0 until scale).map { i =>
+      val base = ord.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * OrderOffset))
+      if (mode == "disjoint" && i > 0)
+        base.withColumn("o_custkey", col("o_custkey") + lit(i * IdOffset))
+      else base
+    }.reduce(_ unionByName _)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      queries.Q.t(spark, sfDir, dim).write.mode("overwrite")
+        .parquet(s"$outDir/$dim.parquet")
   }
 
   /** The probe targets, by registry name (runs the exact pinned query):
@@ -110,7 +144,13 @@ object Stress {
       // here directly, not fixed by analogy alone
       "q24_minhash_lsh_neardup", "q49_dup_components",
       "q35_token_frequencies", "q50_sequence_packing",
-      "q121_bpe_encode", "q66_token_budget_cap")
+      "q121_bpe_encode", "q66_token_budget_cap",
+      // relational core (fourth sweep): pure-Catalyst plans over the
+      // scaled fact tables — agg, per-key window, star join, salted
+      // agg/join, pushdown scan
+      "q01_agg_pricing", "q06_window_topk_per_group",
+      "q16_star_join_revenue", "q30_salted_agg", "q31_salted_join",
+      "q34_pushdown_scan")
     sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
       case Some(f) => all.filter(n => f.split(",").exists(n.contains))
       case None => all
