@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 /** Self-scaled stress probe (round-10 review item #1): the 100× design
   * claims in SCALING.md have only ever met sf0.1 data, so this main
   * synthesizes larger corpora LOCALLY (no driver dependency) by unioning
-  * the sf0.1 tables with id-offset copies and measures how the five most
-  * expensive queries actually grow.
+  * the sf0.1 tables with id-offset copies and measures how each query
+  * family actually grows. Five sweeps: the five most expensive queries,
+  * the time-keyed family (as-of/range/sessionize/rolling over scaled
+  * `events`), the text/dedup mid-tier, the relational core (scaled
+  * lineitem/orders, unscaled dims), and the CDC/versioned-lake set.
   *
   * Two synthesis modes, because "10× data" means two different things:
   *  - `replica`: exact copies, ids offset. Every doc gains s−1 perfect
@@ -150,7 +153,11 @@ object Stress {
       // agg/join, pushdown scan
       "q01_agg_pricing", "q06_window_topk_per_group",
       "q16_star_join_revenue", "q30_salted_agg", "q31_salted_join",
-      "q34_pushdown_scan")
+      "q34_pushdown_scan",
+      // CDC / versioned lake (fifth sweep): change-apply, snapshot
+      // diff, IVM refresh — their fixtures derive from the scaled
+      // events/orders, so lake version sizes scale with the corpus
+      "q105_cdc_replay", "q113_version_diff", "q115_ivm_refresh")
     sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
       case Some(f) => all.filter(n => f.split(",").exists(n.contains))
       case None => all
