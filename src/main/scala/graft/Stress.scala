@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * claims in SCALING.md have only ever met sf0.1 data, so this main
   * synthesizes larger corpora LOCALLY (no driver dependency) by unioning
   * the sf0.1 tables with id-offset copies and measures how each query
-  * family actually grows. Five sweeps: the five most expensive queries,
+  * family actually grows. Six sweeps: the five most expensive queries,
   * the time-keyed family (as-of/range/sessionize/rolling over scaled
   * `events`), the text/dedup mid-tier, the relational core (scaled
-  * lineitem/orders, unscaled dims), and the CDC/versioned-lake set.
+  * lineitem/orders, unscaled dims), the CDC/versioned-lake set, and
+  * the retrieval/sketch/multimodal tier (fixed probes over a scaled
+  * corpus; fixed-state sketch audits; payload-count-scaled decodes).
   *
   * Two synthesis modes, because "10× data" means two different things:
   *  - `replica`: exact copies, ids offset. Every doc gains s−1 perfect
@@ -157,7 +159,18 @@ object Stress {
       // CDC / versioned lake (fifth sweep): change-apply, snapshot
       // diff, IVM refresh — their fixtures derive from the scaled
       // events/orders, so lake version sizes scale with the corpus
-      "q105_cdc_replay", "q113_version_diff", "q115_ivm_refresh")
+      "q105_cdc_replay", "q113_version_diff", "q115_ivm_refresh",
+      // retrieval / sketches / multimodal (sixth sweep): fixed probes
+      // (vec_id < 5/8) against the scaled corpus — measures the
+      // "probes broadcast, corpus never shuffles" linear-scan claim,
+      // the IVF index build (k-means) included; the three sketch
+      // audits are fixed-state aggregates that should stay flat; the
+      // decode family's payload count scales with `documents`
+      "q26_cosine_topk_brute", "q27_cosine_topk_ann", "q38_ivf_topk",
+      "q86_quantized_ann", "q88_twostage_ann",
+      "q32_approx_distinct_hll", "q95_heavy_hitters", "q96_quantile_audit",
+      "q33_multimodal_decode", "q52_audio_decode", "q53_video_decode",
+      "q125_image_retrieval")
     sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
       case Some(f) => all.filter(n => f.split(",").exists(n.contains))
       case None => all
