@@ -57,6 +57,38 @@ class TopKAggSpec extends SparkSuite {
     assert(top == List("doc-0009", "doc-0019", "doc-0029"))
   }
 
+  // The property the round-10 stress probe measured flat to a 30×
+  // corpus — probes (or the ≤ probes·k·expand shortlist) broadcast, the
+  // corpus is scanned, never sorted for a join — pinned here so a size
+  // estimate or hint regression can't silently re-plan any family
+  // member as a sort-merge join (the q129 30× cliff, in a test).
+  test("ANN family plan shape: small side broadcast, corpus never sorted") {
+    val emb = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val probes = emb.filter($"vec_id" < 2)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val ann = planOf(graft.ext.Similarity.annTopK(probes, emb, k = 5,
+      planes = 6))
+    assert(ann.contains("BroadcastHashJoin") &&
+      !ann.contains("SortMergeJoin") && !ann.contains("NestedLoop"))
+    val quant = planOf(graft.ext.Similarity.quantizedTopK(probes, emb, k = 5))
+    // the quantized scan IS a broadcast cross join (every probe scores
+    // every code) — broadcast nested loop, never a CartesianProduct
+    assert(quant.contains("BroadcastNestedLoopJoin") &&
+      !quant.contains("SortMergeJoin") && !quant.contains("CartesianProduct"))
+    val two = planOf(graft.ext.Similarity.twoStageTopK(probes, emb, k = 5))
+    assert(two.contains("BroadcastHashJoin") &&
+      !two.contains("SortMergeJoin") && !two.contains("CartesianProduct"))
+    val idx = graft.ext.Similarity.IvfIndex.build(emb, nCentroids = 4)
+    try {
+      val ivf = planOf(idx.search(probes, k = 5, nProbe = 2))
+      assert(ivf.contains("BroadcastHashJoin") &&
+        !ivf.contains("SortMergeJoin") && !ivf.contains("CartesianProduct"))
+    } finally idx.unpersist()
+  }
+
   test("plan shape: partial ObjectHashAggregate, no Window, no global sort") {
     val emb = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat)))
