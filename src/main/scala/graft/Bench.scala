@@ -27,6 +27,9 @@ object Bench {
       // (Q.normalizeTs) casts wall-clock through the session zone
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-run scratch warehouse: concurrent Verify/Bench/Stress JVMs
+      // must not drop each other's managed-table fixtures
+      .config("spark.sql.warehouse.dir", queries.Q.scratchWarehouse())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/scheduler once so the first measured query

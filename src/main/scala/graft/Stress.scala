@@ -170,7 +170,15 @@ object Stress {
       "q86_quantized_ann", "q88_twostage_ann",
       "q32_approx_distinct_hll", "q95_heavy_hitters", "q96_quantile_audit",
       "q33_multimodal_decode", "q52_audio_decode", "q53_video_decode",
-      "q125_image_retrieval")
+      "q125_image_retrieval",
+      // streaming family (seventh sweep): the config probe isolated a
+      // per-micro-batch lifecycle floor; this measures the other axis —
+      // fixed batch COUNT (the fixtures write exactly 3 batches / one
+      // AvailableNow pass), scaled per-batch VOLUME — so state-store
+      // growth (dedup keys, CDC keys, windowed sketch state) meets data
+      "q37_streaming_window", "q98_streaming_trending",
+      "q70_streaming_dedup_ingest", "q77_streaming_neardup_ingest",
+      "q108_stream_enrich", "q111_streaming_cdc")
     sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
       case Some(f) => all.filter(n => f.split(",").exists(n.contains))
       case None => all
@@ -209,6 +217,9 @@ object Stress {
           sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-run scratch warehouse: concurrent Verify/Bench/Stress JVMs
+      // must not drop each other's managed-table fixtures
+      .config("spark.sql.warehouse.dir", queries.Q.scratchWarehouse())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def emit(mode: String, scale: Int, query: String, sec: Double,

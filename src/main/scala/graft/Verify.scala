@@ -74,6 +74,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-run scratch warehouse: concurrent Verify/Bench/Stress JVMs
+      // must not drop each other's managed-table fixtures
+      .config("spark.sql.warehouse.dir", queries.Q.scratchWarehouse())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rc = run(spark, sfDir, outDir, only)

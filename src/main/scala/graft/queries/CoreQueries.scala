@@ -92,6 +92,49 @@ object Q {
   def centsSumSql(rowExpr: String): String =
     s"sum(CAST(round(($rowExpr)*100) AS BIGINT))/100.0"
 
+  /** Copy a parquet table's data files FLAT into `dstDir`, whether the
+    * table shipped as one file (the driver testdata layout) or as a
+    * Spark-written directory of part files (the stress-probe synthesis
+    * layout) — the streaming fixtures copy their source out of the
+    * table dir before streaming it, and both the schema-inference batch
+    * read and the file-stream source list `dstDir` non-recursively, so
+    * the parts must land at its top level.
+    */
+  def copyTableFiles(src: java.nio.file.Path,
+      dstDir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (Files.isDirectory(src)) {
+      val walk = Files.walk(src)
+      try walk
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .forEach { p =>
+          Files.copy(p, dstDir.resolve(p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      finally walk.close()
+    } else {
+      Files.copy(src, dstDir.resolve(src.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  /** Per-run scratch warehouse root for the harness mains (Verify /
+    * Bench / Stress): managed-table fixtures (q43/q70/q101/q108/q111/…)
+    * create and drop tables under `spark.sql.warehouse.dir`, so two
+    * concurrent runs sharing the default `./spark-warehouse` can drop
+    * each other's tables mid-read. A unique temp root isolates each
+    * JVM; the shutdown hook (plus each main's end-of-run janitor)
+    * removes it.
+    */
+  def scratchWarehouse(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-warehouse-")
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(p)))
+    p.toAbsolutePath.toString
+  }
+
   /** Remove a fixture temp dir (best-effort): repeated bench/verify runs
     * must not accumulate copies of the testdata under /tmp.
     */

@@ -265,12 +265,11 @@ object GraphQueries {
   // with the sketch guarantees as derived facts (est values are
   // batch/partition-order-dependent; the guarantees are theorems).
   private def q98(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val cap = 4
     val tmp = Files.createTempDirectory("graft-stream-src")
     try {
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Q.copyTableFiles(Paths.get(s"$dir/events.parquet"), tmp)
       val stream = Q.streamTable(s, tmp.toString)
       val agg = stream
         .groupBy(window(col("ts"), "1 hour").as("w"))

@@ -247,11 +247,10 @@ object ScaleQueries {
   // trigger) must equal the batch oracle — streaming and batch semantics
   // coincide on bounded input.
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft-stream-src")
     try {
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Q.copyTableFiles(Paths.get(s"$dir/events.parquet"), tmp)
       val stream = Q.streamTable(s, tmp.toString)
       val agg = stream
         .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
