@@ -33,4 +33,29 @@ class VerifySpec extends SparkSuite {
       java.nio.file.Paths.get(s"$out/_errors.json"))
     assert(errs == "{}", errs.take(300))
   }
+
+  test("copyTableFiles flattens both table layouts into the target dir") {
+    import java.nio.file.Paths
+    import graft.queries.Q
+    import spark.implicits._
+    val src = tmpDir()
+    // Spark-written directory layout (multiple part files)
+    Seq(1L, 2L, 3L, 4L).toDF("id").repartition(2)
+      .write.parquet(s"$src/t.parquet")
+    val dstDir = tmpDir()
+    Q.copyTableFiles(Paths.get(s"$src/t.parquet"), Paths.get(dstDir))
+    // parts land FLAT at the top level, readable by a non-recursive scan
+    assert(spark.read.parquet(dstDir).count() == 4)
+    // single-file layout (the driver testdata shape)
+    val one = tmpDir()
+    Seq(5L, 6L).toDF("id").coalesce(1).write.parquet(s"$src/one.parquet")
+    val part = {
+      val st = java.nio.file.Files.list(Paths.get(s"$src/one.parquet"))
+      try st.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally st.close()
+    }
+    Q.copyTableFiles(part, Paths.get(one))
+    assert(spark.read.parquet(one).count() == 2)
+  }
 }
