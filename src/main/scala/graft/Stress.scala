@@ -156,6 +156,11 @@ object Stress {
       "q01_agg_pricing", "q06_window_topk_per_group",
       "q16_star_join_revenue", "q30_salted_agg", "q31_salted_join",
       "q34_pushdown_scan",
+      // merge family rider: insert-if-absent over the scaled fact
+      // table — the anti-join-plus-union shape whose target-size cost
+      // driver SCD1/SCD2 share (their fixtures read unscaled dims by
+      // the synthesis design, so q04 is the family's scale probe)
+      "q04_merge_insert_if_absent",
       // CDC / versioned lake (fifth sweep): change-apply, snapshot
       // diff, IVM refresh — their fixtures derive from the scaled
       // events/orders, so lake version sizes scale with the corpus
