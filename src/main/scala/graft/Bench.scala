@@ -99,8 +99,11 @@ object Bench {
     }
     if (covs.nonEmpty) {
       val sorted = covs.map(_._2).sorted
-      def pct(p: Double) =
-        sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+      // nearest-rank: index ⌈p·n⌉ − 1 (floor(p·n) is biased one rank
+      // HIGH for small/even n — e.g. n=2 would report the max as the
+      // median, widening the printed noise band)
+      def pct(p: Double) = sorted(math.min(sorted.size - 1,
+        math.max(0, math.ceil(p * sorted.size).toInt - 1)))
       System.err.println(
         f"""rep_cov={"n":${sorted.size},"median":${pct(0.5)}%.3f,""" +
           f""""p90":${pct(0.9)}%.3f,"max":${sorted.last}%.3f}""")

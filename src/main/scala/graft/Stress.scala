@@ -39,8 +39,13 @@ import org.apache.spark.sql.functions._
   */
 object Stress {
 
-  /** Id offset between copies — above any sf0.1 id, so copies never
-    * collide (doc_id ≤ 4999, vec_id ≤ 1999 at sf0.1).
+  /** Id offset between copies — above any sf0.1 id (doc_id ≤ 4999,
+    * vec_id ≤ 1999, event_id/user_id ≤ 99,999 at sf0.1). The source dir
+    * is env-overridable, so [[guardOffset]] re-checks the bound against
+    * the ACTUAL data at synthesis time: a silent overlap would turn
+    * "replica" copies into exact duplicate ROWS and "disjoint" copies
+    * into key collisions — corrupting the dedup/CDC/episode slopes with
+    * no error raised.
     */
   private val IdOffset = 100000L
 
@@ -49,9 +54,22 @@ object Stress {
     */
   private val OrderOffset = 10000000L
 
+  /** Fail loudly if offsetting `idCol` by `offset` per copy could make
+    * copies collide (see [[IdOffset]]).
+    */
+  private def guardOffset(df: DataFrame, idCol: String, offset: Long,
+      table: String): Unit = {
+    val mx = df.agg(max(col(idCol)).cast("long")).head.getLong(0)
+    require(mx < offset,
+      s"Stress.synthesize: max($table.$idCol) = $mx >= copy offset " +
+        s"$offset — id-offset copies would overlap; raise the offset " +
+        "for this corpus")
+  }
+
   def synthesize(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int, mode: String): Unit = {
     val docs = queries.Q.t(spark, sfDir, "documents")
+    guardOffset(docs, "doc_id", IdOffset, "documents")
     val copiesD = (0 until scale).map { i =>
       val base = docs.withColumn("doc_id", col("doc_id") + lit(i * IdOffset))
       val shifted =
@@ -69,6 +87,7 @@ object Stress {
         .get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = queries.Q.t(spark, sfDir, "embeddings")
+    guardOffset(emb, "vec_id", IdOffset, "embeddings")
     val copiesE = (0 until scale).map { i =>
       val base = emb.withColumn("vec_id", col("vec_id") + lit(i * IdOffset))
       if (mode == "disjoint" && i > 0) {
@@ -91,6 +110,8 @@ object Stress {
     // independent populations (pure engine scaling — every time operator
     // here keys on user_id, so offset users never interact).
     val ev = queries.Q.t(spark, sfDir, "events")
+    guardOffset(ev, "event_id", IdOffset, "events")
+    guardOffset(ev, "user_id", IdOffset, "events")
     val copiesV = (0 until scale).map { i =>
       val base = ev.withColumn("event_id", col("event_id") + lit(i * IdOffset))
       if (mode == "disjoint" && i > 0)
@@ -111,12 +132,15 @@ object Stress {
     // slower than facts in any real warehouse, and the broadcast side
     // staying small is exactly the plan property worth preserving.
     val li = queries.Q.t(spark, sfDir, "lineitem")
+    guardOffset(li, "l_orderkey", OrderOffset, "lineitem")
     (0 until scale).map(i => li.withColumn("l_orderkey",
         col("l_orderkey") + lit(i * OrderOffset)))
       .reduce(_ unionByName _)
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     val ord = queries.Q.t(spark, sfDir, "orders")
+    guardOffset(ord, "o_orderkey", OrderOffset, "orders")
+    guardOffset(ord, "o_custkey", IdOffset, "orders")
     (0 until scale).map { i =>
       val base = ord.withColumn("o_orderkey",
         col("o_orderkey") + lit(i * OrderOffset))
@@ -231,24 +255,33 @@ object Stress {
         rows: Long): Unit =
       println(f"""{"probe":"stress","mode":"$mode","scale":$scale,""" +
         f""""query":"$query","sec":$sec%.3f,"rows":$rows}""")
-    // one unmeasured warmup pass at the smallest scale per mode, so the
-    // first measured point doesn't absorb JIT/codegen compilation
+    // one unmeasured warmup pass before the FIRST measured point (JIT /
+    // codegen compilation is JVM-global, so once is enough — and it must
+    // run whichever scale comes first, or a descending scale list would
+    // leave its largest point codegen-cold)
+    var warmed = false
     for (mode <- modes; scale <- scales) {
       val dir = s"$root/${mode}_x$scale"
       val (tSynth, _) = time(synthesize(spark, sfDir, dir, scale, mode))
       System.err.println(f"[stress] synthesized $dir in $tSynth%.1f s")
-      if (scale == scales.min)
+      if (!warmed) {
         targets.foreach(q => SparkEntry.queries(q)(spark, dir).count())
+        warmed = true
+      }
       for (q <- targets) {
         val runs = (1 to reps).map(_ => time(
           SparkEntry.queries(q)(spark, dir).count()))
         emit(mode, scale, q, runs.map(_._1).min, runs.head._2)
       }
       // q129's named pressure point: the candidate-pair count (the
-      // quantity the distinct() and verify join are sized by)
+      // quantity the distinct() and verify join are sized by) — at
+      // q129's OWN threshold (1/3, PrepQueries q129), not the library
+      // default: prefix length is n − ⌈t·n⌉ + 1, so a different
+      // threshold measures a different candidate set
       if (targets.exists(_.startsWith("q129"))) {
         val (tc, nc) = time(graft.ext.Dedup.similarityJoinCandidates(
-          queries.Q.t(spark, dir, "documents")).count())
+          queries.Q.t(spark, dir, "documents"),
+          thresholdNum = 1, thresholdDen = 3).count())
         emit(mode, scale, "q129_candidates", tc, nc)
       }
       // LSH plane scaling: q91/q97 pin planes=4 (16 buckets) — correct
@@ -274,6 +307,14 @@ object Stress {
     } catch { case e: Throwable =>
       System.err.println(s"[stress] warehouse cleanup failed: ${e.getMessage}")
     }
+    // the synthesized corpora are multi-GB at the big scales and serve
+    // no purpose after the run (every run re-synthesizes) — same
+    // disk-accumulation rule as the warehouse janitor. KEEP=1 preserves
+    // them for manual poking at a run's corpus.
+    if (!sys.env.get("SPARK_GRAFT_STRESS_KEEP").contains("1"))
+      for (mode <- modes; scale <- scales)
+        queries.Q.deleteRecursively(
+          java.nio.file.Paths.get(s"$root/${mode}_x$scale"))
     spark.stop()
   }
 }

@@ -129,6 +129,20 @@ object Q {
     * removes it.
     */
   def scratchWarehouse(): String = {
+    // a kill -9'd run skips the shutdown hook and leaves its scratch
+    // root behind — sweep stale siblings (age-gated: anything younger
+    // may belong to a LIVE concurrent run) before creating this run's
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    try {
+      val ls = java.nio.file.Files.list(tmp)
+      try ls.filter(d => d.getFileName.toString.startsWith(
+          "graft-warehouse-") &&
+          java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff)
+        .forEach(d => try deleteRecursively(d) catch { case _: Exception => () })
+      finally ls.close()
+    } catch { case _: Exception => () }
     val p = java.nio.file.Files.createTempDirectory("graft-warehouse-")
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => deleteRecursively(p)))

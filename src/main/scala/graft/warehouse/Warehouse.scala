@@ -83,23 +83,34 @@ object Warehouse {
         if (fs.exists(loc)) { fs.delete(loc, true); () }
       }
 
-  /** Sweep ORPHAN `graft*.db` directories under the warehouse root —
-    * leftovers from earlier JVMs that this session's in-memory catalog
-    * never registered, which [[dropGraftDatabases]] therefore cannot
-    * see. Together the two cover both halves of the churn: this run's
-    * databases (catalog drop) and prior runs' corpses (directory sweep).
+  /** Sweep ORPHAN `graft*.db` directories — leftovers from earlier JVMs
+    * that this session's in-memory catalog never registered, which
+    * [[dropGraftDatabases]] therefore cannot see. Covers BOTH the
+    * session's own warehouse root and the legacy shared default
+    * `./spark-warehouse`: the harness mains now run on per-JVM scratch
+    * roots (so their own root is usually empty), but the default root
+    * is where pre-isolation rounds accumulated corpses — the original
+    * "a month of rounds fills the disk" motivation — and where any
+    * default-configured session still writes. Together with
+    * [[dropGraftDatabases]] (this run) and `Q.scratchWarehouse`'s
+    * stale-scratch sweep (crash-killed runs), every accumulation path
+    * has an owner.
     */
   def sweepOrphanGraftDirs(spark: SparkSession): Unit = {
-    val root = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.endsWith(".db") &&
-            (n == "graft.db" || n.startsWith("graft_q")))
-          { fs.delete(st.getPath, true); () }
-      }
+    val roots = Seq(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      new java.io.File("spark-warehouse").getAbsolutePath).distinct
+    for (r <- roots) {
+      val root = new org.apache.hadoop.fs.Path(r)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.endsWith(".db") &&
+              (n == "graft.db" || n.startsWith("graft_q")))
+            { fs.delete(st.getPath, true); () }
+        }
+    }
   }
 
   /** S9 (main.py:392-416): bulk append into a staging/target table. The
