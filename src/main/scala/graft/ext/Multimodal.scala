@@ -81,13 +81,19 @@ object Multimodal {
           .cast("int")))
   }
 
-  /** DuckDB twin of [[sampleBytes]] over a VARCHAR source (the synthetic
-    * payload is UTF-8 text; ascii() of the 1-char substring = byte value
-    * and length = octet_length for ASCII corpora).
+  /** DuckDB twin of [[sampleBytes]] over a VARCHAR source: the payload
+    * is the text's UTF-8 BYTES, so the twin must index bytes too — an
+    * earlier char-substring formulation (`ascii(substring(...))`)
+    * matched only while every char was one byte, and the fuzz corpus's
+    * astral-plane docs exposed it (code point 128640 vs lead byte 240).
+    * DuckDB has no blob subscript; hex-pair extraction is the portable
+    * byte accessor.
     */
   def sampleBytesSql(textE: String, stride: Int, maxSamples: Int = 16): String =
-    s"list_transform(generate_series(1, least(length($textE) // $stride, $maxSamples)), " +
-      s"i -> ascii(substring($textE, (i-1)*$stride + 1, 1)))"
+    s"list_transform(generate_series(1, " +
+      s"least(octet_length(encode($textE)) // $stride, $maxSamples)), " +
+      s"i -> CAST('0x' || substr(hex(encode($textE)), " +
+      s"((i-1)*$stride)*2 + 1, 2) AS INTEGER))"
 
   /** One synthesized real image: genuine encoded PNG/BMP payload. */
   case class MediaImage(media_id: Long, fmt: String, bytes: Array[Byte])

@@ -42,11 +42,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.NativeVector.cosine(a, b)
 
-  def cosineHof(a: Column, b: Column): Column =
-    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
+  def cosineHof(a: Column, b: Column): Column = {
+    // zero-norm side ⇒ cosine DEFINED as 0.0 (see NativeVector.cosineData
+    // — the native twin this must stay bit-identical to)
+    val den = sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))
+    when(den === 0.0, lit(0.0)).otherwise(dotHof(a, b) / den)
+  }
 
-  def cosineSql(aE: String, bE: String): String =
-    s"${dotSql(aE, bE)} / (sqrt(${dotSql(aE, aE)}) * sqrt(${dotSql(bE, bE)}))"
+  def cosineSql(aE: String, bE: String): String = {
+    val den = s"(sqrt(${dotSql(aE, aE)}) * sqrt(${dotSql(bE, bE)}))"
+    s"CASE WHEN $den = 0.0 THEN 0.0 ELSE ${dotSql(aE, bE)} / $den END"
+  }
 
   // -------------------------------------------------- int8 quantization
 
@@ -707,24 +713,31 @@ object Similarity {
     */
   def groupDiversity(df: DataFrame, groupCol: String = "label",
       embCol: String = "embedding"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val q = df.select(col(groupCol).as("__g"),
       posexplode(transform(col(embCol),
         x => round(x.cast("double") * 1000000).cast("long")))
         .as(Seq("__pos", "__q")))
+    // The per-element square runs in DECIMAL(38,0), not LONG: a raw
+    // element of magnitude m quantizes to m·10⁶, whose square m²·10¹²
+    // passes 2⁶³ at |m| ≈ 3·10³ — and unnormalized real-world vectors
+    // (found by the fuzz-corpus gate at m = 10⁶) do reach that. Any
+    // long q squares exactly inside DECIMAL(38) (max ≈ 8.5·10³⁷).
     val perDim = q.groupBy(col("__g"), col("__pos"))
-      .agg(sum("__q").as("__s"),
-        sum(col("__q") * col("__q")).as("__ss"),
+      .agg(sum(dec(col("__q"))).as("__s"),
+        sum(dec(col("__q")) * dec(col("__q"))).as("__ss"),
         count(lit(1)).as("__cnt"))
     // The rollup sums run in DECIMAL(38,0): the centroid term Σ_d(Σq)²
     // is ≈ n²·10¹²·‖c̄‖², past BIGINT at only ~3·10³ tight-cluster rows
     // per group — exactly the redundancy case this operator targets.
-    // DECIMAL(38) holds to n ≈ 3·10¹² and both engines agree exactly;
-    // the final doubles are one identical correctly-rounded cast.
-    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // DECIMAL(38) holds to n ≈ 3·10¹² rows of unit-scale vectors and
+    // both engines agree exactly; the final doubles are one identical
+    // correctly-rounded cast; past the decimal range both engines fail
+    // loudly (no silent wrap anywhere).
     val g = perDim.groupBy("__g").agg(
       max("__cnt").as("n"),
-      sum(dec(col("__ss"))).as("__sum_sq"),
-      sum(dec(col("__s")) * dec(col("__s"))).as("__sum_cs"))
+      sum(col("__ss")).as("__sum_sq"),
+      sum(col("__s") * col("__s")).as("__sum_cs"))
     val meanSq = (col("__sum_sq").cast("double") / col("n")) / lit(1e12)
     val centSq =
       (col("__sum_cs").cast("double") / col("n") / col("n")) / lit(1e12)
@@ -839,14 +852,14 @@ object Similarity {
        |  FROM (SELECT $groupE AS g, $embE,
        |          unnest(generate_series(1, len($embE))) AS i
        |        FROM $table)),
-       |__d AS (SELECT g, pos, CAST(sum(q) AS BIGINT) AS s,
-       |    CAST(sum(q*q) AS BIGINT) AS ss,
+       |__d AS (SELECT g, pos, CAST(sum(q) AS HUGEINT) AS s,
+       |    sum(CAST(q AS HUGEINT) * q) AS ss,
        |    count(*) AS cnt
        |  FROM __e GROUP BY g, pos),
        |__gr AS (SELECT g,
        |    CAST(max(cnt) AS BIGINT) AS n,
-       |    sum(CAST(ss AS HUGEINT)) AS sum_sq,
-       |    sum(CAST(s AS HUGEINT) * s) AS sum_cs
+       |    sum(ss) AS sum_sq,
+       |    sum(s * s) AS sum_cs
        |  FROM __d GROUP BY g)
        |SELECT g AS $groupE, n,
        |  (CAST(sum_sq AS DOUBLE) / n) / 1e12 AS mean_sq_norm,

@@ -55,8 +55,12 @@ object Text {
     val nStop = stopwordCount(text).cast("double")
     val nPunct = punctCount(text).cast("double")
     val len = length(text).cast("double")
+    // empty text: length 0 would divide by zero (ANSI error, found by
+    // the fuzz-corpus gate). Defined semantics: an empty doc has punct
+    // fraction 0 — the SQL twin carries the same CASE. (nTok is never 0:
+    // split("") yields [""], so size ≥ 1 in both engines.)
     (nStop / nTok) * lit(2.0) +
-      (lit(1.0) - nPunct / len) +
+      (lit(1.0) - when(len > 0, nPunct / len).otherwise(lit(0.0))) +
       least(nTok / lit(100.0), lit(1.0))
   }
 
@@ -883,7 +887,7 @@ object Text {
   /** BPE tokenizer inference — the apply half of [[bpePairStats]]'s
     * training loop (Sennrich et al. 2016): encode each document with a
     * trained merge list, per-word, one greedy left-to-right pass per
-    * rule. Returns the `;`-joined-symbols / space-joined-words encoding
+    * rule. Returns the U+001F-joined-symbols / space-joined-words encoding
     * (see [[graft.functions.NativeString.bpeEncodeRaw]]). Token-budget
     * planning, fertility monitoring and length-aware packing all need
     * REAL tokenizer counts, not whitespace counts — this runs them
@@ -901,22 +905,24 @@ object Text {
     graft.functions.NativeString.bpeEncode(text, merges)
 
   /** DuckDB twin of [[bpeEncode]]: the same greedy pass per rule,
-    * expressed as a left fold over the `;`-joined symbol string (the
+    * expressed as a left fold over the U+001F-joined symbol string (the
     * accumulator-tail re-check is the same function as the pair scan —
     * within one rule, a merged symbol can never re-merge with the same
     * rule, since `a+b ≠ a` for non-empty `b`).
     */
   def bpeEncodeSql(textE: String, merges: Seq[(String, String)]): String = {
-    var e = "array_to_string(string_split_regex(w, ''), ';')"
+    // chr(31) = U+001F, the same unit-separator char the native
+    // expression joins symbols with (see NativeString.bpeEncodeRaw)
+    var e = "array_to_string(string_split_regex(w, ''), chr(31))"
     merges.zipWithIndex.foreach { case ((a, b), lvl) =>
-      require(!(a + b).exists(c => c == ';' || c == ' ' || c == '\''),
+      require(!(a + b).exists(c => c == '\u001F' || c == ' ' || c == '\''),
         s"bpeEncodeSql: merge symbols must be plain tokens: ($a, $b)")
       // level-unique lambda names: the per-rule folds nest lexically
       val (ac, sy) = (s"a$lvl", s"s$lvl")
-      e = s"substr(list_reduce(list_prepend('', string_split($e, ';')), " +
-        s"($ac, $sy) -> CASE WHEN right($ac, ${a.length + 1}) = ';$a' " +
+      e = s"substr(list_reduce(list_prepend('', string_split($e, chr(31))), " +
+        s"($ac, $sy) -> CASE WHEN right($ac, ${a.length + 1}) = chr(31) || '$a' " +
         s"AND $sy = '$b' THEN left($ac, len($ac) - ${a.length + 1}) " +
-        s"|| ';$a$b' ELSE $ac || ';' || $sy END), 2)"
+        s"|| chr(31) || '$a$b' ELSE $ac || chr(31) || $sy END), 2)"
     }
     // coalesce: DuckDB's array_to_string of an empty list is NULL; the
     // JVM encoder returns '' for an all-empty-words doc
@@ -978,7 +984,7 @@ object Text {
       val seg = graft.functions.NativeString.bpeEncode(
         col("w"), merges.toSeq)
       val top = vocab
-        .select(col("wcnt"), split(seg, ";").as("s"))
+        .select(col("wcnt"), split(seg, "\u001F").as("s"))
         .select(col("wcnt"),
           explode(arrays_zip(
             slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
@@ -1027,28 +1033,28 @@ object Text {
        |  WHERE w <> '' AND regexp_matches(w, '^[A-Za-z0-9]+$$')
        |  GROUP BY w),
        |__s0 AS (SELECT w, wcnt,
-       |  array_to_string(string_split_regex(w, ''), ';') AS seg
+       |  array_to_string(string_split_regex(w, ''), chr(31)) AS seg
        |  FROM __v0)""".stripMargin
     for (i <- 1 to nMerges) {
       val (ac, sy) = (s"a$i", s"s$i")
       sb ++= s""",
        |__p$i AS (SELECT l[i] AS lhs, l[i+1] AS rhs,
        |    CAST(sum(wcnt) AS BIGINT) AS cnt
-       |  FROM (SELECT string_split(seg, ';') AS l, wcnt,
-       |      unnest(generate_series(1, len(string_split(seg, ';')) - 1))
+       |  FROM (SELECT string_split(seg, chr(31)) AS l, wcnt,
+       |      unnest(generate_series(1, len(string_split(seg, chr(31))) - 1))
        |        AS i
        |    FROM __s${i - 1}) GROUP BY 1, 2),
        |__m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM __p$i
        |  ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
       if (i < nMerges) sb ++= s""",
        |__s$i AS MATERIALIZED (SELECT w, wcnt,
-       |  substr(list_reduce(list_prepend('', string_split(seg, ';')),
+       |  substr(list_reduce(list_prepend('', string_split(seg, chr(31))),
        |    ($ac, $sy) -> CASE
-       |      WHEN right($ac, 1 + len(m.lhs)) = ';' || m.lhs
+       |      WHEN right($ac, 1 + len(m.lhs)) = chr(31) || m.lhs
        |        AND $sy = m.rhs
        |      THEN left($ac, len($ac) - 1 - len(m.lhs))
-       |        || ';' || m.lhs || m.rhs
-       |      ELSE $ac || ';' || $sy END), 2) AS seg
+       |        || chr(31) || m.lhs || m.rhs
+       |      ELSE $ac || chr(31) || $sy END), 2) AS seg
        |  FROM __s${i - 1}, __m$i m)""".stripMargin
     }
     val union = (1 to nMerges).map(i =>

@@ -19,19 +19,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage stays inside whole-stage codegen. Measured effect: the MinHash
   * near-dup query dropped from 273 s to ~2 s at sf0.1.
   *
-  * Character semantics match `ascii()` (first code point) for BMP text —
-  * the corpora here are ASCII; documented caveat for astral-plane input.
+  * Character semantics match `ascii()` exactly: every fold walks UNICODE
+  * CODE POINTS (an astral-plane char is one value, as in both HOF and
+  * DuckDB twins) — an earlier code-unit walk diverged on emoji text,
+  * caught by the fuzz-corpus oracle gate.
   */
 object NativeHash {
   import PortableHash.{B, P}
 
-  /** Polynomial rolling hash of s[from, until): (acc*B + code) % P. */
+  /** Polynomial rolling hash of s[from, until): (acc*B + code) % P.
+    * Folds UNICODE CODE POINTS, not UTF-16 code units: Spark's
+    * `ascii()`/`split(s, "")` and DuckDB's `string_split_regex`/`ascii`
+    * both see code points, so an astral-plane char (one code point, two
+    * JVM chars) must hash as ONE value here too — a code-unit fold
+    * diverged from both twins on emoji text (found by the fuzz-corpus
+    * gate). `from`/`until` are code-unit offsets at char boundaries
+    * (token spans split on ' ' never cut a surrogate pair).
+    */
   def polyRange(s: String, from: Int, until: Int): Long = {
     var acc = 0L
     var i = from
     while (i < until) {
-      acc = (acc * B + s.charAt(i).toLong) % P
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * B + cp.toLong) % P
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -103,18 +114,32 @@ object NativeHash {
   }
 
   /** Hashes of all character n-gram windows (stride 1) — the char-level
-    * counterpart of [[shingles]], robust to intra-token edits.
+    * counterpart of [[shingles]], robust to intra-token edits. Windows
+    * are n CODE POINTS (same unit as [[polyRange]]'s fold): offsets are
+    * precomputed so astral-plane chars occupy one window slot, exactly
+    * as the HOF/SQL twins' per-code-point char lists do.
     */
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
-    val m = str.length - (n - 1)
+    val cps = str.codePointCount(0, str.length)
+    val m = cps - (n - 1)
     if (m < 1) new GenericArrayData(Array.empty[Long])
     else {
-      val out = new Array[Long](m)
+      // offs(k) = code-unit offset of the k-th code point (cps+1 marks)
+      val offs = new Array[Int](cps + 1)
       var i = 0
-      while (i < m) {
-        out(i) = polyRange(str, i, i + n)
-        i += 1
+      var k = 0
+      while (i < str.length) {
+        offs(k) = i
+        i += Character.charCount(str.codePointAt(i))
+        k += 1
+      }
+      offs(cps) = str.length
+      val out = new Array[Long](m)
+      var t = 0
+      while (t < m) {
+        out(t) = polyRange(str, offs(t), offs(t + n))
+        t += 1
       }
       new GenericArrayData(out)
     }
@@ -176,13 +201,15 @@ object NativeHash {
     val str = s.toString
     val sb = new java.lang.StringBuilder(str.length)
     var i = 0
+    // per-code-point lowercase: matches the twins' per-char lower();
+    // the stripped punctuation set is pure ASCII so the filter itself
+    // is unit-agnostic
     while (i < str.length) {
-      val c = Character.toLowerCase(str.charAt(i))
-      c match {
-        case '.' | ',' | '!' | '?' | ';' | ':' => ()
-        case other => sb.append(other)
-      }
-      i += 1
+      val cp = str.codePointAt(i)
+      val c = Character.toLowerCase(cp)
+      if (c != '.' && c != ',' && c != '!' && c != '?' && c != ';' &&
+          c != ':') sb.appendCodePoint(c)
+      i += Character.charCount(cp)
     }
     // split(" +", -1) + drop empties ≡ Spark's split/filter pair
     val tokens = sb.toString.split(" +", -1).filter(_.nonEmpty)

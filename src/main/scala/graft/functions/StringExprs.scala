@@ -39,12 +39,27 @@ object NativeString {
     * NULL (sentinel keeps the codegen primitive-typed).
     */
   def charJaccardRaw(a: String, b: String, n: Int): Double = {
-    val sa = new java.util.HashSet[String]()
-    var i = 0
-    while (i + n <= a.length) { sa.add(a.substring(i, i + n)); i += 1 }
-    val sb = new java.util.HashSet[String]()
-    i = 0
-    while (i + n <= b.length) { sb.add(b.substring(i, i + n)); i += 1 }
+    // n-gram windows of n CODE POINTS (not UTF-16 units): the SQL twin
+    // windows DuckDB's per-code-point char list, so astral-plane chars
+    // must occupy one slot here too
+    def grams(s: String): java.util.HashSet[String] = {
+      val set = new java.util.HashSet[String]()
+      val cps = s.codePointCount(0, s.length)
+      if (cps >= n) {
+        val offs = new Array[Int](cps + 1)
+        var i = 0
+        var k = 0
+        while (i < s.length) {
+          offs(k) = i; i += Character.charCount(s.codePointAt(i)); k += 1
+        }
+        offs(cps) = s.length
+        var t = 0
+        while (t + n <= cps) { set.add(s.substring(offs(t), offs(t + n))); t += 1 }
+      }
+      set
+    }
+    val sa = grams(a)
+    val sb = grams(b)
     var inter = 0
     val it = sb.iterator()
     while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
@@ -106,13 +121,15 @@ object NativeString {
     * 2016). Cascading within one rule is impossible (`a+b ≠ a` since `b`
     * is non-empty), so the greedy pair scan and a left fold that
     * re-checks the accumulator tail are the SAME function — the DuckDB
-    * twin uses the fold form over a `;`-joined symbol string.
+    * twin uses the fold form over the same separator-joined symbol
+    * string.
     *
-    * Output encoding: per word, symbols joined by `;`; words joined by
-    * a single space — `"table value"` with full merges →
-    * `"table va;l;ue"`. `;` and space are reserved: a word containing
-    * `;` fails loudly (the synthetic corpus is alphanumeric; a
-    * production tokenizer would escape).
+    * Output encoding: per word, symbols joined by U+001F (the ASCII
+    * unit separator — a control char absent from real document text;
+    * an earlier printable separator collided with ordinary
+    * punctuation); words joined by a single space. U+001F and space
+    * are reserved: a word containing U+001F fails loudly rather than
+    * encode ambiguously.
     */
   def bpeEncodeRaw(s: String, merges: Array[String]): String = {
     val words = s.split(" ", -1)
@@ -122,11 +139,26 @@ object NativeString {
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        require(w.indexOf(';') < 0,
-          s"bpeEncode: ';' is reserved as the symbol separator: '$w'")
-        var syms = new Array[String](w.length)
+        // U+001F (unit separator) — a C0 control char no real document
+        // text carries (a printable separator like ';' collided with
+        // ordinary punctuation, found by the fuzz-corpus gate). Still
+        // loud on collision: silent ambiguity would corrupt token
+        // counts downstream.
+        require(w.indexOf('\u001F') < 0,
+          s"bpeEncode: U+001F is reserved as the symbol separator: '$w'")
+        // initial symbols are CODE POINTS (the SQL twin's
+        // string_split_regex(w, '') yields per-code-point chars; a
+        // code-unit split would halve astral-plane chars into lone
+        // surrogates and double-count them as symbols)
+        var syms = new Array[String](w.codePointCount(0, w.length))
         var i = 0
-        while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+        var si = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          syms(si) = new String(Character.toChars(cp))
+          si += 1
+          i += Character.charCount(cp)
+        }
         var m = 0
         while (m < merges.length) {
           val a = merges(m); val b = merges(m + 1)
@@ -145,7 +177,7 @@ object NativeString {
         first = false
         var k = 0
         while (k < syms.length) {
-          if (k > 0) out.append(';')
+          if (k > 0) out.append('\u001F')
           out.append(syms(k))
           k += 1
         }

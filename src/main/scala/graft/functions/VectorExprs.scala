@@ -15,7 +15,15 @@ import org.apache.spark.sql.types._
 object NativeVector {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
-  /** dot(a,b), ‖a‖², ‖b‖² in one pass; cosine from the three. */
+  /** dot(a,b), ‖a‖², ‖b‖² in one pass; cosine from the three.
+    *
+    * Zero-norm sides (all-zero vectors — real corpora carry them as
+    * failed/padded embeds; found by the fuzz-corpus gate) are DEFINED
+    * as cosine 0.0, not NaN: a direction-free vector is similar to
+    * nothing, so it can never out-rank a genuine neighbor, and NaN —
+    * which poisons every comparison and diverges across engines — never
+    * enters a top-k heap. The HOF and SQL twins carry the same CASE.
+    */
   def cosineData(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var dot = 0.0
@@ -30,7 +38,8 @@ object NativeVector {
       bb += y * y
       i += 1
     }
-    dot / (math.sqrt(aa) * math.sqrt(bb))
+    val den = math.sqrt(aa) * math.sqrt(bb)
+    if (den == 0.0) 0.0 else dot / den
   }
 
   def dotData(a: ArrayData, b: ArrayData): Double = {

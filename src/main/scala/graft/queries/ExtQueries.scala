@@ -36,7 +36,9 @@ object ExtQueries {
     s"""SELECT doc_id, $nTok AS n_tokens, $nSub AS n_subwords,
        |  $nStop AS n_stopwords, $nPunct AS n_punct,
        |  (CAST($nStop AS DOUBLE) / CAST($nTok AS DOUBLE)) * 2.0
-       |    + (1.0 - CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE))
+       |    + (1.0 - CASE WHEN length(text) > 0
+       |        THEN CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE)
+       |        ELSE 0.0 END)
        |    + least(CAST($nTok AS DOUBLE) / 100.0, 1.0) AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
@@ -328,7 +330,9 @@ object ExtQueries {
     val nPunct = s"length(text) - length(regexp_replace(text, '${Text.punctClass}', '', 'g'))"
     val quality =
       s"(CAST($nStop AS DOUBLE) / CAST($nTok AS DOUBLE)) * 2.0" +
-        s" + (1.0 - CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE))" +
+        s" + (1.0 - CASE WHEN length(text) > 0 THEN" +
+        s" CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE)" +
+        s" ELSE 0.0 END)" +
         s" + least(CAST($nTok AS DOUBLE) / 100.0, 1.0)"
     val norm = "array_to_string(list_sort(list_filter(" +
       s"string_split_regex(regexp_replace(lower(text), '${Text.punctClass}', '', 'g'), ' +'), " +

@@ -721,7 +721,7 @@ object PrepQueries {
     val nWords = when(length(enc) === 0, lit(0L))
       .otherwise(NativeString.countSubstr(enc, " ") + lit(1L))
     val nBpe = when(length(enc) === 0, lit(0L))
-      .otherwise(NativeString.countSubstr(enc, ";") +
+      .otherwise(NativeString.countSubstr(enc, "\u001F") +
         NativeString.countSubstr(enc, " ") + lit(1L))
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -737,10 +737,10 @@ object PrepQueries {
 
   private val q121Sql = {
     val enc = graft.ext.Text.bpeEncodeSql("text", q121Merges)
-    def cnt(sub: String) = s"(len(e) - len(replace(e, '$sub', '')))"
-    val nWords = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt(" ")} + 1 END"
-    val nBpe = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt(";")} + " +
-      s"${cnt(" ")} + 1 END"
+    def cnt(subE: String) = s"(len(e) - len(replace(e, $subE, '')))"
+    val nWords = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt("' '")} + 1 END"
+    val nBpe = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt("chr(31)")} + " +
+      s"${cnt("' '")} + 1 END"
     s"""WITH __enc AS MATERIALIZED (
        |  SELECT doc_id, $enc AS e FROM documents)
        |SELECT doc_id,
@@ -891,7 +891,7 @@ object PrepQueries {
     import graft.functions.NativeString
     val enc = graft.ext.Text.bpeEncode(col("text"), q121Merges)
     val nBpe = when(length(col("__enc")) === 0, lit(0L))
-      .otherwise(NativeString.countSubstr(col("__enc"), ";") +
+      .otherwise(NativeString.countSubstr(col("__enc"), "\u001F") +
         NativeString.countSubstr(col("__enc"), " ") + lit(1L))
     val counted = t(s, dir, "documents")
       .select(col("doc_id"), enc.as("__enc"))
@@ -905,9 +905,9 @@ object PrepQueries {
 
   private val q130Sql = {
     val encE = graft.ext.Text.bpeEncodeSql("text", q121Merges)
-    def cnt(sub: String) = s"(len(e) - len(replace(e, '$sub', '')))"
-    val nBpe = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt(";")} + " +
-      s"${cnt(" ")} + 1 END"
+    def cnt(subE: String) = s"(len(e) - len(replace(e, $subE, '')))"
+    val nBpe = s"CASE WHEN len(e) = 0 THEN 0 ELSE ${cnt("chr(31)")} + " +
+      s"${cnt("' '")} + 1 END"
     val (_, shard) = Sampling.shardAssignSql("doc_id", 4)
     val inner =
       s"""SELECT $shard AS shard, doc_id AS id,
@@ -961,7 +961,9 @@ object PrepQueries {
       s"'${Text.punctClass}', '', 'g'))"
     val quality =
       s"""(CAST($nStop AS DOUBLE) / CAST($nTok AS DOUBLE)) * 2.0
-         |    + (1.0 - CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE))
+         |    + (1.0 - CASE WHEN length(text) > 0
+         |        THEN CAST($nPunct AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |        ELSE 0.0 END)
          |    + least(CAST($nTok AS DOUBLE) / 100.0, 1.0)""".stripMargin
     graft.ext.Learn.perceptronSql("documents",
       Seq("1", nTok, nStop, nPunct), s"($quality) >= 1.8", epochs = 6)

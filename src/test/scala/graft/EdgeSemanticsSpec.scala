@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Defined semantics for the degenerate inputs real 100 TB corpora carry
+  * (found by the fuzz-corpus oracle gate, tools/gen_fuzz.py): empty
+  * documents, zero/huge embeddings, astral-plane (non-BMP) text,
+  * punctuation that collides with internal encodings. Each case here is
+  * the unit-level pin of a cross-engine divergence or crash that gate
+  * surfaced — the full-corpus proof is `Verify` + `check_oracle.py` over
+  * a generated fuzz dir; these keep the semantics from regressing in
+  * plain `sbt test`.
+  */
+class EdgeSemanticsSpec extends SparkSuite {
+  import graft.ext.{Similarity, Text}
+  import graft.functions.{NativeHash, NativeString}
+
+  test("qualityScore of an empty text is defined (no divide-by-zero)") {
+    import spark.implicits._
+    val got = Seq(("", 1L), ("the fast table", 2L)).toDF("text", "doc_id")
+      .select(Text.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    // empty: nStop/nTok = 0/1, punct fraction DEFINED 0 → 0*2 + 1 + 0.01
+    assert(got(0) == 1.01)
+    assert(!got.exists(_.isNaN))
+  }
+
+  test("cosine with a zero-norm side is 0.0 on all three paths") {
+    import spark.implicits._
+    val df = Seq((Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+        (Array(0f, 0f, 0f), Array(0f, 0f, 0f)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val native = df.select(Similarity.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    val hof = df.select(Similarity.cosineHof(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(native.toSeq == Seq(0.0, 0.0))
+    assert(hof.toSeq == Seq(0.0, 0.0))
+    // and a zero vector can never out-rank a genuine neighbor
+    val real = df.limit(1).select(
+      Similarity.cosine(col("b"), col("b"))).head.getDouble(0)
+    assert(real == 1.0 && real > native(0))
+  }
+
+  test("portable hash folds code points: astral chars hash as ONE value " +
+      "and native == HOF twin") {
+    import spark.implicits._
+    val texts = Seq("🚀 data 🚀", "déjà vu",
+      "你好 世界", "plain ascii")
+    val df = texts.toDF("text")
+    val native = df.select(NativeHash.polyHash(col("text")))
+      .collect().map(_.getLong(0))
+    val hof = df.select(graft.functions.PortableHash.polyHash(col("text")))
+      .collect().map(_.getLong(0))
+    assert(native.toSeq == hof.toSeq)
+    // first fold step of "🚀..." is the code point 128640, not a
+    // surrogate half (55357)
+    val first = df.limit(1).select(NativeHash.polyHash(lit("🚀")))
+      .head.getLong(0)
+    assert(first == 128640L % graft.functions.PortableHash.P)
+  }
+
+  test("char shingles and char jaccard window code points") {
+    import spark.implicits._
+    // "🚀ab" = 3 code points → two 2-grams; a code-unit window would
+    // see 4 units → three 2-grams (one splitting the surrogate pair)
+    val df = Seq("🚀ab").toDF("text")
+    val n = df.select(size(NativeHash.charShingleHashes(col("text"), 2)))
+      .head.getInt(0)
+    assert(n == 2)
+    // jaccard of the emoji text with itself is exactly 1 (self-identical
+    // sets) and with a BMP-only text is computable, never NaN
+    val j = df.select(NativeString.charJaccard(col("text"), col("text"), 2))
+      .head.getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("bpeEncode is total over punctuation (';' is data, not syntax) " +
+      "and symbolizes astral chars as one symbol") {
+    import spark.implicits._
+    val df = Seq("a;b c", "🚀x").toDF("text")
+    val got = df.select(Text.bpeEncode(col("text"), Seq("a" -> "b")))
+      .collect().map(_.getString(0))
+    // ';' rides through as an ordinary char symbol
+    assert(got(0) == "a;b c")
+    // the emoji is ONE symbol, so "🚀x" has two symbols, not three
+    assert(got(1) == "🚀x")
+  }
+
+  test("groupDiversity survives huge-magnitude elements (decimal " +
+      "squares, no long overflow)") {
+    import spark.implicits._
+    val df = Seq((0, Array(1e6f, 0f)), (0, Array(1e6f, 2f)))
+      .toDF("label", "embedding")
+    val r = Similarity.groupDiversity(df).collect()
+    assert(r.length == 1)
+    val div = r(0).getAs[Double]("diversity")
+    // variance of {0, 2} in dim 2 only: E[x²]−E[x]² = 2−1 = 1
+    assert(math.abs(div - 1.0) < 1e-6, s"diversity was $div")
+  }
+}

@@ -117,7 +117,7 @@ class ExtensionsSpec extends SparkSuite {
           |  AS enc,
           |  graft_count_substr('a;b;c d', ';') AS semis""".stripMargin)
         .collect()(0)
-      assert(bpe.getString(0) == "table d;a;ta")
+      assert(bpe.getString(0) == "table d\u001Fa\u001Fta")
       assert(bpe.getLong(1) == 2L)
       val viaApiBpe = ext.range(1).select(
         graft.ext.Text.bpeEncode(lit("table data"),

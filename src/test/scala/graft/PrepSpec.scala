@@ -801,12 +801,13 @@ class PrepSpec extends SparkSuite {
     val got = df.select(Text.bpeEncode(col("text"), merges)).head.getString(0)
     // table: full chain; tattle: ta + t + t + le; stable: s + table;
     // data: d + a + ta (greedy finds (t,a) at position 3 only)
-    assert(got == "table ta;t;t;le s;table d;a;ta")
+    assert(got ==
+      "table ta\u001Ft\u001Ft\u001Fle s\u001Ftable d\u001Fa\u001Fta")
     // runs pair greedily left-to-right: aaaa -> (aa)(aa), aaa -> (aa)a
     val run = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
       .select(Text.bpeEncode(col("text"), Seq("a" -> "a")))
       .head.getString(0)
-    assert(run == "aa;aa aa;a")
+    assert(run == "aa\u001Faa aa\u001Fa")
     // merged symbols do NOT re-merge under a later rule's first side
     // unless the rule names the merged symbol exactly
     val noCascade = Seq((1L, "ab")).toDF("doc_id", "text")
@@ -816,13 +817,13 @@ class PrepSpec extends SparkSuite {
   }
 
   test("bpeEncode: multi-space runs collapse (empty words dropped); " +
-      "empty doc encodes to ''; ';' in a word fails loudly") {
+      "empty doc encodes to ''; the U+001F separator in a word fails loudly") {
     val df = Seq((1L, "a  b"), (2L, "")).toDF("doc_id", "text")
     val got = df.orderBy("doc_id")
       .select(Text.bpeEncode(col("text"), Seq("a" -> "b")))
       .collect().map(_.getString(0))
     assert(got.toSeq == Seq("a b", "")) // not merged: different words
-    val bad = Seq((1L, "a;b")).toDF("doc_id", "text")
+    val bad = Seq((1L, "a\u001Fb")).toDF("doc_id", "text")
     val e = intercept[Exception] {
       bad.select(Text.bpeEncode(col("text"), Seq("a" -> "b"))).collect()
     }

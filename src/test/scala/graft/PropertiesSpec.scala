@@ -195,7 +195,7 @@ class PropertiesSpec extends SparkSuite {
           }
           syms = out.toList
         }
-        syms.mkString(";")
+        syms.mkString("\u001F")
       }.mkString(" ")
     val sym = Gen.oneOf("a", "b", "c", "aa", "ab", "ba", "cb")
     val word = Gen.choose(0, 8).flatMap(n =>
@@ -211,11 +211,11 @@ class PropertiesSpec extends SparkSuite {
         val flat = m.flatMap(p => Seq(p._1, p._2)).toArray
         val got = graft.functions.NativeString.bpeEncodeRaw(t, flat)
         val expected = ref(t, m)
-        val reassembled = got.split(" ", -1).map(_.replace(";", ""))
+        val reassembled = got.split(" ", -1).map(_.replace("\u001F", ""))
           .filter(_.nonEmpty).mkString(" ")
         val original = t.split(" ", -1).filter(_.nonEmpty).mkString(" ")
         val nSyms = got.split(" ", -1).filter(_.nonEmpty)
-          .map(_.split(";", -1).length).sum
+          .map(_.split("\u001F", -1).length).sum
         val nChars = original.replace(" ", "").length
         got == expected && reassembled == original &&
           (original.isEmpty || nSyms <= nChars)
@@ -243,7 +243,7 @@ class PropertiesSpec extends SparkSuite {
           .empty[(String, String), Long]
         vocab.foreach { case (w, c) =>
           val syms = graft.functions.NativeString.bpeEncodeRaw(w, flat)
-            .split(";", -1)
+            .split("\u001F", -1)
           syms.sliding(2).foreach {
             case Array(x, y) =>
               counts((x, y)) = counts.getOrElse((x, y), 0L) + c
