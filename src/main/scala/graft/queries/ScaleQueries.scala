@@ -307,7 +307,8 @@ object ScaleQueries {
 
   private val q39Sql =
     """WITH e AS MATERIALIZED (
-      |  SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
+      |  SELECT user_id, ts,
+      |    CAST(coalesce(round(value*100), 0) AS BIGINT) AS cents
       |  FROM events),
       |flags AS MATERIALIZED (
       |  SELECT user_id, ts, cents,

@@ -67,16 +67,23 @@ object Streams {
 
   // ----------------------------------------------------- custom state
 
-  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  /** `value` is Option: a NULL measurement is real stream data (the
+    * fuzz-corpus gate fed one and the non-nullable encoder killed the
+    * whole query — at 100 TB a single bad row must not stop a stream).
+    * Missing values are DEFINED as 0 cents; the SQL twins carry
+    * `coalesce(round(value*100), 0)`.
+    */
+  case class Ev(user_id: Long, ts: Timestamp, value: Option[Double])
   case class SessionState(idx: Long, n: Long, cents: Long, lastMs: Long)
   case class Session(user_id: Long, session_id: Long, n_events: Long,
       total_cents: Long)
 
   /** Per-event value in integer cents (`round` half-away-from-zero for
     * positives — the same rounding Spark/DuckDB `round(x*100)` applies,
-    * so session totals are exactly oracle-comparable).
+    * so session totals are exactly oracle-comparable). None → 0.
     */
-  private def cents(v: Double): Long = Math.round(v * 100)
+  private def cents(v: Option[Double]): Long =
+    v.map(x => Math.round(x * 100)).getOrElse(0L)
 
   /** Full microsecond epoch offset — `getTime` alone is ms-truncated,
     * and a gap comparison at ms precision can disagree with the
@@ -97,7 +104,8 @@ object Streams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
+          val sorted = evs.toSeq.sortBy(e =>
+            (micros(e.ts), cents(e.value)))
           var st = state.getOption
             .getOrElse(SessionState(0L, 0L, 0L, Long.MinValue))
           val out = Seq.newBuilder[Session]
@@ -378,7 +386,8 @@ object Streams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], _: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
+          val sorted = evs.toSeq.sortBy(e =>
+            (micros(e.ts), cents(e.value)))
           val out = Seq.newBuilder[Session]
           var st = SessionState(0L, 0L, 0L, Long.MinValue)
           sorted.foreach { e =>

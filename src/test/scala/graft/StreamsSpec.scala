@@ -283,10 +283,10 @@ class StreamsSpec extends SparkSuite {
 
   test("sessionize: gap-based sessions with custom state") {
     val evs = Seq(
-      Streams.Ev(1L, ts("2024-01-01 00:00:00"), 1.0),
-      Streams.Ev(1L, ts("2024-01-01 00:05:00"), 2.0),
-      Streams.Ev(1L, ts("2024-01-01 02:00:00"), 3.0), // > 1h gap → new session
-      Streams.Ev(2L, ts("2024-01-01 00:00:00"), 4.0)
+      Streams.Ev(1L, ts("2024-01-01 00:00:00"), Some(1.0)),
+      Streams.Ev(1L, ts("2024-01-01 00:05:00"), Some(2.0)),
+      Streams.Ev(1L, ts("2024-01-01 02:00:00"), Some(3.0)), // > 1h gap → new session
+      Streams.Ev(2L, ts("2024-01-01 00:00:00"), Some(4.0))
     ).toDS()
     val sessions = Streams.sessionizeBatch(evs, gapMs = 3600 * 1000L)
       .collect()

@@ -96,6 +96,12 @@ def fuzz_documents():
         "a+b*c?d|e\\f^g$h (regex) [soup] {here}",
         " ".join(rng.choices(VOCAB, k=500)),   # long doc
         ("dup " * 50).strip(),                 # one token repeated
+        "tab\tseparated\ttokens",              # \t is NOT a token break
+        "line\nbreaks\nin\ntext",              # \n is NOT a token break
+        "carriage\r\nreturns",
+        "x" * 1000,                            # one 1000-char token
+        "the a of to the a of to",             # all stopwords
+        "👩‍👩‍👧 family emoji zwj cluster",        # ZWJ grapheme cluster
         "solo",                                # the 1-doc stratum below
     ]
     rows = []
@@ -177,6 +183,17 @@ def fuzz_events():
     # negative and zero values
     ev(t0 + dt.timedelta(hours=3), u + 20, "error", -1.0, 0)
     ev(t0 + dt.timedelta(hours=3, seconds=1), u + 20, "error", 0.0, 0)
+    # NULL payloads (keys stay non-null — that's the load contract):
+    # a null measurement and a null props blob, the two fields a real
+    # event stream actually loses
+    rows.append({"event_id": eid[0], "ts": t0 + dt.timedelta(hours=4),
+                 "user_id": u + 21, "event_type": "view",
+                 "value": None, "props": '{"k": 1}'})
+    eid[0] += 1
+    rows.append({"event_id": eid[0], "ts": t0 + dt.timedelta(hours=4,
+                 seconds=1), "user_id": u + 21, "event_type": "view",
+                 "value": 2.5, "props": None})
+    eid[0] += 1
     append("events", base, rows, base.schema)
 
 
