@@ -134,9 +134,19 @@ object ScaleOps {
     require(slices > 0, s"slices must be positive: $slices")
     require(hi > lo, s"need hi > lo: [$lo, $hi)")
     val s = score.cast("double")
-    val slice = least(greatest(
+    // Non-finite scores route explicitly: both engines sort NaN above
+    // everything and +Inf above all finite values, so they belong in
+    // the TOP slice (and −Inf in the bottom) — the arithmetic path
+    // would put floor(NaN/±Inf) through an ANSI long cast and crash
+    // (or, pre-clamp, scatter them into a wrong slice and trip the
+    // disjointness guard — how the fuzz-corpus gate found this).
+    val slice = when(isnan(s) || s === lit(Double.PositiveInfinity),
+        lit(slices - 1))
+      .when(s === lit(Double.NegativeInfinity), lit(0))
+      .otherwise(least(greatest(
         floor((s - lit(lo)) * lit(slices.toDouble) / lit(hi - lo)),
-        lit(0L)), lit(slices.toLong - 1)).cast("int")
+        lit(0L)), lit(slices.toLong - 1)))
+      .cast("int")
     val base = df.select(key.as("__key"), col(idCol), s.as("__score"),
       slice.as("__slice"))
     // per-(key, slice) counts + score ranges; the offset window runs
@@ -272,7 +282,10 @@ object ScaleOps {
     // there is no dtype to dispatch on). Callers must not pass integer
     // columns: cast would silently read them as SECONDS.
     val tUs = unix_micros(tsCol.cast("timestamp"))
-    val cents = round(value * 100).cast("long")
+    // centsSafe: a NaN/Inf/NULL reading is DEFINED as missing (sum
+    // skips it, count still counts the event) — the plain cast was an
+    // ANSI CAST_OVERFLOW on the first non-finite measurement
+    val cents = graft.queries.Q.centsSafe(value)
     val w = Window.partitionBy("__k").orderBy(col("__t_us"))
       .rangeBetween(-windowSec * 1000000L, 0L)
     df.select(key.as("__k"), tUs.as("__t_us"), cents.as("__cents"))
@@ -287,8 +300,8 @@ object ScaleOps {
   def rollingTimeAggSql(table: String, keyE: String, tsE: String,
       valueE: String, windowSec: Long): String =
     s"""SELECT $keyE AS key, epoch_us($tsE) AS t_us,
-       |  CAST(sum(CAST(round(($valueE)*100) AS BIGINT)) OVER w AS BIGINT)
-       |    AS window_cents,
+       |  CAST(sum(${graft.queries.Q.centsSafeSql(valueE)}) OVER w
+       |    AS BIGINT) AS window_cents,
        |  CAST(count(*) OVER w AS BIGINT) AS window_events
        |FROM $table
        |WINDOW w AS (PARTITION BY $keyE ORDER BY epoch_us($tsE)

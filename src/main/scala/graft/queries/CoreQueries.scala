@@ -92,6 +92,28 @@ object Q {
   def centsSumSql(rowExpr: String): String =
     s"sum(CAST(round(($rowExpr)*100) AS BIGINT))/100.0"
 
+  /** Integer-cents conversion of a MEASUREMENT column, total over dirty
+    * streams: NULL and non-finite readings (NaN/±Inf — the fuzz-corpus
+    * gate fed all three; the plain `round(x*100).cast(long)` is an ANSI
+    * CAST_OVERFLOW on NaN, killing six queries and a running stream) are
+    * DEFINED as missing → NULL, so sums/mins/maxes skip them while
+    * row counts still count the event. Wrap in `coalesce(_, 0)` where a
+    * concrete per-row number is required (session totals).
+    *
+    * Money columns (prices) keep the strict [[centsSum]] form — a
+    * non-finite price is corrupt input that SHOULD fail loudly; a
+    * non-finite measurement is Tuesday.
+    */
+  def centsSafe(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(!isnan(c) && abs(c) =!= lit(Double.PositiveInfinity),
+      round(c * 100).cast("long"))
+
+  /** DuckDB twin of [[centsSafe]] (`isfinite(NULL)` is NULL → CASE
+    * yields NULL, same as the missing branch).
+    */
+  def centsSafeSql(e: String): String =
+    s"CASE WHEN isfinite($e) THEN CAST(round(($e)*100) AS BIGINT) END"
+
   /** Copy a parquet table's data files FLAT into `dstDir`, whether the
     * table shipped as one file (the driver testdata layout) or as a
     * Spark-written directory of part files (the stress-probe synthesis
@@ -542,16 +564,16 @@ object CoreQueries {
   private def q18(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(Q.centsSafe(col("value")))
         .as("value_cents"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
       .orderBy("window_start", "event_type")
 
   private val q18Sql =
-    """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+    s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
       |  event_type, count(*) AS n,
-      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |  CAST(sum(${Q.centsSafeSql("value")}) AS BIGINT) AS value_cents
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 

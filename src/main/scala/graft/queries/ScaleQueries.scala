@@ -255,7 +255,7 @@ object ScaleQueries {
       val agg = stream
         .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          sum(Q.centsSafe(col("value"))).as("value_cents"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("value_cents"))
       // a handful of state partitions is plenty for this stream; each
@@ -284,9 +284,9 @@ object ScaleQueries {
   }
 
   private val q37Sql =
-    """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+    s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
       |  event_type, count(*) AS n,
-      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |  CAST(sum(${Q.centsSafeSql("value")}) AS BIGINT) AS value_cents
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
@@ -306,9 +306,9 @@ object ScaleQueries {
   }
 
   private val q39Sql =
-    """WITH e AS MATERIALIZED (
+    s"""WITH e AS MATERIALIZED (
       |  SELECT user_id, ts,
-      |    CAST(coalesce(round(value*100), 0) AS BIGINT) AS cents
+      |    coalesce(${Q.centsSafeSql("value")}, 0) AS cents
       |  FROM events),
       |flags AS MATERIALIZED (
       |  SELECT user_id, ts, cents,
@@ -942,13 +942,13 @@ object ScaleQueries {
   // must reproduce them exactly.
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val parts = graft.ops.IncrementalAgg.partials(t(s, dir, "events"),
-      to_date(col("ts")), col("event_type"), round(col("value") * 100))
+      to_date(col("ts")), col("event_type"), Q.centsSafe(col("value")))
     graft.ops.IncrementalAgg.mergeTotals(parts).orderBy("key")
   }
 
   private val q102Sql =
     graft.ops.IncrementalAgg.totalsSql("events", "event_type",
-      "round(value*100)") + "\nORDER BY key"
+      s"(${Q.centsSafeSql("value")})") + "\nORDER BY key"
 
   // --------------------------------------------------------------- q103
   // Exact equi-depth binning per event type (8 bins over value) via the

@@ -60,8 +60,10 @@ object Streams {
       watermark: String, keyCol: String): DataFrame =
     df.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      // centsSafe: one NaN reading must not kill a running stream
+      // (ANSI cast overflow) — non-finite is DEFINED as missing
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.queries.Q.centsSafe(col("value"))).as("value_cents"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("value_cents"))
 
@@ -80,10 +82,13 @@ object Streams {
 
   /** Per-event value in integer cents (`round` half-away-from-zero for
     * positives — the same rounding Spark/DuckDB `round(x*100)` applies,
-    * so session totals are exactly oracle-comparable). None → 0.
+    * so session totals are exactly oracle-comparable). Missing OR
+    * non-finite (NaN/±Inf) → 0, the same rule as `Q.centsSafe` +
+    * `coalesce(_, 0)` in the SQL twin.
     */
   private def cents(v: Option[Double]): Long =
-    v.map(x => Math.round(x * 100)).getOrElse(0L)
+    v.filter(x => !x.isNaN && !x.isInfinite)
+      .map(x => Math.round(x * 100)).getOrElse(0L)
 
   /** Full microsecond epoch offset — `getTime` alone is ms-truncated,
     * and a gap comparison at ms precision can disagree with the

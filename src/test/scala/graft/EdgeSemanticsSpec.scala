@@ -89,6 +89,36 @@ class EdgeSemanticsSpec extends SparkSuite {
     assert(got(1) == "🚀x")
   }
 
+  test("centsSafe: NULL/NaN/±Inf measurements are missing, not crashes") {
+    import spark.implicits._
+    val df = Seq(Some(1.25), None, Some(Double.NaN),
+        Some(Double.PositiveInfinity), Some(Double.NegativeInfinity))
+      .toDF("value")
+    val got = df.select(queries.Q.centsSafe(col("value")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(125L), None, None, None, None))
+    // an aggregate over the dirty column: sum skips missing, count(*)
+    // still counts every event — one bad reading cannot kill a stream
+    val agg = df.agg(sum(queries.Q.centsSafe(col("value"))).as("s"),
+      count(lit(1)).as("n")).head
+    assert(agg.getLong(0) == 125L && agg.getLong(1) == 5L)
+  }
+
+  test("rankSliced: non-finite scores rank where both engines sort them " +
+      "(NaN/+Inf top, -Inf bottom), no crash, no guard trip") {
+    import spark.implicits._
+    val df = Seq((1L, "k", 5.0), (2L, "k", Double.NaN),
+      (3L, "k", Double.PositiveInfinity),
+      (4L, "k", Double.NegativeInfinity), (5L, "k", 7.0))
+      .toDF("id", "t", "v")
+    val got = graft.ops.ScaleOps.rankSliced(df, col("t"), "id", col("v"),
+        slices = 4, lo = 0.0, hi = 10.0)
+      .orderBy("rank").collect().map(r => r.getAs[Long]("id"))
+    // NaN first (both engines sort NaN greatest), then +Inf, then the
+    // finite values descending, then -Inf
+    assert(got.toSeq == Seq(2L, 3L, 5L, 1L, 4L))
+  }
+
   test("groupDiversity survives huge-magnitude elements (decimal " +
       "squares, no long overflow)") {
     import spark.implicits._

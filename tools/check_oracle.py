@@ -28,7 +28,13 @@ def canon(rows, cols):
 
 def norm(v):
     if isinstance(v, float):
-        return v  # exact compare; struct_pack floats stay floats
+        # exact (bit-level) compare — except NaN, where IEEE `!=` would
+        # make identical outputs miscompare; map to a sentinel so
+        # NaN == NaN (both engines emitting NaN in the same cell is
+        # agreement, e.g. a NaN measurement passed through unchanged)
+        if math.isnan(v):
+            return "__NaN__"
+        return v
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v

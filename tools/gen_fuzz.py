@@ -194,6 +194,12 @@ def fuzz_events():
                  seconds=1), "user_id": u + 21, "event_type": "view",
                  "value": 2.5, "props": None})
     eid[0] += 1
+    # non-finite measurements: a real metrics stream emits NaN and Inf
+    ev(t0 + dt.timedelta(hours=5), u + 22, "error", float("nan"), 0)
+    ev(t0 + dt.timedelta(hours=5, seconds=1), u + 22, "error",
+       float("inf"), 0)
+    ev(t0 + dt.timedelta(hours=5, seconds=2), u + 22, "error",
+       float("-inf"), 0)
     append("events", base, rows, base.schema)
 
 
@@ -202,6 +208,12 @@ def fuzz_orders_lineitem():
     lineitem = read("lineitem")
     orows, lrows = [], []
     d0 = dt.datetime(1998, 6, 1)
+    # one orphan order (custkey with no customer row — real warehouses
+    # carry referential breaks; inner joins must drop it identically in
+    # both engines, left joins must keep it)
+    orows.append({"o_orderkey": ID0 + 99, "o_custkey": ID0 + 99,
+                  "o_orderstatus": "O", "o_totalprice": 1.0,
+                  "o_orderdate": d0, "o_orderpriority": "1-X"})
     # one customer with 30 orders (skew); reuses an EXISTING custkey so
     # customer-side joins stay referentially intact
     skew_cust = 7
