@@ -114,7 +114,7 @@ object Freq {
       .agg(percentile_approx(col(valueCol), pArr, lit(accuracy)).as("__qs"))
       .select(posexplode(col("__qs")).as(Seq("__i", "est")))
       .select(element_at(pArr, col("__i") + 1).as("p"), col("est"))
-    vals.crossJoin(broadcast(est))
+    val audited = vals.crossJoin(broadcast(est))
       .groupBy("p", "est")
       .agg(
         sum(when(col(valueCol) <= col("est"), 1L).otherwise(0L)).as("__le"),
@@ -129,6 +129,18 @@ object Freq {
           (col("p") + eps) * col("n_rows").cast("double") + 1.0)
           .as("rank_hi_ok"),
         (col("__eq") > 0L).as("in_range"))
+    // TOTAL over an empty input (the empty-partition run — fuzz gate):
+    // `percentile_approx` of nothing is NULL, so `audited` is empty —
+    // but the audit's contract is one row PER PROBE. The probe list is
+    // a plan constant; left-join the audit onto it and read missing
+    // audits as the vacuous truth (0 rows, every guarantee holds).
+    val probeRows = df.sparkSession.range(1).select(explode(pArr).as("p"))
+    probeRows.join(audited, Seq("p"), "left")
+      .select(col("p"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("rank_lo_ok"), lit(true)).as("rank_lo_ok"),
+        coalesce(col("rank_hi_ok"), lit(true)).as("rank_hi_ok"),
+        coalesce(col("in_range"), lit(true)).as("in_range"))
       .orderBy("p")
   }
 

@@ -61,10 +61,15 @@ object Learn {
       val margin = col("y") *
         (0 until k).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
       val missed = margin <= 0
+      // coalesce: an EMPTY corpus (empty-partition run — fuzz gate)
+      // sums to NULL, which must read as a zero gradient / zero
+      // misses, not a null-destructure crash; the SQL twin coalesces
+      // identically
       val aggs = (0 until k).map(i =>
-        sum(when(missed, col("y") * col(s"x$i")).otherwise(lit(0L)))
-          .as(s"g$i")) :+
-        sum(when(missed, lit(1L)).otherwise(lit(0L))).as("miss")
+        coalesce(sum(when(missed, col("y") * col(s"x$i"))
+          .otherwise(lit(0L))), lit(0L)).as(s"g$i")) :+
+        coalesce(sum(when(missed, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("miss")
       val r = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
       w = Array.tabulate(k)(i => w(i) + r.getLong(i))
       out += (e.toLong +: w.toVector :+ r.getLong(k)).toArray
@@ -106,11 +111,11 @@ object Learn {
       val dot = idx.map(i => s"w.w$i * x$i").mkString(" + ")
       sb ++= s""",
        |__g$e AS MATERIALIZED (SELECT
-       |  ${idx.map(i => s"CAST(sum(CASE WHEN y * ($dot) <= 0 " +
-            s"THEN y * x$i ELSE 0 END) AS BIGINT) AS g$i")
+       |  ${idx.map(i => s"CAST(coalesce(sum(CASE WHEN y * ($dot) <= 0 " +
+            s"THEN y * x$i ELSE 0 END), 0) AS BIGINT) AS g$i")
             .mkString(",\n  ")},
-       |  CAST(sum(CASE WHEN y * ($dot) <= 0 THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS miss
+       |  CAST(coalesce(sum(CASE WHEN y * ($dot) <= 0 THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS miss
        |  FROM __f, __w${e - 1} w),
        |__w$e AS (SELECT ${idx.map(i =>
             s"w.w$i + g.g$i AS w$i").mkString(", ")}

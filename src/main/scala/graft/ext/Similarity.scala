@@ -377,6 +377,17 @@ object Similarity {
         // even at a fixed seed
         .repartition(nPartitions, col("cand_id"))
         .withColumn("features", array_to_vector(col("cand_emb")))
+      // empty corpus (an empty partition/date-slice run — the fuzz
+      // gate's empty-corpus sweep): k-means cannot fit on nothing
+      // (Summarizer requires ≥1 row), and the DEFINED result is an
+      // empty index whose every search returns no rows
+      if (c.isEmpty) {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        return new IvfIndex(
+          c.drop("features").withColumn("cluster", lit(0).cast("int")),
+          Seq.empty[(Int, Seq[Double])].toDF("cluster", "centroid"))
+      }
       val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
         .fit(c) // 5 iterations: cell quality plateaus early; recall asserted in tests
       val assigned = model.transform(c)

@@ -48,8 +48,13 @@ object DataLake {
     */
   def readMerged(spark: SparkSession, path: String): Option[DataFrame] =
     try {
-      val df = spark.read.option("mergeSchema", "true").parquet(path)
-      if (df.isEmpty) None else Some(df)
+      // Some even when the lake holds zero ROWS: the merged schema is
+      // still derivable from the footers, and an empty-but-present lake
+      // is a lake (an all-empty-partition run must flow through, not
+      // None.get — fuzz gate's empty-corpus sweep). Unlike [[read]],
+      // whose None-on-empty drives the first-write branch of the
+      // dedup-probe contract, None here means only "nothing readable".
+      Some(spark.read.option("mergeSchema", "true").parquet(path))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => None
     }

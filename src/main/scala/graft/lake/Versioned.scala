@@ -113,6 +113,14 @@ object Versioned {
         val rel = s"data/${dataDir.getName}/${f.getPath.getName}"
         (stats.get(f.getPath.getName), statCol) match {
           case (Some((mn, mx)), Some(c)) => s"$rel\t$c\t$mn\t$mx"
+          // a stats-tracked file with NO min/max has no matchable rows
+          // (zero rows, or all-null stat column — which a BETWEEN can
+          // never select): record the inverted sentinel range so every
+          // pruned read skips it. Without this an empty commit (an
+          // empty-partition pipeline run — fuzz gate) planned as an
+          // unprunable file and broke the skipping guarantee.
+          case (None, Some(c)) =>
+            s"$rel\t$c\t${Long.MaxValue}\t${Long.MinValue}"
           case _ => rel
         }
       }

@@ -68,6 +68,11 @@ object BloomJoin {
     */
   def antiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // empty seen set: everything is new — and the guard is also load-
+    // bearing, because `stat.bloomFilter` over zero rows returns a
+    // filter whose serialization NPEs (found by the fuzz gate's
+    // empty-corpus sweep). The isEmpty probe is a limit-1 scan.
+    if (keys.isEmpty) return big
     val probe = mightContain(buildFilter(keys, keyCol, expectedItems, fpp),
       col(keyCol))
     val definitelyNew = big.filter(!probe)

@@ -499,10 +499,34 @@ object CoreQueries {
 
   // ---------------------------------------------------------------- q15
   // §2.9 grouping sets: ROLLUP subtotals (Catalyst Expand).
+  /** SQL-standard grouping-sets totality: `GROUP BY ROLLUP/CUBE` always
+    * contains the grand-total `()` group — even over ZERO input rows
+    * (count 0, sums NULL), which is what DuckDB/PostgreSQL emit. Spark's
+    * Expand-based rollup/cube emits nothing at all on empty input
+    * (found by the fuzz gate's empty-corpus sweep). Reconstruct the
+    * `()` row from the grouped result's finest level (no second corpus
+    * scan) and append it only when absent — non-empty inputs already
+    * carry it, and the group keys are non-null by data contract, so the
+    * all-NULL-keys marker is unambiguous.
+    */
+  private def withGrandTotal(base: DataFrame): DataFrame = {
+    val finest = base.filter(col("l_returnflag").isNotNull &&
+      col("l_linestatus").isNotNull)
+    val global = finest
+      .agg(sum("sum_qty").as("sum_qty"),
+        coalesce(sum("n"), lit(0L)).as("n"))
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"),
+        col("sum_qty"), col("n"))
+    val existing = base.filter(col("l_returnflag").isNull &&
+      col("l_linestatus").isNull)
+    base.unionByName(global.join(existing, lit(true), "left_anti"))
+  }
+
   private def q15(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .rollup("l_returnflag", "l_linestatus")
-      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    withGrandTotal(t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n")))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
@@ -621,9 +645,9 @@ object CoreQueries {
   // §2.9 grouping sets: CUBE (all 4 grouping combinations in one pass
   // via Catalyst Expand).
   private def q19b(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .cube("l_returnflag", "l_linestatus")
-      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    withGrandTotal(t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n")))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 

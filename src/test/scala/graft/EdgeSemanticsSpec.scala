@@ -119,6 +119,43 @@ class EdgeSemanticsSpec extends SparkSuite {
     assert(got.toSeq == Seq(2L, 3L, 5L, 1L, 4L))
   }
 
+  test("empty inputs are total: bloom anti join, IVF index, perceptron, " +
+      "quantile audit, merged lake read, stats-pruned commits") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    // empty seen set admits everything (and must not NPE in the bloom)
+    assert(graft.ops.BloomJoin.antiJoin(someDocs, emptyDocs, "doc_id",
+      expectedItems = 16).count() == 2)
+    // empty corpus → empty index → empty searches, not a k-means crash
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val idx = ext.Similarity.IvfIndex.build(emptyEmb, nCentroids = 4)
+    assert(idx.search(emptyEmb, k = 3).isEmpty)
+    // training on nothing: zero gradient, zero misses, epochs intact
+    val learned = ext.Learn.perceptron(emptyDocs,
+      Seq(lit(1L), length(col("text")).cast("long")),
+      label = length(col("text")) > 0, epochs = 3).collect()
+    assert(learned.length == 3 &&
+      learned.forall(r => (1 to 3).forall(i => r.getLong(i) == 0L)))
+    // quantile audit: one row PER PROBE even over nothing, vacuously ok
+    val audit = ext.Freq.quantileAudit(
+      Seq.empty[Double].toDF("value"), "value", ps = Seq(0.25, 0.75))
+      .collect()
+    assert(audit.length == 2 && audit.forall(r =>
+      r.getAs[Long]("n_rows") == 0L && r.getAs[Boolean]("in_range")))
+    // an empty-but-present lake is a lake (schema from footers)
+    val d = tmpDir()
+    emptyDocs.write.parquet(s"$d/gen=a")
+    val merged = graft.lake.DataLake.readMerged(spark, d)
+    assert(merged.isDefined && merged.get.isEmpty)
+    // an empty stats-tracked commit is always prunable
+    val vdir = tmpDir()
+    graft.lake.Versioned.commitWithStats(spark, vdir, emptyDocs, "doc_id")
+    val pruned = graft.lake.Versioned.readPruned(spark, vdir, "doc_id",
+      0L, 100L)
+    assert(pruned.isEmpty && pruned.inputFiles.length <= 1)
+  }
+
   test("groupDiversity survives huge-magnitude elements (decimal " +
       "squares, no long overflow)") {
     import spark.implicits._

@@ -43,8 +43,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_fuzz"
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SRC = _args[0] if len(_args) > 0 else "/root/testdata/sf0.001"
+OUT = _args[1] if len(_args) > 1 else (
+    "/tmp/graft_empty" if "--empty" in sys.argv else "/tmp/graft_fuzz")
 SEED = 7
 ID0 = 10000  # injected ids start here: above every base id, below any
              # offset used elsewhere
@@ -241,10 +243,24 @@ def fuzz_orders_lineitem():
     append("lineitem", lineitem, lrows, lineitem.schema)
 
 
+def write_empty():
+    """Empty-corpus mode: every table schema-identical but 0 rows — the
+    100 TB analogue of a pipeline run over an empty date partition.
+    Every query must return its (empty or aggregate-of-nothing) result,
+    not crash on a .head of nothing or a train step with no data."""
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings", "events", "orders", "lineitem"):
+        write(t, read(t).slice(0, 0))
+    print(f"EMPTY corpus written to {OUT}")
+
+
 def main():
     shutil.rmtree(OUT, ignore_errors=True)
     import os
     os.makedirs(OUT)
+    if "--empty" in sys.argv:
+        write_empty()
+        return
     # dims copied verbatim: referential targets stay identical
     for t in ("region", "nation", "customer", "supplier", "part"):
         write(t, read(t))
