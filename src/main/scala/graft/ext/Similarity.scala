@@ -377,18 +377,30 @@ object Similarity {
         // even at a fixed seed
         .repartition(nPartitions, col("cand_id"))
         .withColumn("features", array_to_vector(col("cand_emb")))
-      // empty corpus (an empty partition/date-slice run — the fuzz
-      // gate's empty-corpus sweep): k-means cannot fit on nothing
-      // (Summarizer requires ≥1 row), and the DEFINED result is an
-      // empty index whose every search returns no rows
-      if (c.isEmpty) {
-        val spark = corpus.sparkSession
-        import spark.implicits._
+      // Degenerate corpora (fuzz-gate empty/single-row sweeps): k-means
+      // cannot fit on nothing (Summarizer requires ≥1 row) — DEFINED as
+      // an empty index whose every search returns no rows — and fitting
+      // k centroids on fewer than k vectors throws inside Spark ML, so
+      // k clamps to the corpus size (a parquet count(*) is footer-only).
+      val nRows = corpus.count()
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      if (nRows == 0L)
         return new IvfIndex(
           c.drop("features").withColumn("cluster", lit(0).cast("int")),
           Seq.empty[(Int, Seq[Double])].toDF("cluster", "centroid"))
+      if (nRows == 1L) {
+        // Spark ML k-means requires k ≥ 2 — a 1-vector corpus is one
+        // cell holding everything; search degenerates to the exact scan
+        val assigned = c.drop("features")
+          .withColumn("cluster", lit(0).cast("int")).persist()
+        assigned.count()
+        val v = assigned.select("cand_emb").head.getSeq[Double](0)
+        return new IvfIndex(assigned,
+          Seq((0, v)).toDF("cluster", "centroid"))
       }
-      val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      val k = math.min(nCentroids.toLong, nRows).toInt
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
         .fit(c) // 5 iterations: cell quality plateaus early; recall asserted in tests
       val assigned = model.transform(c)
         .withColumnRenamed("prediction", "cluster")
@@ -397,8 +409,6 @@ object Similarity {
       assigned.count() // materialize now — build cost stays in build()
 
       // centroid table: nCentroids × dim — driver-local by construction
-      val spark = corpus.sparkSession
-      import spark.implicits._
       val centroids = model.clusterCenters.zipWithIndex
         .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
         .toDF("cluster", "centroid")

@@ -613,12 +613,16 @@ object Text {
        |    CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt_b
        |  FROM __ca a FULL OUTER JOIN __cb b ON a.token = b.token)
        |SELECT token, cnt_a, cnt_b,
-       |  CAST(CAST(cnt_a AS HUGEINT) * (SELECT sum(cnt) FROM __cb)
-       |    - CAST(cnt_b AS HUGEINT) * (SELECT sum(cnt) FROM __ca)
+       |  CAST(CAST(cnt_a AS HUGEINT)
+       |      * coalesce((SELECT sum(cnt) FROM __cb), 0)
+       |    - CAST(cnt_b AS HUGEINT)
+       |      * coalesce((SELECT sum(cnt) FROM __ca), 0)
        |    AS BIGINT) AS drift_x
        |FROM __j
-       |ORDER BY abs(CAST(cnt_a AS HUGEINT) * (SELECT sum(cnt) FROM __cb)
-       |  - CAST(cnt_b AS HUGEINT) * (SELECT sum(cnt) FROM __ca))
+       |ORDER BY abs(CAST(cnt_a AS HUGEINT)
+       |    * coalesce((SELECT sum(cnt) FROM __cb), 0)
+       |  - CAST(cnt_b AS HUGEINT)
+       |    * coalesce((SELECT sum(cnt) FROM __ca), 0))
        |  DESC, token
        |LIMIT $topK""".stripMargin
 

@@ -697,10 +697,14 @@ object CoreQueries {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
         count(lit(1)).as("n"),
         sum(c).as("s_c"), sum(c * c).as("q_c"))
+      // sample stddev of a single row is NULL (the stddev_samp
+      // convention) — the n−1 divisor is 0 there, an ANSI
+      // divide-by-zero (fuzz gate, single-row corpus)
       .withColumn("stddev_price",
-        sqrt((col("q_c").cast("double")
-          - col("s_c").cast("double") * col("s_c").cast("double") / nd)
-          / (nd - 1.0)) / 100.0)
+        when(col("n") > 1L,
+          sqrt((col("q_c").cast("double")
+            - col("s_c").cast("double") * col("s_c").cast("double") / nd)
+            / (nd - 1.0)) / 100.0))
       .select("l_returnflag", "median_qty", "p90_qty", "n", "stddev_price")
       .orderBy("l_returnflag")
   }
@@ -710,9 +714,10 @@ object CoreQueries {
       |  quantile_cont(l_quantity, 0.5) AS median_qty,
       |  quantile_cont(l_quantity, 0.9) AS p90_qty,
       |  count(*) AS n,
-      |  sqrt((CAST(sum(c*c) AS DOUBLE)
-      |    - CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE))
-      |    / (CAST(count(*) AS DOUBLE) - 1.0)) / 100.0 AS stddev_price
+      |  CASE WHEN count(*) > 1 THEN
+      |    sqrt((CAST(sum(c*c) AS DOUBLE)
+      |      - CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+      |      / (CAST(count(*) AS DOUBLE) - 1.0)) / 100.0 END AS stddev_price
       |FROM (SELECT l_returnflag, l_quantity,
       |        CAST(round(l_extendedprice*100) AS BIGINT) AS c
       |      FROM lineitem)

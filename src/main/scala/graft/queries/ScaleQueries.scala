@@ -365,7 +365,9 @@ object ScaleQueries {
   }
 
   private val q38Sql =
-    """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_true,
+    """SELECT vec_id AS probe_id,
+      |  least(CAST(10 AS BIGINT),
+      |    (SELECT count(*) FROM embeddings)) AS n_true,
       |  true AS recall_ok, true AS self_hit
       |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin
 

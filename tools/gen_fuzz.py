@@ -46,7 +46,9 @@ import pyarrow.parquet as pq
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
 SRC = _args[0] if len(_args) > 0 else "/root/testdata/sf0.001"
 OUT = _args[1] if len(_args) > 1 else (
-    "/tmp/graft_empty" if "--empty" in sys.argv else "/tmp/graft_fuzz")
+    "/tmp/graft_empty" if "--empty" in sys.argv
+    else "/tmp/graft_tiny" if "--tiny" in sys.argv
+    else "/tmp/graft_fuzz")
 SEED = 7
 ID0 = 10000  # injected ids start here: above every base id, below any
              # offset used elsewhere
@@ -254,12 +256,25 @@ def write_empty():
     print(f"EMPTY corpus written to {OUT}")
 
 
+def write_tiny():
+    """Single-row mode: each table exactly 1 row — the n=1 degeneracies
+    (n−1 divisors, percent_rank of one, k-means with k > n, idf of a
+    term in every doc, a 1-member cluster/stratum everywhere)."""
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings", "events", "orders", "lineitem"):
+        write(t, read(t).slice(0, 1))
+    print(f"TINY corpus written to {OUT}")
+
+
 def main():
     shutil.rmtree(OUT, ignore_errors=True)
     import os
     os.makedirs(OUT)
     if "--empty" in sys.argv:
         write_empty()
+        return
+    if "--tiny" in sys.argv:
+        write_tiny()
         return
     # dims copied verbatim: referential targets stay identical
     for t in ("region", "nation", "customer", "supplier", "part"):
