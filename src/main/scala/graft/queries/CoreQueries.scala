@@ -509,7 +509,12 @@ object CoreQueries {
     * carry it, and the group keys are non-null by data contract, so the
     * all-NULL-keys marker is unambiguous.
     */
-  private def withGrandTotal(base: DataFrame): DataFrame = {
+  private def withGrandTotal(base0: DataFrame): DataFrame = {
+    // materialize the grouped result ONCE (it is |groups|-sized — tiny):
+    // three consumers below would otherwise each re-run the corpus scan
+    // (Catalyst does not share non-exchange subplans; measured 6 scans
+    // un-checkpointed)
+    val base = base0.localCheckpoint(true)
     val finest = base.filter(col("l_returnflag").isNotNull &&
       col("l_linestatus").isNotNull)
     val global = finest
