@@ -921,11 +921,16 @@ object Text {
     merges.zipWithIndex.foreach { case ((a, b), lvl) =>
       require(!(a + b).exists(c => c == '\u001F' || c == ' ' || c == '\''),
         s"bpeEncodeSql: merge symbols must be plain tokens: ($a, $b)")
+      // DuckDB right/left/len count CODE POINTS — so must the inlined
+      // symbol length, or a non-BMP merge symbol (one code point, two
+      // JVM chars) would make the tail test unmatchable in SQL while
+      // the JVM encoder applies the rule
+      val aLen = a.codePointCount(0, a.length)
       // level-unique lambda names: the per-rule folds nest lexically
       val (ac, sy) = (s"a$lvl", s"s$lvl")
       e = s"substr(list_reduce(list_prepend('', string_split($e, chr(31))), " +
-        s"($ac, $sy) -> CASE WHEN right($ac, ${a.length + 1}) = chr(31) || '$a' " +
-        s"AND $sy = '$b' THEN left($ac, len($ac) - ${a.length + 1}) " +
+        s"($ac, $sy) -> CASE WHEN right($ac, ${aLen + 1}) = chr(31) || '$a' " +
+        s"AND $sy = '$b' THEN left($ac, len($ac) - ${aLen + 1}) " +
         s"|| chr(31) || '$a$b' ELSE $ac || chr(31) || $sy END), 2)"
     }
     // coalesce: DuckDB's array_to_string of an empty list is NULL; the

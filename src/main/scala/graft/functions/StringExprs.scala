@@ -29,6 +29,26 @@ object NativeString {
   def countOccurrencesU(s: UTF8String, sub: String): Long =
     countOccurrences(s.toString, sub)
 
+  /** Code-unit offset of every code point of `s`, plus the end mark:
+    * `offs(k)` is where the k-th code point starts; length = count+1.
+    * Shared by every native path that windows or symbolizes per code
+    * point (char shingles, char jaccard, BPE symbolization) — the walk
+    * exists ONCE, so a boundary fix can't drift the twins apart.
+    */
+  def codePointOffsets(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      offs(k) = i
+      i += Character.charCount(s.codePointAt(i))
+      k += 1
+    }
+    offs(n) = s.length
+    offs
+  }
+
   def countSubstr(c: Column, sub: String): Column =
     column(CountSubstrExpr(expression(c), sub))
 
@@ -44,18 +64,10 @@ object NativeString {
     // must occupy one slot here too
     def grams(s: String): java.util.HashSet[String] = {
       val set = new java.util.HashSet[String]()
-      val cps = s.codePointCount(0, s.length)
-      if (cps >= n) {
-        val offs = new Array[Int](cps + 1)
-        var i = 0
-        var k = 0
-        while (i < s.length) {
-          offs(k) = i; i += Character.charCount(s.codePointAt(i)); k += 1
-        }
-        offs(cps) = s.length
-        var t = 0
-        while (t + n <= cps) { set.add(s.substring(offs(t), offs(t + n))); t += 1 }
-      }
+      val offs = codePointOffsets(s)
+      val cps = offs.length - 1
+      var t = 0
+      while (t + n <= cps) { set.add(s.substring(offs(t), offs(t + n))); t += 1 }
       set
     }
     val sa = grams(a)
@@ -150,14 +162,12 @@ object NativeString {
         // string_split_regex(w, '') yields per-code-point chars; a
         // code-unit split would halve astral-plane chars into lone
         // surrogates and double-count them as symbols)
-        var syms = new Array[String](w.codePointCount(0, w.length))
-        var i = 0
+        val offs = NativeString.codePointOffsets(w)
+        var syms = new Array[String](offs.length - 1)
         var si = 0
-        while (i < w.length) {
-          val cp = w.codePointAt(i)
-          syms(si) = new String(Character.toChars(cp))
+        while (si < syms.length) {
+          syms(si) = w.substring(offs(si), offs(si + 1))
           si += 1
-          i += Character.charCount(cp)
         }
         var m = 0
         while (m < merges.length) {

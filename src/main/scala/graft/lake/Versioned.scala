@@ -76,8 +76,10 @@ object Versioned {
     * column) recorded in the manifest — the file-skipping index
     * [[readPruned]] consumes (the mechanism Iceberg/Delta manifests
     * scale up; pair with a [[graft.ops.ScaleOps.zValue]]-clustered
-    * write so file ranges are tight and stats selective). Files where
-    * `statCol` is all-NULL carry no stats and are never pruned.
+    * write so file ranges are tight and stats selective). Files with
+    * NO min/max (zero rows, or `statCol` all-NULL — rows a BETWEEN
+    * read can never select) are recorded with an inverted sentinel
+    * range and ALWAYS pruned.
     */
   def commitWithStats(spark: SparkSession, dir: String, df: DataFrame,
       statCol: String, replace: Boolean = false): Int =

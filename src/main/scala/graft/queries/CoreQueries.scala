@@ -104,15 +104,24 @@ object Q {
     * non-finite price is corrupt input that SHOULD fail loudly; a
     * non-finite measurement is Tuesday.
     */
+  /** Largest |measurement| whose cents fit a BIGINT with margin: a
+    * finite-but-absurd reading (1e17, DBL_MAX garbage) is as corrupt as
+    * Inf and must read as missing, not ANSI-CAST_OVERFLOW the stream.
+    */
+  val CentsBound: Double = 9.0e16
+
   def centsSafe(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(!isnan(c) && abs(c) =!= lit(Double.PositiveInfinity),
+    when(!isnan(c) && abs(c) < lit(CentsBound),
       round(c * 100).cast("long"))
 
-  /** DuckDB twin of [[centsSafe]] (`isfinite(NULL)` is NULL → CASE
-    * yields NULL, same as the missing branch).
+  /** DuckDB twin of [[centsSafe]] (`abs(NULL)` is NULL → CASE yields
+    * NULL, same as the missing branch; the bound also excludes ±Inf
+    * and the NaN test keeps DuckDB's NaN-is-greatest ordering from
+    * passing it).
     */
   def centsSafeSql(e: String): String =
-    s"CASE WHEN isfinite($e) THEN CAST(round(($e)*100) AS BIGINT) END"
+    s"CASE WHEN NOT isnan($e) AND abs($e) < $CentsBound " +
+      s"THEN CAST(round(($e)*100) AS BIGINT) END"
 
   /** Copy a parquet table's data files FLAT into `dstDir`, whether the
     * table shipped as one file (the driver testdata layout) or as a

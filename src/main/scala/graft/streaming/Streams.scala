@@ -87,7 +87,7 @@ object Streams {
     * `coalesce(_, 0)` in the SQL twin.
     */
   private def cents(v: Option[Double]): Long =
-    v.filter(x => !x.isNaN && !x.isInfinite)
+    v.filter(x => !x.isNaN && math.abs(x) < graft.queries.Q.CentsBound)
       .map(x => Math.round(x * 100)).getOrElse(0L)
 
   /** Full microsecond epoch offset — `getTime` alone is ms-truncated,

@@ -89,19 +89,34 @@ class EdgeSemanticsSpec extends SparkSuite {
     assert(got(1) == "🚀x")
   }
 
-  test("centsSafe: NULL/NaN/±Inf measurements are missing, not crashes") {
+  test("centsSafe: NULL/NaN/±Inf/absurd-magnitude measurements are " +
+      "missing, not crashes") {
     import spark.implicits._
     val df = Seq(Some(1.25), None, Some(Double.NaN),
-        Some(Double.PositiveInfinity), Some(Double.NegativeInfinity))
+        Some(Double.PositiveInfinity), Some(Double.NegativeInfinity),
+        Some(1e17), Some(Double.MaxValue))
       .toDF("value")
     val got = df.select(queries.Q.centsSafe(col("value")).as("c"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    assert(got.toSeq == Seq(Some(125L), None, None, None, None))
+    assert(got.toSeq ==
+      Seq(Some(125L), None, None, None, None, None, None))
     // an aggregate over the dirty column: sum skips missing, count(*)
     // still counts every event — one bad reading cannot kill a stream
     val agg = df.agg(sum(queries.Q.centsSafe(col("value"))).as("s"),
       count(lit(1)).as("n")).head
-    assert(agg.getLong(0) == 125L && agg.getLong(1) == 5L)
+    assert(agg.getLong(0) == 125L && agg.getLong(1) == 7L)
+  }
+
+  test("normalized fingerprint: native == HOF twin on full-mapping " +
+      "lowercase (U+0130) and astral text") {
+    import spark.implicits._
+    val df = Seq("İstanbul DEDUP test", "🚀 Data 🚀", "Plain. Words,")
+      .toDF("text")
+    val native = df.select(Text.fingerprint(col("text")))
+      .collect().map(_.getLong(0))
+    val hof = df.select(Text.fingerprintHof(col("text")))
+      .collect().map(_.getLong(0))
+    assert(native.toSeq == hof.toSeq)
   }
 
   test("rankSliced: non-finite scores rank where both engines sort them " +

@@ -204,6 +204,11 @@ def fuzz_events():
        float("inf"), 0)
     ev(t0 + dt.timedelta(hours=5, seconds=2), u + 22, "error",
        float("-inf"), 0)
+    # finite but absurd: cents would overflow BIGINT — must read as
+    # missing, same as Inf
+    ev(t0 + dt.timedelta(hours=5, seconds=3), u + 22, "error", 1e17, 0)
+    ev(t0 + dt.timedelta(hours=5, seconds=4), u + 22, "error",
+       1.7976931348623157e308, 0)
     append("events", base, rows, base.schema)
 
 
