@@ -209,6 +209,14 @@ def fuzz_events():
     ev(t0 + dt.timedelta(hours=5, seconds=3), u + 22, "error", 1e17, 0)
     ev(t0 + dt.timedelta(hours=5, seconds=4), u + 22, "error",
        1.7976931348623157e308, 0)
+    # epoch-boundary timestamps: pre-1970 events have NEGATIVE epoch
+    # micros — floor division vs truncate-toward-zero division diverge
+    # exactly there (bucketing, gap slicing, window alignment)
+    ev(dt.datetime(1969, 12, 31, 23, 59, 59, 123456), u + 23, "view",
+       1.0, 1)
+    ev(dt.datetime(1969, 12, 31, 22, 0, 0, 1), u + 23, "view", 1.0, 2)
+    ev(dt.datetime(1969, 12, 31, 22, 0, 0, 1), u + 23, "click", 1.0, 3)
+    ev(dt.datetime(2150, 1, 1, 0, 0, 0, 0), u + 24, "purchase", 2.0, 4)
     append("events", base, rows, base.schema)
 
 
