@@ -195,7 +195,8 @@ object NativeHash {
     * `[.,!?;:]`, split on space runs, drop empties, sort tokens, join
     * with single spaces, rolling-hash. Exactly
     * `polyHash(Text.normalizedText(c))` (equality asserted in tests) —
-    * ASCII-exact like the rest of this file.
+    * code-point-exact like the rest of this file, full-mapping
+    * lowercase included.
     */
   def normFingerprint(s: UTF8String): Long = {
     // full-STRING lowercase via the same function Spark's `lower()`
