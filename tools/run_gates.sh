@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# The full correctness-gate matrix: every SparkEntry query hash-compared
+# against its DuckDB oracle on FOUR corpora — the driver's real testdata
+# plus the three adversarial derivations (see FIXTURES.md §C). A clean
+# run prints four "== 136 pass, 0 fail" lines; any FAIL line is a real
+# cross-engine divergence or crash.
+#
+# Usage: tools/run_gates.sh [sfDir]     (default /root/testdata/sf0.01)
+set -u
+SF="${1:-/root/testdata/sf0.01}"
+SRC_SMALL=/root/testdata/sf0.001
+fail=0
+
+gate() { # name corpusDir
+  local out="/tmp/gate_$1"
+  rm -rf "$out"
+  sbt -batch "runMain graft.Verify $2 $out" >/dev/null 2>&1
+  python3 "$(dirname "$0")/check_oracle.py" "$2" "$out" | tail -1 |
+    sed "s/^/[$1] /"
+  python3 "$(dirname "$0")/check_oracle.py" "$2" "$out" |
+    grep -q "0 fail$" || fail=1
+  rm -rf "$out"
+}
+
+python3 "$(dirname "$0")/gen_fuzz.py" "$SRC_SMALL" /tmp/graft_fuzz >/dev/null
+python3 "$(dirname "$0")/gen_fuzz.py" --empty >/dev/null
+python3 "$(dirname "$0")/gen_fuzz.py" --tiny >/dev/null
+
+gate real "$SF"
+gate fuzz /tmp/graft_fuzz
+gate empty /tmp/graft_empty
+gate tiny /tmp/graft_tiny
+
+exit $fail
