@@ -48,6 +48,7 @@ SRC = _args[0] if len(_args) > 0 else "/root/testdata/sf0.001"
 OUT = _args[1] if len(_args) > 1 else (
     "/tmp/graft_empty" if "--empty" in sys.argv
     else "/tmp/graft_tiny" if "--tiny" in sys.argv
+    else "/tmp/graft_mono" if "--mono" in sys.argv
     else "/tmp/graft_fuzz")
 SEED = 7
 ID0 = 10000  # injected ids start here: above every base id, below any
@@ -269,6 +270,35 @@ def write_empty():
     print(f"EMPTY corpus written to {OUT}")
 
 
+def write_mono():
+    """All-identical mode: every document the SAME text, every embedding
+    the SAME vector (a scraper gone wrong) — the whole corpus is one
+    duplicate cluster: C(n,2) candidate pairs, a single connected
+    component, every LSH bucket maximal, zero diversity everywhere."""
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        write(t, read(t))
+    docs = read("documents")
+    one_text = docs.column("text")[0].as_py()
+    n = docs.num_rows
+    rows = [{"doc_id": i, "text": one_text, "lang": "en", "source": "src0",
+             "n_chars": len(one_text)} for i in range(n)]
+    pq.write_table(pa.table(
+        {f.name: pa.array([r[f.name] for r in rows], type=f.type)
+         for f in docs.schema}, schema=docs.schema),
+        f"{OUT}/documents.parquet")
+    emb = read("embeddings")
+    one_vec = emb.column("embedding")[0].as_py()
+    m = emb.num_rows
+    erows = [{"vec_id": i, "embedding": one_vec, "label": i % 10}
+             for i in range(m)]
+    pq.write_table(pa.table(
+        {f.name: pa.array([r[f.name] for r in erows], type=f.type)
+         for f in emb.schema}, schema=emb.schema),
+        f"{OUT}/embeddings.parquet")
+    print(f"MONO corpus written to {OUT}")
+
+
 def write_tiny():
     """Single-row mode: each table exactly 1 row — the n=1 degeneracies
     (n−1 divisors, percent_rank of one, k-means with k > n, idf of a
@@ -288,6 +318,9 @@ def main():
         return
     if "--tiny" in sys.argv:
         write_tiny()
+        return
+    if "--mono" in sys.argv:
+        write_mono()
         return
     # dims copied verbatim: referential targets stay identical
     for t in ("region", "nation", "customer", "supplier", "part"):
