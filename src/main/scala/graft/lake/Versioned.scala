@@ -28,14 +28,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * version) to plan with NO directory listing race; at 100 TB the same
   * design holds (production would use Iceberg/Delta, whose manifests
   * add column stats for file skipping — [[graft.ops.ScaleOps.zValue]]
-  * clustering makes those stats selective). Single writer by design:
-  * two concurrent committers could both read version k and race the
-  * k+1 rename; a real deployment serializes commits (the rename's
-  * failure on the loser is the conflict signal). Old versions
-  * accumulate until a retention job deletes manifests AND their
-  * now-unreferenced files — never data files alone.
+  * clustering makes those stats selective). Old versions accumulate
+  * until a retention job deletes manifests AND their now-unreferenced
+  * files — never data files alone.
+  *
+  * Concurrency (round 11): commits are OPTIMISTIC, multi-writer safe.
+  * Data files are staged first (commit-scoped directory, invisible
+  * until a manifest references them), then the manifest is published
+  * by a compare-and-swap on the next version number ([[casPublish]]:
+  * the version either exists or this writer's rename creates it —
+  * never both). On a lost race:
+  *  - an APPEND retries unconditionally against the new head — two
+  *    appends commute, so any serialization is correct;
+  *  - a plain REPLACE ([[commit]] `replace = true`) throws
+  *    [[CommitConflictException]] — it claims full-table authority and
+  *    cannot merge with a commit it never saw;
+  *  - a validated REPLACE ([[commitReplace]]) re-reads head,
+  *    re-validates that rows appended since its base version share no
+  *    key with the staged rows, and retries carrying those appends
+  *    into the new manifest (result == "replace, then the appends" —
+  *    the serializable order both writers can agree on); a key overlap
+  *    or an interleaved replace is a real conflict and throws;
+  *  - [[compactCommit]] is the validation-free replace: its staged
+  *    rows ARE the base version's rows, so interleaved appends always
+  *    carry safely (Iceberg's rewrite-files commit, in one rename).
+  * Readers racing retention declare themselves with [[pin]]:
+  * [[expire]] never drops a version >= the oldest pinned one, so an
+  * in-flight reader's manifest and files outlive the read no matter
+  * how many commits and expiry runs interleave.
+  *
+  * CAS substrate: one rename per commit attempt, guarded by an exists
+  * probe under a per-table JVM lock. On HDFS-semantics filesystems the
+  * rename itself refuses an existing destination (the lock is then
+  * belt-and-braces); on a local filesystem, where rename(2) silently
+  * overwrites, the lock IS the mutex — sufficient for every harness in
+  * this repo (one JVM), and exactly the documented single-JVM caveat
+  * of Delta's local-filesystem LogStore. Multi-JVM local-FS writers
+  * would need an external lock service; object stores need their
+  * conditional-put primitive.
   */
 object Versioned {
+
+  /** A concurrent commit won the version this writer raced for, and
+    * the loser's change cannot be merged mechanically (overlapping
+    * keys, or an interleaved full replace). The staged data files are
+    * left on disk but unreferenced — a later [[expire]] collects them.
+    * Callers recover by re-deriving their write from the new head.
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Per-table lock for the exists+rename CAS window and the
+    * pin/expire handshake (see class doc: single-JVM mutex, HDFS
+    * rename semantics across JVMs).
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def lockFor(dir: String): AnyRef =
+    tableLocks.computeIfAbsent(new Path(dir).toString, _ => new AnyRef)
 
   private def fileSystem(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -85,14 +136,17 @@ object Versioned {
       statCol: String, replace: Boolean = false): Int =
     commitImpl(spark, dir, df, replace, statCol = Some(statCol))
 
-  private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
-      replace: Boolean, statCol: Option[String]): Int = {
+  /** Stage `df`'s data files (commit-scoped dir, invisible until a
+    * manifest references them) and return their manifest lines. Staging
+    * is version-free: the same staged files publish under whichever
+    * version number the CAS loop eventually wins.
+    */
+  private def stage(spark: SparkSession, dir: String, df: DataFrame,
+      statCol: Option[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val fs = fileSystem(spark, dir)
-    val prev = latestVersion(spark, dir)
-    val next = prev.map(_ + 1).getOrElse(0)
     // data files are commit-scoped and immutable once the manifest lands
-    val dataDir = new Path(dir, f"data/c$next%05d-${java.util.UUID.randomUUID()}")
+    val dataDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
     df.write.parquet(dataDir.toString)
     // per-file stats: ONE column-pruned scan of the just-written files,
     // grouped by their physical file (footer-only at production scale)
@@ -109,7 +163,7 @@ object Versioned {
             (r.getLong(1), r.getLong(2)))
           .toMap
     }
-    val newFiles = fs.listStatus(dataDir)
+    fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map { f =>
         val rel = s"data/${dataDir.getName}/${f.getPath.getName}"
@@ -127,18 +181,151 @@ object Versioned {
         }
       }
       .sorted.toSeq
-    val carried =
-      if (replace) Nil
-      else prev.map(readManifest(fs, dir, _)).getOrElse(Nil)
-    val lines = (carried ++ newFiles).mkString("", "\n", "\n")
-    // write-then-rename: the manifest appears atomically or not at all
-    val tmp = new Path(dir, f"_manifest/.v$next%05d.tmp")
+  }
+
+  /** Compare-and-swap publish of `lines` as version `next`: true iff
+    * THIS writer created the version (see class doc for the substrate).
+    * The temp file is writer-unique so racing writers never collide on
+    * the staging name either.
+    */
+  private def casPublish(fs: FileSystem, dir: String, next: Int,
+      lines: Seq[String]): Boolean = {
+    val target = manifestPath(dir, next)
+    val tmp = new Path(dir,
+      f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
     fs.mkdirs(new Path(dir, "_manifest"))
     val out = fs.create(tmp, false)
-    try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    require(fs.rename(tmp, manifestPath(dir, next)),
-      s"concurrent commit detected publishing version $next of $dir")
-    next
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    lockFor(dir).synchronized {
+      if (fs.exists(target)) { fs.delete(tmp, false); false }
+      else if (fs.rename(tmp, target)) true
+      else { fs.delete(tmp, false); false }
+    }
+  }
+
+  private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
+      replace: Boolean, statCol: Option[String]): Int = {
+    val fs = fileSystem(spark, dir)
+    val newFiles = stage(spark, dir, df, statCol)
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir)
+      val next = head.map(_ + 1).getOrElse(0)
+      val carried =
+        if (replace) Nil
+        else head.map(readManifest(fs, dir, _)).getOrElse(Nil)
+      if (casPublish(fs, dir, next, carried ++ newFiles)) return next
+      // CAS lost: an append re-reads head and retries (appends commute);
+      // a plain replace cannot merge with the commit it never saw
+      if (replace) throw new CommitConflictException(
+        s"replace of $dir lost version $next to a concurrent commit; " +
+          "re-derive from the new head (or use commitReplace/" +
+          "compactCommit, which merge non-conflicting appends)")
+      attempts += 1
+      require(attempts < 1000,
+        s"append to $dir still losing the version race after $attempts " +
+          "attempts — livelock, or a broken clock of committers")
+    }
+    -1 // unreachable
+  }
+
+  /** Validated replace (optimistic, multi-writer): publish `df` as the
+    * whole table state, derived from `baseVersion` (default: head at
+    * call time). If other commits landed since the base, rows they
+    * added are re-read and checked for key overlap with the staged
+    * rows on `keyCols`:
+    *  - no overlap → the interleaved appends are carried into the new
+    *    manifest and the replace retries (serializes as "replace, then
+    *    those appends");
+    *  - any overlap, or an interleaved REPLACE (base files missing
+    *    from head) → [[CommitConflictException]]; the caller re-derives
+    *    from the new head.
+    *
+    * Scale shape: validation reads ONLY the files added since base
+    * (manifest set-difference — no table scan), and the overlap probe
+    * is a left-semi join limited to one row.
+    *
+    * Generalizes the reference's staging+MERGE idempotence
+    * (transf.py:329-362) from one writer to N.
+    */
+  def commitReplace(spark: SparkSession, dir: String, df: DataFrame,
+      keyCols: Seq[String], baseVersion: Option[Int] = None): Int = {
+    require(keyCols.nonEmpty, "commitReplace needs at least one key column")
+    val base = baseVersion.orElse(latestVersion(spark, dir))
+    replaceLoop(spark, dir, stage(spark, dir, df, None), base,
+      Some(keyCols))
+  }
+
+  /** Compaction as a versioned commit: rewrite the head version's rows
+    * into ~`targetBytes` files and publish the rewrite as a REPLACE —
+    * unlike [[DataLake.compact]] this preserves time travel (the
+    * pre-compaction version keeps its small files until [[expire]])
+    * and merges safely with concurrent appends: the staged rows ARE
+    * the base version's rows, so interleaved appends carry into the
+    * new manifest with no key validation needed. Only an interleaved
+    * replace conflicts. Returns the new version.
+    */
+  def compactCommit(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = fileSystem(spark, dir)
+    val base = latestVersion(spark, dir)
+    val baseV = base.getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    val files = readManifest(fs, dir, baseV).map(parseLine(_)._1)
+    val totalBytes = files.map(rel =>
+      fs.getFileStatus(new Path(dir, rel)).getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .min(files.size.toLong).toInt
+    val staged = stage(spark, dir,
+      read(spark, dir, Some(baseV)).coalesce(nOut), None)
+    replaceLoop(spark, dir, staged, base, keyCols = None)
+  }
+
+  /** The shared replace-retry loop. `keyCols = None` skips overlap
+    * validation (compaction: staged rows == base rows by construction).
+    */
+  private def replaceLoop(spark: SparkSession, dir: String,
+      staged: Seq[String], base: Option[Int],
+      keyCols: Option[Seq[String]]): Int = {
+    val fs = fileSystem(spark, dir)
+    val baseFiles: Set[String] = base
+      .map(readManifest(fs, dir, _).map(parseLine(_)._1).toSet)
+      .getOrElse(Set.empty)
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir)
+      val next = head.map(_ + 1).getOrElse(0)
+      val headLines = head.map(readManifest(fs, dir, _)).getOrElse(Nil)
+      val headFiles = headLines.map(parseLine(_)._1).toSet
+      if (!baseFiles.subsetOf(headFiles))
+        throw new CommitConflictException(
+          s"replace of $dir based on version $base conflicts with an " +
+            "interleaved replace: base data files are no longer in the " +
+            "head manifest — both writers claimed full-table authority")
+      // manifest lines (stats included) added since base, carried verbatim
+      val interleaved = headLines.filterNot(l =>
+        baseFiles.contains(parseLine(l)._1))
+      if (interleaved.nonEmpty) keyCols.foreach { keys =>
+        val added = spark.read.parquet(interleaved.map(l =>
+          s"$dir/${parseLine(l)._1}"): _*).select(keys.head, keys.tail: _*)
+        val mine = spark.read.parquet(staged.map(l =>
+          s"$dir/${parseLine(l)._1}"): _*).select(keys.head, keys.tail: _*)
+        if (added.join(mine, keys, "left_semi").limit(1).count() > 0)
+          throw new CommitConflictException(
+            s"replace of $dir based on version $base conflicts with a " +
+              s"concurrent commit: rows appended since the base share " +
+              s"keys (${keys.mkString(", ")}) with the staged replace")
+      }
+      if (casPublish(fs, dir, next, interleaved ++ staged)) return next
+      attempts += 1
+      require(attempts < 1000,
+        s"replace of $dir still losing the version race after " +
+          s"$attempts attempts")
+    }
+    -1 // unreachable
   }
 
   /** Manifest line → (relative path, optional (col, min, max) stats). */
@@ -148,34 +335,117 @@ object Versioned {
       case parts => (parts(0), None)
     }
 
+  // ------------------------------------------------------- reader pins
+
+  /** A declared in-flight read: [[expire]] will not drop `version` (or
+    * anything newer) until [[unpin]] releases it.
+    */
+  final case class ReadPin(id: String, version: Int)
+
+  private def pinsDir(dir: String): Path = new Path(dir, "_manifest/pins")
+
+  /** Declare an in-flight read of `version` (default: head). Until the
+    * returned pin is [[unpin]]ned, [[expire]] keeps this version and
+    * everything newer — manifests AND data files — so a long-running
+    * reader (a training job streaming a snapshot for hours) never has
+    * its files collected mid-read by a concurrent retention run. The
+    * create+verify runs under the table lock, closing the race where
+    * an expire lists pins between this reader choosing a version and
+    * declaring it.
+    */
+  def pin(spark: SparkSession, dir: String,
+      version: Option[Int] = None): ReadPin = {
+    val fs = fileSystem(spark, dir)
+    lockFor(dir).synchronized {
+      val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $dir"))
+      require(fs.exists(manifestPath(dir, v)),
+        s"cannot pin version $v of $dir: not found (already expired?)")
+      val id = java.util.UUID.randomUUID().toString
+      fs.mkdirs(pinsDir(dir))
+      val out = fs.create(new Path(pinsDir(dir), s"$id.pin"), false)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      ReadPin(id, v)
+    }
+  }
+
+  /** Release a [[pin]]. Idempotent. */
+  def unpin(spark: SparkSession, dir: String, p: ReadPin): Unit = {
+    val fs = fileSystem(spark, dir)
+    fs.delete(new Path(pinsDir(dir), s"${p.id}.pin"), false)
+    ()
+  }
+
+  /** Oldest pinned version, or None when no reader is declared. */
+  private def minPinnedVersion(fs: FileSystem, dir: String): Option[Int] = {
+    val pd = pinsDir(dir)
+    if (!fs.exists(pd)) None
+    else {
+      val vs = fs.listStatus(pd).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".pin"))
+        .map { f =>
+          val in = fs.open(f.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+          finally in.close()
+        }
+      if (vs.isEmpty) None else Some(vs.min)
+    }
+  }
+
   /** Retention: keep the newest `keepLast` versions, drop older
     * manifests, then delete data files no surviving manifest references
     * — in that order, so a crash mid-expire leaves dangling FILES
     * (harmless, re-collectable) never dangling MANIFESTS (a readable
-    * version with missing data). Returns (versions dropped, data files
-    * deleted).
+    * version with missing data). Versions at or above the oldest
+    * [[pin]] are never dropped, whatever `keepLast` says — an
+    * in-flight reader outranks retention. Returns (versions dropped,
+    * data files deleted).
     */
-  def expire(spark: SparkSession, dir: String, keepLast: Int): (Int, Int) = {
+  def expire(spark: SparkSession, dir: String, keepLast: Int,
+      orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val fs = fileSystem(spark, dir)
     latestVersion(spark, dir) match {
       case None => (0, 0)
       case Some(latest) =>
-        val cut = latest - keepLast + 1
-        val dropped = (0 until cut).filter(v =>
-          fs.exists(manifestPath(dir, v)))
-        val live: Set[String] = (cut to latest)
-          .filter(v => fs.exists(manifestPath(dir, v)))
-          .flatMap(v => readManifest(fs, dir, v)).map(parseLine(_)._1).toSet
-        dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
+        // cut selection + manifest drop run under the table lock, so a
+        // concurrent pin() either lands before (raising the cut) or
+        // after (failing loudly on the already-dropped manifest) —
+        // never silently pinning a version mid-deletion
+        val (nDropped, droppedRefs, live) = lockFor(dir).synchronized {
+          val cut = math.min(latest - keepLast + 1,
+            minPinnedVersion(fs, dir).getOrElse(Int.MaxValue))
+          val dropped = (0 until cut).filter(v =>
+            fs.exists(manifestPath(dir, v)))
+          val refs: Set[String] = dropped
+            .flatMap(v => readManifest(fs, dir, v))
+            .map(parseLine(_)._1).toSet
+          val keep: Set[String] = (cut to latest)
+            .filter(v => fs.exists(manifestPath(dir, v)))
+            .flatMap(v => readManifest(fs, dir, v))
+            .map(parseLine(_)._1).toSet
+          dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
+          (dropped.size, refs, keep)
+        }
         val dataRoot = new Path(dir, "data")
         var deleted = 0
+        val now = System.currentTimeMillis()
         if (fs.exists(dataRoot)) {
           fs.listStatus(dataRoot).filter(_.isDirectory).foreach { cdir =>
             fs.listStatus(cdir.getPath).filter(f => f.isFile &&
                 f.getPath.getName.endsWith(".parquet")).foreach { f =>
               val rel = s"data/${cdir.getPath.getName}/${f.getPath.getName}"
-              if (!live.contains(rel)) {
+              // two collectable classes: (a) referenced only by a
+              // manifest just dropped — safe immediately; (b) referenced
+              // by NO manifest at all — possibly a concurrent writer's
+              // in-flight staging (files land before its CAS publish),
+              // so only collect past a grace age (Iceberg's
+              // orphan-file rule, shrunk to this engine's clock)
+              val collectable = !live.contains(rel) &&
+                (droppedRefs.contains(rel) ||
+                  now - f.getModificationTime > orphanGraceMs)
+              if (collectable) {
                 fs.delete(f.getPath, false); deleted += 1
               }
             }
@@ -185,7 +455,7 @@ object Versioned {
               fs.delete(cdir.getPath, true)
           }
         }
-        (dropped.size, deleted)
+        (nDropped, deleted)
     }
   }
 

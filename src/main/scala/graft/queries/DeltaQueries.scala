@@ -424,6 +424,57 @@ object DeltaQueries {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id BETWEEN 200 AND 250 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  // Multi-writer optimistic concurrency (round-11 review item #1): two
+  // RACING writer threads against one versioned table — writer A
+  // appends the odd orderkeys while writer B publishes a validated
+  // REPLACE derived from version 0 (the even orderkeys repriced ×2,
+  // keys disjoint from A's). The CAS commit protocol serializes them in
+  // whichever order the scheduler picks: if B wins the version race, A
+  // retries its append on the new head; if A wins, B re-validates
+  // no-key-overlap against the rows appended since its base and carries
+  // them into its manifest. EITHER order replays to the same table
+  // state — repriced evens + odds — which is exactly what the oracle
+  // pins. The in-query requires assert both writers really committed
+  // (three versions, no conflict exception swallowed).
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccommit")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 2 === 0))            // v0
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(f: () => Unit) = new Thread(() =>
+        try { barrier.await(); f() }
+        catch { case t: Throwable => errs.add(t); () })
+      val a = writer(() => {
+        Versioned.commit(s, tmp.toString,
+          orders.filter(col("o_orderkey") % 2 === 1)); () })
+      val b = writer(() => {
+        Versioned.commitReplace(s, tmp.toString,
+          orders.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          keyCols = Seq("o_orderkey"), baseVersion = Some(0)); () })
+      a.start(); b.start(); a.join(); b.join()
+      require(errs.isEmpty, s"racing writer failed: ${errs.peek()}")
+      require(Versioned.latestVersion(s, tmp.toString).contains(2),
+        "expected exactly three committed versions after the race")
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  // the serial oracle both interleavings must replay to
+  private val q133Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -436,7 +487,8 @@ object DeltaQueries {
     "q112_versioned_purge" -> (q112 _),
     "q113_version_diff" -> (q113 _),
     "q114_export_pipeline" -> (q114 _),
-    "q115_ivm_refresh" -> (q115 _))
+    "q115_ivm_refresh" -> (q115 _),
+    "q133_concurrent_commits" -> (q133 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -448,5 +500,6 @@ object DeltaQueries {
     "q113_version_diff" -> q113Sql,
     "q114_export_pipeline" -> q114Sql,
     "q115_ivm_refresh" -> q115Sql,
-    "q128_stats_pruned_read" -> q128Sql)
+    "q128_stats_pruned_read" -> q128Sql,
+    "q133_concurrent_commits" -> q133Sql)
 }

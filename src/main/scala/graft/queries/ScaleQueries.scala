@@ -968,21 +968,35 @@ object ScaleQueries {
       "event_id", "value", 8) + "\nORDER BY key, bin"
 
   // --------------------------------------------------------------- q104
-  // Lake small-file compaction: 64 micro-batch-sized files rewritten to
-  // ~1 MB targets; the gate checks content is byte-preserved across the
-  // rewrite (layout is asserted in LakeSpec — the oracle can't see file
-  // counts). Fixture-writes happen inside the query body; the result is
-  // localCheckpoint'ed so the temp dirs die before it is consumed.
+  // Lake small-file compaction AS A VERSIONED COMMIT (round-11 review
+  // item #7): 64 micro-batch-sized files land as version 0, then
+  // Versioned.compactCommit rewrites them to ~1 MB targets and
+  // publishes the rewrite as a replace-commit — so unlike an in-place
+  // rewrite, the pre-compaction version remains time-travel readable
+  // (asserted in-query) until retention expires it. The gate checks
+  // content is byte-preserved across the rewrite; the in-query requires
+  // check the layout actually shrank and v0 survived.
   private def q104(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
     val tmp = java.nio.file.Files.createTempDirectory("graft_q104_lake")
     try {
-      val in = tmp.resolve("in").toString
-      val out = tmp.resolve("out").toString
-      t(s, dir, "events")
+      val vt = tmp.resolve("vtable").toString
+      Versioned.commit(s, vt, t(s, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
-        .repartition(64).write.parquet(in)
-      graft.lake.DataLake.compact(s, in, out, targetBytes = 1L << 20)
-      s.read.parquet(out)
+        .repartition(64))
+      val nSmall = Versioned.read(s, vt, Some(0)).inputFiles.length
+      val v1 = Versioned.compactCommit(s, vt, targetBytes = 1L << 20)
+      require(v1 == 1, s"compaction published unexpected version $v1")
+      val compacted = Versioned.read(s, vt, Some(v1))
+      require(compacted.inputFiles.length < nSmall,
+        s"compaction did not shrink the layout: $nSmall -> " +
+          s"${compacted.inputFiles.length}")
+      // time travel preserved: the pre-compaction version still reads
+      // its original 64-file state, row-complete
+      require(Versioned.read(s, vt, Some(0)).inputFiles.length == nSmall &&
+        Versioned.read(s, vt, Some(0)).count() == compacted.count(),
+        "pre-compaction version no longer readable in full")
+      compacted
         .orderBy("event_id")
         .localCheckpoint(true)
     } finally Q.deleteRecursively(tmp)

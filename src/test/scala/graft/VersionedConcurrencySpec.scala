@@ -1,0 +1,198 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, CyclicBarrier}
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.Versioned
+import graft.lake.Versioned.CommitConflictException
+
+/** Round-11 multi-writer protocol for [[graft.lake.Versioned]]: racing
+  * committers (append×append, append×replace, append×compaction),
+  * deterministic stale-base replace validation (merge on disjoint keys,
+  * conflict on overlap or interleaved replace), reader-pinned expiry,
+  * and the orphan-file grace window. Thread tests use a CyclicBarrier so
+  * both writers enter the commit protocol together — the interleaving
+  * itself stays scheduler-chosen, which is the point: the FINAL state
+  * must be identical no matter who wins each version.
+  */
+class VersionedConcurrencySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rows(lo: Int, hi: Int, tag: String) =
+    (lo until hi).map(i => (i.toLong, tag)).toDF("id", "s")
+
+  /** Run each thunk on its own thread; rethrow the first failure. */
+  private def inParallel(thunks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = thunks.map(f => new Thread(() =>
+      try f() catch { case t: Throwable => errs.add(t); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  test("racing appends: every commit lands, no version lost, final " +
+      "state is the union regardless of winner order") {
+    val dir = tmpDir() + "/race-aa"
+    val barrier = new CyclicBarrier(2)
+    val perWriter = 3
+    inParallel(
+      () => { barrier.await()
+        (0 until perWriter).foreach(i =>
+          Versioned.commit(spark, dir, rows(i * 10, i * 10 + 10, "A"))) },
+      () => { barrier.await()
+        (0 until perWriter).foreach(i =>
+          Versioned.commit(spark, dir, rows(100 + i * 10, 110 + i * 10, "B"))) })
+    // 6 commits -> versions 0..5, none clobbered
+    assert(Versioned.latestVersion(spark, dir).contains(2 * perWriter - 1))
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val want = ((0 until 30).map(i => (i.toLong, "A")) ++
+      (100 until 130).map(i => (i.toLong, "B"))).toSet
+    assert(got == want)
+    // every intermediate version still reads cleanly (no torn manifest)
+    (0 until 2 * perWriter).foreach(v =>
+      Versioned.read(spark, dir, Some(v)).count())
+  }
+
+  test("stale-base replace with disjoint keys merges the interleaved " +
+      "append (serializes as replace-then-append)") {
+    val dir = tmpDir() + "/replace-merge"
+    Versioned.commit(spark, dir, rows(0, 10, "even"))          // v0
+    Versioned.commit(spark, dir, rows(100, 110, "odd"))        // v1 appended
+    // a replace derived from v0 (stale base), keys disjoint from v1's
+    val v2 = Versioned.commitReplace(spark, dir,
+      rows(0, 10, "even2"), keyCols = Seq("id"), baseVersion = Some(0))
+    assert(v2 == 2)
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val want = ((0 until 10).map(i => (i.toLong, "even2")) ++
+      (100 until 110).map(i => (i.toLong, "odd"))).toSet
+    assert(got == want)
+  }
+
+  test("stale-base replace with overlapping keys throws a typed " +
+      "conflict, and the head is untouched") {
+    val dir = tmpDir() + "/replace-conflict"
+    Versioned.commit(spark, dir, rows(0, 10, "base"))          // v0
+    Versioned.commit(spark, dir, rows(5, 15, "later"))         // v1 overlaps
+    intercept[CommitConflictException] {
+      Versioned.commitReplace(spark, dir, rows(0, 10, "mine"),
+        keyCols = Seq("id"), baseVersion = Some(0))
+    }
+    assert(Versioned.latestVersion(spark, dir).contains(1))
+    assert(Versioned.read(spark, dir).count() == 20)
+  }
+
+  test("replace interleaved with another replace conflicts even on " +
+      "disjoint keys (both claimed full-table authority)") {
+    val dir = tmpDir() + "/replace-replace"
+    Versioned.commit(spark, dir, rows(0, 10, "base"))                 // v0
+    Versioned.commit(spark, dir, rows(50, 60, "other"), replace = true) // v1
+    intercept[CommitConflictException] {
+      Versioned.commitReplace(spark, dir, rows(200, 210, "mine"),
+        keyCols = Seq("id"), baseVersion = Some(0))
+    }
+  }
+
+  test("racing append × validated replace: both land, final state is " +
+      "replace-rows + appended-rows whoever wins") {
+    val dir = tmpDir() + "/race-ar"
+    Versioned.commit(spark, dir, rows(0, 10, "even"))          // v0
+    val barrier = new CyclicBarrier(2)
+    inParallel(
+      () => { barrier.await()
+        Versioned.commit(spark, dir, rows(100, 110, "odd")); () },
+      () => { barrier.await()
+        Versioned.commitReplace(spark, dir, rows(0, 10, "even2"),
+          keyCols = Seq("id"), baseVersion = Some(0)); () })
+    assert(Versioned.latestVersion(spark, dir).contains(2))
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val want = ((0 until 10).map(i => (i.toLong, "even2")) ++
+      (100 until 110).map(i => (i.toLong, "odd"))).toSet
+    assert(got == want)
+  }
+
+  test("pinned reader survives expire; unpin releases retention") {
+    val dir = tmpDir() + "/pins"
+    Versioned.commit(spark, dir, rows(0, 10, "v0"))
+    val pin = Versioned.pin(spark, dir)            // pins v0
+    Versioned.commit(spark, dir, rows(10, 20, "v1"))
+    Versioned.commit(spark, dir, rows(20, 30, "v2"), replace = true)
+    // retention wants to keep only v2, but the pin outranks it
+    val (d1, f1) = Versioned.expire(spark, dir, keepLast = 1)
+    assert(d1 == 0 && f1 == 0)
+    assert(Versioned.read(spark, dir, Some(pin.version)).count() == 10)
+    Versioned.unpin(spark, dir, pin)
+    val (d2, f2) = Versioned.expire(spark, dir, keepLast = 1)
+    assert(d2 == 2 && f2 > 0)
+    intercept[Exception] { Versioned.read(spark, dir, Some(0)).count() }
+    assert(Versioned.read(spark, dir).count() == 10)
+  }
+
+  test("expire-during-read: a reader that pins mid-retention either " +
+      "pins safely or fails loudly — never reads a half-deleted version") {
+    val dir = tmpDir() + "/pin-race"
+    Versioned.commit(spark, dir, rows(0, 10, "v0"))
+    Versioned.commit(spark, dir, rows(10, 20, "v1"))
+    val started = new CountDownLatch(1)
+    @volatile var pinned: Option[Versioned.ReadPin] = None
+    @volatile var pinErr: Option[Throwable] = None
+    inParallel(
+      () => { started.countDown()
+        Versioned.expire(spark, dir, keepLast = 1); () },
+      () => { started.await()
+        try pinned = Some(Versioned.pin(spark, dir, Some(0)))
+        catch { case t: IllegalArgumentException => pinErr = Some(t) } })
+    pinned match {
+      case Some(p) =>   // pin won the lock first: v0 must be fully readable
+        assert(Versioned.read(spark, dir, Some(p.version)).count() == 10)
+        Versioned.unpin(spark, dir, p)
+      case None =>      // expire won: the pin failed loudly, v0 is gone
+        assert(pinErr.isDefined)
+    }
+  }
+
+  test("expire grace window: never-referenced staging files survive " +
+      "until the grace age, dropped-manifest files go immediately") {
+    val dir = tmpDir() + "/grace"
+    Versioned.commit(spark, dir, rows(0, 10, "v0"))
+    Versioned.commit(spark, dir, rows(10, 20, "v1"), replace = true)
+    // simulate a concurrent writer's in-flight staging: a parquet file
+    // in a commit dir that no manifest references yet
+    val staged = new java.io.File(s"$dir/data/c-inflight")
+    rows(900, 905, "staged").coalesce(1).write.parquet(staged.toString)
+    val (_, del1) = Versioned.expire(spark, dir, keepLast = 1)
+    assert(del1 > 0)  // v0's files: referenced by the dropped manifest
+    assert(staged.listFiles().exists(_.getName.endsWith(".parquet")),
+      "in-flight staging was collected inside the grace window")
+    val (_, del2) = Versioned.expire(spark, dir, keepLast = 1,
+      orphanGraceMs = 0L)
+    assert(del2 > 0 && !staged.exists())  // grace elapsed -> collected
+    assert(Versioned.read(spark, dir).count() == 10)
+  }
+
+  test("compactCommit: files shrink, bytes preserved, pre-compaction " +
+      "version still readable; racing append merges in") {
+    val dir = tmpDir() + "/compact"
+    Versioned.commit(spark, dir, rows(0, 200, "x").repartition(8))   // v0
+    Versioned.commit(spark, dir, rows(200, 400, "y").repartition(8)) // v1
+    val before = Versioned.read(spark, dir).inputFiles.length
+    assert(before >= 16)
+    val barrier = new CyclicBarrier(2)
+    inParallel(
+      () => { barrier.await()
+        Versioned.compactCommit(spark, dir, targetBytes = 1L << 30); () },
+      () => { barrier.await()
+        Versioned.commit(spark, dir, rows(400, 410, "z")); () })
+    assert(Versioned.latestVersion(spark, dir).contains(3))
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val want = ((0 until 200).map(i => (i.toLong, "x")) ++
+      (200 until 400).map(i => (i.toLong, "y")) ++
+      (400 until 410).map(i => (i.toLong, "z"))).toSet
+    assert(got == want)
+    // the compacted layout really is smaller than the 16 input files
+    // (+ the racer's appended files at most)
+    assert(Versioned.read(spark, dir).inputFiles.length < before)
+    // time travel: v1 (pre-compaction) still reads its original state
+    assert(Versioned.read(spark, dir, Some(1)).count() == 400)
+  }
+}
