@@ -254,6 +254,29 @@ object Similarity {
     math.min(63, math.max(base, needed))
   }
 
+  /** Sentinel default for `planes` parameters: auto-size with
+    * [[autoPlanes]] from the corpus row count. Round-11 default flip
+    * (round-10 review "What's wrong" #1): the old pinned `planes = 4`
+    * default was measured to silently truncate kNN recall above ~30×
+    * the sf0.1 corpus (the `maxBucket` cap bites as occupancy grows);
+    * auto-sizing is now what callers get unless they pin explicitly.
+    */
+  val PlanesAuto: Int = -1
+
+  /** Resolve a `planes` argument: an explicit positive value passes
+    * through (oracle-pinned callers like q91/q97); [[PlanesAuto]]
+    * sizes from `corpusCount` when the caller already has one (free),
+    * else from ONE distributed count of `df` — metadata-cheap on a
+    * parquet scan, one job otherwise, and paid once per call chain
+    * (semanticDedup resolves before delegating to knnGraph).
+    */
+  private[graft] def resolvePlanes(df: DataFrame, planes: Int,
+      corpusCount: Option[Long]): Int =
+    if (planes != PlanesAuto) {
+      require(planes > 0 && planes <= 63, s"planes out of range: $planes")
+      planes
+    } else autoPlanes(corpusCount.getOrElse(df.count()))
+
   /** Sign-bit LSH bucket id from `planes` random hyperplanes (native
     * one-pass expression; [[lshBucketHof]] is the reference form).
     */
@@ -516,8 +539,9 @@ object Similarity {
     * the worst case and [[embeddingOversizedBuckets]] audits what it
     * would drop. A PINNED `planes` does not survive corpus growth —
     * occupancy grows linearly until the cap truncates output (measured
-    * at ~30× the sf0.1 corpus under planes=4); size it with
-    * [[autoPlanes]] from a corpus row count instead.
+    * at ~30× the sf0.1 corpus under planes=4) — so the DEFAULT is
+    * [[PlanesAuto]]: occupancy-constant sizing via [[autoPlanes]] from
+    * `corpusCount` (or one count job when absent).
     *
     * Scale shape (100 TB): one pass buckets ids (per-row arithmetic);
     * bucket sizes are a ≤ 2^planes-row aggregate BROADCAST back (no
@@ -527,12 +551,14 @@ object Similarity {
     * [[graft.functions.TopK.topKByScore]] heap — only ≤ k entries per
     * vector cross the final shuffle, never a candidate set.
     */
-  def knnGraph(df: DataFrame, k: Int, planes: Int = 4,
+  def knnGraph(df: DataFrame, k: Int, planes: Int = PlanesAuto,
       idCol: String = "vec_id", embCol: String = "embedding",
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      corpusCount: Option[Long] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    val nPlanes = resolvePlanes(df, planes, corpusCount)
     val e = df.select(col(idCol), toDouble(col(embCol)).as("embd"))
-      .withColumn("bucket", lshBucket(col("embd"), planes))
+      .withColumn("bucket", lshBucket(col("embd"), nPlanes))
     val sizes = e.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBucket)
       .select("bucket")
@@ -597,10 +623,13 @@ object Similarity {
     * |clusters| rows.
     */
   def semanticDedup(df: DataFrame, threshold: Double, k: Int = 5,
-      planes: Int = 4, idCol: String = "vec_id",
+      planes: Int = PlanesAuto, idCol: String = "vec_id",
       embCol: String = "embedding",
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val knn = knnGraph(df, k, planes, idCol, embCol, maxBucket)
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      corpusCount: Option[Long] = None): DataFrame = {
+    // resolve once here so the delegation never pays a second count
+    val knn = knnGraph(df, k, resolvePlanes(df, planes, corpusCount),
+      idCol, embCol, maxBucket)
     val pairs = knn.filter(col("score") >= threshold)
       .select(least(col(idCol), col("neighbor_id")).as("id_a"),
         greatest(col(idCol), col("neighbor_id")).as("id_b"))

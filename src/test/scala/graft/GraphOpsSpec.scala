@@ -184,6 +184,41 @@ class GraphOpsSpec extends SparkSuite {
     assert(Similarity.autoPlanes(Long.MaxValue, targetBucket = 1) == 63)
   }
 
+  test("PlanesAuto default: knnGraph/semanticDedup auto-size from the " +
+      "corpus count; explicit planes pass through untouched") {
+    // round-11 default flip: callers who pass nothing get the
+    // occupancy-constant rule — the measured points (4 at the sf0.1
+    // corpus, 9 at the 30x stress corpus) checked via the hint path
+    val vecs = (1L to 60L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 13) % 29 - 14).toFloat))
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.resolvePlanes(vecs, Similarity.PlanesAuto,
+      Some(2000L)) == 4)
+    assert(Similarity.resolvePlanes(vecs, Similarity.PlanesAuto,
+      Some(60000L)) == 9)
+    // no hint -> one count job; 60 rows floor at base=4
+    assert(Similarity.resolvePlanes(vecs, Similarity.PlanesAuto,
+      None) == 4)
+    // explicit values pass through, out-of-range ones fail loudly
+    assert(Similarity.resolvePlanes(vecs, 9, Some(10L)) == 9)
+    intercept[IllegalArgumentException] {
+      Similarity.resolvePlanes(vecs, 64, None)
+    }
+    // default-arg call == explicit autoPlanes(count) call, row-for-row
+    val auto = Similarity.knnGraph(vecs, k = 3)
+      .collect().map(_.toSeq).toSet
+    val pinned = Similarity.knnGraph(vecs, k = 3,
+        planes = Similarity.autoPlanes(60L))
+      .collect().map(_.toSeq).toSet
+    assert(auto == pinned && auto.nonEmpty)
+    val autoSd = Similarity.semanticDedup(vecs, threshold = 0.99)
+      .collect().map(_.toSeq).toSet
+    val pinnedSd = Similarity.semanticDedup(vecs, threshold = 0.99,
+        planes = Similarity.autoPlanes(60L))
+      .collect().map(_.toSeq).toSet
+    assert(autoSd == pinnedSd)
+  }
+
   test("knnGraph: bounded-heap top-k == window formulation per bucket") {
     import org.apache.spark.sql.expressions.Window
     val vecs = (1L to 60L).map { i =>
