@@ -237,6 +237,99 @@ class StreamsSpec extends SparkSuite {
     assert(oneShot == got)
   }
 
+  test("chaos: dedupIngest killed MID-APPEND on batch 1 replays from " +
+      "the checkpoint with no lost and no duplicated admissions") {
+    implicit val sc = spark.sqlContext
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.chaos_acc")
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("fingerprint", graft.ext.Text.fingerprint($"text"))
+      .write.saveAsTable("graft_test.chaos_acc")
+    val ckpt = tmpDir() + "/ckpt"
+    val input = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = Streams.dedupIngest(input.toDF().toDF("doc_id", "text"),
+        "graft_test.chaos_acc", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData((10L, "alpha beta"), (11L, "gamma delta"))
+    drain()
+    assert(spark.table("graft_test.chaos_acc").count() == 2)
+    // CHAOS: make the accepted table's append job fail mid-commit by
+    // planting a regular FILE where the output committer needs its
+    // _temporary directory — the dedup computation succeeds, the
+    // append dies, the checkpoint never records batch 1
+    val loc = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "chaos_acc", Some("graft_test"))).location.getPath)
+    val poison = new java.io.File(loc, "_temporary")
+    assert(poison.createNewFile(), "could not plant the append poison")
+    input.addData((20L, "alpha beta"),      // dup of accepted 10
+      (21L, "epsilon zeta"), (22L, "theta iota"))
+    intercept[Exception] { drain() }
+    assert(poison.delete())
+    // the failed batch must not have leaked rows
+    assert(spark.table("graft_test.chaos_acc").count() == 2)
+    // ALSO cover the other crash window: an incarnation that committed
+    // its append but died before the checkpoint commit — pre-insert one
+    // batch-1 survivor as that incarnation's orphaned append
+    Seq((21L, "epsilon zeta")).toDF("doc_id", "text")
+      .withColumn("fingerprint", graft.ext.Text.fingerprint($"text"))
+      .write.mode("append").insertInto("graft_test.chaos_acc")
+    drain() // replay batch 1 from the checkpoint
+    val got = spark.table("graft_test.chaos_acc").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    // 20 dup-rejected; 21 admitted exactly ONCE despite the orphaned
+    // append; 22 admitted (not lost) — the one-shot admission set
+    assert(got == Seq(10L, 11L, 21L, 22L))
+  }
+
+  test("chaos: budgetIngest poison row kills batch 1 mid-compute; the " +
+      "restart replays to the one-shot admission set, state unduplicated") {
+    implicit val sc = spark.sqlContext
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    graft.warehouse.Warehouse.dropManagedTable(spark, "graft_test.chaos_budg")
+    graft.warehouse.Warehouse.dropManagedTable(spark,
+      "graft_test.chaos_budg_st")
+    Seq.empty[(Long, String, Long, Long)]
+      .toDF("doc_id", "source", "w", "running_total")
+      .write.saveAsTable("graft_test.chaos_budg")
+    Seq.empty[(String, Long, Long)].toDF("source", "w", "batch_id")
+      .write.saveAsTable("graft_test.chaos_budg_st")
+    val ckpt = tmpDir() + "/ckpt"
+    val input = MemoryStream[(Long, String, Long)]
+    def drain(w: org.apache.spark.sql.Column): Unit = {
+      val q = Streams.budgetIngest(
+        input.toDF().toDF("doc_id", "source", "n"),
+        "graft_test.chaos_budg", "graft_test.chaos_budg_st", ckpt,
+        budget = 10L, weight = w, keyCol = "source", idCol = "doc_id")
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData((1L, "a", 4L), (2L, "a", 5L), (3L, "b", 12L))
+    drain(col("n"))
+    // CHAOS: doc 6's weight expression throws — the admission window
+    // computation fails inside batch 1, before either table commits
+    input.addData((4L, "a", 1L), (5L, "b", 1L), (6L, "c", 3L))
+    val poisoned = when($"doc_id" === 6L,
+      assert_true(lit(false)).cast("long")).otherwise($"n")
+    intercept[Exception] { drain(poisoned) }
+    // nothing from the failed batch leaked into data OR state
+    assert(spark.table("graft_test.chaos_budg").count() == 2)
+    assert(spark.table("graft_test.chaos_budg_st")
+      .filter($"batch_id" >= 1).count() == 0)
+    drain(col("n")) // restart with the healthy weight: batch 1 replays
+    val got = spark.table("graft_test.chaos_budg").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // one-shot prefix semantics: a: 4,9,10 all fit; b: 12,13 both
+    // rejected; c: 3 fits — and nothing double-admitted on replay
+    assert(got == Seq((1L, 4L), (2L, 9L), (4L, 10L), (6L, 3L)))
+    // state carries exactly one contribution row per (batch, key)
+    val st = spark.table("graft_test.chaos_budg_st")
+      .groupBy("batch_id", "source").count()
+      .collect().map(_.getLong(2)).toSeq
+    assert(st.nonEmpty && st.forall(_ == 1L))
+  }
+
   test("windowedCounts: watermarked tumbling windows drop late rows (ST5)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]

@@ -1,11 +1,15 @@
 #!/usr/bin/env bash
 # The full correctness-gate matrix: every SparkEntry query hash-compared
-# against its DuckDB oracle on FOUR corpora — the driver's real testdata
-# plus the three adversarial derivations (see FIXTURES.md §C). A clean
-# run prints four "== 136 pass, 0 fail" lines; any FAIL line is a real
+# against its DuckDB oracle on FIVE corpora — the driver's real testdata
+# plus the four adversarial derivations (see FIXTURES.md §C): fuzz
+# (degenerate-but-in-contract rows), empty (0-row tables), tiny (1-row
+# tables), and mono (every document/embedding identical — the whole
+# corpus one duplicate cluster, the dedup family's worst case). A clean
+# run prints five "== 137 pass, 0 fail" lines; any FAIL line is a real
 # cross-engine divergence or crash.
 #
-# Usage: tools/run_gates.sh [sfDir]     (default /root/testdata/sf0.01)
+# Usage: tools/run_gates.sh [sfDir]     (default /root/testdata/sf0.01;
+#        pass /root/testdata/sf0.1 for the bench-scale pass)
 set -u
 SF="${1:-/root/testdata/sf0.01}"
 SRC_SMALL=/root/testdata/sf0.001
@@ -25,10 +29,12 @@ gate() { # name corpusDir
 python3 "$(dirname "$0")/gen_fuzz.py" "$SRC_SMALL" /tmp/graft_fuzz >/dev/null
 python3 "$(dirname "$0")/gen_fuzz.py" --empty >/dev/null
 python3 "$(dirname "$0")/gen_fuzz.py" --tiny >/dev/null
+python3 "$(dirname "$0")/gen_fuzz.py" --mono >/dev/null
 
 gate real "$SF"
 gate fuzz /tmp/graft_fuzz
 gate empty /tmp/graft_empty
 gate tiny /tmp/graft_tiny
+gate dup /tmp/graft_mono
 
 exit $fail
