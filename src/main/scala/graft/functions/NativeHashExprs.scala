@@ -131,17 +131,33 @@ object NativeHash {
     */
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
-    val offs = NativeString.codePointOffsets(str)
-    val m = offs.length - 1 - (n - 1)
-    if (m < 1) new GenericArrayData(Array.empty[Long])
-    else {
-      val out = new Array[Long](m)
-      var t = 0
-      while (t < m) {
-        out(t) = polyRange(str, offs(t), offs(t + n))
-        t += 1
+    if (NativeString.isBmp(str)) {
+      // BMP fast path (round-11 tax trim): code points == code units,
+      // so windows index the string directly — no offsets allocation
+      val m = str.length - (n - 1)
+      if (m < 1) new GenericArrayData(Array.empty[Long])
+      else {
+        val out = new Array[Long](m)
+        var t = 0
+        while (t < m) {
+          out(t) = polyRange(str, t, t + n)
+          t += 1
+        }
+        new GenericArrayData(out)
       }
-      new GenericArrayData(out)
+    } else {
+      val offs = NativeString.codePointOffsets(str)
+      val m = offs.length - 1 - (n - 1)
+      if (m < 1) new GenericArrayData(Array.empty[Long])
+      else {
+        val out = new Array[Long](m)
+        var t = 0
+        while (t < m) {
+          out(t) = polyRange(str, offs(t), offs(t + n))
+          t += 1
+        }
+        new GenericArrayData(out)
+      }
     }
   }
 

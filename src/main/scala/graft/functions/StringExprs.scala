@@ -29,11 +29,33 @@ object NativeString {
   def countOccurrencesU(s: UTF8String, sub: String): Long =
     countOccurrences(s.toString, sub)
 
+  /** True iff `s` contains no surrogate code unit — every code unit IS
+    * a code point, so code-point windows collapse to code-unit windows.
+    * The round-11 tax trim (round-10 review item #4): the astral-plane
+    * totality fixes routed every char operation through
+    * [[codePointOffsets]] (two walks + an offsets allocation per call);
+    * this one-pass, zero-allocation probe lets pure-BMP text — the
+    * overwhelming majority of any real corpus — keep the flat layout,
+    * while surrogate-bearing text still takes the exact code-point
+    * path (spec-pinned in EdgeSemanticsSpec).
+    */
+  def isBmp(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch >= 0xD800 && ch <= 0xDFFF) return false
+      i += 1
+    }
+    true
+  }
+
   /** Code-unit offset of every code point of `s`, plus the end mark:
     * `offs(k)` is where the k-th code point starts; length = count+1.
     * Shared by every native path that windows or symbolizes per code
     * point (char shingles, char jaccard, BPE symbolization) — the walk
     * exists ONCE, so a boundary fix can't drift the twins apart.
+    * Hot callers gate on [[isBmp]] first and skip this entirely for
+    * surrogate-free text.
     */
   def codePointOffsets(s: String): Array[Int] = {
     val n = s.codePointCount(0, s.length)
@@ -64,10 +86,18 @@ object NativeString {
     // must occupy one slot here too
     def grams(s: String): java.util.HashSet[String] = {
       val set = new java.util.HashSet[String]()
-      val offs = codePointOffsets(s)
-      val cps = offs.length - 1
-      var t = 0
-      while (t + n <= cps) { set.add(s.substring(offs(t), offs(t + n))); t += 1 }
+      if (isBmp(s)) {
+        // BMP fast path: code points == code units, window directly
+        var t = 0
+        while (t + n <= s.length) { set.add(s.substring(t, t + n)); t += 1 }
+      } else {
+        val offs = codePointOffsets(s)
+        val cps = offs.length - 1
+        var t = 0
+        while (t + n <= cps) {
+          set.add(s.substring(offs(t), offs(t + n))); t += 1
+        }
+      }
       set
     }
     val sa = grams(a)
@@ -161,14 +191,25 @@ object NativeString {
         // initial symbols are CODE POINTS (the SQL twin's
         // string_split_regex(w, '') yields per-code-point chars; a
         // code-unit split would halve astral-plane chars into lone
-        // surrogates and double-count them as symbols)
-        val offs = NativeString.codePointOffsets(w)
-        var syms = new Array[String](offs.length - 1)
-        var si = 0
-        while (si < syms.length) {
-          syms(si) = w.substring(offs(si), offs(si + 1))
-          si += 1
-        }
+        // surrogates and double-count them as symbols). BMP words —
+        // the common case — symbolize straight off the char array.
+        var syms =
+          if (isBmp(w)) {
+            val a = new Array[String](w.length)
+            var si = 0
+            while (si < a.length) {
+              a(si) = String.valueOf(w.charAt(si)); si += 1
+            }
+            a
+          } else {
+            val offs = NativeString.codePointOffsets(w)
+            val a = new Array[String](offs.length - 1)
+            var si = 0
+            while (si < a.length) {
+              a(si) = w.substring(offs(si), offs(si + 1)); si += 1
+            }
+            a
+          }
         var m = 0
         while (m < merges.length) {
           val a = merges(m); val b = merges(m + 1)
