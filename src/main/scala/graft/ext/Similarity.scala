@@ -412,9 +412,19 @@ object Similarity {
         return new IvfIndex(
           c.drop("features").withColumn("cluster", lit(0).cast("int")),
           Seq.empty[(Int, Seq[Double])].toDF("cluster", "centroid"))
-      if (nRows == 1L) {
-        // Spark ML k-means requires k ≥ 2 — a 1-vector corpus is one
-        // cell holding everything; search degenerates to the exact scan
+      // k must clamp to the number of DISTINCT vectors, not just rows:
+      // Spark ML's k-means aggregator indexes centers by the init's
+      // distinct-candidate count, and k > distinct points crashes with
+      // an ArrayIndexOutOfBounds (found by the all-identical `dup`
+      // gate corpus — a scraper gone wrong is exactly when a real
+      // pipeline hits this). The count is over a 64-bit content hash:
+      // map-side cheap, and a collision only UNDER-counts, which is
+      // always safe (fewer cells = coarser index, never a crash).
+      val nDistinct = c.select(xxhash64(col("cand_emb"))).distinct().count()
+      if (nRows == 1L || nDistinct == 1L) {
+        // Spark ML k-means requires k ≥ 2 — a corpus with one vector
+        // (or one distinct vector repeated) is one cell holding
+        // everything; search degenerates to the exact scan
         val assigned = c.drop("features")
           .withColumn("cluster", lit(0).cast("int")).persist()
         assigned.count()
@@ -422,7 +432,7 @@ object Similarity {
         return new IvfIndex(assigned,
           Seq((0, v)).toDF("cluster", "centroid"))
       }
-      val k = math.min(nCentroids.toLong, nRows).toInt
+      val k = math.min(math.min(nCentroids.toLong, nRows), nDistinct).toInt
       val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
         .fit(c) // 5 iterations: cell quality plateaus early; recall asserted in tests
       val assigned = model.transform(c)

@@ -364,12 +364,37 @@ object ScaleQueries {
       .orderBy("probe_id")
   }
 
-  private val q38Sql =
-    """SELECT vec_id AS probe_id,
-      |  least(CAST(10 AS BIGINT),
-      |    (SELECT count(*) FROM embeddings)) AS n_true,
-      |  true AS recall_ok, true AS self_hit
-      |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin
+  // self_hit replays the engine's exact tie-break (score DESC, cand_id
+  // ASC): the probe holds rank 1 unless some OTHER vector beats its
+  // self-cosine, or ties it with a smaller id. On a well-separated
+  // corpus that reduces to plain "self wins"; on a duplicate-heavy one
+  // (the all-identical `dup` gate; the fuzz corpus's exact scaled copy,
+  // whose cosine is BIT-equal to the self-cosine — sqrt(4x) = 2*sqrt(x)
+  // and the fold scales exactly) the smallest-id member of the
+  // cosine-tied class wins, and the oracle must predict that, not
+  // assert a self-hit that tie-breaking genuinely denies.
+  private val q38Sql = {
+    val cosAP = graft.ext.Similarity.cosineSql("a.ae", "p.pe")
+    val cosPP = graft.ext.Similarity.cosineSql("p.pe", "p.pe")
+    // scores materialize through a join (not a correlated EXISTS):
+    // DuckDB lambdas cannot capture correlated outer columns
+    s"""WITH p AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+       |  FROM embeddings WHERE vec_id < 5),
+       |a AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+       |  FROM embeddings),
+       |sc AS (SELECT p.vec_id AS pid, a.vec_id AS aid,
+       |    $cosAP AS s, $cosPP AS cs
+       |  FROM p CROSS JOIN a)
+       |SELECT pid AS probe_id,
+       |  least(CAST(10 AS BIGINT),
+       |    (SELECT count(*) FROM embeddings)) AS n_true,
+       |  true AS recall_ok,
+       |  count(*) FILTER (WHERE aid <> pid AND
+       |    (s > cs OR (s = cs AND aid < pid))) = 0 AS self_hit
+       |FROM sc GROUP BY pid ORDER BY probe_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q40
   // As-of join (composed, SURVEY-preference (a)): each purchase event

@@ -146,6 +146,17 @@ class EdgeSemanticsSpec extends SparkSuite {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val idx = ext.Similarity.IvfIndex.build(emptyEmb, nCentroids = 4)
     assert(idx.search(emptyEmb, k = 3).isEmpty)
+    // all-identical corpus (dup-gate class): k must clamp to the
+    // DISTINCT vector count — Spark ML's aggregator crashes when k
+    // exceeds the distinct points — and search still ranks by the
+    // deterministic (score DESC, cand_id) tie-break
+    val monoEmb = (0L until 12L)
+      .map(i => (i, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val monoIdx = ext.Similarity.IvfIndex.build(monoEmb, nCentroids = 4)
+    val monoTop = monoIdx.search(monoEmb.filter(col("vec_id") === 7L), k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("cand_id")).toSeq
+    assert(monoTop == Seq(0L, 1L, 2L),
+      s"mono-corpus tie-break drifted: $monoTop")
     // training on nothing: zero gradient, zero misses, epochs intact
     val learned = ext.Learn.perceptron(emptyDocs,
       Seq(lit(1L), length(col("text")).cast("long")),

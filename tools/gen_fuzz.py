@@ -274,13 +274,20 @@ def write_mono():
     """All-identical mode: every document the SAME text, every embedding
     the SAME vector (a scraper gone wrong) — the whole corpus is one
     duplicate cluster: C(n,2) candidate pairs, a single connected
-    component, every LSH bucket maximal, zero diversity everywhere."""
+    component, every LSH bucket maximal, zero diversity everywhere.
+
+    Sized DOWN to 60 docs / 40 vectors: the degeneracy class is the
+    same at any n (one cluster, all-pairs candidates, one keeper), but
+    the ORACLE cost is not — DuckDB's recursive-CTE reachability over a
+    complete K_500 graph ground for the better part of an hour on the
+    full-size corpus, while the Spark side finished in seconds. The
+    gate checks semantics, not oracle throughput."""
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events"):
         write(t, read(t))
     docs = read("documents")
     one_text = docs.column("text")[0].as_py()
-    n = docs.num_rows
+    n = min(60, docs.num_rows)
     rows = [{"doc_id": i, "text": one_text, "lang": "en", "source": "src0",
              "n_chars": len(one_text)} for i in range(n)]
     pq.write_table(pa.table(
@@ -289,7 +296,7 @@ def write_mono():
         f"{OUT}/documents.parquet")
     emb = read("embeddings")
     one_vec = emb.column("embedding")[0].as_py()
-    m = emb.num_rows
+    m = min(40, emb.num_rows)
     erows = [{"vec_id": i, "embedding": one_vec, "label": i % 10}
              for i in range(m)]
     pq.write_table(pa.table(
