@@ -251,10 +251,11 @@ object Versioned {
     * (transf.py:329-362) from one writer to N.
     */
   def commitReplace(spark: SparkSession, dir: String, df: DataFrame,
-      keyCols: Seq[String], baseVersion: Option[Int] = None): Int = {
+      keyCols: Seq[String], baseVersion: Option[Int] = None,
+      statCol: Option[String] = None): Int = {
     require(keyCols.nonEmpty, "commitReplace needs at least one key column")
     val base = baseVersion.orElse(latestVersion(spark, dir))
-    replaceLoop(spark, dir, stage(spark, dir, df, None), base,
+    replaceLoop(spark, dir, stage(spark, dir, df, statCol), base,
       Some(keyCols))
   }
 
@@ -268,19 +269,27 @@ object Versioned {
     * replace conflicts. Returns the new version.
     */
   def compactCommit(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Int = {
+      targetBytes: Long = 128L << 20,
+      statCol: Option[String] = None): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = fileSystem(spark, dir)
     val base = latestVersion(spark, dir)
     val baseV = base.getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
-    val files = readManifest(fs, dir, baseV).map(parseLine(_)._1)
+    val lines = readManifest(fs, dir, baseV).map(parseLine)
+    val files = lines.map(_._1)
+    // stats survive compaction: default to the base version's own
+    // stats column (off its manifest lines) — a rewrite that silently
+    // dropped them would disable readPruned's file skipping without
+    // anyone noticing until scan costs exploded
+    val inherited = statCol.orElse(
+      lines.collectFirst { case (_, Some((c, _, _))) => c })
     val totalBytes = files.map(rel =>
       fs.getFileStatus(new Path(dir, rel)).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .min(files.size.toLong).toInt
     val staged = stage(spark, dir,
-      read(spark, dir, Some(baseV)).coalesce(nOut), None)
+      read(spark, dir, Some(baseV)).coalesce(nOut), inherited)
     replaceLoop(spark, dir, staged, base, keyCols = None)
   }
 

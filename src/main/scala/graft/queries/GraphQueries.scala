@@ -169,8 +169,17 @@ object GraphQueries {
   // Corpus-wide kNN graph (SemDeDup building block): every vector's 5
   // nearest same-LSH-bucket neighbors by cosine. Bucket sizes broadcast,
   // candidates equi-join on bucket, ≤ k-entry heaps cross the shuffle.
+  //
+  // `planes` is left at the PlanesAuto default (round 11): the shipped
+  // query carries the occupancy-constant sizing, so the stress probe's
+  // scaled corpora no longer hit the pinned-constant truncation cliff.
+  // The STATIC oracle must pin a constant, so it uses 4 — which is
+  // exactly what autoPlanes resolves to on EVERY gate corpus (counts
+  // 0..2,011, all ≤ the 2,048 crossover; next crossover 4→5 planes at
+  // 2,049 vectors). A regenerated-bigger testdata would surface as a
+  // loud gate hash-mismatch here, not a silent drift.
   private def q91(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraph(t(s, dir, "embeddings"), k = 5, planes = 4)
+    Similarity.knnGraph(t(s, dir, "embeddings"), k = 5)
       .orderBy("vec_id", "rank")
 
   private val q91Sql =
@@ -246,9 +255,11 @@ object GraphQueries {
   // transitive components (Spark: label propagation; oracle: recursive
   // min-reachable-id — different algorithms, identical clusters) →
   // min-id canonical election with drop counts.
+  // planes: PlanesAuto default, same oracle coupling as q91 (the SQL
+  // twin pins 4 = what auto resolves to on every gate corpus)
   private def q97(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.35,
-        k = 5, planes = 4)
+        k = 5)
       .orderBy("component")
 
   private val q97Sql =

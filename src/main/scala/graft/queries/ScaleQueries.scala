@@ -1013,7 +1013,10 @@ object ScaleQueries {
       val v1 = Versioned.compactCommit(s, vt, targetBytes = 1L << 20)
       require(v1 == 1, s"compaction published unexpected version $v1")
       val compacted = Versioned.read(s, vt, Some(v1))
-      require(compacted.inputFiles.length < nSmall,
+      // an EMPTY corpus (empty-gate sweep) lands as one zero-row file
+      // that compaction can only rewrite 1 -> 1; the shrink assertion
+      // is about the 64-small-file layout, so it gates on having one
+      require(compacted.inputFiles.length < nSmall || nSmall <= 1,
         s"compaction did not shrink the layout: $nSmall -> " +
           s"${compacted.inputFiles.length}")
       // time travel preserved: the pre-compaction version still reads

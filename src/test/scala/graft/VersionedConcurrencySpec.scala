@@ -195,4 +195,27 @@ class VersionedConcurrencySpec extends SparkSuite {
     // time travel: v1 (pre-compaction) still reads its original state
     assert(Versioned.read(spark, dir, Some(1)).count() == 400)
   }
+
+  test("compactCommit inherits the base version's stats column: " +
+      "readPruned still file-skips after the rewrite") {
+    val dir = tmpDir() + "/compact-stats"
+    // three range-clustered stats commits -> 3 prunable files
+    Versioned.commitWithStats(spark, dir,
+      rows(0, 100, "a").coalesce(1), "id")
+    Versioned.commitWithStats(spark, dir,
+      rows(100, 200, "b").coalesce(1), "id")
+    Versioned.commitWithStats(spark, dir,
+      rows(200, 300, "c").coalesce(1), "id")
+    assert(Versioned.readPruned(spark, dir, "id", 150, 160)
+      .inputFiles.length == 1)
+    // compact 3 -> 1; the inherited stats column must be re-recorded
+    // on the rewritten file, so a selective read still prunes (here:
+    // one file total, and a disjoint range plans ZERO files)
+    Versioned.compactCommit(spark, dir, targetBytes = 1L << 30)
+    val hit = Versioned.readPruned(spark, dir, "id", 150, 160)
+    assert(hit.inputFiles.length == 1)
+    assert(hit.count() == 11)
+    assert(Versioned.readPruned(spark, dir, "id", 5000, 6000)
+      .inputFiles.isEmpty)
+  }
 }
