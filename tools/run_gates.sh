@@ -19,10 +19,12 @@ gate() { # name corpusDir
   local out="/tmp/gate_$1"
   rm -rf "$out"
   sbt -batch "runMain graft.Verify $2 $out" >/dev/null 2>&1
-  python3 "$(dirname "$0")/check_oracle.py" "$2" "$out" | tail -1 |
-    sed "s/^/[$1] /"
-  python3 "$(dirname "$0")/check_oracle.py" "$2" "$out" |
-    grep -q "0 fail$" || fail=1
+  # ONE compare per gate (it can be minutes at sf0.1): capture, then
+  # both report and test the same run
+  local res
+  res=$(python3 "$(dirname "$0")/check_oracle.py" "$2" "$out" | tail -1)
+  echo "[$1] $res"
+  echo "$res" | grep -q ", 0 fail$" || fail=1
   rm -rf "$out"
 }
 
