@@ -187,8 +187,13 @@ object Stress {
       "q04_merge_insert_if_absent",
       // CDC / versioned lake (fifth sweep): change-apply, snapshot
       // diff, IVM refresh — their fixtures derive from the scaled
-      // events/orders, so lake version sizes scale with the corpus
+      // events/orders, so lake version sizes scale with the corpus.
+      // Round 11 adds the concurrency protocol itself: q133's racing
+      // CAS committers and q104's compaction-as-replace-commit run
+      // against the scaled tables, so the staging + validation +
+      // manifest costs are measured against data volume, not argued
       "q105_cdc_replay", "q113_version_diff", "q115_ivm_refresh",
+      "q133_concurrent_commits", "q104_lake_compaction",
       // retrieval / sketches / multimodal (sixth sweep): fixed probes
       // (vec_id < 5/8) against the scaled corpus — measures the
       // "probes broadcast, corpus never shuffles" linear-scan claim,

@@ -406,4 +406,51 @@ class PropertiesSpec extends SparkSuite {
         true
     }, n = 6)
   }
+
+  test("BMP fast paths equal the code-point-offsets reference on " +
+      "arbitrary unicode (surrogates, combining marks, ASCII mixes)") {
+    import graft.functions.{NativeHash, NativeString}
+    import org.apache.spark.unsafe.types.UTF8String
+    // char soup spanning every branch: ASCII, space, BMP CJK,
+    // combining mark, astral emoji / math letters (surrogate pairs)
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "),
+      Gen.oneOf("你", "好", "é", "́", "ß"),
+      Gen.oneOf("🚀", "👩", "𝔘"))
+    val uniStr: Gen[String] = Gen.listOf(piece).map(_.mkString)
+    // references reproduce the pre-round-11 single-path formulations
+    def shinglesRef(s: String, n: Int): Seq[Long] = {
+      val offs = NativeString.codePointOffsets(s)
+      val m = offs.length - 1 - (n - 1)
+      if (m < 1) Seq.empty
+      else (0 until m).map(t => NativeHash.polyRange(s, offs(t), offs(t + n)))
+    }
+    def jaccardRef(a: String, b: String, n: Int): Double = {
+      def grams(s: String): Set[String] = {
+        val offs = NativeString.codePointOffsets(s)
+        val cps = offs.length - 1
+        (0 to cps - n).map(t => s.substring(offs(t), offs(t + n))).toSet
+      }
+      val (sa, sb) = (grams(a), grams(b))
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      if (union == 0) -1.0 else inter.toDouble / union
+    }
+    def bpeRef(s: String): String =
+      s.split(" ", -1).filter(_.nonEmpty).map { w =>
+        val offs = NativeString.codePointOffsets(w)
+        (0 until offs.length - 1)
+          .map(i => w.substring(offs(i), offs(i + 1))).mkString("\u001F")
+      }.mkString(" ")
+    check(Prop.forAll(uniStr, uniStr, Gen.choose(1, 4)) { (a, b, n) =>
+      val got = NativeHash.charShingles(UTF8String.fromString(a), n)
+      assert(got.toLongArray().toSeq == shinglesRef(a, n),
+        s"charShingles diverged on '$a' n=$n")
+      val j = NativeString.charJaccardRaw(a, b, n)
+      assert(j == jaccardRef(a, b, n), s"charJaccard diverged on '$a'/'$b'")
+      assert(NativeString.bpeEncodeRaw(a, Array.empty) == bpeRef(a),
+        s"bpe symbolization diverged on '$a'")
+      true
+    }, n = 40)
+  }
 }

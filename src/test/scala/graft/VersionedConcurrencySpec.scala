@@ -54,6 +54,31 @@ class VersionedConcurrencySpec extends SparkSuite {
       Versioned.read(spark, dir, Some(v)).count())
   }
 
+  test("four-writer commit storm: 16 racing appends all land, versions " +
+      "dense, every snapshot readable, final state exact") {
+    val dir = tmpDir() + "/race-storm"
+    val nWriters = 4
+    val perWriter = 4
+    val barrier = new CyclicBarrier(nWriters)
+    inParallel((0 until nWriters).map { w =>
+      () => { barrier.await()
+        (0 until perWriter).foreach { i =>
+          Versioned.commit(spark, dir,
+            rows(w * 1000 + i * 100, w * 1000 + i * 100 + 50, s"w$w"))
+        } }
+    }: _*)
+    val latest = Versioned.latestVersion(spark, dir)
+    assert(latest.contains(nWriters * perWriter - 1),
+      s"lost a version under contention: $latest")
+    val got = Versioned.read(spark, dir).count()
+    assert(got == nWriters * perWriter * 50L)
+    // version chain is strictly append-monotone: each version has at
+    // least as many rows as its predecessor (appends never drop data)
+    val counts = (0 until nWriters * perWriter)
+      .map(v => Versioned.read(spark, dir, Some(v)).count())
+    assert(counts == counts.sorted, s"non-monotone chain: $counts")
+  }
+
   test("stale-base replace with disjoint keys merges the interleaved " +
       "append (serializes as replace-then-append)") {
     val dir = tmpDir() + "/replace-merge"
