@@ -386,6 +386,21 @@ object Versioned {
     ()
   }
 
+  /** Bracketed pinned read: pin the head (or `version`), hand `f` the
+    * snapshot DataFrame, and ALWAYS release the pin — including on
+    * failure, so a crashed reader never leaks a retention floor (the
+    * leak mode of every pin API; a leaked pin file would silently stop
+    * `expire` from ever collecting). The pin must outlive every ACTION
+    * on the frame, which is why this is a bracket and not a pair of
+    * calls the caller has to sequence correctly.
+    */
+  def withPinnedRead[A](spark: SparkSession, dir: String,
+      version: Option[Int] = None)(f: DataFrame => A): A = {
+    val p = pin(spark, dir, version)
+    try f(read(spark, dir, Some(p.version)))
+    finally unpin(spark, dir, p)
+  }
+
   /** Oldest pinned version, or None when no reader is declared. */
   private def minPinnedVersion(fs: FileSystem, dir: String): Option[Int] = {
     val pd = pinsDir(dir)
@@ -482,6 +497,13 @@ object Versioned {
     * min/max stats admit matching rows, carry the rest by reference
     * into the new manifest (the same manifest mechanics; the write
     * path then touches O(affected files)).
+    *
+    * Concurrency: the purge publishes as a plain full-state replace,
+    * so a commit that lands between its read and its publish throws
+    * [[CommitConflictException]] — the right behavior for a compliance
+    * rewrite (it must re-derive from the new head so the purge
+    * predicate also covers the rows the interleaved commit added);
+    * callers retry the whole purge on conflict.
     */
   def purge(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,

@@ -153,6 +153,30 @@ class VersionedConcurrencySpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 10)
   }
 
+  test("withPinnedRead: the pin is released on success AND on failure, " +
+      "and holds retention off for the duration") {
+    val dir = tmpDir() + "/pin-bracket"
+    Versioned.commit(spark, dir, rows(0, 10, "v0"))
+    Versioned.commit(spark, dir, rows(10, 20, "v1"), replace = true)
+    val n = Versioned.withPinnedRead(spark, dir, Some(0)) { v0 =>
+      // retention inside the bracket cannot drop the pinned v0
+      val (d, _) = Versioned.expire(spark, dir, keepLast = 1)
+      assert(d == 0)
+      v0.count()
+    }
+    assert(n == 10L)
+    // pin released on exit: retention proceeds
+    assert(Versioned.expire(spark, dir, keepLast = 1)._1 == 1)
+    // failure path: the pin must not leak a permanent retention floor
+    Versioned.commit(spark, dir, rows(20, 30, "v2"))
+    intercept[RuntimeException] {
+      Versioned.withPinnedRead(spark, dir) { _ =>
+        throw new RuntimeException("reader died")
+      }
+    }
+    assert(Versioned.expire(spark, dir, keepLast = 1)._1 == 1)
+  }
+
   test("expire-during-read: a reader that pins mid-retention either " +
       "pins safely or fails loudly — never reads a half-deleted version") {
     val dir = tmpDir() + "/pin-race"
