@@ -317,7 +317,10 @@ object Versioned {
       // manifest lines (stats included) added since base, carried verbatim
       val interleaved = headLines.filterNot(l =>
         baseFiles.contains(parseLine(l)._1))
-      if (interleaved.nonEmpty) keyCols.foreach { keys =>
+      // a zero-file staging (an empty replace frame under AQE can write
+      // no part files) trivially overlaps nothing — and reading zero
+      // paths would throw, so the guard is load-bearing, not cosmetic
+      if (interleaved.nonEmpty && staged.nonEmpty) keyCols.foreach { keys =>
         val added = spark.read.parquet(interleaved.map(l =>
           s"$dir/${parseLine(l)._1}"): _*).select(keys.head, keys.tail: _*)
         val mine = spark.read.parquet(staged.map(l =>

@@ -107,6 +107,20 @@ class VersionedConcurrencySpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 20)
   }
 
+  test("stale-base replace with an EMPTY frame merges to just the " +
+      "interleaved appends (zero staged files must not crash validation)") {
+    val dir = tmpDir() + "/replace-empty"
+    Versioned.commit(spark, dir, rows(0, 10, "base"))          // v0
+    Versioned.commit(spark, dir, rows(100, 110, "later"))      // v1
+    // truncate-to-empty derived from v0, with v1 interleaved: the
+    // result must be exactly v1's appended rows (replace-then-append)
+    val v2 = Versioned.commitReplace(spark, dir,
+      rows(0, 0, "none"), keyCols = Seq("id"), baseVersion = Some(0))
+    assert(v2 == 2)
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(got == (100 until 110).map(i => (i.toLong, "later")).toSet)
+  }
+
   test("replace interleaved with another replace conflicts even on " +
       "disjoint keys (both claimed full-table authority)") {
     val dir = tmpDir() + "/replace-replace"
