@@ -3,7 +3,8 @@ package graft.lake
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Versioned lake table — manifest-based snapshot isolation and time
   * travel over plain parquet files (the core mechanism of a table
@@ -107,11 +108,69 @@ object Versioned {
     }
   }
 
-  private def readManifest(fs: FileSystem, dir: String, v: Int): Seq[String] = {
+  /** A parsed manifest: the version's recorded table schema (None only
+    * for manifests written before schema tracking — round-11 commits
+    * always record one) and its data-file lines.
+    */
+  private final case class Manifest(schema: Option[StructType],
+      lines: Seq[String])
+
+  // header lines start with '#' so file-line consumers skip them by
+  // prefix; the schema rides as Spark's own StructType JSON (control
+  // characters are JSON-escaped, so the header is always one line)
+  private val SchemaHeader = "#schema\t"
+
+  private def readManifest(fs: FileSystem, dir: String, v: Int): Manifest = {
     val in = fs.open(manifestPath(dir, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    val schema = raw.collectFirst { case l if l.startsWith(SchemaHeader) =>
+      DataType.fromJson(l.stripPrefix(SchemaHeader)).asInstanceOf[StructType]
+    }
+    Manifest(schema, raw.filterNot(_.startsWith("#")))
+  }
+
+  /** The table schema of version `v`: the manifest-recorded one when
+    * present (O(1) — no file I/O beyond the manifest itself), else
+    * sampled from the version's parquet footers (pre-schema-tracking
+    * manifests). None only for a schema-less EMPTY legacy version.
+    */
+  private def versionSchema(spark: SparkSession, dir: String,
+      m: Manifest): Option[StructType] =
+    m.schema.orElse {
+      if (m.lines.isEmpty) None
+      else Some(spark.read.parquet(
+        m.lines.map(l => s"$dir/${parseLine(l)._1}"): _*).schema)
+    }
+
+  /** Append-commit schema evolution (the rule of every production table
+    * format's default mode): existing columns must keep their exact
+    * type — a type change is a full-table rewrite, i.e. a REPLACE, not
+    * an append — while brand-new columns join the table as nullable
+    * (historical files simply have no values for them; reads fill
+    * null). A writer may also OMIT evolved columns (old pipeline code
+    * appending to an evolved table): its files null-fill at read, so
+    * the omitted column's nullability relaxes.
+    */
+  private[lake] def evolveSchema(table: StructType,
+      incoming: StructType): StructType = {
+    val byName = incoming.map(f => f.name -> f).toMap
+    val kept = table.map { tf =>
+      byName.get(tf.name) match {
+        case Some(inf) =>
+          if (inf.dataType != tf.dataType) throw new CommitConflictException(
+            s"append cannot change column '${tf.name}' from " +
+              s"${tf.dataType.simpleString} to ${inf.dataType.simpleString}" +
+              "; a type change rewrites history — commit it as a replace")
+          tf.copy(nullable = tf.nullable || inf.nullable)
+        case None => tf.copy(nullable = true)
+      }
+    }
+    val added = incoming.filterNot(f => table.exists(_.name == f.name))
+      .map(_.copy(nullable = true))
+    StructType(kept ++ added)
   }
 
   /** Commit `df` as the next version. `replace = false` appends to the
@@ -189,13 +248,14 @@ object Versioned {
     * the staging name either.
     */
   private def casPublish(fs: FileSystem, dir: String, next: Int,
-      lines: Seq[String]): Boolean = {
+      schema: StructType, lines: Seq[String]): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
     fs.mkdirs(new Path(dir, "_manifest"))
     val out = fs.create(tmp, false)
-    try out.write(lines.mkString("", "\n", "\n")
+    try out.write((s"$SchemaHeader${schema.json}" +: lines)
+      .mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     lockFor(dir).synchronized {
@@ -213,10 +273,18 @@ object Versioned {
     while (true) {
       val head = latestVersion(spark, dir)
       val next = head.map(_ + 1).getOrElse(0)
-      val carried =
-        if (replace) Nil
-        else head.map(readManifest(fs, dir, _)).getOrElse(Nil)
-      if (casPublish(fs, dir, next, carried ++ newFiles)) return next
+      // carried files, and the schema the new version publishes: an
+      // append EVOLVES the head schema (recomputed each retry — the
+      // head we lost to may itself have evolved it); a replace claims
+      // schema authority outright
+      val headManifest =
+        if (replace) None else head.map(readManifest(fs, dir, _))
+      val carried = headManifest.map(_.lines).getOrElse(Nil)
+      val schema =
+        if (replace) df.schema
+        else headManifest.flatMap(versionSchema(spark, dir, _))
+          .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
+      if (casPublish(fs, dir, next, schema, carried ++ newFiles)) return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
       if (replace) throw new CommitConflictException(
@@ -256,7 +324,7 @@ object Versioned {
     require(keyCols.nonEmpty, "commitReplace needs at least one key column")
     val base = baseVersion.orElse(latestVersion(spark, dir))
     replaceLoop(spark, dir, stage(spark, dir, df, statCol), base,
-      Some(keyCols))
+      Some(keyCols), df.schema)
   }
 
   /** Compaction as a versioned commit: rewrite the head version's rows
@@ -276,7 +344,7 @@ object Versioned {
     val base = latestVersion(spark, dir)
     val baseV = base.getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
-    val lines = readManifest(fs, dir, baseV).map(parseLine)
+    val lines = readManifest(fs, dir, baseV).lines.map(parseLine)
     val files = lines.map(_._1)
     // stats survive compaction: default to the base version's own
     // stats column (off its manifest lines) — a rewrite that silently
@@ -286,11 +354,16 @@ object Versioned {
       lines.collectFirst { case (_, Some((c, _, _))) => c })
     val totalBytes = files.map(rel =>
       fs.getFileStatus(new Path(dir, rel)).getLen).sum
+    // a ZERO-file base (truncate-to-empty replace) still compacts to a
+    // valid (empty) commit — min(files.size) would otherwise ask for a
+    // 0-partition coalesce
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-      .min(files.size.toLong).toInt
-    val staged = stage(spark, dir,
-      read(spark, dir, Some(baseV)).coalesce(nOut), inherited)
-    replaceLoop(spark, dir, staged, base, keyCols = None)
+      .min(math.max(1L, files.size.toLong)).toInt
+    val baseDf = read(spark, dir, Some(baseV))
+    val staged = stage(spark, dir, baseDf.coalesce(nOut), inherited)
+    // the rewrite materializes the base version's EVOLVED schema
+    // (null-filled columns become physical), which is what it records
+    replaceLoop(spark, dir, staged, base, keyCols = None, baseDf.schema)
   }
 
   /** The shared replace-retry loop. `keyCols = None` skips overlap
@@ -298,16 +371,16 @@ object Versioned {
     */
   private def replaceLoop(spark: SparkSession, dir: String,
       staged: Seq[String], base: Option[Int],
-      keyCols: Option[Seq[String]]): Int = {
+      keyCols: Option[Seq[String]], stagedSchema: StructType): Int = {
     val fs = fileSystem(spark, dir)
     val baseFiles: Set[String] = base
-      .map(readManifest(fs, dir, _).map(parseLine(_)._1).toSet)
+      .map(readManifest(fs, dir, _).lines.map(parseLine(_)._1).toSet)
       .getOrElse(Set.empty)
     var attempts = 0
     while (true) {
       val head = latestVersion(spark, dir)
       val next = head.map(_ + 1).getOrElse(0)
-      val headLines = head.map(readManifest(fs, dir, _)).getOrElse(Nil)
+      val headLines = head.map(readManifest(fs, dir, _).lines).getOrElse(Nil)
       val headFiles = headLines.map(parseLine(_)._1).toSet
       if (!baseFiles.subsetOf(headFiles))
         throw new CommitConflictException(
@@ -331,7 +404,17 @@ object Versioned {
               s"concurrent commit: rows appended since the base share " +
               s"keys (${keys.mkString(", ")}) with the staged replace")
       }
-      if (casPublish(fs, dir, next, interleaved ++ staged)) return next
+      // the new version's schema: the staged frame's, evolved by what
+      // the carried interleaved files actually contain (their own
+      // footers — NOT the full head schema, which may carry columns
+      // that exist only in the base files this replace removes)
+      val schema =
+        if (interleaved.isEmpty) stagedSchema
+        else evolveSchema(stagedSchema,
+          spark.read.option("mergeSchema", true).parquet(
+            interleaved.map(l => s"$dir/${parseLine(l)._1}"): _*).schema)
+      if (casPublish(fs, dir, next, schema, interleaved ++ staged))
+        return next
       attempts += 1
       require(attempts < 1000,
         s"replace of $dir still losing the version race after " +
@@ -446,11 +529,11 @@ object Versioned {
           val dropped = (0 until cut).filter(v =>
             fs.exists(manifestPath(dir, v)))
           val refs: Set[String] = dropped
-            .flatMap(v => readManifest(fs, dir, v))
+            .flatMap(v => readManifest(fs, dir, v).lines)
             .map(parseLine(_)._1).toSet
           val keep: Set[String] = (cut to latest)
             .filter(v => fs.exists(manifestPath(dir, v)))
-            .flatMap(v => readManifest(fs, dir, v))
+            .flatMap(v => readManifest(fs, dir, v).lines)
             .map(parseLine(_)._1).toSet
           dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
           (dropped.size, refs, keep)
@@ -526,6 +609,14 @@ object Versioned {
   /** Read a specific version (time travel), or the latest when
     * `version` is None. Immutable: committing later versions never
     * changes what this returns.
+    *
+    * Schema: the version renders under its manifest-recorded schema —
+    * resolved in O(1) at plan time (no footer sweep; `mergeSchema`
+    * over a 100 TB table reads every file's footer just to plan),
+    * with files that predate an evolved column null-filling it. Each
+    * version keeps ITS OWN schema, so time travel renders history
+    * exactly as it was written. Pre-schema-tracking manifests fall
+    * back to footer inference, as before.
     */
   def read(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
@@ -533,12 +624,22 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
     require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
-    val files = readManifest(fs, dir, v)
-      .map(line => s"$dir/${parseLine(line)._1}")
-    require(files.nonEmpty,
-      s"version $v of $dir is empty (replaced with an empty frame); " +
-        "parquet cannot infer a schema from zero files")
-    spark.read.parquet(files: _*)
+    val m = readManifest(fs, dir, v)
+    val files = m.lines.map(line => s"$dir/${parseLine(line)._1}")
+    m.schema match {
+      case Some(sc) if files.isEmpty =>
+        // an empty version (truncate-to-empty replace, or an empty
+        // pipeline run's first commit) is still a READABLE table: the
+        // manifest knows the schema parquet's zero files cannot supply
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], sc)
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None =>
+        require(files.nonEmpty,
+          s"version $v of $dir is empty with no recorded schema " +
+            "(pre-schema-tracking manifest); nothing to infer from")
+        spark.read.parquet(files: _*)
+    }
   }
 
   /** Stats-pruned read: plan only the files whose recorded
@@ -557,7 +658,8 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
     require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
-    val all = readManifest(fs, dir, v).map(parseLine)
+    val m = readManifest(fs, dir, v)
+    val all = m.lines.map(parseLine)
     require(all.nonEmpty, s"version $v of $dir is empty")
     val kept = all.collect {
       case (rel, Some((c, mn, mx))) if c == statCol && (mx < lo || mn > hi) =>
@@ -565,10 +667,136 @@ object Versioned {
       case (rel, _) => Some(s"$dir/$rel")
     }.flatten
     val pred = col(statCol).between(lo, hi)
+    def scan(paths: Seq[String]) = m.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
     if (kept.isEmpty)
       // every file pruned: one file supplies the schema, the always-
       // false residual filter supplies the (empty) rows
-      spark.read.parquet(s"$dir/${all.head._1}").filter(lit(false) && pred)
-    else spark.read.parquet(kept: _*).filter(pred)
+      scan(Seq(s"$dir/${all.head._1}")).filter(lit(false) && pred)
+    else scan(kept).filter(pred)
+  }
+
+  // ----------------------------------------------------- change feed
+
+  /** Incremental change feed: every row-level change committed in
+    * `(fromVersion, toVersion]`, rendered under `toVersion`'s schema,
+    * as table columns plus `_change_type` (`insert` / `delete` /
+    * `update_preimage` / `update_postimage` — a changed key emits its
+    * old and new row as a pair) and `_commit_version` (the commit that
+    * made the change). The primitive that turns a versioned table into
+    * a PIPELINE SOURCE: a downstream consumer (re-embed changed docs,
+    * refresh a rollup, invalidate a cache) reads the feed since its
+    * last processed version instead of diffing snapshots.
+    *
+    * Scale shape — the reason this beats [[graft.ops.SnapshotDiff]]
+    * over the same versions: the per-commit file delta is planned from
+    * MANIFEST set-difference (driver-side, O(files)); an append commit
+    * contributes a pure scan of its new files tagged `insert` — zero
+    * joins, zero shuffles, cost O(appended data) however large the
+    * table; a replace commit contributes one keyed full-outer diff over
+    * the files it actually swapped. A compaction ([[compactCommit]])
+    * rewrites every byte but changes no row — its step joins and nets
+    * to ZERO feed rows, which is exactly what a consumer should see.
+    * Snapshot-diffing the same window costs O(table) regardless of how
+    * little changed.
+    *
+    * Contract: `keyCols` identify a row across versions and must be
+    * unique per version (standard CDC requirement; duplicate keys
+    * would cross-multiply in the diff join). Every manifest in the
+    * window must still exist — [[pin]] the range if retention runs
+    * concurrently. Columns a mid-window replace dropped render as
+    * null in earlier pre-images (the feed speaks the schema its
+    * consumer sees at `toVersion`).
+    */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "changesBetween needs at least one key column")
+    require(fromVersion <= toVersion,
+      s"need fromVersion <= toVersion: [$fromVersion, $toVersion]")
+    val fs = fileSystem(spark, dir)
+    (fromVersion to toVersion).foreach(v =>
+      require(fs.exists(manifestPath(dir, v)),
+        s"version $v of $dir not found (expired?): a change feed needs " +
+          s"every manifest in [$fromVersion, $toVersion] — pin the range " +
+          "while feeding, or feed from a newer base"))
+    val manifests = (fromVersion to toVersion)
+      .map(v => v -> readManifest(fs, dir, v)).toMap
+    val tableSchema = versionSchema(spark, dir, manifests(toVersion))
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $toVersion of $dir has no recorded schema and no " +
+          "files; cannot shape a feed"))
+    val tableCols = tableSchema.fields.map(_.name).toSeq
+    keyCols.foreach(k => require(tableCols.contains(k),
+      s"key column '$k' not in table schema ${tableCols.mkString(", ")}"))
+    val feedSchema = StructType(tableSchema.fields.toSeq :+
+      StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    def scan(lines: Seq[String]): DataFrame =
+      spark.read.schema(tableSchema)
+        .parquet(lines.map(l => s"$dir/${parseLine(l)._1}"): _*)
+    val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val prev = manifests(v - 1).lines.map(parseLine(_)._1).toSet
+      val cur = manifests(v).lines.map(parseLine(_)._1).toSet
+      val added = manifests(v).lines.filterNot(l =>
+        prev.contains(parseLine(l)._1))
+      val removed = manifests(v - 1).lines.filterNot(l =>
+        cur.contains(parseLine(l)._1))
+      if (added.isEmpty && removed.isEmpty) None // no-op commit
+      else if (removed.isEmpty) Some( // pure append: new files ARE the feed
+        scan(added).select(tableCols.map(col) :+
+          lit("insert").as("_change_type") :+
+          lit(v).as("_commit_version"): _*))
+      else if (added.isEmpty) Some( // truncating replace: all deletes
+        scan(removed).select(tableCols.map(col) :+
+          lit("delete").as("_change_type") :+
+          lit(v).as("_commit_version"): _*))
+      else Some(replaceFeedStep(scan(removed), scan(added),
+        keyCols, tableCols, v))
+    }
+    if (steps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feedSchema)
+    else steps.reduce(_.unionByName(_))
+  }
+
+  /** One replace commit's feed contribution: a keyed full-outer diff of
+    * the files it removed against the files it added — delta-sized
+    * work, with unchanged carried rows (a compaction's entire content)
+    * netting to zero rows via the exploded NULL array.
+    */
+  private def replaceFeedStep(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], tableCols: Seq[String], v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    val valueCols = tableCols.filterNot(keyCols.contains)
+    def packed(df: DataFrame, as: String): DataFrame =
+      if (valueCols.isEmpty)
+        df.select(keyCols.map(col) :+ struct(lit(true)).as(as): _*)
+      else
+        df.select(keyCols.map(col) :+
+          struct(valueCols.map(col): _*).as(as): _*)
+    val joined = packed(oldDf, "__o").join(packed(newDf, "__n"),
+      keyCols, "full_outer")
+    // each matched key expands to 0 (unchanged), 1 (insert/delete) or
+    // 2 (update pre+post) feed rows; the unmatched `when` branch is
+    // NULL and explode of NULL emits nothing — one codegen'd pass, no
+    // second join or re-aggregation
+    val pairs =
+      when(col("__o").isNull,
+        array(struct(lit("insert").as("_t"), col("__n").as("_p"))))
+      .when(col("__n").isNull,
+        array(struct(lit("delete").as("_t"), col("__o").as("_p"))))
+      .when(!(col("__o") <=> col("__n")),
+        array(struct(lit("update_preimage").as("_t"), col("__o").as("_p")),
+          struct(lit("update_postimage").as("_t"), col("__n").as("_p"))))
+    joined.select(keyCols.map(col) :+ explode(pairs).as("_e"): _*)
+      .select(tableCols.map(c =>
+        if (keyCols.contains(c)) col(c)
+        else col("_e._p").getField(c).as(c)) :+
+        col("_e._t").as("_change_type") :+
+        lit(v).as("_commit_version"): _*)
   }
 }

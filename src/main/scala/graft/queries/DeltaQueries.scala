@@ -475,6 +475,100 @@ object DeltaQueries {
       |       ELSE o_totalprice END AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  // Incremental change feed (Versioned.changesBetween): four commits —
+  // base append, second append, a repricing/deleting replace, and a
+  // compaction — read back as one row-level CDC feed. The append step
+  // contributes plain `insert` rows planned from ONLY its new files
+  // (manifest set-difference, zero joins); the replace step contributes
+  // delete + update_preimage/postimage pairs from a keyed diff over the
+  // files it swapped; the compaction rewrites every byte and must
+  // contribute NOTHING — exactly what a downstream consumer (re-embed
+  // changed docs, refresh a rollup) should observe. The oracle is the
+  // slice arithmetic of what each commit did to the key space.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cfeed")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 4 <= 2))              // v0
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 4 === 3))             // v1 append
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 4 >= 1)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 8 === 1, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))),
+        replace = true)                                         // v2 replace
+      Versioned.compactCommit(s, tmp.toString)                  // v3 no-op
+      Versioned.changesBetween(s, tmp.toString, 0, 3, Seq("o_orderkey"))
+        .orderBy("_commit_version", "o_orderkey", "_change_type")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  // v1 appends %4==3 (inserts); v2 deletes %4==0, reprices %8==1
+  // (pre+post pair); v3's compaction feeds nothing
+  private val q134Sql =
+    """SELECT o_orderkey, o_totalprice,
+      |    'insert' AS _change_type, 1 AS _commit_version
+      |  FROM orders WHERE o_orderkey % 4 = 3
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'delete', 2
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'update_preimage', 2
+      |  FROM orders WHERE o_orderkey % 8 = 1
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice * 2, 'update_postimage', 2
+      |  FROM orders WHERE o_orderkey % 8 = 1
+      |ORDER BY _commit_version, o_orderkey, _change_type""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  // Manifest-recorded schema evolution: v0 commits two columns, v1
+  // appends rows carrying a NEW column (o_orderstatus), v2 appends
+  // rows with the OLD two-column shape again (stale writer code). The
+  // head read renders all three versions under the evolved schema —
+  // resolved from the manifest in O(1) at plan time (a mergeSchema
+  // footer sweep over a 100 TB table reads every footer just to
+  // plan) — with non-carrying files null-filling the evolved column.
+  // Time travel integrity is asserted in-query: v0 still renders its
+  // own two-column schema.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve")
+    try {
+      val orders = t(s, dir, "orders")
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_totalprice"))                // v0
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 3 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")) // v1 + col
+      Versioned.commit(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 3 === 2)
+          .select("o_orderkey", "o_totalprice"))                // v2 old shape
+      // each version keeps ITS OWN schema — the pre-evolution snapshot
+      // must not grow the column retroactively
+      require(Versioned.read(s, tmp.toString, Some(0)).columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        "v0 schema grew retroactively")
+      require(Versioned.read(s, tmp.toString).columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "o_orderstatus"),
+        "head schema did not evolve")
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q135Sql =
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END AS o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -488,7 +582,9 @@ object DeltaQueries {
     "q113_version_diff" -> (q113 _),
     "q114_export_pipeline" -> (q114 _),
     "q115_ivm_refresh" -> (q115 _),
-    "q133_concurrent_commits" -> (q133 _))
+    "q133_concurrent_commits" -> (q133 _),
+    "q134_change_feed" -> (q134 _),
+    "q135_schema_evolution" -> (q135 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -501,5 +597,7 @@ object DeltaQueries {
     "q114_export_pipeline" -> q114Sql,
     "q115_ivm_refresh" -> q115Sql,
     "q128_stats_pruned_read" -> q128Sql,
-    "q133_concurrent_commits" -> q133Sql)
+    "q133_concurrent_commits" -> q133Sql,
+    "q134_change_feed" -> q134Sql,
+    "q135_schema_evolution" -> q135Sql)
 }

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.lake.Versioned
+import graft.lake.Versioned.CommitConflictException
+
+/** Round-11 schema evolution and the incremental change feed for
+  * [[graft.lake.Versioned]]: the manifest records each version's table
+  * schema (appends merge-widen it, replaces reset it, reads apply it in
+  * O(1) plan time — no footer sweep), and [[Versioned.changesBetween]]
+  * turns the version history into a row-level CDC feed planned from
+  * manifest set-difference.
+  */
+class VersionedEvolutionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def base(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+
+  private def wide(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"s$i", i * 10)).toDF("id", "s", "x")
+
+  // ------------------------------------------------------- evolution
+
+  test("append with a new column evolves the schema; old files " +
+      "null-fill; each version time-travels under ITS OWN schema") {
+    val dir = tmpDir() + "/evolve-add"
+    Versioned.commit(spark, dir, base(0, 3))              // v0: (id, s)
+    Versioned.commit(spark, dir, wide(10, 13))            // v1: + x
+    val head = Versioned.read(spark, dir)
+    assert(head.columns.toSeq == Seq("id", "s", "x"))
+    val got = head.as[(Long, String, Option[Int])].collect().toSet
+    assert(got == ((0 until 3).map(i => (i.toLong, s"s$i", None)) ++
+      (10 until 13).map(i => (i.toLong, s"s$i", Some(i * 10)))).toSet)
+    // the PRE-evolution version still renders exactly as written
+    assert(Versioned.read(spark, dir, Some(0)).columns.toSeq ==
+      Seq("id", "s"))
+  }
+
+  test("append OMITTING an evolved column null-fills it (old writer " +
+      "code against a newer table)") {
+    val dir = tmpDir() + "/evolve-omit"
+    Versioned.commit(spark, dir, wide(0, 2))              // v0: (id, s, x)
+    Versioned.commit(spark, dir, base(10, 12))            // v1: no x
+    val got = Versioned.read(spark, dir)
+      .as[(Long, String, Option[Int])].collect().toSet
+    assert(got == Set((0L, "s0", Some(0)), (1L, "s1", Some(10)),
+      (10L, "s10", None), (11L, "s11", None)))
+  }
+
+  test("append changing a column's TYPE throws a typed conflict " +
+      "(a type change rewrites history — that is a replace)") {
+    val dir = tmpDir() + "/evolve-type"
+    Versioned.commit(spark, dir, base(0, 2))
+    val retyped = Seq((5L, 42)).toDF("id", "s") // s: string -> int
+    intercept[CommitConflictException] {
+      Versioned.commit(spark, dir, retyped)
+    }
+    // and a REPLACE with the new type is the sanctioned path
+    val v = Versioned.commit(spark, dir, retyped, replace = true)
+    assert(Versioned.read(spark, dir, Some(v)).schema("s").dataType
+      .simpleString == "int")
+  }
+
+  test("replace resets schema authority; compactCommit preserves the " +
+      "evolved schema by materializing it") {
+    val dir = tmpDir() + "/evolve-compact"
+    Versioned.commit(spark, dir, base(0, 3))
+    Versioned.commit(spark, dir, wide(10, 13))
+    val v2 = Versioned.compactCommit(spark, dir)
+    val compacted = Versioned.read(spark, dir, Some(v2))
+    assert(compacted.columns.toSeq == Seq("id", "s", "x"))
+    // post-compaction the null-fills are PHYSICAL: every planned file
+    // carries the evolved column, and the content is unchanged
+    assert(compacted.as[(Long, String, Option[Int])].collect().toSet ==
+      Versioned.read(spark, dir, Some(1))
+        .as[(Long, String, Option[Int])].collect().toSet)
+  }
+
+  test("an empty version reads as an empty frame WITH schema (the " +
+      "manifest knows what zero parquet files cannot)") {
+    val dir = tmpDir() + "/evolve-empty"
+    Versioned.commit(spark, dir, base(0, 0))              // zero part files
+    val df = Versioned.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "s") && df.count() == 0)
+    // truncate-to-empty replace over a non-empty table: same guarantee
+    Versioned.commit(spark, dir, base(0, 5))
+    val v = Versioned.commit(spark, dir, base(0, 0), replace = true)
+    assert(Versioned.read(spark, dir, Some(v)).count() == 0)
+  }
+
+  test("pre-schema-tracking manifests (no #schema header) still read " +
+      "via footer inference") {
+    val dir = tmpDir() + "/evolve-legacy"
+    Versioned.commit(spark, dir, base(0, 3))
+    // strip the header in place — a round-10 manifest
+    val p = java.nio.file.Paths.get(dir, "_manifest", "v00000.txt")
+    val legacy = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(p, legacy.getBytes("UTF-8"))
+    // the raw rewrite invalidates Hadoop's local-FS checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_manifest", ".v00000.txt.crc"))
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      (0 until 3).map(i => (i.toLong, s"s$i")).toSet)
+    // and an APPEND to the legacy table samples footers for the merge
+    Versioned.commit(spark, dir, wide(10, 12))
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "s", "x"))
+  }
+
+  // ------------------------------------------------------ change feed
+
+  test("append-only feed: inserts tagged with their commit version, " +
+      "planned from ONLY the appended files") {
+    val dir = tmpDir() + "/feed-append"
+    Versioned.commit(spark, dir, base(0, 3))              // v0
+    Versioned.commit(spark, dir, base(10, 12))            // v1
+    Versioned.commit(spark, dir, base(20, 21))            // v2
+    val feed = Versioned.changesBetween(spark, dir, 0, 2, Seq("id"))
+    // plan audit: v0's files must NOT be scanned — the feed reads the
+    // two appended commits' files only
+    val v0Files = Versioned.read(spark, dir, Some(0)).inputFiles.toSet
+    assert(feed.inputFiles.toSet.intersect(v0Files).isEmpty)
+    val got = feed.as[(Long, String, String, Int)].collect().toSet
+    assert(got == Set((10L, "s10", "insert", 1), (11L, "s11", "insert", 1),
+      (20L, "s20", "insert", 2)))
+  }
+
+  test("replace commit feeds delete / update_preimage+postimage pairs; " +
+      "untouched keys are silent") {
+    val dir = tmpDir() + "/feed-replace"
+    Versioned.commit(spark, dir, base(0, 4))              // v0: 0,1,2,3
+    // v1: drop 0, keep 1 as-is, change 2, add 9
+    val next = Seq((1L, "s1"), (2L, "CHANGED"), (3L, "s3"), (9L, "s9"))
+      .toDF("id", "s")
+    Versioned.commit(spark, dir, next, replace = true)
+    val got = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got == Set(
+      (0L, "s0", "delete", 1),
+      (2L, "s2", "update_preimage", 1),
+      (2L, "CHANGED", "update_postimage", 1),
+      (9L, "s9", "insert", 1)))
+  }
+
+  test("a compaction rewrites every byte but feeds ZERO changes") {
+    val dir = tmpDir() + "/feed-compact"
+    Versioned.commit(spark, dir, base(0, 50))
+    Versioned.commit(spark, dir, base(50, 100))
+    Versioned.compactCommit(spark, dir)                   // v2
+    assert(Versioned.changesBetween(spark, dir, 1, 2, Seq("id"))
+      .count() == 0)
+    // and across the whole window the compaction stays invisible: the
+    // feed is exactly v1's appends
+    val got = Versioned.changesBetween(spark, dir, 0, 2, Seq("id"))
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got == (50 until 100)
+      .map(i => (i.toLong, s"s$i", "insert", 1)).toSet)
+  }
+
+  test("feed renders under toVersion's schema: pre-evolution inserts " +
+      "null-fill the later column") {
+    val dir = tmpDir() + "/feed-schema"
+    Versioned.commit(spark, dir, base(0, 2))              // v0: (id, s)
+    Versioned.commit(spark, dir, wide(10, 12))            // v1: + x
+    val feed = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+    assert(feed.columns.toSeq ==
+      Seq("id", "s", "x", "_change_type", "_commit_version"))
+    assert(feed.as[(Long, String, Option[Int], String, Int)]
+      .collect().toSet == Set(
+        (10L, "s10", Some(100), "insert", 1),
+        (11L, "s11", Some(110), "insert", 1)))
+  }
+
+  test("empty window and empty-table history feed empty frames with " +
+      "the full feed schema") {
+    val dir = tmpDir() + "/feed-empty"
+    Versioned.commit(spark, dir, base(0, 0))              // v0 empty
+    Versioned.commit(spark, dir, base(0, 0))              // v1 empty
+    val feed = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+    assert(feed.columns.toSeq ==
+      Seq("id", "s", "_change_type", "_commit_version"))
+    assert(feed.count() == 0)
+    // zero-width window on a real table: also empty, same shape
+    val dir2 = tmpDir() + "/feed-zero"
+    Versioned.commit(spark, dir2, base(0, 3))
+    assert(Versioned.changesBetween(spark, dir2, 0, 0, Seq("id"))
+      .count() == 0)
+  }
+
+  test("an expired manifest inside the window fails loudly, naming the " +
+      "missing version") {
+    val dir = tmpDir() + "/feed-expired"
+    Versioned.commit(spark, dir, base(0, 2))
+    Versioned.commit(spark, dir, base(10, 12))
+    Versioned.commit(spark, dir, base(20, 22))
+    Versioned.expire(spark, dir, keepLast = 2)            // drops v0
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changesBetween(spark, dir, 0, 2, Seq("id"))
+    }
+    assert(e.getMessage.contains("version 0"))
+    // the surviving window still feeds
+    assert(Versioned.changesBetween(spark, dir, 1, 2, Seq("id"))
+      .count() == 2)
+  }
+}
