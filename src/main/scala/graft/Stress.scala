@@ -194,6 +194,14 @@ object Stress {
       // manifest costs are measured against data volume, not argued
       "q105_cdc_replay", "q113_version_diff", "q115_ivm_refresh",
       "q133_concurrent_commits", "q104_lake_compaction",
+      // round-11 late additions: the change feed (append scan + keyed
+      // replace diff + compaction netting to zero — all three step
+      // shapes against scaled orders), manifest schema evolution
+      // (three evolving commits + the O(1) schema-applied head read),
+      // and the exactly-once streaming commit (3 stamped micro-batch
+      // versions over scaled events + the replay-skip probe)
+      "q134_change_feed", "q135_schema_evolution",
+      "q136_versioned_stream_ingest",
       // retrieval / sketches / multimodal (sixth sweep): fixed probes
       // (vec_id < 5/8) against the scaled corpus — measures the
       // "probes broadcast, corpus never shuffles" linear-scan claim,

@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * Capabilities: [[commit]] (append or replace — replace is how an
   * SCD rewrite, a compaction, or a GDPR purge publishes), [[read]] of
   * the latest or any historical version (time travel — "train on the
-  * corpus exactly as it was when the run started"), [[latestVersion]].
+  * corpus exactly as it was when the run started"), [[latestVersion]];
+  * round-11 late additions: manifest-recorded SCHEMA EVOLUTION
+  * ([[evolveSchema]] on appends, O(1) schema-applied reads),
+  * [[changesBetween]] (row-level incremental change feed planned from
+  * manifest set-difference), and [[idempotentCommit]] (exactly-once
+  * replayable-writer appends, the streaming sink's substrate).
   *
   * Scale notes: the manifest lists files, so reads cost O(files in
   * version) to plan with NO directory listing race; at 100 TB the same
@@ -110,15 +115,18 @@ object Versioned {
 
   /** A parsed manifest: the version's recorded table schema (None only
     * for manifests written before schema tracking — round-11 commits
-    * always record one) and its data-file lines.
+    * always record one), the optional (appId, batchId) transaction
+    * stamp of the commit that created it (streaming exactly-once),
+    * and its data-file lines.
     */
   private final case class Manifest(schema: Option[StructType],
-      lines: Seq[String])
+      txn: Option[(String, Long)], lines: Seq[String])
 
   // header lines start with '#' so file-line consumers skip them by
   // prefix; the schema rides as Spark's own StructType JSON (control
   // characters are JSON-escaped, so the header is always one line)
   private val SchemaHeader = "#schema\t"
+  private val TxnHeader = "#txn\t"
 
   private def readManifest(fs: FileSystem, dir: String, v: Int): Manifest = {
     val in = fs.open(manifestPath(dir, v))
@@ -129,7 +137,13 @@ object Versioned {
     val schema = raw.collectFirst { case l if l.startsWith(SchemaHeader) =>
       DataType.fromJson(l.stripPrefix(SchemaHeader)).asInstanceOf[StructType]
     }
-    Manifest(schema, raw.filterNot(_.startsWith("#")))
+    val txn = raw.collectFirst { case l if l.startsWith(TxnHeader) =>
+      // appId is uri-encoded at write so the two tabs here are the
+      // only tabs on the line
+      val Array(app, batch) = l.stripPrefix(TxnHeader).split('\t')
+      (java.net.URLDecoder.decode(app, "UTF-8"), batch.toLong)
+    }
+    Manifest(schema, txn, raw.filterNot(_.startsWith("#")))
   }
 
   /** The table schema of version `v`: the manifest-recorded one when
@@ -195,6 +209,43 @@ object Versioned {
       statCol: String, replace: Boolean = false): Int =
     commitImpl(spark, dir, df, replace, statCol = Some(statCol))
 
+  /** Exactly-once append for a REPLAYABLE writer (a Structured
+    * Streaming `foreachBatch` sink, a retried batch job): the commit
+    * is stamped `(appId, batchId)` in the manifest, and a batchId at
+    * or below the highest already committed for `appId` is SKIPPED
+    * (returns None) instead of double-appending — the idempotence
+    * contract of Delta's `txn` action, on this manifest substrate.
+    * Spark replays a failed micro-batch with the SAME batchId, so a
+    * crash anywhere between staging and the stream's checkpoint
+    * commit resolves to exactly one append: staged-but-unpublished
+    * files are invisible (and swept by [[expire]]'s grace window);
+    * a published-but-unacknowledged batch is recognized by its stamp
+    * and skipped on replay.
+    *
+    * The guard scans surviving manifests' headers newest-first
+    * (driver-side, O(retained versions), no data I/O) and stops at
+    * the first stamp for `appId` — batchIds are monotonic per writer,
+    * so the newest stamp is the high-water mark. Retention keeps this
+    * sound in practice: a replayed batch is at most one behind the
+    * checkpoint, while [[expire]] keeps `keepLast` >= 1 versions.
+    * One writer per appId (Spark's own guarantee for a streaming
+    * query); two appIds interleave freely through the CAS protocol.
+    */
+  def idempotentCommit(spark: SparkSession, dir: String, df: DataFrame,
+      appId: String, batchId: Long): Option[Int] = {
+    require(appId.nonEmpty, "idempotentCommit needs a non-empty appId")
+    val fs = fileSystem(spark, dir)
+    val last = latestVersion(spark, dir).flatMap { head =>
+      (head to 0 by -1).iterator
+        .filter(v => fs.exists(manifestPath(dir, v)))
+        .map(v => readManifest(fs, dir, v).txn)
+        .collectFirst { case Some((app, b)) if app == appId => b }
+    }
+    if (last.exists(_ >= batchId)) None
+    else Some(commitImpl(spark, dir, df, replace = false,
+      statCol = None, txn = Some((appId, batchId))))
+  }
+
   /** Stage `df`'s data files (commit-scoped dir, invisible until a
     * manifest references them) and return their manifest lines. Staging
     * is version-free: the same staged files publish under whichever
@@ -248,13 +299,18 @@ object Versioned {
     * the staging name either.
     */
   private def casPublish(fs: FileSystem, dir: String, next: Int,
-      schema: StructType, lines: Seq[String]): Boolean = {
+      schema: StructType, lines: Seq[String],
+      txn: Option[(String, Long)] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
     fs.mkdirs(new Path(dir, "_manifest"))
+    val headers = s"$SchemaHeader${schema.json}" +:
+      txn.map { case (app, batch) =>
+        s"$TxnHeader${java.net.URLEncoder.encode(app, "UTF-8")}\t$batch"
+      }.toSeq
     val out = fs.create(tmp, false)
-    try out.write((s"$SchemaHeader${schema.json}" +: lines)
+    try out.write((headers ++ lines)
       .mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -266,7 +322,8 @@ object Versioned {
   }
 
   private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
-      replace: Boolean, statCol: Option[String]): Int = {
+      replace: Boolean, statCol: Option[String],
+      txn: Option[(String, Long)] = None): Int = {
     val fs = fileSystem(spark, dir)
     val newFiles = stage(spark, dir, df, statCol)
     var attempts = 0
@@ -284,7 +341,8 @@ object Versioned {
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
           .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
-      if (casPublish(fs, dir, next, schema, carried ++ newFiles)) return next
+      if (casPublish(fs, dir, next, schema, carried ++ newFiles, txn))
+        return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
       if (replace) throw new CommitConflictException(

@@ -569,6 +569,53 @@ object DeltaQueries {
       |  CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END AS o_orderstatus
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  // Exactly-once streaming ingest into the VERSIONED lake: the events
+  // table replayed as three micro-batches through
+  // Streams.versionedIngest — each batch lands as one (appId, batchId)-
+  // stamped manifest commit (Versioned.idempotentCommit, the Delta
+  // `txn` action on this substrate). The in-query requires force the
+  // exactly-once claim: three batches -> exactly three versions, and a
+  // crash-replay of the last batch (same batchId re-submitted, which is
+  // precisely what a restarted foreachBatch does) must be recognized by
+  // its stamp and SKIPPED, not double-appended. The final table must
+  // equal the plain batch read — and every micro-batch boundary remains
+  // a time-travelable version. Bench note: seconds are fixture +
+  // streaming lifecycle (3 batch files, 3 checkpointed commits).
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-ving-src")
+    val ckpt = Files.createTempDirectory("graft-ving-ckpt")
+    val table = Files.createTempDirectory("graft-ving-table")
+    try {
+      val events = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      writeIdBatches(events, "event_id", tmp)
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val q = graft.streaming.Streams.versionedIngest(stream,
+        table.toString, ckpt.toString, appId = "q136")
+      try q.processAllAvailable() finally q.stop()
+      require(Versioned.latestVersion(s, table.toString).contains(2),
+        "expected exactly three stamped versions from three batches")
+      val replay = Versioned.idempotentCommit(s, table.toString,
+        events.filter(col("event_id") % 3 === 2), "q136", batchId = 2)
+      require(replay.isEmpty, "replayed batch 2 double-committed")
+      Versioned.read(s, table.toString)
+        .orderBy("event_id")
+        .localCheckpoint(true)
+    } finally {
+      Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt)
+      Q.deleteRecursively(table)
+    }
+  }
+
+  private val q136Sql =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -584,7 +631,8 @@ object DeltaQueries {
     "q115_ivm_refresh" -> (q115 _),
     "q133_concurrent_commits" -> (q133 _),
     "q134_change_feed" -> (q134 _),
-    "q135_schema_evolution" -> (q135 _))
+    "q135_schema_evolution" -> (q135 _),
+    "q136_versioned_stream_ingest" -> (q136 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -599,5 +647,6 @@ object DeltaQueries {
     "q128_stats_pruned_read" -> q128Sql,
     "q133_concurrent_commits" -> q133Sql,
     "q134_change_feed" -> q134Sql,
-    "q135_schema_evolution" -> q135Sql)
+    "q135_schema_evolution" -> q135Sql,
+    "q136_versioned_stream_ingest" -> q136Sql)
 }

@@ -44,6 +44,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming ingest into the VERSIONED lake with exactly-once
+    * commits: each micro-batch publishes through
+    * [[graft.lake.Versioned.idempotentCommit]], stamped
+    * `(appId, batchId)` in the manifest it creates. A crash anywhere
+    * in the batch resolves to exactly one append on replay: Spark
+    * re-runs the failed batch with the SAME batchId, so a
+    * staged-but-unpublished attempt is invisible (orphan grace sweeps
+    * it) and a published-but-unacknowledged one is recognized by its
+    * stamp and skipped. Every batch is also a queryable VERSION —
+    * time travel to any micro-batch boundary, and
+    * [[graft.lake.Versioned.changesBetween]] over the ingest history
+    * is exactly the stream replayed as a CDC feed.
+    */
+  def versionedIngest(stream: DataFrame, tableDir: String,
+      checkpointDir: String, appId: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.lake.Versioned.idempotentCommit(
+          batch.sparkSession, tableDir, batch, appId, batchId)
+        ()
+      }
+      .start()
+
   /** ST4 (true event-time form): drop duplicate keys within the watermark
     * horizon — bounded state, unlike a global distinct.
     */

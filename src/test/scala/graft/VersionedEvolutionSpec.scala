@@ -191,6 +191,30 @@ class VersionedEvolutionSpec extends SparkSuite {
       .count() == 0)
   }
 
+  // ------------------------------------------- idempotent (txn) commit
+
+  test("idempotentCommit: a replayed batchId is skipped, a new one " +
+      "lands, and two appIds track independent high-water marks") {
+    val dir = tmpDir() + "/txn-commit"
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "appA", 0L).contains(0))
+    // replay of batch 0 (crash after publish, before checkpoint ack)
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "appA", 0L).isEmpty)
+    // a plain (unstamped) commit interleaves without disturbing marks
+    Versioned.commit(spark, dir, base(100, 101))
+    // next batch lands; a SECOND writer has its own mark
+    assert(Versioned.idempotentCommit(spark, dir, base(2, 4),
+      "appA", 1L).contains(2))
+    assert(Versioned.idempotentCommit(spark, dir, base(10, 11),
+      "appB", 0L).contains(3))
+    // appA's replay of an OLD batch is still recognized through the
+    // interleaved commits
+    assert(Versioned.idempotentCommit(spark, dir, base(2, 4),
+      "appA", 1L).isEmpty)
+    assert(Versioned.read(spark, dir).count() == 2 + 1 + 2 + 1)
+  }
+
   test("an expired manifest inside the window fails loudly, naming the " +
       "missing version") {
     val dir = tmpDir() + "/feed-expired"
