@@ -424,6 +424,46 @@ object Versioned {
     replaceLoop(spark, dir, staged, base, keyCols = None, baseDf.schema)
   }
 
+  /** RESTORE: republish historical `version` as a NEW head commit —
+    * the production undo of a bad replace, an errant purge, or a
+    * poisoned ingest batch. The table's state rolls back while the
+    * history rolls FORWARD: the bad versions stay time-travelable
+    * until [[expire]], and [[changesBetween]] over the restore commit
+    * reads as the row-level undo diff. Zero data movement at any
+    * table size — the restored version's manifest lines (stats
+    * included, so [[readPruned]]'s file skipping survives) re-list
+    * under the next version number; no byte is copied. The restored
+    * version publishes under ITS OWN recorded schema, and [[expire]]'s
+    * manifest-reachability GC keeps the shared files alive however
+    * far the source version later ages out.
+    *
+    * Concurrency linearizes like [[compactCommit]]: an append
+    * interleaving with the restore carries into the new manifest (as
+    * if it happened after the restore), while an interleaved replace
+    * conflicts — both writers claimed full-table authority. A restore
+    * of an expired version, or one whose files a [[purge]] already
+    * collected, fails loudly by name — never a silent partial table.
+    */
+  def restore(spark: SparkSession, dir: String, version: Int): Int = {
+    val fs = fileSystem(spark, dir)
+    require(fs.exists(manifestPath(dir, version)),
+      s"cannot restore $dir to version $version: manifest not found " +
+        "(expired, or never committed)")
+    val m = readManifest(fs, dir, version)
+    val missing = m.lines.map(parseLine(_)._1)
+      .filterNot(rel => fs.exists(new Path(dir, rel)))
+    require(missing.isEmpty,
+      s"cannot restore $dir to version $version: ${missing.size} of its " +
+        s"data files no longer exist (purged?); first missing: " +
+        s"${missing.headOption.getOrElse("")}")
+    val schema = versionSchema(spark, dir, m).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot restore $dir to version $version: it is empty with no " +
+          "recorded schema (pre-schema-tracking manifest)"))
+    replaceLoop(spark, dir, m.lines, latestVersion(spark, dir),
+      keyCols = None, stagedSchema = schema)
+  }
+
   /** The shared replace-retry loop. `keyCols = None` skips overlap
     * validation (compaction: staged rows == base rows by construction).
     */

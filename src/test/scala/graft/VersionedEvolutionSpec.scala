@@ -215,6 +215,56 @@ class VersionedEvolutionSpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 2 + 1 + 2 + 1)
   }
 
+  // ------------------------------------------------------------ restore
+
+  test("restore undoes a bad replace as a forward commit: state rolls " +
+      "back, history stays, the change feed reads as the undo diff") {
+    val dir = tmpDir() + "/restore-undo"
+    Versioned.commit(spark, dir, base(0, 3))              // v0
+    Versioned.commit(spark, dir, base(3, 5))              // v1: 5 rows
+    Versioned.commitReplace(spark, dir, base(100, 101), Seq("id")) // v2: bad
+    assert(Versioned.restore(spark, dir, 1) == 3)         // v3 = v1 again
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Versioned.read(spark, dir, Some(1))
+        .as[(Long, String)].collect().toSet)
+    // the bad version remains time-travelable (history rolls forward)
+    assert(Versioned.read(spark, dir, Some(2)).count() == 1)
+    // the restore commit's feed IS the row-level undo of the bad replace
+    val undo = Versioned.changesBetween(spark, dir, 2, 3, Seq("id"))
+    assert(undo.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet == Set(100L))
+    assert(undo.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet == (0L until 5L).toSet)
+  }
+
+  test("restore publishes the restored version under ITS OWN schema, " +
+      "not the evolved head's") {
+    val dir = tmpDir() + "/restore-schema"
+    Versioned.commit(spark, dir, base(0, 3))              // v0: (id, s)
+    Versioned.commit(spark, dir, wide(10, 13))            // v1: + x
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "s", "x"))
+    Versioned.restore(spark, dir, 0)                      // v2
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "s"))
+    assert(Versioned.read(spark, dir).count() == 3)
+  }
+
+  test("a restore's re-listed files survive expiry of the source " +
+      "version; restoring an expired version fails loudly by name") {
+    val dir = tmpDir() + "/restore-expire"
+    Versioned.commit(spark, dir, base(0, 3))              // v0
+    Versioned.commit(spark, dir, base(10, 12))            // v1
+    Versioned.restore(spark, dir, 0)                      // v2 shares v0 files
+    // drop v0 and v1; v2's manifest still references v0's data files,
+    // so the reachability GC must keep them
+    Versioned.expire(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      (0 until 3).map(i => (i.toLong, s"s$i")).toSet)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.restore(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("version 1"))
+  }
+
   test("an expired manifest inside the window fails loudly, naming the " +
       "missing version") {
     val dir = tmpDir() + "/feed-expired"
