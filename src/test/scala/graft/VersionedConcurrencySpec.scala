@@ -150,6 +150,56 @@ class VersionedConcurrencySpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("racing append × restore: both land, the append linearizes " +
+      "after the restore whoever wins the version race") {
+    val dir = tmpDir() + "/race-restore"
+    Versioned.commit(spark, dir, rows(0, 10, "good"))          // v0
+    Versioned.commitReplace(spark, dir, rows(500, 501, "bad"),
+      keyCols = Seq("id"))                                     // v1: oops
+    val barrier = new CyclicBarrier(2)
+    inParallel(
+      () => { barrier.await()
+        Versioned.commit(spark, dir, rows(100, 110, "new")); () },
+      () => { barrier.await()
+        Versioned.restore(spark, dir, 0); () })
+    assert(Versioned.latestVersion(spark, dir).contains(3))
+    // the bad row is gone, the good rows are back, the concurrent
+    // append's rows survive — as if the append happened after the undo
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val want = ((0 until 10).map(i => (i.toLong, "good")) ++
+      (100 until 110).map(i => (i.toLong, "new"))).toSet
+    assert(got == want)
+  }
+
+  test("restore racing a replace: exactly one full-table authority " +
+      "wins; the loser throws the typed conflict") {
+    val dir = tmpDir() + "/race-restore-replace"
+    Versioned.commit(spark, dir, rows(0, 10, "v0"))            // v0
+    Versioned.commit(spark, dir, rows(10, 20, "v1"))           // v1
+    val barrier = new CyclicBarrier(2)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    inParallel(
+      () => { barrier.await()
+        try { Versioned.restore(spark, dir, 0); () }
+        catch { case _: CommitConflictException =>
+          conflicts.incrementAndGet(); () } },
+      () => { barrier.await()
+        try { Versioned.commitReplace(spark, dir, rows(900, 905, "re"),
+          keyCols = Seq("id")); () }
+        catch { case _: CommitConflictException =>
+          conflicts.incrementAndGet(); () } })
+    // a true interleave conflicts exactly one side (both claimed
+    // full-table authority); a serial schedule lets both land, the
+    // second simply rewriting the first's head. Either way the final
+    // table is ONE writer's coherent full state — never a silent
+    // hybrid of half a restore and half a replace
+    assert(conflicts.get() <= 1)
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val restored = (0 until 10).map(i => (i.toLong, "v0")).toSet
+    val replaced = (900 until 905).map(i => (i.toLong, "re")).toSet
+    assert(got == restored || got == replaced)
+  }
+
   test("pinned reader survives expire; unpin releases retention") {
     val dir = tmpDir() + "/pins"
     Versioned.commit(spark, dir, rows(0, 10, "v0"))
