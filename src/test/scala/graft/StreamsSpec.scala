@@ -284,6 +284,45 @@ class StreamsSpec extends SparkSuite {
     assert(got == Seq(10L, 11L, 21L, 22L))
   }
 
+  test("chaos: versionedIngest poison kills batch 1 mid-compute, then " +
+      "an orphaned published-but-unacked batch 1 is skipped on replay — " +
+      "exactly one lake version per micro-batch") {
+    implicit val sc = spark.sqlContext
+    import graft.lake.Versioned
+    val ckpt = tmpDir() + "/ckpt"
+    val table = tmpDir() + "/table"
+    val input = MemoryStream[(Long, String)]
+    def drain(v: org.apache.spark.sql.Column): Unit = {
+      val q = Streams.versionedIngest(
+        input.toDF().toDF("id", "s").withColumn("s2", v),
+        table, ckpt, appId = "chaos-ving")
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData((1L, "a"), (2L, "b"))
+    drain(col("s"))                                    // batch 0 → v0
+    assert(Versioned.latestVersion(spark, table).contains(0))
+    // CHAOS window 1: batch 1 dies INSIDE its expression — nothing
+    // stages, nothing publishes, the checkpoint never acks batch 1
+    input.addData((3L, "c"), (4L, "poison"))
+    val poisoned = when($"s" === "poison",
+      assert_true(lit(false)).cast("string")).otherwise($"s")
+    intercept[Exception] { drain(poisoned) }
+    assert(Versioned.latestVersion(spark, table).contains(0)) // no leak
+    // CHAOS window 2: simulate an incarnation that PUBLISHED batch 1's
+    // version but died before the checkpoint ack — commit batch 1's
+    // rows under the stream's own (appId, batchId) stamp
+    assert(Versioned.idempotentCommit(spark, table,
+      Seq((3L, "c", "c"), (4L, "poison", "poison"))
+        .toDF("id", "s", "s2"),
+      "chaos-ving", 1L).contains(1))
+    // restart healthy: the checkpoint replays batch 1 with the SAME
+    // batchId; the stamp recognizes it and the commit is SKIPPED
+    drain(col("s"))
+    assert(Versioned.latestVersion(spark, table).contains(1))
+    assert(Versioned.read(spark, table).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("chaos: budgetIngest poison row kills batch 1 mid-compute; the " +
       "restart replays to the one-shot admission set, state unduplicated") {
     implicit val sc = spark.sqlContext
