@@ -393,10 +393,19 @@ object Versioned {
     * the base version's rows, so interleaved appends carry into the
     * new manifest with no key validation needed. Only an interleaved
     * replace conflicts. Returns the new version.
+    *
+    * `clusterBy` turns the rewrite into CLUSTERED compaction (the
+    * OPTIMIZE-by-key of production table formats): output files take
+    * disjoint ranges of the cluster key (range partition + in-file
+    * sort), so the recorded per-file min/max becomes tight and
+    * [[readPruned]] plans O(matching files) instead of scanning an
+    * append-ordered history whose stat ranges all overlap. Stats
+    * default to the first cluster key when nothing else is tracked.
     */
   def compactCommit(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
-      statCol: Option[String] = None): Int = {
+      statCol: Option[String] = None,
+      clusterBy: Seq[String] = Nil): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = fileSystem(spark, dir)
     val base = latestVersion(spark, dir)
@@ -418,7 +427,25 @@ object Versioned {
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .min(math.max(1L, files.size.toLong)).toInt
     val baseDf = read(spark, dir, Some(baseV))
-    val staged = stage(spark, dir, baseDf.coalesce(nOut), inherited)
+    // clustered compaction — the data-skipping lever: range-partition
+    // the rewrite on `clusterBy` so each output file owns a disjoint
+    // key range and its recorded min/max turns [[readPruned]] into an
+    // O(matching files) plan; sort within partitions so parquet
+    // row-group stats tighten too. An append-ordered table's stat
+    // ranges overlap arbitrarily (every file spans the key space —
+    // pruning skips nothing); one clustered rewrite fixes the whole
+    // history forward. Unclustered keeps the plain coalesce (no
+    // shuffle, pure file-count reduction).
+    val laidOut =
+      if (clusterBy.isEmpty) baseDf.coalesce(nOut)
+      else {
+        import org.apache.spark.sql.functions.col
+        val keys = clusterBy.map(col)
+        baseDf.repartitionByRange(nOut, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      }
+    val staged = stage(spark, dir, laidOut,
+      inherited.orElse(clusterBy.headOption))
     // the rewrite materializes the base version's EVOLVED schema
     // (null-filled columns become physical), which is what it records
     replaceLoop(spark, dir, staged, base, keyCols = None, baseDf.schema)

@@ -331,4 +331,35 @@ class VersionedConcurrencySpec extends SparkSuite {
     assert(Versioned.readPruned(spark, dir, "id", 5000, 6000)
       .inputFiles.isEmpty)
   }
+
+  test("clustered compactCommit: an append-ordered history whose stat " +
+      "ranges all overlap re-clusters into range-disjoint files and " +
+      "readPruned plans O(matching files)") {
+    val dir = tmpDir() + "/compact-cluster"
+    // four appends, one file each, EVERY file spanning the whole key
+    // range (round-robin ids) — the worst case for data skipping: all
+    // stat ranges overlap [i, 28+i], pruning can skip nothing
+    (0 until 4).foreach { i =>
+      val ids = (0 until 32).filter(_ % 4 == i)
+      Versioned.commitWithStats(spark, dir,
+        ids.map(id => (id.toLong, s"w$i")).toDF("id", "s")
+          .repartition(1), "id")
+    }
+    assert(Versioned.readPruned(spark, dir, "id", 0L, 3L)
+      .inputFiles.length == 4)            // every file overlaps [0, 3]
+    // clustered rewrite: same bytes, but each output file now owns a
+    // disjoint id range and records tight min/max
+    Versioned.compactCommit(spark, dir, targetBytes = 1L,
+      clusterBy = Seq("id"))
+    val after = Versioned.readPruned(spark, dir, "id", 0L, 3L)
+    assert(after.inputFiles.length < 4,
+      s"clustering should shrink the planned file set, still " +
+        s"${after.inputFiles.length}")
+    assert(after.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+    // nothing lost, history intact: head and the pre-cluster version
+    // both hold the full table
+    assert(Versioned.read(spark, dir).count() == 32)
+    assert(Versioned.read(spark, dir, Some(3)).count() == 32)
+  }
 }
