@@ -477,8 +477,19 @@ object Versioned {
       s"cannot restore $dir to version $version: manifest not found " +
         "(expired, or never committed)")
     val m = readManifest(fs, dir, version)
-    val missing = m.lines.map(parseLine(_)._1)
-      .filterNot(rel => fs.exists(new Path(dir, rel)))
+    // existence check batched per commit-scoped data dir: one
+    // listStatus per `data/c-*` directory the manifest references —
+    // O(commit dirs) namenode calls, not O(files) — a restore of a
+    // million-file version must not issue a million exists() RPCs
+    val present: Set[String] = m.lines.map(parseLine(_)._1)
+      .groupBy(rel => rel.substring(0, rel.lastIndexOf('/')))
+      .keysIterator.flatMap { d =>
+        val p = new Path(dir, d)
+        if (!fs.exists(p)) Iterator.empty
+        else fs.listStatus(p).iterator.filter(_.isFile)
+          .map(f => s"$d/${f.getPath.getName}")
+      }.toSet
+    val missing = m.lines.map(parseLine(_)._1).filterNot(present)
     require(missing.isEmpty,
       s"cannot restore $dir to version $version: ${missing.size} of its " +
         s"data files no longer exist (purged?); first missing: " +

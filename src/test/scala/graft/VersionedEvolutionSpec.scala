@@ -265,6 +265,22 @@ class VersionedEvolutionSpec extends SparkSuite {
     assert(e.getMessage.contains("version 1"))
   }
 
+  test("restore of a version whose data files were collected " +
+      "out-of-band fails loudly — never a silent partial table") {
+    val dir = tmpDir() + "/restore-gone"
+    Versioned.commit(spark, dir, base(0, 3))              // v0
+    // simulate an out-of-band collection (a purge, a bucket lifecycle
+    // rule): one of v0's data files vanishes while its manifest stays
+    val gone = new java.io.File(s"$dir/data").listFiles().toSeq
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .minBy(_.getName)
+    assert(gone.delete())
+    val e = intercept[IllegalArgumentException] {
+      Versioned.restore(spark, dir, 0)
+    }
+    assert(e.getMessage.contains("no longer exist"))
+  }
+
   test("an expired manifest inside the window fails loudly, naming the " +
       "missing version") {
     val dir = tmpDir() + "/feed-expired"
