@@ -84,6 +84,14 @@ object Versioned {
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
+  /** A commit's staged rows (or, for [[addCheck]], the existing table)
+    * violate a table CHECK constraint. Nothing was published; the
+    * staged files are unreferenced and a later [[expire]] collects
+    * them.
+    */
+  final class CheckViolationException(msg: String)
+    extends RuntimeException(msg)
+
   /** Per-table lock for the exists+rename CAS window and the
     * pin/expire handshake (see class doc: single-JVM mutex, HDFS
     * rename semantics across JVMs).
@@ -120,13 +128,15 @@ object Versioned {
     * and its data-file lines.
     */
   private final case class Manifest(schema: Option[StructType],
-      txn: Option[(String, Long)], lines: Seq[String])
+      txn: Option[(String, Long)], checks: Seq[(String, String)],
+      lines: Seq[String])
 
   // header lines start with '#' so file-line consumers skip them by
   // prefix; the schema rides as Spark's own StructType JSON (control
   // characters are JSON-escaped, so the header is always one line)
   private val SchemaHeader = "#schema\t"
   private val TxnHeader = "#txn\t"
+  private val CheckHeader = "#check\t"
 
   private def readManifest(fs: FileSystem, dir: String, v: Int): Manifest = {
     val in = fs.open(manifestPath(dir, v))
@@ -143,7 +153,14 @@ object Versioned {
       val Array(app, batch) = l.stripPrefix(TxnHeader).split('\t')
       (java.net.URLDecoder.decode(app, "UTF-8"), batch.toLong)
     }
-    Manifest(schema, txn, raw.filterNot(_.startsWith("#")))
+    val checks = raw.collect { case l if l.startsWith(CheckHeader) =>
+      // name and expression are uri-encoded at write (an expression
+      // can contain anything), so the single tab here is structural
+      val Array(name, sql) = l.stripPrefix(CheckHeader).split('\t')
+      (java.net.URLDecoder.decode(name, "UTF-8"),
+        java.net.URLDecoder.decode(sql, "UTF-8"))
+    }
+    Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")))
   }
 
   /** The table schema of version `v`: the manifest-recorded one when
@@ -246,6 +263,92 @@ object Versioned {
       statCol = None, txn = Some((appId, batchId))))
   }
 
+  /** Table CHECK constraints active at the head version (empty for an
+    * uncommitted table). Each is `(name, sql expression)`.
+    */
+  def checks(spark: SparkSession, dir: String): Seq[(String, String)] =
+    latestVersion(spark, dir)
+      .map(readManifest(fileSystem(spark, dir), dir, _).checks)
+      .getOrElse(Nil)
+
+  /** Add a table CHECK constraint: from this commit on, EVERY writer's
+    * staged rows must satisfy `sqlExpr` (FALSE rejects the whole
+    * commit with [[CheckViolationException]]; NULL passes — the
+    * SQL-standard rule, which also lets a constraint over an evolved
+    * column admit old writers' null-filled rows). The constraint is
+    * recorded in the manifest, so enforcement is a property of the
+    * TABLE, not of whichever caller remembered to validate — the only
+    * way a multi-writer lake keeps a data contract honest.
+    *
+    * Publishing is itself a commit: the existing table is validated
+    * first (one scan, first violation wins), then a metadata-only
+    * version lands via the same CAS loop — a racing append either
+    * lands before (this retry re-validates its rows) or retries after
+    * and sees the new constraint. Scale shape: the validation scan is
+    * the ONLY O(table) cost, paid once at declaration; every later
+    * commit pays O(its own staged rows).
+    */
+  def addCheck(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty, "addCheck needs a non-empty constraint name")
+    val fs = fileSystem(spark, dir)
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version in $dir to constrain"))
+      val m = readManifest(fs, dir, head)
+      require(!m.checks.exists(_._1 == name),
+        s"CHECK constraint '$name' already exists on $dir")
+      // the data already in the table must honor the new contract
+      if (read(spark, dir, Some(head))
+          .filter(not(coalesce(expr(sqlExpr), lit(true))))
+          .limit(1).count() > 0)
+        throw new CheckViolationException(
+          s"cannot add CHECK constraint '$name' ($sqlExpr) to $dir: " +
+            s"existing rows at version $head violate it")
+      val schema = versionSchema(spark, dir, m).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $head of $dir has no schema to constrain"))
+      // the head's txn stamp carries into the metadata commit so a
+      // streaming writer's high-water mark stays visible even if this
+      // becomes the newest surviving manifest
+      if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
+          m.checks :+ ((name, sqlExpr))))
+        return head + 1
+      attempts += 1   // CAS lost: re-read head, re-validate its rows
+      require(attempts < 1000,
+        s"addCheck on $dir still losing the version race after " +
+          s"$attempts attempts")
+    }
+    -1 // unreachable
+  }
+
+  /** Drop a table CHECK constraint by name (metadata-only commit). */
+  def dropCheck(spark: SparkSession, dir: String, name: String): Int = {
+    val fs = fileSystem(spark, dir)
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $dir"))
+      val m = readManifest(fs, dir, head)
+      require(m.checks.exists(_._1 == name),
+        s"no CHECK constraint '$name' on $dir")
+      val schema = versionSchema(spark, dir, m).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $head of $dir has no schema"))
+      if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
+          m.checks.filterNot(_._1 == name)))
+        return head + 1
+      attempts += 1
+      require(attempts < 1000,
+        s"dropCheck on $dir still losing the version race after " +
+          s"$attempts attempts")
+    }
+    -1 // unreachable
+  }
+
   /** Stage `df`'s data files (commit-scoped dir, invisible until a
     * manifest references them) and return their manifest lines. Staging
     * is version-free: the same staged files publish under whichever
@@ -300,15 +403,20 @@ object Versioned {
     */
   private def casPublish(fs: FileSystem, dir: String, next: Int,
       schema: StructType, lines: Seq[String],
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      checks: Seq[(String, String)] = Nil): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
     fs.mkdirs(new Path(dir, "_manifest"))
-    val headers = s"$SchemaHeader${schema.json}" +:
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val headers = (s"$SchemaHeader${schema.json}" +:
       txn.map { case (app, batch) =>
-        s"$TxnHeader${java.net.URLEncoder.encode(app, "UTF-8")}\t$batch"
-      }.toSeq
+        s"$TxnHeader${enc(app)}\t$batch"
+      }.toSeq) ++
+      checks.map { case (name, sql) =>
+        s"$CheckHeader${enc(name)}\t${enc(sql)}"
+      }
     val out = fs.create(tmp, false)
     try out.write((headers ++ lines)
       .mkString("", "\n", "\n")
@@ -321,27 +429,62 @@ object Versioned {
     }
   }
 
+  /** Enforce the table's CHECK constraints against freshly staged
+    * files: a row violates iff the expression evaluates to FALSE
+    * (NULL passes — the SQL-standard CHECK rule, and what lets a
+    * constraint over an evolved column admit null-filling old
+    * writers). The scan reads ONLY the staged files (never the
+    * table), under the table schema so omitted columns null-fill,
+    * and stops at the first violating row per constraint.
+    */
+  private def enforceChecks(spark: SparkSession, dir: String,
+      staged: Seq[String], checks: Seq[(String, String)],
+      tableSchema: StructType): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    if (checks.isEmpty || staged.isEmpty) return
+    val df = spark.read.schema(tableSchema)
+      .parquet(staged.map(l => s"$dir/${parseLine(l)._1}"): _*)
+    checks.foreach { case (name, sql) =>
+      if (df.filter(not(coalesce(expr(sql), lit(true))))
+          .limit(1).count() > 0)
+        throw new CheckViolationException(
+          s"commit to $dir violates CHECK constraint '$name' ($sql); " +
+            "nothing was published")
+    }
+  }
+
   private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean, statCol: Option[String],
       txn: Option[(String, Long)] = None): Int = {
     val fs = fileSystem(spark, dir)
     val newFiles = stage(spark, dir, df, statCol)
     var attempts = 0
+    // re-validated inside the retry loop only when the constraint set
+    // actually changed under us (a racing addCheck): the common retry —
+    // losing the version number to another append — never re-scans
+    var validatedFor: Option[Seq[(String, String)]] = None
     while (true) {
       val head = latestVersion(spark, dir)
       val next = head.map(_ + 1).getOrElse(0)
       // carried files, and the schema the new version publishes: an
       // append EVOLVES the head schema (recomputed each retry — the
       // head we lost to may itself have evolved it); a replace claims
-      // schema authority outright
-      val headManifest =
-        if (replace) None else head.map(readManifest(fs, dir, _))
-      val carried = headManifest.map(_.lines).getOrElse(Nil)
+      // schema authority outright. CHECK constraints are table policy:
+      // they carry through appends AND plain replaces alike.
+      val headManifest = head.map(readManifest(fs, dir, _))
+      val carried = if (replace) Nil else headManifest.map(_.lines)
+        .getOrElse(Nil)
       val schema =
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
           .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
-      if (casPublish(fs, dir, next, schema, carried ++ newFiles, txn))
+      val checks = headManifest.map(_.checks).getOrElse(Nil)
+      if (!validatedFor.contains(checks)) {
+        enforceChecks(spark, dir, newFiles, checks, schema)
+        validatedFor = Some(checks)
+      }
+      if (casPublish(fs, dir, next, schema, carried ++ newFiles, txn,
+          checks))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -447,8 +590,11 @@ object Versioned {
     val staged = stage(spark, dir, laidOut,
       inherited.orElse(clusterBy.headOption))
     // the rewrite materializes the base version's EVOLVED schema
-    // (null-filled columns become physical), which is what it records
-    replaceLoop(spark, dir, staged, base, keyCols = None, baseDf.schema)
+    // (null-filled columns become physical), which is what it records;
+    // CHECK validation is skipped — the staged rows ARE the base's
+    // rows, already admitted by their own commits
+    replaceLoop(spark, dir, staged, base, keyCols = None, baseDf.schema,
+      validateChecks = false)
   }
 
   /** RESTORE: republish historical `version` as a NEW head commit —
@@ -498,8 +644,16 @@ object Versioned {
       throw new IllegalArgumentException(
         s"cannot restore $dir to version $version: it is empty with no " +
           "recorded schema (pre-schema-tracking manifest)"))
+    // the restored version republishes as ONE coherent state: its
+    // data, its schema, and its CHECK constraints (so no O(table)
+    // re-validation scan is ever needed — the target's rows satisfied
+    // the target's checks when they committed). A constraint added
+    // after `version` rolls back with the restore; re-add it afterward
+    // if it should survive — [[addCheck]] then validates the restored
+    // data against it explicitly.
     replaceLoop(spark, dir, m.lines, latestVersion(spark, dir),
-      keyCols = None, stagedSchema = schema)
+      keyCols = None, stagedSchema = schema,
+      checksOverride = Some(m.checks), validateChecks = false)
   }
 
   /** The shared replace-retry loop. `keyCols = None` skips overlap
@@ -507,17 +661,25 @@ object Versioned {
     */
   private def replaceLoop(spark: SparkSession, dir: String,
       staged: Seq[String], base: Option[Int],
-      keyCols: Option[Seq[String]], stagedSchema: StructType): Int = {
+      keyCols: Option[Seq[String]], stagedSchema: StructType,
+      checksOverride: Option[Seq[(String, String)]] = None,
+      validateChecks: Boolean = true): Int = {
     val fs = fileSystem(spark, dir)
     val baseFiles: Set[String] = base
       .map(readManifest(fs, dir, _).lines.map(parseLine(_)._1).toSet)
       .getOrElse(Set.empty)
     var attempts = 0
+    var validatedFor: Option[Seq[(String, String)]] = None
     while (true) {
       val head = latestVersion(spark, dir)
       val next = head.map(_ + 1).getOrElse(0)
-      val headLines = head.map(readManifest(fs, dir, _).lines).getOrElse(Nil)
+      val headM = head.map(readManifest(fs, dir, _))
+      val headLines = headM.map(_.lines).getOrElse(Nil)
       val headFiles = headLines.map(parseLine(_)._1).toSet
+      // CHECK constraints survive a replace (table policy, not data) —
+      // unless the caller rolls policy back with state ([[restore]])
+      val checks = checksOverride
+        .getOrElse(headM.map(_.checks).getOrElse(Nil))
       if (!baseFiles.subsetOf(headFiles))
         throw new CommitConflictException(
           s"replace of $dir based on version $base conflicts with an " +
@@ -549,7 +711,12 @@ object Versioned {
         else evolveSchema(stagedSchema,
           spark.read.option("mergeSchema", true).parquet(
             interleaved.map(l => s"$dir/${parseLine(l)._1}"): _*).schema)
-      if (casPublish(fs, dir, next, schema, interleaved ++ staged))
+      if (validateChecks && !validatedFor.contains(checks)) {
+        enforceChecks(spark, dir, staged, checks, schema)
+        validatedFor = Some(checks)
+      }
+      if (casPublish(fs, dir, next, schema, interleaved ++ staged,
+          checks = checks))
         return next
       attempts += 1
       require(attempts < 1000,

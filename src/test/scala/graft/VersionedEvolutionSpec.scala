@@ -215,6 +215,72 @@ class VersionedEvolutionSpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 2 + 1 + 2 + 1)
   }
 
+  // -------------------------------------------------- CHECK constraints
+
+  test("addCheck gates every later writer: FALSE rejects the commit, " +
+      "NULL passes, drop lifts the gate — and nothing partial publishes") {
+    val dir = tmpDir() + "/check-gate"
+    Versioned.commit(spark, dir, base(0, 3))                  // v0
+    assert(Versioned.addCheck(spark, dir, "id_pos", "id >= 0") == 1)
+    assert(Versioned.checks(spark, dir) == Seq(("id_pos", "id >= 0")))
+    val headBefore = Versioned.latestVersion(spark, dir)
+    intercept[Versioned.CheckViolationException] {
+      Versioned.commit(spark, dir, Seq((-5L, "bad")).toDF("id", "s"))
+    }
+    assert(Versioned.latestVersion(spark, dir) == headBefore) // untouched
+    // a replace is gated by the same table policy
+    intercept[Versioned.CheckViolationException] {
+      Versioned.commitReplace(spark, dir,
+        Seq((-1L, "bad")).toDF("id", "s"), Seq("id"))
+    }
+    // NULL passes (SQL CHECK rule): a row with null id is admitted
+    Versioned.commit(spark, dir,
+      Seq((Option.empty[Long], "nullish")).toDF("id", "s"))
+    // valid rows land, and the constraint rides into the new manifest
+    Versioned.commit(spark, dir, base(10, 12))
+    assert(Versioned.checks(spark, dir) == Seq(("id_pos", "id >= 0")))
+    Versioned.dropCheck(spark, dir, "id_pos")
+    Versioned.commit(spark, dir, Seq((-5L, "ok now")).toDF("id", "s"))
+    assert(Versioned.checks(spark, dir).isEmpty)
+  }
+
+  test("addCheck validates the EXISTING table first; a check over an " +
+      "evolved column admits null-filling old-shape writers") {
+    val dir = tmpDir() + "/check-evolve"
+    Versioned.commit(spark, dir, base(0, 3))                  // v0: (id, s)
+    val e = intercept[Versioned.CheckViolationException] {
+      Versioned.addCheck(spark, dir, "id_big", "id > 100")
+    }
+    assert(e.getMessage.contains("id_big"))
+    assert(Versioned.checks(spark, dir).isEmpty)
+    Versioned.commit(spark, dir, wide(10, 13))                // v1: + x
+    // old rows have x null — NULL passes, so the constraint installs
+    Versioned.addCheck(spark, dir, "x_pos", "x > 0")
+    // an old-shape writer (no x column) null-fills and is admitted
+    Versioned.commit(spark, dir, base(20, 22))
+    // a new-shape writer with a violating x is rejected
+    intercept[Versioned.CheckViolationException] {
+      Versioned.commit(spark, dir, Seq((30L, "s30", -7)).toDF("id", "s", "x"))
+    }
+    assert(Versioned.read(spark, dir).count() == 3 + 3 + 2)
+  }
+
+  test("restore rolls CHECK constraints back with the state it " +
+      "republishes — one coherent version, no re-validation scan") {
+    val dir = tmpDir() + "/check-restore"
+    Versioned.commit(spark, dir, base(0, 3))                  // v0
+    Versioned.addCheck(spark, dir, "id_pos", "id >= 0")       // v1
+    Versioned.restore(spark, dir, 0)                          // v2
+    assert(Versioned.checks(spark, dir).isEmpty)              // policy of v0
+    Versioned.commit(spark, dir, Seq((-5L, "fine")).toDF("id", "s"))
+    // and restoring the CONSTRAINED version brings the policy back
+    Versioned.restore(spark, dir, 1)                          // v4
+    assert(Versioned.checks(spark, dir) == Seq(("id_pos", "id >= 0")))
+    intercept[Versioned.CheckViolationException] {
+      Versioned.commit(spark, dir, Seq((-6L, "bad")).toDF("id", "s"))
+    }
+  }
+
   // ------------------------------------------------------------ restore
 
   test("restore undoes a bad replace as a forward commit: state rolls " +
