@@ -200,6 +200,37 @@ class VersionedConcurrencySpec extends SparkSuite {
     assert(got == restored || got == replaced)
   }
 
+  test("addCheck racing a violating append: exactly one wins — the " +
+      "append is validated by the declaration or rejected by it, " +
+      "never admitted past it") {
+    val dir = tmpDir() + "/race-check"
+    Versioned.commit(spark, dir, rows(0, 10, "ok"))            // v0
+    val barrier = new CyclicBarrier(2)
+    var appendErr: Option[Throwable] = None
+    var checkErr: Option[Throwable] = None
+    inParallel(
+      () => { barrier.await()
+        try { Versioned.commit(spark, dir,
+          Seq((-1L, "neg")).toDF("id", "s")); () }
+        catch { case t: Versioned.CheckViolationException =>
+          appendErr = Some(t); () } },
+      () => { barrier.await()
+        try { Versioned.addCheck(spark, dir, "id_pos", "id >= 0"); () }
+        catch { case t: Versioned.CheckViolationException =>
+          checkErr = Some(t); () } })
+    val negIn = Versioned.read(spark, dir).filter($"id" < 0).count() > 0
+    val checkOn = Versioned.checks(spark, dir).nonEmpty
+    // coherent outcomes only: the violating row is in and the check
+    // failed to install (append won the race), or the check is on and
+    // the row was rejected (declaration won) — NEVER both, which
+    // would be a constrained table carrying a violating row
+    assert(negIn != checkOn,
+      s"incoherent: negIn=$negIn checkOn=$checkOn " +
+        s"appendErr=$appendErr checkErr=$checkErr")
+    if (negIn) assert(checkErr.isDefined && appendErr.isEmpty)
+    else assert(appendErr.isDefined && checkErr.isEmpty)
+  }
+
   test("pinned reader survives expire; unpin releases retention") {
     val dir = tmpDir() + "/pins"
     Versioned.commit(spark, dir, rows(0, 10, "v0"))
