@@ -211,7 +211,7 @@ object Versioned {
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean = false): Int =
-    commitImpl(spark, dir, df, replace, statCol = None)
+    commitImpl(spark, dir, df, replace, statCols = Nil)
 
   /** [[commit]] plus per-file min/max stats of `statCol` (an integral
     * column) recorded in the manifest — the file-skipping index
@@ -224,7 +224,16 @@ object Versioned {
     */
   def commitWithStats(spark: SparkSession, dir: String, df: DataFrame,
       statCol: String, replace: Boolean = false): Int =
-    commitImpl(spark, dir, df, replace, statCol = Some(statCol))
+    commitImpl(spark, dir, df, replace, statCols = Seq(statCol))
+
+  /** Multi-column form: one stats scan records per-file min/max for
+    * EVERY listed column (tab-grouped in the manifest line), so
+    * [[readPruned]] can skip files on any of them — what real table
+    * formats do for all leading cluster keys.
+    */
+  def commitWithStats(spark: SparkSession, dir: String, df: DataFrame,
+      statCols: Seq[String], replace: Boolean): Int =
+    commitImpl(spark, dir, df, replace, statCols = statCols)
 
   /** Exactly-once append for a REPLAYABLE writer (a Structured
     * Streaming `foreachBatch` sink, a retried batch job): the commit
@@ -260,7 +269,7 @@ object Versioned {
     }
     if (last.exists(_ >= batchId)) None
     else Some(commitImpl(spark, dir, df, replace = false,
-      statCol = None, txn = Some((appId, batchId))))
+      statCols = Nil, txn = Some((appId, batchId))))
   }
 
   /** Table CHECK constraints active at the head version (empty for an
@@ -355,42 +364,51 @@ object Versioned {
     * version number the CAS loop eventually wins.
     */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,
-      statCol: Option[String]): Seq[String] = {
+      statCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val fs = fileSystem(spark, dir)
     // data files are commit-scoped and immutable once the manifest lands
     val dataDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
     df.write.parquet(dataDir.toString)
-    // per-file stats: ONE column-pruned scan of the just-written files,
-    // grouped by their physical file (footer-only at production scale)
-    val stats: Map[String, (Long, Long)] = statCol match {
-      case None => Map.empty
-      case Some(c) =>
+    // per-file stats for EVERY tracked column in ONE column-pruned scan
+    // of the just-written files, grouped by their physical file
+    // (footer-only at production scale). An all-NULL or zero-row file
+    // records the inverted sentinel range [MaxValue, MinValue]: a
+    // BETWEEN can never select such rows, so every pruned read skips
+    // the file — without this an empty commit (an empty-partition
+    // pipeline run — fuzz gate) planned as an unprunable file and
+    // broke the skipping guarantee.
+    val cols = statCols.distinct
+    val stats: Map[String, Seq[(String, Long, Long)]] =
+      if (cols.isEmpty) Map.empty
+      else {
+        val aggs = cols.flatMap(c => Seq(
+          min(col(c).cast("long")), max(col(c).cast("long"))))
         spark.read.parquet(dataDir.toString)
           .groupBy(input_file_name().as("__f"))
-          .agg(min(col(c).cast("long")).as("__mn"),
-            max(col(c).cast("long")).as("__mx"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-          .map(r => new Path(r.getString(0)).getName ->
-            (r.getLong(1), r.getLong(2)))
-          .toMap
-    }
+          .map { r =>
+            val groups = cols.zipWithIndex.map { case (c, i) =>
+              if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i))
+                (c, Long.MaxValue, Long.MinValue)
+              else (c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+            }
+            new Path(r.getString(0)).getName -> groups
+          }.toMap
+      }
     fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map { f =>
         val rel = s"data/${dataDir.getName}/${f.getPath.getName}"
-        (stats.get(f.getPath.getName), statCol) match {
-          case (Some((mn, mx)), Some(c)) => s"$rel\t$c\t$mn\t$mx"
-          // a stats-tracked file with NO min/max has no matchable rows
-          // (zero rows, or all-null stat column — which a BETWEEN can
-          // never select): record the inverted sentinel range so every
-          // pruned read skips it. Without this an empty commit (an
-          // empty-partition pipeline run — fuzz gate) planned as an
-          // unprunable file and broke the skipping guarantee.
-          case (None, Some(c)) =>
-            s"$rel\t$c\t${Long.MaxValue}\t${Long.MinValue}"
-          case _ => rel
+        if (cols.isEmpty) rel
+        else {
+          // a file with rows gets its measured groups; a zero-row file
+          // never appears in the stats scan -> sentinel for every col
+          val groups = stats.getOrElse(f.getPath.getName,
+            cols.map(c => (c, Long.MaxValue, Long.MinValue)))
+          groups.map { case (c, mn, mx) => s"\t$c\t$mn\t$mx" }
+            .mkString(rel, "", "")
         }
       }
       .sorted.toSeq
@@ -454,10 +472,10 @@ object Versioned {
   }
 
   private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
-      replace: Boolean, statCol: Option[String],
+      replace: Boolean, statCols: Seq[String],
       txn: Option[(String, Long)] = None): Int = {
     val fs = fileSystem(spark, dir)
-    val newFiles = stage(spark, dir, df, statCol)
+    val newFiles = stage(spark, dir, df, statCols)
     var attempts = 0
     // re-validated inside the retry loop only when the constraint set
     // actually changed under us (a racing addCheck): the common retry —
@@ -524,7 +542,7 @@ object Versioned {
       statCol: Option[String] = None): Int = {
     require(keyCols.nonEmpty, "commitReplace needs at least one key column")
     val base = baseVersion.orElse(latestVersion(spark, dir))
-    replaceLoop(spark, dir, stage(spark, dir, df, statCol), base,
+    replaceLoop(spark, dir, stage(spark, dir, df, statCol.toSeq), base,
       Some(keyCols), df.schema)
   }
 
@@ -554,14 +572,15 @@ object Versioned {
     val base = latestVersion(spark, dir)
     val baseV = base.getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
-    val lines = readManifest(fs, dir, baseV).lines.map(parseLine)
+    val lines = readManifest(fs, dir, baseV).lines.map(parseStats)
     val files = lines.map(_._1)
-    // stats survive compaction: default to the base version's own
-    // stats column (off its manifest lines) — a rewrite that silently
-    // dropped them would disable readPruned's file skipping without
-    // anyone noticing until scan costs exploded
-    val inherited = statCol.orElse(
-      lines.collectFirst { case (_, Some((c, _, _))) => c })
+    // stats survive compaction: every column the base version tracked
+    // is re-measured on the rewrite (a rewrite that silently dropped
+    // them would disable readPruned's file skipping without anyone
+    // noticing until scan costs exploded), plus the caller's statCol
+    // and every cluster key — clustering's whole point is tight stats
+    val inherited = (statCol.toSeq ++
+      lines.flatMap(_._2.map(_._1)) ++ clusterBy).distinct
     val totalBytes = files.map(rel =>
       fs.getFileStatus(new Path(dir, rel)).getLen).sum
     // a ZERO-file base (truncate-to-empty replace) still compacts to a
@@ -587,8 +606,7 @@ object Versioned {
         baseDf.repartitionByRange(nOut, keys: _*)
           .sortWithinPartitions(keys: _*)
       }
-    val staged = stage(spark, dir, laidOut,
-      inherited.orElse(clusterBy.headOption))
+    val staged = stage(spark, dir, laidOut, inherited)
     // the rewrite materializes the base version's EVOLVED schema
     // (null-filled columns become physical), which is what it records;
     // CHECK validation is skipped — the staged rows ARE the base's
@@ -726,12 +744,22 @@ object Versioned {
     -1 // unreachable
   }
 
-  /** Manifest line → (relative path, optional (col, min, max) stats). */
-  private def parseLine(line: String): (String, Option[(String, Long, Long)]) =
-    line.split('\t') match {
-      case Array(rel, c, mn, mx) => (rel, Some((c, mn.toLong, mx.toLong)))
-      case parts => (parts(0), None)
-    }
+  /** Manifest line → (relative path, first recorded stats group) —
+    * the single-column view most callers need. */
+  private def parseLine(line: String): (String, Option[(String, Long, Long)]) = {
+    val (rel, stats) = parseStats(line)
+    (rel, stats.headOption)
+  }
+
+  /** Manifest line → (relative path, ALL recorded (col, min, max)
+    * stats groups — `rel\tc1\tmn\tmx\tc2\tmn\tmx…`; a pre-multi-stats
+    * line parses as zero or one group unchanged). */
+  private def parseStats(line: String): (String, Seq[(String, Long, Long)]) = {
+    val parts = line.split('\t')
+    (parts(0), parts.drop(1).grouped(3).collect {
+      case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
+    }.toSeq)
+  }
 
   // ------------------------------------------------------- reader pins
 
@@ -962,13 +990,13 @@ object Versioned {
       throw new IllegalArgumentException(s"no committed version in $dir"))
     require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
     val m = readManifest(fs, dir, v)
-    val all = m.lines.map(parseLine)
+    val all = m.lines.map(parseStats)
     require(all.nonEmpty, s"version $v of $dir is empty")
     val kept = all.collect {
-      case (rel, Some((c, mn, mx))) if c == statCol && (mx < lo || mn > hi) =>
-        None // provably disjoint — skip
-      case (rel, _) => Some(s"$dir/$rel")
-    }.flatten
+      // provably disjoint on ANY recorded group for this column — skip
+      case (rel, stats) if !stats.exists { case (c, mn, mx) =>
+        c == statCol && (mx < lo || mn > hi) } => s"$dir/$rel"
+    }
     val pred = col(statCol).between(lo, hi)
     def scan(paths: Seq[String]) = m.schema match {
       case Some(sc) => spark.read.schema(sc).parquet(paths: _*)

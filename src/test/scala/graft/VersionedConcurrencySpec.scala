@@ -393,4 +393,31 @@ class VersionedConcurrencySpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 32)
     assert(Versioned.read(spark, dir, Some(3)).count() == 32)
   }
+
+  test("multi-column stats: readPruned skips files on EITHER recorded " +
+      "column, and compaction re-measures every tracked column") {
+    val dir = tmpDir() + "/multi-stats"
+    // three single-file commits, disjoint in BOTH id and w
+    (0 until 3).foreach { k =>
+      val df = (k * 100 until (k + 1) * 100)
+        .map(i => (i.toLong, k.toLong)).toDF("id", "w").repartition(1)
+      Versioned.commitWithStats(spark, dir, df, Seq("id", "w"),
+        replace = false)
+    }
+    assert(Versioned.readPruned(spark, dir, "id", 150, 160)
+      .inputFiles.length == 1)
+    val byW = Versioned.readPruned(spark, dir, "w", 1, 1)
+    assert(byW.inputFiles.length == 1)
+    assert(byW.count() == 100)
+    // a column with no recorded stats is never pruned (still correct)
+    assert(Versioned.readPruned(spark, dir, "id", 5000, 6000)
+      .inputFiles.isEmpty)
+    // compaction (3 files -> 1) re-records BOTH columns on the rewrite
+    Versioned.compactCommit(spark, dir, targetBytes = 1L << 30)
+    assert(Versioned.readPruned(spark, dir, "w", 1, 1).count() == 100)
+    assert(Versioned.readPruned(spark, dir, "w", 50, 60)
+      .inputFiles.isEmpty)
+    assert(Versioned.readPruned(spark, dir, "id", 5000, 6000)
+      .inputFiles.isEmpty)
+  }
 }
