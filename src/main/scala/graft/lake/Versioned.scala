@@ -566,7 +566,8 @@ object Versioned {
   def compactCommit(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
       statCol: Option[String] = None,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil,
+      zOrder: Boolean = false): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = fileSystem(spark, dir)
     val base = latestVersion(spark, dir)
@@ -600,7 +601,22 @@ object Versioned {
     // shuffle, pure file-count reduction).
     val laidOut =
       if (clusterBy.isEmpty) baseDf.coalesce(nOut)
-      else {
+      else if (zOrder) {
+        // Morton-interleave the two dimensions so EVERY file takes a
+        // compact region of the (a, b) plane: with multi-column stats
+        // recorded on both, a predicate on EITHER dimension prunes
+        // files — lexicographic clustering is tight on the leading key
+        // only (the trailing key scatters across every file)
+        require(clusterBy.size == 2,
+          "zOrder clustering interleaves exactly two dimension columns")
+        import org.apache.spark.sql.functions.col
+        val z = graft.ops.ScaleOps.zValue(
+          col(clusterBy.head).cast("long"), col(clusterBy(1)).cast("long"))
+        baseDf.withColumn("__graft_z", z)
+          .repartitionByRange(nOut, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      } else {
         import org.apache.spark.sql.functions.col
         val keys = clusterBy.map(col)
         baseDf.repartitionByRange(nOut, keys: _*)

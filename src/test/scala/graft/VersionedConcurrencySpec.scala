@@ -420,4 +420,33 @@ class VersionedConcurrencySpec extends SparkSuite {
     assert(Versioned.readPruned(spark, dir, "id", 5000, 6000)
       .inputFiles.isEmpty)
   }
+
+  test("z-ordered compaction prunes on EITHER dimension where " +
+      "lexicographic clustering prunes only the leading key") {
+    val dir = tmpDir() + "/compact-z"
+    val grid = (for { x <- 0 until 8; y <- 0 until 8 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    Versioned.commitWithStats(spark, dir, grid.repartition(4),
+      Seq("x", "y"), replace = false)
+    // lexicographic (x, y): four x-slab files, each carrying EVERY y —
+    // a y-only predicate cannot skip a single file
+    Versioned.compactCommit(spark, dir, targetBytes = 1L,
+      clusterBy = Seq("x", "y"))
+    assert(Versioned.readPruned(spark, dir, "x", 0, 1)
+      .inputFiles.length < 4)                       // leading key: tight
+    val lexY = Versioned.readPruned(spark, dir, "y", 0, 1)
+    assert(lexY.inputFiles.length == 4)             // trailing: useless
+    assert(lexY.count() == 16)
+    // z-order: every file owns a compact region of the (x, y) plane,
+    // so BOTH dimensions prune
+    Versioned.compactCommit(spark, dir, targetBytes = 1L,
+      clusterBy = Seq("x", "y"), zOrder = true)
+    val zy = Versioned.readPruned(spark, dir, "y", 0, 1)
+    val zx = Versioned.readPruned(spark, dir, "x", 0, 1)
+    assert(zy.inputFiles.length < 4,
+      s"y-pruning should skip z-ordered files, planned ${zy.inputFiles.length}")
+    assert(zx.inputFiles.length < 4)
+    assert(zy.count() == 16 && zx.count() == 16)    // pruning, not loss
+    assert(Versioned.read(spark, dir).count() == 64)
+  }
 }
