@@ -3,8 +3,12 @@ package graft.lake
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types
+import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructType}
 
 /** Versioned lake table — manifest-based snapshot isolation and time
   * travel over plain parquet files (the core mechanism of a table
@@ -690,14 +694,405 @@ object Versioned {
       checksOverride = Some(m.checks), validateChecks = false)
   }
 
+  // ----------------------------------------------------- row-level DML
+
+  /** Can a file whose recorded per-column `[min, max]` ranges are
+    * `stats` possibly contain a row matching `pred`? The tri-state
+    * file-skipping rule of every table format's data-skipping layer,
+    * collapsed conservatively: any shape or column the ranges cannot
+    * reason about answers TRUE (the file stays a candidate — pruning
+    * is an optimization, never the semantics). Sound interval logic
+    * only: under AND a file must be able to match both sides; under OR
+    * either; a comparison against an integral literal checks the
+    * closed interval; everything else (IsNull, UDFs, string columns,
+    * Not — ranges prove possibility, and the complement of "possible"
+    * is not "impossible") is unknown. Zero-row / all-NULL files carry
+    * the inverted sentinel range, so every comparison on them answers
+    * false and they prune — correctly, since a NULL row can never
+    * satisfy a TRUE predicate.
+    */
+  private[graft] def statsCanMatch(pred: Expression,
+      stats: Seq[(String, Long, Long)]): Boolean = {
+    val range: Map[String, (Long, Long)] =
+      stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap
+    def width(dt: DataType): Int = dt match {
+      case types.ByteType => 1
+      case types.ShortType => 2
+      case types.IntegerType => 4
+      case types.LongType => 8
+      case types.DateType => 4 // days-since-epoch int; stats cast likewise
+      case _ => 0 // non-integral: never unwrap through it
+    }
+    // a WIDENING integral cast preserves both the attribute's recorded
+    // range and a literal's value; anything else would make interval
+    // reasoning unsound (a narrowing cast wraps), so it stays opaque
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case c: Cast if c.childrenResolved && width(c.child.dataType) > 0 &&
+        width(c.dataType) >= width(c.child.dataType) => attrOf(c.child)
+      case _ => None
+    }
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case c: Cast if c.childrenResolved && width(c.child.dataType) > 0 &&
+        width(c.dataType) >= width(c.child.dataType) => litLong(c.child)
+      case _ => None
+    }
+    // possible-existence of a row with `col op v`, given col ∈ [mn, mx]
+    def probe(a: Expression, b: Expression)(
+        f: (Long, Long, Long) => Boolean): Boolean =
+      (for { c <- attrOf(a); v <- litLong(b); r <- range.get(c) }
+        yield f(r._1, r._2, v)).getOrElse(true)
+    def can(e: Expression): Boolean = e match {
+      case And(l, r) => can(l) && can(r)
+      case Or(l, r) => can(l) || can(r)
+      case Literal(false, BooleanType) => false
+      case EqualTo(a, b) if litLong(b).isDefined =>
+        probe(a, b)((mn, mx, v) => mn <= v && v <= mx)
+      case EqualTo(a, b) if litLong(a).isDefined =>
+        probe(b, a)((mn, mx, v) => mn <= v && v <= mx)
+      case EqualNullSafe(a, b) if litLong(b).isDefined =>
+        probe(a, b)((mn, mx, v) => mn <= v && v <= mx)
+      case EqualNullSafe(a, b) if litLong(a).isDefined =>
+        probe(b, a)((mn, mx, v) => mn <= v && v <= mx)
+      case LessThan(a, b) if litLong(b).isDefined =>
+        probe(a, b)((mn, _, v) => mn < v)
+      case LessThan(a, b) if litLong(a).isDefined => // v < col
+        probe(b, a)((_, mx, v) => mx > v)
+      case LessThanOrEqual(a, b) if litLong(b).isDefined =>
+        probe(a, b)((mn, _, v) => mn <= v)
+      case LessThanOrEqual(a, b) if litLong(a).isDefined =>
+        probe(b, a)((_, mx, v) => mx >= v)
+      case GreaterThan(a, b) if litLong(b).isDefined =>
+        probe(a, b)((_, mx, v) => mx > v)
+      case GreaterThan(a, b) if litLong(a).isDefined =>
+        probe(b, a)((mn, _, v) => mn < v)
+      case GreaterThanOrEqual(a, b) if litLong(b).isDefined =>
+        probe(a, b)((_, mx, v) => mx >= v)
+      case GreaterThanOrEqual(a, b) if litLong(a).isDefined =>
+        probe(b, a)((mn, _, v) => mn <= v)
+      case In(a, vs) if vs.nonEmpty && vs.forall(litLong(_).isDefined) =>
+        (for { c <- attrOf(a); r <- range.get(c) } yield
+          vs.flatMap(litLong).exists(v => r._1 <= v && v <= r._2))
+          .getOrElse(true)
+      case _ => true
+    }
+    can(pred)
+  }
+
+  /** The base-manifest lines a predicate might touch, by stats alone —
+    * exposed for specs; [[deleteWhere]] is the consumer. */
+  private[graft] def pruneCandidates(pred: Expression,
+      lines: Seq[String]): Seq[String] =
+    lines.filter(l => statsCanMatch(pred, parseStats(l)._2))
+
+  /** `predicate` resolved and type-coerced against `schema` — a Spark 4
+    * Column is a lazy ColumnNode tree; analyzing it as a Filter over an
+    * empty relation yields the concrete Catalyst comparison nodes the
+    * interval pruner pattern-matches (with the analyzer's own coercion
+    * casts, which [[statsCanMatch]] unwraps when they are widening).
+    */
+  private[graft] def resolvedPredicate(spark: SparkSession,
+      schema: StructType, predicate: Column): Expression = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    empty.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(ColumnBridge.expression(predicate))
+  }
+
+  /** Row-level DELETE, copy-on-write (the GDPR-erasure / contamination-
+    * removal primitive — `DELETE FROM t WHERE p` on a 100 TB table must
+    * not rewrite 100 TB):
+    *
+    *  1. STAT PRUNE (driver-side, zero I/O): manifest files whose
+    *     recorded ranges prove no row can match are out immediately.
+    *  2. REFINE (one column-pruned scan of the candidates only):
+    *     `input_file_name()` under the predicate finds which candidate
+    *     files ACTUALLY hold a matching row.
+    *  3. REWRITE only those files, keeping rows the predicate does not
+    *     select TRUE for (a NULL predicate keeps its row — SQL DELETE
+    *     semantics); tracked stats are re-measured on the rewrite.
+    *  4. PUBLISH: every untouched manifest line republishes VERBATIM
+    *     (stats included — zero data movement, file skipping intact)
+    *     alongside the rewrites, through the optimistic replace loop.
+    *
+    * Cost is O(files containing matches) + one pruned candidate scan,
+    * never O(table). [[changesBetween]] over the commit reads exactly
+    * the deleted rows as `delete` events (the rewrite's surviving rows
+    * net out of the keyed diff). Concurrency: the delete is "as of
+    * `baseVersion`" (default head) — interleaved APPENDS carry into the
+    * new manifest untouched (append rows land after the delete, even
+    * ones the predicate would have selected — serializes as
+    * delete-then-append); an interleaved replace or a DML commit that
+    * rewrote an overlapping base conflicts via the base-subset check.
+    *
+    * Returns the new version — or `baseVersion`/head UNCHANGED (no
+    * commit) when pruning or refinement proves nothing matches.
+    * No-op deletes outnumber real ones in retention pipelines; an
+    * empty commit per probe would churn the history for nothing.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: Column,
+      baseVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val fs = fileSystem(spark, dir)
+    val base = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, base)),
+      s"version $base not found in $dir")
+    val m = readManifest(fs, dir, base)
+    if (m.lines.isEmpty) return base
+    val schema = versionSchema(spark, dir, m) match {
+      case Some(s) => s
+      case None => return base // zero-file base already handled; defensive
+    }
+    val pred = resolvedPredicate(spark, schema, predicate)
+    val candidates = pruneCandidates(pred, m.lines)
+    if (candidates.isEmpty) return base
+    val candidatePaths = candidates.map(l => s"$dir/${parseLine(l)._1}")
+    // refinement scan: predicate columns + file name only — Spark
+    // prunes the parquet read to the referenced columns
+    val matchedRel: Set[String] =
+      spark.read.schema(schema).parquet(candidatePaths: _*)
+        .filter(predicate)
+        .select(input_file_name().as("__f")).distinct()
+        .collect().map(r => relOfUri(r.getString(0))).toSet
+    if (matchedRel.isEmpty) return base
+    val (matchedLines, untouched) =
+      m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
+    val inherited = matchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
+    val keep = spark.read.schema(schema)
+      .parquet(matchedLines.map(l => s"$dir/${parseLine(l)._1}"): _*)
+      .filter(not(coalesce(predicate, lit(false))))
+    val staged = stage(spark, dir, keep, inherited)
+    // surviving rows were admitted by their own commits: no CHECK rescan
+    replaceLoop(spark, dir, staged, Some(base), keyCols = None,
+      stagedSchema = schema, validateChecks = false, carried = untouched)
+  }
+
+  /** Row-level UPDATE, copy-on-write (`UPDATE t SET c = e WHERE p`):
+    * the same stat-prune → refine → rewrite-matched-files-only plan as
+    * [[deleteWhere]], with matched rows rewritten through the
+    * assignments instead of dropped. Each assignment expression is
+    * applied ONLY where the predicate is TRUE (NULL/FALSE rows pass
+    * through untouched — SQL UPDATE semantics); assigned columns must
+    * already exist and keep their type (adding a column is a schema
+    * change — commit it as a replace). CHECK constraints re-validate
+    * the rewritten files: an UPDATE is the one DML whose output can
+    * violate a constraint its input satisfied. Untouched manifest
+    * lines republish verbatim; tracked stats re-measure on the
+    * rewrite; [[changesBetween]] reads the commit as exactly the
+    * updated rows' pre/post pairs. Returns the new version, or the
+    * base unchanged when nothing can match.
+    */
+  def updateWhere(spark: SparkSession, dir: String, predicate: Column,
+      assignments: Map[String, Column],
+      baseVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val fs = fileSystem(spark, dir)
+    val base = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, base)),
+      s"version $base not found in $dir")
+    val m = readManifest(fs, dir, base)
+    if (m.lines.isEmpty) return base
+    val schema = versionSchema(spark, dir, m) match {
+      case Some(s) => s
+      case None => return base
+    }
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"UPDATE assigns to '$c', which is not a table column — adding a " +
+        "column rewrites history; commit it as a replace"))
+    val pred = resolvedPredicate(spark, schema, predicate)
+    val candidates = pruneCandidates(pred, m.lines)
+    if (candidates.isEmpty) return base
+    val matchedRel: Set[String] =
+      spark.read.schema(schema)
+        .parquet(candidates.map(l => s"$dir/${parseLine(l)._1}"): _*)
+        .filter(predicate)
+        .select(input_file_name().as("__f")).distinct()
+        .collect().map(r => relOfUri(r.getString(0))).toSet
+    if (matchedRel.isEmpty) return base
+    val (matchedLines, untouched) =
+      m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
+    val inherited = matchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
+    val hit = coalesce(predicate, lit(false))
+    val rewritten = spark.read.schema(schema)
+      .parquet(matchedLines.map(l => s"$dir/${parseLine(l)._1}"): _*)
+      .select(schema.fieldNames.toSeq.map { c =>
+        assignments.get(c) match {
+          case Some(e) => when(hit, e).otherwise(col(c))
+            .cast(schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val staged = stage(spark, dir, rewritten, inherited)
+    replaceLoop(spark, dir, staged, Some(base), keyCols = None,
+      stagedSchema = schema, carried = untouched)
+  }
+
+  /** MERGE INTO (upsert), copy-on-write: rows of `source` whose
+    * `keyCols` match an existing row REPLACE it; the rest INSERT —
+    * and like [[deleteWhere]], only the files that actually hold a
+    * matched key are rewritten:
+    *
+    *  1. STAT PRUNE: for a single integral key with recorded stats,
+    *     one driver-visible agg over the (delta-sized) source yields
+    *     its key range; base files provably outside it are out.
+    *  2. REFINE: a key-column-pruned scan of the candidates,
+    *     semi-joined against the source keys, names the files with a
+    *     matched row (the join is delta × candidate-keys — AQE
+    *     broadcasts the small side).
+    *  3. REWRITE those files anti-joined on the source keys, staged
+    *     together with the full source in one write (the staged frame
+    *     IS the commit's row-level delta, which is exactly what
+    *     [[changesBetween]] then reports: update pairs + inserts).
+    *  4. PUBLISH with untouched lines carried verbatim; the commit's
+    *     schema is the table's evolved by the source's ([[evolveSchema]]
+    *     — a merge may introduce columns), CHECK constraints validate
+    *     the staged delta only, and the conflict probe is scoped to the
+    *     SOURCE keys: an interleaved append conflicts iff it touched a
+    *     key this merge claims, otherwise it carries.
+    *
+    * `source` must be key-unique (the SQL MERGE cardinality rule — two
+    * source rows matching one target row is nondeterministic; rejected
+    * loudly). NULL-keyed source rows match nothing and insert.
+    * Returns the new version.
+    */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], baseVersion: Option[Int] = None,
+      statCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"key column '$k' not in source columns " +
+        source.columns.mkString("[", ", ", "]")))
+    val fs = fileSystem(spark, dir)
+    val base = baseVersion.orElse(latestVersion(spark, dir))
+    if (base.isEmpty) // first commit: a merge into nothing is an insert
+      return commitImpl(spark, dir, source, replace = false,
+        statCols = statCol.toSeq)
+    require(fs.exists(manifestPath(dir, base.get)),
+      s"version ${base.get} not found in $dir")
+    val m = readManifest(fs, dir, base.get)
+    val src = source.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    try {
+      val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count()
+      require(dup == 0, s"mergeInto source has duplicate keys on " +
+        s"(${keyCols.mkString(", ")}): matching one target row with two " +
+        "source rows is nondeterministic (SQL MERGE cardinality rule)")
+      val tableSchema = versionSchema(spark, dir, m)
+      if (m.lines.isEmpty || tableSchema.isEmpty) {
+        // empty base version: pure insert, schema evolves from empty
+        val schema = tableSchema.map(evolveSchema(_, src.schema))
+          .getOrElse(src.schema)
+        val aligned = tableSchema match {
+          case Some(_) => alignTo(src, schema)
+          case None => src
+        }
+        val staged = stage(spark, dir, aligned, statCol.toSeq)
+        return replaceLoop(spark, dir, staged, base,
+          keyCols = Some(keyCols), stagedSchema = schema,
+          carried = m.lines, keyProbe = Some(src.select(keyCols.head,
+            keyCols.tail: _*)))
+      }
+      val schema = tableSchema.get
+      keyCols.foreach(k => require(schema.fieldNames.contains(k),
+        s"key column '$k' not in table schema " +
+          schema.fieldNames.mkString("[", ", ", "]")))
+      // 1. stat prune on the single-key range when the manifest has it
+      val candidates =
+        if (keyCols.size == 1) {
+          val k = keyCols.head
+          val r = src.agg(min(col(k).cast("long")), max(col(k).cast("long")))
+            .head()
+          if (r.isNullAt(0)) Nil // only NULL keys: nothing can match
+          else {
+            val (lo, hi) = (r.getLong(0), r.getLong(1))
+            m.lines.filter { l =>
+              !parseStats(l)._2.exists { case (c, mn, mx) =>
+                c == k && (mx < lo || mn > hi)
+              }
+            }
+          }
+        } else m.lines
+      // 2. refine to files actually holding a matched key
+      val matchedRel: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else spark.read.schema(schema)
+          .parquet(candidates.map(l => s"$dir/${parseLine(l)._1}"): _*)
+          .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+          .join(src.select(keyCols.head, keyCols.tail: _*), keyCols,
+            "left_semi")
+          .select("__f").distinct()
+          .collect().map(r => relOfUri(r.getString(0))).toSet
+      val (matchedLines, untouched) =
+        m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
+      val inherited = (matchedLines.flatMap(parseStats(_)._2.map(_._1)) ++
+        statCol).distinct
+      // 3. rewrite matched files minus matched keys; union the source
+      val newSchema = evolveSchema(schema, src.schema)
+      val stagedDf = {
+        val srcAligned = alignTo(src, newSchema)
+        if (matchedLines.isEmpty) srcAligned
+        else alignTo(
+          spark.read.schema(schema)
+            .parquet(matchedLines.map(l => s"$dir/${parseLine(l)._1}"): _*)
+            .join(src.select(keyCols.head, keyCols.tail: _*), keyCols,
+              "left_anti"),
+          newSchema).unionByName(srcAligned)
+      }
+      val staged = stage(spark, dir, stagedDf, inherited)
+      replaceLoop(spark, dir, staged, base, keyCols = Some(keyCols),
+        stagedSchema = newSchema, carried = untouched,
+        keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)))
+    } finally { src.unpersist(); () }
+  }
+
+  /** Null-fill and reorder `df` to exactly `schema`'s columns (the
+    * evolved-union alignment both DML rewrites need). */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Absolute scan URI → the manifest-relative path (`data/c-…/part…`):
+    * staging lays every data file exactly two segments under the table
+    * root, so the last two path segments reconstruct the line key. */
+  private def relOfUri(uri: String): String = {
+    val p = new Path(uri)
+    s"data/${p.getParent.getName}/${p.getName}"
+  }
+
   /** The shared replace-retry loop. `keyCols = None` skips overlap
     * validation (compaction: staged rows == base rows by construction).
+    *
+    * `carried` are BASE manifest lines republished verbatim (row-level
+    * DML: the files the delete/merge did not touch) — excluded from
+    * CHECK validation and from the key-overlap probe, both of which
+    * must stay delta-sized. `keyProbe` narrows the overlap probe to an
+    * explicit key frame (a merge conflicts only with appends touching
+    * its SOURCE keys, not every key it happens to carry forward).
     */
   private def replaceLoop(spark: SparkSession, dir: String,
       staged: Seq[String], base: Option[Int],
       keyCols: Option[Seq[String]], stagedSchema: StructType,
       checksOverride: Option[Seq[(String, String)]] = None,
-      validateChecks: Boolean = true): Int = {
+      validateChecks: Boolean = true,
+      carried: Seq[String] = Nil,
+      keyProbe: Option[DataFrame] = None): Int = {
     val fs = fileSystem(spark, dir)
     val baseFiles: Set[String] = base
       .map(readManifest(fs, dir, _).lines.map(parseLine(_)._1).toSet)
@@ -725,11 +1120,14 @@ object Versioned {
       // a zero-file staging (an empty replace frame under AQE can write
       // no part files) trivially overlaps nothing — and reading zero
       // paths would throw, so the guard is load-bearing, not cosmetic
-      if (interleaved.nonEmpty && staged.nonEmpty) keyCols.foreach { keys =>
+      if (interleaved.nonEmpty && (staged.nonEmpty || keyProbe.isDefined))
+        keyCols.foreach { keys =>
         val added = spark.read.parquet(interleaved.map(l =>
           s"$dir/${parseLine(l)._1}"): _*).select(keys.head, keys.tail: _*)
-        val mine = spark.read.parquet(staged.map(l =>
-          s"$dir/${parseLine(l)._1}"): _*).select(keys.head, keys.tail: _*)
+        val mine = keyProbe.map(_.select(keys.head, keys.tail: _*))
+          .getOrElse(spark.read.parquet(staged.map(l =>
+            s"$dir/${parseLine(l)._1}"): _*)
+            .select(keys.head, keys.tail: _*))
         if (added.join(mine, keys, "left_semi").limit(1).count() > 0)
           throw new CommitConflictException(
             s"replace of $dir based on version $base conflicts with a " +
@@ -749,7 +1147,7 @@ object Versioned {
         enforceChecks(spark, dir, staged, checks, schema)
         validatedFor = Some(checks)
       }
-      if (casPublish(fs, dir, next, schema, interleaved ++ staged,
+      if (casPublish(fs, dir, next, schema, interleaved ++ carried ++ staged,
           checks = checks))
         return next
       attempts += 1

@@ -616,6 +616,112 @@ object DeltaQueries {
     """SELECT event_id, user_id, event_type, value FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  // Row-level DELETE, copy-on-write (Versioned.deleteWhere): the
+  // GDPR-erasure / contamination-removal primitive — DELETE FROM t
+  // WHERE k BETWEEN lo AND hi against a range-clustered 4-file table
+  // must rewrite ONLY the files whose recorded [min,max] stats can
+  // hold a match; every other manifest line republishes VERBATIM (zero
+  // data movement), which is what keeps the op O(matching files) at
+  // 100 TB. The delete bounds are derived from the data (quartile
+  // points of the key span) so the same arithmetic runs on every gate
+  // corpus; rows whose predicate is NULL survive (SQL DELETE removes
+  // WHERE-TRUE rows only — the oracle's IS NOT TRUE). In-query
+  // requires pin the scale shape: stat pruning must rule out at least
+  // one file, and the new manifest must carry base lines verbatim.
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dml-del")
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Versioned.commitWithStats(s, tmp.toString,
+        orders.repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      if (!mm.isNullAt(0)) {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        val pred = col("o_orderkey").between(lo, hi)
+        def lines(v: Int): Seq[String] = {
+          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
+            f"v$v%05d.txt")
+          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+          try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
+            .toList
+          finally src.close()
+        }
+        val before = lines(0)
+        val pruned = Versioned.pruneCandidates(
+          Versioned.resolvedPredicate(s,
+            Versioned.read(s, tmp.toString).schema, pred), before)
+        val v = Versioned.deleteWhere(s, tmp.toString, pred)
+        if (before.size >= 4 && mx - mn >= 4) {
+          // disjoint range clustering: the half-span predicate cannot
+          // intersect every nonempty file's range, and empty files
+          // carry the always-pruned sentinel
+          require(pruned.size < before.size,
+            s"stat pruning skipped nothing (${pruned.size}/${before.size})")
+          if (v != 0) require(
+            lines(v).toSet.intersect(before.toSet).nonEmpty,
+            "no base manifest line carried verbatim — delete rewrote " +
+              "files the predicate never touched")
+        }
+      }
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q137Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE (o_orderkey BETWEEN
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
+      |         AND
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 2 FROM orders))
+      |      IS NOT TRUE
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q138
+  // MERGE INTO (upsert), copy-on-write (Versioned.mergeInto): the even
+  // orderkeys are the table (4 range-clustered files, key stats
+  // recorded); the source reprices the %4==0 keys (updates) and brings
+  // the odd keys (inserts). Only files holding a matched key are
+  // rewritten — candidates are stat-pruned by the source's key range,
+  // then refined by a key-pruned semi join — the rest of the manifest
+  // carries verbatim, and the commit's conflict surface is the SOURCE
+  // keys alone. The oracle replays the upsert as slice arithmetic over
+  // the original table. Negative keys (fuzz corpus) fall in neither
+  // slice (truncated % in both engines) and stay out symmetrically.
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dml-merge")
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Versioned.commitWithStats(s, tmp.toString,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      val source = orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(orders.filter(col("o_orderkey") % 2 === 1))
+      val v = Versioned.mergeInto(s, tmp.toString, source,
+        Seq("o_orderkey"))
+      require(v == 1, s"merge published version $v, expected 1")
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q138Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0 OR o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -632,7 +738,9 @@ object DeltaQueries {
     "q133_concurrent_commits" -> (q133 _),
     "q134_change_feed" -> (q134 _),
     "q135_schema_evolution" -> (q135 _),
-    "q136_versioned_stream_ingest" -> (q136 _))
+    "q136_versioned_stream_ingest" -> (q136 _),
+    "q137_lake_delete_where" -> (q137 _),
+    "q138_lake_merge_into" -> (q138 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -648,5 +756,7 @@ object DeltaQueries {
     "q133_concurrent_commits" -> q133Sql,
     "q134_change_feed" -> q134Sql,
     "q135_schema_evolution" -> q135Sql,
-    "q136_versioned_stream_ingest" -> q136Sql)
+    "q136_versioned_stream_ingest" -> q136Sql,
+    "q137_lake_delete_where" -> q137Sql,
+    "q138_lake_merge_into" -> q138Sql)
 }

@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.Versioned
+import graft.lake.Versioned.{CheckViolationException, CommitConflictException}
+
+/** Row-level DML on the versioned lake ([[Versioned.deleteWhere]] /
+  * [[Versioned.mergeInto]]): copy-on-write file rewrites that must touch
+  * ONLY the files containing matched rows — every other manifest line
+  * republishes verbatim, stats included. The spec pins four layers:
+  * the stat-range pruner's interval logic, the delete/upsert row
+  * semantics (NULL predicate keeps; NULL key inserts), the file-level
+  * copy-on-write contract (asserted against the raw manifest text), and
+  * the concurrency protocol (interleaved appends carry, interleaved
+  * replaces and key-overlapping appends conflict).
+  */
+class VersionedDmlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def manifestLines(dir: String, v: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
+    scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+  }
+
+  /** 40 rows in 4 range-clustered files: ids [0,10), [10,20), … with
+    * per-file id stats recorded — the fixture every pruning test uses. */
+  private def rangedTable(dir: String): Unit = {
+    val df = (0L until 40L).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+    Versioned.commitWithStats(spark, dir, df, "id")
+    assert(manifestLines(dir, 0).size == 4, "fixture wants 4 data files")
+  }
+
+  test("statsCanMatch: sound interval logic, conservative elsewhere") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("other", LongType), StructField("s", StringType)))
+    val st = Seq(("id", 10L, 19L))
+    def can(c: org.apache.spark.sql.Column) =
+      Versioned.statsCanMatch(
+        Versioned.resolvedPredicate(spark, schema, c), st)
+    assert(can(col("id") === 15) && !can(col("id") === 9) &&
+      !can(col("id") === 20))
+    assert(can(col("id") < 11) && !can(col("id") < 10))
+    assert(can(col("id") <= 10) && !can(col("id") <= 9))
+    assert(can(col("id") > 18) && !can(col("id") > 19))
+    assert(can(col("id") >= 19) && !can(col("id") >= 20))
+    assert(can(lit(5) < col("id")) && !can(lit(19) < col("id")))
+    // And needs both sides possible; Or either
+    assert(!can(col("id") > 5 && col("id") < 8))
+    assert(can(col("id") > 5 && col("id") < 12))
+    assert(can(col("id") < 5 || col("id") > 15))
+    assert(!can(col("id") < 5 || col("id") > 25))
+    assert(can(col("id").isin(1, 15)) && !can(col("id").isin(1, 25)))
+    assert(can(col("id") <=> 12) && !can(col("id") <=> 9))
+    // unknowns stay candidates: untracked column, string literal,
+    // IsNull, Not (ranges prove possibility, not impossibility)
+    assert(can(col("other") === 99))
+    assert(can(col("id") === "x"))
+    assert(can(col("id").isNull))
+    assert(can(!(col("id") === 15)))
+    // sentinel (all-NULL / zero-row file) prunes on any comparison
+    val sentinel = Seq(("id", Long.MaxValue, Long.MinValue))
+    def canS(c: org.apache.spark.sql.Column) =
+      Versioned.statsCanMatch(
+        Versioned.resolvedPredicate(spark, schema, c), sentinel)
+    assert(!canS(col("id") === 15))
+    assert(canS(col("id").isNull))
+  }
+
+  test("deleteWhere rewrites only the files holding matches; every " +
+      "other manifest line carries verbatim, stats included") {
+    val dir = tmpDir() + "/del-cow"
+    rangedTable(dir)
+    val before = manifestLines(dir, 0)
+    // ids 12..17 live entirely in file [10,20): stat-pruning must rule
+    // the other three files out before any scan
+    val pred = col("id").between(12, 17)
+    val cand = Versioned.pruneCandidates(
+      Versioned.resolvedPredicate(spark,
+        Versioned.read(spark, dir).schema, pred),
+      manifestLines(dir, 0))
+    assert(cand.size == 1, s"expected 1 stat-candidate file, got $cand")
+    val v = Versioned.deleteWhere(spark, dir, pred)
+    assert(v == 1)
+    val after = manifestLines(dir, 1)
+    // three of four base lines carried byte-identical
+    assert(before.toSet.intersect(after.toSet).size == 3)
+    assert(!after.contains(before.toSet.diff(after.toSet).head))
+    val got = Versioned.read(spark, dir).select("id").as[Long]
+      .collect().sorted
+    assert(got.toSeq == (0L until 40L).filterNot(i => i >= 12 && i <= 17))
+    // the rewrite re-measured the inherited id stats (line carries them)
+    val rewritten = after.filterNot(before.contains)
+    assert(rewritten.nonEmpty && rewritten.forall(_.contains("\tid\t")))
+  }
+
+  test("deleteWhere: NULL predicate keeps its row (SQL DELETE deletes " +
+      "only WHERE-TRUE rows)") {
+    val dir = tmpDir() + "/del-null"
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "v")
+    Versioned.commit(spark, dir, df)
+    Versioned.deleteWhere(spark, dir, col("v") > 10)
+    val got = Versioned.read(spark, dir).select("id").as[Long]
+      .collect().sorted
+    assert(got.toSeq == Seq(1L, 2L)) // NULL v survives
+  }
+
+  test("deleteWhere: a provably-unmatched predicate is a NO-OP — no " +
+      "commit, no scan candidates, head version unchanged") {
+    val dir = tmpDir() + "/del-noop"
+    rangedTable(dir)
+    assert(Versioned.pruneCandidates(
+      Versioned.resolvedPredicate(spark,
+        Versioned.read(spark, dir).schema, col("id") > 100),
+      manifestLines(dir, 0)).isEmpty)
+    assert(Versioned.deleteWhere(spark, dir, col("id") > 100) == 0)
+    // matching no rows despite surviving pruning (predicate on an
+    // untracked column) is also a no-op, after the refinement scan
+    assert(Versioned.deleteWhere(spark, dir, col("s") === "nope") == 0)
+    assert(Versioned.latestVersion(spark, dir).contains(0))
+  }
+
+  test("deleteWhere feeds changesBetween exactly the deleted rows") {
+    val dir = tmpDir() + "/del-cdc"
+    rangedTable(dir)
+    Versioned.deleteWhere(spark, dir, col("id").between(12, 17))
+    val feed = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+    val evs = feed.select("_change_type", "id").as[(String, Long)]
+      .collect().sorted
+    assert(evs.toSeq == (12L to 17L).map(("delete", _)))
+  }
+
+  test("deleteWhere as-of-base: an interleaved append carries — even " +
+      "rows the predicate would have selected (delete-then-append " +
+      "serialization); an interleaved replace conflicts") {
+    val dir = tmpDir() + "/del-race"
+    Versioned.commit(spark, dir,
+      (0L until 10L).map(i => (i, "A")).toDF("id", "s"))        // v0
+    Versioned.commit(spark, dir,
+      (0L until 5L).map(i => (i, "B")).toDF("id", "s"))         // v1 append
+    val v = Versioned.deleteWhere(spark, dir, col("id") < 5,
+      baseVersion = Some(0))
+    assert(v == 2)
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(got == ((5L until 10L).map((_, "A")) ++
+      (0L until 5L).map((_, "B"))).toSet)
+    // interleaved replace: both writers claimed the base files
+    Versioned.commit(spark, dir,
+      Seq((99L, "Z")).toDF("id", "s"), replace = true)          // v3
+    intercept[CommitConflictException] {
+      Versioned.deleteWhere(spark, dir, col("id") >= 0,
+        baseVersion = Some(2))
+    }
+  }
+
+  test("updateWhere rewrites only matched files, applies assignments " +
+      "to WHERE-TRUE rows only, and feeds CDC update pairs") {
+    val dir = tmpDir() + "/upd-cow"
+    rangedTable(dir)
+    val before = manifestLines(dir, 0)
+    val v = Versioned.updateWhere(spark, dir,
+      col("id").between(12, 14), Map("s" -> concat(col("s"), lit("!"))))
+    assert(v == 1)
+    assert(before.toSet.intersect(manifestLines(dir, 1).toSet).size == 3)
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(got.size == 40)
+    assert(got(12L) == "row12!" && got(14L) == "row14!")
+    assert(got(11L) == "row11" && got(15L) == "row15") // same file, unhit
+    val feed = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(feed == Map("update_preimage" -> 3L, "update_postimage" -> 3L))
+    // NULL predicate passes through untouched
+    val dir2 = tmpDir() + "/upd-null"
+    Versioned.commit(spark, dir2,
+      Seq((1L, Some(5L)), (2L, None)).toDF("id", "v"))
+    Versioned.updateWhere(spark, dir2, col("v") < 10,
+      Map("v" -> (col("v") + 100)))
+    assert(Versioned.read(spark, dir2).as[(Long, Option[Long])]
+      .collect().toMap == Map(1L -> Some(105L), 2L -> None))
+  }
+
+  test("updateWhere guards: CHECK constraints re-validate the rewrite; " +
+      "assigning a new column is rejected; no-match is a no-op") {
+    val dir = tmpDir() + "/upd-guard"
+    Versioned.commit(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    Versioned.addCheck(spark, dir, "v_pos", "v > 0") // v1
+    intercept[CheckViolationException] {
+      Versioned.updateWhere(spark, dir, col("id") === 1,
+        Map("v" -> lit(-1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir, col("id") === 1,
+        Map("brand_new" -> lit(1L)))
+    }
+    assert(Versioned.updateWhere(spark, dir, col("id") === 99,
+      Map("v" -> lit(0L))) == 1) // no-match: head (v1) unchanged
+    assert(Versioned.read(spark, dir).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 10L, 2L -> 20L))
+  }
+
+  test("mergeInto: updates replace matched keys, inserts append, " +
+      "untouched files carry verbatim, CDC reads update pairs + inserts") {
+    val dir = tmpDir() + "/merge-cow"
+    rangedTable(dir)
+    val before = manifestLines(dir, 0)
+    // keys 12..14 update (file [10,20) only), keys 100..101 insert
+    val src = (Seq((12L, "u12"), (13L, "u13"), (14L, "u14"),
+      (100L, "n100"), (101L, "n101"))).toDF("id", "s")
+    val v = Versioned.mergeInto(spark, dir, src, Seq("id"))
+    assert(v == 1)
+    val after = manifestLines(dir, 1)
+    assert(before.toSet.intersect(after.toSet).size == 3,
+      "only the matched file may be rewritten")
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(got.size == 42)
+    assert(got(12L) == "u12" && got(13L) == "u13" && got(14L) == "u14")
+    assert(got(100L) == "n100" && got(101L) == "n101")
+    assert(got(11L) == "row11" && got(0L) == "row0")
+    val feed = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(feed == Map("insert" -> 2L, "update_preimage" -> 3L,
+      "update_postimage" -> 3L), s"unexpected feed mix: $feed")
+  }
+
+  test("mergeInto: NULL-keyed source rows match nothing and insert") {
+    val dir = tmpDir() + "/merge-nullkey"
+    Versioned.commit(spark, dir,
+      Seq((Some(1L), "a"), (Some(2L), "b")).toDF("id", "s"))
+    Versioned.mergeInto(spark, dir,
+      Seq((Option.empty[Long], "nk"), (Some(2L), "B")).toDF("id", "s"),
+      Seq("id"))
+    val got = Versioned.read(spark, dir).as[(Option[Long], String)]
+      .collect().toSet
+    assert(got == Set((Some(1L), "a"), (Some(2L), "B"), (None, "nk")))
+  }
+
+  test("mergeInto evolves the schema: a source-only column joins the " +
+      "table nullable; untouched historical rows null-fill") {
+    val dir = tmpDir() + "/merge-evolve"
+    Versioned.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Versioned.mergeInto(spark, dir,
+      Seq((2L, "B", 7L), (3L, "c", 9L)).toDF("id", "s", "extra"),
+      Seq("id"))
+    val got = Versioned.read(spark, dir)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "B", Some(7L)),
+      (3L, "c", Some(9L))))
+  }
+
+  test("mergeInto concurrency: an interleaved append carries when its " +
+      "keys are disjoint from the source, conflicts when they overlap") {
+    val dir = tmpDir() + "/merge-race"
+    Versioned.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Versioned.commit(spark, dir, Seq((50L, "x")).toDF("id", "s")) // v1
+    // disjoint: append carries, merge lands
+    val v = Versioned.mergeInto(spark, dir,
+      Seq((2L, "B2")).toDF("id", "s"), Seq("id"), baseVersion = Some(0))
+    assert(v == 2)
+    val got = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (50L, "x")))
+    // overlap: the appended key IS a source key -> conflict
+    Versioned.commit(spark, dir, Seq((60L, "y")).toDF("id", "s")) // v3
+    intercept[CommitConflictException] {
+      Versioned.mergeInto(spark, dir,
+        Seq((60L, "Y")).toDF("id", "s"), Seq("id"), baseVersion = Some(2))
+    }
+  }
+
+  test("mergeInto rejects a key-duplicated source (SQL MERGE " +
+      "cardinality rule) and validates CHECK constraints on the delta") {
+    val dir = tmpDir() + "/merge-guard"
+    Versioned.commit(spark, dir, Seq((1L, 10L)).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, dir,
+        Seq((2L, 1L), (2L, 2L)).toDF("id", "v"), Seq("id"))
+    }
+    Versioned.addCheck(spark, dir, "v_pos", "v > 0")
+    intercept[CheckViolationException] {
+      Versioned.mergeInto(spark, dir,
+        Seq((1L, -5L)).toDF("id", "v"), Seq("id"))
+    }
+    // nothing published by either rejected merge
+    assert(Versioned.latestVersion(spark, dir).contains(1)) // v1 = addCheck
+    assert(Versioned.read(spark, dir).as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L)))
+  }
+
+  test("mergeInto into nothing / into an empty version is a pure insert") {
+    val dir = tmpDir() + "/merge-empty"
+    val src = Seq((1L, "a")).toDF("id", "s")
+    assert(Versioned.mergeInto(spark, dir, src, Seq("id")) == 0)
+    assert(Versioned.read(spark, dir).count() == 1)
+    val dir2 = tmpDir() + "/merge-empty2"
+    Versioned.commit(spark, dir2,
+      spark.emptyDataset[(Long, String)].toDF("id", "s"))
+    assert(Versioned.mergeInto(spark, dir2, src, Seq("id")) == 1)
+    assert(Versioned.read(spark, dir2).as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a")))
+  }
+}
