@@ -202,10 +202,12 @@ object Stress {
       // versions over scaled events + the replay-skip probe)
       "q134_change_feed", "q135_schema_evolution",
       "q136_versioned_stream_ingest",
-      // row-level DML (this round): copy-on-write delete + merge over
-      // the scaled orders — staging, candidate pruning, rewrite, and
-      // conflict-probe costs must track the MATCHED-file volume
+      // row-level DML (this round): copy-on-write delete + update +
+      // merge over the scaled orders — staging, candidate pruning,
+      // rewrite, and conflict-probe costs must track the MATCHED-file
+      // volume
       "q137_lake_delete_where", "q138_lake_merge_into",
+      "q139_lake_update_where",
       // retrieval / sketches / multimodal (sixth sweep): fixed probes
       // (vec_id < 5/8) against the scaled corpus — measures the
       // "probes broadcast, corpus never shuffles" linear-scan claim,

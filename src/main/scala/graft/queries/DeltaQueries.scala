@@ -722,6 +722,70 @@ object DeltaQueries {
       |WHERE o_orderkey % 2 = 0 OR o_orderkey % 2 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  // Row-level UPDATE, copy-on-write (Versioned.updateWhere): reprice
+  // the middle-quartile orderkeys of a range-clustered 4-file table.
+  // Same scale contract as q137's delete: stat pruning must rule out
+  // the files whose recorded key range cannot intersect the predicate
+  // BEFORE any scan, only the matched files rewrite (through the
+  // assignment where the predicate is TRUE, pass-through otherwise —
+  // SQL UPDATE semantics, so NULL-predicate rows keep their price),
+  // and every untouched manifest line republishes verbatim. The
+  // oracle replays the update as CASE arithmetic over the original
+  // table; the ×2 reprice is exact in IEEE doubles on both engines.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dml-upd")
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Versioned.commitWithStats(s, tmp.toString,
+        orders.repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      if (!mm.isNullAt(0)) {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        val pred = col("o_orderkey").between(lo, hi)
+        def lines(v: Int): Seq[String] = {
+          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
+            f"v$v%05d.txt")
+          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+          try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
+            .toList
+          finally src.close()
+        }
+        val before = lines(0)
+        val pruned = Versioned.pruneCandidates(
+          Versioned.resolvedPredicate(s,
+            Versioned.read(s, tmp.toString).schema, pred), before)
+        val v = Versioned.updateWhere(s, tmp.toString, pred,
+          Map("o_totalprice" -> (col("o_totalprice") * 2)))
+        if (before.size >= 4 && mx - mn >= 4) {
+          require(pruned.size < before.size,
+            s"stat pruning skipped nothing (${pruned.size}/${before.size})")
+          if (v != 0) require(
+            lines(v).toSet.intersect(before.toSet).nonEmpty,
+            "no base manifest line carried verbatim — update rewrote " +
+              "files the predicate never touched")
+        }
+      }
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q139Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey BETWEEN
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
+      |         AND
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 2 FROM orders)
+      |    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -740,7 +804,8 @@ object DeltaQueries {
     "q135_schema_evolution" -> (q135 _),
     "q136_versioned_stream_ingest" -> (q136 _),
     "q137_lake_delete_where" -> (q137 _),
-    "q138_lake_merge_into" -> (q138 _))
+    "q138_lake_merge_into" -> (q138 _),
+    "q139_lake_update_where" -> (q139 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -758,5 +823,6 @@ object DeltaQueries {
     "q135_schema_evolution" -> q135Sql,
     "q136_versioned_stream_ingest" -> q136Sql,
     "q137_lake_delete_where" -> q137Sql,
-    "q138_lake_merge_into" -> q138Sql)
+    "q138_lake_merge_into" -> q138Sql,
+    "q139_lake_update_where" -> q139Sql)
 }
