@@ -208,6 +208,10 @@ object Stress {
       // volume
       "q137_lake_delete_where", "q138_lake_merge_into",
       "q139_lake_update_where",
+      // merge-on-read DML: deletion-vector commits over the scaled
+      // orders — position-sidecar write + anti-join read costs must
+      // track the MATCHED-row volume, never the file volume
+      "q140_lake_delete_mor", "q141_lake_update_mor",
       // retrieval / sketches / multimodal (sixth sweep): fixed probes
       // (vec_id < 5/8) against the scaled corpus — measures the
       // "probes broadcast, corpus never shuffles" linear-scan claim,

@@ -133,7 +133,7 @@ object Versioned {
     */
   private final case class Manifest(schema: Option[StructType],
       txn: Option[(String, Long)], checks: Seq[(String, String)],
-      lines: Seq[String])
+      lines: Seq[String], dvs: Seq[(String, String)] = Nil)
 
   // header lines start with '#' so file-line consumers skip them by
   // prefix; the schema rides as Spark's own StructType JSON (control
@@ -141,6 +141,12 @@ object Versioned {
   private val SchemaHeader = "#schema\t"
   private val TxnHeader = "#txn\t"
   private val CheckHeader = "#check\t"
+  // deletion vector: `#dv\t<baseRel>\t<dvRel>` marks rows of data file
+  // <baseRel> as deleted at the (file, pos) pairs recorded in parquet
+  // sidecar <dvRel> (merge-on-read row-level DELETE — the base file is
+  // NOT rewritten; readers anti-join the positions). Rel paths never
+  // contain tabs (uuid dir + parquet part name), so no encoding.
+  private val DvHeader = "#dv\t"
 
   private def readManifest(fs: FileSystem, dir: String, v: Int): Manifest = {
     val in = fs.open(manifestPath(dir, v))
@@ -164,7 +170,11 @@ object Versioned {
       (java.net.URLDecoder.decode(name, "UTF-8"),
         java.net.URLDecoder.decode(sql, "UTF-8"))
     }
-    Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")))
+    val dvs = raw.collect { case l if l.startsWith(DvHeader) =>
+      val Array(baseRel, dvRel) = l.stripPrefix(DvHeader).split('\t')
+      (baseRel, dvRel)
+    }
+    Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs)
   }
 
   /** The table schema of version `v`: the manifest-recorded one when
@@ -426,7 +436,8 @@ object Versioned {
   private def casPublish(fs: FileSystem, dir: String, next: Int,
       schema: StructType, lines: Seq[String],
       txn: Option[(String, Long)] = None,
-      checks: Seq[(String, String)] = Nil): Boolean = {
+      checks: Seq[(String, String)] = Nil,
+      dvs: Seq[(String, String)] = Nil): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -438,6 +449,9 @@ object Versioned {
       }.toSeq) ++
       checks.map { case (name, sql) =>
         s"$CheckHeader${enc(name)}\t${enc(sql)}"
+      } ++
+      dvs.distinct.map { case (baseRel, dvRel) =>
+        s"$DvHeader$baseRel\t$dvRel"
       }
     val out = fs.create(tmp, false)
     try out.write((headers ++ lines)
@@ -496,6 +510,11 @@ object Versioned {
       val headManifest = head.map(readManifest(fs, dir, _))
       val carried = if (replace) Nil else headManifest.map(_.lines)
         .getOrElse(Nil)
+      // an append keeps the head's deletion vectors (its carried files
+      // keep their deleted rows); a replace claims full-table
+      // authority — its fresh files carry no DVs by construction
+      val carriedDvs = if (replace) Nil
+        else headManifest.map(_.dvs).getOrElse(Nil)
       val schema =
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
@@ -506,7 +525,7 @@ object Versioned {
         validatedFor = Some(checks)
       }
       if (casPublish(fs, dir, next, schema, carried ++ newFiles, txn,
-          checks))
+          checks, carriedDvs))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -664,8 +683,12 @@ object Versioned {
     // existence check batched per commit-scoped data dir: one
     // listStatus per `data/c-*` directory the manifest references —
     // O(commit dirs) namenode calls, not O(files) — a restore of a
-    // million-file version must not issue a million exists() RPCs
-    val present: Set[String] = m.lines.map(parseLine(_)._1)
+    // million-file version must not issue a million exists() RPCs.
+    // Deletion-vector sidecars are referenced files too: a restore
+    // that lost one would resurrect the rows it deleted.
+    val needed = (m.lines.map(parseLine(_)._1) ++
+      m.dvs.map(_._2)).distinct
+    val present: Set[String] = needed
       .groupBy(rel => rel.substring(0, rel.lastIndexOf('/')))
       .keysIterator.flatMap { d =>
         val p = new Path(dir, d)
@@ -673,7 +696,7 @@ object Versioned {
         else fs.listStatus(p).iterator.filter(_.isFile)
           .map(f => s"$d/${f.getPath.getName}")
       }.toSet
-    val missing = m.lines.map(parseLine(_)._1).filterNot(present)
+    val missing = needed.filterNot(present)
     require(missing.isEmpty,
       s"cannot restore $dir to version $version: ${missing.size} of its " +
         s"data files no longer exist (purged?); first missing: " +
@@ -691,7 +714,8 @@ object Versioned {
     // data against it explicitly.
     replaceLoop(spark, dir, m.lines, latestVersion(spark, dir),
       keyCols = None, stagedSchema = schema,
-      checksOverride = Some(m.checks), validateChecks = false)
+      checksOverride = Some(m.checks), validateChecks = false,
+      stagedDvs = m.dvs, dvAuthority = true)
   }
 
   // ----------------------------------------------------- row-level DML
@@ -839,7 +863,7 @@ object Versioned {
     */
   def deleteWhere(spark: SparkSession, dir: String, predicate: Column,
       baseVersion: Option[Int] = None): Int = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val fs = fileSystem(spark, dir)
     val base = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
@@ -854,20 +878,22 @@ object Versioned {
     val pred = resolvedPredicate(spark, schema, predicate)
     val candidates = pruneCandidates(pred, m.lines)
     if (candidates.isEmpty) return base
-    val candidatePaths = candidates.map(l => s"$dir/${parseLine(l)._1}")
-    // refinement scan: predicate columns + file name only — Spark
-    // prunes the parquet read to the referenced columns
+    // refinement scan: predicate columns + file metadata only — Spark
+    // prunes the parquet read to the referenced columns. VISIBLE rows
+    // only: a file whose sole matches were already deleted by a DV
+    // must not rewrite (and the rewrite below must not resurrect)
     val matchedRel: Set[String] =
-      spark.read.schema(schema).parquet(candidatePaths: _*)
+      scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true)
         .filter(predicate)
-        .select(input_file_name().as("__f")).distinct()
-        .collect().map(r => relOfUri(r.getString(0))).toSet
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
     if (matchedRel.isEmpty) return base
     val (matchedLines, untouched) =
       m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
     val inherited = matchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
-    val keep = spark.read.schema(schema)
-      .parquet(matchedLines.map(l => s"$dir/${parseLine(l)._1}"): _*)
+    // the rewrite applies the matched files' existing DVs too — it
+    // MATERIALIZES them (their pairs drop with the replaced files)
+    val keep = scanVisible(spark, dir, schema, matchedLines, m.dvs)
       .filter(not(coalesce(predicate, lit(false))))
     val staged = stage(spark, dir, keep, inherited)
     // surviving rows were admitted by their own commits: no CHECK rescan
@@ -893,7 +919,7 @@ object Versioned {
   def updateWhere(spark: SparkSession, dir: String, predicate: Column,
       assignments: Map[String, Column],
       baseVersion: Option[Int] = None): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val fs = fileSystem(spark, dir)
     val base = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
@@ -913,18 +939,18 @@ object Versioned {
     val candidates = pruneCandidates(pred, m.lines)
     if (candidates.isEmpty) return base
     val matchedRel: Set[String] =
-      spark.read.schema(schema)
-        .parquet(candidates.map(l => s"$dir/${parseLine(l)._1}"): _*)
+      scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true)
         .filter(predicate)
-        .select(input_file_name().as("__f")).distinct()
-        .collect().map(r => relOfUri(r.getString(0))).toSet
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
     if (matchedRel.isEmpty) return base
     val (matchedLines, untouched) =
       m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
     val inherited = matchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
     val hit = coalesce(predicate, lit(false))
-    val rewritten = spark.read.schema(schema)
-      .parquet(matchedLines.map(l => s"$dir/${parseLine(l)._1}"): _*)
+    // visible rows only: the rewrite materializes the matched files'
+    // existing DVs rather than resurrecting their deleted rows
+    val rewritten = scanVisible(spark, dir, schema, matchedLines, m.dvs)
       .select(schema.fieldNames.toSeq.map { c =>
         assignments.get(c) match {
           case Some(e) => when(hit, e).otherwise(col(c))
@@ -935,6 +961,156 @@ object Versioned {
     val staged = stage(spark, dir, rewritten, inherited)
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, carried = untouched)
+  }
+
+  /** Row-level DELETE, merge-on-read (`DELETE FROM t WHERE p` as a
+    * DELETION VECTOR commit): where [[deleteWhere]] rewrites every
+    * file holding a matched row (copy-on-write — O(matched FILES)
+    * bytes moved), this records only the matched row POSITIONS in a
+    * parquet sidecar and publishes `#dv` manifest pointers — the
+    * commit moves O(matched ROWS) bytes whatever the file sizes. The
+    * production answer to "delete 100 rows from a 100 TB table": a
+    * copy-on-write delete of one row in a 1 GB file rewrites 1 GB;
+    * this writes ~one (file, pos) pair. Readers ([[read]],
+    * [[readPruned]], [[changesBetween]], every DML refine scan)
+    * anti-join the recorded positions on parquet's stable
+    * `_metadata.row_index`; [[compactCommit]] materializes DVs back
+    * into plain files (the read-amplification payoff point);
+    * [[expire]] collects sidecars with the versions referencing them.
+    *
+    * Same SQL semantics as [[deleteWhere]]: WHERE-TRUE rows only
+    * (NULL keeps the row), stat pruning rules out provably-unmatched
+    * files before any scan, and a no-match delete is a commit-free
+    * no-op. Deletes stack: a second delete adds pairs; reads apply
+    * the union.
+    *
+    * Concurrency: a MoR delete rewrites nothing, so it composes with
+    * everything that doesn't — interleaved APPENDS carry (as-of-base
+    * semantics: appended rows are not scanned) and two interleaved
+    * MoR DELETES both publish (position sets union; deletes commute —
+    * any serial order yields the same union). Conflicts, both thrown
+    * as [[CommitConflictException]]: an interleaved commit that
+    * REWROTE a scanned file (copy-on-write DML / replace / compaction
+    * — the positions this delete recorded no longer name those rows),
+    * and an interleaved [[updateWhereMor]] that re-homed scanned rows
+    * (its staged copies would survive position-only DVs). Returns the
+    * new version, or `base` unchanged when nothing matches.
+    */
+  def deleteWhereMor(spark: SparkSession, dir: String, predicate: Column,
+      baseVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val fs = fileSystem(spark, dir)
+    val base = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, base)),
+      s"version $base not found in $dir")
+    val m = readManifest(fs, dir, base)
+    if (m.lines.isEmpty) return base
+    val schema = versionSchema(spark, dir, m) match {
+      case Some(s) => s
+      case None => return base
+    }
+    val pred = resolvedPredicate(spark, schema, predicate)
+    val candidates = pruneCandidates(pred, m.lines)
+    if (candidates.isEmpty) return base
+    // one column-pruned scan of the candidates' VISIBLE rows streams
+    // the matched positions straight to a commit-scoped sidecar — no
+    // driver materialization, the DV can be any size
+    val dvDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
+    scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true)
+      .filter(predicate)
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+      .write.parquet(dvDir.toString)
+    // exact (base file -> sidecar part) pairs from one read-back of
+    // the (small) sidecar; doubles as the no-match detector
+    val pairs: Seq[(String, String)] =
+      spark.read.schema(DvSchema).parquet(dvDir.toString)
+        .select(col("file"), input_file_name().as("__d")).distinct()
+        .collect().map(r => (r.getString(0), relOfUri(r.getString(1))))
+        .toSeq
+    if (pairs.isEmpty) { fs.delete(dvDir, true); return base }
+    replaceLoop(spark, dir, staged = Nil, base = Some(base),
+      keyCols = None, stagedSchema = schema, validateChecks = false,
+      carried = m.lines, stagedDvs = pairs,
+      morScanned = Some(candidates.map(parseLine(_)._1).toSet))
+  }
+
+  /** Row-level UPDATE, merge-on-read: the matched rows' positions go
+    * into a deletion vector (as [[deleteWhereMor]]) and their updated
+    * copies stage as a NEW data file in the same commit — the commit
+    * moves O(matched ROWS) bytes, not O(matched files). SQL UPDATE
+    * semantics ([[updateWhere]]): assignments apply to WHERE-TRUE
+    * rows only, assigned columns must exist and keep their type, and
+    * CHECK constraints re-validate the staged copies (an update can
+    * violate a constraint its input satisfied).
+    *
+    * Concurrency is STRICT: re-homing a row's position composes with
+    * nothing — a racing delete's position-only DV would miss the
+    * staged copy, a racing update would fork the row — so this
+    * publishes only as `base + 1` and throws
+    * [[CommitConflictException]] on ANY interleaved commit; re-derive
+    * from the new head and retry (the op is delta-sized, so a retry
+    * is cheap). The same race from the other side is caught by
+    * [[deleteWhereMor]]'s update-attribution probe and
+    * [[replaceLoop]]'s lost-delete rule. Returns the new version, or
+    * `base` unchanged when nothing matches.
+    */
+  def updateWhereMor(spark: SparkSession, dir: String, predicate: Column,
+      assignments: Map[String, Column],
+      baseVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(assignments.nonEmpty, "updateWhereMor needs an assignment")
+    val fs = fileSystem(spark, dir)
+    val base = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, base)),
+      s"version $base not found in $dir")
+    val m = readManifest(fs, dir, base)
+    if (m.lines.isEmpty) return base
+    val schema = versionSchema(spark, dir, m) match {
+      case Some(s) => s
+      case None => return base
+    }
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"UPDATE assigns to '$c', which is not a table column — adding a " +
+        "column rewrites history; commit it as a replace"))
+    val pred = resolvedPredicate(spark, schema, predicate)
+    val candidates = pruneCandidates(pred, m.lines)
+    if (candidates.isEmpty) return base
+    val matched = scanVisible(spark, dir, schema, candidates, m.dvs,
+      keepMeta = true).filter(predicate)
+    val dvDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
+    matched.select(col("__file").as("file"), col("__pos").as("pos"))
+      .write.parquet(dvDir.toString)
+    val pairs: Seq[(String, String)] =
+      spark.read.schema(DvSchema).parquet(dvDir.toString)
+        .select(col("file"), input_file_name().as("__d")).distinct()
+        .collect().map(r => (r.getString(0), relOfUri(r.getString(1))))
+        .toSeq
+    if (pairs.isEmpty) { fs.delete(dvDir, true); return base }
+    // updated copies: every row here is WHERE-TRUE by construction,
+    // so the assignments apply unconditionally (second deterministic
+    // scan of the same immutable files — same rows as the DV write)
+    val affected = pairs.map(_._1).toSet
+    val inherited = m.lines
+      .filter(l => affected.contains(parseLine(l)._1))
+      .flatMap(parseStats(_)._2.map(_._1)).distinct
+    val updated = matched.select(schema.fieldNames.toSeq.map { c =>
+      assignments.get(c) match {
+        case Some(e) => e.cast(schema(c).dataType).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val staged = stage(spark, dir, updated, inherited)
+    enforceChecks(spark, dir, staged, m.checks, schema)
+    val published = casPublish(fs, dir, base + 1, schema,
+      m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs)
+    if (!published)
+      throw new CommitConflictException(
+        s"merge-on-read update of $dir based on version $base lost the " +
+          "version race: position re-homing composes with no " +
+          "interleaved commit; re-derive from the new head and retry")
+    base + 1
   }
 
   /** MERGE INTO (upsert), copy-on-write: rows of `source` whose
@@ -968,7 +1144,7 @@ object Versioned {
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String], baseVersion: Option[Int] = None,
       statCol: Option[String] = None): Int = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     keyCols.foreach(k => require(source.columns.contains(k),
       s"key column '$k' not in source columns " +
@@ -1024,16 +1200,17 @@ object Versioned {
             }
           }
         } else m.lines
-      // 2. refine to files actually holding a matched key
+      // 2. refine to files actually holding a matched key — visible
+      // rows only (a DV-deleted row's key no longer matches anything)
       val matchedRel: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else spark.read.schema(schema)
-          .parquet(candidates.map(l => s"$dir/${parseLine(l)._1}"): _*)
-          .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+        else scanVisible(spark, dir, schema, candidates, m.dvs,
+            keepMeta = true)
+          .select(keyCols.map(col) :+ col("__file"): _*)
           .join(src.select(keyCols.head, keyCols.tail: _*), keyCols,
             "left_semi")
-          .select("__f").distinct()
-          .collect().map(r => relOfUri(r.getString(0))).toSet
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSet
       val (matchedLines, untouched) =
         m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
       val inherited = (matchedLines.flatMap(parseStats(_)._2.map(_._1)) ++
@@ -1044,8 +1221,9 @@ object Versioned {
         val srcAligned = alignTo(src, newSchema)
         if (matchedLines.isEmpty) srcAligned
         else alignTo(
-          spark.read.schema(schema)
-            .parquet(matchedLines.map(l => s"$dir/${parseLine(l)._1}"): _*)
+          // visible rows only: the rewrite materializes the matched
+          // files' DVs instead of resurrecting their deleted rows
+          scanVisible(spark, dir, schema, matchedLines, m.dvs)
             .join(src.select(keyCols.head, keyCols.tail: _*), keyCols,
               "left_anti"),
           newSchema).unionByName(srcAligned)
@@ -1092,11 +1270,19 @@ object Versioned {
       checksOverride: Option[Seq[(String, String)]] = None,
       validateChecks: Boolean = true,
       carried: Seq[String] = Nil,
-      keyProbe: Option[DataFrame] = None): Int = {
+      keyProbe: Option[DataFrame] = None,
+      stagedDvs: Seq[(String, String)] = Nil,
+      dvAuthority: Boolean = false,
+      morScanned: Option[Set[String]] = None): Int = {
     val fs = fileSystem(spark, dir)
-    val baseFiles: Set[String] = base
-      .map(readManifest(fs, dir, _).lines.map(parseLine(_)._1).toSet)
-      .getOrElse(Set.empty)
+    val baseM = base.map(readManifest(fs, dir, _))
+    val baseFiles: Set[String] = baseM
+      .map(_.lines.map(parseLine(_)._1).toSet).getOrElse(Set.empty)
+    // DV pairs this writer SAW at its base: dropping one of these with
+    // its file is intentional (the rewrite materialized it); dropping
+    // a pair that landed after the base would resurrect deleted rows
+    val baseDvs: Set[(String, String)] =
+      baseM.map(_.dvs.toSet).getOrElse(Set.empty)
     var attempts = 0
     var validatedFor: Option[Seq[(String, String)]] = None
     while (true) {
@@ -1147,8 +1333,63 @@ object Versioned {
         enforceChecks(spark, dir, staged, checks, schema)
         validatedFor = Some(checks)
       }
-      if (casPublish(fs, dir, next, schema, interleaved ++ carried ++ staged,
-          checks = checks))
+      val newLines = interleaved ++ carried ++ staged
+      val newRels = newLines.map(parseLine(_)._1).toSet
+      val headDvs = headM.map(_.dvs).getOrElse(Nil)
+      // a head DV unseen at the base is an interleaved merge-on-read
+      // delete racing this commit. On a file this commit REMOVES,
+      // publishing would silently resurrect the deleted rows in the
+      // rewritten copies — a lost update, so a conflict (same class
+      // as the key overlap above). A pair the base already carried is
+      // fine: the rewrite scan applied it (materialization, not
+      // loss). Under `dvAuthority` (restore: the published DV set is
+      // exactly the restored version's) ANY unseen pair conflicts —
+      // the restore must re-derive knowing about the delete it would
+      // otherwise override.
+      val lostDeletes = headDvs.filter { case pair @ (baseRel, _) =>
+        !baseDvs.contains(pair) && (dvAuthority ||
+          (headFiles.contains(baseRel) && !newRels.contains(baseRel)))
+      }
+      if (lostDeletes.nonEmpty)
+        throw new CommitConflictException(
+          s"replace of $dir based on version $base conflicts with an " +
+            "interleaved row-level delete: deletion vectors landed on " +
+            s"${lostDeletes.map(_._1).distinct.size} file(s) this " +
+            "commit would republish from an older base — publishing " +
+            "would resurrect the deleted rows; re-derive from the " +
+            "new head")
+      // a merge-on-read DELETE composes with interleaved appends and
+      // with other MoR deletes (position-delete sets union; deletes
+      // commute) — but NOT with an interleaved MoR UPDATE that
+      // re-homed rows this delete scanned: the update's staged copies
+      // of rows this delete also matched would survive its
+      // position-only DVs (no serial order produces that). Attribute
+      // per interleaved commit: one that added data lines AND DV
+      // pairs on files this delete scanned is such an update.
+      morScanned.foreach { scanned =>
+        for (v <- base.get + 1 to head.getOrElse(base.get)) {
+          val cur = readManifest(fs, dir, v)
+          val prev = readManifest(fs, dir, v - 1)
+          val addedLines = cur.lines.map(parseLine(_)._1).toSet --
+            prev.lines.map(parseLine(_)._1)
+          val addedDvs = cur.dvs.toSet -- prev.dvs
+          if (addedLines.nonEmpty &&
+              addedDvs.exists(d => scanned.contains(d._1)))
+            throw new CommitConflictException(
+              s"merge-on-read delete of $dir based on version " +
+                s"${base.get} conflicts with an interleaved " +
+                s"merge-on-read update (commit $v): it re-homed rows " +
+                "this delete scanned; re-derive from the new head")
+        }
+      }
+      // DVs survive on every file that survives (carried or
+      // interleaved), plus the caller's fresh pairs; a DV-authority
+      // commit publishes exactly the caller's set
+      val newDvs =
+        if (dvAuthority) stagedDvs
+        else headDvs.filter(d => newRels.contains(d._1)) ++ stagedDvs
+      if (casPublish(fs, dir, next, schema, newLines,
+          checks = checks, dvs = newDvs))
         return next
       attempts += 1
       require(attempts < 1000,
@@ -1273,13 +1514,17 @@ object Versioned {
             minPinnedVersion(fs, dir).getOrElse(Int.MaxValue))
           val dropped = (0 until cut).filter(v =>
             fs.exists(manifestPath(dir, v)))
-          val refs: Set[String] = dropped
-            .flatMap(v => readManifest(fs, dir, v).lines)
-            .map(parseLine(_)._1).toSet
+          // referenced files = data lines AND deletion-vector
+          // sidecars: a collected live DV would resurrect rows; a
+          // retained dead one would leak disk
+          def referenced(v: Int): Seq[String] = {
+            val m = readManifest(fs, dir, v)
+            m.lines.map(parseLine(_)._1) ++ m.dvs.map(_._2)
+          }
+          val refs: Set[String] = dropped.flatMap(referenced).toSet
           val keep: Set[String] = (cut to latest)
             .filter(v => fs.exists(manifestPath(dir, v)))
-            .flatMap(v => readManifest(fs, dir, v).lines)
-            .map(parseLine(_)._1).toSet
+            .flatMap(referenced).toSet
           dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
           (dropped.size, refs, keep)
         }
@@ -1351,6 +1596,67 @@ object Versioned {
     (v, deleted)
   }
 
+  // ---------------------------------------------- merge-on-read scans
+
+  private[lake] val DvSchema = StructType(Seq(
+    StructField("file", types.StringType, nullable = false),
+    StructField("pos", types.LongType, nullable = false)))
+
+  // the manifest-relative path reconstructed from a scan's
+  // `_metadata.file_path` URI — DV writers and DV-applying reads both
+  // derive the join key with this one pattern, so it stays consistent
+  // however the filesystem renders the URI prefix
+  private val RelPattern = "(data/[^/]+/[^/]+)$"
+
+  /** Visible rows of the data files in `lines` under deletion vectors
+    * `dvs`: files carrying no DV scan untouched; DV'd files anti-join
+    * their recorded (file, pos) pairs on parquet's stable
+    * `_metadata.row_index` — the merge-on-read half of row-level
+    * DELETE. Scale shape: the DV side is O(deleted rows in the scanned
+    * files) and AQE broadcasts it when small; the base files are never
+    * rewritten and never shuffle (streamed side of the hash anti
+    * join). `keepMeta` retains the join columns (`__file` =
+    * manifest-relative path, `__pos` = in-file row index) for the DML
+    * refine scans and the change feed.
+    */
+  private def scanVisible(spark: SparkSession, dir: String,
+      schema: StructType, lines: Seq[String], dvs: Seq[(String, String)],
+      keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+    val rels = lines.map(parseLine(_)._1)
+    val relSet = rels.toSet
+    val live = dvs.filter(d => relSet.contains(d._1))
+    val dvdRels = live.map(_._1).toSet
+    def scan(paths: Seq[String], withMeta: Boolean) = {
+      val df = spark.read.schema(schema)
+        .parquet(paths.map(r => s"$dir/$r"): _*)
+      if (!withMeta) df
+      else df.select(col("*"),
+        regexp_extract(col("_metadata.file_path"), RelPattern, 1)
+          .as("__file"),
+        col("_metadata.row_index").as("__pos"))
+    }
+    val plain = rels.filterNot(dvdRels)
+    val parts = Seq(
+      if (plain.nonEmpty) Some(scan(plain, keepMeta)) else None,
+      if (dvdRels.nonEmpty) {
+        val dv = spark.read.schema(DvSchema)
+          .parquet(live.map(_._2).distinct.map(r => s"$dir/$r"): _*)
+        val base = scan(dvdRels.toSeq.sorted, withMeta = true)
+        val alive = base.join(dv,
+          base("__file") === dv("file") && base("__pos") === dv("pos"),
+          "left_anti")
+        Some(if (keepMeta) alive else alive.drop("__file", "__pos"))
+      } else None).flatten
+    parts.reduceOption(_.unionByName(_)).getOrElse {
+      val base = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      if (!keepMeta) base
+      else base.select(col("*"),
+        lit("").as("__file"), lit(0L).as("__pos"))
+    }
+  }
+
   /** Read a specific version (time travel), or the latest when
     * `version` is None. Immutable: committing later versions never
     * changes what this returns.
@@ -1378,6 +1684,10 @@ object Versioned {
         // manifest knows the schema parquet's zero files cannot supply
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], sc)
+      case Some(sc) if m.dvs.nonEmpty =>
+        // merge-on-read: anti-join each DV'd file's recorded deleted
+        // positions; files without DVs scan untouched
+        scanVisible(spark, dir, sc, m.lines, m.dvs)
       case Some(sc) => spark.read.schema(sc).parquet(files: _*)
       case None =>
         require(files.nonEmpty,
@@ -1409,17 +1719,21 @@ object Versioned {
     val kept = all.collect {
       // provably disjoint on ANY recorded group for this column — skip
       case (rel, stats) if !stats.exists { case (c, mn, mx) =>
-        c == statCol && (mx < lo || mn > hi) } => s"$dir/$rel"
+        c == statCol && (mx < lo || mn > hi) } => rel
     }
     val pred = col(statCol).between(lo, hi)
-    def scan(paths: Seq[String]) = m.schema match {
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+    def scan(rels: Seq[String]) = m.schema match {
+      // DV'd kept files anti-join their deleted positions (the DV
+      // stats stay those of the base file — conservative: pruning may
+      // keep a file whose matching rows are all deleted; the anti
+      // join, not the stats, is the semantics)
+      case Some(sc) => scanVisible(spark, dir, sc, rels, m.dvs)
+      case None => spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
     }
     if (kept.isEmpty)
       // every file pruned: one file supplies the schema, the always-
       // false residual filter supplies the (empty) rows
-      scan(Seq(s"$dir/${all.head._1}")).filter(lit(false) && pred)
+      scan(Seq(all.head._1)).filter(lit(false) && pred)
     else scan(kept).filter(pred)
   }
 
@@ -1481,27 +1795,59 @@ object Versioned {
         org.apache.spark.sql.types.StringType, nullable = false) :+
       StructField("_commit_version",
         org.apache.spark.sql.types.IntegerType, nullable = false))
-    def scan(lines: Seq[String]): DataFrame =
-      spark.read.schema(tableSchema)
-        .parquet(lines.map(l => s"$dir/${parseLine(l)._1}"): _*)
+    // every per-version scan renders VISIBLE rows (that version's
+    // deletion vectors applied) — a DV'd row is deleted to the feed
+    // exactly as a rewritten-away row is
+    def scanVis(mf: Manifest, lines: Seq[String]): DataFrame =
+      scanVisible(spark, dir, tableSchema, lines, mf.dvs)
+    // rows at `pairs` positions that are visible under `mf` — the
+    // row-level content of a DV delta. New pairs against the PREVIOUS
+    // manifest = rows this commit deleted in place (the anti join in
+    // scanVisible dedups double-deletes across stacked DVs); dropped
+    // pairs against the CURRENT manifest = rows a restore resurrected.
+    def dvRows(pairs: Seq[(String, String)], mf: Manifest): DataFrame = {
+      val baseRels = pairs.map(_._1).toSet
+      val withMeta = scanVisible(spark, dir, tableSchema,
+        mf.lines.filter(l => baseRels.contains(parseLine(l)._1)),
+        mf.dvs, keepMeta = true)
+      val dv = spark.read.schema(DvSchema)
+        .parquet(pairs.map(_._2).distinct.map(r => s"$dir/$r"): _*)
+      withMeta.join(dv,
+        withMeta("__file") === dv("file") && withMeta("__pos") === dv("pos"),
+        "left_semi").drop("__file", "__pos")
+    }
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val prev = manifests(v - 1).lines.map(parseLine(_)._1).toSet
-      val cur = manifests(v).lines.map(parseLine(_)._1).toSet
-      val added = manifests(v).lines.filterNot(l =>
-        prev.contains(parseLine(l)._1))
-      val removed = manifests(v - 1).lines.filterNot(l =>
-        cur.contains(parseLine(l)._1))
-      if (added.isEmpty && removed.isEmpty) None // no-op commit
-      else if (removed.isEmpty) Some( // pure append: new files ARE the feed
-        scan(added).select(tableCols.map(col) :+
-          lit("insert").as("_change_type") :+
-          lit(v).as("_commit_version"): _*))
-      else if (added.isEmpty) Some( // truncating replace: all deletes
-        scan(removed).select(tableCols.map(col) :+
-          lit("delete").as("_change_type") :+
-          lit(v).as("_commit_version"): _*))
-      else Some(replaceFeedStep(scan(removed), scan(added),
-        keyCols, tableCols, v))
+      val prevM = manifests(v - 1)
+      val curM = manifests(v)
+      val prev = prevM.lines.map(parseLine(_)._1).toSet
+      val cur = curM.lines.map(parseLine(_)._1).toSet
+      val added = curM.lines.filterNot(l => prev.contains(parseLine(l)._1))
+      val removed = prevM.lines.filterNot(l => cur.contains(parseLine(l)._1))
+      val survivors = prev.intersect(cur)
+      val dvNew = (curM.dvs.toSet -- prevM.dvs).toSeq
+        .filter(d => survivors.contains(d._1))
+      val dvGone = (prevM.dvs.toSet -- curM.dvs).toSeq
+        .filter(d => survivors.contains(d._1))
+      val oldSide = (if (removed.nonEmpty) Seq(scanVis(prevM, removed))
+        else Nil) ++
+        (if (dvNew.nonEmpty) Seq(dvRows(dvNew, prevM)) else Nil)
+      val newSide = (if (added.nonEmpty) Seq(scanVis(curM, added))
+        else Nil) ++
+        (if (dvGone.nonEmpty) Seq(dvRows(dvGone, curM)) else Nil)
+      (oldSide.reduceOption(_.unionByName(_)),
+        newSide.reduceOption(_.unionByName(_))) match {
+        case (None, None) => None // no-op commit
+        case (None, Some(ins)) => Some( // pure append / resurrection
+          ins.select(tableCols.map(col) :+
+            lit("insert").as("_change_type") :+
+            lit(v).as("_commit_version"): _*))
+        case (Some(del), None) => Some( // truncate / in-place delete
+          del.select(tableCols.map(col) :+
+            lit("delete").as("_change_type") :+
+            lit(v).as("_commit_version"): _*))
+        case (Some(del), Some(ins)) =>
+          Some(replaceFeedStep(del, ins, keyCols, tableCols, v))
+      }
     }
     if (steps.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feedSchema)

@@ -786,6 +786,126 @@ object DeltaQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  // Row-level DELETE, merge-on-read (Versioned.deleteWhereMor): the
+  // same middle-quartile delete as q137 plus a second, unprunable
+  // modulo delete — but NOT ONE base data file rewrites. Each delete
+  // commits only a parquet sidecar of matched (file, row_index)
+  // positions and `#dv` manifest pointers; readers anti-join them.
+  // The in-query requires force the whole contract: stat pruning
+  // still rules files out pre-scan, the data-line set republishes
+  // BYTE-IDENTICAL across both commits (the scale claim: a delete
+  // moves O(matched rows), never O(matched files)), the sidecar
+  // pointers exist, and the two deletes STACK (the second scans
+  // visible rows — double-deleted positions dedup). The oracle
+  // replays both predicates with SQL three-valued semantics
+  // (NULL-keyed rows survive both).
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dml-mor")
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Versioned.commitWithStats(s, tmp.toString,
+        orders.repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      if (!mm.isNullAt(0)) {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        val pred = col("o_orderkey").between(lo, hi)
+        def raw(v: Int): Seq[String] = {
+          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
+            f"v$v%05d.txt")
+          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+          try src.getLines().filter(_.nonEmpty).toList
+          finally src.close()
+        }
+        def dataLines(v: Int) = raw(v).filterNot(_.startsWith("#"))
+        val before = dataLines(0)
+        val pruned = Versioned.pruneCandidates(
+          Versioned.resolvedPredicate(s,
+            Versioned.read(s, tmp.toString).schema, pred), before)
+        val v1 = Versioned.deleteWhereMor(s, tmp.toString, pred)
+        val v2 = Versioned.deleteWhereMor(s, tmp.toString,
+          col("o_orderkey") % 7 === 0)
+        if (before.size >= 4 && mx - mn >= 4) {
+          require(pruned.size < before.size,
+            s"stat pruning skipped nothing (${pruned.size}/${before.size})")
+          val last = math.max(v1, v2)
+          if (last != 0) {
+            require(dataLines(last) == before,
+              "merge-on-read delete rewrote a base data file — the " +
+                "commit must move O(matched rows), not O(matched files)")
+            require(raw(last).exists(_.startsWith("#dv\t")),
+              "no deletion-vector pointer published")
+          }
+        }
+      }
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q140Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE ((o_orderkey BETWEEN
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
+      |         AND
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 2 FROM orders))
+      |       IS NOT TRUE)
+      |  AND ((o_orderkey % 7 = 0) IS NOT TRUE)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+  // Row-level UPDATE, merge-on-read (Versioned.updateWhereMor): the
+  // %5 orderkeys reprice, but instead of rewriting their files
+  // (q139's copy-on-write), the matched positions go into a deletion
+  // vector and the repriced copies stage as ONE new file in the same
+  // commit — O(matched rows) bytes moved. The in-query requires pin
+  // it: every base data line survives into the new manifest, the
+  // commit adds `#dv` pointers plus staged lines, and no row is lost
+  // or duplicated (the oracle is a full-table CASE reprice).
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dml-morupd")
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Versioned.commitWithStats(s, tmp.toString,
+        orders.repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      def raw(v: Int): Seq[String] = {
+        val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
+          f"v$v%05d.txt")
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        try src.getLines().filter(_.nonEmpty).toList
+        finally src.close()
+      }
+      def dataLines(v: Int) = raw(v).filterNot(_.startsWith("#"))
+      val before = dataLines(0)
+      val v = Versioned.updateWhereMor(s, tmp.toString,
+        col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      if (v != 0) {
+        require(before.toSet.subsetOf(dataLines(v).toSet),
+          "merge-on-read update dropped a base data file — base files " +
+            "must survive; only positions re-home")
+        require(raw(v).exists(_.startsWith("#dv\t")),
+          "no deletion-vector pointer published")
+      }
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q141Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0
+      |    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -805,7 +925,9 @@ object DeltaQueries {
     "q136_versioned_stream_ingest" -> (q136 _),
     "q137_lake_delete_where" -> (q137 _),
     "q138_lake_merge_into" -> (q138 _),
-    "q139_lake_update_where" -> (q139 _))
+    "q139_lake_update_where" -> (q139 _),
+    "q140_lake_delete_mor" -> (q140 _),
+    "q141_lake_update_mor" -> (q141 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -824,5 +946,7 @@ object DeltaQueries {
     "q136_versioned_stream_ingest" -> q136Sql,
     "q137_lake_delete_where" -> q137Sql,
     "q138_lake_merge_into" -> q138Sql,
-    "q139_lake_update_where" -> q139Sql)
+    "q139_lake_update_where" -> q139Sql,
+    "q140_lake_delete_mor" -> q140Sql,
+    "q141_lake_update_mor" -> q141Sql)
 }

@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.Versioned
+import graft.lake.Versioned.{CheckViolationException, CommitConflictException}
+
+/** Merge-on-read deletion vectors ([[Versioned.deleteWhereMor]] /
+  * [[Versioned.updateWhereMor]]): row-level DML that moves O(matched
+  * ROWS) bytes — the base files never rewrite; a parquet sidecar
+  * records (file, row_index) pairs and every reader anti-joins them.
+  * The spec pins five layers: the zero-rewrite manifest contract
+  * (asserted against raw manifest text), SQL row semantics (NULL
+  * predicate keeps; deletes stack and double-deletes dedup), the
+  * materialization points (copy-on-write DML, merge, compaction — no
+  * resurrection anywhere), the concurrency matrix (deletes compose
+  * with appends and with each other; every rewrite×delete and
+  * update×anything interleave conflicts, from BOTH sides), and the
+  * retention/restore/change-feed integration.
+  */
+class VersionedDvSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rawManifest(dir: String, v: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
+    scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+  }
+  private def dataLines(dir: String, v: Int): Seq[String] =
+    rawManifest(dir, v).filterNot(_.startsWith("#"))
+  private def dvLines(dir: String, v: Int): Seq[String] =
+    rawManifest(dir, v).filter(_.startsWith("#dv\t"))
+
+  /** 40 rows in 4 range-clustered files: ids [0,10), [10,20), … with
+    * per-file id stats recorded. */
+  private def rangedTable(dir: String): Unit = {
+    val df = (0L until 40L).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+    Versioned.commitWithStats(spark, dir, df, "id")
+    assert(dataLines(dir, 0).size == 4, "fixture wants 4 data files")
+  }
+  private def ids(dir: String, v: Option[Int] = None): Seq[Long] =
+    Versioned.read(spark, dir, v).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+  test("MoR delete: zero data-file rewrite, exact rows, time travel") {
+    val dir = tmpDir() + "/dv-basic"
+    rangedTable(dir)
+    val v = Versioned.deleteWhereMor(spark, dir,
+      col("id").between(10, 19))
+    assert(v == 1)
+    // THE contract: every data line republishes verbatim — the commit
+    // wrote only the sidecar and the manifest
+    assert(dataLines(dir, 1) == dataLines(dir, 0))
+    assert(dvLines(dir, 1).nonEmpty && dvLines(dir, 0).isEmpty)
+    assert(ids(dir) == ((0L to 9L) ++ (20L to 39L)))
+    // time travel: the base version still reads every row
+    assert(ids(dir, Some(0)) == (0L to 39L))
+  }
+
+  test("MoR delete: WHERE-TRUE rows only — NULL predicate keeps") {
+    val dir = tmpDir() + "/dv-null"
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("id", "s")
+    Versioned.commitWithStats(spark, dir, df, "id")
+    Versioned.deleteWhereMor(spark, dir, col("id") === 1L)
+    val left = Versioned.read(spark, dir).select("s").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(left == Seq("b", "c"), "NULL-predicate row must survive")
+  }
+
+  test("MoR delete: no match is a commit-free no-op; pruning is real") {
+    val dir = tmpDir() + "/dv-noop"
+    rangedTable(dir)
+    assert(Versioned.deleteWhereMor(spark, dir, col("id") > 1000L) == 0)
+    assert(Versioned.latestVersion(spark, dir).contains(0))
+    // the same stat pruner as copy-on-write rules files out pre-scan
+    val m = dataLines(dir, 0)
+    val pred = Versioned.resolvedPredicate(spark,
+      Versioned.read(spark, dir).schema, col("id").between(10, 19))
+    assert(Versioned.pruneCandidates(pred, m).size < m.size)
+  }
+
+  test("MoR deletes stack; overlapping (double) deletes dedup") {
+    val dir = tmpDir() + "/dv-stack"
+    rangedTable(dir)
+    Versioned.deleteWhereMor(spark, dir, col("id").between(10, 15))
+    Versioned.deleteWhereMor(spark, dir, col("id").between(13, 22))
+    assert(ids(dir) == ((0L to 9L) ++ (23L to 39L)))
+    assert(Versioned.read(spark, dir).count() == 27)
+  }
+
+  test("readPruned applies DVs on kept files") {
+    val dir = tmpDir() + "/dv-pruned"
+    rangedTable(dir)
+    Versioned.deleteWhereMor(spark, dir, col("id") === 12L)
+    val got = Versioned.readPruned(spark, dir, "id", 10L, 14L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 11L, 13L, 14L))
+  }
+
+  test("compaction materializes DVs: same rows, no #dv lines") {
+    val dir = tmpDir() + "/dv-compact"
+    rangedTable(dir)
+    Versioned.deleteWhereMor(spark, dir, col("id").between(10, 19))
+    val before = ids(dir)
+    val v = Versioned.compactCommit(spark, dir)
+    assert(dvLines(dir, v).isEmpty, "compaction must materialize DVs")
+    assert(ids(dir) == before)
+    assert(ids(dir, Some(1)) == before, "pre-compact version intact")
+  }
+
+  test("copy-on-write DML over a DV'd file materializes, never " +
+      "resurrects") {
+    val dir = tmpDir() + "/dv-cow"
+    rangedTable(dir)
+    Versioned.deleteWhereMor(spark, dir, col("id").between(10, 13))
+    // CoW UPDATE rewrites the same [10,20) file: the DV'd rows must
+    // stay gone and the file's DV pointer must drop (materialized)
+    val v = Versioned.updateWhere(spark, dir,
+      col("id").between(14, 19), Map("s" -> upper(col("s"))))
+    assert(dvLines(dir, v).isEmpty)
+    assert(ids(dir) == ((0L to 9L) ++ (14L to 39L)))
+    val upd = Versioned.read(spark, dir)
+      .filter(col("s") === lit("ROW15")).count()
+    assert(upd == 1)
+  }
+
+  test("mergeInto over a DV'd file does not resurrect") {
+    val dir = tmpDir() + "/dv-merge"
+    rangedTable(dir)
+    Versioned.deleteWhereMor(spark, dir, col("id") === 15L)
+    Versioned.mergeInto(spark, dir,
+      Seq((16L, "merged")).toDF("id", "s"), Seq("id"))
+    assert(ids(dir) == (0L to 39L).filterNot(_ == 15L))
+    assert(Versioned.read(spark, dir)
+      .filter(col("s") === "merged").count() == 1)
+  }
+
+  test("composition: appends carry (as-of-base, not rescanned); " +
+      "delete×delete unions") {
+    val dir = tmpDir() + "/dv-compose"
+    rangedTable(dir)
+    // an append lands AFTER the delete's base — its rows match the
+    // predicate but must survive (the delete scanned version 0)
+    Versioned.commit(spark, dir,
+      Seq((15L, "late")).toDF("id", "s"), replace = false)
+    val v = Versioned.deleteWhereMor(spark, dir,
+      col("id").between(10, 19), baseVersion = Some(0))
+    assert(v == 2)
+    assert(Versioned.read(spark, dir)
+      .filter(col("s") === "late").count() == 1)
+    // two deletes from the SAME base both publish: position sets union
+    val v2 = Versioned.deleteWhereMor(spark, dir,
+      col("id").between(30, 34), baseVersion = Some(0))
+    assert(v2 == 3)
+    assert(ids(dir).filterNot(_ == 15L) ==
+      ((0L to 9L) ++ (20L to 29L) ++ (35L to 39L)))
+  }
+
+  test("conflict both ways: rewrite×MoR-delete") {
+    // side 1: MoR delete lands, then a CoW delete from the stale base
+    // rewrites the DV'd file — publishing would resurrect (lost
+    // delete); must conflict
+    val a = tmpDir() + "/dv-conflict-a"
+    rangedTable(a)
+    Versioned.deleteWhereMor(spark, a, col("id") === 12L)
+    intercept[CommitConflictException] {
+      Versioned.deleteWhere(spark, a, col("id") === 14L,
+        baseVersion = Some(0))
+    }
+    // side 2: CoW delete lands, then a MoR delete from the stale base
+    // targets positions in a file that no longer exists; must conflict
+    val b = tmpDir() + "/dv-conflict-b"
+    rangedTable(b)
+    Versioned.deleteWhere(spark, b, col("id") === 14L)
+    intercept[CommitConflictException] {
+      Versioned.deleteWhereMor(spark, b, col("id") === 12L,
+        baseVersion = Some(0))
+    }
+  }
+
+  test("MoR update: positions re-home, CHECKs re-validate, strict " +
+      "serialization") {
+    val dir = tmpDir() + "/dv-update"
+    rangedTable(dir)
+    val v = Versioned.updateWhereMor(spark, dir,
+      col("id").between(10, 12), Map("s" -> upper(col("s"))))
+    assert(v == 1)
+    // old data lines all survive; ONE commit adds both the DV and the
+    // re-homed copies
+    assert(dataLines(dir, 0).toSet.subsetOf(dataLines(dir, 1).toSet))
+    assert(dvLines(dir, 1).nonEmpty)
+    assert(ids(dir) == (0L to 39L), "update moves rows, loses none")
+    assert(Versioned.read(spark, dir)
+      .filter(col("s").isin("ROW10", "ROW11", "ROW12")).count() == 3)
+    // CHECK constraints catch a violating rewrite before publish
+    Versioned.addCheck(spark, dir, "s_nonempty", "length(s) > 0")
+    intercept[CheckViolationException] {
+      Versioned.updateWhereMor(spark, dir, col("id") === 20L,
+        Map("s" -> lit("")))
+    }
+    // strict: ANY interleaved commit conflicts
+    intercept[CommitConflictException] {
+      Versioned.updateWhereMor(spark, dir, col("id") === 21L,
+        Map("s" -> lit("x")), baseVersion = Some(0))
+    }
+  }
+
+  test("conflict: MoR delete vs interleaved MoR update (attribution)") {
+    val dir = tmpDir() + "/dv-upd-race"
+    rangedTable(dir)
+    // the update re-homes rows in the [10,20) file; a delete that
+    // scanned that file from the pre-update base could strand the
+    // staged copies — must conflict, even though no file was removed
+    Versioned.updateWhereMor(spark, dir, col("id").between(10, 12),
+      Map("s" -> upper(col("s"))))
+    intercept[CommitConflictException] {
+      Versioned.deleteWhereMor(spark, dir, col("id") === 11L,
+        baseVersion = Some(0))
+    }
+  }
+
+  test("retention: live sidecars survive grace-0 expiry; dead ones " +
+      "collect with their versions") {
+    val dir = tmpDir() + "/dv-expire"
+    rangedTable(dir)
+    Versioned.deleteWhereMor(spark, dir, col("id").between(10, 19))
+    def sidecars(): Int = {
+      val root = java.nio.file.Paths.get(dir, "data")
+      val all = java.nio.file.Files.walk(root).iterator()
+      val dvRels = dvLines(dir,
+        Versioned.latestVersion(spark, dir).get).map(_.split('\t')(2))
+      var n = 0
+      all.forEachRemaining(p => if (dvRels.exists(r =>
+        p.toString.endsWith(r.split('/').last))) n += 1)
+      n
+    }
+    assert(sidecars() == dvLines(dir, 1).map(_.split('\t')(2))
+      .distinct.size)
+    // head (v1) references the sidecar: grace 0 must NOT collect it
+    Versioned.expire(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(ids(dir) == ((0L to 9L) ++ (20L to 39L)),
+      "deleted rows must stay deleted after expiry")
+    // compaction materializes; expiring down to the compacted head
+    // collects the now-unreferenced sidecar AND the old base files
+    Versioned.compactCommit(spark, dir)
+    Versioned.expire(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    val left = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "data")).iterator()
+    var parquets = 0
+    left.forEachRemaining(p =>
+      if (p.toString.endsWith(".parquet")) parquets += 1)
+    assert(parquets == dataLines(dir,
+      Versioned.latestVersion(spark, dir).get).size,
+      "only the compacted head's files may remain")
+  }
+
+  test("restore: a DV'd version restores with its deletes; restoring " +
+      "past a delete resurrects (that is the undo)") {
+    val dir = tmpDir() + "/dv-restore"
+    rangedTable(dir)
+    Versioned.deleteWhereMor(spark, dir, col("id").between(10, 19))
+    Versioned.commit(spark, dir,
+      (100L to 105L).map(i => (i, s"row$i")).toDF("id", "s"),
+      replace = true) // v2: a bad replace
+    val v3 = Versioned.restore(spark, dir, 1)
+    assert(v3 == 3)
+    assert(ids(dir) == ((0L to 9L) ++ (20L to 39L)),
+      "restored version keeps its deletion vectors")
+    val v4 = Versioned.restore(spark, dir, 0)
+    assert(v4 == 4)
+    assert(ids(dir) == (0L to 39L),
+      "restore to the pre-delete version undoes the delete")
+  }
+
+  test("change feed: a DV commit reads as exactly its deleted rows; " +
+      "a restore past it as the resurrection; MoR update as pairs") {
+    val dir = tmpDir() + "/dv-feed"
+    rangedTable(dir)
+    Versioned.deleteWhereMor(spark, dir, col("id").between(10, 14))
+    val f1 = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+      .collect()
+    assert(f1.length == 5 &&
+      f1.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(f1.map(_.getAs[Long]("id")).sorted.toSeq == (10L to 14L))
+    Versioned.restore(spark, dir, 0)
+    val f2 = Versioned.changesBetween(spark, dir, 1, 2, Seq("id"))
+      .collect()
+    assert(f2.length == 5 &&
+      f2.forall(_.getAs[String]("_change_type") == "insert"),
+      "dropping a DV (restore) feeds as resurrection inserts")
+    Versioned.updateWhereMor(spark, dir, col("id") === 30L,
+      Map("s" -> lit("moved")))
+    val f3 = Versioned.changesBetween(spark, dir, 2, 3, Seq("id"))
+      .collect()
+    assert(f3.map(_.getAs[String]("_change_type")).sorted.toSeq ==
+      Seq("update_postimage", "update_preimage"),
+      "a MoR update feeds as one pre/post pair, not delete+insert")
+    assert(f3.forall(_.getAs[Long]("id") == 30L))
+  }
+}
