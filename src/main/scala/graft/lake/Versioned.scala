@@ -379,7 +379,7 @@ object Versioned {
     */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,
       statCols: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val fs = fileSystem(spark, dir)
     // data files are commit-scoped and immutable once the manifest lands
     val dataDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
@@ -391,22 +391,28 @@ object Versioned {
     // BETWEEN can never select such rows, so every pruned read skips
     // the file — without this an empty commit (an empty-partition
     // pipeline run — fuzz gate) planned as an unprunable file and
-    // broke the skipping guarantee.
+    // broke the skipping guarantee. Each group also records its NULL
+    // COUNT (`~n<k>` annotation): min/max alone can prove "no row can
+    // match", but proving "EVERY row matches" — the metadata-only
+    // DELETE fast path — additionally needs to know no row hides from
+    // the range as NULL (SQL DELETE keeps NULL-predicate rows).
     val cols = statCols.distinct
-    val stats: Map[String, Seq[(String, Long, Long)]] =
+    val stats: Map[String, Seq[(String, Long, Long, Long)]] =
       if (cols.isEmpty) Map.empty
       else {
         val aggs = cols.flatMap(c => Seq(
-          min(col(c).cast("long")), max(col(c).cast("long"))))
+          min(col(c).cast("long")), max(col(c).cast("long")),
+          count(lit(1)) - count(col(c))))
         spark.read.parquet(dataDir.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
             val groups = cols.zipWithIndex.map { case (c, i) =>
-              if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i))
-                (c, Long.MaxValue, Long.MinValue)
-              else (c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+              val nulls = r.getLong(3 + 3 * i)
+              if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i))
+                (c, Long.MaxValue, Long.MinValue, nulls)
+              else (c, r.getLong(1 + 3 * i), r.getLong(2 + 3 * i), nulls)
             }
             new Path(r.getString(0)).getName -> groups
           }.toMap
@@ -419,9 +425,10 @@ object Versioned {
         else {
           // a file with rows gets its measured groups; a zero-row file
           // never appears in the stats scan -> sentinel for every col
+          // (zero rows, zero nulls — vacuously all-matching)
           val groups = stats.getOrElse(f.getPath.getName,
-            cols.map(c => (c, Long.MaxValue, Long.MinValue)))
-          groups.map { case (c, mn, mx) => s"\t$c\t$mn\t$mx" }
+            cols.map(c => (c, Long.MaxValue, Long.MinValue, 0L)))
+          groups.map { case (c, mn, mx, nu) => s"\t$c\t$mn\t$mx\t~n$nu" }
             .mkString(rel, "", "")
         }
       }
@@ -814,6 +821,102 @@ object Versioned {
       lines: Seq[String]): Seq[String] =
     lines.filter(l => statsCanMatch(pred, parseStats(l)._2))
 
+  /** The dual of [[statsCanMatch]]: do the recorded ranges PROVE that
+    * EVERY row of the file satisfies `pred`? This is the metadata-only
+    * DELETE fast path of every production table format — a retention
+    * delete (`WHERE ts < cutoff`) against a clustered table drops
+    * whole manifest lines without scanning or rewriting a byte.
+    *
+    * Soundness needs one fact min/max cannot supply: a row can hide
+    * from the range as NULL, and SQL DELETE must KEEP NULL-predicate
+    * rows — so every atom additionally requires its group's recorded
+    * null count to be ZERO (`~n0`; a pre-annotation line has no count
+    * and is never provable). The inverted zero-row sentinel with a
+    * zero null count is vacuously all-matching (no rows to keep).
+    * Composition mirrors the possibility prover with the quantifier
+    * flipped: under AND both sides must hold for all rows, under OR
+    * either side held by all rows suffices (sufficient, not
+    * necessary — this prover may under-claim, never over-claim).
+    * Anything the ranges cannot reason about answers FALSE: the file
+    * falls back to the scan-and-rewrite path, which is the semantics.
+    */
+  private[graft] def statsMustMatchAll(pred: Expression,
+      stats: Seq[StatGroup]): Boolean = {
+    val group: Map[String, StatGroup] = stats.map(g => g.col -> g).toMap
+    def width(dt: DataType): Int = dt match {
+      case types.ByteType => 1
+      case types.ShortType => 2
+      case types.IntegerType => 4
+      case types.LongType => 8
+      case types.DateType => 4
+      case _ => 0
+    }
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case c: Cast if c.childrenResolved && width(c.child.dataType) > 0 &&
+        width(c.dataType) >= width(c.child.dataType) => attrOf(c.child)
+      case _ => None
+    }
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case c: Cast if c.childrenResolved && width(c.child.dataType) > 0 &&
+        width(c.dataType) >= width(c.child.dataType) => litLong(c.child)
+      case _ => None
+    }
+    // ∀-proof of `col op v` over a null-free file with col ∈ [mn, mx];
+    // a zero-row sentinel (mn > mx, no nulls) is vacuously true
+    def probe(a: Expression, b: Expression)(
+        f: (Long, Long, Long) => Boolean): Boolean =
+      (for { c <- attrOf(a); v <- litLong(b); g <- group.get(c)
+             if g.nulls.contains(0L) }
+        yield g.min > g.max || f(g.min, g.max, v)).getOrElse(false)
+    def must(e: Expression): Boolean = e match {
+      case And(l, r) => must(l) && must(r)
+      case Or(l, r) => must(l) || must(r)
+      case Literal(true, BooleanType) => true
+      case EqualTo(a, b) if litLong(b).isDefined =>
+        probe(a, b)((mn, mx, v) => mn == v && mx == v)
+      case EqualTo(a, b) if litLong(a).isDefined =>
+        probe(b, a)((mn, mx, v) => mn == v && mx == v)
+      case EqualNullSafe(a, b) if litLong(b).isDefined =>
+        probe(a, b)((mn, mx, v) => mn == v && mx == v)
+      case EqualNullSafe(a, b) if litLong(a).isDefined =>
+        probe(b, a)((mn, mx, v) => mn == v && mx == v)
+      case LessThan(a, b) if litLong(b).isDefined => // ∀: col < v
+        probe(a, b)((_, mx, v) => mx < v)
+      case LessThan(a, b) if litLong(a).isDefined => // ∀: v < col
+        probe(b, a)((mn, _, v) => v < mn)
+      case LessThanOrEqual(a, b) if litLong(b).isDefined =>
+        probe(a, b)((_, mx, v) => mx <= v)
+      case LessThanOrEqual(a, b) if litLong(a).isDefined =>
+        probe(b, a)((mn, _, v) => v <= mn)
+      case GreaterThan(a, b) if litLong(b).isDefined => // ∀: col > v
+        probe(a, b)((mn, _, v) => mn > v)
+      case GreaterThan(a, b) if litLong(a).isDefined => // ∀: v > col
+        probe(b, a)((_, mx, v) => v > mx)
+      case GreaterThanOrEqual(a, b) if litLong(b).isDefined =>
+        probe(a, b)((mn, _, v) => mn >= v)
+      case GreaterThanOrEqual(a, b) if litLong(a).isDefined =>
+        probe(b, a)((_, mx, v) => v >= mx)
+      case In(a, vs) if vs.nonEmpty && vs.forall(litLong(_).isDefined) =>
+        // ∀-provable when the file is a single point contained in the set
+        probe(a, vs.head)((mn, mx, _) =>
+          mn == mx && vs.flatMap(litLong).contains(mn))
+      case _ => false
+    }
+    must(pred)
+  }
+
+  /** The base-manifest lines whose stats PROVE an all-rows match —
+    * [[deleteWhere]] drops these without a scan. Exposed for specs. */
+  private[graft] def dropCandidates(pred: Expression,
+      lines: Seq[String]): Seq[String] =
+    lines.filter(l => statsMustMatchAll(pred, parseStatsFull(l)._2))
+
   /** `predicate` resolved and type-coerced against `schema` — a Spark 4
     * Column is a lazy ColumnNode tree; analyzing it as a Filter over an
     * empty relation yields the concrete Catalyst comparison nodes the
@@ -878,24 +981,38 @@ object Versioned {
     val pred = resolvedPredicate(spark, schema, predicate)
     val candidates = pruneCandidates(pred, m.lines)
     if (candidates.isEmpty) return base
-    // refinement scan: predicate columns + file metadata only — Spark
-    // prunes the parquet read to the referenced columns. VISIBLE rows
-    // only: a file whose sole matches were already deleted by a DV
-    // must not rewrite (and the rewrite below must not resurrect)
+    // METADATA-ONLY fast path: a candidate whose recorded ranges prove
+    // every row matches (null-count-aware — [[statsMustMatchAll]])
+    // drops from the manifest without being scanned or rewritten. The
+    // production retention shape: `DELETE WHERE ts < cutoff` against a
+    // time-clustered table is a pure manifest commit — zero bytes
+    // move, however many terabytes the dropped files hold. (A dropped
+    // file that carried DVs is still exact: its visible rows are a
+    // subset of "all rows", all of which match.)
+    val wholly: Set[String] = dropCandidates(pred, candidates).toSet
+    // refinement scan of the REMAINING candidates only: predicate
+    // columns + file metadata — Spark prunes the parquet read to the
+    // referenced columns. VISIBLE rows only: a file whose sole matches
+    // were already deleted by a DV must not rewrite (and the rewrite
+    // below must not resurrect)
+    val scanCands = candidates.filterNot(wholly)
     val matchedRel: Set[String] =
-      scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true)
+      if (scanCands.isEmpty) Set.empty
+      else scanVisible(spark, dir, schema, scanCands, m.dvs, keepMeta = true)
         .filter(predicate)
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
-    if (matchedRel.isEmpty) return base
-    val (matchedLines, untouched) =
-      m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
+    if (matchedRel.isEmpty && wholly.isEmpty) return base
+    val (matchedLines, untouched) = m.lines.filterNot(wholly)
+      .partition(l => matchedRel.contains(parseLine(l)._1))
     val inherited = matchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
     // the rewrite applies the matched files' existing DVs too — it
     // MATERIALIZES them (their pairs drop with the replaced files)
-    val keep = scanVisible(spark, dir, schema, matchedLines, m.dvs)
-      .filter(not(coalesce(predicate, lit(false))))
-    val staged = stage(spark, dir, keep, inherited)
+    val staged =
+      if (matchedLines.isEmpty) Nil // purely metadata: nothing to stage
+      else stage(spark, dir,
+        scanVisible(spark, dir, schema, matchedLines, m.dvs)
+          .filter(not(coalesce(predicate, lit(false)))), inherited)
     // surviving rows were admitted by their own commits: no CHECK rescan
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, validateChecks = false, carried = untouched)
@@ -1408,12 +1525,49 @@ object Versioned {
 
   /** Manifest line → (relative path, ALL recorded (col, min, max)
     * stats groups — `rel\tc1\tmn\tmx\tc2\tmn\tmx…`; a pre-multi-stats
-    * line parses as zero or one group unchanged). */
+    * line parses as zero or one group unchanged). Annotation tokens
+    * are dropped — the (col, min, max) view most callers need. */
   private def parseStats(line: String): (String, Seq[(String, Long, Long)]) = {
+    val (rel, groups) = parseStatsFull(line)
+    (rel, groups.map(g => (g.col, g.min, g.max)))
+  }
+
+  /** One per-file per-column stats group: `[min, max]` over the
+    * column's non-NULL values (inverted sentinel when there are none)
+    * plus, on round-11+ lines, the column's NULL COUNT (`nulls` is
+    * None on lines written before the annotation existed — "unknown",
+    * which every consumer must treat conservatively).
+    */
+  private[graft] final case class StatGroup(col: String, min: Long,
+      max: Long, nulls: Option[Long])
+
+  /** Full parse of a manifest data line: `rel` followed by stats
+    * groups of three tokens (`col \t min \t max`), each optionally
+    * followed by ANNOTATION tokens (leading `~`, e.g. `~n3` = three
+    * NULL rows in this file's column). Annotations extend the stats
+    * vocabulary without breaking older parsers — a triple-only line
+    * and a triple+annotation line both parse here, and the legacy
+    * [[parseStats]] view simply drops the annotations. Column names
+    * never start with `~` (Spark would reject them long before a
+    * commit), so the token classes cannot collide.
+    */
+  private[graft] def parseStatsFull(line: String): (String, Seq[StatGroup]) = {
     val parts = line.split('\t')
-    (parts(0), parts.drop(1).grouped(3).collect {
-      case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
-    }.toSeq)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[StatGroup]
+    var i = 1
+    while (i < parts.length) {
+      if (!parts(i).startsWith("~") && i + 3 <= parts.length) {
+        val (c, mn, mx) = (parts(i), parts(i + 1).toLong, parts(i + 2).toLong)
+        i += 3
+        var nulls: Option[Long] = None
+        while (i < parts.length && parts(i).startsWith("~")) {
+          if (parts(i).startsWith("~n")) nulls = Some(parts(i).drop(2).toLong)
+          i += 1 // unknown annotations skip forward-compatibly
+        }
+        buf += StatGroup(c, mn, mx, nulls)
+      } else i += 1 // stray/unattached token: never fail a manifest parse
+    }
+    (parts(0), buf.toSeq)
   }
 
   // ------------------------------------------------------- reader pins

@@ -906,6 +906,80 @@ object DeltaQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  // METADATA-ONLY retention delete (Versioned.deleteWhere fast path):
+  // the production shape of `DELETE WHERE ts < cutoff` on a 100 TB
+  // time-clustered table — when a file's recorded [min,max] stats
+  // PROVE every row matches (and its recorded null count is zero: a
+  // row can hide from the range as NULL, and SQL DELETE keeps
+  // NULL-predicate rows), the manifest line drops with NO scan and NO
+  // rewrite. The fixture appends four arithmetic quartile slices of
+  // orders as four commits (each slice = its own files with key stats),
+  // then deletes the first-quartile slice; the in-query requires force
+  // the commit to be PURE METADATA: the new manifest must be a strict
+  // subset of the old — zero staged files, zero bytes moved, however
+  // large the dropped slice. NULL-keyed rows never enter the table
+  // (slice filters are three-valued), which the oracle mirrors with
+  // IS NOT NULL.
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dml-retn")
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      if (mm.isNullAt(0)) {
+        // no non-NULL key anywhere: the table is born empty (the slice
+        // filters admit nothing), mirroring the oracle's IS NOT NULL
+        Versioned.commit(s, tmp.toString,
+          orders.filter(col("o_orderkey").isNotNull))
+      } else {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val q = (mx - mn) / 4
+        val cuts = Seq(mn + q, mn + 2 * q, mn + 3 * q)
+        val slices = Seq(
+          col("o_orderkey") >= mn && col("o_orderkey") < cuts(0),
+          col("o_orderkey") >= cuts(0) && col("o_orderkey") < cuts(1),
+          col("o_orderkey") >= cuts(1) && col("o_orderkey") < cuts(2),
+          col("o_orderkey") >= cuts(2))
+        slices.foreach(p => Versioned.commitWithStats(s, tmp.toString,
+          orders.filter(p), "o_orderkey"))                   // v0..v3
+        def lines(v: Int): Seq[String] = {
+          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
+            f"v$v%05d.txt")
+          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+          try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
+            .toList
+          finally src.close()
+        }
+        val before = lines(3)
+        val v = Versioned.deleteWhere(s, tmp.toString,
+          col("o_orderkey") < cuts(0))
+        if (mx - mn >= 8) {
+          // distinct quartiles: slice 0 holds at least the mn-keyed
+          // row, entirely inside (< cuts(0)) — the delete must land,
+          // and land as a manifest-subset commit
+          require(v == 4, s"retention delete published version $v")
+          val after = lines(4)
+          require(after.toSet.subsetOf(before.toSet) &&
+            after.size < before.size,
+            "retention delete was not metadata-only: it staged " +
+              s"rewrites (${before.size} -> ${after.size} lines)")
+        }
+      }
+      Versioned.read(s, tmp.toString)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q142Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey IS NOT NULL
+      |  AND o_orderkey >=
+      |    (SELECT min(o_orderkey) +
+      |       (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -927,7 +1001,8 @@ object DeltaQueries {
     "q138_lake_merge_into" -> (q138 _),
     "q139_lake_update_where" -> (q139 _),
     "q140_lake_delete_mor" -> (q140 _),
-    "q141_lake_update_mor" -> (q141 _))
+    "q141_lake_update_mor" -> (q141 _),
+    "q142_lake_retention_delete" -> (q142 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -948,5 +1023,6 @@ object DeltaQueries {
     "q138_lake_merge_into" -> q138Sql,
     "q139_lake_update_where" -> q139Sql,
     "q140_lake_delete_mor" -> q140Sql,
-    "q141_lake_update_mor" -> q141Sql)
+    "q141_lake_update_mor" -> q141Sql,
+    "q142_lake_retention_delete" -> q142Sql)
 }

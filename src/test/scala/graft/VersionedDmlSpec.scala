@@ -289,6 +289,133 @@ class VersionedDmlSpec extends SparkSuite {
       Seq((1L, 10L)))
   }
 
+  test("statsMustMatchAll: ∀-proofs need a zero null count; sound " +
+      "interval logic with the quantifier flipped; sentinel is vacuous") {
+    import org.apache.spark.sql.types._
+    import Versioned.StatGroup
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("other", LongType), StructField("s", StringType)))
+    def must(c: org.apache.spark.sql.Column, g: Seq[StatGroup]) =
+      Versioned.statsMustMatchAll(
+        Versioned.resolvedPredicate(spark, schema, c), g)
+    val clean = Seq(StatGroup("id", 10L, 19L, Some(0L)))
+    // ∀ col < v needs max < v (the possibility prover needed min < v)
+    assert(must(col("id") < 20, clean) && !must(col("id") < 19, clean))
+    assert(must(col("id") <= 19, clean) && !must(col("id") <= 18, clean))
+    assert(must(col("id") > 9, clean) && !must(col("id") > 10, clean))
+    assert(must(col("id") >= 10, clean) && !must(col("id") >= 11, clean))
+    assert(must(lit(20) > col("id"), clean) &&
+      !must(lit(19) > col("id"), clean))
+    // equality / In: provable only for a single-point file
+    val point = Seq(StatGroup("id", 7L, 7L, Some(0L)))
+    assert(must(col("id") === 7, point) && !must(col("id") === 7, clean))
+    assert(must(col("id").isin(5, 7), point) &&
+      !must(col("id").isin(5, 8), point))
+    // And needs both ∀-sides; Or either
+    assert(must(col("id") >= 10 && col("id") < 20, clean))
+    assert(!must(col("id") >= 10 && col("id") < 15, clean))
+    assert(must(col("id") < 5 || col("id") > 5, clean))
+    assert(!must(col("id") < 5 || col("id") > 25, clean))
+    // a possible NULL defeats every ∀-proof (SQL DELETE keeps NULL
+    // rows); so does a pre-annotation line with no recorded count
+    val nullish = Seq(StatGroup("id", 10L, 19L, Some(1L)))
+    val legacy = Seq(StatGroup("id", 10L, 19L, None))
+    assert(!must(col("id") < 20, nullish) && !must(col("id") < 20, legacy))
+    // unknown shapes under-claim: untracked column, string literal,
+    // IsNull, Not
+    assert(!must(col("other") === 99, clean))
+    assert(!must(col("id") === "x", clean))
+    assert(!must(col("id").isNotNull, clean))
+    assert(!must(!(col("id") === 50), clean))
+    // zero-row sentinel with no nulls: vacuously all-matching
+    val empty = Seq(StatGroup("id", Long.MaxValue, Long.MinValue, Some(0L)))
+    assert(must(col("id") < 0, empty))
+    // all-NULL sentinel (rows exist, all hidden): never provable
+    val allNull = Seq(StatGroup("id", Long.MaxValue, Long.MinValue, Some(5L)))
+    assert(!must(col("id") < 0, allNull))
+  }
+
+  test("deleteWhere metadata-only fast path: a file whose stats prove " +
+      "an all-rows match drops from the manifest with zero scan and " +
+      "zero staged files") {
+    val dir = tmpDir() + "/del-meta"
+    rangedTable(dir)
+    val before = manifestLines(dir, 0)
+    // ids < 10 are exactly file [0,10): the commit is PURE METADATA —
+    // the new manifest is a strict subset of the old, no staging dir
+    val v = Versioned.deleteWhere(spark, dir, col("id") < 10)
+    assert(v == 1)
+    val after = manifestLines(dir, 1)
+    assert(after.toSet.subsetOf(before.toSet),
+      "metadata-only delete staged new files")
+    assert(after.size == 3 && before.size == 4)
+    val got = Versioned.read(spark, dir).select("id").as[Long]
+      .collect().sorted
+    assert(got.toSeq == (10L until 40L))
+    // the change feed still reports the dropped file's rows as deletes
+    val feed = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+      .select("_change_type", "id").as[(String, Long)].collect().sorted
+    assert(feed.toSeq == (0L until 10L).map(("delete", _)))
+  }
+
+  test("deleteWhere mixes metadata drops with copy-on-write rewrites: " +
+      "wholly-matched files drop, partially-matched files rewrite, the " +
+      "rest carries verbatim") {
+    val dir = tmpDir() + "/del-mixed"
+    rangedTable(dir)
+    val before = manifestLines(dir, 0)
+    val v = Versioned.deleteWhere(spark, dir, col("id") < 15)
+    assert(v == 1)
+    val after = manifestLines(dir, 1)
+    // files [20,30) and [30,40) carry verbatim; [0,10) dropped without
+    // a rewrite; [10,20) rewrote to its surviving half
+    assert(before.toSet.intersect(after.toSet).size == 2)
+    val staged = after.filterNot(before.contains)
+    assert(staged.size == 1 && staged.head.contains("\tid\t"),
+      s"expected exactly one re-measured rewrite, got $staged")
+    assert(Versioned.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == (15L until 40L))
+  }
+
+  test("deleteWhere fast path never fires on a file that can hide a " +
+      "NULL: the recorded null count routes it through the rewrite") {
+    val dir = tmpDir() + "/del-meta-null"
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    Versioned.commitWithStats(spark, dir,
+      df.coalesce(1), "id")
+    val before = manifestLines(dir, 0)
+    assert(before.size == 1 && before.head.contains("~n1"),
+      s"fixture wants one file recording one NULL: $before")
+    // stats say [1,3] ⊆ (< 100) — but the NULL row must survive, so
+    // the file must NOT drop wholesale
+    val v = Versioned.deleteWhere(spark, dir, col("id") < 100)
+    assert(v == 1)
+    val after = manifestLines(dir, 1)
+    assert(after.size == 1 && !before.contains(after.head),
+      "expected a rewrite (not a metadata drop, not a carry)")
+    assert(Versioned.read(spark, dir).select("id")
+      .as[Option[Long]].collect().toSeq == Seq(None))
+  }
+
+  test("deleteWhere metadata drop composes with deletion vectors: a " +
+      "DV'd file drops wholesale and only its VISIBLE rows feed") {
+    val dir = tmpDir() + "/del-meta-dv"
+    rangedTable(dir)
+    // MoR-delete id=3 first (a DV on file [0,10)), then drop the file
+    assert(Versioned.deleteWhereMor(spark, dir, col("id") === 3) == 1)
+    val v = Versioned.deleteWhere(spark, dir, col("id") < 10)
+    assert(v == 2)
+    assert(manifestLines(dir, 2).size == 3)
+    assert(Versioned.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == (10L until 40L))
+    // id=3 fed as a delete at the MoR commit; the metadata drop feeds
+    // the remaining nine — never a double delete
+    val feed = Versioned.changesBetween(spark, dir, 1, 2, Seq("id"))
+      .select("_change_type", "id").as[(String, Long)].collect().sorted
+    assert(feed.toSeq ==
+      (0L until 10L).filterNot(_ == 3L).map(("delete", _)))
+  }
+
   test("mergeInto into nothing / into an empty version is a pure insert") {
     val dir = tmpDir() + "/merge-empty"
     val src = Seq((1L, "a")).toDF("id", "s")
