@@ -133,7 +133,8 @@ object Versioned {
     */
   private final case class Manifest(schema: Option[StructType],
       txn: Option[(String, Long)], checks: Seq[(String, String)],
-      lines: Seq[String], dvs: Seq[(String, String)] = Nil)
+      lines: Seq[String], dvs: Seq[(String, String)] = Nil,
+      blooms: Seq[(String, String, String)] = Nil)
 
   // header lines start with '#' so file-line consumers skip them by
   // prefix; the schema rides as Spark's own StructType JSON (control
@@ -147,6 +148,14 @@ object Versioned {
   // NOT rewritten; readers anti-join the positions). Rel paths never
   // contain tabs (uuid dir + parquet part name), so no encoding.
   private val DvHeader = "#dv\t"
+  // bloom index: `#bloom\t<baseRel>\t<col>\t<sidecarRel>` points data
+  // file <baseRel>'s per-file Bloom filter over column <col> at a row
+  // of parquet sidecar <sidecarRel> (schema [[BloomSchema]]) — the
+  // equality-pruning half of the file-skipping index (min/max prunes
+  // ranges; blooms prune point lookups on high-cardinality/string
+  // keys). Sidecars live beside data files and are referenced files
+  // for [[expire]]/[[restore]], exactly like DV sidecars.
+  private val BloomHeader = "#bloom\t"
 
   private def readManifest(fs: FileSystem, dir: String, v: Int): Manifest = {
     val in = fs.open(manifestPath(dir, v))
@@ -174,7 +183,12 @@ object Versioned {
       val Array(baseRel, dvRel) = l.stripPrefix(DvHeader).split('\t')
       (baseRel, dvRel)
     }
-    Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs)
+    val blooms = raw.collect { case l if l.startsWith(BloomHeader) =>
+      val Array(baseRel, c, sideRel) = l.stripPrefix(BloomHeader).split('\t')
+      (baseRel, c, sideRel)
+    }
+    Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
+      blooms)
   }
 
   /** The table schema of version `v`: the manifest-recorded one when
@@ -248,6 +262,31 @@ object Versioned {
   def commitWithStats(spark: SparkSession, dir: String, df: DataFrame,
       statCols: Seq[String], replace: Boolean): Int =
     commitImpl(spark, dir, df, replace, statCols = statCols)
+
+  /** [[commitWithStats]] plus a per-file BLOOM FILTER over each of
+    * `bloomCols` — the equality half of the file-skipping index.
+    * Min/max ranges prune range predicates but are useless for point
+    * lookups on high-cardinality keys (every file's range spans the
+    * key space) and cannot index strings at all; a per-file Bloom
+    * filter answers `key = 'x'` with "definitely not here", which is
+    * how a GDPR delete-by-id or a point lookup on a 100 TB table
+    * touches O(1) files instead of all of them (Delta's bloom index /
+    * Iceberg's Puffin sketches, on this manifest substrate). Filters
+    * land in a commit-scoped parquet sidecar referenced by `#bloom`
+    * manifest pointers; [[readEq]], [[deleteWhere]], [[updateWhere]],
+    * [[deleteWhereMor]], [[updateWhereMor]] and [[mergeInto]] consult
+    * them during candidate pruning, and rewrites re-measure them.
+    * Size `bloomExpectedItems` to the per-file row count — an
+    * undersized filter degrades to more false positives (wasted
+    * scans), never to a wrong answer.
+    */
+  def commitWithIndex(spark: SparkSession, dir: String, df: DataFrame,
+      statCols: Seq[String], bloomCols: Seq[String],
+      replace: Boolean = false, bloomExpectedItems: Long = 100000L,
+      bloomFpp: Double = 0.03): Int =
+    commitImpl(spark, dir, df, replace, statCols = statCols,
+      bloomCols = bloomCols, bloomExpected = bloomExpectedItems,
+      bloomFpp = bloomFpp)
 
   /** Exactly-once append for a REPLAYABLE writer (a Structured
     * Streaming `foreachBatch` sink, a retried batch job): the commit
@@ -435,6 +474,107 @@ object Versioned {
       .sorted.toSeq
   }
 
+  // bloom sidecar rows: one (data file, column, serialized filter)
+  private[lake] val BloomSchema = StructType(Seq(
+    StructField("file", types.StringType, nullable = false),
+    StructField("col", types.StringType, nullable = false),
+    StructField("bits", types.BinaryType, nullable = false)))
+
+  /** Build per-file Bloom filters over `bloomCols` for freshly staged
+    * data files and write them to a commit-scoped parquet sidecar.
+    * One column-pruned pass: `groupBy` the physical file, a mergeable
+    * [[graft.functions.BloomSketch]] per column (map-side partials are
+    * fixed-size bit arrays — nothing row-shaped crosses the wire), the
+    * melted (file, col, bits) rows written DISTRIBUTED (never collected
+    * to the driver: a wide commit's filters can outweigh its manifest
+    * a thousandfold). Returns the `#bloom` pointer tuples
+    * (data file rel, column, sidecar part rel), resolved by the same
+    * read-back pattern the DV writer uses. Zero-row files simply have
+    * no filter — their sentinel min/max already prunes every probe.
+    */
+  private def stageBlooms(spark: SparkSession, dir: String,
+      stagedLines: Seq[String], bloomCols: Seq[String],
+      expectedItems: Long, fpp: Double): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, regexp_extract, struct}
+    val cols = bloomCols.distinct
+    if (cols.isEmpty || stagedLines.isEmpty) return Nil
+    val fs = fileSystem(spark, dir)
+    val paths = stagedLines.map(l => s"$dir/${parseLine(l)._1}")
+    val aggs = cols.map(c => graft.functions.BloomAgg
+      .bloomSketch(col(c), expectedItems, fpp).as(s"__b_$c"))
+    val perFile = spark.read.parquet(paths: _*)
+      .groupBy(regexp_extract(input_file_name(), RelPattern, 1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val melted = perFile.select(col("file"), explode(array(cols.map(c =>
+      struct(lit(c).as("col"), col(s"__b_$c").as("bits"))): _*)).as("g"))
+      .select(col("file"), col("g.col").as("col"), col("g.bits").as("bits"))
+    val sideDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
+    melted.write.parquet(sideDir.toString)
+    val pointers = spark.read.schema(BloomSchema).parquet(sideDir.toString)
+      .select(col("file"), col("col"), input_file_name().as("__d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), relOfUri(r.getString(2))))
+      .toSeq
+    if (pointers.isEmpty) fs.delete(sideDir, true) // all-empty staging
+    // ZERO-ROW staged files never reach the groupBy, so they would
+    // carry no filter and pollute every point-lookup plan forever
+    // (an absent filter is conservatively unprunable). Record an
+    // EMPTY bloom for them — no rows means no probe can match, the
+    // same vacuous-pruning rule the min/max sentinel encodes.
+    val covered = pointers.map(_._1).toSet
+    val missing = stagedLines.map(parseLine(_)._1).filterNot(covered)
+    if (missing.isEmpty) pointers
+    else {
+      val emptyBits = {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter
+          .create(expectedItems, fpp).writeTo(out)
+        out.toByteArray
+      }
+      import spark.implicits._
+      val rows = for (f <- missing; c <- cols) yield (f, c, emptyBits)
+      val sideDir2 = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
+      rows.toDF("file", "col", "bits").coalesce(1)
+        .write.parquet(sideDir2.toString)
+      val extras = spark.read.schema(BloomSchema).parquet(sideDir2.toString)
+        .select(col("file"), col("col"), input_file_name().as("__d"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), relOfUri(r.getString(2))))
+        .toSeq
+      pointers ++ extras
+    }
+  }
+
+  /** Load the Bloom filters version-manifest `m` records for `cols`:
+    * one filtered read of the distinct sidecars (driver-side,
+    * O(pointers for those columns) — plan-time work, like reading the
+    * manifest itself), keyed file → column → filter. Columns with no
+    * recorded filter are simply absent: every consumer treats a
+    * missing filter as "cannot prune", never as an error.
+    */
+  private def loadBlooms(spark: SparkSession, dir: String, m: Manifest,
+      cols: Set[String]): Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    import org.apache.spark.sql.functions.col
+    val wanted = m.blooms.filter(b => cols.contains(b._2))
+    if (wanted.isEmpty) return Map.empty
+    val sidecars = wanted.map(_._3).distinct.map(r => s"$dir/$r")
+    val keep = wanted.map(b => (b._1, b._2)).toSet
+    spark.read.schema(BloomSchema).parquet(sidecars: _*)
+      .filter(col("col").isin(cols.toSeq: _*))
+      .collect()
+      .iterator
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      .filter { case (f, c, _) => keep.contains((f, c)) }
+      .map { case (f, c, bits) =>
+        (f, c, org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bits)))
+      }
+      .toSeq.groupBy(_._1)
+      .map { case (f, rows) =>
+        f -> rows.map(t => t._2 -> t._3).toMap
+      }
+  }
+
   /** Compare-and-swap publish of `lines` as version `next`: true iff
     * THIS writer created the version (see class doc for the substrate).
     * The temp file is writer-unique so racing writers never collide on
@@ -444,7 +584,8 @@ object Versioned {
       schema: StructType, lines: Seq[String],
       txn: Option[(String, Long)] = None,
       checks: Seq[(String, String)] = Nil,
-      dvs: Seq[(String, String)] = Nil): Boolean = {
+      dvs: Seq[(String, String)] = Nil,
+      blooms: Seq[(String, String, String)] = Nil): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -459,6 +600,9 @@ object Versioned {
       } ++
       dvs.distinct.map { case (baseRel, dvRel) =>
         s"$DvHeader$baseRel\t$dvRel"
+      } ++
+      blooms.distinct.map { case (baseRel, c, sideRel) =>
+        s"$BloomHeader$baseRel\t$c\t$sideRel"
       }
     val out = fs.create(tmp, false)
     try out.write((headers ++ lines)
@@ -498,9 +642,13 @@ object Versioned {
 
   private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean, statCols: Seq[String],
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      bloomCols: Seq[String] = Nil, bloomExpected: Long = 100000L,
+      bloomFpp: Double = 0.03): Int = {
     val fs = fileSystem(spark, dir)
     val newFiles = stage(spark, dir, df, statCols)
+    val newBlooms = stageBlooms(spark, dir, newFiles, bloomCols,
+      bloomExpected, bloomFpp)
     var attempts = 0
     // re-validated inside the retry loop only when the constraint set
     // actually changed under us (a racing addCheck): the common retry —
@@ -519,9 +667,13 @@ object Versioned {
         .getOrElse(Nil)
       // an append keeps the head's deletion vectors (its carried files
       // keep their deleted rows); a replace claims full-table
-      // authority — its fresh files carry no DVs by construction
+      // authority — its fresh files carry no DVs by construction.
+      // Bloom pointers ride the same rule: carried files keep their
+      // filters, a replace starts from its own staged index only
       val carriedDvs = if (replace) Nil
         else headManifest.map(_.dvs).getOrElse(Nil)
+      val carriedBlooms = if (replace) Nil
+        else headManifest.map(_.blooms).getOrElse(Nil)
       val schema =
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
@@ -532,7 +684,7 @@ object Versioned {
         validatedFor = Some(checks)
       }
       if (casPublish(fs, dir, next, schema, carried ++ newFiles, txn,
-          checks, carriedDvs))
+          checks, carriedDvs, carriedBlooms ++ newBlooms))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -603,7 +755,8 @@ object Versioned {
     val base = latestVersion(spark, dir)
     val baseV = base.getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
-    val lines = readManifest(fs, dir, baseV).lines.map(parseStats)
+    val baseManifest = readManifest(fs, dir, baseV)
+    val lines = baseManifest.lines.map(parseStats)
     val files = lines.map(_._1)
     // stats survive compaction: every column the base version tracked
     // is re-measured on the rewrite (a rewrite that silently dropped
@@ -653,12 +806,19 @@ object Versioned {
           .sortWithinPartitions(keys: _*)
       }
     val staged = stage(spark, dir, laidOut, inherited)
+    // the bloom index survives compaction like the range stats do:
+    // every column the base version indexed is re-measured on the
+    // rewrite (a compaction that silently dropped the filters would
+    // disable point-lookup pruning without anyone noticing)
+    val stagedBlooms = stageBlooms(spark, dir, staged,
+      baseManifest.blooms.map(_._2).distinct,
+      expectedItems = 100000L, fpp = 0.03)
     // the rewrite materializes the base version's EVOLVED schema
     // (null-filled columns become physical), which is what it records;
     // CHECK validation is skipped — the staged rows ARE the base's
     // rows, already admitted by their own commits
     replaceLoop(spark, dir, staged, base, keyCols = None, baseDf.schema,
-      validateChecks = false)
+      validateChecks = false, stagedBlooms = stagedBlooms)
   }
 
   /** RESTORE: republish historical `version` as a NEW head commit —
@@ -694,7 +854,7 @@ object Versioned {
     // Deletion-vector sidecars are referenced files too: a restore
     // that lost one would resurrect the rows it deleted.
     val needed = (m.lines.map(parseLine(_)._1) ++
-      m.dvs.map(_._2)).distinct
+      m.dvs.map(_._2) ++ m.blooms.map(_._3)).distinct
     val present: Set[String] = needed
       .groupBy(rel => rel.substring(0, rel.lastIndexOf('/')))
       .keysIterator.flatMap { d =>
@@ -722,7 +882,7 @@ object Versioned {
     replaceLoop(spark, dir, m.lines, latestVersion(spark, dir),
       keyCols = None, stagedSchema = schema,
       checksOverride = Some(m.checks), validateChecks = false,
-      stagedDvs = m.dvs, dvAuthority = true)
+      stagedDvs = m.dvs, dvAuthority = true, stagedBlooms = m.blooms)
   }
 
   // ----------------------------------------------------- row-level DML
@@ -743,7 +903,9 @@ object Versioned {
     * satisfy a TRUE predicate.
     */
   private[graft] def statsCanMatch(pred: Expression,
-      stats: Seq[(String, Long, Long)]): Boolean = {
+      stats: Seq[(String, Long, Long)],
+      bloom: Map[String, org.apache.spark.util.sketch.BloomFilter] =
+        Map.empty): Boolean = {
     val range: Map[String, (Long, Long)] =
       stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap
     def width(dt: DataType): Int = dt match {
@@ -773,23 +935,48 @@ object Versioned {
         width(c.dataType) >= width(c.child.dataType) => litLong(c.child)
       case _ => None
     }
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+        types.StringType) => Some(s.toString)
+      case _ => None
+    }
     // possible-existence of a row with `col op v`, given col ∈ [mn, mx]
     def probe(a: Expression, b: Expression)(
         f: (Long, Long, Long) => Boolean): Boolean =
       (for { c <- attrOf(a); v <- litLong(b); r <- range.get(c) }
         yield f(r._1, r._2, v)).getOrElse(true)
+    // bloom membership conjuncts for EQUALITY atoms only: a recorded
+    // filter answering "definitely not in this file" is sound (no
+    // false negatives by construction); an absent filter, any other
+    // comparison shape, or a false positive keeps the file. Values
+    // hash exactly as [[stageBlooms]] put them: integrals widened to
+    // long, strings as UTF-8 — the one place the two sides must agree.
+    def bloomLong(a: Expression, b: Expression): Boolean =
+      (for { c <- attrOf(a); v <- litLong(b); f <- bloom.get(c) }
+        yield f.mightContainLong(v)).getOrElse(true)
+    def bloomStr(a: Expression, b: Expression): Boolean =
+      (for { c <- attrOf(a); s <- litStr(b); f <- bloom.get(c) }
+        yield f.mightContainString(s)).getOrElse(true)
     def can(e: Expression): Boolean = e match {
       case And(l, r) => can(l) && can(r)
       case Or(l, r) => can(l) || can(r)
       case Literal(false, BooleanType) => false
       case EqualTo(a, b) if litLong(b).isDefined =>
-        probe(a, b)((mn, mx, v) => mn <= v && v <= mx)
+        probe(a, b)((mn, mx, v) => mn <= v && v <= mx) && bloomLong(a, b)
       case EqualTo(a, b) if litLong(a).isDefined =>
-        probe(b, a)((mn, mx, v) => mn <= v && v <= mx)
+        probe(b, a)((mn, mx, v) => mn <= v && v <= mx) && bloomLong(b, a)
       case EqualNullSafe(a, b) if litLong(b).isDefined =>
-        probe(a, b)((mn, mx, v) => mn <= v && v <= mx)
+        probe(a, b)((mn, mx, v) => mn <= v && v <= mx) && bloomLong(a, b)
       case EqualNullSafe(a, b) if litLong(a).isDefined =>
-        probe(b, a)((mn, mx, v) => mn <= v && v <= mx)
+        probe(b, a)((mn, mx, v) => mn <= v && v <= mx) && bloomLong(b, a)
+      // string equality: ranges never recorded one, but a bloom can
+      // answer it — the point-lookup-by-id class min/max cannot index
+      case EqualTo(a, b) if litStr(b).isDefined => bloomStr(a, b)
+      case EqualTo(a, b) if litStr(a).isDefined => bloomStr(b, a)
+      case EqualNullSafe(a, b) if litStr(b).isDefined => bloomStr(a, b)
+      case EqualNullSafe(a, b) if litStr(a).isDefined => bloomStr(b, a)
+      case In(a, vs) if vs.nonEmpty && vs.forall(litStr(_).isDefined) =>
+        vs.exists(v => bloomStr(a, v))
       case LessThan(a, b) if litLong(b).isDefined =>
         probe(a, b)((mn, _, v) => mn < v)
       case LessThan(a, b) if litLong(a).isDefined => // v < col
@@ -807,9 +994,16 @@ object Versioned {
       case GreaterThanOrEqual(a, b) if litLong(a).isDefined =>
         probe(b, a)((mn, _, v) => mn <= v)
       case In(a, vs) if vs.nonEmpty && vs.forall(litLong(_).isDefined) =>
-        (for { c <- attrOf(a); r <- range.get(c) } yield
-          vs.flatMap(litLong).exists(v => r._1 <= v && v <= r._2))
-          .getOrElse(true)
+        attrOf(a) match {
+          case None => true
+          case Some(c) =>
+            val r = range.get(c)
+            val f = bloom.get(c)
+            if (r.isEmpty && f.isEmpty) true
+            else vs.flatMap(litLong).exists(v =>
+              r.forall { case (mn, mx) => mn <= v && v <= mx } &&
+                f.forall(_.mightContainLong(v)))
+        }
       case _ => true
     }
     can(pred)
@@ -820,6 +1014,23 @@ object Versioned {
   private[graft] def pruneCandidates(pred: Expression,
       lines: Seq[String]): Seq[String] =
     lines.filter(l => statsCanMatch(pred, parseStats(l)._2))
+
+  /** Index-aware [[pruneCandidates]]: recorded ranges AND per-file
+    * Bloom filters (as loaded by [[loadBlooms]]) both get a veto. */
+  private[graft] def pruneCandidatesIdx(pred: Expression,
+      lines: Seq[String],
+      blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]): Seq[String] =
+    lines.filter { l =>
+      val (rel, st) = parseStats(l)
+      statsCanMatch(pred, st, blooms.getOrElse(rel, Map.empty))
+    }
+
+  /** Column names a resolved predicate references — which Bloom
+    * filters are worth loading for it. */
+  private def predCols(pred: Expression): Set[String] =
+    (pred.references.toSeq.map(_.name) ++ pred.collect {
+      case u: UnresolvedAttribute => u.nameParts.last
+    }).toSet
 
   /** The dual of [[statsCanMatch]]: do the recorded ranges PROVE that
     * EVERY row of the file satisfies `pred`? This is the metadata-only
@@ -979,7 +1190,8 @@ object Versioned {
       case None => return base // zero-file base already handled; defensive
     }
     val pred = resolvedPredicate(spark, schema, predicate)
-    val candidates = pruneCandidates(pred, m.lines)
+    val candidates = pruneCandidatesIdx(pred, m.lines,
+      loadBlooms(spark, dir, m, predCols(pred)))
     if (candidates.isEmpty) return base
     // METADATA-ONLY fast path: a candidate whose recorded ranges prove
     // every row matches (null-count-aware — [[statsMustMatchAll]])
@@ -1013,9 +1225,15 @@ object Versioned {
       else stage(spark, dir,
         scanVisible(spark, dir, schema, matchedLines, m.dvs)
           .filter(not(coalesce(predicate, lit(false)))), inherited)
+    // the bloom index survives the rewrite: re-measure every column
+    // the table indexes (dropped/rewritten files lose their stale
+    // pointers in the publish loop)
+    val stagedBlooms = stageBlooms(spark, dir, staged,
+      m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
     // surviving rows were admitted by their own commits: no CHECK rescan
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
-      stagedSchema = schema, validateChecks = false, carried = untouched)
+      stagedSchema = schema, validateChecks = false, carried = untouched,
+      stagedBlooms = stagedBlooms)
   }
 
   /** Row-level UPDATE, copy-on-write (`UPDATE t SET c = e WHERE p`):
@@ -1053,7 +1271,8 @@ object Versioned {
       s"UPDATE assigns to '$c', which is not a table column — adding a " +
         "column rewrites history; commit it as a replace"))
     val pred = resolvedPredicate(spark, schema, predicate)
-    val candidates = pruneCandidates(pred, m.lines)
+    val candidates = pruneCandidatesIdx(pred, m.lines,
+      loadBlooms(spark, dir, m, predCols(pred)))
     if (candidates.isEmpty) return base
     val matchedRel: Set[String] =
       scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true)
@@ -1076,8 +1295,11 @@ object Versioned {
         }
       }: _*)
     val staged = stage(spark, dir, rewritten, inherited)
+    val stagedBlooms = stageBlooms(spark, dir, staged,
+      m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
-      stagedSchema = schema, carried = untouched)
+      stagedSchema = schema, carried = untouched,
+      stagedBlooms = stagedBlooms)
   }
 
   /** Row-level DELETE, merge-on-read (`DELETE FROM t WHERE p` as a
@@ -1128,7 +1350,8 @@ object Versioned {
       case None => return base
     }
     val pred = resolvedPredicate(spark, schema, predicate)
-    val candidates = pruneCandidates(pred, m.lines)
+    val candidates = pruneCandidatesIdx(pred, m.lines,
+      loadBlooms(spark, dir, m, predCols(pred)))
     if (candidates.isEmpty) return base
     // one column-pruned scan of the candidates' VISIBLE rows streams
     // the matched positions straight to a commit-scoped sidecar — no
@@ -1192,7 +1415,8 @@ object Versioned {
       s"UPDATE assigns to '$c', which is not a table column — adding a " +
         "column rewrites history; commit it as a replace"))
     val pred = resolvedPredicate(spark, schema, predicate)
-    val candidates = pruneCandidates(pred, m.lines)
+    val candidates = pruneCandidatesIdx(pred, m.lines,
+      loadBlooms(spark, dir, m, predCols(pred)))
     if (candidates.isEmpty) return base
     val matched = scanVisible(spark, dir, schema, candidates, m.dvs,
       keepMeta = true).filter(predicate)
@@ -1219,9 +1443,12 @@ object Versioned {
       }
     }: _*)
     val staged = stage(spark, dir, updated, inherited)
+    val stagedBlooms = stageBlooms(spark, dir, staged,
+      m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
     enforceChecks(spark, dir, staged, m.checks, schema)
     val published = casPublish(fs, dir, base + 1, schema,
-      m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs)
+      m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs,
+      blooms = m.blooms ++ stagedBlooms)
     if (!published)
       throw new CommitConflictException(
         s"merge-on-read update of $dir based on version $base lost the " +
@@ -1346,9 +1573,12 @@ object Versioned {
           newSchema).unionByName(srcAligned)
       }
       val staged = stage(spark, dir, stagedDf, inherited)
+      val stagedBlooms = stageBlooms(spark, dir, staged,
+        m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
       replaceLoop(spark, dir, staged, base, keyCols = Some(keyCols),
         stagedSchema = newSchema, carried = untouched,
-        keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)))
+        keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)),
+        stagedBlooms = stagedBlooms)
     } finally { src.unpersist(); () }
   }
 
@@ -1390,7 +1620,8 @@ object Versioned {
       keyProbe: Option[DataFrame] = None,
       stagedDvs: Seq[(String, String)] = Nil,
       dvAuthority: Boolean = false,
-      morScanned: Option[Set[String]] = None): Int = {
+      morScanned: Option[Set[String]] = None,
+      stagedBlooms: Seq[(String, String, String)] = Nil): Int = {
     val fs = fileSystem(spark, dir)
     val baseM = base.map(readManifest(fs, dir, _))
     val baseFiles: Set[String] = baseM
@@ -1505,8 +1736,16 @@ object Versioned {
       val newDvs =
         if (dvAuthority) stagedDvs
         else headDvs.filter(d => newRels.contains(d._1)) ++ stagedDvs
+      // bloom pointers follow their data files: filters survive on
+      // every file that survives, rewritten/dropped files lose theirs
+      // (the caller staged fresh ones when it re-measured); a
+      // DV-authority commit (restore) publishes exactly its own set
+      val newBlooms =
+        if (dvAuthority) stagedBlooms
+        else headM.map(_.blooms).getOrElse(Nil)
+          .filter(b => newRels.contains(b._1)) ++ stagedBlooms
       if (casPublish(fs, dir, next, schema, newLines,
-          checks = checks, dvs = newDvs))
+          checks = checks, dvs = newDvs, blooms = newBlooms))
         return next
       attempts += 1
       require(attempts < 1000,
@@ -1668,12 +1907,14 @@ object Versioned {
             minPinnedVersion(fs, dir).getOrElse(Int.MaxValue))
           val dropped = (0 until cut).filter(v =>
             fs.exists(manifestPath(dir, v)))
-          // referenced files = data lines AND deletion-vector
-          // sidecars: a collected live DV would resurrect rows; a
-          // retained dead one would leak disk
+          // referenced files = data lines AND sidecars (deletion
+          // vectors, bloom filters): a collected live DV would
+          // resurrect rows, a collected bloom would break point-lookup
+          // pruning; retained dead ones would leak disk
           def referenced(v: Int): Seq[String] = {
             val m = readManifest(fs, dir, v)
-            m.lines.map(parseLine(_)._1) ++ m.dvs.map(_._2)
+            m.lines.map(parseLine(_)._1) ++ m.dvs.map(_._2) ++
+              m.blooms.map(_._3)
           }
           val refs: Set[String] = dropped.flatMap(referenced).toSet
           val keep: Set[String] = (cut to latest)
@@ -1889,6 +2130,52 @@ object Versioned {
       // false residual filter supplies the (empty) rows
       scan(Seq(all.head._1)).filter(lit(false) && pred)
     else scan(kept).filter(pred)
+  }
+
+  /** The manifest-relative data files an index-pruned read of
+    * `predicate` would plan — ranges and Bloom filters both veto.
+    * Exposed so specs and in-query gates can assert the planned file
+    * set without scanning anything. */
+  private[graft] def plannedFilesEq(spark: SparkSession, dir: String,
+      predicate: Column, version: Option[Int] = None): Seq[String] = {
+    val fs = fileSystem(spark, dir)
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
+    val m = readManifest(fs, dir, v)
+    val schema = versionSchema(spark, dir, m).getOrElse(return Nil)
+    val pred = resolvedPredicate(spark, schema, predicate)
+    pruneCandidatesIdx(pred, m.lines,
+      loadBlooms(spark, dir, m, predCols(pred))).map(parseLine(_)._1)
+  }
+
+  /** Index-pruned read: plan only the files whose recorded range
+    * stats AND per-file Bloom filters admit a row matching
+    * `predicate`, then apply the row-level filter on what remains.
+    * The point-lookup complement of [[readPruned]]'s BETWEEN scan:
+    * over a [[commitWithIndex]]-indexed key, `key === x` plans O(1)
+    * files (up to the filters' false-positive rate) however large the
+    * table — the lookup min/max stats cannot answer for a
+    * high-cardinality or string key. Pruning is an optimization; the
+    * row filter is the semantics — a file with no index entries is
+    * always read, and deletion vectors apply as in [[read]].
+    */
+  def readEq(spark: SparkSession, dir: String, predicate: Column,
+      version: Option[Int] = None): DataFrame = {
+    val fs = fileSystem(spark, dir)
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
+    val m = readManifest(fs, dir, v)
+    val schema = versionSchema(spark, dir, m).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v of $dir is empty with no recorded schema " +
+          "(pre-schema-tracking manifest); nothing to plan against"))
+    val pred = resolvedPredicate(spark, schema, predicate)
+    val kept = pruneCandidatesIdx(pred, m.lines,
+      loadBlooms(spark, dir, m, predCols(pred)))
+    // an all-pruned plan still renders the schema'd empty frame
+    scanVisible(spark, dir, schema, kept, m.dvs).filter(predicate)
   }
 
   // ----------------------------------------------------- change feed

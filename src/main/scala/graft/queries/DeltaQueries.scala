@@ -980,6 +980,76 @@ object DeltaQueries {
       |       (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+  // BLOOM-INDEXED point delete (Versioned.commitWithIndex + readEq +
+  // deleteWhere): the GDPR delete-by-id shape min/max stats cannot
+  // serve — the key is a STRING ("doc-<id>") and every file's ids
+  // stripe the whole key space (hash slices), so range pruning keeps
+  // everything. Per-file Bloom filters recorded at commit answer
+  // `doc_key = 'doc-X'` with "definitely not in this file"; the
+  // in-query requires force the scale contract: the point lookup must
+  // PLAN fewer files than the table holds, and the delete must carry
+  // every bloom-negative file's manifest line VERBATIM (only the
+  // file(s) actually holding the key rewrite). The oracle replays the
+  // delete arithmetically (remove all rows keyed by min(doc_id));
+  // NULL-keyed rows never enter the table (pmod slice filters are
+  // three-valued), mirrored by IS NOT NULL.
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-del")
+    try {
+      val docs = t(s, dir, "documents")
+        .select(concat(lit("doc-"), col("doc_id").cast("string"))
+          .as("doc_key"), col("n_chars"), col("doc_id"))
+      val mm = docs.agg(min("doc_id")).head()
+      if (mm.isNullAt(0)) {
+        Versioned.commit(s, tmp.toString,
+          docs.filter(col("doc_id").isNotNull).drop("doc_id"))
+      } else {
+        val target = s"doc-${mm.getLong(0)}"
+        for (f <- 0 until 4)
+          Versioned.commitWithIndex(s, tmp.toString,
+            docs.filter(pmod(col("doc_id"), lit(4)) === f).drop("doc_id"),
+            statCols = Nil, bloomCols = Seq("doc_key"),
+            bloomExpectedItems = 100000L, bloomFpp = 1e-6)    // v0..v3
+        def lines(v: Int): Seq[String] = {
+          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
+            f"v$v%05d.txt")
+          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+          try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
+            .toList
+          finally src.close()
+        }
+        val before = lines(3)
+        val pred = col("doc_key") === target
+        val planned = Versioned.plannedFilesEq(s, tmp.toString, pred)
+        val v = Versioned.deleteWhere(s, tmp.toString, pred)
+        if (before.size >= 4) {
+          // 4+ nonempty hash slices: the target id lives in exactly one
+          // (same id -> same slice), so its bloom must veto the rest
+          require(planned.size < before.size,
+            s"bloom pruning planned ${planned.size}/${before.size} " +
+              "files for a single-key lookup")
+          require(v == 4, s"point delete published version $v")
+          require(lines(4).toSet.intersect(before.toSet).size >=
+            before.size - planned.size,
+            "a bloom-negative file did not carry verbatim through the " +
+              "point delete")
+        }
+      }
+      Versioned.read(s, tmp.toString)
+        .orderBy("doc_key", "n_chars")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q143Sql =
+    """SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key, n_chars
+      |FROM documents
+      |WHERE doc_id IS NOT NULL
+      |  AND doc_id <> (SELECT min(doc_id) FROM documents)
+      |ORDER BY doc_key, n_chars""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1002,7 +1072,8 @@ object DeltaQueries {
     "q139_lake_update_where" -> (q139 _),
     "q140_lake_delete_mor" -> (q140 _),
     "q141_lake_update_mor" -> (q141 _),
-    "q142_lake_retention_delete" -> (q142 _))
+    "q142_lake_retention_delete" -> (q142 _),
+    "q143_lake_bloom_point_delete" -> (q143 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1024,5 +1095,6 @@ object DeltaQueries {
     "q139_lake_update_where" -> q139Sql,
     "q140_lake_delete_mor" -> q140Sql,
     "q141_lake_update_mor" -> q141Sql,
-    "q142_lake_retention_delete" -> q142Sql)
+    "q142_lake_retention_delete" -> q142Sql,
+    "q143_lake_bloom_point_delete" -> q143Sql)
 }
