@@ -212,6 +212,12 @@ object Stress {
       // orders — position-sidecar write + anti-join read costs must
       // track the MATCHED-row volume, never the file volume
       "q140_lake_delete_mor", "q141_lake_update_mor",
+      // file-skipping index family: the metadata-only retention delete
+      // (manifest-subset commit — cost must track the PARTIAL-file
+      // scan, the dropped slice moves zero bytes however it scales)
+      // and the bloom point delete (index build is one pass over the
+      // scaled corpus; the point lookup itself must stay O(1) files)
+      "q142_lake_retention_delete", "q143_lake_bloom_point_delete",
       // retrieval / sketches / multimodal (sixth sweep): fixed probes
       // (vec_id < 5/8) against the scaled corpus — measures the
       // "probes broadcast, corpus never shuffles" linear-scan claim,

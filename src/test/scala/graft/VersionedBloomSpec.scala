@@ -172,6 +172,29 @@ class VersionedBloomSpec extends SparkSuite {
     assert(Versioned.readEq(spark, dir, col("key") === "fresh").count() == 1)
   }
 
+  test("two racing indexed appends both land and both keys stay " +
+      "findable — pointer carry holds through CAS retries") {
+    val dir = tmpDir() + "/bloom-race"
+    stripedTable(dir)
+    val t1 = new Thread(() =>
+      Versioned.commitWithIndex(spark, dir,
+        Seq(("doc-500", 500L)).toDF("key", "n"), statCols = Nil,
+        bloomCols = Seq("key"), bloomExpectedItems = 1000L,
+        bloomFpp = FPP))
+    val t2 = new Thread(() =>
+      Versioned.commitWithIndex(spark, dir,
+        Seq(("doc-600", 600L)).toDF("key", "n"), statCols = Nil,
+        bloomCols = Seq("key"), bloomExpectedItems = 1000L,
+        bloomFpp = FPP))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(Versioned.latestVersion(spark, dir).contains(5))
+    assert(bloomPtrs(dir, 5).size == 6, "a CAS retry dropped a pointer")
+    for (k <- Seq("doc-500", "doc-600", "doc-13"))
+      assert(Versioned.plannedFilesEq(spark, dir,
+        col("key") === k).size == 1, s"lookup of $k lost its pruning")
+    assert(Versioned.read(spark, dir).count() == 42)
+  }
+
   test("compaction re-measures the index; expire collects a dropped " +
       "version's sidecars and keeps live ones; restore republishes " +
       "pointers") {
