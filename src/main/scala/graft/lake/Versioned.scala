@@ -434,14 +434,18 @@ object Versioned {
     // COUNT (`~n<k>` annotation): min/max alone can prove "no row can
     // match", but proving "EVERY row matches" — the metadata-only
     // DELETE fast path — additionally needs to know no row hides from
-    // the range as NULL (SQL DELETE keeps NULL-predicate rows).
+    // the range as NULL (SQL DELETE keeps NULL-predicate rows). The
+    // file's ROW COUNT rides the same scan (`~r<k>` on the first
+    // group): it is what answers COUNT(*) from the manifest alone
+    // ([[rowCountFromMetadata]]) — the other query every retention
+    // and monitoring pipeline runs all day.
     val cols = statCols.distinct
-    val stats: Map[String, Seq[(String, Long, Long, Long)]] =
+    val stats: Map[String, (Long, Seq[(String, Long, Long, Long)])] =
       if (cols.isEmpty) Map.empty
       else {
         val aggs = cols.flatMap(c => Seq(
           min(col(c).cast("long")), max(col(c).cast("long")),
-          count(lit(1)) - count(col(c))))
+          count(lit(1)) - count(col(c)))) :+ count(lit(1))
         spark.read.parquet(dataDir.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -453,7 +457,8 @@ object Versioned {
                 (c, Long.MaxValue, Long.MinValue, nulls)
               else (c, r.getLong(1 + 3 * i), r.getLong(2 + 3 * i), nulls)
             }
-            new Path(r.getString(0)).getName -> groups
+            val rows = r.getLong(1 + 3 * cols.length)
+            new Path(r.getString(0)).getName -> (rows, groups)
           }.toMap
       }
     fs.listStatus(dataDir)
@@ -465,10 +470,12 @@ object Versioned {
           // a file with rows gets its measured groups; a zero-row file
           // never appears in the stats scan -> sentinel for every col
           // (zero rows, zero nulls — vacuously all-matching)
-          val groups = stats.getOrElse(f.getPath.getName,
-            cols.map(c => (c, Long.MaxValue, Long.MinValue, 0L)))
-          groups.map { case (c, mn, mx, nu) => s"\t$c\t$mn\t$mx\t~n$nu" }
-            .mkString(rel, "", "")
+          val (rows, groups) = stats.getOrElse(f.getPath.getName,
+            (0L, cols.map(c => (c, Long.MaxValue, Long.MinValue, 0L))))
+          groups.zipWithIndex.map { case ((c, mn, mx, nu), i) =>
+            if (i == 0) s"\t$c\t$mn\t$mx\t~n$nu\t~r$rows"
+            else s"\t$c\t$mn\t$mx\t~n$nu"
+          }.mkString(rel, "", "")
         }
       }
       .sorted.toSeq
@@ -1775,10 +1782,12 @@ object Versioned {
     * column's non-NULL values (inverted sentinel when there are none)
     * plus, on round-11+ lines, the column's NULL COUNT (`nulls` is
     * None on lines written before the annotation existed — "unknown",
-    * which every consumer must treat conservatively).
+    * which every consumer must treat conservatively) and, on the
+    * line's first group, the FILE's row count (`rows`, same None
+    * convention).
     */
   private[graft] final case class StatGroup(col: String, min: Long,
-      max: Long, nulls: Option[Long])
+      max: Long, nulls: Option[Long], rows: Option[Long] = None)
 
   /** Full parse of a manifest data line: `rel` followed by stats
     * groups of three tokens (`col \t min \t max`), each optionally
@@ -1799,11 +1808,14 @@ object Versioned {
         val (c, mn, mx) = (parts(i), parts(i + 1).toLong, parts(i + 2).toLong)
         i += 3
         var nulls: Option[Long] = None
+        var rows: Option[Long] = None
         while (i < parts.length && parts(i).startsWith("~")) {
           if (parts(i).startsWith("~n")) nulls = Some(parts(i).drop(2).toLong)
+          else if (parts(i).startsWith("~r"))
+            rows = Some(parts(i).drop(2).toLong)
           i += 1 // unknown annotations skip forward-compatibly
         }
-        buf += StatGroup(c, mn, mx, nulls)
+        buf += StatGroup(c, mn, mx, nulls, rows)
       } else i += 1 // stray/unattached token: never fail a manifest parse
     }
     (parts(0), buf.toSeq)
@@ -2176,6 +2188,50 @@ object Versioned {
       loadBlooms(spark, dir, m, predCols(pred)))
     // an all-pruned plan still renders the schema'd empty frame
     scanVisible(spark, dir, schema, kept, m.dvs).filter(predicate)
+  }
+
+  /** Metadata-only COUNT(*): the row count of `version`, answered
+    * from the manifest's recorded per-file row counts (`~r`
+    * annotations — they ride every stats scan) with deletion-vector
+    * positions subtracted. ZERO data files are read at any table
+    * size: a DV-free table costs driver arithmetic over the manifest
+    * alone; live DVs add one read of the delta-sized position
+    * sidecars (never the base files). This is the other query every
+    * monitoring / retention pipeline runs all day, and the reason
+    * production formats answer `SELECT count(*)` from metadata.
+    *
+    * Returns None when any manifest line predates row-count tracking
+    * or was committed without stats — the caller falls back to
+    * `read(...).count()`; a partial metadata answer would be a WRONG
+    * answer, so this is all-or-nothing.
+    */
+  def rowCountFromMetadata(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val fs = fileSystem(spark, dir)
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
+    val m = readManifest(fs, dir, v)
+    val perFile = m.lines.map { l =>
+      parseStatsFull(l)._2.flatMap(_.rows).headOption
+    }
+    if (perFile.exists(_.isEmpty)) return None // untracked line: fall back
+    val total = perFile.flatten.sum
+    val relSet = m.lines.map(parseLine(_)._1).toSet
+    val live = m.dvs.filter(d => relSet.contains(d._1))
+    val deleted =
+      if (live.isEmpty) 0L
+      else {
+        // distinct by construction: every DV write scans VISIBLE rows,
+        // so no (file, pos) pair can be recorded twice
+        val dvdRels = live.map(_._1).distinct
+        spark.read.schema(DvSchema)
+          .parquet(live.map(_._2).distinct.map(r => s"$dir/$r"): _*)
+          .filter(col("file").isin(dvdRels: _*))
+          .count()
+      }
+    Some(total - deleted)
   }
 
   // ----------------------------------------------------- change feed

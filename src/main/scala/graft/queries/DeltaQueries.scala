@@ -1050,6 +1050,41 @@ object DeltaQueries {
       |  AND doc_id <> (SELECT min(doc_id) FROM documents)
       |ORDER BY doc_key, n_chars""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  // METADATA-ONLY COUNT(*) (Versioned.rowCountFromMetadata): per-file
+  // row counts ride every stats scan as `~r` annotations, so the
+  // count of any version answers from the manifest alone — zero data
+  // files read at any table size; live deletion vectors add one read
+  // of the delta-sized position sidecars. The fixture commits orders
+  // with stats, MoR-deletes the %7 keys (so the answer must combine
+  // recorded base counts MINUS DV positions — the subtle half), and
+  // returns the metadata answer as a one-row frame the oracle
+  // recomputes by scanning. In-query requires force the claim: the
+  // metadata path must ANSWER (no fallback), and a control equality
+  // against the scan count pins the DV arithmetic on every corpus.
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-meta-count")
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Versioned.commitWithStats(s, tmp.toString,
+        orders.repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      Versioned.deleteWhereMor(s, tmp.toString,
+        col("o_orderkey") % 7 === 0)
+      val cnt = Versioned.rowCountFromMetadata(s, tmp.toString)
+      require(cnt.isDefined,
+        "metadata count fell back on a fully stats-tracked table")
+      require(cnt.get == Versioned.read(s, tmp.toString).count(),
+        s"metadata count ${cnt.get} diverges from the scan count")
+      s.createDataFrame(Seq(Tuple1(cnt.get))).toDF("cnt")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q144Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders
+      |WHERE (o_orderkey % 7 = 0) IS NOT TRUE""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1073,7 +1108,8 @@ object DeltaQueries {
     "q140_lake_delete_mor" -> (q140 _),
     "q141_lake_update_mor" -> (q141 _),
     "q142_lake_retention_delete" -> (q142 _),
-    "q143_lake_bloom_point_delete" -> (q143 _))
+    "q143_lake_bloom_point_delete" -> (q143 _),
+    "q144_lake_metadata_count" -> (q144 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1096,5 +1132,6 @@ object DeltaQueries {
     "q140_lake_delete_mor" -> q140Sql,
     "q141_lake_update_mor" -> q141Sql,
     "q142_lake_retention_delete" -> q142Sql,
-    "q143_lake_bloom_point_delete" -> q143Sql)
+    "q143_lake_bloom_point_delete" -> q143Sql,
+    "q144_lake_metadata_count" -> q144Sql)
 }

@@ -416,6 +416,33 @@ class VersionedDmlSpec extends SparkSuite {
       (0L until 10L).filterNot(_ == 3L).map(("delete", _)))
   }
 
+  test("rowCountFromMetadata: COUNT(*) from the manifest alone — DML " +
+      "re-measures it, DV positions subtract, time travel counts each " +
+      "version, untracked lines force the all-or-nothing fallback") {
+    val dir = tmpDir() + "/meta-count"
+    rangedTable(dir)
+    assert(Versioned.rowCountFromMetadata(spark, dir) == Some(40L))
+    // copy-on-write rewrite re-measures the rewritten file's count
+    Versioned.deleteWhere(spark, dir, col("id").between(12, 17))  // v1
+    assert(Versioned.rowCountFromMetadata(spark, dir) == Some(34L))
+    // metadata-only drop subtracts the whole file
+    Versioned.deleteWhere(spark, dir, col("id") < 10)             // v2
+    assert(Versioned.rowCountFromMetadata(spark, dir) == Some(24L))
+    // merge-on-read: base lines keep their counts; DV positions subtract
+    Versioned.deleteWhereMor(spark, dir, col("id") % 2 === 0)     // v3
+    assert(Versioned.rowCountFromMetadata(spark, dir) ==
+      Some(Versioned.read(spark, dir).count()))
+    // every version stays countable (time travel)
+    assert(Versioned.rowCountFromMetadata(spark, dir, Some(0)) == Some(40L))
+    assert(Versioned.rowCountFromMetadata(spark, dir, Some(2)) == Some(24L))
+    // an untracked append poisons the metadata answer entirely — a
+    // partial count would be a wrong count
+    Versioned.commit(spark, dir, Seq((99L, "x")).toDF("id", "s")) // v4
+    assert(Versioned.rowCountFromMetadata(spark, dir).isEmpty)
+    assert(Versioned.rowCountFromMetadata(spark, dir, Some(3)).isDefined,
+      "older fully-tracked versions must stay countable")
+  }
+
   test("mergeInto into nothing / into an empty version is a pure insert") {
     val dir = tmpDir() + "/merge-empty"
     val src = Seq((1L, "a")).toDF("id", "s")
