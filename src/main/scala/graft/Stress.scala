@@ -218,6 +218,9 @@ object Stress {
       // and the bloom point delete (index build is one pass over the
       // scaled corpus; the point lookup itself must stay O(1) files)
       "q142_lake_retention_delete", "q143_lake_bloom_point_delete",
+      // metadata-only COUNT(*): manifest arithmetic + one DV-sidecar
+      // read — the answer must stay flat however the data grows
+      "q144_lake_metadata_count",
       // retrieval / sketches / multimodal (sixth sweep): fixed probes
       // (vec_id < 5/8) against the scaled corpus — measures the
       // "probes broadcast, corpus never shuffles" linear-scan claim,

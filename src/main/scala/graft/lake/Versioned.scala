@@ -134,7 +134,8 @@ object Versioned {
   private final case class Manifest(schema: Option[StructType],
       txn: Option[(String, Long)], checks: Seq[(String, String)],
       lines: Seq[String], dvs: Seq[(String, String)] = Nil,
-      blooms: Seq[(String, String, String)] = Nil)
+      blooms: Seq[(String, String, String)] = Nil,
+      op: Option[String] = None)
 
   // header lines start with '#' so file-line consumers skip them by
   // prefix; the schema rides as Spark's own StructType JSON (control
@@ -156,6 +157,13 @@ object Versioned {
   // keys). Sidecars live beside data files and are referenced files
   // for [[expire]]/[[restore]], exactly like DV sidecars.
   private val BloomHeader = "#bloom\t"
+  // operation header: `#op\t<name>` — which commit primitive created
+  // this version (append / replace / stream-append / delete / update /
+  // merge / delete-mor / update-mor / compact / restore / add-check /
+  // drop-check). Pure observability ([[history]] — the audit log every
+  // production format exposes as DESCRIBE HISTORY); absent on
+  // pre-tracking manifests.
+  private val OpHeader = "#op\t"
 
   private def readManifest(fs: FileSystem, dir: String, v: Int): Manifest = {
     val in = fs.open(manifestPath(dir, v))
@@ -187,8 +195,11 @@ object Versioned {
       val Array(baseRel, c, sideRel) = l.stripPrefix(BloomHeader).split('\t')
       (baseRel, c, sideRel)
     }
+    val op = raw.collectFirst { case l if l.startsWith(OpHeader) =>
+      l.stripPrefix(OpHeader)
+    }
     Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
-      blooms)
+      blooms, op)
   }
 
   /** The table schema of version `v`: the manifest-recorded one when
@@ -375,9 +386,12 @@ object Versioned {
           s"version $head of $dir has no schema to constrain"))
       // the head's txn stamp carries into the metadata commit so a
       // streaming writer's high-water mark stays visible even if this
-      // becomes the newest surviving manifest
+      // becomes the newest surviving manifest — and so do its deletion
+      // vectors and bloom pointers: a metadata commit that dropped the
+      // DVs would silently RESURRECT every MoR-deleted row
       if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
-          m.checks :+ ((name, sqlExpr))))
+          m.checks :+ ((name, sqlExpr)), m.dvs, m.blooms,
+          op = Some(s"add-check($name)")))
         return head + 1
       attempts += 1   // CAS lost: re-read head, re-validate its rows
       require(attempts < 1000,
@@ -401,7 +415,8 @@ object Versioned {
         throw new IllegalArgumentException(
           s"version $head of $dir has no schema"))
       if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
-          m.checks.filterNot(_._1 == name)))
+          m.checks.filterNot(_._1 == name), m.dvs, m.blooms,
+          op = Some(s"drop-check($name)")))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -592,16 +607,20 @@ object Versioned {
       txn: Option[(String, Long)] = None,
       checks: Seq[(String, String)] = Nil,
       dvs: Seq[(String, String)] = Nil,
-      blooms: Seq[(String, String, String)] = Nil): Boolean = {
+      blooms: Seq[(String, String, String)] = Nil,
+      op: Option[String] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
     fs.mkdirs(new Path(dir, "_manifest"))
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val headers = (s"$SchemaHeader${schema.json}" +:
+      // op rides as the line's tail verbatim; only line breaks could
+      // corrupt the manifest, so they flatten to spaces
+      (op.map(o => s"$OpHeader${o.replaceAll("[\\n\\r]", " ")}").toSeq ++
       txn.map { case (app, batch) =>
         s"$TxnHeader${enc(app)}\t$batch"
-      }.toSeq) ++
+      }.toSeq)) ++
       checks.map { case (name, sql) =>
         s"$CheckHeader${enc(name)}\t${enc(sql)}"
       } ++
@@ -691,7 +710,9 @@ object Versioned {
         validatedFor = Some(checks)
       }
       if (casPublish(fs, dir, next, schema, carried ++ newFiles, txn,
-          checks, carriedDvs, carriedBlooms ++ newBlooms))
+          checks, carriedDvs, carriedBlooms ++ newBlooms,
+          op = Some(txn.map(_ => "stream-append")
+            .getOrElse(if (replace) "replace" else "append"))))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -825,7 +846,7 @@ object Versioned {
     // CHECK validation is skipped — the staged rows ARE the base's
     // rows, already admitted by their own commits
     replaceLoop(spark, dir, staged, base, keyCols = None, baseDf.schema,
-      validateChecks = false, stagedBlooms = stagedBlooms)
+      validateChecks = false, stagedBlooms = stagedBlooms, op = "compact")
   }
 
   /** RESTORE: republish historical `version` as a NEW head commit —
@@ -889,7 +910,8 @@ object Versioned {
     replaceLoop(spark, dir, m.lines, latestVersion(spark, dir),
       keyCols = None, stagedSchema = schema,
       checksOverride = Some(m.checks), validateChecks = false,
-      stagedDvs = m.dvs, dvAuthority = true, stagedBlooms = m.blooms)
+      stagedDvs = m.dvs, dvAuthority = true, stagedBlooms = m.blooms,
+      op = s"restore(v$version)")
   }
 
   // ----------------------------------------------------- row-level DML
@@ -1240,7 +1262,7 @@ object Versioned {
     // surviving rows were admitted by their own commits: no CHECK rescan
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, validateChecks = false, carried = untouched,
-      stagedBlooms = stagedBlooms)
+      stagedBlooms = stagedBlooms, op = "delete")
   }
 
   /** Row-level UPDATE, copy-on-write (`UPDATE t SET c = e WHERE p`):
@@ -1306,7 +1328,7 @@ object Versioned {
       m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, carried = untouched,
-      stagedBlooms = stagedBlooms)
+      stagedBlooms = stagedBlooms, op = "update")
   }
 
   /** Row-level DELETE, merge-on-read (`DELETE FROM t WHERE p` as a
@@ -1379,7 +1401,8 @@ object Versioned {
     replaceLoop(spark, dir, staged = Nil, base = Some(base),
       keyCols = None, stagedSchema = schema, validateChecks = false,
       carried = m.lines, stagedDvs = pairs,
-      morScanned = Some(candidates.map(parseLine(_)._1).toSet))
+      morScanned = Some(candidates.map(parseLine(_)._1).toSet),
+      op = "delete-mor")
   }
 
   /** Row-level UPDATE, merge-on-read: the matched rows' positions go
@@ -1455,7 +1478,7 @@ object Versioned {
     enforceChecks(spark, dir, staged, m.checks, schema)
     val published = casPublish(fs, dir, base + 1, schema,
       m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs,
-      blooms = m.blooms ++ stagedBlooms)
+      blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"))
     if (!published)
       throw new CommitConflictException(
         s"merge-on-read update of $dir based on version $base lost the " +
@@ -1585,7 +1608,7 @@ object Versioned {
       replaceLoop(spark, dir, staged, base, keyCols = Some(keyCols),
         stagedSchema = newSchema, carried = untouched,
         keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)),
-        stagedBlooms = stagedBlooms)
+        stagedBlooms = stagedBlooms, op = "merge")
     } finally { src.unpersist(); () }
   }
 
@@ -1628,7 +1651,8 @@ object Versioned {
       stagedDvs: Seq[(String, String)] = Nil,
       dvAuthority: Boolean = false,
       morScanned: Option[Set[String]] = None,
-      stagedBlooms: Seq[(String, String, String)] = Nil): Int = {
+      stagedBlooms: Seq[(String, String, String)] = Nil,
+      op: String = "replace"): Int = {
     val fs = fileSystem(spark, dir)
     val baseM = base.map(readManifest(fs, dir, _))
     val baseFiles: Set[String] = baseM
@@ -1752,7 +1776,8 @@ object Versioned {
         else headM.map(_.blooms).getOrElse(Nil)
           .filter(b => newRels.contains(b._1)) ++ stagedBlooms
       if (casPublish(fs, dir, next, schema, newLines,
-          checks = checks, dvs = newDvs, blooms = newBlooms))
+          checks = checks, dvs = newDvs, blooms = newBlooms,
+          op = Some(op)))
         return next
       attempts += 1
       require(attempts < 1000,
@@ -2232,6 +2257,45 @@ object Versioned {
           .count()
       }
     Some(total - deleted)
+  }
+
+  /** DESCRIBE HISTORY: one row per retained version, newest first —
+    * the audit log every production table format exposes. Driver-side
+    * manifest reads only (no data I/O): `operation` is the commit
+    * primitive that created the version (`#op` header; "unknown" on
+    * pre-tracking manifests), `ts_millis` the manifest file's
+    * modification time (the commit instant — the rename that
+    * published it), `n_files`/`n_dvs`/`n_checks` the version's shape,
+    * `app_id`/`batch_id` the streaming txn stamp when present, and
+    * `row_count` the metadata count where the version is fully
+    * tracked (null where [[rowCountFromMetadata]] would fall back).
+    * Expired versions are simply absent — history shrinks with
+    * retention, like the time travel it documents.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = fileSystem(spark, dir)
+    val latest = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    val rows = (0 to latest).reverseIterator
+      .filter(v => fs.exists(manifestPath(dir, v)))
+      .map { v =>
+        val m = readManifest(fs, dir, v)
+        val counts = m.lines.map(l =>
+          parseStatsFull(l)._2.flatMap(_.rows).headOption)
+        // base row count only (DV subtraction needs sidecar I/O;
+        // history stays a pure metadata read) — minus nothing when
+        // the version carries no DVs, which is the common case
+        val rowCount: Option[Long] =
+          if (m.dvs.nonEmpty || counts.exists(_.isEmpty)) None
+          else Some(counts.flatten.sum)
+        (v, m.op.getOrElse("unknown"),
+          fs.getFileStatus(manifestPath(dir, v)).getModificationTime,
+          m.lines.size, m.dvs.size, m.checks.size,
+          m.txn.map(_._1), m.txn.map(_._2), rowCount)
+      }.toSeq
+    rows.toDF("version", "operation", "ts_millis", "n_files", "n_dvs",
+      "n_checks", "app_id", "batch_id", "row_count")
   }
 
   // ----------------------------------------------------- change feed

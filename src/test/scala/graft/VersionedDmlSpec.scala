@@ -443,6 +443,36 @@ class VersionedDmlSpec extends SparkSuite {
       "older fully-tracked versions must stay countable")
   }
 
+  test("history: one metadata-only row per version, newest first, " +
+      "naming the commit primitive that created it") {
+    val dir = tmpDir() + "/meta-history"
+    rangedTable(dir)                                              // v0
+    Versioned.commit(spark, dir, Seq((100L, "x")).toDF("id", "s")) // v1
+    Versioned.deleteWhere(spark, dir, col("id").between(12, 14))  // v2
+    Versioned.deleteWhereMor(spark, dir, col("id") === 20)        // v3
+    Versioned.updateWhere(spark, dir, col("id") === 21,
+      Map("s" -> lit("u")))                                       // v4
+    Versioned.mergeInto(spark, dir,
+      Seq((200L, "m")).toDF("id", "s"), Seq("id"))                // v5
+    Versioned.addCheck(spark, dir, "id_ok", "id >= 0")            // v6
+    Versioned.compactCommit(spark, dir)                           // v7
+    Versioned.restore(spark, dir, 5)                              // v8
+    val h = Versioned.history(spark, dir)
+      .select("version", "operation").as[(Int, String)].collect().toSeq
+    assert(h == Seq((8, "restore(v5)"), (7, "compact"),
+      (6, "add-check(id_ok)"), (5, "merge"), (4, "update"),
+      (3, "delete-mor"), (2, "delete"), (1, "append"), (0, "append")),
+      s"unexpected history: $h")
+    // shape columns: the MoR delete's version carries a DV; the base
+    // row count renders only where it is a pure metadata read
+    val byV = Versioned.history(spark, dir)
+      .select("version", "n_dvs", "row_count")
+      .as[(Int, Int, Option[Long])].collect().map(t => t._1 -> t).toMap
+    assert(byV(3)._2 == 1 && byV(3)._3.isEmpty) // DV'd: count needs I/O
+    assert(byV(0)._3 == Some(40L))
+    assert(byV(1)._3.isEmpty, "v1's untracked append must not fake a count")
+  }
+
   test("mergeInto into nothing / into an empty version is a pure insert") {
     val dir = tmpDir() + "/merge-empty"
     val src = Seq((1L, "a")).toDF("id", "s")

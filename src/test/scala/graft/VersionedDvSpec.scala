@@ -28,6 +28,23 @@ class VersionedDvSpec extends SparkSuite {
   }
   private def dataLines(dir: String, v: Int): Seq[String] =
     rawManifest(dir, v).filterNot(_.startsWith("#"))
+  test("a metadata-only commit (addCheck/dropCheck) carries the " +
+      "head's deletion vectors — it must not resurrect deleted rows") {
+    val dir = tmpDir() + "/dv-addcheck"
+    Versioned.commit(spark, dir,
+      (0L until 10L).map(i => (i, i * 10L)).toDF("id", "v"))
+    assert(Versioned.deleteWhereMor(spark, dir, col("id") < 3) == 1)
+    assert(Versioned.read(spark, dir).count() == 7)
+    Versioned.addCheck(spark, dir, "v_nonneg", "v >= 0")          // v2
+    assert(Versioned.read(spark, dir).count() == 7,
+      "addCheck's metadata commit resurrected MoR-deleted rows")
+    Versioned.dropCheck(spark, dir, "v_nonneg")                   // v3
+    assert(Versioned.read(spark, dir).count() == 7,
+      "dropCheck's metadata commit resurrected MoR-deleted rows")
+    assert(Versioned.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == (3L until 10L))
+  }
+
   private def dvLines(dir: String, v: Int): Seq[String] =
     rawManifest(dir, v).filter(_.startsWith("#dv\t"))
 
