@@ -114,6 +114,11 @@ object GraftExtensions {
       case Seq(item, capacity) =>
         MisraGries(item, intLit(capacity, "capacity")).toAggregateExpression()
     },
+    "graft_bloom_sketch" -> {
+      case Seq(item, n, fpp) =>
+        BloomSketch(item, longLit(n, "expectedItems"),
+          doubleLit(fpp, "fpp")).toAggregateExpression()
+    },
     // The deterministic-sampling hash family in SQL. Built directly in
     // Catalyst (a Column-composed tree can't be injected: in Spark 4 the
     // Column API builds backend-neutral ColumnNodes whose UnresolvedF.
@@ -139,6 +144,21 @@ object GraftExtensions {
       }.flatten
       BpeEncodeExpr(s, merges)
     })
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integral literal, got: $other")
+  }
+
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got: $other")
+  }
 
   private def strLit(e: Expression, what: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String,

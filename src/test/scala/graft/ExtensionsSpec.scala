@@ -101,6 +101,15 @@ class ExtensionsSpec extends SparkSuite {
         .getSeq[org.apache.spark.sql.Row](0)
       assert(mg.map(r => (r.getString(0), r.getLong(1))) ==
         Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+      // bloom sketch from SQL: same aggregate the lake index builds on
+      val bf = ext.sql(
+        """SELECT graft_bloom_sketch(w, 100, 0.000001) AS bf
+          |FROM VALUES ('x'), ('y'), ('z') AS t(w)""".stripMargin)
+        .collect()(0).getAs[Array[Byte]](0)
+      val filt = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bf))
+      assert(filt.mightContainString("x") && filt.mightContainString("z") &&
+        !filt.mightContainString("nope"))
       val hashes = ext.sql(
         """SELECT graft_sample_hash('42') AS h7,
           |       graft_seeded_hash('42', 7) AS h7b,
