@@ -135,7 +135,8 @@ object Versioned {
       txn: Option[(String, Long)], checks: Seq[(String, String)],
       lines: Seq[String], dvs: Seq[(String, String)] = Nil,
       blooms: Seq[(String, String, String)] = Nil,
-      op: Option[String] = None)
+      op: Option[String] = None,
+      bloomCfg: Seq[(String, Long, Double)] = Nil)
 
   // header lines start with '#' so file-line consumers skip them by
   // prefix; the schema rides as Spark's own StructType JSON (control
@@ -157,6 +158,13 @@ object Versioned {
   // keys). Sidecars live beside data files and are referenced files
   // for [[expire]]/[[restore]], exactly like DV sidecars.
   private val BloomHeader = "#bloom\t"
+  // bloom index CONFIG: `#bloomcfg\t<col>\t<expectedItems>\t<fpp>` —
+  // the sizing the index was declared with (table policy, carried
+  // like CHECK constraints). Rewrites re-measure filters at THIS
+  // sizing; without it a compaction of a 5M-row-per-file table would
+  // rebuild 100k-item filters that saturate to fpp≈1 and silently
+  // stop pruning.
+  private val BloomCfgHeader = "#bloomcfg\t"
   // operation header: `#op\t<name>` — which commit primitive created
   // this version (append / replace / stream-append / delete / update /
   // merge / delete-mor / update-mor / compact / restore / add-check /
@@ -198,9 +206,20 @@ object Versioned {
     val op = raw.collectFirst { case l if l.startsWith(OpHeader) =>
       l.stripPrefix(OpHeader)
     }
+    val bloomCfg = raw.collect { case l if l.startsWith(BloomCfgHeader) =>
+      val Array(c, n, f) = l.stripPrefix(BloomCfgHeader).split('\t')
+      (c, n.toLong, f.toDouble)
+    }
     Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
-      blooms, op)
+      blooms, op, bloomCfg)
   }
+
+  /** The table's bloom-index config: the recorded `#bloomcfg` entries,
+    * or — for an index committed before config tracking — the default
+    * sizing per indexed column, so legacy pointers keep re-measuring. */
+  private def bloomCfgOf(m: Manifest): Seq[(String, Long, Double)] =
+    if (m.bloomCfg.nonEmpty) m.bloomCfg
+    else m.blooms.map(_._2).distinct.map((_, 100000L, 0.03))
 
   /** The table schema of version `v`: the manifest-recorded one when
     * present (O(1) — no file I/O beyond the manifest itself), else
@@ -391,7 +410,7 @@ object Versioned {
       // DVs would silently RESURRECT every MoR-deleted row
       if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
           m.checks :+ ((name, sqlExpr)), m.dvs, m.blooms,
-          op = Some(s"add-check($name)")))
+          op = Some(s"add-check($name)"), bloomCfg = m.bloomCfg))
         return head + 1
       attempts += 1   // CAS lost: re-read head, re-validate its rows
       require(attempts < 1000,
@@ -416,7 +435,7 @@ object Versioned {
           s"version $head of $dir has no schema"))
       if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
           m.checks.filterNot(_._1 == name), m.dvs, m.blooms,
-          op = Some(s"drop-check($name)")))
+          op = Some(s"drop-check($name)"), bloomCfg = m.bloomCfg))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -514,30 +533,56 @@ object Versioned {
     * read-back pattern the DV writer uses. Zero-row files simply have
     * no filter — their sentinel min/max already prunes every probe.
     */
-  private def stageBlooms(spark: SparkSession, dir: String,
-      stagedLines: Seq[String], bloomCols: Seq[String],
-      expectedItems: Long, fpp: Double): Seq[(String, String, String)] = {
-    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, regexp_extract, struct}
-    val cols = bloomCols.distinct
-    if (cols.isEmpty || stagedLines.isEmpty) return Nil
-    val fs = fileSystem(spark, dir)
-    val paths = stagedLines.map(l => s"$dir/${parseLine(l)._1}")
-    val aggs = cols.map(c => graft.functions.BloomAgg
-      .bloomSketch(col(c), expectedItems, fpp).as(s"__b_$c"))
-    val perFile = spark.read.parquet(paths: _*)
-      .groupBy(regexp_extract(input_file_name(), RelPattern, 1).as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-    val melted = perFile.select(col("file"), explode(array(cols.map(c =>
-      struct(lit(c).as("col"), col(s"__b_$c").as("bits"))): _*)).as("g"))
-      .select(col("file"), col("g.col").as("col"), col("g.bits").as("bits"))
+  /** Write a (file, col, bits) frame as a commit-scoped sidecar and
+    * resolve its `#bloom` pointer tuples (data file rel, column,
+    * sidecar part rel) — the same read-back pattern the DV writer
+    * uses. Deletes the sidecar dir when it holds nothing. */
+  private def resolveSidecar(spark: SparkSession, dir: String,
+      rows: DataFrame): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
     val sideDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
-    melted.write.parquet(sideDir.toString)
+    rows.write.parquet(sideDir.toString)
     val pointers = spark.read.schema(BloomSchema).parquet(sideDir.toString)
       .select(col("file"), col("col"), input_file_name().as("__d"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), relOfUri(r.getString(2))))
       .toSeq
-    if (pointers.isEmpty) fs.delete(sideDir, true) // all-empty staging
+    if (pointers.isEmpty) fileSystem(spark, dir).delete(sideDir, true)
+    pointers
+  }
+
+  /** Build per-file Bloom filters for freshly staged data files, one
+    * per `cfg` entry (column, expectedItems, fpp) — the sizing is the
+    * TABLE's recorded index config ([[bloomCfgOf]]), so a rewrite
+    * re-measures at the sizing the index was committed with, never a
+    * default that silently saturates a big table's filters. One
+    * column-pruned pass: `groupBy` the physical file, a mergeable
+    * [[graft.functions.BloomSketch]] per column (map-side partials are
+    * fixed-size bit arrays — nothing row-shaped crosses the wire), the
+    * melted (file, col, bits) rows written DISTRIBUTED (never collected
+    * to the driver: a wide commit's filters can outweigh its manifest
+    * a thousandfold). Column references are backtick-quoted — a column
+    * literally named `a.b` must not parse as struct access.
+    */
+  private def stageBlooms(spark: SparkSession, dir: String,
+      stagedLines: Seq[String],
+      cfg: Seq[(String, Long, Double)]): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, regexp_extract, struct}
+    val byCol: Seq[(String, Long, Double)] =
+      cfg.groupBy(_._1).values.map(_.head).toSeq.sortBy(_._1)
+    if (byCol.isEmpty || stagedLines.isEmpty) return Nil
+    val paths = stagedLines.map(l => s"$dir/${parseLine(l)._1}")
+    def q(name: String) = col(s"`$name`")
+    val aggs = byCol.map { case (c, n, f) => graft.functions.BloomAgg
+      .bloomSketch(q(c), n, f).as(s"__b_$c") }
+    val perFile = spark.read.parquet(paths: _*)
+      .groupBy(regexp_extract(input_file_name(), RelPattern, 1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val melted = perFile.select(col("file"),
+      explode(array(byCol.map { case (c, _, _) =>
+        struct(lit(c).as("col"), q(s"__b_$c").as("bits")) }: _*)).as("g"))
+      .select(col("file"), col("g.col").as("col"), col("g.bits").as("bits"))
+    val pointers = resolveSidecar(spark, dir, melted)
     // ZERO-ROW staged files never reach the groupBy, so they would
     // carry no filter and pollute every point-lookup plan forever
     // (an absent filter is conservatively unprunable). Record an
@@ -547,23 +592,16 @@ object Versioned {
     val missing = stagedLines.map(parseLine(_)._1).filterNot(covered)
     if (missing.isEmpty) pointers
     else {
-      val emptyBits = {
+      def emptyBits(n: Long, f: Double): Array[Byte] = {
         val out = new java.io.ByteArrayOutputStream()
-        org.apache.spark.util.sketch.BloomFilter
-          .create(expectedItems, fpp).writeTo(out)
+        org.apache.spark.util.sketch.BloomFilter.create(n, f).writeTo(out)
         out.toByteArray
       }
       import spark.implicits._
-      val rows = for (f <- missing; c <- cols) yield (f, c, emptyBits)
-      val sideDir2 = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
-      rows.toDF("file", "col", "bits").coalesce(1)
-        .write.parquet(sideDir2.toString)
-      val extras = spark.read.schema(BloomSchema).parquet(sideDir2.toString)
-        .select(col("file"), col("col"), input_file_name().as("__d"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), relOfUri(r.getString(2))))
-        .toSeq
-      pointers ++ extras
+      val rows = for { f <- missing; (c, n, p) <- byCol }
+        yield (f, c, emptyBits(n, p))
+      pointers ++ resolveSidecar(spark, dir,
+        rows.toDF("file", "col", "bits").coalesce(1))
     }
   }
 
@@ -575,9 +613,10 @@ object Versioned {
     * missing filter as "cannot prune", never as an error.
     */
   private def loadBlooms(spark: SparkSession, dir: String, m: Manifest,
-      cols: Set[String]): Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+      cols: Set[String], files: Set[String]): Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
     import org.apache.spark.sql.functions.col
-    val wanted = m.blooms.filter(b => cols.contains(b._2))
+    val wanted = m.blooms.filter(b =>
+      cols.contains(b._2) && files.contains(b._1))
     if (wanted.isEmpty) return Map.empty
     val sidecars = wanted.map(_._3).distinct.map(r => s"$dir/$r")
     val keep = wanted.map(b => (b._1, b._2)).toSet
@@ -608,7 +647,8 @@ object Versioned {
       checks: Seq[(String, String)] = Nil,
       dvs: Seq[(String, String)] = Nil,
       blooms: Seq[(String, String, String)] = Nil,
-      op: Option[String] = None): Boolean = {
+      op: Option[String] = None,
+      bloomCfg: Seq[(String, Long, Double)] = Nil): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -629,6 +669,9 @@ object Versioned {
       } ++
       blooms.distinct.map { case (baseRel, c, sideRel) =>
         s"$BloomHeader$baseRel\t$c\t$sideRel"
+      } ++
+      bloomCfg.distinct.map { case (c, n, f) =>
+        s"$BloomCfgHeader$c\t$n\t$f"
       }
     val out = fs.create(tmp, false)
     try out.write((headers ++ lines)
@@ -673,8 +716,8 @@ object Versioned {
       bloomFpp: Double = 0.03): Int = {
     val fs = fileSystem(spark, dir)
     val newFiles = stage(spark, dir, df, statCols)
-    val newBlooms = stageBlooms(spark, dir, newFiles, bloomCols,
-      bloomExpected, bloomFpp)
+    val newCfg = bloomCols.distinct.map((_, bloomExpected, bloomFpp))
+    val newBlooms = stageBlooms(spark, dir, newFiles, newCfg)
     var attempts = 0
     // re-validated inside the retry loop only when the constraint set
     // actually changed under us (a racing addCheck): the common retry —
@@ -700,6 +743,12 @@ object Versioned {
         else headManifest.map(_.dvs).getOrElse(Nil)
       val carriedBlooms = if (replace) Nil
         else headManifest.map(_.blooms).getOrElse(Nil)
+      // index config is table policy: this commit's sizing overrides
+      // per column, the head's other entries carry through appends; a
+      // replace starts from its own declaration
+      val carriedCfg = (if (replace) Nil
+        else headManifest.map(bloomCfgOf).getOrElse(Nil))
+        .filterNot(c => bloomCols.contains(c._1))
       val schema =
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
@@ -712,7 +761,8 @@ object Versioned {
       if (casPublish(fs, dir, next, schema, carried ++ newFiles, txn,
           checks, carriedDvs, carriedBlooms ++ newBlooms,
           op = Some(txn.map(_ => "stream-append")
-            .getOrElse(if (replace) "replace" else "append"))))
+            .getOrElse(if (replace) "replace" else "append")),
+          bloomCfg = carriedCfg ++ newCfg))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -836,11 +886,11 @@ object Versioned {
     val staged = stage(spark, dir, laidOut, inherited)
     // the bloom index survives compaction like the range stats do:
     // every column the base version indexed is re-measured on the
-    // rewrite (a compaction that silently dropped the filters would
+    // rewrite AT ITS RECORDED SIZING (a compaction that silently
+    // dropped the filters — or rebuilt them undersized — would
     // disable point-lookup pruning without anyone noticing)
     val stagedBlooms = stageBlooms(spark, dir, staged,
-      baseManifest.blooms.map(_._2).distinct,
-      expectedItems = 100000L, fpp = 0.03)
+      bloomCfgOf(baseManifest))
     // the rewrite materializes the base version's EVOLVED schema
     // (null-filled columns become physical), which is what it records;
     // CHECK validation is skipped — the staged rows ARE the base's
@@ -911,7 +961,8 @@ object Versioned {
       keyCols = None, stagedSchema = schema,
       checksOverride = Some(m.checks), validateChecks = false,
       stagedDvs = m.dvs, dvAuthority = true, stagedBlooms = m.blooms,
-      op = s"restore(v$version)")
+      op = s"restore(v$version)",
+      bloomCfgOverride = Some(m.bloomCfg))
   }
 
   // ----------------------------------------------------- row-level DML
@@ -931,39 +982,51 @@ object Versioned {
     * false and they prune — correctly, since a NULL row can never
     * satisfy a TRUE predicate.
     */
+  // Shared by the ∃-pruner ([[statsCanMatch]]) and the ∀-prover
+  // ([[statsMustMatchAll]]): the attribute / literal / cast shapes
+  // interval reasoning understands MUST stay identical between the
+  // two, or a file could prune as a candidate the metadata-delete
+  // prover can no longer reason about.
+  private def statWidth(dt: DataType): Int = dt match {
+    case types.ByteType => 1
+    case types.ShortType => 2
+    case types.IntegerType => 4
+    case types.LongType => 8
+    case types.DateType => 4 // days-since-epoch int; stats cast likewise
+    case _ => 0 // non-integral: never unwrap through it
+  }
+
+  // a WIDENING integral cast preserves both the attribute's recorded
+  // range and a literal's value; anything else would make interval
+  // reasoning unsound (a narrowing cast wraps), so it stays opaque
+  private def statAttrOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case c: Cast if c.childrenResolved && statWidth(c.child.dataType) > 0 &&
+      statWidth(c.dataType) >= statWidth(c.child.dataType) =>
+      statAttrOf(c.child)
+    case _ => None
+  }
+
+  private def statLitLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case c: Cast if c.childrenResolved && statWidth(c.child.dataType) > 0 &&
+      statWidth(c.dataType) >= statWidth(c.child.dataType) =>
+      statLitLong(c.child)
+    case _ => None
+  }
+
   private[graft] def statsCanMatch(pred: Expression,
       stats: Seq[(String, Long, Long)],
       bloom: Map[String, org.apache.spark.util.sketch.BloomFilter] =
         Map.empty): Boolean = {
     val range: Map[String, (Long, Long)] =
       stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap
-    def width(dt: DataType): Int = dt match {
-      case types.ByteType => 1
-      case types.ShortType => 2
-      case types.IntegerType => 4
-      case types.LongType => 8
-      case types.DateType => 4 // days-since-epoch int; stats cast likewise
-      case _ => 0 // non-integral: never unwrap through it
-    }
-    // a WIDENING integral cast preserves both the attribute's recorded
-    // range and a literal's value; anything else would make interval
-    // reasoning unsound (a narrowing cast wraps), so it stays opaque
-    def attrOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttribute => Some(u.nameParts.last)
-      case c: Cast if c.childrenResolved && width(c.child.dataType) > 0 &&
-        width(c.dataType) >= width(c.child.dataType) => attrOf(c.child)
-      case _ => None
-    }
-    def litLong(e: Expression): Option[Long] = e match {
-      case Literal(v: Byte, _) => Some(v.toLong)
-      case Literal(v: Short, _) => Some(v.toLong)
-      case Literal(v: Int, _) => Some(v.toLong)
-      case Literal(v: Long, _) => Some(v)
-      case c: Cast if c.childrenResolved && width(c.child.dataType) > 0 &&
-        width(c.dataType) >= width(c.child.dataType) => litLong(c.child)
-      case _ => None
-    }
+    def attrOf(e: Expression): Option[String] = statAttrOf(e)
+    def litLong(e: Expression): Option[Long] = statLitLong(e)
     def litStr(e: Expression): Option[String] = e match {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String,
         types.StringType) => Some(s.toString)
@@ -1044,22 +1107,43 @@ object Versioned {
       lines: Seq[String]): Seq[String] =
     lines.filter(l => statsCanMatch(pred, parseStats(l)._2))
 
-  /** Index-aware [[pruneCandidates]]: recorded ranges AND per-file
-    * Bloom filters (as loaded by [[loadBlooms]]) both get a veto. */
-  private[graft] def pruneCandidatesIdx(pred: Expression,
-      lines: Seq[String],
-      blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]): Seq[String] =
-    lines.filter { l =>
+  /** Column names appearing in EQUALITY atoms (=, <=>, IN) of a
+    * resolved predicate — the only shapes a Bloom filter can veto, so
+    * the only filters worth loading. A range-only predicate (`ts <
+    * cutoff` on a bloom-indexed ts) loads nothing. */
+  private def eqCols(pred: Expression): Set[String] = {
+    def names(e: Expression): Seq[String] =
+      e.references.toSeq.map(_.name) ++ e.collect {
+        case u: UnresolvedAttribute => u.nameParts.last
+      }
+    pred.collect {
+      case EqualTo(a, b) => names(a) ++ names(b)
+      case EqualNullSafe(a, b) => names(a) ++ names(b)
+      case In(a, _) => names(a)
+    }.flatten.toSet
+  }
+
+  /** Index-aware candidate pruning, two-phase so plan-time I/O is
+    * bounded by the RANGE-surviving candidate set, not the table:
+    * range stats prune first (pure driver arithmetic over the
+    * manifest), then Bloom filters load ONLY for the predicate's
+    * equality-atom columns and ONLY for the surviving files, and get
+    * their veto. A predicate with no equality atom never touches a
+    * sidecar. */
+  private[graft] def pruneWithIndex(spark: SparkSession, dir: String,
+      m: Manifest, pred: Expression): Seq[String] = {
+    val rangeKept = pruneCandidates(pred, m.lines)
+    if (rangeKept.isEmpty) return rangeKept
+    val cols = eqCols(pred)
+    if (cols.isEmpty || m.blooms.isEmpty) return rangeKept
+    val files = rangeKept.map(parseLine(_)._1).toSet
+    val blooms = loadBlooms(spark, dir, m, cols, files)
+    if (blooms.isEmpty) rangeKept
+    else rangeKept.filter { l =>
       val (rel, st) = parseStats(l)
       statsCanMatch(pred, st, blooms.getOrElse(rel, Map.empty))
     }
-
-  /** Column names a resolved predicate references — which Bloom
-    * filters are worth loading for it. */
-  private def predCols(pred: Expression): Set[String] =
-    (pred.references.toSeq.map(_.name) ++ pred.collect {
-      case u: UnresolvedAttribute => u.nameParts.last
-    }).toSet
+  }
 
   /** The dual of [[statsCanMatch]]: do the recorded ranges PROVE that
     * EVERY row of the file satisfies `pred`? This is the metadata-only
@@ -1083,30 +1167,8 @@ object Versioned {
   private[graft] def statsMustMatchAll(pred: Expression,
       stats: Seq[StatGroup]): Boolean = {
     val group: Map[String, StatGroup] = stats.map(g => g.col -> g).toMap
-    def width(dt: DataType): Int = dt match {
-      case types.ByteType => 1
-      case types.ShortType => 2
-      case types.IntegerType => 4
-      case types.LongType => 8
-      case types.DateType => 4
-      case _ => 0
-    }
-    def attrOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttribute => Some(u.nameParts.last)
-      case c: Cast if c.childrenResolved && width(c.child.dataType) > 0 &&
-        width(c.dataType) >= width(c.child.dataType) => attrOf(c.child)
-      case _ => None
-    }
-    def litLong(e: Expression): Option[Long] = e match {
-      case Literal(v: Byte, _) => Some(v.toLong)
-      case Literal(v: Short, _) => Some(v.toLong)
-      case Literal(v: Int, _) => Some(v.toLong)
-      case Literal(v: Long, _) => Some(v)
-      case c: Cast if c.childrenResolved && width(c.child.dataType) > 0 &&
-        width(c.dataType) >= width(c.child.dataType) => litLong(c.child)
-      case _ => None
-    }
+    def attrOf(e: Expression): Option[String] = statAttrOf(e)
+    def litLong(e: Expression): Option[Long] = statLitLong(e)
     // ∀-proof of `col op v` over a null-free file with col ∈ [mn, mx];
     // a zero-row sentinel (mn > mx, no nulls) is vacuously true
     def probe(a: Expression, b: Expression)(
@@ -1219,8 +1281,7 @@ object Versioned {
       case None => return base // zero-file base already handled; defensive
     }
     val pred = resolvedPredicate(spark, schema, predicate)
-    val candidates = pruneCandidatesIdx(pred, m.lines,
-      loadBlooms(spark, dir, m, predCols(pred)))
+    val candidates = pruneWithIndex(spark, dir, m, pred)
     if (candidates.isEmpty) return base
     // METADATA-ONLY fast path: a candidate whose recorded ranges prove
     // every row matches (null-count-aware — [[statsMustMatchAll]])
@@ -1254,11 +1315,10 @@ object Versioned {
       else stage(spark, dir,
         scanVisible(spark, dir, schema, matchedLines, m.dvs)
           .filter(not(coalesce(predicate, lit(false)))), inherited)
-    // the bloom index survives the rewrite: re-measure every column
-    // the table indexes (dropped/rewritten files lose their stale
-    // pointers in the publish loop)
-    val stagedBlooms = stageBlooms(spark, dir, staged,
-      m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
+    // the bloom index survives the rewrite at its RECORDED sizing:
+    // re-measure every column the table indexes (dropped/rewritten
+    // files lose their stale pointers in the publish loop)
+    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
     // surviving rows were admitted by their own commits: no CHECK rescan
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, validateChecks = false, carried = untouched,
@@ -1300,8 +1360,7 @@ object Versioned {
       s"UPDATE assigns to '$c', which is not a table column — adding a " +
         "column rewrites history; commit it as a replace"))
     val pred = resolvedPredicate(spark, schema, predicate)
-    val candidates = pruneCandidatesIdx(pred, m.lines,
-      loadBlooms(spark, dir, m, predCols(pred)))
+    val candidates = pruneWithIndex(spark, dir, m, pred)
     if (candidates.isEmpty) return base
     val matchedRel: Set[String] =
       scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true)
@@ -1324,8 +1383,7 @@ object Versioned {
         }
       }: _*)
     val staged = stage(spark, dir, rewritten, inherited)
-    val stagedBlooms = stageBlooms(spark, dir, staged,
-      m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
+    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, carried = untouched,
       stagedBlooms = stagedBlooms, op = "update")
@@ -1379,8 +1437,7 @@ object Versioned {
       case None => return base
     }
     val pred = resolvedPredicate(spark, schema, predicate)
-    val candidates = pruneCandidatesIdx(pred, m.lines,
-      loadBlooms(spark, dir, m, predCols(pred)))
+    val candidates = pruneWithIndex(spark, dir, m, pred)
     if (candidates.isEmpty) return base
     // one column-pruned scan of the candidates' VISIBLE rows streams
     // the matched positions straight to a commit-scoped sidecar — no
@@ -1445,8 +1502,7 @@ object Versioned {
       s"UPDATE assigns to '$c', which is not a table column — adding a " +
         "column rewrites history; commit it as a replace"))
     val pred = resolvedPredicate(spark, schema, predicate)
-    val candidates = pruneCandidatesIdx(pred, m.lines,
-      loadBlooms(spark, dir, m, predCols(pred)))
+    val candidates = pruneWithIndex(spark, dir, m, pred)
     if (candidates.isEmpty) return base
     val matched = scanVisible(spark, dir, schema, candidates, m.dvs,
       keepMeta = true).filter(predicate)
@@ -1473,12 +1529,12 @@ object Versioned {
       }
     }: _*)
     val staged = stage(spark, dir, updated, inherited)
-    val stagedBlooms = stageBlooms(spark, dir, staged,
-      m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
+    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
     enforceChecks(spark, dir, staged, m.checks, schema)
     val published = casPublish(fs, dir, base + 1, schema,
       m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs,
-      blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"))
+      blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"),
+      bloomCfg = bloomCfgOf(m))
     if (!published)
       throw new CommitConflictException(
         s"merge-on-read update of $dir based on version $base lost the " +
@@ -1603,8 +1659,7 @@ object Versioned {
           newSchema).unionByName(srcAligned)
       }
       val staged = stage(spark, dir, stagedDf, inherited)
-      val stagedBlooms = stageBlooms(spark, dir, staged,
-        m.blooms.map(_._2).distinct, expectedItems = 100000L, fpp = 0.03)
+      val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
       replaceLoop(spark, dir, staged, base, keyCols = Some(keyCols),
         stagedSchema = newSchema, carried = untouched,
         keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)),
@@ -1652,7 +1707,8 @@ object Versioned {
       dvAuthority: Boolean = false,
       morScanned: Option[Set[String]] = None,
       stagedBlooms: Seq[(String, String, String)] = Nil,
-      op: String = "replace"): Int = {
+      op: String = "replace",
+      bloomCfgOverride: Option[Seq[(String, Long, Double)]] = None): Int = {
     val fs = fileSystem(spark, dir)
     val baseM = base.map(readManifest(fs, dir, _))
     val baseFiles: Set[String] = baseM
@@ -1775,9 +1831,13 @@ object Versioned {
         if (dvAuthority) stagedBlooms
         else headM.map(_.blooms).getOrElse(Nil)
           .filter(b => newRels.contains(b._1)) ++ stagedBlooms
+      // index config carries like the CHECK policy; a restore rolls
+      // it back with the state it republishes
+      val cfg = bloomCfgOverride
+        .getOrElse(headM.map(bloomCfgOf).getOrElse(Nil))
       if (casPublish(fs, dir, next, schema, newLines,
           checks = checks, dvs = newDvs, blooms = newBlooms,
-          op = Some(op)))
+          op = Some(op), bloomCfg = cfg))
         return next
       attempts += 1
       require(attempts < 1000,
@@ -2182,8 +2242,7 @@ object Versioned {
     val m = readManifest(fs, dir, v)
     val schema = versionSchema(spark, dir, m).getOrElse(return Nil)
     val pred = resolvedPredicate(spark, schema, predicate)
-    pruneCandidatesIdx(pred, m.lines,
-      loadBlooms(spark, dir, m, predCols(pred))).map(parseLine(_)._1)
+    pruneWithIndex(spark, dir, m, pred).map(parseLine(_)._1)
   }
 
   /** Index-pruned read: plan only the files whose recorded range
@@ -2209,8 +2268,7 @@ object Versioned {
         s"version $v of $dir is empty with no recorded schema " +
           "(pre-schema-tracking manifest); nothing to plan against"))
     val pred = resolvedPredicate(spark, schema, predicate)
-    val kept = pruneCandidatesIdx(pred, m.lines,
-      loadBlooms(spark, dir, m, predCols(pred)))
+    val kept = pruneWithIndex(spark, dir, m, pred)
     // an all-pruned plan still renders the schema'd empty frame
     scanVisible(spark, dir, schema, kept, m.dvs).filter(predicate)
   }

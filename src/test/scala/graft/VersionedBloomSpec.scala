@@ -172,6 +172,36 @@ class VersionedBloomSpec extends SparkSuite {
     assert(Versioned.readEq(spark, dir, col("key") === "fresh").count() == 1)
   }
 
+  test("the index's declared sizing is table policy: recorded in the " +
+      "manifest and honored by rewrites — never a default that could " +
+      "silently saturate") {
+    val dir = tmpDir() + "/bloom-cfg"
+    val head = stripedTable(dir) // declared at (1000, 1e-6)
+    def cfgLines(v: Int) = rawLines(dir, v).filter(_.startsWith("#bloomcfg\t"))
+    assert(cfgLines(head) == Seq(s"#bloomcfg\tkey\t1000\t$FPP"))
+    // a rewrite re-measures at the RECORDED sizing: the rebuilt file's
+    // filter must have the declared shape, not the 100k default
+    val v = Versioned.deleteWhere(spark, dir, col("key") === "doc-13")
+    assert(cfgLines(v) == cfgLines(head), "rewrite lost the index config")
+    val declaredBits = BloomFilter.create(1000L, FPP).bitSize()
+    val rebuiltRel = dataLines(dir, v).filterNot(dataLines(dir, head).contains)
+    assert(rebuiltRel.size == 1)
+    val ptr = bloomPtrs(dir, v).map(_.split('\t'))
+      .find(_(1) == rebuiltRel.head.split('\t')(0)).get
+    val bits = spark.read.parquet(s"$dir/${ptr(3)}")
+      .filter(col("file") === ptr(1)).select("bits")
+      .head().getAs[Array[Byte]](0)
+    val rebuilt = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bits))
+    assert(rebuilt.bitSize() == declaredBits,
+      s"rebuilt filter has ${rebuilt.bitSize()} bits, declared " +
+        s"$declaredBits — the rewrite ignored the recorded sizing")
+    // the config survives metadata commits and restores too
+    Versioned.addCheck(spark, dir, "n_ok", "n >= 0")
+    assert(cfgLines(v + 1) == cfgLines(head))
+    Versioned.restore(spark, dir, head)
+    assert(cfgLines(v + 2) == cfgLines(head))
+  }
+
   test("two racing indexed appends both land and both keys stay " +
       "findable — pointer carry holds through CAS retries") {
     val dir = tmpDir() + "/bloom-race"
