@@ -474,11 +474,22 @@ object Versioned {
     // ([[rowCountFromMetadata]]) — the other query every retention
     // and monitoring pipeline runs all day.
     val cols = statCols.distinct
+    // a TimestampType column records its range in epoch MICROSECONDS —
+    // the unit its Catalyst literals carry — and annotates the group
+    // `~u` so the provers only compare like against like; a bare
+    // cast-to-long would record SECONDS and silently mis-prune every
+    // timestamp predicate (the retention-delete shape). Everything
+    // else keeps the plain integral cast (DateType: days, matching
+    // its Int-days literals).
+    def statLong(c: String): org.apache.spark.sql.Column =
+      if (microsCol(df.schema, c))
+        org.apache.spark.sql.functions.unix_micros(col(c))
+      else col(c).cast("long")
     val stats: Map[String, (Long, Seq[(String, Long, Long, Long)])] =
       if (cols.isEmpty) Map.empty
       else {
         val aggs = cols.flatMap(c => Seq(
-          min(col(c).cast("long")), max(col(c).cast("long")),
+          min(statLong(c)), max(statLong(c)),
           count(lit(1)) - count(col(c)))) :+ count(lit(1))
         spark.read.parquet(dataDir.toString)
           .groupBy(input_file_name().as("__f"))
@@ -507,8 +518,9 @@ object Versioned {
           val (rows, groups) = stats.getOrElse(f.getPath.getName,
             (0L, cols.map(c => (c, Long.MaxValue, Long.MinValue, 0L))))
           groups.zipWithIndex.map { case ((c, mn, mx, nu), i) =>
-            if (i == 0) s"\t$c\t$mn\t$mx\t~n$nu\t~r$rows"
-            else s"\t$c\t$mn\t$mx\t~n$nu"
+            val u = if (microsCol(df.schema, c)) "\t~u" else ""
+            if (i == 0) s"\t$c\t$mn\t$mx$u\t~n$nu\t~r$rows"
+            else s"\t$c\t$mn\t$mx$u\t~n$nu"
           }.mkString(rel, "", "")
         }
       }
@@ -987,6 +999,13 @@ object Versioned {
   // interval reasoning understands MUST stay identical between the
   // two, or a file could prune as a candidate the metadata-delete
   // prover can no longer reason about.
+  /** Does `schema` type `c` as TimestampType? Such a column's recorded
+    * stats are epoch MICROSECONDS (`~u` manifest annotation — see
+    * [[stage]] and [[statLitLong]]). Absent columns answer false. */
+  private def microsCol(schema: StructType, c: String): Boolean =
+    schema.fields.exists(f =>
+      f.name == c && f.dataType == types.TimestampType)
+
   private def statWidth(dt: DataType): Int = dt match {
     case types.ByteType => 1
     case types.ShortType => 2
@@ -1008,11 +1027,27 @@ object Versioned {
     case _ => None
   }
 
-  private def statLitLong(e: Expression): Option[Long] = e match {
-    case Literal(v: Byte, _) => Some(v.toLong)
-    case Literal(v: Short, _) => Some(v.toLong)
-    case Literal(v: Int, _) => Some(v.toLong)
-    case Literal(v: Long, _) => Some(v)
+  // (value, micros): the literal's long value plus its UNIT. Stats and
+  // literals must agree on what the long MEANS before an interval can
+  // prove anything: integrals and DateType carry their own value
+  // ("plain" unit), but a TimestampType literal carries epoch
+  // MICROSECONDS — while a bare `cast(ts as long)` yields SECONDS.
+  // Round 11 matched `Literal(v: Long, _)` of ANY type here, so a
+  // timestamp retention predicate (`ts < cutoff`) compared microsecond
+  // literals against second-recorded ranges — the ∀-prover then
+  // "proved" every null-free file wholly matched and the metadata-only
+  // DELETE dropped files holding rows AFTER the cutoff. Stats now
+  // record timestamps in microseconds (`~u` manifest annotation,
+  // [[stage]]), and every prover requires the group's unit to equal
+  // the literal's — a mismatch (old-format line, uncoerced predicate)
+  // is conservatively unprovable, never wrong.
+  private def statLitLong(e: Expression): Option[(Long, Boolean)] = e match {
+    case Literal(v: Byte, types.ByteType) => Some((v.toLong, false))
+    case Literal(v: Short, types.ShortType) => Some((v.toLong, false))
+    case Literal(v: Int, types.IntegerType) => Some((v.toLong, false))
+    case Literal(v: Int, types.DateType) => Some((v.toLong, false))
+    case Literal(v: Long, types.LongType) => Some((v, false))
+    case Literal(v: Long, types.TimestampType) => Some((v, true))
     case c: Cast if c.childrenResolved && statWidth(c.child.dataType) > 0 &&
       statWidth(c.dataType) >= statWidth(c.child.dataType) =>
       statLitLong(c.child)
@@ -1020,31 +1055,38 @@ object Versioned {
   }
 
   private[graft] def statsCanMatch(pred: Expression,
-      stats: Seq[(String, Long, Long)],
+      stats: Seq[StatGroup],
       bloom: Map[String, org.apache.spark.util.sketch.BloomFilter] =
         Map.empty): Boolean = {
-    val range: Map[String, (Long, Long)] =
-      stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap
+    val range: Map[String, StatGroup] = stats.map(g => g.col -> g).toMap
     def attrOf(e: Expression): Option[String] = statAttrOf(e)
-    def litLong(e: Expression): Option[Long] = statLitLong(e)
+    def litLong(e: Expression): Option[(Long, Boolean)] = statLitLong(e)
     def litStr(e: Expression): Option[String] = e match {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String,
         types.StringType) => Some(s.toString)
       case _ => None
     }
-    // possible-existence of a row with `col op v`, given col ∈ [mn, mx]
+    // possible-existence of a row with `col op v`, given col ∈
+    // [mn, mx] — ONLY when the recorded range and the literal agree on
+    // the long's unit ([[statLitLong]]); a unit mismatch keeps the
+    // file (conservative, never wrong)
     def probe(a: Expression, b: Expression)(
         f: (Long, Long, Long) => Boolean): Boolean =
-      (for { c <- attrOf(a); v <- litLong(b); r <- range.get(c) }
-        yield f(r._1, r._2, v)).getOrElse(true)
+      (for { c <- attrOf(a); (v, u) <- litLong(b); g <- range.get(c)
+             if g.micros == u }
+        yield f(g.min, g.max, v)).getOrElse(true)
     // bloom membership conjuncts for EQUALITY atoms only: a recorded
     // filter answering "definitely not in this file" is sound (no
     // false negatives by construction); an absent filter, any other
     // comparison shape, or a false positive keeps the file. Values
     // hash exactly as [[stageBlooms]] put them: integrals widened to
     // long, strings as UTF-8 — the one place the two sides must agree.
+    // Timestamp literals never probe: [[graft.functions.BloomSketch]]
+    // rejects TimestampType at analysis, so no filter can exist whose
+    // hashing a microsecond value would match.
     def bloomLong(a: Expression, b: Expression): Boolean =
-      (for { c <- attrOf(a); v <- litLong(b); f <- bloom.get(c) }
+      (for { c <- attrOf(a); (v, u) <- litLong(b); f <- bloom.get(c)
+             if !u }
         yield f.mightContainLong(v)).getOrElse(true)
     def bloomStr(a: Expression, b: Expression): Boolean =
       (for { c <- attrOf(a); s <- litStr(b); f <- bloom.get(c) }
@@ -1089,12 +1131,13 @@ object Versioned {
         attrOf(a) match {
           case None => true
           case Some(c) =>
-            val r = range.get(c)
+            val g = range.get(c)
             val f = bloom.get(c)
-            if (r.isEmpty && f.isEmpty) true
-            else vs.flatMap(litLong).exists(v =>
-              r.forall { case (mn, mx) => mn <= v && v <= mx } &&
-                f.forall(_.mightContainLong(v)))
+            if (g.isEmpty && f.isEmpty) true
+            else vs.flatMap(litLong).exists { case (v, u) =>
+              g.forall(s => s.micros != u || (s.min <= v && v <= s.max)) &&
+                f.forall(b => u || b.mightContainLong(v))
+            }
         }
       case _ => true
     }
@@ -1105,7 +1148,7 @@ object Versioned {
     * exposed for specs; [[deleteWhere]] is the consumer. */
   private[graft] def pruneCandidates(pred: Expression,
       lines: Seq[String]): Seq[String] =
-    lines.filter(l => statsCanMatch(pred, parseStats(l)._2))
+    lines.filter(l => statsCanMatch(pred, parseStatsFull(l)._2))
 
   /** Column names appearing in EQUALITY atoms (=, <=>, IN) of a
     * resolved predicate — the only shapes a Bloom filter can veto, so
@@ -1140,7 +1183,7 @@ object Versioned {
     val blooms = loadBlooms(spark, dir, m, cols, files)
     if (blooms.isEmpty) rangeKept
     else rangeKept.filter { l =>
-      val (rel, st) = parseStats(l)
+      val (rel, st) = parseStatsFull(l)
       statsCanMatch(pred, st, blooms.getOrElse(rel, Map.empty))
     }
   }
@@ -1168,13 +1211,17 @@ object Versioned {
       stats: Seq[StatGroup]): Boolean = {
     val group: Map[String, StatGroup] = stats.map(g => g.col -> g).toMap
     def attrOf(e: Expression): Option[String] = statAttrOf(e)
-    def litLong(e: Expression): Option[Long] = statLitLong(e)
+    def litLong(e: Expression): Option[(Long, Boolean)] = statLitLong(e)
     // ∀-proof of `col op v` over a null-free file with col ∈ [mn, mx];
-    // a zero-row sentinel (mn > mx, no nulls) is vacuously true
+    // a zero-row sentinel (mn > mx, no nulls) is vacuously true. The
+    // recorded range must share the literal's UNIT ([[statLitLong]]):
+    // a ∀-prover comparing microsecond literals against a plain-long
+    // range (or vice versa) would "prove" the wrong files and drop
+    // data — a mismatch is simply unprovable here.
     def probe(a: Expression, b: Expression)(
         f: (Long, Long, Long) => Boolean): Boolean =
-      (for { c <- attrOf(a); v <- litLong(b); g <- group.get(c)
-             if g.nulls.contains(0L) }
+      (for { c <- attrOf(a); (v, u) <- litLong(b); g <- group.get(c)
+             if g.nulls.contains(0L) && g.micros == u }
         yield g.min > g.max || f(g.min, g.max, v)).getOrElse(false)
     def must(e: Expression): Boolean = e match {
       case And(l, r) => must(l) && must(r)
@@ -1204,10 +1251,12 @@ object Versioned {
         probe(a, b)((mn, _, v) => mn >= v)
       case GreaterThanOrEqual(a, b) if litLong(a).isDefined =>
         probe(b, a)((_, mx, v) => v >= mx)
-      case In(a, vs) if vs.nonEmpty && vs.forall(litLong(_).isDefined) =>
-        // ∀-provable when the file is a single point contained in the set
+      case In(a, vs) if vs.nonEmpty && vs.forall(litLong(_).isDefined) &&
+          vs.flatMap(litLong).map(_._2).distinct.size == 1 =>
+        // ∀-provable when the file is a single point contained in the
+        // set (probe gates on vs.head's unit, shared by construction)
         probe(a, vs.head)((mn, mx, _) =>
-          mn == mx && vs.flatMap(litLong).contains(mn))
+          mn == mx && vs.flatMap(litLong).map(_._1).contains(mn))
       case _ => false
     }
     must(pred)
@@ -1614,19 +1663,31 @@ object Versioned {
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"key column '$k' not in table schema " +
           schema.fieldNames.mkString("[", ", ", "]")))
-      // 1. stat prune on the single-key range when the manifest has it
+      // 1. stat prune on the single-key range when the manifest has it.
+      // Only for key types whose long encoding the stats understand
+      // (integrals/date plain, timestamp in microseconds — matching
+      // [[stage]]'s recorded unit exactly); any other key type skips
+      // the prune rather than compare apples to oranges (a string key
+      // under a blind cast-to-long would have "proved" no file can
+      // match and silently turned the merge into a duplicate-key
+      // insert).
       val candidates =
-        if (keyCols.size == 1) {
+        if (keyCols.size == 1 &&
+            (statWidth(src.schema(keyCols.head).dataType) > 0 ||
+              microsCol(src.schema, keyCols.head))) {
           val k = keyCols.head
-          val r = src.agg(min(col(k).cast("long")), max(col(k).cast("long")))
-            .head()
+          val micros = microsCol(src.schema, k)
+          val kExpr =
+            if (micros) org.apache.spark.sql.functions.unix_micros(col(k))
+            else col(k).cast("long")
+          val r = src.agg(min(kExpr), max(kExpr)).head()
           if (r.isNullAt(0)) Nil // only NULL keys: nothing can match
           else {
             val (lo, hi) = (r.getLong(0), r.getLong(1))
             m.lines.filter { l =>
-              !parseStats(l)._2.exists { case (c, mn, mx) =>
-                c == k && (mx < lo || mn > hi)
-              }
+              !parseStatsFull(l)._2.exists(g =>
+                g.col == k && g.micros == micros &&
+                  (g.max < lo || g.min > hi))
             }
           }
         } else m.lines
@@ -1872,7 +1933,8 @@ object Versioned {
     * convention).
     */
   private[graft] final case class StatGroup(col: String, min: Long,
-      max: Long, nulls: Option[Long], rows: Option[Long] = None)
+      max: Long, nulls: Option[Long], rows: Option[Long] = None,
+      micros: Boolean = false)
 
   /** Full parse of a manifest data line: `rel` followed by stats
     * groups of three tokens (`col \t min \t max`), each optionally
@@ -1894,13 +1956,15 @@ object Versioned {
         i += 3
         var nulls: Option[Long] = None
         var rows: Option[Long] = None
+        var micros = false
         while (i < parts.length && parts(i).startsWith("~")) {
           if (parts(i).startsWith("~n")) nulls = Some(parts(i).drop(2).toLong)
           else if (parts(i).startsWith("~r"))
             rows = Some(parts(i).drop(2).toLong)
+          else if (parts(i) == "~u") micros = true // timestamp-μs range
           i += 1 // unknown annotations skip forward-compatibly
         }
-        buf += StatGroup(c, mn, mx, nulls, rows)
+        buf += StatGroup(c, mn, mx, nulls, rows, micros)
       } else i += 1 // stray/unattached token: never fail a manifest parse
     }
     (parts(0), buf.toSeq)

@@ -37,7 +37,7 @@ class VersionedDmlSpec extends SparkSuite {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("other", LongType), StructField("s", StringType)))
-    val st = Seq(("id", 10L, 19L))
+    val st = Seq(Versioned.StatGroup("id", 10L, 19L, None))
     def can(c: org.apache.spark.sql.Column) =
       Versioned.statsCanMatch(
         Versioned.resolvedPredicate(spark, schema, c), st)
@@ -62,7 +62,8 @@ class VersionedDmlSpec extends SparkSuite {
     assert(can(col("id").isNull))
     assert(can(!(col("id") === 15)))
     // sentinel (all-NULL / zero-row file) prunes on any comparison
-    val sentinel = Seq(("id", Long.MaxValue, Long.MinValue))
+    val sentinel =
+      Seq(Versioned.StatGroup("id", Long.MaxValue, Long.MinValue, None))
     def canS(c: org.apache.spark.sql.Column) =
       Versioned.statsCanMatch(
         Versioned.resolvedPredicate(spark, schema, c), sentinel)
@@ -333,6 +334,111 @@ class VersionedDmlSpec extends SparkSuite {
     // all-NULL sentinel (rows exist, all hidden): never provable
     val allNull = Seq(StatGroup("id", Long.MaxValue, Long.MinValue, Some(5L)))
     assert(!must(col("id") < 0, allNull))
+  }
+
+  test("timestamp stats: both provers require unit agreement — a " +
+      "microsecond range never compares against a plain literal and " +
+      "vice versa") {
+    import org.apache.spark.sql.types._
+    import Versioned.StatGroup
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("v", LongType)))
+    def can(c: org.apache.spark.sql.Column, g: Seq[StatGroup]) =
+      Versioned.statsCanMatch(
+        Versioned.resolvedPredicate(spark, schema, c), g)
+    def must(c: org.apache.spark.sql.Column, g: Seq[StatGroup]) =
+      Versioned.statsMustMatchAll(
+        Versioned.resolvedPredicate(spark, schema, c), g)
+    def tsLit(epochSec: Long) = lit(java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(epochSec)))
+    // file covering [100 s, 200 s], recorded in MICROSECONDS + ~u
+    val micros = Seq(
+      StatGroup("ts", 100_000_000L, 200_000_000L, Some(0L), micros = true))
+    // matching units: exact interval logic in microseconds
+    assert(can(col("ts") < tsLit(150), micros))
+    assert(!can(col("ts") < tsLit(100), micros))
+    assert(can(col("ts") === tsLit(200), micros))
+    assert(!can(col("ts") === tsLit(201), micros))
+    assert(must(col("ts") < tsLit(201), micros))
+    assert(!must(col("ts") < tsLit(200), micros))
+    // the round-11 corruption shape: the same range recorded as plain
+    // SECONDS (no ~u — a pre-fix manifest line) against a microsecond
+    // timestamp literal. ∃-prover keeps the file (conservative: the
+    // old behavior pruned reads wrongly); ∀-prover must NOT "prove"
+    // the match that dropped post-cutoff rows.
+    val secs = Seq(StatGroup("ts", 100L, 200L, Some(0L)))
+    assert(can(col("ts") < tsLit(150), secs))
+    assert(can(col("ts") > tsLit(10_000), secs)) // old code pruned this
+    assert(!must(col("ts") < tsLit(10_000), secs)) // old code "proved" it
+    // plain literal against a microsecond range: same conservatism
+    assert(can(col("v") === 5, micros.map(_.copy(col = "v"))))
+    assert(!must(col("v") < 1_000_000_000L, micros.map(_.copy(col = "v"))))
+  }
+
+  test("timestamp statCol: retention delete on ts < cutoff is " +
+      "metadata-only, prunes in microseconds, and keeps every " +
+      "post-cutoff row") {
+    val dir = tmpDir() + "/del-ts"
+    // 40 rows, ts = id hours since epoch, 4 range-clustered files of
+    // 10 ids each with per-file ts stats recorded (in microseconds)
+    val df = spark.range(40)
+      .select(col("id"), timestamp_seconds(col("id") * 3600).as("ts"))
+      .repartitionByRange(4, col("ts"))
+    Versioned.commitWithStats(spark, dir, df, "ts")
+    val before = manifestLines(dir, 0)
+    assert(before.size == 4 && before.forall(_.contains("\t~u")),
+      s"expected 4 files with ~u-annotated ts stats: $before")
+    // cutoff = 10 h: file [0,10) is wholly before it, file [10,20)
+    // starts exactly AT it (10 h < 10 h is false — must survive)
+    val cutoff = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(10L * 3600))
+    val pred = col("ts") < lit(cutoff)
+    val resolved = Versioned.resolvedPredicate(spark,
+      Versioned.read(spark, dir).schema, pred)
+    assert(Versioned.pruneCandidates(resolved, before).size == 1,
+      "microsecond interval logic must rule out the three later files")
+    assert(Versioned.dropCandidates(resolved, before).size == 1,
+      "the first file must PROVE an all-rows match (metadata-only drop)")
+    val v = Versioned.deleteWhere(spark, dir, pred)
+    assert(v == 1)
+    val after = manifestLines(dir, 1)
+    assert(after.toSet.subsetOf(before.toSet) && after.size == 3,
+      "retention delete must be a pure manifest-subset commit")
+    val got = Versioned.read(spark, dir).select("id").as[Long]
+      .collect().sorted
+    assert(got.toSeq == (10L until 40L),
+      "every row at or after the cutoff must survive")
+  }
+
+  test("mergeInto on a timestamp key: recorded microsecond stats " +
+      "prune files correctly and the upsert stays exact") {
+    val dir = tmpDir() + "/merge-ts"
+    val base = spark.range(20)
+      .select(timestamp_seconds(col("id") * 3600).as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(2, col("k"))
+    Versioned.commitWithStats(spark, dir, base, "k")
+    // source updates k = 5 h and inserts k = 100 h: only the first
+    // file's range [0 h, 10 h) can hold the match
+    val src = Seq((5L * 3600, 999L), (100L * 3600, 1000L))
+      .toDF("sec", "v")
+      .select(timestamp_seconds(col("sec")).as("k"), col("v"))
+    val v = Versioned.mergeInto(spark, dir, src, Seq("k"),
+      statCol = Some("k"))
+    assert(v == 1)
+    val got = Versioned.read(spark, dir)
+      .select(unix_timestamp(col("k")).as("sec"), col("v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(5L * 3600) == 999L, "matched key must update")
+    assert(got(100L * 3600) == 1000L, "unmatched key must insert")
+    assert(got.size == 21)
+    // the untouched file [10 h, 20 h) carried verbatim — the stat
+    // prune understood the microsecond unit instead of comparing the
+    // source's second-cast range against it
+    val before = manifestLines(dir, 0)
+    val after = manifestLines(dir, 1)
+    assert(before.toSet.intersect(after.toSet).size == 1,
+      "exactly one base file (the unmatched range) must carry verbatim")
   }
 
   test("deleteWhere metadata-only fast path: a file whose stats prove " +
