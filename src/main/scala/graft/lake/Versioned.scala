@@ -617,35 +617,78 @@ object Versioned {
     }
   }
 
-  /** Load the Bloom filters version-manifest `m` records for `cols`:
-    * one filtered read of the distinct sidecars (driver-side,
-    * O(pointers for those columns) — plan-time work, like reading the
-    * manifest itself), keyed file → column → filter. Columns with no
-    * recorded filter are simply absent: every consumer treats a
-    * missing filter as "cannot prune", never as an error.
+  /** Per-file Bloom ANSWERS for a predicate's equality atoms — what
+    * the pruner consumes instead of the filters themselves. `true`
+    * means "might contain"; an atom absent from the maps means no
+    * filter answered it (conservatively unprunable, never an error).
     */
-  private def loadBlooms(spark: SparkSession, dir: String, m: Manifest,
-      cols: Set[String], files: Set[String]): Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
-    import org.apache.spark.sql.functions.col
+  private[graft] final case class BloomVerdicts(
+      longs: Map[(String, Long), Boolean],
+      strs: Map[(String, String), Boolean])
+
+  private[graft] object BloomVerdicts {
+    val empty: BloomVerdicts = BloomVerdicts(Map.empty, Map.empty)
+  }
+
+  /** Probe version-manifest `m`'s Bloom filters for `files` against
+    * the given equality atoms, ON THE EXECUTORS: the sidecar rows are
+    * read distributed, each serialized filter is deserialized and
+    * probed in the task that scanned it, and only `(file, col, value,
+    * boolean)` verdicts return to the driver — O(candidates × atoms)
+    * booleans, never O(filter bytes). At a million files × 32 KB
+    * filters the round-11 driver-side collect loaded gigabytes for an
+    * unprunable-by-stats point lookup; this keeps the driver at the
+    * pointer set it already holds from the manifest. The atom tables
+    * broadcast (they are the predicate's literals — bytes); the
+    * (file, col) keep-set rides a broadcast semi-join so a wide
+    * commit's sidecar never ships rows for files the range stats
+    * already pruned.
+    */
+  private[graft] def probeBlooms(spark: SparkSession, dir: String,
+      m: Manifest, longAtoms: Map[String, Set[Long]],
+      strAtoms: Map[String, Set[String]],
+      files: Set[String]): Map[String, BloomVerdicts] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val cols = longAtoms.keySet ++ strAtoms.keySet
     val wanted = m.blooms.filter(b =>
       cols.contains(b._2) && files.contains(b._1))
     if (wanted.isEmpty) return Map.empty
     val sidecars = wanted.map(_._3).distinct.map(r => s"$dir/$r")
-    val keep = wanted.map(b => (b._1, b._2)).toSet
-    spark.read.schema(BloomSchema).parquet(sidecars: _*)
-      .filter(col("col").isin(cols.toSeq: _*))
-      .collect()
-      .iterator
-      .map(r => (r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
-      .filter { case (f, c, _) => keep.contains((f, c)) }
-      .map { case (f, c, bits) =>
-        (f, c, org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(bits)))
-      }
-      .toSeq.groupBy(_._1)
-      .map { case (f, rows) =>
-        f -> rows.map(t => t._2 -> t._3).toMap
-      }
+    import spark.implicits._
+    val keepDf = wanted.map(b => (b._1, b._2)).distinct
+      .toDF("file", "col")
+    val bcLong = spark.sparkContext.broadcast(longAtoms)
+    val bcStr = spark.sparkContext.broadcast(strAtoms)
+    try {
+      spark.read.schema(BloomSchema).parquet(sidecars: _*)
+        .filter(col("col").isin(cols.toSeq: _*)) // row-group pushdown
+        .join(broadcast(keepDf), Seq("file", "col"), "left_semi")
+        .select("file", "col", "bits")
+        .as[(String, String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (f, c, bits) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bits))
+            (f, c,
+              bcLong.value.getOrElse(c, Set.empty[Long]).toSeq
+                .map(v => v -> bf.mightContainLong(v)),
+              bcStr.value.getOrElse(c, Set.empty[String]).toSeq
+                .map(s => s -> bf.mightContainString(s)))
+          }
+        }
+        .collect().toSeq
+        .groupBy(_._1)
+        .map { case (f, rows) =>
+          f -> BloomVerdicts(
+            rows.flatMap(r => r._3.map { case (v, b) => (r._2, v) -> b })
+              .toMap,
+            rows.flatMap(r => r._4.map { case (s, b) => (r._2, s) -> b })
+              .toMap)
+        }
+    } finally {
+      bcLong.destroy()
+      bcStr.destroy()
+    }
   }
 
   /** Compare-and-swap publish of `lines` as version `next`: true iff
@@ -1054,18 +1097,19 @@ object Versioned {
     case _ => None
   }
 
+  private def statLitStr(e: Expression): Option[String] = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+      types.StringType) => Some(s.toString)
+    case _ => None
+  }
+
   private[graft] def statsCanMatch(pred: Expression,
       stats: Seq[StatGroup],
-      bloom: Map[String, org.apache.spark.util.sketch.BloomFilter] =
-        Map.empty): Boolean = {
+      bloom: BloomVerdicts = BloomVerdicts.empty): Boolean = {
     val range: Map[String, StatGroup] = stats.map(g => g.col -> g).toMap
     def attrOf(e: Expression): Option[String] = statAttrOf(e)
     def litLong(e: Expression): Option[(Long, Boolean)] = statLitLong(e)
-    def litStr(e: Expression): Option[String] = e match {
-      case Literal(s: org.apache.spark.unsafe.types.UTF8String,
-        types.StringType) => Some(s.toString)
-      case _ => None
-    }
+    def litStr(e: Expression): Option[String] = statLitStr(e)
     // possible-existence of a row with `col op v`, given col ∈
     // [mn, mx] — ONLY when the recorded range and the literal agree on
     // the long's unit ([[statLitLong]]); a unit mismatch keeps the
@@ -1077,20 +1121,20 @@ object Versioned {
         yield f(g.min, g.max, v)).getOrElse(true)
     // bloom membership conjuncts for EQUALITY atoms only: a recorded
     // filter answering "definitely not in this file" is sound (no
-    // false negatives by construction); an absent filter, any other
-    // comparison shape, or a false positive keeps the file. Values
-    // hash exactly as [[stageBlooms]] put them: integrals widened to
-    // long, strings as UTF-8 — the one place the two sides must agree.
-    // Timestamp literals never probe: [[graft.functions.BloomSketch]]
-    // rejects TimestampType at analysis, so no filter can exist whose
-    // hashing a microsecond value would match.
+    // false negatives by construction); an absent verdict, any other
+    // comparison shape, or a false positive keeps the file. The
+    // verdicts were computed executor-side ([[probeBlooms]]) from the
+    // same atom extraction ([[bloomAtoms]]), with values hashed
+    // exactly as [[stageBlooms]] put them: integrals widened to long,
+    // strings as UTF-8. Timestamp literals never probe:
+    // [[graft.functions.BloomSketch]] rejects TimestampType at
+    // analysis, so no filter can exist for the unit to mismatch.
     def bloomLong(a: Expression, b: Expression): Boolean =
-      (for { c <- attrOf(a); (v, u) <- litLong(b); f <- bloom.get(c)
-             if !u }
-        yield f.mightContainLong(v)).getOrElse(true)
+      (for { c <- attrOf(a); (v, u) <- litLong(b) if !u }
+        yield bloom.longs.getOrElse((c, v), true)).getOrElse(true)
     def bloomStr(a: Expression, b: Expression): Boolean =
-      (for { c <- attrOf(a); s <- litStr(b); f <- bloom.get(c) }
-        yield f.mightContainString(s)).getOrElse(true)
+      (for { c <- attrOf(a); s <- litStr(b) }
+        yield bloom.strs.getOrElse((c, s), true)).getOrElse(true)
     def can(e: Expression): Boolean = e match {
       case And(l, r) => can(l) && can(r)
       case Or(l, r) => can(l) || can(r)
@@ -1132,11 +1176,9 @@ object Versioned {
           case None => true
           case Some(c) =>
             val g = range.get(c)
-            val f = bloom.get(c)
-            if (g.isEmpty && f.isEmpty) true
-            else vs.flatMap(litLong).exists { case (v, u) =>
+            vs.flatMap(litLong).exists { case (v, u) =>
               g.forall(s => s.micros != u || (s.min <= v && v <= s.max)) &&
-                f.forall(b => u || b.mightContainLong(v))
+                (u || bloom.longs.getOrElse((c, v), true))
             }
         }
       case _ => true
@@ -1150,41 +1192,56 @@ object Versioned {
       lines: Seq[String]): Seq[String] =
     lines.filter(l => statsCanMatch(pred, parseStatsFull(l)._2))
 
-  /** Column names appearing in EQUALITY atoms (=, <=>, IN) of a
-    * resolved predicate — the only shapes a Bloom filter can veto, so
-    * the only filters worth loading. A range-only predicate (`ts <
-    * cutoff` on a bloom-indexed ts) loads nothing. */
-  private def eqCols(pred: Expression): Set[String] = {
-    def names(e: Expression): Seq[String] =
-      e.references.toSeq.map(_.name) ++ e.collect {
-        case u: UnresolvedAttribute => u.nameParts.last
-      }
-    pred.collect {
-      case EqualTo(a, b) => names(a) ++ names(b)
-      case EqualNullSafe(a, b) => names(a) ++ names(b)
-      case In(a, _) => names(a)
-    }.flatten.toSet
+  /** The (column → probe values) tables of a predicate's EQUALITY
+    * atoms (=, <=>, IN) — the only shapes a Bloom filter can veto, so
+    * the only probes worth evaluating. Extraction mirrors the
+    * [[statsCanMatch]] atom shapes exactly (plain-unit long literals,
+    * string literals); traversal covers every node, so atoms under
+    * shapes the prover treats as unknown (Not, …) extract too — a
+    * superset only costs a few executor-side probes, while a missing
+    * atom would just answer conservatively. A range-only predicate
+    * (`ts < cutoff` on a bloom-indexed ts) extracts nothing and never
+    * touches a sidecar. */
+  private def bloomAtoms(
+      pred: Expression): (Map[String, Set[Long]], Map[String, Set[String]]) = {
+    val longs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    val strs = scala.collection.mutable.Map.empty[String, Set[String]]
+    def addPair(a: Expression, b: Expression): Unit = {
+      for { c <- statAttrOf(a); (v, u) <- statLitLong(b) if !u }
+        longs(c) = longs.getOrElse(c, Set.empty) + v
+      for { c <- statAttrOf(a); s <- statLitStr(b) }
+        strs(c) = strs.getOrElse(c, Set.empty) + s
+    }
+    pred.foreach {
+      case EqualTo(a, b) => addPair(a, b); addPair(b, a)
+      case EqualNullSafe(a, b) => addPair(a, b); addPair(b, a)
+      case In(a, vs) => vs.foreach(addPair(a, _))
+      case _ =>
+    }
+    (longs.toMap, strs.toMap)
   }
 
   /** Index-aware candidate pruning, two-phase so plan-time I/O is
     * bounded by the RANGE-surviving candidate set, not the table:
     * range stats prune first (pure driver arithmetic over the
-    * manifest), then Bloom filters load ONLY for the predicate's
-    * equality-atom columns and ONLY for the surviving files, and get
-    * their veto. A predicate with no equality atom never touches a
-    * sidecar. */
+    * manifest), then Bloom filters are probed DISTRIBUTED
+    * ([[probeBlooms]]) — only for the predicate's equality atoms and
+    * only for the surviving files — and get their veto. A predicate
+    * with no equality atom never touches a sidecar; the driver never
+    * holds filter bytes. */
   private[graft] def pruneWithIndex(spark: SparkSession, dir: String,
       m: Manifest, pred: Expression): Seq[String] = {
     val rangeKept = pruneCandidates(pred, m.lines)
     if (rangeKept.isEmpty) return rangeKept
-    val cols = eqCols(pred)
-    if (cols.isEmpty || m.blooms.isEmpty) return rangeKept
+    val (longAtoms, strAtoms) = bloomAtoms(pred)
+    if ((longAtoms.isEmpty && strAtoms.isEmpty) || m.blooms.isEmpty)
+      return rangeKept
     val files = rangeKept.map(parseLine(_)._1).toSet
-    val blooms = loadBlooms(spark, dir, m, cols, files)
-    if (blooms.isEmpty) rangeKept
+    val verdicts = probeBlooms(spark, dir, m, longAtoms, strAtoms, files)
+    if (verdicts.isEmpty) rangeKept
     else rangeKept.filter { l =>
       val (rel, st) = parseStatsFull(l)
-      statsCanMatch(pred, st, blooms.getOrElse(rel, Map.empty))
+      statsCanMatch(pred, st, verdicts.getOrElse(rel, BloomVerdicts.empty))
     }
   }
 

@@ -1001,17 +1001,24 @@ object DeltaQueries {
       val docs = t(s, dir, "documents")
         .select(concat(lit("doc-"), col("doc_id").cast("string"))
           .as("doc_key"), col("n_chars"), col("doc_id"))
-      val mm = docs.agg(min("doc_id")).head()
+      val mm = docs.agg(min("doc_id"), count(lit(1))).head()
       if (mm.isNullAt(0)) {
         Versioned.commit(s, tmp.toString,
           docs.filter(col("doc_id").isNotNull).drop("doc_id"))
       } else {
         val target = s"doc-${mm.getLong(0)}"
+        // size the index FROM THE CORPUS: each of the 4 hash slices
+        // holds ~n/4 keys, sized with 2x headroom (floor 1000). A
+        // fixed expectedItems would saturate once per-file rows
+        // outgrew it (fpp -> 1, every file false-positive) and turn
+        // the pruning require below into a scale-dependent failure —
+        // the exact sizing rule SCALING.md prescribes for the index.
+        val perFile = math.max(1000L, mm.getLong(1) / 2)
         for (f <- 0 until 4)
           Versioned.commitWithIndex(s, tmp.toString,
             docs.filter(pmod(col("doc_id"), lit(4)) === f).drop("doc_id"),
             statCols = Nil, bloomCols = Seq("doc_key"),
-            bloomExpectedItems = 100000L, bloomFpp = 1e-6)    // v0..v3
+            bloomExpectedItems = perFile, bloomFpp = 1e-6)    // v0..v3
         def lines(v: Int): Seq[String] = {
           val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
             f"v$v%05d.txt")

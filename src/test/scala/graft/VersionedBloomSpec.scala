@@ -251,4 +251,68 @@ class VersionedBloomSpec extends SparkSuite {
       .as[(String, Long)].collect().toSeq == Seq(("doc-13", 13L)))
     assert(Versioned.read(spark, dir).count() == 40)
   }
+
+  test("bloom probing is executor-side: a point lookup over many " +
+      "megabyte-class filters ships only boolean verdicts to the " +
+      "driver, never filter bytes") {
+    val dir = tmpDir() + "/bloom-exec"
+    // 4 single-file commits, each filter sized AND FILLED at 500k
+    // items (~600 KB serialized, ~half the bits set — row-batch lz4
+    // cannot shrink it, so if those bytes cross the wire they are
+    // visible; a sparse filter would compress away and hide a
+    // driver-side collect from the byte accounting below). The
+    // round-11 driver-side collect pulled every surviving file's
+    // filter into the driver; the distributed probe must return only
+    // (file, col, value, boolean) rows.
+    val n = 500000L
+    for (f <- 0L until 4L) {
+      val df = spark.range(f * n, (f + 1) * n)
+        .select(concat(lit("doc-"), col("id")).as("key"), col("id").as("n"))
+        .coalesce(1)
+      Versioned.commitWithIndex(spark, dir, df, statCols = Nil,
+        bloomCols = Seq("key"), bloomExpectedItems = n, bloomFpp = 0.01)
+    }
+    val filterBytes = bloomPtrs(dir, 3).map(_.split('\t')(3)).distinct
+      .map(rel => new java.io.File(dir, rel).length()).sum
+    assert(filterBytes > (512L << 10),
+      s"fixture wants megabyte-class sidecars, got $filterBytes bytes")
+    // capture every byte path a task result can take to the driver:
+    // small results ship direct (taskMetrics.resultSize); anything
+    // over spark.task.maxDirectResultSize ships as a TASK-RESULT
+    // BLOCK the driver then fetches — collect()'s compressed row
+    // batches land there once they hold real filter entropy. If
+    // filter bytes leave the executors by either path, a large entry
+    // appears; verdicts are a few hundred bytes.
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) results.add(e.taskMetrics.resultSize)
+      override def onBlockUpdated(
+          e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+        if (e.blockUpdatedInfo.blockId
+            .isInstanceOf[org.apache.spark.storage.TaskResultBlockId])
+          results.add(
+            math.max(e.blockUpdatedInfo.memSize, e.blockUpdatedInfo.diskSize))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val planned = Versioned.plannedFilesEq(spark, dir,
+        col("key") === "doc-21")
+      assert(planned.size >= 1 && planned.size < 4,
+        s"expected a bloom-pruned plan, got $planned")
+      // listener events are posted asynchronously; give the bus time
+      // to drain before reading the captured sizes
+      Thread.sleep(3000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val worst = results.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    info(s"task result sizes during probe: max=${worst.max} n=${worst.length}")
+    assert(worst.nonEmpty, "the probe ran no tasks?")
+    assert(worst.max < (128L << 10),
+      s"a task shipped ${worst.max} bytes to the driver — filter " +
+        "bytes are leaving the executors")
+    // and the lookup itself still answers exactly
+    assert(Versioned.readEq(spark, dir, col("key") === "doc-21")
+      .as[(String, Long)].collect().toSeq == Seq(("doc-21", 21L)))
+  }
 }
