@@ -1577,39 +1577,121 @@ object Versioned {
     * CHECK constraints re-validate the staged copies (an update can
     * violate a constraint its input satisfied).
     *
-    * Concurrency is STRICT: re-homing a row's position composes with
-    * nothing — a racing delete's position-only DV would miss the
-    * staged copy, a racing update would fork the row — so this
-    * publishes only as `base + 1` and throws
-    * [[CommitConflictException]] on ANY interleaved commit; re-derive
-    * from the new head and retry (the op is delta-sized, so a retry
-    * is cheap). The same race from the other side is caught by
-    * [[deleteWhereMor]]'s update-attribution probe and
+    * Concurrency: re-homing a row's position composes with nothing
+    * that TOUCHES a scanned file — a racing delete's position-only DV
+    * would miss the staged copy, a racing update would fork the row —
+    * but it composes fine with everything else. So a lost race
+    * (no pinned `baseVersion`) retries in two gears:
+    *  - FAST-FORWARD: if every scanned file's manifest line and DV
+    *    set are untouched in the new head (and the CHECK set is the
+    *    one the staged copies validated against), the already-staged
+    *    DV + copies are still exact — republish them against the new
+    *    head's lines, one manifest read + CAS per attempt, the same
+    *    cost that lets plain appends converge under contention. This
+    *    is how the op survives APPEND TRAFFIC: an appender can win
+    *    every scan-sized window, but not every manifest-sized one.
+    *  - RE-DERIVE: an interleaved commit that did touch a scanned
+    *    file (CoW DML, replace, compaction, another MoR op, a CHECK
+    *    change) invalidates the staged positions; re-prune, re-scan
+    *    and re-stage from the new head — the result serializes as
+    *    "the interleaved commits, then this update".
+    * Sustained contention past the attempt bound throws
+    * [[CommitConflictException]], as does a lost race on an
+    * explicitly pinned `baseVersion` (the caller asked for THAT
+    * snapshot; silently re-deriving from a head it never saw would
+    * change the answer). The same race from the other side is caught
+    * by [[deleteWhereMor]]'s update-attribution probe and
     * [[replaceLoop]]'s lost-delete rule. Returns the new version, or
-    * `base` unchanged when nothing matches.
+    * the base unchanged when nothing matches.
     */
   def updateWhereMor(spark: SparkSession, dir: String, predicate: Column,
       assignments: Map[String, Column],
       baseVersion: Option[Int] = None): Int = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
     require(assignments.nonEmpty, "updateWhereMor needs an assignment")
     val fs = fileSystem(spark, dir)
-    val base = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $dir"))
-    require(fs.exists(manifestPath(dir, base)),
-      s"version $base not found in $dir")
+    var attempts = 0
+    var staged: Option[MorStaged] = None
+    while (attempts < 1000) {
+      attempts += 1
+      staged match {
+        case None => // derive (first attempt, or a fast-forward broke)
+          val base = baseVersion.orElse(latestVersion(spark, dir))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no committed version in $dir"))
+          require(fs.exists(manifestPath(dir, base)),
+            s"version $base not found in $dir")
+          attemptUpdateMor(spark, dir, fs, predicate, assignments,
+            base) match {
+            case Right(v) => return v
+            case Left(st) =>
+              if (baseVersion.isDefined)
+                throw new CommitConflictException(
+                  s"merge-on-read update of $dir based on pinned " +
+                    s"version $base lost the version race: position " +
+                    "re-homing composes with no interleaved commit; " +
+                    "re-derive from the new head and retry")
+              staged = Some(st)
+          }
+        case Some(st) => // fast-forward the staged artifacts
+          val head = latestVersion(spark, dir).getOrElse(
+            throw new IllegalStateException(s"head of $dir vanished"))
+          val hm = readManifest(fs, dir, head)
+          val dvsOnScanned =
+            hm.dvs.filter(p => st.scanned.contains(p._1)).toSet
+          val compatible =
+            st.scannedLines.subsetOf(hm.lines.toSet) &&
+              dvsOnScanned == st.scannedDvs &&
+              hm.checks == st.checks
+          if (!compatible) staged = None // scanned files moved: re-derive
+          else {
+            val schema = versionSchema(spark, dir, hm).getOrElse(st.schema)
+            if (casPublish(fs, dir, head + 1, schema,
+                hm.lines ++ st.staged, checks = hm.checks,
+                dvs = hm.dvs ++ st.pairs,
+                blooms = hm.blooms ++ st.stagedBlooms,
+                op = Some("update-mor"), bloomCfg = bloomCfgOf(hm)))
+              return head + 1
+          }
+      }
+    }
+    throw new CommitConflictException(
+      s"merge-on-read update of $dir still losing the version race " +
+        s"after $attempts attempts")
+  }
+
+  /** The artifacts of a lost [[attemptUpdateMor]] CAS, everything the
+    * fast-forward needs: what was staged, and the exact slice of base
+    * state (scanned lines, their DVs, the CHECK set) whose survival in
+    * the new head proves the staged positions are still the rows the
+    * scan saw. */
+  private final case class MorStaged(scanned: Set[String],
+      scannedLines: Set[String], scannedDvs: Set[(String, String)],
+      checks: Seq[(String, String)], schema: StructType,
+      staged: Seq[String], pairs: Seq[(String, String)],
+      stagedBlooms: Seq[(String, String, String)])
+
+  /** One strict as-of-`base` attempt of [[updateWhereMor]]: publishes
+    * as `base + 1` (Right) or reports the lost race with its staged
+    * artifacts for the fast-forward (Left — the staged files stay on
+    * disk; if the fast-forward also dies they are unreferenced and a
+    * later [[expire]] collects them, like every lost CAS attempt). */
+  private def attemptUpdateMor(spark: SparkSession, dir: String,
+      fs: FileSystem, predicate: Column,
+      assignments: Map[String, Column],
+      base: Int): Either[MorStaged, Int] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
     val m = readManifest(fs, dir, base)
-    if (m.lines.isEmpty) return base
+    if (m.lines.isEmpty) return Right(base)
     val schema = versionSchema(spark, dir, m) match {
       case Some(s) => s
-      case None => return base
+      case None => return Right(base)
     }
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"UPDATE assigns to '$c', which is not a table column — adding a " +
         "column rewrites history; commit it as a replace"))
     val pred = resolvedPredicate(spark, schema, predicate)
     val candidates = pruneWithIndex(spark, dir, m, pred)
-    if (candidates.isEmpty) return base
+    if (candidates.isEmpty) return Right(base)
     val matched = scanVisible(spark, dir, schema, candidates, m.dvs,
       keepMeta = true).filter(predicate)
     val dvDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
@@ -1620,7 +1702,7 @@ object Versioned {
         .select(col("file"), input_file_name().as("__d")).distinct()
         .collect().map(r => (r.getString(0), relOfUri(r.getString(1))))
         .toSeq
-    if (pairs.isEmpty) { fs.delete(dvDir, true); return base }
+    if (pairs.isEmpty) { fs.delete(dvDir, true); return Right(base) }
     // updated copies: every row here is WHERE-TRUE by construction,
     // so the assignments apply unconditionally (second deterministic
     // scan of the same immutable files — same rows as the DV write)
@@ -1641,12 +1723,14 @@ object Versioned {
       m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs,
       blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"),
       bloomCfg = bloomCfgOf(m))
-    if (!published)
-      throw new CommitConflictException(
-        s"merge-on-read update of $dir based on version $base lost the " +
-          "version race: position re-homing composes with no " +
-          "interleaved commit; re-derive from the new head and retry")
-    base + 1
+    if (published) Right(base + 1)
+    else Left(MorStaged(
+      scanned = affected,
+      scannedLines =
+        m.lines.filter(l => affected.contains(parseLine(l)._1)).toSet,
+      scannedDvs = m.dvs.filter(p => affected.contains(p._1)).toSet,
+      checks = m.checks, schema = schema, staged = staged,
+      pairs = pairs, stagedBlooms = stagedBlooms))
   }
 
   /** MERGE INTO (upsert), copy-on-write: rows of `source` whose

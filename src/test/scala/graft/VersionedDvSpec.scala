@@ -217,11 +217,54 @@ class VersionedDvSpec extends SparkSuite {
       Versioned.updateWhereMor(spark, dir, col("id") === 20L,
         Map("s" -> lit("")))
     }
-    // strict: ANY interleaved commit conflicts
+    // a PINNED base stays strict: the caller asked for that snapshot,
+    // so any interleaved commit conflicts instead of silently
+    // re-deriving from a head the caller never saw
     intercept[CommitConflictException] {
       Versioned.updateWhereMor(spark, dir, col("id") === 21L,
         Map("s" -> lit("x")), baseVersion = Some(0))
     }
+  }
+
+  test("MoR update retries from the new head under append traffic: " +
+      "the appends and the updates ALL land, serial-equivalent") {
+    val dir = tmpDir() + "/dv-upd-retry"
+    rangedTable(dir)
+    // an appender hammers the head (its own commits retry-on-lost-race
+    // by design) while five MoR updates run — each update's CAS window
+    // almost surely loses at least once, and each must re-derive from
+    // the new head and converge instead of throwing
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val appender = new Thread(() => {
+      try {
+        var i = 1000L
+        while (!stop.get()) {
+          Versioned.commit(spark, dir,
+            Seq((i, s"row$i")).toDF("id", "s"))
+          appended.add(i); i += 1
+        }
+      } catch { case t: Throwable => failed.set(t) }
+    })
+    appender.start()
+    try {
+      for (k <- 10L to 14L)
+        Versioned.updateWhereMor(spark, dir, col("id") === k,
+          Map("s" -> lit(s"moved$k")))
+    } finally { stop.set(true); appender.join() }
+    assert(failed.get() == null, s"appender died: ${failed.get()}")
+    assert(!appended.isEmpty, "fixture wants real append traffic")
+    val got = Versioned.read(spark, dir).as[(Long, String)]
+      .collect().toMap
+    val appendedIds = appended.toArray(Array.empty[java.lang.Long])
+      .map(_.toLong).toSet
+    assert(got.keySet == (0L to 39L).toSet ++ appendedIds,
+      "every base row and every appended row must survive the races")
+    for (k <- 10L to 14L)
+      assert(got(k) == s"moved$k", s"update of id=$k was lost")
+    assert(appendedIds.forall(i => got(i) == s"row$i"),
+      "appended rows must carry through the update retries untouched")
   }
 
   test("conflict: MoR delete vs interleaved MoR update (attribution)") {
