@@ -32,13 +32,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         safeBuilder(name, builder)))
     }
+    // SQL surface of the versioned lake: reads (incl. VERSION AS OF)
+    // and INSERT/DELETE/UPDATE/MERGE against [[graft.sql.GraftCatalog]]
+    // tables resolve to the same Versioned operators the Scala API
+    // calls. Injected into the main resolution batch so the rule
+    // claims the plans before Spark's V2 row-level rewrites and
+    // capability checks would reject them.
+    ext.injectResolutionRule(session => graft.sql.GraftSqlRule(session))
+  }
 }
 
 object GraftExtensions {

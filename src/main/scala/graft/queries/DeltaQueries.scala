@@ -1092,6 +1092,140 @@ object DeltaQueries {
     """SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders
       |WHERE (o_orderkey % 7 = 0) IS NOT TRUE""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+  // The SQL surface of the lake (graft.sql.GraftCatalog +
+  // GraftSqlRule): the q137 (DELETE), q139 (UPDATE) and q138
+  // (MERGE INTO) flows driven through spark.sql ALONE against a V2
+  // catalog session — the reference's own interaction model (its
+  // warehouse layer is SQL strings, transf.py:215-273,
+  // main.py:418-434). Each statement must route to the SAME Versioned
+  // operator the Scala API calls (asserted via the manifests' #op
+  // headers), keep the CoW scale contract (base manifest lines carry
+  // verbatim through DELETE/UPDATE — checked when the corpus gives
+  // distinct quartiles), and hash-match the same DuckDB arithmetic
+  // the three original queries use, unioned under a flow tag.
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sql-dml")
+    val priorDefault = SparkSession.getDefaultSession
+    val priorActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", tmp.toString)
+      .getOrCreate()
+    try {
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      val orders = t(ext, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val clustered = orders.repartitionByRange(4, col("o_orderkey"))
+      Versioned.commitWithStats(ext, s"$tmp/db/del", clustered,
+        "o_orderkey")
+      Versioned.commitWithStats(ext, s"$tmp/db/upd", clustered,
+        "o_orderkey")
+      Versioned.commitWithStats(ext, s"$tmp/db/mrg",
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+      def lines(table: String): Seq[String] = {
+        val v = Versioned.latestVersion(ext, s"$tmp/db/$table").get
+        val p = java.nio.file.Paths.get(tmp.toString, "db", table,
+          "_manifest", f"v$v%05d.txt")
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
+          .toList
+        finally src.close()
+      }
+      val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      if (!mm.isNullAt(0)) {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        val beforeDel = lines("del")
+        val beforeUpd = lines("upd")
+        ext.sql("DELETE FROM graft.db.del " +
+          s"WHERE o_orderkey BETWEEN $lo AND $hi")
+        ext.sql("UPDATE graft.db.upd SET o_totalprice = " +
+          s"o_totalprice * 2 WHERE o_orderkey BETWEEN $lo AND $hi")
+        if (beforeDel.size >= 4 && mx - mn >= 4) {
+          // the SQL route must keep the copy-on-write scale contract:
+          // files the quartile predicate cannot touch carry verbatim
+          require(lines("del").toSet.intersect(beforeDel.toSet).nonEmpty,
+            "SQL DELETE rewrote files the predicate never touched")
+          require(lines("upd").toSet.intersect(beforeUpd.toSet).nonEmpty,
+            "SQL UPDATE rewrote files the predicate never touched")
+        }
+      }
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(orders.filter(col("o_orderkey") % 2 === 1))
+        .createOrReplaceTempView("q145_src")
+      ext.sql("""MERGE INTO graft.db.mrg AS t USING q145_src AS s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // every statement must have routed through the lake operators —
+      // the commits' #op headers are the audit trail
+      def ops(table: String): Set[String] =
+        Versioned.history(ext, s"$tmp/db/$table").collect()
+          .map(_.getAs[String]("operation")).toSet
+      require(ops("mrg").contains("merge"),
+        "SQL MERGE INTO did not publish through Versioned.mergeInto")
+      if (!mm.isNullAt(0)) {
+        require(Versioned.latestVersion(ext, s"$tmp/db/del").get == 0 ||
+          ops("del").contains("delete"),
+          "SQL DELETE did not publish through Versioned.deleteWhere")
+        require(Versioned.latestVersion(ext, s"$tmp/db/upd").get == 0 ||
+          ops("upd").contains("update"),
+          "SQL UPDATE did not publish through Versioned.updateWhere")
+      }
+      ext.sql("""SELECT 'del' AS flow, o_orderkey, o_totalprice
+                |FROM graft.db.del
+                |UNION ALL
+                |SELECT 'mrg' AS flow, o_orderkey, o_totalprice
+                |FROM graft.db.mrg
+                |UNION ALL
+                |SELECT 'upd' AS flow, o_orderkey, o_totalprice
+                |FROM graft.db.upd
+                |ORDER BY flow, o_orderkey, o_totalprice""".stripMargin)
+        .localCheckpoint(true)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      priorDefault.foreach(SparkSession.setDefaultSession)
+      priorActive.foreach(SparkSession.setActiveSession)
+      Q.deleteRecursively(tmp)
+    }
+  }
+
+  private val q145Sql =
+    """SELECT 'del' AS flow, o_orderkey, o_totalprice FROM orders
+      |WHERE (o_orderkey BETWEEN
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
+      |         AND
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 2 FROM orders))
+      |      IS NOT TRUE
+      |UNION ALL
+      |SELECT 'mrg' AS flow, o_orderkey,
+      |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0 OR o_orderkey % 2 = 1
+      |UNION ALL
+      |SELECT 'upd' AS flow, o_orderkey,
+      |  CASE WHEN o_orderkey BETWEEN
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
+      |         AND
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 2 FROM orders)
+      |    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |ORDER BY flow, o_orderkey, o_totalprice""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1116,7 +1250,8 @@ object DeltaQueries {
     "q141_lake_update_mor" -> (q141 _),
     "q142_lake_retention_delete" -> (q142 _),
     "q143_lake_bloom_point_delete" -> (q143 _),
-    "q144_lake_metadata_count" -> (q144 _))
+    "q144_lake_metadata_count" -> (q144 _),
+    "q145_sql_lake_dml" -> (q145 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1140,5 +1275,6 @@ object DeltaQueries {
     "q141_lake_update_mor" -> q141Sql,
     "q142_lake_retention_delete" -> q142Sql,
     "q143_lake_bloom_point_delete" -> q143Sql,
-    "q144_lake_metadata_count" -> q144Sql)
+    "q144_lake_metadata_count" -> q144Sql,
+    "q145_sql_lake_dml" -> q145Sql)
 }

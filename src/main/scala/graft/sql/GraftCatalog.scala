@@ -1,0 +1,232 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.Versioned
+
+/** DataSource V2 `TableCatalog` over [[graft.lake.Versioned]] tables —
+  * the SQL front door of the lake. Register it per session:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sql.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  * }}}
+  *
+  * and `graft.db.t` resolves to the versioned table at
+  * `<warehouse>/db/t`: `CREATE TABLE` / `DROP TABLE` / `SHOW TABLES`
+  * route here; `SELECT … VERSION AS OF k` arrives through the V2
+  * time-travel hook ([[loadTable(ident:Identifier,version:String)*]]);
+  * reads, `INSERT INTO`, `DELETE`/`UPDATE`/`MERGE INTO` are claimed
+  * during analysis by [[GraftSqlRule]] (injected by
+  * [[graft.GraftExtensions]] — the catalog REQUIRES the extensions;
+  * without them a read fails the V2 capability check with a clear
+  * error rather than a wrong answer) and routed to the same
+  * `Versioned` operators the Scala API calls, so the SQL path and the
+  * Scala path produce byte-identical manifests. The reference drives
+  * its whole warehouse layer through SQL strings
+  * (transf.py:215-273, main.py:418-434); this is that interaction
+  * model over the lake.
+  *
+  * A table IS its directory (an identifier maps to a path; `_manifest`
+  * marks tablehood), so catalog metadata needs no extra store and
+  * every lake capability — time travel, change feed, DML, RESTORE —
+  * stays reachable on the same data through the Scala API
+  * concurrently. All filesystem access goes through the table's
+  * Hadoop `FileSystem`, exactly like the lake itself.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def session: SparkSession = SparkSession.active
+
+  private def fs(p: Path) =
+    p.getFileSystem(session.sparkContext.hadoopConfiguration)
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def isTableDir(dir: String): Boolean = {
+    val m = new Path(dir, "_manifest")
+    fs(m).exists(m)
+  }
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(ns)
+    if (!f.exists(ns)) throw new NoSuchNamespaceException(
+      name() +: namespace.toSeq)
+    f.listStatus(ns).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => isTableDir((warehouse +: namespace.toSeq :+ t)
+        .mkString("/")))
+      .sorted.map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    GraftTable(s"${name()}.${ident.namespace().mkString(".")}." +
+      ident.name(), dir, None)
+  }
+
+  /** `VERSION AS OF <k>` — Spark's V2 time-travel hook. The returned
+    * table pins the version; [[GraftSqlRule]] plans the read as
+    * `Versioned.read(_, dir, Some(k))`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft time travel takes an integer version, got '$version'"))
+    loadTable(ident) match {
+      case t: GraftTable =>
+        require(Versioned.latestVersion(session, t.dir).exists(_ >= v) &&
+          v >= 0, s"version $v does not exist in ${t.dir}")
+        t.copy(asOfVersion = Some(v))
+      case other => other
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables take no partition transforms — cluster files with " +
+        "Versioned.compactCommit(clusterBy = …) instead")
+    val dir = dirOf(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(
+      (name() +: ident.namespace().toSeq :+ ident.name()).mkString("."))
+    // v0 is an empty commit carrying the declared schema — the same
+    // manifest shape any empty-input pipeline run publishes
+    Versioned.commit(session, dir, session.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables: schema evolves through appends " +
+        "(Versioned.commit unions schemas); constraints through " +
+        "Versioned.addCheck")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) false
+    else fs(new Path(dir)).delete(new Path(dir), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = new Path(dirOf(oldIdent))
+    val to = new Path(dirOf(newIdent))
+    if (!isTableDir(from.toString))
+      throw new NoSuchTableException(oldIdent)
+    if (isTableDir(to.toString)) throw new TableAlreadyExistsException(
+      (name() +: newIdent.namespace().toSeq :+ newIdent.name())
+        .mkString("."))
+    require(fs(from).rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    fs(p).exists(p)
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace))
+      Map(SupportsNamespaces.PROP_LOCATION ->
+        (warehouse +: namespace.toSeq).mkString("/")).asJava
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    fs(p).mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(p)
+    if (!f.exists(p)) false
+    else {
+      require(cascade || f.listStatus(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      f.delete(p, true)
+    }
+  }
+}
+
+/** A versioned lake table as seen by the V2 catalog. Capabilities are
+  * deliberately EMPTY: scans and writes never go through the V2
+  * `ScanBuilder`/`WriteBuilder` machinery (a hand-rolled
+  * `PartitionReader` would lose the vectorized parquet reader and
+  * whole-stage codegen) — [[GraftSqlRule]] replaces the relation with
+  * the SAME native-parquet plan `Versioned.read` builds for the Scala
+  * API, and claims the DML plans before Spark's V2 rewrites look for
+  * capabilities. `version` is `Some(k)` for a `VERSION AS OF k`
+  * reference.
+  */
+final case class GraftTable(fullName: String, dir: String,
+    asOfVersion: Option[Int]) extends Table {
+
+  override def name(): String = fullName
+
+  override def schema(): StructType =
+    Versioned.read(SparkSession.active, dir, asOfVersion).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+
+  override def properties(): util.Map[String, String] =
+    (Map("location" -> dir, "provider" -> "graft") ++
+      asOfVersion.map(v => "version" -> v.toString)).asJava
+}

@@ -1,0 +1,277 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, OverwriteByExpression, Project, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.lake.Versioned
+
+/** The analysis rule that makes [[GraftCatalog]] tables fully usable
+  * from SQL. Injected by [[graft.GraftExtensions]] into the main
+  * resolution batch, so it claims plans BEFORE Spark's V2 row-level
+  * rewrites would reject the table for not implementing
+  * `SupportsRowLevelOperations` and before the capability checks run:
+  *
+  *  - READS (`SELECT`, `VERSION AS OF`, `spark.table`): the
+  *    `DataSourceV2Relation` is replaced with the exact LogicalPlan
+  *    `Versioned.read` builds for the Scala API — native parquet
+  *    scan, DV anti-joins, evolved-schema projection — re-aliased to
+  *    the relation's attribute ids so enclosing operators resolve
+  *    untouched. This keeps the vectorized reader, pushdown and
+  *    whole-stage codegen; a custom V2 `PartitionReader` would
+  *    surrender all three.
+  *  - `INSERT INTO` / `INSERT OVERWRITE` → [[GraftAppendCommand]] →
+  *    `Versioned.commit` (append / replace).
+  *  - `DELETE FROM … WHERE p` → [[GraftDeleteCommand]] →
+  *    `Versioned.deleteWhere` (stat-pruned copy-on-write, the
+  *    metadata-only fast path included).
+  *  - `UPDATE … SET … WHERE p` → [[GraftUpdateCommand]] →
+  *    `Versioned.updateWhere`.
+  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET
+  *    * WHEN NOT MATCHED THEN INSERT *` → [[GraftMergeCommand]] →
+  *    `Versioned.mergeInto`. The upsert shape is exactly what
+  *    `mergeInto` implements; any other clause combination throws a
+  *    message naming the supported form rather than mis-executing it.
+  *
+  * Expressions cross from the analyzed SQL plan into the commands
+  * UNRESOLVED-BY-NAME ([[GraftSqlRule.unresolve]]): the `Versioned`
+  * operators re-resolve predicates against the table's own schema
+  * (`resolvedPredicate`), so the commands carry `Column`s, not foreign
+  * `AttributeReference`s — and the SQL path provably goes through the
+  * same operator entry points as the Scala path (GraftCatalogSpec
+  * pins manifest equality between the two).
+  */
+case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftSqlRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // relations that are the TARGET of a pending DML/write node must
+    // not be rewritten into read plans out from under it (identity
+    // set: a self-merge references the same table twice with distinct
+    // relation instances — only the target instance is off-limits)
+    val targets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case d: DeleteFromTable => stripAlias(d.table).foreach(targets.add)
+      case u: UpdateTable => stripAlias(u.table).foreach(targets.add)
+      case m: MergeIntoTable =>
+        stripAlias(m.targetTable).foreach(targets.add)
+      case a: AppendData => stripAlias(a.table).foreach(targets.add)
+      case o: OverwriteByExpression =>
+        stripAlias(o.table).foreach(targets.add)
+      case _ =>
+    }
+    plan.resolveOperatorsDown {
+      case d @ DeleteFromTable(t, condition) if d.resolved =>
+        graftTableOf(t) match {
+          case Some(g) =>
+            GraftDeleteCommand(g.dir, ColumnBridge.column(
+              unresolve(condition)))
+          case None => d
+        }
+
+      case u @ UpdateTable(t, assignments, condition) if u.resolved =>
+        graftTableOf(t) match {
+          case Some(g) =>
+            val assigns = assignments.map {
+              case Assignment(k: Attribute, v) =>
+                k.name -> ColumnBridge.column(unresolve(v))
+              case other => throw new UnsupportedOperationException(
+                s"UPDATE assignment target must be a column: $other")
+            }.toMap
+            GraftUpdateCommand(g.dir, assigns,
+              ColumnBridge.column(condition.map(unresolve)
+                .getOrElse(Literal(true))))
+          case None => u
+        }
+
+      case m: MergeIntoTable if m.resolved =>
+        graftTableOf(m.targetTable) match {
+          case Some(g) => rewriteMerge(m, g)
+          case None => m
+        }
+
+      case a: AppendData if a.resolved =>
+        graftTableOf(a.table) match {
+          case Some(g) => GraftAppendCommand(g.dir,
+            a.table.output.map(_.name), a.query, replace = false)
+          case None => a
+        }
+
+      case o: OverwriteByExpression if o.resolved =>
+        graftTableOf(o.table) match {
+          case Some(g) =>
+            require(o.deleteExpr == Literal(true) ||
+              o.deleteExpr.foldable, // TRUNCATE-style overwrite only
+              "graft INSERT OVERWRITE replaces the whole table; " +
+                "row-level replacement is DELETE + INSERT or MERGE")
+            GraftAppendCommand(g.dir, o.table.output.map(_.name),
+              o.query, replace = true)
+          case None => o
+        }
+
+      // read path LAST: only relations that are not a write target
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] && !targets.contains(r) =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val sub = Versioned.read(session, t.dir, t.asOfVersion)
+          .queryExecution.analyzed
+        require(sub.output.length == r.output.length,
+          s"graft table ${t.name()} read plan arity " +
+            s"${sub.output.length} != relation arity ${r.output.length}")
+        Project(r.output.zip(sub.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
+            explicitMetadata = Some(o.metadata))
+        }, sub)
+    }
+  }
+
+  /** MERGE INTO, restricted to the canonical upsert [[Versioned.mergeInto]]
+    * implements: unconditioned `UPDATE SET *` + `INSERT *` on an
+    * equi-key condition. */
+  private def rewriteMerge(m: MergeIntoTable, g: GraftTable): LogicalPlan = {
+    val supported = "graft MERGE INTO supports the upsert shape: ON " +
+      "conjunctions of t.k = s.k, WHEN MATCHED THEN UPDATE SET *, " +
+      "WHEN NOT MATCHED THEN INSERT * — use Versioned.mergeInto for " +
+      "anything else; got: "
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    def keysOf(e: Expression): Option[Seq[String]] = e match {
+      case And(l, r) =>
+        for { a <- keysOf(l); b <- keysOf(r) } yield a ++ b
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            ((targetOut.contains(a) && sourceOut.contains(b)) ||
+              (targetOut.contains(b) && sourceOut.contains(a))) =>
+        Some(Seq(if (targetOut.contains(a)) a.name else b.name))
+      case _ => None
+    }
+    val keys = keysOf(m.mergeCondition).getOrElse(
+      throw new UnsupportedOperationException(
+        supported + s"ON ${m.mergeCondition.sql}"))
+    // star-expanded actions: one unconditioned UPDATE assigning every
+    // target column its same-named source column; one such INSERT
+    def starAssigns(assigns: Seq[Assignment]): Boolean =
+      assigns.forall {
+        case Assignment(k: Attribute, v: Attribute) =>
+          k.name.equalsIgnoreCase(v.name) && sourceOut.contains(v)
+        case _ => false
+      }
+    (m.matchedActions, m.notMatchedActions,
+      m.notMatchedBySourceActions) match {
+      case (Seq(u: UpdateAction), Seq(i: InsertAction), Seq())
+          if u.condition.isEmpty && i.condition.isEmpty &&
+            starAssigns(u.assignments) && starAssigns(i.assignments) =>
+        // project the source to exactly the target's columns, in
+        // the insert action's mapping (schema-stable upsert)
+        val cols = i.assignments.map {
+          case Assignment(k: Attribute, v: Attribute) => (k.name, v.name)
+          case a => throw new UnsupportedOperationException(supported +
+            a.toString)
+        }
+        GraftMergeCommand(g.dir, m.sourceTable, cols, keys)
+      case other => throw new UnsupportedOperationException(
+        supported + other.toString)
+    }
+  }
+}
+
+object GraftSqlRule {
+
+  /** Strip subquery aliases down to the relation a DML node targets. */
+  private def stripAlias(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case SubqueryAlias(_, child) => stripAlias(child)
+    case r: DataSourceV2Relation => Some(r)
+    case _ => None
+  }
+
+  private def graftTableOf(p: LogicalPlan): Option[GraftTable] =
+    stripAlias(p).collect {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        r.table.asInstanceOf[GraftTable]
+    }
+
+  /** Re-anchor an analyzed expression by NAME: the `Versioned`
+    * operators resolve predicates against the table's own schema, so
+    * the SQL plan's attribute ids (which belong to a relation instance
+    * that no longer exists once the command replaces it) must not leak
+    * through. Qualified references drop their qualifier — inside a
+    * single-table DML the bare name is unambiguous. Spark 4's `With`
+    * common-expression wrappers (e.g. inside BETWEEN's runtime
+    * replacement) inline first: a `With` rebuilt over unresolved
+    * children recomputes its defs' dataType and throws, and the
+    * expanded form re-resolves identically anyway. */
+  private[sql] def unresolve(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef, With}
+    val expanded = e.transformUp {
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: CommonExpressionRef => defs.getOrElse(r.id, r)
+        }
+    }
+    expanded.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+  }
+}
+
+/** `INSERT INTO` (append) / `INSERT OVERWRITE` (replace) routed to
+  * [[Versioned.commit]]. The analyzed `query` is already aligned to
+  * the table schema positionally (Spark's output resolution); it is
+  * renamed to the table's column names and committed — the identical
+  * entry point a Scala caller uses, manifest and all. */
+final case class GraftAppendCommand(dir: String, columns: Seq[String],
+    @transient query: LogicalPlan, replace: Boolean)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = ColumnBridge.ofRows(session, query).toDF(columns: _*)
+    Versioned.commit(session, dir, df, replace = replace)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM … WHERE p` → [[Versioned.deleteWhere]] (stat-pruned
+  * copy-on-write with the metadata-only fast path). */
+final case class GraftDeleteCommand(dir: String, condition: Column)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    Versioned.deleteWhere(session, dir, condition)
+    Seq.empty
+  }
+}
+
+/** `UPDATE … SET … WHERE p` → [[Versioned.updateWhere]]. */
+final case class GraftUpdateCommand(dir: String,
+    assignments: Map[String, Column], condition: Column)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    Versioned.updateWhere(session, dir, condition, assignments)
+    Seq.empty
+  }
+}
+
+/** Upsert-shaped `MERGE INTO` → [[Versioned.mergeInto]]. `cols` maps
+  * target column name → source column name (the star expansion), so
+  * the staged source frame carries exactly the target's columns. */
+final case class GraftMergeCommand(dir: String,
+    @transient source: LogicalPlan, cols: Seq[(String, String)],
+    keys: Seq[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = ColumnBridge.ofRows(session, source)
+      .select(cols.map { case (t, s) => col(s"`$s`").as(t) }: _*)
+    Versioned.mergeInto(session, dir, src, keys)
+    Seq.empty
+  }
+}

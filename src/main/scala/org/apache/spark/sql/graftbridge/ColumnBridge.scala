@@ -13,4 +13,14 @@ object ColumnBridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** `Dataset.ofRows` moved behind `private[sql]` classic in Spark 4;
+    * [[graft.sql.GraftSqlRule]]'s commands need it to execute the
+    * analyzed query subtrees they carry. */
+  def ofRows(session: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
 }

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.lake.Versioned
+
+/** SQL surface of the versioned lake ([[graft.sql.GraftCatalog]] +
+  * [[graft.sql.GraftSqlRule]]): a session with the graft catalog and
+  * extensions must run the whole lake lifecycle — DDL, INSERT,
+  * SELECT, VERSION AS OF, DELETE, UPDATE, MERGE INTO — through
+  * `spark.sql` alone, routed to the SAME `Versioned` operators the
+  * Scala API calls. The parity test pins that: the identical DML flow
+  * driven via SQL and via the Scala API yields structurally identical
+  * manifests (same versions, ops, per-file stats — file names are
+  * commit-scoped UUIDs and normalize away).
+  */
+class GraftCatalogSpec extends SparkSuite {
+
+  private def withCatalogSession[A](f: (SparkSession, String) => A): A = {
+    spark // force the shared suite session first
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val wh = tmpDir() + "/wh"
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .getOrCreate()
+    try f(ext, wh)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("DDL + INSERT + SELECT + time travel, all through spark.sql") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.t (id BIGINT, s STRING)")
+      assert(s.sql("SHOW TABLES IN graft.db").collect()
+        .map(_.getString(1)).toSeq == Seq("t"))
+      assert(s.sql("SELECT * FROM graft.db.t").count() == 0) // v0 empty
+      s.sql("INSERT INTO graft.db.t VALUES (1, 'a'), (2, 'b')") // v1
+      s.sql("INSERT INTO graft.db.t VALUES (3, 'c')")           // v2
+      assert(s.sql("SELECT id, s FROM graft.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // aggregation over the replaced read plan (codegen'd parquet scan)
+      assert(s.sql("SELECT sum(id) FROM graft.db.t WHERE s <> 'b'")
+        .head().getLong(0) == 4L)
+      // time travel: every committed version stays addressable
+      assert(s.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 0")
+        .head().getLong(0) == 0L)
+      assert(s.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 1")
+        .head().getLong(0) == 2L)
+      val e = intercept[Exception](
+        s.sql("SELECT * FROM graft.db.t VERSION AS OF 9").collect())
+      assert(e.getMessage.contains("version 9"))
+      // the SQL commits are real Versioned commits on disk
+      assert(Versioned.latestVersion(s, s"$wh/db/t").contains(2))
+      // INSERT OVERWRITE = full-table replace (one more version)
+      s.sql("INSERT OVERWRITE graft.db.t VALUES (9, 'z')")
+      assert(s.sql("SELECT id FROM graft.db.t").collect()
+        .map(_.getLong(0)).toSeq == Seq(9L))
+      assert(s.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 2")
+        .head().getLong(0) == 3L, "replace must not rewrite history")
+      assert(s.sql("DROP TABLE graft.db.t").collect().isEmpty)
+      assert(s.sql("SHOW TABLES IN graft.db").collect().isEmpty)
+    }
+  }
+
+  test("DELETE FROM / UPDATE / MERGE INTO route to the Versioned " +
+      "operators and match their row semantics") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      val dir = s"$wh/db/t"
+      Versioned.commitWithStats(s, dir,
+        (0L until 40L).map(i => (i, s"row$i")).toDF("id", "s")
+          .repartitionByRange(4, col("id")), "id")
+      // DELETE with the stat-pruned CoW path (NULL-keeps semantics
+      // live in deleteWhere; here we pin the SQL routing + result)
+      s.sql("DELETE FROM graft.db.t WHERE id BETWEEN 12 AND 17")
+      assert(s.sql("SELECT count(*) FROM graft.db.t").head().getLong(0)
+        == 34L)
+      assert(Versioned.latestVersion(s, dir).contains(1))
+      assert(Versioned.history(s, dir).collect()
+        .exists(_.getAs[String]("operation") == "delete"),
+        "SQL DELETE must publish through deleteWhere")
+      // UPDATE with an expression assignment and a predicate
+      s.sql("UPDATE graft.db.t SET s = upper(s) WHERE id < 3")
+      assert(s.sql("SELECT s FROM graft.db.t WHERE id < 3 ORDER BY id")
+        .collect().map(_.getString(0)).toSeq ==
+        Seq("ROW0", "ROW1", "ROW2"))
+      assert(s.sql(
+        "SELECT count(*) FROM graft.db.t WHERE s = upper(s) AND id > 3")
+        .head().getLong(0) == 0L, "UPDATE must touch WHERE-TRUE rows only")
+      // MERGE INTO (upsert): update one key, insert a fresh one
+      s.sql("CREATE TABLE graft.db.src (id BIGINT, s STRING)")
+      s.sql("INSERT INTO graft.db.src VALUES (20, 'merged'), " +
+        "(100, 'fresh')")
+      s.sql("""MERGE INTO graft.db.t AS t USING graft.db.src AS s
+              |ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = s.sql("SELECT id, s FROM graft.db.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got(20L) == "merged" && got(100L) == "fresh")
+      assert(got.size == 35)
+      // an unsupported MERGE shape names the supported form loudly
+      val e = intercept[Exception](s.sql(
+        """MERGE INTO graft.db.t AS t USING graft.db.src AS s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin).collect())
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .exists(t => Option(t.getMessage)
+          .exists(_.contains("upsert shape"))), e.getMessage)
+    }
+  }
+
+  test("SQL path and Scala path produce identical manifests for the " +
+      "same DML flow") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      val base = (0L until 40L).map(i => (i, s"row$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id"))
+      val sqlDir = s"$wh/db/sqlt"
+      val apiDir = s"$wh/db/apit"
+      Versioned.commitWithStats(s, sqlDir, base, "id")
+      Versioned.commitWithStats(s, apiDir, base, "id")
+      // same flow, two drivers
+      s.sql("DELETE FROM graft.db.sqlt WHERE id BETWEEN 12 AND 17")
+      s.sql("UPDATE graft.db.sqlt SET s = upper(s) WHERE id < 3")
+      s.sql("INSERT INTO graft.db.sqlt VALUES (200, 'tail')")
+      Versioned.deleteWhere(s, apiDir, col("id").between(12, 17))
+      Versioned.updateWhere(s, apiDir, col("id") < 3,
+        Map("s" -> upper(col("s"))))
+      Versioned.commit(s, apiDir, Seq((200L, "tail")).toDF("id", "s"))
+      // normalize: commit-scoped UUID file names differ by
+      // construction; everything else — version count, op headers,
+      // per-file stats groups and annotations, line order — must match
+      def normalized(dir: String): Seq[Seq[String]] = {
+        val vs = (0 to Versioned.latestVersion(s, dir).get)
+        vs.map { v =>
+          val p = java.nio.file.Paths.get(dir, "_manifest",
+            f"v$v%05d.txt")
+          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+          try src.getLines().toList.map(
+            _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>"))
+          finally src.close()
+        }.map(_.sorted)
+      }
+      assert(normalized(sqlDir) == normalized(apiDir),
+        "the SQL route must publish byte-equivalent commits")
+      // and byte-identical results
+      assert(s.sql("SELECT * FROM graft.db.sqlt ORDER BY id").collect()
+        .toSeq ==
+        Versioned.read(s, apiDir).orderBy("id").collect().toSeq)
+    }
+  }
+}
