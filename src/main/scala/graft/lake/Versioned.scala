@@ -67,15 +67,16 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructTyp
   * in-flight reader's manifest and files outlive the read no matter
   * how many commits and expiry runs interleave.
   *
-  * CAS substrate: one rename per commit attempt, guarded by an exists
-  * probe under a per-table JVM lock. On HDFS-semantics filesystems the
-  * rename itself refuses an existing destination (the lock is then
-  * belt-and-braces); on a local filesystem, where rename(2) silently
-  * overwrites, the lock IS the mutex — sufficient for every harness in
-  * this repo (one JVM), and exactly the documented single-JVM caveat
-  * of Delta's local-filesystem LogStore. Multi-JVM local-FS writers
-  * would need an external lock service; object stores need their
-  * conditional-put primitive.
+  * CAS substrate: pluggable per filesystem ([[CasStore]], the LogStore
+  * shape every production format grew). Local filesystems publish via
+  * POSIX hard-link creation ([[LinkCasStore]]: `link(2)` fails EEXIST
+  * atomically, kernel-enforced ACROSS PROCESSES — two `spark-submit`
+  * jobs on the same table are commit-safe, raced by a forked JVM in
+  * CrossJvmCommitSpec). HDFS-semantics filesystems publish via
+  * exists+rename under a per-table JVM lock ([[RenameCasStore]]: the
+  * rename itself refuses an existing destination across JVMs). An
+  * object store would plug its conditional-put (`If-None-Match`) in
+  * here. `SPARK_GRAFT_CAS=rename|link` overrides the selection.
   */
 object Versioned {
 
@@ -733,11 +734,72 @@ object Versioned {
       .mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    lockFor(dir).synchronized {
-      if (fs.exists(target)) { fs.delete(tmp, false); false }
-      else if (fs.rename(tmp, target)) true
-      else { fs.delete(tmp, false); false }
+    casStoreFor(fs).putIfAbsent(fs, dir, tmp, target)
+  }
+
+  /** The compare-and-swap substrate a commit publishes through: install
+    * `tmp` as `target` iff `target` does not exist, atomically —
+    * exactly one concurrent caller (thread OR process) may win a
+    * version. `tmp` is consumed on success and deleted on a lost race.
+    * Pluggable (the LogStore shape every production format grew):
+    * [[LinkCasStore]] on local filesystems, [[RenameCasStore]] on
+    * HDFS-semantics filesystems, overridable with
+    * `SPARK_GRAFT_CAS=rename|link`; an object store would add its
+    * conditional-put (`If-None-Match`) implementation here.
+    */
+  private[graft] trait CasStore {
+    def putIfAbsent(fs: FileSystem, dir: String, tmp: Path,
+        target: Path): Boolean
+  }
+
+  /** Exists-probe + rename under the per-table JVM lock. On
+    * HDFS-semantics filesystems the rename itself refuses an existing
+    * destination (the lock is belt-and-braces); on a local filesystem,
+    * where rename(2) silently overwrites, the lock is the mutex — so
+    * this store is single-JVM on local FS, which is why it is not the
+    * local default. */
+  private[graft] object RenameCasStore extends CasStore {
+    override def putIfAbsent(fs: FileSystem, dir: String, tmp: Path,
+        target: Path): Boolean =
+      lockFor(dir).synchronized {
+        if (fs.exists(target)) { fs.delete(tmp, false); false }
+        else if (fs.rename(tmp, target)) true
+        else { fs.delete(tmp, false); false }
+      }
+  }
+
+  /** POSIX hard-link publish: `link(2)` fails with `EEXIST` if the
+    * target exists, ATOMICALLY, enforced by the kernel across
+    * processes — the local-filesystem equivalent of an object store's
+    * conditional put, and what makes two `spark-submit` jobs on the
+    * same local table commit-safe (CrossJvmCommitSpec races a forked
+    * JVM against the in-process writer to pin exactly this). Falls
+    * back to [[RenameCasStore]] where the filesystem cannot link. */
+  private[graft] object LinkCasStore extends CasStore {
+    override def putIfAbsent(fs: FileSystem, dir: String, tmp: Path,
+        target: Path): Boolean = {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val g = java.nio.file.Paths.get(target.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(g, t)
+        java.nio.file.Files.deleteIfExists(t)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(t)
+          false
+        case _: UnsupportedOperationException =>
+          RenameCasStore.putIfAbsent(fs, dir, tmp, target)
+      }
     }
+  }
+
+  private def casStoreFor(fs: FileSystem): CasStore = {
+    val forced = sys.env.get("SPARK_GRAFT_CAS")
+    if (forced.contains("rename")) RenameCasStore
+    else if (forced.contains("link")) LinkCasStore
+    else if (fs.getScheme == "file") LinkCasStore
+    else RenameCasStore
   }
 
   /** Enforce the table's CHECK constraints against freshly staged
@@ -2520,6 +2582,53 @@ object Versioned {
           .count()
       }
     Some(total - deleted)
+  }
+
+  /** Merge-on-read MAINTENANCE ADVISOR — the OPTIMIZE-scheduling half
+    * of deletion vectors. A DV makes the delete O(matched rows), but
+    * every stacked vector adds read amplification (the anti-join
+    * carries more positions) until [[compactCommit]] materializes
+    * them; production formats schedule that rewrite off the same
+    * signal this computes: the per-file DELETED-POSITION FRACTION.
+    * One row per data file of `version` (head by default):
+    * `file`, `rows` (the `~r` manifest annotation — null on
+    * pre-tracking lines), `deleted` (live DV positions targeting the
+    * file), `fraction` (deleted / rows; null when rows is unknown).
+    * Cost: O(manifest) driver-side plus one scan of the delta-sized
+    * position sidecars — never the data. Policy stays with the
+    * caller: `dvDebt(spark, dir).filter($"fraction" >= 0.3)` lists
+    * the files a compaction would pay for, and an empty result means
+    * the table carries no debt at all.
+    */
+  def dvDebt(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count}
+    import spark.implicits._
+    val fs = fileSystem(spark, dir)
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
+    val m = readManifest(fs, dir, v)
+    val rowsPerFile: Seq[(String, Option[Long])] = m.lines.map { l =>
+      val (rel, gs) = parseStatsFull(l)
+      (rel, gs.flatMap(_.rows).headOption)
+    }
+    val relSet = rowsPerFile.map(_._1).toSet
+    val live = m.dvs.filter(d => relSet.contains(d._1))
+    val deleted: Map[String, Long] =
+      if (live.isEmpty) Map.empty
+      else spark.read.schema(DvSchema)
+        .parquet(live.map(_._2).distinct.map(r => s"$dir/$r"): _*)
+        .filter(col("file").isin(live.map(_._1).distinct: _*))
+        // positions are distinct by construction: every DV write
+        // scans VISIBLE rows, so no (file, pos) records twice
+        .groupBy("file").agg(count(col("pos")).as("n"))
+        .as[(String, Long)].collect().toMap
+    rowsPerFile.map { case (rel, rows) =>
+      (rel, rows, deleted.getOrElse(rel, 0L))
+    }.toDF("file", "rows", "deleted")
+      .withColumn("fraction",
+        col("deleted").cast("double") / col("rows").cast("double"))
   }
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —

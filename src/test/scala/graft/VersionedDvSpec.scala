@@ -359,4 +359,33 @@ class VersionedDvSpec extends SparkSuite {
       "a MoR update feeds as one pre/post pair, not delete+insert")
     assert(f3.forall(_.getAs[Long]("id") == 30L))
   }
+
+  test("dvDebt: per-file deleted-position fraction from the manifest " +
+      "— the compaction-scheduling signal, cleared by compactCommit") {
+    val dir = tmpDir() + "/dv-debt"
+    rangedTable(dir) // 4 files x 10 rows with ~r row counts recorded
+    val clean = Versioned.dvDebt(spark, dir).collect()
+    assert(clean.length == 4 && clean.forall(r =>
+      r.getAs[Long]("deleted") == 0L &&
+        r.getAs[Double]("fraction") == 0.0))
+    // two stacked deletes against the [10,20) file: 5 + 2 positions
+    Versioned.deleteWhereMor(spark, dir, col("id").between(10, 14))
+    Versioned.deleteWhereMor(spark, dir, col("id").between(15, 16))
+    val debt = Versioned.dvDebt(spark, dir).collect()
+      .map(r => (r.getAs[Long]("deleted"), r.getAs[Double]("fraction")))
+    val hot = debt.filter(_._1 > 0L)
+    assert(hot.toSeq == Seq((7L, 0.7)),
+      s"expected one file at 7/10 debt, got ${debt.toSeq}")
+    // the policy read: which files pay for a rewrite at a threshold
+    assert(Versioned.dvDebt(spark, dir)
+      .filter(col("fraction") >= 0.3).count() == 1)
+    assert(Versioned.dvDebt(spark, dir)
+      .filter(col("fraction") >= 0.8).count() == 0)
+    // compaction materializes the DVs: debt returns to zero and the
+    // row count stays exact
+    Versioned.compactCommit(spark, dir)
+    val after = Versioned.dvDebt(spark, dir).collect()
+    assert(after.forall(_.getAs[Long]("deleted") == 0L))
+    assert(Versioned.read(spark, dir).count() == 33)
+  }
 }
