@@ -388,4 +388,37 @@ class VersionedDvSpec extends SparkSuite {
     assert(after.forall(_.getAs[Long]("deleted") == 0L))
     assert(Versioned.read(spark, dir).count() == 33)
   }
+
+  test("100 stacked deletion vectors on one file: reads stay exact, " +
+      "the metadata count stays exact, and dvDebt reports the full " +
+      "stack — the retention-drip worst case") {
+    val dir = tmpDir() + "/dv-stack"
+    // 400 rows in 4 range files of 100; every point delete below hits
+    // file [0,100), so its DVs stack 100 deep — the nightly-drip shape
+    // a DV-based format must survive between compactions
+    val df = (0L until 400L).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+    Versioned.commitWithStats(spark, dir, df, "id")
+    for (k <- 0L until 100L)
+      Versioned.deleteWhereMor(spark, dir, col("id") === k)
+    assert(Versioned.latestVersion(spark, dir).contains(100))
+    val head = Versioned.latestVersion(spark, dir).get
+    assert(dvLines(dir, head).size == 100, "one DV pointer per delete")
+    // the read unions all 100 position sidecars and stays exact
+    assert(ids(dir) == (100L until 400L))
+    // so does the manifest-only count (base rows minus DV positions)
+    assert(Versioned.rowCountFromMetadata(spark, dir).contains(300L))
+    // the advisor sees the whole stack concentrated on one file
+    val debt = Versioned.dvDebt(spark, dir).collect()
+      .map(r => (r.getAs[Long]("deleted"), r.getAs[Double]("fraction")))
+    assert(debt.count(_._1 > 0L) == 1 && debt.contains((100L, 1.0)),
+      s"expected one fully-deleted file, got ${debt.toSeq}")
+    // one compaction clears the whole stack; history stays travelable
+    Versioned.compactCommit(spark, dir)
+    assert(ids(dir) == (100L until 400L))
+    assert(Versioned.dvDebt(spark, dir).collect()
+      .forall(_.getAs[Long]("deleted") == 0L))
+    assert(Versioned.read(spark, dir, Some(50)).count() == 350,
+      "mid-stack versions must remain time-travelable")
+  }
 }
