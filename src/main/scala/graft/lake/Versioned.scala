@@ -1652,10 +1652,14 @@ object Versioned {
     *    cost that lets plain appends converge under contention. This
     *    is how the op survives APPEND TRAFFIC: an appender can win
     *    every scan-sized window, but not every manifest-sized one.
+    *    Serialization: the update is "as of its scan" — interleaved
+    *    appends carry untouched even where the predicate would have
+    *    selected their rows (serializes as update-then-append, the
+    *    SAME carry rule [[deleteWhere]] documents for its appends).
     *  - RE-DERIVE: an interleaved commit that did touch a scanned
     *    file (CoW DML, replace, compaction, another MoR op, a CHECK
     *    change) invalidates the staged positions; re-prune, re-scan
-    *    and re-stage from the new head — the result serializes as
+    *    and re-stage from the new head — that retry serializes as
     *    "the interleaved commits, then this update".
     * Sustained contention past the attempt bound throws
     * [[CommitConflictException]], as does a lost race on an
@@ -2629,6 +2633,24 @@ object Versioned {
     }.toDF("file", "rows", "deleted")
       .withColumn("fraction",
         col("deleted").cast("double") / col("rows").cast("double"))
+  }
+
+  /** The newest retained version whose COMMIT INSTANT (the manifest
+    * file's modification time — set by the publish rename) is at or
+    * before `micros` (epoch microseconds, the unit Spark's V2
+    * `TIMESTAMP AS OF` hook passes). None when the table's entire
+    * retained history is newer. Pure metadata: one directory of
+    * small-file stats, no data I/O — same cost class as [[history]].
+    */
+  def versionAsOfTimestamp(spark: SparkSession, dir: String,
+      micros: Long): Option[Int] = {
+    val fs = fileSystem(spark, dir)
+    val latest = latestVersion(spark, dir).getOrElse(return None)
+    val millis = micros / 1000L
+    (0 to latest).reverseIterator.find(v =>
+      fs.exists(manifestPath(dir, v)) &&
+        fs.getFileStatus(manifestPath(dir, v))
+          .getModificationTime <= millis)
   }
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —

@@ -67,6 +67,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def dirOf(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
+  /** The identifier's table directory — [[GraftCtasCommand]] commits
+    * straight into it. */
+  private[sql] def tableDir(ident: Identifier): String = dirOf(ident)
+
   private def isTableDir(dir: String): Boolean = {
     val m = new Path(dir, "_manifest")
     fs(m).exists(m)
@@ -110,6 +114,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other => other
     }
   }
+
+  /** `TIMESTAMP AS OF <t>` — Spark passes epoch MICROSECONDS; the
+    * table pins the newest version committed at or before it
+    * ([[Versioned.versionAsOfTimestamp]] — manifest mtimes, the
+    * commit instants [[Versioned.history]] reports). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTable(ident) match {
+      case t: GraftTable =>
+        val v = Versioned.versionAsOfTimestamp(session, t.dir, timestamp)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version of ${t.name()} was committed at or before " +
+              s"timestamp $timestamp (epoch microseconds)"))
+        t.copy(asOfVersion = Some(v))
+      case other => other
+    }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -220,7 +239,9 @@ final case class GraftTable(fullName: String, dir: String,
 
   override def name(): String = fullName
 
-  override def schema(): StructType =
+  // resolved once per loadTable: Table.schema() is consulted
+  // repeatedly during analysis, and each evaluation is a manifest read
+  override lazy val schema: StructType =
     Versioned.read(SparkSession.active, dir, asOfVersion).schema
 
   override def capabilities(): util.Set[TableCapability] =

@@ -104,11 +104,30 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case None => a
         }
 
+      // CREATE TABLE AS SELECT: the V2 CTAS exec path demands write
+      // capabilities / a staging catalog; route it to the operator
+      // instead — one commit creates the table WITH the query's rows
+      // (v0 carries the data, exactly what a Scala caller's first
+      // commit publishes)
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+          if c.query.resolved => c.name match {
+        case org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+            cat: GraftCatalog, ident) =>
+          require(c.partitioning.isEmpty,
+            "graft tables take no partition transforms — cluster files " +
+              "with Versioned.compactCommit(clusterBy = …) instead")
+          GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists)
+        case _ => c
+      }
+
       case o: OverwriteByExpression if o.resolved =>
         graftTableOf(o.table) match {
           case Some(g) =>
-            require(o.deleteExpr == Literal(true) ||
-              o.deleteExpr.foldable, // TRUNCATE-style overwrite only
+            // TRUNCATE-style overwrite only: the delete expression
+            // must provably select EVERYTHING — treating a narrower
+            // predicate as full replace would silently drop rows
+            require(o.deleteExpr.foldable &&
+              o.deleteExpr.eval() == true,
               "graft INSERT OVERWRITE replaces the whole table; " +
                 "row-level replacement is DELETE + INSERT or MERGE")
             GraftAppendCommand(g.dir, o.table.output.map(_.name),
@@ -256,6 +275,29 @@ final case class GraftUpdateCommand(dir: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     Versioned.updateWhere(session, dir, condition, assignments)
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE AS SELECT` → one [[Versioned.commit]] that creates
+  * the table with the query's rows (v0 carries the data). The
+  * identifier must not already name a table unless `IF NOT EXISTS`
+  * asked for the no-op. */
+final case class GraftCtasCommand(catalog: GraftCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    @transient query: LogicalPlan, ignoreIfExists: Boolean)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+        (catalog.name() +: ident.namespace().toSeq :+ ident.name())
+          .mkString("."))
+    }
+    Versioned.commit(session, catalog.tableDir(ident),
+      ColumnBridge.ofRows(session, query))
     Seq.empty
   }
 }

@@ -76,6 +76,42 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("CTAS creates the table with the query's rows; TIMESTAMP AS OF " +
+      "answers from commit instants") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.c AS " +
+        "SELECT id, id * 2 AS v FROM range(10)")
+      assert(s.sql("SELECT sum(v) FROM graft.db.c").head().getLong(0)
+        == 90L)
+      // CTAS publishes ONE commit: v0 carries the data
+      assert(Versioned.latestVersion(s, s"$wh/db/c").contains(0))
+      intercept[Exception](
+        s.sql("CREATE TABLE graft.db.c AS SELECT 1L AS x"))
+      s.sql("CREATE TABLE IF NOT EXISTS graft.db.c AS " +
+        "SELECT 1L AS id, 1L AS v") // exists: no-op, nothing committed
+      assert(s.sql("SELECT count(*) FROM graft.db.c").head().getLong(0)
+        == 10L)
+      // timestamp travel: pin an instant between v0 and v1
+      Thread.sleep(60)
+      val mid = java.time.Instant.now().toString
+      Thread.sleep(60)
+      s.sql("INSERT INTO graft.db.c VALUES (100, 200)") // v1
+      assert(s.sql("SELECT count(*) FROM graft.db.c").head().getLong(0)
+        == 11L)
+      assert(s.sql(
+        s"SELECT count(*) FROM graft.db.c TIMESTAMP AS OF '$mid'")
+        .head().getLong(0) == 10L,
+        "TIMESTAMP AS OF must resolve to the version committed before it")
+      val e = intercept[Exception](s.sql("SELECT * FROM graft.db.c " +
+        "TIMESTAMP AS OF '1999-01-01T00:00:00Z'").collect())
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .exists(t => Option(t.getMessage)
+          .exists(_.contains("at or before"))), e.getMessage)
+    }
+  }
+
   test("DELETE FROM / UPDATE / MERGE INTO route to the Versioned " +
       "operators and match their row semantics") {
     withCatalogSession { (s, wh) =>
