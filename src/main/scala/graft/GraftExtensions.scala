@@ -46,6 +46,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // claims the plans before Spark's V2 row-level rewrites and
     // capability checks would reject them.
     ext.injectResolutionRule(session => graft.sql.GraftSqlRule(session))
+    // Table-valued functions over the lake — the products that are
+    // PLANS, not rows: the row-level change feed is delta-sized and
+    // must stay a distributed scan (a CALL procedure's LocalScan
+    // channel would collect it to the driver), and history-as-a-table
+    // lets SQL join/filter the audit log. Arguments are literals; the
+    // target is a table directory or a 'catalog.db.t' name resolved
+    // through the session's V2 catalogs.
+    tableFunctions.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        args =>
+          try builder(args)
+          catch {
+            case _: MatchError => throw new IllegalArgumentException(
+              s"invalid number of arguments for table function $name: " +
+                s"got ${args.length}; see graft.GraftExtensions")
+          }))
+    }
   }
 }
 
@@ -152,6 +171,65 @@ object GraftExtensions {
       }.flatten
       BpeEncodeExpr(s, merges)
     })
+
+  /** name → plan builder for the lake's table-valued functions.
+    *
+    *  - `graft_table_changes(target, from, to, 'k1,k2')` — the
+    *    row-level change feed over `(from, to]`
+    *    ([[graft.lake.Versioned.changesBetween]]): table columns plus
+    *    `_change_type` / `_commit_version`, AS A DISTRIBUTED PLAN —
+    *    appends contribute pure scans of their new files, cost
+    *    O(delta) however large the table.
+    *  - `graft_history(target)` — the audit log as a queryable table.
+    *
+    * `target`: a table directory path (contains `/`) or a
+    * `'catalog.db.t'` name resolved through the session's registered
+    * V2 catalogs (the catalog must be a [[graft.sql.GraftCatalog]]).
+    * The plan is built at analysis time from the manifests — the
+    * same eager shape `Versioned` gives Scala callers.
+    */
+  val tableFunctions: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "graft_table_changes" -> { case Seq(t, from, to, keys) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.lake.Versioned.changesBetween(spark,
+          resolveTargetDir(spark, strLit(t, "target table")),
+          intLit(from, "fromVersion"), intLit(to, "toVersion"),
+          strLit(keys, "key columns").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq)
+        .queryExecution.analyzed
+    },
+    "graft_history" -> { case Seq(t) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.lake.Versioned.history(spark,
+          resolveTargetDir(spark, strLit(t, "target table")))
+        .queryExecution.analyzed
+    })
+
+  /** A TVF target string → the table directory: a path stays a path;
+    * `catalog.db.t` resolves through the session's V2 catalogs. */
+  private def resolveTargetDir(spark: org.apache.spark.sql.SparkSession,
+      target: String): String =
+    if (target.contains("/")) target
+    else target.split('.') match {
+      case parts if parts.length >= 2 && parts.forall(_.nonEmpty) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .v2Catalog(spark, parts.head) match {
+          case g: graft.sql.GraftCatalog =>
+            val ident =
+              org.apache.spark.sql.connector.catalog.Identifier.of(
+                parts.tail.init, parts.last)
+            require(g.tableExists(ident),
+              s"table '$target' not found in catalog ${parts.head}")
+            g.tableDir(ident)
+          case other => throw new IllegalArgumentException(
+            s"catalog '${parts.head}' is not a graft catalog: " +
+              other.getClass.getName)
+        }
+      case _ => throw new IllegalArgumentException(
+        s"bad target '$target': expected a table directory path or " +
+          "'catalog.db.t'")
+    }
 
   private def longLit(e: Expression, what: String): Long = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong

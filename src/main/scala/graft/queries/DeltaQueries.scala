@@ -1222,6 +1222,119 @@ object DeltaQueries {
       |WHERE o_orderkey % 2 = 0 OR o_orderkey % 2 = 1
       |ORDER BY flow, o_orderkey, o_totalprice""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  // SQL maintenance surface of the lake (ProcedureCatalog + the
+  // change-feed table-valued function): a full table LIFECYCLE —
+  // CTAS (v0) → INSERT of shifted keys (v1) → quartile-band DELETE
+  // (v2) → `CALL graft.system.restore('db.mnt', 1)` (v3) — driven
+  // through spark.sql alone, then AUDITED from SQL: the result is the
+  // row-level change feed over (0, head] via graft_table_changes,
+  // aggregated per (commit, change type). The feed must show exactly
+  // insert(appended) / delete(band) / insert(band again — the restore
+  // resurrects what the delete removed), which the DuckDB oracle
+  // replays as slice arithmetic. Scale pins in-query: the feed plan
+  // stays DISTRIBUTED (no collected LocalRelation — appends plan as
+  // file scans, cost O(delta) at any table size), and the maintenance
+  // verbs route through the Versioned operators (history op audit).
+  // Conditional corpora: an empty orders table stops at v0 (empty
+  // feed); a band no key falls in stops at v1 (insert-only feed) —
+  // the oracle's CTEs empty out identically.
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sql-maint")
+    val priorDefault = SparkSession.getDefaultSession
+    val priorActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", tmp.toString)
+      .getOrCreate()
+    try {
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      t(ext, dir, "orders").select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q146_src")
+      ext.sql("CREATE TABLE graft.db.mnt AS " +
+        "SELECT o_orderkey, o_totalprice FROM q146_src")          // v0
+      val tableDir = s"$tmp/db/mnt"
+      val mm = ext.sql(
+        "SELECT min(o_orderkey), max(o_orderkey) FROM q146_src").head()
+      if (!mm.isNullAt(0)) {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        // appended keys shift above the whole base span (injective,
+        // collision-free even with negative keys)
+        ext.sql("INSERT INTO graft.db.mnt " +
+          s"SELECT o_orderkey + ${mx - mn + 1L} AS o_orderkey, " +
+          "o_totalprice FROM q146_src WHERE o_orderkey % 3 = 0")  // v1
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        ext.sql("DELETE FROM graft.db.mnt " +
+          s"WHERE o_orderkey BETWEEN $lo AND $hi")          // v2 (cond)
+        if (Versioned.latestVersion(ext, tableDir).contains(2)) {
+          val v = ext.sql("CALL graft.system.restore('db.mnt', 1)")
+            .head().getInt(0)                                     // v3
+          require(v == 3, s"restore published v$v, expected 3")
+          val ops = Versioned.history(ext, tableDir).collect()
+            .map(_.getAs[String]("operation")).toSet
+          require(ops.contains("delete") && ops.contains("restore(v1)"),
+            s"SQL maintenance did not route through the Versioned " +
+              s"operators: $ops")
+        }
+      }
+      val head = Versioned.latestVersion(ext, tableDir).get
+      val feed = ext.sql("SELECT _commit_version, _change_type, " +
+        "count(*) AS n, " +
+        // Q.centsSum in SQL; CAST to DOUBLE because Spark parses the
+        // 100.0 literal as DECIMAL (DuckDB's oracle side reads double)
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)" +
+        "/100.0 AS amt " +
+        s"FROM graft_table_changes('graft.db.mnt', 0, $head, " +
+        "'o_orderkey') GROUP BY _commit_version, _change_type " +
+        "ORDER BY _commit_version, _change_type")
+      // the feed is a PLAN over the table's files, not collected rows
+      val locals = feed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if l.data.nonEmpty => l
+      }
+      require(locals.isEmpty,
+        "change-feed TVF collapsed to a collected LocalRelation")
+      feed.localCheckpoint(true)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      priorDefault.foreach(SparkSession.setDefaultSession)
+      priorActive.foreach(SparkSession.setActiveSession)
+      Q.deleteRecursively(tmp)
+    }
+  }
+
+  private val q146Sql =
+    """WITH span AS (
+      |  SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+      |), a AS (
+      |  SELECT o_orderkey + (SELECT mx - mn + 1 FROM span) AS k,
+      |         o_totalprice AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), d AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      |  WHERE o_orderkey
+      |    BETWEEN (SELECT mn + (mx - mn) // 4 FROM span)
+      |        AND (SELECT mn + (mx - mn) // 2 FROM span)
+      |), feed AS (
+      |  SELECT 1 AS _commit_version, 'insert' AS _change_type, k, p
+      |  FROM a
+      |  UNION ALL
+      |  SELECT 2, 'delete', k, p FROM d
+      |  UNION ALL
+      |  SELECT 3, 'insert', k, p FROM d
+      |)
+      |SELECT _commit_version, _change_type, count(*) AS n,
+      |       sum(CAST(round(p*100) AS BIGINT))/100.0 AS amt
+      |FROM feed
+      |GROUP BY _commit_version, _change_type
+      |ORDER BY _commit_version, _change_type""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1247,7 +1360,8 @@ object DeltaQueries {
     "q142_lake_retention_delete" -> (q142 _),
     "q143_lake_bloom_point_delete" -> (q143 _),
     "q144_lake_metadata_count" -> (q144 _),
-    "q145_sql_lake_dml" -> (q145 _))
+    "q145_sql_lake_dml" -> (q145 _),
+    "q146_sql_lake_maintenance" -> (q146 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1272,5 +1386,6 @@ object DeltaQueries {
     "q142_lake_retention_delete" -> q142Sql,
     "q143_lake_bloom_point_delete" -> q143Sql,
     "q144_lake_metadata_count" -> q144Sql,
-    "q145_sql_lake_dml" -> q145Sql)
+    "q145_sql_lake_dml" -> q145Sql,
+    "q146_sql_lake_maintenance" -> q146Sql)
 }

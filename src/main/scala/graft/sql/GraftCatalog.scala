@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,7 +45,8 @@ import graft.lake.Versioned
   * concurrently. All filesystem access goes through the table's
   * Hadoop `FileSystem`, exactly like the lake itself.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -68,8 +70,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
   /** The identifier's table directory — [[GraftCtasCommand]] commits
-    * straight into it. */
-  private[sql] def tableDir(ident: Identifier): String = dirOf(ident)
+    * straight into it; procedures and the table-valued functions
+    * resolve their `'db.t'` arguments through it. */
+  private[graft] def tableDir(ident: Identifier): String = dirOf(ident)
 
   private def isTableDir(dir: String): Boolean = {
     val m = new Path(dir, "_manifest")
@@ -170,6 +173,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .mkString("."))
     require(fs(from).rename(from, to), s"rename $from -> $to failed")
   }
+
+  // -------------------------------------------------------- procedures
+
+  /** `CALL graft.system.<proc>(…)` — the maintenance verbs
+    * ([[GraftProcedures]]: history / restore / expire / compact /
+    * dv_debt), each routing to the same [[Versioned]] operator the
+    * Scala API calls. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = GraftProcedures.names.mkString(", ")
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace: " +
+        s"CALL ${name()}.system.<proc> — known: $known")
+    GraftProcedures.load(this, ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name()}' — known: $known"))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // -------------------------------------------------------- namespaces
 

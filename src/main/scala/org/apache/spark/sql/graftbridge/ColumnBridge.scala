@@ -23,4 +23,12 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
+
+  /** The session's registered V2 catalog by name (`sessionState` is
+    * `private[sql]` in Spark 4) — the table-valued functions resolve
+    * `'catalog.db.t'` strings through it. */
+  def v2Catalog(session: org.apache.spark.sql.SparkSession,
+      name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name)
 }

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.Versioned
+
+/** SQL maintenance surface of the lake: `CALL graft.system.<proc>`
+  * ([[graft.sql.GraftProcedures]], Spark 4's V2 `ProcedureCatalog`
+  * hook) and the table-valued functions `graft_history` /
+  * `graft_table_changes` ([[GraftExtensions]]). Each must route to
+  * the same [[Versioned]] operator the Scala API calls and return
+  * the same rows; the change-feed TVF must additionally stay a
+  * DISTRIBUTED plan (no LocalRelation — a collected feed would cap
+  * at driver memory, and the feed is delta-sized by contract).
+  */
+class GraftProceduresSpec extends SparkSuite {
+
+  private def withCatalogSession[A](f: (SparkSession, String) => A): A = {
+    spark
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val wh = tmpDir() + "/wh"
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .getOrCreate()
+    try f(ext, wh)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("CALL history/restore/dv_debt/compact/expire route to the " +
+      "Versioned operators") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.t AS SELECT id, id * 10 AS v " +
+        "FROM range(100)")                                        // v0
+      s.sql("INSERT INTO graft.db.t SELECT id, id FROM " +
+        "range(100, 120)")                                        // v1
+      val dir = s"$wh/db/t"
+
+      // history: same rows as the Scala API, queryable as CALL output
+      val called = s.sql("CALL graft.system.history('db.t')").collect()
+      val direct = Versioned.history(s, dir).collect()
+      assert(called.map(_.getInt(0)).toSeq ==
+        direct.map(_.getInt(0)).toSeq)                   // versions
+      assert(called.map(_.getString(1)).toSeq ==
+        direct.map(_.getString(1)).toSeq)                // operations
+      assert(called.head.getInt(0) == 1 &&
+        called.last.getInt(0) == 0)
+
+      // dv_debt after a MoR delete names the DV'd file
+      Versioned.deleteWhereMor(s, dir,
+        org.apache.spark.sql.functions.col("id") < 10)            // v2
+      val debt = s.sql(
+        "CALL graft.system.dv_debt('db.t')").collect()
+      assert(debt.exists(r => r.getLong(2) == 10L),
+        s"dv_debt must report the 10 deleted positions: " +
+          debt.mkString(", "))
+
+      // compact materializes the DV (debt returns to zero) as v3
+      val v3 = s.sql("CALL graft.system.compact('db.t')")
+        .head().getInt(0)
+      assert(v3 == 3)
+      assert(s.sql("CALL graft.system.dv_debt('db.t')").collect()
+        .forall(_.getLong(2) == 0L))
+      assert(s.sql("SELECT count(*) FROM graft.db.t").head()
+        .getLong(0) == 110L)
+
+      // restore back to v1's state (pre-delete), as NEW version 4
+      val v4 = s.sql("CALL graft.system.restore('db.t', 1)")
+        .head().getInt(0)
+      assert(v4 == 4)
+      assert(s.sql("SELECT count(*) FROM graft.db.t").head()
+        .getLong(0) == 120L)
+
+      // expire keeps the newest 2: older manifests drop, and the
+      // pre-compaction files (no longer referenced) are collected
+      val exp = s.sql("CALL graft.system.expire('db.t', 2)").head()
+      assert(exp.getInt(0) == 3,
+        s"expected manifests v0..v2 dropped, got ${exp.getInt(0)}")
+      assert(Versioned.latestVersion(s, dir).contains(4))
+      intercept[Exception](
+        s.sql("SELECT * FROM graft.db.t VERSION AS OF 0").collect())
+
+      // argument validation fails loudly
+      val e = intercept[Exception](
+        s.sql("CALL graft.system.history('db.nope')").collect())
+      assert(e.getMessage.contains("not found"))
+      val u = intercept[Exception](
+        s.sql("CALL graft.system.frobnicate('db.t')").collect())
+      assert(u.getMessage.contains("unknown procedure") ||
+        u.getMessage.contains("frobnicate"))
+    }
+  }
+
+  test("graft_table_changes and graft_history are table-valued " +
+      "functions; the change feed stays a distributed plan") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.c AS SELECT id, id * 2 AS v " +
+        "FROM range(10)")                                         // v0
+      s.sql("INSERT INTO graft.db.c VALUES (100, 1)")             // v1
+      s.sql("UPDATE graft.db.c SET v = 0 WHERE id = 3")           // v2
+      val dir = s"$wh/db/c"
+
+      // catalog-name resolution and dir-path resolution agree
+      val byName = s.sql("SELECT * FROM graft_table_changes(" +
+        "'graft.db.c', 0, 2, 'id') ORDER BY _commit_version, " +
+        "_change_type, id").collect()
+      val byDir = s.sql(s"SELECT * FROM graft_table_changes(" +
+        s"'$dir', 0, 2, 'id') ORDER BY _commit_version, " +
+        "_change_type, id").collect()
+      assert(byName.toSeq == byDir.toSeq)
+      // and both match the Scala API's feed
+      val direct = Versioned.changesBetween(s, dir, 0, 2, Seq("id"))
+        .orderBy("_commit_version", "_change_type", "id").collect()
+      assert(byName.toSeq == direct.toSeq)
+      // the feed really carries the three commits' deltas
+      assert(byName.exists(r =>
+        r.getAs[String]("_change_type") == "insert" &&
+          r.getAs[Long]("id") == 100L))
+      assert(byName.exists(r =>
+        r.getAs[String]("_change_type") == "update_postimage" &&
+          r.getAs[Long]("id") == 3L && r.getAs[Long]("v") == 0L))
+
+      // SQL composes over the TVF (filter + aggregate)
+      assert(s.sql("SELECT count(*) FROM graft_table_changes(" +
+        "'graft.db.c', 1, 2, 'id') WHERE _change_type LIKE 'update%'")
+        .head().getLong(0) == 2L)
+
+      // scale shape: the feed must NOT be a collected LocalRelation —
+      // appends plan as file scans (cost O(delta), distributed)
+      val feedPlan = s.sql("SELECT * FROM graft_table_changes(" +
+        "'graft.db.c', 0, 1, 'id')").queryExecution.optimizedPlan
+      def hasLocal(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+        p.collect {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+              if l.data.nonEmpty => l
+        }.nonEmpty
+      assert(!hasLocal(feedPlan),
+        s"change feed collapsed to LocalRelation:\n$feedPlan")
+
+      // history TVF: joinable/filterable audit log
+      assert(s.sql("SELECT count(*) FROM graft_history('graft.db.c') " +
+        "WHERE operation = 'update'").head().getLong(0) == 1L)
+      assert(s.sql("SELECT max(version) FROM graft_history('graft.db.c')")
+        .head().getInt(0) == 2)
+
+      // arity and argument validation fail loudly
+      val e = intercept[Exception](
+        s.sql("SELECT * FROM graft_table_changes('graft.db.c')")
+          .collect())
+      assert(e.getMessage.contains("graft_table_changes") ||
+        e.getMessage.contains("arguments"))
+    }
+  }
+}
