@@ -218,6 +218,14 @@ object Stress {
       // and the bloom point delete (index build is one pass over the
       // scaled corpus; the point lookup itself must stay O(1) files)
       "q142_lake_retention_delete", "q143_lake_bloom_point_delete",
+      // SQL surface (round 12): the same DML/maintenance operators
+      // driven through the catalog + analysis rule — route overhead
+      // must stay a constant (session + parse + rule), with the data
+      // cost tracking the underlying operator's slope. q147 is the
+      // general clause engine (conditional matched/NMBS rewrite +
+      // anti-join inserts) over the scaled orders
+      "q145_sql_lake_dml", "q146_sql_lake_maintenance",
+      "q147_sql_general_merge",
       // metadata-only COUNT(*): manifest arithmetic + one DV-sidecar
       // read — the answer must stay flat however the data grows
       "q144_lake_metadata_count",

@@ -1870,34 +1870,8 @@ object Versioned {
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"key column '$k' not in table schema " +
           schema.fieldNames.mkString("[", ", ", "]")))
-      // 1. stat prune on the single-key range when the manifest has it.
-      // Only for key types whose long encoding the stats understand
-      // (integrals/date plain, timestamp in microseconds — matching
-      // [[stage]]'s recorded unit exactly); any other key type skips
-      // the prune rather than compare apples to oranges (a string key
-      // under a blind cast-to-long would have "proved" no file can
-      // match and silently turned the merge into a duplicate-key
-      // insert).
-      val candidates =
-        if (keyCols.size == 1 &&
-            (statWidth(src.schema(keyCols.head).dataType) > 0 ||
-              microsCol(src.schema, keyCols.head))) {
-          val k = keyCols.head
-          val micros = microsCol(src.schema, k)
-          val kExpr =
-            if (micros) org.apache.spark.sql.functions.unix_micros(col(k))
-            else col(k).cast("long")
-          val r = src.agg(min(kExpr), max(kExpr)).head()
-          if (r.isNullAt(0)) Nil // only NULL keys: nothing can match
-          else {
-            val (lo, hi) = (r.getLong(0), r.getLong(1))
-            m.lines.filter { l =>
-              !parseStatsFull(l)._2.exists(g =>
-                g.col == k && g.micros == micros &&
-                  (g.max < lo || g.min > hi))
-            }
-          }
-        } else m.lines
+      // 1. stat prune on the single-key range when the manifest has it
+      val candidates = keyRangeCandidates(src, keyCols, m)
       // 2. refine to files actually holding a matched key — visible
       // rows only (a DV-deleted row's key no longer matches anything)
       val matchedRel: Set[String] =
@@ -1935,6 +1909,49 @@ object Versioned {
     } finally { src.unpersist(); () }
   }
 
+  /** The manifest lines a merge source's key ranges cannot rule out —
+    * the stat prune [[mergeInto]] and [[mergeApply]] share. Prunes on
+    * EVERY key column whose long encoding the stats understand
+    * (integrals/date plain, timestamp in microseconds — matching
+    * [[stage]]'s recorded unit exactly): a file survives only if each
+    * such column's recorded [min,max] intersects the source's range
+    * for it (a per-column bounding box — sound because a matching
+    * row must equal the source on ALL key columns). Any other key
+    * type skips its column rather than compare apples to oranges (a
+    * string key under a blind cast-to-long would have "proved" no
+    * file can match and silently turned an upsert into a
+    * duplicate-key insert). One driver-visible agg over the
+    * delta-sized source covers every encodable column; a key column
+    * that is entirely NULL in the source proves no row can match at
+    * all (SQL equality), so the candidate set is empty. */
+  private def keyRangeCandidates(src: DataFrame, keyCols: Seq[String],
+      m: Manifest): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val encodable = keyCols.filter(k =>
+      statWidth(src.schema(k).dataType) > 0 || microsCol(src.schema, k))
+    if (encodable.isEmpty) return m.lines
+    val aggs = encodable.flatMap { k =>
+      val kExpr =
+        if (microsCol(src.schema, k))
+          org.apache.spark.sql.functions.unix_micros(col(k))
+        else col(k).cast("long")
+      Seq(min(kExpr), max(kExpr))
+    }
+    val r = src.agg(aggs.head, aggs.tail: _*).head()
+    if (encodable.indices.exists(i => r.isNullAt(2 * i)))
+      return Nil // an all-NULL key column: nothing can match
+    val ranges = encodable.zipWithIndex.map { case (k, i) =>
+      (k, microsCol(src.schema, k), r.getLong(2 * i), r.getLong(2 * i + 1))
+    }
+    m.lines.filter { l =>
+      val gs = parseStatsFull(l)._2
+      !ranges.exists { case (k, micros, lo, hi) =>
+        gs.exists(g => g.col == k && g.micros == micros &&
+          (g.max < lo || g.min > hi))
+      }
+    }
+  }
+
   /** Null-fill and reorder `df` to exactly `schema`'s columns (the
     * evolved-union alignment both DML rewrites need). */
   private def alignTo(df: DataFrame, schema: StructType): DataFrame = {
@@ -1944,6 +1961,273 @@ object Versioned {
       if (have.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+  }
+
+  /** One clause of a general [[mergeApply]] — the full SQL MERGE
+    * clause algebra. Conditions and assignment values are `Column`
+    * expressions over the merge's JOINED row: target columns by bare
+    * name, source columns through the `__s` struct
+    * (`col("__s.price")`). `WHEN NOT MATCHED` clauses see only `__s`;
+    * `WHEN NOT MATCHED BY SOURCE` clauses see only target columns.
+    * A `None` condition is unconditional. */
+  sealed trait MergeClause extends Serializable
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, …` */
+  final case class WhenMatchedUpdate(condition: Option[Column],
+      assignments: Map[String, Column]) extends MergeClause
+  /** `WHEN MATCHED [AND cond] THEN DELETE` */
+  final case class WhenMatchedDelete(condition: Option[Column])
+    extends MergeClause
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)`
+    * — unassigned target columns insert NULL. */
+  final case class WhenNotMatchedInsert(condition: Option[Column],
+      values: Map[String, Column]) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …` */
+  final case class WhenNotMatchedBySourceUpdate(condition: Option[Column],
+      assignments: Map[String, Column]) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` */
+  final case class WhenNotMatchedBySourceDelete(condition: Option[Column])
+    extends MergeClause
+
+  /** General MERGE INTO — the full SQL clause algebra ([[MergeClause]]:
+    * conditional matched UPDATE/DELETE, conditional NOT MATCHED
+    * INSERT, NOT MATCHED BY SOURCE UPDATE/DELETE), copy-on-write,
+    * first-true-clause-wins within each group (the SQL evaluation
+    * order). Where [[mergeInto]] is the schema-evolving upsert fast
+    * path, this is the row-level rewrite engine behind everything
+    * else `MERGE` can say.
+    *
+    * Scale shape — the same O(affected files) contract as the other
+    * CoW DML, derived per clause GROUP:
+    *  1. MATCHED clauses can only touch files the SOURCE's key range
+    *     admits ([[keyRangeCandidates]] — stat prune, zero I/O).
+    *  2. NOT MATCHED BY SOURCE clauses can only touch files their own
+    *     conditions admit ([[pruneWithIndex]] over the disjunction —
+    *     target-only predicates, so the full stats+bloom pruner
+    *     applies; an unconditional clause admits every file).
+    *  3. One key- and condition-pruned scan of that union REFINES to
+    *     the files actually holding a row some clause APPLIES to;
+    *     only those rewrite (visible rows — existing DVs
+    *     materialize), every other manifest line carries VERBATIM.
+    *  4. INSERT clauses join the source against the key-candidates'
+    *     visible keys (delta × candidate-keys, AQE broadcasts the
+    *     small side): a source row unmatched there is unmatched
+    *     everywhere (files outside the key range cannot hold a
+    *     source key), so the anti join never scans the whole table.
+    *
+    * Semantics: `source` must be key-unique (SQL MERGE cardinality
+    * rule — rejected loudly, like [[mergeInto]]); NULL-keyed source
+    * rows match nothing (SQL equality) and flow to the INSERT
+    * clauses; NULL conditions are not-applied (SQL three-valued
+    * WHERE); the target schema is FIXED — assignments and insert
+    * values must name existing columns, values cast to the column's
+    * type, unassigned insert columns are NULL (use [[mergeInto]] for
+    * the schema-evolving upsert). Interleaved appends carry under the
+    * same as-of-scan doctrine as [[deleteWhere]]: the conflict
+    * surface is the source's claimed KEYS; appended rows a NOT
+    * MATCHED BY SOURCE clause would have selected carry untouched
+    * (the merge serializes before the append). CHECK constraints
+    * validate the staged rows. Returns the new version, or `base`
+    * unchanged when no clause applies anywhere.
+    */
+  def mergeApply(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause],
+      baseVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, when}
+    require(keyCols.nonEmpty, "mergeApply needs at least one key column")
+    require(clauses.nonEmpty, "mergeApply needs at least one clause")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"key column '$k' not in source columns " +
+        source.columns.mkString("[", ", ", "]")))
+    require(!source.columns.contains("__s"),
+      "mergeApply reserves '__s' for the source struct")
+    val matched: Seq[MergeClause] = clauses.collect {
+      case c: WhenMatchedUpdate => c
+      case c: WhenMatchedDelete => c
+    }
+    val notMatched: Seq[WhenNotMatchedInsert] = clauses.collect {
+      case c: WhenNotMatchedInsert => c
+    }
+    val nmbs: Seq[MergeClause] = clauses.collect {
+      case c: WhenNotMatchedBySourceUpdate => c
+      case c: WhenNotMatchedBySourceDelete => c
+    }
+    val fs = fileSystem(spark, dir)
+    val base = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergeApply needs a committed target in $dir — commit a " +
+          "schema (even an empty frame) first"))
+    require(fs.exists(manifestPath(dir, base)),
+      s"version $base not found in $dir")
+    val m = readManifest(fs, dir, base)
+    val schema = versionSchema(spark, dir, m).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $base of $dir has no recorded schema"))
+    require(!schema.fieldNames.contains("__s"),
+      "mergeApply reserves '__s' for the source struct")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column '$k' not in table schema " +
+        schema.fieldNames.mkString("[", ", ", "]")))
+    def assignedCols(c: MergeClause): Iterable[String] = c match {
+      case WhenMatchedUpdate(_, a) => a.keys
+      case WhenNotMatchedBySourceUpdate(_, a) => a.keys
+      case WhenNotMatchedInsert(_, v) => v.keys
+      case _ => Nil
+    }
+    clauses.flatMap(assignedCols).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"merge clause assigns '$c', which is not a table column — " +
+          "the general merge keeps the target schema fixed; use " +
+          "mergeInto for the schema-evolving upsert"))
+    val src = source.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    try {
+      val dup = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count()
+      require(dup == 0, s"mergeApply source has duplicate keys on " +
+        s"(${keyCols.mkString(", ")}): matching one target row with " +
+        "two source rows is nondeterministic (SQL MERGE cardinality " +
+        "rule)")
+      val srcS = src.select(keyCols.map(col) :+
+        struct(src.columns.toSeq.map(col): _*).as("__s"): _*)
+      val isM = col("__s").isNotNull
+      def cnd(o: Option[Column]): Column =
+        coalesce(o.getOrElse(lit(true)), lit(false))
+      // first-true-clause-wins action index over the joined row:
+      // matched clauses at i, NOT MATCHED BY SOURCE at 1000+i
+      val actCol: Column = (
+        matched.zipWithIndex.map { case (c, i) =>
+          val cond = c match {
+            case WhenMatchedUpdate(o, _) => o
+            case WhenMatchedDelete(o) => o
+            case other => throw new IllegalStateException(other.toString)
+          }
+          (isM && cnd(cond), i)
+        } ++
+        nmbs.zipWithIndex.map { case (c, i) =>
+          val cond = c match {
+            case WhenNotMatchedBySourceUpdate(o, _) => o
+            case WhenNotMatchedBySourceDelete(o) => o
+            case other => throw new IllegalStateException(other.toString)
+          }
+          (!isM && cnd(cond), 1000 + i)
+        })
+        .foldRight(lit(-1): Column) { case ((p, i), acc) =>
+          when(p, lit(i)).otherwise(acc)
+        }
+      val deleteActs: Seq[Int] =
+        matched.zipWithIndex.collect {
+          case (_: WhenMatchedDelete, i) => i } ++
+        nmbs.zipWithIndex.collect {
+          case (_: WhenNotMatchedBySourceDelete, i) => 1000 + i }
+      val updateActs: Seq[(Int, Map[String, Column])] =
+        matched.zipWithIndex.collect {
+          case (WhenMatchedUpdate(_, a), i) => (i, a) } ++
+        nmbs.zipWithIndex.collect {
+          case (WhenNotMatchedBySourceUpdate(_, a), i) => (1000 + i, a) }
+      // group-scoped candidates (scale step 1 + 2)
+      val keyCand =
+        if (matched.isEmpty && notMatched.isEmpty) Nil
+        else keyRangeCandidates(src, keyCols, m)
+      val nmbsCand =
+        if (nmbs.isEmpty || m.lines.isEmpty) Nil
+        else {
+          val conds = nmbs.map {
+            case WhenNotMatchedBySourceUpdate(o, _) => o
+            case WhenNotMatchedBySourceDelete(o) => o
+            case other => throw new IllegalStateException(other.toString)
+          }
+          if (conds.exists(_.isEmpty)) m.lines
+          else {
+            val disj = conds.flatten
+              .map(c => coalesce(c, lit(false))).reduce(_ || _)
+            pruneWithIndex(spark, dir, m,
+              resolvedPredicate(spark, schema, disj))
+          }
+        }
+      val candRels =
+        (keyCand.filter(_ => matched.nonEmpty) ++ nmbsCand)
+          .map(parseLine(_)._1).toSet
+      val candidates = m.lines.filter(l =>
+        candRels.contains(parseLine(l)._1))
+      // 3. refine: files actually holding an applied row
+      val touchedRel: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else scanVisible(spark, dir, schema, candidates, m.dvs,
+            keepMeta = true)
+          .join(srcS, keyCols, "left_outer")
+          .filter(actCol =!= -1)
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSet
+      val (touchedLines, untouched) =
+        m.lines.partition(l => touchedRel.contains(parseLine(l)._1))
+      // rewrite the touched files' visible rows under the clause
+      // cascade (second deterministic scan of the same immutable
+      // files — same rows, same join, same actions)
+      val kept: Option[DataFrame] =
+        if (touchedLines.isEmpty) None
+        else {
+          val j = scanVisible(spark, dir, schema, touchedLines, m.dvs)
+            .join(srcS, keyCols, "left_outer")
+          val alive =
+            if (deleteActs.isEmpty) j
+            else j.filter(!actCol.isin(deleteActs.map(Integer.valueOf): _*))
+          Some(alive.select(schema.fieldNames.toSeq.map { c =>
+            updateActs.foldRight(col(c)) { case ((i, as), acc) =>
+              as.get(c) match {
+                case Some(e) => when(actCol === i, e).otherwise(acc)
+                case None => acc
+              }
+            }.cast(schema(c).dataType).as(c)
+          }: _*))
+        }
+      // 4. inserts: source rows matching no candidate key, through
+      // the first applicable NOT MATCHED clause
+      val inserts: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else {
+          val tgtKeys =
+            if (keyCand.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                StructType(keyCols.map(schema(_))))
+            else scanVisible(spark, dir, schema, keyCand, m.dvs)
+              .select(keyCols.head, keyCols.tail: _*)
+          val insAct = notMatched.zipWithIndex
+            .map { case (c, i) => (cnd(c.condition), i) }
+            .foldRight(lit(-1): Column) { case ((p, i), acc) =>
+              when(p, lit(i)).otherwise(acc)
+            }
+          val rows = srcS.join(tgtKeys, keyCols, "left_anti")
+            .withColumn("__act", insAct).filter(col("__act") =!= -1)
+          Some(rows.select(schema.fieldNames.toSeq.map { c =>
+            notMatched.zipWithIndex
+              .foldRight(lit(null).cast(schema(c).dataType): Column) {
+                case ((cl, i), acc) => cl.values.get(c) match {
+                  case Some(e) => when(col("__act") === i, e)
+                    .otherwise(acc)
+                  case None => acc
+                }
+              }.cast(schema(c).dataType).as(c)
+          }: _*))
+        }
+      val hasInserts = inserts.exists(_.limit(1).count() > 0)
+      if (touchedLines.isEmpty && !hasInserts) return base // no-op
+      val stagedDf = (kept, if (hasInserts) inserts else None) match {
+        case (Some(k), Some(i)) => k.unionByName(i)
+        case (Some(k), None) => k
+        case (None, Some(i)) => i
+        case (None, None) => return base
+      }
+      val inherited =
+        touchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
+      val staged = stage(spark, dir, stagedDf, inherited)
+      val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
+      replaceLoop(spark, dir, staged, Some(base),
+        keyCols = Some(keyCols), stagedSchema = schema,
+        carried = untouched,
+        keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)),
+        stagedBlooms = stagedBlooms, op = "merge")
+    } finally { src.unpersist(); () }
   }
 
   /** Absolute scan URI → the manifest-relative path (`data/c-…/part…`):

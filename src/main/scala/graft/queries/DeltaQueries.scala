@@ -1335,6 +1335,100 @@ object DeltaQueries {
       |GROUP BY _commit_version, _change_type
       |ORDER BY _commit_version, _change_type""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  // General MERGE INTO (Versioned.mergeApply via the SQL surface):
+  // the full clause algebra over corpus data — conditional matched
+  // UPDATE (reprice only when the source price is higher), matched
+  // DELETE (everything else the source claims), conditional NOT
+  // MATCHED INSERT (a keyed slice of the source), and NOT MATCHED BY
+  // SOURCE UPDATE/DELETE (zero out one target slice, delete another,
+  // first-true-clause-wins). Target = even orderkeys; source =
+  // %4-multiples repriced ×2 plus the odd keys at half price. The
+  // DuckDB oracle replays every branch as slice arithmetic (exact
+  // IEEE ops: ×2, ×0.5, literal 0), including the SQL subtleties the
+  // clause engine must honor: a NULL-priced matched row fails the
+  // conditional update and falls to the DELETE; negative keys use
+  // sign-safe `% <> 0` oddness. In-query requires pin the routing
+  // (the commit's #op header is the mergeApply publish) and that
+  // history survives row-level rewrites.
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sql-merge2")
+    val priorDefault = SparkSession.getDefaultSession
+    val priorActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", tmp.toString)
+      .getOrCreate()
+    try {
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      t(ext, dir, "orders").select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q147_src")
+      ext.sql("CREATE TABLE graft.db.gm AS " +
+        "SELECT o_orderkey, o_totalprice FROM q147_src " +
+        "WHERE o_orderkey % 2 = 0")                               // v0
+      ext.sql("""MERGE INTO graft.db.gm AS t USING (
+                |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+                |  FROM q147_src WHERE o_orderkey % 4 = 0
+                |  UNION ALL
+                |  SELECT o_orderkey, o_totalprice * 0.5D
+                |  FROM q147_src WHERE o_orderkey % 2 <> 0
+                |) AS s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED AND s.o_totalprice > t.o_totalprice
+                |  THEN UPDATE SET o_totalprice = s.o_totalprice
+                |WHEN MATCHED THEN DELETE
+                |WHEN NOT MATCHED AND s.o_orderkey % 3 = 0
+                |  THEN INSERT (o_orderkey, o_totalprice)
+                |       VALUES (s.o_orderkey, s.o_totalprice)
+                |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 0
+                |  THEN UPDATE SET o_totalprice = CAST(0 AS DOUBLE)
+                |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 7 = 0
+                |  THEN DELETE""".stripMargin)                    // v1
+      val tableDir = s"$tmp/db/gm"
+      val hist = Versioned.history(ext, tableDir).collect()
+      require(hist.map(_.getAs[String]("operation"))
+        .contains("merge") || hist.length == 1,
+        "general MERGE did not publish through Versioned.mergeApply")
+      ext.sql("""SELECT o_orderkey, o_totalprice FROM graft.db.gm
+                |ORDER BY o_orderkey, o_totalprice""".stripMargin)
+        .localCheckpoint(true)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      priorDefault.foreach(SparkSession.setDefaultSession)
+      priorActive.foreach(SparkSession.setActiveSession)
+      Q.deleteRecursively(tmp)
+    }
+  }
+
+  private val q147Sql =
+    """WITH t AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      |  WHERE o_orderkey % 2 = 0
+      |)
+      |SELECT k AS o_orderkey, p2 AS o_totalprice FROM (
+      |  -- matched (k%4=0): update iff 2p > p, else deleted
+      |  SELECT k, p * 2 AS p2 FROM t WHERE k % 4 = 0 AND p * 2 > p
+      |  UNION ALL
+      |  -- not matched by source, first clause: zero out %5 keys
+      |  SELECT k, CAST(0 AS DOUBLE) FROM t
+      |  WHERE k % 4 <> 0 AND k % 5 = 0
+      |  UNION ALL
+      |  -- not matched by source, no clause: carry
+      |  SELECT k, p FROM t
+      |  WHERE k % 4 <> 0 AND k % 5 <> 0 AND k % 7 <> 0
+      |  UNION ALL
+      |  -- not matched: insert the %3 slice of the odd half-price keys
+      |  SELECT o_orderkey, o_totalprice * 0.5 FROM orders
+      |  WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+      |)
+      |ORDER BY o_orderkey, o_totalprice""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1361,7 +1455,8 @@ object DeltaQueries {
     "q143_lake_bloom_point_delete" -> (q143 _),
     "q144_lake_metadata_count" -> (q144 _),
     "q145_sql_lake_dml" -> (q145 _),
-    "q146_sql_lake_maintenance" -> (q146 _))
+    "q146_sql_lake_maintenance" -> (q146 _),
+    "q147_sql_general_merge" -> (q147 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1387,5 +1482,6 @@ object DeltaQueries {
     "q143_lake_bloom_point_delete" -> q143Sql,
     "q144_lake_metadata_count" -> q144Sql,
     "q145_sql_lake_dml" -> q145Sql,
-    "q146_sql_lake_maintenance" -> q146Sql)
+    "q146_sql_lake_maintenance" -> q146Sql,
+    "q147_sql_general_merge" -> q147Sql)
 }

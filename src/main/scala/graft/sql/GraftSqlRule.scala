@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, OverwriteByExpression, Project, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -151,14 +151,21 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** MERGE INTO, restricted to the canonical upsert [[Versioned.mergeInto]]
-    * implements: unconditioned `UPDATE SET *` + `INSERT *` on an
-    * equi-key condition. */
+  /** MERGE INTO. The canonical unconditioned star upsert routes to
+    * [[Versioned.mergeInto]] (the schema-evolving fast path); every
+    * other clause combination — conditional matched UPDATE/DELETE,
+    * conditional NOT MATCHED INSERT, NOT MATCHED BY SOURCE
+    * UPDATE/DELETE, in any order — compiles to the
+    * [[Versioned.MergeClause]] algebra and routes to
+    * [[Versioned.mergeApply]]. Clause expressions cross unresolved
+    * BY NAME like the other DML ([[GraftSqlRule.unresolve]]), with
+    * source-side references rewritten onto the `__s` struct
+    * `mergeApply` exposes — target/source qualification survives the
+    * re-resolution because the two sides live in different
+    * namespaces of the joined row. */
   private def rewriteMerge(m: MergeIntoTable, g: GraftTable): LogicalPlan = {
-    val supported = "graft MERGE INTO supports the upsert shape: ON " +
-      "conjunctions of t.k = s.k, WHEN MATCHED THEN UPDATE SET *, " +
-      "WHEN NOT MATCHED THEN INSERT * — use Versioned.mergeInto for " +
-      "anything else; got: "
+    val supported = "graft MERGE INTO needs ON to be a conjunction " +
+      "of same-named equi-keys (t.k = s.k); got: "
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
     def keysOf(e: Expression): Option[Seq[String]] = e match {
@@ -195,9 +202,54 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
             a.toString)
         }
         GraftMergeCommand(g.dir, m.sourceTable, cols, keys)
-      case other => throw new UnsupportedOperationException(
-        supported + other.toString)
+      case _ =>
+        GraftMergeApplyCommand(g.dir, m.sourceTable, keys,
+          generalClauses(m, sourceOut))
     }
+  }
+
+  /** Compile the analyzed MERGE actions into [[Versioned.MergeClause]]s:
+    * source-side attribute references land on the `__s` struct of the
+    * joined row, target-side references go bare — both re-resolve by
+    * name inside [[Versioned.mergeApply]]. */
+  private def generalClauses(m: MergeIntoTable,
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Seq[Versioned.MergeClause] = {
+    def xlate(e: Expression): Column =
+      ColumnBridge.column(unresolve(e, a =>
+        if (sourceOut.contains(a))
+          UnresolvedAttribute(Seq("__s", a.name))
+        else UnresolvedAttribute.quoted(a.name)))
+    def assigns(as: Seq[Assignment]): Map[String, Column] =
+      as.map {
+        case Assignment(k: Attribute, v) => k.name -> xlate(v)
+        case other => throw new UnsupportedOperationException(
+          "MERGE assignment target must be a plain column: " + other)
+      }.toMap
+    def matchedClause(a: MergeAction): Versioned.MergeClause = a match {
+      case UpdateAction(c, as, _) =>
+        Versioned.WhenMatchedUpdate(c.map(xlate), assigns(as))
+      case DeleteAction(c) => Versioned.WhenMatchedDelete(c.map(xlate))
+      case other => throw new UnsupportedOperationException(
+        "unsupported WHEN MATCHED action: " + other)
+    }
+    def nmbsClause(a: MergeAction): Versioned.MergeClause = a match {
+      case UpdateAction(c, as, _) =>
+        Versioned.WhenNotMatchedBySourceUpdate(c.map(xlate), assigns(as))
+      case DeleteAction(c) =>
+        Versioned.WhenNotMatchedBySourceDelete(c.map(xlate))
+      case other => throw new UnsupportedOperationException(
+        "unsupported WHEN NOT MATCHED BY SOURCE action: " + other)
+    }
+    def insertClause(a: MergeAction): Versioned.MergeClause = a match {
+      case InsertAction(c, as) =>
+        Versioned.WhenNotMatchedInsert(c.map(xlate), assigns(as))
+      case other => throw new UnsupportedOperationException(
+        "unsupported WHEN NOT MATCHED action: " + other)
+    }
+    m.matchedActions.map(matchedClause) ++
+      m.notMatchedActions.map(insertClause) ++
+      m.notMatchedBySourceActions.map(nmbsClause)
   }
 }
 
@@ -226,7 +278,14 @@ object GraftSqlRule {
     * replacement) inline first: a `With` rebuilt over unresolved
     * children recomputes its defs' dataType and throws, and the
     * expanded form re-resolves identically anyway. */
-  private[sql] def unresolve(e: Expression): Expression = {
+  private[sql] def unresolve(e: Expression): Expression =
+    unresolve(e, a => UnresolvedAttribute.quoted(a.name))
+
+  /** As [[unresolve(e:*]], with a caller-chosen attribute mapping —
+    * the MERGE translation routes source-side references onto the
+    * `__s` struct while target-side references stay bare. */
+  private[sql] def unresolve(e: Expression,
+      attr: AttributeReference => Expression): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef, With}
     val expanded = e.transformUp {
       case w: With =>
@@ -236,7 +295,7 @@ object GraftSqlRule {
         }
     }
     expanded.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      case a: AttributeReference => attr(a)
     }
   }
 }
@@ -298,6 +357,21 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     }
     Versioned.commit(session, catalog.tableDir(ident),
       ColumnBridge.ofRows(session, query))
+    Seq.empty
+  }
+}
+
+/** General `MERGE INTO` (conditional / delete / not-matched-by-source
+  * clauses) → [[Versioned.mergeApply]] with the compiled
+  * [[Versioned.MergeClause]] list. */
+final case class GraftMergeApplyCommand(dir: String,
+    @transient source: LogicalPlan, keys: Seq[String],
+    @transient clauses: Seq[Versioned.MergeClause])
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    Versioned.mergeApply(session, dir,
+      ColumnBridge.ofRows(session, source), keys, clauses)
     Seq.empty
   }
 }

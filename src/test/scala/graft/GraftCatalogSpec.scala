@@ -112,6 +112,41 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("general MERGE INTO clause shapes (conditions, DELETE, NOT " +
+      "MATCHED BY SOURCE) route to Versioned.mergeApply") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      (0L until 10L).map(k => (k, k * 10.0)).toDF("k", "v")
+        .createOrReplaceTempView("base")
+      s.sql("CREATE TABLE graft.db.t AS SELECT k, v FROM base")
+      Seq((0L, 100.0), (1L, 5.0), (2L, 200.0), (3L, 3.0),
+        (20L, 7.0), (21L, 8.0), (22L, 9.0)).toDF("k", "v")
+        .createOrReplaceTempView("src")
+      s.sql("""MERGE INTO graft.db.t AS t USING src AS s
+              |ON t.k = s.k
+              |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED AND s.k % 2 = 0
+              |  THEN INSERT (k, v) VALUES (s.k, s.v)
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 5 = 0
+              |  THEN UPDATE SET v = -1.0
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 0
+              |  THEN DELETE""".stripMargin)
+      // identical semantics to MergeApplySpec's clause-algebra case
+      assert(s.sql("SELECT k, v FROM graft.db.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq(
+        0L -> 100.0, 2L -> 200.0, 5L -> -1.0,
+        7L -> 70.0, 9L -> 90.0, 20L -> 7.0, 22L -> 9.0))
+      // routed through the lake operator: the commit's op header
+      assert(Versioned.history(s, s"$wh/db/t").collect()
+        .map(_.getAs[String]("operation")).contains("merge"))
+      // history preserved (v0 untouched by the row-level rewrite)
+      assert(s.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 0")
+        .head().getLong(0) == 10L)
+    }
+  }
+
   test("DELETE FROM / UPDATE / MERGE INTO route to the Versioned " +
       "operators and match their row semantics") {
     withCatalogSession { (s, wh) =>
@@ -150,15 +185,24 @@ class GraftCatalogSpec extends SparkSuite {
         .map(r => (r.getLong(0), r.getString(1))).toMap
       assert(got(20L) == "merged" && got(100L) == "fresh")
       assert(got.size == 35)
-      // an unsupported MERGE shape names the supported form loudly
+      // a non-upsert shape routes to the general mergeApply path
+      s.sql("""MERGE INTO graft.db.t AS t USING graft.db.src AS s
+              |ON t.id = s.id
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+      val after = s.sql("SELECT id FROM graft.db.t").collect()
+        .map(_.getLong(0)).toSet
+      assert(after.size == 33 && !after.contains(20L) &&
+        !after.contains(100L),
+        "MERGE … WHEN MATCHED THEN DELETE must remove the matched keys")
+      // a non-equi ON condition still fails loudly
       val e = intercept[Exception](s.sql(
         """MERGE INTO graft.db.t AS t USING graft.db.src AS s
-          |ON t.id = s.id
+          |ON t.id > s.id
           |WHEN MATCHED THEN DELETE""".stripMargin).collect())
       assert(Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null)
         .exists(t => Option(t.getMessage)
-          .exists(_.contains("upsert shape"))), e.getMessage)
+          .exists(_.contains("equi-key"))), e.getMessage)
     }
   }
 
