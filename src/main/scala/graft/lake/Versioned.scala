@@ -734,7 +734,7 @@ object Versioned {
       .mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    casStoreFor(fs).putIfAbsent(fs, dir, tmp, target)
+    casStoreFor(fs, target).putIfAbsent(fs, dir, tmp, target)
   }
 
   /** The compare-and-swap substrate a commit publishes through: install
@@ -747,9 +747,68 @@ object Versioned {
     * `SPARK_GRAFT_CAS=rename|link`; an object store would add its
     * conditional-put (`If-None-Match`) implementation here.
     */
-  private[graft] trait CasStore {
+  trait CasStore {
     def putIfAbsent(fs: FileSystem, dir: String, tmp: Path,
         target: Path): Boolean
+  }
+
+  /** The weakest coordination primitive object stores offer, and the
+    * only one the commit protocol needs: create `key` holding `bytes`
+    * iff `key` is absent, ATOMICALLY, strongly consistent — S3
+    * `PutObject` + `If-None-Match: *`, GCS `ifGenerationMatch=0`,
+    * Azure Blob `If-None-Match: *`. Returns true iff THIS call
+    * created the key. A deployment implements this against its
+    * store's SDK and plugs it in via [[registerCasStore]] +
+    * [[ConditionalPutCasStore]]; [[graft.VersionedCasStoreSpec]]
+    * races writers through an injected client to pin that nothing
+    * stronger (no rename, no lock, no lease) is required. */
+  trait ConditionalPut {
+    def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
+  }
+
+  /** [[CasStore]] over a [[ConditionalPut]] client: the manifest
+    * bytes publish through one conditional put — the object-store
+    * implementation of the commit slot. The staged `tmp` file is
+    * consumed either way (its bytes ARE the put body; on a lost race
+    * nothing of it survives). */
+  final class ConditionalPutCasStore(client: ConditionalPut)
+    extends CasStore {
+    override def putIfAbsent(fs: FileSystem, dir: String, tmp: Path,
+        target: Path): Boolean = {
+      val in = fs.open(tmp)
+      val bytes =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      val won = client.putIfAbsent(target.toString, bytes)
+      fs.delete(tmp, false)
+      won
+    }
+  }
+
+  private val casRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, CasStore]()
+
+  /** Deployment hook: route commit publishes through a custom
+    * [[CasStore]] — keyed by filesystem SCHEME (`"s3a"`) or, when the
+    * key contains a `/`, by PATH PREFIX (one table, one warehouse).
+    * The longest matching prefix wins over a scheme match; built-in
+    * defaults (link on local, exists+rename on HDFS semantics,
+    * `SPARK_GRAFT_CAS` override) apply when nothing is registered.
+    * This is the LogStore-shaped slot production formats grew: an
+    * object-store deployment registers
+    * `ConditionalPutCasStore(client)` for its scheme and every
+    * concurrent-writer guarantee carries over unchanged. */
+  def registerCasStore(schemeOrPrefix: String, store: CasStore): Unit = {
+    casRegistry.put(schemeOrPrefix, store); ()
+  }
+
+  def unregisterCasStore(schemeOrPrefix: String): Unit = {
+    casRegistry.remove(schemeOrPrefix); ()
   }
 
   /** Exists-probe + rename under the per-table JVM lock. On
@@ -794,7 +853,20 @@ object Versioned {
     }
   }
 
-  private def casStoreFor(fs: FileSystem): CasStore = {
+  private def casStoreFor(fs: FileSystem, target: Path): CasStore = {
+    if (!casRegistry.isEmpty) {
+      val uri = target.toString
+      var best: String = null
+      val it = casRegistry.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.contains("/") && uri.startsWith(k) &&
+            (best == null || k.length > best.length)) best = k
+      }
+      if (best != null) return casRegistry.get(best)
+      val byScheme = casRegistry.get(fs.getScheme)
+      if (byScheme != null) return byScheme
+    }
     val forced = sys.env.get("SPARK_GRAFT_CAS")
     if (forced.contains("rename")) RenameCasStore
     else if (forced.contains("link")) LinkCasStore

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.Versioned
@@ -149,12 +149,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** `ALTER TABLE … ADD COLUMNS (…)` — published as one empty APPEND
+    * commit carrying the evolved schema (the same union
+    * [[Versioned.commit]] applies when an append brings new columns),
+    * so the change is versioned, time-travelable, and renders
+    * per-version like any other evolution. Everything else (drop /
+    * rename / retype) would rewrite history on an append-only schema
+    * and is refused loudly. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables: schema evolves through appends " +
-        "(Versioned.commit unions schemas); constraints through " +
-        "Versioned.addCheck")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val schema = Versioned.read(session, dir).schema
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft ALTER TABLE adds top-level columns only, got: " +
+            a.fieldNames().mkString("."))
+        val colName = a.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"column '$colName' already exists in ${ident.name()}")
+        require(a.isNullable,
+          s"added column '$colName' must be nullable — rows committed " +
+            "before the evolution read it as NULL")
+        require(a.position() == null,
+          "graft schema evolution appends columns at the end")
+        require(a.defaultValue() == null,
+          "added columns take no DEFAULT — pre-evolution rows read NULL")
+        StructField(colName, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        "graft ALTER TABLE supports ADD COLUMNS only — the lake's " +
+          "schema is append-only (drop/rename/retype rewrite " +
+          "history; publish a replace commit instead); got: " + other)
+    }
+    Versioned.commit(session, dir, session.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(schema.fields ++ added)))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

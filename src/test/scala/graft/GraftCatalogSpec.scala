@@ -112,6 +112,36 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS publishes a schema-evolution commit; " +
+      "destructive alters are refused") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.t AS SELECT id FROM range(3)") // v0
+      s.sql("ALTER TABLE graft.db.t ADD COLUMNS (note STRING)")   // v1
+      // pre-evolution rows read NULL in the new column
+      assert(s.sql("SELECT count(*) FROM graft.db.t WHERE note IS NULL")
+        .head().getLong(0) == 3L)
+      s.sql("INSERT INTO graft.db.t VALUES (10, 'x')")            // v2
+      assert(s.sql("SELECT note FROM graft.db.t WHERE id = 10")
+        .head().getString(0) == "x")
+      // the evolution is versioned: time travel reads the old schema
+      assert(s.sql("SELECT * FROM graft.db.t VERSION AS OF 0")
+        .schema.fieldNames.toSeq == Seq("id"))
+      assert(Versioned.latestVersion(s, s"$wh/db/t").contains(2))
+      // append-only schema: everything else is refused loudly
+      val e1 = intercept[Exception](
+        s.sql("ALTER TABLE graft.db.t DROP COLUMN note"))
+      assert(Iterator.iterate(e1: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("append-only"))), e1.getMessage)
+      val e2 = intercept[Exception](
+        s.sql("ALTER TABLE graft.db.t ADD COLUMNS (id INT)"))
+      assert(Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("already exists"))), e2.getMessage)
+    }
+  }
+
   test("general MERGE INTO clause shapes (conditions, DELETE, NOT " +
       "MATCHED BY SOURCE) route to Versioned.mergeApply") {
     withCatalogSession { (s, wh) =>
