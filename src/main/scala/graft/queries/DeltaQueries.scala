@@ -1119,8 +1119,12 @@ object DeltaQueries {
       .getOrCreate()
     try {
       ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      // materialized once: the fixture reads this frame ~6 times
+      // (two commits with range-partitioning sampling, the span agg,
+      // the merge source twice) — at bench scale the repeated parquet
+      // scans were most of the query's cost
       val orders = t(ext, dir, "orders")
-        .select("o_orderkey", "o_totalprice")
+        .select("o_orderkey", "o_totalprice").localCheckpoint(true)
       // ONE range-clustered table carries the q137 delete AND the q139
       // update (distinct quartile bands, chained DML — the second
       // statement runs against the first's commit, which is the real
@@ -1255,6 +1259,7 @@ object DeltaQueries {
     try {
       ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
       t(ext, dir, "orders").select("o_orderkey", "o_totalprice")
+        .localCheckpoint(true) // read once; the view is used 4 times
         .createOrReplaceTempView("q146_src")
       ext.sql("CREATE TABLE graft.db.mnt AS " +
         "SELECT o_orderkey, o_totalprice FROM q146_src")          // v0
@@ -1367,6 +1372,7 @@ object DeltaQueries {
     try {
       ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
       t(ext, dir, "orders").select("o_orderkey", "o_totalprice")
+        .localCheckpoint(true) // read once; the view is used 3 times
         .createOrReplaceTempView("q147_src")
       ext.sql("CREATE TABLE graft.db.gm AS " +
         "SELECT o_orderkey, o_totalprice FROM q147_src " +
