@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCapability, TableCatalog, TableCatalogCapability, TableChange}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -60,6 +61,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** `ALTER TABLE … ADD CONSTRAINT` parses only when the catalog
+    * declares it. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def session: SparkSession = SparkSession.active
 
@@ -160,6 +166,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    // constraint DDL routes straight to the lake's CHECK machinery
+    // (addCheck validates the EXISTING rows before publishing the
+    // declaration as a commit — the same race-safe gate the Scala
+    // API runs); everything else is schema DDL below
+    changes.toSeq match {
+      case Seq(ac: TableChange.AddConstraint) =>
+        ac.constraint() match {
+          case c: Check =>
+            require(c.enforced(),
+              "graft CHECK constraints are always ENFORCED — " +
+                "NOT ENFORCED declarations are refused rather than " +
+                "silently unenforced")
+            Versioned.addCheck(session, dir, c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            "graft tables enforce CHECK constraints only; got: " +
+              other.toDDL)
+        }
+        return loadTable(ident)
+      case Seq(dc: TableChange.DropConstraint) =>
+        try Versioned.dropCheck(session, dir, dc.name())
+        catch {
+          case e: IllegalArgumentException if dc.ifExists() => ()
+        }
+        return loadTable(ident)
+      case _ =>
+    }
     val schema = Versioned.read(session, dir).schema
     val added = changes.map {
       case a: TableChange.AddColumn =>
@@ -304,6 +336,18 @@ final case class GraftTable(fullName: String, dir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
+
+  /** The head version's CHECK constraints, surfaced to DESCRIBE and
+    * the catalog API — always ENFORCED + VALID, because
+    * [[Versioned.addCheck]] refuses a declaration the existing rows
+    * violate and every later commit re-validates its staged rows. */
+  override def constraints(): Array[Constraint] =
+    Versioned.checks(SparkSession.active, dir).map { case (n, sql) =>
+      Constraint.check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .build()
+    }.toArray
 
   override def properties(): util.Map[String, String] =
     (Map("location" -> dir, "provider" -> "graft") ++

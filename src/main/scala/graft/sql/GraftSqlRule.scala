@@ -104,6 +104,35 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case None => a
         }
 
+      // ALTER TABLE … ADD CONSTRAINT … CHECK (p): the parser shapes
+      // this as AddCheckConstraint over Filter(NOT p, relation) — the
+      // validation scan. Claimed HERE, as soon as the relation under
+      // the filter resolves to a graft table, because (a) this Spark
+      // build's session-catalog rule trips over any rewritten child,
+      // and (b) [[Versioned.addCheck]] runs its own race-safe
+      // validate-then-declare commit anyway (one scan of the existing
+      // table, CAS-published), so the statement routes to the SAME
+      // entry point the Scala API uses. The predicate travels as its
+      // SQL text and re-resolves against the table inside the
+      // operator — a bad column name fails there, loudly.
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        a.child.collectFirst {
+          case r: DataSourceV2Relation
+              if r.table.isInstanceOf[GraftTable] =>
+            r.table.asInstanceOf[GraftTable]
+        } match {
+          case Some(g) =>
+            require(!a.checkConstraint.userProvidedCharacteristic
+              .enforced.contains(false),
+              "graft CHECK constraints are always ENFORCED — NOT " +
+                "ENFORCED declarations are refused rather than " +
+                "silently unenforced")
+            GraftAddCheckCommand(g.dir,
+              a.checkConstraint.userProvidedName,
+              a.checkConstraint.condition)
+          case None => a
+        }
+
       // CREATE TABLE AS SELECT: the V2 CTAS exec path demands write
       // capabilities / a staging catalog; route it to the operator
       // instead — one commit creates the table WITH the query's rows
@@ -312,6 +341,18 @@ final case class GraftAppendCommand(dir: String, columns: Seq[String],
   override def run(session: SparkSession): Seq[Row] = {
     val df = ColumnBridge.ofRows(session, query).toDF(columns: _*)
     Versioned.commit(session, dir, df, replace = replace)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE … ADD CONSTRAINT name CHECK (p)` →
+  * [[Versioned.addCheck]]: validate the existing rows, then publish
+  * the declaration as a commit — enforced on every later writer. */
+final case class GraftAddCheckCommand(dir: String, name: String,
+    conditionSql: String) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    Versioned.addCheck(session, dir, name, conditionSql)
     Seq.empty
   }
 }

@@ -142,6 +142,50 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT routes to the lake's CHECK " +
+      "machinery and is enforced on every later commit") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.t AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(5)")       // v0
+      s.sql("ALTER TABLE graft.db.t ADD CONSTRAINT v_nonneg " +
+        "CHECK (v >= 0)")                                         // v1
+      assert(Versioned.checks(s, s"$wh/db/t") ==
+        Seq("v_nonneg" -> "v >= 0"))
+      // the declaration is enforced on every later SQL commit
+      val e1 = intercept[Exception](
+        s.sql("INSERT INTO graft.db.t VALUES (9, -1.0)"))
+      assert(Iterator.iterate(e1: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.toLowerCase.contains("check"))), e1.getMessage)
+      s.sql("INSERT INTO graft.db.t VALUES (9, 1.0)")             // v2
+      // a declaration the existing rows violate is refused
+      val e2 = intercept[Exception](
+        s.sql("ALTER TABLE graft.db.t ADD CONSTRAINT v_small " +
+          "CHECK (v < 3)"))
+      assert(Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.toLowerCase.contains("check"))), e2.getMessage)
+      // DESCRIBE-level surface: the table reports its constraint
+      assert(s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sql.GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("db"), "t"))
+        .constraints().map(_.name()).toSeq == Seq("v_nonneg"))
+      // DROP releases the contract; IF EXISTS tolerates absence
+      s.sql("ALTER TABLE graft.db.t DROP CONSTRAINT v_nonneg")    // v3
+      s.sql("INSERT INTO graft.db.t VALUES (10, -5.0)")           // v4
+      assert(s.sql("SELECT count(*) FROM graft.db.t WHERE v < 0")
+        .head().getLong(0) == 1L)
+      s.sql("ALTER TABLE graft.db.t DROP CONSTRAINT IF EXISTS nope")
+      val e3 = intercept[Exception](
+        s.sql("ALTER TABLE graft.db.t DROP CONSTRAINT nope"))
+      assert(Iterator.iterate(e3: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("no CHECK constraint"))), e3.getMessage)
+    }
+  }
+
   test("general MERGE INTO clause shapes (conditions, DELETE, NOT " +
       "MATCHED BY SOURCE) route to Versioned.mergeApply") {
     withCatalogSession { (s, wh) =>
