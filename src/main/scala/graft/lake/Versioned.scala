@@ -356,11 +356,12 @@ object Versioned {
       statCols = Nil, txn = Some((appId, batchId))))
   }
 
-  /** Table CHECK constraints active at the head version (empty for an
-    * uncommitted table). Each is `(name, sql expression)`.
-    */
-  def checks(spark: SparkSession, dir: String): Seq[(String, String)] =
-    latestVersion(spark, dir)
+  /** Table CHECK constraints active at `version` (default: head;
+    * empty for an uncommitted table). Each is `(name, sql
+    * expression)`. */
+  def checks(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[(String, String)] =
+    version.orElse(latestVersion(spark, dir))
       .map(readManifest(fileSystem(spark, dir), dir, _).checks)
       .getOrElse(Nil)
 
@@ -856,11 +857,17 @@ object Versioned {
   private def casStoreFor(fs: FileSystem, target: Path): CasStore = {
     if (!casRegistry.isEmpty) {
       val uri = target.toString
+      // prefix matches end at a path-segment boundary: a registration
+      // for …/tbl must not capture …/tbl2's commits
+      def covers(k: String): Boolean = {
+        val p = k.stripSuffix("/")
+        uri == p || uri.startsWith(p + "/")
+      }
       var best: String = null
       val it = casRegistry.keySet().iterator()
       while (it.hasNext) {
         val k = it.next()
-        if (k.contains("/") && uri.startsWith(k) &&
+        if (k.contains("/") && covers(k) &&
             (best == null || k.length > best.length)) best = k
       }
       if (best != null) return casRegistry.get(best)
@@ -1918,7 +1925,10 @@ object Versioned {
     val src = source.persist(org.apache.spark.storage.StorageLevel
       .MEMORY_AND_DISK)
     try {
-      val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      // NULL-keyed rows match nothing (SQL equality), so they cannot
+      // create a cardinality violation however many there are
+      val dup = src.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).limit(1).count()
       require(dup == 0, s"mergeInto source has duplicate keys on " +
         s"(${keyCols.mkString(", ")}): matching one target row with two " +
@@ -2107,10 +2117,22 @@ object Versioned {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, when}
     require(keyCols.nonEmpty, "mergeApply needs at least one key column")
     require(clauses.nonEmpty, "mergeApply needs at least one clause")
-    keyCols.foreach(k => require(source.columns.contains(k),
-      s"key column '$k' not in source columns " +
-        source.columns.mkString("[", ", ", "]")))
-    require(!source.columns.contains("__s"),
+    // key columns resolve case-insensitively against the source (the
+    // SQL route admits `ON t.k = s.K`); the source frame is renamed
+    // to the target-cased names so the joins align
+    val sourceAligned = keyCols.foldLeft(source) { (df, k) =>
+      if (df.columns.contains(k)) df
+      else df.columns.filter(_.equalsIgnoreCase(k)) match {
+        case Array(one) => df.withColumnRenamed(one, k)
+        case Array() => throw new IllegalArgumentException(
+          s"key column '$k' not in source columns " +
+            df.columns.mkString("[", ", ", "]"))
+        case many => throw new IllegalArgumentException(
+          s"key column '$k' is ambiguous in the source: " +
+            many.mkString(", "))
+      }
+    }
+    require(!sourceAligned.columns.contains("__s"),
       "mergeApply reserves '__s' for the source struct")
     val matched: Seq[MergeClause] = clauses.collect {
       case c: WhenMatchedUpdate => c
@@ -2150,10 +2172,13 @@ object Versioned {
         s"merge clause assigns '$c', which is not a table column — " +
           "the general merge keeps the target schema fixed; use " +
           "mergeInto for the schema-evolving upsert"))
-    val src = source.persist(org.apache.spark.storage.StorageLevel
+    val src = sourceAligned.persist(org.apache.spark.storage.StorageLevel
       .MEMORY_AND_DISK)
     try {
-      val dup = src.groupBy(keyCols.map(col): _*)
+      // NULL-keyed rows match nothing (SQL equality) and flow to the
+      // INSERT clauses — they cannot create a cardinality violation
+      val dup = src.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).limit(1).count()
       require(dup == 0, s"mergeApply source has duplicate keys on " +
@@ -2211,8 +2236,11 @@ object Versioned {
           }
           if (conds.exists(_.isEmpty)) m.lines
           else {
-            val disj = conds.flatten
-              .map(c => coalesce(c, lit(false))).reduce(_ || _)
+            // raw disjunction, NO coalesce wrapper: the stats prover
+            // asks "can this predicate be TRUE in the file's range",
+            // which already treats NULL as not-applied — a Coalesce
+            // node would be opaque to it and admit every file
+            val disj = conds.flatten.reduce(_ || _)
             pruneWithIndex(spark, dir, m,
               resolvedPredicate(spark, schema, disj))
           }
@@ -2282,17 +2310,26 @@ object Versioned {
               }.cast(schema(c).dataType).as(c)
           }: _*))
         }
-      val hasInserts = inserts.exists(_.limit(1).count() > 0)
-      if (touchedLines.isEmpty && !hasInserts) return base // no-op
-      val stagedDf = (kept, if (hasInserts) inserts else None) match {
+      // persisted: the no-op probe below and the staging write would
+      // otherwise each re-run the candidate-key scan + anti join
+      val insCached = inserts.map(_.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val hasInserts = insCached.exists(_.limit(1).count() > 0)
+      if (touchedLines.isEmpty && !hasInserts) {
+        insCached.foreach(_.unpersist())
+        return base // no-op
+      }
+      val stagedDf = (kept, if (hasInserts) insCached else None) match {
         case (Some(k), Some(i)) => k.unionByName(i)
         case (Some(k), None) => k
         case (None, Some(i)) => i
-        case (None, None) => return base
+        case (None, None) => insCached.foreach(_.unpersist()); return base
       }
       val inherited =
         touchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
-      val staged = stage(spark, dir, stagedDf, inherited)
+      val staged =
+        try stage(spark, dir, stagedDf, inherited)
+        finally insCached.foreach(_.unpersist())
       val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
       replaceLoop(spark, dir, staged, Some(base),
         keyCols = Some(keyCols), stagedSchema = schema,
@@ -3001,12 +3038,23 @@ object Versioned {
   def versionAsOfTimestamp(spark: SparkSession, dir: String,
       micros: Long): Option[Int] = {
     val fs = fileSystem(spark, dir)
-    val latest = latestVersion(spark, dir).getOrElse(return None)
+    val mdir = new Path(dir, "_manifest")
+    if (!fs.exists(mdir)) return None
     val millis = micros / 1000L
-    (0 to latest).reverseIterator.find(v =>
-      fs.exists(manifestPath(dir, v)) &&
-        fs.getFileStatus(manifestPath(dir, v))
-          .getModificationTime <= millis)
+    // ONE directory listing yields every (version, commit instant)
+    // pair — a per-version exists+stat walk would be two remote
+    // round-trips per retained version
+    fs.listStatus(mdir).toSeq
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.matches("v\\d{5}\\.txt") &&
+            s.getModificationTime <= millis)
+          Some(n.substring(1, 6).toInt)
+        else None
+      } match {
+      case Seq() => None
+      case vs => Some(vs.max)
+    }
   }
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —

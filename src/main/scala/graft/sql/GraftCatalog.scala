@@ -185,10 +185,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         return loadTable(ident)
       case Seq(dc: TableChange.DropConstraint) =>
-        try Versioned.dropCheck(session, dir, dc.name())
-        catch {
-          case e: IllegalArgumentException if dc.ifExists() => ()
-        }
+        // IF EXISTS tolerates exactly the absent-constraint case; any
+        // other failure (no committed version, CAS exhaustion) still
+        // surfaces
+        if (Versioned.checks(session, dir).exists(_._1 == dc.name()))
+          Versioned.dropCheck(session, dir, dc.name())
+        else if (!dc.ifExists())
+          throw new IllegalArgumentException(
+            s"no CHECK constraint '${dc.name()}' on $dir")
         return loadTable(ident)
       case _ =>
     }
@@ -337,17 +341,19 @@ final case class GraftTable(fullName: String, dir: String,
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
 
-  /** The head version's CHECK constraints, surfaced to DESCRIBE and
-    * the catalog API — always ENFORCED + VALID, because
+  /** The referenced version's CHECK constraints (head, or the pinned
+    * `asOfVersion` for a time-traveled reference), surfaced to
+    * DESCRIBE and the catalog API — always ENFORCED + VALID, because
     * [[Versioned.addCheck]] refuses a declaration the existing rows
     * violate and every later commit re-validates its staged rows. */
   override def constraints(): Array[Constraint] =
-    Versioned.checks(SparkSession.active, dir).map { case (n, sql) =>
-      Constraint.check(n).predicateSql(sql)
-        .enforced(true)
-        .validationStatus(Constraint.ValidationStatus.VALID)
-        .build()
-    }.toArray
+    Versioned.checks(SparkSession.active, dir, asOfVersion)
+      .map { case (n, sql) =>
+        Constraint.check(n).predicateSql(sql)
+          .enforced(true)
+          .validationStatus(Constraint.ValidationStatus.VALID)
+          .build()
+      }.toArray
 
   override def properties(): util.Map[String, String] =
     (Map("location" -> dir, "provider" -> "graft") ++

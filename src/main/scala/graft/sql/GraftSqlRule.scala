@@ -127,8 +127,9 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               "graft CHECK constraints are always ENFORCED — NOT " +
                 "ENFORCED declarations are refused rather than " +
                 "silently unenforced")
-            GraftAddCheckCommand(g.dir,
-              a.checkConstraint.userProvidedName,
+            // name() falls back to a generated name when the user
+            // omitted one (userProvidedName is null then)
+            GraftAddCheckCommand(g.dir, a.checkConstraint.name,
               a.checkConstraint.condition)
           case None => a
         }
@@ -145,6 +146,24 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           require(c.partitioning.isEmpty,
             "graft tables take no partition transforms — cluster files " +
               "with Versioned.compactCommit(clusterBy = …) instead")
+          // a clause this command cannot honor must fail loudly, not
+          // silently produce a warehouse-located parquet table
+          c.tableSpec match {
+            case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+              require(ts.location.isEmpty && !ts.external,
+                "graft tables live at their catalog-derived warehouse " +
+                  "path; LOCATION/EXTERNAL is not supported")
+              require(ts.provider.forall(p =>
+                p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet")),
+                s"graft tables store parquet; USING ${ts.provider.get} " +
+                  "is not supported")
+              require(ts.properties.isEmpty && ts.options.isEmpty &&
+                ts.serde.isEmpty,
+                "graft CTAS takes no TBLPROPERTIES/OPTIONS/SERDE — " +
+                  "table policy lives in the manifest (CHECK " +
+                  "constraints, bloom config)")
+            case _ =>
+          }
           GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists)
         case _ => c
       }

@@ -99,17 +99,27 @@ class MergeApplySpec extends SparkSuite {
       Versioned.mergeApply(s, dir, dup, Seq("k"), Seq(
         WhenMatchedUpdate(None, Map("v" -> col("__s.v"))))))
     assert(e.getMessage.contains("duplicate keys"))
-    // NULL key: matches nothing (SQL equality), inserts
-    val nullKey = Seq((Option.empty[Long], 9.0), (Some(1L), 5.0))
-      .toDF("k", "v")
+    // NULL keys: match nothing (SQL equality), insert — and however
+    // many there are, they are NOT a cardinality violation
+    val nullKey = Seq((Option.empty[Long], 9.0),
+      (Option.empty[Long], 8.0), (Some(1L), 5.0)).toDF("k", "v")
     val v = Versioned.mergeApply(s, dir, nullKey, Seq("k"), Seq(
       WhenMatchedUpdate(None, Map("v" -> col("__s.v"))),
       WhenNotMatchedInsert(None,
         Map("k" -> col("__s.k"), "v" -> col("__s.v")))))
     assert(v == 1)
-    assert(Versioned.read(s, dir).orderBy(col("k").asc_nulls_first)
+    assert(Versioned.read(s, dir).orderBy(col("k").asc_nulls_first,
+        col("v"))
       .as[(Option[Long], Double)].collect().toSeq ==
-      Seq(None -> 9.0, Some(1L) -> 5.0))
+      Seq(None -> 8.0, None -> 9.0, Some(1L) -> 5.0))
+    // key columns resolve case-insensitively against the source (the
+    // SQL route admits ON t.k = s.K)
+    val v2 = Versioned.mergeApply(s, dir,
+      Seq((1L, 7.0)).toDF("K", "v"), Seq("k"), Seq(
+        WhenMatchedUpdate(None, Map("v" -> col("__s.v")))))
+    assert(v2 == 2)
+    assert(Versioned.read(s, dir).filter(col("k") === 1L)
+      .head().getDouble(1) == 7.0)
   }
 
   test("copy-on-write contract: files outside the source key range " +

@@ -98,9 +98,16 @@ class VersionedCasStoreSpec extends SparkSuite {
       assert(aClient.puts.get() == 1,
         "table-scoped registration must shadow the warehouse prefix")
       assert(whClient.puts.get() == 1)
+      // a registration for .../a must NOT capture the sibling .../a2
+      // (prefix matches end at a path-segment boundary)
+      Versioned.commit(s, s"$root/wh/a2", Seq(4L).toDF("x"))
+      assert(aClient.puts.get() == 1,
+        "table-prefix registration captured a sibling table")
+      assert(whClient.puts.get() == 2,
+        "the sibling must fall through to the warehouse prefix")
       val c = s"$root/elsewhere/c"
       Versioned.commit(s, c, Seq(3L).toDF("x"))
-      assert(aClient.puts.get() == 1 && whClient.puts.get() == 1,
+      assert(aClient.puts.get() == 1 && whClient.puts.get() == 2,
         "an unregistered table must not route through the registry")
       assert(Versioned.read(s, c).count() == 1)
     } finally {
