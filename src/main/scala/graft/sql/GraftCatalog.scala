@@ -139,6 +139,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => other
     }
 
+  /** `CREATE TABLE … (…, CONSTRAINT c CHECK (p))` — the TableInfo
+    * overload is the one Spark hands inline constraints to (the
+    * default implementation silently DROPS them). The table publishes
+    * as v0 (declared schema, no rows), then each CHECK declares
+    * through [[Versioned.addCheck]] — a commit per constraint, the
+    * same audit trail the ALTER path leaves. A constraint this lake
+    * cannot enforce (PRIMARY KEY / UNIQUE / FK) rolls the table back
+    * and refuses loudly — a created table whose declared contract is
+    * silently unenforced is worse than no table. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val created = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    if (info.constraints().isEmpty) created
+    else {
+      try {
+        info.constraints().foreach {
+          case c: Check =>
+            require(c.enforced(),
+              "graft CHECK constraints are always ENFORCED — NOT " +
+                "ENFORCED declarations are refused rather than " +
+                "silently unenforced")
+            Versioned.addCheck(session, dirOf(ident), c.name(),
+              c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            "graft tables enforce CHECK constraints only; got: " +
+              other.toDDL)
+        }
+      } catch {
+        case t: Throwable => dropTable(ident); throw t
+      }
+      loadTable(ident)
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -183,6 +183,20 @@ class GraftCatalogSpec extends SparkSuite {
       assert(Iterator.iterate(e3: Throwable)(_.getCause)
         .takeWhile(_ != null).exists(t => Option(t.getMessage)
           .exists(_.contains("no CHECK constraint"))), e3.getMessage)
+      // inline CREATE TABLE constraints reach the lake too (the
+      // TableInfo route — its default impl silently drops them)
+      s.sql("CREATE TABLE graft.db.c (id BIGINT, v DOUBLE, " +
+        "CONSTRAINT v_pos CHECK (v > 0))")
+      assert(Versioned.checks(s, s"$wh/db/c") ==
+        Seq("v_pos" -> "v > 0"))
+      val e4 = intercept[Exception](
+        s.sql("INSERT INTO graft.db.c VALUES (1, -1.0)"))
+      assert(Iterator.iterate(e4: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.toLowerCase.contains("check"))), e4.getMessage)
+      s.sql("INSERT INTO graft.db.c VALUES (1, 1.0)")
+      assert(s.sql("SELECT count(*) FROM graft.db.c").head()
+        .getLong(0) == 1L)
     }
   }
 
