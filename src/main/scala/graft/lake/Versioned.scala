@@ -2007,11 +2007,20 @@ object Versioned {
     * that is entirely NULL in the source proves no row can match at
     * all (SQL equality), so the candidate set is empty. */
   private def keyRangeCandidates(src: DataFrame, keyCols: Seq[String],
-      m: Manifest): Seq[String] = {
+      m: Manifest): Seq[String] =
+    keyRangeCandidates(sourceKeyRanges(src, keyCols), m)
+
+  /** Per encodable key column, the source's [lo,hi] in the stats'
+    * long encoding: `(col, isMicros, lo, hi)`. `None` = some key
+    * column is entirely NULL in the source (no row can match at
+    * all); `Some(Nil)` = no key column is encodable (nothing to
+    * prune on). One driver-visible agg over the delta-sized source. */
+  private def sourceKeyRanges(src: DataFrame, keyCols: Seq[String])
+      : Option[Seq[(String, Boolean, Long, Long)]] = {
     import org.apache.spark.sql.functions.{col, max, min}
     val encodable = keyCols.filter(k =>
       statWidth(src.schema(k).dataType) > 0 || microsCol(src.schema, k))
-    if (encodable.isEmpty) return m.lines
+    if (encodable.isEmpty) return Some(Nil)
     val aggs = encodable.flatMap { k =>
       val kExpr =
         if (microsCol(src.schema, k))
@@ -2020,17 +2029,71 @@ object Versioned {
       Seq(min(kExpr), max(kExpr))
     }
     val r = src.agg(aggs.head, aggs.tail: _*).head()
-    if (encodable.indices.exists(i => r.isNullAt(2 * i)))
-      return Nil // an all-NULL key column: nothing can match
-    val ranges = encodable.zipWithIndex.map { case (k, i) =>
+    if (encodable.indices.exists(i => r.isNullAt(2 * i))) None
+    else Some(encodable.zipWithIndex.map { case (k, i) =>
       (k, microsCol(src.schema, k), r.getLong(2 * i), r.getLong(2 * i + 1))
-    }
-    m.lines.filter { l =>
-      val gs = parseStatsFull(l)._2
-      !ranges.exists { case (k, micros, lo, hi) =>
-        gs.exists(g => g.col == k && g.micros == micros &&
-          (g.max < lo || g.min > hi))
+    })
+  }
+
+  private def keyRangeCandidates(
+      ranges: Option[Seq[(String, Boolean, Long, Long)]],
+      m: Manifest): Seq[String] = ranges match {
+    case None => Nil // an all-NULL key column: nothing can match
+    case Some(Nil) => m.lines
+    case Some(rs) =>
+      m.lines.filter { l =>
+        val gs = parseStatsFull(l)._2
+        !rs.exists { case (k, micros, lo, hi) =>
+          gs.exists(g => g.col == k && g.micros == micros &&
+            (g.max < lo || g.min > hi))
+        }
       }
+  }
+
+  /** The source key box as a pushable ROW predicate over the target:
+    * for each ranged key column whose target type matches the
+    * encoding, `col BETWEEN typed(lo) AND typed(hi)` with FOLDABLE
+    * typed literals — so parquet row-group stats skip inside
+    * already-candidate files. `None` when no column constrains
+    * (nothing pushable — the caller must not filter). A NULL-keyed
+    * row evaluates NULL → filtered, which is sound wherever the box
+    * is used: such a row can never key-match. */
+  private def sourceKeyBox(schema: StructType,
+      ranges: Option[Seq[(String, Boolean, Long, Long)]])
+      : Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    def typedLit(v: Long, dt: DataType, micros: Boolean): Option[Column] =
+      if (micros) Some(timestamp_micros(lit(v)))
+      else dt match {
+        case types.LongType => Some(lit(v))
+        case types.IntegerType if v.isValidInt => Some(lit(v.toInt))
+        case types.ShortType
+            if v >= Short.MinValue && v <= Short.MaxValue =>
+          Some(lit(v.toShort))
+        case types.ByteType
+            if v >= Byte.MinValue && v <= Byte.MaxValue =>
+          Some(lit(v.toByte))
+        case types.DateType if v.isValidInt =>
+          Some(lit(java.time.LocalDate.ofEpochDay(v)))
+        case _ => None
+      }
+    ranges match {
+      case None => Some(lit(false)) // all-NULL keys: no row matches
+      case Some(rs) =>
+        val atoms = rs.flatMap { case (k, micros, lo, hi) =>
+          val dt = schema(k).dataType
+          // the atom is only sound when the target column carries the
+          // same encoding the range was measured in
+          val sameEncoding =
+            if (micros) dt == types.TimestampType
+            else statWidth(dt) > 0
+          if (!sameEncoding) None
+          else for {
+            l <- typedLit(lo, dt, micros)
+            h <- typedLit(hi, dt, micros)
+          } yield col(k) >= l && col(k) <= h
+        }
+        if (atoms.isEmpty) None else Some(atoms.reduce(_ && _))
     }
   }
 
@@ -2223,9 +2286,12 @@ object Versioned {
         nmbs.zipWithIndex.collect {
           case (WhenNotMatchedBySourceUpdate(_, a), i) => (1000 + i, a) }
       // group-scoped candidates (scale step 1 + 2)
+      val keyRanges: Option[Seq[(String, Boolean, Long, Long)]] =
+        if (matched.isEmpty && notMatched.isEmpty) None
+        else sourceKeyRanges(src, keyCols)
       val keyCand =
         if (matched.isEmpty && notMatched.isEmpty) Nil
-        else keyRangeCandidates(src, keyCols, m)
+        else keyRangeCandidates(keyRanges, m)
       val nmbsCand =
         if (nmbs.isEmpty || m.lines.isEmpty) Nil
         else {
@@ -2250,15 +2316,41 @@ object Versioned {
           .map(parseLine(_)._1).toSet
       val candidates = m.lines.filter(l =>
         candRels.contains(parseLine(l)._1))
-      // 3. refine: files actually holding an applied row
+      // 3. refine: files actually holding an applied row. A row is
+      // only relevant if it CAN key-match (inside the source key box)
+      // or an NMBS condition holds — when both sides are expressible,
+      // that disjunction pushes into the candidate scan as a parquet
+      // row-group filter (typed foldable literals), skipping row
+      // groups inside files the file-level prune had to keep
+      val rowPreFilter: Option[Column] = {
+        val matchedSide: Option[Column] =
+          if (matched.isEmpty) Some(lit(false))
+          else sourceKeyBox(schema, keyRanges)
+        val nmbsSide: Option[Column] =
+          if (nmbs.isEmpty) Some(lit(false))
+          else {
+            val conds = nmbs.map {
+              case WhenNotMatchedBySourceUpdate(o, _) => o
+              case WhenNotMatchedBySourceDelete(o) => o
+              case other =>
+                throw new IllegalStateException(other.toString)
+            }
+            if (conds.exists(_.isEmpty)) None
+            else Some(conds.flatten.reduce(_ || _))
+          }
+        for { a <- matchedSide; b <- nmbsSide } yield a || b
+      }
       val touchedRel: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else scanVisible(spark, dir, schema, candidates, m.dvs,
+        else {
+          val scan = scanVisible(spark, dir, schema, candidates, m.dvs,
             keepMeta = true)
-          .join(srcS, keyCols, "left_outer")
-          .filter(actCol =!= -1)
-          .select("__file").distinct()
-          .collect().map(_.getString(0)).toSet
+          rowPreFilter.fold(scan)(scan.filter)
+            .join(srcS, keyCols, "left_outer")
+            .filter(actCol =!= -1)
+            .select("__file").distinct()
+            .collect().map(_.getString(0)).toSet
+        }
       val (touchedLines, untouched) =
         m.lines.partition(l => touchedRel.contains(parseLine(l)._1))
       // rewrite the touched files' visible rows under the clause
@@ -2290,8 +2382,14 @@ object Versioned {
             if (keyCand.isEmpty)
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
                 StructType(keyCols.map(schema(_))))
-            else scanVisible(spark, dir, schema, keyCand, m.dvs)
-              .select(keyCols.head, keyCols.tail: _*)
+            else {
+              // target keys outside the source key box cannot equal
+              // any source key — dropping them shrinks the anti-join
+              // build side and row-group-skips inside the scan
+              val keys = scanVisible(spark, dir, schema, keyCand,
+                m.dvs).select(keyCols.head, keyCols.tail: _*)
+              sourceKeyBox(schema, keyRanges).fold(keys)(keys.filter)
+            }
           val insAct = notMatched.zipWithIndex
             .map { case (c, i) => (cnd(c.condition), i) }
             .foldRight(lit(-1): Column) { case ((p, i), acc) =>

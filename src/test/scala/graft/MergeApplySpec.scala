@@ -179,6 +179,37 @@ class MergeApplySpec extends SparkSuite {
       == 10)
   }
 
+  test("timestamp-keyed merge: the microsecond key box filters " +
+      "correctly (no unit mismatch) and untouched files carry") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir() + "/t"
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    def ts(h: Long) = java.sql.Timestamp.from(base.plusSeconds(h * 3600))
+    Versioned.commitWithStats(s, dir,
+      (0L until 96L).map(h => (ts(h), h * 1.0)).toDF("t", "v")
+        .repartitionByRange(4, col("t")), "t")
+    val before = {
+      val p = java.nio.file.Paths.get(dir, "_manifest", "v00000.txt")
+      val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+      try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
+        .toList
+      finally src.close()
+    }
+    assert(before.size == 4)
+    // source keys confined to the first day (first file's range)
+    val src = (0L until 12L).map(h => (ts(h), -1.0)).toDF("t", "v")
+    val v = Versioned.mergeApply(s, dir, src, Seq("t"), Seq(
+      WhenMatchedUpdate(None, Map("v" -> col("__s.v")))))
+    assert(v == 1)
+    val after = manifestLines(dir, 1)
+    assert(after.toSet.intersect(before.toSet).size == 3,
+      "timestamp key-range prune must carry 3 of 4 files")
+    assert(Versioned.read(s, dir).filter(col("v") === -1.0).count()
+      == 12)
+    assert(Versioned.read(s, dir).count() == 96)
+  }
+
   test("insert-only and no-op merges: no clause applied anywhere " +
       "publishes nothing; insert-only publishes just the delta") {
     val s = spark
