@@ -57,13 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
-        args =>
-          try builder(args)
-          catch {
-            case _: MatchError => throw new IllegalArgumentException(
-              s"invalid number of arguments for table function $name: " +
-                s"got ${args.length}; see graft.GraftExtensions")
-          }))
+        // applyOrElse: ONLY an arity mismatch (the pattern itself)
+        // maps to the arity message — a MatchError raised deep inside
+        // the builder body (e.g. changesBetween) propagates verbatim
+        // instead of masquerading as a wrong-argument-count error
+        args => builder.applyOrElse(args,
+          (a: Seq[Expression]) => throw new IllegalArgumentException(
+            s"invalid number of arguments for table function $name: " +
+              s"got ${a.length}; see graft.GraftExtensions"))))
     }
   }
 }
@@ -72,17 +73,18 @@ object GraftExtensions {
 
   /** The builders below are partial functions on argument count; a raw
     * `scala.MatchError` is useless to a SQL user, so wrap each one to
-    * surface a named invalid-arity error instead.
+    * surface a named invalid-arity error instead. `applyOrElse` keys
+    * the arity message off the PATTERN alone — a MatchError raised
+    * inside a builder's body propagates verbatim rather than being
+    * mis-reported as a wrong argument count.
     */
   private def safeBuilder(name: String,
-      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
-    args =>
-      try builder(args)
-      catch {
-        case _: MatchError => throw new IllegalArgumentException(
-          s"invalid number of arguments for function $name: got " +
-            s"${args.length}; see graft.GraftExtensions for the signature")
-      }
+      builder: PartialFunction[Seq[Expression], Expression])
+      : Seq[Expression] => Expression =
+    args => builder.applyOrElse(args,
+      (a: Seq[Expression]) => throw new IllegalArgumentException(
+        s"invalid number of arguments for function $name: got " +
+          s"${a.length}; see graft.GraftExtensions for the signature"))
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -92,7 +94,7 @@ object GraftExtensions {
   }
 
   /** name → builder; shared by [[GraftExtensions.apply]] and tests. */
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  val functions: Seq[(String, PartialFunction[Seq[Expression], Expression])] = Seq(
     "graft_poly_hash" -> { case Seq(s) => PolyHashExpr(s) },
     "graft_norm_fingerprint" -> { case Seq(s) => NormFingerprintExpr(s) },
     "graft_shingle_hashes" -> {
@@ -188,8 +190,8 @@ object GraftExtensions {
     * The plan is built at analysis time from the manifests — the
     * same eager shape `Versioned` gives Scala callers.
     */
-  val tableFunctions: Seq[(String,
-      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+  val tableFunctions: Seq[(String, PartialFunction[Seq[Expression],
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = Seq(
     "graft_table_changes" -> { case Seq(t, from, to, keys) =>
       val spark = org.apache.spark.sql.SparkSession.active
       graft.lake.Versioned.changesBetween(spark,

@@ -843,13 +843,30 @@ object Versioned {
       try {
         java.nio.file.Files.createLink(g, t)
         java.nio.file.Files.deleteIfExists(t)
+        deleteCrcSibling(t)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           java.nio.file.Files.deleteIfExists(t)
+          deleteCrcSibling(t)
           false
         case _: UnsupportedOperationException =>
           RenameCasStore.putIfAbsent(fs, dir, tmp, target)
+      }
+    }
+
+    /** The tmp was written through Hadoop's ChecksumFileSystem, which
+      * shadowed it with a `.<name>.crc` sidecar; publishing via NIO
+      * `link(2)` + delete bypasses that layer, so the sidecar must go
+      * explicitly or `_manifest` accumulates one orphaned crc file per
+      * commit forever (the rename store's `fs.rename`/`fs.delete`
+      * carried or removed it as a pair). */
+    private def deleteCrcSibling(t: java.nio.file.Path): Unit = {
+      val parent = t.getParent
+      if (parent != null) {
+        java.nio.file.Files.deleteIfExists(
+          parent.resolve("." + t.getFileName.toString + ".crc"))
+        ()
       }
     }
   }
@@ -3068,12 +3085,17 @@ object Versioned {
     val deleted =
       if (live.isEmpty) 0L
       else {
+        import spark.implicits._
         // distinct by construction: every DV write scans VISIBLE rows,
-        // so no (file, pos) pair can be recorded twice
-        val dvdRels = live.map(_._1).distinct
+        // so no (file, pos) pair can be recorded twice. The keep-set
+        // rides as a broadcast semi join, not a driver-built In
+        // literal — O(files with DVs) literals would bloat the plan
+        // (same pattern as probeBlooms' keep-set)
+        val keep = live.map(_._1).distinct.toDF("file")
         spark.read.schema(DvSchema)
           .parquet(live.map(_._2).distinct.map(r => s"$dir/$r"): _*)
-          .filter(col("file").isin(dvdRels: _*))
+          .join(org.apache.spark.sql.functions.broadcast(keep),
+            Seq("file"), "left_semi")
           .count()
       }
     Some(total - deleted)
@@ -3114,7 +3136,12 @@ object Versioned {
       if (live.isEmpty) Map.empty
       else spark.read.schema(DvSchema)
         .parquet(live.map(_._2).distinct.map(r => s"$dir/$r"): _*)
-        .filter(col("file").isin(live.map(_._1).distinct: _*))
+        // keep-set as a broadcast semi join, not a driver-built In
+        // literal (O(files with DVs) literals bloat the plan — the
+        // sidecar paths already bound the read; same pattern as
+        // probeBlooms' keep-set)
+        .join(org.apache.spark.sql.functions.broadcast(
+          live.map(_._1).distinct.toDF("file")), Seq("file"), "left_semi")
         // positions are distinct by construction: every DV write
         // scans VISIBLE rows, so no (file, pos) records twice
         .groupBy("file").agg(count(col("pos")).as("n"))

@@ -115,4 +115,23 @@ class VersionedCasStoreSpec extends SparkSuite {
       Versioned.unregisterCasStore(a)
     }
   }
+
+  test("link-published commits leave no orphaned .crc sidecars in " +
+      "_manifest") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir() + "/crc"
+    // LinkCasStore is the local-FS default: each commit stages a tmp
+    // through ChecksumFileSystem (which shadows it with a .crc
+    // sidecar) and publishes via link(2) + NIO delete — the sidecar
+    // must be removed explicitly or _manifest grows one orphan per
+    // commit forever
+    (1 to 5).foreach(i => Versioned.commit(s, dir, Seq(i.toLong).toDF("x")))
+    val names = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "_manifest"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    assert(names.count(_.endsWith(".crc")) == 0,
+      s"orphaned crc sidecars after 5 commits: ${names.mkString(", ")}")
+    assert(names.count(_.matches("v\\d{5}\\.txt")) == 5)
+  }
 }
