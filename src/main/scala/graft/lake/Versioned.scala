@@ -137,7 +137,9 @@ object Versioned {
       lines: Seq[String], dvs: Seq[(String, String)] = Nil,
       blooms: Seq[(String, String, String)] = Nil,
       op: Option[String] = None,
-      bloomCfg: Seq[(String, Long, Double)] = Nil)
+      bloomCfg: Seq[(String, Long, Double)] = Nil,
+      statColsPolicy: Seq[String] = Nil,
+      ts: Option[Long] = None)
 
   // header lines start with '#' so file-line consumers skip them by
   // prefix; the schema rides as Spark's own StructType JSON (control
@@ -166,6 +168,22 @@ object Versioned {
   // rebuild 100k-item filters that saturate to fpp≈1 and silently
   // stop pruning.
   private val BloomCfgHeader = "#bloomcfg\t"
+  // stats POLICY: `#statcols\t<c1>\t<c2>…` (names uri-encoded) — the
+  // columns the TABLE tracks per-file min/max (+null/row-count) stats
+  // for. Carried like CHECK constraints and the bloom config: every
+  // commit — append, replace, DML rewrite, SQL INSERT — measures its
+  // staged files under the union of this policy and its caller's
+  // declaration, so one untracked writer can never silently kill
+  // metadata-only COUNT(*) or degrade the stats pruner toward
+  // O(table). Pre-policy manifests derive it from the columns
+  // observed on their data lines.
+  private val StatColsHeader = "#statcols\t"
+  // commit instant: `#ts\t<epochMillis>` — recorded at publish time as
+  // max(wall clock, parent instant + 1), so TIMESTAMP AS OF resolution
+  // is monotonic with version numbers even under cross-process writers
+  // with skewed clocks (manifest file mtimes are NOT so guaranteed:
+  // hard-link publish preserves the tmp's write-time mtime).
+  private val TsHeader = "#ts\t"
   // operation header: `#op\t<name>` — which commit primitive created
   // this version (append / replace / stream-append / delete / update /
   // merge / delete-mor / update-mor / compact / restore / add-check /
@@ -211,16 +229,37 @@ object Versioned {
       val Array(c, n, f) = l.stripPrefix(BloomCfgHeader).split('\t')
       (c, n.toLong, f.toDouble)
     }
+    val statColsPolicy = raw.collectFirst {
+      case l if l.startsWith(StatColsHeader) =>
+        l.stripPrefix(StatColsHeader).split('\t').toSeq
+          .filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    }.getOrElse(Nil)
+    val ts = raw.collectFirst { case l if l.startsWith(TsHeader) =>
+      l.stripPrefix(TsHeader).trim.toLong
+    }
     Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
-      blooms, op, bloomCfg)
+      blooms, op, bloomCfg, statColsPolicy, ts)
   }
 
-  /** The table's bloom-index config: the recorded `#bloomcfg` entries,
-    * or — for an index committed before config tracking — the default
-    * sizing per indexed column, so legacy pointers keep re-measuring. */
+  /** The table's bloom-index config: the recorded `#bloomcfg` entries.
+    * A MODERN manifest (one carrying a `#ts` commit instant) with no
+    * entries genuinely has none — an explicit
+    * `UNSET TBLPROPERTIES ('graft.bloom.cols')` must actually stop
+    * indexing. Only a manifest written before config tracking (no
+    * `#ts`) falls back to the default sizing per indexed column, so
+    * legacy pointers keep re-measuring. */
   private def bloomCfgOf(m: Manifest): Seq[(String, Long, Double)] =
-    if (m.bloomCfg.nonEmpty) m.bloomCfg
+    if (m.bloomCfg.nonEmpty || m.ts.isDefined) m.bloomCfg
     else m.blooms.map(_._2).distinct.map((_, 100000L, 0.03))
+
+  /** The table's tracked STAT columns: the recorded `#statcols` policy
+    * header, or — for a table committed before policy tracking — the
+    * columns observed on the manifest's data lines, so legacy tables
+    * keep their contract the moment any writer touches them. */
+  private def statColsOf(m: Manifest): Seq[String] =
+    if (m.statColsPolicy.nonEmpty) m.statColsPolicy
+    else m.lines.flatMap(parseStats(_)._2.map(_._1)).distinct
 
   /** The table schema of version `v`: the manifest-recorded one when
     * present (O(1) — no file I/O beyond the manifest itself), else
@@ -412,7 +451,8 @@ object Versioned {
       // DVs would silently RESURRECT every MoR-deleted row
       if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
           m.checks :+ ((name, sqlExpr)), m.dvs, m.blooms,
-          op = Some(s"add-check($name)"), bloomCfg = m.bloomCfg))
+          op = Some(s"add-check($name)"), bloomCfg = m.bloomCfg,
+          statColsPolicy = m.statColsPolicy, parentTs = m.ts))
         return head + 1
       attempts += 1   // CAS lost: re-read head, re-validate its rows
       require(attempts < 1000,
@@ -437,11 +477,83 @@ object Versioned {
           s"version $head of $dir has no schema"))
       if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
           m.checks.filterNot(_._1 == name), m.dvs, m.blooms,
-          op = Some(s"drop-check($name)"), bloomCfg = m.bloomCfg))
+          op = Some(s"drop-check($name)"), bloomCfg = m.bloomCfg,
+          statColsPolicy = m.statColsPolicy, parentTs = m.ts))
         return head + 1
       attempts += 1
       require(attempts < 1000,
         s"dropCheck on $dir still losing the version race after " +
+          s"$attempts attempts")
+    }
+    -1 // unreachable
+  }
+
+  /** The table's declared file-skipping STAT policy at `version`
+    * (default head): the columns every commit measures per-file
+    * min/max (+ null/row counts) for. Empty for an untracked table. */
+  def statPolicy(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[String] =
+    version.orElse(latestVersion(spark, dir))
+      .map(v => statColsOf(readManifest(fileSystem(spark, dir), dir, v)))
+      .getOrElse(Nil)
+
+  /** The table's declared bloom-index policy at `version` (default
+    * head): `(column, expectedItems, fpp)` per indexed column. */
+  def bloomPolicy(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[(String, Long, Double)] =
+    version.orElse(latestVersion(spark, dir))
+      .map(v => bloomCfgOf(readManifest(fileSystem(spark, dir), dir, v)))
+      .getOrElse(Nil)
+
+  /** Declare (or re-declare) the table's file-skipping policy as a
+    * METADATA-ONLY commit: from this version on, every commit —
+    * append, replace, DML rewrite, SQL INSERT — measures per-file
+    * stats for `statCols` and builds blooms per `bloomCfg` on its
+    * staged files ([[commitImpl]]'s inheritance). `None` keeps the
+    * current declaration for that half. Existing files are NOT
+    * retroactively indexed (their stats/filters appear as rewrites
+    * touch them — [[compactCommit]] re-measures everything); pruning
+    * stays conservative-correct meanwhile. This is the engine behind
+    * SQL `TBLPROPERTIES ('graft.stats.cols'=…, 'graft.bloom.cols'=…)`
+    * on CREATE/CTAS and `ALTER TABLE … SET TBLPROPERTIES`. Returns
+    * the policy commit's version.
+    */
+  def setPolicy(spark: SparkSession, dir: String,
+      statCols: Option[Seq[String]] = None,
+      bloomCfg: Option[Seq[(String, Long, Double)]] = None): Int = {
+    require(statCols.isDefined || bloomCfg.isDefined,
+      "setPolicy needs a stats or bloom declaration")
+    val fs = fileSystem(spark, dir)
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version in $dir to declare policy on"))
+      val m = readManifest(fs, dir, head)
+      val schema = versionSchema(spark, dir, m).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $head of $dir has no schema to declare policy on"))
+      val newStats = statCols.getOrElse(statColsOf(m)).distinct
+      val newCfg = bloomCfg.getOrElse(bloomCfgOf(m)).distinct
+      (newStats ++ newCfg.map(_._1)).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"policy column '$c' is not a table column " +
+            schema.fieldNames.mkString("[", ", ", "]")))
+      require(newCfg.map(_._1).distinct.size == newCfg.size,
+        "bloom policy declares a column twice: " +
+          newCfg.map(_._1).mkString(", "))
+      newCfg.foreach { case (c, n, f) =>
+        require(n > 0, s"bloom expectedItems for '$c' must be positive: $n")
+        require(f > 0 && f < 1, s"bloom fpp for '$c' must be in (0,1): $f")
+      }
+      if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
+          m.checks, m.dvs, m.blooms, op = Some("set-policy"),
+          bloomCfg = newCfg, statColsPolicy = newStats,
+          parentTs = m.ts))
+        return head + 1
+      attempts += 1
+      require(attempts < 1000,
+        s"setPolicy on $dir still losing the version race after " +
           s"$attempts attempts")
     }
     -1 // unreachable
@@ -454,28 +566,43 @@ object Versioned {
     */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,
       statCols: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val fs = fileSystem(spark, dir)
     // data files are commit-scoped and immutable once the manifest lands
     val dataDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
     df.write.parquet(dataDir.toString)
-    // per-file stats for EVERY tracked column in ONE column-pruned scan
-    // of the just-written files, grouped by their physical file
-    // (footer-only at production scale). An all-NULL or zero-row file
-    // records the inverted sentinel range [MaxValue, MinValue]: a
-    // BETWEEN can never select such rows, so every pruned read skips
-    // the file — without this an empty commit (an empty-partition
-    // pipeline run — fuzz gate) planned as an unprunable file and
-    // broke the skipping guarantee. Each group also records its NULL
-    // COUNT (`~n<k>` annotation): min/max alone can prove "no row can
-    // match", but proving "EVERY row matches" — the metadata-only
-    // DELETE fast path — additionally needs to know no row hides from
-    // the range as NULL (SQL DELETE keeps NULL-predicate rows). The
-    // file's ROW COUNT rides the same scan (`~r<k>` on the first
-    // group): it is what answers COUNT(*) from the manifest alone
-    // ([[rowCountFromMetadata]]) — the other query every retention
-    // and monitoring pipeline runs all day.
+    val rels = fs.listStatus(dataDir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => s"data/${dataDir.getName}/${f.getPath.getName}")
+      .toSeq
+    measureLines(spark, dir, rels, statCols, df.schema)
+  }
+
+  /** Per-file stats for EVERY tracked column in ONE column-pruned scan
+    * of the given staged files, grouped by their physical file
+    * (footer-only at production scale) — split out of [[stage]] so a
+    * commit that loses its CAS to a policy-widening writer can
+    * RE-MEASURE the already-staged files under the new policy without
+    * rewriting a byte of data. An all-NULL or zero-row file records
+    * the inverted sentinel range [MaxValue, MinValue]: a BETWEEN can
+    * never select such rows, so every pruned read skips the file —
+    * without this an empty commit (an empty-partition pipeline run —
+    * fuzz gate) planned as an unprunable file and broke the skipping
+    * guarantee. Each group also records its NULL COUNT (`~n<k>`
+    * annotation): min/max alone can prove "no row can match", but
+    * proving "EVERY row matches" — the metadata-only DELETE fast path
+    * — additionally needs to know no row hides from the range as NULL
+    * (SQL DELETE keeps NULL-predicate rows). The file's ROW COUNT
+    * rides the same scan (`~r<k>` on the first group): it is what
+    * answers COUNT(*) from the manifest alone
+    * ([[rowCountFromMetadata]]) — the other query every retention
+    * and monitoring pipeline runs all day.
+    */
+  private def measureLines(spark: SparkSession, dir: String,
+      rels: Seq[String], statCols: Seq[String],
+      schema: StructType): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val cols = statCols.distinct
+    if (cols.isEmpty || rels.isEmpty) return rels.sorted
     // a TimestampType column records its range in epoch MICROSECONDS —
     // the unit its Catalyst literals carry — and annotates the group
     // `~u` so the provers only compare like against like; a bare
@@ -484,49 +611,40 @@ object Versioned {
     // else keeps the plain integral cast (DateType: days, matching
     // its Int-days literals).
     def statLong(c: String): org.apache.spark.sql.Column =
-      if (microsCol(df.schema, c))
+      if (microsCol(schema, c))
         org.apache.spark.sql.functions.unix_micros(col(c))
       else col(c).cast("long")
-    val stats: Map[String, (Long, Seq[(String, Long, Long, Long)])] =
-      if (cols.isEmpty) Map.empty
-      else {
-        val aggs = cols.flatMap(c => Seq(
-          min(statLong(c)), max(statLong(c)),
-          count(lit(1)) - count(col(c)))) :+ count(lit(1))
-        spark.read.parquet(dataDir.toString)
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val groups = cols.zipWithIndex.map { case (c, i) =>
-              val nulls = r.getLong(3 + 3 * i)
-              if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i))
-                (c, Long.MaxValue, Long.MinValue, nulls)
-              else (c, r.getLong(1 + 3 * i), r.getLong(2 + 3 * i), nulls)
-            }
-            val rows = r.getLong(1 + 3 * cols.length)
-            new Path(r.getString(0)).getName -> (rows, groups)
-          }.toMap
-      }
-    fs.listStatus(dataDir)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map { f =>
-        val rel = s"data/${dataDir.getName}/${f.getPath.getName}"
-        if (cols.isEmpty) rel
-        else {
-          // a file with rows gets its measured groups; a zero-row file
-          // never appears in the stats scan -> sentinel for every col
-          // (zero rows, zero nulls — vacuously all-matching)
-          val (rows, groups) = stats.getOrElse(f.getPath.getName,
-            (0L, cols.map(c => (c, Long.MaxValue, Long.MinValue, 0L))))
-          groups.zipWithIndex.map { case ((c, mn, mx, nu), i) =>
-            val u = if (microsCol(df.schema, c)) "\t~u" else ""
-            if (i == 0) s"\t$c\t$mn\t$mx$u\t~n$nu\t~r$rows"
-            else s"\t$c\t$mn\t$mx$u\t~n$nu"
-          }.mkString(rel, "", "")
-        }
-      }
-      .sorted.toSeq
+    val stats: Map[String, (Long, Seq[(String, Long, Long, Long)])] = {
+      val aggs = cols.flatMap(c => Seq(
+        min(statLong(c)), max(statLong(c)),
+        count(lit(1)) - count(col(c)))) :+ count(lit(1))
+      spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
+        .groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val groups = cols.zipWithIndex.map { case (c, i) =>
+            val nulls = r.getLong(3 + 3 * i)
+            if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i))
+              (c, Long.MaxValue, Long.MinValue, nulls)
+            else (c, r.getLong(1 + 3 * i), r.getLong(2 + 3 * i), nulls)
+          }
+          val rows = r.getLong(1 + 3 * cols.length)
+          relOfUri(r.getString(0)) -> (rows, groups)
+        }.toMap
+    }
+    rels.map { rel =>
+      // a file with rows gets its measured groups; a zero-row file
+      // never appears in the stats scan -> sentinel for every col
+      // (zero rows, zero nulls — vacuously all-matching)
+      val (rows, groups) = stats.getOrElse(rel,
+        (0L, cols.map(c => (c, Long.MaxValue, Long.MinValue, 0L))))
+      groups.zipWithIndex.map { case ((c, mn, mx, nu), i) =>
+        val u = if (microsCol(schema, c)) "\t~u" else ""
+        if (i == 0) s"\t$c\t$mn\t$mx$u\t~n$nu\t~r$rows"
+        else s"\t$c\t$mn\t$mx$u\t~n$nu"
+      }.mkString(rel, "", "")
+    }.sorted
   }
 
   // bloom sidecar rows: one (data file, column, serialized filter)
@@ -705,19 +823,31 @@ object Versioned {
       dvs: Seq[(String, String)] = Nil,
       blooms: Seq[(String, String, String)] = Nil,
       op: Option[String] = None,
-      bloomCfg: Seq[(String, Long, Double)] = Nil): Boolean = {
+      bloomCfg: Seq[(String, Long, Double)] = Nil,
+      statColsPolicy: Seq[String] = Nil,
+      parentTs: Option[Long] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
     fs.mkdirs(new Path(dir, "_manifest"))
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // the commit instant, forced monotonic with the version chain:
+    // clock skew between cross-process writers must never let
+    // TIMESTAMP AS OF resolve to a version that is not the latest
+    // committed at-or-before t
+    val ts = math.max(System.currentTimeMillis(),
+      parentTs.getOrElse(Long.MinValue) + 1)
     val headers = (s"$SchemaHeader${schema.json}" +:
+      (s"$TsHeader$ts" +:
       // op rides as the line's tail verbatim; only line breaks could
       // corrupt the manifest, so they flatten to spaces
       (op.map(o => s"$OpHeader${o.replaceAll("[\\n\\r]", " ")}").toSeq ++
       txn.map { case (app, batch) =>
         s"$TxnHeader${enc(app)}\t$batch"
-      }.toSeq)) ++
+      }.toSeq))) ++
+      (if (statColsPolicy.isEmpty) Nil
+       else Seq(statColsPolicy.distinct.map(enc)
+         .mkString(StatColsHeader, "\t", ""))) ++
       checks.map { case (name, sql) =>
         s"$CheckHeader${enc(name)}\t${enc(sql)}"
       } ++
@@ -928,9 +1058,34 @@ object Versioned {
       bloomCols: Seq[String] = Nil, bloomExpected: Long = 100000L,
       bloomFpp: Double = 0.03): Int = {
     val fs = fileSystem(spark, dir)
-    val newFiles = stage(spark, dir, df, statCols)
-    val newCfg = bloomCols.distinct.map((_, bloomExpected, bloomFpp))
-    val newBlooms = stageBlooms(spark, dir, newFiles, newCfg)
+    val newCfgDecl = bloomCols.distinct.map((_, bloomExpected, bloomFpp))
+    // FILE-SKIPPING POLICY IS TABLE POLICY, carried like CHECK
+    // constraints through appends AND replaces: every commit measures
+    // stats for the union of the caller's columns and the table's
+    // tracked ones ([[statColsOf]]), and builds blooms for its staged
+    // files under the carried config too — otherwise one untracked
+    // append (SQL INSERT INTO, a streaming writer, old pipeline code)
+    // would silently kill metadata-only COUNT(*) for every later
+    // version (rowCountFromMetadata is all-or-nothing) and degrade
+    // the stats/bloom pruners toward O(table). DML rewrites already
+    // inherit the tracked columns; appends follow the same rule.
+    // The caller's own bloom sizing overrides per column.
+    def policyOf(hm: Option[Manifest])
+        : (Seq[String], Seq[(String, Long, Double)]) = (
+      (statCols ++ hm.map(statColsOf).getOrElse(Nil)).distinct,
+      newCfgDecl ++ hm.map(bloomCfgOf).getOrElse(Nil)
+        .filterNot(c => bloomCols.contains(c._1)))
+    // measurable on THIS commit's files: policy columns the staged
+    // frame does not carry (an old writer appending to an evolved
+    // table) simply record no group — conservative, never wrong
+    def measurable(p: (Seq[String], Seq[(String, Long, Double)]))
+        : (Seq[String], Seq[(String, Long, Double)]) = (
+      p._1.filter(df.schema.fieldNames.contains),
+      p._2.filter(c => df.schema.fieldNames.contains(c._1)))
+    val head0 = latestVersion(spark, dir).map(readManifest(fs, dir, _))
+    var (measuredStats, measuredCfg) = measurable(policyOf(head0))
+    var newFiles = stage(spark, dir, df, measuredStats)
+    var newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg)
     var attempts = 0
     // re-validated inside the retry loop only when the constraint set
     // actually changed under us (a racing addCheck): the common retry —
@@ -951,17 +1106,31 @@ object Versioned {
       // keep their deleted rows); a replace claims full-table
       // authority — its fresh files carry no DVs by construction.
       // Bloom pointers ride the same rule: carried files keep their
-      // filters, a replace starts from its own staged index only
+      // filters, a replace starts from its own staged index only —
+      // but the index CONFIG and stat policy carry either way (policy
+      // outlives the data it happened to describe).
       val carriedDvs = if (replace) Nil
         else headManifest.map(_.dvs).getOrElse(Nil)
       val carriedBlooms = if (replace) Nil
         else headManifest.map(_.blooms).getOrElse(Nil)
-      // index config is table policy: this commit's sizing overrides
-      // per column, the head's other entries carry through appends; a
-      // replace starts from its own declaration
-      val carriedCfg = (if (replace) Nil
-        else headManifest.map(bloomCfgOf).getOrElse(Nil))
-        .filterNot(c => bloomCols.contains(c._1))
+      val (polStats, polCfg) = policyOf(headManifest)
+      // a racing commit may have WIDENED the policy between staging
+      // and this attempt: re-measure the already-staged files under
+      // the head's policy (stats re-scan; blooms only for columns not
+      // yet indexed) so this commit honors it too — no data rewrite
+      val (wantStats, wantCfg) = measurable((polStats, polCfg))
+      if (wantStats.toSet != measuredStats.toSet) {
+        newFiles = measureLines(spark, dir,
+          newFiles.map(parseLine(_)._1), wantStats, df.schema)
+        measuredStats = wantStats
+      }
+      val missingCfg =
+        wantCfg.filterNot(c => measuredCfg.exists(_._1 == c._1))
+      if (missingCfg.nonEmpty) {
+        newBlooms = newBlooms ++
+          stageBlooms(spark, dir, newFiles, missingCfg)
+        measuredCfg = measuredCfg ++ missingCfg
+      }
       val schema =
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
@@ -975,7 +1144,12 @@ object Versioned {
           checks, carriedDvs, carriedBlooms ++ newBlooms,
           op = Some(txn.map(_ => "stream-append")
             .getOrElse(if (replace) "replace" else "append")),
-          bloomCfg = carriedCfg ++ newCfg))
+          // published policy tracks the PUBLISHED schema: a replace
+          // that drops a tracked column drops it from the policy too
+          bloomCfg = polCfg.filter(c =>
+            schema.fieldNames.contains(c._1)),
+          statColsPolicy = polStats.filter(schema.fieldNames.contains),
+          parentTs = headManifest.flatMap(_.ts)))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -1175,7 +1349,8 @@ object Versioned {
       checksOverride = Some(m.checks), validateChecks = false,
       stagedDvs = m.dvs, dvAuthority = true, stagedBlooms = m.blooms,
       op = s"restore(v$version)",
-      bloomCfgOverride = Some(m.bloomCfg))
+      bloomCfgOverride = Some(m.bloomCfg),
+      statColsOverride = Some(statColsOf(m)))
   }
 
   // ----------------------------------------------------- row-level DML
@@ -1811,7 +1986,8 @@ object Versioned {
                 hm.lines ++ st.staged, checks = hm.checks,
                 dvs = hm.dvs ++ st.pairs,
                 blooms = hm.blooms ++ st.stagedBlooms,
-                op = Some("update-mor"), bloomCfg = bloomCfgOf(hm)))
+                op = Some("update-mor"), bloomCfg = bloomCfgOf(hm),
+                statColsPolicy = hm.statColsPolicy, parentTs = hm.ts))
               return head + 1
           }
       }
@@ -1884,7 +2060,8 @@ object Versioned {
     val published = casPublish(fs, dir, base + 1, schema,
       m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs,
       blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"),
-      bloomCfg = bloomCfgOf(m))
+      bloomCfg = bloomCfgOf(m),
+      statColsPolicy = m.statColsPolicy, parentTs = m.ts)
     if (published) Right(base + 1)
     else Left(MorStaged(
       scanned = affected,
@@ -2484,7 +2661,8 @@ object Versioned {
       morScanned: Option[Set[String]] = None,
       stagedBlooms: Seq[(String, String, String)] = Nil,
       op: String = "replace",
-      bloomCfgOverride: Option[Seq[(String, Long, Double)]] = None): Int = {
+      bloomCfgOverride: Option[Seq[(String, Long, Double)]] = None,
+      statColsOverride: Option[Seq[String]] = None): Int = {
     val fs = fileSystem(spark, dir)
     val baseM = base.map(readManifest(fs, dir, _))
     val baseFiles: Set[String] = baseM
@@ -2607,13 +2785,17 @@ object Versioned {
         if (dvAuthority) stagedBlooms
         else headM.map(_.blooms).getOrElse(Nil)
           .filter(b => newRels.contains(b._1)) ++ stagedBlooms
-      // index config carries like the CHECK policy; a restore rolls
-      // it back with the state it republishes
+      // index config and stat policy carry like the CHECK policy; a
+      // restore rolls them back with the state it republishes
       val cfg = bloomCfgOverride
         .getOrElse(headM.map(bloomCfgOf).getOrElse(Nil))
+      val statPol = statColsOverride
+        .getOrElse(headM.map(statColsOf).getOrElse(Nil))
       if (casPublish(fs, dir, next, schema, newLines,
           checks = checks, dvs = newDvs, blooms = newBlooms,
-          op = Some(op), bloomCfg = cfg))
+          op = Some(op), bloomCfg = cfg,
+          statColsPolicy = statPol.filter(schema.fieldNames.contains),
+          parentTs = headM.flatMap(_.ts)))
         return next
       attempts += 1
       require(attempts < 1000,
@@ -2722,9 +2904,19 @@ object Versioned {
 
   /** Release a [[pin]]. Idempotent. */
   def unpin(spark: SparkSession, dir: String, p: ReadPin): Unit = {
-    val fs = fileSystem(spark, dir)
-    fs.delete(new Path(pinsDir(dir), s"${p.id}.pin"), false)
+    unpin(spark, dir, p.id)
     ()
+  }
+
+  /** Release a pin by id (the SQL `CALL graft.system.unpin` route —
+    * a pure-SQL consumer holds only the id string). Returns whether
+    * a pin file was actually removed; idempotent either way. */
+  def unpin(spark: SparkSession, dir: String, id: String): Boolean = {
+    // ids are UUIDs by construction; refuse anything path-shaped so a
+    // crafted id can never escape the pins directory
+    require(id.matches("[0-9a-zA-Z-]+"), s"malformed pin id '$id'")
+    val fs = fileSystem(spark, dir)
+    fs.delete(new Path(pinsDir(dir), s"$id.pin"), false)
   }
 
   /** Bracketed pinned read: pin the head (or `version`), hand `f` the
@@ -3153,12 +3345,18 @@ object Versioned {
         col("deleted").cast("double") / col("rows").cast("double"))
   }
 
-  /** The newest retained version whose COMMIT INSTANT (the manifest
-    * file's modification time — set by the publish rename) is at or
-    * before `micros` (epoch microseconds, the unit Spark's V2
-    * `TIMESTAMP AS OF` hook passes). None when the table's entire
-    * retained history is newer. Pure metadata: one directory of
-    * small-file stats, no data I/O — same cost class as [[history]].
+  /** The newest retained version whose COMMIT INSTANT is at or before
+    * `micros` (epoch microseconds, the unit Spark's V2 `TIMESTAMP AS
+    * OF` hook passes). None when the table's entire retained history
+    * is newer. The authoritative instant is the manifest's recorded
+    * `#ts` header (written monotonic with the version chain —
+    * max(clock, parent + 1) — so cross-process clock skew can never
+    * resolve to a version that is not the latest committed at-or-
+    * before t); manifests written before instant tracking fall back
+    * to their file mtime. Cost: ONE directory listing (the mtime fast
+    * path) plus at most two manifest header reads to CONFIRM the
+    * candidate against recorded instants; only a detected skew pays
+    * the exact newest-first header walk.
     */
   def versionAsOfTimestamp(spark: SparkSession, dir: String,
       micros: Long): Option[Int] = {
@@ -3166,20 +3364,32 @@ object Versioned {
     val mdir = new Path(dir, "_manifest")
     if (!fs.exists(mdir)) return None
     val millis = micros / 1000L
-    // ONE directory listing yields every (version, commit instant)
-    // pair — a per-version exists+stat walk would be two remote
-    // round-trips per retained version
-    fs.listStatus(mdir).toSeq
-      .flatMap { s =>
-        val n = s.getPath.getName
-        if (n.matches("v\\d{5}\\.txt") &&
-            s.getModificationTime <= millis)
-          Some(n.substring(1, 6).toInt)
-        else None
-      } match {
-      case Seq() => None
-      case vs => Some(vs.max)
+    // ONE directory listing yields every (version, mtime) pair — a
+    // per-version exists+stat walk would be two remote round-trips
+    // per retained version
+    val listed = fs.listStatus(mdir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.matches("v\\d{5}\\.txt"))
+        Some(n.substring(1, 6).toInt -> s.getModificationTime)
+      else None
+    }.sortBy(_._1)
+    if (listed.isEmpty) return None
+    val mtimeOf = listed.toMap
+    def instant(v: Int): Long =
+      readManifest(fs, dir, v).ts
+        .getOrElse(mtimeOf.getOrElse(v, Long.MaxValue))
+    val cand = listed.filter(_._2 <= millis).map(_._1).maxOption
+    val confirmed = cand match {
+      case Some(v) =>
+        val next = listed.map(_._1).filter(_ > v).minOption
+        instant(v) <= millis && next.forall(instant(_) > millis)
+      case None => // nothing by mtime: the oldest must really be newer
+        instant(listed.head._1) > millis
     }
+    if (confirmed) cand
+    else // skew detected: exact walk over the recorded instants
+      listed.map(_._1).sorted(Ordering[Int].reverse).iterator
+        .find(instant(_) <= millis)
   }
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —
@@ -3213,7 +3423,10 @@ object Versioned {
           if (m.dvs.nonEmpty || counts.exists(_.isEmpty)) None
           else Some(counts.flatten.sum)
         (v, m.op.getOrElse("unknown"),
-          fs.getFileStatus(manifestPath(dir, v)).getModificationTime,
+          // the recorded commit instant (monotonic with versions);
+          // pre-tracking manifests fall back to their file mtime
+          m.ts.getOrElse(
+            fs.getFileStatus(manifestPath(dir, v)).getModificationTime),
           m.lines.size, m.dvs.size, m.checks.size,
           m.txn.map(_._1), m.txn.map(_._2), rowCount)
       }.toSeq

@@ -1377,20 +1377,26 @@ object DeltaQueries {
       ext.sql("CREATE TABLE graft.db.gm AS " +
         "SELECT o_orderkey, o_totalprice FROM q147_src " +
         "WHERE o_orderkey % 2 = 0")                               // v0
+      // the source keys itself `k2`, NOT `o_orderkey` — `ON
+      // t.o_orderkey = s.k2` exercises the differently-named-key
+      // routing (the rule carries (target, source) pairs and the
+      // command copies the source key onto the target name, so
+      // clause expressions referencing s.k2 still resolve)
       ext.sql("""MERGE INTO graft.db.gm AS t USING (
-                |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+                |  SELECT o_orderkey AS k2,
+                |         o_totalprice * 2 AS o_totalprice
                 |  FROM q147_src WHERE o_orderkey % 4 = 0
                 |  UNION ALL
-                |  SELECT o_orderkey, o_totalprice * 0.5D
+                |  SELECT o_orderkey AS k2, o_totalprice * 0.5D
                 |  FROM q147_src WHERE o_orderkey % 2 <> 0
                 |) AS s
-                |ON t.o_orderkey = s.o_orderkey
+                |ON t.o_orderkey = s.k2
                 |WHEN MATCHED AND s.o_totalprice > t.o_totalprice
                 |  THEN UPDATE SET o_totalprice = s.o_totalprice
                 |WHEN MATCHED THEN DELETE
-                |WHEN NOT MATCHED AND s.o_orderkey % 3 = 0
+                |WHEN NOT MATCHED AND s.k2 % 3 = 0
                 |  THEN INSERT (o_orderkey, o_totalprice)
-                |       VALUES (s.o_orderkey, s.o_totalprice)
+                |       VALUES (s.k2, s.o_totalprice)
                 |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 0
                 |  THEN UPDATE SET o_totalprice = CAST(0 AS DOUBLE)
                 |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 7 = 0

@@ -180,13 +180,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(partitions.isEmpty,
       "graft tables take no partition transforms — cluster files with " +
         "Versioned.compactCommit(clusterBy = …) instead")
+    // TBLPROPERTIES are the file-skipping policy declaration (and
+    // nothing else): unknown keys and non-parquet providers are
+    // refused loudly rather than silently dropped
+    val props = Option(properties).map(_.asScala.toMap)
+      .getOrElse(Map.empty[String, String])
+    val (statCols, bloomCfg) =
+      GraftTableProps.parse(props, "graft CREATE TABLE")
+    (statCols ++ bloomCfg.map(_._1)).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"policy column '$c' is not in the declared schema " +
+          schema.fieldNames.mkString("[", ", ", "]")))
     val dir = dirOf(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (name() +: ident.namespace().toSeq :+ ident.name()).mkString("."))
-    // v0 is an empty commit carrying the declared schema — the same
-    // manifest shape any empty-input pipeline run publishes
-    Versioned.commit(session, dir, session.createDataFrame(
-      new util.ArrayList[org.apache.spark.sql.Row](), schema))
+    // v0 is an empty commit carrying the declared schema — and the
+    // declared policy headers, so the FIRST insert already measures
+    // stats and builds blooms (commitImpl inherits table policy)
+    val empty = session.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+    if (statCols.isEmpty && bloomCfg.isEmpty)
+      Versioned.commit(session, dir, empty)
+    else
+      Versioned.commitWithIndex(session, dir, empty, statCols,
+        bloomCfg.map(_._1),
+        bloomExpectedItems =
+          bloomCfg.headOption.map(_._2).getOrElse(100000L),
+        bloomFpp = bloomCfg.headOption.map(_._3).getOrElse(0.03))
     loadTable(ident)
   }
 
@@ -228,6 +248,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         else if (!dc.ifExists())
           throw new IllegalArgumentException(
             s"no CHECK constraint '${dc.name()}' on $dir")
+        return loadTable(ident)
+      // ALTER TABLE … SET/UNSET TBLPROPERTIES: the graft.* policy keys
+      // re-declare the file-skipping policy as a metadata commit
+      // ([[Versioned.setPolicy]] — same audit trail as addCheck);
+      // anything else is refused loudly
+      case ps if ps.nonEmpty && ps.forall(c =>
+          c.isInstanceOf[TableChange.SetProperty] ||
+          c.isInstanceOf[TableChange.RemoveProperty]) =>
+        val sets = ps.collect {
+          case sp: TableChange.SetProperty => sp.property -> sp.value
+        }.toMap
+        val removes = ps.collect {
+          case rp: TableChange.RemoveProperty => rp.property
+        }.toSet
+        require((sets.keySet ++ removes)
+            .subsetOf(GraftTableProps.PolicyKeys),
+          "graft ALTER TABLE SET/UNSET TBLPROPERTIES takes the policy " +
+            s"keys only (${GraftTableProps.PolicyKeys.toSeq.sorted
+              .mkString(", ")}); got: " +
+            ((sets.keySet ++ removes) -- GraftTableProps.PolicyKeys)
+              .mkString(", "))
+        val (statCols, bloomCfg) =
+          GraftTableProps.parse(sets, "graft ALTER TABLE")
+        val statOpt =
+          if (sets.contains(GraftTableProps.StatsKey)) Some(statCols)
+          else if (removes.contains(GraftTableProps.StatsKey)) Some(Nil)
+          else None
+        val bloomOpt =
+          if (sets.contains(GraftTableProps.BloomKey)) Some(bloomCfg)
+          else if (removes.contains(GraftTableProps.BloomKey))
+            Some(Nil: Seq[(String, Long, Double)])
+          else None
+        require(statOpt.isDefined || bloomOpt.isDefined,
+          "SET TBLPROPERTIES must declare " +
+            s"${GraftTableProps.StatsKey} or ${GraftTableProps.BloomKey}")
+        Versioned.setPolicy(session, dir, statOpt, bloomOpt)
         return loadTable(ident)
       case _ =>
     }
@@ -390,7 +446,22 @@ final case class GraftTable(fullName: String, dir: String,
           .build()
       }.toArray
 
+  // resolved once per loadTable, like schema: DESCRIBE/SHOW
+  // TBLPROPERTIES consult this and each evaluation is a manifest read
+  private lazy val policyProps: Map[String, String] = {
+    val spark = SparkSession.active
+    val stats = Versioned.statPolicy(spark, dir, asOfVersion)
+    val blooms = Versioned.bloomPolicy(spark, dir, asOfVersion)
+    (if (stats.isEmpty) Map.empty[String, String]
+     else Map(GraftTableProps.StatsKey -> stats.mkString(","))) ++
+      (if (blooms.isEmpty) Map.empty[String, String]
+       else Map(
+         GraftTableProps.BloomKey -> blooms.map(_._1).mkString(","),
+         GraftTableProps.ExpectedKey -> blooms.head._2.toString,
+         GraftTableProps.FppKey -> blooms.head._3.toString))
+  }
+
   override def properties(): util.Map[String, String] =
-    (Map("location" -> dir, "provider" -> "graft") ++
+    (Map("location" -> dir, "provider" -> "graft") ++ policyProps ++
       asOfVersion.map(v => "version" -> v.toString)).asJava
 }

@@ -38,7 +38,8 @@ import graft.lake.Versioned
 object GraftProcedures {
 
   def names: Seq[String] =
-    Seq("history", "restore", "expire", "compact", "dv_debt")
+    Seq("history", "restore", "expire", "compact", "dv_debt", "pin",
+      "unpin")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -47,6 +48,8 @@ object GraftProcedures {
       case "expire" => Some(ExpireProcedure(catalog))
       case "compact" => Some(CompactProcedure(catalog))
       case "dv_debt" => Some(DvDebtProcedure(catalog))
+      case "pin" => Some(PinProcedure(catalog))
+      case "unpin" => Some(UnpinProcedure(catalog))
       case _ => None
     }
 }
@@ -153,22 +156,95 @@ final case class ExpireProcedure(catalog: GraftCatalog)
   }
 }
 
-/** `CALL graft.system.compact('db.t')` → [[Versioned.compactCommit]]:
-  * bin-pack small files to the default target size and materialize
-  * deletion vectors, as a time-travel-preserving commit. Returns the
-  * new head version. */
+/** `CALL graft.system.compact('db.t' [, cluster_by => 'k1,k2'
+  * [, zorder => true] [, target_bytes => N]])` →
+  * [[Versioned.compactCommit]]: bin-pack small files to the target
+  * size and materialize deletion vectors, as a time-travel-preserving
+  * commit. `cluster_by` turns the rewrite into CLUSTERED compaction
+  * (range partition + in-file sort — the OPTIMIZE-by-key of
+  * production formats, and the format's data-skipping lever);
+  * `zorder => true` interleaves multiple cluster keys so stats stay
+  * selective on EVERY key, not just the leading one. Returns the new
+  * head version. */
 final case class CompactProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
   override def name(): String = "compact"
   override def description(): String =
-    "bin-pack small files and materialize deletion vectors"
-  override def parameters(): Array[ProcedureParameter] =
-    Array(param("table", StringType))
+    "bin-pack small files (optionally cluster/z-order by keys) and " +
+      "materialize deletion vectors"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    ProcedureParameter.in("cluster_by", StringType)
+      .defaultValue("''").build(),
+    ProcedureParameter.in("zorder",
+      org.apache.spark.sql.types.BooleanType)
+      .defaultValue("false").build(),
+    ProcedureParameter.in("target_bytes",
+      org.apache.spark.sql.types.LongType)
+      .defaultValue((128L << 20).toString).build())
   override def call(input: InternalRow): util.Iterator[Scan] = {
+    val clusterBy =
+      if (input.isNullAt(1)) Nil
+      else input.getUTF8String(1).toString.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    val zOrder = !input.isNullAt(2) && input.getBoolean(2)
+    require(!zOrder || clusterBy.nonEmpty,
+      "zorder => true needs cluster_by columns")
+    val targetBytes =
+      if (input.isNullAt(3)) 128L << 20 else input.getLong(3)
     val v = Versioned.compactCommit(session,
-      dirOf(input.getUTF8String(0).toString))
+      dirOf(input.getUTF8String(0).toString),
+      targetBytes = targetBytes, clusterBy = clusterBy, zOrder = zOrder)
     result(StructType(Seq(StructField("version", IntegerType,
       nullable = false))), Array[Any](v))
+  }
+}
+
+/** `CALL graft.system.pin('db.t' [, version => k])` →
+  * [[Versioned.pin]]: declare an in-flight read of `version` (default
+  * head) so [[Versioned.expire]] keeps it — and everything newer —
+  * until the returned id is released with `unpin`. The SQL half of
+  * the long-running-reader contract: a pure-SQL training job pins its
+  * snapshot before hours of reading and a concurrent retention run
+  * can never collect its files mid-read. Returns (id, version). */
+final case class PinProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "pin"
+  override def description(): String =
+    "hold a version (and everything newer) against expire until unpin"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    ProcedureParameter.in("version", IntegerType)
+      .defaultValue("CAST(NULL AS INT)").build())
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val version = if (input.isNullAt(1)) None else Some(input.getInt(1))
+    val p = Versioned.pin(session,
+      dirOf(input.getUTF8String(0).toString), version)
+    result(StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false))),
+      Array[Any](org.apache.spark.unsafe.types.UTF8String
+        .fromString(p.id), p.version))
+  }
+}
+
+/** `CALL graft.system.unpin('db.t', 'id')` → release a pin taken by
+  * `CALL graft.system.pin`. Idempotent; returns whether a pin was
+  * actually removed. */
+final case class UnpinProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "unpin"
+  override def description(): String =
+    "release a pin taken by CALL graft.system.pin"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType), param("id", StringType))
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val released = Versioned.unpin(session,
+      dirOf(input.getUTF8String(0).toString),
+      input.getUTF8String(1).toString)
+    result(StructType(Seq(StructField("released",
+      org.apache.spark.sql.types.BooleanType, nullable = false))),
+      Array[Any](released))
   }
 }
 

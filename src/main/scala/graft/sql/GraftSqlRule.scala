@@ -147,8 +147,11 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
             "graft tables take no partition transforms — cluster files " +
               "with Versioned.compactCommit(clusterBy = …) instead")
           // a clause this command cannot honor must fail loudly, not
-          // silently produce a warehouse-located parquet table
-          c.tableSpec match {
+          // silently produce a warehouse-located parquet table.
+          // TBLPROPERTIES carry the file-skipping policy declaration
+          // (graft.stats.cols / graft.bloom.*) — the one table policy
+          // CTAS can publish with its single data-bearing commit
+          val (statCols, bloomCfg) = c.tableSpec match {
             case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
               require(ts.location.isEmpty && !ts.external,
                 "graft tables live at their catalog-derived warehouse " +
@@ -157,14 +160,13 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
                 p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet")),
                 s"graft tables store parquet; USING ${ts.provider.get} " +
                   "is not supported")
-              require(ts.properties.isEmpty && ts.options.isEmpty &&
-                ts.serde.isEmpty,
-                "graft CTAS takes no TBLPROPERTIES/OPTIONS/SERDE — " +
-                  "table policy lives in the manifest (CHECK " +
-                  "constraints, bloom config)")
-            case _ =>
+              require(ts.options.isEmpty && ts.serde.isEmpty,
+                "graft CTAS takes no OPTIONS/SERDE")
+              GraftTableProps.parse(ts.properties, "graft CTAS")
+            case _ => (Nil, Nil)
           }
-          GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists)
+          GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists,
+            statCols, bloomCfg)
         case _ => c
       }
 
@@ -213,20 +215,26 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     * namespaces of the joined row. */
   private def rewriteMerge(m: MergeIntoTable, g: GraftTable): LogicalPlan = {
     val supported = "graft MERGE INTO needs ON to be a conjunction " +
-      "of same-named equi-keys (t.k = s.k); got: "
+      "of target/source equi-keys (t.k = s.k, or differently named: " +
+      "t.k = s.j); got: "
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
-    def keysOf(e: Expression): Option[Seq[String]] = e match {
+    // (target column, source column) join-key pairs — the names may
+    // differ (`ON t.id = s.customer_id`); the command renames the
+    // source side onto the target key before handing the frame to
+    // the Versioned operator
+    def keysOf(e: Expression): Option[Seq[(String, String)]] = e match {
       case And(l, r) =>
         for { a <- keysOf(l); b <- keysOf(r) } yield a ++ b
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.name.equalsIgnoreCase(b.name) &&
-            ((targetOut.contains(a) && sourceOut.contains(b)) ||
-              (targetOut.contains(b) && sourceOut.contains(a))) =>
-        Some(Seq(if (targetOut.contains(a)) a.name else b.name))
+          if targetOut.contains(a) && sourceOut.contains(b) =>
+        Some(Seq((a.name, b.name)))
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetOut.contains(b) && sourceOut.contains(a) =>
+        Some(Seq((b.name, a.name)))
       case _ => None
     }
-    val keys = keysOf(m.mergeCondition).getOrElse(
+    val keyPairs = keysOf(m.mergeCondition).getOrElse(
       throw new UnsupportedOperationException(
         supported + s"ON ${m.mergeCondition.sql}"))
     // star-expanded actions: one unconditioned UPDATE assigning every
@@ -241,17 +249,20 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       m.notMatchedBySourceActions) match {
       case (Seq(u: UpdateAction), Seq(i: InsertAction), Seq())
           if u.condition.isEmpty && i.condition.isEmpty &&
-            starAssigns(u.assignments) && starAssigns(i.assignments) =>
+            starAssigns(u.assignments) && starAssigns(i.assignments) &&
+            keyPairs.forall(p => p._1.equalsIgnoreCase(p._2)) =>
         // project the source to exactly the target's columns, in
-        // the insert action's mapping (schema-stable upsert)
+        // the insert action's mapping (schema-stable upsert). Only
+        // same-named keys qualify: with `ON t.k = s.j` the star
+        // mapping would join on s.k, not the declared s.j
         val cols = i.assignments.map {
           case Assignment(k: Attribute, v: Attribute) => (k.name, v.name)
           case a => throw new UnsupportedOperationException(supported +
             a.toString)
         }
-        GraftMergeCommand(g.dir, m.sourceTable, cols, keys)
+        GraftMergeCommand(g.dir, m.sourceTable, cols, keyPairs.map(_._1))
       case _ =>
-        GraftMergeApplyCommand(g.dir, m.sourceTable, keys,
+        GraftMergeApplyCommand(g.dir, m.sourceTable, keyPairs,
           generalClauses(m, sourceOut))
     }
   }
@@ -398,13 +409,18 @@ final case class GraftUpdateCommand(dir: String,
   }
 }
 
-/** `CREATE TABLE AS SELECT` → one [[Versioned.commit]] that creates
-  * the table with the query's rows (v0 carries the data). The
-  * identifier must not already name a table unless `IF NOT EXISTS`
-  * asked for the no-op. */
+/** `CREATE TABLE AS SELECT` → one [[Versioned.commit]] (or
+  * [[Versioned.commitWithIndex]] when TBLPROPERTIES declared a
+  * file-skipping policy) that creates the table with the query's rows
+  * — v0 carries the data, the stats, the blooms AND the policy
+  * headers, exactly what a Scala caller's first `commitWithIndex`
+  * publishes. The identifier must not already name a table unless
+  * `IF NOT EXISTS` asked for the no-op. */
 final case class GraftCtasCommand(catalog: GraftCatalog,
     ident: org.apache.spark.sql.connector.catalog.Identifier,
-    @transient query: LogicalPlan, ignoreIfExists: Boolean)
+    @transient query: LogicalPlan, ignoreIfExists: Boolean,
+    statCols: Seq[String] = Nil,
+    bloomCfg: Seq[(String, Long, Double)] = Nil)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -415,23 +431,52 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
         (catalog.name() +: ident.namespace().toSeq :+ ident.name())
           .mkString("."))
     }
-    Versioned.commit(session, catalog.tableDir(ident),
-      ColumnBridge.ofRows(session, query))
+    val df = ColumnBridge.ofRows(session, query)
+    (statCols ++ bloomCfg.map(_._1)).foreach(c =>
+      require(df.columns.contains(c),
+        s"policy column '$c' is not in the CTAS query's columns " +
+          df.columns.mkString("[", ", ", "]")))
+    if (statCols.isEmpty && bloomCfg.isEmpty)
+      Versioned.commit(session, catalog.tableDir(ident), df)
+    else
+      Versioned.commitWithIndex(session, catalog.tableDir(ident), df,
+        statCols, bloomCfg.map(_._1),
+        bloomExpectedItems =
+          bloomCfg.headOption.map(_._2).getOrElse(100000L),
+        bloomFpp = bloomCfg.headOption.map(_._3).getOrElse(0.03))
     Seq.empty
   }
 }
 
 /** General `MERGE INTO` (conditional / delete / not-matched-by-source
   * clauses) → [[Versioned.mergeApply]] with the compiled
-  * [[Versioned.MergeClause]] list. */
+  * [[Versioned.MergeClause]] list. `keyPairs` are (target, source)
+  * join keys: a differently-named source key (`ON t.id =
+  * s.customer_id`) is COPIED onto the target name before the frame
+  * reaches the operator — copied, not renamed, so clause expressions
+  * referencing the original name through the `__s` struct still
+  * resolve. A source that already has an unrelated column under the
+  * target key's name is refused loudly (routing it would silently
+  * join on the wrong column). */
 final case class GraftMergeApplyCommand(dir: String,
-    @transient source: LogicalPlan, keys: Seq[String],
+    @transient source: LogicalPlan, keyPairs: Seq[(String, String)],
     @transient clauses: Seq[Versioned.MergeClause])
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    Versioned.mergeApply(session, dir,
-      ColumnBridge.ofRows(session, source), keys, clauses)
+    import org.apache.spark.sql.functions.col
+    val src = keyPairs.foldLeft(ColumnBridge.ofRows(session, source)) {
+      case (df, (t, sCol)) =>
+        if (t.equalsIgnoreCase(sCol)) df
+        else {
+          require(!df.columns.exists(_.equalsIgnoreCase(t)),
+            s"MERGE ON t.$t = s.$sCol is ambiguous: the source also " +
+              s"has a column named '$t' — alias it away in the USING " +
+              "clause")
+          df.withColumn(t, col(s"`$sCol`"))
+        }
+    }
+    Versioned.mergeApply(session, dir, src, keyPairs.map(_._1), clauses)
     Seq.empty
   }
 }

@@ -1,0 +1,70 @@
+package graft.sql
+
+/** The TBLPROPERTIES vocabulary of graft tables — the SQL declaration
+  * surface for the lake's file-skipping policy
+  * ([[graft.lake.Versioned.setPolicy]]):
+  *
+  * {{{
+  *   CREATE TABLE graft.db.t (id BIGINT, s STRING)
+  *     TBLPROPERTIES ('graft.stats.cols'='id',
+  *                    'graft.bloom.cols'='s',
+  *                    'graft.bloom.expected'='100000',
+  *                    'graft.bloom.fpp'='0.03')
+  *   ALTER TABLE graft.db.t SET TBLPROPERTIES ('graft.stats.cols'='id,ts')
+  * }}}
+  *
+  * Anything else is refused LOUDLY (a property this catalog cannot
+  * honor must never be silently dropped — the table would look
+  * configured and not be), except the keys Spark itself attaches to
+  * every V2 createTable call (`provider` — validated to graft/parquet
+  * — and `owner`), which carry no graft semantics.
+  */
+private[graft] object GraftTableProps {
+
+  val StatsKey = "graft.stats.cols"
+  val BloomKey = "graft.bloom.cols"
+  val ExpectedKey = "graft.bloom.expected"
+  val FppKey = "graft.bloom.fpp"
+  val PolicyKeys: Set[String] = Set(StatsKey, BloomKey, ExpectedKey, FppKey)
+
+  /** Keys Spark's own DDL machinery attaches; no graft meaning. */
+  private val EngineKeys = Set("provider", "owner")
+
+  /** Split a user property map into the policy declaration
+    * `(statCols, bloomCfg)` after refusing what this catalog cannot
+    * honor: unknown keys, a non-parquet provider, sizing without
+    * bloom columns. */
+  def parse(props: Map[String, String], context: String)
+      : (Seq[String], Seq[(String, Long, Double)]) = {
+    props.get("provider").foreach(p => require(
+      p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
+      s"graft tables store parquet; USING $p is not supported"))
+    val unknown = props.keySet -- PolicyKeys -- EngineKeys
+    require(unknown.isEmpty,
+      s"$context cannot honor TBLPROPERTIES ${unknown.mkString(", ")} — " +
+        s"supported: ${PolicyKeys.toSeq.sorted.mkString(", ")} (a " +
+        "property this catalog silently dropped would lie about the " +
+        "table's configuration)")
+    val statCols = cols(props, StatsKey)
+    val bloomCols = cols(props, BloomKey)
+    val expected = props.get(ExpectedKey).map { v =>
+      val n = v.toLongOption.getOrElse(sys.error(
+        s"$ExpectedKey must be a positive integer, got '$v'"))
+      require(n > 0, s"$ExpectedKey must be positive, got $n"); n
+    }.getOrElse(100000L)
+    val fpp = props.get(FppKey).map { v =>
+      val f = v.toDoubleOption.getOrElse(sys.error(
+        s"$FppKey must be a number in (0,1), got '$v'"))
+      require(f > 0 && f < 1, s"$FppKey must be in (0,1), got $f"); f
+    }.getOrElse(0.03)
+    require(bloomCols.nonEmpty ||
+      (!props.contains(ExpectedKey) && !props.contains(FppKey)),
+      s"$ExpectedKey/$FppKey size a bloom index — declare $BloomKey too")
+    (statCols, bloomCols.map((_, expected, fpp)))
+  }
+
+  private def cols(props: Map[String, String], key: String): Seq[String] =
+    props.get(key).toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .distinct
+}

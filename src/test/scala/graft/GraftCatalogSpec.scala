@@ -294,6 +294,81 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("MERGE INTO with differently-named join keys routes through " +
+      "mergeApply with the source key copied onto the target name") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      (0L until 10L).map(k => (k, k * 10.0)).toDF("k", "v")
+        .createOrReplaceTempView("base")
+      s.sql("CREATE TABLE graft.db.t AS SELECT k, v FROM base")
+      // the source names its key `ext_id` — `ON t.k = s.ext_id`
+      Seq((2L, 999.0), (20L, 5.0)).toDF("ext_id", "price")
+        .createOrReplaceTempView("src")
+      s.sql("""MERGE INTO graft.db.t AS t USING src AS s
+              |ON t.k = s.ext_id
+              |WHEN MATCHED THEN UPDATE SET v = s.price
+              |WHEN NOT MATCHED THEN INSERT (k, v)
+              |  VALUES (s.ext_id, s.price)""".stripMargin)
+      val got = s.sql("SELECT k, v FROM graft.db.t").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got(2L) == 999.0 && got(20L) == 5.0 && got.size == 11)
+      assert(Versioned.history(s, s"$wh/db/t").collect()
+        .map(_.getAs[String]("operation")).contains("merge"))
+      // conditional clauses referencing the source key by ITS name
+      // still resolve (the key is copied, not renamed)
+      s.sql("""MERGE INTO graft.db.t AS t USING src AS s
+              |ON t.k = s.ext_id
+              |WHEN MATCHED AND s.ext_id = 2 THEN DELETE""".stripMargin)
+      assert(!s.sql("SELECT k FROM graft.db.t").collect()
+        .map(_.getLong(0)).contains(2L))
+      // an ambiguous source (it ALSO has a column named `k`) refuses
+      Seq((2L, 0L, 1.0)).toDF("ext_id", "k", "price")
+        .createOrReplaceTempView("amb")
+      val e = intercept[Exception](s.sql(
+        """MERGE INTO graft.db.t AS t USING amb AS s
+          |ON t.k = s.ext_id
+          |WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("ambiguous"))), e.getMessage)
+    }
+  }
+
+  test("conditional UPDATE SET * / INSERT * route through the clause " +
+      "algebra (star-plus-override is not Spark grammar; the explicit " +
+      "assignment list is the equivalent)") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      (0L until 6L).map(k => (k, k * 1.0, 0L)).toDF("k", "v", "flag")
+        .createOrReplaceTempView("base")
+      s.sql("CREATE TABLE graft.db.t AS SELECT k, v, flag FROM base")
+      Seq((1L, 100.0, 7L), (2L, -5.0, 7L), (10L, 1.0, 7L))
+        .toDF("k", "v", "flag").createOrReplaceTempView("src")
+      // `UPDATE SET *` under a CONDITION is not the upsert fast path —
+      // it must compile into the general clause algebra; so must a
+      // conditional `INSERT *`. "Star plus override" (`SET *, x = 1`)
+      // is not in Spark's MERGE grammar — its meaning is an explicit
+      // assignment list, which the second clause exercises.
+      s.sql("""MERGE INTO graft.db.t AS t USING src AS s
+              |ON t.k = s.k
+              |WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+              |WHEN MATCHED THEN UPDATE SET v = s.v, flag = -1
+              |WHEN NOT MATCHED AND s.k > 5 THEN INSERT *""".stripMargin)
+      val got = s.sql("SELECT k, v, flag FROM graft.db.t").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+        .toMap
+      assert(got(1L) == ((100.0, 7L)), "star update must copy all cols")
+      assert(got(2L) == ((-5.0, -1L)),
+        "fall-through clause must apply the explicit overrides")
+      assert(got(10L) == ((1.0, 7L)), "conditional INSERT * must land")
+      assert(got(0L) == ((0.0, 0L)) && got.size == 7)
+      assert(Versioned.history(s, s"$wh/db/t").collect()
+        .map(_.getAs[String]("operation")).contains("merge"))
+    }
+  }
+
   test("SQL path and Scala path produce identical manifests for the " +
       "same DML flow") {
     withCatalogSession { (s, wh) =>
@@ -313,9 +388,10 @@ class GraftCatalogSpec extends SparkSuite {
       Versioned.updateWhere(s, apiDir, col("id") < 3,
         Map("s" -> upper(col("s"))))
       Versioned.commit(s, apiDir, Seq((200L, "tail")).toDF("id", "s"))
-      // normalize: commit-scoped UUID file names differ by
-      // construction; everything else — version count, op headers,
-      // per-file stats groups and annotations, line order — must match
+      // normalize: commit-scoped UUID file names and wall-clock commit
+      // instants differ by construction; everything else — version
+      // count, op headers, per-file stats groups and annotations,
+      // policy headers, line order — must match
       def normalized(dir: String): Seq[Seq[String]] = {
         val vs = (0 to Versioned.latestVersion(s, dir).get)
         vs.map { v =>
@@ -323,7 +399,8 @@ class GraftCatalogSpec extends SparkSuite {
             f"v$v%05d.txt")
           val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
           try src.getLines().toList.map(
-            _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>"))
+            _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
+              .replaceAll("^#ts\t\\d+$", "#ts\t<instant>"))
           finally src.close()
         }.map(_.sorted)
       }
@@ -333,6 +410,166 @@ class GraftCatalogSpec extends SparkSuite {
       assert(s.sql("SELECT * FROM graft.db.sqlt ORDER BY id").collect()
         .toSeq ==
         Versioned.read(s, apiDir).orderBy("id").collect().toSeq)
+    }
+  }
+
+  /** Manifest lines with commit-scoped UUIDs and wall-clock instants
+    * normalized away — what "the SQL route publishes the same commit"
+    * means across twin tables. */
+  private def normalizedManifests(s: SparkSession,
+      dir: String): Seq[Seq[String]] =
+    (0 to Versioned.latestVersion(s, dir).get).map { v =>
+      val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
+      val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+      try src.getLines().toList.map(
+        _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
+          .replaceAll("^#ts\t\\d+$", "#ts\t<instant>"))
+      finally src.close()
+    }.map(_.sorted)
+
+  test("TBLPROPERTIES declare the file-skipping policy: a pure-SQL " +
+      "table is manifest-equal to its Scala commitWithIndex twin, " +
+      "ALTER SET TBLPROPERTIES publishes a policy commit, and " +
+      "unhonorable properties are refused") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      val base = (0L until 30L).map(i => (i, s"doc$i")).toDF("id", "s")
+        .repartitionByRange(3, col("id"))
+        .localCheckpoint(true)
+      base.createOrReplaceTempView("src")
+      // CTAS with the full policy vocabulary
+      s.sql("""CREATE TABLE graft.db.sqlt
+              |TBLPROPERTIES ('graft.stats.cols'='id',
+              |               'graft.bloom.cols'='s',
+              |               'graft.bloom.expected'='1000',
+              |               'graft.bloom.fpp'='0.01')
+              |AS SELECT id, s FROM src""".stripMargin)
+      val apiDir = s"$wh/db/apit"
+      Versioned.commitWithIndex(s, apiDir, base, Seq("id"), Seq("s"),
+        bloomExpectedItems = 1000L, bloomFpp = 0.01)
+      assert(normalizedManifests(s, s"$wh/db/sqlt") ==
+        normalizedManifests(s, apiDir),
+        "SQL CTAS + TBLPROPERTIES must publish the identical " +
+          "stats+bloom+policy manifest a Scala commitWithIndex does")
+      // the policy is visible back through SQL
+      val shown = s.sql("SHOW TBLPROPERTIES graft.db.sqlt").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("graft.stats.cols").contains("id") &&
+        shown.get("graft.bloom.cols").contains("s"))
+      // empty CREATE TABLE with policy: the FIRST insert already
+      // measures under it (the header is the policy, not the data)
+      s.sql("CREATE TABLE graft.db.e (id BIGINT, s STRING) " +
+        "TBLPROPERTIES ('graft.stats.cols'='id')")
+      s.sql("INSERT INTO graft.db.e VALUES (5, 'x'), (6, 'y')")
+      assert(Versioned.rowCountFromMetadata(s, s"$wh/db/e") == Some(2L))
+      // ALTER … SET TBLPROPERTIES re-declares as a policy commit
+      val v0 = Versioned.latestVersion(s, s"$wh/db/e").get
+      s.sql("ALTER TABLE graft.db.e SET TBLPROPERTIES " +
+        "('graft.bloom.cols'='s', 'graft.bloom.expected'='500')")
+      assert(Versioned.latestVersion(s, s"$wh/db/e").contains(v0 + 1))
+      assert(Versioned.bloomPolicy(s, s"$wh/db/e") ==
+        Seq(("s", 500L, 0.03)))
+      assert(Versioned.history(s, s"$wh/db/e").collect()
+        .map(_.getAs[String]("operation")).contains("set-policy"))
+      // … and the next insert builds blooms under it: files committed
+      // BEFORE the declaration have no filter (conservative — always
+      // planned); the post-policy file prunes on a missing key and
+      // plans on a present one, so the two probes differ by exactly it
+      s.sql("INSERT INTO graft.db.e VALUES (7, 'z')")
+      val pZ = Versioned.plannedFilesEq(s, s"$wh/db/e",
+        col("s") === "z")
+      val pAbsent = Versioned.plannedFilesEq(s, s"$wh/db/e",
+        col("s") === "zzz")
+      assert(pZ.size == pAbsent.size + 1,
+        s"post-policy insert must be bloom-indexed: z=${pZ.size} " +
+          s"absent=${pAbsent.size}")
+      // refusals: unknown keys, non-parquet providers, a policy
+      // column the table lacks, sizing without bloom columns
+      val e1 = intercept[Exception](s.sql(
+        "CREATE TABLE graft.db.bad (id BIGINT) " +
+          "TBLPROPERTIES ('foo'='bar')"))
+      assert(Iterator.iterate(e1: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("cannot honor"))), e1.getMessage)
+      val e2 = intercept[Exception](s.sql(
+        "CREATE TABLE graft.db.bad2 (id BIGINT) USING csv"))
+      assert(Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("parquet"))), e2.getMessage)
+      val e3 = intercept[Exception](s.sql(
+        "CREATE TABLE graft.db.bad3 (id BIGINT) " +
+          "TBLPROPERTIES ('graft.stats.cols'='nope')"))
+      assert(Iterator.iterate(e3: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("not in the declared schema"))),
+        e3.getMessage)
+      val e4 = intercept[Exception](s.sql(
+        "ALTER TABLE graft.db.e SET TBLPROPERTIES " +
+          "('graft.bloom.expected'='9')"))
+      assert(Iterator.iterate(e4: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("graft.bloom.cols"))), e4.getMessage)
+      val e5 = intercept[Exception](s.sql(
+        "ALTER TABLE graft.db.e SET TBLPROPERTIES ('other'='x')"))
+      assert(Iterator.iterate(e5: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("policy keys"))), e5.getMessage)
+      // UNSET releases a declaration (metadata commit; files keep
+      // their already-recorded stats)
+      s.sql("ALTER TABLE graft.db.e UNSET TBLPROPERTIES " +
+        "('graft.bloom.cols')")
+      assert(Versioned.bloomPolicy(s, s"$wh/db/e").isEmpty)
+    }
+  }
+
+  test("file-skipping policy is TABLE policy: SQL INSERT INTO a " +
+      "stats+bloom table keeps metadata COUNT(*) and point-delete " +
+      "pruning intact") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      val dir = s"$wh/db/t"
+      // a fully tracked table: per-file id stats + a bloom over s
+      Versioned.commitWithIndex(s, dir,
+        (0L until 40L).map(i => (i, s"row$i")).toDF("id", "s")
+          .repartitionByRange(4, col("id")),
+        statCols = Seq("id"), bloomCols = Seq("s"),
+        bloomExpectedItems = 1000L, bloomFpp = 0.01)
+      assert(Versioned.rowCountFromMetadata(s, dir) == Some(40L))
+      // SQL INSERT INTO must INHERIT the policy: its staged file gets
+      // id stats (so the metadata count survives) and an s bloom (so
+      // point lookups keep pruning) — without inheritance one SQL
+      // INSERT kills both contracts for every later version
+      s.sql("INSERT INTO graft.db.t VALUES (100, 'fresh'), (101, 'also')")
+      assert(Versioned.rowCountFromMetadata(s, dir) == Some(42L),
+        "one SQL INSERT must not kill metadata-only COUNT(*)")
+      // a point DELETE still prunes: only the single file whose bloom
+      // admits the key rewrites; every other line carries verbatim
+      val linesBefore = {
+        val src = scala.io.Source.fromFile(
+          java.nio.file.Paths.get(dir, "_manifest", "v00001.txt").toFile,
+          "UTF-8")
+        try src.getLines().filterNot(_.startsWith("#")).toList
+        finally src.close()
+      }
+      assert(linesBefore.size >= 5, s"fixture: 4 ranged + inserted files")
+      s.sql("DELETE FROM graft.db.t WHERE s = 'row7'")
+      val linesAfter = {
+        val src = scala.io.Source.fromFile(
+          java.nio.file.Paths.get(dir, "_manifest", "v00002.txt").toFile,
+          "UTF-8")
+        try src.getLines().filterNot(_.startsWith("#")).toList
+        finally src.close()
+      }
+      assert(linesAfter.count(l => !linesBefore.contains(l)) == 1,
+        "a bloom-pruned point delete must rewrite exactly one file")
+      assert(Versioned.rowCountFromMetadata(s, dir) == Some(41L))
+      // the inserted file's bloom answers point lookups directly
+      assert(Versioned.plannedFilesEq(s, dir,
+        col("s") === "fresh").size == 1)
+      assert(Versioned.plannedFilesEq(s, dir,
+        col("s") === "nowhere").isEmpty)
     }
   }
 }

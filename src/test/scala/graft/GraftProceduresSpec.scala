@@ -164,4 +164,80 @@ class GraftProceduresSpec extends SparkSuite {
         e.getMessage.contains("arguments"))
     }
   }
+
+  test("CALL compact(cluster_by, zorder) is the Scala clustered " +
+      "rewrite, manifest-equal") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      s.sql("CREATE NAMESPACE graft.db")
+      // identical unclustered twins (interleaved ranges across files)
+      val base = (0L until 400L).map(i => (i % 20, i, s"r$i"))
+        .toDF("k", "id", "s").repartition(4)
+        .localCheckpoint(true)
+      val sqlDir = s"$wh/db/sqlc"
+      val apiDir = s"$wh/db/apic"
+      Versioned.commitWithStats(s, sqlDir, base, "k")
+      Versioned.commitWithStats(s, apiDir, base, "k")
+      s.sql("CALL graft.system.compact('db.sqlc', " +
+        "cluster_by => 'k', target_bytes => 1024)")
+      Versioned.compactCommit(s, apiDir, targetBytes = 1024L,
+        clusterBy = Seq("k"))
+      def normalized(dir: String): Seq[String] = {
+        val v = Versioned.latestVersion(s, dir).get
+        val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        try src.getLines().toList.map(
+          _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
+            .replaceAll("^#ts\t\\d+$", "#ts\t<instant>")).sorted
+        finally src.close()
+      }
+      assert(Versioned.latestVersion(s, sqlDir).contains(1))
+      assert(normalized(sqlDir) == normalized(apiDir),
+        "CALL compact(cluster_by) must publish the same clustered " +
+          "rewrite the Scala API does")
+      // clustering did its job: a point range now prunes to fewer
+      // files than the table holds
+      val planned = Versioned.readPruned(s, sqlDir, "k", 3L, 3L)
+        .inputFiles.length
+      val all = Versioned.read(s, sqlDir).inputFiles.length
+      assert(planned < all,
+        s"clustered compaction must make stats selective ($planned/$all)")
+      // zorder without keys is refused loudly
+      val e = intercept[Exception](s.sql(
+        "CALL graft.system.compact('db.sqlc', zorder => true)"))
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("cluster_by"))), e.getMessage)
+    }
+  }
+
+  test("CALL pin holds a version against expire until CALL unpin " +
+      "releases it") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.p AS SELECT id FROM range(10)") // v0
+      s.sql("INSERT INTO graft.db.p VALUES (100)")                 // v1
+      s.sql("INSERT INTO graft.db.p VALUES (200)")                 // v2
+      val dir = s"$wh/db/p"
+      // a pure-SQL consumer pins v0 before a long read
+      val pinned = s.sql("CALL graft.system.pin('db.p', version => 0)")
+        .head()
+      val pinId = pinned.getString(0)
+      assert(pinned.getInt(1) == 0)
+      // retention honors the SQL-taken pin: nothing drops
+      assert(s.sql("CALL graft.system.expire('db.p', 1)").head()
+        .getInt(0) == 0, "expire must honor the SQL-taken pin")
+      assert(Versioned.read(s, dir, Some(0)).count() == 10)
+      // release and retry: old versions now collectable
+      assert(s.sql(s"CALL graft.system.unpin('db.p', '$pinId')")
+        .head().getBoolean(0))
+      assert(s.sql("CALL graft.system.expire('db.p', 1)").head()
+        .getInt(0) == 2)
+      intercept[Exception](Versioned.read(s, dir, Some(0)).count())
+      // idempotent: a second unpin reports nothing removed
+      assert(!s.sql(s"CALL graft.system.unpin('db.p', '$pinId')")
+        .head().getBoolean(0))
+    }
+  }
 }

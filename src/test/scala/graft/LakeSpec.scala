@@ -89,28 +89,33 @@ class LakeSpec extends SparkSuite {
     }
   }
 
-  test("versioned stats pruning: disjoint files skipped, stats carried " +
-      "across append commits, statless files never pruned, all-pruned " +
-      "read keeps the schema") {
+  test("versioned stats pruning: disjoint files skipped, stats are " +
+      "TABLE policy (a plain append inherits the tracked column), " +
+      "unmeasurable files never pruned, all-pruned read keeps the " +
+      "schema") {
     import graft.lake.Versioned
     val dir = tmpDir() + "/vstats"
     Versioned.commitWithStats(spark, dir,
       Seq((1L, "a"), (5L, "b")).toDF("id", "s").coalesce(1), "id")
     Versioned.commitWithStats(spark, dir,
       Seq((10L, "c"), (15L, "d")).toDF("id", "s").coalesce(1), "id")
-    // a plain commit (no stats): must always be read
+    // a plain commit INHERITS the table's tracked column — one
+    // untracked writer must not degrade the pruner toward O(table)
     Versioned.commit(spark, dir,
       Seq((100L, "x")).toDF("id", "s").coalesce(1))
-    // [10, 12]: second commit's file + the statless file = 2 planned
+    // [10, 12]: only the second commit's file plans — the inherited
+    // stats prune the plain append's file too
     val pruned = Versioned.readPruned(spark, dir, "id", 10L, 12L)
-    assert(pruned.inputFiles.length == 2)
+    assert(pruned.inputFiles.length == 1)
     assert(pruned.orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq(10L -> "c"))
-    // pruning respects time travel: version 1 predates the statless file
-    val prunedV1 = Versioned.readPruned(spark, dir, "id", 10L, 12L,
-      version = Some(1))
-    assert(prunedV1.inputFiles.length == 1)
-    // all stat-bearing files disjoint: only the statless file remains
+    // ... and the appended file is found by its own range
+    val top = Versioned.readPruned(spark, dir, "id", 99L, 101L)
+    assert(top.inputFiles.length == 1 &&
+      top.as[(Long, String)].collect().toSeq == Seq(100L -> "x"))
+    // an append that OMITS the tracked column cannot be measured:
+    // its file records no range and must always be planned
+    Versioned.commit(spark, dir, Seq("y").toDF("s").coalesce(1))
     val edge = Versioned.readPruned(spark, dir, "id", 50L, 60L)
     assert(edge.inputFiles.length == 1 && edge.count() == 0)
     // all files pruned at v1 -> empty frame, schema intact

@@ -148,8 +148,9 @@ class VersionedBloomSpec extends SparkSuite {
       .as[(String, Long)].collect().toSeq == Seq(("doc-17", 17L)))
   }
 
-  test("appends carry the head's pointers and can index their own " +
-      "files; a replace starts a fresh index") {
+  test("appends carry the head's pointers and index their own files " +
+      "under the TABLE's config; a replace drops stale pointers but " +
+      "keeps the policy") {
     val dir = tmpDir() + "/bloom-append"
     val head = stripedTable(dir)
     Versioned.commitWithIndex(spark, dir,
@@ -158,17 +159,26 @@ class VersionedBloomSpec extends SparkSuite {
     assert(bloomPtrs(dir, head + 1).size == 5, "4 carried + 1 new pointer")
     assert(Versioned.plannedFilesEq(spark, dir,
       col("key") === "doc-100").size == 1)
-    // a plain un-indexed append still carries the old pointers; its
-    // own file just has no filter (conservative: always planned)
+    // index config is TABLE policy: a plain append's files get indexed
+    // under the carried config too — one un-indexed writer must not
+    // degrade point-lookup pruning toward O(table)
     Versioned.commit(spark, dir, Seq(("doc-200", 200L)).toDF("key", "n"))
-    assert(bloomPtrs(dir, head + 2).size == 5)
+    assert(bloomPtrs(dir, head + 2).size == 6,
+      "5 carried + 1 built under the table's carried bloom config")
     assert(Versioned.plannedFilesEq(spark, dir,
-      col("key") === "doc-999").size == 1, // only the un-indexed file
-      "a file without a filter must stay in every plan")
-    // replace: full-table authority, stale pointers drop
+      col("key") === "doc-999").isEmpty,
+      "every file is indexed — an absent key must prune everywhere")
+    assert(Versioned.readEq(spark, dir,
+      col("key") === "doc-200").count() == 1)
+    // replace: full-table authority — stale pointers drop with their
+    // files, but the CONFIG carries (policy outlives the data it
+    // happened to describe), so the replace's own file is indexed
     Versioned.commit(spark, dir, Seq(("fresh", 0L)).toDF("key", "n"),
       replace = true)
-    assert(bloomPtrs(dir, head + 3).isEmpty)
+    assert(bloomPtrs(dir, head + 3).size == 1,
+      "old pointers dropped; the staged file indexed under the policy")
+    assert(Versioned.plannedFilesEq(spark, dir,
+      col("key") === "doc-100").isEmpty, "replaced keys prune to nothing")
     assert(Versioned.readEq(spark, dir, col("key") === "fresh").count() == 1)
   }
 

@@ -541,11 +541,18 @@ class VersionedDmlSpec extends SparkSuite {
     // every version stays countable (time travel)
     assert(Versioned.rowCountFromMetadata(spark, dir, Some(0)) == Some(40L))
     assert(Versioned.rowCountFromMetadata(spark, dir, Some(2)) == Some(24L))
-    // an untracked append poisons the metadata answer entirely — a
-    // partial count would be a wrong count
+    // a plain append INHERITS the table's stat policy, so the
+    // metadata count SURVIVES it (the round-13 contract: one
+    // untracked writer must not kill COUNT(*) for every later version)
     Versioned.commit(spark, dir, Seq((99L, "x")).toDF("id", "s")) // v4
+    assert(Versioned.rowCountFromMetadata(spark, dir) ==
+      Some(Versioned.read(spark, dir).count()))
+    // an append that omits EVERY tracked column cannot be measured —
+    // that (and only that) poisons the metadata answer, because a
+    // partial count would be a wrong count
+    Versioned.commit(spark, dir, Seq("y").toDF("s"))              // v5
     assert(Versioned.rowCountFromMetadata(spark, dir).isEmpty)
-    assert(Versioned.rowCountFromMetadata(spark, dir, Some(3)).isDefined,
+    assert(Versioned.rowCountFromMetadata(spark, dir, Some(4)).isDefined,
       "older fully-tracked versions must stay countable")
   }
 
@@ -576,7 +583,8 @@ class VersionedDmlSpec extends SparkSuite {
       .as[(Int, Int, Option[Long])].collect().map(t => t._1 -> t).toMap
     assert(byV(3)._2 == 1 && byV(3)._3.isEmpty) // DV'd: count needs I/O
     assert(byV(0)._3 == Some(40L))
-    assert(byV(1)._3.isEmpty, "v1's untracked append must not fake a count")
+    assert(byV(1)._3 == Some(41L),
+      "v1's plain append inherits the stat policy and stays countable")
   }
 
   test("mergeInto into nothing / into an empty version is a pure insert") {
