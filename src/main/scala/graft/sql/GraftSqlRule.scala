@@ -51,20 +51,26 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   import GraftSqlRule._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // relations that are the TARGET of a pending DML/write node must
-    // not be rewritten into read plans out from under it (identity
-    // set: a self-merge references the same table twice with distinct
-    // relation instances — only the target instance is off-limits)
+    // relations anywhere under the TARGET of a pending DML/write node
+    // must not be rewritten into read plans out from under it
+    // (identity set: a self-merge references the same table twice
+    // with distinct relation instances — only the target side is
+    // off-limits). The whole target SUBTREE is protected, not just a
+    // direct relation: a view-wrapped target must survive to the DML
+    // case so it can be refused loudly by name — a half-rewritten
+    // view body would fall through to Spark's opaque INTERNAL_ERROR.
     val targets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def protect(t: LogicalPlan): Unit = t.foreach {
+      case r: DataSourceV2Relation => targets.add(r); ()
+      case _ =>
+    }
     plan.foreach {
-      case d: DeleteFromTable => stripAlias(d.table).foreach(targets.add)
-      case u: UpdateTable => stripAlias(u.table).foreach(targets.add)
-      case m: MergeIntoTable =>
-        stripAlias(m.targetTable).foreach(targets.add)
-      case a: AppendData => stripAlias(a.table).foreach(targets.add)
-      case o: OverwriteByExpression =>
-        stripAlias(o.table).foreach(targets.add)
+      case d: DeleteFromTable => protect(d.table)
+      case u: UpdateTable => protect(u.table)
+      case m: MergeIntoTable => protect(m.targetTable)
+      case a: AppendData => protect(a.table)
+      case o: OverwriteByExpression => protect(o.table)
       case _ =>
     }
     plan.resolveOperatorsDown {
@@ -73,7 +79,7 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case Some(g) =>
             GraftDeleteCommand(g.dir, ColumnBridge.column(
               unresolve(condition)))
-          case None => d
+          case None => refuseIndirect("DELETE FROM", t); d
         }
 
       case u @ UpdateTable(t, assignments, condition) if u.resolved =>
@@ -88,14 +94,43 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
             GraftUpdateCommand(g.dir, assigns,
               ColumnBridge.column(condition.map(unresolve)
                 .getOrElse(Literal(true))))
-          case None => u
+          case None => refuseIndirect("UPDATE", t); u
         }
 
       case m: MergeIntoTable if m.resolved =>
         graftTableOf(m.targetTable) match {
           case Some(g) => rewriteMerge(m, g)
-          case None => m
+          case None => refuseIndirect("MERGE INTO", m.targetTable); m
         }
+
+      // REPLACE TABLE would route through the V2 drop+create exec
+      // path, silently destroying the table's HISTORY (every retained
+      // version, pins, constraints) where a graft user expects
+      // versioned semantics — refused loudly, naming the two honest
+      // alternatives (both of which preserve time travel or make the
+      // destruction explicit)
+      case r: org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect
+          if r.name.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier] &&
+            r.name.asInstanceOf[
+              org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
+              .catalog.isInstanceOf[GraftCatalog] =>
+        throw new UnsupportedOperationException(
+          "graft tables refuse REPLACE TABLE: it would drop every " +
+            "retained version. Use INSERT OVERWRITE (a history-" +
+            "preserving full-table replace) or explicit DROP TABLE + " +
+            "CREATE TABLE")
+      case r: org.apache.spark.sql.catalyst.plans.logical.ReplaceTable
+          if r.name.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier] &&
+            r.name.asInstanceOf[
+              org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
+              .catalog.isInstanceOf[GraftCatalog] =>
+        throw new UnsupportedOperationException(
+          "graft tables refuse REPLACE TABLE: it would drop every " +
+            "retained version. Use INSERT OVERWRITE (a history-" +
+            "preserving full-table replace) or explicit DROP TABLE + " +
+            "CREATE TABLE")
 
       case a: AppendData if a.resolved =>
         graftTableOf(a.table) match {
@@ -326,6 +361,31 @@ object GraftSqlRule {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         r.table.asInstanceOf[GraftTable]
     }
+
+  /** A DML target that is not a direct relation is DML through a
+    * view / subquery — refuse with a message naming the supported
+    * form rather than falling through to Spark's opaque
+    * INTERNAL_ERROR ("Unexpected table relation: Filter…", because a
+    * view body stores its ANALYZED plan, in which the graft relation
+    * was already rewritten to the native read). Detected by the
+    * `View` wrapper (a graft relation rarely survives inside one) or
+    * by a surviving graft relation (Dataset-API temp views). Spark
+    * supports DML through views for no provider, so the refusal is
+    * accurate wherever it fires. */
+  private def refuseIndirect(kind: String, t: LogicalPlan): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.View
+    val viewish = t.collectFirst { case v: View => v }.nonEmpty ||
+      t.collectFirst {
+        case r: DataSourceV2Relation
+            if r.table.isInstanceOf[GraftTable] => r
+      }.nonEmpty
+    if (viewish)
+      throw new UnsupportedOperationException(
+        s"$kind must target the table directly " +
+          s"($kind catalog.db.t [AS alias] …), not a view or " +
+          "subquery over it — move the view's filters into the WHERE " +
+          "clause")
+  }
 
   /** Re-anchor an analyzed expression by NAME: the `Versioned`
     * operators resolve predicates against the table's own schema, so

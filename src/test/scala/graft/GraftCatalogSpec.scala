@@ -335,6 +335,70 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("DML parse shapes: aliases route; views, subquery targets and " +
+      "REPLACE TABLE refuse loudly naming the supported form") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.t AS SELECT id, id * 2 AS v " +
+        "FROM range(20)")
+      // target alias: routes (the alias strips to the relation)
+      s.sql("DELETE FROM graft.db.t AS x WHERE x.id < 3")
+      assert(s.sql("SELECT count(*) FROM graft.db.t").head()
+        .getLong(0) == 17L)
+      s.sql("UPDATE graft.db.t AS x SET v = -1 WHERE x.id = 5")
+      assert(s.sql("SELECT v FROM graft.db.t WHERE id = 5").head()
+        .getLong(0) == -1L)
+      // DML through a VIEW over the table: refused with a message
+      // naming the supported form — never silently mis-executed,
+      // never Spark's confusing "only supported with v2 tables"
+      s.sql("CREATE TEMP VIEW tv AS SELECT * FROM graft.db.t " +
+        "WHERE id > 4")
+      val e1 = intercept[Exception](
+        s.sql("DELETE FROM tv WHERE id = 7"))
+      assert(Iterator.iterate(e1: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("target the table directly"))),
+        e1.getMessage)
+      val e2 = intercept[Exception](
+        s.sql("UPDATE tv SET v = 0 WHERE id = 7"))
+      assert(Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("target the table directly"))),
+        e2.getMessage)
+      val e3 = intercept[Exception](s.sql(
+        """MERGE INTO tv AS t USING graft.db.t AS s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(Iterator.iterate(e3: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("target the table directly"))),
+        e3.getMessage)
+      assert(s.sql("SELECT count(*) FROM graft.db.t WHERE id = 7")
+        .head().getLong(0) == 1L, "refused DML must not mutate")
+      // MERGE with a subquery SOURCE: routes (the source is a plan)
+      s.sql("""MERGE INTO graft.db.t AS t USING (
+              |  SELECT id FROM range(100, 102)
+              |) AS s ON t.id = s.id
+              |WHEN NOT MATCHED THEN INSERT (id, v)
+              |  VALUES (s.id, 0)""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM graft.db.t WHERE id >= 100")
+        .head().getLong(0) == 2L)
+      // REPLACE TABLE would destroy retained history: refused loudly
+      val e4 = intercept[Exception](s.sql(
+        "REPLACE TABLE graft.db.t AS SELECT 1L AS id"))
+      assert(Iterator.iterate(e4: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("INSERT OVERWRITE"))), e4.getMessage)
+      val e5 = intercept[Exception](s.sql(
+        "CREATE OR REPLACE TABLE graft.db.t AS SELECT 1L AS id"))
+      assert(Iterator.iterate(e5: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("INSERT OVERWRITE"))), e5.getMessage)
+      // the refusals left the table intact and versioned
+      assert(s.sql("SELECT count(*) FROM graft.db.t").head()
+        .getLong(0) == 19L)
+    }
+  }
+
   test("conditional UPDATE SET * / INSERT * route through the clause " +
       "algebra (star-plus-override is not Spark grammar; the explicit " +
       "assignment list is the equivalent)") {
