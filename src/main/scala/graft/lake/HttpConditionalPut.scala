@@ -1,0 +1,76 @@
+package graft.lake
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** A wire-level [[Versioned.ConditionalPut]] client: one HTTP `PUT`
+  * of the manifest bytes with a create-if-absent precondition header
+  * — the REST shape shared by every major object store's conditional
+  * put:
+  *
+  *  - S3:         `PUT /key` + `If-None-Match: *` → `412` when the
+  *                key exists (`200` = this call created it)
+  *  - GCS (XML):  `PUT /key` + `x-goog-if-generation-match: 0` →
+  *                `412` on existence
+  *  - Azure Blob: `PUT /key` + `If-None-Match: *` → `409
+  *                BlobAlreadyExists`
+  *
+  * Success statuses (2xx) mean THIS call created the key;
+  * `412 Precondition Failed` / `409 Conflict` mean another writer
+  * holds it (a lost CAS race — exactly the boolean
+  * [[Versioned.ConditionalPut]] wants); anything else is an error
+  * and must THROW, never report a lost race (a 500 mapped to `false`
+  * would make a commit silently vanish).
+  *
+  * Deliberately SDK-free (the sandbox has no store SDKs; the
+  * contract is the HTTP semantics, not a client library). What a
+  * real deployment adds in front of this is REQUEST AUTHORIZATION —
+  * SigV4 signing, OAuth bearer tokens — via `headers` (static
+  * credentials / presigned-style gateways) or by signing in an
+  * [[HttpConditionalPut.Transport]] wrapper; the conditional-put
+  * semantics this class implements carry over unchanged, which is
+  * the property [[graft.VersionedCasStoreSpec]] races pin against a
+  * local emulator speaking the same wire shape.
+  *
+  * `keyToUri` maps a manifest key (the absolute target path
+  * [[Versioned.ConditionalPutCasStore]] passes) to the object URI —
+  * typically `base + path-under-bucket`.
+  */
+final class HttpConditionalPut(
+    keyToUri: String => URI,
+    precondition: (String, String) = ("If-None-Match", "*"),
+    headers: Map[String, String] = Map.empty,
+    timeout: Duration = Duration.ofSeconds(30),
+    transport: HttpConditionalPut.Transport = null)
+  extends Versioned.ConditionalPut {
+
+  private val send: HttpConditionalPut.Transport =
+    Option(transport).getOrElse {
+      val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+      req => client.send(req, HttpResponse.BodyHandlers.discarding())
+        .statusCode()
+    }
+
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
+    val b = HttpRequest.newBuilder(keyToUri(key))
+      .timeout(timeout)
+      .header(precondition._1, precondition._2)
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    send(b.build()) match {
+      case ok if ok >= 200 && ok < 300 => true // this call created it
+      case 412 | 409 => false                  // exists: lost the race
+      case other => throw new java.io.IOException(
+        s"conditional put of $key returned HTTP $other — neither " +
+          "created nor exists; refusing to guess (treating an error " +
+          "as a lost race would silently drop a commit)")
+    }
+  }
+}
+
+object HttpConditionalPut {
+  /** The request executor — swap in a signing wrapper (SigV4, OAuth)
+    * or a test double; returns the response status code. */
+  trait Transport { def apply(req: HttpRequest): Int }
+}

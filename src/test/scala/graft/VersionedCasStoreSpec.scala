@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.hadoop.fs.Path
 
-import graft.lake.Versioned
+import graft.lake.{HttpConditionalPut, Versioned}
 
 /** The pluggable commit substrate ([[Versioned.CasStore]] registry)
   * and its object-store implementation
@@ -114,6 +114,85 @@ class VersionedCasStoreSpec extends SparkSuite {
       Versioned.unregisterCasStore(s"$root/wh")
       Versioned.unregisterCasStore(a)
     }
+  }
+
+  test("HttpConditionalPut speaks the object-store conditional-put " +
+      "wire shape: the same race battery passes over real HTTP " +
+      "against a local emulator") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir() + "/http"
+    // in-process emulator of the store's wire contract: atomicity is
+    // one putIfAbsent claim; a won PUT returns 200 and writes the
+    // bytes through to disk (so readers see the manifest), a lost PUT
+    // returns 412 Precondition Failed and writes nothing — exactly
+    // S3's `If-None-Match: *` observable behavior
+    val claims = new ConcurrentHashMap[String, Boolean]()
+    val sawHeader = new AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val key = exchange.getRequestURI.getPath
+      val bytes = exchange.getRequestBody.readAllBytes()
+      if ("*" == exchange.getRequestHeaders.getFirst("If-None-Match"))
+        sawHeader.incrementAndGet()
+      val won = claims.putIfAbsent(key, true) == null
+      if (won)
+        java.nio.file.Files.write(java.nio.file.Paths.get(key), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      exchange.sendResponseHeaders(if (won) 200 else 412, -1)
+      exchange.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    val client = new HttpConditionalPut(
+      key => java.net.URI.create(
+        s"http://127.0.0.1:$port${new Path(key).toUri.getPath}"))
+    Versioned.registerCasStore(dir,
+      new Versioned.ConditionalPutCasStore(client))
+    try {
+      Versioned.commit(s, dir, Seq((-1L, -1L)).toDF("w", "i")) // v0
+      val writers = 4
+      val perWriter = 5
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until writers).map { w =>
+        new Thread(() =>
+          try {
+            for (i <- 0 until perWriter)
+              Versioned.commit(s, dir,
+                Seq((w.toLong, i.toLong)).toDF("w", "i"))
+          } catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+      assert(Versioned.latestVersion(s, dir)
+        .contains(writers * perWriter))
+      val rows = Versioned.read(s, dir).as[(Long, Long)].collect()
+      assert(rows.length == writers * perWriter + 1)
+      assert(rows.toSet.size == rows.length, "a commit landed twice")
+      // one store-side claim per version; the precondition header
+      // rode every request (it IS the atomicity)
+      assert(claims.size() == writers * perWriter + 1)
+      assert(sawHeader.get() >= writers * perWriter + 1)
+      assert(Versioned.read(s, dir, Some(0)).count() == 1)
+    } finally {
+      Versioned.unregisterCasStore(dir)
+      server.stop(0)
+    }
+  }
+
+  test("HttpConditionalPut refuses to guess on a non-conditional " +
+      "error status: a 500 must throw, never report a lost race") {
+    val boom = new HttpConditionalPut(
+      key => java.net.URI.create(s"http://127.0.0.1:1$key"),
+      transport = _ => 500)
+    val e = intercept[java.io.IOException](
+      boom.putIfAbsent("/x", Array[Byte](1)))
+    assert(e.getMessage.contains("HTTP 500"))
+    val lost = new HttpConditionalPut(
+      key => java.net.URI.create(s"http://127.0.0.1:1$key"),
+      transport = _ => 409) // Azure's BlobAlreadyExists shape
+    assert(!lost.putIfAbsent("/x", Array[Byte](1)))
   }
 
   test("link-published commits leave no orphaned .crc sidecars in " +
