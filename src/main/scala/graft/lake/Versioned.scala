@@ -254,11 +254,16 @@ object Versioned {
     else m.blooms.map(_._2).distinct.map((_, 100000L, 0.03))
 
   /** The table's tracked STAT columns: the recorded `#statcols` policy
-    * header, or — for a table committed before policy tracking — the
-    * columns observed on the manifest's data lines, so legacy tables
-    * keep their contract the moment any writer touches them. */
+    * header. A MODERN manifest (one carrying a `#ts` commit instant)
+    * with no header genuinely tracks nothing — an explicit
+    * `UNSET TBLPROPERTIES ('graft.stats.cols')` must actually stop
+    * tracking, not be resurrected from the stats groups old lines
+    * still carry. Only a manifest written before policy tracking (no
+    * `#ts`) derives the policy from the columns observed on its data
+    * lines, so legacy tables keep their contract the moment any
+    * writer touches them. */
   private def statColsOf(m: Manifest): Seq[String] =
-    if (m.statColsPolicy.nonEmpty) m.statColsPolicy
+    if (m.statColsPolicy.nonEmpty || m.ts.isDefined) m.statColsPolicy
     else m.lines.flatMap(parseStats(_)._2.map(_._1)).distinct
 
   /** The table schema of version `v`: the manifest-recorded one when
@@ -451,8 +456,8 @@ object Versioned {
       // DVs would silently RESURRECT every MoR-deleted row
       if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
           m.checks :+ ((name, sqlExpr)), m.dvs, m.blooms,
-          op = Some(s"add-check($name)"), bloomCfg = m.bloomCfg,
-          statColsPolicy = m.statColsPolicy, parentTs = m.ts))
+          op = Some(s"add-check($name)"), bloomCfg = bloomCfgOf(m),
+          statColsPolicy = statColsOf(m), parentTs = m.ts))
         return head + 1
       attempts += 1   // CAS lost: re-read head, re-validate its rows
       require(attempts < 1000,
@@ -477,8 +482,8 @@ object Versioned {
           s"version $head of $dir has no schema"))
       if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
           m.checks.filterNot(_._1 == name), m.dvs, m.blooms,
-          op = Some(s"drop-check($name)"), bloomCfg = m.bloomCfg,
-          statColsPolicy = m.statColsPolicy, parentTs = m.ts))
+          op = Some(s"drop-check($name)"), bloomCfg = bloomCfgOf(m),
+          statColsPolicy = statColsOf(m), parentTs = m.ts))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -493,17 +498,28 @@ object Versioned {
     * min/max (+ null/row counts) for. Empty for an untracked table. */
   def statPolicy(spark: SparkSession, dir: String,
       version: Option[Int] = None): Seq[String] =
-    version.orElse(latestVersion(spark, dir))
-      .map(v => statColsOf(readManifest(fileSystem(spark, dir), dir, v)))
-      .getOrElse(Nil)
+    policy(spark, dir, version)._1
 
   /** The table's declared bloom-index policy at `version` (default
     * head): `(column, expectedItems, fpp)` per indexed column. */
   def bloomPolicy(spark: SparkSession, dir: String,
       version: Option[Int] = None): Seq[(String, Long, Double)] =
+    policy(spark, dir, version)._2
+
+  /** Both halves of the declared file-skipping policy at `version`
+    * (default head) from ONE manifest read: `(stat columns, bloom
+    * config)` — what DESCRIBE / SHOW TBLPROPERTIES consult; separate
+    * accessor calls would pay two directory listings and two manifest
+    * reads for two headers of the same file. */
+  def policy(spark: SparkSession, dir: String,
+      version: Option[Int] = None)
+      : (Seq[String], Seq[(String, Long, Double)]) =
     version.orElse(latestVersion(spark, dir))
-      .map(v => bloomCfgOf(readManifest(fileSystem(spark, dir), dir, v)))
-      .getOrElse(Nil)
+      .map { v =>
+        val m = readManifest(fileSystem(spark, dir), dir, v)
+        (statColsOf(m), bloomCfgOf(m))
+      }
+      .getOrElse((Nil, Nil))
 
   /** Declare (or re-declare) the table's file-skipping policy as a
     * METADATA-ONLY commit: from this version on, every commit —
@@ -1189,7 +1205,13 @@ object Versioned {
       statCol: Option[String] = None): Int = {
     require(keyCols.nonEmpty, "commitReplace needs at least one key column")
     val base = baseVersion.orElse(latestVersion(spark, dir))
-    replaceLoop(spark, dir, stage(spark, dir, df, statCol.toSeq), base,
+    // table policy reaches validated replaces too (commitImpl's rule):
+    // measured columns = caller ∪ declared, filtered to the frame
+    val fs = fileSystem(spark, dir)
+    val inherited = (statCol.toSeq ++
+      base.map(v => statColsOf(readManifest(fs, dir, v))).getOrElse(Nil))
+      .distinct.filter(df.schema.fieldNames.contains)
+    replaceLoop(spark, dir, stage(spark, dir, df, inherited), base,
       Some(keyCols), df.schema)
   }
 
@@ -1229,7 +1251,8 @@ object Versioned {
     // noticing until scan costs exploded), plus the caller's statCol
     // and every cluster key — clustering's whole point is tight stats
     val inherited = (statCol.toSeq ++
-      lines.flatMap(_._2.map(_._1)) ++ clusterBy).distinct
+      lines.flatMap(_._2.map(_._1)) ++ clusterBy ++
+      statColsOf(baseManifest)).distinct
     val totalBytes = files.map(rel =>
       fs.getFileStatus(new Path(dir, rel)).getLen).sum
     // a ZERO-file base (truncate-to-empty replace) still compacts to a
@@ -1349,7 +1372,7 @@ object Versioned {
       checksOverride = Some(m.checks), validateChecks = false,
       stagedDvs = m.dvs, dvAuthority = true, stagedBlooms = m.blooms,
       op = s"restore(v$version)",
-      bloomCfgOverride = Some(m.bloomCfg),
+      bloomCfgOverride = Some(bloomCfgOf(m)),
       statColsOverride = Some(statColsOf(m)))
   }
 
@@ -1746,7 +1769,11 @@ object Versioned {
     if (matchedRel.isEmpty && wholly.isEmpty) return base
     val (matchedLines, untouched) = m.lines.filterNot(wholly)
       .partition(l => matchedRel.contains(parseLine(l)._1))
-    val inherited = matchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
+    // observed columns of the touched files UNION the table's declared
+    // policy: a rewrite is exactly when a post-declaration file gains
+    // the stats the policy promises (setPolicy's documented contract)
+    val inherited = (matchedLines.flatMap(parseStats(_)._2.map(_._1)) ++
+      statColsOf(m)).distinct
     // the rewrite applies the matched files' existing DVs too — it
     // MATERIALIZES them (their pairs drop with the replaced files)
     val staged =
@@ -1809,7 +1836,8 @@ object Versioned {
     if (matchedRel.isEmpty) return base
     val (matchedLines, untouched) =
       m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
-    val inherited = matchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
+    val inherited = (matchedLines.flatMap(parseStats(_)._2.map(_._1)) ++
+      statColsOf(m)).distinct
     val hit = coalesce(predicate, lit(false))
     // visible rows only: the rewrite materializes the matched files'
     // existing DVs rather than resurrecting their deleted rows
@@ -1987,7 +2015,7 @@ object Versioned {
                 dvs = hm.dvs ++ st.pairs,
                 blooms = hm.blooms ++ st.stagedBlooms,
                 op = Some("update-mor"), bloomCfg = bloomCfgOf(hm),
-                statColsPolicy = hm.statColsPolicy, parentTs = hm.ts))
+                statColsPolicy = statColsOf(hm), parentTs = hm.ts))
               return head + 1
           }
       }
@@ -2045,9 +2073,9 @@ object Versioned {
     // so the assignments apply unconditionally (second deterministic
     // scan of the same immutable files — same rows as the DV write)
     val affected = pairs.map(_._1).toSet
-    val inherited = m.lines
+    val inherited = (m.lines
       .filter(l => affected.contains(parseLine(l)._1))
-      .flatMap(parseStats(_)._2.map(_._1)).distinct
+      .flatMap(parseStats(_)._2.map(_._1)) ++ statColsOf(m)).distinct
     val updated = matched.select(schema.fieldNames.toSeq.map { c =>
       assignments.get(c) match {
         case Some(e) => e.cast(schema(c).dataType).as(c)
@@ -2061,7 +2089,7 @@ object Versioned {
       m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs,
       blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"),
       bloomCfg = bloomCfgOf(m),
-      statColsPolicy = m.statColsPolicy, parentTs = m.ts)
+      statColsPolicy = statColsOf(m), parentTs = m.ts)
     if (published) Right(base + 1)
     else Left(MorStaged(
       scanned = affected,
@@ -2136,7 +2164,9 @@ object Versioned {
           case Some(_) => alignTo(src, schema)
           case None => src
         }
-        val staged = stage(spark, dir, aligned, statCol.toSeq)
+        val staged = stage(spark, dir, aligned,
+          (statCol.toSeq ++ statColsOf(m)).distinct
+            .filter(schema.fieldNames.contains))
         return replaceLoop(spark, dir, staged, base,
           keyCols = Some(keyCols), stagedSchema = schema,
           carried = m.lines, keyProbe = Some(src.select(keyCols.head,
@@ -2162,7 +2192,7 @@ object Versioned {
       val (matchedLines, untouched) =
         m.lines.partition(l => matchedRel.contains(parseLine(l)._1))
       val inherited = (matchedLines.flatMap(parseStats(_)._2.map(_._1)) ++
-        statCol).distinct
+        statCol ++ statColsOf(m)).distinct
       // 3. rewrite matched files minus matched keys; union the source
       val newSchema = evolveSchema(schema, src.schema)
       val stagedDf = {
@@ -2617,8 +2647,8 @@ object Versioned {
         case (None, Some(i)) => i
         case (None, None) => insCached.foreach(_.unpersist()); return base
       }
-      val inherited =
-        touchedLines.flatMap(parseStats(_)._2.map(_._1)).distinct
+      val inherited = (touchedLines.flatMap(parseStats(_)._2.map(_._1)) ++
+        statColsOf(m)).distinct
       val staged =
         try stage(spark, dir, stagedDf, inherited)
         finally insCached.foreach(_.unpersist())
@@ -3375,21 +3405,34 @@ object Versioned {
     }.sortBy(_._1)
     if (listed.isEmpty) return None
     val mtimeOf = listed.toMap
-    def instant(v: Int): Long =
-      readManifest(fs, dir, v).ts
-        .getOrElse(mtimeOf.getOrElse(v, Long.MaxValue))
+    // (instant, recorded?) — the fast-path confirmation is only sound
+    // between RECORDED instants (write-monotonic with versions); a
+    // legacy mtime in the consulted pair proves nothing about its
+    // neighbors (a skewed legacy mtime can straddle modern instants),
+    // so any legacy manifest consulted demotes to the exact walk
+    def instant(v: Int): (Long, Boolean) =
+      readManifest(fs, dir, v).ts match {
+        case Some(t) => (t, true)
+        case None => (mtimeOf.getOrElse(v, Long.MaxValue), false)
+      }
     val cand = listed.filter(_._2 <= millis).map(_._1).maxOption
     val confirmed = cand match {
       case Some(v) =>
         val next = listed.map(_._1).filter(_ > v).minOption
-        instant(v) <= millis && next.forall(instant(_) > millis)
+        val (ti, rec) = instant(v)
+        rec && ti <= millis && next.forall { n =>
+          val (tn, recN) = instant(n); recN && tn > millis
+        }
       case None => // nothing by mtime: the oldest must really be newer
-        instant(listed.head._1) > millis
+        val (t0, rec0) = instant(listed.head._1)
+        rec0 && t0 > millis
     }
     if (confirmed) cand
-    else // skew detected: exact walk over the recorded instants
+    else // skew or legacy instants: exact walk, newest first — the
+      // newest version whose (recorded or best-effort) instant is at
+      // or before t
       listed.map(_._1).sorted(Ordering[Int].reverse).iterator
-        .find(instant(_) <= millis)
+        .find(instant(_)._1 <= millis)
   }
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —

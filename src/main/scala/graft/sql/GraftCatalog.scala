@@ -450,8 +450,7 @@ final case class GraftTable(fullName: String, dir: String,
   // TBLPROPERTIES consult this and each evaluation is a manifest read
   private lazy val policyProps: Map[String, String] = {
     val spark = SparkSession.active
-    val stats = Versioned.statPolicy(spark, dir, asOfVersion)
-    val blooms = Versioned.bloomPolicy(spark, dir, asOfVersion)
+    val (stats, blooms) = Versioned.policy(spark, dir, asOfVersion)
     (if (stats.isEmpty) Map.empty[String, String]
      else Map(GraftTableProps.StatsKey -> stats.mkString(","))) ++
       (if (blooms.isEmpty) Map.empty[String, String]

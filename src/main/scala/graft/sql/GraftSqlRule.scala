@@ -110,27 +110,9 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // alternatives (both of which preserve time travel or make the
       // destruction explicit)
       case r: org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect
-          if r.name.isInstanceOf[
-            org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier] &&
-            r.name.asInstanceOf[
-              org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
-              .catalog.isInstanceOf[GraftCatalog] =>
-        throw new UnsupportedOperationException(
-          "graft tables refuse REPLACE TABLE: it would drop every " +
-            "retained version. Use INSERT OVERWRITE (a history-" +
-            "preserving full-table replace) or explicit DROP TABLE + " +
-            "CREATE TABLE")
+          if isGraftIdent(r.name) => refuseReplaceTable()
       case r: org.apache.spark.sql.catalyst.plans.logical.ReplaceTable
-          if r.name.isInstanceOf[
-            org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier] &&
-            r.name.asInstanceOf[
-              org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
-              .catalog.isInstanceOf[GraftCatalog] =>
-        throw new UnsupportedOperationException(
-          "graft tables refuse REPLACE TABLE: it would drop every " +
-            "retained version. Use INSERT OVERWRITE (a history-" +
-            "preserving full-table replace) or explicit DROP TABLE + " +
-            "CREATE TABLE")
+          if isGraftIdent(r.name) => refuseReplaceTable()
 
       case a: AppendData if a.resolved =>
         graftTableOf(a.table) match {
@@ -362,6 +344,19 @@ object GraftSqlRule {
         r.table.asInstanceOf[GraftTable]
     }
 
+  private def isGraftIdent(name: LogicalPlan): Boolean = name match {
+    case org.apache.spark.sql.catalyst.analysis
+        .ResolvedIdentifier(cat, _) => cat.isInstanceOf[GraftCatalog]
+    case _ => false
+  }
+
+  private def refuseReplaceTable(): Nothing =
+    throw new UnsupportedOperationException(
+      "graft tables refuse REPLACE TABLE: it would drop every " +
+        "retained version. Use INSERT OVERWRITE (a history-" +
+        "preserving full-table replace) or explicit DROP TABLE + " +
+        "CREATE TABLE")
+
   /** A DML target that is not a direct relation is DML through a
     * view / subquery — refuse with a message naming the supported
     * form rather than falling through to Spark's opaque
@@ -369,12 +364,20 @@ object GraftSqlRule {
     * view body stores its ANALYZED plan, in which the graft relation
     * was already rewritten to the native read). Detected by the
     * `View` wrapper (a graft relation rarely survives inside one) or
-    * by a surviving graft relation (Dataset-API temp views). Spark
-    * supports DML through views for no provider, so the refusal is
-    * accurate wherever it fires. */
+    * by a surviving graft relation (Dataset-API temp views). The
+    * View detector stands down when the subtree holds another
+    * provider's V2 relation — that provider's own rule (or error)
+    * owns the plan; graft must not hijack it. Spark supports DML
+    * through views for no provider, so the refusal is accurate
+    * wherever it does fire. */
   private def refuseIndirect(kind: String, t: LogicalPlan): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.View
-    val viewish = t.collectFirst { case v: View => v }.nonEmpty ||
+    val foreign = t.collectFirst {
+      case r: DataSourceV2Relation
+          if !r.table.isInstanceOf[GraftTable] => r
+    }.nonEmpty
+    val viewish = (!foreign &&
+      t.collectFirst { case v: View => v }.nonEmpty) ||
       t.collectFirst {
         case r: DataSourceV2Relation
             if r.table.isInstanceOf[GraftTable] => r

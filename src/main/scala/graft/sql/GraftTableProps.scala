@@ -33,12 +33,23 @@ private[graft] object GraftTableProps {
   /** Split a user property map into the policy declaration
     * `(statCols, bloomCfg)` after refusing what this catalog cannot
     * honor: unknown keys, a non-parquet provider, sizing without
-    * bloom columns. */
+    * bloom columns. Standard DDL clauses Spark forwards as properties
+    * get DEDICATED refusals (not a misleading "unknown TBLPROPERTIES
+    * comment"): graft persists no comments, and a table IS its
+    * catalog-derived warehouse path. */
   def parse(props: Map[String, String], context: String)
       : (Seq[String], Seq[(String, Long, Double)]) = {
     props.get("provider").foreach(p => require(
       p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
       s"graft tables store parquet; USING $p is not supported"))
+    require(!props.contains("comment"),
+      s"$context does not persist COMMENT — graft table metadata " +
+        "lives in the manifest (schema, CHECK constraints, " +
+        "file-skipping policy), which has no comment slot")
+    require(!props.contains("location") && !props.contains("external") &&
+      !props.keys.exists(_.startsWith("option.")),
+      "graft tables live at their catalog-derived warehouse path; " +
+        "LOCATION/EXTERNAL/OPTIONS are not supported")
     val unknown = props.keySet -- PolicyKeys -- EngineKeys
     require(unknown.isEmpty,
       s"$context cannot honor TBLPROPERTIES ${unknown.mkString(", ")} — " +

@@ -456,19 +456,8 @@ class GraftCatalogSpec extends SparkSuite {
       // instants differ by construction; everything else — version
       // count, op headers, per-file stats groups and annotations,
       // policy headers, line order — must match
-      def normalized(dir: String): Seq[Seq[String]] = {
-        val vs = (0 to Versioned.latestVersion(s, dir).get)
-        vs.map { v =>
-          val p = java.nio.file.Paths.get(dir, "_manifest",
-            f"v$v%05d.txt")
-          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-          try src.getLines().toList.map(
-            _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
-              .replaceAll("^#ts\t\\d+$", "#ts\t<instant>"))
-          finally src.close()
-        }.map(_.sorted)
-      }
-      assert(normalized(sqlDir) == normalized(apiDir),
+      assert(normalizedManifests(s, sqlDir) ==
+        normalizedManifests(s, apiDir),
         "the SQL route must publish byte-equivalent commits")
       // and byte-identical results
       assert(s.sql("SELECT * FROM graft.db.sqlt ORDER BY id").collect()
@@ -477,19 +466,13 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
-  /** Manifest lines with commit-scoped UUIDs and wall-clock instants
-    * normalized away — what "the SQL route publishes the same commit"
-    * means across twin tables. */
+  /** Every version's manifest, noise-normalized
+    * ([[SparkSuite.normalizedManifest]]) — what "the SQL route
+    * publishes the same commit" means across twin tables. */
   private def normalizedManifests(s: SparkSession,
       dir: String): Seq[Seq[String]] =
-    (0 to Versioned.latestVersion(s, dir).get).map { v =>
-      val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
-      val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-      try src.getLines().toList.map(
-        _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
-          .replaceAll("^#ts\t\\d+$", "#ts\t<instant>"))
-      finally src.close()
-    }.map(_.sorted)
+    (0 to Versioned.latestVersion(s, dir).get)
+      .map(normalizedManifest(dir, _))
 
   test("TBLPROPERTIES declare the file-skipping policy: a pure-SQL " +
       "table is manifest-equal to its Scala commitWithIndex twin, " +
@@ -584,6 +567,96 @@ class GraftCatalogSpec extends SparkSuite {
       s.sql("ALTER TABLE graft.db.e UNSET TBLPROPERTIES " +
         "('graft.bloom.cols')")
       assert(Versioned.bloomPolicy(s, s"$wh/db/e").isEmpty)
+      // … and UNSET of the STATS policy is not resurrected from the
+      // stats groups old lines still carry: the next insert records
+      // nothing, so the all-or-nothing metadata count falls back
+      s.sql("ALTER TABLE graft.db.e UNSET TBLPROPERTIES " +
+        "('graft.stats.cols')")
+      assert(Versioned.statPolicy(s, s"$wh/db/e").isEmpty,
+        "UNSET graft.stats.cols must actually stop tracking")
+      s.sql("INSERT INTO graft.db.e VALUES (8, 'w')")
+      assert(Versioned.statPolicy(s, s"$wh/db/e").isEmpty)
+      assert(Versioned.rowCountFromMetadata(s, s"$wh/db/e").isEmpty,
+        "a post-UNSET insert must be untracked (policy is gone)")
+      // COMMENT gets a dedicated refusal, not "unknown TBLPROPERTIES"
+      val e6 = intercept[Exception](s.sql(
+        "CREATE TABLE graft.db.cmt (id BIGINT) COMMENT 'hello'"))
+      assert(Iterator.iterate(e6: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("COMMENT"))), e6.getMessage)
+    }
+  }
+
+  test("a policy declared AFTER data exists reaches old files through " +
+      "rewrites: SET TBLPROPERTIES then CALL compact makes the whole " +
+      "table metadata-countable") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      // untracked table: three commits, no stats anywhere
+      s.sql("CREATE TABLE graft.db.u AS SELECT id, id * 2 AS v " +
+        "FROM range(30)")
+      s.sql("INSERT INTO graft.db.u SELECT id, id FROM range(30, 40)")
+      val dir = s"$wh/db/u"
+      assert(Versioned.rowCountFromMetadata(s, dir).isEmpty)
+      // declare the policy, then let ONE rewrite re-measure everything
+      s.sql("ALTER TABLE graft.db.u SET TBLPROPERTIES " +
+        "('graft.stats.cols'='id')")
+      s.sql("CALL graft.system.compact('db.u')")
+      assert(Versioned.rowCountFromMetadata(s, dir) == Some(40L),
+        "compaction under a declared policy must measure the declared " +
+          "columns, not just the (empty) observed ones")
+      // row-level DML honors the declaration too: the rewritten file
+      // carries id stats even though its pre-image had none
+      s.sql("CREATE TABLE graft.db.u2 AS SELECT id, id * 2 AS v " +
+        "FROM range(30)")
+      s.sql("ALTER TABLE graft.db.u2 SET TBLPROPERTIES " +
+        "('graft.stats.cols'='id')")
+      s.sql("DELETE FROM graft.db.u2 WHERE id = 7")
+      val dir2 = s"$wh/db/u2"
+      val lines = normalizedManifests(s, dir2).last
+        .filterNot(_.startsWith("#"))
+      assert(lines.exists(_.contains("\tid\t")),
+        s"the DML rewrite must measure the declared column: $lines")
+    }
+  }
+
+  test("a metadata commit on a LEGACY manifest (no #ts) must not " +
+      "erase the pointer-derived bloom fallback") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      val dir = s"$wh/db/leg"
+      Versioned.commitWithIndex(s, dir,
+        (0L until 20L).map(i => (i, s"k$i")).toDF("id", "k"),
+        statCols = Seq("id"), bloomCols = Seq("k"),
+        bloomExpectedItems = 1000L, bloomFpp = 0.01)
+      // simulate a pre-round-13 manifest: strip the instant and the
+      // config header; the pointers remain and bloomPolicy serves the
+      // legacy default fallback
+      val p = java.nio.file.Paths.get(dir, "_manifest", "v00000.txt")
+      val legacy = new String(java.nio.file.Files.readAllBytes(p),
+        "UTF-8").linesIterator
+        .filterNot(l => l.startsWith("#ts\t") ||
+          l.startsWith("#bloomcfg\t") || l.startsWith("#statcols\t"))
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.write(p, legacy.getBytes("UTF-8"))
+      assert(Versioned.bloomPolicy(s, dir).nonEmpty,
+        "legacy pointers must keep the derived config")
+      assert(Versioned.statPolicy(s, dir).nonEmpty,
+        "legacy lines must keep the derived stat policy")
+      // a metadata-only commit (ADD CONSTRAINT) stamps #ts — it must
+      // republish the RESOLVED policy, not the raw (absent) headers
+      s.sql("ALTER TABLE graft.db.leg ADD CONSTRAINT id_ok " +
+        "CHECK (id >= 0)")
+      assert(Versioned.bloomPolicy(s, dir).nonEmpty,
+        "addCheck on a legacy table erased the bloom fallback")
+      assert(Versioned.statPolicy(s, dir).nonEmpty,
+        "addCheck on a legacy table erased the stat policy")
+      // … so the next insert still indexes and measures
+      s.sql("INSERT INTO graft.db.leg VALUES (100, 'fresh')")
+      assert(Versioned.plannedFilesEq(s, dir,
+        org.apache.spark.sql.functions.col("k") === "fresh").size == 1)
+      assert(Versioned.rowCountFromMetadata(s, dir) == Some(21L))
     }
   }
 

@@ -183,15 +183,8 @@ class GraftProceduresSpec extends SparkSuite {
         "cluster_by => 'k', target_bytes => 1024)")
       Versioned.compactCommit(s, apiDir, targetBytes = 1024L,
         clusterBy = Seq("k"))
-      def normalized(dir: String): Seq[String] = {
-        val v = Versioned.latestVersion(s, dir).get
-        val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
-        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-        try src.getLines().toList.map(
-          _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
-            .replaceAll("^#ts\t\\d+$", "#ts\t<instant>")).sorted
-        finally src.close()
-      }
+      def normalized(dir: String): Seq[String] =
+        normalizedManifest(dir, Versioned.latestVersion(s, dir).get)
       assert(Versioned.latestVersion(s, sqlDir).contains(1))
       assert(normalized(sqlDir) == normalized(apiDir),
         "CALL compact(cluster_by) must publish the same clustered " +

@@ -28,4 +28,19 @@ trait SparkSuite extends AnyFunSuite {
   def tmpDir(): String =
     rmOnExit(java.nio.file.Files.createTempDirectory("graft-test-")
       .toAbsolutePath.toString)
+
+  /** One version's manifest lines with the per-run noise normalized
+    * away — commit-scoped UUID file names and wall-clock `#ts`
+    * instants — so twin tables written through different drivers
+    * (SQL vs Scala API) can be compared line-for-line. Shared here
+    * because every new manifest header must update this normalizer
+    * exactly once, not once per suite. */
+  def normalizedManifest(dir: String, v: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
+    val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+    try src.getLines().toList.map(
+      _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
+        .replaceAll("^#ts\t\\d+$", "#ts\t<instant>")).sorted
+    finally src.close()
+  }
 }
