@@ -42,7 +42,8 @@ final class HttpConditionalPut(
     precondition: (String, String) = ("If-None-Match", "*"),
     headers: Map[String, String] = Map.empty,
     timeout: Duration = Duration.ofSeconds(30),
-    transport: HttpConditionalPut.Transport = null)
+    transport: HttpConditionalPut.Transport = null,
+    signer: HttpConditionalPut.RequestSigner = null)
   extends Versioned.ConditionalPut {
 
   private val send: HttpConditionalPut.Transport =
@@ -53,11 +54,17 @@ final class HttpConditionalPut(
     }
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
-    val b = HttpRequest.newBuilder(keyToUri(key))
+    val uri = keyToUri(key)
+    val base = (precondition._1 -> precondition._2) +: headers.toSeq
+    // the signer sees the REQUEST AS SENT (method, uri, headers,
+    // payload) and contributes its own headers (x-amz-date,
+    // x-amz-content-sha256, Authorization)
+    val signed = Option(signer)
+      .map(_.sign("PUT", uri, base, bytes)).getOrElse(Nil)
+    val b = HttpRequest.newBuilder(uri)
       .timeout(timeout)
-      .header(precondition._1, precondition._2)
       .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
-    headers.foreach { case (k, v) => b.header(k, v) }
+    (base ++ signed).foreach { case (k, v) => b.header(k, v) }
     send(b.build()) match {
       case ok if ok >= 200 && ok < 300 => true // this call created it
       case 412 | 409 => false                  // exists: lost the race
@@ -70,7 +77,15 @@ final class HttpConditionalPut(
 }
 
 object HttpConditionalPut {
-  /** The request executor — swap in a signing wrapper (SigV4, OAuth)
-    * or a test double; returns the response status code. */
+  /** The request executor — swap in a test double; returns the
+    * response status code. */
   trait Transport { def apply(req: HttpRequest): Int }
+
+  /** Request authorizer: given the request as it will be sent,
+    * return the extra headers that authorize it ([[SigV4Signer]] for
+    * AWS; an OAuth bearer injector is one line). */
+  trait RequestSigner {
+    def sign(method: String, uri: URI, headers: Seq[(String, String)],
+        payload: Array[Byte]): Seq[(String, String)]
+  }
 }

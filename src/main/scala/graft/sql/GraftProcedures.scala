@@ -39,7 +39,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("history", "restore", "expire", "compact", "dv_debt", "pin",
-      "unpin")
+      "unpin", "set_policy")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -50,6 +50,7 @@ object GraftProcedures {
       case "dv_debt" => Some(DvDebtProcedure(catalog))
       case "pin" => Some(PinProcedure(catalog))
       case "unpin" => Some(UnpinProcedure(catalog))
+      case "set_policy" => Some(SetPolicyProcedure(catalog))
       case _ => None
     }
 }
@@ -225,6 +226,51 @@ final case class PinProcedure(catalog: GraftCatalog)
       StructField("version", IntegerType, nullable = false))),
       Array[Any](org.apache.spark.unsafe.types.UTF8String
         .fromString(p.id), p.version))
+  }
+}
+
+/** `CALL graft.system.set_policy('db.t' [, stats_cols => 'a,b']
+  * [, bloom_cols => 'id'] [, bloom_expected => N]
+  * [, bloom_fpp => f])` → [[Versioned.setPolicy]]: re-declare the
+  * file-skipping policy as a metadata commit — the CALL twin of
+  * `ALTER TABLE … SET TBLPROPERTIES`, for consumers whose SQL
+  * gateway cannot issue DDL. A NULL (omitted) argument keeps that
+  * half of the declaration; an EMPTY string clears it. Returns the
+  * policy commit's version. */
+final case class SetPolicyProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "set_policy"
+  override def description(): String =
+    "re-declare the file-skipping policy (stats cols + bloom config) " +
+      "as a metadata commit"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    ProcedureParameter.in("stats_cols", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build(),
+    ProcedureParameter.in("bloom_cols", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build(),
+    ProcedureParameter.in("bloom_expected",
+      org.apache.spark.sql.types.LongType)
+      .defaultValue("100000").build(),
+    ProcedureParameter.in("bloom_fpp",
+      org.apache.spark.sql.types.DoubleType)
+      .defaultValue("0.03").build())
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    def cols(i: Int): Option[Seq[String]] =
+      if (input.isNullAt(i)) None
+      else Some(input.getUTF8String(i).toString.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty))
+    val stats = cols(1)
+    val expected = if (input.isNullAt(3)) 100000L else input.getLong(3)
+    val fpp = if (input.isNullAt(4)) 0.03 else input.getDouble(4)
+    val blooms = cols(2).map(_.map((_, expected, fpp)))
+    require(stats.isDefined || blooms.isDefined,
+      "set_policy needs stats_cols or bloom_cols (NULL keeps, '' " +
+        "clears)")
+    val v = Versioned.setPolicy(session,
+      dirOf(input.getUTF8String(0).toString), stats, blooms)
+    result(StructType(Seq(StructField("version", IntegerType,
+      nullable = false))), Array[Any](v))
   }
 }
 

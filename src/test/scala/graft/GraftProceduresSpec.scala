@@ -205,6 +205,48 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("CALL set_policy is the TBLPROPERTIES twin: declares, keeps " +
+      "on NULL, clears on empty string") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.sp AS SELECT id, CAST(id AS STRING) " +
+        "AS k FROM range(10)")
+      val dir = s"$wh/db/sp"
+      // declare both halves through CALL alone
+      val v = s.sql("CALL graft.system.set_policy('db.sp', " +
+        "stats_cols => 'id', bloom_cols => 'k', " +
+        "bloom_expected => 500, bloom_fpp => 0.01)").head().getInt(0)
+      assert(v == 1)
+      assert(Versioned.statPolicy(s, dir) == Seq("id"))
+      assert(Versioned.bloomPolicy(s, dir) == Seq(("k", 500L, 0.01)))
+      assert(Versioned.history(s, dir).collect()
+        .map(_.getAs[String]("operation")).contains("set-policy"))
+      // the next insert measures + indexes under it (pre-declaration
+      // files have no filter and always plan; the new file prunes on
+      // an absent key and plans on a present one)
+      s.sql("INSERT INTO graft.db.sp VALUES (100, 'fresh')")
+      val pF = Versioned.plannedFilesEq(s, dir,
+        org.apache.spark.sql.functions.col("k") === "fresh").size
+      val pA = Versioned.plannedFilesEq(s, dir,
+        org.apache.spark.sql.functions.col("k") === "absent").size
+      assert(pF == pA + 1,
+        s"post-declaration insert must be bloom-indexed: $pF vs $pA")
+      // NULL keeps a half; '' clears it
+      s.sql("CALL graft.system.set_policy('db.sp', bloom_cols => '')")
+      assert(Versioned.statPolicy(s, dir) == Seq("id"),
+        "omitted stats_cols must keep the declaration")
+      assert(Versioned.bloomPolicy(s, dir).isEmpty,
+        "empty bloom_cols must clear the declaration")
+      // nothing declared at all is refused
+      val e = intercept[Exception](
+        s.sql("CALL graft.system.set_policy('db.sp')"))
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("stats_cols or bloom_cols"))),
+        e.getMessage)
+    }
+  }
+
   test("CALL pin holds a version against expire until CALL unpin " +
       "releases it") {
     withCatalogSession { (s, wh) =>
