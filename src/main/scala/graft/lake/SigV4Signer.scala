@@ -43,15 +43,42 @@ final class SigV4Signer(
     clock: () => java.time.Instant = () => java.time.Instant.now())
   extends HttpConditionalPut.RequestSigner {
 
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map("%02x".format(_)).mkString
+
   private def sha256Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map("%02x".format(_)).mkString
+    hex(MessageDigest.getInstance("SHA-256").digest(bytes))
 
   private def hmac(key: Array[Byte], data: String): Array[Byte] = {
     val mac = Mac.getInstance("HmacSHA256")
     mac.init(new SecretKeySpec(key, "HmacSHA256"))
     mac.doFinal(data.getBytes(UTF_8))
   }
+
+  /** SigV4's strict URI-encoding: unreserved characters
+    * (A–Z a–z 0–9 - . _ ~) pass; everything else — including the
+    * characters `java.net.URI` leaves raw in paths, like `=` `+`
+    * `:` `,` — becomes uppercase %XX. Without this a Hive-style
+    * path segment (`date=2020`) signs differently than the store
+    * canonicalizes it and every commit dies with
+    * SignatureDoesNotMatch. */
+  private def uriEncode(s: String, keepSlash: Boolean): String = {
+    val out = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '.' ||
+          c == '_' || c == '~' || (keepSlash && c == '/'))
+        out.append(c)
+      else out.append(f"%%${b & 0xff}%02X")
+    }
+    out.toString
+  }
+
+  /** Percent-decode a raw URI component (the inverse step before
+    * strict re-encoding — the raw query may already carry %XX). */
+  private def uriDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   /** The extra headers a signed request carries: `x-amz-date`,
     * `x-amz-content-sha256` (S3 only) and `Authorization`. */
@@ -72,21 +99,35 @@ final class SigV4Signer(
       Seq("x-amz-date" -> amzDate) ++
         (if (service == "s3") Seq("x-amz-content-sha256" -> payloadHash)
          else Nil)
+    // duplicate names (case-insensitively) canonicalize to ONE line
+    // with comma-joined values — two lines would sign a request the
+    // store reconstructs differently
     val toSign = (headers ++ extra :+ ("host" -> host))
       .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT),
         v.trim.replaceAll("\\s+", " ")) }
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).mkString(",")).toSeq
       .sortBy(_._1)
     val signedHeaderNames = toSign.map(_._1).mkString(";")
     val canonicalHeaders =
       toSign.map { case (k, v) => s"$k:$v\n" }.mkString
+    // query: decode each raw component, then strictly re-encode and
+    // sort — the canonical form AWS re-derives server-side
     val canonicalQuery = Option(uri.getRawQuery).filter(_.nonEmpty)
       .map(_.split('&').toSeq.map { kv =>
         val i = kv.indexOf('=')
-        if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        (uriEncode(uriDecode(k), keepSlash = false),
+          uriEncode(uriDecode(v), keepSlash = false))
       }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&"))
       .getOrElse("")
+    // path: strict-encode each segment, slashes kept; every service
+    // EXCEPT S3 additionally expects the already-encoded form encoded
+    // once more (the SigV4 double-encoding rule)
+    val rawPath = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    val once = uriEncode(uriDecode(rawPath), keepSlash = true)
     val canonicalUri =
-      Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+      if (service == "s3") once else uriEncode(once, keepSlash = true)
     val canonicalRequest = Seq(method, canonicalUri, canonicalQuery,
       canonicalHeaders, signedHeaderNames, payloadHash).mkString("\n")
     val scope = s"$dateStamp/$region/$service/aws4_request"
@@ -95,8 +136,7 @@ final class SigV4Signer(
     val signingKey = hmac(hmac(hmac(hmac(
       s"AWS4$secretKey".getBytes(UTF_8), dateStamp),
       region), service), "aws4_request")
-    val signature = hmac(signingKey, stringToSign)
-      .map("%02x".format(_)).mkString
+    val signature = hex(hmac(signingKey, stringToSign))
     extra :+ ("Authorization" ->
       (s"AWS4-HMAC-SHA256 Credential=$accessKeyId/$scope, " +
         s"SignedHeaders=$signedHeaderNames, Signature=$signature"))

@@ -251,16 +251,22 @@ final case class SetPolicyProcedure(catalog: GraftCatalog)
       .defaultValue("CAST(NULL AS STRING)").build(),
     ProcedureParameter.in("bloom_expected",
       org.apache.spark.sql.types.LongType)
-      .defaultValue("100000").build(),
+      .defaultValue("CAST(NULL AS BIGINT)").build(),
     ProcedureParameter.in("bloom_fpp",
       org.apache.spark.sql.types.DoubleType)
-      .defaultValue("0.03").build())
+      .defaultValue("CAST(NULL AS DOUBLE)").build())
   override def call(input: InternalRow): util.Iterator[Scan] = {
     def cols(i: Int): Option[Seq[String]] =
       if (input.isNullAt(i)) None
       else Some(input.getUTF8String(i).toString.split(',').toSeq
         .map(_.trim).filter(_.nonEmpty))
     val stats = cols(1)
+    // sizing without columns would be silently dropped — the
+    // TBLPROPERTIES twin refuses this loudly, so the CALL does too
+    require(!(input.isNullAt(2) &&
+        (!input.isNullAt(3) || !input.isNullAt(4))),
+      "bloom_expected/bloom_fpp size a bloom index — declare " +
+        "bloom_cols too")
     val expected = if (input.isNullAt(3)) 100000L else input.getLong(3)
     val fpp = if (input.isNullAt(4)) 0.03 else input.getDouble(4)
     val blooms = cols(2).map(_.map((_, expected, fpp)))

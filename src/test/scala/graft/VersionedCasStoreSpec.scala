@@ -220,16 +220,30 @@ class VersionedCasStoreSpec extends SparkSuite {
       val key = exchange.getRequestURI.getPath
       val bytes = exchange.getRequestBody.readAllBytes()
       val h = exchange.getRequestHeaders
-      // the emulator VERIFIES what a store would: the declared
-      // payload hash matches the received bytes, and the credential
-      // scope names this region/service
+      // the emulator verifies what the STORE would: it holds the
+      // shared secret, so it RE-DERIVES the full SigV4 signature from
+      // the received request (method, uri, signed headers, payload)
+      // and compares Authorization byte-for-byte — a canonicalization
+      // bug anywhere in the chain fails here, not in production
       val declared = h.getFirst("x-amz-content-sha256")
       val computed = java.security.MessageDigest.getInstance("SHA-256")
         .digest(bytes).map("%02x".format(_)).mkString
       val auth = Option(h.getFirst("Authorization")).getOrElse("")
-      if (declared != computed ||
-          !auth.startsWith("AWS4-HMAC-SHA256 Credential=AKIDTEST/") ||
-          !auth.contains("/eu-test-1/s3/aws4_request"))
+      val rederived = Option(h.getFirst("x-amz-date")).map { d =>
+        val t = java.time.LocalDateTime.parse(d,
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+          .toInstant(java.time.ZoneOffset.UTC)
+        new graft.lake.SigV4Signer("AKIDTEST", "secret", "eu-test-1",
+          "s3", clock = () => t)
+          .sign("PUT",
+            java.net.URI.create(
+              s"http://${h.getFirst("Host")}$key"),
+            Seq("If-None-Match" ->
+              h.getFirst("If-None-Match")), bytes)
+          .toMap.apply("Authorization")
+      }.getOrElse("")
+      if (declared != computed || auth.isEmpty || auth != rederived)
         badAuth.incrementAndGet()
       val won = claims.putIfAbsent(key, true) == null
       if (won)
