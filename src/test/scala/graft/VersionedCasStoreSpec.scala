@@ -185,8 +185,11 @@ class VersionedCasStoreSpec extends SparkSuite {
       "exactly") {
     // the worked example from the AWS General Reference (Signature
     // Version 4 signing process): GET iam.amazonaws.com ListUsers at
-    // 20150830T123600Z with the AKIDEXAMPLE credentials — the vector
-    // every SDK validates its signer against
+    // 20150830T123600Z — the vector every SDK validates its signer
+    // against. The credential pair below is NOT a secret: it is
+    // AWS's own PUBLISHED documentation example ("AKIDEXAMPLE" /
+    // "...EXAMPLEKEY"), printed verbatim in the public signing guide
+    // precisely so implementations can pin this test.
     val signer = new graft.lake.SigV4Signer(
       "AKIDEXAMPLE",
       "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
