@@ -91,8 +91,18 @@ final class SigV4Signer(
       .withZone(java.time.ZoneOffset.UTC).format(now)
     val dateStamp = amzDate.substring(0, 8)
     val payloadHash = sha256Hex(payload)
+    // JDK HttpClient strips scheme-default ports from the Host header
+    // it puts on the wire (Http1Request.hostString), so a keyToUri
+    // carrying an explicit :443/:80 must sign the bare host or every
+    // request dies with SignatureDoesNotMatch
+    val defaultPort = uri.getScheme match {
+      case "https" => 443
+      case "http" => 80
+      case _ => -1
+    }
     val host = uri.getHost +
-      (if (uri.getPort > 0) s":${uri.getPort}" else "")
+      (if (uri.getPort > 0 && uri.getPort != defaultPort)
+        s":${uri.getPort}" else "")
     // S3 demands the payload hash as a header; other services sign it
     // only inside the canonical request
     val extra =

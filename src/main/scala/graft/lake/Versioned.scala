@@ -131,6 +131,20 @@ object Versioned {
     * always record one), the optional (appId, batchId) transaction
     * stamp of the commit that created it (streaming exactly-once),
     * and its data-file lines.
+    *
+    * LEGACY-FALLBACK INVARIANT (pinned by GraftCatalogSpec's "a
+    * metadata commit on a LEGACY manifest (no #ts) must not erase the
+    * pointer-derived bloom fallback"): a MODERN manifest
+    * is one carrying a `#ts` commit instant; only pre-`#ts` manifests
+    * may DERIVE policy from their lines/pointers ([[statColsOf]] /
+    * [[bloomCfgOf]]). Two rules every future header consumer must
+    * copy: (1) a "legacy means derive" fallback keys on `ts.isEmpty`,
+    * never on the header being absent in a modern manifest (absent
+    * there means EXPLICITLY NONE); (2) every metadata commit
+    * republishes the RESOLVED policy (`statColsOf`/`bloomCfgOf`
+    * output), never the raw `m.statColsPolicy`/`m.bloomCfg` fields —
+    * republishing raw fields erases the legacy fallback at the
+    * instant the commit stamps `#ts`.
     */
   private final case class Manifest(schema: Option[StructType],
       txn: Option[(String, Long)], checks: Seq[(String, String)],
@@ -1146,6 +1160,15 @@ object Versioned {
         newBlooms = newBlooms ++
           stageBlooms(spark, dir, newFiles, missingCfg)
         measuredCfg = measuredCfg ++ missingCfg
+      }
+      // symmetric with the stats re-measure: a racing policy
+      // NARROWING drops already-staged filters for columns no longer
+      // declared — publishing them would leave pointers outside the
+      // manifest's #bloomcfg (harmless to pruning, but inconsistent
+      // config/pointer state)
+      if (measuredCfg.exists(c => !wantCfg.exists(_._1 == c._1))) {
+        newBlooms = newBlooms.filter(b => wantCfg.exists(_._1 == b._2))
+        measuredCfg = measuredCfg.filter(c => wantCfg.exists(_._1 == c._1))
       }
       val schema =
         if (replace) df.schema
@@ -3439,9 +3462,10 @@ object Versioned {
     * the audit log every production table format exposes. Driver-side
     * manifest reads only (no data I/O): `operation` is the commit
     * primitive that created the version (`#op` header; "unknown" on
-    * pre-tracking manifests), `ts_millis` the manifest file's
-    * modification time (the commit instant — the rename that
-    * published it), `n_files`/`n_dvs`/`n_checks` the version's shape,
+    * pre-tracking manifests), `ts_millis` the recorded `#ts` commit
+    * instant (monotonic with versions; pre-tracking manifests fall
+    * back to the manifest file's modification time),
+    * `n_files`/`n_dvs`/`n_checks` the version's shape,
     * `app_id`/`batch_id` the streaming txn stamp when present, and
     * `row_count` the metadata count where the version is fully
     * tracked (null where [[rowCountFromMetadata]] would fall back).

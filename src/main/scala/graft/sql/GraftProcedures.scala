@@ -261,15 +261,19 @@ final case class SetPolicyProcedure(catalog: GraftCatalog)
       else Some(input.getUTF8String(i).toString.split(',').toSeq
         .map(_.trim).filter(_.nonEmpty))
     val stats = cols(1)
+    val bloomCols = cols(2)
     // sizing without columns would be silently dropped — the
-    // TBLPROPERTIES twin refuses this loudly, so the CALL does too
-    require(!(input.isNullAt(2) &&
+    // TBLPROPERTIES twin refuses this loudly, so the CALL does too.
+    // That covers bloom_cols omitted (NULL) AND bloom_cols => ''
+    // (an explicit CLEAR — sizing an index being removed is the
+    // same silent drop)
+    require(!(bloomCols.forall(_.isEmpty) &&
         (!input.isNullAt(3) || !input.isNullAt(4))),
       "bloom_expected/bloom_fpp size a bloom index — declare " +
-        "bloom_cols too")
+        "non-empty bloom_cols too")
     val expected = if (input.isNullAt(3)) 100000L else input.getLong(3)
     val fpp = if (input.isNullAt(4)) 0.03 else input.getDouble(4)
-    val blooms = cols(2).map(_.map((_, expected, fpp)))
+    val blooms = bloomCols.map(_.map((_, expected, fpp)))
     require(stats.isDefined || blooms.isDefined,
       "set_policy needs stats_cols or bloom_cols (NULL keeps, '' " +
         "clears)")

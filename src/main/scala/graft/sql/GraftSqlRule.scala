@@ -211,10 +211,16 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
         require(sub.output.length == r.output.length,
           s"graft table ${t.name()} read plan arity " +
             s"${sub.output.length} != relation arity ${r.output.length}")
-        Project(r.output.zip(sub.output).map { case (o, n) =>
+        val read = Project(r.output.zip(sub.output).map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
             explicitMetadata = Some(o.metadata))
         }, sub)
+        // breadcrumb for [[refuseIndirect]]: a SQL view body stores
+        // THIS analyzed plan, in which nothing else says "graft" —
+        // the tag is how DML-through-a-view over a graft table is
+        // told apart from a view over some other v1 provider
+        read.setTagValue(RewrittenGraftRead, t.dir)
+        read
     }
   }
 
@@ -331,6 +337,15 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
 object GraftSqlRule {
 
+  /** Stamped (with the table dir) on every read plan the rule grafts
+    * in place of a [[GraftTable]] relation. SQL views store their
+    * ANALYZED body — i.e. this rewritten plan, in which no graft node
+    * survives — so the tag is the only remaining evidence that a
+    * view wraps a graft table ([[GraftSqlRule.refuseIndirect]]). */
+  private[sql] val RewrittenGraftRead =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[String](
+      "graft.rewrittenRead")
+
   /** Strip subquery aliases down to the relation a DML node targets. */
   private def stripAlias(p: LogicalPlan): Option[LogicalPlan] = p match {
     case SubqueryAlias(_, child) => stripAlias(child)
@@ -376,7 +391,14 @@ object GraftSqlRule {
       case r: DataSourceV2Relation
           if !r.table.isInstanceOf[GraftTable] => r
     }.nonEmpty
-    val viewish = (!foreign &&
+    // the View branch additionally demands proof the view is over a
+    // GRAFT table (the [[RewrittenGraftRead]] breadcrumb the read
+    // rewrite stamps): a view over some other v1/LogicalRelation
+    // provider is a plan graft does not own — stand down and let that
+    // provider's rule (or Spark's own error) speak
+    val overGraft =
+      t.find(_.getTagValue(RewrittenGraftRead).isDefined).nonEmpty
+    val viewish = (!foreign && overGraft &&
       t.collectFirst { case v: View => v }.nonEmpty) ||
       t.collectFirst {
         case r: DataSourceV2Relation

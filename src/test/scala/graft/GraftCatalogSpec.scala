@@ -374,6 +374,21 @@ class GraftCatalogSpec extends SparkSuite {
         e3.getMessage)
       assert(s.sql("SELECT count(*) FROM graft.db.t WHERE id = 7")
         .head().getLong(0) == 1L, "refused DML must not mutate")
+      // DML through a view over a FOREIGN (non-graft, v1) table:
+      // graft must STAND DOWN — the plan belongs to another provider,
+      // and hijacking it with a graft-branded refusal would misdirect
+      // the user; Spark's own error speaks instead
+      val foreign = java.nio.file.Files
+        .createTempDirectory("graft-foreign").toString
+      s.range(5).write.mode("overwrite").parquet(foreign)
+      s.read.parquet(foreign).createOrReplaceTempView("fv_base")
+      s.sql("CREATE TEMP VIEW fv AS SELECT * FROM fv_base WHERE id > 1")
+      val ef = intercept[Exception](
+        s.sql("DELETE FROM fv WHERE id = 3"))
+      assert(!Iterator.iterate(ef: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("target the table directly"))),
+        s"graft-branded refusal on a foreign view plan: ${ef.getMessage}")
       // MERGE with a subquery SOURCE: routes (the source is a plan)
       s.sql("""MERGE INTO graft.db.t AS t USING (
               |  SELECT id FROM range(100, 102)

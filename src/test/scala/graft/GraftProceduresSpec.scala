@@ -244,6 +244,15 @@ class GraftProceduresSpec extends SparkSuite {
         .takeWhile(_ != null).exists(t => Option(t.getMessage)
           .exists(_.contains("stats_cols or bloom_cols"))),
         e.getMessage)
+      // sizing a CLEARED index (bloom_cols => '') is the same silent
+      // drop as sizing an omitted one — both refuse
+      val e2 = intercept[Exception](
+        s.sql("CALL graft.system.set_policy('db.sp', " +
+          "bloom_cols => '', bloom_expected => 500)"))
+      assert(Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("non-empty bloom_cols"))),
+        e2.getMessage)
     }
   }
 

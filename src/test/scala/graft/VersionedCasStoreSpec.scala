@@ -210,6 +210,30 @@ class VersionedCasStoreSpec extends SparkSuite {
       s"signature mismatch: ${out("Authorization")}")
   }
 
+  test("SigV4Signer signs a scheme-default port (:443/:80) as the " +
+      "bare host — matching the Host header JDK HttpClient sends") {
+    // JDK Http1Request.hostString strips scheme-default ports from
+    // the wire Host header; signing 'host:443' would therefore fail
+    // every request with SignatureDoesNotMatch. Explicit NON-default
+    // ports stay (the JDK keeps those on the wire too).
+    val clock = () => java.time.Instant.parse("2015-08-30T12:36:00Z")
+    def auth(uri: String): String =
+      new graft.lake.SigV4Signer("AKIDEXAMPLE",
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        "us-east-1", "s3", clock = clock)
+        .sign("PUT", java.net.URI.create(uri), Nil, Array[Byte](1))
+        .toMap.apply("Authorization")
+    assert(auth("https://b.s3.amazonaws.com:443/k") ==
+      auth("https://b.s3.amazonaws.com/k"),
+      ":443 on https must sign identically to no port")
+    assert(auth("http://b.s3.amazonaws.com:80/k") ==
+      auth("http://b.s3.amazonaws.com/k"),
+      ":80 on http must sign identically to no port")
+    assert(auth("http://b.s3.amazonaws.com:9000/k") !=
+      auth("http://b.s3.amazonaws.com/k"),
+      "an explicit non-default port must stay in the signed host")
+  }
+
   test("a SigV4-signed HttpConditionalPut carries a verifiable " +
       "payload hash and Authorization over real HTTP") {
     val s = spark
