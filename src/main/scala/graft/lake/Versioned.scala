@@ -42,6 +42,19 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructTyp
   * until a retention job deletes manifests AND their now-unreferenced
   * files — never data files alone.
   *
+  * Manifest LOG shape (round 14): a commit writes O(changed files)
+  * bytes, not O(table files). Most versions publish as DELTA records
+  * (`#base` + add lines + `#rmfile`/`#rmdv`/`#rmbloom` against the
+  * parent state, headers always in full); a full snapshot lands every
+  * [[manifestCheckpointEvery]] commits, whenever the delta would not
+  * be smaller (replace/restore/compaction), and when [[expire]]
+  * re-checkpoints the oldest kept version before dropping its chain.
+  * Readers reconstruct state from the nearest snapshot + the delta
+  * tail (<= checkpoint-interval small reads) — Delta Lake's
+  * JSON-log-plus-checkpoint shape on this one-file-per-version
+  * substrate. At 1M retained files a 1-row append writes one header
+  * block and one line instead of relisting ~100 MB of paths.
+  *
   * Concurrency (round 11): commits are OPTIMISTIC, multi-writer safe.
   * Data files are staged first (commit-scoped directory, invisible
   * until a manifest references them), then the manifest is published
@@ -153,7 +166,22 @@ object Versioned {
       op: Option[String] = None,
       bloomCfg: Seq[(String, Long, Double)] = Nil,
       statColsPolicy: Seq[String] = Nil,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      commitUuid: Option[String] = None,
+      chainDepth: Int = 0)
+
+  /** One manifest FILE as written, before delta reconstruction: a
+    * snapshot file (`base = None`) holds the version's full state; a
+    * DELTA file (`base = Some((parentVersion, depth))`) holds its full
+    * HEADERS (schema, policy, checks, ts, op, txn — always republished,
+    * they are O(policy) not O(table)) plus only the lines/DV pairs/
+    * bloom pointers it ADDS and `#rmfile`/`#rmdv`/`#rmbloom` records
+    * for what it drops relative to its parent. [[readManifest]] folds
+    * the chain back into the full state.
+    */
+  private final case class RawNode(base: Option[(Int, Int)],
+      rmFiles: Set[String], rmDvs: Set[(String, String)],
+      rmBlooms: Set[(String, String, String)], m: Manifest)
 
   // header lines start with '#' so file-line consumers skip them by
   // prefix; the schema rides as Spark's own StructType JSON (control
@@ -205,8 +233,45 @@ object Versioned {
   // production format exposes as DESCRIBE HISTORY); absent on
   // pre-tracking manifests.
   private val OpHeader = "#op\t"
+  // commit identity: `#commituuid\t<uuid>` — a writer-chosen UUID
+  // stamped on every commit. Its one job is resolving COMMIT
+  // AMBIGUITY on stores whose conditional put can fail
+  // indeterminately (a timeout/5xx AFTER the store durably accepted
+  // the write): a writer whose CAS apparently lost after a transport
+  // error reads the winning manifest back and CLAIMS the version if
+  // self-authored, instead of re-appending the same rows at v+1.
+  private val CommitUuidHeader = "#commituuid\t"
+  // delta-manifest header: `#base\t<parentVersion>\t<depth>` — this
+  // FILE is a delta over its parent's reconstructed state, `depth`
+  // links from the nearest full snapshot (snapshot = no #base =
+  // depth 0). Bounds both write amplification (a commit writes
+  // O(delta) bytes, not O(table files)) and read cost (reconstruction
+  // reads <= checkpoint-interval small files). A full snapshot is
+  // written every [[manifestCheckpointEvery]] commits and whenever
+  // the delta would not be smaller than the snapshot (replace,
+  // restore, compaction).
+  private val BaseHeader = "#base\t"
+  // delta removal records, each relative to the parent state:
+  // `#rmfile\t<rel>` drops the parent data line for <rel> (a rewrite
+  // of the same rel is rmfile + a fresh add line); `#rmdv` / `#rmbloom`
+  // drop one exact DV pair / bloom pointer.
+  private val RmFileHeader = "#rmfile\t"
+  private val RmDvHeader = "#rmdv\t"
+  private val RmBloomHeader = "#rmbloom\t"
 
-  private def readManifest(fs: FileSystem, dir: String, v: Int): Manifest = {
+  /** Snapshot cadence of the manifest log: a delta chain never grows
+    * past this many links before a commit publishes a full snapshot
+    * (Delta's checkpoint-every-N shape). Env-tunable for stress runs;
+    * `<= 1` disables deltas entirely (every commit a snapshot — the
+    * pre-round-14 behavior). */
+  private def manifestCheckpointEvery: Int =
+    sys.env.get("SPARK_GRAFT_MANIFEST_CHECKPOINT")
+      .map(_.trim.toInt).getOrElse(10)
+
+  /** Parse one manifest FILE as written (no delta reconstruction).
+    * Header fields are authoritative for the version either way; the
+    * lines/dvs/blooms of a delta node are its ADDS only. */
+  private def readRaw(fs: FileSystem, dir: String, v: Int): RawNode = {
     val in = fs.open(manifestPath(dir, v))
     val raw =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -252,8 +317,61 @@ object Versioned {
     val ts = raw.collectFirst { case l if l.startsWith(TsHeader) =>
       l.stripPrefix(TsHeader).trim.toLong
     }
-    Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
-      blooms, op, bloomCfg, statColsPolicy, ts)
+    val commitUuid = raw.collectFirst {
+      case l if l.startsWith(CommitUuidHeader) =>
+        l.stripPrefix(CommitUuidHeader).trim
+    }
+    val base = raw.collectFirst { case l if l.startsWith(BaseHeader) =>
+      val Array(pv, depth) = l.stripPrefix(BaseHeader).split('\t')
+      (pv.toInt, depth.toInt)
+    }
+    val rmFiles = raw.collect { case l if l.startsWith(RmFileHeader) =>
+      l.stripPrefix(RmFileHeader)
+    }.toSet
+    val rmDvs = raw.collect { case l if l.startsWith(RmDvHeader) =>
+      val Array(b, d) = l.stripPrefix(RmDvHeader).split('\t')
+      (b, d)
+    }.toSet
+    val rmBlooms = raw.collect { case l if l.startsWith(RmBloomHeader) =>
+      val Array(b, c, s) = l.stripPrefix(RmBloomHeader).split('\t')
+      (b, c, s)
+    }.toSet
+    RawNode(base, rmFiles, rmDvs, rmBlooms,
+      Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
+        blooms, op, bloomCfg, statColsPolicy, ts, commitUuid,
+        chainDepth = base.map(_._2).getOrElse(0)))
+  }
+
+  /** Apply one delta node to its parent's reconstructed state: removes
+    * first (a stats rewrite of the same rel is rmfile + fresh add),
+    * then adds appended; every header field comes from the delta node
+    * itself (headers are always republished in full — the
+    * legacy-fallback invariant's "RESOLVED policy" rule holds for
+    * delta commits exactly as for snapshots). */
+  private def applyDelta(parent: Manifest, d: RawNode): Manifest =
+    d.m.copy(
+      lines = parent.lines.filterNot(l =>
+        d.rmFiles.contains(parseLine(l)._1)) ++ d.m.lines,
+      dvs = parent.dvs.filterNot(d.rmDvs) ++ d.m.dvs,
+      blooms = parent.blooms.filterNot(d.rmBlooms) ++ d.m.blooms)
+
+  /** The full reconstructed state of version `v`: a snapshot file is
+    * the state; a delta file folds over its parent chain back to the
+    * nearest snapshot (<= [[manifestCheckpointEvery]] small reads —
+    * Delta Lake's checkpoint + log-tail read path). */
+  private def readManifest(fs: FileSystem, dir: String, v: Int): Manifest = {
+    val top = readRaw(fs, dir, v)
+    if (top.base.isEmpty) top.m
+    else {
+      var chain: List[RawNode] = List(top)
+      var cur = top
+      while (cur.base.isDefined) {
+        cur = readRaw(fs, dir, cur.base.get._1)
+        chain ::= cur
+      }
+      chain.tail.foldLeft(chain.head.m)(applyDelta)
+        .copy(chainDepth = top.base.get._2)
+    }
   }
 
   /** The table's bloom-index config: the recorded `#bloomcfg` entries.
@@ -293,14 +411,37 @@ object Versioned {
         m.lines.map(l => s"$dir/${parseLine(l)._1}"): _*).schema)
     }
 
+  /** Is reading a parquet column written as `from` under a requested
+    * schema of `to` a LOSSLESS upcast the vectorized reader performs
+    * natively (`ParquetVectorUpdaterFactory`'s IntegerToLong /
+    * FloatToDouble family)? The append-compatible set every production
+    * format's type-widening feature admits: the integral chain
+    * byte → short → int → long, and float → double. */
+  private[lake] def widens(from: DataType, to: DataType): Boolean = {
+    val integral: Seq[DataType] = Seq(types.ByteType, types.ShortType,
+      types.IntegerType, types.LongType)
+    (from, to) match {
+      case (f, t) if integral.contains(f) && integral.contains(t) =>
+        integral.indexOf(f) < integral.indexOf(t)
+      case (types.FloatType, types.DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** Append-commit schema evolution (the rule of every production table
-    * format's default mode): existing columns must keep their exact
-    * type — a type change is a full-table rewrite, i.e. a REPLACE, not
-    * an append — while brand-new columns join the table as nullable
-    * (historical files simply have no values for them; reads fill
-    * null). A writer may also OMIT evolved columns (old pipeline code
-    * appending to an evolved table): its files null-fill at read, so
-    * the omitted column's nullability relaxes.
+    * format's default mode): existing columns keep their type UNLESS
+    * the incoming type merely WIDENS it ([[widens]]: int → long,
+    * float → double — the table schema widens, and historical files
+    * read through the widened type via the parquet vectorized
+    * reader's native upcast, zero rewrite). An incoming column
+    * NARROWER than the table's is equally compatible — the new files
+    * upcast at read and the table type stays. Any other type change
+    * is a full-table rewrite, i.e. a REPLACE, not an append.
+    * Brand-new columns join the table as nullable (historical files
+    * simply have no values for them; reads fill null). A writer may
+    * also OMIT evolved columns (old pipeline code appending to an
+    * evolved table): its files null-fill at read, so the omitted
+    * column's nullability relaxes.
     */
   private[lake] def evolveSchema(table: StructType,
       incoming: StructType): StructType = {
@@ -308,11 +449,19 @@ object Versioned {
     val kept = table.map { tf =>
       byName.get(tf.name) match {
         case Some(inf) =>
-          if (inf.dataType != tf.dataType) throw new CommitConflictException(
-            s"append cannot change column '${tf.name}' from " +
-              s"${tf.dataType.simpleString} to ${inf.dataType.simpleString}" +
-              "; a type change rewrites history — commit it as a replace")
-          tf.copy(nullable = tf.nullable || inf.nullable)
+          if (inf.dataType != tf.dataType &&
+              !widens(tf.dataType, inf.dataType) &&
+              !widens(inf.dataType, tf.dataType))
+            throw new CommitConflictException(
+              s"append cannot change column '${tf.name}' from " +
+                s"${tf.dataType.simpleString} to " +
+                s"${inf.dataType.simpleString}; a type change rewrites " +
+                "history — commit it as a replace")
+          val widened =
+            if (widens(tf.dataType, inf.dataType)) inf.dataType
+            else tf.dataType
+          tf.copy(dataType = widened,
+            nullable = tf.nullable || inf.nullable)
         case None => tf.copy(nullable = true)
       }
     }
@@ -406,7 +555,9 @@ object Versioned {
     val last = latestVersion(spark, dir).flatMap { head =>
       (head to 0 by -1).iterator
         .filter(v => fs.exists(manifestPath(dir, v)))
-        .map(v => readManifest(fs, dir, v).txn)
+        // header-only read: the txn stamp rides the top file of a
+        // delta chain, so no reconstruction is needed
+        .map(v => readRaw(fs, dir, v).m.txn)
         .collectFirst { case Some((app, b)) if app == appId => b }
     }
     if (last.exists(_ >= batchId)) None
@@ -445,6 +596,7 @@ object Versioned {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     require(name.nonEmpty, "addCheck needs a non-empty constraint name")
     val fs = fileSystem(spark, dir)
+    val uuid = newCommitUuid()
     var attempts = 0
     while (true) {
       val head = latestVersion(spark, dir).getOrElse(
@@ -468,10 +620,12 @@ object Versioned {
       // becomes the newest surviving manifest — and so do its deletion
       // vectors and bloom pointers: a metadata commit that dropped the
       // DVs would silently RESURRECT every MoR-deleted row
-      if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
-          m.checks :+ ((name, sqlExpr)), m.dvs, m.blooms,
-          op = Some(s"add-check($name)"), bloomCfg = bloomCfgOf(m),
-          statColsPolicy = statColsOf(m), parentTs = m.ts))
+      if (publishResolved(fs, dir, head + 1, uuid)(
+          casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
+            m.checks :+ ((name, sqlExpr)), m.dvs, m.blooms,
+            op = Some(s"add-check($name)"), bloomCfg = bloomCfgOf(m),
+            statColsPolicy = statColsOf(m), parent = Some(m),
+            commitUuid = Some(uuid))))
         return head + 1
       attempts += 1   // CAS lost: re-read head, re-validate its rows
       require(attempts < 1000,
@@ -484,6 +638,7 @@ object Versioned {
   /** Drop a table CHECK constraint by name (metadata-only commit). */
   def dropCheck(spark: SparkSession, dir: String, name: String): Int = {
     val fs = fileSystem(spark, dir)
+    val uuid = newCommitUuid()
     var attempts = 0
     while (true) {
       val head = latestVersion(spark, dir).getOrElse(
@@ -494,10 +649,12 @@ object Versioned {
       val schema = versionSchema(spark, dir, m).getOrElse(
         throw new IllegalArgumentException(
           s"version $head of $dir has no schema"))
-      if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
-          m.checks.filterNot(_._1 == name), m.dvs, m.blooms,
-          op = Some(s"drop-check($name)"), bloomCfg = bloomCfgOf(m),
-          statColsPolicy = statColsOf(m), parentTs = m.ts))
+      if (publishResolved(fs, dir, head + 1, uuid)(
+          casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
+            m.checks.filterNot(_._1 == name), m.dvs, m.blooms,
+            op = Some(s"drop-check($name)"), bloomCfg = bloomCfgOf(m),
+            statColsPolicy = statColsOf(m), parent = Some(m),
+            commitUuid = Some(uuid))))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -535,6 +692,84 @@ object Versioned {
       }
       .getOrElse((Nil, Nil))
 
+  /** Version `v`'s RECONSTRUCTED data-file lines (rel path + stats
+    * groups, exactly as a snapshot manifest would list them). The
+    * stable inspection surface now that a manifest FILE may be a
+    * delta record over its parent ([[manifestSnapshot]] for the full
+    * text) — fixtures and tools asserting "untouched lines carry
+    * verbatim" across commits consume this, not the raw file. */
+  def manifestDataLines(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    readManifest(fileSystem(spark, dir), dir, v).lines
+
+  /** Version `v`'s reconstructed manifest rendered as canonical
+    * snapshot text: every header the version carries, then its data
+    * lines — what a full-snapshot commit of the same state would have
+    * written (field order matches [[renderHeaders]]; fields a legacy
+    * manifest never recorded are simply absent). */
+  def manifestSnapshot(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    renderManifest(readManifest(fileSystem(spark, dir), dir, v))
+
+  private def renderManifest(m: Manifest): Seq[String] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    m.schema.map(s => s"$SchemaHeader${s.json}").toSeq ++
+      m.ts.map(t => s"$TsHeader$t").toSeq ++
+      m.op.map(o => s"$OpHeader$o").toSeq ++
+      m.commitUuid.map(u => s"$CommitUuidHeader$u").toSeq ++
+      m.txn.map { case (a, b) => s"$TxnHeader${enc(a)}\t$b" }.toSeq ++
+      (if (m.statColsPolicy.isEmpty) Nil
+       else Seq(m.statColsPolicy.map(enc)
+         .mkString(StatColsHeader, "\t", ""))) ++
+      m.checks.map { case (n, q) => s"$CheckHeader${enc(n)}\t${enc(q)}" } ++
+      m.dvs.map { case (b, d) => s"$DvHeader$b\t$d" } ++
+      m.blooms.map { case (b, c, s) => s"$BloomHeader$b\t$c\t$s" } ++
+      m.bloomCfg.map { case (c, n, f) => s"$BloomCfgHeader$c\t$n\t$f" } ++
+      m.lines
+  }
+
+  /** Rewrite version `v`'s DELTA manifest file as the full snapshot of
+    * the identical reconstructed state — [[expire]]'s chain-integrity
+    * step before it drops the manifests the chain depended on. On a
+    * local filesystem the swap is an atomic NIO move; elsewhere it is
+    * delete+rename under the table lock (an object-store deployment's
+    * plain put overwrite is atomic by itself). Content-identical by
+    * construction: every reader sees the same state before, during
+    * (old file), and after (new file). */
+  private def checkpointInPlace(fs: FileSystem, dir: String,
+      v: Int): Unit = {
+    val m = readManifest(fs, dir, v)
+    val target = manifestPath(dir, v)
+    val tmp = new Path(dir,
+      f"_manifest/.ckpt-v$v%05d-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(renderManifest(m)
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.getScheme == "file") {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.move(t,
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the tmp was written through ChecksumFileSystem; the NIO move
+      // bypasses it, so its crc sidecar must go explicitly (and the
+      // target must not keep a stale one)
+      val parent = t.getParent
+      if (parent != null) {
+        java.nio.file.Files.deleteIfExists(
+          parent.resolve("." + t.getFileName.toString + ".crc"))
+        java.nio.file.Files.deleteIfExists(
+          parent.resolve("." + target.getName + ".crc"))
+      }
+    } else {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"expire could not re-checkpoint $target in place")
+    }
+  }
+
   /** Declare (or re-declare) the table's file-skipping policy as a
     * METADATA-ONLY commit: from this version on, every commit —
     * append, replace, DML rewrite, SQL INSERT — measures per-file
@@ -554,6 +789,7 @@ object Versioned {
     require(statCols.isDefined || bloomCfg.isDefined,
       "setPolicy needs a stats or bloom declaration")
     val fs = fileSystem(spark, dir)
+    val uuid = newCommitUuid()
     var attempts = 0
     while (true) {
       val head = latestVersion(spark, dir).getOrElse(
@@ -576,10 +812,11 @@ object Versioned {
         require(n > 0, s"bloom expectedItems for '$c' must be positive: $n")
         require(f > 0 && f < 1, s"bloom fpp for '$c' must be in (0,1): $f")
       }
-      if (casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
-          m.checks, m.dvs, m.blooms, op = Some("set-policy"),
-          bloomCfg = newCfg, statColsPolicy = newStats,
-          parentTs = m.ts))
+      if (publishResolved(fs, dir, head + 1, uuid)(
+          casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
+            m.checks, m.dvs, m.blooms, op = Some("set-policy"),
+            bloomCfg = newCfg, statColsPolicy = newStats,
+            parent = Some(m), commitUuid = Some(uuid))))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -841,37 +1078,61 @@ object Versioned {
     }
   }
 
-  /** Compare-and-swap publish of `lines` as version `next`: true iff
-    * THIS writer created the version (see class doc for the substrate).
-    * The temp file is writer-unique so racing writers never collide on
-    * the staging name either.
+  /** Publish with COMMIT-AMBIGUITY resolution. An object store's
+    * conditional put can fail indeterminately: a timeout/5xx AFTER the
+    * store durably accepted the write. A naive caller retry would
+    * re-stage and re-append the same rows at v+1 — a silent duplicate.
+    * This wrapper (a) retries a throwing put boundedly (the
+    * precondition makes the retry idempotent: a late-landing first
+    * attempt turns the retry into a clean 412), and (b) after EVERY
+    * apparent loss reads the winning manifest's `#commituuid` and
+    * CLAIMS the version when self-authored. Returns true iff this
+    * commit owns `next`; rethrows the transport error only when the
+    * publish demonstrably never landed.
     */
-  private def casPublish(fs: FileSystem, dir: String, next: Int,
-      schema: StructType, lines: Seq[String],
-      txn: Option[(String, Long)] = None,
-      checks: Seq[(String, String)] = Nil,
-      dvs: Seq[(String, String)] = Nil,
-      blooms: Seq[(String, String, String)] = Nil,
-      op: Option[String] = None,
-      bloomCfg: Seq[(String, Long, Double)] = Nil,
-      statColsPolicy: Seq[String] = Nil,
-      parentTs: Option[Long] = None): Boolean = {
-    val target = manifestPath(dir, next)
-    val tmp = new Path(dir,
-      f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
-    fs.mkdirs(new Path(dir, "_manifest"))
+  private def publishResolved(fs: FileSystem, dir: String, next: Int,
+      uuid: String)(put: => Boolean): Boolean = {
+    var lastErr: Throwable = null
+    var attempts = 0
+    while (attempts < 5) {
+      val won =
+        try put
+        catch { case scala.util.control.NonFatal(e) =>
+          lastErr = e; false }
+      if (won) return true
+      if (fs.exists(manifestPath(dir, next)))
+        // headers-only read: self-authorship needs no reconstruction
+        return readRaw(fs, dir, next).m.commitUuid.contains(uuid)
+      // lost with NO manifest visible: impossible for a clean 412 on a
+      // strongly consistent store — only an indeterminate transport
+      // error leaves this state, so retry the put itself
+      if (lastErr == null) return false
+      attempts += 1
+    }
+    throw lastErr
+  }
+
+  private def newCommitUuid(): String =
+    java.util.UUID.randomUUID().toString
+
+  /** The header block every manifest file carries IN FULL, snapshot or
+    * delta — headers are O(policy), never O(table files). `dvs` and
+    * `blooms` here are the file's OWN entries (full set in a snapshot,
+    * adds only in a delta). */
+  private def renderHeaders(schema: StructType, ts: Long,
+      op: Option[String], txn: Option[(String, Long)],
+      statColsPolicy: Seq[String], checks: Seq[(String, String)],
+      dvs: Seq[(String, String)],
+      blooms: Seq[(String, String, String)],
+      bloomCfg: Seq[(String, Long, Double)],
+      commitUuid: Option[String]): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    // the commit instant, forced monotonic with the version chain:
-    // clock skew between cross-process writers must never let
-    // TIMESTAMP AS OF resolve to a version that is not the latest
-    // committed at-or-before t
-    val ts = math.max(System.currentTimeMillis(),
-      parentTs.getOrElse(Long.MinValue) + 1)
-    val headers = (s"$SchemaHeader${schema.json}" +:
+    (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
       // op rides as the line's tail verbatim; only line breaks could
       // corrupt the manifest, so they flatten to spaces
       (op.map(o => s"$OpHeader${o.replaceAll("[\\n\\r]", " ")}").toSeq ++
+      commitUuid.map(u => s"$CommitUuidHeader$u").toSeq ++
       txn.map { case (app, batch) =>
         s"$TxnHeader${enc(app)}\t$batch"
       }.toSeq))) ++
@@ -890,8 +1151,90 @@ object Versioned {
       bloomCfg.distinct.map { case (c, n, f) =>
         s"$BloomCfgHeader$c\t$n\t$f"
       }
+  }
+
+  /** Compare-and-swap publish of `lines` as version `next`: true iff
+    * THIS writer created the version (see class doc for the substrate).
+    * The temp file is writer-unique so racing writers never collide on
+    * the staging name either.
+    *
+    * `parent` is the reconstructed state of version `next - 1` (every
+    * caller holds it — it read the head to build the new state). When
+    * present, the publish writes a DELTA file — full headers plus the
+    * add/remove difference against the parent — unless the chain hit
+    * its [[manifestCheckpointEvery]] cap or the delta would not be
+    * smaller than the snapshot (a replace/restore changes most lines;
+    * its "delta" IS the table). This is what bounds commit cost at
+    * O(changed files) bytes instead of O(table files): at a million
+    * retained files a 1-row append writes one header block and one
+    * line, not a ~100 MB relisting.
+    */
+  private def casPublish(fs: FileSystem, dir: String, next: Int,
+      schema: StructType, lines: Seq[String],
+      txn: Option[(String, Long)] = None,
+      checks: Seq[(String, String)] = Nil,
+      dvs: Seq[(String, String)] = Nil,
+      blooms: Seq[(String, String, String)] = Nil,
+      op: Option[String] = None,
+      bloomCfg: Seq[(String, Long, Double)] = Nil,
+      statColsPolicy: Seq[String] = Nil,
+      parent: Option[Manifest] = None,
+      commitUuid: Option[String] = None): Boolean = {
+    val target = manifestPath(dir, next)
+    val tmp = new Path(dir,
+      f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
+    fs.mkdirs(new Path(dir, "_manifest"))
+    // the commit instant, forced monotonic with the version chain:
+    // clock skew between cross-process writers must never let
+    // TIMESTAMP AS OF resolve to a version that is not the latest
+    // committed at-or-before t
+    val ts = math.max(System.currentTimeMillis(),
+      parent.flatMap(_.ts).getOrElse(Long.MinValue) + 1)
+    val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
+      checks, Nil, Nil, bloomCfg, commitUuid)
+    // delta vs snapshot: diff against the parent state by exact line
+    // (a stats rewrite of a carried rel encodes as rmfile + fresh add)
+    val body: Seq[String] = parent match {
+      case Some(p) if manifestCheckpointEvery > 1 &&
+          p.chainDepth + 1 < manifestCheckpointEvery =>
+        val pByRel = p.lines.map(l => parseLine(l)._1 -> l).toMap
+        val nByRel = lines.map(l => parseLine(l)._1 -> l).toMap
+        val addLines = lines.filter(l =>
+          !pByRel.get(parseLine(l)._1).contains(l))
+        val rmRels = p.lines.filter(l =>
+          !nByRel.get(parseLine(l)._1).contains(l)).map(parseLine(_)._1)
+        val dvSet = dvs.toSet
+        val pDvSet = p.dvs.toSet
+        val dvAdds = dvs.distinct.filterNot(pDvSet)
+        val dvRms = p.dvs.distinct.filterNot(dvSet)
+        val bloomSet = blooms.toSet
+        val pBloomSet = p.blooms.toSet
+        val bloomAdds = blooms.distinct.filterNot(pBloomSet)
+        val bloomRms = p.blooms.distinct.filterNot(bloomSet)
+        val deltaN = addLines.size + rmRels.size + dvAdds.size +
+          dvRms.size + bloomAdds.size + bloomRms.size
+        val fullN = lines.size + dvs.size + blooms.size
+        if (deltaN * 2 > fullN && fullN > 0) Nil // snapshot is smaller
+        else
+          Seq(s"$BaseHeader${next - 1}\t${p.chainDepth + 1}") ++
+            rmRels.map(r => s"$RmFileHeader$r") ++
+            dvRms.map { case (b, d) => s"$RmDvHeader$b\t$d" } ++
+            bloomRms.map { case (b, c, sr) => s"$RmBloomHeader$b\t$c\t$sr" } ++
+            dvAdds.map { case (b, d) => s"$DvHeader$b\t$d" } ++
+            bloomAdds.map { case (b, c, sr) => s"$BloomHeader$b\t$c\t$sr" } ++
+            addLines
+      case _ => Nil
+    }
+    // the #base line rides in every delta body, so body.nonEmpty IS
+    // "this publish is a delta"; otherwise write the full snapshot
+    val text =
+      if (body.nonEmpty) headers ++ body
+      else headers ++
+        dvs.distinct.map { case (b, d) => s"$DvHeader$b\t$d" } ++
+        blooms.distinct.map { case (b, c, sr) => s"$BloomHeader$b\t$c\t$sr" } ++
+        lines
     val out = fs.create(tmp, false)
-    try out.write((headers ++ lines)
+    try out.write(text
       .mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -1116,6 +1459,7 @@ object Versioned {
     var (measuredStats, measuredCfg) = measurable(policyOf(head0))
     var newFiles = stage(spark, dir, df, measuredStats)
     var newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg)
+    val uuid = newCommitUuid()
     var attempts = 0
     // re-validated inside the retry loop only when the constraint set
     // actually changed under us (a racing addCheck): the common retry —
@@ -1179,16 +1523,17 @@ object Versioned {
         enforceChecks(spark, dir, newFiles, checks, schema)
         validatedFor = Some(checks)
       }
-      if (casPublish(fs, dir, next, schema, carried ++ newFiles, txn,
-          checks, carriedDvs, carriedBlooms ++ newBlooms,
-          op = Some(txn.map(_ => "stream-append")
-            .getOrElse(if (replace) "replace" else "append")),
-          // published policy tracks the PUBLISHED schema: a replace
-          // that drops a tracked column drops it from the policy too
-          bloomCfg = polCfg.filter(c =>
-            schema.fieldNames.contains(c._1)),
-          statColsPolicy = polStats.filter(schema.fieldNames.contains),
-          parentTs = headManifest.flatMap(_.ts)))
+      if (publishResolved(fs, dir, next, uuid)(
+          casPublish(fs, dir, next, schema, carried ++ newFiles, txn,
+            checks, carriedDvs, carriedBlooms ++ newBlooms,
+            op = Some(txn.map(_ => "stream-append")
+              .getOrElse(if (replace) "replace" else "append")),
+            // published policy tracks the PUBLISHED schema: a replace
+            // that drops a tracked column drops it from the policy too
+            bloomCfg = polCfg.filter(c =>
+              schema.fieldNames.contains(c._1)),
+            statColsPolicy = polStats.filter(schema.fieldNames.contains),
+            parent = headManifest, commitUuid = Some(uuid))))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -2033,12 +2378,15 @@ object Versioned {
           if (!compatible) staged = None // scanned files moved: re-derive
           else {
             val schema = versionSchema(spark, dir, hm).getOrElse(st.schema)
-            if (casPublish(fs, dir, head + 1, schema,
-                hm.lines ++ st.staged, checks = hm.checks,
-                dvs = hm.dvs ++ st.pairs,
-                blooms = hm.blooms ++ st.stagedBlooms,
-                op = Some("update-mor"), bloomCfg = bloomCfgOf(hm),
-                statColsPolicy = statColsOf(hm), parentTs = hm.ts))
+            val uuid = newCommitUuid()
+            if (publishResolved(fs, dir, head + 1, uuid)(
+                casPublish(fs, dir, head + 1, schema,
+                  hm.lines ++ st.staged, checks = hm.checks,
+                  dvs = hm.dvs ++ st.pairs,
+                  blooms = hm.blooms ++ st.stagedBlooms,
+                  op = Some("update-mor"), bloomCfg = bloomCfgOf(hm),
+                  statColsPolicy = statColsOf(hm), parent = Some(hm),
+                  commitUuid = Some(uuid))))
               return head + 1
           }
       }
@@ -2108,11 +2456,14 @@ object Versioned {
     val staged = stage(spark, dir, updated, inherited)
     val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
     enforceChecks(spark, dir, staged, m.checks, schema)
-    val published = casPublish(fs, dir, base + 1, schema,
-      m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs,
-      blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"),
-      bloomCfg = bloomCfgOf(m),
-      statColsPolicy = statColsOf(m), parentTs = m.ts)
+    val attemptUuid = newCommitUuid()
+    val published = publishResolved(fs, dir, base + 1, attemptUuid)(
+      casPublish(fs, dir, base + 1, schema,
+        m.lines ++ staged, checks = m.checks, dvs = m.dvs ++ pairs,
+        blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"),
+        bloomCfg = bloomCfgOf(m),
+        statColsPolicy = statColsOf(m), parent = Some(m),
+        commitUuid = Some(attemptUuid)))
     if (published) Right(base + 1)
     else Left(MorStaged(
       scanned = affected,
@@ -2725,6 +3076,7 @@ object Versioned {
     // a pair that landed after the base would resurrect deleted rows
     val baseDvs: Set[(String, String)] =
       baseM.map(_.dvs.toSet).getOrElse(Set.empty)
+    val uuid = newCommitUuid()
     var attempts = 0
     var validatedFor: Option[Seq[(String, String)]] = None
     while (true) {
@@ -2844,11 +3196,12 @@ object Versioned {
         .getOrElse(headM.map(bloomCfgOf).getOrElse(Nil))
       val statPol = statColsOverride
         .getOrElse(headM.map(statColsOf).getOrElse(Nil))
-      if (casPublish(fs, dir, next, schema, newLines,
-          checks = checks, dvs = newDvs, blooms = newBlooms,
-          op = Some(op), bloomCfg = cfg,
-          statColsPolicy = statPol.filter(schema.fieldNames.contains),
-          parentTs = headM.flatMap(_.ts)))
+      if (publishResolved(fs, dir, next, uuid)(
+          casPublish(fs, dir, next, schema, newLines,
+            checks = checks, dvs = newDvs, blooms = newBlooms,
+            op = Some(op), bloomCfg = cfg,
+            statColsPolicy = statPol.filter(schema.fieldNames.contains),
+            parent = headM, commitUuid = Some(uuid))))
         return next
       attempts += 1
       require(attempts < 1000,
@@ -3026,6 +3379,22 @@ object Versioned {
         val (nDropped, droppedRefs, live) = lockFor(dir).synchronized {
           val cut = math.min(latest - keepLast + 1,
             minPinnedVersion(fs, dir).getOrElse(Int.MaxValue))
+          // DELTA-CHAIN INTEGRITY: every kept version must stay
+          // reconstructible after the drop. If the oldest kept
+          // version's manifest is a delta record, its chain reaches
+          // below the cut — so it is first REWRITTEN IN PLACE as the
+          // full snapshot of the identical state (the checkpoint the
+          // chain would have gotten anyway), and only then do the
+          // older manifests drop. Crash-ordered like the rest of
+          // expire: a crash between rewrite and drop leaves extra old
+          // manifests (harmless, re-collectable), never a kept
+          // version whose chain dangles.
+          (math.min(cut, latest) to latest)
+            .find(v => fs.exists(manifestPath(dir, v)))
+            .foreach { oldestKept =>
+              if (readRaw(fs, dir, oldestKept).base.isDefined)
+                checkpointInPlace(fs, dir, oldestKept)
+            }
           val dropped = (0 until cut).filter(v =>
             fs.exists(manifestPath(dir, v)))
           // referenced files = data lines AND sidecars (deletion
@@ -3434,7 +3803,8 @@ object Versioned {
     // neighbors (a skewed legacy mtime can straddle modern instants),
     // so any legacy manifest consulted demotes to the exact walk
     def instant(v: Int): (Long, Boolean) =
-      readManifest(fs, dir, v).ts match {
+      // header-only read: #ts rides the top file of a delta chain
+      readRaw(fs, dir, v).m.ts match {
         case Some(t) => (t, true)
         case None => (mtimeOf.getOrElse(v, Long.MaxValue), false)
       }
@@ -3477,10 +3847,20 @@ object Versioned {
     val fs = fileSystem(spark, dir)
     val latest = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
-    val rows = (0 to latest).reverseIterator
+    // ascending incremental reconstruction (one raw read per retained
+    // version), reversed at the end for the newest-first contract
+    var prevState: Option[(Int, Manifest)] = None
+    val rows = (0 to latest).iterator
       .filter(v => fs.exists(manifestPath(dir, v)))
       .map { v =>
-        val m = readManifest(fs, dir, v)
+        val node = readRaw(fs, dir, v)
+        val m = node.base match {
+          case Some((pv, depth)) if prevState.exists(_._1 == pv) =>
+            applyDelta(prevState.get._2, node).copy(chainDepth = depth)
+          case Some(_) => readManifest(fs, dir, v)
+          case None => node.m
+        }
+        prevState = Some((v, m))
         val counts = m.lines.map(l =>
           parseStatsFull(l)._2.flatMap(_.rows).headOption)
         // base row count only (DV subtraction needs sidecar I/O;
@@ -3496,7 +3876,7 @@ object Versioned {
             fs.getFileStatus(manifestPath(dir, v)).getModificationTime),
           m.lines.size, m.dvs.size, m.checks.size,
           m.txn.map(_._1), m.txn.map(_._2), rowCount)
-      }.toSeq
+      }.toSeq.reverse
     rows.toDF("version", "operation", "ts_millis", "n_files", "n_dvs",
       "n_checks", "app_id", "batch_id", "row_count")
   }
@@ -3545,8 +3925,25 @@ object Versioned {
         s"version $v of $dir not found (expired?): a change feed needs " +
           s"every manifest in [$fromVersion, $toVersion] — pin the range " +
           "while feeding, or feed from a newer base"))
-    val manifests = (fromVersion to toVersion)
-      .map(v => v -> readManifest(fs, dir, v)).toMap
+    // incremental reconstruction: a delta whose base is the version
+    // just folded applies in place — one raw read per version in the
+    // window, not one chain walk per version
+    val manifests: Map[Int, Manifest] = {
+      val acc = scala.collection.mutable.Map.empty[Int, Manifest]
+      var prev: Option[(Int, Manifest)] = None
+      (fromVersion to toVersion).foreach { v =>
+        val node = readRaw(fs, dir, v)
+        val m = node.base match {
+          case Some((pv, depth)) if prev.exists(_._1 == pv) =>
+            applyDelta(prev.get._2, node).copy(chainDepth = depth)
+          case Some(_) => readManifest(fs, dir, v)
+          case None => node.m
+        }
+        acc(v) = m
+        prev = Some((v, m))
+      }
+      acc.toMap
+    }
     val tableSchema = versionSchema(spark, dir, manifests(toVersion))
       .getOrElse(throw new IllegalArgumentException(
         s"version $toVersion of $dir has no recorded schema and no " +

@@ -641,14 +641,9 @@ object DeltaQueries {
         val (mn, mx) = (mm.getLong(0), mm.getLong(1))
         val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
         val pred = col("o_orderkey").between(lo, hi)
-        def lines(v: Int): Seq[String] = {
-          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
-            f"v$v%05d.txt")
-          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-          try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
-            .toList
-          finally src.close()
-        }
+        def lines(v: Int): Seq[String] =
+          // reconstructed state: a manifest FILE may be a delta record
+          Versioned.manifestDataLines(s, tmp.toString, v)
         val before = lines(0)
         val pruned = Versioned.pruneCandidates(
           Versioned.resolvedPredicate(s,
@@ -745,14 +740,9 @@ object DeltaQueries {
         val (mn, mx) = (mm.getLong(0), mm.getLong(1))
         val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
         val pred = col("o_orderkey").between(lo, hi)
-        def lines(v: Int): Seq[String] = {
-          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
-            f"v$v%05d.txt")
-          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-          try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
-            .toList
-          finally src.close()
-        }
+        def lines(v: Int): Seq[String] =
+          // reconstructed state: a manifest FILE may be a delta record
+          Versioned.manifestDataLines(s, tmp.toString, v)
         val before = lines(0)
         val pruned = Versioned.pruneCandidates(
           Versioned.resolvedPredicate(s,
@@ -812,14 +802,10 @@ object DeltaQueries {
         val (mn, mx) = (mm.getLong(0), mm.getLong(1))
         val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
         val pred = col("o_orderkey").between(lo, hi)
-        def raw(v: Int): Seq[String] = {
-          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
-            f"v$v%05d.txt")
-          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-          try src.getLines().filter(_.nonEmpty).toList
-          finally src.close()
-        }
-        def dataLines(v: Int) = raw(v).filterNot(_.startsWith("#"))
+        def raw(v: Int): Seq[String] =
+          Versioned.manifestSnapshot(s, tmp.toString, v)
+        def dataLines(v: Int) =
+          Versioned.manifestDataLines(s, tmp.toString, v)
         val before = dataLines(0)
         val pruned = Versioned.pruneCandidates(
           Versioned.resolvedPredicate(s,
@@ -874,14 +860,10 @@ object DeltaQueries {
       val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
       Versioned.commitWithStats(s, tmp.toString,
         orders.repartitionByRange(4, col("o_orderkey")), "o_orderkey")
-      def raw(v: Int): Seq[String] = {
-        val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
-          f"v$v%05d.txt")
-        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-        try src.getLines().filter(_.nonEmpty).toList
-        finally src.close()
-      }
-      def dataLines(v: Int) = raw(v).filterNot(_.startsWith("#"))
+      def raw(v: Int): Seq[String] =
+        Versioned.manifestSnapshot(s, tmp.toString, v)
+      def dataLines(v: Int) =
+        Versioned.manifestDataLines(s, tmp.toString, v)
       val before = dataLines(0)
       val v = Versioned.updateWhereMor(s, tmp.toString,
         col("o_orderkey") % 5 === 0,
@@ -943,14 +925,9 @@ object DeltaQueries {
           col("o_orderkey") >= cuts(2))
         slices.foreach(p => Versioned.commitWithStats(s, tmp.toString,
           orders.filter(p), "o_orderkey"))                   // v0..v3
-        def lines(v: Int): Seq[String] = {
-          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
-            f"v$v%05d.txt")
-          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-          try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
-            .toList
-          finally src.close()
-        }
+        def lines(v: Int): Seq[String] =
+          // reconstructed state: a manifest FILE may be a delta record
+          Versioned.manifestDataLines(s, tmp.toString, v)
         val before = lines(3)
         val v = Versioned.deleteWhere(s, tmp.toString,
           col("o_orderkey") < cuts(0))
@@ -1019,14 +996,9 @@ object DeltaQueries {
             docs.filter(pmod(col("doc_id"), lit(4)) === f).drop("doc_id"),
             statCols = Nil, bloomCols = Seq("doc_key"),
             bloomExpectedItems = perFile, bloomFpp = 1e-6)    // v0..v3
-        def lines(v: Int): Seq[String] = {
-          val p = java.nio.file.Paths.get(tmp.toString, "_manifest",
-            f"v$v%05d.txt")
-          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-          try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
-            .toList
-          finally src.close()
-        }
+        def lines(v: Int): Seq[String] =
+          // reconstructed state: a manifest FILE may be a delta record
+          Versioned.manifestDataLines(s, tmp.toString, v)
         val before = lines(3)
         val pred = col("doc_key") === target
         val planned = Versioned.plannedFilesEq(s, tmp.toString, pred)
@@ -1138,12 +1110,7 @@ object DeltaQueries {
           .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
       def lines(table: String): Seq[String] = {
         val v = Versioned.latestVersion(ext, s"$tmp/db/$table").get
-        val p = java.nio.file.Paths.get(tmp.toString, "db", table,
-          "_manifest", f"v$v%05d.txt")
-        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-        try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
-          .toList
-        finally src.close()
+        Versioned.manifestDataLines(ext, s"$tmp/db/$table", v)
       }
       val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
       if (!mm.isNullAt(0)) {

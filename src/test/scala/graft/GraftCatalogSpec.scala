@@ -698,22 +698,10 @@ class GraftCatalogSpec extends SparkSuite {
         "one SQL INSERT must not kill metadata-only COUNT(*)")
       // a point DELETE still prunes: only the single file whose bloom
       // admits the key rewrites; every other line carries verbatim
-      val linesBefore = {
-        val src = scala.io.Source.fromFile(
-          java.nio.file.Paths.get(dir, "_manifest", "v00001.txt").toFile,
-          "UTF-8")
-        try src.getLines().filterNot(_.startsWith("#")).toList
-        finally src.close()
-      }
+      val linesBefore = Versioned.manifestDataLines(s, dir, 1)
       assert(linesBefore.size >= 5, s"fixture: 4 ranged + inserted files")
       s.sql("DELETE FROM graft.db.t WHERE s = 'row7'")
-      val linesAfter = {
-        val src = scala.io.Source.fromFile(
-          java.nio.file.Paths.get(dir, "_manifest", "v00002.txt").toFile,
-          "UTF-8")
-        try src.getLines().filterNot(_.startsWith("#")).toList
-        finally src.close()
-      }
+      val linesAfter = Versioned.manifestDataLines(s, dir, 2)
       assert(linesAfter.count(l => !linesBefore.contains(l)) == 1,
         "a bloom-pruned point delete must rewrite exactly one file")
       assert(Versioned.rowCountFromMetadata(s, dir) == Some(41L))

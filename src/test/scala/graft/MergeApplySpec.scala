@@ -20,13 +20,8 @@ import graft.lake.Versioned._
   */
 class MergeApplySpec extends SparkSuite {
 
-  private def manifestLines(dir: String, v: Int): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
-    val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-    try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
-      .toList
-    finally src.close()
-  }
+  private def manifestLines(dir: String, v: Int): Seq[String] =
+    Versioned.manifestDataLines(spark, dir, v)
 
   test("full clause algebra: conditional update, matched delete, " +
       "conditional insert, not-matched-by-source update and delete") {

@@ -35,12 +35,9 @@ trait SparkSuite extends AnyFunSuite {
     * (SQL vs Scala API) can be compared line-for-line. Shared here
     * because every new manifest header must update this normalizer
     * exactly once, not once per suite. */
-  def normalizedManifest(dir: String, v: Int): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
-    val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-    try src.getLines().toList.map(
+  def normalizedManifest(dir: String, v: Int): Seq[String] =
+    graft.lake.Versioned.manifestSnapshot(spark, dir, v).map(
       _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
-        .replaceAll("^#ts\t\\d+$", "#ts\t<instant>")).sorted
-    finally src.close()
-  }
+        .replaceAll("^#ts\t\\d+$", "#ts\t<instant>")
+        .replaceAll("^#commituuid\t.*$", "#commituuid\t<uuid>")).sorted
 }

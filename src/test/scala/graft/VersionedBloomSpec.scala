@@ -22,11 +22,8 @@ class VersionedBloomSpec extends SparkSuite {
 
   private val FPP = 1e-6
 
-  private def rawLines(dir: String, v: Int): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
-    scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-  }
+  private def rawLines(dir: String, v: Int): Seq[String] =
+    Versioned.manifestSnapshot(spark, dir, v)
   private def dataLines(dir: String, v: Int): Seq[String] =
     rawLines(dir, v).filterNot(_.startsWith("#"))
   private def bloomPtrs(dir: String, v: Int): Seq[String] =

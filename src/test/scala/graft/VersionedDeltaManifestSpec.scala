@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.lake.Versioned
+
+/** The manifest LOG shape: commits publish O(delta) records with a
+  * full snapshot every checkpoint interval ([[Versioned]]'s `#base` /
+  * `#rmfile` encoding — Delta Lake's JSON-log + checkpoint shape on
+  * this engine's one-file-per-version substrate), and commit
+  * ambiguity on stores whose conditional put can fail indeterminately
+  * resolves by `#commituuid` self-authorship instead of duplicating
+  * the append. Every test here reads HISTORICAL versions exactly —
+  * the reconstruction, not the raw file, is the contract.
+  */
+class VersionedDeltaManifestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rawFile(dir: String, v: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
+    val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toList
+    finally src.close()
+  }
+  private def isDelta(dir: String, v: Int): Boolean =
+    rawFile(dir, v).exists(_.startsWith("#base\t"))
+
+  test("a long append chain writes delta records with a snapshot " +
+      "every checkpoint interval, and every historical version reads " +
+      "exactly across the boundaries") {
+    val dir = tmpDir() + "/chain"
+    for (i <- 0 until 25)
+      Versioned.commit(spark, dir, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    // cadence: v0 snapshot; depths 1..9 are deltas; the 10th link
+    // checkpoints (default SPARK_GRAFT_MANIFEST_CHECKPOINT = 10)
+    assert(!isDelta(dir, 0), "v0 must be a full snapshot")
+    assert(!isDelta(dir, 10) && !isDelta(dir, 20),
+      "the checkpoint cadence must land full snapshots")
+    assert((1 to 9).forall(isDelta(dir, _)) &&
+      (11 to 19).forall(isDelta(dir, _)),
+      "intermediate commits must publish delta records")
+    // write amplification: a 1-file append's manifest carries ONE
+    // data line however many files the table holds
+    assert(rawFile(dir, 19).count(!_.startsWith("#")) == 1,
+      "a delta append must list only its own files, not the table")
+    // exact reconstruction at every version, including both boundaries
+    for (v <- 0 to 24)
+      assert(Versioned.read(spark, dir, Some(v)).count() == v + 1,
+        s"version $v reconstructed the wrong state")
+    assert(Versioned.manifestDataLines(spark, dir, 24).size == 25)
+    // metadata count stays all-or-nothing through the chain
+    assert(Versioned.rowCountFromMetadata(spark, dir).isEmpty ||
+      Versioned.rowCountFromMetadata(spark, dir).contains(25L))
+  }
+
+  test("row-level DELETE publishes rmfile + fresh adds as a delta; " +
+      "untouched lines carry verbatim through reconstruction") {
+    val dir = tmpDir() + "/dml"
+    val df = (0L until 40L).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+    Versioned.commitWithStats(spark, dir, df, "id")
+    val before = Versioned.manifestDataLines(spark, dir, 0)
+    assert(before.size == 4)
+    val v = Versioned.deleteWhere(spark, dir, col("id") < 10L)
+    assert(isDelta(dir, v), "a pruned delete must publish a delta")
+    val raw = rawFile(dir, v)
+    assert(raw.count(_.startsWith("#rmfile\t")) == 1,
+      "exactly the one matching file is removed")
+    val after = Versioned.manifestDataLines(spark, dir, v)
+    assert(before.toSet.intersect(after.toSet).size == 3,
+      "untouched lines must carry verbatim through the delta")
+    assert(Versioned.read(spark, dir).count() == 30)
+    assert(Versioned.read(spark, dir, Some(0)).count() == 40,
+      "time travel must still see the pre-delete state")
+  }
+
+  test("metadata-only commits (set-policy, add-check) are header-only " +
+      "deltas and reconstruct the full file listing") {
+    val dir = tmpDir() + "/meta"
+    Versioned.commitWithStats(spark, dir,
+      (0L until 20L).map(i => (i, s"k$i")).toDF("id", "k")
+        .repartitionByRange(4, col("id")), "id")
+    val v1 = Versioned.setPolicy(spark, dir,
+      statCols = Some(Seq("id")),
+      bloomCfg = Some(Seq(("k", 1000L, 0.01))))
+    val v2 = Versioned.addCheck(spark, dir, "id_ok", "id >= 0")
+    assert(isDelta(dir, v1) && isDelta(dir, v2))
+    assert(rawFile(dir, v2).count(!_.startsWith("#")) == 0,
+      "a metadata commit's delta carries no data lines")
+    assert(Versioned.manifestDataLines(spark, dir, v2).size == 4,
+      "reconstruction must recover the full listing")
+    assert(Versioned.checks(spark, dir).map(_._1) == Seq("id_ok"))
+    assert(Versioned.statPolicy(spark, dir) == Seq("id"))
+    assert(Versioned.bloomPolicy(spark, dir) == Seq(("k", 1000L, 0.01)))
+  }
+
+  test("expire across a delta chain re-checkpoints the oldest kept " +
+      "version in place; retention stays exact and every kept version " +
+      "reads") {
+    val dir = tmpDir() + "/expire"
+    for (i <- 0 until 8)
+      Versioned.commit(spark, dir, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    assert(isDelta(dir, 5))
+    val (dropped, _) = Versioned.expire(spark, dir, keepLast = 3,
+      orphanGraceMs = 0L)
+    assert(dropped == 5, "expire must drop exactly the asked prefix")
+    assert(!isDelta(dir, 5),
+      "the oldest kept version must be re-checkpointed as a snapshot")
+    for (v <- 5 to 7)
+      assert(Versioned.read(spark, dir, Some(v)).count() == v + 1,
+        s"kept version $v must reconstruct after the drop")
+    // no tmp or crc litter from the in-place checkpoint
+    val names = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "_manifest"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    assert(!names.exists(n => n.endsWith(".tmp") || n.endsWith(".crc")),
+      s"in-place checkpoint littered: ${names.mkString(", ")}")
+  }
+
+  test("change feed and restore stay exact across checkpoint " +
+      "boundaries") {
+    val dir = tmpDir() + "/feed"
+    for (i <- 0 until 12)
+      Versioned.commit(spark, dir, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    val feed = Versioned.changesBetween(spark, dir, 0, 11, Seq("id"))
+    assert(feed.count() == 11, "one insert row per append commit")
+    assert(feed.filter(col("_change_type") =!= "insert").count() == 0)
+    val v = Versioned.restore(spark, dir, 4)
+    assert(Versioned.read(spark, dir, Some(v)).count() == 5)
+    assert(Versioned.read(spark, dir, Some(11)).count() == 12,
+      "the rolled-back versions stay time-travelable")
+  }
+
+  test("an indeterminate conditional put (durably accepted, then a " +
+      "transport error) does NOT duplicate the append: the retry " +
+      "claims the self-authored commit by #commituuid") {
+    val s = spark
+    val dir = tmpDir() + "/ambig"
+    val claims = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val throws = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the double lands the write durably, THEN reports a timeout —
+    // the exact failure the race battery can never produce
+    val flaky = new Versioned.ConditionalPut {
+      override def putIfAbsent(key: String,
+          bytes: Array[Byte]): Boolean = {
+        val won = claims.putIfAbsent(key, true) == null
+        if (won) {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(
+              new org.apache.hadoop.fs.Path(key).toUri.getPath),
+            bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+          if (key.endsWith("v00001.txt") && throws.incrementAndGet() == 1)
+            throw new java.io.IOException(
+              "simulated timeout AFTER the store accepted the write")
+        }
+        won
+      }
+    }
+    Versioned.registerCasStore(dir,
+      new Versioned.ConditionalPutCasStore(flaky))
+    try {
+      Versioned.commit(s, dir, Seq(0L).toDF("x"))            // v0 clean
+      val v = Versioned.commit(s, dir, Seq(1L).toDF("x"))    // v1 ambiguous
+      assert(v == 1, "the ambiguous commit must claim its own version")
+      assert(Versioned.latestVersion(s, dir).contains(1),
+        "a naive retry would have re-appended at v2")
+      assert(Versioned.read(s, dir).as[Long].collect().sorted
+        .toSeq == Seq(0L, 1L), "the rows must land exactly once")
+      // a FOREIGN winner is still a normal lost race: the next commit
+      // proceeds at the next version
+      val v2 = Versioned.commit(s, dir, Seq(2L).toDF("x"))
+      assert(v2 == 2 && Versioned.read(s, dir).count() == 3)
+    } finally Versioned.unregisterCasStore(dir)
+  }
+
+  test("every modern manifest carries #commituuid; the ambiguity " +
+      "probe never confuses two writers") {
+    val dir = tmpDir() + "/uuid"
+    Versioned.commit(spark, dir, Seq(1L).toDF("x"))
+    Versioned.commit(spark, dir, Seq(2L).toDF("x"))
+    val uuids = (0 to 1).map(v => rawFile(dir, v)
+      .find(_.startsWith("#commituuid\t")).map(_.split('\t')(1)))
+    assert(uuids.forall(_.isDefined))
+    assert(uuids.distinct.size == 2, "commit uuids must be per-commit")
+  }
+}

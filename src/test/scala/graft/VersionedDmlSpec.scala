@@ -18,11 +18,8 @@ import graft.lake.Versioned.{CheckViolationException, CommitConflictException}
 class VersionedDmlSpec extends SparkSuite {
   import spark.implicits._
 
-  private def manifestLines(dir: String, v: Int): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
-    scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
-  }
+  private def manifestLines(dir: String, v: Int): Seq[String] =
+    Versioned.manifestDataLines(spark, dir, v)
 
   /** 40 rows in 4 range-clustered files: ids [0,10), [10,20), … with
     * per-file id stats recorded — the fixture every pruning test uses. */

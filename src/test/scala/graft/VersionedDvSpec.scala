@@ -21,11 +21,8 @@ import graft.lake.Versioned.{CheckViolationException, CommitConflictException}
 class VersionedDvSpec extends SparkSuite {
   import spark.implicits._
 
-  private def rawManifest(dir: String, v: Int): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir, "_manifest", f"v$v%05d.txt")
-    scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-  }
+  private def rawManifest(dir: String, v: Int): Seq[String] =
+    Versioned.manifestSnapshot(spark, dir, v)
   private def dataLines(dir: String, v: Int): Seq[String] =
     rawManifest(dir, v).filterNot(_.startsWith("#"))
   test("a metadata-only commit (addCheck/dropCheck) carries the " +

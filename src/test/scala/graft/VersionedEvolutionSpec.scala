@@ -65,6 +65,60 @@ class VersionedEvolutionSpec extends SparkSuite {
       .simpleString == "int")
   }
 
+  test("append WIDENING a column's type (int -> long, float -> double) " +
+      "is append-compatible: the table schema widens, old files read " +
+      "through the vectorized upcast, every version under its own " +
+      "schema") {
+    val dir = tmpDir() + "/evolve-widen"
+    Versioned.commit(spark, dir,
+      Seq((1, 1.5f), (2, 2.5f)).toDF("n", "f"))      // v0: (int, float)
+    val v1 = Versioned.commit(spark, dir,
+      Seq((3L, 3.5d), (4L, 4.5d)).toDF("n", "f"))    // v1: (long, double)
+    val head = Versioned.read(spark, dir, Some(v1))
+    assert(head.schema("n").dataType.simpleString == "bigint" &&
+      head.schema("f").dataType.simpleString == "double",
+      s"widened schema expected, got ${head.schema.simpleString}")
+    assert(head.as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5d), (2L, 2.5d), (3L, 3.5d), (4L, 4.5d)),
+      "old int/float files must upcast losslessly at read")
+    // the pre-widening version still renders under ITS OWN types
+    val v0 = Versioned.read(spark, dir, Some(0))
+    assert(v0.schema("n").dataType.simpleString == "int")
+    // a NARROWER late writer (old pipeline code) stays compatible too:
+    // its files upcast, the table type stays wide
+    val v2 = Versioned.commit(spark, dir,
+      Seq((5, 5.5f)).toDF("n", "f"))
+    assert(Versioned.read(spark, dir, Some(v2)).schema("n").dataType
+      .simpleString == "bigint")
+    assert(Versioned.read(spark, dir, Some(v2)).count() == 5)
+    // incompatible changes still refuse: long -> string is not widening
+    intercept[CommitConflictException] {
+      Versioned.commit(spark, dir, Seq(("x", 1.0d)).toDF("n", "f"))
+    }
+  }
+
+  test("stat pruning and point-lookup blooms survive a type widening " +
+      "(stats are recorded as longs; blooms hash integrals as longs " +
+      "on both build and probe)") {
+    val dir = tmpDir() + "/evolve-widen-idx"
+    Versioned.commitWithIndex(spark, dir,
+      (0 until 40).map(i => (i, s"k$i")).toDF("id", "k")
+        .repartitionByRange(4, col("id")),
+      statCols = Seq("id"), bloomCols = Seq("id"),
+      bloomExpectedItems = 1000L, bloomFpp = 0.01)        // v0: int id
+    Versioned.commitWithStats(spark, dir,
+      Seq((100L, "k100")).toDF("id", "k"), "id")          // v1: long id
+    assert(Versioned.read(spark, dir).schema("id").dataType
+      .simpleString == "bigint")
+    // the pre-widening files' blooms still answer the (now long) probe
+    assert(Versioned.plannedFilesEq(spark, dir,
+      col("id") === 7L).size == 1,
+      "a widened point lookup must still prune to one file")
+    assert(Versioned.readEq(spark, dir, col("id") === 7L).count() == 1)
+    assert(Versioned.readPruned(spark, dir, "id", 5L, 8L).count() == 4)
+    assert(Versioned.rowCountFromMetadata(spark, dir) == Some(41L))
+  }
+
   test("replace resets schema authority; compactCommit preserves the " +
       "evolved schema by materializing it") {
     val dir = tmpDir() + "/evolve-compact"
