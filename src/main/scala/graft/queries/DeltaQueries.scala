@@ -1408,6 +1408,74 @@ object DeltaQueries {
       |)
       |ORDER BY o_orderkey, o_totalprice""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  // Streaming SOURCE over the versioned lake (readStream.format(
+  // "graft-changes")): offsets are committed version numbers, each
+  // micro-batch plans changesBetween over exactly the versions it
+  // covers — O(delta) manifest reads and O(changed data) scan per
+  // batch, never O(table). The fixture commits two append versions
+  // and a row-level delete, then streams the whole feed from
+  // startingVersion 0 (v0's content as the snapshot batch, the delete
+  // as feed rows); the oracle recomputes the feed from the raw orders
+  // arithmetic. Restart-exactly-once and the "latest" anchor are
+  // pinned in GraftChangesSourceSpec. Bench note: seconds are
+  // streaming lifecycle + a three-commit fixture.
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-feed-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-feed-ckpt")
+    val name = "q148_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val tbl = s"$tmp/table"
+      Versioned.commit(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 0))            // v0
+      Versioned.commitWithStats(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 1), "o_orderkey") // v1
+      val vDel = Versioned.deleteWhere(s, tbl,
+        col("o_orderkey") % 5 === 0)                           // v2 (or
+      // no commit at all when no key matches — the oracle's delete
+      // slice is empty in exactly that case)
+      val q = graft.streaming.Streams.readChanges(s, tbl,
+          Seq("o_orderkey"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = s.table(name)
+      // the source must have consumed THROUGH the head version —
+      // offsets are version numbers, nothing buffered, nothing behind
+      val head = Versioned.latestVersion(s, tbl).get
+      require(head == (if (vDel > 1) 2 else 1),
+        s"fixture expected head 1 or 2, got $head")
+      if (vDel > 1)
+        require(got.filter(col("_change_type") === "delete")
+          .limit(1).count() == 1,
+          "the delete commit must stream as delete feed rows")
+      val out = got
+        .orderBy("_commit_version", "o_orderkey", "_change_type")
+        .localCheckpoint(true)
+      out
+    } finally {
+      s.catalog.dropTempView(name)
+      Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt)
+    }
+  }
+
+  private val q148Sql =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders)
+      |SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice,
+      |    'insert' AS _change_type, 0 AS _commit_version
+      |  FROM o WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'insert', 1
+      |  FROM o WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'delete', 2
+      |  FROM o WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 = 0
+      |)
+      |ORDER BY _commit_version, o_orderkey, _change_type""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1435,7 +1503,8 @@ object DeltaQueries {
     "q144_lake_metadata_count" -> (q144 _),
     "q145_sql_lake_dml" -> (q145 _),
     "q146_sql_lake_maintenance" -> (q146 _),
-    "q147_sql_general_merge" -> (q147 _))
+    "q147_sql_general_merge" -> (q147 _),
+    "q148_lake_stream_source" -> (q148 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1462,5 +1531,6 @@ object DeltaQueries {
     "q144_lake_metadata_count" -> q144Sql,
     "q145_sql_lake_dml" -> q145Sql,
     "q146_sql_lake_maintenance" -> q146Sql,
-    "q147_sql_general_merge" -> q147Sql)
+    "q147_sql_general_merge" -> q147Sql,
+    "q148_lake_stream_source" -> q148Sql)
 }

@@ -69,6 +69,27 @@ object Streams {
       }
       .start()
 
+  /** Streaming SOURCE over the versioned lake — the read half of
+    * [[versionedIngest]]: offsets are committed version numbers, each
+    * micro-batch is the change feed of exactly the versions it covers
+    * ([[graft.lake.Versioned.changesBetween]] — O(delta) per batch),
+    * exactly-once on restart from the checkpointed offset. See
+    * [[GraftChangesSource]] for semantics; `startingVersion` is an
+    * anchor version (its full content arrives as the first batch's
+    * inserts) or `"latest"` (only commits after source creation).
+    */
+  def readChanges(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, keyCols: Seq[String],
+      startingVersion: String = "0",
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft-changes")
+      .option("path", tableDir)
+      .option("keyCols", keyCols.mkString(","))
+      .option("startingVersion", startingVersion)
+    maxVersionsPerTrigger.fold(r)(n =>
+      r.option("maxVersionsPerTrigger", n.toString)).load()
+  }
+
   /** ST4 (true event-time form): drop duplicate keys within the watermark
     * horizon — bounded state, unlike a global distinct.
     */

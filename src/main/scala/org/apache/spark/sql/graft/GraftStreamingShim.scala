@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.SparkSession
+
+/** The one Spark-internal hop a DataSource-V1 streaming `Source`
+  * needs: `Source.getBatch` must hand MicroBatchExecution a DataFrame
+  * whose logical plan is flagged `isStreaming = true` (the engine
+  * asserts it), and the only constructor for that is the classic
+  * session's `private[sql] internalCreateDataFrame`. This shim lives
+  * in an `org.apache.spark.sql` subpackage solely to cross that
+  * visibility fence — the standard pattern of every out-of-tree
+  * connector with a V1 streaming source (Delta's `DeltaSource` sits
+  * inside `org.apache.spark.sql.delta` for the same reason). Nothing
+  * else internal is touched: the plan wrapped is an ordinary batch
+  * plan built with the public DataFrame API.
+  */
+object GraftStreamingShim {
+
+  /** Re-wrap `df`'s physical result as a streaming-flagged DataFrame
+    * with the same schema — what `getBatch` is contractually required
+    * to return. The batch plan still executes lazily (the RDD is the
+    * plan's own `toRdd`); only the logical wrapper changes. */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[SparkSession]
+    session.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.Versioned
+import graft.streaming.Streams
+
+/** The streaming SOURCE over the versioned lake
+  * ([[graft.streaming.GraftChangesSource]]): offsets are committed
+  * version numbers, each micro-batch plans the change feed of exactly
+  * the versions it covers, and a restart resumes from the
+  * checkpointed offset exactly-once — the read half of
+  * [[Streams.versionedIngest]].
+  */
+class GraftChangesSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def commitRange(dir: String, lo: Long, hi: Long): Int =
+    Versioned.commit(spark,
+      dir, (lo until hi).map(i => (i, s"r$i")).toDF("id", "s"))
+
+  test("the full feed streams: startingVersion snapshot as inserts, " +
+      "then per-commit changes including row-level deletes") {
+    val dir = tmpDir() + "/src"
+    commitRange(dir, 0, 3)                              // v0
+    commitRange(dir, 10, 12)                            // v1
+    Versioned.commitWithStats(spark, dir,
+      Seq((20L, "r20")).toDF("id", "s"), "id")          // v2
+    val v3 = Versioned.deleteWhere(spark, dir, col("id") === 10L) // v3
+    assert(v3 == 3)
+    val name = s"feed_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = Streams.readChanges(spark, dir, Seq("id"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir() + "/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name)
+      .as[(Long, String, String, Int)].collect().toSet
+    val want =
+      (0L until 3L).map(i => (i, s"r$i", "insert", 0)).toSet ++
+        (10L until 12L).map(i => (i, s"r$i", "insert", 1)) +
+        ((20L, "r20", "insert", 2)) +
+        ((10L, "r10", "delete", 3))
+    assert(got == want, s"feed mismatch: got $got")
+  }
+
+  test("restart mid-stream resumes from the checkpointed version " +
+      "offset: no commit replayed, no commit lost " +
+      "(maxVersionsPerTrigger forces multi-batch catch-up)") {
+    val dir = tmpDir() + "/restart"
+    val ckpt = tmpDir() + "/ckpt"
+    commitRange(dir, 0, 2)                              // v0
+    commitRange(dir, 10, 11)                            // v1
+    // a recoverable sink (memory sink refuses checkpoint recovery):
+    // every delivered row accumulates here across incarnations
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String,
+        String, Int)]()
+    def start() = Streams.readChanges(spark, dir, Seq("id"),
+        maxVersionsPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String, String, Int)].collect().foreach(got.add)
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.size == 3, s"first incarnation saw ${got.size} rows")
+    // commits landing while the query is DOWN
+    commitRange(dir, 20, 22)                            // v2
+    commitRange(dir, 30, 31)                            // v3
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val all = got.asScala.toSeq
+    assert(all.size == all.toSet.size,
+      s"a restart replayed an already-committed version: $all")
+    assert(all.toSet ==
+      Set((0L, "r0", "insert", 0), (1L, "r1", "insert", 0),
+        (10L, "r10", "insert", 1), (20L, "r20", "insert", 2),
+        (21L, "r21", "insert", 2), (30L, "r30", "insert", 3)),
+      s"restart must stream exactly the down-time commits, got $all")
+  }
+
+  test("startingVersion=latest anchors at creation, persists the " +
+      "anchor in the checkpoint, and streams only later commits") {
+    val dir = tmpDir() + "/latest"
+    val ckpt = tmpDir() + "/ckpt"
+    commitRange(dir, 0, 5)                              // v0: pre-existing
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String,
+        String, Int)]()
+    def start() = Streams.readChanges(spark, dir, Seq("id"),
+        startingVersion = "latest")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String, String, Int)].collect().foreach(got.add)
+        ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(got.isEmpty,
+        "latest mode must not stream pre-existing content")
+      commitRange(dir, 10, 12)                          // v1: streams
+      q1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet ==
+        Set((10L, "r10", "insert", 1), (11L, "r11", "insert", 1)))
+    } finally q1.stop()
+    // down-time commit, then restart: the ORIGINAL anchor holds (the
+    // restart must not re-anchor at the new head and skip v2)
+    commitRange(dir, 20, 21)                            // v2
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet ==
+      Set((10L, "r10", "insert", 1), (11L, "r11", "insert", 1),
+        (20L, "r20", "insert", 2)),
+      "the restart must stream the down-time commit exactly once, " +
+        s"not re-anchor: ${got.asScala.toSeq}")
+  }
+
+  test("update pairs stream for in-place DML, and the feed applied " +
+      "to a downstream table reproduces the source head") {
+    val dir = tmpDir() + "/apply"
+    Versioned.commitWithStats(spark, dir,
+      (0L until 20L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), "id")        // v0
+    Versioned.updateWhere(spark, dir, col("id") === 3L,
+      Map("v" -> lit(999L)))                            // v1: update pair
+    val name = s"app_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = Streams.readChanges(spark, dir, Seq("id"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir() + "/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.table(name)
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .as[(Long, Long, String, Int)].collect().toSeq ==
+      Seq((3L, 30L, "update_preimage", 1)))
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .as[(Long, Long, String, Int)].collect().toSeq ==
+      Seq((3L, 999L, "update_postimage", 1)))
+    // apply the feed in commit order (latest action per key wins;
+    // deletes drop the key): the materialized state must equal the
+    // source head — the downstream-consumer contract
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("_commit_version").desc)
+    val end = feed.filter(col("_change_type") =!= "update_preimage")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") =!= "delete")
+      .select("id", "v")
+    assert(end.as[(Long, Long)].collect().toSet ==
+      Versioned.read(spark, dir).as[(Long, Long)].collect().toSet)
+  }
+
+  test("source validation fails loudly: missing keyCols, unknown key " +
+      "column, empty table") {
+    val dir = tmpDir() + "/bad"
+    intercept[IllegalArgumentException] {
+      Streams.readChanges(spark, dir, Seq("id")).schema // no table yet
+    }
+    commitRange(dir, 0, 2)
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes")
+        .option("path", dir).load() // keyCols absent
+    }
+    intercept[IllegalArgumentException] {
+      Streams.readChanges(spark, dir, Seq("nope")).schema
+    }
+  }
+}
