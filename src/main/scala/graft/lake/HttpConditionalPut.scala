@@ -43,7 +43,8 @@ final class HttpConditionalPut(
     headers: Map[String, String] = Map.empty,
     timeout: Duration = Duration.ofSeconds(30),
     transport: HttpConditionalPut.Transport = null,
-    signer: HttpConditionalPut.RequestSigner = null)
+    signer: HttpConditionalPut.RequestSigner = null,
+    method: String = "PUT")
   extends Versioned.ConditionalPut {
 
   private val send: HttpConditionalPut.Transport =
@@ -55,15 +56,19 @@ final class HttpConditionalPut(
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
     val uri = keyToUri(key)
-    val base = (precondition._1 -> precondition._2) +: headers.toSeq
+    // a null precondition means the keyToUri carries it as a QUERY
+    // PARAMETER (GCS JSON API's ifGenerationMatch=0) — the store-side
+    // atomicity is identical, only the wire spelling differs
+    val base = Option(precondition).map(p => p._1 -> p._2).toSeq ++
+      headers.toSeq
     // the signer sees the REQUEST AS SENT (method, uri, headers,
     // payload) and contributes its own headers (x-amz-date,
     // x-amz-content-sha256, Authorization)
     val signed = Option(signer)
-      .map(_.sign("PUT", uri, base, bytes)).getOrElse(Nil)
+      .map(_.sign(method, uri, base, bytes)).getOrElse(Nil)
     val b = HttpRequest.newBuilder(uri)
       .timeout(timeout)
-      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
+      .method(method, HttpRequest.BodyPublishers.ofByteArray(bytes))
     (base ++ signed).foreach { case (k, v) => b.header(k, v) }
     send(b.build()) match {
       case ok if ok >= 200 && ok < 300 => true // this call created it
@@ -77,6 +82,30 @@ final class HttpConditionalPut(
 }
 
 object HttpConditionalPut {
+
+  /** The GCS JSON-API dialect of the conditional put: a media upload
+    * `POST {endpoint}/upload/storage/v1/b/{bucket}/o?uploadType=media
+    * &name={key}&ifGenerationMatch=0` — create-if-absent spelled as a
+    * QUERY-PARAMETER precondition instead of a header (`412
+    * Precondition Failed` when the object exists, same one-winner
+    * atomicity). `keyToName` maps the manifest key to the object name
+    * (typically the path under the bucket); `headers` carries the
+    * `Authorization: Bearer …` OAuth token a real deployment injects.
+    */
+  def gcsJson(endpoint: String, bucket: String,
+      keyToName: String => String,
+      headers: Map[String, String] = Map.empty,
+      timeout: Duration = Duration.ofSeconds(30),
+      transport: Transport = null): HttpConditionalPut = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    new HttpConditionalPut(
+      key => URI.create(s"${endpoint.stripSuffix("/")}" +
+        s"/upload/storage/v1/b/${enc(bucket)}/o?uploadType=media" +
+        s"&name=${enc(keyToName(key))}&ifGenerationMatch=0"),
+      precondition = null, headers = headers, timeout = timeout,
+      transport = transport, method = "POST")
+  }
+
   /** The request executor — swap in a test double; returns the
     * response status code. */
   trait Transport { def apply(req: HttpRequest): Int }

@@ -23,8 +23,13 @@ import javax.crypto.spec.SecretKeySpec
   * Scope: header-based signing (`Authorization` header), unsigned
   * query strings pass through canonicalization; S3 additionally
   * requires the `x-amz-content-sha256` header, added when
-  * `service == "s3"`. Credentials are the caller's problem (env,
-  * instance profile, vault) — this class only signs.
+  * `service == "s3"`. TEMPORARY credentials (STS / instance profile —
+  * the norm in production) carry their `sessionToken`, signed as
+  * `x-amz-security-token` exactly as the SDKs do. Caller headers
+  * (e.g. requester-pays' `x-amz-request-payer: requester`, passed
+  * through [[HttpConditionalPut]]'s `headers`) are signed verbatim.
+  * Credential ROTATION is the caller's problem (env, instance
+  * profile, vault) — this class only signs.
   *
   * Wire it in as the adapter's signer:
   * {{{
@@ -40,7 +45,8 @@ final class SigV4Signer(
     secretKey: String,
     region: String,
     service: String,
-    clock: () => java.time.Instant = () => java.time.Instant.now())
+    clock: () => java.time.Instant = () => java.time.Instant.now(),
+    sessionToken: Option[String] = None)
   extends HttpConditionalPut.RequestSigner {
 
   private def hex(bytes: Array[Byte]): String =
@@ -104,11 +110,14 @@ final class SigV4Signer(
       (if (uri.getPort > 0 && uri.getPort != defaultPort)
         s":${uri.getPort}" else "")
     // S3 demands the payload hash as a header; other services sign it
-    // only inside the canonical request
+    // only inside the canonical request. A session token (STS /
+    // instance-profile credentials) rides as x-amz-security-token,
+    // INSIDE the signed set — S3 rejects an unsigned token.
     val extra =
       Seq("x-amz-date" -> amzDate) ++
         (if (service == "s3") Seq("x-amz-content-sha256" -> payloadHash)
-         else Nil)
+         else Nil) ++
+        sessionToken.map("x-amz-security-token" -> _).toSeq
     // duplicate names (case-insensitively) canonicalize to ONE line
     // with comma-joined values — two lines would sign a request the
     // store reconstructs differently

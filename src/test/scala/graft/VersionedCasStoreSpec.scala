@@ -301,6 +301,163 @@ class VersionedCasStoreSpec extends SparkSuite {
     }
   }
 
+  test("GCS JSON-API dialect (POST + ifGenerationMatch=0 query " +
+      "precondition): the same race battery passes over real HTTP") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir() + "/gcs"
+    // emulator of the GCS JSON API's media-upload conditional create:
+    // atomicity is one putIfAbsent claim keyed by the object NAME from
+    // the query string; a won POST returns 200 and writes through, a
+    // lost one returns 412 Precondition Failed — observable behavior
+    // of ifGenerationMatch=0 on an existing object
+    val claims = new ConcurrentHashMap[String, Boolean]()
+    val sawPrecondition = new AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/upload/storage/v1/b/", { exchange =>
+      val bytes = exchange.getRequestBody.readAllBytes()
+      val q = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+        .split('&').map { kv =>
+          val i = kv.indexOf('=')
+          java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+            java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+        }.toMap
+      if (exchange.getRequestMethod == "POST" &&
+          q.get("uploadType").contains("media") &&
+          q.get("ifGenerationMatch").contains("0"))
+        sawPrecondition.incrementAndGet()
+      val name = q("name")
+      val won = claims.putIfAbsent(name, true) == null
+      if (won)
+        java.nio.file.Files.write(java.nio.file.Paths.get(name), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      exchange.sendResponseHeaders(if (won) 200 else 412, -1)
+      exchange.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    val client = HttpConditionalPut.gcsJson(
+      s"http://127.0.0.1:$port", "test-bucket",
+      keyToName = key => new Path(key).toUri.getPath)
+    Versioned.registerCasStore(dir,
+      new Versioned.ConditionalPutCasStore(client))
+    try {
+      Versioned.commit(s, dir, Seq((-1L, -1L)).toDF("w", "i")) // v0
+      val writers = 4
+      val perWriter = 5
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until writers).map { w =>
+        new Thread(() =>
+          try {
+            for (i <- 0 until perWriter)
+              Versioned.commit(s, dir,
+                Seq((w.toLong, i.toLong)).toDF("w", "i"))
+          } catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+      assert(Versioned.latestVersion(s, dir)
+        .contains(writers * perWriter))
+      val rows = Versioned.read(s, dir).as[(Long, Long)].collect()
+      assert(rows.length == writers * perWriter + 1)
+      assert(rows.toSet.size == rows.length, "a commit landed twice")
+      assert(claims.size() == writers * perWriter + 1)
+      assert(sawPrecondition.get() >= writers * perWriter + 1,
+        "the query-param precondition must ride every request")
+      assert(Versioned.read(s, dir, Some(0)).count() == 1)
+    } finally {
+      Versioned.unregisterCasStore(dir)
+      server.stop(0)
+    }
+  }
+
+  test("session-token credentials and requester-pays headers sign " +
+      "verifiably: the emulator re-derives the full SigV4 signature " +
+      "including x-amz-security-token") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir() + "/signed-sts"
+    val token = "FQoGZXIvYXdzEXAMPLETOKENEXAMPLETOKEN" // doc-style value
+    val claims = new ConcurrentHashMap[String, Boolean]()
+    val badAuth = new AtomicInteger(0)
+    val sawToken = new AtomicInteger(0)
+    val sawPayer = new AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val key = exchange.getRequestURI.getPath
+      val bytes = exchange.getRequestBody.readAllBytes()
+      val h = exchange.getRequestHeaders
+      if (Option(h.getFirst("x-amz-security-token")).contains(token))
+        sawToken.incrementAndGet()
+      if (Option(h.getFirst("x-amz-request-payer")).contains("requester"))
+        sawPayer.incrementAndGet()
+      val auth = Option(h.getFirst("Authorization")).getOrElse("")
+      // the store's own check: re-derive the signature from the
+      // received request WITH the session token — an unsigned or
+      // missigned token fails here exactly as S3 would reject it
+      val rederived = Option(h.getFirst("x-amz-date")).map { d =>
+        val t = java.time.LocalDateTime.parse(d,
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+          .toInstant(java.time.ZoneOffset.UTC)
+        new graft.lake.SigV4Signer("AKIDTEST", "secret", "eu-test-1",
+          "s3", clock = () => t, sessionToken = Some(token))
+          .sign("PUT",
+            java.net.URI.create(s"http://${h.getFirst("Host")}$key"),
+            Seq("If-None-Match" -> h.getFirst("If-None-Match"),
+              "x-amz-request-payer" ->
+                h.getFirst("x-amz-request-payer")), bytes)
+          .toMap.apply("Authorization")
+      }.getOrElse("")
+      if (auth.isEmpty || auth != rederived) badAuth.incrementAndGet()
+      val won = claims.putIfAbsent(key, true) == null
+      if (won)
+        java.nio.file.Files.write(java.nio.file.Paths.get(key), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      exchange.sendResponseHeaders(if (won) 200 else 412, -1)
+      exchange.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    val client = new graft.lake.HttpConditionalPut(
+      key => java.net.URI.create(
+        s"http://127.0.0.1:$port${new Path(key).toUri.getPath}"),
+      headers = Map("x-amz-request-payer" -> "requester"),
+      signer = new graft.lake.SigV4Signer(
+        "AKIDTEST", "secret", "eu-test-1", "s3",
+        sessionToken = Some(token)))
+    Versioned.registerCasStore(dir,
+      new Versioned.ConditionalPutCasStore(client))
+    try {
+      (1 to 3).foreach(i =>
+        Versioned.commit(s, dir, Seq(i.toLong).toDF("x")))
+      assert(badAuth.get() == 0,
+        "every publish must re-derive byte-equal WITH the token signed")
+      assert(sawToken.get() == claims.size() &&
+        sawPayer.get() >= claims.size(),
+        "token and requester-pays headers must ride every request")
+      assert(Versioned.read(s, dir).count() == 3)
+    } finally {
+      Versioned.unregisterCasStore(dir)
+      server.stop(0)
+    }
+    // the token CHANGES the signature — signing with and without must
+    // differ (an implementation that drops the token from the signed
+    // set would pass the header assertions but fail live against S3)
+    val clock = () => java.time.Instant.parse("2015-08-30T12:36:00Z")
+    def auth(tok: Option[String]): String =
+      new graft.lake.SigV4Signer("AKIDEXAMPLE",
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        "us-east-1", "s3", clock = clock, sessionToken = tok)
+        .sign("PUT", java.net.URI.create("https://b.s3.amazonaws.com/k"),
+          Nil, Array[Byte](1)).toMap.apply("Authorization")
+    assert(auth(Some(token)) != auth(None))
+    assert(auth(Some(token)).contains("x-amz-security-token"),
+      "the token must appear in SignedHeaders")
+  }
+
   test("HttpConditionalPut refuses to guess on a non-conditional " +
       "error status: a 500 must throw, never report a lost race") {
     val boom = new HttpConditionalPut(
