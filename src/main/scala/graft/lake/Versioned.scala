@@ -168,7 +168,8 @@ object Versioned {
       statColsPolicy: Seq[String] = Nil,
       ts: Option[Long] = None,
       commitUuid: Option[String] = None,
-      chainDepth: Int = 0)
+      chainDepth: Int = 0,
+      colMap: Seq[(String, String)] = Nil)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -268,6 +269,18 @@ object Versioned {
     sys.env.get("SPARK_GRAFT_MANIFEST_CHECKPOINT")
       .map(_.trim.toInt).getOrElse(10)
 
+  // column mapping: `#colmap\t<logical>\t<physical>` (names
+  // uri-encoded), one line per RENAMED column — Delta's column-mapping
+  // shape. A column's PHYSICAL name (what its parquet files carry) is
+  // fixed at column birth; RENAME COLUMN is a metadata commit that
+  // changes the logical name and records the indirection here, so
+  // zero data files rewrite and time travel renders every version
+  // under its own names. Identity entries are never written. All
+  // other manifest metadata (stats groups, policy, checks) speaks
+  // LOGICAL names — the rename commit rewrites them — so the mapping
+  // is consulted only at the parquet scan/write boundary.
+  private val ColMapHeader = "#colmap\t"
+
   /** Parse one manifest FILE as written (no delta reconstruction).
     * Header fields are authoritative for the version either way; the
     * lines/dvs/blooms of a delta node are its ADDS only. */
@@ -336,10 +349,15 @@ object Versioned {
       val Array(b, c, s) = l.stripPrefix(RmBloomHeader).split('\t')
       (b, c, s)
     }.toSet
+    val colMap = raw.collect { case l if l.startsWith(ColMapHeader) =>
+      val Array(lg, ph) = l.stripPrefix(ColMapHeader).split('\t')
+      (java.net.URLDecoder.decode(lg, "UTF-8"),
+        java.net.URLDecoder.decode(ph, "UTF-8"))
+    }
     RawNode(base, rmFiles, rmDvs, rmBlooms,
       Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
         blooms, op, bloomCfg, statColsPolicy, ts, commitUuid,
-        chainDepth = base.map(_._2).getOrElse(0)))
+        chainDepth = base.map(_._2).getOrElse(0), colMap = colMap))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -468,6 +486,123 @@ object Versioned {
     val added = incoming.filterNot(f => table.exists(_.name == f.name))
       .map(_.copy(nullable = true))
     StructType(kept ++ added)
+  }
+
+  /** A column OUTSIDE the mapping has physical == logical; if that
+    * name equals the PHYSICAL name of a renamed column, old files'
+    * bytes would leak into the new column at scan time (the collision
+    * Delta avoids by minting uuid physical names). Refused loudly —
+    * re-adding a renamed-away name needs a replace. */
+  private def guardColMap(schema: StructType,
+      colMap: Seq[(String, String)]): Unit = {
+    if (colMap.isEmpty) return
+    val logical = colMap.map(_._1).toSet
+    val physOfRenamed = colMap.filter(e => e._1 != e._2).map(_._2).toSet
+    schema.fieldNames.foreach { n =>
+      if (!logical.contains(n) && physOfRenamed.contains(n))
+        throw new CommitConflictException(
+          s"column '$n' collides with the physical name of a renamed " +
+            "column (column mapping): old data files already carry " +
+            s"'$n' for the renamed column — pick another name, or " +
+            "publish a replace")
+    }
+  }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta's column-mapping
+    * shape): the logical name changes, the PHYSICAL name — what every
+    * data file on disk carries — stays its birth name, recorded as a
+    * `#colmap` indirection the scan/write boundary consults. Zero
+    * data movement at any table size; time travel renders each
+    * version under ITS OWN names. The rename rewrites the manifest's
+    * logical-name metadata in the same commit: the `#schema` field,
+    * the `#statcols` policy, and every line's stats groups. Refused
+    * when a CHECK constraint references the column (drop and re-add
+    * the constraint around the rename — silently re-pointing a stored
+    * predicate is how constraints rot) and when the column carries a
+    * bloom index (its sidecar rows key by the name; `CALL
+    * set_policy` the index away first, rename, re-declare — the
+    * production constraint Databricks ships). Returns the new
+    * version.
+    */
+  def renameColumn(spark: SparkSession, dir: String,
+      from: String, to: String): Int = {
+    require(from.nonEmpty && to.nonEmpty && from != to,
+      s"renameColumn needs two distinct non-empty names; got " +
+        s"'$from' -> '$to'")
+    val fs = fileSystem(spark, dir)
+    val uuid = newCommitUuid()
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version in $dir to rename a column of"))
+      val m = readManifest(fs, dir, head)
+      val schema = versionSchema(spark, dir, m).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $head of $dir has no schema"))
+      require(schema.fieldNames.contains(from),
+        s"no column '$from' in $dir " +
+          schema.fieldNames.mkString("[", ", ", "]"))
+      require(!schema.fieldNames.contains(to),
+        s"column '$to' already exists in $dir")
+      // a stored CHECK referencing the column would silently rot
+      val referencing = m.checks.filter { case (_, sql) =>
+        spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+        }.exists(_.equalsIgnoreCase(from))
+      }
+      require(referencing.isEmpty,
+        s"cannot rename '$from': CHECK constraint" +
+          s"${referencing.map(_._1).mkString(" '", "', '", "'")} " +
+          "references it — drop the constraint, rename, re-add it")
+      // bloom sidecar rows key by the column's name on disk; renaming
+      // under them would silently stop point-lookup pruning
+      require(!bloomCfgOf(m).exists(_._1 == from) &&
+          !m.blooms.exists(_._2 == from),
+        s"cannot rename '$from': it carries a bloom index — clear it " +
+          "(CALL set_policy / UNSET TBLPROPERTIES), rename, " +
+          "re-declare")
+      val physical = m.colMap.toMap.getOrElse(from, from)
+      val newColMap = (m.colMap.filterNot(_._1 == from) :+
+        ((to, physical))).filter(e => e._1 != e._2)
+      val newSchema = StructType(schema.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      guardColMap(newSchema, newColMap)
+      val newStatCols = statColsOf(m).map(c => if (c == from) to else c)
+      val newLines = m.lines.map(renameStatsCol(_, from, to))
+      if (publishResolved(fs, dir, head + 1, uuid)(
+          casPublish(fs, dir, head + 1, newSchema, newLines, m.txn,
+            m.checks, m.dvs, m.blooms,
+            op = Some(s"rename-column($from->$to)"),
+            bloomCfg = bloomCfgOf(m), statColsPolicy = newStatCols,
+            parent = Some(m), commitUuid = Some(uuid),
+            colMap = newColMap)))
+        return head + 1
+      attempts += 1
+      require(attempts < 1000,
+        s"renameColumn on $dir still losing the version race after " +
+          s"$attempts attempts")
+    }
+    -1 // unreachable
+  }
+
+  /** Rewrite a manifest line's stats-group column names for a RENAME:
+    * group-start tokens (a non-`~` token followed by its min/max)
+    * matching `from` become `to`; annotations and values pass
+    * through verbatim. */
+  private def renameStatsCol(line: String, from: String,
+      to: String): String = {
+    val parts = line.split('\t')
+    var i = 1
+    while (i < parts.length) {
+      if (!parts(i).startsWith("~") && i + 3 <= parts.length) {
+        if (parts(i) == from) parts(i) = to
+        i += 3
+        while (i < parts.length && parts(i).startsWith("~")) i += 1
+      } else i += 1
+    }
+    parts.mkString("\t")
   }
 
   /** Commit `df` as the next version. `replace = false` appends to the
@@ -625,7 +760,7 @@ object Versioned {
             m.checks :+ ((name, sqlExpr)), m.dvs, m.blooms,
             op = Some(s"add-check($name)"), bloomCfg = bloomCfgOf(m),
             statColsPolicy = statColsOf(m), parent = Some(m),
-            commitUuid = Some(uuid))))
+            commitUuid = Some(uuid), colMap = m.colMap)))
         return head + 1
       attempts += 1   // CAS lost: re-read head, re-validate its rows
       require(attempts < 1000,
@@ -654,7 +789,7 @@ object Versioned {
             m.checks.filterNot(_._1 == name), m.dvs, m.blooms,
             op = Some(s"drop-check($name)"), bloomCfg = bloomCfgOf(m),
             statColsPolicy = statColsOf(m), parent = Some(m),
-            commitUuid = Some(uuid))))
+            commitUuid = Some(uuid), colMap = m.colMap)))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -725,6 +860,9 @@ object Versioned {
       m.dvs.map { case (b, d) => s"$DvHeader$b\t$d" } ++
       m.blooms.map { case (b, c, s) => s"$BloomHeader$b\t$c\t$s" } ++
       m.bloomCfg.map { case (c, n, f) => s"$BloomCfgHeader$c\t$n\t$f" } ++
+      m.colMap.filter(e => e._1 != e._2).map { case (lg, ph) =>
+        s"$ColMapHeader${enc(lg)}\t${enc(ph)}"
+      } ++
       m.lines
   }
 
@@ -816,7 +954,8 @@ object Versioned {
           casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
             m.checks, m.dvs, m.blooms, op = Some("set-policy"),
             bloomCfg = newCfg, statColsPolicy = newStats,
-            parent = Some(m), commitUuid = Some(uuid))))
+            parent = Some(m), commitUuid = Some(uuid),
+            colMap = m.colMap)))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -832,16 +971,28 @@ object Versioned {
     * version number the CAS loop eventually wins.
     */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,
-      statCols: Seq[String]): Seq[String] = {
+      statCols: Seq[String],
+      colMap: Seq[(String, String)] = Nil): Seq[String] = {
     val fs = fileSystem(spark, dir)
     // data files are commit-scoped and immutable once the manifest lands
     val dataDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
-    df.write.parquet(dataDir.toString)
+    // column mapping: files always carry PHYSICAL names — a renamed
+    // column's fresh files must match its old files' birth name, or
+    // every later scan of the mixed set null-fills one side
+    val physDf =
+      if (colMap.isEmpty) df
+      else {
+        val p = colMap.toMap
+        df.select(df.columns.toSeq.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`")
+            .as(p.getOrElse(c, c))): _*)
+      }
+    physDf.write.parquet(dataDir.toString)
     val rels = fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => s"data/${dataDir.getName}/${f.getPath.getName}")
       .toSeq
-    measureLines(spark, dir, rels, statCols, df.schema)
+    measureLines(spark, dir, rels, statCols, df.schema, colMap)
   }
 
   /** Per-file stats for EVERY tracked column in ONE column-pruned scan
@@ -866,10 +1017,14 @@ object Versioned {
     */
   private def measureLines(spark: SparkSession, dir: String,
       rels: Seq[String], statCols: Seq[String],
-      schema: StructType): Seq[String] = {
+      schema: StructType,
+      colMap: Seq[(String, String)] = Nil): Seq[String] = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val cols = statCols.distinct
     if (cols.isEmpty || rels.isEmpty) return rels.sorted
+    // stats groups speak LOGICAL names; staged files carry PHYSICAL
+    // ones — the scan below selects through the mapping
+    val phys = colMap.toMap
     // a TimestampType column records its range in epoch MICROSECONDS —
     // the unit its Catalyst literals carry — and annotates the group
     // `~u` so the provers only compare like against like; a bare
@@ -877,14 +1032,17 @@ object Versioned {
     // timestamp predicate (the retention-delete shape). Everything
     // else keeps the plain integral cast (DateType: days, matching
     // its Int-days literals).
-    def statLong(c: String): org.apache.spark.sql.Column =
+    def statLong(c: String): org.apache.spark.sql.Column = {
+      val physCol = col(s"`${phys.getOrElse(c, c)}`")
       if (microsCol(schema, c))
-        org.apache.spark.sql.functions.unix_micros(col(c))
-      else col(c).cast("long")
+        org.apache.spark.sql.functions.unix_micros(physCol)
+      else physCol.cast("long")
+    }
     val stats: Map[String, (Long, Seq[(String, Long, Long, Long)])] = {
       val aggs = cols.flatMap(c => Seq(
         min(statLong(c)), max(statLong(c)),
-        count(lit(1)) - count(col(c)))) :+ count(lit(1))
+        count(lit(1)) - count(col(s"`${phys.getOrElse(c, c)}`")))) :+
+        count(lit(1))
       spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -1125,7 +1283,8 @@ object Versioned {
       dvs: Seq[(String, String)],
       blooms: Seq[(String, String, String)],
       bloomCfg: Seq[(String, Long, Double)],
-      commitUuid: Option[String]): Seq[String] = {
+      commitUuid: Option[String],
+      colMap: Seq[(String, String)] = Nil): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -1150,6 +1309,9 @@ object Versioned {
       } ++
       bloomCfg.distinct.map { case (c, n, f) =>
         s"$BloomCfgHeader$c\t$n\t$f"
+      } ++
+      colMap.filter(e => e._1 != e._2).distinct.map { case (lg, ph) =>
+        s"$ColMapHeader${enc(lg)}\t${enc(ph)}"
       }
   }
 
@@ -1179,7 +1341,8 @@ object Versioned {
       bloomCfg: Seq[(String, Long, Double)] = Nil,
       statColsPolicy: Seq[String] = Nil,
       parent: Option[Manifest] = None,
-      commitUuid: Option[String] = None): Boolean = {
+      commitUuid: Option[String] = None,
+      colMap: Seq[(String, String)] = Nil): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -1191,7 +1354,7 @@ object Versioned {
     val ts = math.max(System.currentTimeMillis(),
       parent.flatMap(_.ts).getOrElse(Long.MinValue) + 1)
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
-      checks, Nil, Nil, bloomCfg, commitUuid)
+      checks, Nil, Nil, bloomCfg, commitUuid, colMap)
     // delta vs snapshot: diff against the parent state by exact line
     // (a stats rewrite of a carried rel encodes as rmfile + fresh add)
     val body: Seq[String] = parent match {
@@ -1411,11 +1574,17 @@ object Versioned {
     */
   private def enforceChecks(spark: SparkSession, dir: String,
       staged: Seq[String], checks: Seq[(String, String)],
-      tableSchema: StructType): Unit = {
+      tableSchema: StructType,
+      colMap: Seq[(String, String)] = Nil): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     if (checks.isEmpty || staged.isEmpty) return
-    val df = spark.read.schema(tableSchema)
+    // CHECK expressions speak logical names; staged files are physical
+    val p = colMap.toMap
+    val physSchema = StructType(tableSchema.map(f =>
+      f.copy(name = p.getOrElse(f.name, f.name))))
+    val df = spark.read.schema(physSchema)
       .parquet(staged.map(l => s"$dir/${parseLine(l)._1}"): _*)
+      .toDF(tableSchema.fieldNames.toSeq: _*)
     checks.foreach { case (name, sql) =>
       if (df.filter(not(coalesce(expr(sql), lit(true))))
           .limit(1).count() > 0)
@@ -1457,7 +1626,15 @@ object Versioned {
       p._2.filter(c => df.schema.fieldNames.contains(c._1)))
     val head0 = latestVersion(spark, dir).map(readManifest(fs, dir, _))
     var (measuredStats, measuredCfg) = measurable(policyOf(head0))
-    var newFiles = stage(spark, dir, df, measuredStats)
+    // the staging-time column mapping: staged files carry PHYSICAL
+    // names under it (physical names are birth-stable, so a racing
+    // rename between staging and publish cannot invalidate them)
+    val stageMap =
+      if (replace) Nil else head0.map(_.colMap).getOrElse(Nil)
+    // catch a physical-name collision BEFORE staging: the write-side
+    // rename would otherwise produce two columns with one name
+    guardColMap(df.schema, stageMap)
+    var newFiles = stage(spark, dir, df, measuredStats, stageMap)
     var newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg)
     val uuid = newCommitUuid()
     var attempts = 0
@@ -1495,7 +1672,7 @@ object Versioned {
       val (wantStats, wantCfg) = measurable((polStats, polCfg))
       if (wantStats.toSet != measuredStats.toSet) {
         newFiles = measureLines(spark, dir,
-          newFiles.map(parseLine(_)._1), wantStats, df.schema)
+          newFiles.map(parseLine(_)._1), wantStats, df.schema, stageMap)
         measuredStats = wantStats
       }
       val missingCfg =
@@ -1518,9 +1695,14 @@ object Versioned {
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
           .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
+      // a replace claims naming authority too: its files' physical
+      // names ARE its logical names, so the mapping resets
+      val pubColMap =
+        if (replace) Nil else headManifest.map(_.colMap).getOrElse(Nil)
+      guardColMap(schema, pubColMap)
       val checks = headManifest.map(_.checks).getOrElse(Nil)
       if (!validatedFor.contains(checks)) {
-        enforceChecks(spark, dir, newFiles, checks, schema)
+        enforceChecks(spark, dir, newFiles, checks, schema, stageMap)
         validatedFor = Some(checks)
       }
       if (publishResolved(fs, dir, next, uuid)(
@@ -1533,7 +1715,8 @@ object Versioned {
             bloomCfg = polCfg.filter(c =>
               schema.fieldNames.contains(c._1)),
             statColsPolicy = polStats.filter(schema.fieldNames.contains),
-            parent = headManifest, commitUuid = Some(uuid))))
+            parent = headManifest, commitUuid = Some(uuid),
+            colMap = pubColMap)))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -1576,10 +1759,13 @@ object Versioned {
     // table policy reaches validated replaces too (commitImpl's rule):
     // measured columns = caller ∪ declared, filtered to the frame
     val fs = fileSystem(spark, dir)
+    val baseM0 = base.map(readManifest(fs, dir, _))
     val inherited = (statCol.toSeq ++
-      base.map(v => statColsOf(readManifest(fs, dir, v))).getOrElse(Nil))
+      baseM0.map(statColsOf).getOrElse(Nil))
       .distinct.filter(df.schema.fieldNames.contains)
-    replaceLoop(spark, dir, stage(spark, dir, df, inherited), base,
+    replaceLoop(spark, dir,
+      stage(spark, dir, df, inherited,
+        baseM0.map(_.colMap).getOrElse(Nil)), base,
       Some(keyCols), df.schema)
   }
 
@@ -1661,7 +1847,8 @@ object Versioned {
         baseDf.repartitionByRange(nOut, keys: _*)
           .sortWithinPartitions(keys: _*)
       }
-    val staged = stage(spark, dir, laidOut, inherited)
+    val staged = stage(spark, dir, laidOut, inherited,
+      baseManifest.colMap)
     // the bloom index survives compaction like the range stats do:
     // every column the base version indexed is re-measured on the
     // rewrite AT ITS RECORDED SIZING (a compaction that silently
@@ -1741,7 +1928,8 @@ object Versioned {
       stagedDvs = m.dvs, dvAuthority = true, stagedBlooms = m.blooms,
       op = s"restore(v$version)",
       bloomCfgOverride = Some(bloomCfgOf(m)),
-      statColsOverride = Some(statColsOf(m)))
+      statColsOverride = Some(statColsOf(m)),
+      colMapOverride = Some(m.colMap))
   }
 
   // ----------------------------------------------------- row-level DML
@@ -2130,7 +2318,8 @@ object Versioned {
     val scanCands = candidates.filterNot(wholly)
     val matchedRel: Set[String] =
       if (scanCands.isEmpty) Set.empty
-      else scanVisible(spark, dir, schema, scanCands, m.dvs, keepMeta = true)
+      else scanVisible(spark, dir, schema, scanCands, m.dvs,
+        keepMeta = true, colMap = m.colMap)
         .filter(predicate)
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -2147,8 +2336,10 @@ object Versioned {
     val staged =
       if (matchedLines.isEmpty) Nil // purely metadata: nothing to stage
       else stage(spark, dir,
-        scanVisible(spark, dir, schema, matchedLines, m.dvs)
-          .filter(not(coalesce(predicate, lit(false)))), inherited)
+        scanVisible(spark, dir, schema, matchedLines, m.dvs,
+          colMap = m.colMap)
+          .filter(not(coalesce(predicate, lit(false)))), inherited,
+        m.colMap)
     // the bloom index survives the rewrite at its RECORDED sizing:
     // re-measure every column the table indexes (dropped/rewritten
     // files lose their stale pointers in the publish loop)
@@ -2197,7 +2388,8 @@ object Versioned {
     val candidates = pruneWithIndex(spark, dir, m, pred)
     if (candidates.isEmpty) return base
     val matchedRel: Set[String] =
-      scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true)
+      scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true,
+        colMap = m.colMap)
         .filter(predicate)
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -2209,7 +2401,8 @@ object Versioned {
     val hit = coalesce(predicate, lit(false))
     // visible rows only: the rewrite materializes the matched files'
     // existing DVs rather than resurrecting their deleted rows
-    val rewritten = scanVisible(spark, dir, schema, matchedLines, m.dvs)
+    val rewritten = scanVisible(spark, dir, schema, matchedLines, m.dvs,
+      colMap = m.colMap)
       .select(schema.fieldNames.toSeq.map { c =>
         assignments.get(c) match {
           case Some(e) => when(hit, e).otherwise(col(c))
@@ -2217,7 +2410,7 @@ object Versioned {
           case None => col(c)
         }
       }: _*)
-    val staged = stage(spark, dir, rewritten, inherited)
+    val staged = stage(spark, dir, rewritten, inherited, m.colMap)
     val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, carried = untouched,
@@ -2278,7 +2471,8 @@ object Versioned {
     // the matched positions straight to a commit-scoped sidecar — no
     // driver materialization, the DV can be any size
     val dvDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
-    scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true)
+    scanVisible(spark, dir, schema, candidates, m.dvs, keepMeta = true,
+      colMap = m.colMap)
       .filter(predicate)
       .select(col("__file").as("file"), col("__pos").as("pos"))
       .write.parquet(dvDir.toString)
@@ -2386,7 +2580,7 @@ object Versioned {
                   blooms = hm.blooms ++ st.stagedBlooms,
                   op = Some("update-mor"), bloomCfg = bloomCfgOf(hm),
                   statColsPolicy = statColsOf(hm), parent = Some(hm),
-                  commitUuid = Some(uuid))))
+                  commitUuid = Some(uuid), colMap = hm.colMap)))
               return head + 1
           }
       }
@@ -2430,7 +2624,7 @@ object Versioned {
     val candidates = pruneWithIndex(spark, dir, m, pred)
     if (candidates.isEmpty) return Right(base)
     val matched = scanVisible(spark, dir, schema, candidates, m.dvs,
-      keepMeta = true).filter(predicate)
+      keepMeta = true, colMap = m.colMap).filter(predicate)
     val dvDir = new Path(dir, s"data/c-${java.util.UUID.randomUUID()}")
     matched.select(col("__file").as("file"), col("__pos").as("pos"))
       .write.parquet(dvDir.toString)
@@ -2453,7 +2647,7 @@ object Versioned {
         case None => col(c)
       }
     }: _*)
-    val staged = stage(spark, dir, updated, inherited)
+    val staged = stage(spark, dir, updated, inherited, m.colMap)
     val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
     enforceChecks(spark, dir, staged, m.checks, schema)
     val attemptUuid = newCommitUuid()
@@ -2463,7 +2657,7 @@ object Versioned {
         blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"),
         bloomCfg = bloomCfgOf(m),
         statColsPolicy = statColsOf(m), parent = Some(m),
-        commitUuid = Some(attemptUuid)))
+        commitUuid = Some(attemptUuid), colMap = m.colMap))
     if (published) Right(base + 1)
     else Left(MorStaged(
       scanned = affected,
@@ -2540,7 +2734,7 @@ object Versioned {
         }
         val staged = stage(spark, dir, aligned,
           (statCol.toSeq ++ statColsOf(m)).distinct
-            .filter(schema.fieldNames.contains))
+            .filter(schema.fieldNames.contains), m.colMap)
         return replaceLoop(spark, dir, staged, base,
           keyCols = Some(keyCols), stagedSchema = schema,
           carried = m.lines, keyProbe = Some(src.select(keyCols.head,
@@ -2557,7 +2751,7 @@ object Versioned {
       val matchedRel: Set[String] =
         if (candidates.isEmpty) Set.empty
         else scanVisible(spark, dir, schema, candidates, m.dvs,
-            keepMeta = true)
+            keepMeta = true, colMap = m.colMap)
           .select(keyCols.map(col) :+ col("__file"): _*)
           .join(src.select(keyCols.head, keyCols.tail: _*), keyCols,
             "left_semi")
@@ -2575,12 +2769,13 @@ object Versioned {
         else alignTo(
           // visible rows only: the rewrite materializes the matched
           // files' DVs instead of resurrecting their deleted rows
-          scanVisible(spark, dir, schema, matchedLines, m.dvs)
+          scanVisible(spark, dir, schema, matchedLines, m.dvs,
+          colMap = m.colMap)
             .join(src.select(keyCols.head, keyCols.tail: _*), keyCols,
               "left_anti"),
           newSchema).unionByName(srcAligned)
       }
-      val staged = stage(spark, dir, stagedDf, inherited)
+      val staged = stage(spark, dir, stagedDf, inherited, m.colMap)
       val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
       replaceLoop(spark, dir, staged, base, keyCols = Some(keyCols),
         stagedSchema = newSchema, carried = untouched,
@@ -2942,7 +3137,7 @@ object Versioned {
         if (candidates.isEmpty) Set.empty
         else {
           val scan = scanVisible(spark, dir, schema, candidates, m.dvs,
-            keepMeta = true)
+            keepMeta = true, colMap = m.colMap)
           rowPreFilter.fold(scan)(scan.filter)
             .join(srcS, keyCols, "left_outer")
             .filter(actCol =!= -1)
@@ -2957,7 +3152,8 @@ object Versioned {
       val kept: Option[DataFrame] =
         if (touchedLines.isEmpty) None
         else {
-          val j = scanVisible(spark, dir, schema, touchedLines, m.dvs)
+          val j = scanVisible(spark, dir, schema, touchedLines, m.dvs,
+              colMap = m.colMap)
             .join(srcS, keyCols, "left_outer")
           val alive =
             if (deleteActs.isEmpty) j
@@ -2985,7 +3181,8 @@ object Versioned {
               // any source key — dropping them shrinks the anti-join
               // build side and row-group-skips inside the scan
               val keys = scanVisible(spark, dir, schema, keyCand,
-                m.dvs).select(keyCols.head, keyCols.tail: _*)
+                m.dvs, colMap = m.colMap)
+                .select(keyCols.head, keyCols.tail: _*)
               sourceKeyBox(schema, keyRanges).fold(keys)(keys.filter)
             }
           val insAct = notMatched.zipWithIndex
@@ -3024,7 +3221,7 @@ object Versioned {
       val inherited = (touchedLines.flatMap(parseStats(_)._2.map(_._1)) ++
         statColsOf(m)).distinct
       val staged =
-        try stage(spark, dir, stagedDf, inherited)
+        try stage(spark, dir, stagedDf, inherited, m.colMap)
         finally insCached.foreach(_.unpersist())
       val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
       replaceLoop(spark, dir, staged, Some(base),
@@ -3066,9 +3263,14 @@ object Versioned {
       stagedBlooms: Seq[(String, String, String)] = Nil,
       op: String = "replace",
       bloomCfgOverride: Option[Seq[(String, Long, Double)]] = None,
-      statColsOverride: Option[Seq[String]] = None): Int = {
+      statColsOverride: Option[Seq[String]] = None,
+      colMapOverride: Option[Seq[(String, String)]] = None): Int = {
     val fs = fileSystem(spark, dir)
     val baseM = base.map(readManifest(fs, dir, _))
+    // staged files were written under the BASE's column mapping
+    // (physical names are birth-stable, so this stays valid however
+    // the head moves)
+    val stagedMap = baseM.map(_.colMap).getOrElse(Nil)
     val baseFiles: Set[String] = baseM
       .map(_.lines.map(parseLine(_)._1).toSet).getOrElse(Set.empty)
     // DV pairs this writer SAW at its base: dropping one of these with
@@ -3102,12 +3304,19 @@ object Versioned {
       // paths would throw, so the guard is load-bearing, not cosmetic
       if (interleaved.nonEmpty && (staged.nonEmpty || keyProbe.isDefined))
         keyCols.foreach { keys =>
-        val added = spark.read.parquet(interleaved.map(l =>
-          s"$dir/${parseLine(l)._1}"): _*).select(keys.head, keys.tail: _*)
-        val mine = keyProbe.map(_.select(keys.head, keys.tail: _*))
-          .getOrElse(spark.read.parquet(staged.map(l =>
+        // files carry PHYSICAL names; the key probe speaks logical —
+        // select through the mapping on both sides
+        def keySel(lines: Seq[String], map: Seq[(String, String)]) = {
+          val pm = map.toMap
+          spark.read.parquet(lines.map(l =>
             s"$dir/${parseLine(l)._1}"): _*)
-            .select(keys.head, keys.tail: _*))
+            .select(keys.map(k => org.apache.spark.sql.functions
+              .col(s"`${pm.getOrElse(k, k)}`").as(k)): _*)
+        }
+        val added = keySel(interleaved,
+          headM.map(_.colMap).getOrElse(Nil))
+        val mine = keyProbe.map(_.select(keys.head, keys.tail: _*))
+          .getOrElse(keySel(staged, stagedMap))
         if (added.join(mine, keys, "left_semi").limit(1).count() > 0)
           throw new CommitConflictException(
             s"replace of $dir based on version $base conflicts with a " +
@@ -3120,11 +3329,18 @@ object Versioned {
       // that exist only in the base files this replace removes)
       val schema =
         if (interleaved.isEmpty) stagedSchema
-        else evolveSchema(stagedSchema,
-          spark.read.option("mergeSchema", true).parquet(
-            interleaved.map(l => s"$dir/${parseLine(l)._1}"): _*).schema)
+        else {
+          // interleaved footers carry PHYSICAL names — render them
+          // logical (head's mapping) before the schema merge
+          val rev = headM.map(_.colMap).getOrElse(Nil)
+            .map(_.swap).toMap
+          val footer = spark.read.option("mergeSchema", true).parquet(
+            interleaved.map(l => s"$dir/${parseLine(l)._1}"): _*).schema
+          evolveSchema(stagedSchema, StructType(footer.map(f =>
+            f.copy(name = rev.getOrElse(f.name, f.name)))))
+        }
       if (validateChecks && !validatedFor.contains(checks)) {
-        enforceChecks(spark, dir, staged, checks, schema)
+        enforceChecks(spark, dir, staged, checks, schema, stagedMap)
         validatedFor = Some(checks)
       }
       val newLines = interleaved ++ carried ++ staged
@@ -3196,12 +3412,16 @@ object Versioned {
         .getOrElse(headM.map(bloomCfgOf).getOrElse(Nil))
       val statPol = statColsOverride
         .getOrElse(headM.map(statColsOf).getOrElse(Nil))
+      val pubColMap = colMapOverride
+        .getOrElse(headM.map(_.colMap).getOrElse(Nil))
+      guardColMap(schema, pubColMap)
       if (publishResolved(fs, dir, next, uuid)(
           casPublish(fs, dir, next, schema, newLines,
             checks = checks, dvs = newDvs, blooms = newBlooms,
             op = Some(op), bloomCfg = cfg,
             statColsPolicy = statPol.filter(schema.fieldNames.contains),
-            parent = headM, commitUuid = Some(uuid))))
+            parent = headM, commitUuid = Some(uuid),
+            colMap = pubColMap)))
         return next
       attempts += 1
       require(attempts < 1000,
@@ -3506,20 +3726,41 @@ object Versioned {
     */
   private def scanVisible(spark: SparkSession, dir: String,
       schema: StructType, lines: Seq[String], dvs: Seq[(String, String)],
-      keepMeta: Boolean = false): DataFrame = {
+      keepMeta: Boolean = false,
+      colMap: Seq[(String, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, regexp_extract}
     val rels = lines.map(parseLine(_)._1)
     val relSet = rels.toSet
     val live = dvs.filter(d => relSet.contains(d._1))
     val dvdRels = live.map(_._1).toSet
     def scan(paths: Seq[String], withMeta: Boolean) = {
-      val df = spark.read.schema(schema)
-        .parquet(paths.map(r => s"$dir/$r"): _*)
-      if (!withMeta) df
-      else df.select(col("*"),
-        regexp_extract(col("_metadata.file_path"), RelPattern, 1)
-          .as("__file"),
-        col("_metadata.row_index").as("__pos"))
+      // column mapping: request the PHYSICAL schema from parquet (a
+      // renamed column's files carry its birth name) and alias back
+      // to the logical names IN the scan's own projection (_metadata
+      // is only reachable there); the identity case keeps today's
+      // plan shape exactly (no extra Project)
+      if (colMap.isEmpty) {
+        val df = spark.read.schema(schema)
+          .parquet(paths.map(r => s"$dir/$r"): _*)
+        if (!withMeta) df
+        else df.select(col("*"),
+          regexp_extract(col("_metadata.file_path"), RelPattern, 1)
+            .as("__file"),
+          col("_metadata.row_index").as("__pos"))
+      } else {
+        val p = colMap.toMap
+        val phys = StructType(schema.map(f =>
+          f.copy(name = p.getOrElse(f.name, f.name))))
+        val raw = spark.read.schema(phys)
+          .parquet(paths.map(r => s"$dir/$r"): _*)
+        val dataCols = schema.map(f =>
+          col(s"`${p.getOrElse(f.name, f.name)}`").as(f.name))
+        if (!withMeta) raw.select(dataCols: _*)
+        else raw.select(dataCols ++ Seq(
+          regexp_extract(col("_metadata.file_path"), RelPattern, 1)
+            .as("__file"),
+          col("_metadata.row_index").as("__pos")): _*)
+      }
     }
     val plain = rels.filterNot(dvdRels)
     val parts = Seq(
@@ -3569,10 +3810,11 @@ object Versioned {
         // manifest knows the schema parquet's zero files cannot supply
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], sc)
-      case Some(sc) if m.dvs.nonEmpty =>
-        // merge-on-read: anti-join each DV'd file's recorded deleted
-        // positions; files without DVs scan untouched
-        scanVisible(spark, dir, sc, m.lines, m.dvs)
+      case Some(sc) if m.dvs.nonEmpty || m.colMap.nonEmpty =>
+        // merge-on-read DVs and/or column mapping: scanVisible
+        // anti-joins deleted positions and renders physical file
+        // columns under their logical names
+        scanVisible(spark, dir, sc, m.lines, m.dvs, colMap = m.colMap)
       case Some(sc) => spark.read.schema(sc).parquet(files: _*)
       case None =>
         require(files.nonEmpty,
@@ -3612,7 +3854,8 @@ object Versioned {
       // stats stay those of the base file — conservative: pruning may
       // keep a file whose matching rows are all deleted; the anti
       // join, not the stats, is the semantics)
-      case Some(sc) => scanVisible(spark, dir, sc, rels, m.dvs)
+      case Some(sc) =>
+        scanVisible(spark, dir, sc, rels, m.dvs, colMap = m.colMap)
       case None => spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
     }
     if (kept.isEmpty)
@@ -3663,7 +3906,8 @@ object Versioned {
     val pred = resolvedPredicate(spark, schema, predicate)
     val kept = pruneWithIndex(spark, dir, m, pred)
     // an all-pruned plan still renders the schema'd empty frame
-    scanVisible(spark, dir, schema, kept, m.dvs).filter(predicate)
+    scanVisible(spark, dir, schema, kept, m.dvs, colMap = m.colMap)
+      .filter(predicate)
   }
 
   /** Metadata-only COUNT(*): the row count of `version`, answered
@@ -3959,8 +4203,12 @@ object Versioned {
     // every per-version scan renders VISIBLE rows (that version's
     // deletion vectors applied) — a DV'd row is deleted to the feed
     // exactly as a rewritten-away row is
+    // physical names are fixed at column birth, so toVersion's map
+    // renders every window file — including ones removed mid-window
+    val feedMap = manifests(toVersion).colMap
     def scanVis(mf: Manifest, lines: Seq[String]): DataFrame =
-      scanVisible(spark, dir, tableSchema, lines, mf.dvs)
+      scanVisible(spark, dir, tableSchema, lines, mf.dvs,
+        colMap = feedMap)
     // rows at `pairs` positions that are visible under `mf` — the
     // row-level content of a DV delta. New pairs against the PREVIOUS
     // manifest = rows this commit deleted in place (the anti join in
@@ -3970,7 +4218,7 @@ object Versioned {
       val baseRels = pairs.map(_._1).toSet
       val withMeta = scanVisible(spark, dir, tableSchema,
         mf.lines.filter(l => baseRels.contains(parseLine(l)._1)),
-        mf.dvs, keepMeta = true)
+        mf.dvs, keepMeta = true, colMap = feedMap)
       val dv = spark.read.schema(DvSchema)
         .parquet(pairs.map(_._2).distinct.map(r => s"$dir/$r"): _*)
       withMeta.join(dv,

@@ -1476,6 +1476,66 @@ object DeltaQueries {
       |)
       |ORDER BY _commit_version, o_orderkey, _change_type""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  // RENAME COLUMN via column mapping: a metadata-only commit changes
+  // the logical name while every data file keeps its birth name
+  // (#colmap indirection — Delta's column-mapping shape, zero data
+  // movement at any table size). The fixture renames the key, then
+  // runs a pruned row-level DELETE UNDER THE NEW NAME — stats groups
+  // were rewritten to the new logical name, so file skipping keeps
+  // working — and reads the head. In-query requires pin what the
+  // oracle cannot see: time travel renders v0 under the OLD name,
+  // and untouched manifest lines carry verbatim through the
+  // post-rename DML.
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rename")
+    try {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val tbl = s"$tmp/table"
+      Versioned.commitWithStats(s, tbl,
+        orders.repartitionByRange(4, col("o_orderkey")),
+        "o_orderkey")                                          // v0
+      Versioned.renameColumn(s, tbl, "o_orderkey", "order_id") // v1
+      require(Versioned.read(s, tbl, Some(0)).columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        "time travel must render v0 under its OWN (old) column name")
+      require(Versioned.read(s, tbl, Some(1)).columns.toSeq ==
+        Seq("order_id", "o_totalprice"),
+        "the rename must be visible at its own version")
+      val before = Versioned.manifestDataLines(s, tbl, 1)
+      // a RANGE delete under the NEW name — the rewritten stats
+      // groups must still prune (quartile-to-half span, the q137
+      // arithmetic so every gate corpus computes the same bounds)
+      val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      if (!mm.isNullAt(0)) {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        val v = Versioned.deleteWhere(s, tbl,
+          col("order_id").between(lo, hi))                     // v2
+        if (v > 1 && before.size >= 4 && mx - mn >= 4)
+          require(Versioned.manifestDataLines(s, tbl, v).toSet
+            .intersect(before.toSet).nonEmpty,
+            "post-rename DML must still prune on the rewritten stats " +
+              "and carry untouched lines verbatim")
+      }
+      Versioned.read(s, tbl)
+        .orderBy("order_id")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q149Sql =
+    """SELECT o_orderkey AS order_id, o_totalprice FROM orders
+      |WHERE (o_orderkey BETWEEN
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
+      |         AND
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 2 FROM orders))
+      |      IS NOT TRUE
+      |ORDER BY order_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1504,7 +1564,8 @@ object DeltaQueries {
     "q145_sql_lake_dml" -> (q145 _),
     "q146_sql_lake_maintenance" -> (q146 _),
     "q147_sql_general_merge" -> (q147 _),
-    "q148_lake_stream_source" -> (q148 _))
+    "q148_lake_stream_source" -> (q148 _),
+    "q149_lake_rename_column" -> (q149 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1532,5 +1593,6 @@ object DeltaQueries {
     "q145_sql_lake_dml" -> q145Sql,
     "q146_sql_lake_maintenance" -> q146Sql,
     "q147_sql_general_merge" -> q147Sql,
-    "q148_lake_stream_source" -> q148Sql)
+    "q148_lake_stream_source" -> q148Sql,
+    "q149_lake_rename_column" -> q149Sql)
 }

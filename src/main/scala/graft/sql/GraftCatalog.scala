@@ -285,6 +285,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"${GraftTableProps.StatsKey} or ${GraftTableProps.BloomKey}")
         Versioned.setPolicy(session, dir, statOpt, bloomOpt)
         return loadTable(ident)
+      // ALTER TABLE … RENAME COLUMN: a metadata-only commit through
+      // the lake's column mapping (physical names stay on disk; time
+      // travel renders old versions under old names). Constraint and
+      // bloom-index interactions refuse loudly inside renameColumn.
+      case Seq(rc: TableChange.RenameColumn) =>
+        require(rc.fieldNames().length == 1,
+          "graft RENAME COLUMN renames top-level columns only, got: " +
+            rc.fieldNames().mkString("."))
+        Versioned.renameColumn(session, dir, rc.fieldNames()(0),
+          rc.newName())
+        return loadTable(ident)
       case _ =>
     }
     val schema = Versioned.read(session, dir).schema
