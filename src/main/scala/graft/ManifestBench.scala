@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measured manifest-commit-cost series — the artifact behind
+  * SCALING.md's round-14 accounting. For each retained-file count N,
+  * build a versioned table whose head manifest lists N data files,
+  * run K 1-row appends, and record per commit: the MANIFEST bytes
+  * written (the delta record) and wall-clock, next to the bytes a
+  * full snapshot of the same state costs (what EVERY append paid
+  * before the round-14 delta log, and what each checkpoint-interval
+  * commit still pays). Stats measurement is deliberately OFF
+  * (statCols = Nil): the series isolates the manifest substrate, not
+  * the per-file stats scan, whose cost is O(staged files) either way.
+  *
+  * Prints one JSON line:
+  * `{"metric":"manifest_commit","series":[{"files":N,
+  * "delta_bytes_per_commit":…, "delta_ms_per_commit":…,
+  * "snapshot_bytes":…}, …]}`
+  *
+  * Run: `sbt "runMain graft.ManifestBench [fileCounts…]"` (defaults
+  * 1000 4000 16000).
+  */
+object ManifestBench {
+
+  def main(args: Array[String]): Unit = {
+    val counts =
+      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1000, 4000, 16000)
+    val appends = 9 // within one checkpoint interval: pure delta cost
+    val spark = SparkSession.builder()
+      .appName("graft-manifest-bench")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def manifestBytes(dir: String, v: Int): Long =
+      java.nio.file.Files.size(java.nio.file.Paths.get(
+        dir, "_manifest", f"v$v%05d.txt"))
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-bench")
+    try {
+      for (n <- counts) {
+        val dir = s"$root/t$n"
+        // one commit listing n real (tiny) data files; no stats so the
+        // series isolates manifest mechanics
+        graft.lake.Versioned.commit(spark,
+          dir, (0 until n).map(i => (i.toLong, i.toString))
+            .toDF("id", "s").repartitionByRange(n,
+              org.apache.spark.sql.functions.col("id")))
+        val head0 = graft.lake.Versioned.latestVersion(spark, dir).get
+        // hash/range partitioning may leave a few empty partitions;
+        // the series reports the ACTUAL retained line count
+        val actual = graft.lake.Versioned
+          .manifestDataLines(spark, dir, head0).size
+        require(actual >= n / 2, s"fixture wanted ~$n lines, got $actual")
+        val one = Seq((999999L, "x")).toDF("id", "s").coalesce(1)
+        val t0 = System.nanoTime()
+        var bytes = 0L
+        for (_ <- 0 until appends) {
+          val v = graft.lake.Versioned.commit(spark, dir, one)
+          bytes += manifestBytes(dir, v)
+        }
+        val deltaMs = (System.nanoTime() - t0) / 1e6 / appends
+        val deltaBytes = bytes / appends
+        // the full snapshot of the same head state: what every append
+        // used to write, and what the 10th (checkpoint) commit still
+        // writes — rendered from the reconstruction, byte-exact
+        val snapBytes = graft.lake.Versioned.manifestSnapshot(spark,
+          dir, graft.lake.Versioned.latestVersion(spark, dir).get)
+          .map(_.length + 1L).sum
+        results += (s"""{"files":$actual,""" +
+          s""""delta_bytes_per_commit":$deltaBytes,""" +
+          s""""delta_ms_per_commit":${deltaMs.round},""" +
+          s""""snapshot_bytes":$snapBytes}""")
+      }
+      println(s"""{"metric":"manifest_commit","appends":$appends,""" +
+        s""""series":[${results.mkString(",")}]}""")
+    } finally {
+      graft.queries.Q.deleteRecursively(root)
+      spark.stop()
+    }
+  }
+}

@@ -66,16 +66,17 @@ final class GraftChangesSource(
   require(maxVersionsPerTrigger > 0,
     s"maxVersionsPerTrigger must be positive: $maxVersionsPerTrigger")
 
+  private val headAtCreation: Int =
+    Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-changes: no committed version in $dir to stream from"))
+
   // resolved once at source creation: the feed speaks ONE schema for
   // the stream's lifetime (the streaming contract); commits that later
   // ADD columns render through alignment below, a replace that DROPS
   // a feed column null-fills it
-  private val tableSchema: StructType = {
-    val head = Versioned.latestVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-changes: no committed version in $dir to stream from"))
-    Versioned.read(spark, dir, Some(head)).schema
-  }
+  private val tableSchema: StructType =
+    Versioned.read(spark, dir, Some(headAtCreation)).schema
   keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
     s"keyCols column '$k' is not a table column " +
       tableSchema.fieldNames.mkString("[", ", ", "]")))
@@ -94,9 +95,13 @@ final class GraftChangesSource(
   // restarted query keeps the original anchor instead of silently
   // re-anchoring past commits that landed while it was down.
   private val anchor: Int = startingVersion match {
-    case Left(v) => v
+    case Left(v) =>
+      require(v >= 0 && v <= headAtCreation,
+        s"startingVersion $v is not a committed version of $dir " +
+          s"(head is $headAtCreation)")
+      v
     case Right(()) =>
-      val computed = Versioned.latestVersion(spark, dir).getOrElse(0)
+      val computed = headAtCreation
       metadataPath.fold(computed) { mp =>
         val p = new org.apache.hadoop.fs.Path(mp, "graft-changes-anchor")
         val fs = p.getFileSystem(
