@@ -110,6 +110,25 @@ class VersionedRenameSpec extends SparkSuite {
     assert(feed.filter(col("_commit_version") === 2).count() == 1)
   }
 
+  test("filter pushdown crosses the mapping: a predicate on the " +
+      "logical name reaches the physical parquet scan translated") {
+    val dir = tmpDir() + "/pushdown"
+    ranged(dir)
+    Versioned.renameColumn(spark, dir, "id", "doc_id")
+    val df = Versioned.read(spark, dir).filter(col("doc_id") === 5L)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no parquet scan in the plan"))
+    // Catalyst rewrites the filter through the alias Project, so the
+    // scan's pushed filters speak the PHYSICAL name — the mapping
+    // costs a Project node, never the pushdown or the vectorized scan
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(id,5)"), s"pushed: $pushed")
+    assert(scan.metadata.getOrElse("ReadSchema", "").contains("id"),
+      "the scan must request the physical column")
+    assert(df.count() == 1)
+  }
+
   test("refusals: CHECK-referenced, bloom-indexed, duplicate and " +
       "missing names, and re-adding a renamed-away name") {
     val dir = tmpDir() + "/refuse"
