@@ -1123,15 +1123,23 @@ object Versioned {
     */
   private def stageBlooms(spark: SparkSession, dir: String,
       stagedLines: Seq[String],
-      cfg: Seq[(String, Long, Double)]): Seq[(String, String, String)] = {
+      cfg: Seq[(String, Long, Double)],
+      colMap: Seq[(String, String)] = Nil)
+      : Seq[(String, String, String)] = {
     import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, regexp_extract, struct}
     val byCol: Seq[(String, Long, Double)] =
       cfg.groupBy(_._1).values.map(_.head).toSeq.sortBy(_._1)
     if (byCol.isEmpty || stagedLines.isEmpty) return Nil
     val paths = stagedLines.map(l => s"$dir/${parseLine(l)._1}")
+    // cfg columns are LOGICAL; staged files carry PHYSICAL names —
+    // the agg reads through the mapping, the pointers and sidecar
+    // rows record the LOGICAL name (what probeBlooms' atoms speak;
+    // a later rename of an indexed column is refused, so the
+    // recorded name never goes stale)
+    val phys = colMap.toMap
     def q(name: String) = col(s"`$name`")
     val aggs = byCol.map { case (c, n, f) => graft.functions.BloomAgg
-      .bloomSketch(q(c), n, f).as(s"__b_$c") }
+      .bloomSketch(q(phys.getOrElse(c, c)), n, f).as(s"__b_$c") }
     val perFile = spark.read.parquet(paths: _*)
       .groupBy(regexp_extract(input_file_name(), RelPattern, 1).as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1377,7 +1385,10 @@ object Versioned {
         val deltaN = addLines.size + rmRels.size + dvAdds.size +
           dvRms.size + bloomAdds.size + bloomRms.size
         val fullN = lines.size + dvs.size + blooms.size
-        if (deltaN * 2 > fullN && fullN > 0) Nil // snapshot is smaller
+        // snapshot when it is not bigger than the delta — including
+        // the truncate shape (fullN == 0, deltaN == table): an empty
+        // snapshot beats O(table) #rmfile records
+        if (deltaN * 2 > fullN) Nil // snapshot is smaller
         else
           Seq(s"$BaseHeader${next - 1}\t${p.chainDepth + 1}") ++
             rmRels.map(r => s"$RmFileHeader$r") ++
@@ -1582,9 +1593,11 @@ object Versioned {
     val p = colMap.toMap
     val physSchema = StructType(tableSchema.map(f =>
       f.copy(name = p.getOrElse(f.name, f.name))))
-    val df = spark.read.schema(physSchema)
+    val raw = spark.read.schema(physSchema)
       .parquet(staged.map(l => s"$dir/${parseLine(l)._1}"): _*)
-      .toDF(tableSchema.fieldNames.toSeq: _*)
+    val df =
+      if (colMap.isEmpty) raw
+      else raw.toDF(tableSchema.fieldNames.toSeq: _*)
     checks.foreach { case (name, sql) =>
       if (df.filter(not(coalesce(expr(sql), lit(true))))
           .limit(1).count() > 0)
@@ -1635,7 +1648,8 @@ object Versioned {
     // rename would otherwise produce two columns with one name
     guardColMap(df.schema, stageMap)
     var newFiles = stage(spark, dir, df, measuredStats, stageMap)
-    var newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg)
+    var newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg,
+      stageMap)
     val uuid = newCommitUuid()
     var attempts = 0
     // re-validated inside the retry loop only when the constraint set
@@ -1679,7 +1693,7 @@ object Versioned {
         wantCfg.filterNot(c => measuredCfg.exists(_._1 == c._1))
       if (missingCfg.nonEmpty) {
         newBlooms = newBlooms ++
-          stageBlooms(spark, dir, newFiles, missingCfg)
+          stageBlooms(spark, dir, newFiles, missingCfg, stageMap)
         measuredCfg = measuredCfg ++ missingCfg
       }
       // symmetric with the stats re-measure: a racing policy
@@ -1855,7 +1869,7 @@ object Versioned {
     // dropped the filters — or rebuilt them undersized — would
     // disable point-lookup pruning without anyone noticing)
     val stagedBlooms = stageBlooms(spark, dir, staged,
-      bloomCfgOf(baseManifest))
+      bloomCfgOf(baseManifest), baseManifest.colMap)
     // the rewrite materializes the base version's EVOLVED schema
     // (null-filled columns become physical), which is what it records;
     // CHECK validation is skipped — the staged rows ARE the base's
@@ -2343,7 +2357,8 @@ object Versioned {
     // the bloom index survives the rewrite at its RECORDED sizing:
     // re-measure every column the table indexes (dropped/rewritten
     // files lose their stale pointers in the publish loop)
-    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
+    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
+      m.colMap)
     // surviving rows were admitted by their own commits: no CHECK rescan
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, validateChecks = false, carried = untouched,
@@ -2411,7 +2426,8 @@ object Versioned {
         }
       }: _*)
     val staged = stage(spark, dir, rewritten, inherited, m.colMap)
-    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
+    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
+      m.colMap)
     replaceLoop(spark, dir, staged, Some(base), keyCols = None,
       stagedSchema = schema, carried = untouched,
       stagedBlooms = stagedBlooms, op = "update")
@@ -2648,7 +2664,8 @@ object Versioned {
       }
     }: _*)
     val staged = stage(spark, dir, updated, inherited, m.colMap)
-    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
+    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
+      m.colMap)
     enforceChecks(spark, dir, staged, m.checks, schema)
     val attemptUuid = newCommitUuid()
     val published = publishResolved(fs, dir, base + 1, attemptUuid)(
@@ -2776,7 +2793,8 @@ object Versioned {
           newSchema).unionByName(srcAligned)
       }
       val staged = stage(spark, dir, stagedDf, inherited, m.colMap)
-      val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
+      val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
+      m.colMap)
       replaceLoop(spark, dir, staged, base, keyCols = Some(keyCols),
         stagedSchema = newSchema, carried = untouched,
         keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)),
@@ -3223,7 +3241,8 @@ object Versioned {
       val staged =
         try stage(spark, dir, stagedDf, inherited, m.colMap)
         finally insCached.foreach(_.unpersist())
-      val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m))
+      val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
+      m.colMap)
       replaceLoop(spark, dir, staged, Some(base),
         keyCols = Some(keyCols), stagedSchema = schema,
         carried = untouched,
@@ -3782,6 +3801,29 @@ object Versioned {
         lit("").as("__file"), lit(0L).as("__pos"))
     }
   }
+
+  /** A SLICE of version `v`'s data files `[fromLine, untilLine)` in
+    * manifest order (deterministic per version), rendered visible
+    * under the version's schema, deletion vectors, and column
+    * mapping — what lets [[graft.streaming.GraftChangesSource]] feed
+    * a huge table's initial snapshot as rate-limited micro-batches
+    * instead of one giant one. */
+  private[graft] def readSlice(spark: SparkSession, dir: String,
+      version: Int, fromLine: Int, untilLine: Int): DataFrame = {
+    val fs = fileSystem(spark, dir)
+    val m = readManifest(fs, dir, version)
+    val schema = versionSchema(spark, dir, m).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version of $dir has no schema to slice"))
+    scanVisible(spark, dir, schema,
+      m.lines.slice(fromLine, untilLine), m.dvs, colMap = m.colMap)
+  }
+
+  /** Version `v`'s data-file line count — the slice bound
+    * [[readSlice]] pages through. */
+  private[graft] def manifestLineCount(spark: SparkSession, dir: String,
+      version: Int): Int =
+    readManifest(fileSystem(spark, dir), dir, version).lines.size
 
   /** Read a specific version (time travel), or the latest when
     * `version` is None. Immutable: committing later versions never

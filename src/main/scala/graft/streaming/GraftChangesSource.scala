@@ -29,15 +29,17 @@ import graft.lake.Versioned
   * Scale shape: each micro-batch is planned by
   * [[Versioned.changesBetween]] over exactly the versions the batch
   * covers — O(delta) manifest reads and O(changed data) scan work per
-  * batch, never O(table). Exactly-once on restart: the committed
-  * offset in the checkpoint names the last version consumed, and
-  * `getBatch(start, end)` over versions `(start, end]` is
-  * deterministic replay — the same commits produce the same rows.
-  * `maxVersionsPerTrigger` bounds a batch's version span (catch-up
-  * after downtime arrives in rate-limited chunks instead of one giant
-  * batch). Retention interacts the usual way: the feed needs every
-  * manifest in its window, so [[Versioned.pin]] the range if expiry
-  * runs concurrently — an expired window fails loudly, never silently
+  * batch, never O(table). Exactly-once on restart: offsets are
+  * `(version, snapshotFileIdx)` pairs (Delta's (reservoirVersion,
+  * index) shape) and `getBatch(start, end)` is deterministic replay.
+  * The INITIAL SNAPSHOT of an explicit `startingVersion` pages
+  * through `maxFilesPerTrigger` manifest-line slices (default 1000) —
+  * at 100 TB the first batch must not be the whole table — and
+  * `maxVersionsPerTrigger` bounds the incremental phase's version
+  * span, so catch-up after downtime arrives in rate-limited chunks.
+  * Retention interacts the usual way: the feed needs every manifest
+  * in its window, so [[Versioned.pin]] the range if expiry runs
+  * concurrently — an expired window fails loudly, never silently
   * skips commits.
   *
   * V1 `Source` deliberately (the shape Delta ships): `getBatch`
@@ -125,37 +127,65 @@ final class GraftChangesSource(
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", IntegerType, nullable = false))
 
-  // rate limiting: getOffset advances at most maxVersionsPerTrigger
-  // past what the last getBatch consumed (restart replays refresh it)
-  @volatile private var lastSeen: Long = anchor.toLong
+  // the initial-snapshot extent (explicit startingVersion only): the
+  // anchor version's data-file count, paged through in
+  // maxFilesPerTrigger slices — at 100 TB the first batch must NOT be
+  // the whole table (Delta's (reservoirVersion, index) offsets; same
+  // shape here). `latest` mode has no snapshot phase.
+  private val snapTotal: Long =
+    if (startingVersion.isLeft)
+      Versioned.manifestLineCount(spark, dir, anchor).toLong
+    else 0L
+  private val maxFilesPerTrigger: Int =
+    opts.get("maxfilespertrigger").map(_.toInt).getOrElse(1000)
+  require(maxFilesPerTrigger > 0,
+    s"maxFilesPerTrigger must be positive: $maxFilesPerTrigger")
+
+  // rate limiting: getOffset advances at most maxVersionsPerTrigger /
+  // maxFilesPerTrigger past what the last getBatch consumed (restart
+  // replays refresh it via the engine's recovery getBatch call)
+  @volatile private var lastSeen: (Long, Long) =
+    (anchor.toLong, if (startingVersion.isRight) snapTotal else 0L)
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     Versioned.latestVersion(spark, dir).flatMap { head =>
-      val capped = math.min(head.toLong,
-        lastSeen + maxVersionsPerTrigger)
-      // "latest" mode with no new commits yet: nothing to stream
-      if (capped <= anchor && startingVersion.isRight) None
-      else Some(LongOffset(math.max(capped, anchor.toLong)))
+      val (lv, li) = lastSeen
+      if (li < snapTotal)
+        // snapshot phase: advance through the anchor's files only
+        Some(GraftChangesOffset(anchor.toLong,
+          math.min(li + maxFilesPerTrigger, snapTotal)))
+      else {
+        val capped = math.min(head.toLong,
+          math.max(lv, anchor.toLong) + maxVersionsPerTrigger)
+        // "latest" mode with no new commits yet: nothing to stream
+        if (capped <= anchor && startingVersion.isRight) None
+        else Some(GraftChangesOffset(
+          math.max(capped, anchor.toLong), snapTotal))
+      }
     }
 
   override def getBatch(
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
-    val endV = versionOf(end)
-    lastSeen = math.max(lastSeen, endV)
-    val fromV: Long = start.map(versionOf).getOrElse(anchor.toLong)
+    val (endV, endIdx) = parseOffset(end)
+    lastSeen = {
+      val (lv, li) = lastSeen
+      (math.max(lv, endV), math.max(li, endIdx))
+    }
+    val (fromV, fromIdx) =
+      start.map(parseOffset).getOrElse((anchor.toLong, 0L))
     val tableCols = tableSchema.fields.map(_.name).toSeq
-    // the initial batch of an explicit startingVersion carries that
-    // version's full content as inserts (the snapshot half); every
-    // batch after — and the whole stream in "latest" mode — is the
-    // incremental feed over (fromV, endV]
+    // snapshot slice: anchor-version files [fromIdx, endIdx) as
+    // inserts (explicit startingVersion's paged initial content)
     val snapshot: Option[DataFrame] =
-      if (start.isEmpty && startingVersion.isLeft)
-        Some(Versioned.read(spark, dir, Some(anchor)).select(
+      if (endIdx > fromIdx && startingVersion.isLeft)
+        Some(Versioned.readSlice(spark, dir, anchor,
+          fromIdx.toInt, endIdx.toInt).select(
           tableCols.map(col) :+
             lit("insert").as("_change_type") :+
             lit(anchor).as("_commit_version"): _*))
       else None
+    // incremental feed over (fromV, endV]
     val changes: Option[DataFrame] =
       if (endV > fromV)
         Some(align(Versioned.changesBetween(spark, dir,
@@ -183,16 +213,44 @@ final class GraftChangesSource(
     } :+ col("_change_type") :+ col("_commit_version"): _*)
   }
 
-  private def versionOf(
-      o: org.apache.spark.sql.execution.streaming.Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset on restart
-  }
+  /** `(version, snapshotFilesConsumed)` from any offset the engine
+    * hands back: ours, its serialized twin, or a bare long from a
+    * pre-chunking checkpoint (treated as snapshot-complete). */
+  private def parseOffset(
+      o: org.apache.spark.sql.execution.streaming.Offset): (Long, Long) =
+    o match {
+      case g: GraftChangesOffset => (g.version, g.idx)
+      case l: LongOffset => (l.offset, snapTotal)
+      case other => GraftChangesOffset.parse(other.json, snapTotal)
+    }
 
   override def commit(
       end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** The source's composite offset: `version` = last table version
+  * consumed, `idx` = anchor-snapshot files consumed (Delta's
+  * (reservoirVersion, index) shape). JSON so checkpoints replay it
+  * across restarts. */
+final case class GraftChangesOffset(version: Long, idx: Long)
+  extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = s"""{"v":$version,"idx":$idx}"""
+}
+
+object GraftChangesOffset {
+  /** Parse the json form; a bare long (a pre-chunking checkpoint)
+    * reads as that version with the snapshot complete. */
+  def parse(json: String, snapTotal: Long): (Long, Long) = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val m = """"v"\s*:\s*(-?\d+).*"idx"\s*:\s*(-?\d+)""".r
+        .findFirstMatchIn(t).getOrElse(throw new IllegalArgumentException(
+          s"unreadable graft-changes offset: $json"))
+      (m.group(1).toLong, m.group(2).toLong)
+    } else (t.toLong, snapTotal)
+  }
 }
 
 /** `DataSourceRegister` so `.format("graft-changes")` resolves by

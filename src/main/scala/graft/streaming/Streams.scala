@@ -81,13 +81,16 @@ object Streams {
   def readChanges(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, keyCols: Seq[String],
       startingVersion: String = "0",
-      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.format("graft-changes")
+      maxVersionsPerTrigger: Option[Int] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r0 = spark.readStream.format("graft-changes")
       .option("path", tableDir)
       .option("keyCols", keyCols.mkString(","))
       .option("startingVersion", startingVersion)
-    maxVersionsPerTrigger.fold(r)(n =>
-      r.option("maxVersionsPerTrigger", n.toString)).load()
+    val r1 = maxVersionsPerTrigger.fold(r0)(n =>
+      r0.option("maxVersionsPerTrigger", n.toString))
+    maxFilesPerTrigger.fold(r1)(n =>
+      r1.option("maxFilesPerTrigger", n.toString)).load()
   }
 
   /** ST4 (true event-time form): drop duplicate keys within the watermark

@@ -94,6 +94,23 @@ class VersionedDeltaManifestSpec extends SparkSuite {
     assert(Versioned.bloomPolicy(spark, dir) == Seq(("k", 1000L, 0.01)))
   }
 
+  test("a truncate-shaped replace snapshots: an empty listing beats " +
+      "O(table) removal records") {
+    val dir = tmpDir() + "/truncate"
+    for (i <- 0 until 4)
+      Versioned.commit(spark, dir, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    val v = Versioned.commit(spark, dir,
+      spark.emptyDataset[(Long, String)].toDF("id", "s"),
+      replace = true)
+    val raw = rawFile(dir, v)
+    assert(!raw.exists(_.startsWith("#base\t")) &&
+      !raw.exists(_.startsWith("#rmfile\t")),
+      s"a truncate must publish an empty snapshot, got:\n" +
+        raw.mkString("\n"))
+    assert(Versioned.read(spark, dir).count() == 0)
+    assert(Versioned.read(spark, dir, Some(3)).count() == 4)
+  }
+
   test("expire across a delta chain re-checkpoints the oldest kept " +
       "version in place; retention stays exact and every kept version " +
       "reads") {

@@ -129,6 +129,32 @@ class VersionedRenameSpec extends SparkSuite {
     assert(df.count() == 1)
   }
 
+  test("a bloom index DECLARED on an already-renamed column builds " +
+      "and probes through the mapping") {
+    val dir = tmpDir() + "/bloom-after"
+    ranged(dir)
+    Versioned.renameColumn(spark, dir, "id", "doc_id")          // v1
+    // declare the index on the RENAMED logical name, then append —
+    // the staged file carries the physical birth name, the filter
+    // must still build over it and answer logical probes
+    Versioned.setPolicy(spark, dir,
+      bloomCfg = Some(Seq(("doc_id", 1000L, 0.01))))            // v2
+    Versioned.commitWithStats(spark, dir,
+      Seq((100L, "row100")).toDF("doc_id", "s"), "doc_id")      // v3
+    assert(Versioned.plannedFilesEq(spark, dir,
+      col("doc_id") === 100L).size == 1,
+      "the post-rename bloom must answer the logical point lookup")
+    assert(Versioned.readEq(spark, dir, col("doc_id") === 100L)
+      .count() == 1)
+    // a compaction re-measures every filter through the mapping too
+    Versioned.compactCommit(spark, dir, clusterBy = Seq("doc_id"))
+    assert(Versioned.readEq(spark, dir, col("doc_id") === 7L)
+      .count() == 1)
+    assert(Versioned.plannedFilesEq(spark, dir,
+      col("doc_id") === 7L).size == 1,
+      "compaction must rebuild the filters through the mapping")
+  }
+
   test("refusals: CHECK-referenced, bloom-indexed, duplicate and " +
       "missing names, and re-adding a renamed-away name") {
     val dir = tmpDir() + "/refuse"
