@@ -866,6 +866,26 @@ object Versioned {
       m.lines
   }
 
+  /** Force a full-snapshot rewrite of the HEAD manifest in place —
+    * content-identical, NO new version: the knob that bounds the
+    * delta-chain tail a cold reader pays, worth running before
+    * handing a table to a fleet of readers or ahead of a retention
+    * sweep (the natural checkpoint would otherwise land up to
+    * [[manifestCheckpointEvery]] − 1 commits later). Safe against
+    * racing commits: a concurrent publish diffs against the SAME
+    * reconstructed state either way. Returns true iff the head was a
+    * delta (there was something to fold). */
+  def checkpointManifest(spark: SparkSession, dir: String): Boolean = {
+    val fs = fileSystem(spark, dir)
+    latestVersion(spark, dir) match {
+      case None => false
+      case Some(head) => lockFor(dir).synchronized {
+        if (readRaw(fs, dir, head).base.isEmpty) false
+        else { checkpointInPlace(fs, dir, head); true }
+      }
+    }
+  }
+
   /** Rewrite version `v`'s DELTA manifest file as the full snapshot of
     * the identical reconstructed state — [[expire]]'s chain-integrity
     * step before it drops the manifests the chain depended on. On a

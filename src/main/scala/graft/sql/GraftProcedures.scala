@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructField, StructType}
 
 import graft.lake.Versioned
 
@@ -39,7 +39,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("history", "restore", "expire", "compact", "dv_debt", "pin",
-      "unpin", "set_policy")
+      "unpin", "set_policy", "checkpoint")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -51,6 +51,7 @@ object GraftProcedures {
       case "pin" => Some(PinProcedure(catalog))
       case "unpin" => Some(UnpinProcedure(catalog))
       case "set_policy" => Some(SetPolicyProcedure(catalog))
+      case "checkpoint" => Some(CheckpointProcedure(catalog))
       case _ => None
     }
 }
@@ -106,6 +107,26 @@ sealed abstract class GraftProcedure(catalog: GraftCatalog)
 /** `CALL graft.system.history('db.t')` → the DESCRIBE HISTORY audit
   * rows ([[Versioned.history]] — one row per retained version,
   * driver-side manifest reads only). */
+/** `CALL graft.system.checkpoint('db.t')` →
+  * [[Versioned.checkpointManifest]]: fold the head's delta chain into
+  * a full snapshot IN PLACE (content-identical, no new version) —
+  * bounds the reconstruction tail cold readers pay before the next
+  * natural checkpoint. Returns whether the head was a delta. */
+final case class CheckpointProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "checkpoint"
+  override def description(): String =
+    "fold the head manifest's delta chain into a full snapshot in place"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(param("table", StringType))
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val folded = Versioned.checkpointManifest(session,
+      dirOf(input.getUTF8String(0).toString))
+    result(StructType(Seq(StructField("folded", BooleanType,
+      nullable = false))), Array[Any](folded))
+  }
+}
+
 final case class HistoryProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
   override def name(): String = "history"

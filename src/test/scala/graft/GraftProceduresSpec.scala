@@ -256,6 +256,38 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("CALL checkpoint folds the head's delta chain into a snapshot " +
+      "in place: same state, no new version, bounded reader tail") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.t AS SELECT id FROM range(10)") // v0
+      (0 until 3).foreach(i => s.sql(
+        s"INSERT INTO graft.db.t VALUES (${100 + i})"))      // v1..v3
+      val dir = s"$wh/db/t"
+      def headIsDelta: Boolean = {
+        val v = Versioned.latestVersion(s, dir).get
+        val p = java.nio.file.Paths.get(dir, "_manifest",
+          f"v$v%05d.txt")
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        try src.getLines().exists(_.startsWith("#base\t"))
+        finally src.close()
+      }
+      assert(headIsDelta, "fixture: the head must start as a delta")
+      val folded = s.sql("CALL graft.system.checkpoint('db.t')")
+        .collect()
+      assert(folded.head.getBoolean(0))
+      assert(!headIsDelta, "the head must now be a full snapshot")
+      assert(Versioned.latestVersion(s, dir).contains(3),
+        "checkpoint must not publish a new version")
+      assert(s.table("graft.db.t").count() == 13)
+      assert(s.sql("SELECT * FROM graft.db.t VERSION AS OF 1")
+        .count() == 11, "history must survive the fold")
+      // idempotent: a snapshot head has nothing to fold
+      assert(!s.sql("CALL graft.system.checkpoint('db.t')")
+        .collect().head.getBoolean(0))
+    }
+  }
+
   test("CALL pin holds a version against expire until CALL unpin " +
       "releases it") {
     withCatalogSession { (s, wh) =>
