@@ -138,6 +138,12 @@ class GraftChangesSourceSpec extends SparkSuite {
         String, Int)]()
     val batchSizes =
       new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // a mid-batch kill leaves the offset logged but uncommitted, and
+    // the engine RE-RUNS that batch on restart with the SAME batchId
+    // and (deterministic source) the same rows — exactly-once is the
+    // sink's dedup-by-batchId job, the idempotentCommit pattern
+    val seenBatches =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     def start() = spark.readStream.format("graft-changes")
       .option("path", dir).option("keyCols", "id")
       .option("maxFilesPerTrigger", "1")
@@ -145,10 +151,12 @@ class GraftChangesSourceSpec extends SparkSuite {
       .load()
       .writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = b.as[(Long, String, String, Int)].collect()
-        batchSizes.add(rows.length.toLong)
-        rows.foreach(got.add)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (seenBatches.add(id)) {
+          val rows = b.as[(Long, String, String, Int)].collect()
+          batchSizes.add(rows.length.toLong)
+          rows.foreach(got.add)
+        }
         ()
       }.start()
     // first incarnation: stop after at least one snapshot slice landed
