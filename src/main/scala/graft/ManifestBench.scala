@@ -78,8 +78,43 @@ object ManifestBench {
           s""""delta_ms_per_commit":${deltaMs.round},""" +
           s""""snapshot_bytes":$snapBytes}""")
       }
+      // head-resolution series (round 15): latestVersion through the
+      // advisory `_head` pointer vs the directory-LIST fallback, at
+      // retained-version counts a bench run could never commit for
+      // real — the synthetic manifests are byte-valid snapshots
+      // replicated from a real commit, so the resolution path under
+      // test is exactly production's. The pointer cost must stay FLAT
+      // (a handful of exists() probes); the LIST cost grows with the
+      // retained history (paginated on an object store).
+      val headResults = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (n <- Seq(1000, 16000, 64000)) {
+        val dir = s"$root/h$n"
+        graft.lake.Versioned.commit(spark, dir,
+          Seq((1L, "a")).toDF("id", "s").coalesce(1))
+        val mdir = java.nio.file.Paths.get(dir, "_manifest")
+        val bytes = java.nio.file.Files.readAllBytes(
+          mdir.resolve("v00000.txt"))
+        for (v <- 1 until n)
+          java.nio.file.Files.write(mdir.resolve(f"v$v%05d.txt"), bytes)
+        java.nio.file.Files.write(mdir.resolve("_head"),
+          (n - 1).toString.getBytes("UTF-8"))
+        def timeMs(iters: Int)(f: => Unit): Double = {
+          f // warm
+          val t0 = System.nanoTime()
+          (0 until iters).foreach(_ => f)
+          (System.nanoTime() - t0) / 1e6 / iters
+        }
+        val pointerMs = timeMs(20)(require(graft.lake.Versioned
+          .latestVersion(spark, dir).contains(n - 1)))
+        java.nio.file.Files.delete(mdir.resolve("_head"))
+        val listMs = timeMs(5)(require(graft.lake.Versioned
+          .latestVersion(spark, dir).contains(n - 1)))
+        headResults += (s"""{"versions":$n,""" +
+          f""""pointer_ms":$pointerMs%.3f,"list_ms":$listMs%.3f}""")
+      }
       println(s"""{"metric":"manifest_commit","appends":$appends,""" +
-        s""""series":[${results.mkString(",")}]}""")
+        s""""series":[${results.mkString(",")}],""" +
+        s""""head_series":[${headResults.mkString(",")}]}""")
     } finally {
       graft.queries.Q.deleteRecursively(root)
       spark.stop()

@@ -126,16 +126,120 @@ object Versioned {
   private def manifestPath(dir: String, v: Int): Path =
     new Path(dir, f"_manifest/v$v%05d.txt")
 
-  /** Highest committed version, or None for an empty/absent table. */
+  /** CHECKPOINT SIDECAR of a delta manifest: the full snapshot of
+    * version `v`'s reconstructed state, written BESIDE the committed
+    * manifest file (`v%05d.ckpt.txt`) — the committed file itself is
+    * never mutated (Delta's separate-checkpoint-file shape). Readers
+    * prefer the sidecar when present; a missing or half-written
+    * sidecar just means "walk the delta chain", never a wrong answer.
+    */
+  private def ckptPath(dir: String, v: Int): Path =
+    new Path(dir, f"_manifest/v$v%05d.ckpt.txt")
+
+  /** ADVISORY head pointer (`_manifest/_head`, Delta's
+    * `_last_checkpoint` shape): the newest version some commit knew it
+    * created, updated best-effort after every successful CAS. The
+    * CAS'd version files stay the source of truth — a stale pointer
+    * means "probe forward from here", a missing/corrupt one falls back
+    * to the directory listing; neither can mis-resolve the head.
+    */
+  private def headPointerPath(dir: String): Path =
+    new Path(dir, "_manifest/_head")
+
+  /** Best-effort `_head` update after a won commit. Failures are
+    * swallowed: the pointer is a read optimization, and the manifest
+    * the CAS just installed is the durable truth. */
+  private def writeHeadPointer(fs: FileSystem, dir: String,
+      v: Int): Unit =
+    try {
+      val target = headPointerPath(dir)
+      val tmp = new Path(dir,
+        s"_manifest/.head-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      installOverwrite(fs, tmp, target)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Install `tmp` as `target`, overwriting any previous content —
+    * atomically where the filesystem can (NIO move on local, rename
+    * after delete elsewhere; an object store's plain put is atomic by
+    * itself). Only for ADVISORY artifacts (head pointer, checkpoint
+    * sidecars) whose readers tolerate absence: a reader racing the
+    * non-local delete+rename window sees "missing" and falls back. */
+  private def installOverwrite(fs: FileSystem, tmp: Path,
+      target: Path): Unit = {
+    if (fs.getScheme == "file") {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.move(t,
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the tmp was written through ChecksumFileSystem; the NIO move
+      // bypasses it, so the crc sidecars must go explicitly
+      val parent = t.getParent
+      if (parent != null) {
+        java.nio.file.Files.deleteIfExists(
+          parent.resolve("." + t.getFileName.toString + ".crc"))
+        java.nio.file.Files.deleteIfExists(
+          parent.resolve("." + target.getName + ".crc"))
+        ()
+      }
+    } else {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+      ()
+    }
+  }
+
+  /** The `_head` hint when it is present, parseable, and names a
+    * version that still exists; None sends the caller to the listing. */
+  private def headHint(fs: FileSystem, dir: String): Option[Int] =
+    try {
+      val p = headPointerPath(dir)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        s.toIntOption.filter(v =>
+          v >= 0 && fs.exists(manifestPath(dir, v)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Highest committed version, or None for an empty/absent table.
+    *
+    * O(1) on the hot path: the `_head` pointer names a committed
+    * version and the probe walks forward over the (dense) versions
+    * committed since it was written — a handful of exists() calls,
+    * never a directory listing. On an object store a long-retention
+    * table's `_manifest` LIST is paginated (1000 keys/page) and was
+    * paid per query plan before the pointer existed. The full listing
+    * remains the fallback for tables without a pointer (pre-pointer
+    * history, or a corrupt/deleted file) — slower, never wrong.
+    */
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
     val fs = fileSystem(spark, dir)
-    val mdir = new Path(dir, "_manifest")
-    if (!fs.exists(mdir)) None
-    else {
-      val vs = fs.listStatus(mdir).map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-        .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt)
-      if (vs.isEmpty) None else Some(vs.max)
+    headHint(fs, dir) match {
+      case Some(h) =>
+        // versions are dense above any committed one (commits only
+        // ever create head+1; expire only drops BELOW the kept
+        // window), so the first missing successor is the head
+        var v = h
+        while (fs.exists(manifestPath(dir, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val mdir = new Path(dir, "_manifest")
+        if (!fs.exists(mdir)) None
+        else {
+          // exact-name match: checkpoint sidecars (v00010.ckpt.txt)
+          // and pointer tmps live in the same directory
+          val vs = fs.listStatus(mdir).map(_.getPath.getName)
+            .filter(_.matches("v\\d{5}\\.txt"))
+            .map(_.substring(1, 6).toInt)
+          if (vs.isEmpty) None else Some(vs.max)
+        }
     }
   }
 
@@ -169,7 +273,9 @@ object Versioned {
       ts: Option[Long] = None,
       commitUuid: Option[String] = None,
       chainDepth: Int = 0,
-      colMap: Seq[(String, String)] = Nil)
+      colMap: Seq[(String, String)] = Nil,
+      ckptEvery: Option[Int] = None,
+      colDrops: Seq[String] = Nil)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -260,14 +366,25 @@ object Versioned {
   private val RmDvHeader = "#rmdv\t"
   private val RmBloomHeader = "#rmbloom\t"
 
-  /** Snapshot cadence of the manifest log: a delta chain never grows
-    * past this many links before a commit publishes a full snapshot
-    * (Delta's checkpoint-every-N shape). Env-tunable for stress runs;
-    * `<= 1` disables deltas entirely (every commit a snapshot — the
-    * pre-round-14 behavior). */
+  /** PROCESS-DEFAULT snapshot cadence of the manifest log: a delta
+    * chain never grows past this many links before a commit publishes
+    * a full snapshot (Delta's checkpoint-every-N shape). Env-tunable
+    * for stress runs; `<= 1` disables deltas entirely (every commit a
+    * snapshot — the pre-round-14 behavior). A TABLE overrides it with
+    * the `#ckptevery` manifest header (TBLPROPERTIES
+    * `graft.manifest.checkpointEvery` / [[setPolicy]]): a read-hot
+    * table declares 1 and never pays chain reconstruction, a
+    * write-hot one declares 10+ and keeps commits O(delta). */
   private def manifestCheckpointEvery: Int =
     sys.env.get("SPARK_GRAFT_MANIFEST_CHECKPOINT")
       .map(_.trim.toInt).getOrElse(10)
+
+  // manifest-checkpoint cadence header: `#ckptevery\t<n>` — the
+  // TABLE's declared snapshot cadence, carried like the stats/bloom
+  // policy (every commit republishes it in full). Absent = use the
+  // process default above; this field has no legacy line-derived
+  // fallback, so no `#ts` gating applies.
+  private val CkptEveryHeader = "#ckptevery\t"
 
   // column mapping: `#colmap\t<logical>\t<physical>` (names
   // uri-encoded), one line per RENAMED column — Delta's column-mapping
@@ -281,11 +398,37 @@ object Versioned {
   // is consulted only at the parquet scan/write boundary.
   private val ColMapHeader = "#colmap\t"
 
+  // dropped-column tombstone: `#coldrop\t<physical>` (uri-encoded),
+  // one line per DROPPED column's PHYSICAL name. DROP COLUMN is a
+  // metadata commit — the physical bytes stay in every data file; the
+  // tombstone is what refuses a later column whose physical name
+  // would collide with them (old files' bytes would leak into the new
+  // column at scan time). Carried like the column mapping: every
+  // commit republishes the full set; a replace claims naming
+  // authority and resets it.
+  private val ColDropHeader = "#coldrop\t"
+
   /** Parse one manifest FILE as written (no delta reconstruction).
     * Header fields are authoritative for the version either way; the
-    * lines/dvs/blooms of a delta node are its ADDS only. */
+    * lines/dvs/blooms of a delta node are its ADDS only.
+    *
+    * A DELTA node with a checkpoint SIDECAR ([[ckptPath]] — written by
+    * [[checkpointManifest]] or [[expire]]'s chain-integrity step)
+    * returns the sidecar's full snapshot instead: content-identical
+    * state, zero chain walk, and the committed manifest file itself
+    * stays immutable forever. Snapshot nodes never pay the sidecar
+    * exists() probe. */
   private def readRaw(fs: FileSystem, dir: String, v: Int): RawNode = {
-    val in = fs.open(manifestPath(dir, v))
+    val node = parseManifestFile(fs, manifestPath(dir, v))
+    if (node.base.isEmpty) node
+    else {
+      val cp = ckptPath(dir, v)
+      if (fs.exists(cp)) parseManifestFile(fs, cp) else node
+    }
+  }
+
+  private def parseManifestFile(fs: FileSystem, path: Path): RawNode = {
+    val in = fs.open(path)
     val raw =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toList
@@ -354,10 +497,18 @@ object Versioned {
       (java.net.URLDecoder.decode(lg, "UTF-8"),
         java.net.URLDecoder.decode(ph, "UTF-8"))
     }
+    val ckptEvery = raw.collectFirst {
+      case l if l.startsWith(CkptEveryHeader) =>
+        l.stripPrefix(CkptEveryHeader).trim.toInt
+    }
+    val colDrops = raw.collect { case l if l.startsWith(ColDropHeader) =>
+      java.net.URLDecoder.decode(l.stripPrefix(ColDropHeader), "UTF-8")
+    }
     RawNode(base, rmFiles, rmDvs, rmBlooms,
       Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
         blooms, op, bloomCfg, statColsPolicy, ts, commitUuid,
-        chainDepth = base.map(_._2).getOrElse(0), colMap = colMap))
+        chainDepth = base.map(_._2).getOrElse(0), colMap = colMap,
+        ckptEvery = ckptEvery, colDrops = colDrops))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -489,15 +640,19 @@ object Versioned {
   }
 
   /** A column OUTSIDE the mapping has physical == logical; if that
-    * name equals the PHYSICAL name of a renamed column, old files'
-    * bytes would leak into the new column at scan time (the collision
-    * Delta avoids by minting uuid physical names). Refused loudly —
-    * re-adding a renamed-away name needs a replace. */
+    * name equals the PHYSICAL name of a renamed column — or of a
+    * DROPPED one (`#coldrop` tombstones) — old files' bytes would
+    * leak into the new column at scan time (the collision Delta
+    * avoids by minting uuid physical names). Refused loudly —
+    * re-adding a renamed-away or dropped-away name needs a replace. */
   private def guardColMap(schema: StructType,
-      colMap: Seq[(String, String)]): Unit = {
-    if (colMap.isEmpty) return
+      colMap: Seq[(String, String)],
+      colDrops: Seq[String] = Nil): Unit = {
+    if (colMap.isEmpty && colDrops.isEmpty) return
     val logical = colMap.map(_._1).toSet
     val physOfRenamed = colMap.filter(e => e._1 != e._2).map(_._2).toSet
+    val phys = colMap.toMap
+    val dropped = colDrops.toSet
     schema.fieldNames.foreach { n =>
       if (!logical.contains(n) && physOfRenamed.contains(n))
         throw new CommitConflictException(
@@ -505,6 +660,12 @@ object Versioned {
             "column (column mapping): old data files already carry " +
             s"'$n' for the renamed column — pick another name, or " +
             "publish a replace")
+      if (dropped.contains(phys.getOrElse(n, n)))
+        throw new CommitConflictException(
+          s"column '$n' collides with the physical name of a DROPPED " +
+            "column: old data files still carry its bytes, which " +
+            "would leak into the new column at scan time — pick " +
+            "another name, or publish a replace")
     }
   }
 
@@ -568,7 +729,7 @@ object Versioned {
         ((to, physical))).filter(e => e._1 != e._2)
       val newSchema = StructType(schema.map(f =>
         if (f.name == from) f.copy(name = to) else f))
-      guardColMap(newSchema, newColMap)
+      guardColMap(newSchema, newColMap, m.colDrops)
       val newStatCols = statColsOf(m).map(c => if (c == from) to else c)
       val newLines = m.lines.map(renameStatsCol(_, from, to))
       if (publishResolved(fs, dir, head + 1, uuid)(
@@ -577,7 +738,7 @@ object Versioned {
             op = Some(s"rename-column($from->$to)"),
             bloomCfg = bloomCfgOf(m), statColsPolicy = newStatCols,
             parent = Some(m), commitUuid = Some(uuid),
-            colMap = newColMap)))
+            colMap = newColMap, colDrops = m.colDrops)))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -603,6 +764,114 @@ object Versioned {
       } else i += 1
     }
     parts.mkString("\t")
+  }
+
+  /** Render a manifest data line from parsed stats groups — the exact
+    * inverse of [[parseStatsFull]] under [[measureLines]]'s canonical
+    * annotation order (`~u`, `~n`, `~r`; the row count on the first
+    * group only). Only [[dropStatsCol]] re-renders lines; everything
+    * else carries them byte-verbatim. */
+  private def renderStatsLine(rel: String,
+      groups: Seq[StatGroup]): String =
+    groups.zipWithIndex.map { case (g, i) =>
+      val u = if (g.micros) "\t~u" else ""
+      val n = g.nulls.map(v => s"\t~n$v").getOrElse("")
+      val r = if (i == 0) g.rows.map(v => s"\t~r$v").getOrElse("") else ""
+      s"\t${g.col}\t${g.min}\t${g.max}$u$n$r"
+    }.mkString(rel, "", "")
+
+  /** Remove column `name`'s stats group from a manifest line — DROP
+    * COLUMN's line surgery. Load-bearing for correctness, not just
+    * hygiene: a stale group under a re-used logical name would
+    * describe the DROPPED column's data, and the metadata-delete
+    * ∀-prover ([[statsMustMatchAll]]) could then "prove" all rows of
+    * a file match a predicate over the NEW column and drop rows it
+    * must keep. The file's row count survives on the new first group.
+    * Lines without the group return byte-verbatim (delta economy). */
+  private def dropStatsCol(line: String, name: String): String = {
+    val (rel, groups) = parseStatsFull(line)
+    if (!groups.exists(_.col == name)) return line
+    val rows = groups.flatMap(_.rows).headOption
+    val kept = groups.filterNot(_.col == name)
+    if (kept.isEmpty) rel
+    else renderStatsLine(rel,
+      kept.head.copy(rows = rows) +: kept.tail.map(_.copy(rows = None)))
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit (the complement of
+    * [[renameColumn]] on the same column-mapping substrate): the
+    * logical column leaves the schema, every data file keeps its
+    * bytes (scans simply stop requesting the physical column — zero
+    * data movement at any table size), and the column's PHYSICAL name
+    * is recorded as a `#coldrop` tombstone so a later column cannot
+    * silently inherit the orphaned bytes ([[guardColMap]] refuses the
+    * collision; lifting it takes uuid physical names or a replace).
+    * Time travel renders every version under its own schema — the
+    * dropped column is still there at older versions. The commit
+    * rewrites the manifest's logical-name metadata in the same
+    * breath: the dropped column leaves the `#statcols` policy and its
+    * stats groups leave every line (a stale group under a re-used
+    * name would mis-prove metadata deletes). Refused when a CHECK
+    * constraint references the column (drop the constraint first —
+    * silently un-enforcing a stored predicate is how contracts rot)
+    * and when the column carries a bloom index (`set_policy` it away
+    * first). Returns the new version.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    require(name.nonEmpty, "dropColumn needs a column name")
+    val fs = fileSystem(spark, dir)
+    val uuid = newCommitUuid()
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version in $dir to drop a column of"))
+      val m = readManifest(fs, dir, head)
+      val schema = versionSchema(spark, dir, m).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $head of $dir has no schema"))
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' in $dir " +
+          schema.fieldNames.mkString("[", ", ", "]"))
+      require(schema.size > 1,
+        s"cannot drop '$name': it is the table's only column — " +
+          "drop the table instead")
+      // a stored CHECK referencing the column would silently rot
+      val referencing = m.checks.filter { case (_, sql) =>
+        spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+        }.exists(_.equalsIgnoreCase(name))
+      }
+      require(referencing.isEmpty,
+        s"cannot drop '$name': CHECK constraint" +
+          s"${referencing.map(_._1).mkString(" '", "', '", "'")} " +
+          "references it — drop the constraint first")
+      require(!bloomCfgOf(m).exists(_._1 == name) &&
+          !m.blooms.exists(_._2 == name),
+        s"cannot drop '$name': it carries a bloom index — clear it " +
+          "(CALL set_policy / UNSET TBLPROPERTIES) first")
+      val physical = m.colMap.toMap.getOrElse(name, name)
+      val newColMap = m.colMap.filterNot(_._1 == name)
+      val newColDrops = (m.colDrops :+ physical).distinct
+      val newSchema = StructType(schema.filterNot(_.name == name))
+      val newStatCols = statColsOf(m).filterNot(_ == name)
+      val newLines = m.lines.map(dropStatsCol(_, name))
+      guardColMap(newSchema, newColMap, newColDrops)
+      if (publishResolved(fs, dir, head + 1, uuid)(
+          casPublish(fs, dir, head + 1, newSchema, newLines, m.txn,
+            m.checks, m.dvs, m.blooms,
+            op = Some(s"drop-column($name)"),
+            bloomCfg = bloomCfgOf(m), statColsPolicy = newStatCols,
+            parent = Some(m), commitUuid = Some(uuid),
+            colMap = newColMap, colDrops = newColDrops)))
+        return head + 1
+      attempts += 1
+      require(attempts < 1000,
+        s"dropColumn on $dir still losing the version race after " +
+          s"$attempts attempts")
+    }
+    -1 // unreachable
   }
 
   /** Commit `df` as the next version. `replace = false` appends to the
@@ -760,7 +1029,8 @@ object Versioned {
             m.checks :+ ((name, sqlExpr)), m.dvs, m.blooms,
             op = Some(s"add-check($name)"), bloomCfg = bloomCfgOf(m),
             statColsPolicy = statColsOf(m), parent = Some(m),
-            commitUuid = Some(uuid), colMap = m.colMap)))
+            commitUuid = Some(uuid), colMap = m.colMap,
+            colDrops = m.colDrops)))
         return head + 1
       attempts += 1   // CAS lost: re-read head, re-validate its rows
       require(attempts < 1000,
@@ -789,7 +1059,8 @@ object Versioned {
             m.checks.filterNot(_._1 == name), m.dvs, m.blooms,
             op = Some(s"drop-check($name)"), bloomCfg = bloomCfgOf(m),
             statColsPolicy = statColsOf(m), parent = Some(m),
-            commitUuid = Some(uuid), colMap = m.colMap)))
+            commitUuid = Some(uuid), colMap = m.colMap,
+            colDrops = m.colDrops)))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -811,6 +1082,16 @@ object Versioned {
   def bloomPolicy(spark: SparkSession, dir: String,
       version: Option[Int] = None): Seq[(String, Long, Double)] =
     policy(spark, dir, version)._2
+
+  /** The table's declared manifest-checkpoint cadence at `version`
+    * (default head): None means the process default applies
+    * (`SPARK_GRAFT_MANIFEST_CHECKPOINT`, 10). Set/cleared via
+    * [[setPolicy]] / TBLPROPERTIES `graft.manifest.checkpointEvery`. */
+  def manifestCheckpointPolicy(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Option[Int] =
+    version.orElse(latestVersion(spark, dir))
+      .flatMap(v =>
+        readManifest(fileSystem(spark, dir), dir, v).ckptEvery)
 
   /** Both halves of the declared file-skipping policy at `version`
     * (default head) from ONE manifest read: `(stat columns, bloom
@@ -863,69 +1144,55 @@ object Versioned {
       m.colMap.filter(e => e._1 != e._2).map { case (lg, ph) =>
         s"$ColMapHeader${enc(lg)}\t${enc(ph)}"
       } ++
+      m.ckptEvery.map(n => s"$CkptEveryHeader$n").toSeq ++
+      m.colDrops.map(ph => s"$ColDropHeader${enc(ph)}") ++
       m.lines
   }
 
-  /** Force a full-snapshot rewrite of the HEAD manifest in place —
-    * content-identical, NO new version: the knob that bounds the
-    * delta-chain tail a cold reader pays, worth running before
-    * handing a table to a fleet of readers or ahead of a retention
-    * sweep (the natural checkpoint would otherwise land up to
-    * [[manifestCheckpointEvery]] − 1 commits later). Safe against
-    * racing commits: a concurrent publish diffs against the SAME
-    * reconstructed state either way. Returns true iff the head was a
-    * delta (there was something to fold). */
+  /** Force a full snapshot of the HEAD manifest's state — as a
+    * checkpoint SIDECAR beside the committed file, content-identical,
+    * NO new version: the knob that bounds the delta-chain tail a cold
+    * reader pays, worth running before handing a table to a fleet of
+    * readers or ahead of a retention sweep (the natural checkpoint
+    * would otherwise land up to the table's checkpoint cadence − 1
+    * commits later). The committed manifest file is NEVER mutated
+    * (the reference-format rule: log entries are immutable,
+    * checkpoints are separate files) — so no lock, no CAS, no window
+    * in which a racing writer's [[latestVersion]] probe could miss
+    * the version or a crash could leave a child chain dangling: the
+    * sidecar either exists (readers take it) or doesn't (readers walk
+    * the chain, which is intact by construction). Deterministic
+    * content makes concurrent sidecar writers idempotent. Returns
+    * true iff the head was an unfolded delta (something to fold). */
   def checkpointManifest(spark: SparkSession, dir: String): Boolean = {
     val fs = fileSystem(spark, dir)
     latestVersion(spark, dir) match {
       case None => false
-      case Some(head) => lockFor(dir).synchronized {
+      case Some(head) =>
+        // sidecar-aware: an already-folded head reads as a snapshot
         if (readRaw(fs, dir, head).base.isEmpty) false
-        else { checkpointInPlace(fs, dir, head); true }
-      }
+        else { writeCheckpointSidecar(fs, dir, head); true }
     }
   }
 
-  /** Rewrite version `v`'s DELTA manifest file as the full snapshot of
-    * the identical reconstructed state — [[expire]]'s chain-integrity
-    * step before it drops the manifests the chain depended on. On a
-    * local filesystem the swap is an atomic NIO move; elsewhere it is
-    * delete+rename under the table lock (an object-store deployment's
-    * plain put overwrite is atomic by itself). Content-identical by
-    * construction: every reader sees the same state before, during
-    * (old file), and after (new file). */
-  private def checkpointInPlace(fs: FileSystem, dir: String,
+  /** Write version `v`'s full reconstructed snapshot as its checkpoint
+    * sidecar ([[ckptPath]]) — [[expire]]'s chain-integrity step before
+    * it drops the manifests the chain depended on, and the body of
+    * `CALL graft.system.checkpoint`. Crash-safe by construction: the
+    * committed manifest is untouched, and a half-written/lost sidecar
+    * only means readers keep walking the (still intact) chain. */
+  private def writeCheckpointSidecar(fs: FileSystem, dir: String,
       v: Int): Unit = {
     val m = readManifest(fs, dir, v)
-    val target = manifestPath(dir, v)
     val tmp = new Path(dir,
       f"_manifest/.ckpt-v$v%05d-${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     try out.write(renderManifest(m)
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.getScheme == "file") {
-      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
-      java.nio.file.Files.move(t,
-        java.nio.file.Paths.get(target.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // the tmp was written through ChecksumFileSystem; the NIO move
-      // bypasses it, so its crc sidecar must go explicitly (and the
-      // target must not keep a stale one)
-      val parent = t.getParent
-      if (parent != null) {
-        java.nio.file.Files.deleteIfExists(
-          parent.resolve("." + t.getFileName.toString + ".crc"))
-        java.nio.file.Files.deleteIfExists(
-          parent.resolve("." + target.getName + ".crc"))
-      }
-    } else {
-      fs.delete(target, false)
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(
-          s"expire could not re-checkpoint $target in place")
-    }
+    // deterministic content: two racing checkpointers render the same
+    // bytes, so overwrite-install is idempotent
+    installOverwrite(fs, tmp, ckptPath(dir, v))
   }
 
   /** Declare (or re-declare) the table's file-skipping policy as a
@@ -943,9 +1210,14 @@ object Versioned {
     */
   def setPolicy(spark: SparkSession, dir: String,
       statCols: Option[Seq[String]] = None,
-      bloomCfg: Option[Seq[(String, Long, Double)]] = None): Int = {
-    require(statCols.isDefined || bloomCfg.isDefined,
-      "setPolicy needs a stats or bloom declaration")
+      bloomCfg: Option[Seq[(String, Long, Double)]] = None,
+      manifestCheckpointEvery: Option[Option[Int]] = None): Int = {
+    require(statCols.isDefined || bloomCfg.isDefined ||
+      manifestCheckpointEvery.isDefined,
+      "setPolicy needs a stats, bloom, or checkpoint-cadence declaration")
+    manifestCheckpointEvery.flatten.foreach(n => require(n >= 1,
+      s"manifest checkpoint cadence must be >= 1 (1 = every commit a " +
+        s"snapshot): $n"))
     val fs = fileSystem(spark, dir)
     val uuid = newCommitUuid()
     var attempts = 0
@@ -975,7 +1247,8 @@ object Versioned {
             m.checks, m.dvs, m.blooms, op = Some("set-policy"),
             bloomCfg = newCfg, statColsPolicy = newStats,
             parent = Some(m), commitUuid = Some(uuid),
-            colMap = m.colMap)))
+            colMap = m.colMap, colDrops = m.colDrops,
+            ckptEveryOverride = manifestCheckpointEvery)))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -1285,10 +1558,16 @@ object Versioned {
         try put
         catch { case scala.util.control.NonFatal(e) =>
           lastErr = e; false }
-      if (won) return true
-      if (fs.exists(manifestPath(dir, next)))
+      // the winner advances the advisory `_head` pointer (including a
+      // claimed indeterminate put — the version IS this commit's);
+      // losers leave it to the writer that actually owns the version
+      if (won) { writeHeadPointer(fs, dir, next); return true }
+      if (fs.exists(manifestPath(dir, next))) {
         // headers-only read: self-authorship needs no reconstruction
-        return readRaw(fs, dir, next).m.commitUuid.contains(uuid)
+        val mine = readRaw(fs, dir, next).m.commitUuid.contains(uuid)
+        if (mine) writeHeadPointer(fs, dir, next)
+        return mine
+      }
       // lost with NO manifest visible: impossible for a clean 412 on a
       // strongly consistent store — only an indeterminate transport
       // error leaves this state, so retry the put itself
@@ -1312,7 +1591,9 @@ object Versioned {
       blooms: Seq[(String, String, String)],
       bloomCfg: Seq[(String, Long, Double)],
       commitUuid: Option[String],
-      colMap: Seq[(String, String)] = Nil): Seq[String] = {
+      colMap: Seq[(String, String)] = Nil,
+      ckptEvery: Option[Int] = None,
+      colDrops: Seq[String] = Nil): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -1340,7 +1621,9 @@ object Versioned {
       } ++
       colMap.filter(e => e._1 != e._2).distinct.map { case (lg, ph) =>
         s"$ColMapHeader${enc(lg)}\t${enc(ph)}"
-      }
+      } ++
+      ckptEvery.map(n => s"$CkptEveryHeader$n").toSeq ++
+      colDrops.distinct.map(ph => s"$ColDropHeader${enc(ph)}")
   }
 
   /** Compare-and-swap publish of `lines` as version `next`: true iff
@@ -1370,7 +1653,9 @@ object Versioned {
       statColsPolicy: Seq[String] = Nil,
       parent: Option[Manifest] = None,
       commitUuid: Option[String] = None,
-      colMap: Seq[(String, String)] = Nil): Boolean = {
+      colMap: Seq[(String, String)] = Nil,
+      ckptEveryOverride: Option[Option[Int]] = None,
+      colDrops: Seq[String] = Nil): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -1381,13 +1666,21 @@ object Versioned {
     // committed at-or-before t
     val ts = math.max(System.currentTimeMillis(),
       parent.flatMap(_.ts).getOrElse(Long.MinValue) + 1)
+    // the TABLE's snapshot cadence: carried from the parent like the
+    // stats/bloom policy (no derivation — the raw header IS the
+    // resolved policy for this field), overridable only by setPolicy
+    // (Some(Some(n)) declares, Some(None) clears back to the process
+    // default). Declared cadence wins over the env default.
+    val ckptEvery: Option[Int] =
+      ckptEveryOverride.getOrElse(parent.flatMap(_.ckptEvery))
+    val every = ckptEvery.getOrElse(manifestCheckpointEvery)
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
-      checks, Nil, Nil, bloomCfg, commitUuid, colMap)
+      checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
+      colDrops)
     // delta vs snapshot: diff against the parent state by exact line
     // (a stats rewrite of a carried rel encodes as rmfile + fresh add)
     val body: Seq[String] = parent match {
-      case Some(p) if manifestCheckpointEvery > 1 &&
-          p.chainDepth + 1 < manifestCheckpointEvery =>
+      case Some(p) if every > 1 && p.chainDepth + 1 < every =>
         val pByRel = p.lines.map(l => parseLine(l)._1 -> l).toMap
         val nByRel = lines.map(l => parseLine(l)._1 -> l).toMap
         val addLines = lines.filter(l =>
@@ -1664,9 +1957,11 @@ object Versioned {
     // rename between staging and publish cannot invalidate them)
     val stageMap =
       if (replace) Nil else head0.map(_.colMap).getOrElse(Nil)
+    val stageDrops =
+      if (replace) Nil else head0.map(_.colDrops).getOrElse(Nil)
     // catch a physical-name collision BEFORE staging: the write-side
     // rename would otherwise produce two columns with one name
-    guardColMap(df.schema, stageMap)
+    guardColMap(df.schema, stageMap, stageDrops)
     var newFiles = stage(spark, dir, df, measuredStats, stageMap)
     var newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg,
       stageMap)
@@ -1733,7 +2028,11 @@ object Versioned {
       // names ARE its logical names, so the mapping resets
       val pubColMap =
         if (replace) Nil else headManifest.map(_.colMap).getOrElse(Nil)
-      guardColMap(schema, pubColMap)
+      // a replace resets the drop tombstones with the mapping: its
+      // fresh files ARE the table, so no old bytes can leak
+      val pubColDrops =
+        if (replace) Nil else headManifest.map(_.colDrops).getOrElse(Nil)
+      guardColMap(schema, pubColMap, pubColDrops)
       val checks = headManifest.map(_.checks).getOrElse(Nil)
       if (!validatedFor.contains(checks)) {
         enforceChecks(spark, dir, newFiles, checks, schema, stageMap)
@@ -1750,7 +2049,7 @@ object Versioned {
               schema.fieldNames.contains(c._1)),
             statColsPolicy = polStats.filter(schema.fieldNames.contains),
             parent = headManifest, commitUuid = Some(uuid),
-            colMap = pubColMap)))
+            colMap = pubColMap, colDrops = pubColDrops)))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw
@@ -1963,7 +2262,8 @@ object Versioned {
       op = s"restore(v$version)",
       bloomCfgOverride = Some(bloomCfgOf(m)),
       statColsOverride = Some(statColsOf(m)),
-      colMapOverride = Some(m.colMap))
+      colMapOverride = Some(m.colMap),
+      colDropsOverride = Some(m.colDrops))
   }
 
   // ----------------------------------------------------- row-level DML
@@ -2616,7 +2916,8 @@ object Versioned {
                   blooms = hm.blooms ++ st.stagedBlooms,
                   op = Some("update-mor"), bloomCfg = bloomCfgOf(hm),
                   statColsPolicy = statColsOf(hm), parent = Some(hm),
-                  commitUuid = Some(uuid), colMap = hm.colMap)))
+                  commitUuid = Some(uuid), colMap = hm.colMap,
+                  colDrops = hm.colDrops)))
               return head + 1
           }
       }
@@ -2694,7 +2995,8 @@ object Versioned {
         blooms = m.blooms ++ stagedBlooms, op = Some("update-mor"),
         bloomCfg = bloomCfgOf(m),
         statColsPolicy = statColsOf(m), parent = Some(m),
-        commitUuid = Some(attemptUuid), colMap = m.colMap))
+        commitUuid = Some(attemptUuid), colMap = m.colMap,
+        colDrops = m.colDrops))
     if (published) Right(base + 1)
     else Left(MorStaged(
       scanned = affected,
@@ -3303,7 +3605,8 @@ object Versioned {
       op: String = "replace",
       bloomCfgOverride: Option[Seq[(String, Long, Double)]] = None,
       statColsOverride: Option[Seq[String]] = None,
-      colMapOverride: Option[Seq[(String, String)]] = None): Int = {
+      colMapOverride: Option[Seq[(String, String)]] = None,
+      colDropsOverride: Option[Seq[String]] = None): Int = {
     val fs = fileSystem(spark, dir)
     val baseM = base.map(readManifest(fs, dir, _))
     // staged files were written under the BASE's column mapping
@@ -3453,14 +3756,16 @@ object Versioned {
         .getOrElse(headM.map(statColsOf).getOrElse(Nil))
       val pubColMap = colMapOverride
         .getOrElse(headM.map(_.colMap).getOrElse(Nil))
-      guardColMap(schema, pubColMap)
+      val pubColDrops = colDropsOverride
+        .getOrElse(headM.map(_.colDrops).getOrElse(Nil))
+      guardColMap(schema, pubColMap, pubColDrops)
       if (publishResolved(fs, dir, next, uuid)(
           casPublish(fs, dir, next, schema, newLines,
             checks = checks, dvs = newDvs, blooms = newBlooms,
             op = Some(op), bloomCfg = cfg,
             statColsPolicy = statPol.filter(schema.fieldNames.contains),
             parent = headM, commitUuid = Some(uuid),
-            colMap = pubColMap)))
+            colMap = pubColMap, colDrops = pubColDrops)))
         return next
       attempts += 1
       require(attempts < 1000,
@@ -3641,18 +3946,18 @@ object Versioned {
           // DELTA-CHAIN INTEGRITY: every kept version must stay
           // reconstructible after the drop. If the oldest kept
           // version's manifest is a delta record, its chain reaches
-          // below the cut — so it is first REWRITTEN IN PLACE as the
-          // full snapshot of the identical state (the checkpoint the
-          // chain would have gotten anyway), and only then do the
-          // older manifests drop. Crash-ordered like the rest of
-          // expire: a crash between rewrite and drop leaves extra old
-          // manifests (harmless, re-collectable), never a kept
-          // version whose chain dangles.
+          // below the cut — so its full snapshot is first written as
+          // a checkpoint SIDECAR (the committed manifest itself stays
+          // immutable), and only then do the older manifests drop.
+          // Crash-ordered like the rest of expire: a crash between
+          // sidecar write and drop leaves extra old manifests
+          // (harmless, re-collectable), never a kept version whose
+          // chain dangles.
           (math.min(cut, latest) to latest)
             .find(v => fs.exists(manifestPath(dir, v)))
             .foreach { oldestKept =>
               if (readRaw(fs, dir, oldestKept).base.isDefined)
-                checkpointInPlace(fs, dir, oldestKept)
+                writeCheckpointSidecar(fs, dir, oldestKept)
             }
           val dropped = (0 until cut).filter(v =>
             fs.exists(manifestPath(dir, v)))
@@ -3669,7 +3974,11 @@ object Versioned {
           val keep: Set[String] = (cut to latest)
             .filter(v => fs.exists(manifestPath(dir, v)))
             .flatMap(referenced).toSet
-          dropped.foreach(v => fs.delete(manifestPath(dir, v), false))
+          dropped.foreach { v =>
+            fs.delete(manifestPath(dir, v), false)
+            // a dropped version's checkpoint sidecar goes with it
+            fs.delete(ckptPath(dir, v), false)
+          }
           (dropped.size, refs, keep)
         }
         val dataRoot = new Path(dir, "data")
@@ -4222,7 +4531,15 @@ object Versioned {
   def changesBetween(spark: SparkSession, dir: String,
       fromVersion: Int, toVersion: Int, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    require(keyCols.nonEmpty, "changesBetween needs at least one key column")
+    // keyCols may be EMPTY (round 15): the KEYLESS feed renders the
+    // commits whose row-level content needs no pairing — appends as
+    // inserts, whole-file/metadata-only/DV deletes as deletes,
+    // restores' resurrections as inserts, compactions as zero rows
+    // (op-attested: a compaction changes no row by construction) —
+    // and REFUSES a rewrite commit loudly (update/replace/CoW-delete
+    // rewrites pair old against new rows, which takes keys). This is
+    // what lets a merge-on-read DELETE stream to a keyless consumer:
+    // its DV positions name exact rows, no diff join needed.
     require(fromVersion <= toVersion,
       s"need fromVersion <= toVersion: [$fromVersion, $toVersion]")
     val fs = fileSystem(spark, dir)
@@ -4316,13 +4633,116 @@ object Versioned {
           del.select(tableCols.map(col) :+
             lit("delete").as("_change_type") :+
             lit(v).as("_commit_version"): _*))
-        case (Some(del), Some(ins)) =>
+        case (Some(del), Some(ins)) if keyCols.nonEmpty =>
           Some(replaceFeedStep(del, ins, keyCols, tableCols, v))
+        // keyless: a compaction rewrites every byte and changes no
+        // row — zero feed rows, attested by its own #op record
+        case (Some(_), Some(_))
+            if curM.op.exists(_.startsWith("compact")) => None
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          s"commit $v of $dir is a rewrite " +
+            s"(op=${curM.op.getOrElse("unknown")}): a KEYLESS change " +
+            "feed renders pure inserts/deletes only — pass keyCols " +
+            "to pair its old rows against its new ones")
       }
     }
     if (steps.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feedSchema)
     else steps.reduce(_.unionByName(_))
+  }
+
+  /** The rows the APPEND commits in `(fromVersion, toVersion]` added —
+    * plain table rows, no feed columns: what `readStream.table(…)` on
+    * a graft table delivers (Delta's default stream-a-table
+    * semantics). Each append contributes a pure scan of its new files
+    * (O(appended data), zero joins). A commit that removed or
+    * DV-deleted anything is NOT representable as plain rows: it fails
+    * loudly (the reference behavior) unless `skipChangeCommits` —
+    * then its rows are silently skipped (Delta's skipChangeCommits
+    * escape hatch). Compactions pass either way: they change no row.
+    */
+  private[graft] def appendsBetween(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int,
+      skipChangeCommits: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"need fromVersion <= toVersion: [$fromVersion, $toVersion]")
+    val fs = fileSystem(spark, dir)
+    (math.max(fromVersion, 0) to toVersion).foreach(v =>
+      require(fs.exists(manifestPath(dir, v)),
+        s"version $v of $dir not found (expired?)"))
+    val tail = readManifest(fs, dir, toVersion)
+    val tableSchema = versionSchema(spark, dir, tail).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $toVersion of $dir has no recorded schema"))
+    val feedMap = tail.colMap
+    var prev: Option[(Int, Manifest)] = None
+    def manifestAt(v: Int): Manifest = {
+      val node = readRaw(fs, dir, v)
+      val m = node.base match {
+        case Some((pv, depth)) if prev.exists(_._1 == pv) =>
+          applyDelta(prev.get._2, node).copy(chainDepth = depth)
+        case Some(_) => readManifest(fs, dir, v)
+        case None => node.m
+      }
+      prev = Some((v, m))
+      m
+    }
+    // fromVersion may be -1 (a stream anchored on an about-to-be-
+    // created table): version 0's full content is then the first
+    // "append", diffed against an empty state
+    if (fromVersion >= 0) manifestAt(fromVersion)
+    val parts = ((fromVersion + 1).max(0) to toVersion)
+      .flatMap { v =>
+        val prevLines = prev.map(_._2.lines).getOrElse(Nil)
+        val prevDvs = prev.map(_._2.dvs).getOrElse(Nil)
+        val curM = manifestAt(v)
+        val prevRels = prevLines.map(parseLine(_)._1).toSet
+        val curRels = curM.lines.map(parseLine(_)._1).toSet
+        val added = curM.lines.filterNot(l =>
+          prevRels.contains(parseLine(l)._1))
+        val removedOrDv = prevLines.exists(l =>
+          !curRels.contains(parseLine(l)._1)) ||
+          (curM.dvs.toSet -- prevDvs)
+            .exists(d => curRels.contains(d._1))
+        if (removedOrDv && !curM.op.exists(_.startsWith("compact"))) {
+          if (!skipChangeCommits) throw new IllegalArgumentException(
+            s"commit $v of $dir " +
+              s"(op=${curM.op.getOrElse("unknown")}) deleted or " +
+              "rewrote rows: a plain-rows stream cannot represent " +
+              "that — stream the change feed " +
+              "(readStream.format(\"graft-changes\")) or set " +
+              "skipChangeCommits to ignore such commits")
+          None
+        } else if (added.isEmpty ||
+            curM.op.exists(_.startsWith("compact"))) None
+        else Some(scanVisible(spark, dir, tableSchema, added, curM.dvs,
+          colMap = feedMap))
+      }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        tableSchema))
+  }
+
+  /** The recorded `#ts` commit instant of each version in
+    * `[fromVersion, toVersion]` (None on pre-tracking manifests) —
+    * header-only reads; the streaming source derives its
+    * `_commit_timestamp` feed column from this. */
+  private[graft] def commitInstants(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): Map[Int, Option[Long]] = {
+    val fs = fileSystem(spark, dir)
+    (math.max(fromVersion, 0) to toVersion).map(v =>
+      v -> (if (fs.exists(manifestPath(dir, v)))
+        readRaw(fs, dir, v).m.ts else None)).toMap
+  }
+
+  /** Version `v`'s recorded schema, column mapping, and drop
+    * tombstones in one manifest read — the streaming source's
+    * schema-drift guard consumes this per batch. */
+  private[graft] def schemaAndColMap(spark: SparkSession, dir: String,
+      v: Int): (StructType, Seq[(String, String)]) = {
+    val fs = fileSystem(spark, dir)
+    val m = readManifest(fs, dir, v)
+    (versionSchema(spark, dir, m).getOrElse(StructType(Nil)), m.colMap)
   }
 
   /** One replace commit's feed contribution: a keyed full-outer diff of

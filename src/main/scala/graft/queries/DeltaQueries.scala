@@ -1451,7 +1451,27 @@ object DeltaQueries {
         require(got.filter(col("_change_type") === "delete")
           .limit(1).count() == 1,
           "the delete commit must stream as delete feed rows")
-      val out = got
+      // _commit_timestamp (round 15): every feed row carries its
+      // commit's recorded #ts instant — per-version constant,
+      // non-null on modern manifests, strictly increasing with the
+      // version (the manifest writes instants monotonic). The oracle
+      // cannot see wall clocks, so the column is pinned here and
+      // dropped from the compared output.
+      require(got.columns.contains("_commit_timestamp"),
+        "the feed must carry _commit_timestamp")
+      val instants = got
+        .select("_commit_version", "_commit_timestamp").distinct()
+        .collect()
+      require(instants.forall(!_.isNullAt(1)),
+        "modern commits must stamp a non-null _commit_timestamp")
+      require(instants.length == got.select("_commit_version")
+        .distinct().count(),
+        "_commit_timestamp must be constant per commit version")
+      val byV = instants.map(r =>
+        (r.getInt(0), r.getTimestamp(1).getTime)).sortBy(_._1)
+      require(byV.zip(byV.drop(1)).forall { case ((_, a), (_, b)) =>
+        a < b }, "_commit_timestamp must increase with the version")
+      val out = got.drop("_commit_timestamp")
         .orderBy("_commit_version", "o_orderkey", "_change_type")
         .localCheckpoint(true)
       out
@@ -1536,6 +1556,82 @@ object DeltaQueries {
       |      IS NOT TRUE
       |ORDER BY order_id""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  // DROP COLUMN via the column mapping: a metadata-only commit — the
+  // logical column leaves the schema, every data file keeps its bytes
+  // (scans stop requesting the physical column; zero data movement at
+  // any table size), and a #coldrop tombstone refuses a later column
+  // whose physical name would inherit the orphaned bytes. In-query
+  // requires pin what the oracle cannot see: time travel renders v0
+  // WITH the column, the drop republishes the same data files
+  // byte-verbatim (stats ride on an untouched column), post-drop DML
+  // still prunes on the surviving stats, and re-adding the dropped
+  // name is refused.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drop")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tbl = s"$tmp/table"
+      Versioned.commitWithStats(s, tbl,
+        orders.repartitionByRange(4, col("o_orderkey")),
+        "o_orderkey")                                          // v0
+      val before = Versioned.manifestDataLines(s, tbl, 0)
+      val v1 = Versioned.dropColumn(s, tbl, "o_custkey")       // v1
+      require(v1 == 1, s"drop must publish as v1, got $v1")
+      require(Versioned.read(s, tbl, Some(0)).columns.toSeq ==
+        Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        "time travel must render v0 under its OWN (pre-drop) schema")
+      require(Versioned.read(s, tbl).columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        "the drop must be visible at head")
+      require(Versioned.manifestDataLines(s, tbl, 1) == before,
+        "a drop whose stats ride other columns must republish every " +
+          "line byte-verbatim — zero data movement")
+      // the tombstone: re-adding the dropped name is refused
+      val refused =
+        try {
+          Versioned.commit(s, tbl, Seq((1L, 2L, 3.0))
+            .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+          false
+        } catch {
+          case _: Versioned.CommitConflictException => true
+        }
+      require(refused, "re-adding a dropped column's name must be " +
+        "refused — old files still carry its bytes")
+      // post-drop pruned DELETE on the surviving stats (the q137
+      // quartile arithmetic, stable across every gate corpus)
+      val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      if (!mm.isNullAt(0)) {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        val v = Versioned.deleteWhere(s, tbl,
+          col("o_orderkey").between(lo, hi))                   // v2
+        if (v > 1 && before.size >= 4 && mx - mn >= 4)
+          require(Versioned.manifestDataLines(s, tbl, v).toSet
+            .intersect(before.toSet).nonEmpty,
+            "post-drop DML must still prune on the surviving stats " +
+              "and carry untouched lines verbatim")
+      }
+      Versioned.read(s, tbl)
+        .orderBy("o_orderkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q150Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE (o_orderkey BETWEEN
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 4 FROM orders)
+      |         AND
+      |         (SELECT min(o_orderkey) +
+      |            (max(o_orderkey) - min(o_orderkey)) // 2 FROM orders))
+      |      IS NOT TRUE
+      |ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1565,7 +1661,8 @@ object DeltaQueries {
     "q146_sql_lake_maintenance" -> (q146 _),
     "q147_sql_general_merge" -> (q147 _),
     "q148_lake_stream_source" -> (q148 _),
-    "q149_lake_rename_column" -> (q149 _))
+    "q149_lake_rename_column" -> (q149 _),
+    "q150_lake_drop_column" -> (q150 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1594,5 +1691,6 @@ object DeltaQueries {
     "q146_sql_lake_maintenance" -> q146Sql,
     "q147_sql_general_merge" -> q147Sql,
     "q148_lake_stream_source" -> q148Sql,
-    "q149_lake_rename_column" -> q149Sql)
+    "q149_lake_rename_column" -> q149Sql,
+    "q150_lake_drop_column" -> q150Sql)
 }

@@ -185,7 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // refused loudly rather than silently dropped
     val props = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty[String, String])
-    val (statCols, bloomCfg) =
+    val (statCols, bloomCfg, cadence) =
       GraftTableProps.parse(props, "graft CREATE TABLE")
     (statCols ++ bloomCfg.map(_._1)).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -207,6 +207,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bloomExpectedItems =
           bloomCfg.headOption.map(_._2).getOrElse(100000L),
         bloomFpp = bloomCfg.headOption.map(_._3).getOrElse(0.03))
+    // a declared manifest-checkpoint cadence publishes as its own
+    // policy commit (v1) — the same audit trail inline CHECK
+    // constraints leave, and the header every later commit carries
+    cadence.foreach(n => Versioned.setPolicy(session, dir,
+      manifestCheckpointEvery = Some(Some(n))))
     loadTable(ident)
   }
 
@@ -269,7 +274,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .mkString(", ")}); got: " +
             ((sets.keySet ++ removes) -- GraftTableProps.PolicyKeys)
               .mkString(", "))
-        val (statCols, bloomCfg) =
+        val (statCols, bloomCfg, cadence) =
           GraftTableProps.parse(sets, "graft ALTER TABLE")
         val statOpt =
           if (sets.contains(GraftTableProps.StatsKey)) Some(statCols)
@@ -280,10 +285,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else if (removes.contains(GraftTableProps.BloomKey))
             Some(Nil: Seq[(String, Long, Double)])
           else None
-        require(statOpt.isDefined || bloomOpt.isDefined,
+        // SET declares a cadence; UNSET returns the table to the
+        // process default (Some(None) = clear the header)
+        val cadenceOpt: Option[Option[Int]] =
+          if (sets.contains(GraftTableProps.CadenceKey)) Some(cadence)
+          else if (removes.contains(GraftTableProps.CadenceKey))
+            Some(None)
+          else None
+        require(statOpt.isDefined || bloomOpt.isDefined ||
+            cadenceOpt.isDefined,
           "SET TBLPROPERTIES must declare " +
-            s"${GraftTableProps.StatsKey} or ${GraftTableProps.BloomKey}")
-        Versioned.setPolicy(session, dir, statOpt, bloomOpt)
+            s"${GraftTableProps.StatsKey}, ${GraftTableProps.BloomKey} " +
+            s"or ${GraftTableProps.CadenceKey}")
+        Versioned.setPolicy(session, dir, statOpt, bloomOpt, cadenceOpt)
         return loadTable(ident)
       // ALTER TABLE … RENAME COLUMN: a metadata-only commit through
       // the lake's column mapping (physical names stay on disk; time
@@ -295,6 +309,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             rc.fieldNames().mkString("."))
         Versioned.renameColumn(session, dir, rc.fieldNames()(0),
           rc.newName())
+        return loadTable(ident)
+      // ALTER TABLE … DROP COLUMN: a metadata-only commit — the
+      // logical column leaves the schema, data files keep their bytes
+      // (scans stop requesting the physical column), and a `#coldrop`
+      // tombstone refuses a later physical-name collision. CHECK and
+      // bloom-index interactions refuse loudly inside dropColumn.
+      case Seq(dc: TableChange.DeleteColumn) =>
+        require(dc.fieldNames().length == 1,
+          "graft DROP COLUMN drops top-level columns only, got: " +
+            dc.fieldNames().mkString("."))
+        if (!dc.ifExists() || Versioned.read(session, dir).schema
+            .fieldNames.contains(dc.fieldNames()(0)))
+          Versioned.dropColumn(session, dir, dc.fieldNames()(0))
         return loadTable(ident)
       case _ =>
     }
@@ -316,9 +343,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "added columns take no DEFAULT — pre-evolution rows read NULL")
         StructField(colName, a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
-        "graft ALTER TABLE supports ADD COLUMNS only — the lake's " +
-          "schema is append-only (drop/rename/retype rewrite " +
-          "history; publish a replace commit instead); got: " + other)
+        "graft ALTER TABLE supports ADD COLUMNS, RENAME COLUMN and " +
+          "DROP COLUMN — a retype rewrites history (publish a " +
+          "replace commit instead); got: " + other)
     }
     Versioned.commit(session, dir, session.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](),
@@ -429,11 +456,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * API, and claims the DML plans before Spark's V2 rewrites look for
   * capabilities. `version` is `Some(k)` for a `VERSION AS OF k`
   * reference.
+  *
+  * STREAMING reads (`spark.readStream.table("graft.db.t")`) resolve
+  * through [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]
+  * — the hook Spark's analyzer consults when a V2 table lacks
+  * MICRO_BATCH_READ (the route Delta ships): [[v1Table]] names the
+  * `graft-changes` V1 source in `mode=rows`, so a catalog-addressed
+  * stream delivers the table's PLAIN ROWS (appends stream; a
+  * delete/rewrite commit fails loudly unless the reader sets
+  * `skipChangeCommits`), exactly Delta's stream-a-table semantics.
+  * The CHANGE FEED (with `_change_type`/`_commit_version`/
+  * `_commit_timestamp`) stays on `readStream.format("graft-changes")`
+  * — its schema is wider than the table's, which a catalog-resolved
+  * relation cannot carry.
   */
 final case class GraftTable(fullName: String, dir: String,
-    asOfVersion: Option[Int]) extends Table {
+    asOfVersion: Option[Int]) extends Table
+  with org.apache.spark.sql.graft.GraftV1StreamingFallback {
 
   override def name(): String = fullName
+
+  /** The V1 streaming fallback: `readStream.table` on this table is a
+    * plain-rows `graft-changes` stream anchored at `latest` (only
+    * commits after query start — the snapshot-then-tail shape is
+    * `startingVersion=0`, which the reader passes as an option; reader
+    * options override these storage properties). */
+  override def v1Table
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(asOfVersion.isEmpty,
+      "streaming a time-traveled graft table is not supported — " +
+        "stream the live table, or batch-read the pinned version")
+    val parts = fullName.split('.')
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      parts.last,
+      if (parts.length >= 2) Some(parts(parts.length - 2)) else None,
+      parts.headOption.filter(_ => parts.length >= 3))
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = ident,
+      tableType =
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog
+        .CatalogStorageFormat.empty.copy(
+          properties = Map("path" -> dir, "mode" -> "rows",
+            "startingVersion" -> "0")),
+      schema = schema,
+      provider = Some("graft-changes"))
+  }
 
   // resolved once per loadTable: Table.schema() is consulted
   // repeatedly during analysis, and each evaluation is a manifest read
@@ -468,7 +536,9 @@ final case class GraftTable(fullName: String, dir: String,
        else Map(
          GraftTableProps.BloomKey -> blooms.map(_._1).mkString(","),
          GraftTableProps.ExpectedKey -> blooms.head._2.toString,
-         GraftTableProps.FppKey -> blooms.head._3.toString))
+         GraftTableProps.FppKey -> blooms.head._3.toString)) ++
+      Versioned.manifestCheckpointPolicy(spark, dir, asOfVersion)
+        .map(n => GraftTableProps.CadenceKey -> n.toString).toMap
   }
 
   override def properties(): util.Map[String, String] =

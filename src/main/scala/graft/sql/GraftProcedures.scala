@@ -104,19 +104,17 @@ sealed abstract class GraftProcedure(catalog: GraftCatalog)
       Array[InternalRow](new GenericInternalRow(values)))).iterator()
 }
 
-/** `CALL graft.system.history('db.t')` → the DESCRIBE HISTORY audit
-  * rows ([[Versioned.history]] — one row per retained version,
-  * driver-side manifest reads only). */
 /** `CALL graft.system.checkpoint('db.t')` →
   * [[Versioned.checkpointManifest]]: fold the head's delta chain into
-  * a full snapshot IN PLACE (content-identical, no new version) —
-  * bounds the reconstruction tail cold readers pay before the next
-  * natural checkpoint. Returns whether the head was a delta. */
+  * a full-snapshot checkpoint SIDECAR (content-identical, no new
+  * version, the committed manifest stays immutable) — bounds the
+  * reconstruction tail cold readers pay before the next natural
+  * checkpoint. Returns whether the head was an unfolded delta. */
 final case class CheckpointProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
   override def name(): String = "checkpoint"
   override def description(): String =
-    "fold the head manifest's delta chain into a full snapshot in place"
+    "fold the head manifest's delta chain into a checkpoint sidecar"
   override def parameters(): Array[ProcedureParameter] =
     Array(param("table", StringType))
   override def call(input: InternalRow): util.Iterator[Scan] = {
@@ -127,6 +125,9 @@ final case class CheckpointProcedure(catalog: GraftCatalog)
   }
 }
 
+/** `CALL graft.system.history('db.t')` → the DESCRIBE HISTORY audit
+  * rows ([[Versioned.history]] — one row per retained version,
+  * driver-side manifest reads only). */
 final case class HistoryProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
   override def name(): String = "history"
@@ -252,18 +253,20 @@ final case class PinProcedure(catalog: GraftCatalog)
 
 /** `CALL graft.system.set_policy('db.t' [, stats_cols => 'a,b']
   * [, bloom_cols => 'id'] [, bloom_expected => N]
-  * [, bloom_fpp => f])` → [[Versioned.setPolicy]]: re-declare the
-  * file-skipping policy as a metadata commit — the CALL twin of
-  * `ALTER TABLE … SET TBLPROPERTIES`, for consumers whose SQL
-  * gateway cannot issue DDL. A NULL (omitted) argument keeps that
-  * half of the declaration; an EMPTY string clears it. Returns the
-  * policy commit's version. */
+  * [, bloom_fpp => f] [, checkpoint_every => n])` →
+  * [[Versioned.setPolicy]]: re-declare the file-skipping policy
+  * and/or the manifest-checkpoint cadence as a metadata commit — the
+  * CALL twin of `ALTER TABLE … SET TBLPROPERTIES`, for consumers
+  * whose SQL gateway cannot issue DDL. A NULL (omitted) argument
+  * keeps that half of the declaration; an EMPTY string clears a
+  * column list; `checkpoint_every => 0` clears the cadence back to
+  * the process default. Returns the policy commit's version. */
 final case class SetPolicyProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
   override def name(): String = "set_policy"
   override def description(): String =
     "re-declare the file-skipping policy (stats cols + bloom config) " +
-      "as a metadata commit"
+      "and/or the manifest-checkpoint cadence as a metadata commit"
   override def parameters(): Array[ProcedureParameter] = Array(
     param("table", StringType),
     ProcedureParameter.in("stats_cols", StringType)
@@ -275,7 +278,9 @@ final case class SetPolicyProcedure(catalog: GraftCatalog)
       .defaultValue("CAST(NULL AS BIGINT)").build(),
     ProcedureParameter.in("bloom_fpp",
       org.apache.spark.sql.types.DoubleType)
-      .defaultValue("CAST(NULL AS DOUBLE)").build())
+      .defaultValue("CAST(NULL AS DOUBLE)").build(),
+    ProcedureParameter.in("checkpoint_every", IntegerType)
+      .defaultValue("CAST(NULL AS INT)").build())
   override def call(input: InternalRow): util.Iterator[Scan] = {
     def cols(i: Int): Option[Seq[String]] =
       if (input.isNullAt(i)) None
@@ -295,11 +300,17 @@ final case class SetPolicyProcedure(catalog: GraftCatalog)
     val expected = if (input.isNullAt(3)) 100000L else input.getLong(3)
     val fpp = if (input.isNullAt(4)) 0.03 else input.getDouble(4)
     val blooms = bloomCols.map(_.map((_, expected, fpp)))
-    require(stats.isDefined || blooms.isDefined,
-      "set_policy needs stats_cols or bloom_cols (NULL keeps, '' " +
-        "clears)")
+    // NULL keeps the declared cadence, 0 clears it (back to the
+    // process default), n >= 1 declares it
+    val cadence: Option[Option[Int]] =
+      if (input.isNullAt(5)) None
+      else if (input.getInt(5) == 0) Some(None)
+      else Some(Some(input.getInt(5)))
+    require(stats.isDefined || blooms.isDefined || cadence.isDefined,
+      "set_policy needs stats_cols, bloom_cols, or checkpoint_every " +
+        "(NULL keeps, '' / 0 clears)")
     val v = Versioned.setPolicy(session,
-      dirOf(input.getUTF8String(0).toString), stats, blooms)
+      dirOf(input.getUTF8String(0).toString), stats, blooms, cadence)
     result(StructType(Seq(StructField("version", IntegerType,
       nullable = false))), Array[Any](v))
   }

@@ -168,7 +168,7 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           // TBLPROPERTIES carry the file-skipping policy declaration
           // (graft.stats.cols / graft.bloom.*) — the one table policy
           // CTAS can publish with its single data-bearing commit
-          val (statCols, bloomCfg) = c.tableSpec match {
+          val (statCols, bloomCfg, cadence) = c.tableSpec match {
             case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
               require(ts.location.isEmpty && !ts.external,
                 "graft tables live at their catalog-derived warehouse " +
@@ -180,10 +180,10 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               require(ts.options.isEmpty && ts.serde.isEmpty,
                 "graft CTAS takes no OPTIONS/SERDE")
               GraftTableProps.parse(ts.properties, "graft CTAS")
-            case _ => (Nil, Nil)
+            case _ => (Nil, Nil, None)
           }
           GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists,
-            statCols, bloomCfg)
+            statCols, bloomCfg, cadence)
         case _ => c
       }
 
@@ -505,7 +505,8 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     ident: org.apache.spark.sql.connector.catalog.Identifier,
     @transient query: LogicalPlan, ignoreIfExists: Boolean,
     statCols: Seq[String] = Nil,
-    bloomCfg: Seq[(String, Long, Double)] = Nil)
+    bloomCfg: Seq[(String, Long, Double)] = Nil,
+    ckptEvery: Option[Int] = None)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -529,6 +530,10 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
         bloomExpectedItems =
           bloomCfg.headOption.map(_._2).getOrElse(100000L),
         bloomFpp = bloomCfg.headOption.map(_._3).getOrElse(0.03))
+    // a declared manifest-checkpoint cadence publishes as its own
+    // policy commit, same as CREATE TABLE's route
+    ckptEvery.foreach(n => Versioned.setPolicy(session,
+      catalog.tableDir(ident), manifestCheckpointEvery = Some(Some(n))))
     Seq.empty
   }
 }

@@ -25,20 +25,27 @@ private[graft] object GraftTableProps {
   val BloomKey = "graft.bloom.cols"
   val ExpectedKey = "graft.bloom.expected"
   val FppKey = "graft.bloom.fpp"
-  val PolicyKeys: Set[String] = Set(StatsKey, BloomKey, ExpectedKey, FppKey)
+  // manifest-log snapshot cadence (round 15): how many delta commits
+  // may chain before a full snapshot publishes. A read-hot table
+  // declares 1 (every commit a snapshot — zero reconstruction tail),
+  // a write-hot table 10+ (commits stay O(delta)). UNSET returns the
+  // table to the process default.
+  val CadenceKey = "graft.manifest.checkpointEvery"
+  val PolicyKeys: Set[String] =
+    Set(StatsKey, BloomKey, ExpectedKey, FppKey, CadenceKey)
 
   /** Keys Spark's own DDL machinery attaches; no graft meaning. */
   private val EngineKeys = Set("provider", "owner")
 
   /** Split a user property map into the policy declaration
-    * `(statCols, bloomCfg)` after refusing what this catalog cannot
-    * honor: unknown keys, a non-parquet provider, sizing without
-    * bloom columns. Standard DDL clauses Spark forwards as properties
-    * get DEDICATED refusals (not a misleading "unknown TBLPROPERTIES
-    * comment"): graft persists no comments, and a table IS its
-    * catalog-derived warehouse path. */
+    * `(statCols, bloomCfg, manifestCheckpointEvery)` after refusing
+    * what this catalog cannot honor: unknown keys, a non-parquet
+    * provider, sizing without bloom columns. Standard DDL clauses
+    * Spark forwards as properties get DEDICATED refusals (not a
+    * misleading "unknown TBLPROPERTIES comment"): graft persists no
+    * comments, and a table IS its catalog-derived warehouse path. */
   def parse(props: Map[String, String], context: String)
-      : (Seq[String], Seq[(String, Long, Double)]) = {
+      : (Seq[String], Seq[(String, Long, Double)], Option[Int]) = {
     props.get("provider").foreach(p => require(
       p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
       s"graft tables store parquet; USING $p is not supported"))
@@ -71,7 +78,12 @@ private[graft] object GraftTableProps {
     require(bloomCols.nonEmpty ||
       (!props.contains(ExpectedKey) && !props.contains(FppKey)),
       s"$ExpectedKey/$FppKey size a bloom index — declare $BloomKey too")
-    (statCols, bloomCols.map((_, expected, fpp)))
+    val cadence = props.get(CadenceKey).map { v =>
+      val n = v.toIntOption.getOrElse(sys.error(
+        s"$CadenceKey must be a positive integer, got '$v'"))
+      require(n >= 1, s"$CadenceKey must be >= 1, got $n"); n
+    }
+    (statCols, bloomCols.map((_, expected, fpp)), cadence)
   }
 
   private def cols(props: Map[String, String], key: String): Seq[String] =

@@ -1,11 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit, timestamp_millis}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType, TimestampType}
 
 import graft.lake.Versioned
 
@@ -20,11 +20,28 @@ import graft.lake.Versioned
   * {{{
   *   spark.readStream.format("graft-changes")
   *     .option("path", tableDir)
-  *     .option("keyCols", "o_orderkey")
+  *     .option("keyCols", "o_orderkey")     // optional (see below)
   *     .option("startingVersion", "0")      // or "latest"
-  *     .load()                               // table cols + _change_type
-  *                                           //            + _commit_version
+  *     .load()                              // table cols + _change_type
+  *                                          //   + _commit_version
+  *                                          //   + _commit_timestamp
   * }}}
+  *
+  * `keyCols` pairs a rewrite commit's old rows against its new ones
+  * (update pre/post images). It is OPTIONAL: a KEYLESS stream renders
+  * pure inserts/deletes — appends, whole-file/metadata-only deletes,
+  * and merge-on-read deletes (whose deletion-vector positions name
+  * exact rows, no diff join needed) — and fails loudly when a keyed
+  * rewrite commit (update/replace/CoW-delete rewrite) enters the
+  * window.
+  *
+  * `mode = rows` streams the table as PLAIN ROWS instead of a change
+  * feed (Delta's default stream-a-table semantics — what
+  * `spark.readStream.table("graft.db.t")` resolves to through the
+  * catalog's V1 fallback): appends stream as their rows, a commit
+  * that deleted or rewrote anything fails the query loudly unless
+  * `skipChangeCommits` is set (then it is skipped whole). Compactions
+  * pass either way — they change no row.
   *
   * Scale shape: each micro-batch is planned by
   * [[Versioned.changesBetween]] over exactly the versions the batch
@@ -42,6 +59,14 @@ import graft.lake.Versioned
   * concurrently — an expired window fails loudly, never silently
   * skips commits.
   *
+  * Mid-stream SCHEMA DRIFT is guarded by column identity, not name
+  * matching: each source column is tracked by its PHYSICAL name (the
+  * `#colmap` indirection) and creation-time type. A RENAME or a type
+  * WIDENING of a streamed column mid-stream FAILS the query (the
+  * reference behavior — silently null-filling a renamed column would
+  * corrupt the feed); an added column is simply not in this stream's
+  * contract, and a dropped one null-fills.
+  *
   * V1 `Source` deliberately (the shape Delta ships): `getBatch`
   * returns the change-feed DataFrame planned with the public batch
   * API — native vectorized parquet scans, file pruning, the works —
@@ -51,37 +76,32 @@ import graft.lake.Versioned
 final class GraftChangesSource(
     sqlContext: SQLContext,
     parameters: Map[String, String],
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    userSchema: Option[StructType] = None) extends Source {
 
   private val spark = sqlContext.sparkSession
   private val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
   private val dir = opts.getOrElse("path", throw new IllegalArgumentException(
     "graft-changes needs option 'path' (the versioned table directory)"))
+  private val rowsMode: Boolean =
+    opts.getOrElse("mode", "feed").toLowerCase match {
+      case "feed" => false
+      case "rows" => true
+      case other => throw new IllegalArgumentException(
+        s"graft-changes mode must be 'feed' or 'rows', got '$other'")
+    }
+  private val skipChangeCommits: Boolean =
+    opts.get("skipchangecommits").exists(_.toBoolean)
+  require(!skipChangeCommits || rowsMode,
+    "skipChangeCommits applies to mode=rows only — the change feed " +
+      "renders deletes instead of skipping them")
   private val keyCols: Seq[String] = opts.get("keycols")
     .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-    .getOrElse(throw new IllegalArgumentException(
-      "graft-changes needs option 'keyCols' (comma-separated row " +
-        "identity for the change feed's update pairing)"))
-  require(keyCols.nonEmpty, "graft-changes got an empty keyCols list")
+    .getOrElse(Nil)
   private val maxVersionsPerTrigger: Int =
     opts.get("maxversionspertrigger").map(_.toInt).getOrElse(Int.MaxValue)
   require(maxVersionsPerTrigger > 0,
     s"maxVersionsPerTrigger must be positive: $maxVersionsPerTrigger")
-
-  private val headAtCreation: Int =
-    Versioned.latestVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-changes: no committed version in $dir to stream from"))
-
-  // resolved once at source creation: the feed speaks ONE schema for
-  // the stream's lifetime (the streaming contract); commits that later
-  // ADD columns render through alignment below, a replace that DROPS
-  // a feed column null-fills it
-  private val tableSchema: StructType =
-    Versioned.read(spark, dir, Some(headAtCreation)).schema
-  keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
-    s"keyCols column '$k' is not a table column " +
-      tableSchema.fieldNames.mkString("[", ", ", "]")))
 
   /** `"latest"` = only commits after source creation; an integer V =
     * version V's full content as the first batch's inserts, then the
@@ -91,19 +111,65 @@ final class GraftChangesSource(
       case "latest" => Right(())
       case v => Left(v.toInt)
     }
+
+  // None = the table has no committed version yet, which is allowed
+  // ONLY for startingVersion=latest (anchor below version 0, stream
+  // from the first commit): an explicit startingVersion names a
+  // version that must exist
+  private val headAtCreation: Option[Int] =
+    Versioned.latestVersion(spark, dir)
+  require(headAtCreation.isDefined || startingVersion.isRight,
+    s"graft-changes: no committed version in $dir to stream from — " +
+      "startingVersion=latest (plus a user schema) can anchor on an " +
+      "empty table and pick up its first commit")
+
+  // resolved once at source creation: the feed speaks ONE schema for
+  // the stream's lifetime (the streaming contract); commits that later
+  // ADD columns are outside the contract, a DROPPED column null-fills,
+  // and a RENAME or type change of a streamed column fails the query
+  // (the drift guard below)
+  private val tableSchema: StructType = headAtCreation match {
+    case Some(h) =>
+      val t = Versioned.read(spark, dir, Some(h)).schema
+      userSchema.foreach(u => require(u == t || u.isEmpty,
+        s"graft-changes derives its schema from the table; the given " +
+          s"schema does not match — given ${u.simpleString}, table " +
+          t.simpleString))
+      t
+    case None => userSchema.filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-changes on the empty table $dir needs a user schema " +
+          "(.schema(...)) until its first commit exists"))
+  }
+  keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
+    s"keyCols column '$k' is not a table column " +
+      tableSchema.fieldNames.mkString("[", ", ", "]")))
+
+  // column IDENTITY at creation: (logical name, physical name, type)
+  // — what the mid-stream drift guard compares against, through the
+  // #colmap indirection (physical names are birth-stable)
+  private val creationCols: Seq[(String, String, DataType)] = {
+    val phys = headAtCreation
+      .map(h => Versioned.schemaAndColMap(spark, dir, h)._2.toMap)
+      .getOrElse(Map.empty)
+    tableSchema.map(f =>
+      (f.name, phys.getOrElse(f.name, f.name), f.dataType)).toSeq
+  }
+
   // the high-water mark "latest" anchors to (commits at or before it
-  // never stream). The anchor is resolved ONCE — on first creation —
-  // and persisted in the checkpoint's source-metadata slot, so a
-  // restarted query keeps the original anchor instead of silently
-  // re-anchoring past commits that landed while it was down.
+  // never stream; -1 = empty table, everything streams). The anchor
+  // is resolved ONCE — on first creation — and persisted in the
+  // checkpoint's source-metadata slot, so a restarted query keeps the
+  // original anchor instead of silently re-anchoring past commits
+  // that landed while it was down.
   private val anchor: Int = startingVersion match {
     case Left(v) =>
-      require(v >= 0 && v <= headAtCreation,
+      require(v >= 0 && headAtCreation.exists(v <= _),
         s"startingVersion $v is not a committed version of $dir " +
-          s"(head is $headAtCreation)")
+          s"(head is ${headAtCreation.getOrElse(-1)})")
       v
     case Right(()) =>
-      val computed = headAtCreation
+      val computed = headAtCreation.getOrElse(-1)
       metadataPath.fold(computed) { mp =>
         val p = new org.apache.hadoop.fs.Path(mp, "graft-changes-anchor")
         val fs = p.getFileSystem(
@@ -113,7 +179,13 @@ final class GraftChangesSource(
             val out = fs.create(p, false)
             try out.write(computed.toString.getBytes("UTF-8"))
             finally out.close()
-          } catch { case _: java.io.IOException => () } // lost create race
+          } catch {
+            // a lost create race is benign (the winner's anchor is
+            // read below); a genuinely FAILED create is also safe to
+            // swallow here because the fs.open that follows is the
+            // backstop — it fails loudly, never silently re-anchors
+            case _: java.io.IOException => ()
+          }
         }
         val in = fs.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -122,10 +194,15 @@ final class GraftChangesSource(
       }
   }
 
-  override val schema: StructType = StructType(
-    tableSchema.fields.toSeq :+
+  override val schema: StructType =
+    if (rowsMode) tableSchema
+    else StructType(tableSchema.fields.toSeq :+
       StructField("_change_type", StringType, nullable = false) :+
-      StructField("_commit_version", IntegerType, nullable = false))
+      StructField("_commit_version", IntegerType, nullable = false) :+
+      // derived from the manifest's recorded #ts commit instant
+      // (monotonic with versions); null only for pre-tracking
+      // manifests — Delta CDF's _commit_timestamp, on this substrate
+      StructField("_commit_timestamp", TimestampType, nullable = true))
 
   // the initial-snapshot extent (explicit startingVersion only): the
   // anchor version's data-file count, paged through in
@@ -174,22 +251,48 @@ final class GraftChangesSource(
     }
     val (fromV, fromIdx) =
       start.map(parseOffset).getOrElse((anchor.toLong, 0L))
+    // mid-stream schema drift check against the window's END version:
+    // renames and type changes of a streamed column fail loudly here
+    // (nothing earlier in the chain can have changed — manifests are
+    // immutable)
+    if (endV > math.max(anchor.toLong, -1L)) guardSchemaDrift(endV.toInt)
     val tableCols = tableSchema.fields.map(_.name).toSeq
     // snapshot slice: anchor-version files [fromIdx, endIdx) as
     // inserts (explicit startingVersion's paged initial content)
     val snapshot: Option[DataFrame] =
       if (endIdx > fromIdx && startingVersion.isLeft)
-        Some(Versioned.readSlice(spark, dir, anchor,
-          fromIdx.toInt, endIdx.toInt).select(
-          tableCols.map(col) :+
+        Some {
+          val rows = Versioned.readSlice(spark, dir, anchor,
+            fromIdx.toInt, endIdx.toInt)
+          if (rowsMode) rows.select(tableCols.map(col): _*)
+          else rows.select(tableCols.map(col) :+
             lit("insert").as("_change_type") :+
-            lit(anchor).as("_commit_version"): _*))
+            lit(anchor).as("_commit_version"): _*)
+        }
       else None
-    // incremental feed over (fromV, endV]
+    // incremental feed over (fromV, endV]. A -1 anchor (latest on an
+    // empty table) reads version 0's full content as its insert step.
     val changes: Option[DataFrame] =
-      if (endV > fromV)
-        Some(align(Versioned.changesBetween(spark, dir,
-          fromV.toInt, endV.toInt, keyCols), tableCols))
+      if (endV > fromV) Some {
+        if (rowsMode)
+          align(Versioned.appendsBetween(spark, dir, fromV.toInt,
+            endV.toInt, skipChangeCommits), tableCols)
+        else {
+          val first: Option[DataFrame] =
+            if (fromV < 0)
+              Some(align(Versioned.read(spark, dir, Some(0))
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(0)), tableCols))
+            else None
+          val rest: Option[DataFrame] =
+            if (endV > math.max(fromV, 0L) || fromV >= 0)
+              Some(align(Versioned.changesBetween(spark, dir,
+                math.max(fromV, 0L).toInt, endV.toInt, keyCols),
+                tableCols))
+            else None
+          (first ++ rest).reduce(_.unionByName(_))
+        }
+      }
       else None
     val batch = (snapshot, changes) match {
       case (Some(s), Some(c)) => s.unionByName(c)
@@ -197,20 +300,85 @@ final class GraftChangesSource(
       case (None, Some(c)) => c
       case (None, None) =>
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          spark.sparkContext.emptyRDD[Row],
+          if (rowsMode) tableSchema
+          else StructType(schema.filterNot(
+            _.name == "_commit_timestamp")))
     }
-    org.apache.spark.sql.graft.GraftStreamingShim.asStreamingFrame(batch)
+    val stamped = if (rowsMode) batch else stampInstants(batch,
+      math.min(if (fromV < 0) 0L else fromV, anchor.toLong).toInt,
+      math.max(endV, anchor.toLong).toInt)
+    org.apache.spark.sql.graft.GraftStreamingShim.asStreamingFrame(
+      stamped)
+  }
+
+  /** Append `_commit_timestamp` from the window versions' recorded
+    * `#ts` instants: a broadcast join against the (tiny) version →
+    * instant table — never a per-row manifest read, and safe at any
+    * catch-up window width. */
+  private def stampInstants(feed: DataFrame, loV: Int,
+      hiV: Int): DataFrame = {
+    val inst = Versioned.commitInstants(spark, dir, loV, hiV)
+    val instRows = inst.toSeq.map { case (v, ts) =>
+      Row(v, ts.map(java.lang.Long.valueOf).orNull)
+    }
+    val instDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(instRows).asJava),
+      StructType(Seq(
+        StructField("__v", IntegerType, nullable = false),
+        StructField("__ts_millis",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    feed.join(broadcast(instDf),
+        feed("_commit_version") === instDf("__v"), "left")
+      .withColumn("_commit_timestamp",
+        timestamp_millis(col("__ts_millis")))
+      .drop("__v", "__ts_millis")
+  }
+
+  /** Fail the query when a streamed column was RENAMED or RETYPED
+    * mid-stream — identity tracked by PHYSICAL name through the
+    * version-`v` column mapping, so the guard survives any number of
+    * benign add/drop evolutions around the streamed set. */
+  private def guardSchemaDrift(v: Int): Unit = {
+    val (curSchema, curMap) = Versioned.schemaAndColMap(spark, dir, v)
+    if (curSchema.isEmpty) return // empty legacy version: nothing to say
+    val logicalOfPhys = curMap.map(_.swap).toMap
+    creationCols.foreach { case (logical, physical, dt) =>
+      val currentLogical = logicalOfPhys.getOrElse(physical, physical)
+      curSchema.find(_.name == currentLogical) match {
+        case Some(f) =>
+          if (currentLogical != logical)
+            throw new IllegalStateException(
+              s"graft-changes: column '$logical' was RENAMED to " +
+                s"'$currentLogical' mid-stream (commit $v of $dir); " +
+                "a fixed-schema stream cannot follow a rename — " +
+                "restart the query to adopt the new schema")
+          if (f.dataType != dt)
+            throw new IllegalStateException(
+              s"graft-changes: column '$logical' changed type " +
+                s"${dt.simpleString} -> ${f.dataType.simpleString} " +
+                s"mid-stream (commit $v of $dir); restart the query " +
+                "to adopt the new schema")
+        case None => () // dropped mid-stream: null-fills (allowed)
+      }
+    }
   }
 
   /** Render a feed window under the SOURCE's fixed schema: a column a
     * later commit added is dropped from this stream (it was not in
-    * the contract), a column a replace dropped null-fills. */
+    * the contract), a column a drop/replace removed null-fills.
+    * Renames and type changes never reach here — [[guardSchemaDrift]]
+    * failed the batch first. */
   private def align(feed: DataFrame, tableCols: Seq[String]): DataFrame = {
     val present = feed.columns.toSet
+    val metaCols =
+      if (rowsMode) Nil
+      else Seq(col("_change_type"), col("_commit_version"))
     feed.select(tableCols.map { c =>
       if (present.contains(c)) col(c)
       else lit(null).cast(tableSchema(c).dataType).as(c)
-    } :+ col("_change_type") :+ col("_commit_version"): _*)
+    } ++ metaCols: _*)
   }
 
   /** `(version, snapshotFilesConsumed)` from any offset the engine
@@ -254,7 +422,12 @@ object GraftChangesOffset {
 }
 
 /** `DataSourceRegister` so `.format("graft-changes")` resolves by
-  * short name (META-INF/services registration). */
+  * short name (META-INF/services registration). A user schema is
+  * accepted in exactly two shapes: the empty-table `latest` anchor
+  * (nothing to derive a schema from yet) and the catalog's V1
+  * streaming fallback (which passes the table's own schema through —
+  * validated equal). Anything else is refused: the table, not the
+  * caller, owns the schema. */
 final class GraftChangesSourceProvider
   extends StreamSourceProvider with DataSourceRegister {
 
@@ -262,15 +435,14 @@ final class GraftChangesSourceProvider
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) = {
-    require(schema.isEmpty,
-      "graft-changes derives its schema from the table; a user schema " +
-        "is not accepted")
-    (shortName(), new GraftChangesSource(sqlContext, parameters).schema)
-  }
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      new GraftChangesSource(sqlContext, parameters,
+        userSchema = schema).schema)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftChangesSource(sqlContext, parameters, Some(metadataPath))
+    new GraftChangesSource(sqlContext, parameters, Some(metadataPath),
+      schema)
 }

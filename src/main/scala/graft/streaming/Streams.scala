@@ -83,12 +83,15 @@ object Streams {
       startingVersion: String = "0",
       maxVersionsPerTrigger: Option[Int] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // keyCols may be empty: a KEYLESS feed renders pure inserts/
+    // deletes (incl. merge-on-read deletes) and refuses rewrites
     val r0 = spark.readStream.format("graft-changes")
       .option("path", tableDir)
-      .option("keyCols", keyCols.mkString(","))
       .option("startingVersion", startingVersion)
-    val r1 = maxVersionsPerTrigger.fold(r0)(n =>
-      r0.option("maxVersionsPerTrigger", n.toString))
+    val rk = if (keyCols.isEmpty) r0
+      else r0.option("keyCols", keyCols.mkString(","))
+    val r1 = maxVersionsPerTrigger.fold(rk)(n =>
+      rk.option("maxVersionsPerTrigger", n.toString))
     maxFilesPerTrigger.fold(r1)(n =>
       r1.option("maxFilesPerTrigger", n.toString)).load()
   }

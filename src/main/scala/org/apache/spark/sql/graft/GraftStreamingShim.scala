@@ -27,3 +27,16 @@ object GraftStreamingShim {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 }
+
+/** Public bridge over the `private[spark]`
+  * [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]
+  * trait — the analyzer hook that lets `spark.readStream.table(…)`
+  * on a V2 table WITHOUT micro-batch capability fall back to a V1
+  * streaming source (the route Delta's `DeltaTableV2` takes).
+  * [[graft.sql.GraftTable]] mixes this in to expose the
+  * `graft-changes` source in rows mode; the trait body adds nothing —
+  * the bridge exists only to cross the visibility fence, same as
+  * [[GraftStreamingShim]].
+  */
+trait GraftV1StreamingFallback
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

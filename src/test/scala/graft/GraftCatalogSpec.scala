@@ -128,12 +128,19 @@ class GraftCatalogSpec extends SparkSuite {
       assert(s.sql("SELECT * FROM graft.db.t VERSION AS OF 0")
         .schema.fieldNames.toSeq == Seq("id"))
       assert(Versioned.latestVersion(s, s"$wh/db/t").contains(2))
-      // append-only schema: everything else is refused loudly
+      // DROP COLUMN is a metadata commit now (round 15) — the
+      // destructive refusal that remains is a retype
+      s.sql("ALTER TABLE graft.db.t DROP COLUMN note")        // v3
+      assert(s.table("graft.db.t").columns.toSeq == Seq("id"))
+      assert(s.sql("SELECT * FROM graft.db.t VERSION AS OF 2")
+        .schema.fieldNames.toSeq == Seq("id", "note"))
+      // a narrowing retype is refused before it even reaches the
+      // catalog (Spark's own NOT_SUPPORTED_CHANGE_COLUMN gate)
       val e1 = intercept[Exception](
-        s.sql("ALTER TABLE graft.db.t DROP COLUMN note"))
+        s.sql("ALTER TABLE graft.db.t ALTER COLUMN id TYPE INT"))
       assert(Iterator.iterate(e1: Throwable)(_.getCause)
         .takeWhile(_ != null).exists(t => Option(t.getMessage)
-          .exists(_.contains("append-only"))), e1.getMessage)
+          .exists(_.contains("not supported"))), e1.getMessage)
       val e2 = intercept[Exception](
         s.sql("ALTER TABLE graft.db.t ADD COLUMNS (id INT)"))
       assert(Iterator.iterate(e2: Throwable)(_.getCause)
@@ -599,6 +606,104 @@ class GraftCatalogSpec extends SparkSuite {
       assert(Iterator.iterate(e6: Throwable)(_.getCause)
         .takeWhile(_ != null).exists(t => Option(t.getMessage)
           .exists(_.contains("COMMENT"))), e6.getMessage)
+    }
+  }
+
+  test("spark.readStream.table streams a graft table's PLAIN ROWS " +
+      "through the V2TableWithV1Fallback route: snapshot + appends; " +
+      "a delete commit fails the stream; skipChangeCommits skips it") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.st AS " +
+        "SELECT id, id * 2 AS v FROM range(5)")                  // v0
+      val name = s"ct_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = s.readStream.table("graft.db.st")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$wh/ckpt1").start()
+      try {
+        q.processAllAvailable()
+        // plain rows, no feed columns — the table's own schema
+        assert(s.table(name).columns.toSeq == Seq("id", "v"))
+        assert(s.table(name).count() == 5,
+          "the initial snapshot must stream as rows")
+        s.sql("INSERT INTO graft.db.st VALUES (100, 200)")       // v1
+        q.processAllAvailable()
+        assert(s.table(name).count() == 6)
+        // a delete commit is not representable as plain rows
+        s.sql("DELETE FROM graft.db.st WHERE id = 0")            // v2
+        val e = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+          q.processAllAvailable(); q.awaitTermination(2000)
+        }
+        assert(Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).exists(t => Option(t.getMessage)
+            .exists(_.contains("skipChangeCommits"))), e.getMessage)
+      } finally q.stop()
+      // the documented escape hatch: reader options reach the source
+      val name2 = name + "b"
+      val q2 = s.readStream.option("skipChangeCommits", "true")
+        .table("graft.db.st")
+        .writeStream.format("memory").queryName(name2)
+        .option("checkpointLocation", s"$wh/ckpt2").start()
+      try {
+        q2.processAllAvailable()
+        // anchor snapshot (v0: 5 rows) + v1 append; the delete commit
+        // is skipped whole
+        assert(s.table(name2).count() == 6,
+          "skipChangeCommits must skip the delete commit and keep " +
+            "streaming")
+      } finally q2.stop()
+    }
+  }
+
+  test("graft.manifest.checkpointEvery is TBLPROPERTIES policy: " +
+      "declared at CREATE or ALTER, surfaced by SHOW, cleared by " +
+      "UNSET; the SQL route and the CALL route agree") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.rh (id BIGINT) TBLPROPERTIES " +
+        "('graft.manifest.checkpointEvery'='1')")
+      val dir = s"$wh/db/rh"
+      assert(Versioned.manifestCheckpointPolicy(s, dir).contains(1))
+      (0 until 4).foreach(i =>
+        s.sql(s"INSERT INTO graft.db.rh VALUES ($i)"))
+      // cadence 1: every post-declaration commit is a full snapshot
+      val head = Versioned.latestVersion(s, dir).get
+      val deltas = (2 to head).count { v =>
+        val p = java.nio.file.Paths.get(dir, "_manifest",
+          f"v$v%05d.txt")
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        try src.getLines().exists(_.startsWith("#base\t"))
+        finally src.close()
+      }
+      assert(deltas == 0,
+        s"cadence 1 must snapshot every commit; found $deltas deltas")
+      val shown = s.sql("SHOW TBLPROPERTIES graft.db.rh").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("graft.manifest.checkpointEvery").contains("1"))
+      // ALTER re-declares; UNSET clears back to the process default
+      s.sql("ALTER TABLE graft.db.rh SET TBLPROPERTIES " +
+        "('graft.manifest.checkpointEvery'='7')")
+      assert(Versioned.manifestCheckpointPolicy(s, dir).contains(7))
+      s.sql("ALTER TABLE graft.db.rh UNSET TBLPROPERTIES " +
+        "('graft.manifest.checkpointEvery')")
+      assert(Versioned.manifestCheckpointPolicy(s, dir).isEmpty)
+      // the CALL twin declares and clears the same header
+      s.sql("CALL graft.system.set_policy('db.rh', " +
+        "checkpoint_every => 3)")
+      assert(Versioned.manifestCheckpointPolicy(s, dir).contains(3))
+      s.sql("CALL graft.system.set_policy('db.rh', " +
+        "checkpoint_every => 0)")
+      assert(Versioned.manifestCheckpointPolicy(s, dir).isEmpty)
+      // refusal: a non-positive cadence
+      val e = intercept[Exception](s.sql(
+        "ALTER TABLE graft.db.rh SET TBLPROPERTIES " +
+          "('graft.manifest.checkpointEvery'='0')"))
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains(">= 1"))), e.getMessage)
+      assert(s.sql("SELECT count(*) FROM graft.db.rh").head()
+        .getLong(0) == 4L)
     }
   }
 

@@ -33,7 +33,7 @@ class GraftChangesSourceSpec extends SparkSuite {
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", tmpDir() + "/ckpt").start()
     try q.processAllAvailable() finally q.stop()
-    val got = spark.table(name)
+    val got = spark.table(name).drop("_commit_timestamp")
       .as[(Long, String, String, Int)].collect().toSet
     val want =
       (0L until 3L).map(i => (i, s"r$i", "insert", 0)).toSet ++
@@ -60,7 +60,8 @@ class GraftChangesSourceSpec extends SparkSuite {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        b.as[(Long, String, String, Int)].collect().foreach(got.add)
+        b.drop("_commit_timestamp")
+          .as[(Long, String, String, Int)].collect().foreach(got.add)
         ()
       }.start()
     val q1 = start()
@@ -95,7 +96,8 @@ class GraftChangesSourceSpec extends SparkSuite {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        b.as[(Long, String, String, Int)].collect().foreach(got.add)
+        b.drop("_commit_timestamp")
+          .as[(Long, String, String, Int)].collect().foreach(got.add)
         ()
       }.start()
     val q1 = start()
@@ -153,7 +155,8 @@ class GraftChangesSourceSpec extends SparkSuite {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         if (seenBatches.add(id)) {
-          val rows = b.as[(Long, String, String, Int)].collect()
+          val rows = b.drop("_commit_timestamp")
+            .as[(Long, String, String, Int)].collect()
           batchSizes.add(rows.length.toLong)
           rows.foreach(got.add)
         }
@@ -200,9 +203,11 @@ class GraftChangesSourceSpec extends SparkSuite {
     try q.processAllAvailable() finally q.stop()
     val feed = spark.table(name)
     assert(feed.filter(col("_change_type") === "update_preimage")
+      .drop("_commit_timestamp")
       .as[(Long, Long, String, Int)].collect().toSeq ==
       Seq((3L, 30L, "update_preimage", 1)))
     assert(feed.filter(col("_change_type") === "update_postimage")
+      .drop("_commit_timestamp")
       .as[(Long, Long, String, Int)].collect().toSeq ==
       Seq((3L, 999L, "update_postimage", 1)))
     // apply the feed in commit order (latest action per key wins;
@@ -218,19 +223,164 @@ class GraftChangesSourceSpec extends SparkSuite {
       Versioned.read(spark, dir).as[(Long, Long)].collect().toSet)
   }
 
-  test("source validation fails loudly: missing keyCols, unknown key " +
-      "column, empty table") {
+  test("source validation fails loudly: explicit startingVersion on " +
+      "an absent table, unknown key column, bad mode") {
     val dir = tmpDir() + "/bad"
     intercept[IllegalArgumentException] {
       Streams.readChanges(spark, dir, Seq("id")).schema // no table yet
     }
     commitRange(dir, 0, 2)
     intercept[IllegalArgumentException] {
-      spark.readStream.format("graft-changes")
-        .option("path", dir).load() // keyCols absent
-    }
-    intercept[IllegalArgumentException] {
       Streams.readChanges(spark, dir, Seq("nope")).schema
     }
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes")
+        .option("path", dir).option("mode", "nope").load()
+    }
+  }
+
+  test("KEYLESS feed: a merge-on-read DELETE streams its exact rows " +
+      "as deletes with NO keyCols; a rewrite commit fails loudly; a " +
+      "compaction nets zero rows") {
+    val dir = tmpDir() + "/keyless"
+    val ckpt = tmpDir() + "/ckpt"
+    commitRange(dir, 0, 5)                               // v0
+    val v1 = Versioned.deleteWhereMor(spark, dir,
+      col("id") === 2L || col("id") === 4L)              // v1: DV only
+    assert(v1 == 1)
+    Versioned.compactCommit(spark, dir)                  // v2: no-op rows
+    val name = s"kl_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = Streams.readChanges(spark, dir, Nil)         // NO keyCols
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).drop("_commit_timestamp")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got ==
+      (0L until 5L).map(i => (i, s"r$i", "insert", 0)).toSet ++
+        Set((2L, "r2", "delete", 1), (4L, "r4", "delete", 1)),
+      s"keyless MoR delete feed mismatch: $got")
+    // a REWRITE commit (CoW update) cannot render keyless: the query
+    // fails loudly instead of emitting bogus delete+insert churn
+    Versioned.updateWhere(spark, dir, col("id") === 0L,
+      Map("s" -> lit("updated")))                        // v3: rewrite
+    val q2 = Streams.readChanges(spark, dir, Nil)
+      .writeStream.format("memory")
+      .queryName(name + "b")
+      .option("checkpointLocation", tmpDir() + "/ckpt2").start()
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(2000)
+    }
+    q2.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(m => m.contains("KEYLESS") && m.contains("keyCols"))),
+      e.getMessage)
+  }
+
+  test("_commit_timestamp rides every feed row: per-version constant, " +
+      "from the manifest instants, strictly increasing with version") {
+    val dir = tmpDir() + "/ts"
+    commitRange(dir, 0, 2)                               // v0
+    commitRange(dir, 10, 11)                             // v1
+    val name = s"ts_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = Streams.readChanges(spark, dir, Seq("id"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir() + "/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val inst = spark.table(name)
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .as[(Int, java.sql.Timestamp)].collect().sortBy(_._1)
+    assert(inst.length == 2 && inst.forall(_._2 != null))
+    assert(inst(0)._2.getTime < inst(1)._2.getTime,
+      "instants must increase with the version")
+    // and they ARE the history's recorded instants
+    val hist = Versioned.history(spark, dir)
+      .select("version", "ts_millis")
+      .as[(Int, Long)].collect().toMap
+    assert(inst.forall { case (v, t) => hist(v) == t.getTime })
+  }
+
+  test("mid-stream RENAME or type change of a streamed column fails " +
+      "the query (no silent null-fill); a mid-stream DROP null-fills") {
+    val dir = tmpDir() + "/drift"
+    val ckpt = tmpDir() + "/ckpt"
+    Versioned.commit(spark, dir,
+      (0L until 3L).map(i => (i, i * 10L, s"r$i"))
+        .toDF("id", "v", "s"))                           // v0
+    val name = s"dr_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = Streams.readChanges(spark, dir, Seq("id"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      Versioned.renameColumn(spark, dir, "v", "val")     // v1: rename
+      commitRange2(dir)                                  // v2
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(2000)
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("RENAMED"))), e.getMessage)
+    } finally q.stop()
+    // a DROP, by contrast, null-fills: new stream over a dropping table
+    val dir2 = tmpDir() + "/drift2"
+    Versioned.commit(spark, dir2,
+      (0L until 2L).map(i => (i, i * 10L, s"r$i"))
+        .toDF("id", "v", "s"))                           // v0
+    val name2 = s"dr2_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q2 = Streams.readChanges(spark, dir2, Seq("id"))
+      .writeStream.format("memory").queryName(name2)
+      .option("checkpointLocation", tmpDir() + "/ckpt2").start()
+    try {
+      q2.processAllAvailable()
+      Versioned.dropColumn(spark, dir2, "v")             // v1
+      Versioned.commit(spark, dir2,
+        Seq((100L, "new")).toDF("id", "s"))              // v2
+      q2.processAllAvailable()
+      val rows = spark.table(name2)
+        .filter(col("_commit_version") === 2)
+        .select("id", "v", "s").collect()
+      assert(rows.length == 1 && rows.head.isNullAt(1),
+        "a dropped streamed column must null-fill, not fail")
+    } finally q2.stop()
+  }
+
+  private def commitRange2(dir: String): Int =
+    Versioned.commit(spark, dir,
+      Seq((100L, 5L, "x")).toDF("id", "val", "s"))
+
+  test("startingVersion=latest anchors on an EMPTY table (user " +
+      "schema) and picks up the first commits") {
+    val dir = tmpDir() + "/empty"
+    val ckpt = tmpDir() + "/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val name = s"em_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-changes")
+      .schema(schema)
+      .option("path", dir)
+      .option("startingVersion", "latest")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty)
+      commitRange(dir, 0, 3)                             // v0: streams
+      commitRange(dir, 10, 11)                           // v1: streams
+      q.processAllAvailable()
+      val got = spark.table(name).drop("_commit_timestamp")
+        .as[(Long, String, String, Int)].collect().toSet
+      assert(got ==
+        ((0L until 3L).map(i => (i, s"r$i", "insert", 0)).toSet +
+          ((10L, "r10", "insert", 1))),
+        s"empty-anchor stream mismatch: $got")
+    } finally q.stop()
   }
 }

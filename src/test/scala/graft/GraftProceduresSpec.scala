@@ -242,7 +242,8 @@ class GraftProceduresSpec extends SparkSuite {
         s.sql("CALL graft.system.set_policy('db.sp')"))
       assert(Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).exists(t => Option(t.getMessage)
-          .exists(_.contains("stats_cols or bloom_cols"))),
+          .exists(_.contains("stats_cols, bloom_cols, or " +
+            "checkpoint_every"))),
         e.getMessage)
       // sizing a CLEARED index (bloom_cols => '') is the same silent
       // drop as sizing an omitted one — both refuse
@@ -256,35 +257,48 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
-  test("CALL checkpoint folds the head's delta chain into a snapshot " +
-      "in place: same state, no new version, bounded reader tail") {
+  test("CALL checkpoint folds the head's delta chain into a sidecar " +
+      "snapshot: same state, no new version, the committed manifest " +
+      "file stays immutable") {
     withCatalogSession { (s, wh) =>
       s.sql("CREATE NAMESPACE graft.db")
       s.sql("CREATE TABLE graft.db.t AS SELECT id FROM range(10)") // v0
       (0 until 3).foreach(i => s.sql(
         s"INSERT INTO graft.db.t VALUES (${100 + i})"))      // v1..v3
       val dir = s"$wh/db/t"
-      def headIsDelta: Boolean = {
-        val v = Versioned.latestVersion(s, dir).get
-        val p = java.nio.file.Paths.get(dir, "_manifest",
-          f"v$v%05d.txt")
+      def lines(name: String): Seq[String] = {
+        val p = java.nio.file.Paths.get(dir, "_manifest", name)
         val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-        try src.getLines().exists(_.startsWith("#base\t"))
-        finally src.close()
+        try src.getLines().toList finally src.close()
       }
-      assert(headIsDelta, "fixture: the head must start as a delta")
+      val head = Versioned.latestVersion(s, dir).get
+      val rawBefore = lines(f"v$head%05d.txt")
+      assert(rawBefore.exists(_.startsWith("#base\t")),
+        "fixture: the head must start as a delta")
       val folded = s.sql("CALL graft.system.checkpoint('db.t')")
         .collect()
       assert(folded.head.getBoolean(0))
-      assert(!headIsDelta, "the head must now be a full snapshot")
+      // the committed log entry is IMMUTABLE: the fold lands as a
+      // separate sidecar file, never a rewrite of the manifest
+      assert(lines(f"v$head%05d.txt") == rawBefore,
+        "checkpoint must not mutate the committed manifest file")
+      val sidecar = lines(f"v$head%05d.ckpt.txt")
+      assert(!sidecar.exists(_.startsWith("#base\t")),
+        "the sidecar must be a full snapshot")
       assert(Versioned.latestVersion(s, dir).contains(3),
         "checkpoint must not publish a new version")
       assert(s.table("graft.db.t").count() == 13)
       assert(s.sql("SELECT * FROM graft.db.t VERSION AS OF 1")
         .count() == 11, "history must survive the fold")
-      // idempotent: a snapshot head has nothing to fold
+      // idempotent: a folded head has nothing left to fold
       assert(!s.sql("CALL graft.system.checkpoint('db.t')")
         .collect().head.getBoolean(0))
+      // a corrupt/deleted sidecar degrades to the intact delta chain
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir,
+        "_manifest", f"v$head%05d.ckpt.txt"))
+      assert(s.table("graft.db.t").count() == 13,
+        "readers must fall back to the delta chain when the " +
+          "sidecar is gone")
     }
   }
 

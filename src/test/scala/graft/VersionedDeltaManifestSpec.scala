@@ -111,27 +111,113 @@ class VersionedDeltaManifestSpec extends SparkSuite {
     assert(Versioned.read(spark, dir, Some(3)).count() == 4)
   }
 
-  test("expire across a delta chain re-checkpoints the oldest kept " +
-      "version in place; retention stays exact and every kept version " +
-      "reads") {
+  test("expire across a delta chain checkpoints the oldest kept " +
+      "version as a SIDECAR (the committed manifest stays immutable); " +
+      "retention stays exact and every kept version reads") {
     val dir = tmpDir() + "/expire"
     for (i <- 0 until 8)
       Versioned.commit(spark, dir, Seq((i.toLong, s"r$i")).toDF("id", "s"))
     assert(isDelta(dir, 5))
+    val rawBefore = rawFile(dir, 5)
     val (dropped, _) = Versioned.expire(spark, dir, keepLast = 3,
       orphanGraceMs = 0L)
     assert(dropped == 5, "expire must drop exactly the asked prefix")
-    assert(!isDelta(dir, 5),
-      "the oldest kept version must be re-checkpointed as a snapshot")
+    assert(rawFile(dir, 5) == rawBefore,
+      "expire must never mutate a committed manifest file")
+    val sidecar = java.nio.file.Paths.get(dir, "_manifest",
+      "v00005.ckpt.txt")
+    assert(java.nio.file.Files.exists(sidecar),
+      "the oldest kept delta must gain a checkpoint sidecar")
     for (v <- 5 to 7)
       assert(Versioned.read(spark, dir, Some(v)).count() == v + 1,
         s"kept version $v must reconstruct after the drop")
-    // no tmp or crc litter from the in-place checkpoint
+    // a second expire drops the folded version and its sidecar with it
+    Versioned.expire(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(!java.nio.file.Files.exists(sidecar),
+      "a dropped version's sidecar must be collected with it")
+    assert(Versioned.read(spark, dir, Some(7)).count() == 8)
+    // no tmp or crc litter from the sidecar checkpoints
     val names = java.nio.file.Files.list(
         java.nio.file.Paths.get(dir, "_manifest"))
       .toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
     assert(!names.exists(n => n.endsWith(".tmp") || n.endsWith(".crc")),
-      s"in-place checkpoint littered: ${names.mkString(", ")}")
+      s"sidecar checkpoint littered: ${names.mkString(", ")}")
+  }
+
+  test("manifest-checkpoint cadence is TABLE policy: two tables in " +
+      "one session with different cadences produce their own " +
+      "snapshot/delta mix, and clearing returns to the default") {
+    val readHot = tmpDir() + "/readhot"
+    val writeHot = tmpDir() + "/writehot"
+    Versioned.commit(spark, readHot, Seq((0L, "a")).toDF("id", "s"))
+    Versioned.commit(spark, writeHot, Seq((0L, "a")).toDF("id", "s"))
+    // read-hot: every commit a snapshot (zero reconstruction tail)
+    Versioned.setPolicy(spark, readHot,
+      manifestCheckpointEvery = Some(Some(1)))
+    // write-hot: long chains (commit cost O(delta))
+    Versioned.setPolicy(spark, writeHot,
+      manifestCheckpointEvery = Some(Some(5)))
+    for (i <- 1 to 6) {
+      Versioned.commit(spark, readHot, Seq((i.toLong, "x")).toDF("id", "s"))
+      Versioned.commit(spark, writeHot, Seq((i.toLong, "x")).toDF("id", "s"))
+    }
+    val rhHead = Versioned.latestVersion(spark, readHot).get
+    assert((2 to rhHead).forall(!isDelta(readHot, _)),
+      "cadence 1 must publish every commit as a full snapshot")
+    // write-hot chain: v1 (set-policy) is a delta over v0... snapshots
+    // land only when a chain reaches 5 links
+    val whDeltas = (2 to Versioned.latestVersion(spark, writeHot).get)
+      .count(isDelta(writeHot, _))
+    assert(whDeltas >= 4,
+      s"cadence 5 must keep publishing delta records, got $whDeltas " +
+        "deltas")
+    assert(Versioned.manifestCheckpointPolicy(spark, readHot)
+      .contains(1))
+    assert(Versioned.manifestCheckpointPolicy(spark, writeHot)
+      .contains(5))
+    // every version still reads exactly under either cadence
+    assert(Versioned.read(spark, readHot).count() == 7)
+    assert(Versioned.read(spark, writeHot).count() == 7)
+    assert(Versioned.read(spark, writeHot, Some(3)).count() == 3)
+    // clearing the declaration returns the table to the process
+    // default (header absent from the next commit on)
+    Versioned.setPolicy(spark, readHot,
+      manifestCheckpointEvery = Some(None))
+    assert(Versioned.manifestCheckpointPolicy(spark, readHot).isEmpty)
+    assert(Versioned.read(spark, readHot).count() == 7)
+  }
+
+  test("the _head pointer resolves the head O(1); a deleted, corrupt, " +
+      "or stale pointer still resolves the true head") {
+    val dir = tmpDir() + "/head"
+    for (i <- 0 until 5)
+      Versioned.commit(spark, dir, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    val p = java.nio.file.Paths.get(dir, "_manifest", "_head")
+    assert(java.nio.file.Files.exists(p),
+      "every successful commit must advance the advisory pointer")
+    assert(new String(java.nio.file.Files.readAllBytes(p),
+      "UTF-8").trim == "4")
+    assert(Versioned.latestVersion(spark, dir).contains(4))
+    // STALE pointer (a crashed writer's last update): probe forward
+    java.nio.file.Files.write(p, "1".getBytes("UTF-8"))
+    assert(Versioned.latestVersion(spark, dir).contains(4),
+      "a stale pointer must probe forward to the true head")
+    // CORRUPT pointer: fall back to the listing
+    java.nio.file.Files.write(p, "not-a-version".getBytes("UTF-8"))
+    assert(Versioned.latestVersion(spark, dir).contains(4),
+      "a corrupt pointer must fall back to the directory listing")
+    // DELETED pointer: fall back to the listing; the next commit
+    // restores it
+    java.nio.file.Files.delete(p)
+    assert(Versioned.latestVersion(spark, dir).contains(4))
+    Versioned.commit(spark, dir, Seq((9L, "x")).toDF("id", "s"))
+    assert(new String(java.nio.file.Files.readAllBytes(p),
+      "UTF-8").trim == "5")
+    // a pointer naming an EXPIRED version falls back too
+    java.nio.file.Files.write(p, "0".getBytes("UTF-8"))
+    Versioned.expire(spark, dir, keepLast = 2, orphanGraceMs = 0L)
+    assert(Versioned.latestVersion(spark, dir).contains(5),
+      "a pointer at an expired version must fall back to the listing")
   }
 
   test("change feed and restore stay exact across checkpoint " +
