@@ -275,7 +275,8 @@ object Versioned {
       chainDepth: Int = 0,
       colMap: Seq[(String, String)] = Nil,
       ckptEvery: Option[Int] = None,
-      colDrops: Seq[String] = Nil)
+      colDrops: Seq[String] = Nil,
+      colMapMode: Option[String] = None)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -398,6 +399,19 @@ object Versioned {
   // is consulted only at the parquet scan/write boundary.
   private val ColMapHeader = "#colmap\t"
 
+  // column-mapping MODE: `#colmapmode\tid` — the table mints UUID
+  // physical names for new columns (Delta's `id` mapping mode). With
+  // birth names (the default), a renamed- or dropped-away column's
+  // physical name blocks re-use of that name forever (old files'
+  // bytes would leak in); under `id` the physical namespace is
+  // collision-free by construction, so rename-away + re-add and
+  // drop + re-add both just work. Declared at CREATE (empty table:
+  // every declared column mints) or upgraded later ([[
+  // setColumnMapping]] — existing columns keep their birth names,
+  // columns added AFTER the upgrade mint). Carried like the cadence
+  // policy; a downgrade is refused (files already carry uuids).
+  private val ColMapModeHeader = "#colmapmode\t"
+
   // dropped-column tombstone: `#coldrop\t<physical>` (uri-encoded),
   // one line per DROPPED column's PHYSICAL name. DROP COLUMN is a
   // metadata commit — the physical bytes stay in every data file; the
@@ -504,11 +518,16 @@ object Versioned {
     val colDrops = raw.collect { case l if l.startsWith(ColDropHeader) =>
       java.net.URLDecoder.decode(l.stripPrefix(ColDropHeader), "UTF-8")
     }
+    val colMapMode = raw.collectFirst {
+      case l if l.startsWith(ColMapModeHeader) =>
+        l.stripPrefix(ColMapModeHeader).trim
+    }
     RawNode(base, rmFiles, rmDvs, rmBlooms,
       Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
         blooms, op, bloomCfg, statColsPolicy, ts, commitUuid,
         chainDepth = base.map(_._2).getOrElse(0), colMap = colMap,
-        ckptEvery = ckptEvery, colDrops = colDrops))
+        ckptEvery = ckptEvery, colDrops = colDrops,
+        colMapMode = colMapMode))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -874,6 +893,89 @@ object Versioned {
     -1 // unreachable
   }
 
+  /** A minted PHYSICAL column name for `id` mapping mode: globally
+    * unique, carries no user name, so it can never collide with a
+    * logical name, a birth name, or another mint — what lifts the
+    * rename-reuse and drop-reuse refusals (Delta's `id` mode). */
+  private def mintPhysical(): String =
+    s"col-${java.util.UUID.randomUUID()}"
+
+  /** Upgrade the table to `id` COLUMN-MAPPING MODE: new columns mint
+    * UUID physical names from birth, so RENAME-away + re-add and
+    * DROP + re-add of such columns are collision-free (the two
+    * refusals birth-name mapping must keep). On an EMPTY table (the
+    * CREATE-TABLE shape — zero data files, nothing on disk carries a
+    * name yet) every existing schema column mints too; on a table
+    * with data, existing columns keep their birth names (their files
+    * already carry them — re-mapping would need a rewrite) and only
+    * columns added after the upgrade mint. Idempotent; a downgrade is
+    * refused (files already carry uuids). Returns the new version, or
+    * the head unchanged when already in `id` mode.
+    */
+  def setColumnMapping(spark: SparkSession, dir: String,
+      mode: String = "id"): Int = {
+    require(mode == "id",
+      s"the only declarable column-mapping mode is 'id', got '$mode' " +
+        "(birth-name mapping is the default and cannot be restored " +
+        "once files carry uuid columns)")
+    val fs = fileSystem(spark, dir)
+    val uuid = newCommitUuid()
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version in $dir to declare column mapping on"))
+      val m = readManifest(fs, dir, head)
+      if (m.colMapMode.contains("id")) return head // idempotent
+      val schema = versionSchema(spark, dir, m).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $head of $dir has no schema"))
+      // a ZERO-ROW table can re-home every column to a uuid: no byte
+      // on disk carries a name worth keeping (an "empty" commit may
+      // still have written zero-row part files — those null-fill
+      // harmlessly under the new physicals). A data-bearing table
+      // keeps birth names for what exists and mints only for future
+      // columns.
+      val zeroRows = m.lines.isEmpty ||
+        read(spark, dir, Some(head)).isEmpty
+      val newColMap =
+        if (!zeroRows) m.colMap
+        else schema.fieldNames.toSeq.map(n =>
+          n -> m.colMap.toMap.getOrElse(n, mintPhysical()))
+      // a zero-row table's listed files (empty part files an "empty"
+      // commit still wrote) drop from the upgraded manifest: they
+      // carry birth-named schemas and no rows — keeping them would
+      // mix namespaces in the footer union for nothing. Unreferenced
+      // files are swept by expire, like any lost staging.
+      val newLines = if (zeroRows) Nil else m.lines
+      if (publishResolved(fs, dir, head + 1, uuid)(
+          casPublish(fs, dir, head + 1, schema, newLines, m.txn,
+            m.checks,
+            if (zeroRows) Nil else m.dvs,
+            if (zeroRows) Nil else m.blooms,
+            op = Some("set-column-mapping(id)"),
+            bloomCfg = bloomCfgOf(m), statColsPolicy = statColsOf(m),
+            parent = Some(m), commitUuid = Some(uuid),
+            colMap = newColMap, colDrops = m.colDrops,
+            colMapModeOverride = Some(Some("id")))))
+        return head + 1
+      attempts += 1
+      require(attempts < 1000,
+        s"setColumnMapping on $dir still losing the version race " +
+          s"after $attempts attempts")
+    }
+    -1 // unreachable
+  }
+
+  /** The table's declared column-mapping mode at `version` (default
+    * head): `Some("id")` after [[setColumnMapping]], None for
+    * birth-name mapping (the default). */
+  def columnMappingMode(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Option[String] =
+    version.orElse(latestVersion(spark, dir))
+      .flatMap(v =>
+        readManifest(fileSystem(spark, dir), dir, v).colMapMode)
+
   /** Commit `df` as the next version. `replace = false` appends to the
     * previous version's file set; `replace = true` publishes `df` as
     * the entire new table state (existing data files stay on disk —
@@ -1146,6 +1248,7 @@ object Versioned {
       } ++
       m.ckptEvery.map(n => s"$CkptEveryHeader$n").toSeq ++
       m.colDrops.map(ph => s"$ColDropHeader${enc(ph)}") ++
+      m.colMapMode.map(md => s"$ColMapModeHeader$md").toSeq ++
       m.lines
   }
 
@@ -1593,7 +1696,8 @@ object Versioned {
       commitUuid: Option[String],
       colMap: Seq[(String, String)] = Nil,
       ckptEvery: Option[Int] = None,
-      colDrops: Seq[String] = Nil): Seq[String] = {
+      colDrops: Seq[String] = Nil,
+      colMapMode: Option[String] = None): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -1623,7 +1727,8 @@ object Versioned {
         s"$ColMapHeader${enc(lg)}\t${enc(ph)}"
       } ++
       ckptEvery.map(n => s"$CkptEveryHeader$n").toSeq ++
-      colDrops.distinct.map(ph => s"$ColDropHeader${enc(ph)}")
+      colDrops.distinct.map(ph => s"$ColDropHeader${enc(ph)}") ++
+      colMapMode.map(md => s"$ColMapModeHeader$md").toSeq
   }
 
   /** Compare-and-swap publish of `lines` as version `next`: true iff
@@ -1655,7 +1760,8 @@ object Versioned {
       commitUuid: Option[String] = None,
       colMap: Seq[(String, String)] = Nil,
       ckptEveryOverride: Option[Option[Int]] = None,
-      colDrops: Seq[String] = Nil): Boolean = {
+      colDrops: Seq[String] = Nil,
+      colMapModeOverride: Option[Option[String]] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -1674,9 +1780,13 @@ object Versioned {
     val ckptEvery: Option[Int] =
       ckptEveryOverride.getOrElse(parent.flatMap(_.ckptEvery))
     val every = ckptEvery.getOrElse(manifestCheckpointEvery)
+    // column-mapping mode carries like the cadence: once a table is
+    // `id`, every commit republishes the declaration
+    val colMapMode: Option[String] =
+      colMapModeOverride.getOrElse(parent.flatMap(_.colMapMode))
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
       checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
-      colDrops)
+      colDrops, colMapMode)
     // delta vs snapshot: diff against the parent state by exact line
     // (a stats rewrite of a carried rel encodes as rmfile + fresh add)
     val body: Seq[String] = parent match {
@@ -1952,11 +2062,27 @@ object Versioned {
       p._2.filter(c => df.schema.fieldNames.contains(c._1)))
     val head0 = latestVersion(spark, dir).map(readManifest(fs, dir, _))
     var (measuredStats, measuredCfg) = measurable(policyOf(head0))
+    // id column-mapping mode: NEW columns (and every column of a
+    // replace — fresh files, fresh namespace) mint uuid PHYSICAL
+    // names at stage time, so a renamed- or dropped-away name can be
+    // re-used later with no byte leakage
+    val idMode = head0.exists(_.colMapMode.contains("id"))
+    var stageMints: Seq[(String, String)] =
+      if (!idMode) Nil
+      else if (replace)
+        df.schema.fieldNames.toSeq.map(_ -> mintPhysical())
+      else {
+        val known = head0.flatMap(_.schema)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty)
+        df.schema.fieldNames.toSeq.filterNot(known.contains)
+          .map(_ -> mintPhysical())
+      }
     // the staging-time column mapping: staged files carry PHYSICAL
     // names under it (physical names are birth-stable, so a racing
     // rename between staging and publish cannot invalidate them)
-    val stageMap =
-      if (replace) Nil else head0.map(_.colMap).getOrElse(Nil)
+    var stageMap =
+      if (replace) stageMints
+      else head0.map(_.colMap).getOrElse(Nil) ++ stageMints
     val stageDrops =
       if (replace) Nil else head0.map(_.colDrops).getOrElse(Nil)
     // catch a physical-name collision BEFORE staging: the write-side
@@ -2020,14 +2146,42 @@ object Versioned {
         newBlooms = newBlooms.filter(b => wantCfg.exists(_._1 == b._2))
         measuredCfg = measuredCfg.filter(c => wantCfg.exists(_._1 == c._1))
       }
+      // id-mode mint DRIFT: a racing commit may have introduced one
+      // of OUR new columns under its own mint — our staged files
+      // carry OUR uuid, so publishing against the head's mapping
+      // would silently null the column. Re-stage the frame under the
+      // head's physical names (staged orphans are swept by expire,
+      // like any lost CAS attempt), then continue the loop normally.
+      if (stageMints.nonEmpty && !replace) {
+        val hm = headManifest.map(_.colMap.toMap).getOrElse(Map.empty)
+        val hs = headManifest.flatMap(_.schema)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty)
+        if (stageMints.exists { case (n, p) =>
+            hs.contains(n) && hm.getOrElse(n, n) != p }) {
+          stageMints = stageMints.flatMap { case (n, p) =>
+            if (!hs.contains(n)) Some((n, p))
+            else hm.get(n).map((n, _)) // head's mint (or drop if birth)
+          }.filter(e => e._1 != e._2)
+          stageMap = headManifest.map(_.colMap).getOrElse(Nil) ++
+            stageMints.filterNot(e =>
+              headManifest.exists(_.colMap.exists(_._1 == e._1)))
+          newFiles = stage(spark, dir, df, measuredStats, stageMap)
+          newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg,
+            stageMap)
+        }
+      }
       val schema =
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
           .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
       // a replace claims naming authority too: its files' physical
-      // names ARE its logical names, so the mapping resets
+      // names ARE its logical names (or fresh mints under id mode),
+      // so the mapping resets to this commit's own
       val pubColMap =
-        if (replace) Nil else headManifest.map(_.colMap).getOrElse(Nil)
+        if (replace) stageMap
+        else headManifest.map(_.colMap).getOrElse(Nil) ++
+          stageMints.filterNot(e =>
+            headManifest.exists(_.colMap.exists(_._1 == e._1)))
       // a replace resets the drop tombstones with the mapping: its
       // fresh files ARE the table, so no old bytes can leak
       val pubColDrops =

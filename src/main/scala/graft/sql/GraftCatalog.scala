@@ -185,7 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // refused loudly rather than silently dropped
     val props = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty[String, String])
-    val (statCols, bloomCfg, cadence) =
+    val (statCols, bloomCfg, cadence, colMapMode) =
       GraftTableProps.parse(props, "graft CREATE TABLE")
     (statCols ++ bloomCfg.map(_._1)).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -207,8 +207,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bloomExpectedItems =
           bloomCfg.headOption.map(_._2).getOrElse(100000L),
         bloomFpp = bloomCfg.headOption.map(_._3).getOrElse(0.03))
+    // id column mapping declares FIRST, on the still-empty table —
+    // that is when every schema column can mint a uuid physical name
+    colMapMode.foreach(m => Versioned.setColumnMapping(session, dir, m))
     // a declared manifest-checkpoint cadence publishes as its own
-    // policy commit (v1) — the same audit trail inline CHECK
+    // policy commit — the same audit trail inline CHECK
     // constraints leave, and the header every later commit carries
     cadence.foreach(n => Versioned.setPolicy(session, dir,
       manifestCheckpointEvery = Some(Some(n))))
@@ -274,7 +277,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .mkString(", ")}); got: " +
             ((sets.keySet ++ removes) -- GraftTableProps.PolicyKeys)
               .mkString(", "))
-        val (statCols, bloomCfg, cadence) =
+        val (statCols, bloomCfg, cadence, colMapMode) =
           GraftTableProps.parse(sets, "graft ALTER TABLE")
         val statOpt =
           if (sets.contains(GraftTableProps.StatsKey)) Some(statCols)
@@ -292,12 +295,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else if (removes.contains(GraftTableProps.CadenceKey))
             Some(None)
           else None
+        require(!removes.contains(GraftTableProps.ModeKey),
+          "column-mapping mode cannot be UNSET — files already carry " +
+            "uuid physical names")
+        // a mode UPGRADE is its own commit; the policy halves follow
+        colMapMode.foreach(m =>
+          Versioned.setColumnMapping(session, dir, m))
         require(statOpt.isDefined || bloomOpt.isDefined ||
-            cadenceOpt.isDefined,
+            cadenceOpt.isDefined || colMapMode.isDefined,
           "SET TBLPROPERTIES must declare " +
-            s"${GraftTableProps.StatsKey}, ${GraftTableProps.BloomKey} " +
-            s"or ${GraftTableProps.CadenceKey}")
-        Versioned.setPolicy(session, dir, statOpt, bloomOpt, cadenceOpt)
+            s"${GraftTableProps.StatsKey}, ${GraftTableProps.BloomKey}, " +
+            s"${GraftTableProps.CadenceKey} or " +
+            s"${GraftTableProps.ModeKey}")
+        if (statOpt.isDefined || bloomOpt.isDefined ||
+            cadenceOpt.isDefined)
+          Versioned.setPolicy(session, dir, statOpt, bloomOpt,
+            cadenceOpt)
         return loadTable(ident)
       // ALTER TABLE … RENAME COLUMN: a metadata-only commit through
       // the lake's column mapping (physical names stay on disk; time
@@ -538,7 +551,9 @@ final case class GraftTable(fullName: String, dir: String,
          GraftTableProps.ExpectedKey -> blooms.head._2.toString,
          GraftTableProps.FppKey -> blooms.head._3.toString)) ++
       Versioned.manifestCheckpointPolicy(spark, dir, asOfVersion)
-        .map(n => GraftTableProps.CadenceKey -> n.toString).toMap
+        .map(n => GraftTableProps.CadenceKey -> n.toString).toMap ++
+      Versioned.columnMappingMode(spark, dir, asOfVersion)
+        .map(m => GraftTableProps.ModeKey -> m).toMap
   }
 
   override def properties(): util.Map[String, String] =

@@ -168,7 +168,8 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           // TBLPROPERTIES carry the file-skipping policy declaration
           // (graft.stats.cols / graft.bloom.*) — the one table policy
           // CTAS can publish with its single data-bearing commit
-          val (statCols, bloomCfg, cadence) = c.tableSpec match {
+          val (statCols, bloomCfg, cadence, colMapMode) =
+            c.tableSpec match {
             case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
               require(ts.location.isEmpty && !ts.external,
                 "graft tables live at their catalog-derived warehouse " +
@@ -180,10 +181,10 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               require(ts.options.isEmpty && ts.serde.isEmpty,
                 "graft CTAS takes no OPTIONS/SERDE")
               GraftTableProps.parse(ts.properties, "graft CTAS")
-            case _ => (Nil, Nil, None)
+            case _ => (Nil, Nil, None, None)
           }
           GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists,
-            statCols, bloomCfg, cadence)
+            statCols, bloomCfg, cadence, colMapMode)
         case _ => c
       }
 
@@ -506,7 +507,8 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     @transient query: LogicalPlan, ignoreIfExists: Boolean,
     statCols: Seq[String] = Nil,
     bloomCfg: Seq[(String, Long, Double)] = Nil,
-    ckptEvery: Option[Int] = None)
+    ckptEvery: Option[Int] = None,
+    colMapMode: Option[String] = None)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -522,6 +524,14 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
       require(df.columns.contains(c),
         s"policy column '$c' is not in the CTAS query's columns " +
           df.columns.mkString("[", ", ", "]")))
+    // id-mapping CTAS: the mapping must exist BEFORE the data files
+    // stage (files must carry uuids from birth), so an id-mode CTAS
+    // publishes as declared-schema v0 -> mapping v1 -> data v2 — the
+    // CREATE TABLE + INSERT lifecycle, fused
+    colMapMode.foreach { m =>
+      Versioned.commit(session, catalog.tableDir(ident), df.limit(0))
+      Versioned.setColumnMapping(session, catalog.tableDir(ident), m)
+    }
     if (statCols.isEmpty && bloomCfg.isEmpty)
       Versioned.commit(session, catalog.tableDir(ident), df)
     else

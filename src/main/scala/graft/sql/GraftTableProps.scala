@@ -31,8 +31,13 @@ private[graft] object GraftTableProps {
   // a write-hot table 10+ (commits stay O(delta)). UNSET returns the
   // table to the process default.
   val CadenceKey = "graft.manifest.checkpointEvery"
+  // column-mapping mode (round 15): 'id' mints uuid physical names
+  // for new columns (rename-away / drop + re-add become legal);
+  // 'name' is the birth-name default. Declared at CREATE/CTAS or
+  // upgraded by ALTER; a downgrade is refused.
+  val ModeKey = "graft.colmap.mode"
   val PolicyKeys: Set[String] =
-    Set(StatsKey, BloomKey, ExpectedKey, FppKey, CadenceKey)
+    Set(StatsKey, BloomKey, ExpectedKey, FppKey, CadenceKey, ModeKey)
 
   /** Keys Spark's own DDL machinery attaches; no graft meaning. */
   private val EngineKeys = Set("provider", "owner")
@@ -45,7 +50,8 @@ private[graft] object GraftTableProps {
     * misleading "unknown TBLPROPERTIES comment"): graft persists no
     * comments, and a table IS its catalog-derived warehouse path. */
   def parse(props: Map[String, String], context: String)
-      : (Seq[String], Seq[(String, Long, Double)], Option[Int]) = {
+      : (Seq[String], Seq[(String, Long, Double)], Option[Int],
+        Option[String]) = {
     props.get("provider").foreach(p => require(
       p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
       s"graft tables store parquet; USING $p is not supported"))
@@ -83,7 +89,12 @@ private[graft] object GraftTableProps {
         s"$CadenceKey must be a positive integer, got '$v'"))
       require(n >= 1, s"$CadenceKey must be >= 1, got $n"); n
     }
-    (statCols, bloomCols.map((_, expected, fpp)), cadence)
+    val mode = props.get(ModeKey).map { v =>
+      require(v == "id" || v == "name",
+        s"$ModeKey must be 'id' or 'name', got '$v'")
+      v
+    }.filter(_ == "id") // 'name' is the default: nothing to declare
+    (statCols, bloomCols.map((_, expected, fpp)), cadence, mode)
   }
 
   private def cols(props: Map[String, String], key: String): Seq[String] =
