@@ -3216,6 +3216,15 @@ object Versioned {
       require(dup == 0, s"mergeInto source has duplicate keys on " +
         s"(${keyCols.mkString(", ")}): matching one target row with two " +
         "source rows is nondeterministic (SQL MERGE cardinality rule)")
+      // id-mode minting for columns this merge INTRODUCES: physical
+      // names must exist before the files stage (same rule as the
+      // append path); keyCols are table columns, never minted
+      def mintsFor(evolved: StructType,
+          baseCols: Set[String]): Seq[(String, String)] =
+        if (!m.colMapMode.contains("id")) Nil
+        else evolved.fieldNames.toSeq.filterNot(n =>
+          baseCols.contains(n) || m.colMap.toMap.contains(n))
+          .map(_ -> mintPhysical())
       val tableSchema = versionSchema(spark, dir, m)
       if (m.lines.isEmpty || tableSchema.isEmpty) {
         // empty base version: pure insert, schema evolves from empty
@@ -3225,13 +3234,15 @@ object Versioned {
           case Some(_) => alignTo(src, schema)
           case None => src
         }
+        val mints = mintsFor(schema,
+          tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty))
         val staged = stage(spark, dir, aligned,
           (statCol.toSeq ++ statColsOf(m)).distinct
-            .filter(schema.fieldNames.contains), m.colMap)
+            .filter(schema.fieldNames.contains), m.colMap ++ mints)
         return replaceLoop(spark, dir, staged, base,
           keyCols = Some(keyCols), stagedSchema = schema,
           carried = m.lines, keyProbe = Some(src.select(keyCols.head,
-            keyCols.tail: _*)))
+            keyCols.tail: _*)), colMapExtra = mints)
       }
       val schema = tableSchema.get
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
@@ -3268,13 +3279,16 @@ object Versioned {
               "left_anti"),
           newSchema).unionByName(srcAligned)
       }
-      val staged = stage(spark, dir, stagedDf, inherited, m.colMap)
+      val mints = mintsFor(newSchema, schema.fieldNames.toSet)
+      val mergeMap = m.colMap ++ mints
+      val staged = stage(spark, dir, stagedDf, inherited, mergeMap)
       val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
-      m.colMap)
+        mergeMap)
       replaceLoop(spark, dir, staged, base, keyCols = Some(keyCols),
         stagedSchema = newSchema, carried = untouched,
         keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)),
-        stagedBlooms = stagedBlooms, op = "merge")
+        stagedBlooms = stagedBlooms, op = "merge",
+        colMapExtra = mints)
     } finally { src.unpersist(); () }
   }
 
@@ -3760,7 +3774,8 @@ object Versioned {
       bloomCfgOverride: Option[Seq[(String, Long, Double)]] = None,
       statColsOverride: Option[Seq[String]] = None,
       colMapOverride: Option[Seq[(String, String)]] = None,
-      colDropsOverride: Option[Seq[String]] = None): Int = {
+      colDropsOverride: Option[Seq[String]] = None,
+      colMapExtra: Seq[(String, String)] = Nil): Int = {
     val fs = fileSystem(spark, dir)
     val baseM = base.map(readManifest(fs, dir, _))
     // staged files were written under the BASE's column mapping
@@ -3908,8 +3923,27 @@ object Versioned {
         .getOrElse(headM.map(bloomCfgOf).getOrElse(Nil))
       val statPol = statColsOverride
         .getOrElse(headM.map(statColsOf).getOrElse(Nil))
+      // id-mode mints this commit's staged files carry (mergeInto's
+      // evolved columns): a racing commit that introduced the same
+      // column under its own physical invalidates the staged bytes —
+      // conflict, re-derive (the merge path re-stages from scratch
+      // anyway; a silent merge would null one writer's column)
+      val headMap = headM.map(_.colMap.toMap).getOrElse(Map.empty)
+      val headSchemaCols = headM.flatMap(_.schema)
+        .map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val mintDrift = colMapExtra.exists { case (n, p) =>
+        headMap.get(n).exists(_ != p) ||
+          (headSchemaCols.contains(n) && !headMap.contains(n) && n != p)
+      }
+      if (mintDrift)
+        throw new CommitConflictException(
+          s"commit to $dir conflicts with a concurrent schema " +
+            "evolution: a column this commit minted a physical name " +
+            "for was introduced by another writer under a different " +
+            "one — re-derive from the new head")
       val pubColMap = colMapOverride
-        .getOrElse(headM.map(_.colMap).getOrElse(Nil))
+        .getOrElse(headM.map(_.colMap).getOrElse(Nil) ++
+          colMapExtra.filterNot(e => headMap.contains(e._1)))
       val pubColDrops = colDropsOverride
         .getOrElse(headM.map(_.colDrops).getOrElse(Nil))
       guardColMap(schema, pubColMap, pubColDrops)

@@ -186,6 +186,42 @@ class VersionedColumnMappingSpec extends SparkSuite {
       .filter(col("s") === "back").count() == 1)
   }
 
+  test("mergeInto's schema evolution mints too: a merge-added column " +
+      "gets a uuid physical, and rename-away + re-add of it is legal") {
+    val dir = tmpDir() + "/merge"
+    Versioned.commit(spark, dir,
+      spark.emptyDataset[(Long, Long)].toDF("id", "v"))             // v0
+    Versioned.setColumnMapping(spark, dir)                          // v1
+    Versioned.commit(spark, dir,
+      (0L until 4L).map(i => (i, i * 10)).toDF("id", "v"))          // v2
+    // the merge introduces 'tag' (schema evolution)
+    Versioned.mergeInto(spark, dir,
+      Seq((1L, 99L, "hot"), (50L, 1L, "new")).toDF("id", "v", "tag"),
+      Seq("id"))                                                    // v3
+    assert(physicalCols(dir).forall(_.startsWith("col-")),
+      s"merge-added columns must mint under id mode: " +
+        physicalCols(dir))
+    val head = Versioned.read(spark, dir)
+    assert(head.filter(col("id") === 1L)
+      .select("v", "tag").head() match {
+        case r => r.getLong(0) == 99L && r.getString(1) == "hot"
+      })
+    assert(head.filter(col("id") === 0L).select("tag").head().isNullAt(0))
+    // the lift holds for the merge-born column
+    Versioned.renameColumn(spark, dir, "tag", "label")              // v4
+    Versioned.commit(spark, dir,
+      Seq((60L, 2L, "l", "t")).toDF("id", "v", "label", "tag"))     // v5
+    val h2 = Versioned.read(spark, dir)
+    assert(h2.filter(col("id") === 1L)
+      .select("label", "tag").head() match {
+        case r => r.getString(0) == "hot" && r.isNullAt(1)
+      })
+    assert(h2.filter(col("id") === 60L)
+      .select("label", "tag").head() match {
+        case r => r.getString(0) == "l" && r.getString(1) == "t"
+      })
+  }
+
   test("SQL: CREATE TABLE / CTAS with graft.colmap.mode='id' mint " +
       "from birth; ALTER upgrades; UNSET and downgrade are refused") {
     spark
