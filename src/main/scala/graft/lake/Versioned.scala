@@ -4131,6 +4131,16 @@ object Versioned {
         val (nDropped, droppedRefs, live) = lockFor(dir).synchronized {
           val cut = math.min(latest - keepLast + 1,
             minPinnedVersion(fs, dir).getOrElse(Int.MaxValue))
+          // ONE listing names every retained version — a per-version
+          // exists() probe over (0 until cut) would pay O(versions
+          // EVER COMMITTED) round trips per retention run on a
+          // long-lived table, when only O(retained) manifests exist
+          val retained: Seq[Int] = {
+            val mdir = new Path(dir, "_manifest")
+            fs.listStatus(mdir).map(_.getPath.getName)
+              .filter(_.matches("v\\d{5}\\.txt"))
+              .map(_.substring(1, 6).toInt).sorted.toSeq
+          }
           // DELTA-CHAIN INTEGRITY: every kept version must stay
           // reconstructible after the drop. If the oldest kept
           // version's manifest is a delta record, its chain reaches
@@ -4141,14 +4151,12 @@ object Versioned {
           // sidecar write and drop leaves extra old manifests
           // (harmless, re-collectable), never a kept version whose
           // chain dangles.
-          (math.min(cut, latest) to latest)
-            .find(v => fs.exists(manifestPath(dir, v)))
+          retained.find(_ >= math.min(cut, latest))
             .foreach { oldestKept =>
               if (readRaw(fs, dir, oldestKept).base.isDefined)
                 writeCheckpointSidecar(fs, dir, oldestKept)
             }
-          val dropped = (0 until cut).filter(v =>
-            fs.exists(manifestPath(dir, v)))
+          val dropped = retained.filter(_ < cut)
           // referenced files = data lines AND sidecars (deletion
           // vectors, bloom filters): a collected live DV would
           // resurrect rows, a collected bloom would break point-lookup
@@ -4159,8 +4167,7 @@ object Versioned {
               m.blooms.map(_._3)
           }
           val refs: Set[String] = dropped.flatMap(referenced).toSet
-          val keep: Set[String] = (cut to latest)
-            .filter(v => fs.exists(manifestPath(dir, v)))
+          val keep: Set[String] = retained.filter(_ >= cut)
             .flatMap(referenced).toSet
           dropped.foreach { v =>
             fs.delete(manifestPath(dir, v), false)

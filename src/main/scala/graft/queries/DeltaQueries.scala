@@ -1632,6 +1632,65 @@ object DeltaQueries {
       |      IS NOT TRUE
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q151
+  // `id` COLUMN MAPPING (uuid physical names): the fixture creates a
+  // mapped table (declared schema -> mapping commit -> data), proves
+  // the data files carry NO logical names (uuid footers only), then
+  // runs the exact sequence birth-name mapping must REFUSE — rename a
+  // column away and RE-ADD the name with fresh data — and reads head.
+  // In-query requires pin what the oracle cannot see: minted footers,
+  // the re-added column reading only its own row, old rows null in
+  // it, and time travel rendering the pre-rename schema. The output
+  // is the original rows (the re-added column null) so the oracle is
+  // pure orders arithmetic on every gate corpus.
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idmap")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tbl = s"$tmp/table"
+      Versioned.commit(s, tbl, orders.limit(0))                // v0
+      Versioned.setColumnMapping(s, tbl)                       // v1
+      require(Versioned.columnMappingMode(s, tbl).contains("id"))
+      Versioned.commitWithStats(s, tbl,
+        orders.repartitionByRange(4, col("o_orderkey")),
+        "o_orderkey")                                          // v2
+      val files = Versioned.manifestDataLines(s, tbl, 2)
+        .map(l => s"$tbl/${l.split('\t')(0)}")
+      if (files.nonEmpty)
+        require(s.read.option("mergeSchema", true).parquet(files: _*)
+          .schema.fieldNames.forall(_.startsWith("col-")),
+          "id-mode data files must carry minted physical names only")
+      Versioned.renameColumn(s, tbl, "o_custkey", "customer")  // v3
+      // the round-14 refusal, LIFTED: re-add the renamed-away name
+      Versioned.commit(s, tbl, Seq((-1L, -1L, 0.0, 42L))
+        .toDF("o_orderkey", "customer", "o_totalprice",
+          "o_custkey"))                                        // v4
+      val head = Versioned.read(s, tbl)
+      require(head.columns.toSeq ==
+        Seq("o_orderkey", "customer", "o_totalprice", "o_custkey"),
+        s"head schema mismatch: ${head.columns.mkString(", ")}")
+      require(head.filter(col("o_custkey") === 42L).count() == 1,
+        "the re-added column must read exactly its own fresh row")
+      require(Versioned.read(s, tbl, Some(2)).columns.toSeq ==
+        Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        "time travel must render the pre-rename schema")
+      // original rows only: the re-added column is null on all of
+      // them BY CONSTRUCTION (old files never carry a new mint)
+      head.filter(col("o_custkey").isNull)
+        .drop("o_custkey")
+        .orderBy("o_orderkey", "customer", "o_totalprice")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q151Sql =
+    """SELECT o_orderkey, o_custkey AS customer, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey, customer, o_totalprice""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1662,7 +1721,8 @@ object DeltaQueries {
     "q147_sql_general_merge" -> (q147 _),
     "q148_lake_stream_source" -> (q148 _),
     "q149_lake_rename_column" -> (q149 _),
-    "q150_lake_drop_column" -> (q150 _))
+    "q150_lake_drop_column" -> (q150 _),
+    "q151_lake_id_mapping" -> (q151 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1692,5 +1752,6 @@ object DeltaQueries {
     "q147_sql_general_merge" -> q147Sql,
     "q148_lake_stream_source" -> q148Sql,
     "q149_lake_rename_column" -> q149Sql,
-    "q150_lake_drop_column" -> q150Sql)
+    "q150_lake_drop_column" -> q150Sql,
+    "q151_lake_id_mapping" -> q151Sql)
 }
