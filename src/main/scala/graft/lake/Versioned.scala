@@ -4658,10 +4658,18 @@ object Versioned {
     val latest = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
     // ascending incremental reconstruction (one raw read per retained
-    // version), reversed at the end for the newest-first contract
+    // version), reversed at the end for the newest-first contract.
+    // ONE listing names the retained versions — probing exists() over
+    // (0 to latest) would pay O(versions ever committed) round trips
+    // on a long-lived table whose early history expired.
+    val retained: Seq[Int] = {
+      val mdir = new Path(dir, "_manifest")
+      fs.listStatus(mdir).map(_.getPath.getName)
+        .filter(_.matches("v\\d{5}\\.txt"))
+        .map(_.substring(1, 6).toInt).sorted.toSeq
+    }
     var prevState: Option[(Int, Manifest)] = None
-    val rows = (0 to latest).iterator
-      .filter(v => fs.exists(manifestPath(dir, v)))
+    val rows = retained.iterator
       .map { v =>
         val node = readRaw(fs, dir, v)
         val m = node.base match {
