@@ -4585,14 +4585,70 @@ object Versioned {
     * max(clock, parent + 1) — so cross-process clock skew can never
     * resolve to a version that is not the latest committed at-or-
     * before t); manifests written before instant tracking fall back
-    * to their file mtime. Cost: ONE directory listing (the mtime fast
-    * path) plus at most two manifest header reads to CONFIRM the
-    * candidate against recorded instants; only a detected skew pays
-    * the exact newest-first header walk.
+    * to their file mtime.
+    *
+    * Cost on a MODERN table (every consulted manifest carries `#ts`):
+    * NO directory listing — the head resolves through the `_head`
+    * pointer, the retention floor by a binary search on exists()
+    * (versions are dense from the floor to the head), and the answer
+    * by a binary search on recorded instants: O(log head) small
+    * metadata ops where a long-retention table used to pay a
+    * paginated LIST per TIMESTAMP AS OF plan. Any legacy manifest
+    * consulted demotes to the exact listing-based walk — slower,
+    * never wrong.
     */
   def versionAsOfTimestamp(spark: SparkSession, dir: String,
       micros: Long): Option[Int] = {
     val fs = fileSystem(spark, dir)
+    val millisT = micros / 1000L
+    latestVersion(spark, dir).foreach { head =>
+      // header-only reads: #ts rides the top file of a delta chain
+      def tsOf(v: Int): Option[Long] = readRaw(fs, dir, v).m.ts
+      tsOf(head) match {
+        case Some(headTs) =>
+          if (headTs <= millisT) return Some(head)
+          // retention floor: exists() is monotone over version
+          // numbers (expire drops a dense prefix, ascending — even a
+          // crash mid-sweep leaves the retained set dense), so the
+          // boundary binary-searches in O(log head) probes
+          var lo = 0
+          var hi = head // invariant: exists(hi)
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (fs.exists(manifestPath(dir, mid))) hi = mid
+            else lo = mid + 1
+          }
+          val floor = hi
+          tsOf(floor) match {
+            case Some(floorTs) =>
+              if (floorTs > millisT) return None // all retained newer
+              // recorded instants are monotonic with versions:
+              // largest v in [floor, head] with ts(v) <= t
+              var a = floor // ts(a) <= t
+              var b = head  // t < ts(b)
+              var legacy = false
+              while (a + 1 < b && !legacy) {
+                val mid = (a + b) >>> 1
+                tsOf(mid) match {
+                  case Some(t) => if (t <= millisT) a = mid else b = mid
+                  case None => legacy = true // pre-#ts manifest
+                }
+              }
+              if (!legacy) return Some(a)
+            case None => () // legacy floor: exact walk below
+          }
+        case None => () // legacy head: exact walk below
+      }
+    }
+    versionAsOfTimestampListed(fs, dir, micros)
+  }
+
+  /** The pre-pointer listing-based resolution — the exact path for
+    * tables whose history predates instant tracking (legacy mtimes
+    * can straddle recorded instants, so one LIST supplies the
+    * best-effort ordering the binary search cannot trust). */
+  private def versionAsOfTimestampListed(fs: FileSystem, dir: String,
+      micros: Long): Option[Int] = {
     val mdir = new Path(dir, "_manifest")
     if (!fs.exists(mdir)) return None
     val millis = micros / 1000L

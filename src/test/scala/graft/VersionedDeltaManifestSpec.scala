@@ -234,6 +234,49 @@ class VersionedDeltaManifestSpec extends SparkSuite {
       "the rolled-back versions stay time-travelable")
   }
 
+  test("TIMESTAMP AS OF resolves by pointer + binary search on a " +
+      "modern table — boundaries exact, expired prefixes sound, " +
+      "legacy manifests demote to the listing walk") {
+    val dir = tmpDir() + "/asof"
+    for (i <- 0 until 5)
+      Versioned.commit(spark, dir, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    val ts: Map[Int, Long] = Versioned.history(spark, dir)
+      .select("version", "ts_millis").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def asOf(millis: Long): Option[Int] =
+      Versioned.versionAsOfTimestamp(spark, dir, millis * 1000L)
+    // exact boundaries: each version resolves at its own instant
+    for (v <- 0 until 5)
+      assert(asOf(ts(v)).contains(v), s"boundary of v$v")
+    assert(asOf(ts(0) - 1).isEmpty,
+      "an instant before the first commit resolves to nothing")
+    assert(asOf(ts(4) + 60000).contains(4))
+    // strictly between two commits: the earlier one wins
+    if (ts(2) - ts(1) > 1)
+      assert(asOf(ts(1) + (ts(2) - ts(1)) / 2).contains(1))
+    // expired prefix: the floor moves, answers stay sound
+    Versioned.expire(spark, dir, keepLast = 2, orphanGraceMs = 0L)
+    assert(asOf(ts(1)).isEmpty,
+      "an instant inside the expired prefix has no retained version " +
+        "at or before it")
+    assert(asOf(ts(3)).contains(3) && asOf(ts(4) + 1000).contains(4))
+    // LEGACY table (no #ts recorded): the exact listing-based walk
+    // still answers by mtime
+    val dir2 = tmpDir() + "/asof-legacy"
+    for (i <- 0 until 3)
+      Versioned.commit(spark, dir2, Seq((i.toLong, "x")).toDF("id", "s"))
+    for (v <- 0 until 3) {
+      val p = java.nio.file.Paths.get(dir2, "_manifest", f"v$v%05d.txt")
+      val kept = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        .getLines().filterNot(_.startsWith("#ts\t")).toList
+      java.nio.file.Files.write(p,
+        kept.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    assert(Versioned.versionAsOfTimestamp(spark, dir2,
+      System.currentTimeMillis() * 1000L + 60000000L).contains(2),
+      "a legacy (pre-#ts) table must resolve through the listing walk")
+  }
+
   test("an indeterminate conditional put (durably accepted, then a " +
       "transport error) does NOT duplicate the append: the retry " +
       "claims the self-authored commit by #commituuid") {
