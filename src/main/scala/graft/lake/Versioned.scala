@@ -126,6 +126,18 @@ object Versioned {
   private def manifestPath(dir: String, v: Int): Path =
     new Path(dir, f"_manifest/v$v%05d.txt")
 
+  /** Parse a manifest FILE name to its version. `f"v$v%05d"` PADS to
+    * five digits but grows past them (v100000 writes six), so the
+    * match is `v\d{5,}\.txt` — a `{5}` bound would silently ignore
+    * every version >= 100000, and in [[expire]] that is a data-loss
+    * hazard (manifests missing from the retained/keep sets read as
+    * "unreferenced" and their files collect). Sidecars
+    * (`v00010.ckpt.txt`) and writer tmps never match. */
+  private def manifestVersionOf(name: String): Option[Int] =
+    if (name.matches("v\\d{5,}\\.txt"))
+      name.stripPrefix("v").stripSuffix(".txt").toIntOption
+    else None
+
   /** CHECKPOINT SIDECAR of a delta manifest: the full snapshot of
     * version `v`'s reconstructed state, written BESIDE the committed
     * manifest file (`v%05d.ckpt.txt`) — the committed file itself is
@@ -225,21 +237,40 @@ object Versioned {
       case Some(h) =>
         // versions are dense above any committed one (commits only
         // ever create head+1; expire only drops BELOW the kept
-        // window), so the first missing successor is the head
+        // window — the guard comment on [[expire]] names this
+        // dependence), so the first missing successor is the head
         var v = h
         while (fs.exists(manifestPath(dir, v + 1))) v += 1
-        Some(v)
-      case None =>
-        val mdir = new Path(dir, "_manifest")
-        if (!fs.exists(mdir)) None
-        else {
-          // exact-name match: checkpoint sidecars (v00010.ckpt.txt)
-          // and pointer tmps live in the same directory
-          val vs = fs.listStatus(mdir).map(_.getPath.getName)
-            .filter(_.matches("v\\d{5}\\.txt"))
-            .map(_.substring(1, 6).toInt)
-          if (vs.isEmpty) None else Some(vs.max)
-        }
+        // DENSE-INVARIANT TRIPWIRE: the probe walk is only sound
+        // while no manifest above the hint is missing. A future
+        // non-dense expire (or external tampering) would make the
+        // walk silently serve a stale head, so a geometric probe
+        // (v+2, v+4, v+8, v+16 — v+1 is known missing) checks for a
+        // hole right above the stopping point, which is where a
+        // buggy drop leaves one; any hit demotes to the full listing
+        // below — slower, never wrong. Beyond +16 the tripwire is
+        // best-effort, matching the advisory nature of the pointer.
+        if (Seq(2, 4, 8, 16).forall(d =>
+            !fs.exists(manifestPath(dir, v + d))))
+          Some(v)
+        else listedLatest(fs, dir)
+      case None => listedLatest(fs, dir)
+    }
+  }
+
+  /** The listing-based head — the fallback for tables without a
+    * usable `_head` pointer and for a tripped dense-invariant probe:
+    * one directory listing, max of the parsed version names (correct
+    * whatever holes the directory holds). */
+  private def listedLatest(fs: FileSystem, dir: String): Option[Int] = {
+    val mdir = new Path(dir, "_manifest")
+    if (!fs.exists(mdir)) None
+    else {
+      // exact-name match: checkpoint sidecars (v00010.ckpt.txt)
+      // and pointer tmps live in the same directory
+      val vs = fs.listStatus(mdir).map(_.getPath.getName)
+        .flatMap(manifestVersionOf)
+      if (vs.isEmpty) None else Some(vs.max)
     }
   }
 
@@ -435,11 +466,40 @@ object Versioned {
   private def readRaw(fs: FileSystem, dir: String, v: Int): RawNode = {
     val node = parseManifestFile(fs, manifestPath(dir, v))
     if (node.base.isEmpty) node
-    else {
-      val cp = ckptPath(dir, v)
-      if (fs.exists(cp)) parseManifestFile(fs, cp) else node
-    }
+    else parseSidecar(fs, ckptPath(dir, v)).getOrElse(node)
   }
+
+  // end-of-file trailer of a checkpoint sidecar: `#eof\t<n>` where n
+  // counts the non-empty lines before it. Committed manifests land by
+  // atomic CAS and never need one; a sidecar lands by OVERWRITE
+  // ([[installOverwrite]] — delete+rename on non-local filesystems),
+  // and the line parser tolerates truncation, so without a validated
+  // trailer a TORN sidecar would parse as a smaller-but-valid snapshot
+  // and silently drop rows. An invalid/missing trailer sends the
+  // reader back to the delta chain — slower, never wrong.
+  private val EofHeader = "#eof\t"
+
+  /** Parse `path` as a checkpoint sidecar IFF it exists and its
+    * `#eof` trailer validates (last line, correct count); None sends
+    * the reader to the delta chain. */
+  private def parseSidecar(fs: FileSystem, path: Path): Option[RawNode] =
+    try {
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val raw =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        raw.lastOption match {
+          case Some(l) if l.startsWith(EofHeader) &&
+              l.stripPrefix(EofHeader).trim.toIntOption
+                .contains(raw.length - 1) =>
+            Some(parseManifestLines(raw.init))
+          case _ => None // torn / pre-trailer sidecar: walk the chain
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def parseManifestFile(fs: FileSystem, path: Path): RawNode = {
     val in = fs.open(path)
@@ -447,6 +507,27 @@ object Versioned {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toList
       finally in.close()
+    parseManifestLines(raw)
+  }
+
+  /** HEADER-ONLY parse of version `v`'s manifest FILE: reads until the
+    * first data line (headers always lead; every header field is
+    * republished in full on snapshot AND delta files, so no chain or
+    * sidecar is consulted). The cheap read for consumers that want one
+    * header — the `#ts` instant stamp, the `#txn` high-water scan —
+    * where a full [[readRaw]] would parse a whole snapshot (or probe
+    * and parse a checkpoint sidecar) per version. */
+  private def readHeaderOnly(fs: FileSystem, dir: String,
+      v: Int): Manifest = {
+    val in = fs.open(manifestPath(dir, v))
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).takeWhile(_.startsWith("#")).toList
+      finally in.close()
+    parseManifestLines(raw).m
+  }
+
+  private def parseManifestLines(raw: List[String]): RawNode = {
     val schema = raw.collectFirst { case l if l.startsWith(SchemaHeader) =>
       DataType.fromJson(l.stripPrefix(SchemaHeader)).asInstanceOf[StructType]
     }
@@ -1061,9 +1142,9 @@ object Versioned {
     val last = latestVersion(spark, dir).flatMap { head =>
       (head to 0 by -1).iterator
         .filter(v => fs.exists(manifestPath(dir, v)))
-        // header-only read: the txn stamp rides the top file of a
-        // delta chain, so no reconstruction is needed
-        .map(v => readRaw(fs, dir, v).m.txn)
+        // header-only read: the txn stamp rides every manifest FILE's
+        // header block — no chain reconstruction, no sidecar parse
+        .map(v => readHeaderOnly(fs, dir, v).txn)
         .collectFirst { case Some((app, b)) if app == appId => b }
     }
     if (last.exists(_ >= batchId)) None
@@ -1289,8 +1370,12 @@ object Versioned {
     val m = readManifest(fs, dir, v)
     val tmp = new Path(dir,
       f"_manifest/.ckpt-v$v%05d-${java.util.UUID.randomUUID()}.tmp")
+    val body = renderManifest(m)
     val out = fs.create(tmp, false)
-    try out.write(renderManifest(m)
+    // the #eof trailer is what lets readers trust the sidecar at all:
+    // installOverwrite is not atomic everywhere, and a torn sidecar
+    // without the count would parse as a valid SMALLER snapshot
+    try out.write((body :+ s"$EofHeader${body.length}")
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // deterministic content: two racing checkpointers render the same
@@ -1667,7 +1752,7 @@ object Versioned {
       if (won) { writeHeadPointer(fs, dir, next); return true }
       if (fs.exists(manifestPath(dir, next))) {
         // headers-only read: self-authorship needs no reconstruction
-        val mine = readRaw(fs, dir, next).m.commitUuid.contains(uuid)
+        val mine = readHeaderOnly(fs, dir, next).commitUuid.contains(uuid)
         if (mine) writeHeadPointer(fs, dir, next)
         return mine
       }
@@ -3013,10 +3098,16 @@ object Versioned {
     *    and re-stage from the new head — that retry serializes as
     *    "the interleaved commits, then this update".
     * Sustained contention past the attempt bound throws
-    * [[CommitConflictException]], as does a lost race on an
-    * explicitly pinned `baseVersion` (the caller asked for THAT
-    * snapshot; silently re-deriving from a head it never saw would
-    * change the answer). The same race from the other side is caught
+    * [[CommitConflictException]]. A PINNED `baseVersion` composes
+    * exactly as far as the fast-forward proves it exact: interleaved
+    * commits DISJOINT from the scanned files (appends, updates/
+    * deletes of other files) carry and the pinned update lands —
+    * two racing updates of disjoint files both commit, DV union plus
+    * both staged file sets, the MoR-delete composition rule — while
+    * any interleave that touched a scanned file throws (the caller
+    * asked for THAT snapshot; silently re-scanning a head it never
+    * saw would change the answer). The same race from the other side
+    * is caught
     * by [[deleteWhereMor]]'s update-attribution probe and
     * [[replaceLoop]]'s lost-delete rule. Returns the new version, or
     * the base unchanged when nothing matches.
@@ -3040,14 +3131,7 @@ object Versioned {
           attemptUpdateMor(spark, dir, fs, predicate, assignments,
             base) match {
             case Right(v) => return v
-            case Left(st) =>
-              if (baseVersion.isDefined)
-                throw new CommitConflictException(
-                  s"merge-on-read update of $dir based on pinned " +
-                    s"version $base lost the version race: position " +
-                    "re-homing composes with no interleaved commit; " +
-                    "re-derive from the new head and retry")
-              staged = Some(st)
+            case Left(st) => staged = Some(st)
           }
         case Some(st) => // fast-forward the staged artifacts
           val head = latestVersion(spark, dir).getOrElse(
@@ -3059,7 +3143,27 @@ object Versioned {
             st.scannedLines.subsetOf(hm.lines.toSet) &&
               dvsOnScanned == st.scannedDvs &&
               hm.checks == st.checks
-          if (!compatible) staged = None // scanned files moved: re-derive
+          if (!compatible) {
+            // scanned files moved (or the CHECK contract changed):
+            // the staged positions are stale. An unpinned update
+            // re-derives from the new head; a PINNED base stays
+            // strict — the caller asked for THAT snapshot, and
+            // re-scanning a head it never saw would change the
+            // answer. DISJOINT interleaves (an update/delete on other
+            // files, an append) pass the compatibility gate above and
+            // fast-forward even from a pinned base: the staged DV +
+            // copies are still byte-exact for the rows the pinned
+            // scan saw, so both commits land (DV union + both staged
+            // files) — the MoR-delete composition rule, mirrored.
+            if (baseVersion.isDefined)
+              throw new CommitConflictException(
+                s"merge-on-read update of $dir based on pinned " +
+                  s"version ${baseVersion.get} lost the version race " +
+                  "to a commit that touched its scanned files: " +
+                  "position re-homing cannot compose with an overlap " +
+                  "— re-derive from the new head and retry")
+            staged = None // re-derive
+          }
           else {
             val schema = versionSchema(spark, dir, hm).getOrElse(st.schema)
             val uuid = newCommitUuid()
@@ -4138,8 +4242,7 @@ object Versioned {
           val retained: Seq[Int] = {
             val mdir = new Path(dir, "_manifest")
             fs.listStatus(mdir).map(_.getPath.getName)
-              .filter(_.matches("v\\d{5}\\.txt"))
-              .map(_.substring(1, 6).toInt).sorted.toSeq
+              .flatMap(manifestVersionOf).sorted.toSeq
           }
           // DELTA-CHAIN INTEGRITY: every kept version must stay
           // reconstructible after the drop. If the oldest kept
@@ -4153,9 +4256,30 @@ object Versioned {
           // chain dangles.
           retained.find(_ >= math.min(cut, latest))
             .foreach { oldestKept =>
-              if (readRaw(fs, dir, oldestKept).base.isDefined)
+              if (readRaw(fs, dir, oldestKept).base.isDefined) {
                 writeCheckpointSidecar(fs, dir, oldestKept)
+                // the sidecar install is best-effort elsewhere
+                // (advisory artifact), but HERE the manifests its
+                // chain folds over are about to drop — verify the
+                // sidecar actually landed and validates (exists,
+                // #eof trailer, snapshot shape) before deleting the
+                // chain it replaces; a swallowed failed rename would
+                // otherwise leave the oldest kept version dangling
+                if (!parseSidecar(fs, ckptPath(dir, oldestKept))
+                    .exists(_.base.isEmpty))
+                  throw new java.io.IOException(
+                    s"expire of $dir: checkpoint sidecar for oldest " +
+                      s"kept version $oldestKept failed to install — " +
+                      "aborting before dropping the delta chain it " +
+                      "depends on")
+              }
             }
+          // GUARD: drop ONLY the dense prefix below `cut` — never a
+          // mid-chain version. [[latestVersion]]'s head-pointer probe
+          // walk DEPENDS on versions being dense above any committed
+          // one; a refactor that drops a non-prefix set would leave
+          // holes the probe can only best-effort detect (its
+          // geometric tripwire), silently staling reads beyond it.
           val dropped = retained.filter(_ < cut)
           // referenced files = data lines AND sidecars (deletion
           // vectors, bloom filters): a collected live DV would
@@ -4602,8 +4726,8 @@ object Versioned {
     val fs = fileSystem(spark, dir)
     val millisT = micros / 1000L
     latestVersion(spark, dir).foreach { head =>
-      // header-only reads: #ts rides the top file of a delta chain
-      def tsOf(v: Int): Option[Long] = readRaw(fs, dir, v).m.ts
+      // header-only reads: #ts leads every manifest file
+      def tsOf(v: Int): Option[Long] = readHeaderOnly(fs, dir, v).ts
       tsOf(head) match {
         case Some(headTs) =>
           if (headTs <= millisT) return Some(head)
@@ -4656,10 +4780,8 @@ object Versioned {
     // per-version exists+stat walk would be two remote round-trips
     // per retained version
     val listed = fs.listStatus(mdir).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (n.matches("v\\d{5}\\.txt"))
-        Some(n.substring(1, 6).toInt -> s.getModificationTime)
-      else None
+      manifestVersionOf(s.getPath.getName)
+        .map(_ -> s.getModificationTime)
     }.sortBy(_._1)
     if (listed.isEmpty) return None
     val mtimeOf = listed.toMap
@@ -4669,8 +4791,8 @@ object Versioned {
     // neighbors (a skewed legacy mtime can straddle modern instants),
     // so any legacy manifest consulted demotes to the exact walk
     def instant(v: Int): (Long, Boolean) =
-      // header-only read: #ts rides the top file of a delta chain
-      readRaw(fs, dir, v).m.ts match {
+      // header-only read: #ts leads every manifest file
+      readHeaderOnly(fs, dir, v).ts match {
         case Some(t) => (t, true)
         case None => (mtimeOf.getOrElse(v, Long.MaxValue), false)
       }
@@ -4721,8 +4843,7 @@ object Versioned {
     val retained: Seq[Int] = {
       val mdir = new Path(dir, "_manifest")
       fs.listStatus(mdir).map(_.getPath.getName)
-        .filter(_.matches("v\\d{5}\\.txt"))
-        .map(_.substring(1, 6).toInt).sorted.toSeq
+        .flatMap(manifestVersionOf).sorted.toSeq
     }
     var prevState: Option[(Int, Manifest)] = None
     val rows = retained.iterator
@@ -4987,11 +5108,14 @@ object Versioned {
     * header-only reads; the streaming source derives its
     * `_commit_timestamp` feed column from this. */
   private[graft] def commitInstants(spark: SparkSession, dir: String,
-      fromVersion: Int, toVersion: Int): Map[Int, Option[Long]] = {
+      versions: Seq[Int]): Map[Int, Option[Long]] = {
     val fs = fileSystem(spark, dir)
-    (math.max(fromVersion, 0) to toVersion).map(v =>
+    versions.filter(_ >= 0).distinct.map(v =>
       v -> (if (fs.exists(manifestPath(dir, v)))
-        readRaw(fs, dir, v).m.ts else None)).toMap
+        // header-only: #ts leads every manifest file; a full readRaw
+        // here would parse whole snapshots (or checkpoint sidecars)
+        // per stamped version
+        readHeaderOnly(fs, dir, v).ts else None)).toMap
   }
 
   /** Version `v`'s recorded schema, column mapping, and drop

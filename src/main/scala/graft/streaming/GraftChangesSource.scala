@@ -305,20 +305,27 @@ final class GraftChangesSource(
           else StructType(schema.filterNot(
             _.name == "_commit_timestamp")))
     }
-    val stamped = if (rowsMode) batch else stampInstants(batch,
-      math.min(if (fromV < 0) 0L else fromV, anchor.toLong).toInt,
-      math.max(endV, anchor.toLong).toInt)
+    val stamped = if (rowsMode) batch else {
+      // stamp ONLY the versions actually in this batch: the feed
+      // window (fromV, endV] plus the anchor exactly while snapshot
+      // rows are present — stamping from min(fromV, anchor) would
+      // re-read O(head − anchor) commit headers EVERY micro-batch on
+      // a feed anchored at 0, breaking the O(delta)-per-batch contract
+      val feedVs = ((fromV + 1).max(0L) to endV).map(_.toInt)
+      val snapV = if (snapshot.isDefined) Seq(anchor) else Nil
+      stampInstants(batch, feedVs ++ snapV)
+    }
     org.apache.spark.sql.graft.GraftStreamingShim.asStreamingFrame(
       stamped)
   }
 
-  /** Append `_commit_timestamp` from the window versions' recorded
+  /** Append `_commit_timestamp` from the batch versions' recorded
     * `#ts` instants: a broadcast join against the (tiny) version →
     * instant table — never a per-row manifest read, and safe at any
     * catch-up window width. */
-  private def stampInstants(feed: DataFrame, loV: Int,
-      hiV: Int): DataFrame = {
-    val inst = Versioned.commitInstants(spark, dir, loV, hiV)
+  private def stampInstants(feed: DataFrame,
+      versions: Seq[Int]): DataFrame = {
+    val inst = Versioned.commitInstants(spark, dir, versions)
     val instRows = inst.toSeq.map { case (v, ts) =>
       Row(v, ts.map(java.lang.Long.valueOf).orNull)
     }

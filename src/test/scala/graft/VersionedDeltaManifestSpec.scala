@@ -329,4 +329,89 @@ class VersionedDeltaManifestSpec extends SparkSuite {
     assert(uuids.forall(_.isDefined))
     assert(uuids.distinct.size == 2, "commit uuids must be per-commit")
   }
+
+  test("versions >= 100000 (six-digit file names) resolve, read, " +
+      "survive expire's retained/keep accounting, and commit forward") {
+    val dir = tmpDir() + "/wide"
+    Versioned.commit(spark, dir, Seq((1L, "a")).toDF("id", "s"))   // v0
+    Versioned.commit(spark, dir, Seq((2L, "b")).toDF("id", "s"))   // v1
+    // a replace publishes a full SNAPSHOT file — safe to transplant
+    Versioned.commit(spark, dir,
+      (0L until 6L).map(i => (i, s"r$i")).toDF("id", "s"),
+      replace = true)                                              // v2
+    assert(!isDelta(dir, 2), "fixture wants a snapshot to transplant")
+    // simulate a long-lived table: the head manifest under a
+    // SIX-digit name (f"v$v%05d" pads to five but grows past them)
+    val m = java.nio.file.Paths.get(dir, "_manifest")
+    java.nio.file.Files.copy(m.resolve("v00002.txt"),
+      m.resolve("v100000.txt"))
+    // drop the advisory pointer: resolution must come from the
+    // LISTING, whose name filter is exactly what regressed before
+    java.nio.file.Files.deleteIfExists(m.resolve("_head"))
+    assert(Versioned.latestVersion(spark, dir).contains(100000),
+      "a six-digit manifest name must parse from the listing")
+    assert(Versioned.read(spark, dir).count() == 6)
+    assert(Versioned.history(spark, dir).select("version")
+      .collect().map(_.getInt(0)).toSet == Set(0, 1, 2, 100000),
+      "history must list six-digit versions")
+    // expire: v100000 is the only kept version; its files must land
+    // in the KEEP set (the old 5-digit filter dropped them from both
+    // sets — files referenced only by v100000 would have collected)
+    Versioned.expire(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(Versioned.read(spark, dir).count() == 6,
+      "expire must keep the files the six-digit head references")
+    assert(Versioned.latestVersion(spark, dir).contains(100000))
+    // and the chain continues: the next commit is v100001
+    Versioned.commit(spark, dir, Seq((9L, "z")).toDF("id", "s"))
+    assert(Versioned.latestVersion(spark, dir).contains(100001))
+    assert(Versioned.read(spark, dir).count() == 7)
+  }
+
+  test("dense-invariant tripwire: a hole punched above a stale head " +
+      "pointer demotes resolution to the listing — never a silently " +
+      "stale head") {
+    val dir = tmpDir() + "/hole"
+    for (i <- 0 until 8)
+      Versioned.commit(spark, dir, Seq(i.toLong).toDF("x"))  // v0..v7
+    val m = java.nio.file.Paths.get(dir, "_manifest")
+    def stale(hint: Int): Unit =
+      java.nio.file.Files.write(m.resolve("_head"),
+        hint.toString.getBytes("UTF-8"))
+    // hole at v5 above a stale hint of 2: the probe walk stops at 4;
+    // the geometric tripwire (4+2=6 exists) must demote to the
+    // listing, which answers 7 — a silent 4 is the bug being pinned
+    stale(2)
+    java.nio.file.Files.delete(m.resolve("v00005.txt"))
+    assert(Versioned.latestVersion(spark, dir).contains(7),
+      "probe walk served a stale head across the hole")
+    // hole immediately above the hint (walk advances zero steps):
+    // the tripwire still probes past it
+    stale(2)
+    java.nio.file.Files.delete(m.resolve("v00003.txt"))
+    assert(Versioned.latestVersion(spark, dir).contains(7),
+      "probe walk served the hint itself across an adjacent hole")
+  }
+
+  test("a TORN checkpoint sidecar (truncated mid-write) fails its " +
+      "#eof trailer and readers fall back to the delta chain") {
+    val dir = tmpDir() + "/torn"
+    for (i <- 0 until 4)
+      Versioned.commit(spark, dir,
+        Seq((i.toLong, s"r$i")).toDF("id", "s"))             // v0..v3
+    assert(Versioned.checkpointManifest(spark, dir),
+      "fixture wants a delta head to fold")
+    val cp = java.nio.file.Paths.get(dir, "_manifest", "v00003.ckpt.txt")
+    val full = java.nio.file.Files.readAllBytes(cp)
+    val text = new String(full, "UTF-8")
+    assert(text.trim.split('\n').last.startsWith("#eof\t"),
+      "a checkpoint sidecar must end with its #eof trailer")
+    assert(Versioned.read(spark, dir).count() == 4)
+    // tear the sidecar: drop the trailing half — the parser would
+    // happily read fewer lines, so only the trailer can catch it
+    java.nio.file.Files.write(cp,
+      java.util.Arrays.copyOf(full, full.length / 2))
+    assert(Versioned.read(spark, dir).count() == 4,
+      "a torn sidecar must fall back to the chain, not drop rows")
+    assert(Versioned.manifestDataLines(spark, dir, 3).size == 4)
+  }
 }

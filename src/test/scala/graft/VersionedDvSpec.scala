@@ -264,6 +264,43 @@ class VersionedDvSpec extends SparkSuite {
       "appended rows must carry through the update retries untouched")
   }
 
+  test("racing MoR updates on DISJOINT files both land — even from a " +
+      "pinned base — and replay to the serial oracle; overlapping " +
+      "pinned updates still throw typed") {
+    val dir = tmpDir() + "/dv-upd-disjoint"
+    rangedTable(dir) // 4 files: [0,10) [10,20) [20,30) [30,40)
+    // writer B lands first, touching only the [20,30) file
+    assert(Versioned.updateWhereMor(spark, dir, col("id") === 25L,
+      Map("s" -> lit("b25"))) == 1)
+    // writer A pinned at base 0 touches only the [10,20) file —
+    // DISJOINT from B's scan, so its staged DV + copies are still
+    // byte-exact and the fast-forward composes them onto v1 (DV
+    // union + both staged file sets), instead of throwing
+    assert(Versioned.updateWhereMor(spark, dir, col("id") === 15L,
+      Map("s" -> lit("a15")), baseVersion = Some(0)) == 2)
+    val got = Versioned.read(spark, dir).as[(Long, String)]
+      .collect().toMap
+    // serial oracle: base content with both edits applied, in any
+    // order (they commute — disjoint rows)
+    val want = (0L until 40L).map(i => i -> (i match {
+      case 25L => "b25"
+      case 15L => "a15"
+      case _ => s"row$i"
+    })).toMap
+    assert(got == want, "disjoint racing updates must replay serial")
+    // an OVERLAPPING pinned update (same [10,20) file A re-homed)
+    // still conflicts, typed: its staged positions are stale
+    intercept[CommitConflictException] {
+      Versioned.updateWhereMor(spark, dir, col("id") === 16L,
+        Map("s" -> lit("c16")), baseVersion = Some(0))
+    }
+    // ... while the same update UNPINNED re-derives and lands
+    assert(Versioned.updateWhereMor(spark, dir, col("id") === 16L,
+      Map("s" -> lit("c16"))) == 3)
+    assert(Versioned.read(spark, dir)
+      .filter(col("s") === "c16").count() == 1)
+  }
+
   test("conflict: MoR delete vs interleaved MoR update (attribution)") {
     val dir = tmpDir() + "/dv-upd-race"
     rangedTable(dir)
