@@ -857,7 +857,14 @@ object Versioned {
     val parts = line.split('\t')
     var i = 1
     while (i < parts.length) {
-      if (!parts(i).startsWith("~") && i + 3 <= parts.length) {
+      if (!parts(i).startsWith("~") && i + 1 < parts.length &&
+          parts(i + 1).startsWith("~s")) {
+        // string group: col then only `~`-prefixed bound/annotation
+        // tokens until the next group start
+        if (parts(i) == from) parts(i) = to
+        i += 1
+        while (i < parts.length && parts(i).startsWith("~")) i += 1
+      } else if (!parts(i).startsWith("~") && i + 3 <= parts.length) {
         if (parts(i) == from) parts(i) = to
         i += 3
         while (i < parts.length && parts(i).startsWith("~")) i += 1
@@ -874,11 +881,26 @@ object Versioned {
   private def renderStatsLine(rel: String,
       groups: Seq[StatGroup]): String =
     groups.zipWithIndex.map { case (g, i) =>
-      val u = if (g.micros) "\t~u" else ""
       val n = g.nulls.map(v => s"\t~n$v").getOrElse("")
       val r = if (i == 0) g.rows.map(v => s"\t~r$v").getOrElse("") else ""
-      s"\t${g.col}\t${g.min}\t${g.max}$u$n$r"
+      g.str match {
+        case Some(sb) => s"\t${g.col}${renderStrBounds(sb)}$n$r"
+        case None =>
+          val u = if (g.micros) "\t~u" else ""
+          s"\t${g.col}\t${g.min}\t${g.max}$u$n$r"
+      }
     }.mkString(rel, "", "")
+
+  private def renderStrBounds(sb: StrBounds): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    if (sb.empty) "\t~s0"
+    else {
+      val mnTok = s"\t~s${if (sb.minTrunc) "~" else "="}${enc(sb.min)}"
+      val mxTok = sb.max.map(m =>
+        s"\t~S${if (sb.maxTrunc) "~" else "="}${enc(m)}").getOrElse("")
+      mnTok + mxTok
+    }
+  }
 
   /** Remove column `name`'s stats group from a manifest line — DROP
     * COLUMN's line surgery. Load-bearing for correctness, not just
@@ -1519,36 +1541,59 @@ object Versioned {
         org.apache.spark.sql.functions.unix_micros(physCol)
       else physCol.cast("long")
     }
-    val stats: Map[String, (Long, Seq[(String, Long, Long, Long)])] = {
-      val aggs = cols.flatMap(c => Seq(
-        min(statLong(c)), max(statLong(c)),
-        count(lit(1)) - count(col(s"`${phys.getOrElse(c, c)}`")))) :+
-        count(lit(1))
+    // one rendered group BODY per column (bound tokens + unit, no
+    // annotations yet): a StringType column records truncated STRING
+    // bounds (`~s`/`~S` tokens); everything else the long range
+    def numericSentinel(c: String): String = {
+      val u = if (microsCol(schema, c)) "\t~u" else ""
+      s"\t$c\t${Long.MaxValue}\t${Long.MinValue}$u"
+    }
+    val stats: Map[String, (Long, Seq[String])] = {
+      val aggs = cols.flatMap { c =>
+        val m =
+          if (stringCol(schema, c)) col(s"`${phys.getOrElse(c, c)}`")
+          else statLong(c)
+        Seq(min(m), max(m),
+          count(lit(1)) - count(col(s"`${phys.getOrElse(c, c)}`")))
+      } :+ count(lit(1))
       spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val groups = cols.zipWithIndex.map { case (c, i) =>
+          val bodies = cols.zipWithIndex.map { case (c, i) =>
             val nulls = r.getLong(3 + 3 * i)
-            if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i))
-              (c, Long.MaxValue, Long.MinValue, nulls)
-            else (c, r.getLong(1 + 3 * i), r.getLong(2 + 3 * i), nulls)
+            val body =
+              if (stringCol(schema, c)) {
+                if (r.isNullAt(1 + 3 * i)) s"\t$c\t~s0" // all-NULL
+                else {
+                  val (mnB, mnT) = truncMinBound(r.getString(1 + 3 * i))
+                  val (mxB, mxT) = truncMaxBound(r.getString(2 + 3 * i))
+                  s"\t$c" + renderStrBounds(StrBounds(empty = false,
+                    mnB, mnT, mxB, mxT))
+                }
+              } else if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i))
+                numericSentinel(c)
+              else {
+                val u = if (microsCol(schema, c)) "\t~u" else ""
+                s"\t$c\t${r.getLong(1 + 3 * i)}\t${r.getLong(2 + 3 * i)}$u"
+              }
+            s"$body\t~n$nulls"
           }
           val rows = r.getLong(1 + 3 * cols.length)
-          relOfUri(r.getString(0)) -> (rows, groups)
+          relOfUri(r.getString(0)) -> (rows, bodies)
         }.toMap
     }
     rels.map { rel =>
       // a file with rows gets its measured groups; a zero-row file
       // never appears in the stats scan -> sentinel for every col
       // (zero rows, zero nulls — vacuously all-matching)
-      val (rows, groups) = stats.getOrElse(rel,
-        (0L, cols.map(c => (c, Long.MaxValue, Long.MinValue, 0L))))
-      groups.zipWithIndex.map { case ((c, mn, mx, nu), i) =>
-        val u = if (microsCol(schema, c)) "\t~u" else ""
-        if (i == 0) s"\t$c\t$mn\t$mx$u\t~n$nu\t~r$rows"
-        else s"\t$c\t$mn\t$mx$u\t~n$nu"
+      val (rows, bodies) = stats.getOrElse(rel,
+        (0L, cols.map(c =>
+          (if (stringCol(schema, c)) s"\t$c\t~s0"
+           else numericSentinel(c)) + "\t~n0")))
+      bodies.zipWithIndex.map { case (b, i) =>
+        if (i == 0) s"$b\t~r$rows" else b
       }.mkString(rel, "", "")
     }.sorted
   }
@@ -2588,6 +2633,64 @@ object Versioned {
     case _ => None
   }
 
+  /** Recorded string bounds keep at most this many Unicode CODE
+    * POINTS (Delta's 32): long keys (URLs, paths) would otherwise
+    * bloat every manifest line for pruning power the prefix already
+    * delivers. */
+  private val StatStrPrefixLen = 32
+
+  /** UTF-8 BINARY string ordering — what Spark's StringType
+    * comparisons use (`UTF8String`), NOT `java.lang.String`'s UTF-16
+    * code-unit order (the two diverge above the BMP). Every string
+    * bound comparison in the provers goes through this, so the
+    * interval logic reasons in exactly the order the row filter
+    * evaluates in. */
+  private[graft] def strCmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** LOWER bound of a measured string min: the prefix — a proper
+    * prefix sorts strictly before the full string in UTF-8 binary
+    * order, so truncation keeps the bound sound. (bound, truncated) */
+  private def truncMinBound(s: String): (String, Boolean) =
+    if (s.codePointCount(0, s.length) <= StatStrPrefixLen) (s, false)
+    else (s.substring(0, s.offsetByCodePoints(0, StatStrPrefixLen)), true)
+
+  /** UPPER bound of a measured string max: exact when it fits; else
+    * the prefix with its LAST incrementable code point bumped and the
+    * tail dropped — strictly greater than every string sharing the
+    * prefix (Delta's tie-break rule). The bump skips the surrogate
+    * gap (U+D7FF bumps to U+E000: lone surrogates are not UTF-8
+    * scalars). None when every prefix code point is already
+    * U+10FFFF — no finite truncated bound exists and the column
+    * records "unbounded above". */
+  private def truncMaxBound(s: String): (Option[String], Boolean) = {
+    if (s.codePointCount(0, s.length) <= StatStrPrefixLen)
+      return (Some(s), false)
+    val pEnd = s.offsetByCodePoints(0, StatStrPrefixLen)
+    var i = pEnd
+    while (i > 0) {
+      val start = s.offsetByCodePoints(i, -1)
+      val cp = s.codePointAt(start)
+      if (cp < Character.MAX_CODE_POINT) {
+        val bumped =
+          if (cp + 1 >= Character.MIN_SURROGATE.toInt &&
+              cp + 1 <= Character.MAX_SURROGATE.toInt) 0xE000
+          else cp + 1
+        return (Some(s.substring(0, start) +
+          new String(Character.toChars(bumped))), true)
+      }
+      i = start
+    }
+    (None, true)
+  }
+
+  /** Does `schema` type `c` as StringType? Such a column's stats
+    * group records truncated STRING bounds instead of a long range. */
+  private def stringCol(schema: StructType, c: String): Boolean =
+    schema.fields.exists(f =>
+      f.name == c && f.dataType == types.StringType)
+
   private[graft] def statsCanMatch(pred: Expression,
       stats: Seq[StatGroup],
       bloom: BloomVerdicts = BloomVerdicts.empty): Boolean = {
@@ -2602,8 +2705,22 @@ object Versioned {
     def probe(a: Expression, b: Expression)(
         f: (Long, Long, Long) => Boolean): Boolean =
       (for { c <- attrOf(a); (v, u) <- litLong(b); g <- range.get(c)
-             if g.micros == u }
+             if g.micros == u && g.str.isEmpty }
         yield f(g.min, g.max, v)).getOrElse(true)
+    // possible-existence of a row with `col op v` for a STRING
+    // column, against its recorded (possibly truncated) bounds: the
+    // recorded min is AT-OR-BELOW the actual min, the recorded max
+    // (when finite) AT-OR-ABOVE the actual max, so refutation through
+    // them is sound regardless of truncation. `empty` bounds (no
+    // non-null values) refute every comparison — a NULL row never
+    // satisfies a TRUE predicate.
+    def probeStr(a: Expression, b: Expression)(
+        f: (StrBounds, String) => Boolean): Boolean =
+      (for { c <- attrOf(a); v <- litStr(b); g <- range.get(c)
+             sb <- g.str }
+        yield !sb.empty && f(sb, v)).getOrElse(true)
+    def strEqPossible(sb: StrBounds, v: String): Boolean =
+      strCmp(v, sb.min) >= 0 && sb.max.forall(m => strCmp(v, m) <= 0)
     // bloom membership conjuncts for EQUALITY atoms only: a recorded
     // filter answering "definitely not in this file" is sound (no
     // false negatives by construction); an absent verdict, any other
@@ -2632,14 +2749,38 @@ object Versioned {
         probe(a, b)((mn, mx, v) => mn <= v && v <= mx) && bloomLong(a, b)
       case EqualNullSafe(a, b) if litLong(a).isDefined =>
         probe(b, a)((mn, mx, v) => mn <= v && v <= mx) && bloomLong(b, a)
-      // string equality: ranges never recorded one, but a bloom can
-      // answer it — the point-lookup-by-id class min/max cannot index
-      case EqualTo(a, b) if litStr(b).isDefined => bloomStr(a, b)
-      case EqualTo(a, b) if litStr(a).isDefined => bloomStr(b, a)
-      case EqualNullSafe(a, b) if litStr(b).isDefined => bloomStr(a, b)
-      case EqualNullSafe(a, b) if litStr(a).isDefined => bloomStr(b, a)
+      // string equality: the recorded (truncated) string bounds AND
+      // the bloom both get a veto — bounds catch out-of-range keys,
+      // blooms catch in-range point lookups min/max cannot index
+      case EqualTo(a, b) if litStr(b).isDefined =>
+        probeStr(a, b)(strEqPossible) && bloomStr(a, b)
+      case EqualTo(a, b) if litStr(a).isDefined =>
+        probeStr(b, a)(strEqPossible) && bloomStr(b, a)
+      case EqualNullSafe(a, b) if litStr(b).isDefined =>
+        probeStr(a, b)(strEqPossible) && bloomStr(a, b)
+      case EqualNullSafe(a, b) if litStr(a).isDefined =>
+        probeStr(b, a)(strEqPossible) && bloomStr(b, a)
       case In(a, vs) if vs.nonEmpty && vs.forall(litStr(_).isDefined) =>
-        vs.exists(v => bloomStr(a, v))
+        vs.exists(v => probeStr(a, v)(strEqPossible) && bloomStr(a, v))
+      // string ranges — the ISO-dates-as-strings / ULID key class:
+      // ∃ col < v iff actual-min < v, refutable when the recorded
+      // lower bound is already >= v (and mirrored for the rest)
+      case LessThan(a, b) if litStr(b).isDefined =>
+        probeStr(a, b)((sb, v) => strCmp(sb.min, v) < 0)
+      case LessThan(a, b) if litStr(a).isDefined => // v < col
+        probeStr(b, a)((sb, v) => sb.max.forall(m => strCmp(m, v) > 0))
+      case LessThanOrEqual(a, b) if litStr(b).isDefined =>
+        probeStr(a, b)((sb, v) => strCmp(sb.min, v) <= 0)
+      case LessThanOrEqual(a, b) if litStr(a).isDefined =>
+        probeStr(b, a)((sb, v) => sb.max.forall(m => strCmp(m, v) >= 0))
+      case GreaterThan(a, b) if litStr(b).isDefined =>
+        probeStr(a, b)((sb, v) => sb.max.forall(m => strCmp(m, v) > 0))
+      case GreaterThan(a, b) if litStr(a).isDefined => // v > col
+        probeStr(b, a)((sb, v) => strCmp(sb.min, v) < 0)
+      case GreaterThanOrEqual(a, b) if litStr(b).isDefined =>
+        probeStr(a, b)((sb, v) => sb.max.forall(m => strCmp(m, v) >= 0))
+      case GreaterThanOrEqual(a, b) if litStr(a).isDefined =>
+        probeStr(b, a)((sb, v) => strCmp(sb.min, v) <= 0)
       case LessThan(a, b) if litLong(b).isDefined =>
         probe(a, b)((mn, _, v) => mn < v)
       case LessThan(a, b) if litLong(a).isDefined => // v < col
@@ -2763,8 +2904,20 @@ object Versioned {
     def probe(a: Expression, b: Expression)(
         f: (Long, Long, Long) => Boolean): Boolean =
       (for { c <- attrOf(a); (v, u) <- litLong(b); g <- group.get(c)
-             if g.nulls.contains(0L) && g.micros == u }
+             if g.nulls.contains(0L) && g.micros == u && g.str.isEmpty }
         yield g.min > g.max || f(g.min, g.max, v)).getOrElse(false)
+    // ∀-proof over a STRING column: truncation makes a bound
+    // one-sided, so ONLY exact (untruncated, finite) bounds can prove
+    // an all-rows match — a truncated bound may under- or overshoot
+    // the rows it summarizes. The empty sentinel with zero nulls is
+    // vacuously all-matching (no rows to keep), like the numeric one.
+    def litStr(e: Expression): Option[String] = statLitStr(e)
+    def probeStrAll(a: Expression, b: Expression)(
+        f: (String, String, String) => Boolean): Boolean =
+      (for { c <- attrOf(a); v <- litStr(b); g <- group.get(c)
+             sb <- g.str if g.nulls.contains(0L) }
+        yield sb.empty || (!sb.minTrunc && !sb.maxTrunc &&
+          sb.max.exists(mx => f(sb.min, mx, v)))).getOrElse(false)
     def must(e: Expression): Boolean = e match {
       case And(l, r) => must(l) && must(r)
       case Or(l, r) => must(l) || must(r)
@@ -2799,6 +2952,35 @@ object Versioned {
         // set (probe gates on vs.head's unit, shared by construction)
         probe(a, vs.head)((mn, mx, _) =>
           mn == mx && vs.flatMap(litLong).map(_._1).contains(mn))
+      // string atoms: exact bounds only (probeStrAll's gate)
+      case EqualTo(a, b) if litStr(b).isDefined =>
+        probeStrAll(a, b)((mn, mx, v) => mn == v && mx == v)
+      case EqualTo(a, b) if litStr(a).isDefined =>
+        probeStrAll(b, a)((mn, mx, v) => mn == v && mx == v)
+      case EqualNullSafe(a, b) if litStr(b).isDefined =>
+        probeStrAll(a, b)((mn, mx, v) => mn == v && mx == v)
+      case EqualNullSafe(a, b) if litStr(a).isDefined =>
+        probeStrAll(b, a)((mn, mx, v) => mn == v && mx == v)
+      case LessThan(a, b) if litStr(b).isDefined => // ∀: col < v
+        probeStrAll(a, b)((_, mx, v) => strCmp(mx, v) < 0)
+      case LessThan(a, b) if litStr(a).isDefined => // ∀: v < col
+        probeStrAll(b, a)((mn, _, v) => strCmp(v, mn) < 0)
+      case LessThanOrEqual(a, b) if litStr(b).isDefined =>
+        probeStrAll(a, b)((_, mx, v) => strCmp(mx, v) <= 0)
+      case LessThanOrEqual(a, b) if litStr(a).isDefined =>
+        probeStrAll(b, a)((mn, _, v) => strCmp(v, mn) <= 0)
+      case GreaterThan(a, b) if litStr(b).isDefined =>
+        probeStrAll(a, b)((mn, _, v) => strCmp(mn, v) > 0)
+      case GreaterThan(a, b) if litStr(a).isDefined =>
+        probeStrAll(b, a)((_, mx, v) => strCmp(v, mx) > 0)
+      case GreaterThanOrEqual(a, b) if litStr(b).isDefined =>
+        probeStrAll(a, b)((mn, _, v) => strCmp(mn, v) >= 0)
+      case GreaterThanOrEqual(a, b) if litStr(a).isDefined =>
+        probeStrAll(b, a)((_, mx, v) => strCmp(v, mx) >= 0)
+      case In(a, vs) if vs.nonEmpty && vs.forall(litStr(_).isDefined) =>
+        // ∀-provable when the file is a single point in the set
+        probeStrAll(a, vs.head)((mn, mx, _) =>
+          mn == mx && vs.flatMap(litStr).contains(mn))
       case _ => false
     }
     must(pred)
@@ -4093,7 +4275,25 @@ object Versioned {
     */
   private[graft] final case class StatGroup(col: String, min: Long,
       max: Long, nulls: Option[Long], rows: Option[Long] = None,
-      micros: Boolean = false)
+      micros: Boolean = false, str: Option[StrBounds] = None)
+
+  /** STRING bounds of a file's column — Delta's truncated string
+    * stats, on this manifest substrate. `min` is a PREFIX of the
+    * actual minimum (a prefix sorts at-or-before the full string in
+    * UTF-8 binary order, so it is a sound lower bound even
+    * truncated); `max` is the actual maximum when it fits, else the
+    * truncated prefix with its last code point INCREMENTED (strictly
+    * greater than everything sharing the prefix — a sound upper
+    * bound), or None when no finite truncated bound exists (a prefix
+    * of U+10FFFFs). `empty` marks a file with NO non-null values
+    * (the string twin of the inverted numeric sentinel): no
+    * comparison can match, every pruned read skips it. The exactness
+    * flags are what the ∀-prover keys on: a TRUNCATED bound can
+    * prune (∃) but never prove an all-rows match (∀).
+    */
+  private[graft] final case class StrBounds(empty: Boolean,
+      min: String, minTrunc: Boolean,
+      max: Option[String], maxTrunc: Boolean)
 
   /** Full parse of a manifest data line: `rel` followed by stats
     * groups of three tokens (`col \t min \t max`), each optionally
@@ -4108,9 +4308,46 @@ object Versioned {
   private[graft] def parseStatsFull(line: String): (String, Seq[StatGroup]) = {
     val parts = line.split('\t')
     val buf = scala.collection.mutable.ArrayBuffer.empty[StatGroup]
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     var i = 1
     while (i < parts.length) {
-      if (!parts(i).startsWith("~") && i + 3 <= parts.length) {
+      // STRING group: `col \t ~s… [\t ~S…]` then annotations. Bound
+      // tokens: `~s0` = no non-null values (sentinel); `~s=<enc>` /
+      // `~s~<enc>` = exact / truncated lower bound; `~S=<enc>` /
+      // `~S~<enc>` = exact / truncated-incremented upper bound (an
+      // absent ~S after a valued ~s = no finite upper bound).
+      if (!parts(i).startsWith("~") && i + 1 < parts.length &&
+          parts(i + 1).startsWith("~s")) {
+        val c = parts(i)
+        val sTok = parts(i + 1)
+        i += 2
+        val sb =
+          if (sTok == "~s0") StrBounds(empty = true, "", minTrunc = false,
+            None, maxTrunc = false)
+          else {
+            val minTrunc = sTok.startsWith("~s~")
+            val mn = dec(sTok.drop(3))
+            val (mx, mxTrunc) =
+              if (i < parts.length && parts(i).startsWith("~S")) {
+                val t = parts(i); i += 1
+                (Some(dec(t.drop(3))), t.startsWith("~S~"))
+              } else (None, false)
+            StrBounds(empty = false, mn, minTrunc, mx, mxTrunc)
+          }
+        var nulls: Option[Long] = None
+        var rows: Option[Long] = None
+        while (i < parts.length && parts(i).startsWith("~")) {
+          if (parts(i).startsWith("~n")) nulls = Some(parts(i).drop(2).toLong)
+          else if (parts(i).startsWith("~r"))
+            rows = Some(parts(i).drop(2).toLong)
+          i += 1
+        }
+        // the numeric fields carry the inverted sentinel so no
+        // numeric consumer can mistake a string group for a range it
+        // understands; string probes additionally gate on `str`
+        buf += StatGroup(c, Long.MaxValue, Long.MinValue, nulls, rows,
+          micros = false, str = Some(sb))
+      } else if (!parts(i).startsWith("~") && i + 3 <= parts.length) {
         val (c, mn, mx) = (parts(i), parts(i + 1).toLong, parts(i + 2).toLong)
         i += 3
         var nulls: Option[Long] = None

@@ -1691,6 +1691,83 @@ object DeltaQueries {
       |FROM orders
       |ORDER BY o_orderkey, customer, o_totalprice""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+  // STRING min/max file stats (Delta's truncated string stats on the
+  // manifest substrate): orders keyed by a zero-padded string key —
+  // the ISO-dates-as-strings / ULID class a long range cannot index —
+  // range-clustered into 4 files with `~s`/`~S` bounds recorded, then
+  // a row-level DELETE over a STRING BETWEEN. In-query requires pin
+  // the scale shape the oracle cannot see: the manifest carries
+  // string bound tokens, an above-range point lookup plans ZERO
+  // files, and (on well-spread corpora) the BETWEEN refutes at least
+  // one file by bounds alone. The oracle replays the delete as the
+  // same lpad/BETWEEN arithmetic. Negative keys (fuzz corpus) sort
+  // lexicographically, not numerically — identically in both engines,
+  // so the compare holds; the pruning require just goes quiet there.
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-str-stats")
+    try {
+      val keyed = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("k",
+          lpad(col("o_orderkey").cast("string"), 12, "0"))
+        .select("k", "o_orderkey", "o_totalprice")
+      Versioned.commitWithStats(s, tmp.toString,
+        keyed.repartitionByRange(4, col("k")), "k")
+      val mm = keyed.agg(min("o_orderkey"), max("o_orderkey")).head()
+      if (!mm.isNullAt(0)) {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        def pad(v: Long): String = {
+          val raw = v.toString
+          ("0" * math.max(0, 12 - raw.length)) + raw
+        }
+        val (lo, hi) = (pad(mn + (mx - mn) / 4), pad(mn + (mx - mn) / 2))
+        def lines(v: Int): Seq[String] =
+          Versioned.manifestDataLines(s, tmp.toString, v)
+        val before = lines(0)
+        require(before.forall(l =>
+          l.contains("\t~s=") || l.contains("\t~s~") ||
+            l.contains("\t~s0")),
+          s"string stat groups missing from the manifest: $before")
+        // bounds alone must refute a key above every file's max
+        require(Versioned.plannedFilesEq(s, tmp.toString,
+          col("k") === "~~~").isEmpty,
+          "an above-range string key must plan zero files")
+        val pred = col("k").between(lo, hi)
+        val pruned = Versioned.pruneCandidates(
+          Versioned.resolvedPredicate(s,
+            Versioned.read(s, tmp.toString).schema, pred), before)
+        val v = Versioned.deleteWhere(s, tmp.toString, pred)
+        if (mn >= 0 && mx - mn >= 4 && before.size >= 4) {
+          // disjoint string clustering over non-negative keys: the
+          // half-span BETWEEN cannot intersect every nonempty file
+          require(pruned.size < before.size,
+            s"string stats pruned nothing (${pruned.size}/${before.size})")
+          if (v != 0) require(
+            lines(v).toSet.intersect(before.toSet).nonEmpty,
+            "no base manifest line carried verbatim — delete rewrote " +
+              "files the string bounds never admitted")
+        }
+      }
+      Versioned.read(s, tmp.toString)
+        .orderBy("k", "o_orderkey", "o_totalprice")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(tmp)
+  }
+
+  private val q153Sql =
+    """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+      |           FROM orders)
+      |SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS k,
+      |       o_orderkey, o_totalprice
+      |FROM orders, b
+      |WHERE (lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+      |         BETWEEN lpad(CAST(mn + (mx - mn) // 4 AS VARCHAR), 12, '0')
+      |             AND lpad(CAST(mn + (mx - mn) // 2 AS VARCHAR), 12, '0'))
+      |      IS NOT TRUE
+      |ORDER BY k, o_orderkey, o_totalprice""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1722,7 +1799,8 @@ object DeltaQueries {
     "q148_lake_stream_source" -> (q148 _),
     "q149_lake_rename_column" -> (q149 _),
     "q150_lake_drop_column" -> (q150 _),
-    "q151_lake_id_mapping" -> (q151 _))
+    "q151_lake_id_mapping" -> (q151 _),
+    "q153_lake_string_stats" -> (q153 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1753,5 +1831,6 @@ object DeltaQueries {
     "q148_lake_stream_source" -> q148Sql,
     "q149_lake_rename_column" -> q149Sql,
     "q150_lake_drop_column" -> q150Sql,
-    "q151_lake_id_mapping" -> q151Sql)
+    "q151_lake_id_mapping" -> q151Sql,
+    "q153_lake_string_stats" -> q153Sql)
 }
