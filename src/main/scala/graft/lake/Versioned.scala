@@ -914,10 +914,13 @@ object Versioned {
     val (rel, groups) = parseStatsFull(line)
     if (!groups.exists(_.col == name)) return line
     val rows = groups.flatMap(_.rows).headOption
+    // the line-level ~b size annotation survives the group surgery
+    val size = lineSizeOf(line).map(v => s"\t~b$v").getOrElse("")
     val kept = groups.filterNot(_.col == name)
-    if (kept.isEmpty) rel
+    if (kept.isEmpty) rel + size
     else renderStatsLine(rel,
-      kept.head.copy(rows = rows) +: kept.tail.map(_.copy(rows = None)))
+      kept.head.copy(rows = rows) +: kept.tail.map(_.copy(rows = None))) +
+      size
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit (the complement of
@@ -1491,11 +1494,47 @@ object Versioned {
             .as(p.getOrElse(c, c))): _*)
       }
     physDf.write.parquet(dataDir.toString)
-    val rels = fs.listStatus(dataDir)
+    val listed = fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(f => s"data/${dataDir.getName}/${f.getPath.getName}")
+      .map(f =>
+        s"data/${dataDir.getName}/${f.getPath.getName}" -> f.getLen)
       .toSeq
-    measureLines(spark, dir, rels, statCols, df.schema, colMap)
+    // the file's BYTE SIZE rides as the line's trailing `~b`
+    // annotation — free here (the listing above already holds it)
+    // and what lets the streaming source's maxBytesPerTrigger plan
+    // catch-up from manifest arithmetic alone, no per-file RPCs
+    val sizes = listed.toMap
+    measureLines(spark, dir, listed.map(_._1), statCols, df.schema,
+      colMap).map(l => s"$l\t~b${sizes(parseLine(l)._1)}")
+  }
+
+  /** The staged file's recorded byte size (trailing `~b` line
+    * annotation) — None on lines written before size tracking. */
+  private[graft] def lineSizeOf(line: String): Option[Long] =
+    line.split('\t').collectFirst {
+      case t if t.startsWith("~b") && t.length > 2 &&
+        t.drop(2).forall(_.isDigit) => t.drop(2).toLong
+    }
+
+  /** Per-line byte sizes of version `v`'s reconstructed manifest, in
+    * manifest order — the snapshot-phase byte pager's table. */
+  private[graft] def manifestLineSizes(spark: SparkSession, dir: String,
+      v: Int): Seq[Option[Long]] =
+    readManifest(fileSystem(spark, dir), dir, v).lines.map(lineSizeOf)
+
+  /** Bytes of the data files version `v`'s own manifest FILE brings:
+    * a delta record's add lines, or a snapshot's full listing (a
+    * replace/restore/compaction "brings" its whole content — the
+    * honest admission cost for a stream that must scan it). None when
+    * any counted line predates size tracking. Pure driver arithmetic
+    * over ONE raw manifest read (never the sidecar, never the chain)
+    * — the feed-phase byte rate limiter plans catch-up from this. */
+  private[graft] def versionAddedBytes(spark: SparkSession, dir: String,
+      v: Int): Option[Long] = {
+    val fs = fileSystem(spark, dir)
+    val sizes = parseManifestFile(fs, manifestPath(dir, v))
+      .m.lines.map(lineSizeOf)
+    if (sizes.exists(_.isEmpty)) None else Some(sizes.flatten.sum)
   }
 
   /** Per-file stats for EVERY tracked column in ONE column-pruned scan
@@ -2256,8 +2295,15 @@ object Versioned {
       // yet indexed) so this commit honors it too — no data rewrite
       val (wantStats, wantCfg) = measurable((polStats, polCfg))
       if (wantStats.toSet != measuredStats.toSet) {
+        // the ~b size annotations survive the re-measure (stage
+        // recorded them; a re-scan of the same immutable files
+        // cannot change them)
+        val priorSizes = newFiles.flatMap(l =>
+          lineSizeOf(l).map(parseLine(l)._1 -> _)).toMap
         newFiles = measureLines(spark, dir,
           newFiles.map(parseLine(_)._1), wantStats, df.schema, stageMap)
+          .map(l => priorSizes.get(parseLine(l)._1)
+            .map(s => s"$l\t~b$s").getOrElse(l))
         measuredStats = wantStats
       }
       val missingCfg =
@@ -5051,6 +5097,58 @@ object Versioned {
       // or before t
       listed.map(_._1).sorted(Ordering[Int].reverse).iterator
         .find(instant(_)._1 <= millis)
+  }
+
+  /** The FIRST retained version whose recorded commit instant is at
+    * or after `millis` — the resolver behind the streaming source's
+    * `startingTimestamp` anchor ("start from this instant": a
+    * timestamp BETWEEN two commits anchors at the next version; an
+    * exact hit anchors at it). STRICT: consults recorded `#ts`
+    * instants only, and any legacy (pre-`#ts`) manifest consulted
+    * refuses loudly — a stream anchored on a best-effort file mtime
+    * could silently skip or duplicate commits, which `TIMESTAMP AS
+    * OF`'s read-once tolerance does not excuse here. A `millis`
+    * before the retention floor anchors at the floor (everything
+    * retained is at-or-after it); None when every retained instant is
+    * BEFORE `millis` — the caller refuses "timestamp after the last
+    * commit". Cost: O(log head) header-only reads (instants are
+    * write-monotonic with versions; the floor binary-searches on
+    * exists() like [[versionAsOfTimestamp]]).
+    */
+  def versionAtOrAfterInstant(spark: SparkSession, dir: String,
+      millis: Long): Option[Int] = {
+    val fs = fileSystem(spark, dir)
+    latestVersion(spark, dir).flatMap { head =>
+      def tsOf(v: Int): Long = readHeaderOnly(fs, dir, v).ts.getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v of $dir predates commit-instant tracking " +
+            "(no #ts header): a timestamp anchor needs recorded " +
+            "instants — anchor by startingVersion instead"))
+      if (tsOf(head) < millis) None
+      else {
+        // retention floor: exists() is monotone over version numbers
+        var lo = 0
+        var hi = head // invariant: exists(hi)
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (fs.exists(manifestPath(dir, mid))) hi = mid
+          else lo = mid + 1
+        }
+        val floor = hi
+        if (tsOf(floor) >= millis) Some(floor)
+        else {
+          // instants are monotonic with versions: smallest v in
+          // (floor, head] with ts(v) >= millis
+          var a = floor // ts(a) < millis
+          var b = head  // ts(b) >= millis
+          while (a + 1 < b) {
+            val mid = (a + b) >>> 1
+            if (tsOf(mid) >= millis) b = mid else a = mid
+          }
+          Some(b)
+        }
+      }
+    }
   }
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —

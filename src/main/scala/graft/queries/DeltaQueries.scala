@@ -1691,6 +1691,61 @@ object DeltaQueries {
       |FROM orders
       |ORDER BY o_orderkey, customer, o_totalprice""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  // First-class streaming SINK (writeStream.format("graft")) — q136's
+  // twin through the PUBLIC Structured Streaming API instead of the
+  // foreachBatch helper: the events table replayed as three
+  // micro-batches lands as three (appId, batchId)-stamped manifest
+  // commits, appId = the streaming query id the engine persists in
+  // the checkpoint (GraftSink routes every batch through
+  // Versioned.idempotentCommit — Delta's txn action). In-query
+  // requires force the exactly-once claim: three batches -> exactly
+  // three versions, every version stamped with the query id, and a
+  // crash-replay of the last batch (same appId + batchId, what a
+  // restarted query re-submits) stamp-skips instead of
+  // double-appending. Bench note: seconds are fixture + streaming
+  // lifecycle (3 batch files, 3 checkpointed commits).
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-sink-src")
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt")
+    val table = Files.createTempDirectory("graft-sink-table")
+    try {
+      val events = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      writeIdBatches(events, "event_id", tmp)
+      val q = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+        .writeStream.format("graft")
+        .option("path", table.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(Versioned.latestVersion(s, table.toString).contains(2),
+        "expected exactly three stamped versions from three batches")
+      val apps = Versioned.history(s, table.toString)
+        .select("app_id").collect().map(_.getString(0)).distinct.toSeq
+      require(apps == Seq(q.id.toString),
+        s"every version must stamp the query id, got $apps")
+      val replay = Versioned.idempotentCommit(s, table.toString,
+        events.filter(col("event_id") % 3 === 2), q.id.toString,
+        batchId = 2)
+      require(replay.isEmpty, "replayed batch 2 double-committed")
+      Versioned.read(s, table.toString)
+        .orderBy("event_id")
+        .localCheckpoint(true)
+    } finally {
+      Q.deleteRecursively(tmp); Q.deleteRecursively(ckpt)
+      Q.deleteRecursively(table)
+    }
+  }
+
+  private val q152Sql =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q153
   // STRING min/max file stats (Delta's truncated string stats on the
   // manifest substrate): orders keyed by a zero-padded string key —
@@ -1800,6 +1855,7 @@ object DeltaQueries {
     "q149_lake_rename_column" -> (q149 _),
     "q150_lake_drop_column" -> (q150 _),
     "q151_lake_id_mapping" -> (q151 _),
+    "q152_lake_stream_sink" -> (q152 _),
     "q153_lake_string_stats" -> (q153 _))
 
   val oracles: Map[String, String] = Map(
@@ -1832,5 +1888,6 @@ object DeltaQueries {
     "q149_lake_rename_column" -> q149Sql,
     "q150_lake_drop_column" -> q150Sql,
     "q151_lake_id_mapping" -> q151Sql,
+    "q152_lake_stream_sink" -> q152Sql,
     "q153_lake_string_stats" -> q153Sql)
 }

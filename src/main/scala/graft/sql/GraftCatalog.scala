@@ -470,18 +470,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * capabilities. `version` is `Some(k)` for a `VERSION AS OF k`
   * reference.
   *
-  * STREAMING reads (`spark.readStream.table("graft.db.t")`) resolve
+  * STREAMING (`spark.readStream.table("graft.db.t")` and
+  * `df.writeStream.format("graft").toTable("graft.db.t")`) resolves
   * through [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]
-  * — the hook Spark's analyzer consults when a V2 table lacks
-  * MICRO_BATCH_READ (the route Delta ships): [[v1Table]] names the
-  * `graft-changes` V1 source in `mode=rows`, so a catalog-addressed
-  * stream delivers the table's PLAIN ROWS (appends stream; a
-  * delete/rewrite commit fails loudly unless the reader sets
-  * `skipChangeCommits`), exactly Delta's stream-a-table semantics.
-  * The CHANGE FEED (with `_change_type`/`_commit_version`/
-  * `_commit_timestamp`) stays on `readStream.format("graft-changes")`
-  * — its schema is wider than the table's, which a catalog-resolved
-  * relation cannot carry.
+  * — the hook Spark consults when a V2 table lacks MICRO_BATCH_READ /
+  * STREAMING_WRITE (the route Delta ships): [[v1Table]] names the
+  * `graft` V1 provider in `mode=rows` anchored at `head`, so a
+  * catalog-addressed read delivers the CURRENT snapshot then the
+  * tail as PLAIN ROWS (post-anchor delete/rewrite commits fail
+  * loudly unless the reader sets `skipChangeCommits`) — exactly
+  * Delta's stream-a-table semantics — and a catalog-addressed write
+  * lands exactly-once idempotent commits
+  * ([[graft.streaming.GraftSink]]). The CHANGE FEED (with
+  * `_change_type`/`_commit_version`/`_commit_timestamp`) stays on
+  * `readStream.format("graft-changes")` — its schema is wider than
+  * the table's, which a catalog-resolved relation cannot carry.
   */
 final case class GraftTable(fullName: String, dir: String,
     asOfVersion: Option[Int]) extends Table
@@ -490,15 +493,41 @@ final case class GraftTable(fullName: String, dir: String,
   override def name(): String = fullName
 
   /** The V1 streaming fallback: `readStream.table` on this table is a
-    * plain-rows `graft-changes` stream anchored at `latest` (only
-    * commits after query start — the snapshot-then-tail shape is
-    * `startingVersion=0`, which the reader passes as an option; reader
-    * options override these storage properties). */
+    * plain-rows `graft` stream anchored at `head` — the CURRENT
+    * snapshot (paged) then the tail, Delta's stream-a-table
+    * semantics: history BEFORE query start is never replayed, so a
+    * fresh stream on a table whose past holds deletes/rewrites starts
+    * clean instead of failing (and `skipChangeCommits` cannot
+    * resurrect pre-anchor deletions). Reader options override these
+    * storage properties — `option("startingVersion", "0")` opts back
+    * into a full-history replay. The same CatalogTable serves the
+    * WRITE side: `writeStream.format("graft").toTable("graft.db.t")`
+    * resolves the provider to the sink half
+    * ([[graft.streaming.GraftSink]], exactly-once idempotent
+    * commits), with the location carrying the table directory. */
   override def v1Table
       : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     require(asOfVersion.isEmpty,
       "streaming a time-traveled graft table is not supported — " +
         "stream the live table, or batch-read the pinned version")
+    catalogCrumb.copy(
+      storage = org.apache.spark.sql.catalyst.catalog
+        .CatalogStorageFormat.empty.copy(
+          locationUri = Some(new Path(dir).toUri),
+          properties = Map("path" -> dir, "mode" -> "rows",
+            "startingVersion" -> "head")))
+  }
+
+  /** Identifier-bearing CatalogTable BREADCRUMB for the rewritten
+    * read plan's leaf LogicalRelations ([[GraftSqlRule]] attaches
+    * it): V1 catalog walks — `spark.catalog.refreshTable`'s cache
+    * invalidation, which the engine runs after every
+    * catalog-addressed streaming-sink batch — unconditionally `.get`
+    * a LogicalRelation's catalogTable, so a bare native-parquet leaf
+    * would NPE the walk. Metadata only; the relation's own FileIndex
+    * stays the scan authority. */
+  private[graft] def catalogCrumb
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     val parts = fullName.split('.')
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(
       parts.last,
@@ -510,10 +539,10 @@ final case class GraftTable(fullName: String, dir: String,
         org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
       storage = org.apache.spark.sql.catalyst.catalog
         .CatalogStorageFormat.empty.copy(
-          properties = Map("path" -> dir, "mode" -> "rows",
-            "startingVersion" -> "0")),
+          locationUri = Some(new Path(dir).toUri),
+          properties = Map("path" -> dir)),
       schema = schema,
-      provider = Some("graft-changes"))
+      provider = Some("graft"))
   }
 
   // resolved once per loadTable: Table.schema() is consulted

@@ -207,8 +207,19 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !targets.contains(r) =>
         val t = r.table.asInstanceOf[GraftTable]
+        val crumb = t.catalogCrumb
         val sub = Versioned.read(session, t.dir, t.asOfVersion)
-          .queryExecution.analyzed
+          .queryExecution.analyzed.transformUp {
+            // identifier breadcrumb on the native-parquet leaves:
+            // spark.catalog.refreshTable's cache-invalidation walk
+            // (run by the engine after every catalog-addressed
+            // streaming-sink batch) unconditionally `.get`s a
+            // LogicalRelation's catalogTable — a bare leaf NPEs it.
+            // Metadata only; the relation's FileIndex stays the scan.
+            case lr: org.apache.spark.sql.execution.datasources
+                .LogicalRelation if lr.catalogTable.isEmpty =>
+              lr.copy(catalogTable = Some(crumb))
+          }
         require(sub.output.length == r.output.length,
           s"graft table ${t.name()} read plan arity " +
             s"${sub.output.length} != relation arity ${r.output.length}")

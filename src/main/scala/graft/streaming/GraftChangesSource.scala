@@ -1,10 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
-import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{broadcast, col, lit, timestamp_millis}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType, TimestampType}
 
 import graft.lake.Versioned
@@ -102,26 +103,79 @@ final class GraftChangesSource(
     opts.get("maxversionspertrigger").map(_.toInt).getOrElse(Int.MaxValue)
   require(maxVersionsPerTrigger > 0,
     s"maxVersionsPerTrigger must be positive: $maxVersionsPerTrigger")
+  /** BYTE-based rate limiting, planned from the manifest's recorded
+    * per-file `~b` sizes — pure driver arithmetic, zero data I/O.
+    * Versions vary wildly in size, so a version-count cap alone lets
+    * one fat replace blow a trigger; this caps admission by bytes:
+    * the SNAPSHOT phase pages the anchor's files so a slice stays
+    * under the budget, the FEED phase admits whole versions until
+    * the budget fills. Admission control, not semantics — a single
+    * version (or file) larger than the budget still streams WHOLE in
+    * its own trigger (offsets are version-granular: a mid-version
+    * split cannot be represented, so it is never attempted), and a
+    * version with pre-size-tracking lines conservatively fills the
+    * trigger. Composes with maxFilesPerTrigger/maxVersionsPerTrigger
+    * (tightest cap wins). */
+  private val maxBytesPerTrigger: Option[Long] =
+    opts.get("maxbytespertrigger").map(_.toLong)
+  maxBytesPerTrigger.foreach(b => require(b > 0,
+    s"maxBytesPerTrigger must be positive: $b"))
 
-  /** `"latest"` = only commits after source creation; an integer V =
-    * version V's full content as the first batch's inserts, then the
-    * change feed forward (Delta's `startingVersion` semantics). */
-  private val startingVersion: Either[Int, Unit] =
-    opts.getOrElse("startingversion", "0") match {
-      case "latest" => Right(())
-      case v => Left(v.toInt)
-    }
+  /** Anchor options, mutually exclusive:
+    *  - `startingVersion = <int V>` (default 0): version V's full
+    *    content as the paged first batch's inserts, then the change
+    *    feed forward;
+    *  - `startingVersion = "head"`: the head AT STREAM CREATION plays
+    *    the same role — current snapshot, then tail (Delta's
+    *    stream-a-table shape; what the catalog's `readStream.table`
+    *    fallback passes) — resolved ONCE and persisted in the
+    *    checkpoint so a restart keeps the original anchor;
+    *  - `startingVersion = "latest"`: NO snapshot — only commits
+    *    after source creation stream (persisted likewise);
+    *  - `startingTimestamp = <epoch-millis | ISO-8601>`: resolved to
+    *    the FIRST version committed at or after the instant
+    *    ([[Versioned.versionAtOrAfterInstant]] — strict, recorded
+    *    `#ts` instants only; legacy tables refuse loudly; a timestamp
+    *    after the last commit refuses loudly), then exactly the
+    *    explicit-version semantics, anchor persisted.
+    */
+  private val startingVersionOpt: Option[String] =
+    opts.get("startingversion")
+  private val startingTimestampOpt: Option[String] =
+    opts.get("startingtimestamp")
+  require(startingVersionOpt.isEmpty || startingTimestampOpt.isEmpty,
+    "startingVersion and startingTimestamp are mutually exclusive — " +
+      "a stream has one anchor")
+  // tail-only mode ("latest"): no snapshot phase
+  private val tailOnly: Boolean = startingVersionOpt.contains("latest")
 
   // None = the table has no committed version yet, which is allowed
   // ONLY for startingVersion=latest (anchor below version 0, stream
-  // from the first commit): an explicit startingVersion names a
-  // version that must exist
+  // from the first commit): every other anchor names a version that
+  // must exist
   private val headAtCreation: Option[Int] =
     Versioned.latestVersion(spark, dir)
-  require(headAtCreation.isDefined || startingVersion.isRight,
+  require(headAtCreation.isDefined || tailOnly,
     s"graft-changes: no committed version in $dir to stream from — " +
       "startingVersion=latest (plus a user schema) can anchor on an " +
       "empty table and pick up its first commit")
+
+  /** `startingTimestamp` accepted shapes: epoch millis, ISO-8601
+    * instant (`2024-01-01T00:00:00Z`), or a local date[-time] read as
+    * UTC (the session timezone this engine pins everywhere). */
+  private def parseInstantMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        val norm =
+          if (t.contains("T") || t.contains(" ")) t.replace(' ', 'T')
+          else t + "T00:00:00"
+        java.time.LocalDateTime.parse(norm)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
 
   // resolved once at source creation: the feed speaks ONE schema for
   // the stream's lifetime (the streaming contract); commits that later
@@ -156,43 +210,62 @@ final class GraftChangesSource(
       (f.name, phys.getOrElse(f.name, f.name), f.dataType)).toSeq
   }
 
-  // the high-water mark "latest" anchors to (commits at or before it
-  // never stream; -1 = empty table, everything streams). The anchor
-  // is resolved ONCE — on first creation — and persisted in the
-  // checkpoint's source-metadata slot, so a restarted query keeps the
-  // original anchor instead of silently re-anchoring past commits
-  // that landed while it was down.
-  private val anchor: Int = startingVersion match {
-    case Left(v) =>
-      require(v >= 0 && headAtCreation.exists(v <= _),
-        s"startingVersion $v is not a committed version of $dir " +
-          s"(head is ${headAtCreation.getOrElse(-1)})")
-      v
-    case Right(()) =>
-      val computed = headAtCreation.getOrElse(-1)
-      metadataPath.fold(computed) { mp =>
-        val p = new org.apache.hadoop.fs.Path(mp, "graft-changes-anchor")
-        val fs = p.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) {
-          try {
-            val out = fs.create(p, false)
-            try out.write(computed.toString.getBytes("UTF-8"))
-            finally out.close()
-          } catch {
-            // a lost create race is benign (the winner's anchor is
-            // read below); a genuinely FAILED create is also safe to
-            // swallow here because the fs.open that follows is the
-            // backstop — it fails loudly, never silently re-anchors
-            case _: java.io.IOException => ()
-          }
+  /** Resolve-once-then-persist: creation-time anchors ("latest",
+    * "head", a timestamp) are STATE, not configuration — a restarted
+    * query must keep the anchor the original run resolved, not
+    * silently re-anchor past (or re-snapshot) commits that landed
+    * while it was down. The checkpoint's source-metadata slot holds
+    * it; `computed` only evaluates when no persisted anchor exists. */
+  private def persistedAnchor(computed: => Int): Int =
+    metadataPath.fold(computed) { mp =>
+      val p = new org.apache.hadoop.fs.Path(mp, "graft-changes-anchor")
+      val fs = p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        val value = computed
+        try {
+          val out = fs.create(p, false)
+          try out.write(value.toString.getBytes("UTF-8"))
+          finally out.close()
+        } catch {
+          // a lost create race is benign (the winner's anchor is
+          // read below); a genuinely FAILED create is also safe to
+          // swallow here because the fs.open that follows is the
+          // backstop — it fails loudly, never silently re-anchors
+          case _: java.io.IOException => ()
         }
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toInt
-        finally in.close()
       }
-  }
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt
+      finally in.close()
+    }
+
+  // the anchor version (commits at or before it stream only as the
+  // snapshot phase; -1 = empty-table "latest", everything streams)
+  private val anchor: Int =
+    (startingVersionOpt, startingTimestampOpt) match {
+      case (Some("latest"), None) =>
+        persistedAnchor(headAtCreation.getOrElse(-1))
+      case (Some("head"), None) =>
+        persistedAnchor(headAtCreation.get) // non-empty by the require
+      case (None, Some(ts)) =>
+        persistedAnchor {
+          val millis = parseInstantMillis(ts)
+          Versioned.versionAtOrAfterInstant(spark, dir, millis)
+            .getOrElse(throw new IllegalArgumentException(
+              s"startingTimestamp $ts is after the last commit of " +
+                s"$dir — nothing will ever anchor there; use " +
+                "startingVersion=latest to stream future commits"))
+        }
+      case (verOpt, None) => // explicit int (default 0): deterministic
+        val v = verOpt.getOrElse("0").toInt
+        require(v >= 0 && headAtCreation.exists(v <= _),
+          s"startingVersion $v is not a committed version of $dir " +
+            s"(head is ${headAtCreation.getOrElse(-1)})")
+        v
+      case _ => throw new IllegalStateException("unreachable")
+    }
 
   override val schema: StructType =
     if (rowsMode) tableSchema
@@ -210,7 +283,7 @@ final class GraftChangesSource(
   // the whole table (Delta's (reservoirVersion, index) offsets; same
   // shape here). `latest` mode has no snapshot phase.
   private val snapTotal: Long =
-    if (startingVersion.isLeft)
+    if (!tailOnly)
       Versioned.manifestLineCount(spark, dir, anchor).toLong
     else 0L
   private val maxFilesPerTrigger: Int =
@@ -218,24 +291,65 @@ final class GraftChangesSource(
   require(maxFilesPerTrigger > 0,
     s"maxFilesPerTrigger must be positive: $maxFilesPerTrigger")
 
+  // per-line byte sizes of the anchor snapshot (byte paging) —
+  // resolved once, only when the byte cap is declared
+  private lazy val snapLineSizes: Seq[Option[Long]] =
+    Versioned.manifestLineSizes(spark, dir, anchor)
+
   // rate limiting: getOffset advances at most maxVersionsPerTrigger /
-  // maxFilesPerTrigger past what the last getBatch consumed (restart
-  // replays refresh it via the engine's recovery getBatch call)
+  // maxFilesPerTrigger / maxBytesPerTrigger past what the last
+  // getBatch consumed (restart replays refresh it via the engine's
+  // recovery getBatch call)
   @volatile private var lastSeen: (Long, Long) =
-    (anchor.toLong, if (startingVersion.isRight) snapTotal else 0L)
+    (anchor.toLong, if (tailOnly) snapTotal else 0L)
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     Versioned.latestVersion(spark, dir).flatMap { head =>
       val (lv, li) = lastSeen
-      if (li < snapTotal)
-        // snapshot phase: advance through the anchor's files only
-        Some(GraftChangesOffset(anchor.toLong,
-          math.min(li + maxFilesPerTrigger, snapTotal)))
-      else {
-        val capped = math.min(head.toLong,
-          math.max(lv, anchor.toLong) + maxVersionsPerTrigger)
+      if (li < snapTotal) {
+        // snapshot phase: advance through the anchor's files only —
+        // by count, and under the byte budget when one is declared
+        // (always at least one file per trigger; an unknown size
+        // conservatively fills the trigger)
+        val byFiles = math.min(li + maxFilesPerTrigger, snapTotal)
+        val end = maxBytesPerTrigger match {
+          case None => byFiles
+          case Some(budget) =>
+            var e = li + 1
+            var acc = snapLineSizes(li.toInt).getOrElse(budget)
+            var open = true
+            while (open && e < byFiles) {
+              val add = snapLineSizes(e.toInt).getOrElse(budget)
+              if (acc + add <= budget) { acc += add; e += 1 }
+              else open = false
+            }
+            e
+        }
+        Some(GraftChangesOffset(anchor.toLong, end))
+      } else {
+        val from = math.max(lv, anchor.toLong)
+        val byVersions = math.min(head.toLong,
+          from + maxVersionsPerTrigger)
+        val capped = maxBytesPerTrigger match {
+          case None => byVersions
+          case Some(budget) =>
+            // admit WHOLE versions until the budget fills — at least
+            // one (a version fatter than the budget streams alone in
+            // its own trigger; mid-version splits are unrepresentable
+            // in version-granular offsets and never attempted)
+            var v = from
+            var acc = 0L
+            var open = true
+            while (open && v < byVersions) {
+              val add = Versioned.versionAddedBytes(spark, dir,
+                (v + 1).toInt).getOrElse(Long.MaxValue / 4)
+              if (v == from || acc + add <= budget) { acc += add; v += 1 }
+              else open = false
+            }
+            v
+        }
         // "latest" mode with no new commits yet: nothing to stream
-        if (capped <= anchor && startingVersion.isRight) None
+        if (capped <= anchor && tailOnly) None
         else Some(GraftChangesOffset(
           math.max(capped, anchor.toLong), snapTotal))
       }
@@ -260,7 +374,7 @@ final class GraftChangesSource(
     // snapshot slice: anchor-version files [fromIdx, endIdx) as
     // inserts (explicit startingVersion's paged initial content)
     val snapshot: Option[DataFrame] =
-      if (endIdx > fromIdx && startingVersion.isLeft)
+      if (endIdx > fromIdx && !tailOnly)
         Some {
           val rows = Versioned.readSlice(spark, dir, anchor,
             fromIdx.toInt, endIdx.toInt)
@@ -434,9 +548,18 @@ object GraftChangesOffset {
   * (nothing to derive a schema from yet) and the catalog's V1
   * streaming fallback (which passes the table's own schema through —
   * validated equal). Anything else is refused: the table, not the
-  * caller, owns the schema. */
-final class GraftChangesSourceProvider
-  extends StreamSourceProvider with DataSourceRegister {
+  * caller, owns the schema.
+  *
+  * Also a [[StreamSinkProvider]]: `writeStream.format("graft-changes")`
+  * (and its plain alias, [[GraftSourceProvider]] `"graft"`) routes
+  * micro-batches through [[GraftSink]]'s exactly-once
+  * `idempotentCommit` — one provider class serving both halves is
+  * what lets `writeStream.toTable("graft.db.t")` resolve through the
+  * catalog's `V2TableWithV1Fallback` CatalogTable, whose single
+  * `provider` field names the class for reads AND writes. */
+class GraftChangesSourceProvider
+  extends StreamSourceProvider with StreamSinkProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-changes"
 
@@ -452,4 +575,27 @@ final class GraftChangesSourceProvider
       parameters: Map[String, String]): Source =
     new GraftChangesSource(sqlContext, parameters, Some(metadataPath),
       schema)
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft tables take no partition columns — cluster files with " +
+        "Versioned.compactCommit(clusterBy = …) instead")
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode " +
+        "— each micro-batch publishes as one appended lake version; " +
+        "Complete/Update imply per-batch rewrites a streaming sink " +
+        "should not silently perform")
+    new GraftSink(sqlContext, parameters)
+  }
+}
+
+/** The plain `"graft"` format alias — the name a user reaches for
+  * first (`writeStream.format("graft")` / `readStream.format("graft")`)
+  * and the provider the catalog's [[graft.sql.GraftTable]] V1 fallback
+  * names, so `readStream.table` and `writeStream.toTable` resolve the
+  * same class. Behavior is identical to `graft-changes`. */
+final class GraftSourceProvider extends GraftChangesSourceProvider {
+  override def shortName(): String = "graft"
 }

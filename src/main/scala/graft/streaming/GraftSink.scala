@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+
+import graft.lake.Versioned
+
+/** `df.writeStream.format("graft")` — the first-class STREAMING SINK
+  * over the versioned lake, the write half of [[GraftChangesSource]].
+  * Until now exactly-once streaming ingest required the
+  * [[Streams.versionedIngest]] `foreachBatch` helper; with this it is
+  * the standard Structured Streaming wiring:
+  *
+  * {{{
+  *   df.writeStream.format("graft")
+  *     .option("path", tableDir)          // or .toTable("graft.db.t")
+  *     .option("checkpointLocation", cp)
+  *     .start()
+  * }}}
+  *
+  * Exactly-once: every micro-batch routes through
+  * [[Versioned.idempotentCommit]], stamped `(appId, batchId)` in the
+  * manifest it publishes (Delta's `txn` action on this substrate).
+  * `appId` defaults to the STREAMING QUERY ID — the engine persists it
+  * in the checkpoint's metadata and republishes it on every restart
+  * (`sql.streaming.queryId` local property, the same identity
+  * `DeltaSink` keys its transactions on) — so a crash anywhere
+  * between staging and the offset-log commit resolves to exactly one
+  * append on replay: Spark re-runs the failed batch with the SAME
+  * batchId, a staged-but-unpublished attempt is invisible (expire's
+  * orphan grace sweeps it), and a published-but-unacknowledged one is
+  * recognized by its stamp and skipped. `txnAppId` overrides the
+  * identity for writers that re-checkpoint but must keep their
+  * idempotence key.
+  *
+  * Append output mode only: the lake's streaming commit is an append
+  * (each batch is a new version; `changesBetween` over the ingest
+  * history replays the stream as a CDC feed). Complete/Update modes
+  * imply per-batch rewrites a streaming sink should not silently
+  * perform — refused loudly at query start.
+  *
+  * Scale shape: the commit stages the batch's rows as parquet via one
+  * distributed write action (no driver materialization), measures
+  * stats/blooms per the TABLE's declared policy, and publishes one
+  * O(changed files) delta manifest through the CAS loop — concurrent
+  * batch writers and other streams interleave safely.
+  */
+final class GraftSink(sqlContext: SQLContext,
+    parameters: Map[String, String]) extends Sink {
+
+  private val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+  private val dir = opts.getOrElse("path",
+    throw new IllegalArgumentException(
+      "graft sink needs option 'path' (the versioned table directory)" +
+        " — writeStream.format(\"graft\").option(\"path\", dir) or" +
+        " .toTable(\"graft.db.t\")"))
+  private val appIdOverride = opts.get("txnappid")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = sqlContext.sparkSession
+    val appId = appIdOverride.orElse(
+      Option(spark.sparkContext.getLocalProperty(
+        StreamExecution.QUERY_ID_KEY)))
+      .getOrElse(throw new IllegalStateException(
+        "graft sink could not resolve an idempotence key: no " +
+          "streaming query id on this thread and no txnAppId option"))
+    // the incoming frame is bound to the engine's incremental
+    // execution — re-wrap its physical result as a batch frame the
+    // lake's write action can plan (the DeltaSink hop)
+    val batch = org.apache.spark.sql.graft.GraftStreamingShim
+      .asBatchFrame(data)
+    Versioned.idempotentCommit(spark, dir, batch, appId, batchId)
+    ()
+  }
+
+  override def toString: String = s"GraftSink[$dir]"
+}

@@ -82,18 +82,26 @@ object Streams {
       tableDir: String, keyCols: Seq[String],
       startingVersion: String = "0",
       maxVersionsPerTrigger: Option[Int] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None,
+      startingTimestamp: Option[String] = None): DataFrame = {
     // keyCols may be empty: a KEYLESS feed renders pure inserts/
     // deletes (incl. merge-on-read deletes) and refuses rewrites
     val r0 = spark.readStream.format("graft-changes")
       .option("path", tableDir)
-      .option("startingVersion", startingVersion)
-    val rk = if (keyCols.isEmpty) r0
-      else r0.option("keyCols", keyCols.mkString(","))
+    // a timestamp anchor replaces the version anchor (the source
+    // refuses both): resolved to the first commit at or after it
+    val ra = startingTimestamp.fold(
+      r0.option("startingVersion", startingVersion))(t =>
+      r0.option("startingTimestamp", t))
+    val rk = if (keyCols.isEmpty) ra
+      else ra.option("keyCols", keyCols.mkString(","))
     val r1 = maxVersionsPerTrigger.fold(rk)(n =>
       rk.option("maxVersionsPerTrigger", n.toString))
-    maxFilesPerTrigger.fold(r1)(n =>
-      r1.option("maxFilesPerTrigger", n.toString)).load()
+    val r2 = maxFilesPerTrigger.fold(r1)(n =>
+      r1.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.fold(r2)(n =>
+      r2.option("maxBytesPerTrigger", n.toString)).load()
   }
 
   /** ST4 (true event-time form): drop duplicate keys within the watermark

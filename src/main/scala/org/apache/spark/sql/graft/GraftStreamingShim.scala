@@ -26,6 +26,18 @@ object GraftStreamingShim {
     session.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The write-side twin: `Sink.addBatch` receives a DataFrame bound
+    * to the engine's IncrementalExecution, which a plain `df.write`
+    * cannot re-plan. Re-wrap its physical result as an ordinary BATCH
+    * frame (the same `internalCreateDataFrame` hop Delta's `DeltaSink`
+    * takes) so the lake's commit path — one parquet write action over
+    * the batch's rows — runs against a plan the batch planner owns. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[SparkSession]
+    session.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
 
 /** Public bridge over the `private[spark]`

@@ -639,20 +639,46 @@ class GraftCatalogSpec extends SparkSuite {
           .takeWhile(_ != null).exists(t => Option(t.getMessage)
             .exists(_.contains("skipChangeCommits"))), e.getMessage)
       } finally q.stop()
-      // the documented escape hatch: reader options reach the source
+      // Delta's stream-a-table semantics: a FRESH stream anchors at
+      // the CURRENT head — history before query start (including the
+      // delete commit that just failed the running stream) is never
+      // replayed, so it starts clean with the table's 5 current rows
+      // and needs no skipChangeCommits
       val name2 = name + "b"
-      val q2 = s.readStream.option("skipChangeCommits", "true")
-        .table("graft.db.st")
+      val q2 = s.readStream.table("graft.db.st")
         .writeStream.format("memory").queryName(name2)
         .option("checkpointLocation", s"$wh/ckpt2").start()
       try {
         q2.processAllAvailable()
-        // anchor snapshot (v0: 5 rows) + v1 append; the delete commit
-        // is skipped whole
+        assert(s.table(name2).count() == 5,
+          "a fresh catalog stream must deliver the head snapshot — " +
+            "not a full-history replay, not resurrected deletions")
+        // ... then tails post-anchor appends without re-snapshotting
+        s.sql("INSERT INTO graft.db.st VALUES (300, 600)")       // v3
+        q2.processAllAvailable()
         assert(s.table(name2).count() == 6,
-          "skipChangeCommits must skip the delete commit and keep " +
-            "streaming")
+          "post-anchor appends must tail onto the snapshot")
       } finally q2.stop()
+      s.sql("DELETE FROM graft.db.st WHERE id = 1")              // v4
+      // the documented escape hatch still reaches the source: a
+      // running stream skips post-anchor change commits whole
+      val name3 = name + "c"
+      val q3 = s.readStream.option("skipChangeCommits", "true")
+        .table("graft.db.st")
+        .writeStream.format("memory").queryName(name3)
+        .option("checkpointLocation", s"$wh/ckpt3").start()
+      try {
+        q3.processAllAvailable()
+        // head snapshot at anchor (v4): 5 rows — 6 minus the delete
+        assert(s.table(name3).count() == 5)
+        s.sql("DELETE FROM graft.db.st WHERE id = 2")            // v5
+        s.sql("INSERT INTO graft.db.st VALUES (400, 800)")       // v6
+        q3.processAllAvailable()
+        // the mid-stream delete skips whole; the append flows
+        assert(s.table(name3).count() == 6,
+          "skipChangeCommits must skip the delete commit and keep " +
+            "streaming appends")
+      } finally q3.stop()
     }
   }
 

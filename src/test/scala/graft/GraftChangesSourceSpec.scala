@@ -383,4 +383,155 @@ class GraftChangesSourceSpec extends SparkSuite {
         s"empty-anchor stream mismatch: $got")
     } finally q.stop()
   }
+
+  test("startingTimestamp anchors at the FIRST version committed at " +
+      "or after the instant; restart keeps the resolved anchor; a " +
+      "timestamp after the last commit refuses loudly") {
+    val dir = tmpDir() + "/ts-anchor"
+    val ckpt = tmpDir() + "/ts-ckpt"
+    commitRange(dir, 0, 3)                               // v0
+    Thread.sleep(30)
+    commitRange(dir, 10, 12)                             // v1
+    Thread.sleep(30)
+    commitRange(dir, 20, 21)                             // v2
+    val ts = Versioned.history(spark, dir)
+      .select("version", "ts_millis").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ts(0) < ts(1) && ts(1) < ts(2), "fixture wants ts gaps")
+    // a recoverable sink (memory sink refuses checkpoint recovery)
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String,
+        String, Int)]()
+    def start(instant: Long, cp: String) =
+      spark.readStream.format("graft-changes")
+        .option("path", dir)
+        .option("startingTimestamp", instant.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.drop("_commit_timestamp")
+            .as[(Long, String, String, Int)].collect().foreach(got.add)
+          ()
+        }.start()
+    // an instant BETWEEN v1 and v2 anchors at v2: its snapshot (the
+    // whole state at v2) streams as _commit_version=2 inserts
+    val q = start(ts(1) + 1, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.size == 6, "the anchor version's full snapshot")
+    assert(got.asScala.map(_._4).toSet == Set(2),
+      "an instant between commits must anchor at the NEXT version")
+    // restart on the same checkpoint keeps the resolved anchor:
+    // no re-snapshot, only the post-anchor tail streams
+    commitRange(dir, 30, 32)                             // v3
+    val q2 = start(ts(1) + 1, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.size == 8,
+      s"a restarted timestamp anchor must not re-snapshot: ${got.size}")
+    // an exact hit anchors AT the commit
+    got.clear()
+    val q3 = start(ts(1), tmpDir() + "/ts-ckpt3")
+    try q3.processAllAvailable() finally q3.stop()
+    assert(got.asScala.map(_._4).toSet == Set(1, 2, 3),
+      "an exact instant must anchor at its own commit")
+    // an instant before the floor anchors at the floor (everything
+    // retained is at-or-after it)
+    assert(Versioned.versionAtOrAfterInstant(spark, dir, 0L)
+      .contains(0))
+    // after the last commit: refused loudly, never a silent wait
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-changes")
+        .option("path", dir)
+        .option("startingTimestamp",
+          (ts(2) + 86400000L).toString)
+        .load()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(_.contains("after the last commit"))), e.getMessage)
+    // mutually exclusive with startingVersion
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-changes")
+        .option("path", dir)
+        .option("startingVersion", "0")
+        .option("startingTimestamp", ts(0).toString)
+        .load()
+    }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(_.contains("mutually exclusive"))), e2.getMessage)
+  }
+
+  test("maxBytesPerTrigger: the anchor snapshot pages by BYTES (a " +
+      "fat anchor splits across triggers); the feed phase admits " +
+      "whole versions until the budget fills — a fat version streams " +
+      "alone, never split") {
+    val dir = tmpDir() + "/bytes"
+    // anchor v0: 8 rows in 4 files; v1: 1 row; v2: fat (6 rows, 3
+    // files in ONE version)
+    Versioned.commit(spark, dir,
+      (0L until 8L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(4))                                  // v0
+    commitRange(dir, 10, 11)                              // v1
+    Versioned.commit(spark, dir,
+      (20L until 26L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(3))                                  // v2
+    // budget of 1 byte: every admission is the at-least-one floor —
+    // snapshot pages one FILE per trigger, feed one VERSION per
+    // trigger, and v2's three files still arrive as ONE batch
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Set[Int])]
+    val q = spark.readStream.format("graft-changes")
+      .option("path", dir)
+      .option("startingVersion", "0")
+      .option("keyCols", "id")
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir() + "/bytes-ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("_commit_version").collect().map(_.getInt(0))
+        batches.synchronized { batches += ((rows.length, rows.toSet)) }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val seen = batches.synchronized(batches.toList)
+    // snapshot: 4 single-file batches (8 rows total), all version 0
+    // — repartition's round-robin start is random, so per-file row
+    // counts vary; the BATCH COUNT is the contract
+    assert(seen.take(4).forall(_._2 == Set(0)) &&
+      seen.take(4).map(_._1).sum == 8,
+      s"the fat anchor must page one file per trigger, got $seen")
+    // feed: v1 alone (1 row), then v2 WHOLE in one batch (6 rows)
+    assert(seen.drop(4) == List((1, Set(1)), (6, Set(2))),
+      s"the feed must admit whole versions one per trigger, got $seen")
+    // rows survive exactly once end-to-end
+    assert(seen.map(_._1).sum == 15)
+  }
+
+  test("startingTimestamp on a LEGACY table (a consulted manifest " +
+      "without #ts) refuses loudly instead of trusting file mtimes") {
+    val dir = tmpDir() + "/ts-legacy"
+    commitRange(dir, 0, 3)                               // v0
+    commitRange(dir, 10, 12)                             // v1
+    // strip the #ts header from v0 — the shape of a manifest written
+    // before instant tracking
+    val p = java.nio.file.Paths.get(dir, "_manifest", "v00000.txt")
+    val kept = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .filterNot(_.startsWith("#ts\t"))
+    java.nio.file.Files.write(p,
+      scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-changes")
+        .option("path", dir)
+        .option("startingTimestamp", "0")
+        .load()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(_.contains("predates commit-instant tracking"))),
+      e.getMessage)
+  }
 }

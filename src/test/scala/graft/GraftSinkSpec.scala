@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.lake.Versioned
+
+/** The first-class streaming SINK over the versioned lake
+  * ([[graft.streaming.GraftSink]]): `df.writeStream.format("graft")`
+  * / `.toTable("graft.db.t")` routes every micro-batch through
+  * [[Versioned.idempotentCommit]] — the write half of the
+  * catalog-native streaming story, replacing the
+  * `Streams.versionedIngest` foreachBatch helper with the standard
+  * Structured Streaming wiring. Exactly-once is the (appId, batchId)
+  * manifest stamp: appId defaults to the STREAMING QUERY ID, which
+  * the engine persists in the checkpoint and republishes on restart.
+  */
+class GraftSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeBatchFile(dir: String, lo: Long, hi: Long): Unit =
+    (lo until hi).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def fileStream(src: String) =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+
+  test("writeStream.format(\"graft\") commits each micro-batch as an " +
+      "(appId, batchId)-stamped version; a crash-replay of the last " +
+      "batch is recognized by its stamp and skipped") {
+    val src = tmpDir() + "/sink-src"
+    val table = tmpDir() + "/sink-table"
+    val ckpt = tmpDir() + "/sink-ckpt"
+    writeBatchFile(src, 0, 3)
+    writeBatchFile(src, 10, 13)
+    writeBatchFile(src, 20, 23)
+    val q = fileStream(src).writeStream.format("graft")
+      .option("path", table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Versioned.latestVersion(spark, table).contains(2),
+      "three micro-batches must land as exactly three versions")
+    assert(Versioned.read(spark, table).as[(Long, String)]
+      .collect().toSet ==
+      ((0L until 3L) ++ (10L until 13L) ++ (20L until 23L))
+        .map(i => (i, s"r$i")).toSet)
+    // every version carries the query id as its txn stamp
+    val apps = Versioned.history(spark, table)
+      .select("app_id").collect().map(_.getString(0)).distinct.toSeq
+    assert(apps == Seq(q.id.toString),
+      s"txn stamps must carry the streaming query id, got $apps")
+    // a replayed micro-batch (what a restarted query re-submits for
+    // a published-but-unacknowledged batch) must stamp-skip, not
+    // double-append
+    val replay = Versioned.idempotentCommit(spark, table,
+      (20L until 23L).map(i => (i, s"r$i")).toDF("id", "s"),
+      q.id.toString, batchId = 2)
+    assert(replay.isEmpty, "replayed batch 2 double-committed")
+  }
+
+  test("kill/restart on the same checkpoint: the restarted query " +
+      "keeps its id (same idempotence key), re-ingests nothing, " +
+      "loses nothing") {
+    val src = tmpDir() + "/restart-src"
+    val table = tmpDir() + "/restart-table"
+    val ckpt = tmpDir() + "/restart-ckpt"
+    writeBatchFile(src, 0, 5)
+    writeBatchFile(src, 10, 15)
+    val q1 = fileStream(src).writeStream.format("graft")
+      .option("path", table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q1.processAllAvailable() finally q1.stop() // kill
+    assert(Versioned.read(spark, table).count() == 10)
+    // data lands while the query is down …
+    writeBatchFile(src, 20, 25)
+    writeBatchFile(src, 30, 35)
+    val q2 = fileStream(src).writeStream.format("graft")
+      .option("path", table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(q2.id == q1.id,
+      "a restart on the same checkpoint must keep the query id")
+    val got = Versioned.read(spark, table).as[(Long, String)]
+      .collect().toList
+    val want = ((0L until 5L) ++ (10L until 15L) ++ (20L until 25L) ++
+      (30L until 35L)).map(i => (i, s"r$i")).toList
+    assert(got.sorted == want.sorted,
+      "restart must deliver every batch exactly once — no dup, no loss")
+    // one writer identity across the restart
+    assert(Versioned.history(spark, table).select("app_id")
+      .collect().map(_.getString(0)).distinct.toSeq ==
+      Seq(q1.id.toString))
+  }
+
+  test("writeStream.toTable(\"graft.db.t\") resolves the sink through " +
+      "the catalog's V1 fallback; readStream.table roundtrips it") {
+    spark
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val wh = tmpDir() + "/wh"
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .getOrCreate()
+    try {
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.sunk (id BIGINT, s STRING)")
+      val src = tmpDir() + "/tot-src"
+      (0L until 6L).map(i => (i, s"r$i")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", tmpDir() + "/tot-ckpt")
+        .toTable("graft.db.sunk")
+      try q.processAllAvailable() finally q.stop()
+      assert(s.sql("SELECT count(*) FROM graft.db.sunk").head()
+        .getLong(0) == 6L)
+      // exactly-once stamp rode through the catalog route too
+      assert(Versioned.history(s, s"$wh/db/sunk")
+        .filter(col("app_id").isNotNull).count() >= 1)
+      // roundtrip: the catalog READ side tails the table this sink
+      // feeds — head snapshot, then the next sunk batch
+      val name = s"rt_${java.util.UUID.randomUUID().toString.take(8)}"
+      val r = s.readStream.table("graft.db.sunk")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir() + "/rt-ckpt").start()
+      try {
+        r.processAllAvailable()
+        assert(s.table(name).count() == 6)
+      } finally r.stop()
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("refusals: non-Append output modes and partition columns are " +
+      "rejected loudly at query start") {
+    val src = tmpDir() + "/ref-src"
+    writeBatchFile(src, 0, 3)
+    val table = tmpDir() + "/ref-table"
+    val eMode = intercept[Exception] {
+      val q = fileStream(src)
+        .groupBy("s").count()
+        .writeStream.format("graft")
+        .outputMode("complete")
+        .option("path", table)
+        .option("checkpointLocation", tmpDir() + "/ref-ckpt1")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Iterator.iterate(eMode: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(_.contains("Append output mode only"))),
+      eMode.getMessage)
+    val ePart = intercept[Exception] {
+      val q = fileStream(src)
+        .writeStream.format("graft")
+        .partitionBy("s")
+        .option("path", table)
+        .option("checkpointLocation", tmpDir() + "/ref-ckpt2")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Iterator.iterate(ePart: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(_.contains("no partition columns"))),
+      ePart.getMessage)
+  }
+}

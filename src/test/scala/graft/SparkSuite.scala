@@ -39,5 +39,7 @@ trait SparkSuite extends AnyFunSuite {
     graft.lake.Versioned.manifestSnapshot(spark, dir, v).map(
       _.replaceAll("data/c-[0-9a-f-]+/[^\t]+", "<file>")
         .replaceAll("^#ts\t\\d+$", "#ts\t<instant>")
-        .replaceAll("^#commituuid\t.*$", "#commituuid\t<uuid>")).sorted
+        .replaceAll("^#commituuid\t.*$", "#commituuid\t<uuid>")
+        // byte sizes track parquet encoding details, not semantics
+        .replaceAll("\t~b\\d+", "\t~b<size>")).sorted
 }
