@@ -245,6 +245,16 @@ class VersionedColumnMappingSpec extends SparkSuite {
       val dir = s"$wh/db/t"
       assert(Versioned.columnMappingMode(ext, dir).contains("id"))
       ext.sql("INSERT INTO graft.db.t VALUES (1, 10), (2, 20)")
+      // CREATE-time minting, not just mode declaration: the FIRST
+      // insert's files already carry uuid physical names — CREATE on
+      // the zero-row table is the cheap moment to re-home every
+      // declared column (q151's lift, through the pure-SQL path)
+      assert(Versioned.manifestDataLines(ext, dir,
+          Versioned.latestVersion(ext, dir).get)
+        .map(l => s"$dir/${l.split('\t')(0)}")
+        .flatMap(f => ext.read.parquet(f).schema.fieldNames)
+        .forall(_.startsWith("col-")),
+        "CREATE TABLE id-mode files must carry minted names from birth")
       ext.sql("ALTER TABLE graft.db.t RENAME COLUMN v TO score")
       ext.sql("ALTER TABLE graft.db.t ADD COLUMNS (v BIGINT)")
       ext.sql("INSERT INTO graft.db.t VALUES (3, 30, 300)")
