@@ -1161,7 +1161,8 @@ object Versioned {
     * query); two appIds interleave freely through the CAS protocol.
     */
   def idempotentCommit(spark: SparkSession, dir: String, df: DataFrame,
-      appId: String, batchId: Long): Option[Int] = {
+      appId: String, batchId: Long, replace: Boolean = false)
+      : Option[Int] = {
     require(appId.nonEmpty, "idempotentCommit needs a non-empty appId")
     val fs = fileSystem(spark, dir)
     val last = latestVersion(spark, dir).flatMap { head =>
@@ -1173,7 +1174,13 @@ object Versioned {
         .collectFirst { case Some((app, b)) if app == appId => b }
     }
     if (last.exists(_ >= batchId)) None
-    else Some(commitImpl(spark, dir, df, replace = false,
+    // `replace = true` is the COMPLETE-output-mode shape: the batch
+    // IS the new table state (a streaming aggregate emits its whole
+    // result every trigger), published as a stamped replace — same
+    // replay contract, every trigger a time-travelable version. A
+    // lost race throws (replace claims full-table authority); Spark
+    // re-runs the batch with the same batchId and the stamp decides.
+    else Some(commitImpl(spark, dir, df, replace = replace,
       statCols = Nil, txn = Some((appId, batchId))))
   }
 
@@ -4567,15 +4574,31 @@ object Versioned {
           // referenced files = data lines AND sidecars (deletion
           // vectors, bloom filters): a collected live DV would
           // resurrect rows, a collected bloom would break point-lookup
-          // pruning; retained dead ones would leak disk
-          def referenced(v: Int): Seq[String] = {
-            val m = readManifest(fs, dir, v)
-            m.lines.map(parseLine(_)._1) ++ m.dvs.map(_._2) ++
-              m.blooms.map(_._3)
+          // pruning; retained dead ones would leak disk. ASCENDING
+          // INCREMENTAL reconstruction (the history() pattern): a
+          // delta whose base is the version just folded applies in
+          // place — ONE raw read per retained version, where a
+          // readManifest per version would walk its whole chain
+          // (O(versions × checkpoint interval) reads per retention
+          // run on a long-lived table).
+          val droppedSet = dropped.toSet
+          var refs = Set.empty[String]
+          var keep = Set.empty[String]
+          var prevState: Option[(Int, Manifest)] = None
+          retained.foreach { v =>
+            val node = readRaw(fs, dir, v)
+            val m = node.base match {
+              case Some((pv, depth)) if prevState.exists(_._1 == pv) =>
+                applyDelta(prevState.get._2, node).copy(chainDepth = depth)
+              case Some(_) => readManifest(fs, dir, v)
+              case None => node.m
+            }
+            prevState = Some((v, m))
+            val fileRefs = m.lines.map(parseLine(_)._1) ++
+              m.dvs.map(_._2) ++ m.blooms.map(_._3)
+            if (droppedSet.contains(v)) refs ++= fileRefs
+            else keep ++= fileRefs
           }
-          val refs: Set[String] = dropped.flatMap(referenced).toSet
-          val keep: Set[String] = retained.filter(_ >= cut)
-            .flatMap(referenced).toSet
           dropped.foreach { v =>
             fs.delete(manifestPath(dir, v), false)
             // a dropped version's checkpoint sidecar goes with it

@@ -582,12 +582,15 @@ class GraftChangesSourceProvider
     require(partitionColumns.isEmpty,
       "graft tables take no partition columns — cluster files with " +
         "Versioned.compactCommit(clusterBy = …) instead")
-    require(outputMode == OutputMode.Append(),
-      s"graft sink supports Append output mode only, got $outputMode " +
-        "— each micro-batch publishes as one appended lake version; " +
-        "Complete/Update imply per-batch rewrites a streaming sink " +
-        "should not silently perform")
-    new GraftSink(sqlContext, parameters)
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+      s"graft sink supports Append and Complete output modes, got " +
+        s"$outputMode — Append commits each batch as a new lake " +
+        "version; Complete replaces the table with the trigger's " +
+        "whole result (streaming aggregates); Update's partial rows " +
+        "have no keyless upsert semantics on this substrate")
+    new GraftSink(sqlContext, parameters,
+      complete = outputMode == OutputMode.Complete())
   }
 }
 

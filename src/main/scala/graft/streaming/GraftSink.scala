@@ -34,11 +34,13 @@ import graft.lake.Versioned
   * identity for writers that re-checkpoint but must keep their
   * idempotence key.
   *
-  * Append output mode only: the lake's streaming commit is an append
-  * (each batch is a new version; `changesBetween` over the ingest
-  * history replays the stream as a CDC feed). Complete/Update modes
-  * imply per-batch rewrites a streaming sink should not silently
-  * perform — refused loudly at query start.
+  * Output modes: APPEND commits each batch as a new version
+  * (`changesBetween` over the ingest history replays the stream as a
+  * CDC feed); COMPLETE publishes the trigger's whole result as a
+  * stamped REPLACE — the streaming-aggregate shape, every trigger a
+  * time-travelable version of the rollup. Update's partial rows have
+  * no keyless upsert semantics on this substrate — refused loudly at
+  * query start.
   *
   * Scale shape: the commit stages the batch's rows as parquet via one
   * distributed write action (no driver materialization), measures
@@ -47,7 +49,8 @@ import graft.lake.Versioned
   * batch writers and other streams interleave safely.
   */
 final class GraftSink(sqlContext: SQLContext,
-    parameters: Map[String, String]) extends Sink {
+    parameters: Map[String, String], complete: Boolean = false)
+  extends Sink {
 
   private val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
   private val dir = opts.getOrElse("path",
@@ -70,9 +73,14 @@ final class GraftSink(sqlContext: SQLContext,
     // lake's write action can plan (the DeltaSink hop)
     val batch = org.apache.spark.sql.graft.GraftStreamingShim
       .asBatchFrame(data)
-    Versioned.idempotentCommit(spark, dir, batch, appId, batchId)
+    // Complete mode: the batch is the WHOLE result table — publish
+    // it as a stamped replace (every trigger a time-travelable
+    // version of the aggregate); Append mode appends as usual
+    Versioned.idempotentCommit(spark, dir, batch, appId, batchId,
+      replace = complete)
     ()
   }
 
-  override def toString: String = s"GraftSink[$dir]"
+  override def toString: String =
+    s"GraftSink[$dir${if (complete) ", complete" else ""}]"
 }

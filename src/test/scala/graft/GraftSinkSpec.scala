@@ -157,7 +157,45 @@ class GraftSinkSpec extends SparkSuite {
     }
   }
 
-  test("refusals: non-Append output modes and partition columns are " +
+  test("Complete output mode: each trigger's WHOLE aggregate result " +
+      "replaces the table as a stamped version — time travel renders " +
+      "every trigger's rollup") {
+    val src = tmpDir() + "/cmp-src"
+    val table = tmpDir() + "/cmp-table"
+    writeBatchFile(src, 0, 4)   // ids 0..3 -> 4 distinct s values
+    val q = fileStream(src)
+      .groupBy("s").count()
+      .writeStream.format("graft")
+      .outputMode("complete")
+      .option("path", table)
+      .option("checkpointLocation", tmpDir() + "/cmp-ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(Versioned.read(spark, table).count() == 4)
+      writeBatchFile(src, 10, 13) // 3 more groups
+      q.processAllAvailable()
+      // the head is the FULL recomputed aggregate, not an append
+      assert(Versioned.read(spark, table).count() == 7,
+        "Complete mode must replace, not append")
+      // ... and the previous trigger's rollup is still a version
+      val head = Versioned.latestVersion(spark, table).get
+      assert(Versioned.read(spark, table, Some(head - 1)).count() == 4,
+        "each trigger's result must stay time-travelable")
+      // a crash-replay of the last batch (same appId + batchId, what
+      // a restarted query re-submits) stamp-skips the REPLACE too
+      val lastBatch = Versioned.history(spark, table)
+        .filter(col("batch_id").isNotNull)
+        .agg(max("batch_id")).head().getLong(0)
+      assert(Versioned.idempotentCommit(spark, table,
+        Seq(("x", 1L)).toDF("s", "count"), q.id.toString,
+        batchId = lastBatch, replace = true).isEmpty,
+        "replayed Complete batch replaced the table twice")
+      assert(Versioned.read(spark, table).count() == 7)
+    } finally q.stop()
+  }
+
+  test("refusals: Update output mode and partition columns are " +
       "rejected loudly at query start") {
     val src = tmpDir() + "/ref-src"
     writeBatchFile(src, 0, 3)
@@ -166,7 +204,7 @@ class GraftSinkSpec extends SparkSuite {
       val q = fileStream(src)
         .groupBy("s").count()
         .writeStream.format("graft")
-        .outputMode("complete")
+        .outputMode("update")
         .option("path", table)
         .option("checkpointLocation", tmpDir() + "/ref-ckpt1")
         .start()
@@ -174,7 +212,7 @@ class GraftSinkSpec extends SparkSuite {
     }
     assert(Iterator.iterate(eMode: Throwable)(_.getCause)
       .takeWhile(_ != null).exists(t => Option(t.getMessage)
-        .exists(_.contains("Append output mode only"))),
+        .exists(_.contains("Append and Complete"))),
       eMode.getMessage)
     val ePart = intercept[Exception] {
       val q = fileStream(src)
