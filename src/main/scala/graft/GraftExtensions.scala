@@ -194,12 +194,62 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = Seq(
     "graft_table_changes" -> { case Seq(t, from, to, keys) =>
       val spark = org.apache.spark.sql.SparkSession.active
-      graft.lake.Versioned.changesBetween(spark,
-          resolveTargetDir(spark, strLit(t, "target table")),
-          intLit(from, "fromVersion"), intLit(to, "toVersion"),
-          strLit(keys, "key columns").split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq)
-        .queryExecution.analyzed
+      val dir = resolveTargetDir(spark, strLit(t, "target table"))
+      // version bounds (int literals) or INSTANT bounds (string
+      // literals — Delta's table_changes-by-timestamp): the feed of
+      // every commit whose recorded #ts lies in [from, to]. Bounds
+      // must not mix kinds. Resolution is the streaming source's:
+      // the lower bound anchors at the first commit at-or-after the
+      // instant (strict — legacy manifests refuse loudly), the upper
+      // at the newest commit at-or-before it.
+      val isInstant = (e: Expression) => e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(_,
+          org.apache.spark.sql.types.StringType) => true
+        case _ => false
+      }
+      val (fromV, toV) =
+        if (isInstant(from) || isInstant(to)) {
+          require(isInstant(from) && isInstant(to),
+            "graft_table_changes bounds must both be versions (int) " +
+              "or both instants (string)")
+          val loMs = graft.lake.Versioned.parseInstantMillis(
+            strLit(from, "from instant"))
+          val hiMs = graft.lake.Versioned.parseInstantMillis(
+            strLit(to, "to instant"))
+          require(loMs <= hiMs,
+            s"graft_table_changes: from instant $loMs is after to " +
+              s"instant $hiMs")
+          val lo = graft.lake.Versioned
+            .versionAtOrAfterInstant(spark, dir, loMs)
+          val hi = graft.lake.Versioned
+            .versionAsOfTimestamp(spark, dir, hiMs * 1000L)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no version of $dir was committed at or before " +
+                strLit(to, "to instant")))
+          // a lower instant past the head names an empty window —
+          // (head, head] feeds nothing, matching the batch-CDF shape
+          (lo.map(_ - 1).getOrElse(hi), hi)
+        } else
+          (intLit(from, "fromVersion"), intLit(to, "toVersion"))
+      val keyCols = strLit(keys, "key columns").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val feed =
+        if (fromV >= 0)
+          graft.lake.Versioned.changesBetween(spark, dir, fromV, toV,
+            keyCols)
+        else {
+          // an instant window reaching BELOW version 0: v0's full
+          // content is itself a change in the window — rendered as
+          // its insert step, the streaming source's -1-anchor shape
+          import org.apache.spark.sql.functions.lit
+          val v0 = graft.lake.Versioned.read(spark, dir, Some(0))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(0))
+          if (toV > 0) v0.unionByName(graft.lake.Versioned
+            .changesBetween(spark, dir, 0, toV, keyCols))
+          else v0
+        }
+      feed.queryExecution.analyzed
     },
     "graft_history" -> { case Seq(t) =>
       val spark = org.apache.spark.sql.SparkSession.active

@@ -5174,6 +5174,26 @@ object Versioned {
     }
   }
 
+  /** A user-supplied instant in its accepted shapes — epoch millis,
+    * ISO-8601 instant (`2024-01-01T00:00:00Z`), or a local date[-time]
+    * read as UTC (the session timezone this engine pins everywhere) —
+    * to epoch millis. Shared by the streaming source's
+    * `startingTimestamp` and the timestamp form of the
+    * `graft_table_changes` TVF. */
+  private[graft] def parseInstantMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        val norm =
+          if (t.contains("T") || t.contains(" ")) t.replace(' ', 'T')
+          else t + "T00:00:00"
+        java.time.LocalDateTime.parse(norm)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
+
   /** DESCRIBE HISTORY: one row per retained version, newest first —
     * the audit log every production table format exposes. Driver-side
     * manifest reads only (no data I/O): `operation` is the commit

@@ -161,21 +161,10 @@ final class GraftChangesSource(
       "empty table and pick up its first commit")
 
   /** `startingTimestamp` accepted shapes: epoch millis, ISO-8601
-    * instant (`2024-01-01T00:00:00Z`), or a local date[-time] read as
-    * UTC (the session timezone this engine pins everywhere). */
-  private def parseInstantMillis(s: String): Long = {
-    val t = s.trim
-    if (t.matches("-?\\d+")) t.toLong
-    else try java.time.Instant.parse(t).toEpochMilli
-    catch {
-      case _: java.time.format.DateTimeParseException =>
-        val norm =
-          if (t.contains("T") || t.contains(" ")) t.replace(' ', 'T')
-          else t + "T00:00:00"
-        java.time.LocalDateTime.parse(norm)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    }
-  }
+    * instant, or a UTC date[-time] — [[Versioned.parseInstantMillis]],
+    * shared with the TVF's timestamp form. */
+  private def parseInstantMillis(s: String): Long =
+    Versioned.parseInstantMillis(s)
 
   // resolved once at source creation: the feed speaks ONE schema for
   // the stream's lifetime (the streaming contract); commits that later

@@ -165,6 +165,45 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("graft_table_changes by INSTANT: string bounds resolve " +
+      "through the recorded #ts instants — [from, to] inclusive, " +
+      "below-v0 windows render v0 as inserts, mixed kinds refuse") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.ti AS SELECT id FROM range(3)") // v0
+      Thread.sleep(30)
+      s.sql("INSERT INTO graft.db.ti VALUES (10)")                 // v1
+      Thread.sleep(30)
+      s.sql("INSERT INTO graft.db.ti VALUES (20)")                 // v2
+      val dir = s"$wh/db/ti"
+      val ts = Versioned.history(s, dir)
+        .select("version", "ts_millis").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def changes(lo: Long, hi: Long): Seq[Int] =
+        s.sql(s"SELECT _commit_version FROM graft_table_changes(" +
+          s"'graft.db.ti', '$lo', '$hi', 'id')").collect()
+          .map(_.getInt(0)).distinct.sorted.toSeq
+      // a window spanning v1..v2's instants feeds exactly those
+      assert(changes(ts(0) + 1, ts(2)) == Seq(1, 2))
+      // exact hits are inclusive on both ends
+      assert(changes(ts(1), ts(1)) == Seq(1))
+      // a window reaching below v0 renders v0's content as inserts
+      assert(changes(ts(0) - 1, ts(1)) == Seq(0, 1))
+      assert(s.sql("SELECT count(*) FROM graft_table_changes(" +
+        s"'graft.db.ti', '${ts(0) - 1}', '${ts(0)}', 'id')")
+        .head().getLong(0) == 3L, "v0's 3 rows as inserts")
+      // a window past the head is empty, not an error
+      assert(changes(ts(2) + 3600000L, ts(2) + 7200000L).isEmpty)
+      // mixed bound kinds refuse loudly
+      val e = intercept[Exception](
+        s.sql("SELECT * FROM graft_table_changes('graft.db.ti', " +
+          s"'${ts(0)}', 2, 'id')").collect())
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("both"))), e.getMessage)
+    }
+  }
+
   test("CALL compact(cluster_by, zorder) is the Scala clustered " +
       "rewrite, manifest-equal") {
     withCatalogSession { (s, wh) =>

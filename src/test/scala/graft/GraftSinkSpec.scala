@@ -195,6 +195,53 @@ class GraftSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mid-stream schema evolution through the sink: a batch with a " +
+      "NEW column evolves the table (append-commit rule); earlier " +
+      "rows null-fill") {
+    val table = tmpDir() + "/evo-table"
+    val ckpt = tmpDir() + "/evo-ckpt"
+    // two incarnations of the same query over different-schema
+    // sources — the restart shape of a pipeline whose upstream
+    // added a column
+    val src1 = tmpDir() + "/evo-src1"
+    (0L until 3L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.parquet(src1)
+    val q1 = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(src1)
+      .writeStream.format("graft")
+      .option("path", table).option("checkpointLocation", ckpt)
+      .start()
+    try q1.processAllAvailable() finally q1.stop()
+    val src2 = tmpDir() + "/evo-src2"
+    (10L until 12L).map(i => (i, s"r$i", i * 100L))
+      .toDF("id", "s", "score").coalesce(1).write.parquet(src2)
+    val q2 = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(src2)
+      .writeStream.format("graft")
+      .option("path", table)
+      .option("checkpointLocation", tmpDir() + "/evo-ckpt2")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val head = Versioned.read(spark, table)
+    assert(head.columns.toSeq == Seq("id", "s", "score"),
+      "the appended column must evolve the table schema")
+    assert(head.count() == 5)
+    assert(head.filter(col("score").isNull).count() == 3,
+      "pre-evolution rows must null-fill the new column")
+  }
+
   test("refusals: Update output mode and partition columns are " +
       "rejected loudly at query start") {
     val src = tmpDir() + "/ref-src"
