@@ -307,7 +307,9 @@ object Versioned {
       colMap: Seq[(String, String)] = Nil,
       ckptEvery: Option[Int] = None,
       colDrops: Seq[String] = Nil,
-      colMapMode: Option[String] = None)
+      colMapMode: Option[String] = None,
+      txnHw: Seq[(String, Long)] = Nil,
+      txnSealed: Boolean = false)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -397,6 +399,28 @@ object Versioned {
   private val RmFileHeader = "#rmfile\t"
   private val RmDvHeader = "#rmdv\t"
   private val RmBloomHeader = "#rmbloom\t"
+  // aggregated TRANSACTION HIGH-WATER map: `#txnhw\t<enc(appId)>\t<b>`
+  // — one line per replayable writer that has ever stamped a commit,
+  // carrying its highest batchId, republished in full by EVERY commit
+  // (Delta's SetTransaction state, kept live in checkpoints for the
+  // same reason). `#txn` is the commit's OWN stamp (per-version audit
+  // trail); THIS map is what makes the idempotence guard O(1) (one
+  // header read of the head, no history scan) and — the correctness
+  // half — EXPIRE-PROOF: a stalled writer whose last stamped version
+  // was retained out from under it (other writers kept committing,
+  // retention swept its manifest) still finds its high-water in the
+  // head and skips the replay instead of double-appending. Size is
+  // O(distinct writer identities over the table's life); a retention
+  // knob for ancient appIds is future work, like Delta's
+  // setTransactionRetentionDuration.
+  private val TxnHwHeader = "#txnhw\t"
+  // `#txnseal\t1` — marks the high-water map COMPLETE (it covers every
+  // stamp in the table's whole history). Fresh tables are sealed from
+  // v0 by construction; a table whose history predates the map gets
+  // sealed by the first [[idempotentCommit]] that pays the one-time
+  // legacy scan and publishes the union. An UNSEALED map is merely a
+  // cache: an appId missing from it sends the guard to the scan.
+  private val TxnSealHeader = "#txnseal\t"
 
   /** PROCESS-DEFAULT snapshot cadence of the manifest log: a delta
     * chain never grows past this many links before a commit publishes
@@ -603,12 +627,17 @@ object Versioned {
       case l if l.startsWith(ColMapModeHeader) =>
         l.stripPrefix(ColMapModeHeader).trim
     }
+    val txnHw = raw.collect { case l if l.startsWith(TxnHwHeader) =>
+      val Array(app, b) = l.stripPrefix(TxnHwHeader).split('\t')
+      (java.net.URLDecoder.decode(app, "UTF-8"), b.toLong)
+    }
+    val txnSealed = raw.exists(_.startsWith(TxnSealHeader))
     RawNode(base, rmFiles, rmDvs, rmBlooms,
       Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
         blooms, op, bloomCfg, statColsPolicy, ts, commitUuid,
         chainDepth = base.map(_._2).getOrElse(0), colMap = colMap,
         ckptEvery = ckptEvery, colDrops = colDrops,
-        colMapMode = colMapMode))
+        colMapMode = colMapMode, txnHw = txnHw, txnSealed = txnSealed))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -1165,13 +1194,32 @@ object Versioned {
       : Option[Int] = {
     require(appId.nonEmpty, "idempotentCommit needs a non-empty appId")
     val fs = fileSystem(spark, dir)
-    val last = latestVersion(spark, dir).flatMap { head =>
+    // THE GUARD. On a SEALED table (every modern one — fresh tables
+    // seal at v0) it is O(1): one header-only read of the head, whose
+    // aggregated `#txnhw` map carries every writer's high-water —
+    // including writers whose stamped manifests retention already
+    // swept, the case the old newest-first history scan silently got
+    // wrong (a stalled writer outlived by keepLast commits would
+    // double-append on replay). A pre-map table pays the one-time
+    // legacy scan, and THIS commit publishes the scanned union as the
+    // sealed map for every writer after it.
+    val headM = latestVersion(spark, dir)
+      .map(v => (v, readHeaderOnly(fs, dir, v)))
+    def legacyScan(head: Int): Map[String, Long] =
       (head to 0 by -1).iterator
         .filter(v => fs.exists(manifestPath(dir, v)))
-        // header-only read: the txn stamp rides every manifest FILE's
-        // header block — no chain reconstruction, no sidecar parse
-        .map(v => readHeaderOnly(fs, dir, v).txn)
-        .collectFirst { case Some((app, b)) if app == appId => b }
+        // header-only reads: the stamp leads every manifest file
+        .flatMap(v => readHeaderOnly(fs, dir, v).txn)
+        .foldLeft(Map.empty[String, Long]) { case (m, (a, b)) =>
+          if (m.contains(a)) m else m + (a -> b) // newest stamp wins
+        }
+    val (last, seed) = headM match {
+      case None => (None, None) // first commit of a fresh table
+      case Some((_, hm)) if hm.txnSealed =>
+        (hm.txnHw.toMap.get(appId), None)
+      case Some((head, _)) =>
+        val all = legacyScan(head)
+        (all.get(appId), Some(all))
     }
     if (last.exists(_ >= batchId)) None
     // `replace = true` is the COMPLETE-output-mode shape: the batch
@@ -1181,7 +1229,8 @@ object Versioned {
     // lost race throws (replace claims full-table authority); Spark
     // re-runs the batch with the same batchId and the stamp decides.
     else Some(commitImpl(spark, dir, df, replace = replace,
-      statCols = Nil, txn = Some((appId, batchId))))
+      statCols = Nil, txn = Some((appId, batchId)),
+      txnHwSeed = seed))
   }
 
   /** Table CHECK constraints active at `version` (default: head;
@@ -1362,6 +1411,8 @@ object Versioned {
       m.ckptEvery.map(n => s"$CkptEveryHeader$n").toSeq ++
       m.colDrops.map(ph => s"$ColDropHeader${enc(ph)}") ++
       m.colMapMode.map(md => s"$ColMapModeHeader$md").toSeq ++
+      m.txnHw.map { case (a, b) => s"$TxnHwHeader${enc(a)}\t$b" } ++
+      (if (m.txnSealed) Seq(s"${TxnSealHeader}1") else Nil) ++
       m.lines
   }
 
@@ -1873,7 +1924,9 @@ object Versioned {
       colMap: Seq[(String, String)] = Nil,
       ckptEvery: Option[Int] = None,
       colDrops: Seq[String] = Nil,
-      colMapMode: Option[String] = None): Seq[String] = {
+      colMapMode: Option[String] = None,
+      txnHw: Seq[(String, Long)] = Nil,
+      txnSealed: Boolean = false): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -1904,7 +1957,9 @@ object Versioned {
       } ++
       ckptEvery.map(n => s"$CkptEveryHeader$n").toSeq ++
       colDrops.distinct.map(ph => s"$ColDropHeader${enc(ph)}") ++
-      colMapMode.map(md => s"$ColMapModeHeader$md").toSeq
+      colMapMode.map(md => s"$ColMapModeHeader$md").toSeq ++
+      txnHw.map { case (a, b) => s"$TxnHwHeader${enc(a)}\t$b" } ++
+      (if (txnSealed) Seq(s"${TxnSealHeader}1") else Nil)
   }
 
   /** Compare-and-swap publish of `lines` as version `next`: true iff
@@ -1937,7 +1992,8 @@ object Versioned {
       colMap: Seq[(String, String)] = Nil,
       ckptEveryOverride: Option[Option[Int]] = None,
       colDrops: Seq[String] = Nil,
-      colMapModeOverride: Option[Option[String]] = None): Boolean = {
+      colMapModeOverride: Option[Option[String]] = None,
+      txnHwSeed: Option[Map[String, Long]] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -1960,9 +2016,33 @@ object Versioned {
     // `id`, every commit republishes the declaration
     val colMapMode: Option[String] =
       colMapModeOverride.getOrElse(parent.flatMap(_.colMapMode))
+    // aggregated transaction high-water (the idempotence LEDGER, not
+    // table content — a replace/restore resets data, never the
+    // ledger: resetting would re-open the double-append hole): the
+    // parent's map, the parent's own stamp (belt-and-braces on
+    // unsealed tables whose map is still a cache), an optional
+    // legacy-scan seed, and this commit's stamp, merged by MAX
+    // batchId per appId. Sealed when the parent was (fresh tables
+    // seal at v0 — their whole history is the map by construction)
+    // or when a seed's one-time full scan just made it complete.
+    val txnHw: Seq[(String, Long)] = {
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+      def fold(entries: Iterable[(String, Long)]): Unit =
+        entries.foreach { case (a, b) =>
+          acc(a) = math.max(b, acc.getOrElse(a, Long.MinValue))
+        }
+      fold(parent.map(_.txnHw).getOrElse(Nil))
+      fold(parent.flatMap(_.txn))
+      txnHwSeed.foreach(fold)
+      fold(txn)
+      acc.toSeq.sortBy(_._1)
+    }
+    val txnSealed: Boolean =
+      parent.map(_.txnSealed).getOrElse(next == 0) ||
+        txnHwSeed.isDefined
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
       checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
-      colDrops, colMapMode)
+      colDrops, colMapMode, txnHw, txnSealed)
     // delta vs snapshot: diff against the parent state by exact line
     // (a stats rewrite of a carried rel encodes as rmfile + fresh add)
     val body: Seq[String] = parent match {
@@ -2210,7 +2290,8 @@ object Versioned {
       replace: Boolean, statCols: Seq[String],
       txn: Option[(String, Long)] = None,
       bloomCols: Seq[String] = Nil, bloomExpected: Long = 100000L,
-      bloomFpp: Double = 0.03): Int = {
+      bloomFpp: Double = 0.03,
+      txnHwSeed: Option[Map[String, Long]] = None): Int = {
     val fs = fileSystem(spark, dir)
     val newCfgDecl = bloomCols.distinct.map((_, bloomExpected, bloomFpp))
     // FILE-SKIPPING POLICY IS TABLE POLICY, carried like CHECK
@@ -2386,7 +2467,8 @@ object Versioned {
               schema.fieldNames.contains(c._1)),
             statColsPolicy = polStats.filter(schema.fieldNames.contains),
             parent = headManifest, commitUuid = Some(uuid),
-            colMap = pubColMap, colDrops = pubColDrops)))
+            colMap = pubColMap, colDrops = pubColDrops,
+            txnHwSeed = txnHwSeed)))
         return next
       // CAS lost: an append re-reads head and retries (appends commute);
       // a plain replace cannot merge with the commit it never saw

@@ -269,6 +269,81 @@ class VersionedEvolutionSpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 2 + 1 + 2 + 1)
   }
 
+  test("txn high-water map is EXPIRE-PROOF: a stalled writer whose " +
+      "stamped manifests retention swept still stamp-skips its " +
+      "replay — the head's #txnhw ledger outlives the manifests") {
+    val dir = tmpDir() + "/txn-expire"
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "slow-writer", 7L).contains(0))
+    // other writers bury the stamped version …
+    for (i <- 0 until 8)
+      Versioned.commit(spark, dir, base(100 + i, 101 + i))
+    // … and retention sweeps it (keepLast 3 drops v0..v5)
+    val (dropped, _) = Versioned.expire(spark, dir, keepLast = 3)
+    assert(dropped >= 1, "fixture wants the stamped manifest gone")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_manifest", "v00000.txt")))
+    // the OLD newest-first scan would find no stamp here and
+    // double-append; the aggregated map in the head still knows
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "slow-writer", 7L).isEmpty,
+      "replay after retention double-appended")
+    // …while a genuinely newer batch from the same writer lands
+    assert(Versioned.idempotentCommit(spark, dir, base(50, 51),
+      "slow-writer", 8L).isDefined)
+    // the ledger survives REPLACE and metadata commits too (it is
+    // writer state, not table content)
+    Versioned.commit(spark, dir, base(0, 5), replace = true)
+    Versioned.addCheck(spark, dir, "id_any", "id IS NOT NULL OR true")
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "slow-writer", 8L).isEmpty,
+      "a replace/metadata commit erased the idempotence ledger")
+  }
+
+  test("legacy tables (history without #txnhw) seed the sealed map " +
+      "on their first stamped commit — one scan, then O(1) guards") {
+    val dir = tmpDir() + "/txn-seed"
+    Versioned.idempotentCommit(spark, dir, base(0, 2), "appX", 0L)
+    Versioned.idempotentCommit(spark, dir, base(2, 3), "appY", 4L)
+    // strip the map + seal from every manifest — the shape of a
+    // table written before the ledger existed
+    val mdir = java.nio.file.Paths.get(dir, "_manifest")
+    val st = java.nio.file.Files.list(mdir)
+    try st.forEach { p =>
+      if (p.getFileName.toString.endsWith(".txt")) {
+        val kept = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+          .filterNot(l => l.startsWith("#txnhw\t") ||
+            l.startsWith("#txnseal\t"))
+        java.nio.file.Files.write(p,
+          scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava)
+        ()
+      }
+    } finally st.close()
+    // the legacy scan still answers replays across BOTH writers …
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "appX", 0L).isEmpty)
+    assert(Versioned.idempotentCommit(spark, dir, base(2, 3),
+      "appY", 4L).isEmpty)
+    // … and the first landing stamped commit seeds the SEALED map
+    // with the whole scanned history
+    assert(Versioned.idempotentCommit(spark, dir, base(5, 6),
+      "appZ", 0L).isDefined)
+    val head = Versioned.latestVersion(spark, dir).get
+    val headLines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        mdir.resolve(f"v$head%05d.txt"))).asScala
+    assert(headLines.exists(_.startsWith("#txnseal\t")),
+      "the seeding commit must publish the sealed map")
+    assert(Seq("appX", "appY", "appZ").forall(a =>
+      headLines.exists(l => l.startsWith("#txnhw\t") &&
+        l.contains(a))),
+      s"seeded map must union the scanned history: $headLines")
+    // sealed guard: replays of the legacy writers still skip
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "appX", 0L).isEmpty)
+  }
+
   // -------------------------------------------------- CHECK constraints
 
   test("addCheck gates every later writer: FALSE rejects the commit, " +
