@@ -1203,24 +1203,10 @@ object Versioned {
     // double-append on replay). A pre-map table pays the one-time
     // legacy scan, and THIS commit publishes the scanned union as the
     // sealed map for every writer after it.
-    val headM = latestVersion(spark, dir)
-      .map(v => (v, readHeaderOnly(fs, dir, v)))
-    def legacyScan(head: Int): Map[String, Long] =
-      (head to 0 by -1).iterator
-        .filter(v => fs.exists(manifestPath(dir, v)))
-        // header-only reads: the stamp leads every manifest file
-        .flatMap(v => readHeaderOnly(fs, dir, v).txn)
-        .foldLeft(Map.empty[String, Long]) { case (m, (a, b)) =>
-          if (m.contains(a)) m else m + (a -> b) // newest stamp wins
-        }
-    val (last, seed) = headM match {
-      case None => (None, None) // first commit of a fresh table
-      case Some((_, hm)) if hm.txnSealed =>
-        (hm.txnHw.toMap.get(appId), None)
-      case Some((head, _)) =>
-        val all = legacyScan(head)
-        (all.get(appId), Some(all))
-    }
+    val (ledger, isSealed) = txnLedger(fs, spark, dir)
+    val last = ledger.get(appId)
+    // a pre-ledger table's scanned union SEEDS the sealed map
+    val seed = if (isSealed) None else Some(ledger)
     if (last.exists(_ >= batchId)) None
     // `replace = true` is the COMPLETE-output-mode shape: the batch
     // IS the new table state (a streaming aggregate emits its whole
@@ -1232,6 +1218,39 @@ object Versioned {
       statCols = Nil, txn = Some((appId, batchId)),
       txnHwSeed = seed))
   }
+
+  /** The table's transaction ledger: (appId → highest stamped
+    * batchId, complete?). Sealed tables answer from ONE header read
+    * of the head (`#txnhw` map — complete, retention-proof); a
+    * pre-ledger table falls back to the newest-first header scan of
+    * the retained history (newest stamp wins per appId — batchIds
+    * are monotone per writer), reported unsealed so the caller can
+    * seed. */
+  private def txnLedger(fs: FileSystem, spark: SparkSession,
+      dir: String): (Map[String, Long], Boolean) =
+    latestVersion(spark, dir) match {
+      case None => (Map.empty, true) // a fresh table: vacuously complete
+      case Some(head) =>
+        val hm = readHeaderOnly(fs, dir, head)
+        if (hm.txnSealed) (hm.txnHw.toMap, true)
+        else ((head to 0 by -1).iterator
+          .filter(v => fs.exists(manifestPath(dir, v)))
+          .flatMap(v => readHeaderOnly(fs, dir, v).txn)
+          .foldLeft(Map.empty[String, Long]) { case (m, (a, b)) =>
+            if (m.contains(a)) m else m + (a -> b)
+          }, false)
+    }
+
+  /** The recorded HIGH-WATER batchId for `appId` — None when the
+    * writer never stamped a commit. The introspection half of the
+    * `#txnhw` ledger (Delta's `txnVersion`): what a replayable
+    * writer consults to resume manually, and what
+    * `CALL graft.system.txn_version` surfaces to SQL. O(1) on sealed
+    * tables; read-only on legacy ones (sealing happens on their next
+    * stamped commit). */
+  def txnHighWater(spark: SparkSession, dir: String,
+      appId: String): Option[Long] =
+    txnLedger(fileSystem(spark, dir), spark, dir)._1.get(appId)
 
   /** Table CHECK constraints active at `version` (default: head;
     * empty for an uncommitted table). Each is `(name, sql

@@ -39,7 +39,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("history", "restore", "expire", "compact", "dv_debt", "pin",
-      "unpin", "set_policy", "checkpoint")
+      "unpin", "set_policy", "checkpoint", "txn_version")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -52,6 +52,7 @@ object GraftProcedures {
       case "unpin" => Some(UnpinProcedure(catalog))
       case "set_policy" => Some(SetPolicyProcedure(catalog))
       case "checkpoint" => Some(CheckpointProcedure(catalog))
+      case "txn_version" => Some(TxnVersionProcedure(catalog))
       case _ => None
     }
 }
@@ -248,6 +249,34 @@ final case class PinProcedure(catalog: GraftCatalog)
       StructField("version", IntegerType, nullable = false))),
       Array[Any](org.apache.spark.unsafe.types.UTF8String
         .fromString(p.id), p.version))
+  }
+}
+
+/** `CALL graft.system.txn_version('db.t', 'appId')` →
+  * [[Versioned.txnHighWater]]: the replayable writer's recorded
+  * high-water batchId from the `#txnhw` ledger (Delta's
+  * `txnVersion`), NULL when the writer never stamped a commit — what
+  * an external replayer consults to resume exactly-once without
+  * guessing, O(1) header read on sealed tables. */
+final case class TxnVersionProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "txn_version"
+  override def description(): String =
+    "the replayable writer's recorded high-water batchId " +
+      "(#txnhw ledger); NULL when the appId never stamped a commit"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("app_id", StringType))
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val appId = input.getUTF8String(1).toString
+    val hw = Versioned.txnHighWater(session,
+      dirOf(input.getUTF8String(0).toString), appId)
+    result(StructType(Seq(
+      StructField("app_id", StringType, nullable = false),
+      StructField("batch_id",
+        org.apache.spark.sql.types.LongType, nullable = true))),
+      Array[Any](org.apache.spark.unsafe.types.UTF8String
+        .fromString(appId), hw.map(java.lang.Long.valueOf).orNull))
   }
 }
 

@@ -165,6 +165,34 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("CALL txn_version surfaces the #txnhw ledger: a stamped " +
+      "writer's high-water, NULL for strangers, and it survives " +
+      "retention") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.tv AS SELECT id FROM range(3)")
+      val dir = s"$wh/db/tv"
+      Versioned.idempotentCommit(s, dir,
+        s.range(3).toDF("id"), "writer-a", 41L)
+      Versioned.idempotentCommit(s, dir,
+        s.range(2).toDF("id"), "writer-a", 42L)
+      def hw(app: String): Option[Long] = {
+        val r = s.sql(
+          s"CALL graft.system.txn_version('db.tv', '$app')").head()
+        if (r.isNullAt(1)) None else Some(r.getLong(1))
+      }
+      assert(hw("writer-a").contains(42L))
+      assert(hw("nobody").isEmpty)
+      // bury and sweep the stamped manifests: the ledger in the head
+      // still answers (the expire-proof guarantee, through SQL)
+      for (i <- 0 until 6)
+        s.sql(s"INSERT INTO graft.db.tv VALUES ($i)")
+      s.sql("CALL graft.system.expire('db.tv', 2)")
+      assert(hw("writer-a").contains(42L),
+        "retention must not erase the txn ledger")
+    }
+  }
+
   test("graft_table_changes by INSTANT: string bounds resolve " +
       "through the recorded #ts instants — [from, to] inclusive, " +
       "below-v0 windows render v0 as inserts, mixed kinds refuse") {
