@@ -1180,14 +1180,20 @@ object Versioned {
     * a published-but-unacknowledged batch is recognized by its stamp
     * and skipped on replay.
     *
-    * The guard scans surviving manifests' headers newest-first
-    * (driver-side, O(retained versions), no data I/O) and stops at
-    * the first stamp for `appId` — batchIds are monotonic per writer,
-    * so the newest stamp is the high-water mark. Retention keeps this
-    * sound in practice: a replayed batch is at most one behind the
-    * checkpoint, while [[expire]] keeps `keepLast` >= 1 versions.
-    * One writer per appId (Spark's own guarantee for a streaming
-    * query); two appIds interleave freely through the CAS protocol.
+    * The guard consults the aggregated `#txnhw` LEDGER in the head's
+    * header block — ONE header-only read, O(1) at any retention, and
+    * EXPIRE-PROOF: every commit republishes the full (appId → max
+    * batchId) map, so a stalled writer whose stamped manifests
+    * retention already swept still stamp-skips its replay (the
+    * double-append hole a history scan has — Delta keeps
+    * SetTransaction state live in checkpoints for the same reason).
+    * A pre-ledger table pays one newest-first legacy header scan,
+    * whose union this commit publishes as the sealed map. `replace`
+    * is the Complete-output-mode shape (the batch is the whole new
+    * table state). One writer per appId (Spark's own guarantee for a
+    * streaming query); two appIds interleave freely through the CAS
+    * protocol. [[txnHighWater]] / `CALL graft.system.txn_version`
+    * surface the ledger.
     */
   def idempotentCommit(spark: SparkSession, dir: String, df: DataFrame,
       appId: String, batchId: Long, replace: Boolean = false)
