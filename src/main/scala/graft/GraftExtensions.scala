@@ -207,6 +207,7 @@ object GraftExtensions {
           org.apache.spark.sql.types.StringType) => true
         case _ => false
       }
+      val versionForm = !isInstant(from) && !isInstant(to)
       val (fromV, toV) =
         if (isInstant(from) || isInstant(to)) {
           require(isInstant(from) && isInstant(to),
@@ -233,22 +234,32 @@ object GraftExtensions {
           (intLit(from, "fromVersion"), intLit(to, "toVersion"))
       val keyCols = strLit(keys, "key columns").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
-      val feed =
-        if (fromV >= 0)
+      // an instant anchored AT the retention floor (floor > 0) has no
+      // pre-image: floor-1 is expired, so changesBetween(floor-1, …)
+      // would throw "version not found" — the floor-anchoring promise
+      // instead renders the floor's full content as inserts (it IS
+      // the first state visible in the window), mirroring the
+      // below-v0 branch; version-form callers named floor-1
+      // explicitly and keep the loud refusal.
+      val floorAnchor: Option[Int] =
+        if (fromV < 0) Some(0)
+        else if (!versionForm && graft.lake.Versioned
+            .oldestRetainedVersion(spark, dir).contains(fromV + 1))
+          Some(fromV + 1)
+        else None
+      import org.apache.spark.sql.functions.lit
+      val feed = floorAnchor match {
+        case Some(f) =>
+          val vf = graft.lake.Versioned.read(spark, dir, Some(f))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(f))
+          if (toV > f) vf.unionByName(graft.lake.Versioned
+            .changesBetween(spark, dir, f, toV, keyCols))
+          else vf
+        case None =>
           graft.lake.Versioned.changesBetween(spark, dir, fromV, toV,
             keyCols)
-        else {
-          // an instant window reaching BELOW version 0: v0's full
-          // content is itself a change in the window — rendered as
-          // its insert step, the streaming source's -1-anchor shape
-          import org.apache.spark.sql.functions.lit
-          val v0 = graft.lake.Versioned.read(spark, dir, Some(0))
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(0))
-          if (toV > 0) v0.unionByName(graft.lake.Versioned
-            .changesBetween(spark, dir, 0, toV, keyCols))
-          else v0
-        }
+      }
       feed.queryExecution.analyzed
     },
     "graft_history" -> { case Seq(t) =>

@@ -490,7 +490,19 @@ object Versioned {
   private def readRaw(fs: FileSystem, dir: String, v: Int): RawNode = {
     val node = parseManifestFile(fs, manifestPath(dir, v))
     if (node.base.isEmpty) node
-    else parseSidecar(fs, ckptPath(dir, v)).getOrElse(node)
+    else parseSidecar(fs, ckptPath(dir, v)).getOrElse {
+      // LEGACY-SIDECAR RESCUE: a sidecar written before the `#eof`
+      // trailer existed fails validation above, and the normal
+      // fallback is the delta chain — but expire under that same
+      // pre-trailer release installed its sidecar and then DROPPED
+      // the chain it replaced. When the parent manifest is gone, the
+      // trailer-less sidecar is the only complete state left: accept
+      // it rather than throwing FileNotFound at every read, history
+      // fold, and change window crossing the oldest-kept version of
+      // a table expired under the previous release.
+      if (fs.exists(manifestPath(dir, node.base.get._1))) node
+      else parseSidecarLegacy(fs, ckptPath(dir, v)).getOrElse(node)
+    }
   }
 
   // end-of-file trailer of a checkpoint sidecar: `#eof\t<n>` where n
@@ -522,6 +534,36 @@ object Versioned {
             Some(parseManifestLines(raw.init))
           case _ => None // torn / pre-trailer sidecar: walk the chain
         }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** LAST-RESORT parse of a PRE-`#eof` (legacy-release) checkpoint
+    * sidecar, consulted by [[readRaw]] ONLY when the delta chain the
+    * sidecar replaced is no longer reconstructible (the parent
+    * manifest is expired) — exactly the sidecars [[expire]] wrote
+    * before the trailer existed, at the oldest-kept version whose
+    * chain it then dropped. Accepts only a trailer-LESS file that
+    * parses as a full snapshot: a sidecar that carries an `#eof` line
+    * that failed validation is provably torn and stays refused (the
+    * modern release never drops a chain before its verified,
+    * trailered sidecar is installed, so that case has no rescue to
+    * offer). A trailer-less file is indistinguishable from complete;
+    * with the chain gone it is the only state left, and accepting it
+    * beats an unconditional FileNotFound on every read of the
+    * version. */
+  private def parseSidecarLegacy(fs: FileSystem,
+      path: Path): Option[RawNode] =
+    try {
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val raw =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        if (raw.nonEmpty && !raw.exists(_.startsWith(EofHeader)))
+          Some(parseManifestLines(raw)).filter(_.base.isEmpty)
+        else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1187,8 +1229,16 @@ object Versioned {
     * retention already swept still stamp-skips its replay (the
     * double-append hole a history scan has — Delta keeps
     * SetTransaction state live in checkpoints for the same reason).
-    * A pre-ledger table pays one newest-first legacy header scan,
-    * whose union this commit publishes as the sealed map. `replace`
+    * A pre-ledger table pays one newest-first legacy header scan
+    * UNIONED with the head's cached (unsealed) map, and this commit
+    * publishes that union as the sealed map. SEALING CAVEAT, pinned:
+    * a writer whose only `#txn` stamp was swept by retention BEFORE
+    * any commit cached it in `#txnhw` is absent from the sealed map —
+    * its replay re-appends. That is exactly the exposure the
+    * pre-ledger scan always had (the stamp is gone either way);
+    * sealing converts a detectable gap into an authoritative miss but
+    * never widens it, and every writer that stamps after the ledger
+    * exists is retention-proof forever. `replace`
     * is the Complete-output-mode shape (the batch is the whole new
     * table state). One writer per appId (Spark's own guarantee for a
     * streaming query); two appIds interleave freely through the CAS
@@ -1239,12 +1289,23 @@ object Versioned {
       case Some(head) =>
         val hm = readHeaderOnly(fs, dir, head)
         if (hm.txnSealed) (hm.txnHw.toMap, true)
-        else ((head to 0 by -1).iterator
-          .filter(v => fs.exists(manifestPath(dir, v)))
-          .flatMap(v => readHeaderOnly(fs, dir, v).txn)
-          .foldLeft(Map.empty[String, Long]) { case (m, (a, b)) =>
-            if (m.contains(a)) m else m + (a -> b)
+        else {
+          val scanned = (head to 0 by -1).iterator
+            .filter(v => fs.exists(manifestPath(dir, v)))
+            .flatMap(v => readHeaderOnly(fs, dir, v).txn)
+            .foldLeft(Map.empty[String, Long]) { case (m, (a, b)) =>
+              if (m.contains(a)) m else m + (a -> b)
+            }
+          // the head's UNSEALED `#txnhw` map is a cache, but it may be
+          // the ONLY surviving trace of a writer whose `#txn`-stamped
+          // manifest retention already swept (plain commits propagate
+          // the cache forward even before sealing) — union it in at
+          // max batchId per appId, or that writer's replay would
+          // double-append: the exact hole the ledger exists to close.
+          (hm.txnHw.foldLeft(scanned) { case (m, (a, b)) =>
+            m.updatedWith(a)(p => Some(p.fold(b)(math.max(_, b))))
           }, false)
+        }
     }
 
   /** The recorded HIGH-WATER batchId for `appId` — None when the
@@ -5144,18 +5205,7 @@ object Versioned {
       tsOf(head) match {
         case Some(headTs) =>
           if (headTs <= millisT) return Some(head)
-          // retention floor: exists() is monotone over version
-          // numbers (expire drops a dense prefix, ascending — even a
-          // crash mid-sweep leaves the retained set dense), so the
-          // boundary binary-searches in O(log head) probes
-          var lo = 0
-          var hi = head // invariant: exists(hi)
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (fs.exists(manifestPath(dir, mid))) hi = mid
-            else lo = mid + 1
-          }
-          val floor = hi
+          val floor = retentionFloor(fs, dir, head)
           tsOf(floor) match {
             case Some(floorTs) =>
               if (floorTs > millisT) return None // all retained newer
@@ -5245,6 +5295,32 @@ object Versioned {
     * write-monotonic with versions; the floor binary-searches on
     * exists() like [[versionAsOfTimestamp]]).
     */
+  /** The retention floor below `head`: the oldest version whose
+    * manifest still exists. Retained versions form one dense suffix
+    * ([[expire]] sweeps a prefix and the dense-version invariant holds
+    * above it), so exists() is monotone over version numbers and a
+    * binary search needs O(log head) probes — no directory listing. */
+  private def retentionFloor(fs: FileSystem, dir: String,
+      head: Int): Int = {
+    var lo = 0
+    var hi = head // invariant: exists(hi)
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (fs.exists(manifestPath(dir, mid))) hi = mid
+      else lo = mid + 1
+    }
+    hi
+  }
+
+  /** The OLDEST retained version of the table — the retention floor
+    * time travel, change feeds, and instant anchors bottom out at.
+    * None for an uncommitted table. O(log head) exists() probes. */
+  def oldestRetainedVersion(spark: SparkSession,
+      dir: String): Option[Int] = {
+    val fs = fileSystem(spark, dir)
+    latestVersion(spark, dir).map(retentionFloor(fs, dir, _))
+  }
+
   def versionAtOrAfterInstant(spark: SparkSession, dir: String,
       millis: Long): Option[Int] = {
     val fs = fileSystem(spark, dir)
@@ -5256,15 +5332,7 @@ object Versioned {
             "instants — anchor by startingVersion instead"))
       if (tsOf(head) < millis) None
       else {
-        // retention floor: exists() is monotone over version numbers
-        var lo = 0
-        var hi = head // invariant: exists(hi)
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (fs.exists(manifestPath(dir, mid))) hi = mid
-          else lo = mid + 1
-        }
-        val floor = hi
+        val floor = retentionFloor(fs, dir, head)
         if (tsOf(floor) >= millis) Some(floor)
         else {
           // instants are monotonic with versions: smallest v in

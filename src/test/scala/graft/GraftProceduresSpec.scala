@@ -232,6 +232,49 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("graft_table_changes by INSTANT anchored AT the retention " +
+      "floor renders the floor's content as inserts instead of " +
+      "demanding the expired pre-image") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.tf AS SELECT id FROM range(3)") // v0
+      Thread.sleep(30)
+      s.sql("INSERT INTO graft.db.tf VALUES (10)")                 // v1
+      Thread.sleep(30)
+      s.sql("INSERT INTO graft.db.tf VALUES (20)")                 // v2
+      Thread.sleep(30)
+      s.sql("INSERT INTO graft.db.tf VALUES (30)")                 // v3
+      val dir = s"$wh/db/tf"
+      val ts = Versioned.history(s, dir)
+        .select("version", "ts_millis").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // retention sweeps v0..v1: the floor is v2, whose pre-image
+      // (v1) no longer exists
+      Versioned.expire(s, dir, keepLast = 2)
+      assert(Versioned.oldestRetainedVersion(s, dir).contains(2))
+      // an instant window opening BELOW the floor anchors AT it —
+      // the floor's full content renders as inserts (the first state
+      // visible in the window), then v3's change on top; the old
+      // code demanded the expired v1 manifest and threw
+      val rows = s.sql("SELECT _commit_version, _change_type FROM " +
+        s"graft_table_changes('graft.db.tf', '${ts(0)}', " +
+        s"'${ts(3)}', 'id')").collect()
+      assert(rows.count(r => r.getInt(0) == 2 &&
+        r.getString(1) == "insert") == 5,
+        s"floor state (5 rows at v2) as inserts: ${rows.toSeq}")
+      assert(rows.count(_.getInt(0) == 3) == 1, "v3's append on top")
+      assert(rows.length == 6)
+      // version-form callers naming the expired pre-image keep the
+      // loud refusal — they asked for an exact window
+      val e = intercept[Exception](
+        s.sql("SELECT * FROM graft_table_changes('graft.db.tf', " +
+          "1, 3, 'id')").collect())
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("not found"))), e.getMessage)
+    }
+  }
+
   test("CALL compact(cluster_by, zorder) is the Scala clustered " +
       "rewrite, manifest-equal") {
     withCatalogSession { (s, wh) =>

@@ -414,4 +414,45 @@ class VersionedDeltaManifestSpec extends SparkSuite {
       "a torn sidecar must fall back to the chain, not drop rows")
     assert(Versioned.manifestDataLines(spark, dir, 3).size == 4)
   }
+
+  test("a LEGACY (pre-#eof) sidecar whose delta chain is already " +
+      "dropped is rescued; with the chain intact it is ignored") {
+    val dir = tmpDir() + "/legacy-ckpt"
+    for (i <- 0 until 4)
+      Versioned.commit(spark, dir,
+        Seq((i.toLong, s"r$i")).toDF("id", "s"))             // v0..v3
+    assert(Versioned.checkpointManifest(spark, dir),
+      "fixture wants a delta head to fold")
+    val m = java.nio.file.Paths.get(dir, "_manifest")
+    val cp = m.resolve("v00003.ckpt.txt")
+    // strip the trailer — the shape expire wrote before #eof existed
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(cp), "UTF-8")
+      .split('\n').filter(_.nonEmpty)
+    assert(lines.last.startsWith("#eof\t"))
+    java.nio.file.Files.write(cp, lines.init.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    // chain INTACT: the trailer-less sidecar is ignored, the chain
+    // answers — no legacy acceptance while a safer path exists
+    assert(Versioned.read(spark, dir).count() == 4)
+    // chain GONE (the pre-trailer expire's end state: sidecar
+    // installed, chain dropped): the legacy sidecar is the only
+    // complete state left and MUST be accepted — reads, history's
+    // fold, and the next checkpoint all go through it
+    for (v <- 0 until 3)
+      java.nio.file.Files.delete(m.resolve(f"v$v%05d.txt"))
+    assert(Versioned.read(spark, dir).count() == 4,
+      "a legacy sidecar over a dropped chain must be rescued")
+    assert(Versioned.read(spark, dir).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(Versioned.manifestDataLines(spark, dir, 3).size == 4)
+    assert(Versioned.history(spark, dir).count() == 1L)
+    // a torn MODERN sidecar (trailer present but wrong) over a
+    // dropped chain stays refused — provably torn beats silently
+    // smaller, and the loud failure names the missing manifest
+    java.nio.file.Files.write(cp,
+      (lines.init.mkString("", "\n", "\n") + "#eof\t999999\n")
+        .getBytes("UTF-8"))
+    intercept[Exception] { Versioned.read(spark, dir).count() }
+  }
 }

@@ -344,6 +344,48 @@ class VersionedEvolutionSpec extends SparkSuite {
       "appX", 0L).isEmpty)
   }
 
+  test("an UNSEALED table's guard unions the head's cached #txnhw " +
+      "with the history scan: a writer whose #txn stamp retention " +
+      "swept still stamp-skips through the cache alone") {
+    val dir = tmpDir() + "/txn-unsealed"
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "cached-writer", 7L).contains(0))
+    // plain commits propagate the cache forward …
+    for (i <- 0 until 5)
+      Versioned.commit(spark, dir, base(100 + i, 101 + i))
+    // … retention sweeps the stamped manifest itself …
+    val (dropped, _) = Versioned.expire(spark, dir, keepLast = 2)
+    assert(dropped >= 1, "fixture wants the stamped manifest gone")
+    // … and the table presents as UNSEALED (the shape of a table
+    // whose seal a pre-seal release never wrote): strip #txnseal
+    // from every retained manifest, keeping the #txnhw cache lines
+    val mdir = java.nio.file.Paths.get(dir, "_manifest")
+    val st = java.nio.file.Files.list(mdir)
+    try st.forEach { p =>
+      // manifests only — a sidecar's #eof trailer counts its lines,
+      // and the ledger's header reads consult the manifest file
+      if (p.getFileName.toString.matches("v\\d+\\.txt")) {
+        val kept = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+          .filterNot(_.startsWith("#txnseal\t"))
+        java.nio.file.Files.write(p,
+          scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava)
+        ()
+      }
+    } finally st.close()
+    // the retained history carries NO #txn stamp for this writer —
+    // the scan alone would re-append; the head's cached map is the
+    // only surviving trace and the guard must consult it
+    assert(Versioned.txnHighWater(spark, dir, "cached-writer")
+      .contains(7L), "unsealed ledger dropped the head's cache")
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 2),
+      "cached-writer", 7L).isEmpty,
+      "unsealed guard ignored the cached high-water and double-appended")
+    // a genuinely newer batch still lands
+    assert(Versioned.idempotentCommit(spark, dir, base(50, 51),
+      "cached-writer", 8L).isDefined)
+  }
+
   // -------------------------------------------------- CHECK constraints
 
   test("addCheck gates every later writer: FALSE rejects the commit, " +
