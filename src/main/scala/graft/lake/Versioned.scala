@@ -102,6 +102,15 @@ object Versioned {
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
+  /** The manifest requires a reader feature (or reader version) this
+    * engine does not implement. Refusing loudly — by feature name —
+    * is the contract: silently skipping a semantics-bearing header
+    * (`#dv`, `#colmap`, …) would resurrect deleted rows or misbind
+    * columns. Raised at parse time, so reads AND commits (which read
+    * the parent state) both refuse. */
+  final class UnsupportedTableFeatureException(msg: String)
+    extends RuntimeException(msg)
+
   /** A commit's staged rows (or, for [[addCheck]], the existing table)
     * violate a table CHECK constraint. Nothing was published; the
     * staged files are unreferenced and a later [[expire]] collects
@@ -414,6 +423,50 @@ object Versioned {
   // knob for ancient appIds is future work, like Delta's
   // setTransactionRetentionDuration.
   private val TxnHwHeader = "#txnhw\t"
+  // PROTOCOL / FEATURE GATE (Delta's minReaderVersion + reader
+  // features, on this substrate). Unknown header ANNOTATIONS parse
+  // forward-compatibly by design — right for additive metadata, WRONG
+  // for semantics-bearing features: an older reader binary (or a
+  // third-party tool) that skipped a `#dv` pointer would RESURRECT
+  // deleted rows; one that skipped `#colmap`/`#coldrop` would misbind
+  // columns. So any version whose state USES such a feature carries
+  // `#minreader\t<n>` plus one `#feature\t<name>` line per required
+  // reader feature, and every parse refuses loudly — by feature name —
+  // when it sees a name it does not implement or a reader version
+  // above its own. The gate is PER VERSION and derived from state
+  // (not sticky like Delta's protocol action): a version that uses no
+  // gated feature carries no gate lines, so old tables are untouched
+  // and time travel to a pre-feature version needs no waiver.
+  private val MinReaderHeader = "#minreader\t"
+  private val FeatureHeader = "#feature\t"
+  /** This engine's reader version: 1 = the base manifest format,
+    * 2 = feature-gate-aware (understands `#minreader`/`#feature`). */
+  private[graft] val CurrentReaderVersion = 2
+  /** Reader features this engine implements. A gated manifest naming
+    * anything else refuses at parse time. */
+  private[graft] val SupportedReaderFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping")
+
+  /** The reader features version-state `(dvs, colMap, colDrops,
+    * colMapMode)` actually requires — the derivation both manifest
+    * renderers share. Deletion vectors: skipping a `#dv` resurrects
+    * rows. Column mapping (incl. drops and id-mode): skipping the
+    * indirection misbinds physical columns. */
+  private def requiredFeatures(dvs: Seq[(String, String)],
+      colMap: Seq[(String, String)], colDrops: Seq[String],
+      colMapMode: Option[String]): Seq[String] =
+    (if (dvs.nonEmpty) Seq("deletion-vectors") else Nil) ++
+      (if (colMap.exists(e => e._1 != e._2) || colDrops.nonEmpty ||
+        colMapMode.isDefined) Seq("column-mapping") else Nil)
+
+  /** Render the gate block: nothing when no feature is in play (old
+    * tables stay byte-identical), else the reader-version floor plus
+    * the sorted feature names. */
+  private def gateLines(features: Seq[String]): Seq[String] =
+    if (features.isEmpty) Nil
+    else s"$MinReaderHeader$CurrentReaderVersion" +:
+      features.distinct.sorted.map(f => s"$FeatureHeader$f")
+
   // `#txnseal\t1` — marks the high-water map COMPLETE (it covers every
   // stamp in the table's whole history). Fresh tables are sealed from
   // v0 by construction; a table whose history predates the map gets
@@ -594,6 +647,32 @@ object Versioned {
   }
 
   private def parseManifestLines(raw: List[String]): RawNode = {
+    // THE GATE, checked before anything else is trusted: a version
+    // whose state uses a semantics-bearing feature this engine does
+    // not implement must refuse BY NAME, never parse-and-skip —
+    // runs on every manifest file AND sidecar, so reads, history
+    // folds, and commits (which read the parent) all refuse.
+    val minReader = raw.collectFirst {
+      case l if l.startsWith(MinReaderHeader) =>
+        l.stripPrefix(MinReaderHeader).trim.toIntOption
+          .getOrElse(Int.MaxValue) // unparseable floor = future format
+    }
+    val features = raw.collect { case l if l.startsWith(FeatureHeader) =>
+      l.stripPrefix(FeatureHeader).trim
+    }
+    val unknown = features.filterNot(SupportedReaderFeatures)
+    if (unknown.nonEmpty || minReader.exists(_ > CurrentReaderVersion))
+      throw new UnsupportedTableFeatureException(
+        s"this table version requires reader " +
+          minReader.filter(_ > CurrentReaderVersion)
+            .map(v => s"version $v (this engine reads up to " +
+              s"$CurrentReaderVersion)").getOrElse("features") +
+          (if (unknown.isEmpty) ""
+           else unknown.mkString(" [", ", ", "] this engine does not" +
+             " implement")) +
+          " — upgrade the reader; refusing beats silently skipping" +
+          " semantics-bearing metadata (deleted rows would resurrect," +
+          " mapped columns would misbind)")
     val schema = raw.collectFirst { case l if l.startsWith(SchemaHeader) =>
       DataType.fromJson(l.stripPrefix(SchemaHeader)).asInstanceOf[StructType]
     }
@@ -1499,6 +1578,8 @@ object Versioned {
       m.colMapMode.map(md => s"$ColMapModeHeader$md").toSeq ++
       m.txnHw.map { case (a, b) => s"$TxnHwHeader${enc(a)}\t$b" } ++
       (if (m.txnSealed) Seq(s"${TxnSealHeader}1") else Nil) ++
+      gateLines(requiredFeatures(m.dvs, m.colMap, m.colDrops,
+        m.colMapMode)) ++
       m.lines
   }
 
@@ -2128,7 +2209,11 @@ object Versioned {
         txnHwSeed.isDefined
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
       checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
-      colDrops, colMapMode, txnHw, txnSealed)
+      colDrops, colMapMode, txnHw, txnSealed) ++
+      // the feature gate derives from the FULL state this version
+      // publishes (headers are authoritative per version, delta or
+      // snapshot alike): no gated feature in play → no gate lines
+      gateLines(requiredFeatures(dvs, colMap, colDrops, colMapMode))
     // delta vs snapshot: diff against the parent state by exact line
     // (a stats rewrite of a carried rel encodes as rmfile + fresh add)
     val body: Seq[String] = parent match {
@@ -4579,7 +4664,11 @@ object Versioned {
           else if (parts(i).startsWith("~r"))
             rows = Some(parts(i).drop(2).toLong)
           else if (parts(i) == "~u") micros = true // timestamp-μs range
-          i += 1 // unknown annotations skip forward-compatibly
+          // unknown annotations skip forward-compatibly — the right
+          // rule for ADDITIVE stats metadata only; anything
+          // semantics-bearing must ride the `#minreader`/`#feature`
+          // gate instead, which refuses unknown names loudly
+          i += 1
         }
         buf += StatGroup(c, mn, mx, nulls, rows, micros)
       } else i += 1 // stray/unattached token: never fail a manifest parse
