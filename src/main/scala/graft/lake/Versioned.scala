@@ -3783,7 +3783,9 @@ object Versioned {
     */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String], baseVersion: Option[Int] = None,
-      statCol: Option[String] = None): Int = {
+      statCol: Option[String] = None,
+      txn: Option[(String, Long)] = None,
+      txnHwSeed: Option[Map[String, Long]] = None): Int = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     keyCols.foreach(k => require(source.columns.contains(k),
@@ -3793,7 +3795,7 @@ object Versioned {
     val base = baseVersion.orElse(latestVersion(spark, dir))
     if (base.isEmpty) // first commit: a merge into nothing is an insert
       return commitImpl(spark, dir, source, replace = false,
-        statCols = statCol.toSeq)
+        statCols = statCol.toSeq, txn = txn, txnHwSeed = txnHwSeed)
     require(fs.exists(manifestPath(dir, base.get)),
       s"version ${base.get} not found in $dir")
     val m = readManifest(fs, dir, base.get)
@@ -3834,7 +3836,8 @@ object Versioned {
         return replaceLoop(spark, dir, staged, base,
           keyCols = Some(keyCols), stagedSchema = schema,
           carried = m.lines, keyProbe = Some(src.select(keyCols.head,
-            keyCols.tail: _*)), colMapExtra = mints)
+            keyCols.tail: _*)), colMapExtra = mints,
+          txn = txn, txnHwSeed = txnHwSeed)
       }
       val schema = tableSchema.get
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
@@ -3880,8 +3883,34 @@ object Versioned {
         stagedSchema = newSchema, carried = untouched,
         keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)),
         stagedBlooms = stagedBlooms, op = "merge",
-        colMapExtra = mints)
+        colMapExtra = mints, txn = txn, txnHwSeed = txnHwSeed)
     } finally { src.unpersist(); () }
+  }
+
+  /** Exactly-once MERGE for a REPLAYABLE writer — [[idempotentCommit]]
+    * with upsert-by-key semantics instead of append: the batch routes
+    * through [[mergeInto]] under the same `(appId, batchId)` stamp,
+    * and a batchId at or below the writer's recorded high-water is
+    * SKIPPED (None). This is the streaming-UPSERT shape — a keyed
+    * aggregation in Update output mode emits only the keys each
+    * trigger changed, and every emitted row must overwrite its key's
+    * previous state, not append beside it. The guard is the same
+    * O(1) `#txnhw` ledger read; on a skip, the target already holds
+    * the batch's effect (the merge published before the checkpoint
+    * ack), so re-merging would be wasted work but never wrong —
+    * skipping keeps replays O(1). A lost conflict race throws; Spark
+    * re-runs the batch with the SAME batchId against the new head,
+    * and the stamp still decides. */
+  def idempotentMerge(spark: SparkSession, dir: String,
+      source: DataFrame, keyCols: Seq[String], appId: String,
+      batchId: Long): Option[Int] = {
+    require(appId.nonEmpty, "idempotentMerge needs a non-empty appId")
+    val fs = fileSystem(spark, dir)
+    val (ledger, isSealed) = txnLedger(fs, spark, dir)
+    val seed = if (isSealed) None else Some(ledger)
+    if (ledger.get(appId).exists(_ >= batchId)) None
+    else Some(mergeInto(spark, dir, source, keyCols,
+      txn = Some((appId, batchId)), txnHwSeed = seed))
   }
 
   /** The manifest lines a merge source's key ranges cannot rule out —
@@ -4367,7 +4396,9 @@ object Versioned {
       statColsOverride: Option[Seq[String]] = None,
       colMapOverride: Option[Seq[(String, String)]] = None,
       colDropsOverride: Option[Seq[String]] = None,
-      colMapExtra: Seq[(String, String)] = Nil): Int = {
+      colMapExtra: Seq[(String, String)] = Nil,
+      txn: Option[(String, Long)] = None,
+      txnHwSeed: Option[Map[String, Long]] = None): Int = {
     val fs = fileSystem(spark, dir)
     val baseM = base.map(readManifest(fs, dir, _))
     // staged files were written under the BASE's column mapping
@@ -4540,12 +4571,13 @@ object Versioned {
         .getOrElse(headM.map(_.colDrops).getOrElse(Nil))
       guardColMap(schema, pubColMap, pubColDrops)
       if (publishResolved(fs, dir, next, uuid)(
-          casPublish(fs, dir, next, schema, newLines,
+          casPublish(fs, dir, next, schema, newLines, txn = txn,
             checks = checks, dvs = newDvs, blooms = newBlooms,
             op = Some(op), bloomCfg = cfg,
             statColsPolicy = statPol.filter(schema.fieldNames.contains),
             parent = headM, commitUuid = Some(uuid),
-            colMap = pubColMap, colDrops = pubColDrops)))
+            colMap = pubColMap, colDrops = pubColDrops,
+            txnHwSeed = txnHwSeed)))
         return next
       attempts += 1
       require(attempts < 1000,

@@ -1823,6 +1823,86 @@ object DeltaQueries {
       |      IS NOT TRUE
       |ORDER BY k, o_orderkey, o_totalprice""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  // Keyed streaming UPSERT — Update output mode on the graft sink
+  // (q152's twin for the CDC-consuming-aggregation shape): a stateful
+  // per-user event count streams in Update mode, so each trigger
+  // emits ONLY the keys it changed and the sink routes every batch
+  // through Versioned.idempotentMerge under the stream's (queryId,
+  // batchId) stamp — each emitted row OVERWRITES its key's previous
+  // state instead of appending beside it (Delta's streaming-upsert
+  // foreachBatch recipe, as a first-class output mode). The fixture
+  // kills the query between batches and restarts it on the same
+  // checkpoint; in-query requires force the exactly-once claim (same
+  // query id across the restart, one version per batch, a replayed
+  // merge stamp-skips), and the final merged table hash-matches the
+  // ONE-SHOT aggregate the oracle computes. NULL keys are filtered on
+  // both sides (SQL MERGE: NULL keys match nothing — they would
+  // insert per trigger, which is the documented non-upsert shape).
+  // Bench note: seconds are fixture + two streaming lifecycles.
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-upsert-src")
+    val stage = Files.createTempDirectory("graft-upsert-stage")
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt")
+    val table = Files.createTempDirectory("graft-upsert-table")
+    try {
+      val events = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select("event_id", "user_id")
+      writeIdBatches(events, "event_id", stage)
+      def run(): String = {
+        val q = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src.toString)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("graft")
+          .outputMode("update")
+          .option("keyCols", "user_id")
+          .option("path", table.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        q.id.toString
+      }
+      // phase 1: two micro-batches, then the query is killed
+      Files.move(stage.resolve("b0.parquet"), src.resolve("b0.parquet"))
+      Files.move(stage.resolve("b1.parquet"), src.resolve("b1.parquet"))
+      val id1 = run()
+      // data lands while the query is down; the restart keeps the
+      // query id (the idempotence key lives in the checkpoint)
+      Files.move(stage.resolve("b2.parquet"), src.resolve("b2.parquet"))
+      val id2 = run()
+      require(id1 == id2, "restart must keep the streaming query id")
+      require(Versioned.latestVersion(s, table.toString).contains(2),
+        "expected exactly one merged version per micro-batch")
+      val apps = Versioned.history(s, table.toString)
+        .select("app_id").collect().map(_.getString(0)).distinct.toSeq
+      require(apps == Seq(id1),
+        s"every version must stamp the query id, got $apps")
+      // a crash-replay of the last batch stamp-skips the MERGE too
+      require(Versioned.idempotentMerge(s, table.toString,
+        s.range(1).select(lit(-1L).as("user_id"),
+          lit(999L).as("n_events")),
+        Seq("user_id"), id1, batchId = 2).isEmpty,
+        "replayed Update batch merged twice")
+      Versioned.read(s, table.toString)
+        .orderBy("user_id")
+        .localCheckpoint(true)
+    } finally {
+      Q.deleteRecursively(src); Q.deleteRecursively(stage)
+      Q.deleteRecursively(ckpt); Q.deleteRecursively(table)
+    }
+  }
+
+  private val q154Sql =
+    """SELECT user_id, count(*) AS n_events FROM events
+      |WHERE user_id IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1856,7 +1936,8 @@ object DeltaQueries {
     "q150_lake_drop_column" -> (q150 _),
     "q151_lake_id_mapping" -> (q151 _),
     "q152_lake_stream_sink" -> (q152 _),
-    "q153_lake_string_stats" -> (q153 _))
+    "q153_lake_string_stats" -> (q153 _),
+    "q154_lake_stream_upsert" -> (q154 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1889,5 +1970,6 @@ object DeltaQueries {
     "q150_lake_drop_column" -> q150Sql,
     "q151_lake_id_mapping" -> q151Sql,
     "q152_lake_stream_sink" -> q152Sql,
-    "q153_lake_string_stats" -> q153Sql)
+    "q153_lake_string_stats" -> q153Sql,
+    "q154_lake_stream_upsert" -> q154Sql)
 }

@@ -178,8 +178,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
-      "graft tables take no partition transforms — cluster files with " +
-        "Versioned.compactCommit(clusterBy = …) instead")
+      "graft tables take no hive-style partition transforms — file " +
+        "CLUSTERING plus per-file min/max stats and blooms is the " +
+        "layout lever on this substrate: declare write-time " +
+        "clustering with TBLPROPERTIES ('graft.cluster.cols'='c1,c2')" +
+        ", or re-cluster later with CALL graft.system.compact(" +
+        "cluster_by => …, zorder => …) — both give readers the same " +
+        "file pruning a partition filter would, without small-file " +
+        "explosion or partition-evolution rewrites")
     // TBLPROPERTIES are the file-skipping policy declaration (and
     // nothing else): unknown keys and non-parquet providers are
     // refused loudly rather than silently dropped

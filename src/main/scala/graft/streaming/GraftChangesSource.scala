@@ -569,17 +569,34 @@ class GraftChangesSourceProvider
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
     require(partitionColumns.isEmpty,
-      "graft tables take no partition columns — cluster files with " +
-        "Versioned.compactCommit(clusterBy = …) instead")
+      "graft tables take no hive-style partition columns — file " +
+        "CLUSTERING plus per-file min/max stats and blooms is the " +
+        "layout lever on this substrate: declare write-time " +
+        "clustering with TBLPROPERTIES ('graft.cluster.cols'='c1,c2')" +
+        " / Versioned.setPolicy(clusterBy = …), or re-cluster with " +
+        "CALL graft.system.compact(cluster_by => …, zorder => …) / " +
+        "Versioned.compactCommit — both give readers the same file " +
+        "pruning a partition filter would, without small-file " +
+        "explosion or partition-evolution rewrites")
+    val keyCols = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("keycols") =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+    require(outputMode != OutputMode.Update() || keyCols.nonEmpty,
+      "graft sink in Update output mode needs .option(\"keyCols\", " +
+        "\"k1,k2\") — Update emits the keys each trigger changed, and " +
+        "each row must overwrite its key's previous state; without " +
+        "keys the partial rows have no upsert semantics. Use Append " +
+        "for plain ingest or Complete for whole-result aggregates.")
     require(outputMode == OutputMode.Append() ||
-      outputMode == OutputMode.Complete(),
-      s"graft sink supports Append and Complete output modes, got " +
-        s"$outputMode — Append commits each batch as a new lake " +
-        "version; Complete replaces the table with the trigger's " +
-        "whole result (streaming aggregates); Update's partial rows " +
-        "have no keyless upsert semantics on this substrate")
+      outputMode == OutputMode.Complete() ||
+      outputMode == OutputMode.Update(),
+      s"graft sink supports Append, Complete, and Update (with " +
+        s"keyCols) output modes, got $outputMode")
     new GraftSink(sqlContext, parameters,
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(),
+      upsertKeys =
+        if (outputMode == OutputMode.Update()) keyCols else Nil)
   }
 }
 

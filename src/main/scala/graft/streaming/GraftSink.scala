@@ -38,18 +38,28 @@ import graft.lake.Versioned
   * (`changesBetween` over the ingest history replays the stream as a
   * CDC feed); COMPLETE publishes the trigger's whole result as a
   * stamped REPLACE — the streaming-aggregate shape, every trigger a
-  * time-travelable version of the rollup. Update's partial rows have
-  * no keyless upsert semantics on this substrate — refused loudly at
-  * query start.
+  * time-travelable version of the rollup; UPDATE with
+  * `.option("keyCols", "k1,k2")` routes each batch through
+  * [[Versioned.idempotentMerge]] — the keyed streaming-UPSERT shape:
+  * an Update-mode aggregation emits only the keys each trigger
+  * changed, and each emitted row overwrites its key's previous state
+  * (a CDC-consuming rollup materialized as a lake table, every
+  * trigger a time-travelable version). Update WITHOUT keyCols is
+  * refused loudly at query start — partial rows have no keyless
+  * upsert semantics on this substrate.
   *
   * Scale shape: the commit stages the batch's rows as parquet via one
   * distributed write action (no driver materialization), measures
   * stats/blooms per the TABLE's declared policy, and publishes one
   * O(changed files) delta manifest through the CAS loop — concurrent
-  * batch writers and other streams interleave safely.
+  * batch writers and other streams interleave safely. The Update
+  * merge rewrites O(files holding a matched key), not the table —
+  * stats/bloom pruning applies to the upsert path exactly as to
+  * batch MERGE INTO.
   */
 final class GraftSink(sqlContext: SQLContext,
-    parameters: Map[String, String], complete: Boolean = false)
+    parameters: Map[String, String], complete: Boolean = false,
+    upsertKeys: Seq[String] = Nil)
   extends Sink {
 
   private val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
@@ -62,6 +72,14 @@ final class GraftSink(sqlContext: SQLContext,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = sqlContext.sparkSession
+    // the stable exactly-once identity: the STREAMING QUERY ID, which
+    // MicroBatchExecution publishes as a local property on the stream
+    // execution thread that calls addBatch, and persists in the
+    // checkpoint. A Spark-internal contract — so when it is absent
+    // (a foreign thread, a future engine refactor) the sink fails
+    // LOUDLY here rather than minting a fresh identity that would
+    // silently forfeit replay protection; `txnAppId` is the escape
+    // hatch that restores it.
     val appId = appIdOverride.orElse(
       Option(spark.sparkContext.getLocalProperty(
         StreamExecution.QUERY_ID_KEY)))
@@ -73,14 +91,22 @@ final class GraftSink(sqlContext: SQLContext,
     // lake's write action can plan (the DeltaSink hop)
     val batch = org.apache.spark.sql.graft.GraftStreamingShim
       .asBatchFrame(data)
-    // Complete mode: the batch is the WHOLE result table — publish
-    // it as a stamped replace (every trigger a time-travelable
-    // version of the aggregate); Append mode appends as usual
-    Versioned.idempotentCommit(spark, dir, batch, appId, batchId,
-      replace = complete)
+    // Update mode: each batch row upserts its key. Complete mode: the
+    // batch is the WHOLE result table — a stamped replace (every
+    // trigger a time-travelable version of the aggregate). Append
+    // mode appends as usual.
+    if (upsertKeys.nonEmpty)
+      Versioned.idempotentMerge(spark, dir, batch, upsertKeys,
+        appId, batchId)
+    else
+      Versioned.idempotentCommit(spark, dir, batch, appId, batchId,
+        replace = complete)
     ()
   }
 
   override def toString: String =
-    s"GraftSink[$dir${if (complete) ", complete" else ""}]"
+    s"GraftSink[$dir${
+      if (complete) ", complete"
+      else if (upsertKeys.nonEmpty) upsertKeys.mkString(", update on (", ", ", ")")
+      else ""}]"
 }

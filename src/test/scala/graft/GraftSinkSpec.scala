@@ -242,8 +242,9 @@ class GraftSinkSpec extends SparkSuite {
       "pre-evolution rows must null-fill the new column")
   }
 
-  test("refusals: Update output mode and partition columns are " +
-      "rejected loudly at query start") {
+  test("refusals: Update output mode WITHOUT keyCols and partition " +
+      "columns are rejected loudly at query start — and the " +
+      "partition refusal points at the clustering levers") {
     val src = tmpDir() + "/ref-src"
     writeBatchFile(src, 0, 3)
     val table = tmpDir() + "/ref-table"
@@ -259,7 +260,7 @@ class GraftSinkSpec extends SparkSuite {
     }
     assert(Iterator.iterate(eMode: Throwable)(_.getCause)
       .takeWhile(_ != null).exists(t => Option(t.getMessage)
-        .exists(_.contains("Append and Complete"))),
+        .exists(_.contains("keyCols"))),
       eMode.getMessage)
     val ePart = intercept[Exception] {
       val q = fileStream(src)
@@ -272,7 +273,93 @@ class GraftSinkSpec extends SparkSuite {
     }
     assert(Iterator.iterate(ePart: Throwable)(_.getCause)
       .takeWhile(_ != null).exists(t => Option(t.getMessage)
-        .exists(_.contains("no partition columns"))),
+        .exists(m => m.contains("graft.cluster.cols") &&
+          m.contains("graft.system.compact"))),
       ePart.getMessage)
+  }
+
+  test("Update output mode with keyCols is the keyed streaming " +
+      "UPSERT: each trigger's changed keys merge into the table, " +
+      "kill/restart stays exactly-once, final state matches the " +
+      "one-shot aggregate") {
+    val src = tmpDir() + "/upd-src"
+    val table = tmpDir() + "/upd-table"
+    val ckpt = tmpDir() + "/upd-ckpt"
+    // keys collide across batches: s-groups re-aggregate, and each
+    // re-emitted key must OVERWRITE its row, not append beside it
+    writeBatchFile(src, 0, 4)   // r0..r3, one each
+    writeBatchFile(src, 0, 2)   // r0, r1 again -> counts 2
+    def run(): Unit = {
+      val q = fileStream(src)
+        .groupBy("s").count()
+        .writeStream.format("graft")
+        .outputMode("update")
+        .option("keyCols", "s")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(Versioned.read(spark, table).as[(String, Long)]
+      .collect().toMap ==
+      Map("r0" -> 2L, "r1" -> 2L, "r2" -> 1L, "r3" -> 1L),
+      "upsert must overwrite re-emitted keys")
+    // kill happened (q stopped); data lands while the query is down
+    writeBatchFile(src, 2, 4)   // r2, r3 again -> counts 2
+    writeBatchFile(src, 10, 11) // r10 appears
+    run() // restart on the same checkpoint: same query id, same state
+    val got = Versioned.read(spark, table).as[(String, Long)]
+      .collect().toMap
+    assert(got == Map("r0" -> 2L, "r1" -> 2L, "r2" -> 2L,
+      "r3" -> 2L, "r10" -> 1L),
+      s"restarted upsert diverged from the one-shot aggregate: $got")
+    // every version carries the stream's stamp; a replay of the last
+    // batch stamp-skips the MERGE too
+    val hist = Versioned.history(spark, table)
+    val appId = hist.select("app_id").head().getString(0)
+    val lastBatch = hist.agg(max("batch_id")).head().getLong(0)
+    assert(Versioned.idempotentMerge(spark, table,
+      Seq(("r0", 99L)).toDF("s", "count"), Seq("s"),
+      appId, lastBatch).isEmpty,
+      "replayed Update batch merged twice")
+    assert(Versioned.read(spark, table).as[(String, Long)]
+      .collect().toMap.apply("r0") == 2L)
+  }
+
+  test("addBatch OFF the stream-execution thread fails loudly " +
+      "(no silent fresh identity); txnAppId rescues it — the " +
+      "Spark-internal QUERY_ID_KEY contract, pinned") {
+    val table = tmpDir() + "/tl-table"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    // a foreign thread has no sql.streaming.queryId local property:
+    // the sink must refuse rather than mint an identity that would
+    // forfeit replay protection after a Spark-internal refactor
+    val sink = new graft.streaming.GraftSink(spark.sqlContext,
+      Map("path" -> table))
+    var err: Option[Throwable] = None
+    val t = new Thread(() => {
+      try sink.addBatch(0L, batch)
+      catch { case e: Throwable => err = Some(e) }
+    })
+    t.start(); t.join()
+    assert(err.exists(e => e.isInstanceOf[IllegalStateException] &&
+      e.getMessage.contains("txnAppId")),
+      s"expected the loud identity refusal, got $err")
+    assert(Versioned.latestVersion(spark, table).isEmpty,
+      "the refused batch must publish nothing")
+    // the documented escape hatch restores the identity
+    val rescued = new graft.streaming.GraftSink(spark.sqlContext,
+      Map("path" -> table, "txnAppId" -> "manual-writer"))
+    var err2: Option[Throwable] = None
+    val t2 = new Thread(() => {
+      try rescued.addBatch(0L, batch)
+      catch { case e: Throwable => err2 = Some(e) }
+    })
+    t2.start(); t2.join()
+    assert(err2.isEmpty, s"txnAppId path failed: $err2")
+    assert(Versioned.read(spark, table).count() == 2)
+    assert(Versioned.txnHighWater(spark, table, "manual-writer")
+      .contains(0L))
   }
 }
