@@ -318,7 +318,8 @@ object Versioned {
       colDrops: Seq[String] = Nil,
       colMapMode: Option[String] = None,
       txnHw: Seq[(String, Long)] = Nil,
-      txnSealed: Boolean = false)
+      txnSealed: Boolean = false,
+      clusterCols: Seq[String] = Nil)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -494,6 +495,25 @@ object Versioned {
   // process default above; this field has no legacy line-derived
   // fallback, so no `#ts` gating applies.
   private val CkptEveryHeader = "#ckptevery\t"
+
+  // WRITE-TIME CLUSTERING policy: `#clustercols\t<c1>\t<c2>…` (names
+  // uri-encoded) — Delta's `CLUSTER BY` (liquid-clustering
+  // declaration) on this substrate. Every commit whose staged frame
+  // carries the declared columns range-partitions + sorts its OWN
+  // files on them before writing (the same repartitionByRange +
+  // sortWithinPartitions recipe as [[compactCommit]]'s clusterBy), so
+  // per-file min/max stats are born disjoint and [[readPruned]] plans
+  // O(matching files) from the FIRST append — no OPTIMIZE needed to
+  // fix an append-ordered layout after the fact. This replaces
+  // hive-style partition columns on this substrate: same pruning,
+  // no small-file explosion on high-cardinality keys, no
+  // partition-evolution rewrites. Carried like the cadence policy
+  // (pure writer config — a restore does not roll it back); declared
+  // via TBLPROPERTIES 'graft.cluster.cols' or [[setPolicy]]. A
+  // staged frame MISSING a declared column (an old writer against an
+  // evolved table) skips the layout step — conservative, never
+  // wrong: its files' stats simply overlap until the next compact.
+  private val ClusterColsHeader = "#clustercols\t"
 
   // column mapping: `#colmap\t<logical>\t<physical>` (names
   // uri-encoded), one line per RENAMED column — Delta's column-mapping
@@ -753,12 +773,18 @@ object Versioned {
       (java.net.URLDecoder.decode(app, "UTF-8"), b.toLong)
     }
     val txnSealed = raw.exists(_.startsWith(TxnSealHeader))
+    val clusterCols = raw.collectFirst {
+      case l if l.startsWith(ClusterColsHeader) =>
+        l.stripPrefix(ClusterColsHeader).split('\t').toSeq
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    }.getOrElse(Nil)
     RawNode(base, rmFiles, rmDvs, rmBlooms,
       Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
         blooms, op, bloomCfg, statColsPolicy, ts, commitUuid,
         chainDepth = base.map(_._2).getOrElse(0), colMap = colMap,
         ckptEvery = ckptEvery, colDrops = colDrops,
-        colMapMode = colMapMode, txnHw = txnHw, txnSealed = txnSealed))
+        colMapMode = colMapMode, txnHw = txnHw, txnSealed = txnSealed,
+        clusterCols = clusterCols))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -1578,6 +1604,9 @@ object Versioned {
       m.colMapMode.map(md => s"$ColMapModeHeader$md").toSeq ++
       m.txnHw.map { case (a, b) => s"$TxnHwHeader${enc(a)}\t$b" } ++
       (if (m.txnSealed) Seq(s"${TxnSealHeader}1") else Nil) ++
+      (if (m.clusterCols.isEmpty) Nil
+       else Seq(m.clusterCols.map(enc)
+         .mkString(ClusterColsHeader, "\t", ""))) ++
       gateLines(requiredFeatures(m.dvs, m.colMap, m.colDrops,
         m.colMapMode)) ++
       m.lines
@@ -1649,10 +1678,12 @@ object Versioned {
   def setPolicy(spark: SparkSession, dir: String,
       statCols: Option[Seq[String]] = None,
       bloomCfg: Option[Seq[(String, Long, Double)]] = None,
-      manifestCheckpointEvery: Option[Option[Int]] = None): Int = {
+      manifestCheckpointEvery: Option[Option[Int]] = None,
+      clusterBy: Option[Seq[String]] = None): Int = {
     require(statCols.isDefined || bloomCfg.isDefined ||
-      manifestCheckpointEvery.isDefined,
-      "setPolicy needs a stats, bloom, or checkpoint-cadence declaration")
+      manifestCheckpointEvery.isDefined || clusterBy.isDefined,
+      "setPolicy needs a stats, bloom, checkpoint-cadence, or " +
+        "clustering declaration")
     manifestCheckpointEvery.flatten.foreach(n => require(n >= 1,
       s"manifest checkpoint cadence must be >= 1 (1 = every commit a " +
         s"snapshot): $n"))
@@ -1680,13 +1711,23 @@ object Versioned {
         require(n > 0, s"bloom expectedItems for '$c' must be positive: $n")
         require(f > 0 && f < 1, s"bloom fpp for '$c' must be in (0,1): $f")
       }
+      // write-time clustering columns must exist, and stats must be
+      // tracked on them or the born-disjoint layout prunes nothing —
+      // the declaration auto-widens the stat policy to cover them
+      clusterBy.foreach(_.foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"cluster column '$c' is not a table column " +
+            schema.fieldNames.mkString("[", ", ", "]"))))
+      val withClusterStats =
+        (newStats ++ clusterBy.getOrElse(Nil)).distinct
       if (publishResolved(fs, dir, head + 1, uuid)(
           casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
             m.checks, m.dvs, m.blooms, op = Some("set-policy"),
-            bloomCfg = newCfg, statColsPolicy = newStats,
+            bloomCfg = newCfg, statColsPolicy = withClusterStats,
             parent = Some(m), commitUuid = Some(uuid),
             colMap = m.colMap, colDrops = m.colDrops,
-            ckptEveryOverride = manifestCheckpointEvery)))
+            ckptEveryOverride = manifestCheckpointEvery,
+            clusterColsOverride = clusterBy.map(_.distinct))))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -2093,7 +2134,8 @@ object Versioned {
       colDrops: Seq[String] = Nil,
       colMapMode: Option[String] = None,
       txnHw: Seq[(String, Long)] = Nil,
-      txnSealed: Boolean = false): Seq[String] = {
+      txnSealed: Boolean = false,
+      clusterCols: Seq[String] = Nil): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -2126,7 +2168,10 @@ object Versioned {
       colDrops.distinct.map(ph => s"$ColDropHeader${enc(ph)}") ++
       colMapMode.map(md => s"$ColMapModeHeader$md").toSeq ++
       txnHw.map { case (a, b) => s"$TxnHwHeader${enc(a)}\t$b" } ++
-      (if (txnSealed) Seq(s"${TxnSealHeader}1") else Nil)
+      (if (txnSealed) Seq(s"${TxnSealHeader}1") else Nil) ++
+      (if (clusterCols.isEmpty) Nil
+       else Seq(clusterCols.distinct.map(enc)
+         .mkString(ClusterColsHeader, "\t", "")))
   }
 
   /** Compare-and-swap publish of `lines` as version `next`: true iff
@@ -2160,7 +2205,8 @@ object Versioned {
       ckptEveryOverride: Option[Option[Int]] = None,
       colDrops: Seq[String] = Nil,
       colMapModeOverride: Option[Option[String]] = None,
-      txnHwSeed: Option[Map[String, Long]] = None): Boolean = {
+      txnHwSeed: Option[Map[String, Long]] = None,
+      clusterColsOverride: Option[Seq[String]] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -2207,9 +2253,14 @@ object Versioned {
     val txnSealed: Boolean =
       parent.map(_.txnSealed).getOrElse(next == 0) ||
         txnHwSeed.isDefined
+    // write-time clustering carries like the cadence: a declared
+    // table keeps its layout contract through every commit until an
+    // explicit re-declaration (Some(Nil) clears)
+    val clusterCols: Seq[String] = clusterColsOverride
+      .getOrElse(parent.map(_.clusterCols).getOrElse(Nil))
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
       checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
-      colDrops, colMapMode, txnHw, txnSealed) ++
+      colDrops, colMapMode, txnHw, txnSealed, clusterCols) ++
       // the feature gate derives from the FULL state this version
       // publishes (headers are authoritative per version, delta or
       // snapshot alike): no gated feature in play → no gate lines
@@ -2516,7 +2567,24 @@ object Versioned {
     // catch a physical-name collision BEFORE staging: the write-side
     // rename would otherwise produce two columns with one name
     guardColMap(df.schema, stageMap, stageDrops)
-    var newFiles = stage(spark, dir, df, measuredStats, stageMap)
+    // WRITE-TIME CLUSTERING: a table that declared
+    // `graft.cluster.cols` range-partitions + sorts THIS commit's own
+    // rows on those columns before they stage (compactCommit's
+    // clusterBy recipe at append time), so per-file min/max stats are
+    // born disjoint and [[readPruned]] plans O(matching files) from
+    // the first insert — no OPTIMIZE pass needed to repair an
+    // append-ordered layout. A frame missing a declared column (an
+    // old writer against an evolved table) skips the step:
+    // conservative, its files' stats merely overlap until compacted.
+    val clusterPol = head0.map(_.clusterCols).getOrElse(Nil)
+    val dfLaid =
+      if (clusterPol.nonEmpty &&
+          clusterPol.forall(df.schema.fieldNames.contains)) {
+        import org.apache.spark.sql.functions.col
+        val keys = clusterPol.map(col)
+        df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      } else df
+    var newFiles = stage(spark, dir, dfLaid, measuredStats, stageMap)
     var newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg,
       stageMap)
     val uuid = newCommitUuid()
@@ -2600,7 +2668,7 @@ object Versioned {
           stageMap = headManifest.map(_.colMap).getOrElse(Nil) ++
             stageMints.filterNot(e =>
               headManifest.exists(_.colMap.exists(_._1 == e._1)))
-          newFiles = stage(spark, dir, df, measuredStats, stageMap)
+          newFiles = stage(spark, dir, dfLaid, measuredStats, stageMap)
           newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg,
             stageMap)
         }

@@ -1903,6 +1903,63 @@ object DeltaQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  // WRITE-TIME CLUSTERING (graft.cluster.cols / CREATE TABLE …
+  // CLUSTER BY — Delta's liquid-clustering declaration on this
+  // substrate): a table declared clustered on o_orderkey receives a
+  // deliberately SHUFFLED append, and the commit itself
+  // range-partitions + sorts its files (compactCommit's clusterBy
+  // recipe at append time), so per-file min/max stats are born
+  // disjoint and a narrow key window plans O(matching files) from
+  // the FIRST insert — no OPTIMIZE pass. This is the
+  // partition-column replacement: same pruning a hive partition
+  // filter gives, no small-file explosion, no partition-evolution
+  // rewrites. In-query requires pin the scale shape the oracle
+  // cannot see: on a multi-file append the narrow window plans
+  // STRICTLY fewer files than the table holds. The oracle replays
+  // the identity projection.
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-cluster-table")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // CREATE-path rule: stats tracked from birth, clustering
+      // declared before any data lands
+      Versioned.commitWithStats(s, table.toString, orders.limit(0),
+        Seq("o_orderkey"), replace = false)                      // v0
+      Versioned.setPolicy(s, table.toString,
+        clusterBy = Some(Seq("o_orderkey")))                     // v1
+      // the shuffled append: round-robin order — unclustered, every
+      // file would span the whole key space and pruning would keep
+      // all of them
+      Versioned.commit(s, table.toString, orders.repartition(8)) // v2
+      val full = Versioned.read(s, table.toString)
+      val nFiles = full.inputFiles.length
+      val bounds = orders.agg(min("o_orderkey"), max("o_orderkey"))
+        .head()
+      if (!bounds.isNullAt(0) && nFiles > 1) {
+        val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+        if (mx > mn + 8) { // a real key range to prune on
+          val lo = mn + (mx - mn) / 4
+          val hi = lo + math.max(1L, (mx - mn) / 20L)
+          val narrow = Versioned.readPruned(s, table.toString,
+            "o_orderkey", lo, hi)
+          require(narrow.inputFiles.length < nFiles,
+            s"clustered append must prune: narrow window planned " +
+              s"${narrow.inputFiles.length} of $nFiles files")
+        }
+      }
+      full.orderBy("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(table)
+  }
+
+  private val q155Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1937,7 +1994,8 @@ object DeltaQueries {
     "q151_lake_id_mapping" -> (q151 _),
     "q152_lake_stream_sink" -> (q152 _),
     "q153_lake_string_stats" -> (q153 _),
-    "q154_lake_stream_upsert" -> (q154 _))
+    "q154_lake_stream_upsert" -> (q154 _),
+    "q155_lake_cluster_by" -> (q155 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -1971,5 +2029,6 @@ object DeltaQueries {
     "q151_lake_id_mapping" -> q151Sql,
     "q152_lake_stream_sink" -> q152Sql,
     "q153_lake_string_stats" -> q153Sql,
-    "q154_lake_stream_upsert" -> q154Sql)
+    "q154_lake_stream_upsert" -> q154Sql,
+    "q155_lake_cluster_by" -> q155Sql)
 }

@@ -177,24 +177,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables take no hive-style partition transforms — file " +
-        "CLUSTERING plus per-file min/max stats and blooms is the " +
-        "layout lever on this substrate: declare write-time " +
-        "clustering with TBLPROPERTIES ('graft.cluster.cols'='c1,c2')" +
-        ", or re-cluster later with CALL graft.system.compact(" +
-        "cluster_by => …, zorder => …) — both give readers the same " +
-        "file pruning a partition filter would, without small-file " +
-        "explosion or partition-evolution rewrites")
+    // `CREATE TABLE … CLUSTER BY (c1, c2)` arrives as a
+    // ClusterByTransform — the one transform this substrate honors
+    // (it IS the write-time clustering policy); hive-style partition
+    // transforms keep the loud refusal
+    val clusterByDdl: Option[Seq[String]] = partitions.toSeq match {
+      case Nil => None
+      case Seq(org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(refs)) =>
+        Some(refs.map { r =>
+          require(r.fieldNames().length == 1,
+            "graft CLUSTER BY takes top-level columns only, got: " +
+              r.fieldNames().mkString("."))
+          r.fieldNames()(0)
+        })
+      case _ => throw new IllegalArgumentException(
+        "graft tables take no hive-style partition transforms — file " +
+          "CLUSTERING plus per-file min/max stats and blooms is the " +
+          "layout lever on this substrate: declare write-time " +
+          "clustering with CREATE TABLE … CLUSTER BY (c1, c2) / " +
+          "TBLPROPERTIES ('graft.cluster.cols'='c1,c2'), or " +
+          "re-cluster later with CALL graft.system.compact(" +
+          "cluster_by => …, zorder => …) — both give readers the same " +
+          "file pruning a partition filter would, without small-file " +
+          "explosion or partition-evolution rewrites")
+    }
     // TBLPROPERTIES are the file-skipping policy declaration (and
     // nothing else): unknown keys and non-parquet providers are
     // refused loudly rather than silently dropped
     val props = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty[String, String])
-    val (statCols, bloomCfg, cadence, colMapMode) =
+    val (statCols, bloomCfg, cadence, colMapMode, clusterByProp) =
       GraftTableProps.parse(props, "graft CREATE TABLE")
-    (statCols ++ bloomCfg.map(_._1)).foreach(c =>
-      require(schema.fieldNames.contains(c),
+    require(clusterByDdl.isEmpty || clusterByProp.isEmpty ||
+      clusterByDdl == clusterByProp,
+      "CLUSTER BY and TBLPROPERTIES 'graft.cluster.cols' disagree — " +
+        "declare the clustering once")
+    val clusterBy = clusterByDdl.orElse(clusterByProp)
+    (statCols ++ bloomCfg.map(_._1) ++ clusterBy.getOrElse(Nil))
+      .foreach(c => require(schema.fieldNames.contains(c),
         s"policy column '$c' is not in the declared schema " +
           schema.fieldNames.mkString("[", ", ", "]")))
     val dir = dirOf(ident)
@@ -205,10 +226,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // stats and builds blooms (commitImpl inherits table policy)
     val empty = session.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
-    if (statCols.isEmpty && bloomCfg.isEmpty)
+    // cluster columns join the stat policy from birth: v0's (possibly
+    // zero-row) file then records inverted-sentinel groups and prunes
+    // out of every window instead of being conservatively kept forever
+    val statCols0 = (statCols ++ clusterBy.getOrElse(Nil)).distinct
+    if (statCols0.isEmpty && bloomCfg.isEmpty)
       Versioned.commit(session, dir, empty)
     else
-      Versioned.commitWithIndex(session, dir, empty, statCols,
+      Versioned.commitWithIndex(session, dir, empty, statCols0,
         bloomCfg.map(_._1),
         bloomExpectedItems =
           bloomCfg.headOption.map(_._2).getOrElse(100000L),
@@ -221,6 +246,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // constraints leave, and the header every later commit carries
     cadence.foreach(n => Versioned.setPolicy(session, dir,
       manifestCheckpointEvery = Some(Some(n))))
+    // CLUSTER BY publishes before any data exists, so the FIRST
+    // insert already lands range-clustered (stats born disjoint)
+    clusterBy.foreach(cs => Versioned.setPolicy(session, dir,
+      clusterBy = Some(cs)))
     loadTable(ident)
   }
 
@@ -283,7 +312,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .mkString(", ")}); got: " +
             ((sets.keySet ++ removes) -- GraftTableProps.PolicyKeys)
               .mkString(", "))
-        val (statCols, bloomCfg, cadence, colMapMode) =
+        val (statCols, bloomCfg, cadence, colMapMode, clusterByProp) =
           GraftTableProps.parse(sets, "graft ALTER TABLE")
         val statOpt =
           if (sets.contains(GraftTableProps.StatsKey)) Some(statCols)
@@ -304,19 +333,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!removes.contains(GraftTableProps.ModeKey),
           "column-mapping mode cannot be UNSET — files already carry " +
             "uuid physical names")
+        // SET declares write-time clustering; UNSET clears it (later
+        // appends stop range-sorting; existing files keep their layout)
+        val clusterOpt: Option[Seq[String]] =
+          if (sets.contains(GraftTableProps.ClusterKey)) clusterByProp
+          else if (removes.contains(GraftTableProps.ClusterKey))
+            Some(Nil)
+          else None
         // a mode UPGRADE is its own commit; the policy halves follow
         colMapMode.foreach(m =>
           Versioned.setColumnMapping(session, dir, m))
         require(statOpt.isDefined || bloomOpt.isDefined ||
-            cadenceOpt.isDefined || colMapMode.isDefined,
+            cadenceOpt.isDefined || colMapMode.isDefined ||
+            clusterOpt.isDefined,
           "SET TBLPROPERTIES must declare " +
             s"${GraftTableProps.StatsKey}, ${GraftTableProps.BloomKey}, " +
-            s"${GraftTableProps.CadenceKey} or " +
+            s"${GraftTableProps.CadenceKey}, " +
+            s"${GraftTableProps.ClusterKey} or " +
             s"${GraftTableProps.ModeKey}")
         if (statOpt.isDefined || bloomOpt.isDefined ||
-            cadenceOpt.isDefined)
+            cadenceOpt.isDefined || clusterOpt.isDefined)
           Versioned.setPolicy(session, dir, statOpt, bloomOpt,
-            cadenceOpt)
+            cadenceOpt, clusterBy = clusterOpt)
         return loadTable(ident)
       // ALTER TABLE … RENAME COLUMN: a metadata-only commit through
       // the lake's column mapping (physical names stay on disk; time

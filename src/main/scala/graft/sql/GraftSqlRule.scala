@@ -160,15 +160,34 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if c.query.resolved => c.name match {
         case org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
             cat: GraftCatalog, ident) =>
-          require(c.partitioning.isEmpty,
-            "graft tables take no partition transforms — cluster files " +
-              "with Versioned.compactCommit(clusterBy = …) instead")
+          // CTAS … CLUSTER BY arrives as a ClusterByTransform — the
+          // one transform this substrate honors; hive partition
+          // transforms keep the loud refusal
+          val ctasClusterDdl: Option[Seq[String]] =
+            c.partitioning.toSeq match {
+              case Nil => None
+              case Seq(org.apache.spark.sql.connector.expressions
+                  .ClusterByTransform(refs)) =>
+                Some(refs.map { r =>
+                  require(r.fieldNames().length == 1,
+                    "graft CLUSTER BY takes top-level columns only, " +
+                      "got: " + r.fieldNames().mkString("."))
+                  r.fieldNames()(0)
+                })
+              case _ => throw new IllegalArgumentException(
+                "graft tables take no hive-style partition " +
+                  "transforms — declare write-time clustering with " +
+                  "CLUSTER BY (c1, c2) / TBLPROPERTIES " +
+                  "('graft.cluster.cols'='c1,c2'), or re-cluster " +
+                  "later with CALL graft.system.compact(cluster_by " +
+                  "=> …, zorder => …)")
+            }
           // a clause this command cannot honor must fail loudly, not
           // silently produce a warehouse-located parquet table.
           // TBLPROPERTIES carry the file-skipping policy declaration
           // (graft.stats.cols / graft.bloom.*) — the one table policy
           // CTAS can publish with its single data-bearing commit
-          val (statCols, bloomCfg, cadence, colMapMode) =
+          val (statCols, bloomCfg, cadence, colMapMode, clusterProp) =
             c.tableSpec match {
             case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
               require(ts.location.isEmpty && !ts.external,
@@ -181,10 +200,15 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               require(ts.options.isEmpty && ts.serde.isEmpty,
                 "graft CTAS takes no OPTIONS/SERDE")
               GraftTableProps.parse(ts.properties, "graft CTAS")
-            case _ => (Nil, Nil, None, None)
+            case _ => (Nil, Nil, None, None, None)
           }
+          require(ctasClusterDdl.isEmpty || clusterProp.isEmpty ||
+            ctasClusterDdl == clusterProp,
+            "CLUSTER BY and TBLPROPERTIES 'graft.cluster.cols' " +
+              "disagree — declare the clustering once")
           GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists,
-            statCols, bloomCfg, cadence, colMapMode)
+            statCols, bloomCfg, cadence, colMapMode,
+            ctasClusterDdl.orElse(clusterProp))
         case _ => c
       }
 
@@ -519,7 +543,8 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     statCols: Seq[String] = Nil,
     bloomCfg: Seq[(String, Long, Double)] = Nil,
     ckptEvery: Option[Int] = None,
-    colMapMode: Option[String] = None)
+    colMapMode: Option[String] = None,
+    clusterBy: Option[Seq[String]] = None)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -531,18 +556,25 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
           .mkString("."))
     }
     val df = ColumnBridge.ofRows(session, query)
-    (statCols ++ bloomCfg.map(_._1)).foreach(c =>
-      require(df.columns.contains(c),
+    (statCols ++ bloomCfg.map(_._1) ++ clusterBy.getOrElse(Nil))
+      .foreach(c => require(df.columns.contains(c),
         s"policy column '$c' is not in the CTAS query's columns " +
           df.columns.mkString("[", ", ", "]")))
-    // id-mapping CTAS: the mapping must exist BEFORE the data files
-    // stage (files must carry uuids from birth), so an id-mode CTAS
-    // publishes as declared-schema v0 -> mapping v1 -> data v2 — the
-    // CREATE TABLE + INSERT lifecycle, fused
-    colMapMode.foreach { m =>
-      Versioned.commit(session, catalog.tableDir(ident), df.limit(0))
-      Versioned.setColumnMapping(session, catalog.tableDir(ident), m)
-    }
+    // id-mapping / clustered CTAS: the policy must exist BEFORE the
+    // data files stage (files must carry uuids / the range-sorted
+    // layout from birth), so the CTAS publishes as declared-schema
+    // v0 -> policy commit(s) -> data — the CREATE TABLE + INSERT
+    // lifecycle, fused
+    if (colMapMode.isDefined || clusterBy.isDefined)
+      // cluster columns join the stat policy from birth (a zero-row
+      // v0 file records inverted-sentinel groups and prunes out)
+      Versioned.commitWithStats(session, catalog.tableDir(ident),
+        df.limit(0), (statCols ++ clusterBy.getOrElse(Nil)).distinct,
+        replace = false)
+    colMapMode.foreach(m =>
+      Versioned.setColumnMapping(session, catalog.tableDir(ident), m))
+    clusterBy.foreach(cs => Versioned.setPolicy(session,
+      catalog.tableDir(ident), clusterBy = Some(cs)))
     if (statCols.isEmpty && bloomCfg.isEmpty)
       Versioned.commit(session, catalog.tableDir(ident), df)
     else

@@ -36,8 +36,14 @@ private[graft] object GraftTableProps {
   // 'name' is the birth-name default. Declared at CREATE/CTAS or
   // upgraded by ALTER; a downgrade is refused.
   val ModeKey = "graft.colmap.mode"
+  // write-time clustering (round 17): appends range-partition + sort
+  // their own files on these columns at commit time, so per-file
+  // stats are born disjoint — the partition-column replacement on
+  // this substrate. Also declarable as `CREATE TABLE … CLUSTER BY`.
+  val ClusterKey = "graft.cluster.cols"
   val PolicyKeys: Set[String] =
-    Set(StatsKey, BloomKey, ExpectedKey, FppKey, CadenceKey, ModeKey)
+    Set(StatsKey, BloomKey, ExpectedKey, FppKey, CadenceKey, ModeKey,
+      ClusterKey)
 
   /** Keys Spark's own DDL machinery attaches; no graft meaning. */
   private val EngineKeys = Set("provider", "owner")
@@ -51,7 +57,7 @@ private[graft] object GraftTableProps {
     * comments, and a table IS its catalog-derived warehouse path. */
   def parse(props: Map[String, String], context: String)
       : (Seq[String], Seq[(String, Long, Double)], Option[Int],
-        Option[String]) = {
+        Option[String], Option[Seq[String]]) = {
     props.get("provider").foreach(p => require(
       p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
       s"graft tables store parquet; USING $p is not supported"))
@@ -94,7 +100,15 @@ private[graft] object GraftTableProps {
         s"$ModeKey must be 'id' or 'name', got '$v'")
       v
     }.filter(_ == "id") // 'name' is the default: nothing to declare
-    (statCols, bloomCols.map((_, expected, fpp)), cadence, mode)
+    val clusterBy = props.get(ClusterKey).map { _ =>
+      val cs = cols(props, ClusterKey)
+      require(cs.nonEmpty,
+        s"$ClusterKey declares at least one column; UNSET " +
+          "TBLPROPERTIES clears the clustering policy")
+      cs
+    }
+    (statCols, bloomCols.map((_, expected, fpp)), cadence, mode,
+      clusterBy)
   }
 
   private def cols(props: Map[String, String], key: String): Seq[String] =
