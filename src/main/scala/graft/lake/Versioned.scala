@@ -317,9 +317,10 @@ object Versioned {
       ckptEvery: Option[Int] = None,
       colDrops: Seq[String] = Nil,
       colMapMode: Option[String] = None,
-      txnHw: Seq[(String, Long)] = Nil,
+      txnHw: Seq[(String, Long, Option[Long])] = Nil,
       txnSealed: Boolean = false,
-      clusterCols: Seq[String] = Nil)
+      clusterCols: Seq[String] = Nil,
+      txnRetention: Option[Long] = None)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -420,9 +421,10 @@ object Versioned {
   // was retained out from under it (other writers kept committing,
   // retention swept its manifest) still finds its high-water in the
   // head and skips the replay instead of double-appending. Size is
-  // O(distinct writer identities over the table's life); a retention
-  // knob for ancient appIds is future work, like Delta's
-  // setTransactionRetentionDuration.
+  // O(distinct writer identities over the table's life) unless the
+  // `#txnretention` horizon below bounds it. Entries are
+  // `enc(appId)\tbatchId[\tlastStampMs]` — the optional third field
+  // feeds the retention sweep.
   private val TxnHwHeader = "#txnhw\t"
   // PROTOCOL / FEATURE GATE (Delta's minReaderVersion + reader
   // features, on this substrate). Unknown header ANNOTATIONS parse
@@ -467,6 +469,21 @@ object Versioned {
     if (features.isEmpty) Nil
     else s"$MinReaderHeader$CurrentReaderVersion" +:
       features.distinct.sorted.map(f => s"$FeatureHeader$f")
+
+  // LEDGER RETENTION: `#txnretention\t<ms>` — drop `#txnhw` entries
+  // whose LAST stamp is older than this horizon (Delta's
+  // setTransactionRetentionDuration). Without it the ledger grows
+  // O(distinct writer identities over the table's life) — thousands
+  // of short-lived streaming query ids (each restart-from-scratch
+  // checkpoint mints one) would bloat every header. The DOCUMENTED
+  // contract of expiry: a writer silent past the horizon that then
+  // replays an old batch re-appends — size the horizon beyond any
+  // plausible writer stall, exactly as Delta does. To support the
+  // horizon, 3-field `#txnhw` entries carry the writer's last stamp
+  // instant; 2-field (pre-retention) entries age from the first
+  // commit that republishes them under the new release —
+  // conservative: kept a full horizon from then, never dropped early.
+  private val TxnRetentionHeader = "#txnretention\t"
 
   // `#txnseal\t1` — marks the high-water map COMPLETE (it covers every
   // stamp in the table's whole history). Fresh tables are sealed from
@@ -769,10 +786,22 @@ object Versioned {
         l.stripPrefix(ColMapModeHeader).trim
     }
     val txnHw = raw.collect { case l if l.startsWith(TxnHwHeader) =>
-      val Array(app, b) = l.stripPrefix(TxnHwHeader).split('\t')
-      (java.net.URLDecoder.decode(app, "UTF-8"), b.toLong)
+      // 2-field entries predate last-stamp tracking (ts = unknown);
+      // 3-field carry the writer's last stamp instant for retention
+      l.stripPrefix(TxnHwHeader).split('\t') match {
+        case Array(app, b) =>
+          (java.net.URLDecoder.decode(app, "UTF-8"), b.toLong,
+            None: Option[Long])
+        case Array(app, b, t) =>
+          (java.net.URLDecoder.decode(app, "UTF-8"), b.toLong,
+            t.toLongOption)
+      }
     }
     val txnSealed = raw.exists(_.startsWith(TxnSealHeader))
+    val txnRetention = raw.collectFirst {
+      case l if l.startsWith(TxnRetentionHeader) =>
+        l.stripPrefix(TxnRetentionHeader).trim.toLong
+    }
     val clusterCols = raw.collectFirst {
       case l if l.startsWith(ClusterColsHeader) =>
         l.stripPrefix(ClusterColsHeader).split('\t').toSeq
@@ -784,7 +813,7 @@ object Versioned {
         chainDepth = base.map(_._2).getOrElse(0), colMap = colMap,
         ckptEvery = ckptEvery, colDrops = colDrops,
         colMapMode = colMapMode, txnHw = txnHw, txnSealed = txnSealed,
-        clusterCols = clusterCols))
+        clusterCols = clusterCols, txnRetention = txnRetention))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -1393,7 +1422,8 @@ object Versioned {
       case None => (Map.empty, true) // a fresh table: vacuously complete
       case Some(head) =>
         val hm = readHeaderOnly(fs, dir, head)
-        if (hm.txnSealed) (hm.txnHw.toMap, true)
+        if (hm.txnSealed)
+          (hm.txnHw.map(e => e._1 -> e._2).toMap, true)
         else {
           val scanned = (head to 0 by -1).iterator
             .filter(v => fs.exists(manifestPath(dir, v)))
@@ -1407,11 +1437,38 @@ object Versioned {
           // the cache forward even before sealing) — union it in at
           // max batchId per appId, or that writer's replay would
           // double-append: the exact hole the ledger exists to close.
-          (hm.txnHw.foldLeft(scanned) { case (m, (a, b)) =>
+          (hm.txnHw.foldLeft(scanned) { case (m, (a, b, _)) =>
             m.updatedWith(a)(p => Some(p.fold(b)(math.max(_, b))))
           }, false)
         }
     }
+
+  /** A user-supplied DURATION in its accepted shapes — a bare
+    * millisecond count, or `<n> <unit>` with unit ms / s|second(s) /
+    * m|min|minute(s) / h|hour(s) / d|day(s) — to milliseconds. The
+    * vocabulary of TBLPROPERTIES 'graft.txn.retention' and
+    * `set_policy(txn_retention => …)` (Delta accepts interval
+    * strings for setTransactionRetentionDuration the same way). */
+  private[graft] def parseDurationMillis(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val m = "^(\\d+)\\s*([a-z]*)$".r
+    t match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case "" | "ms" | "millis" | "milliseconds" => 1L
+          case "s" | "sec" | "second" | "seconds" => 1000L
+          case "m" | "min" | "minute" | "minutes" => 60000L
+          case "h" | "hour" | "hours" => 3600000L
+          case "d" | "day" | "days" => 86400000L
+          case u => throw new IllegalArgumentException(
+            s"unknown duration unit '$u' in '$s' — use ms/s/m/h/d")
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse duration '$s' — a millisecond count or " +
+          "'<n> <ms|s|m|h|d>'")
+    }
+  }
 
   /** The recorded HIGH-WATER batchId for `appId` — None when the
     * writer never stamped a commit. The introspection half of the
@@ -1602,8 +1659,11 @@ object Versioned {
       m.ckptEvery.map(n => s"$CkptEveryHeader$n").toSeq ++
       m.colDrops.map(ph => s"$ColDropHeader${enc(ph)}") ++
       m.colMapMode.map(md => s"$ColMapModeHeader$md").toSeq ++
-      m.txnHw.map { case (a, b) => s"$TxnHwHeader${enc(a)}\t$b" } ++
+      m.txnHw.map { case (a, b, t) =>
+        s"$TxnHwHeader${enc(a)}\t$b" + t.map("\t" + _).getOrElse("")
+      } ++
       (if (m.txnSealed) Seq(s"${TxnSealHeader}1") else Nil) ++
+      m.txnRetention.map(r => s"$TxnRetentionHeader$r").toSeq ++
       (if (m.clusterCols.isEmpty) Nil
        else Seq(m.clusterCols.map(enc)
          .mkString(ClusterColsHeader, "\t", ""))) ++
@@ -1679,11 +1739,15 @@ object Versioned {
       statCols: Option[Seq[String]] = None,
       bloomCfg: Option[Seq[(String, Long, Double)]] = None,
       manifestCheckpointEvery: Option[Option[Int]] = None,
-      clusterBy: Option[Seq[String]] = None): Int = {
+      clusterBy: Option[Seq[String]] = None,
+      txnRetention: Option[Option[Long]] = None): Int = {
     require(statCols.isDefined || bloomCfg.isDefined ||
-      manifestCheckpointEvery.isDefined || clusterBy.isDefined,
-      "setPolicy needs a stats, bloom, checkpoint-cadence, or " +
-        "clustering declaration")
+      manifestCheckpointEvery.isDefined || clusterBy.isDefined ||
+      txnRetention.isDefined,
+      "setPolicy needs a stats, bloom, checkpoint-cadence, " +
+        "clustering, or txn-retention declaration")
+    txnRetention.flatten.foreach(r => require(r > 0,
+      s"txn retention must be a positive duration in ms: $r"))
     manifestCheckpointEvery.flatten.foreach(n => require(n >= 1,
       s"manifest checkpoint cadence must be >= 1 (1 = every commit a " +
         s"snapshot): $n"))
@@ -1727,7 +1791,8 @@ object Versioned {
             parent = Some(m), commitUuid = Some(uuid),
             colMap = m.colMap, colDrops = m.colDrops,
             ckptEveryOverride = manifestCheckpointEvery,
-            clusterColsOverride = clusterBy.map(_.distinct))))
+            clusterColsOverride = clusterBy.map(_.distinct),
+            txnRetentionOverride = txnRetention)))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -2133,9 +2198,10 @@ object Versioned {
       ckptEvery: Option[Int] = None,
       colDrops: Seq[String] = Nil,
       colMapMode: Option[String] = None,
-      txnHw: Seq[(String, Long)] = Nil,
+      txnHw: Seq[(String, Long, Option[Long])] = Nil,
       txnSealed: Boolean = false,
-      clusterCols: Seq[String] = Nil): Seq[String] = {
+      clusterCols: Seq[String] = Nil,
+      txnRetention: Option[Long] = None): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -2167,8 +2233,11 @@ object Versioned {
       ckptEvery.map(n => s"$CkptEveryHeader$n").toSeq ++
       colDrops.distinct.map(ph => s"$ColDropHeader${enc(ph)}") ++
       colMapMode.map(md => s"$ColMapModeHeader$md").toSeq ++
-      txnHw.map { case (a, b) => s"$TxnHwHeader${enc(a)}\t$b" } ++
+      txnHw.map { case (a, b, t) =>
+        s"$TxnHwHeader${enc(a)}\t$b" + t.map("\t" + _).getOrElse("")
+      } ++
       (if (txnSealed) Seq(s"${TxnSealHeader}1") else Nil) ++
+      txnRetention.map(r => s"$TxnRetentionHeader$r").toSeq ++
       (if (clusterCols.isEmpty) Nil
        else Seq(clusterCols.distinct.map(enc)
          .mkString(ClusterColsHeader, "\t", "")))
@@ -2206,7 +2275,8 @@ object Versioned {
       colDrops: Seq[String] = Nil,
       colMapModeOverride: Option[Option[String]] = None,
       txnHwSeed: Option[Map[String, Long]] = None,
-      clusterColsOverride: Option[Seq[String]] = None): Boolean = {
+      clusterColsOverride: Option[Seq[String]] = None,
+      txnRetentionOverride: Option[Option[Long]] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -2238,17 +2308,39 @@ object Versioned {
     // batchId per appId. Sealed when the parent was (fresh tables
     // seal at v0 — their whole history is the map by construction)
     // or when a seed's one-time full scan just made it complete.
-    val txnHw: Seq[(String, Long)] = {
-      val acc = scala.collection.mutable.Map.empty[String, Long]
-      def fold(entries: Iterable[(String, Long)]): Unit =
-        entries.foreach { case (a, b) =>
-          acc(a) = math.max(b, acc.getOrElse(a, Long.MinValue))
+    val txnRetention: Option[Long] =
+      txnRetentionOverride.getOrElse(parent.flatMap(_.txnRetention))
+    val txnHw: Seq[(String, Long, Option[Long])] = {
+      // per appId: max batchId wins; its last-stamp instant rides
+      // along (an entry with no recorded instant — pre-retention
+      // format, or a scanned seed — ages from THIS commit: kept a
+      // full horizon from now, never dropped early)
+      val acc =
+        scala.collection.mutable.Map.empty[String, (Long, Option[Long])]
+      def fold(entries: Iterable[(String, Long, Option[Long])]): Unit =
+        entries.foreach { case (a, b, t) =>
+          acc.get(a) match {
+            case Some((b0, _)) if b0 >= b => ()
+            case _ => acc(a) = (b, t)
+          }
         }
       fold(parent.map(_.txnHw).getOrElse(Nil))
-      fold(parent.flatMap(_.txn))
-      txnHwSeed.foreach(fold)
-      fold(txn)
-      acc.toSeq.sortBy(_._1)
+      fold(parent.flatMap(_.txn).map { case (a, b) =>
+        (a, b, parent.flatMap(_.ts))
+      })
+      txnHwSeed.foreach(m => fold(m.map { case (a, b) => (a, b, None) }))
+      fold(txn.map { case (a, b) => (a, b, Some(ts)) })
+      val stamped = acc.toSeq.map { case (a, (b, t)) =>
+        (a, b, Some(t.getOrElse(ts)))
+      }
+      // the retention sweep: entries stamped before the horizon drop
+      // (their writers re-append on replay — the documented contract;
+      // this commit's own stamp carries ts and never qualifies)
+      txnRetention match {
+        case Some(r) => stamped.filter(_._3.exists(_ >= ts - r))
+          .sortBy(_._1)
+        case None => stamped.sortBy(_._1)
+      }
     }
     val txnSealed: Boolean =
       parent.map(_.txnSealed).getOrElse(next == 0) ||
@@ -2260,7 +2352,8 @@ object Versioned {
       .getOrElse(parent.map(_.clusterCols).getOrElse(Nil))
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
       checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
-      colDrops, colMapMode, txnHw, txnSealed, clusterCols) ++
+      colDrops, colMapMode, txnHw, txnSealed, clusterCols,
+      txnRetention) ++
       // the feature gate derives from the FULL state this version
       // publishes (headers are authoritative per version, delta or
       // snapshot alike): no gated feature in play → no gate lines

@@ -207,7 +207,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // refused loudly rather than silently dropped
     val props = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty[String, String])
-    val (statCols, bloomCfg, cadence, colMapMode, clusterByProp) =
+    val (statCols, bloomCfg, cadence, colMapMode, clusterByProp,
+      txnRetention) =
       GraftTableProps.parse(props, "graft CREATE TABLE")
     require(clusterByDdl.isEmpty || clusterByProp.isEmpty ||
       clusterByDdl == clusterByProp,
@@ -250,6 +251,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // insert already lands range-clustered (stats born disjoint)
     clusterBy.foreach(cs => Versioned.setPolicy(session, dir,
       clusterBy = Some(cs)))
+    txnRetention.foreach(ms => Versioned.setPolicy(session, dir,
+      txnRetention = Some(Some(ms))))
     loadTable(ident)
   }
 
@@ -312,7 +315,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .mkString(", ")}); got: " +
             ((sets.keySet ++ removes) -- GraftTableProps.PolicyKeys)
               .mkString(", "))
-        val (statCols, bloomCfg, cadence, colMapMode, clusterByProp) =
+        val (statCols, bloomCfg, cadence, colMapMode, clusterByProp,
+          txnRetentionProp) =
           GraftTableProps.parse(sets, "graft ALTER TABLE")
         val statOpt =
           if (sets.contains(GraftTableProps.StatsKey)) Some(statCols)
@@ -340,21 +344,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else if (removes.contains(GraftTableProps.ClusterKey))
             Some(Nil)
           else None
+        // SET declares a ledger-retention horizon; UNSET clears it
+        // (the ledger keeps every writer forever again)
+        val txnRetOpt: Option[Option[Long]] =
+          if (sets.contains(GraftTableProps.TxnRetentionKey))
+            Some(txnRetentionProp)
+          else if (removes.contains(GraftTableProps.TxnRetentionKey))
+            Some(None)
+          else None
         // a mode UPGRADE is its own commit; the policy halves follow
         colMapMode.foreach(m =>
           Versioned.setColumnMapping(session, dir, m))
         require(statOpt.isDefined || bloomOpt.isDefined ||
             cadenceOpt.isDefined || colMapMode.isDefined ||
-            clusterOpt.isDefined,
+            clusterOpt.isDefined || txnRetOpt.isDefined,
           "SET TBLPROPERTIES must declare " +
             s"${GraftTableProps.StatsKey}, ${GraftTableProps.BloomKey}, " +
             s"${GraftTableProps.CadenceKey}, " +
-            s"${GraftTableProps.ClusterKey} or " +
+            s"${GraftTableProps.ClusterKey}, " +
+            s"${GraftTableProps.TxnRetentionKey} or " +
             s"${GraftTableProps.ModeKey}")
         if (statOpt.isDefined || bloomOpt.isDefined ||
-            cadenceOpt.isDefined || clusterOpt.isDefined)
+            cadenceOpt.isDefined || clusterOpt.isDefined ||
+            txnRetOpt.isDefined)
           Versioned.setPolicy(session, dir, statOpt, bloomOpt,
-            cadenceOpt, clusterBy = clusterOpt)
+            cadenceOpt, clusterBy = clusterOpt,
+            txnRetention = txnRetOpt)
         return loadTable(ident)
       // ALTER TABLE … RENAME COLUMN: a metadata-only commit through
       // the lake's column mapping (physical names stay on disk; time

@@ -282,14 +282,17 @@ final case class TxnVersionProcedure(catalog: GraftCatalog)
 
 /** `CALL graft.system.set_policy('db.t' [, stats_cols => 'a,b']
   * [, bloom_cols => 'id'] [, bloom_expected => N]
-  * [, bloom_fpp => f] [, checkpoint_every => n])` →
-  * [[Versioned.setPolicy]]: re-declare the file-skipping policy
-  * and/or the manifest-checkpoint cadence as a metadata commit — the
-  * CALL twin of `ALTER TABLE … SET TBLPROPERTIES`, for consumers
-  * whose SQL gateway cannot issue DDL. A NULL (omitted) argument
-  * keeps that half of the declaration; an EMPTY string clears a
-  * column list; `checkpoint_every => 0` clears the cadence back to
-  * the process default. Returns the policy commit's version. */
+  * [, bloom_fpp => f] [, checkpoint_every => n]
+  * [, cluster_by => 'c1,c2'] [, txn_retention => '30 days'])` →
+  * [[Versioned.setPolicy]]: re-declare the file-skipping policy,
+  * the manifest-checkpoint cadence, the write-time clustering
+  * columns, and/or the txn-ledger retention horizon as a metadata
+  * commit — the CALL twin of `ALTER TABLE … SET TBLPROPERTIES`, for
+  * consumers whose SQL gateway cannot issue DDL. A NULL (omitted)
+  * argument keeps that half of the declaration; an EMPTY string
+  * clears a column list (or the retention horizon);
+  * `checkpoint_every => 0` clears the cadence back to the process
+  * default. Returns the policy commit's version. */
 final case class SetPolicyProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
   override def name(): String = "set_policy"
@@ -309,7 +312,11 @@ final case class SetPolicyProcedure(catalog: GraftCatalog)
       org.apache.spark.sql.types.DoubleType)
       .defaultValue("CAST(NULL AS DOUBLE)").build(),
     ProcedureParameter.in("checkpoint_every", IntegerType)
-      .defaultValue("CAST(NULL AS INT)").build())
+      .defaultValue("CAST(NULL AS INT)").build(),
+    ProcedureParameter.in("cluster_by", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build(),
+    ProcedureParameter.in("txn_retention", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build())
   override def call(input: InternalRow): util.Iterator[Scan] = {
     def cols(i: Int): Option[Seq[String]] =
       if (input.isNullAt(i)) None
@@ -335,11 +342,24 @@ final case class SetPolicyProcedure(catalog: GraftCatalog)
       if (input.isNullAt(5)) None
       else if (input.getInt(5) == 0) Some(None)
       else Some(Some(input.getInt(5)))
-    require(stats.isDefined || blooms.isDefined || cadence.isDefined,
-      "set_policy needs stats_cols, bloom_cols, or checkpoint_every " +
-        "(NULL keeps, '' / 0 clears)")
+    // NULL keeps the clustering declaration, '' clears it
+    val clusterBy = cols(6)
+    // NULL keeps the retention horizon, '' clears it (ledger keeps
+    // every writer), a duration string declares it
+    val txnRetention: Option[Option[Long]] =
+      if (input.isNullAt(7)) None
+      else {
+        val raw = input.getUTF8String(7).toString.trim
+        if (raw.isEmpty) Some(None)
+        else Some(Some(Versioned.parseDurationMillis(raw)))
+      }
+    require(stats.isDefined || blooms.isDefined || cadence.isDefined ||
+        clusterBy.isDefined || txnRetention.isDefined,
+      "set_policy needs stats_cols, bloom_cols, checkpoint_every, " +
+        "cluster_by, or txn_retention (NULL keeps, '' / 0 clears)")
     val v = Versioned.setPolicy(session,
-      dirOf(input.getUTF8String(0).toString), stats, blooms, cadence)
+      dirOf(input.getUTF8String(0).toString), stats, blooms, cadence,
+      clusterBy = clusterBy, txnRetention = txnRetention)
     result(StructType(Seq(StructField("version", IntegerType,
       nullable = false))), Array[Any](v))
   }

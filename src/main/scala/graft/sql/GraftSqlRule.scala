@@ -187,7 +187,8 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           // TBLPROPERTIES carry the file-skipping policy declaration
           // (graft.stats.cols / graft.bloom.*) — the one table policy
           // CTAS can publish with its single data-bearing commit
-          val (statCols, bloomCfg, cadence, colMapMode, clusterProp) =
+          val (statCols, bloomCfg, cadence, colMapMode, clusterProp,
+            ctasTxnRet) =
             c.tableSpec match {
             case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
               require(ts.location.isEmpty && !ts.external,
@@ -200,7 +201,7 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               require(ts.options.isEmpty && ts.serde.isEmpty,
                 "graft CTAS takes no OPTIONS/SERDE")
               GraftTableProps.parse(ts.properties, "graft CTAS")
-            case _ => (Nil, Nil, None, None, None)
+            case _ => (Nil, Nil, None, None, None, None)
           }
           require(ctasClusterDdl.isEmpty || clusterProp.isEmpty ||
             ctasClusterDdl == clusterProp,
@@ -208,7 +209,7 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               "disagree — declare the clustering once")
           GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists,
             statCols, bloomCfg, cadence, colMapMode,
-            ctasClusterDdl.orElse(clusterProp))
+            ctasClusterDdl.orElse(clusterProp), ctasTxnRet)
         case _ => c
       }
 
@@ -544,7 +545,8 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     bloomCfg: Seq[(String, Long, Double)] = Nil,
     ckptEvery: Option[Int] = None,
     colMapMode: Option[String] = None,
-    clusterBy: Option[Seq[String]] = None)
+    clusterBy: Option[Seq[String]] = None,
+    txnRetention: Option[Long] = None)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -587,6 +589,8 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     // policy commit, same as CREATE TABLE's route
     ckptEvery.foreach(n => Versioned.setPolicy(session,
       catalog.tableDir(ident), manifestCheckpointEvery = Some(Some(n))))
+    txnRetention.foreach(ms => Versioned.setPolicy(session,
+      catalog.tableDir(ident), txnRetention = Some(Some(ms))))
     Seq.empty
   }
 }

@@ -41,9 +41,14 @@ private[graft] object GraftTableProps {
   // stats are born disjoint — the partition-column replacement on
   // this substrate. Also declarable as `CREATE TABLE … CLUSTER BY`.
   val ClusterKey = "graft.cluster.cols"
+  // txn-ledger retention (round 17): drop #txnhw entries whose last
+  // stamp is older than this horizon (a duration: '30 days', '12h',
+  // or bare ms). An expired writer's replay re-appends — size past
+  // any plausible stall. UNSET clears (ledger keeps every writer).
+  val TxnRetentionKey = "graft.txn.retention"
   val PolicyKeys: Set[String] =
     Set(StatsKey, BloomKey, ExpectedKey, FppKey, CadenceKey, ModeKey,
-      ClusterKey)
+      ClusterKey, TxnRetentionKey)
 
   /** Keys Spark's own DDL machinery attaches; no graft meaning. */
   private val EngineKeys = Set("provider", "owner")
@@ -57,7 +62,7 @@ private[graft] object GraftTableProps {
     * comments, and a table IS its catalog-derived warehouse path. */
   def parse(props: Map[String, String], context: String)
       : (Seq[String], Seq[(String, Long, Double)], Option[Int],
-        Option[String], Option[Seq[String]]) = {
+        Option[String], Option[Seq[String]], Option[Long]) = {
     props.get("provider").foreach(p => require(
       p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
       s"graft tables store parquet; USING $p is not supported"))
@@ -107,8 +112,13 @@ private[graft] object GraftTableProps {
           "TBLPROPERTIES clears the clustering policy")
       cs
     }
+    val txnRetention = props.get(TxnRetentionKey).map { v =>
+      val ms = graft.lake.Versioned.parseDurationMillis(v)
+      require(ms > 0, s"$TxnRetentionKey must be a positive duration")
+      ms
+    }
     (statCols, bloomCols.map((_, expected, fpp)), cadence, mode,
-      clusterBy)
+      clusterBy, txnRetention)
   }
 
   private def cols(props: Map[String, String], key: String): Seq[String] =

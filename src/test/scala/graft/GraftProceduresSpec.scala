@@ -275,6 +275,46 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("txn retention declares through TBLPROPERTIES and CALL " +
+      "set_policy as a carried #txnretention header; durations parse") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.tr (id BIGINT) " +
+        "TBLPROPERTIES ('graft.txn.retention'='30 days')")
+      val dir = s"$wh/db/tr"
+      def header(): String = {
+        val head = Versioned.latestVersion(s, dir).get
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "_manifest",
+            f"v$head%05d.txt")), "UTF-8")
+      }
+      assert(header().contains("#txnretention\t2592000000"), header())
+      // carried through plain commits like any policy
+      s.sql("INSERT INTO graft.db.tr VALUES (1)")
+      assert(header().contains("#txnretention\t2592000000"))
+      // CALL set_policy re-declares with a different unit spelling
+      s.sql("CALL graft.system.set_policy('db.tr', " +
+        "txn_retention => '12h')")
+      assert(header().contains("#txnretention\t43200000"), header())
+      // '' clears back to keep-forever; ALTER UNSET is its DDL twin
+      s.sql("CALL graft.system.set_policy('db.tr', txn_retention => '')")
+      assert(!header().contains("#txnretention"), header())
+      s.sql("ALTER TABLE graft.db.tr SET TBLPROPERTIES " +
+        "('graft.txn.retention'='90 minutes')")
+      assert(header().contains("#txnretention\t5400000"), header())
+      s.sql("ALTER TABLE graft.db.tr UNSET TBLPROPERTIES " +
+        "('graft.txn.retention')")
+      assert(!header().contains("#txnretention"), header())
+      // junk durations refuse loudly
+      val e = intercept[Exception](s.sql(
+        "CALL graft.system.set_policy('db.tr', " +
+          "txn_retention => 'fortnight')").collect())
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("duration"))), e.getMessage)
+    }
+  }
+
   test("CALL compact(cluster_by, zorder) is the Scala clustered " +
       "rewrite, manifest-equal") {
     withCatalogSession { (s, wh) =>
@@ -352,8 +392,8 @@ class GraftProceduresSpec extends SparkSuite {
         s.sql("CALL graft.system.set_policy('db.sp')"))
       assert(Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).exists(t => Option(t.getMessage)
-          .exists(_.contains("stats_cols, bloom_cols, or " +
-            "checkpoint_every"))),
+          .exists(_.contains("stats_cols, bloom_cols, " +
+            "checkpoint_every, cluster_by, or txn_retention"))),
         e.getMessage)
       // sizing a CLEARED index (bloom_cols => '') is the same silent
       // drop as sizing an omitted one — both refuse

@@ -386,6 +386,66 @@ class VersionedEvolutionSpec extends SparkSuite {
       "cached-writer", 8L).isDefined)
   }
 
+  test("#txnhw retention horizon bounds the ledger under writer " +
+      "churn: silent-past-horizon identities drop (their replay " +
+      "re-appends — the documented contract), a live writer still " +
+      "stamp-skips") {
+    val dir = tmpDir() + "/txn-ret"
+    def hwLines(): Seq[String] = {
+      val head = Versioned.latestVersion(spark, dir).get
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+          dir, "_manifest", f"v$head%05d.txt"))).asScala.toSeq
+        .filter(_.startsWith("#txnhw\t"))
+    }
+    // writer churn: short-lived identities stamp once each (the
+    // restart-from-scratch-checkpoint shape that mints fresh query
+    // ids) — without a horizon every one lives in every header forever
+    for (i <- 0 until 6)
+      Versioned.idempotentCommit(spark, dir,
+        base(i * 2, i * 2 + 1), s"churn-$i", 0L)
+    assert(hwLines().size == 6, hwLines())
+    assert(Versioned.txnHighWater(spark, dir, "churn-0").contains(0L))
+    // a 1 ms horizon: every already-aged identity sweeps on the next
+    // commit's republish
+    Thread.sleep(5)
+    Versioned.setPolicy(spark, dir, txnRetention = Some(Some(1L)))
+    Thread.sleep(5)
+    assert(Versioned.idempotentCommit(spark, dir, base(50, 51),
+      "live-writer", 3L).isDefined)
+    // bounded: only the live writer survives in the header
+    assert(hwLines().size == 1 && hwLines().head.contains("live-writer"),
+      hwLines())
+    assert(Versioned.txnHighWater(spark, dir, "churn-0").isEmpty)
+    // the live writer's replay still stamp-skips (a skip publishes
+    // nothing, so its head entry is intact however old)
+    assert(Versioned.idempotentCommit(spark, dir, base(50, 51),
+      "live-writer", 3L).isEmpty)
+    // the DOCUMENTED expiry contract: an identity silent past the
+    // horizon re-appends on replay — size the horizon past any
+    // plausible writer stall (Delta's setTransactionRetentionDuration
+    // makes exactly this trade)
+    val before = Versioned.read(spark, dir).count()
+    assert(Versioned.idempotentCommit(spark, dir, base(0, 1),
+      "churn-0", 0L).isDefined)
+    assert(Versioned.read(spark, dir).count() == before + 1)
+    // sustained churn stays bounded: each new identity's commit
+    // sweeps the aged ones
+    for (i <- 0 until 8) {
+      Thread.sleep(3)
+      Versioned.idempotentCommit(spark, dir,
+        base(100 + i, 101 + i), s"churn2-$i", 0L)
+    }
+    assert(hwLines().size <= 2,
+      s"ledger must stay bounded under churn: ${hwLines()}")
+    // UNSET returns to keep-forever
+    Versioned.setPolicy(spark, dir, txnRetention = Some(None))
+    for (i <- 0 until 3)
+      Versioned.idempotentCommit(spark, dir,
+        base(200 + i, 201 + i), s"keep-$i", 0L)
+    assert(hwLines().count(_.contains("keep-")) == 3)
+  }
+
   // -------------------------------------------------- CHECK constraints
 
   test("addCheck gates every later writer: FALSE rejects the commit, " +
