@@ -134,10 +134,44 @@ object ManifestBench {
         txnResults += (s"""{"versions":$n,""" +
           f""""sealed_ms":$sealedMs%.3f,"scan_ms":$scanMs%.3f}""")
       }
+      // ledger-retention series (round 17): per-commit header bytes
+      // under WRITER CHURN — n distinct stamped identities in the
+      // head's #txnhw map (the synthetic entries are byte-valid,
+      // ancient-stamped 3-field lines, so the fold under test is
+      // exactly production's) — with and without a retention
+      // horizon. Without one every commit republishes all n entries
+      // forever; with one the first commit's sweep bounds the header
+      // to the writers active within the horizon.
+      val ledgerResults = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (n <- Seq(100, 1000, 10000)) {
+        val dir = s"$root/ledger$n"
+        graft.lake.Versioned.commit(spark, dir,
+          Seq((1L, "a")).toDF("id", "s").coalesce(1))
+        val mdir = java.nio.file.Paths.get(dir, "_manifest")
+        val headPath = mdir.resolve("v00000.txt")
+        val lines = new String(java.nio.file.Files
+          .readAllBytes(headPath), "UTF-8").linesIterator.toSeq
+        val (hdr, data) = lines.span(_.startsWith("#"))
+        val churn = (0 until n).map(i => s"#txnhw\tw$i\t3\t1000")
+        java.nio.file.Files.write(headPath,
+          (hdr ++ churn ++ Seq("#txnseal\t1") ++ data)
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+        val one = Seq((2L, "b")).toDF("id", "s").coalesce(1)
+        val vNo = graft.lake.Versioned.commit(spark, dir, one)
+        val noRetention = manifestBytes(dir, vNo)
+        graft.lake.Versioned.setPolicy(spark, dir,
+          txnRetention = Some(Some(3600000L))) // 1 h horizon
+        val vYes = graft.lake.Versioned.commit(spark, dir, one)
+        val withRetention = manifestBytes(dir, vYes)
+        ledgerResults += (s"""{"writers":$n,""" +
+          s""""no_retention_bytes":$noRetention,""" +
+          s""""retention_bytes":$withRetention}""")
+      }
       println(s"""{"metric":"manifest_commit","appends":$appends,""" +
         s""""series":[${results.mkString(",")}],""" +
         s""""head_series":[${headResults.mkString(",")}],""" +
-        s""""txn_series":[${txnResults.mkString(",")}]}""")
+        s""""txn_series":[${txnResults.mkString(",")}],""" +
+        s""""ledger_series":[${ledgerResults.mkString(",")}]}""")
     } finally {
       graft.queries.Q.deleteRecursively(root)
       spark.stop()

@@ -1605,6 +1605,26 @@ object Versioned {
       .flatMap(v =>
         readManifest(fileSystem(spark, dir), dir, v).ckptEvery)
 
+  /** The table's declared WRITE-TIME CLUSTERING columns at `version`
+    * (default head); empty when none. Set/cleared via [[setPolicy]] /
+    * `CREATE TABLE … CLUSTER BY` / TBLPROPERTIES
+    * `graft.cluster.cols`. */
+  def clusterPolicy(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[String] =
+    version.orElse(latestVersion(spark, dir))
+      .map(v => readManifest(fileSystem(spark, dir), dir, v).clusterCols)
+      .getOrElse(Nil)
+
+  /** The table's declared txn-ledger RETENTION horizon in ms at
+    * `version` (default head); None = keep every writer forever.
+    * Set/cleared via [[setPolicy]] / TBLPROPERTIES
+    * `graft.txn.retention`. */
+  def txnRetentionPolicy(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Option[Long] =
+    version.orElse(latestVersion(spark, dir))
+      .flatMap(v =>
+        readManifest(fileSystem(spark, dir), dir, v).txnRetention)
+
   /** Both halves of the declared file-skipping policy at `version`
     * (default head) from ONE manifest read: `(stat columns, bloom
     * config)` — what DESCRIBE / SHOW TBLPROPERTIES consult; separate

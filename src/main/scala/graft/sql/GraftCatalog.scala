@@ -641,7 +641,13 @@ final case class GraftTable(fullName: String, dir: String,
       Versioned.manifestCheckpointPolicy(spark, dir, asOfVersion)
         .map(n => GraftTableProps.CadenceKey -> n.toString).toMap ++
       Versioned.columnMappingMode(spark, dir, asOfVersion)
-        .map(m => GraftTableProps.ModeKey -> m).toMap
+        .map(m => GraftTableProps.ModeKey -> m).toMap ++ {
+        val cluster = Versioned.clusterPolicy(spark, dir, asOfVersion)
+        if (cluster.isEmpty) Map.empty[String, String]
+        else Map(GraftTableProps.ClusterKey -> cluster.mkString(","))
+      } ++
+      Versioned.txnRetentionPolicy(spark, dir, asOfVersion)
+        .map(ms => GraftTableProps.TxnRetentionKey -> ms.toString).toMap
   }
 
   override def properties(): util.Map[String, String] =

@@ -302,6 +302,10 @@ class GraftProceduresSpec extends SparkSuite {
       s.sql("ALTER TABLE graft.db.tr SET TBLPROPERTIES " +
         "('graft.txn.retention'='90 minutes')")
       assert(header().contains("#txnretention\t5400000"), header())
+      // the declaration round-trips through SHOW TBLPROPERTIES
+      assert(s.sql("SHOW TBLPROPERTIES graft.db.tr").collect()
+        .exists(r => r.getString(0) == "graft.txn.retention" &&
+          r.getString(1) == "5400000"))
       s.sql("ALTER TABLE graft.db.tr UNSET TBLPROPERTIES " +
         "('graft.txn.retention')")
       assert(!header().contains("#txnretention"), header())

@@ -133,6 +133,10 @@ class VersionedClusterSpec extends SparkSuite {
       }
       assert(mLines.contains("#clustercols\tk"),
         "the clustering policy must ride the manifest header")
+      // the declaration round-trips through SHOW TBLPROPERTIES
+      assert(s.sql("SHOW TBLPROPERTIES graft.db.c").collect()
+        .exists(r => r.getString(0) == "graft.cluster.cols" &&
+          r.getString(1) == "k"))
       val narrow = Versioned.readPruned(s, dir, "k", 5L, 10L)
       assert(narrow.inputFiles.length == 1 && narrow.count() == 6,
         s"CLUSTER BY insert planned ${narrow.inputFiles.length} files")
