@@ -157,6 +157,63 @@ class GraftSinkSpec extends SparkSuite {
     }
   }
 
+  test("Update output mode reaches the sink through the catalog " +
+      "toTable route too: keyCols ride the writer options across " +
+      "the V1 fallback") {
+    spark
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val wh = tmpDir() + "/wh-upd"
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .getOrCreate()
+    try {
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.agg (s STRING, count BIGINT)")
+      val src = tmpDir() + "/upd-tot-src"
+      (0L until 4L).map(i => (i, s"g${i % 2}")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(src)
+      def run(): Unit = {
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("s",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(src)
+          .groupBy("s").count()
+          .writeStream.format("graft")
+          .outputMode("update")
+          .option("keyCols", "s")
+          .option("checkpointLocation", tmpDir() + "/upd-tot-ckpt")
+          .toTable("graft.db.agg")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      import s.implicits.{newStringEncoder, newProductEncoder}
+      assert(s.table("graft.db.agg").as[(String, Long)]
+        .collect().toMap == Map("g0" -> 2L, "g1" -> 2L))
+      // keys collide on the next batch: the rows must OVERWRITE
+      (10L until 13L).map(i => (i, "g0")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(src)
+      run()
+      assert(s.table("graft.db.agg").as[(String, Long)]
+        .collect().toMap == Map("g0" -> 5L, "g1" -> 2L),
+        "catalog-route Update must upsert, not append")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("Complete output mode: each trigger's WHOLE aggregate result " +
       "replaces the table as a stamped version — time travel renders " +
       "every trigger's rollup") {
