@@ -1640,6 +1640,23 @@ object Versioned {
       }
       .getOrElse((Nil, Nil))
 
+  /** EVERY declared table policy at `version` (default head) from ONE
+    * manifest read: `(statCols, bloomCfg, checkpointEvery,
+    * columnMappingMode, clusterCols, txnRetentionMs)` — what
+    * DESCRIBE / SHOW TBLPROPERTIES consult. Six separate accessor
+    * calls would fold the same delta chain six times. */
+  def policyBundle(spark: SparkSession, dir: String,
+      version: Option[Int] = None)
+      : (Seq[String], Seq[(String, Long, Double)], Option[Int],
+        Option[String], Seq[String], Option[Long]) =
+    version.orElse(latestVersion(spark, dir))
+      .map { v =>
+        val m = readManifest(fileSystem(spark, dir), dir, v)
+        (statColsOf(m), bloomCfgOf(m), m.ckptEvery, m.colMapMode,
+          m.clusterCols, m.txnRetention)
+      }
+      .getOrElse((Nil, Nil, None, None, Nil, None))
+
   /** Version `v`'s RECONSTRUCTED data-file lines (rel path + stats
     * groups, exactly as a snapshot manifest would list them). The
     * stable inspection surface now that a manifest FILE may be a
@@ -1797,13 +1814,16 @@ object Versioned {
       }
       // write-time clustering columns must exist, and stats must be
       // tracked on them or the born-disjoint layout prunes nothing —
-      // the declaration auto-widens the stat policy to cover them
+      // the declaration auto-widens the stat policy to cover them,
+      // and a LATER stats re-declaration keeps covering the CARRIED
+      // cluster policy (a stats_cols-only set_policy must not
+      // silently strip the cluster columns out of the stat policy)
       clusterBy.foreach(_.foreach(c =>
         require(schema.fieldNames.contains(c),
           s"cluster column '$c' is not a table column " +
             schema.fieldNames.mkString("[", ", ", "]"))))
       val withClusterStats =
-        (newStats ++ clusterBy.getOrElse(Nil)).distinct
+        (newStats ++ clusterBy.getOrElse(m.clusterCols)).distinct
       if (publishResolved(fs, dir, head + 1, uuid)(
           casPublish(fs, dir, head + 1, schema, m.lines, m.txn,
             m.checks, m.dvs, m.blooms, op = Some("set-policy"),
@@ -2350,16 +2370,25 @@ object Versioned {
       })
       txnHwSeed.foreach(m => fold(m.map { case (a, b) => (a, b, None) }))
       fold(txn.map { case (a, b) => (a, b, Some(ts)) })
-      val stamped = acc.toSeq.map { case (a, (b, t)) =>
-        (a, b, Some(t.getOrElse(ts)))
-      }
-      // the retention sweep: entries stamped before the horizon drop
-      // (their writers re-append on replay — the documented contract;
-      // this commit's own stamp carries ts and never qualifies)
+      // instants render ONLY while a retention horizon is declared:
+      // an undeclared table keeps the 2-field entries a pre-retention
+      // reader parses (byte-compat until the feature is used — the
+      // protocol-gate rule), and UNSET returns to them. Entries
+      // without an instant age from the first republish under a
+      // declared horizon — kept a full horizon from then, never
+      // dropped early.
       txnRetention match {
-        case Some(r) => stamped.filter(_._3.exists(_ >= ts - r))
-          .sortBy(_._1)
-        case None => stamped.sortBy(_._1)
+        case Some(r) =>
+          // the retention sweep: entries stamped before the horizon
+          // drop (their writers re-append on replay — the documented
+          // contract; this commit's own stamp is current and never
+          // qualifies)
+          acc.toSeq.map { case (a, (b, t)) =>
+            (a, b, Some(t.getOrElse(ts)))
+          }.filter(_._3.exists(_ >= ts - r)).sortBy(_._1)
+        case None => acc.toSeq.map { case (a, (b, _)) =>
+          (a, b, None: Option[Long])
+        }.sortBy(_._1)
       }
     }
     val txnSealed: Boolean =
@@ -2621,6 +2650,23 @@ object Versioned {
     }
   }
 
+  /** Apply the table's declared WRITE-TIME CLUSTERING to a frame a
+    * commit is about to stage — shared by the append path
+    * ([[commitImpl]]) and the upsert path ([[mergeInto]], which the
+    * Update-mode streaming sink and SQL MERGE route through), so
+    * every write honors the layout contract, not just plain inserts.
+    * A frame missing a declared column (an old-shape writer against
+    * an evolved table) skips the step: conservative, its files'
+    * stats merely overlap until the next compact. */
+  private def clusterForStage(df: DataFrame,
+      clusterCols: Seq[String]): DataFrame =
+    if (clusterCols.nonEmpty &&
+        clusterCols.forall(df.schema.fieldNames.contains)) {
+      import org.apache.spark.sql.functions.col
+      val keys = clusterCols.map(col)
+      df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    } else df
+
   private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean, statCols: Seq[String],
       txn: Option[(String, Long)] = None,
@@ -2686,17 +2732,9 @@ object Versioned {
     // clusterBy recipe at append time), so per-file min/max stats are
     // born disjoint and [[readPruned]] plans O(matching files) from
     // the first insert — no OPTIMIZE pass needed to repair an
-    // append-ordered layout. A frame missing a declared column (an
-    // old writer against an evolved table) skips the step:
-    // conservative, its files' stats merely overlap until compacted.
-    val clusterPol = head0.map(_.clusterCols).getOrElse(Nil)
-    val dfLaid =
-      if (clusterPol.nonEmpty &&
-          clusterPol.forall(df.schema.fieldNames.contains)) {
-        import org.apache.spark.sql.functions.col
-        val keys = clusterPol.map(col)
-        df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
-      } else df
+    // append-ordered layout.
+    val dfLaid = clusterForStage(df,
+      head0.map(_.clusterCols).getOrElse(Nil))
     var newFiles = stage(spark, dir, dfLaid, measuredStats, stageMap)
     var newBlooms = stageBlooms(spark, dir, newFiles, measuredCfg,
       stageMap)
@@ -4011,7 +4049,8 @@ object Versioned {
         }
         val mints = mintsFor(schema,
           tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty))
-        val staged = stage(spark, dir, aligned,
+        val staged = stage(spark, dir,
+          clusterForStage(aligned, m.clusterCols),
           (statCol.toSeq ++ statColsOf(m)).distinct
             .filter(schema.fieldNames.contains), m.colMap ++ mints)
         return replaceLoop(spark, dir, staged, base,
@@ -4057,7 +4096,11 @@ object Versioned {
       }
       val mints = mintsFor(newSchema, schema.fieldNames.toSet)
       val mergeMap = m.colMap ++ mints
-      val staged = stage(spark, dir, stagedDf, inherited, mergeMap)
+      // the upsert's staged files (rewritten residue + source rows)
+      // honor the declared clustering like any append — the
+      // Update-mode sink's per-trigger merges keep stats tight
+      val staged = stage(spark, dir,
+        clusterForStage(stagedDf, m.clusterCols), inherited, mergeMap)
       val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
         mergeMap)
       replaceLoop(spark, dir, staged, base, keyCols = Some(keyCols),
@@ -5581,22 +5624,6 @@ object Versioned {
         .find(instant(_)._1 <= millis)
   }
 
-  /** The FIRST retained version whose recorded commit instant is at
-    * or after `millis` — the resolver behind the streaming source's
-    * `startingTimestamp` anchor ("start from this instant": a
-    * timestamp BETWEEN two commits anchors at the next version; an
-    * exact hit anchors at it). STRICT: consults recorded `#ts`
-    * instants only, and any legacy (pre-`#ts`) manifest consulted
-    * refuses loudly — a stream anchored on a best-effort file mtime
-    * could silently skip or duplicate commits, which `TIMESTAMP AS
-    * OF`'s read-once tolerance does not excuse here. A `millis`
-    * before the retention floor anchors at the floor (everything
-    * retained is at-or-after it); None when every retained instant is
-    * BEFORE `millis` — the caller refuses "timestamp after the last
-    * commit". Cost: O(log head) header-only reads (instants are
-    * write-monotonic with versions; the floor binary-searches on
-    * exists() like [[versionAsOfTimestamp]]).
-    */
   /** The retention floor below `head`: the oldest version whose
     * manifest still exists. Retained versions form one dense suffix
     * ([[expire]] sweeps a prefix and the dense-version invariant holds
@@ -5623,6 +5650,22 @@ object Versioned {
     latestVersion(spark, dir).map(retentionFloor(fs, dir, _))
   }
 
+  /** The FIRST retained version whose recorded commit instant is at
+    * or after `millis` — the resolver behind the streaming source's
+    * `startingTimestamp` anchor ("start from this instant": a
+    * timestamp BETWEEN two commits anchors at the next version; an
+    * exact hit anchors at it). STRICT: consults recorded `#ts`
+    * instants only, and any legacy (pre-`#ts`) manifest consulted
+    * refuses loudly — a stream anchored on a best-effort file mtime
+    * could silently skip or duplicate commits, which `TIMESTAMP AS
+    * OF`'s read-once tolerance does not excuse here. A `millis`
+    * before the retention floor anchors at the floor (everything
+    * retained is at-or-after it); None when every retained instant is
+    * BEFORE `millis` — the caller refuses "timestamp after the last
+    * commit". Cost: O(log head) header-only reads (instants are
+    * write-monotonic with versions; the floor binary-searches on
+    * exists() like [[versionAsOfTimestamp]]).
+    */
   def versionAtOrAfterInstant(spark: SparkSession, dir: String,
       millis: Long): Option[Int] = {
     val fs = fileSystem(spark, dir)

@@ -177,31 +177,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // `CREATE TABLE … CLUSTER BY (c1, c2)` arrives as a
-    // ClusterByTransform — the one transform this substrate honors
-    // (it IS the write-time clustering policy); hive-style partition
-    // transforms keep the loud refusal
-    val clusterByDdl: Option[Seq[String]] = partitions.toSeq match {
-      case Nil => None
-      case Seq(org.apache.spark.sql.connector.expressions
-          .ClusterByTransform(refs)) =>
-        Some(refs.map { r =>
-          require(r.fieldNames().length == 1,
-            "graft CLUSTER BY takes top-level columns only, got: " +
-              r.fieldNames().mkString("."))
-          r.fieldNames()(0)
-        })
-      case _ => throw new IllegalArgumentException(
-        "graft tables take no hive-style partition transforms — file " +
-          "CLUSTERING plus per-file min/max stats and blooms is the " +
-          "layout lever on this substrate: declare write-time " +
-          "clustering with CREATE TABLE … CLUSTER BY (c1, c2) / " +
-          "TBLPROPERTIES ('graft.cluster.cols'='c1,c2'), or " +
-          "re-cluster later with CALL graft.system.compact(" +
-          "cluster_by => …, zorder => …) — both give readers the same " +
-          "file pruning a partition filter would, without small-file " +
-          "explosion or partition-evolution rewrites")
-    }
+    val clusterByDdl = GraftTableProps.clusterByOf(partitions.toSeq,
+      "graft CREATE TABLE")
     // TBLPROPERTIES are the file-skipping policy declaration (and
     // nothing else): unknown keys and non-parquet providers are
     // refused loudly rather than silently dropped
@@ -210,11 +187,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (statCols, bloomCfg, cadence, colMapMode, clusterByProp,
       txnRetention) =
       GraftTableProps.parse(props, "graft CREATE TABLE")
-    require(clusterByDdl.isEmpty || clusterByProp.isEmpty ||
-      clusterByDdl == clusterByProp,
-      "CLUSTER BY and TBLPROPERTIES 'graft.cluster.cols' disagree — " +
-        "declare the clustering once")
-    val clusterBy = clusterByDdl.orElse(clusterByProp)
+    val clusterBy =
+      GraftTableProps.resolveClusterBy(clusterByDdl, clusterByProp)
     (statCols ++ bloomCfg.map(_._1) ++ clusterBy.getOrElse(Nil))
       .foreach(c => require(schema.fieldNames.contains(c),
         s"policy column '$c' is not in the declared schema " +
@@ -242,17 +216,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // id column mapping declares FIRST, on the still-empty table —
     // that is when every schema column can mint a uuid physical name
     colMapMode.foreach(m => Versioned.setColumnMapping(session, dir, m))
-    // a declared manifest-checkpoint cadence publishes as its own
-    // policy commit — the same audit trail inline CHECK
-    // constraints leave, and the header every later commit carries
-    cadence.foreach(n => Versioned.setPolicy(session, dir,
-      manifestCheckpointEvery = Some(Some(n))))
-    // CLUSTER BY publishes before any data exists, so the FIRST
-    // insert already lands range-clustered (stats born disjoint)
-    clusterBy.foreach(cs => Versioned.setPolicy(session, dir,
-      clusterBy = Some(cs)))
-    txnRetention.foreach(ms => Versioned.setPolicy(session, dir,
-      txnRetention = Some(Some(ms))))
+    // the declared cadence / clustering / txn-retention policies
+    // publish as ONE metadata commit before any data exists, so the
+    // FIRST insert already honors them (range-clustered files, the
+    // declared snapshot cadence) — three separate commits would
+    // triple the CAS round trips and noise the history
+    if (cadence.isDefined || clusterBy.isDefined ||
+        txnRetention.isDefined)
+      Versioned.setPolicy(session, dir,
+        manifestCheckpointEvery = cadence.map(n => Some(n)),
+        clusterBy = clusterBy,
+        txnRetention = txnRetention.map(ms => Some(ms)))
     loadTable(ident)
   }
 
@@ -630,7 +604,10 @@ final case class GraftTable(fullName: String, dir: String,
   // TBLPROPERTIES consult this and each evaluation is a manifest read
   private lazy val policyProps: Map[String, String] = {
     val spark = SparkSession.active
-    val (stats, blooms) = Versioned.policy(spark, dir, asOfVersion)
+    // ONE manifest read for every declared policy half — separate
+    // accessors would fold the same delta chain six times
+    val (stats, blooms, cadence, mode, cluster, txnRet) =
+      Versioned.policyBundle(spark, dir, asOfVersion)
     (if (stats.isEmpty) Map.empty[String, String]
      else Map(GraftTableProps.StatsKey -> stats.mkString(","))) ++
       (if (blooms.isEmpty) Map.empty[String, String]
@@ -638,16 +615,12 @@ final case class GraftTable(fullName: String, dir: String,
          GraftTableProps.BloomKey -> blooms.map(_._1).mkString(","),
          GraftTableProps.ExpectedKey -> blooms.head._2.toString,
          GraftTableProps.FppKey -> blooms.head._3.toString)) ++
-      Versioned.manifestCheckpointPolicy(spark, dir, asOfVersion)
-        .map(n => GraftTableProps.CadenceKey -> n.toString).toMap ++
-      Versioned.columnMappingMode(spark, dir, asOfVersion)
-        .map(m => GraftTableProps.ModeKey -> m).toMap ++ {
-        val cluster = Versioned.clusterPolicy(spark, dir, asOfVersion)
-        if (cluster.isEmpty) Map.empty[String, String]
-        else Map(GraftTableProps.ClusterKey -> cluster.mkString(","))
-      } ++
-      Versioned.txnRetentionPolicy(spark, dir, asOfVersion)
-        .map(ms => GraftTableProps.TxnRetentionKey -> ms.toString).toMap
+      cadence.map(n => GraftTableProps.CadenceKey -> n.toString).toMap ++
+      mode.map(m => GraftTableProps.ModeKey -> m).toMap ++
+      (if (cluster.isEmpty) Map.empty[String, String]
+       else Map(GraftTableProps.ClusterKey -> cluster.mkString(","))) ++
+      txnRet.map(ms =>
+        GraftTableProps.TxnRetentionKey -> ms.toString).toMap
   }
 
   override def properties(): util.Map[String, String] =

@@ -160,28 +160,8 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if c.query.resolved => c.name match {
         case org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
             cat: GraftCatalog, ident) =>
-          // CTAS … CLUSTER BY arrives as a ClusterByTransform — the
-          // one transform this substrate honors; hive partition
-          // transforms keep the loud refusal
-          val ctasClusterDdl: Option[Seq[String]] =
-            c.partitioning.toSeq match {
-              case Nil => None
-              case Seq(org.apache.spark.sql.connector.expressions
-                  .ClusterByTransform(refs)) =>
-                Some(refs.map { r =>
-                  require(r.fieldNames().length == 1,
-                    "graft CLUSTER BY takes top-level columns only, " +
-                      "got: " + r.fieldNames().mkString("."))
-                  r.fieldNames()(0)
-                })
-              case _ => throw new IllegalArgumentException(
-                "graft tables take no hive-style partition " +
-                  "transforms — declare write-time clustering with " +
-                  "CLUSTER BY (c1, c2) / TBLPROPERTIES " +
-                  "('graft.cluster.cols'='c1,c2'), or re-cluster " +
-                  "later with CALL graft.system.compact(cluster_by " +
-                  "=> …, zorder => …)")
-            }
+          val ctasClusterDdl = GraftTableProps.clusterByOf(
+            c.partitioning.toSeq, "graft CTAS")
           // a clause this command cannot honor must fail loudly, not
           // silently produce a warehouse-located parquet table.
           // TBLPROPERTIES carry the file-skipping policy declaration
@@ -203,13 +183,10 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               GraftTableProps.parse(ts.properties, "graft CTAS")
             case _ => (Nil, Nil, None, None, None, None)
           }
-          require(ctasClusterDdl.isEmpty || clusterProp.isEmpty ||
-            ctasClusterDdl == clusterProp,
-            "CLUSTER BY and TBLPROPERTIES 'graft.cluster.cols' " +
-              "disagree — declare the clustering once")
           GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists,
             statCols, bloomCfg, cadence, colMapMode,
-            ctasClusterDdl.orElse(clusterProp), ctasTxnRet)
+            GraftTableProps.resolveClusterBy(ctasClusterDdl,
+              clusterProp), ctasTxnRet)
         case _ => c
       }
 
@@ -566,8 +543,10 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     // data files stage (files must carry uuids / the range-sorted
     // layout from birth), so the CTAS publishes as declared-schema
     // v0 -> policy commit(s) -> data — the CREATE TABLE + INSERT
-    // lifecycle, fused
-    if (colMapMode.isDefined || clusterBy.isDefined)
+    // lifecycle, fused. Cadence/retention fold into the SAME policy
+    // commit when one happens anyway.
+    val preData = colMapMode.isDefined || clusterBy.isDefined
+    if (preData)
       // cluster columns join the stat policy from birth (a zero-row
       // v0 file records inverted-sentinel groups and prunes out)
       Versioned.commitWithStats(session, catalog.tableDir(ident),
@@ -575,8 +554,12 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
         replace = false)
     colMapMode.foreach(m =>
       Versioned.setColumnMapping(session, catalog.tableDir(ident), m))
-    clusterBy.foreach(cs => Versioned.setPolicy(session,
-      catalog.tableDir(ident), clusterBy = Some(cs)))
+    if (preData && (clusterBy.isDefined || ckptEvery.isDefined ||
+        txnRetention.isDefined))
+      Versioned.setPolicy(session, catalog.tableDir(ident),
+        manifestCheckpointEvery = ckptEvery.map(n => Some(n)),
+        clusterBy = clusterBy,
+        txnRetention = txnRetention.map(ms => Some(ms)))
     if (statCols.isEmpty && bloomCfg.isEmpty)
       Versioned.commit(session, catalog.tableDir(ident), df)
     else
@@ -585,12 +568,12 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
         bloomExpectedItems =
           bloomCfg.headOption.map(_._2).getOrElse(100000L),
         bloomFpp = bloomCfg.headOption.map(_._3).getOrElse(0.03))
-    // a declared manifest-checkpoint cadence publishes as its own
-    // policy commit, same as CREATE TABLE's route
-    ckptEvery.foreach(n => Versioned.setPolicy(session,
-      catalog.tableDir(ident), manifestCheckpointEvery = Some(Some(n))))
-    txnRetention.foreach(ms => Versioned.setPolicy(session,
-      catalog.tableDir(ident), txnRetention = Some(Some(ms))))
+    // without a pre-data policy block, cadence/retention publish as
+    // one policy commit after the data (setPolicy needs a head)
+    if (!preData && (ckptEvery.isDefined || txnRetention.isDefined))
+      Versioned.setPolicy(session, catalog.tableDir(ident),
+        manifestCheckpointEvery = ckptEvery.map(n => Some(n)),
+        txnRetention = txnRetention.map(ms => Some(ms)))
     Seq.empty
   }
 }

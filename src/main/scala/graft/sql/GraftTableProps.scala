@@ -121,6 +121,47 @@ private[graft] object GraftTableProps {
       clusterBy, txnRetention)
   }
 
+  /** `CREATE TABLE … CLUSTER BY (c1, c2)` / CTAS arrive as the ONE
+    * V2 transform this substrate honors (it IS the write-time
+    * clustering policy); hive-style partition transforms refuse
+    * loudly, naming the clustering levers. Shared by the catalog's
+    * createTable and the CTAS rule so the two DDL routes cannot
+    * diverge. */
+  def clusterByOf(
+      partitions: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      context: String): Option[Seq[String]] = partitions match {
+    case Seq() => None
+    case Seq(org.apache.spark.sql.connector.expressions
+        .ClusterByTransform(refs)) =>
+      Some(refs.map { r =>
+        require(r.fieldNames().length == 1,
+          s"$context CLUSTER BY takes top-level columns only, got: " +
+            r.fieldNames().mkString("."))
+        r.fieldNames()(0)
+      })
+    case _ => throw new IllegalArgumentException(
+      s"graft tables take no hive-style partition transforms " +
+        s"($context) — file CLUSTERING plus per-file min/max stats " +
+        "and blooms is the layout lever on this substrate: declare " +
+        "write-time clustering with CREATE TABLE … CLUSTER BY " +
+        "(c1, c2) / TBLPROPERTIES ('graft.cluster.cols'='c1,c2'), " +
+        "or re-cluster later with CALL graft.system.compact(" +
+        "cluster_by => …, zorder => …) — both give readers the same " +
+        "file pruning a partition filter would, without small-file " +
+        "explosion or partition-evolution rewrites")
+  }
+
+  /** The single clustering declaration from the DDL transform and/or
+    * the TBLPROPERTIES key — a disagreeing double declaration
+    * refuses. */
+  def resolveClusterBy(ddl: Option[Seq[String]],
+      prop: Option[Seq[String]]): Option[Seq[String]] = {
+    require(ddl.isEmpty || prop.isEmpty || ddl == prop,
+      "CLUSTER BY and TBLPROPERTIES 'graft.cluster.cols' disagree — " +
+        "declare the clustering once")
+    ddl.orElse(prop)
+  }
+
   private def cols(props: Map[String, String], key: String): Seq[String] =
     props.get(key).toSeq
       .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))

@@ -95,6 +95,56 @@ class VersionedClusterSpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 4201)
   }
 
+  test("the upsert path honors the clustering contract too: " +
+      "mergeInto on a declared table stages range-sorted files, and " +
+      "a stats-only re-declaration keeps covering the cluster columns") {
+    val dir = tmpDir() + "/wc-merge"
+    Versioned.commitWithStats(spark, dir, Seq.empty[(Long, String)]
+      .toDF("id", "s"), Seq("id"), replace = false)              // v0
+    Versioned.setPolicy(spark, dir, clusterBy = Some(Seq("id"))) // v1
+    val advisory =
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val minPart = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "1KB")
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+    try {
+      // the whole table arrives THROUGH the merge path (the
+      // Update-mode streaming sink's shape), shuffled
+      Versioned.mergeInto(spark, dir,
+        (0L until 4000L).map(i => (i, s"r$i")).toDF("id", "s")
+          .repartition(8), Seq("id"))                            // v2
+    } finally {
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        minPart)
+    }
+    val rs = ranges(dir, "id")
+    assert(rs.size >= 3, s"fixture wants several files, got $rs")
+    rs.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, "merge-staged files must be disjoint: " + rs)
+      case _ => ()
+    }
+    assert(Versioned.readPruned(spark, dir, "id", 10L, 20L)
+      .inputFiles.length == 1)
+    // a stats-only re-declaration must NOT strip the cluster columns
+    // out of the stat policy (the born-disjoint layout would stop
+    // pruning while still paying the sort)
+    Versioned.setPolicy(spark, dir, statCols = Some(Seq("s")))   // v3
+    assert(Versioned.statPolicy(spark, dir).toSet == Set("s", "id"),
+      "stat re-declaration dropped the carried cluster columns")
+    Versioned.commit(spark, dir,
+      (4000L until 4100L).map(i => (i, s"r$i")).toDF("id", "s")) // v4
+    val above = Versioned.readPruned(spark, dir, "id", 4010L, 4020L)
+    assert(above.count() == 11,
+      "post-redeclaration append lost id stats")
+  }
+
   test("CREATE TABLE … CLUSTER BY and TBLPROPERTIES declare the same " +
       "policy; INSERTs land born-clustered; UNSET clears it") {
     spark

@@ -444,6 +444,28 @@ class VersionedEvolutionSpec extends SparkSuite {
       Versioned.idempotentCommit(spark, dir,
         base(200 + i, 201 + i), s"keep-$i", 0L)
     assert(hwLines().count(_.contains("keep-")) == 3)
+    // BYTE-COMPAT RULE: the last-stamp instant (3rd field) renders
+    // ONLY while a horizon is declared — an undeclared table keeps
+    // the 2-field entries a pre-retention reader parses, and UNSET
+    // returns to them (the protocol-gate "byte-compatible until the
+    // feature is used" rule)
+    assert(hwLines().forall(_.split('\t').length == 3), // app, batch
+      s"post-UNSET entries must be 2-field: ${hwLines()}")
+  }
+
+  test("#txnhw entries stay 2-field (pre-retention byte shape) on " +
+      "tables that never declare a horizon") {
+    val dir = tmpDir() + "/txn-2field"
+    Versioned.idempotentCommit(spark, dir, base(0, 2), "w1", 0L)
+    Versioned.idempotentCommit(spark, dir, base(2, 4), "w2", 5L)
+    val head = Versioned.latestVersion(spark, dir).get
+    val hw = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        dir, "_manifest", f"v$head%05d.txt"))).asScala
+      .filter(_.startsWith("#txnhw\t"))
+    // "#txnhw" + app + batch = 3 tab-separated tokens, no instant
+    assert(hw.nonEmpty && hw.forall(_.split('\t').length == 3),
+      s"undeclared tables must keep 2-field ledger entries: $hw")
   }
 
   // -------------------------------------------------- CHECK constraints
