@@ -455,4 +455,40 @@ class VersionedDeltaManifestSpec extends SparkSuite {
         .getBytes("UTF-8"))
     intercept[Exception] { Versioned.read(spark, dir).count() }
   }
+
+  test("a rescued legacy sidecar SELF-HEALS: the next checkpoint " +
+      "re-installs it with a trailer, and expire + later commits " +
+      "proceed normally on the upgraded table") {
+    val dir = tmpDir() + "/legacy-heal"
+    for (i <- 0 until 4)
+      Versioned.commit(spark, dir,
+        Seq((i.toLong, s"r$i")).toDF("id", "s"))             // v0..v3
+    assert(Versioned.checkpointManifest(spark, dir))
+    val m = java.nio.file.Paths.get(dir, "_manifest")
+    val cp = m.resolve("v00003.ckpt.txt")
+    // the pre-trailer expire's end state: trailer-less sidecar,
+    // chain gone
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(cp), "UTF-8")
+      .split('\n').filter(_.nonEmpty)
+    java.nio.file.Files.write(cp, lines.init.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    for (v <- 0 until 3)
+      java.nio.file.Files.delete(m.resolve(f"v$v%05d.txt"))
+    // life continues on the upgraded binary: commits land …
+    Versioned.commit(spark, dir, Seq((10L, "x")).toDF("id", "s")) // v4
+    assert(Versioned.read(spark, dir).count() == 5)
+    // … a checkpoint of a delta head re-renders FROM the rescued
+    // state and installs a TRAILERED sidecar (the healing step) …
+    if (Versioned.checkpointManifest(spark, dir)) {
+      val healed = m.resolve("v00004.ckpt.txt")
+      assert(new String(java.nio.file.Files.readAllBytes(healed),
+        "UTF-8").trim.split('\n').last.startsWith("#eof\t"))
+    }
+    // … and expire (the op that writes integrity sidecars before
+    // dropping chains) runs clean over the rescued region
+    Versioned.expire(spark, dir, keepLast = 1)
+    assert(Versioned.read(spark, dir).count() == 5)
+    assert(Versioned.history(spark, dir).count() == 1L)
+  }
 }
