@@ -320,7 +320,9 @@ object Versioned {
       txnHw: Seq[(String, Long, Option[Long])] = Nil,
       txnSealed: Boolean = false,
       clusterCols: Seq[String] = Nil,
-      txnRetention: Option[Long] = None)
+      txnRetention: Option[Long] = None,
+      minWriter: Option[Int] = None,
+      writerFeatures: Seq[String] = Nil)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -462,13 +464,56 @@ object Versioned {
       (if (colMap.exists(e => e._1 != e._2) || colDrops.nonEmpty ||
         colMapMode.isDefined) Seq("column-mapping") else Nil)
 
+  // WRITER half of the protocol gate (Delta's minWriterVersion +
+  // writer features). A reader feature gates features a READ would
+  // get wrong; a WRITER feature gates contracts a commit must honor
+  // even though reading is safe — the canonical case is CHECK
+  // constraints: any binary can read a checked table correctly, but
+  // a writer that does not VALIDATE its staged rows against the
+  // declared predicates would silently break the table's data
+  // contract. So a version whose state carries write-side contracts
+  // names them, and every COMMIT refuses unknown names loudly while
+  // reads stay open ([[casPublish]] checks the parent's writer gate —
+  // the one choke point every commit path already goes through).
+  // Like the reader gate, derivation is PER VERSION from state: drop
+  // the last CHECK and the writer gate lifts.
+  private val MinWriterHeader = "#minwriter\t"
+  private val WriterFeatureHeader = "#writerfeature\t"
+  /** This engine's writer version: 1 = plain appends, 2 =
+    * writer-feature-aware. */
+  private[graft] val CurrentWriterVersion = 2
+  /** Writer features this engine implements. Reader features are
+    * implicitly writer features too (a commit reads the parent, so
+    * the reader gate already fences them); this set adds the
+    * write-side-only contracts. */
+  private[graft] val SupportedWriterFeatures: Set[String] =
+    Set("check-constraints", "cluster-by", "txn-retention")
+
+  /** The writer features version-state requires — contracts a commit
+    * must honor although reading is safe without them. CHECK
+    * constraints: staged rows must validate. cluster-by / the txn
+    * retention horizon are SOFT write contracts (an ignorant writer
+    * degrades layout / header size, never correctness) but are named
+    * so a third-party writer knows what it is opting out of. */
+  private def requiredWriterFeatures(checks: Seq[(String, String)],
+      clusterCols: Seq[String],
+      txnRetention: Option[Long]): Seq[String] =
+    (if (checks.nonEmpty) Seq("check-constraints") else Nil) ++
+      (if (clusterCols.nonEmpty) Seq("cluster-by") else Nil) ++
+      (if (txnRetention.isDefined) Seq("txn-retention") else Nil)
+
   /** Render the gate block: nothing when no feature is in play (old
-    * tables stay byte-identical), else the reader-version floor plus
-    * the sorted feature names. */
-  private def gateLines(features: Seq[String]): Seq[String] =
-    if (features.isEmpty) Nil
-    else s"$MinReaderHeader$CurrentReaderVersion" +:
-      features.distinct.sorted.map(f => s"$FeatureHeader$f")
+    * tables stay byte-identical), else the version floors plus the
+    * sorted feature names. */
+  private def gateLines(features: Seq[String],
+      writerFeatures: Seq[String] = Nil): Seq[String] =
+    (if (features.isEmpty) Nil
+     else s"$MinReaderHeader$CurrentReaderVersion" +:
+       features.distinct.sorted.map(f => s"$FeatureHeader$f")) ++
+      (if (writerFeatures.isEmpty) Nil
+       else s"$MinWriterHeader$CurrentWriterVersion" +:
+         writerFeatures.distinct.sorted
+           .map(f => s"$WriterFeatureHeader$f"))
 
   // LEDGER RETENTION: `#txnretention\t<ms>` — drop `#txnhw` entries
   // whose LAST stamp is older than this horizon (Delta's
@@ -802,6 +847,18 @@ object Versioned {
       case l if l.startsWith(TxnRetentionHeader) =>
         l.stripPrefix(TxnRetentionHeader).trim.toLong
     }
+    // the WRITER gate parses without refusing — reading a table whose
+    // write-side contracts this binary cannot honor is safe; the
+    // refusal happens at COMMIT time ([[casPublish]])
+    val minWriter = raw.collectFirst {
+      case l if l.startsWith(MinWriterHeader) =>
+        l.stripPrefix(MinWriterHeader).trim.toIntOption
+          .getOrElse(Int.MaxValue)
+    }
+    val writerFeatures = raw.collect {
+      case l if l.startsWith(WriterFeatureHeader) =>
+        l.stripPrefix(WriterFeatureHeader).trim
+    }
     val clusterCols = raw.collectFirst {
       case l if l.startsWith(ClusterColsHeader) =>
         l.stripPrefix(ClusterColsHeader).split('\t').toSeq
@@ -813,7 +870,8 @@ object Versioned {
         chainDepth = base.map(_._2).getOrElse(0), colMap = colMap,
         ckptEvery = ckptEvery, colDrops = colDrops,
         colMapMode = colMapMode, txnHw = txnHw, txnSealed = txnSealed,
-        clusterCols = clusterCols, txnRetention = txnRetention))
+        clusterCols = clusterCols, txnRetention = txnRetention,
+        minWriter = minWriter, writerFeatures = writerFeatures))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -1705,7 +1763,9 @@ object Versioned {
        else Seq(m.clusterCols.map(enc)
          .mkString(ClusterColsHeader, "\t", ""))) ++
       gateLines(requiredFeatures(m.dvs, m.colMap, m.colDrops,
-        m.colMapMode)) ++
+        m.colMapMode),
+        requiredWriterFeatures(m.checks, m.clusterCols,
+          m.txnRetention)) ++
       m.lines
   }
 
@@ -2241,7 +2301,9 @@ object Versioned {
       txnHw: Seq[(String, Long, Option[Long])] = Nil,
       txnSealed: Boolean = false,
       clusterCols: Seq[String] = Nil,
-      txnRetention: Option[Long] = None): Seq[String] = {
+      txnRetention: Option[Long] = None,
+      minWriter: Option[Int] = None,
+      writerFeatures: Seq[String] = Nil): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -2399,14 +2461,36 @@ object Versioned {
     // explicit re-declaration (Some(Nil) clears)
     val clusterCols: Seq[String] = clusterColsOverride
       .getOrElse(parent.map(_.clusterCols).getOrElse(Nil))
+    // the WRITER gate: a commit over a parent whose write-side
+    // contracts this binary does not implement must refuse BY NAME —
+    // publishing would silently drop the contract (unvalidated CHECK
+    // rows, unsorted clustered files). Reads stay open; only the
+    // commit is fenced. The current binary knows every feature it
+    // can itself write, so this trips only on future/foreign tables.
+    parent.foreach { pm =>
+      val unknownW = pm.writerFeatures.filterNot(SupportedWriterFeatures)
+      if (unknownW.nonEmpty ||
+          pm.minWriter.exists(_ > CurrentWriterVersion))
+        throw new UnsupportedTableFeatureException(
+          "cannot COMMIT to this table: it requires writer " +
+            pm.minWriter.filter(_ > CurrentWriterVersion)
+              .map(v => s"version $v (this engine writes up to " +
+                s"$CurrentWriterVersion)").getOrElse("features") +
+            (if (unknownW.isEmpty) ""
+             else unknownW.mkString(" [", ", ", "] this engine does" +
+               " not implement")) +
+            " — reading stays open; upgrade the writer (publishing" +
+            " would silently drop a write-side contract)")
+    }
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
       checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
       colDrops, colMapMode, txnHw, txnSealed, clusterCols,
       txnRetention) ++
-      // the feature gate derives from the FULL state this version
+      // the feature gates derive from the FULL state this version
       // publishes (headers are authoritative per version, delta or
       // snapshot alike): no gated feature in play → no gate lines
-      gateLines(requiredFeatures(dvs, colMap, colDrops, colMapMode))
+      gateLines(requiredFeatures(dvs, colMap, colDrops, colMapMode),
+        requiredWriterFeatures(checks, clusterCols, txnRetention))
     // delta vs snapshot: diff against the parent state by exact line
     // (a stats rewrite of a carried rel encodes as rmfile + fresh add)
     val body: Seq[String] = parent match {

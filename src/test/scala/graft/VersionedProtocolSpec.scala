@@ -83,6 +83,51 @@ class VersionedProtocolSpec extends SparkSuite {
       Seq("id", "label"))
   }
 
+  test("WRITER features gate commits but not reads: a CHECKed table " +
+      "names check-constraints, dropping the CHECK lifts it, and a " +
+      "future writer feature refuses the COMMIT by name while the " +
+      "table stays readable") {
+    val dir = tmpDir() + "/writer"
+    Versioned.commit(spark, dir,
+      (0L until 5L).map(i => (i, s"r$i")).toDF("id", "s"))
+    // reading a checked table is safe for ANY binary; writing one
+    // without validating is not — the contract names itself
+    Versioned.addCheck(spark, dir, "id_pos", "id >= 0")          // v1
+    val v1 = manifestLines(dir, 1)
+    assert(v1.contains("#minwriter\t2"), v1)
+    assert(v1.contains("#writerfeature\tcheck-constraints"), v1)
+    assert(!v1.exists(_.startsWith("#minreader\t")),
+      "CHECKs must not gate READERS — reading a checked table is safe")
+    assert(Versioned.read(spark, dir).count() == 5)
+    // per-version derivation: dropping the last CHECK lifts the gate
+    Versioned.dropCheck(spark, dir, "id_pos")                    // v2
+    assert(!manifestLines(dir, 2)
+      .exists(_.startsWith("#writerfeature\t")), manifestLines(dir, 2))
+    // clustering and the retention horizon are named write contracts
+    Versioned.setPolicy(spark, dir,
+      clusterBy = Some(Seq("id")),
+      txnRetention = Some(Some(3600000L)))                       // v3
+    val v3 = manifestLines(dir, 3)
+    assert(v3.contains("#writerfeature\tcluster-by") &&
+      v3.contains("#writerfeature\ttxn-retention"), v3)
+    // a FUTURE writer feature: reads stay open, commits refuse by name
+    val head = Versioned.latestVersion(spark, dir).get
+    val orig = manifestLines(dir, head)
+    writeManifest(dir, head,
+      Seq("#minwriter\t9", "#writerfeature\tatomic-swap") ++
+        orig.filterNot(l => l.startsWith("#minwriter\t") ||
+          l.startsWith("#writerfeature\t")))
+    assert(Versioned.read(spark, dir).count() == 5,
+      "a writer gate must never fence READS")
+    val e = intercept[Exception] {
+      Versioned.commit(spark, dir, Seq((9L, "x")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("atomic-swap") &&
+      e.getMessage.contains("COMMIT"), e.getMessage)
+    assert(Versioned.latestVersion(spark, dir).contains(head),
+      "the refused commit must publish nothing")
+  }
+
   test("a FUTURE feature refuses BY NAME on read and on commit; a " +
       "future reader-version floor refuses by number") {
     val dir = tmpDir() + "/future"
