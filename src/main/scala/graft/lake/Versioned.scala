@@ -1698,6 +1698,40 @@ object Versioned {
       }
       .getOrElse((Nil, Nil))
 
+  /** One version's FULL inspection bundle — `CALL
+    * graft.system.detail`'s row (Delta's DESCRIBE DETAIL on this
+    * substrate), from one manifest read. `sizeBytes` is None when any
+    * retained data line predates the `~b` size annotation
+    * (all-or-nothing, like the metadata row count). The feature lists
+    * are the PROTOCOL GATE the version declares: what a foreign
+    * reader/writer must implement to touch it. */
+  final case class TableDetail(version: Int, numFiles: Int,
+      sizeBytes: Option[Long], numDeletionVectors: Int,
+      checks: Seq[String], statCols: Seq[String],
+      bloomCols: Seq[String], clusterCols: Seq[String],
+      checkpointEvery: Option[Int], columnMappingMode: Option[String],
+      txnRetentionMs: Option[Long], readerFeatures: Seq[String],
+      writerFeatures: Seq[String])
+
+  /** The inspection bundle of `version` (default head). One manifest
+    * read; O(files) only in the in-memory line walk. */
+  def describeDetail(spark: SparkSession, dir: String,
+      version: Option[Int] = None): TableDetail = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version in $dir to describe"))
+    val m = readManifest(fileSystem(spark, dir), dir, v)
+    val sizes = m.lines.map(lineSizeOf)
+    TableDetail(v, m.lines.size,
+      if (sizes.nonEmpty && sizes.forall(_.isDefined))
+        Some(sizes.flatten.sum) else None,
+      m.dvs.size, m.checks.map(_._1), statColsOf(m),
+      bloomCfgOf(m).map(_._1), m.clusterCols, m.ckptEvery,
+      m.colMapMode, m.txnRetention,
+      requiredFeatures(m.dvs, m.colMap, m.colDrops, m.colMapMode),
+      requiredWriterFeatures(m.checks, m.clusterCols, m.txnRetention))
+  }
+
   /** EVERY declared table policy at `version` (default head) from ONE
     * manifest read: `(statCols, bloomCfg, checkpointEvery,
     * columnMappingMode, clusterCols, txnRetentionMs)` — what

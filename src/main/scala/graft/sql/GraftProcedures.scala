@@ -39,7 +39,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("history", "restore", "expire", "compact", "dv_debt", "pin",
-      "unpin", "set_policy", "checkpoint", "txn_version")
+      "unpin", "set_policy", "checkpoint", "txn_version", "detail")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -53,6 +53,7 @@ object GraftProcedures {
       case "set_policy" => Some(SetPolicyProcedure(catalog))
       case "checkpoint" => Some(CheckpointProcedure(catalog))
       case "txn_version" => Some(TxnVersionProcedure(catalog))
+      case "detail" => Some(DetailProcedure(catalog))
       case _ => None
     }
 }
@@ -277,6 +278,59 @@ final case class TxnVersionProcedure(catalog: GraftCatalog)
         org.apache.spark.sql.types.LongType, nullable = true))),
       Array[Any](org.apache.spark.unsafe.types.UTF8String
         .fromString(appId), hw.map(java.lang.Long.valueOf).orNull))
+  }
+}
+
+/** `CALL graft.system.detail('db.t' [, version => v])` →
+  * [[Versioned.describeDetail]]: one row of the version's inspection
+  * bundle — file/byte/DV counts, every declared policy half, and the
+  * PROTOCOL GATE (the reader/writer features a foreign engine must
+  * implement to touch the table). Delta's `DESCRIBE DETAIL` on this
+  * substrate; `size_bytes` is NULL when any retained line predates
+  * the size annotation (all-or-nothing, like the metadata row
+  * count). */
+final case class DetailProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "detail"
+  override def description(): String =
+    "one row of the version's inspection bundle: files/bytes/DVs, " +
+      "declared policies, and the protocol gate"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    ProcedureParameter.in("version", IntegerType)
+      .defaultValue("CAST(NULL AS INT)").build())
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val d = Versioned.describeDetail(session,
+      dirOf(input.getUTF8String(0).toString),
+      if (input.isNullAt(1)) None else Some(input.getInt(1)))
+    def str(xs: Seq[String]) = org.apache.spark.unsafe.types
+      .UTF8String.fromString(xs.mkString(","))
+    result(StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("size_bytes",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      StructField("num_deletion_vectors", IntegerType,
+        nullable = false),
+      StructField("checks", StringType, nullable = false),
+      StructField("stats_cols", StringType, nullable = false),
+      StructField("bloom_cols", StringType, nullable = false),
+      StructField("cluster_cols", StringType, nullable = false),
+      StructField("checkpoint_every", IntegerType, nullable = true),
+      StructField("colmap_mode", StringType, nullable = true),
+      StructField("txn_retention_ms",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      StructField("reader_features", StringType, nullable = false),
+      StructField("writer_features", StringType, nullable = false))),
+      Array[Any](d.version, d.numFiles,
+        d.sizeBytes.map(java.lang.Long.valueOf).orNull,
+        d.numDeletionVectors, str(d.checks), str(d.statCols),
+        str(d.bloomCols), str(d.clusterCols),
+        d.checkpointEvery.map(java.lang.Integer.valueOf).orNull,
+        d.columnMappingMode.map(org.apache.spark.unsafe.types
+          .UTF8String.fromString).orNull,
+        d.txnRetentionMs.map(java.lang.Long.valueOf).orNull,
+        str(d.readerFeatures), str(d.writerFeatures)))
   }
 }
 

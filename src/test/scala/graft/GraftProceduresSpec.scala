@@ -275,6 +275,39 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("CALL detail returns the version's inspection bundle: " +
+      "files/bytes/DVs, policies, and the protocol gate") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.d (k BIGINT, v STRING) " +
+        "CLUSTER BY (k) TBLPROPERTIES ('graft.bloom.cols'='v', " +
+        "'graft.txn.retention'='1 h')")
+      s.sql("INSERT INTO graft.db.d SELECT id, cast(id AS STRING) " +
+        "FROM range(100)")
+      s.sql("ALTER TABLE graft.db.d ADD CONSTRAINT k_pos CHECK (k >= 0)")
+      s.sql("DELETE FROM graft.db.d WHERE k = 7") // may be CoW or MoR
+      val r = s.sql("CALL graft.system.detail('db.d')").head()
+      val col = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getInt(col("num_files")) >= 1)
+      assert(!r.isNullAt(col("size_bytes")) &&
+        r.getLong(col("size_bytes")) > 0,
+        "modern tables carry the ~b sizes — bytes must sum")
+      assert(r.getString(col("checks")) == "k_pos")
+      assert(r.getString(col("stats_cols")).split(',').contains("k"))
+      assert(r.getString(col("bloom_cols")) == "v")
+      assert(r.getString(col("cluster_cols")) == "k")
+      assert(r.getLong(col("txn_retention_ms")) == 3600000L)
+      val wf = r.getString(col("writer_features")).split(',').toSet
+      assert(Set("check-constraints", "cluster-by", "txn-retention")
+        .subsetOf(wf), wf.toString)
+      // a historical version renders ITS OWN bundle (before the CHECK)
+      val v1 = s.sql("CALL graft.system.detail('db.d', version => 1)")
+        .head()
+      assert(v1.getString(col("checks")).isEmpty,
+        "version 1 predates the CHECK — per-version bundle")
+    }
+  }
+
   test("txn retention declares through TBLPROPERTIES and CALL " +
       "set_policy as a carried #txnretention header; durations parse") {
     withCatalogSession { (s, wh) =>
