@@ -322,7 +322,8 @@ object Versioned {
       clusterCols: Seq[String] = Nil,
       txnRetention: Option[Long] = None,
       minWriter: Option[Int] = None,
-      writerFeatures: Seq[String] = Nil)
+      writerFeatures: Seq[String] = Nil,
+      schemaEnforce: Boolean = false)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -487,7 +488,8 @@ object Versioned {
     * the reader gate already fences them); this set adds the
     * write-side-only contracts. */
   private[graft] val SupportedWriterFeatures: Set[String] =
-    Set("check-constraints", "cluster-by", "txn-retention")
+    Set("check-constraints", "cluster-by", "txn-retention",
+      "schema-enforce")
 
   /** The writer features version-state requires — contracts a commit
     * must honor although reading is safe without them. CHECK
@@ -496,11 +498,12 @@ object Versioned {
     * degrades layout / header size, never correctness) but are named
     * so a third-party writer knows what it is opting out of. */
   private def requiredWriterFeatures(checks: Seq[(String, String)],
-      clusterCols: Seq[String],
-      txnRetention: Option[Long]): Seq[String] =
+      clusterCols: Seq[String], txnRetention: Option[Long],
+      schemaEnforce: Boolean): Seq[String] =
     (if (checks.nonEmpty) Seq("check-constraints") else Nil) ++
       (if (clusterCols.nonEmpty) Seq("cluster-by") else Nil) ++
-      (if (txnRetention.isDefined) Seq("txn-retention") else Nil)
+      (if (txnRetention.isDefined) Seq("txn-retention") else Nil) ++
+      (if (schemaEnforce) Seq("schema-enforce") else Nil)
 
   /** Render the gate block: nothing when no feature is in play (old
     * tables stay byte-identical), else the version floors plus the
@@ -514,6 +517,22 @@ object Versioned {
        else s"$MinWriterHeader$CurrentWriterVersion" +:
          writerFeatures.distinct.sorted
            .map(f => s"$WriterFeatureHeader$f"))
+
+  // SCHEMA ENFORCEMENT: `#schemaenforce\t1` — the table refuses
+  // IMPLICIT schema evolution (a writer frame carrying columns the
+  // schema does not declare), Delta's schema-enforcement default as
+  // an opt-in policy on this substrate whose default is auto-evolve.
+  // At fleet scale the hazard is a typo'd or drifted upstream field
+  // silently adding a junk column that every later reader carries;
+  // under enforcement only the DECLARED route (ALTER TABLE … ADD
+  // COLUMNS / [[addColumns]]) evolves the schema. Missing columns
+  // still null-fill (old writers keep working); lossless type
+  // widening stays admitted (it loses nothing and blocks no reader).
+  // A REPLACE claims schema authority and is exempt (the
+  // truncate-and-reload shape). Carried like the cadence; named as
+  // the `schema-enforce` WRITER feature so a foreign writer knows
+  // the contract.
+  private val SchemaEnforceHeader = "#schemaenforce\t"
 
   // LEDGER RETENTION: `#txnretention\t<ms>` — drop `#txnhw` entries
   // whose LAST stamp is older than this horizon (Delta's
@@ -859,6 +878,7 @@ object Versioned {
       case l if l.startsWith(WriterFeatureHeader) =>
         l.stripPrefix(WriterFeatureHeader).trim
     }
+    val schemaEnforce = raw.exists(_.startsWith(SchemaEnforceHeader))
     val clusterCols = raw.collectFirst {
       case l if l.startsWith(ClusterColsHeader) =>
         l.stripPrefix(ClusterColsHeader).split('\t').toSeq
@@ -871,7 +891,8 @@ object Versioned {
         ckptEvery = ckptEvery, colDrops = colDrops,
         colMapMode = colMapMode, txnHw = txnHw, txnSealed = txnSealed,
         clusterCols = clusterCols, txnRetention = txnRetention,
-        minWriter = minWriter, writerFeatures = writerFeatures))
+        minWriter = minWriter, writerFeatures = writerFeatures,
+        schemaEnforce = schemaEnforce))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -1710,8 +1731,8 @@ object Versioned {
       checks: Seq[String], statCols: Seq[String],
       bloomCols: Seq[String], clusterCols: Seq[String],
       checkpointEvery: Option[Int], columnMappingMode: Option[String],
-      txnRetentionMs: Option[Long], readerFeatures: Seq[String],
-      writerFeatures: Seq[String])
+      txnRetentionMs: Option[Long], schemaEnforce: Boolean,
+      readerFeatures: Seq[String], writerFeatures: Seq[String])
 
   /** The inspection bundle of `version` (default head). One manifest
     * read; O(files) only in the in-memory line walk. */
@@ -1727,9 +1748,10 @@ object Versioned {
         Some(sizes.flatten.sum) else None,
       m.dvs.size, m.checks.map(_._1), statColsOf(m),
       bloomCfgOf(m).map(_._1), m.clusterCols, m.ckptEvery,
-      m.colMapMode, m.txnRetention,
+      m.colMapMode, m.txnRetention, m.schemaEnforce,
       requiredFeatures(m.dvs, m.colMap, m.colDrops, m.colMapMode),
-      requiredWriterFeatures(m.checks, m.clusterCols, m.txnRetention))
+      requiredWriterFeatures(m.checks, m.clusterCols, m.txnRetention,
+        m.schemaEnforce))
   }
 
   /** EVERY declared table policy at `version` (default head) from ONE
@@ -1740,14 +1762,14 @@ object Versioned {
   def policyBundle(spark: SparkSession, dir: String,
       version: Option[Int] = None)
       : (Seq[String], Seq[(String, Long, Double)], Option[Int],
-        Option[String], Seq[String], Option[Long]) =
+        Option[String], Seq[String], Option[Long], Boolean) =
     version.orElse(latestVersion(spark, dir))
       .map { v =>
         val m = readManifest(fileSystem(spark, dir), dir, v)
         (statColsOf(m), bloomCfgOf(m), m.ckptEvery, m.colMapMode,
-          m.clusterCols, m.txnRetention)
+          m.clusterCols, m.txnRetention, m.schemaEnforce)
       }
-      .getOrElse((Nil, Nil, None, None, Nil, None))
+      .getOrElse((Nil, Nil, None, None, Nil, None, false))
 
   /** Version `v`'s RECONSTRUCTED data-file lines (rel path + stats
     * groups, exactly as a snapshot manifest would list them). The
@@ -1796,10 +1818,11 @@ object Versioned {
       (if (m.clusterCols.isEmpty) Nil
        else Seq(m.clusterCols.map(enc)
          .mkString(ClusterColsHeader, "\t", ""))) ++
+      (if (m.schemaEnforce) Seq(s"${SchemaEnforceHeader}1") else Nil) ++
       gateLines(requiredFeatures(m.dvs, m.colMap, m.colDrops,
         m.colMapMode),
         requiredWriterFeatures(m.checks, m.clusterCols,
-          m.txnRetention)) ++
+          m.txnRetention, m.schemaEnforce)) ++
       m.lines
   }
 
@@ -1871,12 +1894,13 @@ object Versioned {
       bloomCfg: Option[Seq[(String, Long, Double)]] = None,
       manifestCheckpointEvery: Option[Option[Int]] = None,
       clusterBy: Option[Seq[String]] = None,
-      txnRetention: Option[Option[Long]] = None): Int = {
+      txnRetention: Option[Option[Long]] = None,
+      schemaEnforce: Option[Boolean] = None): Int = {
     require(statCols.isDefined || bloomCfg.isDefined ||
       manifestCheckpointEvery.isDefined || clusterBy.isDefined ||
-      txnRetention.isDefined,
+      txnRetention.isDefined || schemaEnforce.isDefined,
       "setPolicy needs a stats, bloom, checkpoint-cadence, " +
-        "clustering, or txn-retention declaration")
+        "clustering, txn-retention, or schema-enforcement declaration")
     txnRetention.flatten.foreach(r => require(r > 0,
       s"txn retention must be a positive duration in ms: $r"))
     manifestCheckpointEvery.flatten.foreach(n => require(n >= 1,
@@ -1926,7 +1950,8 @@ object Versioned {
             colMap = m.colMap, colDrops = m.colDrops,
             ckptEveryOverride = manifestCheckpointEvery,
             clusterColsOverride = clusterBy.map(_.distinct),
-            txnRetentionOverride = txnRetention)))
+            txnRetentionOverride = txnRetention,
+            schemaEnforceOverride = schemaEnforce)))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -2337,7 +2362,8 @@ object Versioned {
       clusterCols: Seq[String] = Nil,
       txnRetention: Option[Long] = None,
       minWriter: Option[Int] = None,
-      writerFeatures: Seq[String] = Nil): Seq[String] = {
+      writerFeatures: Seq[String] = Nil,
+      schemaEnforce: Boolean = false): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -2412,7 +2438,8 @@ object Versioned {
       colMapModeOverride: Option[Option[String]] = None,
       txnHwSeed: Option[Map[String, Long]] = None,
       clusterColsOverride: Option[Seq[String]] = None,
-      txnRetentionOverride: Option[Option[Long]] = None): Boolean = {
+      txnRetentionOverride: Option[Option[Long]] = None,
+      schemaEnforceOverride: Option[Boolean] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -2516,15 +2543,19 @@ object Versioned {
             " — reading stays open; upgrade the writer (publishing" +
             " would silently drop a write-side contract)")
     }
+    val schemaEnforce: Boolean = schemaEnforceOverride
+      .getOrElse(parent.exists(_.schemaEnforce))
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
       checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
       colDrops, colMapMode, txnHw, txnSealed, clusterCols,
       txnRetention) ++
+      (if (schemaEnforce) Seq(s"${SchemaEnforceHeader}1") else Nil) ++
       // the feature gates derive from the FULL state this version
       // publishes (headers are authoritative per version, delta or
       // snapshot alike): no gated feature in play → no gate lines
       gateLines(requiredFeatures(dvs, colMap, colDrops, colMapMode),
-        requiredWriterFeatures(checks, clusterCols, txnRetention))
+        requiredWriterFeatures(checks, clusterCols, txnRetention,
+          schemaEnforce))
     // delta vs snapshot: diff against the parent state by exact line
     // (a stats rewrite of a carried rel encodes as rmfile + fresh add)
     val body: Seq[String] = parent match {
@@ -2785,12 +2816,41 @@ object Versioned {
       df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
     } else df
 
+  /** The `graft.schema.enforce` guard: a frame carrying columns the
+    * table schema does not declare refuses — IMPLICIT evolution is
+    * exactly the typo'd-upstream-field drift the policy exists to
+    * stop. Missing columns null-fill and lossless widening stays
+    * admitted (neither changes what the schema DECLARES); the
+    * declared DDL route ([[addColumns]] / ALTER TABLE … ADD COLUMNS)
+    * stays open. */
+  private def enforceDeclaredSchema(tableSchema: StructType,
+      frameSchema: StructType, dir: String): Unit = {
+    val extra = frameSchema.fieldNames
+      .filterNot(tableSchema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"table $dir declares schema enforcement " +
+        s"('graft.schema.enforce'): implicit new column(s) " +
+        extra.mkString("[", ", ", "]") + " refused — declare them " +
+        "with ALTER TABLE … ADD COLUMNS (Versioned.addColumns), or " +
+        "UNSET the property to return to auto-evolution")
+  }
+
+  /** DECLARED schema evolution — the ALTER TABLE … ADD COLUMNS verb:
+    * commit the evolved schema as an empty append, EXEMPT from
+    * `graft.schema.enforce` (enforcement fences implicit writer
+    * drift, not reviewed DDL). */
+  private[graft] def commitDeclaredEvolution(spark: SparkSession,
+      dir: String, df: DataFrame): Int =
+    commitImpl(spark, dir, df, replace = false, statCols = Nil,
+      declaredEvolution = true)
+
   private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean, statCols: Seq[String],
       txn: Option[(String, Long)] = None,
       bloomCols: Seq[String] = Nil, bloomExpected: Long = 100000L,
       bloomFpp: Double = 0.03,
-      txnHwSeed: Option[Map[String, Long]] = None): Int = {
+      txnHwSeed: Option[Map[String, Long]] = None,
+      declaredEvolution: Boolean = false): Int = {
     val fs = fileSystem(spark, dir)
     val newCfgDecl = bloomCols.distinct.map((_, bloomExpected, bloomFpp))
     // FILE-SKIPPING POLICY IS TABLE POLICY, carried like CHECK
@@ -2942,6 +3002,10 @@ object Versioned {
             stageMap)
         }
       }
+      if (!replace && !declaredEvolution)
+        headManifest.filter(_.schemaEnforce).foreach(hm =>
+          versionSchema(spark, dir, hm).foreach(ts =>
+            enforceDeclaredSchema(ts, df.schema, dir)))
       val schema =
         if (replace) df.schema
         else headManifest.flatMap(versionSchema(spark, dir, _))
@@ -4159,6 +4223,8 @@ object Versioned {
       val tableSchema = versionSchema(spark, dir, m)
       if (m.lines.isEmpty || tableSchema.isEmpty) {
         // empty base version: pure insert, schema evolves from empty
+        if (m.schemaEnforce)
+          tableSchema.foreach(enforceDeclaredSchema(_, src.schema, dir))
         val schema = tableSchema.map(evolveSchema(_, src.schema))
           .getOrElse(src.schema)
         val aligned = tableSchema match {
@@ -4199,6 +4265,7 @@ object Versioned {
       val inherited = (matchedLines.flatMap(parseStats(_)._2.map(_._1)) ++
         statCol ++ statColsOf(m)).distinct
       // 3. rewrite matched files minus matched keys; union the source
+      if (m.schemaEnforce) enforceDeclaredSchema(schema, src.schema, dir)
       val newSchema = evolveSchema(schema, src.schema)
       val stagedDf = {
         val srcAligned = alignTo(src, newSchema)

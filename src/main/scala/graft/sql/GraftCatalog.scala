@@ -185,7 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty[String, String])
     val (statCols, bloomCfg, cadence, colMapMode, clusterByProp,
-      txnRetention) =
+      txnRetention, schemaEnforce) =
       GraftTableProps.parse(props, "graft CREATE TABLE")
     val clusterBy =
       GraftTableProps.resolveClusterBy(clusterByDdl, clusterByProp)
@@ -222,11 +222,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // declared snapshot cadence) — three separate commits would
     // triple the CAS round trips and noise the history
     if (cadence.isDefined || clusterBy.isDefined ||
-        txnRetention.isDefined)
+        txnRetention.isDefined || schemaEnforce.exists(identity))
       Versioned.setPolicy(session, dir,
         manifestCheckpointEvery = cadence.map(n => Some(n)),
         clusterBy = clusterBy,
-        txnRetention = txnRetention.map(ms => Some(ms)))
+        txnRetention = txnRetention.map(ms => Some(ms)),
+        schemaEnforce = schemaEnforce.filter(identity))
     loadTable(ident)
   }
 
@@ -290,7 +291,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             ((sets.keySet ++ removes) -- GraftTableProps.PolicyKeys)
               .mkString(", "))
         val (statCols, bloomCfg, cadence, colMapMode, clusterByProp,
-          txnRetentionProp) =
+          txnRetentionProp, schemaEnforceProp) =
           GraftTableProps.parse(sets, "graft ALTER TABLE")
         val statOpt =
           if (sets.contains(GraftTableProps.StatsKey)) Some(statCols)
@@ -326,24 +327,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else if (removes.contains(GraftTableProps.TxnRetentionKey))
             Some(None)
           else None
+        // SET 'true' declares enforcement, SET 'false' / UNSET clears
+        val enforceOpt: Option[Boolean] =
+          if (sets.contains(GraftTableProps.SchemaEnforceKey))
+            schemaEnforceProp
+          else if (removes.contains(GraftTableProps.SchemaEnforceKey))
+            Some(false)
+          else None
         // a mode UPGRADE is its own commit; the policy halves follow
         colMapMode.foreach(m =>
           Versioned.setColumnMapping(session, dir, m))
         require(statOpt.isDefined || bloomOpt.isDefined ||
             cadenceOpt.isDefined || colMapMode.isDefined ||
-            clusterOpt.isDefined || txnRetOpt.isDefined,
+            clusterOpt.isDefined || txnRetOpt.isDefined ||
+            enforceOpt.isDefined,
           "SET TBLPROPERTIES must declare " +
             s"${GraftTableProps.StatsKey}, ${GraftTableProps.BloomKey}, " +
             s"${GraftTableProps.CadenceKey}, " +
             s"${GraftTableProps.ClusterKey}, " +
-            s"${GraftTableProps.TxnRetentionKey} or " +
+            s"${GraftTableProps.TxnRetentionKey}, " +
+            s"${GraftTableProps.SchemaEnforceKey} or " +
             s"${GraftTableProps.ModeKey}")
         if (statOpt.isDefined || bloomOpt.isDefined ||
             cadenceOpt.isDefined || clusterOpt.isDefined ||
-            txnRetOpt.isDefined)
+            txnRetOpt.isDefined || enforceOpt.isDefined)
           Versioned.setPolicy(session, dir, statOpt, bloomOpt,
             cadenceOpt, clusterBy = clusterOpt,
-            txnRetention = txnRetOpt)
+            txnRetention = txnRetOpt, schemaEnforce = enforceOpt)
         return loadTable(ident)
       // ALTER TABLE … RENAME COLUMN: a metadata-only commit through
       // the lake's column mapping (physical names stay on disk; time
@@ -393,9 +403,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "DROP COLUMN — a retype rewrites history (publish a " +
           "replace commit instead); got: " + other)
     }
-    Versioned.commit(session, dir, session.createDataFrame(
-      new util.ArrayList[org.apache.spark.sql.Row](),
-      StructType(schema.fields ++ added)))
+    Versioned.commitDeclaredEvolution(session, dir,
+      session.createDataFrame(
+        new util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(schema.fields ++ added)))
     loadTable(ident)
   }
 
@@ -606,7 +617,7 @@ final case class GraftTable(fullName: String, dir: String,
     val spark = SparkSession.active
     // ONE manifest read for every declared policy half — separate
     // accessors would fold the same delta chain six times
-    val (stats, blooms, cadence, mode, cluster, txnRet) =
+    val (stats, blooms, cadence, mode, cluster, txnRet, enforce) =
       Versioned.policyBundle(spark, dir, asOfVersion)
     (if (stats.isEmpty) Map.empty[String, String]
      else Map(GraftTableProps.StatsKey -> stats.mkString(","))) ++
@@ -620,7 +631,10 @@ final case class GraftTable(fullName: String, dir: String,
       (if (cluster.isEmpty) Map.empty[String, String]
        else Map(GraftTableProps.ClusterKey -> cluster.mkString(","))) ++
       txnRet.map(ms =>
-        GraftTableProps.TxnRetentionKey -> ms.toString).toMap
+        GraftTableProps.TxnRetentionKey -> ms.toString).toMap ++
+      (if (enforce)
+        Map(GraftTableProps.SchemaEnforceKey -> "true")
+       else Map.empty[String, String])
   }
 
   override def properties(): util.Map[String, String] =

@@ -320,6 +320,7 @@ final case class DetailProcedure(catalog: GraftCatalog)
       StructField("colmap_mode", StringType, nullable = true),
       StructField("txn_retention_ms",
         org.apache.spark.sql.types.LongType, nullable = true),
+      StructField("schema_enforce", BooleanType, nullable = false),
       StructField("reader_features", StringType, nullable = false),
       StructField("writer_features", StringType, nullable = false))),
       Array[Any](d.version, d.numFiles,
@@ -330,6 +331,7 @@ final case class DetailProcedure(catalog: GraftCatalog)
         d.columnMappingMode.map(org.apache.spark.unsafe.types
           .UTF8String.fromString).orNull,
         d.txnRetentionMs.map(java.lang.Long.valueOf).orNull,
+        d.schemaEnforce,
         str(d.readerFeatures), str(d.writerFeatures)))
   }
 }

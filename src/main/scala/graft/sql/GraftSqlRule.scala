@@ -168,7 +168,7 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           // (graft.stats.cols / graft.bloom.*) — the one table policy
           // CTAS can publish with its single data-bearing commit
           val (statCols, bloomCfg, cadence, colMapMode, clusterProp,
-            ctasTxnRet) =
+            ctasTxnRet, ctasEnforce) =
             c.tableSpec match {
             case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
               require(ts.location.isEmpty && !ts.external,
@@ -181,12 +181,13 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               require(ts.options.isEmpty && ts.serde.isEmpty,
                 "graft CTAS takes no OPTIONS/SERDE")
               GraftTableProps.parse(ts.properties, "graft CTAS")
-            case _ => (Nil, Nil, None, None, None, None)
+            case _ => (Nil, Nil, None, None, None, None, None)
           }
           GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists,
             statCols, bloomCfg, cadence, colMapMode,
             GraftTableProps.resolveClusterBy(ctasClusterDdl,
-              clusterProp), ctasTxnRet)
+              clusterProp), ctasTxnRet,
+            ctasEnforce.filter(identity))
         case _ => c
       }
 
@@ -523,7 +524,8 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     ckptEvery: Option[Int] = None,
     colMapMode: Option[String] = None,
     clusterBy: Option[Seq[String]] = None,
-    txnRetention: Option[Long] = None)
+    txnRetention: Option[Long] = None,
+    schemaEnforce: Option[Boolean] = None)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -555,11 +557,12 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     colMapMode.foreach(m =>
       Versioned.setColumnMapping(session, catalog.tableDir(ident), m))
     if (preData && (clusterBy.isDefined || ckptEvery.isDefined ||
-        txnRetention.isDefined))
+        txnRetention.isDefined || schemaEnforce.isDefined))
       Versioned.setPolicy(session, catalog.tableDir(ident),
         manifestCheckpointEvery = ckptEvery.map(n => Some(n)),
         clusterBy = clusterBy,
-        txnRetention = txnRetention.map(ms => Some(ms)))
+        txnRetention = txnRetention.map(ms => Some(ms)),
+        schemaEnforce = schemaEnforce)
     if (statCols.isEmpty && bloomCfg.isEmpty)
       Versioned.commit(session, catalog.tableDir(ident), df)
     else
@@ -570,10 +573,12 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
         bloomFpp = bloomCfg.headOption.map(_._3).getOrElse(0.03))
     // without a pre-data policy block, cadence/retention publish as
     // one policy commit after the data (setPolicy needs a head)
-    if (!preData && (ckptEvery.isDefined || txnRetention.isDefined))
+    if (!preData && (ckptEvery.isDefined || txnRetention.isDefined ||
+        schemaEnforce.isDefined))
       Versioned.setPolicy(session, catalog.tableDir(ident),
         manifestCheckpointEvery = ckptEvery.map(n => Some(n)),
-        txnRetention = txnRetention.map(ms => Some(ms)))
+        txnRetention = txnRetention.map(ms => Some(ms)),
+        schemaEnforce = schemaEnforce)
     Seq.empty
   }
 }

@@ -46,9 +46,15 @@ private[graft] object GraftTableProps {
   // or bare ms). An expired writer's replay re-appends — size past
   // any plausible stall. UNSET clears (ledger keeps every writer).
   val TxnRetentionKey = "graft.txn.retention"
+  // schema enforcement (round 17): 'true' refuses IMPLICIT schema
+  // evolution — only ALTER TABLE … ADD COLUMNS evolves; a writer
+  // frame carrying undeclared columns refuses loudly (the typo'd
+  // upstream-field drift guard). UNSET / 'false' returns to the
+  // auto-evolve default.
+  val SchemaEnforceKey = "graft.schema.enforce"
   val PolicyKeys: Set[String] =
     Set(StatsKey, BloomKey, ExpectedKey, FppKey, CadenceKey, ModeKey,
-      ClusterKey, TxnRetentionKey)
+      ClusterKey, TxnRetentionKey, SchemaEnforceKey)
 
   /** Keys Spark's own DDL machinery attaches; no graft meaning. */
   private val EngineKeys = Set("provider", "owner")
@@ -62,7 +68,8 @@ private[graft] object GraftTableProps {
     * comments, and a table IS its catalog-derived warehouse path. */
   def parse(props: Map[String, String], context: String)
       : (Seq[String], Seq[(String, Long, Double)], Option[Int],
-        Option[String], Option[Seq[String]], Option[Long]) = {
+        Option[String], Option[Seq[String]], Option[Long],
+        Option[Boolean]) = {
     props.get("provider").foreach(p => require(
       p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
       s"graft tables store parquet; USING $p is not supported"))
@@ -117,8 +124,13 @@ private[graft] object GraftTableProps {
       require(ms > 0, s"$TxnRetentionKey must be a positive duration")
       ms
     }
+    val schemaEnforce = props.get(SchemaEnforceKey).map { v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"$SchemaEnforceKey must be 'true' or 'false', got '$v'")
+      v.equalsIgnoreCase("true")
+    }
     (statCols, bloomCols.map((_, expected, fpp)), cadence, mode,
-      clusterBy, txnRetention)
+      clusterBy, txnRetention, schemaEnforce)
   }
 
   /** `CREATE TABLE … CLUSTER BY (c1, c2)` / CTAS arrive as the ONE
