@@ -5209,6 +5209,34 @@ object Versioned {
     * in-flight reader outranks retention. Returns (versions dropped,
     * data files deleted).
     */
+  /** TIME-BASED retention — the VACUUM-style horizon: keep every
+    * version committed within the last `olderThanMs` milliseconds
+    * (by recorded `#ts` instant), drop the rest; the head always
+    * survives whatever the horizon says. Resolves the horizon to a
+    * version count through [[versionAtOrAfterInstant]] (strict
+    * recorded-instant semantics — a legacy pre-`#ts` manifest
+    * consulted refuses loudly rather than guessing from mtimes) and
+    * delegates to the count-based [[expire]], so pins, the
+    * chain-integrity sidecars, and the drop-then-collect ordering
+    * are identical. Returns (versions dropped, files deleted). */
+  def expireOlderThan(spark: SparkSession, dir: String,
+      olderThanMs: Long,
+      orphanGraceMs: Long = 3600000L): (Int, Int) = {
+    require(olderThanMs > 0,
+      s"olderThanMs must be a positive horizon: $olderThanMs")
+    latestVersion(spark, dir) match {
+      case None => (0, 0)
+      case Some(latest) =>
+        val cutoff = System.currentTimeMillis() - olderThanMs
+        val keepFrom =
+          versionAtOrAfterInstant(spark, dir, cutoff)
+            .getOrElse(latest) // every retained instant is older:
+                               // keep the head alone
+        expire(spark, dir, keepLast = latest - keepFrom + 1,
+          orphanGraceMs = orphanGraceMs)
+    }
+  }
+
   def expire(spark: SparkSession, dir: String, keepLast: Int,
       orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")

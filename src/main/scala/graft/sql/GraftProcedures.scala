@@ -168,12 +168,27 @@ final case class ExpireProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
   override def name(): String = "expire"
   override def description(): String =
-    "retention: drop old versions and collect unreferenced files"
-  override def parameters(): Array[ProcedureParameter] =
-    Array(param("table", StringType), param("keep_last", IntegerType))
+    "retention: drop old versions (by count or by age horizon) and " +
+      "collect unreferenced files"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    ProcedureParameter.in("keep_last", IntegerType)
+      .defaultValue("CAST(NULL AS INT)").build(),
+    ProcedureParameter.in("older_than", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build())
   override def call(input: InternalRow): util.Iterator[Scan] = {
-    val (manifests, files) = Versioned.expire(session,
-      dirOf(input.getUTF8String(0).toString), input.getInt(1))
+    val dir = dirOf(input.getUTF8String(0).toString)
+    // count-based OR age-based — exactly one (they name different
+    // cuts; silently combining them would surprise either caller)
+    require(input.isNullAt(1) != input.isNullAt(2),
+      "expire takes exactly one of keep_last => n (count-based) or " +
+        "older_than => '7 days' (age-based, by recorded commit instant)")
+    val (manifests, files) =
+      if (!input.isNullAt(1))
+        Versioned.expire(session, dir, input.getInt(1))
+      else Versioned.expireOlderThan(session, dir,
+        Versioned.parseDurationMillis(
+          input.getUTF8String(2).toString))
     result(StructType(Seq(
       StructField("manifests_dropped", IntegerType, nullable = false),
       StructField("files_deleted", IntegerType, nullable = false))),

@@ -308,6 +308,54 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("expire by AGE horizon (older_than): versions whose recorded " +
+      "instants predate it drop, the head always survives, and the " +
+      "two cut forms are mutually exclusive") {
+    withCatalogSession { (s, wh) =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.age AS SELECT id FROM range(3)") // v0
+      Thread.sleep(30)
+      s.sql("INSERT INTO graft.db.age VALUES (10)")                 // v1
+      Thread.sleep(30)
+      s.sql("INSERT INTO graft.db.age VALUES (20)")                 // v2
+      Thread.sleep(30)
+      s.sql("INSERT INTO graft.db.age VALUES (30)")                 // v3
+      val dir = s"$wh/db/age"
+      val ts = Versioned.history(s, dir)
+        .select("version", "ts_millis").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // a far horizon keeps everything
+      assert(s.sql("CALL graft.system.expire('db.age', " +
+        "older_than => '1 h')").head().getInt(0) == 0)
+      assert(Versioned.oldestRetainedVersion(s, dir).contains(0))
+      // a horizon cutting between v1 and v2 drops exactly v0, v1
+      val horizon = System.currentTimeMillis() - ts(2) + 5
+      val (dropped, _) = Versioned.expireOlderThan(s, dir, horizon)
+      assert(dropped == 2, s"expected v0,v1 dropped, got $dropped")
+      assert(Versioned.oldestRetainedVersion(s, dir).contains(2))
+      assert(Versioned.read(s, dir).count() == 6)
+      // everything older than a just-elapsed instant: head survives
+      Thread.sleep(30)
+      assert(s.sql("CALL graft.system.expire('db.age', " +
+        "older_than => '10')").head().getInt(0) == 1) // v2 drops
+      assert(Versioned.oldestRetainedVersion(s, dir).contains(3))
+      assert(Versioned.read(s, dir).count() == 6,
+        "the head must survive any horizon")
+      // exactly one cut form
+      val e0 = intercept[Exception](
+        s.sql("CALL graft.system.expire('db.age')").collect())
+      assert(Iterator.iterate(e0: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("exactly one"))), e0.getMessage)
+      val e2 = intercept[Exception](
+        s.sql("CALL graft.system.expire('db.age', keep_last => 1, " +
+          "older_than => '1 h')").collect())
+      assert(Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("exactly one"))), e2.getMessage)
+    }
+  }
+
   test("txn retention declares through TBLPROPERTIES and CALL " +
       "set_policy as a carried #txnretention header; durations parse") {
     withCatalogSession { (s, wh) =>
