@@ -509,12 +509,14 @@ object Versioned {
     * tables stay byte-identical), else the version floors plus the
     * sorted feature names. */
   private def gateLines(features: Seq[String],
-      writerFeatures: Seq[String] = Nil): Seq[String] =
+      writerFeatures: Seq[String] = Nil,
+      minWriterFloor: Option[Int] = None): Seq[String] =
     (if (features.isEmpty) Nil
      else s"$MinReaderHeader$CurrentReaderVersion" +:
        features.distinct.sorted.map(f => s"$FeatureHeader$f")) ++
-      (if (writerFeatures.isEmpty) Nil
-       else s"$MinWriterHeader$CurrentWriterVersion" +:
+      (if (writerFeatures.isEmpty && minWriterFloor.isEmpty) Nil
+       else s"$MinWriterHeader${math.max(CurrentWriterVersion,
+         minWriterFloor.getOrElse(0))}" +:
          writerFeatures.distinct.sorted
            .map(f => s"$WriterFeatureHeader$f"))
 
@@ -1750,8 +1752,11 @@ object Versioned {
       bloomCfgOf(m).map(_._1), m.clusterCols, m.ckptEvery,
       m.colMapMode, m.txnRetention, m.schemaEnforce,
       requiredFeatures(m.dvs, m.colMap, m.colDrops, m.colMapMode),
-      requiredWriterFeatures(m.checks, m.clusterCols, m.txnRetention,
-        m.schemaEnforce))
+      // declared ∪ derived: a foreign table's writer features must
+      // SHOW here — this is the column an operator consults to learn
+      // why their commit would refuse
+      (requiredWriterFeatures(m.checks, m.clusterCols, m.txnRetention,
+        m.schemaEnforce) ++ m.writerFeatures).distinct.sorted)
   }
 
   /** EVERY declared table policy at `version` (default head) from ONE
@@ -1819,10 +1824,20 @@ object Versioned {
        else Seq(m.clusterCols.map(enc)
          .mkString(ClusterColsHeader, "\t", ""))) ++
       (if (m.schemaEnforce) Seq(s"${SchemaEnforceHeader}1") else Nil) ++
+      // the writer gate UNIONS derived with DECLARED: a checkpoint
+      // sidecar of a foreign table (reads are open, so expire /
+      // CALL checkpoint can run) must not strip the #minwriter /
+      // #writerfeature lines the committed manifest carries —
+      // readRaw prefers a valid sidecar, so stripping them would
+      // erase the very commit fence the gate provides. The reader
+      // gate needs no such union: unknown reader features refuse at
+      // parse, so no sidecar of such a table can ever be rendered.
       gateLines(requiredFeatures(m.dvs, m.colMap, m.colDrops,
         m.colMapMode),
-        requiredWriterFeatures(m.checks, m.clusterCols,
-          m.txnRetention, m.schemaEnforce)) ++
+        (requiredWriterFeatures(m.checks, m.clusterCols,
+          m.txnRetention, m.schemaEnforce) ++ m.writerFeatures)
+          .distinct,
+        minWriterFloor = m.minWriter) ++
       m.lines
   }
 
@@ -2360,10 +2375,7 @@ object Versioned {
       txnHw: Seq[(String, Long, Option[Long])] = Nil,
       txnSealed: Boolean = false,
       clusterCols: Seq[String] = Nil,
-      txnRetention: Option[Long] = None,
-      minWriter: Option[Int] = None,
-      writerFeatures: Seq[String] = Nil,
-      schemaEnforce: Boolean = false): Seq[String] = {
+      txnRetention: Option[Long] = None): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -2844,6 +2856,33 @@ object Versioned {
     commitImpl(spark, dir, df, replace = false, statCols = Nil,
       declaredEvolution = true)
 
+  /** DECLARED schema evolution from the Scala API — the route the
+    * `graft.schema.enforce` refusal names: append `fields` to the
+    * table schema as a metadata-only commit (pre-evolution rows read
+    * the new columns as NULL, so each must be nullable). The SQL twin
+    * is `ALTER TABLE … ADD COLUMNS`. Returns the new version. */
+  def addColumns(spark: SparkSession, dir: String,
+      fields: Seq[StructField]): Int = {
+    require(fields.nonEmpty, "addColumns needs at least one field")
+    fields.foreach(f => require(f.nullable,
+      s"added column '${f.name}' must be nullable — rows committed " +
+        "before the evolution read it as NULL"))
+    val head = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version in $dir to evolve"))
+    val schema = versionSchema(spark, dir,
+      readManifest(fileSystem(spark, dir), dir, head)).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $head of $dir has no schema to evolve"))
+    fields.foreach(f => require(!schema.fieldNames
+      .exists(_.equalsIgnoreCase(f.name)),
+      s"column '${f.name}' already exists in $dir"))
+    commitDeclaredEvolution(spark, dir,
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(schema.fields ++ fields)))
+  }
+
   private def commitImpl(spark: SparkSession, dir: String, df: DataFrame,
       replace: Boolean, statCols: Seq[String],
       txn: Option[(String, Long)] = None,
@@ -2911,6 +2950,15 @@ object Versioned {
     // born disjoint and [[readPruned]] plans O(matching files) from
     // the first insert — no OPTIMIZE pass needed to repair an
     // append-ordered layout.
+    // schema enforcement refuses BEFORE the frame stages: the
+    // refusal is the feature's primary path, and a 10M-row drifted
+    // frame must not pay a full parquet write just to become orphan
+    // files (the in-loop re-check below still covers a racing
+    // policy declaration)
+    if (!replace && !declaredEvolution)
+      head0.filter(_.schemaEnforce).foreach(hm =>
+        versionSchema(spark, dir, hm).foreach(ts =>
+          enforceDeclaredSchema(ts, df.schema, dir)))
     val dfLaid = clusterForStage(df,
       head0.map(_.clusterCols).getOrElse(Nil))
     var newFiles = stage(spark, dir, dfLaid, measuredStats, stageMap)
@@ -5232,13 +5280,18 @@ object Versioned {
           versionAtOrAfterInstant(spark, dir, cutoff)
             .getOrElse(latest) // every retained instant is older:
                                // keep the head alone
-        expire(spark, dir, keepLast = latest - keepFrom + 1,
-          orphanGraceMs = orphanGraceMs)
+        // the cut travels as an absolute version floor, not a
+        // keep-count: a commit racing between this resolution and
+        // expire's own head read would shift a count-based cut and
+        // drop a version whose instant is INSIDE the horizon
+        expire(spark, dir, keepLast = 1,
+          orphanGraceMs = orphanGraceMs, cutAtMost = Some(keepFrom))
     }
   }
 
   def expire(spark: SparkSession, dir: String, keepLast: Int,
-      orphanGraceMs: Long = 3600000L): (Int, Int) = {
+      orphanGraceMs: Long = 3600000L,
+      cutAtMost: Option[Int] = None): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val fs = fileSystem(spark, dir)
     latestVersion(spark, dir) match {
@@ -5249,7 +5302,12 @@ object Versioned {
         // after (failing loudly on the already-dropped manifest) —
         // never silently pinning a version mid-deletion
         val (nDropped, droppedRefs, live) = lockFor(dir).synchronized {
-          val cut = math.min(latest - keepLast + 1,
+          // cutAtMost is [[expireOlderThan]]'s absolute version
+          // floor: only versions BELOW it may drop, whatever the
+          // count says — race-proof against commits landing between
+          // the horizon resolution and this head read
+          val cut = math.min(math.min(latest - keepLast + 1,
+            cutAtMost.getOrElse(Int.MaxValue)),
             minPinnedVersion(fs, dir).getOrElse(Int.MaxValue))
           // ONE listing names every retained version — a per-version
           // exists() probe over (0 until cut) would pay O(versions

@@ -242,6 +242,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    // a zero-change ALTER (e.g. DROP COLUMN IF EXISTS on an absent
+    // column — Spark resolves it away before the catalog sees it) is
+    // a no-op, not a no-op COMMIT: publishing an empty version for
+    // it would pollute history
+    if (changes.isEmpty) return loadTable(ident)
     // constraint DDL routes straight to the lake's CHECK machinery
     // (addCheck validates the EXISTING rows before publishing the
     // declaration as a commit — the same race-safe gate the Scala
@@ -403,10 +408,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "DROP COLUMN — a retype rewrites history (publish a " +
           "replace commit instead); got: " + other)
     }
-    Versioned.commitDeclaredEvolution(session, dir,
-      session.createDataFrame(
-        new util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(schema.fields ++ added)))
+    Versioned.addColumns(session, dir, added)
     loadTable(ident)
   }
 

@@ -354,7 +354,8 @@ final case class DetailProcedure(catalog: GraftCatalog)
 /** `CALL graft.system.set_policy('db.t' [, stats_cols => 'a,b']
   * [, bloom_cols => 'id'] [, bloom_expected => N]
   * [, bloom_fpp => f] [, checkpoint_every => n]
-  * [, cluster_by => 'c1,c2'] [, txn_retention => '30 days'])` →
+  * [, cluster_by => 'c1,c2'] [, txn_retention => '30 days']
+  * [, schema_enforce => true])` →
   * [[Versioned.setPolicy]]: re-declare the file-skipping policy,
   * the manifest-checkpoint cadence, the write-time clustering
   * columns, and/or the txn-ledger retention horizon as a metadata
@@ -387,7 +388,9 @@ final case class SetPolicyProcedure(catalog: GraftCatalog)
     ProcedureParameter.in("cluster_by", StringType)
       .defaultValue("CAST(NULL AS STRING)").build(),
     ProcedureParameter.in("txn_retention", StringType)
-      .defaultValue("CAST(NULL AS STRING)").build())
+      .defaultValue("CAST(NULL AS STRING)").build(),
+    ProcedureParameter.in("schema_enforce", BooleanType)
+      .defaultValue("CAST(NULL AS BOOLEAN)").build())
   override def call(input: InternalRow): util.Iterator[Scan] = {
     def cols(i: Int): Option[Seq[String]] =
       if (input.isNullAt(i)) None
@@ -424,13 +427,19 @@ final case class SetPolicyProcedure(catalog: GraftCatalog)
         if (raw.isEmpty) Some(None)
         else Some(Some(Versioned.parseDurationMillis(raw)))
       }
+    // NULL keeps the enforcement declaration; true/false declare
+    val schemaEnforce: Option[Boolean] =
+      if (input.isNullAt(8)) None else Some(input.getBoolean(8))
     require(stats.isDefined || blooms.isDefined || cadence.isDefined ||
-        clusterBy.isDefined || txnRetention.isDefined,
+        clusterBy.isDefined || txnRetention.isDefined ||
+        schemaEnforce.isDefined,
       "set_policy needs stats_cols, bloom_cols, checkpoint_every, " +
-        "cluster_by, or txn_retention (NULL keeps, '' / 0 clears)")
+        "cluster_by, txn_retention, or schema_enforce (NULL keeps, " +
+        "'' / 0 clears)")
     val v = Versioned.setPolicy(session,
       dirOf(input.getUTF8String(0).toString), stats, blooms, cadence,
-      clusterBy = clusterBy, txnRetention = txnRetention)
+      clusterBy = clusterBy, txnRetention = txnRetention,
+      schemaEnforce = schemaEnforce)
     result(StructType(Seq(StructField("version", IntegerType,
       nullable = false))), Array[Any](v))
   }

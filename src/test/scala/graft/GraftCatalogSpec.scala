@@ -17,28 +17,6 @@ import graft.lake.Versioned
   */
 class GraftCatalogSpec extends SparkSuite {
 
-  private def withCatalogSession[A](f: (SparkSession, String) => A): A = {
-    spark // force the shared suite session first
-    val prior = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val wh = tmpDir() + "/wh"
-    val ext = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.catalog.graft",
-        classOf[graft.sql.GraftCatalog].getName)
-      .config("spark.sql.catalog.graft.warehouse", wh)
-      .getOrCreate()
-    try f(ext, wh)
-    finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prior.foreach(SparkSession.setDefaultSession)
-    }
-  }
 
   test("DDL + INSERT + SELECT + time travel, all through spark.sql") {
     withCatalogSession { (s, wh) =>

@@ -15,28 +15,6 @@ import graft.lake.Versioned
   */
 class GraftProceduresSpec extends SparkSuite {
 
-  private def withCatalogSession[A](f: (SparkSession, String) => A): A = {
-    spark
-    val prior = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val wh = tmpDir() + "/wh"
-    val ext = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.catalog.graft",
-        classOf[graft.sql.GraftCatalog].getName)
-      .config("spark.sql.catalog.graft.warehouse", wh)
-      .getOrCreate()
-    try f(ext, wh)
-    finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prior.foreach(SparkSession.setDefaultSession)
-    }
-  }
 
   test("CALL history/restore/dv_debt/compact/expire route to the " +
       "Versioned operators") {
@@ -314,11 +292,11 @@ class GraftProceduresSpec extends SparkSuite {
     withCatalogSession { (s, wh) =>
       s.sql("CREATE NAMESPACE graft.db")
       s.sql("CREATE TABLE graft.db.age AS SELECT id FROM range(3)") // v0
-      Thread.sleep(30)
+      Thread.sleep(120)
       s.sql("INSERT INTO graft.db.age VALUES (10)")                 // v1
-      Thread.sleep(30)
+      Thread.sleep(120)
       s.sql("INSERT INTO graft.db.age VALUES (20)")                 // v2
-      Thread.sleep(30)
+      Thread.sleep(120)
       s.sql("INSERT INTO graft.db.age VALUES (30)")                 // v3
       val dir = s"$wh/db/age"
       val ts = Versioned.history(s, dir)
@@ -329,7 +307,9 @@ class GraftProceduresSpec extends SparkSuite {
         "older_than => '1 h')").head().getInt(0) == 0)
       assert(Versioned.oldestRetainedVersion(s, dir).contains(0))
       // a horizon cutting between v1 and v2 drops exactly v0, v1
-      val horizon = System.currentTimeMillis() - ts(2) + 5
+      // (margin 40ms against clock drift between this read and the
+      // one inside the call; version gaps are 120ms)
+      val horizon = System.currentTimeMillis() - ts(2) + 40
       val (dropped, _) = Versioned.expireOlderThan(s, dir, horizon)
       assert(dropped == 2, s"expected v0,v1 dropped, got $dropped")
       assert(Versioned.oldestRetainedVersion(s, dir).contains(2))
@@ -397,6 +377,13 @@ class GraftProceduresSpec extends SparkSuite {
       assert(Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).exists(t => Option(t.getMessage)
           .exists(_.contains("duration"))), e.getMessage)
+      // schema enforcement declares/clears through the CALL twin too
+      s.sql("CALL graft.system.set_policy('db.tr', " +
+        "schema_enforce => true)")
+      assert(header().contains("#schemaenforce\t1"), header())
+      s.sql("CALL graft.system.set_policy('db.tr', " +
+        "schema_enforce => false)")
+      assert(!header().contains("#schemaenforce"), header())
     }
   }
 
@@ -478,7 +465,8 @@ class GraftProceduresSpec extends SparkSuite {
       assert(Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).exists(t => Option(t.getMessage)
           .exists(_.contains("stats_cols, bloom_cols, " +
-            "checkpoint_every, cluster_by, or txn_retention"))),
+            "checkpoint_every, cluster_by, txn_retention, or " +
+            "schema_enforce"))),
         e.getMessage)
       // sizing a CLEARED index (bloom_cols => '') is the same silent
       // drop as sizing an omitted one — both refuse

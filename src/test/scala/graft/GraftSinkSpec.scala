@@ -104,21 +104,7 @@ class GraftSinkSpec extends SparkSuite {
 
   test("writeStream.toTable(\"graft.db.t\") resolves the sink through " +
       "the catalog's V1 fallback; readStream.table roundtrips it") {
-    spark
-    val prior = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val wh = tmpDir() + "/wh"
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.catalog.graft",
-        classOf[graft.sql.GraftCatalog].getName)
-      .config("spark.sql.catalog.graft.warehouse", wh)
-      .getOrCreate()
-    try {
+    withCatalogSession { (s, wh) =>
       s.sql("CREATE NAMESPACE graft.db")
       s.sql("CREATE TABLE graft.db.sunk (id BIGINT, s STRING)")
       val src = tmpDir() + "/tot-src"
@@ -150,31 +136,13 @@ class GraftSinkSpec extends SparkSuite {
         r.processAllAvailable()
         assert(s.table(name).count() == 6)
       } finally r.stop()
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prior.foreach(SparkSession.setDefaultSession)
     }
   }
 
   test("Update output mode reaches the sink through the catalog " +
       "toTable route too: keyCols ride the writer options across " +
       "the V1 fallback") {
-    spark
-    val prior = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val wh = tmpDir() + "/wh-upd"
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.catalog.graft",
-        classOf[graft.sql.GraftCatalog].getName)
-      .config("spark.sql.catalog.graft.warehouse", wh)
-      .getOrCreate()
-    try {
+    withCatalogSession { (s, wh) =>
       s.sql("CREATE NAMESPACE graft.db")
       s.sql("CREATE TABLE graft.db.agg (s STRING, count BIGINT)")
       val src = tmpDir() + "/upd-tot-src"
@@ -207,10 +175,6 @@ class GraftSinkSpec extends SparkSuite {
       assert(s.table("graft.db.agg").as[(String, Long)]
         .collect().toMap == Map("g0" -> 5L, "g1" -> 2L),
         "catalog-route Update must upsert, not append")
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prior.foreach(SparkSession.setDefaultSession)
     }
   }
 

@@ -25,6 +25,40 @@ trait SparkSuite extends AnyFunSuite {
       rmOnExit(s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}"))
     .getOrCreate()
 
+  /** A FRESH session with the graft extensions + catalog registered
+    * — the SQL-front-door fixture shared by every catalog suite
+    * (previously copy-pasted per suite, drifting independently). The
+    * suite's default session is parked and restored; `f` receives
+    * the new session and its warehouse dir. `extraConf` tunes the
+    * session (e.g. tiny AQE sizes for multi-file fixtures). */
+  def withCatalogSession[A](extraConf: Map[String, String] = Map.empty)(
+      f: (SparkSession, String) => A): A = {
+    spark // force the shared suite session first
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val wh = tmpDir() + "/wh"
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", wh)
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val ext = b.getOrCreate()
+    try f(ext, wh)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  def withCatalogSession[A](f: (SparkSession, String) => A): A =
+    withCatalogSession()(f)
+
   def tmpDir(): String =
     rmOnExit(java.nio.file.Files.createTempDirectory("graft-test-")
       .toAbsolutePath.toString)

@@ -147,26 +147,12 @@ class VersionedClusterSpec extends SparkSuite {
 
   test("CREATE TABLE … CLUSTER BY and TBLPROPERTIES declare the same " +
       "policy; INSERTs land born-clustered; UNSET clears it") {
-    spark
-    val prior = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val wh = tmpDir() + "/wh"
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.catalog.graft",
-        classOf[graft.sql.GraftCatalog].getName)
-      .config("spark.sql.catalog.graft.warehouse", wh)
-      // tiny advisory size so the KB-scale fixtures yield several
-      // files (AQE would rightly coalesce them at the default 64MB)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
-      .config(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
-      .getOrCreate()
-    try {
+    // tiny advisory size so the KB-scale fixtures yield several
+    // files (AQE would rightly coalesce them at the default 64MB)
+    withCatalogSession(Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+        "1KB")) { (s, wh) =>
       s.sql("CREATE NAMESPACE graft.db")
       s.sql("CREATE TABLE graft.db.c (k BIGINT, v STRING) " +
         "CLUSTER BY (k)")
@@ -220,10 +206,6 @@ class VersionedClusterSpec extends SparkSuite {
       val n3 = Versioned.readPruned(s, s"$wh/db/c3", "k", 5L, 10L)
       assert(n3.inputFiles.length == 1 && n3.count() == 6,
         s"CTAS CLUSTER BY planned ${n3.inputFiles.length} files")
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prior.foreach(SparkSession.setDefaultSession)
     }
   }
 }

@@ -126,6 +126,18 @@ class VersionedProtocolSpec extends SparkSuite {
       e.getMessage.contains("COMMIT"), e.getMessage)
     assert(Versioned.latestVersion(spark, dir).contains(head),
       "the refused commit must publish nothing")
+    // maintenance stays open on the fenced table — and a checkpoint
+    // SIDECAR must PRESERVE the declared gate (readRaw prefers a
+    // valid sidecar; one that re-derived the gate from known state
+    // would silently erase the commit fence)
+    if (Versioned.checkpointManifest(spark, dir)) {
+      val e2 = intercept[Exception] {
+        Versioned.commit(spark, dir, Seq((9L, "x")).toDF("id", "s"))
+      }
+      assert(e2.getMessage.contains("atomic-swap"),
+        "the checkpoint sidecar erased the foreign writer gate: " +
+          e2.getMessage)
+    }
   }
 
   test("a FUTURE feature refuses BY NAME on read and on commit; a " +

@@ -66,21 +66,7 @@ class VersionedSchemaEnforceSpec extends SparkSuite {
 
   test("the DECLARED route and REPLACE stay open under enforcement; " +
       "the SQL surface declares and honors it end-to-end") {
-    spark
-    val prior = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val wh = tmpDir() + "/wh"
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.catalog.graft",
-        classOf[graft.sql.GraftCatalog].getName)
-      .config("spark.sql.catalog.graft.warehouse", wh)
-      .getOrCreate()
-    try {
+    withCatalogSession { (s, wh) =>
       s.sql("CREATE NAMESPACE graft.db")
       s.sql("CREATE TABLE graft.db.e (id BIGINT, v STRING) " +
         "TBLPROPERTIES ('graft.schema.enforce'='true')")
@@ -116,10 +102,6 @@ class VersionedSchemaEnforceSpec extends SparkSuite {
       assert(d.getBoolean(colIdx("schema_enforce")))
       assert(d.getString(colIdx("writer_features"))
         .split(',').contains("schema-enforce"))
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prior.foreach(SparkSession.setDefaultSession)
     }
   }
 }
