@@ -167,11 +167,43 @@ object ManifestBench {
           s""""no_retention_bytes":$noRetention,""" +
           s""""retention_bytes":$withRetention}""")
       }
+      // subset-compaction series (round 18): a FIXED ~16-file
+      // selection (stats-admitted key window) compacts while the
+      // TABLE grows 1k → 16k files. The claim under test is the
+      // schedulability one: wall-clock and the commit's manifest
+      // bytes track the SELECTED subset (flat-ish), never the table —
+      // a whole-table compact at the same sizes rewrites n files and
+      // relists everything.
+      val compactResults =
+        scala.collection.mutable.ArrayBuffer.empty[String]
+      for (n <- counts) {
+        val dir = s"$root/c$n"
+        graft.lake.Versioned.commitWithStats(spark, dir,
+          (0 until n * 4).map(i => (i.toLong, i.toString))
+            .toDF("id", "s").repartitionByRange(n,
+              org.apache.spark.sql.functions.col("id")), "id")
+        val head0 = graft.lake.Versioned.latestVersion(spark, dir).get
+        val before = graft.lake.Versioned
+          .manifestDataLines(spark, dir, head0)
+        val t0 = System.nanoTime()
+        val v = graft.lake.Versioned.compactSubset(spark, dir,
+          where = Some(org.apache.spark.sql.functions.col("id") < 64),
+          targetBytes = 1L << 30)
+        val ms = (System.nanoTime() - t0) / 1e6
+        val after = graft.lake.Versioned
+          .manifestDataLines(spark, dir, v)
+        val selected = (before.toSet -- after.toSet).size
+        compactResults += (s"""{"files":${before.size},""" +
+          s""""selected":$selected,""" +
+          s""""subset_ms":${ms.round},""" +
+          s""""commit_bytes":${manifestBytes(dir, v)}}""")
+      }
       println(s"""{"metric":"manifest_commit","appends":$appends,""" +
         s""""series":[${results.mkString(",")}],""" +
         s""""head_series":[${headResults.mkString(",")}],""" +
         s""""txn_series":[${txnResults.mkString(",")}],""" +
-        s""""ledger_series":[${ledgerResults.mkString(",")}]}""")
+        s""""ledger_series":[${ledgerResults.mkString(",")}],""" +
+        s""""compact_series":[${compactResults.mkString(",")}]}""")
     } finally {
       graft.queries.Q.deleteRecursively(root)
       spark.stop()

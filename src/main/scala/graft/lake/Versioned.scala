@@ -3236,6 +3236,237 @@ object Versioned {
       validateChecks = false, stagedBlooms = stagedBlooms, op = "compact")
   }
 
+  /** SUBSET compaction — the schedulable half of [[compactCommit]]:
+    * select files by declared debt signals, rewrite ONLY those, and
+    * republish every other manifest line verbatim. A whole-table
+    * compact is a single O(table) commit — unschedulable at 100 TB —
+    * while the debt that actually accumulates is local: small files
+    * from streaming triggers, DV-heavy files from merge-on-read
+    * deletes, cross-commit key overlap write-time clustering cannot
+    * merge (each commit range-sorts only its OWN rows). This selects
+    * exactly that debt and pays O(selected), the bin-pack/OPTIMIZE-
+    * subset shape of production table formats.
+    *
+    * Selectors (union; at least one must be given):
+    *  - `where`: files whose recorded stats ADMIT the predicate
+    *    (the key-range compact — merge the files overlapping a hot
+    *    window); metadata-only selection via the stats/bloom pruner.
+    *  - `smallFileBytes`: files physically below the floor (bin-pack
+    *    streaming dribble into ~`targetBytes` files).
+    *  - `dvDebtAbove`: files whose live deleted-position fraction is
+    *    at or above the threshold (materialize DV debt; a file with
+    *    DVs but no recorded row count counts as debt — conservative).
+    * `maxFiles` caps one run's bite for scheduling: highest DV debt
+    * first, then smallest files (most debt retired per byte moved).
+    *
+    * The rewrite honors `clusterBy` (default: the table's declared
+    * cluster columns) with the same range-partition + in-file sort as
+    * [[compactCommit]], so merging N overlapping files yields files
+    * with DISJOINT key ranges — the cross-commit overlap repair.
+    *
+    * Concurrency: the conflict surface is the SELECTED files only.
+    * The publish loop re-reads the head each attempt and republishes
+    * ITS lines (minus the selected ones) — so concurrent appends AND
+    * concurrent DML on unselected files compose; only a commit that
+    * rewrote/removed a selected file, or landed a deletion vector on
+    * one after the rewrite scanned it (publishing would resurrect
+    * those rows), conflicts. A whole-table compact conflicts with any
+    * interleaved rewrite anywhere; this is what makes maintenance
+    * schedulable on a hot table.
+    *
+    * Returns the new version, or the base version unchanged when the
+    * selection is empty or provably pure churn (one file, no DVs to
+    * materialize, no clustering to apply). `baseVersion` pins the
+    * version the selection and rewrite read (default: head at call
+    * time) — the same deterministic stale-base hook the DML verbs
+    * carry; the publish still swaps against the live head.
+    */
+  def compactSubset(spark: SparkSession, dir: String,
+      where: Option[Column] = None,
+      smallFileBytes: Option[Long] = None,
+      dvDebtAbove: Option[Double] = None,
+      maxFiles: Option[Int] = None,
+      targetBytes: Long = 128L << 20,
+      clusterBy: Option[Seq[String]] = None,
+      baseVersion: Option[Int] = None): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(where.isDefined || smallFileBytes.isDefined ||
+      dvDebtAbove.isDefined,
+      "compactSubset needs a selector (where / smallFileBytes / " +
+        "dvDebtAbove) — compactCommit is the whole-table rewrite")
+    smallFileBytes.foreach(b => require(b > 0,
+      s"smallFileBytes must be positive: $b"))
+    dvDebtAbove.foreach(f => require(f >= 0 && f <= 1,
+      s"dvDebtAbove must be a fraction in [0,1]: $f"))
+    maxFiles.foreach(n => require(n >= 1,
+      s"maxFiles must be >= 1: $n"))
+    val fs = fileSystem(spark, dir)
+    val baseV = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, baseV)),
+      s"version $baseV not found in $dir")
+    val m = readManifest(fs, dir, baseV)
+    if (m.lines.isEmpty) return baseV
+    val schema = versionSchema(spark, dir, m) match {
+      case Some(s) => s
+      case None => return baseV
+    }
+    val cluster = clusterBy.getOrElse(m.clusterCols)
+      .filter(schema.fieldNames.contains)
+    // --- selection (all metadata-sized: manifest lines, file status,
+    // delta-sized DV sidecars — never the data) -----------------------
+    val whereRels: Set[String] = where match {
+      case None => Set.empty
+      case Some(p) =>
+        pruneWithIndex(spark, dir, m, resolvedPredicate(spark, schema, p))
+          .map(parseLine(_)._1).toSet
+    }
+    // physical size per file: needed for the small-file selector AND
+    // the output file-count sizing, so measure once
+    lazy val bytesOf: Map[String, Long] = m.lines.map { l =>
+      val rel = parseLine(l)._1
+      rel -> fs.getFileStatus(new Path(dir, rel)).getLen
+    }.toMap
+    val smallRels: Set[String] = smallFileBytes match {
+      case None => Set.empty
+      case Some(floor) => bytesOf.filter(_._2 < floor).keySet
+    }
+    lazy val debtOf: Map[String, Double] = {
+      import spark.implicits._
+      dvDebt(spark, dir, Some(baseV))
+        .select("file", "fraction").as[(String, Option[Double])]
+        .collect().map { case (f, fr) =>
+          // a DV'd file with no recorded row count is unknown-debt:
+          // treat as full debt (conservative — it gets materialized)
+          f -> fr.getOrElse(if (m.dvs.exists(_._1 == f)) 1.0 else 0.0)
+        }.toMap
+    }
+    val dvRels: Set[String] = dvDebtAbove match {
+      case None => Set.empty
+      case Some(th) =>
+        m.dvs.map(_._1).distinct
+          .filter(f => debtOf.getOrElse(f, 0.0) >= th).toSet
+    }
+    val lineRels = m.lines.map(parseLine(_)._1).toSet
+    val selectedAll = (whereRels ++ smallRels ++ dvRels) & lineRels
+    val selected: Set[String] = maxFiles match {
+      case Some(cap) if selectedAll.size > cap =>
+        selectedAll.toSeq.sortBy(r =>
+          (-m.dvs.count(_._1 == r).toDouble, bytesOf(r), r))
+          .take(cap).toSet
+      case _ => selectedAll
+    }
+    if (selected.isEmpty) return baseV
+    val hasDv = m.dvs.exists(d => selected.contains(d._1))
+    if (selected.size == 1 && !hasDv && cluster.isEmpty)
+      return baseV // pure churn: nothing to merge, drop, or sort
+    val (selLines, _) = m.lines.partition(l =>
+      selected.contains(parseLine(l)._1))
+    // --- rewrite (O(selected) bytes; DVs materialize — scanVisible
+    // renders only live rows, and the publish drops the pairs) --------
+    val inherited = (selLines.flatMap(parseStats(_)._2.map(_._1)) ++
+      cluster ++ statColsOf(m)).distinct
+    val visible = scanVisible(spark, dir, schema, selLines, m.dvs,
+      colMap = m.colMap)
+    val selBytes = selected.toSeq.map(bytesOf).sum
+    val nOut = math.max(1L, (selBytes + targetBytes - 1) / targetBytes)
+      .min(selected.size.toLong).toInt
+    val laidOut =
+      if (cluster.isEmpty) visible.coalesce(nOut)
+      else {
+        import org.apache.spark.sql.functions.col
+        val keys = cluster.map(col)
+        visible.repartitionByRange(nOut, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      }
+    val staged = stage(spark, dir, laidOut, inherited, m.colMap)
+    val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
+      m.colMap)
+    val baseDvsOnSelected = m.dvs.filter(d => selected.contains(d._1)).toSet
+    subsetSwapLoop(spark, dir, staged, selected, baseDvsOnSelected,
+      schema, stagedBlooms)
+  }
+
+  /** The subset-compaction publish loop: swap `selectedRels` for
+    * `staged` against WHATEVER the head is at publish time. Unlike
+    * [[replaceLoop]] (whose carried lines come from the caller's BASE,
+    * so any interleaved rewrite anywhere conflicts), this republishes
+    * the HEAD's own lines minus the selected set — concurrent appends
+    * and DML on other files compose; only a commit that touched a
+    * SELECTED file conflicts. Sound because the staged bytes are a
+    * pure re-layout of the selected files' visible rows: as long as
+    * those files (and their DV set) are unchanged in the head, the
+    * swap preserves row content exactly, whatever else moved.
+    */
+  private def subsetSwapLoop(spark: SparkSession, dir: String,
+      staged: Seq[String], selectedRels: Set[String],
+      baseDvsOnSelected: Set[(String, String)],
+      stagedSchema: StructType,
+      stagedBlooms: Seq[(String, String, String)]): Int = {
+    val fs = fileSystem(spark, dir)
+    val uuid = newCommitUuid()
+    var attempts = 0
+    while (true) {
+      val head = latestVersion(spark, dir)
+      val next = head.map(_ + 1).getOrElse(0)
+      val headM = head.map(readManifest(fs, dir, _)).getOrElse(
+        throw new IllegalStateException(
+          s"table $dir lost its history mid-compaction"))
+      val headFiles = headM.lines.map(parseLine(_)._1).toSet
+      if (!selectedRels.subsetOf(headFiles))
+        throw new CommitConflictException(
+          s"subset compaction of $dir conflicts with a concurrent " +
+            "commit: " +
+            (selectedRels -- headFiles).toSeq.sorted.take(3)
+              .mkString(", ") +
+            " … selected file(s) were rewritten or removed since the " +
+            "selection — re-select from the new head")
+      // a DV that landed on a selected file AFTER the rewrite scanned
+      // it marks rows as deleted that the staged copies still carry —
+      // publishing would resurrect them
+      val lateDvs = headM.dvs.filter(d => selectedRels.contains(d._1))
+        .toSet -- baseDvsOnSelected
+      if (lateDvs.nonEmpty)
+        throw new CommitConflictException(
+          s"subset compaction of $dir conflicts with an interleaved " +
+            s"row-level delete: deletion vectors landed on " +
+            s"${lateDvs.map(_._1).toSeq.distinct.size} selected " +
+            "file(s) after the rewrite scanned them — publishing " +
+            "would resurrect the deleted rows; re-select from the " +
+            "new head")
+      val newLines = headM.lines.filterNot(l =>
+        selectedRels.contains(parseLine(l)._1)) ++ staged
+      val newRels = newLines.map(parseLine(_)._1).toSet
+      // selected files' DVs are MATERIALIZED by the rewrite (their
+      // pairs drop with the files); everything else's survive
+      val newDvs = headM.dvs.filterNot(d => selectedRels.contains(d._1))
+      val newBlooms = headM.blooms.filter(b =>
+        newRels.contains(b._1)) ++ stagedBlooms
+      // the head may have evolved the schema since the selection
+      // (interleaved append with new columns): publish the union —
+      // staged files simply null-fill the columns they predate
+      val schema = versionSchema(spark, dir, headM)
+        .map(evolveSchema(_, stagedSchema)).getOrElse(stagedSchema)
+      val pubColMap = headM.colMap
+      val pubColDrops = headM.colDrops
+      guardColMap(schema, pubColMap, pubColDrops)
+      if (publishResolved(fs, dir, next, uuid)(
+          casPublish(fs, dir, next, schema, newLines,
+            checks = headM.checks, dvs = newDvs, blooms = newBlooms,
+            op = Some("compact-subset"), bloomCfg = bloomCfgOf(headM),
+            statColsPolicy = statColsOf(headM)
+              .filter(schema.fieldNames.contains),
+            parent = Some(headM), commitUuid = Some(uuid),
+            colMap = pubColMap, colDrops = pubColDrops)))
+        return next
+      attempts += 1
+      require(attempts < 1000,
+        s"subset compaction of $dir still losing the version race " +
+          s"after $attempts attempts")
+    }
+    -1 // unreachable
+  }
+
   /** RESTORE: republish historical `version` as a NEW head commit —
     * the production undo of a bad replace, an errant purge, or a
     * poisoned ingest batch. The table's state rolls back while the
@@ -5787,8 +6018,11 @@ object Versioned {
     rowsPerFile.map { case (rel, rows) =>
       (rel, rows, deleted.getOrElse(rel, 0L))
     }.toDF("file", "rows", "deleted")
+      // ANSI-safe: a zero-row file (an empty v0 commit) has no
+      // meaningful fraction — NULL, like an untracked row count
       .withColumn("fraction",
-        col("deleted").cast("double") / col("rows").cast("double"))
+        org.apache.spark.sql.functions.when(col("rows") > 0,
+          col("deleted").cast("double") / col("rows").cast("double")))
   }
 
   /** The newest retained version whose COMMIT INSTANT is at or before

@@ -1960,6 +1960,119 @@ object DeltaQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+  // SUBSET COMPACTION (Versioned.compactSubset — the schedulable
+  // OPTIMIZE of production formats): a clustered table accumulates
+  // exactly the three debts a 100 TB table does — small files from
+  // dribble appends, a deletion vector from a MoR delete, and
+  // cross-commit key overlap write-time clustering cannot merge (each
+  // commit range-sorts only its own rows) — then ONE bounded
+  // maintenance commit selects those files (size floor ∪ DV fraction),
+  // rewrites only them under the table's declared clustering, and
+  // republishes everything else verbatim. In-query requires pin the
+  // scale claims the oracle cannot see: the unselected bulk file's
+  // manifest line carries byte-identically, the DV materializes (head
+  // carries none), the change feed over the compact nets ZERO rows,
+  // and the whole history stays time-travelable. The oracle replays
+  // the surviving rows.
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-subset-compact")
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // v0: declared schema + clustering + stats from birth
+      Versioned.commitWithStats(s, table.toString, orders.limit(0),
+        Seq("o_orderkey"), replace = false)
+      Versioned.setPolicy(s, table.toString,
+        clusterBy = Some(Seq("o_orderkey")))
+      // v2: the clustered bulk (one commit, range-sorted at write)
+      Versioned.commit(s, table.toString, orders)
+      // v3..v5: small dribble appends whose key ranges OVERLAP the
+      // bulk — the small-file + cross-commit-overlap debt
+      (0 until 3).foreach { i =>
+        Versioned.commit(s, table.toString,
+          orders.filter(pmod(col("o_orderkey"), lit(100)) === i)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000000)
+            .coalesce(1))
+      }
+      // v6: MoR delete -> DV debt on whichever files hold the slice
+      val preDel = Versioned.latestVersion(s, table.toString).get
+      val vDel = Versioned.deleteWhereMor(s, table.toString,
+        pmod(col("o_orderkey"), lit(100)) === 3)
+      val hadDv = vDel > preDel
+      // maintenance pass 1: materialize exactly the DV debt — the
+      // dribble files hold no slice-3 rows, so they must carry
+      if (hadDv) {
+        val pre = Versioned.manifestDataLines(s, table.toString, vDel)
+        val debt = Versioned.dvDebt(s, table.toString, Some(vDel))
+          .filter(col("deleted") > 0).select("file")
+          .collect().map(_.getString(0)).toSet
+        val clean = pre.filterNot(l => debt.contains(l.takeWhile(_ != '\t')))
+        val v1 = Versioned.compactSubset(s, table.toString,
+          dvDebtAbove = Some(0.0001))
+        require(v1 == vDel + 1,
+          s"expected one DV-maintenance commit, got $v1 over $vDel")
+        val after = Versioned.manifestDataLines(s, table.toString, v1)
+        require(clean.forall(after.contains),
+          "DV-free files must republish verbatim under a dv_debt " +
+            "selection")
+        require(Versioned.dvDebt(s, table.toString)
+          .filter(col("deleted") > 0).isEmpty,
+          "the DV must materialize with its file's rewrite")
+        require(Versioned.changesBetween(s, table.toString, v1, v1, Nil)
+          .isEmpty,
+          "a compaction changes no row: the feed must net zero")
+        require(Versioned.read(s, table.toString, Some(vDel)).count() ==
+          Versioned.read(s, table.toString, Some(v1)).count(),
+          "time travel across the compact must hold the row count")
+      }
+      // maintenance pass 2: bin-pack the dribble below the floor,
+      // carrying every big file's line verbatim. Expected selection
+      // derives from the ACTUAL file sizes, so the claim holds on
+      // every gate corpus (empty/tiny included).
+      val floor = 64L << 10
+      val head1 = Versioned.latestVersion(s, table.toString).get
+      val lines1 = Versioned.manifestDataLines(s, table.toString, head1)
+      val sizes = Versioned.read(s, table.toString).inputFiles.toSeq
+        .map(u => new java.io.File(new java.net.URI(u)))
+        .map(f => f.getName -> f.length()).toMap
+      def sizeOf(line: String): Long = {
+        val rel = line.takeWhile(_ != '\t')
+        sizes.getOrElse(rel.substring(rel.lastIndexOf('/') + 1), 0L)
+      }
+      val (smallL, bigL) = lines1.partition(sizeOf(_) < floor)
+      val v2 = Versioned.compactSubset(s, table.toString,
+        smallFileBytes = Some(floor), targetBytes = 1L << 30)
+      if (smallL.size >= 2) {
+        require(v2 == head1 + 1, s"bin-pack must commit: $v2/$head1")
+        val after = Versioned.manifestDataLines(s, table.toString, v2)
+        require(after.size < lines1.size,
+          s"bin-pack must shrink the file count " +
+            s"(${lines1.size} -> ${after.size})")
+        require(bigL.forall(after.contains),
+          "every above-floor file's manifest line must republish " +
+            "verbatim under a small-file selection")
+      }
+      Versioned.read(s, table.toString)
+        .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(table)
+  }
+
+  private val q156Sql =
+    """WITH bulk AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |), dribble AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1000000 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 IN (0, 1, 2)
+      |), unioned AS (
+      |  SELECT * FROM bulk UNION ALL SELECT * FROM dribble
+      |)
+      |SELECT * FROM unioned WHERE o_orderkey % 100 <> 3
+      |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1995,7 +2108,8 @@ object DeltaQueries {
     "q152_lake_stream_sink" -> (q152 _),
     "q153_lake_string_stats" -> (q153 _),
     "q154_lake_stream_upsert" -> (q154 _),
-    "q155_lake_cluster_by" -> (q155 _))
+    "q155_lake_cluster_by" -> (q155 _),
+    "q156_lake_subset_compact" -> (q156 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -2030,5 +2144,6 @@ object DeltaQueries {
     "q152_lake_stream_sink" -> q152Sql,
     "q153_lake_string_stats" -> q153Sql,
     "q154_lake_stream_upsert" -> q154Sql,
-    "q155_lake_cluster_by" -> q155Sql)
+    "q155_lake_cluster_by" -> q155Sql,
+    "q156_lake_subset_compact" -> q156Sql)
 }

@@ -197,21 +197,28 @@ final case class ExpireProcedure(catalog: GraftCatalog)
 }
 
 /** `CALL graft.system.compact('db.t' [, cluster_by => 'k1,k2'
-  * [, zorder => true] [, target_bytes => N]])` →
-  * [[Versioned.compactCommit]]: bin-pack small files to the target
-  * size and materialize deletion vectors, as a time-travel-preserving
-  * commit. `cluster_by` turns the rewrite into CLUSTERED compaction
-  * (range partition + in-file sort — the OPTIMIZE-by-key of
-  * production formats, and the format's data-skipping lever);
-  * `zorder => true` interleaves multiple cluster keys so stats stay
-  * selective on EVERY key, not just the leading one. Returns the new
-  * head version. */
+  * [, zorder => true] [, target_bytes => N]
+  * [, where => '<pred>'] [, small_file_bytes => N]
+  * [, dv_debt_above => f] [, max_files => N]])`.
+  *
+  * With no selector: [[Versioned.compactCommit]] — the whole-table
+  * rewrite (bin-pack to the target size, materialize every deletion
+  * vector; `cluster_by` range-clusters, `zorder => true` interleaves
+  * two keys so stats stay selective on both). With ANY of `where` /
+  * `small_file_bytes` / `dv_debt_above`: [[Versioned.compactSubset]]
+  * — the SCHEDULABLE shape, rewriting only the selected files
+  * (stats-admitted by the predicate, physically below the floor, or
+  * carrying at least the DV fraction), capped per run by
+  * `max_files`, everything else republished verbatim; `cluster_by`
+  * defaults to the table's declared clustering so the rewrite merges
+  * cross-commit key overlap. Returns the new head version. */
 final case class CompactProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
   override def name(): String = "compact"
   override def description(): String =
     "bin-pack small files (optionally cluster/z-order by keys) and " +
-      "materialize deletion vectors"
+      "materialize deletion vectors; where/small_file_bytes/" +
+      "dv_debt_above select a file SUBSET to rewrite"
   override def parameters(): Array[ProcedureParameter] = Array(
     param("table", StringType),
     ProcedureParameter.in("cluster_by", StringType)
@@ -221,7 +228,17 @@ final case class CompactProcedure(catalog: GraftCatalog)
       .defaultValue("false").build(),
     ProcedureParameter.in("target_bytes",
       org.apache.spark.sql.types.LongType)
-      .defaultValue((128L << 20).toString).build())
+      .defaultValue((128L << 20).toString).build(),
+    ProcedureParameter.in("where", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build(),
+    ProcedureParameter.in("small_file_bytes",
+      org.apache.spark.sql.types.LongType)
+      .defaultValue("CAST(NULL AS BIGINT)").build(),
+    ProcedureParameter.in("dv_debt_above",
+      org.apache.spark.sql.types.DoubleType)
+      .defaultValue("CAST(NULL AS DOUBLE)").build(),
+    ProcedureParameter.in("max_files", IntegerType)
+      .defaultValue("CAST(NULL AS INT)").build())
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val clusterBy =
       if (input.isNullAt(1)) Nil
@@ -232,9 +249,34 @@ final case class CompactProcedure(catalog: GraftCatalog)
       "zorder => true needs cluster_by columns")
     val targetBytes =
       if (input.isNullAt(3)) 128L << 20 else input.getLong(3)
-    val v = Versioned.compactCommit(session,
-      dirOf(input.getUTF8String(0).toString),
-      targetBytes = targetBytes, clusterBy = clusterBy, zOrder = zOrder)
+    val where =
+      if (input.isNullAt(4)) None
+      else Some(org.apache.spark.sql.functions
+        .expr(input.getUTF8String(4).toString))
+    val smallBytes =
+      if (input.isNullAt(5)) None else Some(input.getLong(5))
+    val dvAbove =
+      if (input.isNullAt(6)) None else Some(input.getDouble(6))
+    val maxFiles =
+      if (input.isNullAt(7)) None else Some(input.getInt(7))
+    val dir = dirOf(input.getUTF8String(0).toString)
+    val subset = where.isDefined || smallBytes.isDefined ||
+      dvAbove.isDefined
+    require(subset || maxFiles.isEmpty,
+      "max_files caps a SUBSET compaction — give a selector too " +
+        "(where / small_file_bytes / dv_debt_above)")
+    require(!(subset && zOrder),
+      "zorder is a whole-table re-layout; a subset rewrite uses " +
+        "plain cluster_by (lexicographic range sort)")
+    val v =
+      if (subset)
+        Versioned.compactSubset(session, dir, where = where,
+          smallFileBytes = smallBytes, dvDebtAbove = dvAbove,
+          maxFiles = maxFiles, targetBytes = targetBytes,
+          clusterBy = if (clusterBy.isEmpty) None else Some(clusterBy))
+      else Versioned.compactCommit(session, dir,
+        targetBytes = targetBytes, clusterBy = clusterBy,
+        zOrder = zOrder)
     result(StructType(Seq(StructField("version", IntegerType,
       nullable = false))), Array[Any](v))
   }

@@ -427,6 +427,56 @@ class GraftProceduresSpec extends SparkSuite {
     }
   }
 
+  test("CALL compact with a selector routes to compactSubset: the " +
+      "SQL and Scala subset rewrites publish manifest-equal, the " +
+      "unselected file carries verbatim, and max_files without a " +
+      "selector refuses") {
+    withCatalogSession { (s, wh) =>
+      import s.implicits._
+      s.sql("CREATE NAMESPACE graft.db")
+      val big = (0L until 20000L).map(i => (i, s"big$i"))
+        .toDF("id", "s").coalesce(1).localCheckpoint(true)
+      val dribble = (0 until 3).map(i =>
+        (20000L + i * 10 until 20010L + i * 10).map(j => (j, s"s$i"))
+          .toDF("id", "s").coalesce(1).localCheckpoint(true))
+      val sqlDir = s"$wh/db/sqlsub"
+      val apiDir = s"$wh/db/apisub"
+      Seq(sqlDir, apiDir).foreach { d =>
+        Versioned.commitWithStats(s, d, big, "id")
+        dribble.foreach(Versioned.commitWithStats(s, d, _, "id"))
+      }
+      val v = s.sql("CALL graft.system.compact('db.sqlsub', " +
+        "small_file_bytes => 65536, target_bytes => 1073741824)")
+        .head().getInt(0)
+      Versioned.compactSubset(s, apiDir,
+        smallFileBytes = Some(65536L), targetBytes = 1L << 30)
+      def normalized(dir: String): Seq[String] =
+        normalizedManifest(dir, Versioned.latestVersion(s, dir).get)
+      assert(v == 4)
+      assert(normalized(sqlDir) == normalized(apiDir),
+        "CALL compact(small_file_bytes) must publish the same subset " +
+          "rewrite the Scala API does")
+      // the big file's line republished verbatim, dribble merged 3->1
+      val before = Versioned.manifestDataLines(s, sqlDir, 3)
+      val after = Versioned.manifestDataLines(s, sqlDir, v)
+      assert(after.size == 2 && after.contains(before.head))
+      // a predicate selector speaks SQL: both files' stats admit
+      // id >= 10000, so the key-range compact merges them
+      val v2 = s.sql("CALL graft.system.compact('db.sqlsub', " +
+        "where => 'id >= 10000', target_bytes => 1073741824)")
+        .head().getInt(0)
+      assert(v2 == v + 1)
+      assert(Versioned.manifestDataLines(s, sqlDir, v2).size == 1)
+      assert(Versioned.read(s, sqlDir).count() == 20030)
+      // max_files without any selector is refused loudly
+      val e = intercept[Exception](s.sql(
+        "CALL graft.system.compact('db.sqlsub', max_files => 2)"))
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t => Option(t.getMessage)
+          .exists(_.contains("selector"))), e.getMessage)
+    }
+  }
+
   test("CALL set_policy is the TBLPROPERTIES twin: declares, keeps " +
       "on NULL, clears on empty string") {
     withCatalogSession { (s, wh) =>
