@@ -323,7 +323,8 @@ object Versioned {
       txnRetention: Option[Long] = None,
       minWriter: Option[Int] = None,
       writerFeatures: Seq[String] = Nil,
-      schemaEnforce: Boolean = false)
+      schemaEnforce: Boolean = false,
+      maintain: Seq[(String, String)] = Nil)
 
   /** One manifest FILE as written, before delta reconstruction: a
     * snapshot file (`base = None`) holds the version's full state; a
@@ -550,6 +551,18 @@ object Versioned {
   // commit that republishes them under the new release —
   // conservative: kept a full horizon from then, never dropped early.
   private val TxnRetentionHeader = "#txnretention\t"
+
+  // MAINTENANCE policy: `#maintain\t<key>\t<value>` (both uri-encoded),
+  // one line per declared threshold — the TBLPROPERTIES
+  // `graft.maintain.*` vocabulary ([[maintain]] consumes it):
+  // `smallfile.bytes` (bin-pack files below this), `dvdebt` (rewrite
+  // files at/above this deleted fraction), `maxfiles` (per-run bite),
+  // `target.bytes` (output sizing). ADVISORY, deliberately not a
+  // writer feature: a writer that ignores it degrades nothing — the
+  // debt just waits for the next maintenance run — so foreign
+  // writers stay unfenced. Carried like the cadence policy; a
+  // restore does not roll it back.
+  private val MaintainHeader = "#maintain\t"
 
   // `#txnseal\t1` — marks the high-water map COMPLETE (it covers every
   // stamp in the table's whole history). Fresh tables are sealed from
@@ -886,6 +899,11 @@ object Versioned {
         l.stripPrefix(ClusterColsHeader).split('\t').toSeq
           .map(java.net.URLDecoder.decode(_, "UTF-8"))
     }.getOrElse(Nil)
+    val maintain = raw.collect { case l if l.startsWith(MaintainHeader) =>
+      val Array(k, v) = l.stripPrefix(MaintainHeader).split('\t')
+      (java.net.URLDecoder.decode(k, "UTF-8"),
+        java.net.URLDecoder.decode(v, "UTF-8"))
+    }
     RawNode(base, rmFiles, rmDvs, rmBlooms,
       Manifest(schema, txn, checks, raw.filterNot(_.startsWith("#")), dvs,
         blooms, op, bloomCfg, statColsPolicy, ts, commitUuid,
@@ -894,7 +912,7 @@ object Versioned {
         colMapMode = colMapMode, txnHw = txnHw, txnSealed = txnSealed,
         clusterCols = clusterCols, txnRetention = txnRetention,
         minWriter = minWriter, writerFeatures = writerFeatures,
-        schemaEnforce = schemaEnforce))
+        schemaEnforce = schemaEnforce, maintain = maintain))
   }
 
   /** Apply one delta node to its parent's reconstructed state: removes
@@ -1767,14 +1785,15 @@ object Versioned {
   def policyBundle(spark: SparkSession, dir: String,
       version: Option[Int] = None)
       : (Seq[String], Seq[(String, Long, Double)], Option[Int],
-        Option[String], Seq[String], Option[Long], Boolean) =
+        Option[String], Seq[String], Option[Long], Boolean,
+        Seq[(String, String)]) =
     version.orElse(latestVersion(spark, dir))
       .map { v =>
         val m = readManifest(fileSystem(spark, dir), dir, v)
         (statColsOf(m), bloomCfgOf(m), m.ckptEvery, m.colMapMode,
-          m.clusterCols, m.txnRetention, m.schemaEnforce)
+          m.clusterCols, m.txnRetention, m.schemaEnforce, m.maintain)
       }
-      .getOrElse((Nil, Nil, None, None, Nil, None, false))
+      .getOrElse((Nil, Nil, None, None, Nil, None, false, Nil))
 
   /** Version `v`'s RECONSTRUCTED data-file lines (rel path + stats
     * groups, exactly as a snapshot manifest would list them). The
@@ -1824,6 +1843,8 @@ object Versioned {
        else Seq(m.clusterCols.map(enc)
          .mkString(ClusterColsHeader, "\t", ""))) ++
       (if (m.schemaEnforce) Seq(s"${SchemaEnforceHeader}1") else Nil) ++
+      m.maintain.map { case (k, v) =>
+        s"$MaintainHeader${enc(k)}\t${enc(v)}" } ++
       // the writer gate UNIONS derived with DECLARED: a checkpoint
       // sidecar of a foreign table (reads are open, so expire /
       // CALL checkpoint can run) must not strip the #minwriter /
@@ -1910,12 +1931,16 @@ object Versioned {
       manifestCheckpointEvery: Option[Option[Int]] = None,
       clusterBy: Option[Seq[String]] = None,
       txnRetention: Option[Option[Long]] = None,
-      schemaEnforce: Option[Boolean] = None): Int = {
+      schemaEnforce: Option[Boolean] = None,
+      maintain: Option[Seq[(String, String)]] = None): Int = {
     require(statCols.isDefined || bloomCfg.isDefined ||
       manifestCheckpointEvery.isDefined || clusterBy.isDefined ||
-      txnRetention.isDefined || schemaEnforce.isDefined,
+      txnRetention.isDefined || schemaEnforce.isDefined ||
+      maintain.isDefined,
       "setPolicy needs a stats, bloom, checkpoint-cadence, " +
-        "clustering, txn-retention, or schema-enforcement declaration")
+        "clustering, txn-retention, schema-enforcement, or " +
+        "maintenance declaration")
+    maintain.foreach(validateMaintain)
     txnRetention.flatten.foreach(r => require(r > 0,
       s"txn retention must be a positive duration in ms: $r"))
     manifestCheckpointEvery.flatten.foreach(n => require(n >= 1,
@@ -1966,7 +1991,8 @@ object Versioned {
             ckptEveryOverride = manifestCheckpointEvery,
             clusterColsOverride = clusterBy.map(_.distinct),
             txnRetentionOverride = txnRetention,
-            schemaEnforceOverride = schemaEnforce)))
+            schemaEnforceOverride = schemaEnforce,
+            maintainOverride = maintain.map(_.sortBy(_._1)))))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -2375,7 +2401,8 @@ object Versioned {
       txnHw: Seq[(String, Long, Option[Long])] = Nil,
       txnSealed: Boolean = false,
       clusterCols: Seq[String] = Nil,
-      txnRetention: Option[Long] = None): Seq[String] = {
+      txnRetention: Option[Long] = None,
+      maintain: Seq[(String, String)] = Nil): Seq[String] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     (s"$SchemaHeader${schema.json}" +:
       (s"$TsHeader$ts" +:
@@ -2414,7 +2441,9 @@ object Versioned {
       txnRetention.map(r => s"$TxnRetentionHeader$r").toSeq ++
       (if (clusterCols.isEmpty) Nil
        else Seq(clusterCols.distinct.map(enc)
-         .mkString(ClusterColsHeader, "\t", "")))
+         .mkString(ClusterColsHeader, "\t", ""))) ++
+      maintain.map { case (k, v) =>
+        s"$MaintainHeader${enc(k)}\t${enc(v)}" }
   }
 
   /** Compare-and-swap publish of `lines` as version `next`: true iff
@@ -2451,7 +2480,8 @@ object Versioned {
       txnHwSeed: Option[Map[String, Long]] = None,
       clusterColsOverride: Option[Seq[String]] = None,
       txnRetentionOverride: Option[Option[Long]] = None,
-      schemaEnforceOverride: Option[Boolean] = None): Boolean = {
+      schemaEnforceOverride: Option[Boolean] = None,
+      maintainOverride: Option[Seq[(String, String)]] = None): Boolean = {
     val target = manifestPath(dir, next)
     val tmp = new Path(dir,
       f"_manifest/.v$next%05d-${java.util.UUID.randomUUID()}.tmp")
@@ -2557,10 +2587,14 @@ object Versioned {
     }
     val schemaEnforce: Boolean = schemaEnforceOverride
       .getOrElse(parent.exists(_.schemaEnforce))
+    // maintenance thresholds carry like the cadence: declared once,
+    // republished by every commit; Some(Nil) clears
+    val maintain: Seq[(String, String)] = maintainOverride
+      .getOrElse(parent.map(_.maintain).getOrElse(Nil))
     val headers = renderHeaders(schema, ts, op, txn, statColsPolicy,
       checks, Nil, Nil, bloomCfg, commitUuid, colMap, ckptEvery,
       colDrops, colMapMode, txnHw, txnSealed, clusterCols,
-      txnRetention) ++
+      txnRetention, maintain) ++
       (if (schemaEnforce) Seq(s"${SchemaEnforceHeader}1") else Nil) ++
       // the feature gates derive from the FULL state this version
       // publishes (headers are authoritative per version, delta or
@@ -6023,6 +6057,152 @@ object Versioned {
       .withColumn("fraction",
         org.apache.spark.sql.functions.when(col("rows") > 0,
           col("deleted").cast("double") / col("rows").cast("double")))
+  }
+
+  /** The declared `graft.maintain.*` threshold vocabulary (short
+    * keys, as carried in the `#maintain` header). */
+  private[graft] val MaintainKeys: Map[String, String => Unit] = Map(
+    "smallfile.bytes" -> { v: String =>
+      require(v.toLongOption.exists(_ > 0),
+        s"graft.maintain.smallfile.bytes must be a positive byte " +
+          s"count, got '$v'") },
+    "dvdebt" -> { v: String =>
+      require(v.toDoubleOption.exists(f => f >= 0 && f <= 1),
+        s"graft.maintain.dvdebt must be a fraction in [0,1], got '$v'") },
+    "maxfiles" -> { v: String =>
+      require(v.toIntOption.exists(_ >= 1),
+        s"graft.maintain.maxfiles must be >= 1, got '$v'") },
+    "target.bytes" -> { v: String =>
+      require(v.toLongOption.exists(_ > 0),
+        s"graft.maintain.target.bytes must be a positive byte " +
+          s"count, got '$v'") })
+
+  private def validateMaintain(kvs: Seq[(String, String)]): Unit = {
+    require(kvs.map(_._1).distinct.size == kvs.size,
+      "maintenance policy declares a key twice: " +
+        kvs.map(_._1).mkString(", "))
+    kvs.foreach { case (k, v) =>
+      MaintainKeys.get(k) match {
+        case Some(check) => check(v)
+        case None => throw new IllegalArgumentException(
+          s"unknown maintenance key '$k' — supported: " +
+            MaintainKeys.keys.toSeq.sorted
+              .map("graft.maintain." + _).mkString(", "))
+      }
+    }
+  }
+
+  /** The per-file DEBT REPORT — the advisor [[maintain]] consumes and
+    * a human schedules compaction off: one row per data file of
+    * `version` (head by default) with every signal the subset
+    * selectors understand. Columns: `file`, `bytes` (physical),
+    * `rows` (recorded `~r`, null pre-tracking), `deleted` (live DV
+    * positions), `dv_fraction` (deleted/rows), `overlaps` (how many
+    * OTHER files' recorded ranges on the table's leading cluster key
+    * intersect this file's — the cross-commit overlap write-time
+    * clustering cannot merge; null when no clustering/stats are
+    * declared). Cost: O(manifest) driver-side + the delta-sized DV
+    * sidecar scan ([[dvDebt]]) — never the data; the overlap count is
+    * an O(n log n) interval sweep over recorded stats.
+    */
+  def fileDebt(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = fileSystem(spark, dir)
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    require(fs.exists(manifestPath(dir, v)), s"version $v not found in $dir")
+    val m = readManifest(fs, dir, v)
+    val bytesOf: Map[String, Long] = m.lines.map { l =>
+      val rel = parseLine(l)._1
+      rel -> fs.getFileStatus(new Path(dir, rel)).getLen
+    }.toMap
+    // overlap sweep on the leading cluster key's recorded ranges:
+    // sort by min; a file overlaps every earlier file whose max
+    // reaches its min (count via the sorted maxes — O(n log n))
+    val overlapsOf: Map[String, Int] = m.clusterCols.headOption match {
+      case None => Map.empty
+      case Some(key) =>
+        val ranged = m.lines.flatMap { l =>
+          val (rel, gs) = parseStatsFull(l)
+          gs.find(g => g.col == key && g.rows.forall(_ > 0))
+            .map(g => (rel, g.min, g.max))
+        }
+        // interval-overlap count without the O(n^2) pair walk:
+        // overlaps(i) = n-1 - (#files whose max < my min)
+        //                   - (#files whose min > my max)
+        val mins = ranged.map(_._2).sorted.toArray
+        val maxes = ranged.map(_._3).sorted.toArray
+        def lowerBound(a: Array[Long], x: Long): Int = {
+          var lo = 0; var hi = a.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (a(mid) < x) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        ranged.map { case (rel, mn, mx) =>
+          val disjointBelow = lowerBound(maxes, mn)
+          val disjointAbove = mins.length - lowerBound(mins, mx + 1)
+          rel -> (mins.length - 1 - disjointBelow - disjointAbove)
+        }.toMap
+    }
+    val withBytes = dvDebt(spark, dir, Some(v))
+      .withColumnRenamed("fraction", "dv_fraction")
+    import spark.implicits._
+    val extras = bytesOf.toSeq.map { case (rel, b) =>
+      (rel, b, overlapsOf.get(rel))
+    }.toDF("file", "bytes", "overlaps")
+    withBytes.join(extras, Seq("file"), "left_outer")
+      .select(col("file"), col("bytes"), col("rows"), col("deleted"),
+        col("dv_fraction"), col("overlaps"))
+  }
+
+  /** The MAINTENANCE DRIVER — `CALL graft.system.maintain('db.t')`:
+    * run [[compactSubset]] with the table's DECLARED thresholds
+    * (TBLPROPERTIES `graft.maintain.*` / [[setPolicy]]'s `maintain`),
+    * so a scheduler needs one verb and zero per-table knowledge: the
+    * table says what its debt is, the driver compacts exactly the
+    * files over it. Selection = files below
+    * `graft.maintain.smallfile.bytes` ∪ files at/above
+    * `graft.maintain.dvdebt`, capped by `graft.maintain.maxfiles`,
+    * packed to `graft.maintain.target.bytes` (default 128 MB) under
+    * the table's declared clustering. Returns
+    * `(newVersion, filesRewritten)` — `(head, 0)` when no debt
+    * exceeds a threshold. Refuses when the table declares no
+    * maintenance policy at all (a silent no-op would read as "no
+    * debt" forever).
+    */
+  def maintain(spark: SparkSession, dir: String): (Int, Int) = {
+    val fs = fileSystem(spark, dir)
+    val head = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $dir"))
+    val m = readManifest(fs, dir, head)
+    val kv = m.maintain.toMap
+    require(kv.nonEmpty,
+      s"table $dir declares no maintenance policy — SET TBLPROPERTIES " +
+        "('graft.maintain.smallfile.bytes'=…, 'graft.maintain.dvdebt'" +
+        "=…, 'graft.maintain.maxfiles'=…) or Versioned.setPolicy(" +
+        "maintain = …) first; an undeclared maintain() would read as " +
+        "\"no debt\" forever")
+    val small = kv.get("smallfile.bytes").map(_.toLong)
+    val dv = kv.get("dvdebt").map(_.toDouble)
+    require(small.isDefined || dv.isDefined,
+      s"table $dir declares no maintenance SELECTOR (smallfile.bytes " +
+        "or dvdebt) — maxfiles/target.bytes only bound a selection")
+    val v = compactSubset(spark, dir,
+      smallFileBytes = small, dvDebtAbove = dv,
+      maxFiles = kv.get("maxfiles").map(_.toInt),
+      targetBytes = kv.get("target.bytes").map(_.toLong)
+        .getOrElse(128L << 20),
+      baseVersion = Some(head))
+    if (v == head) (head, 0)
+    else {
+      val before = m.lines.map(parseLine(_)._1).toSet
+      val after = readManifest(fs, dir, v).lines
+        .map(parseLine(_)._1).toSet
+      (v, (before -- after).size)
+    }
   }
 
   /** The newest retained version whose COMMIT INSTANT is at or before

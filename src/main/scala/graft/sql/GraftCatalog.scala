@@ -185,7 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty[String, String])
     val (statCols, bloomCfg, cadence, colMapMode, clusterByProp,
-      txnRetention, schemaEnforce) =
+      txnRetention, schemaEnforce, maintain) =
       GraftTableProps.parse(props, "graft CREATE TABLE")
     val clusterBy =
       GraftTableProps.resolveClusterBy(clusterByDdl, clusterByProp)
@@ -222,12 +222,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // declared snapshot cadence) — three separate commits would
     // triple the CAS round trips and noise the history
     if (cadence.isDefined || clusterBy.isDefined ||
-        txnRetention.isDefined || schemaEnforce.exists(identity))
+        txnRetention.isDefined || schemaEnforce.exists(identity) ||
+        maintain.nonEmpty)
       Versioned.setPolicy(session, dir,
         manifestCheckpointEvery = cadence.map(n => Some(n)),
         clusterBy = clusterBy,
         txnRetention = txnRetention.map(ms => Some(ms)),
-        schemaEnforce = schemaEnforce.filter(identity))
+        schemaEnforce = schemaEnforce.filter(identity),
+        maintain = if (maintain.isEmpty) None else Some(maintain))
     loadTable(ident)
   }
 
@@ -296,7 +298,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             ((sets.keySet ++ removes) -- GraftTableProps.PolicyKeys)
               .mkString(", "))
         val (statCols, bloomCfg, cadence, colMapMode, clusterByProp,
-          txnRetentionProp, schemaEnforceProp) =
+          txnRetentionProp, schemaEnforceProp, maintainSets) =
           GraftTableProps.parse(sets, "graft ALTER TABLE")
         val statOpt =
           if (sets.contains(GraftTableProps.StatsKey)) Some(statCols)
@@ -339,26 +341,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else if (removes.contains(GraftTableProps.SchemaEnforceKey))
             Some(false)
           else None
+        // maintenance thresholds merge per KEY: SET updates/adds its
+        // key, UNSET drops it, undeclared keys carry — so tuning one
+        // threshold never silently clears the others
+        val maintainRemoves = removes
+          .filter(_.startsWith(GraftTableProps.MaintainPrefix))
+          .map(_.stripPrefix(GraftTableProps.MaintainPrefix))
+        val maintainOpt: Option[Seq[(String, String)]] =
+          if (maintainSets.isEmpty && maintainRemoves.isEmpty) None
+          else {
+            val current = Versioned.policyBundle(session, dir)._8.toMap
+            Some((current -- maintainRemoves ++ maintainSets)
+              .toSeq.sortBy(_._1))
+          }
         // a mode UPGRADE is its own commit; the policy halves follow
         colMapMode.foreach(m =>
           Versioned.setColumnMapping(session, dir, m))
         require(statOpt.isDefined || bloomOpt.isDefined ||
             cadenceOpt.isDefined || colMapMode.isDefined ||
             clusterOpt.isDefined || txnRetOpt.isDefined ||
-            enforceOpt.isDefined,
+            enforceOpt.isDefined || maintainOpt.isDefined,
           "SET TBLPROPERTIES must declare " +
             s"${GraftTableProps.StatsKey}, ${GraftTableProps.BloomKey}, " +
             s"${GraftTableProps.CadenceKey}, " +
             s"${GraftTableProps.ClusterKey}, " +
             s"${GraftTableProps.TxnRetentionKey}, " +
-            s"${GraftTableProps.SchemaEnforceKey} or " +
+            s"${GraftTableProps.SchemaEnforceKey}, " +
+            s"${GraftTableProps.MaintainPrefix}*, or " +
             s"${GraftTableProps.ModeKey}")
         if (statOpt.isDefined || bloomOpt.isDefined ||
             cadenceOpt.isDefined || clusterOpt.isDefined ||
-            txnRetOpt.isDefined || enforceOpt.isDefined)
+            txnRetOpt.isDefined || enforceOpt.isDefined ||
+            maintainOpt.isDefined)
           Versioned.setPolicy(session, dir, statOpt, bloomOpt,
             cadenceOpt, clusterBy = clusterOpt,
-            txnRetention = txnRetOpt, schemaEnforce = enforceOpt)
+            txnRetention = txnRetOpt, schemaEnforce = enforceOpt,
+            maintain = maintainOpt)
         return loadTable(ident)
       // ALTER TABLE … RENAME COLUMN: a metadata-only commit through
       // the lake's column mapping (physical names stay on disk; time
@@ -619,8 +637,8 @@ final case class GraftTable(fullName: String, dir: String,
     val spark = SparkSession.active
     // ONE manifest read for every declared policy half — separate
     // accessors would fold the same delta chain six times
-    val (stats, blooms, cadence, mode, cluster, txnRet, enforce) =
-      Versioned.policyBundle(spark, dir, asOfVersion)
+    val (stats, blooms, cadence, mode, cluster, txnRet, enforce,
+      maintain) = Versioned.policyBundle(spark, dir, asOfVersion)
     (if (stats.isEmpty) Map.empty[String, String]
      else Map(GraftTableProps.StatsKey -> stats.mkString(","))) ++
       (if (blooms.isEmpty) Map.empty[String, String]
@@ -636,7 +654,9 @@ final case class GraftTable(fullName: String, dir: String,
         GraftTableProps.TxnRetentionKey -> ms.toString).toMap ++
       (if (enforce)
         Map(GraftTableProps.SchemaEnforceKey -> "true")
-       else Map.empty[String, String])
+       else Map.empty[String, String]) ++
+      maintain.map { case (k, v) =>
+        GraftTableProps.MaintainPrefix + k -> v }.toMap
   }
 
   override def properties(): util.Map[String, String] =

@@ -39,7 +39,8 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("history", "restore", "expire", "compact", "dv_debt", "pin",
-      "unpin", "set_policy", "checkpoint", "txn_version", "detail")
+      "unpin", "set_policy", "checkpoint", "txn_version", "detail",
+      "file_debt", "maintain")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -54,6 +55,8 @@ object GraftProcedures {
       case "checkpoint" => Some(CheckpointProcedure(catalog))
       case "txn_version" => Some(TxnVersionProcedure(catalog))
       case "detail" => Some(DetailProcedure(catalog))
+      case "file_debt" => Some(FileDebtProcedure(catalog))
+      case "maintain" => Some(MaintainProcedure(catalog))
       case _ => None
     }
 }
@@ -504,6 +507,48 @@ final case class UnpinProcedure(catalog: GraftCatalog)
     result(StructType(Seq(StructField("released",
       org.apache.spark.sql.types.BooleanType, nullable = false))),
       Array[Any](released))
+  }
+}
+
+/** `CALL graft.system.file_debt('db.t')` → [[Versioned.fileDebt]]:
+  * the full per-file debt report — physical bytes, recorded rows,
+  * live DV positions and fraction, and the cross-commit overlap count
+  * on the table's leading cluster key. Every signal the compaction
+  * selectors understand, in one metadata-priced scan. */
+final case class FileDebtProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "file_debt"
+  override def description(): String =
+    "per-file debt report: bytes, rows, DV fraction, cluster-key " +
+      "overlap count"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(param("table", StringType))
+  override def call(input: InternalRow): util.Iterator[Scan] =
+    result(Versioned.fileDebt(session, dirOf(input.getUTF8String(0)
+      .toString)))
+}
+
+/** `CALL graft.system.maintain('db.t')` → [[Versioned.maintain]]: run
+  * subset compaction with the table's DECLARED `graft.maintain.*`
+  * thresholds — the one verb a fleet scheduler loops over every
+  * table; each table's own policy says what debt is worth a rewrite.
+  * Returns (version, files_rewritten); (head, 0) means no debt
+  * exceeded a threshold. Refuses on a table with no declared policy. */
+final case class MaintainProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "maintain"
+  override def description(): String =
+    "compact exactly the files whose debt exceeds the table's " +
+      "declared graft.maintain.* thresholds"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(param("table", StringType))
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val (v, rewritten) = Versioned.maintain(session,
+      dirOf(input.getUTF8String(0).toString))
+    result(StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("files_rewritten", IntegerType, nullable = false))),
+      Array[Any](v, rewritten))
   }
 }
 

@@ -168,7 +168,7 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           // (graft.stats.cols / graft.bloom.*) — the one table policy
           // CTAS can publish with its single data-bearing commit
           val (statCols, bloomCfg, cadence, colMapMode, clusterProp,
-            ctasTxnRet, ctasEnforce) =
+            ctasTxnRet, ctasEnforce, ctasMaintain) =
             c.tableSpec match {
             case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
               require(ts.location.isEmpty && !ts.external,
@@ -181,13 +181,13 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               require(ts.options.isEmpty && ts.serde.isEmpty,
                 "graft CTAS takes no OPTIONS/SERDE")
               GraftTableProps.parse(ts.properties, "graft CTAS")
-            case _ => (Nil, Nil, None, None, None, None, None)
+            case _ => (Nil, Nil, None, None, None, None, None, Nil)
           }
           GraftCtasCommand(cat, ident, c.query, c.ignoreIfExists,
             statCols, bloomCfg, cadence, colMapMode,
             GraftTableProps.resolveClusterBy(ctasClusterDdl,
               clusterProp), ctasTxnRet,
-            ctasEnforce.filter(identity))
+            ctasEnforce.filter(identity), ctasMaintain)
         case _ => c
       }
 
@@ -525,7 +525,8 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     colMapMode: Option[String] = None,
     clusterBy: Option[Seq[String]] = None,
     txnRetention: Option[Long] = None,
-    schemaEnforce: Option[Boolean] = None)
+    schemaEnforce: Option[Boolean] = None,
+    maintain: Seq[(String, String)] = Nil)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -557,12 +558,14 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     colMapMode.foreach(m =>
       Versioned.setColumnMapping(session, catalog.tableDir(ident), m))
     if (preData && (clusterBy.isDefined || ckptEvery.isDefined ||
-        txnRetention.isDefined || schemaEnforce.isDefined))
+        txnRetention.isDefined || schemaEnforce.isDefined ||
+        maintain.nonEmpty))
       Versioned.setPolicy(session, catalog.tableDir(ident),
         manifestCheckpointEvery = ckptEvery.map(n => Some(n)),
         clusterBy = clusterBy,
         txnRetention = txnRetention.map(ms => Some(ms)),
-        schemaEnforce = schemaEnforce)
+        schemaEnforce = schemaEnforce,
+        maintain = if (maintain.isEmpty) None else Some(maintain))
     if (statCols.isEmpty && bloomCfg.isEmpty)
       Versioned.commit(session, catalog.tableDir(ident), df)
     else
@@ -574,11 +577,12 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
     // without a pre-data policy block, cadence/retention publish as
     // one policy commit after the data (setPolicy needs a head)
     if (!preData && (ckptEvery.isDefined || txnRetention.isDefined ||
-        schemaEnforce.isDefined))
+        schemaEnforce.isDefined || maintain.nonEmpty))
       Versioned.setPolicy(session, catalog.tableDir(ident),
         manifestCheckpointEvery = ckptEvery.map(n => Some(n)),
         txnRetention = txnRetention.map(ms => Some(ms)),
-        schemaEnforce = schemaEnforce)
+        schemaEnforce = schemaEnforce,
+        maintain = if (maintain.isEmpty) None else Some(maintain))
     Seq.empty
   }
 }

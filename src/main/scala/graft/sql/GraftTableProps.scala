@@ -52,9 +52,17 @@ private[graft] object GraftTableProps {
   // upstream-field drift guard). UNSET / 'false' returns to the
   // auto-evolve default.
   val SchemaEnforceKey = "graft.schema.enforce"
+  // maintenance thresholds (round 18): the debt vocabulary
+  // `CALL graft.system.maintain` consumes — declared per table so a
+  // scheduler needs one verb and zero per-table knowledge. Advisory
+  // (no writer gate): an ignorant writer degrades nothing, the debt
+  // just waits for the next run.
+  val MaintainPrefix = "graft.maintain."
+  def maintainKeys: Set[String] =
+    graft.lake.Versioned.MaintainKeys.keySet.map(MaintainPrefix + _)
   val PolicyKeys: Set[String] =
     Set(StatsKey, BloomKey, ExpectedKey, FppKey, CadenceKey, ModeKey,
-      ClusterKey, TxnRetentionKey, SchemaEnforceKey)
+      ClusterKey, TxnRetentionKey, SchemaEnforceKey) ++ maintainKeys
 
   /** Keys Spark's own DDL machinery attaches; no graft meaning. */
   private val EngineKeys = Set("provider", "owner")
@@ -69,7 +77,7 @@ private[graft] object GraftTableProps {
   def parse(props: Map[String, String], context: String)
       : (Seq[String], Seq[(String, Long, Double)], Option[Int],
         Option[String], Option[Seq[String]], Option[Long],
-        Option[Boolean]) = {
+        Option[Boolean], Seq[(String, String)]) = {
     props.get("provider").foreach(p => require(
       p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
       s"graft tables store parquet; USING $p is not supported"))
@@ -129,8 +137,17 @@ private[graft] object GraftTableProps {
         s"$SchemaEnforceKey must be 'true' or 'false', got '$v'")
       v.equalsIgnoreCase("true")
     }
+    // maintenance thresholds: each declared key validates eagerly
+    // (the same checks Versioned.setPolicy applies), carried as the
+    // short header vocabulary
+    val maintain = props.collect {
+      case (k, v) if k.startsWith(MaintainPrefix) =>
+        val short = k.stripPrefix(MaintainPrefix)
+        graft.lake.Versioned.MaintainKeys(short)(v)
+        (short, v)
+    }.toSeq.sortBy(_._1)
     (statCols, bloomCols.map((_, expected, fpp)), cadence, mode,
-      clusterBy, txnRetention, schemaEnforce)
+      clusterBy, txnRetention, schemaEnforce, maintain)
   }
 
   /** `CREATE TABLE … CLUSTER BY (c1, c2)` / CTAS arrive as the ONE
