@@ -247,7 +247,15 @@ object Stress {
       // growth (dedup keys, CDC keys, windowed sketch state) meets data
       "q37_streaming_window", "q98_streaming_trending",
       "q70_streaming_dedup_ingest", "q77_streaming_neardup_ingest",
-      "q108_stream_enrich", "q111_streaming_cdc")
+      "q108_stream_enrich", "q111_streaming_cdc",
+      // round-18 sweep: the Update-mode streaming upsert (per-trigger
+      // keyed merge must track the CHANGED-KEY footprint), the
+      // born-clustered append (commit-time range sort is O(batch)),
+      // the delete-carrying CDC sink (same merge engine + tombstone
+      // semilattice), and subset compaction (cost tracks the SELECTED
+      // debt, never the table)
+      "q154_lake_stream_upsert", "q155_lake_cluster_by",
+      "q156_lake_subset_compact", "q157_lake_cdc_sink")
     sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
       case Some(f) => all.filter(n => f.split(",").exists(n.contains))
       case None => all

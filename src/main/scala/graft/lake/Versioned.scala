@@ -4635,6 +4635,98 @@ object Versioned {
       txn = Some((appId, batchId)), txnHwSeed = seed))
   }
 
+  /** Exactly-once CDC APPLY for a replayable writer — the
+    * delete-carrying sibling of [[idempotentMerge]], and the engine
+    * behind the graft sink's `opColumn` option: each batch row is an
+    * upsert or (when `opCol` equals `deleteOp`) a delete of its key,
+    * ordered by `seqCol`, applied under the `(appId, batchId)` stamp.
+    *
+    * Semantics are [[graft.streaming.Streams.cdcIngest]]'s
+    * max-semilattice, as ONE key-pruned MERGE instead of a
+    * whole-state compaction: the table stores per key the WINNING
+    * `(seqCol, opCol, payload)` row — tombstones retained (default),
+    * which is what makes application associative/commutative across
+    * any batch split: a late update older than an applied delete
+    * loses to the tombstone instead of resurrecting the key. The
+    * batch pre-compacts per key by the same struct-max (multi-row
+    * keys are legal — the within-batch contract is last-writer-wins
+    * by `seqCol`), then a matched row updates only when the incoming
+    * struct wins, and unmatched rows insert. Readers of the retained
+    * shape filter `opCol <> deleteOp` for the live view; GC the
+    * tombstones with `DELETE WHERE` once the feed's lateness horizon
+    * passes (a watermark/retention decision, per cdcIngest's doc).
+    *
+    * `retainTombstones = false` is the LIVE-TABLE shape (Delta's
+    * foreachBatch CDC-apply recipe): a winning delete REMOVES the
+    * row, a winning update overwrites it, unmatched non-deletes
+    * insert. Correct when `seqCol` is per-key monotone across
+    * batches (the common ordered CDC feed); with cross-batch
+    * disorder a late update older than an already-applied delete
+    * would re-insert — the tombstone shape exists for exactly that.
+    *
+    * Scale shape: O(files holding a matched key) via [[mergeApply]]'s
+    * stat-prune → refine path; the idempotence guard is the O(1)
+    * sealed-ledger read. Returns None on a replayed batchId.
+    */
+  def idempotentMergeCdc(spark: SparkSession, dir: String,
+      source: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String, deleteOp: String, appId: String, batchId: Long,
+      retainTombstones: Boolean = true): Option[Int] = {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    require(appId.nonEmpty, "idempotentMergeCdc needs a non-empty appId")
+    Seq(seqCol, opCol).foreach(c => require(source.columns.contains(c),
+      s"CDC column '$c' not in source columns " +
+        source.columns.mkString("[", ", ", "]")))
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"key column '$k' not in source columns " +
+        source.columns.mkString("[", ", ", "]")))
+    val fs = fileSystem(spark, dir)
+    val (ledger, isSealed) = txnLedger(fs, spark, dir)
+    if (ledger.get(appId).exists(_ >= batchId)) return None
+    val seed = if (isSealed) None else Some(ledger)
+    val payload = source.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == seqCol || c == opCol)
+    // the compaction ordering, most significant first — exactly
+    // ChangeApply.compactLog's `ordered` (seq, then op/payload as the
+    // deterministic tiebreak a malformed duplicate-seq feed needs)
+    val ordered = seqCol +: (opCol +: payload)
+    val compacted = source
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__w"))
+      .select(keyCols.map(col) ++
+        ordered.map(c => col(s"__w.`$c`").as(c)): _*)
+    val stamp = Some((appId, batchId))
+    latestVersion(spark, dir) match {
+      case None =>
+        // first commit: the compacted batch IS the state; the
+        // live-table shape drops its delete winners (nothing to
+        // delete yet), the retained shape keeps them as tombstones
+        val first =
+          if (retainTombstones) compacted
+          else compacted.filter(col(opCol) =!= deleteOp)
+        Some(commitImpl(spark, dir, first, replace = false,
+          statCols = Nil, txn = stamp, txnHwSeed = seed))
+      case Some(_) =>
+        val incomingWins =
+          struct(ordered.map(c => col(s"__s.`$c`")): _*) >=
+            struct(ordered.map(col): _*)
+        val allAssign: Map[String, Column] =
+          (keyCols ++ ordered).map(c => c -> col(s"__s.`$c`")).toMap
+        val clauses: Seq[MergeClause] =
+          if (retainTombstones) Seq(
+            WhenMatchedUpdate(Some(incomingWins), allAssign),
+            WhenNotMatchedInsert(None, allAssign))
+          else Seq(
+            WhenMatchedDelete(Some(incomingWins &&
+              col(s"__s.`$opCol`") === deleteOp)),
+            WhenMatchedUpdate(Some(incomingWins), allAssign),
+            WhenNotMatchedInsert(Some(col(s"__s.`$opCol`") =!= deleteOp),
+              allAssign))
+        Some(mergeApply(spark, dir, compacted, keyCols, clauses,
+          txn = stamp, txnHwSeed = seed))
+    }
+  }
+
   /** The manifest lines a merge source's key ranges cannot rule out —
     * the stat prune [[mergeInto]] and [[mergeApply]] share. Prunes on
     * EVERY key column whose long encoding the stats understand
@@ -4820,7 +4912,9 @@ object Versioned {
     */
   def mergeApply(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
-      baseVersion: Option[Int] = None): Int = {
+      baseVersion: Option[Int] = None,
+      txn: Option[(String, Long)] = None,
+      txnHwSeed: Option[Map[String, Long]] = None): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, when}
     require(keyCols.nonEmpty, "mergeApply needs at least one key column")
     require(clauses.nonEmpty, "mergeApply needs at least one clause")
@@ -5080,7 +5174,8 @@ object Versioned {
         keyCols = Some(keyCols), stagedSchema = schema,
         carried = untouched,
         keyProbe = Some(src.select(keyCols.head, keyCols.tail: _*)),
-        stagedBlooms = stagedBlooms, op = "merge")
+        stagedBlooms = stagedBlooms, op = "merge",
+        txn = txn, txnHwSeed = txnHwSeed)
     } finally { src.unpersist(); () }
   }
 
@@ -5497,6 +5592,131 @@ object Versioned {
     finally unpin(spark, dir, p)
   }
 
+  // ------------------------------------------------------- named tags
+
+  private def tagsDir(dir: String): Path = new Path(dir, "_manifest/tags")
+
+  /** Tag names are path-safe and must not read as a bare version
+    * number — `VERSION AS OF '3'` has to stay the INTEGER time
+    * travel it always was. */
+  private def validTagName(name: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]{1,255}"),
+      s"malformed tag name '$name': letters, digits, '.', '_', '-' " +
+        "only (max 255)")
+    require(name.toIntOption.isEmpty,
+      s"tag name '$name' reads as a version number — VERSION AS OF " +
+        "would be ambiguous; pick a non-numeric name")
+  }
+
+  /** Durable NAMED REF: `tag('release-v3')` makes the version
+    * time-travel-addressable by name (`VERSION AS OF 'release-v3'`,
+    * [[changesBetween]] by ref) and holds a retention floor — the
+    * reproducible-training-snapshot idiom: an export manifest names a
+    * tag instead of a bare number, and [[expire]] keeps the tagged
+    * version (and, on this prefix-retention substrate, everything
+    * newer — the same floor semantics as [[pin]], durable instead of
+    * bracketed). Tags survive restarts (a file under
+    * `_manifest/tags/`, like pins), show in [[history]], and stay
+    * meaningful across [[restore]]: the tag keeps naming the version
+    * it was minted at, not the restored copy. Re-tagging an existing
+    * name refuses — [[untag]] first (a silently moved release tag is
+    * the reproducibility bug tags exist to prevent). Returns the
+    * tagged version.
+    */
+  def tag(spark: SparkSession, dir: String, name: String,
+      version: Option[Int] = None): Int = {
+    validTagName(name)
+    val fs = fileSystem(spark, dir)
+    lockFor(dir).synchronized {
+      val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $dir"))
+      require(fs.exists(manifestPath(dir, v)),
+        s"cannot tag version $v of $dir: not found (already expired?)")
+      val target = new Path(tagsDir(dir), s"$name.tag")
+      require(!fs.exists(target),
+        s"tag '$name' already exists in $dir (-> version " +
+          s"${tagVersion(spark, dir, name).getOrElse(-1)}): untag " +
+          "first — a silently moved tag breaks every consumer that " +
+          "recorded it")
+      fs.mkdirs(tagsDir(dir))
+      val out = fs.create(target, false)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      v
+    }
+  }
+
+  /** Drop a named tag. Idempotent; returns whether one existed. */
+  def untag(spark: SparkSession, dir: String, name: String): Boolean = {
+    validTagName(name)
+    val fs = fileSystem(spark, dir)
+    fs.delete(new Path(tagsDir(dir), s"$name.tag"), false)
+  }
+
+  /** The version a tag names, or None. */
+  def tagVersion(spark: SparkSession, dir: String,
+      name: String): Option[Int] = {
+    validTagName(name)
+    val fs = fileSystem(spark, dir)
+    val p = new Path(tagsDir(dir), s"$name.tag")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Every declared tag: (tag, version), as a DataFrame for the SQL
+    * surface. */
+  def tags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tagMap(fileSystem(spark, dir), dir).toSeq.sortBy(_._1)
+      .toDF("tag", "version")
+  }
+
+  private def tagMap(fs: FileSystem, dir: String): Map[String, Int] = {
+    val td = tagsDir(dir)
+    if (!fs.exists(td)) Map.empty
+    else fs.listStatus(td).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".tag"))
+      .map { f =>
+        val in = fs.open(f.getPath)
+        val v =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            .trim.toInt
+          finally in.close()
+        f.getPath.getName.stripSuffix(".tag") -> v
+      }.toMap
+  }
+
+  /** `ref` as a version: a bare integer verbatim, anything else a
+    * tag name — the resolution behind `VERSION AS OF '<ref>'` and
+    * the by-ref [[changesBetween]]. */
+  def resolveRef(spark: SparkSession, dir: String, ref: String): Int =
+    ref.toIntOption.getOrElse(
+      tagVersion(spark, dir, ref).getOrElse(
+        throw new IllegalArgumentException(
+          s"no tag '$ref' in $dir — declared tags: " +
+            tagMap(fileSystem(spark, dir), dir).keys.toSeq.sorted
+              .mkString(", "))))
+
+  /** [[changesBetween]] addressed by REFS (versions or tag names):
+    * `changesBetween(dir, "release-v2", "release-v3", keys)` feeds
+    * exactly the rows between two named snapshots. */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromRef: String, toRef: String,
+      keyCols: Seq[String]): DataFrame =
+    changesBetween(spark, dir, resolveRef(spark, dir, fromRef),
+      resolveRef(spark, dir, toRef), keyCols)
+
+  /** Oldest tagged version, or None — [[expire]]'s durable floor. */
+  private def minTaggedVersion(fs: FileSystem, dir: String): Option[Int] = {
+    val vs = tagMap(fs, dir).values
+    if (vs.isEmpty) None else Some(vs.min)
+  }
+
   /** Oldest pinned version, or None when no reader is declared. */
   private def minPinnedVersion(fs: FileSystem, dir: String): Option[Int] = {
     val pd = pinsDir(dir)
@@ -5571,9 +5791,13 @@ object Versioned {
           // floor: only versions BELOW it may drop, whatever the
           // count says — race-proof against commits landing between
           // the horizon resolution and this head read
-          val cut = math.min(math.min(latest - keepLast + 1,
+          // tagged versions are DURABLE retention floors: a named
+          // release snapshot outranks the count/horizon exactly as an
+          // in-flight pinned read does
+          val cut = math.min(math.min(math.min(latest - keepLast + 1,
             cutAtMost.getOrElse(Int.MaxValue)),
-            minPinnedVersion(fs, dir).getOrElse(Int.MaxValue))
+            minPinnedVersion(fs, dir).getOrElse(Int.MaxValue)),
+            minTaggedVersion(fs, dir).getOrElse(Int.MaxValue))
           // ONE listing names every retained version — a per-version
           // exists() probe over (0 until cut) would pay O(versions
           // EVER COMMITTED) round trips per retention run on a
@@ -6418,6 +6642,11 @@ object Versioned {
     val fs = fileSystem(spark, dir)
     val latest = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
+    // named tags render per version: the audit view answers "which
+    // version is release-v3" without a second CALL
+    val tagsByVersion: Map[Int, Seq[String]] =
+      tagMap(fs, dir).toSeq.groupBy(_._2)
+        .map { case (v, ts) => v -> ts.map(_._1).sorted }
     // ascending incremental reconstruction (one raw read per retained
     // version), reversed at the end for the newest-first contract.
     // ONE listing names the retained versions — probing exists() over
@@ -6453,10 +6682,11 @@ object Versioned {
           m.ts.getOrElse(
             fs.getFileStatus(manifestPath(dir, v)).getModificationTime),
           m.lines.size, m.dvs.size, m.checks.size,
-          m.txn.map(_._1), m.txn.map(_._2), rowCount)
+          m.txn.map(_._1), m.txn.map(_._2), rowCount,
+          tagsByVersion.getOrElse(v, Nil))
       }.toSeq.reverse
     rows.toDF("version", "operation", "ts_millis", "n_files", "n_dvs",
-      "n_checks", "app_id", "batch_id", "row_count")
+      "n_checks", "app_id", "batch_id", "row_count", "tags")
   }
 
   // ----------------------------------------------------- change feed

@@ -2073,6 +2073,161 @@ object DeltaQueries {
       |SELECT * FROM unioned WHERE o_orderkey % 100 <> 3
       |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  // CDC DELETES through the first-class sink (q154's twin for a feed
+  // that carries deletes — Versioned.idempotentMergeCdc behind
+  // .option("opColumn", …)): the events table replayed as a keyed CDC
+  // log (seq = event_id, op = 'D' on error events — q105's
+  // convention), streamed in Update mode through the graft sink,
+  // killed between batches and restarted on the same checkpoint. The
+  // sink applies cdcIngest's max-semilattice per trigger as ONE
+  // key-pruned MERGE: within-batch rows pre-compact by seq, a
+  // matched key updates only when the incoming (seq, op, payload)
+  // struct wins, tombstones are RETAINED so a late update older than
+  // an applied delete loses instead of resurrecting — which is what
+  // lets the final table hash-match the ONE-SHOT log compaction the
+  // oracle computes, even though the mod-3 batch split delivers seqs
+  // out of order. In-query requires pin the exactly-once claims
+  // (same query id across the restart, every version stamped, a
+  // replayed batch stamp-skips). Bench note: seconds are fixture +
+  // two streaming lifecycles.
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-cdc-src")
+    val stage = Files.createTempDirectory("graft-cdc-stage")
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt")
+    val table = Files.createTempDirectory("graft-cdc-table")
+    try {
+      val feed = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id").as("seq"),
+          when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("event_type").as("v"), col("event_id"))
+      writeIdBatches(feed, "event_id", stage)
+      def run(): String = {
+        val q = s.readStream
+          .schema(feed.drop("event_id").schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src.toString)
+          .writeStream.format("graft")
+          .outputMode("update")
+          .option("keyCols", "user_id")
+          .option("opColumn", "op")
+          .option("seqColumn", "seq")
+          .option("path", table.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        q.id.toString
+      }
+      // phase 1: two micro-batches, then the query is killed
+      Files.move(stage.resolve("b0.parquet"), src.resolve("b0.parquet"))
+      Files.move(stage.resolve("b1.parquet"), src.resolve("b1.parquet"))
+      val id1 = run()
+      // the third batch lands while the query is down — its seqs
+      // interleave BELOW already-applied ones (event_id % 3 split),
+      // exercising the late-arrival half of the semilattice
+      Files.move(stage.resolve("b2.parquet"), src.resolve("b2.parquet"))
+      val id2 = run()
+      require(id1 == id2, "restart must keep the streaming query id")
+      // every committed version is stamped with the query id; when
+      // every batch carried rows there is exactly one per batch
+      val hist = Versioned.history(s, table.toString)
+      require(hist.select("app_id").collect()
+        .forall(r => r.getString(0) == id1),
+        "every CDC version must stamp the query id")
+      val perBatch = (0 to 2).map(b =>
+        feed.filter(pmod(col("event_id"), lit(3)) === b).limit(1)
+          .count())
+      if (perBatch.forall(_ > 0))
+        require(Versioned.latestVersion(s, table.toString).contains(2),
+          "expected exactly one CDC-merge version per micro-batch")
+      // a crash-replay at the recorded high-water stamp-skips
+      Versioned.txnHighWater(s, table.toString, id1).foreach { hw =>
+        require(Versioned.idempotentMergeCdc(s, table.toString,
+          s.range(1).select(lit(-1L).as("user_id"), lit(0L).as("seq"),
+            lit("U").as("op"), lit("x").as("v")),
+          Seq("user_id"), "seq", "op", "D", id1, batchId = hw).isEmpty,
+          "replayed CDC batch merged twice")
+      }
+      Versioned.read(s, table.toString)
+        .orderBy("user_id")
+        .localCheckpoint(true)
+    } finally {
+      Q.deleteRecursively(src); Q.deleteRecursively(stage)
+      Q.deleteRecursively(ckpt); Q.deleteRecursively(table)
+    }
+  }
+
+  private val q157Sql =
+    """SELECT user_id, seq, op, v FROM (
+      |  SELECT user_id, event_id AS seq,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    event_type AS v
+      |  FROM events WHERE user_id IS NOT NULL)
+      |QUALIFY row_number()
+      |  OVER (PARTITION BY user_id ORDER BY seq DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  // NAMED TAGS (Versioned.tag — durable refs over the pin substrate):
+  // the reproducible-training-snapshot idiom. A table is tagged
+  // 'train-snap' at its first fill, then mutated (append + CoW
+  // delete) and partially expired — and the tag still addresses the
+  // EXACT original rows: it renders in history, resolves through
+  // changesBetween refs, holds the retention floor against expire,
+  // and survives a restore pointing at its original version. The
+  // oracle replays the tagged snapshot's content; everything the
+  // oracle cannot see (floor arithmetic, by-ref feed equality,
+  // history rendering) is pinned by in-query requires.
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Versioned
+    val table = java.nio.file.Files.createTempDirectory("graft-tags")
+    try {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      Versioned.commit(s, table.toString, cust)                  // v0
+      Versioned.tag(s, table.toString, "train-snap")             // -> 0
+      // the table moves on: an append and a CoW delete
+      Versioned.commit(s, table.toString,
+        cust.withColumn("c_custkey", col("c_custkey") + 1000000)) // v1
+      Versioned.deleteWhere(s, table.toString,
+        pmod(col("c_custkey"), lit(10)) === 0)                   // v2?
+      val head = Versioned.latestVersion(s, table.toString).get
+      // history renders the tag at its version
+      val tagged = Versioned.history(s, table.toString)
+        .filter(col("version") === 0).select("tags")
+        .head().getSeq[String](0)
+      require(tagged == Seq("train-snap"),
+        s"history must render the tag, got $tagged")
+      // by-ref change feed == by-version change feed
+      if (head > 0) {
+        val byRef = Versioned.changesBetween(s, table.toString,
+          "train-snap", head.toString, Seq("c_custkey")).count()
+        val byVer = Versioned.changesBetween(s, table.toString,
+          0, head, Seq("c_custkey")).count()
+        require(byRef == byVer,
+          s"by-ref feed must equal by-version ($byRef vs $byVer)")
+      }
+      // expire under keepLast=1 may drop nothing below the tag floor
+      val (dropped, _) = Versioned.expire(s, table.toString,
+        keepLast = 1)
+      require(dropped == 0,
+        s"the tag floor must hold version 0 against expire: $dropped")
+      val v = Versioned.tagVersion(s, table.toString, "train-snap")
+      require(v.contains(0), s"tag must keep naming version 0: $v")
+      Versioned.read(s, table.toString, v)
+        .orderBy("c_custkey")
+        .localCheckpoint(true)
+    } finally Q.deleteRecursively(table)
+  }
+
+  private val q158Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2109,7 +2264,9 @@ object DeltaQueries {
     "q153_lake_string_stats" -> (q153 _),
     "q154_lake_stream_upsert" -> (q154 _),
     "q155_lake_cluster_by" -> (q155 _),
-    "q156_lake_subset_compact" -> (q156 _))
+    "q156_lake_subset_compact" -> (q156 _),
+    "q157_lake_cdc_sink" -> (q157 _),
+    "q158_lake_tags" -> (q158 _))
 
   val oracles: Map[String, String] = Map(
     "q105_cdc_replay" -> q105Sql,
@@ -2145,5 +2302,7 @@ object DeltaQueries {
     "q153_lake_string_stats" -> q153Sql,
     "q154_lake_stream_upsert" -> q154Sql,
     "q155_lake_cluster_by" -> q155Sql,
-    "q156_lake_subset_compact" -> q156Sql)
+    "q156_lake_subset_compact" -> q156Sql,
+    "q157_lake_cdc_sink" -> q157Sql,
+    "q158_lake_tags" -> q158Sql)
 }

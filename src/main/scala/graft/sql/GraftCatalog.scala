@@ -108,15 +108,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident.name(), dir, None)
   }
 
-  /** `VERSION AS OF <k>` — Spark's V2 time-travel hook. The returned
-    * table pins the version; [[GraftSqlRule]] plans the read as
-    * `Versioned.read(_, dir, Some(k))`. */
+  /** `VERSION AS OF <k>` / `VERSION AS OF '<tag>'` — Spark's V2
+    * time-travel hook. An integer pins that version; any other
+    * string resolves as a NAMED TAG ([[Versioned.tag]] — the
+    * durable release-snapshot ref). [[GraftSqlRule]] plans the read
+    * as `Versioned.read(_, dir, Some(k))`. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toIntOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft time travel takes an integer version, got '$version'"))
     loadTable(ident) match {
       case t: GraftTable =>
+        val v = Versioned.resolveRef(session, t.dir, version)
         require(Versioned.latestVersion(session, t.dir).exists(_ >= v) &&
           v >= 0, s"version $v does not exist in ${t.dir}")
         t.copy(asOfVersion = Some(v))

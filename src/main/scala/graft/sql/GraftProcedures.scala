@@ -40,7 +40,7 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("history", "restore", "expire", "compact", "dv_debt", "pin",
       "unpin", "set_policy", "checkpoint", "txn_version", "detail",
-      "file_debt", "maintain")
+      "file_debt", "maintain", "tag", "untag", "tags")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -57,6 +57,9 @@ object GraftProcedures {
       case "detail" => Some(DetailProcedure(catalog))
       case "file_debt" => Some(FileDebtProcedure(catalog))
       case "maintain" => Some(MaintainProcedure(catalog))
+      case "tag" => Some(TagProcedure(catalog))
+      case "untag" => Some(UntagProcedure(catalog))
+      case "tags" => Some(TagsProcedure(catalog))
       case _ => None
     }
 }
@@ -550,6 +553,66 @@ final case class MaintainProcedure(catalog: GraftCatalog)
       StructField("files_rewritten", IntegerType, nullable = false))),
       Array[Any](v, rewritten))
   }
+}
+
+/** `CALL graft.system.tag('db.t', 'release-v3' [, version => k])` →
+  * [[Versioned.tag]]: durable named ref over `version` (default
+  * head) — `SELECT … VERSION AS OF 'release-v3'` time-travels to it,
+  * expire keeps it, history shows it, restore leaves it meaningful.
+  * Returns (tag, version). */
+final case class TagProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "tag"
+  override def description(): String =
+    "durable named ref: VERSION AS OF '<name>' time travel + a " +
+      "retention floor"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType), param("name", StringType),
+    ProcedureParameter.in("version", IntegerType)
+      .defaultValue("CAST(NULL AS INT)").build())
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val name = input.getUTF8String(1).toString
+    val version = if (input.isNullAt(2)) None else Some(input.getInt(2))
+    val v = Versioned.tag(session,
+      dirOf(input.getUTF8String(0).toString), name, version)
+    result(StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false))),
+      Array[Any](org.apache.spark.unsafe.types.UTF8String
+        .fromString(name), v))
+  }
+}
+
+/** `CALL graft.system.untag('db.t', 'name')` → [[Versioned.untag]].
+  * Idempotent; returns whether a tag was actually removed. */
+final case class UntagProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "untag"
+  override def description(): String =
+    "drop a named tag declared by CALL graft.system.tag"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType), param("name", StringType))
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val removed = Versioned.untag(session,
+      dirOf(input.getUTF8String(0).toString),
+      input.getUTF8String(1).toString)
+    result(StructType(Seq(StructField("removed",
+      org.apache.spark.sql.types.BooleanType, nullable = false))),
+      Array[Any](removed))
+  }
+}
+
+/** `CALL graft.system.tags('db.t')` → [[Versioned.tags]]: every
+  * declared tag with its version. */
+final case class TagsProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+  override def name(): String = "tags"
+  override def description(): String = "list the table's named tags"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(param("table", StringType))
+  override def call(input: InternalRow): util.Iterator[Scan] =
+    result(Versioned.tags(session, dirOf(input.getUTF8String(0)
+      .toString)))
 }
 
 /** `CALL graft.system.dv_debt('db.t')` → [[Versioned.dvDebt]]: per-file

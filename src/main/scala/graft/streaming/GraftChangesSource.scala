@@ -593,6 +593,29 @@ class GraftChangesSourceProvider
       outputMode == OutputMode.Update(),
       s"graft sink supports Append, Complete, and Update (with " +
         s"keyCols) output modes, got $outputMode")
+    // CDC options bind to the Update-mode upsert path only — on
+    // Append/Complete they would be silently meaningless, which is
+    // exactly the kind of configuration lie a sink must refuse
+    def opt(name: String): Option[String] = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v }
+    val cdcOpts = Seq("opColumn", "seqColumn", "deleteOp", "tombstones")
+      .filter(o => opt(o).isDefined)
+    require(outputMode == OutputMode.Update() || cdcOpts.isEmpty,
+      s"graft sink options ${cdcOpts.mkString(", ")} apply to Update " +
+        "output mode only (they shape the per-key upsert/delete " +
+        s"merge); got $outputMode")
+    require(opt("opColumn").isEmpty || opt("seqColumn").isDefined,
+      "graft sink opColumn needs .option(\"seqColumn\", <col>) too — " +
+        "CDC apply is ordered by definition: without a sequence the " +
+        "winner between an update and a delete of the same key is " +
+        "arbitrary (cdcIngest's max-semilattice contract)")
+    require(opt("deleteOp").isEmpty || opt("opColumn").isDefined,
+      "graft sink deleteOp qualifies opColumn — declare both")
+    require(opt("tombstones").isEmpty || opt("opColumn").isDefined,
+      "graft sink tombstones qualifies opColumn — declare both")
+    opt("tombstones").foreach(v => require(
+      v.equalsIgnoreCase("retain") || v.equalsIgnoreCase("drop"),
+      s"graft sink tombstones must be 'retain' or 'drop', got '$v'"))
     new GraftSink(sqlContext, parameters,
       complete = outputMode == OutputMode.Complete(),
       upsertKeys =

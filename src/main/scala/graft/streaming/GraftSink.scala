@@ -48,6 +48,23 @@ import graft.lake.Versioned
   * refused loudly at query start — partial rows have no keyless
   * upsert semantics on this substrate.
   *
+  * Update-mode CDC (round 18): `.option("opColumn", "_op")` +
+  * `.option("seqColumn", "seq")` turns each batch row into an
+  * upsert-or-DELETE of its key via
+  * [[Versioned.idempotentMergeCdc]] — cdcIngest's max-semilattice
+  * as one key-pruned merge per trigger: within-batch rows
+  * pre-compact by `seqColumn` (multi-row keys are legal), a matched
+  * key updates only when the incoming `(seq, op, payload)` struct
+  * wins, and tombstones are retained by default so a late update
+  * older than an applied delete cannot resurrect the key (read the
+  * live view with `op <> deleteOp`; `deleteOp` defaults to "D").
+  * `.option("tombstones", "drop")` is the live-table shape instead:
+  * a winning delete removes the row — correct when the feed's seq is
+  * per-key monotone across batches. `seqColumn` WITHOUT `opColumn`
+  * declares within-batch last-writer-wins for plain upserts (the
+  * multi-row-per-key `flatMapGroupsWithState` writer shape); without
+  * it such a batch refuses loudly, naming this contract.
+  *
   * Scale shape: the commit stages the batch's rows as parquet via one
   * distributed write action (no driver materialization), measures
   * stats/blooms per the TABLE's declared policy, and publishes one
@@ -69,6 +86,17 @@ final class GraftSink(sqlContext: SQLContext,
         " — writeStream.format(\"graft\").option(\"path\", dir) or" +
         " .toTable(\"graft.db.t\")"))
   private val appIdOverride = opts.get("txnappid")
+  // CDC options (Update mode only — validated at createSink): an op
+  // column turns each batch row into an upsert-or-delete of its key
+  // under [[Versioned.idempotentMergeCdc]]'s max-semilattice; a seq
+  // column alone declares within-batch last-writer-wins for plain
+  // upserts (multi-row-per-key Update batches — the
+  // flatMapGroupsWithState writer shape)
+  private val opCol = opts.get("opcolumn")
+  private val seqCol = opts.get("seqcolumn")
+  private val deleteOp = opts.getOrElse("deleteop", "D")
+  private val retainTombstones =
+    !opts.get("tombstones").exists(_.equalsIgnoreCase("drop"))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = sqlContext.sparkSession
@@ -91,13 +119,55 @@ final class GraftSink(sqlContext: SQLContext,
     // lake's write action can plan (the DeltaSink hop)
     val batch = org.apache.spark.sql.graft.GraftStreamingShim
       .asBatchFrame(data)
-    // Update mode: each batch row upserts its key. Complete mode: the
-    // batch is the WHOLE result table — a stamped replace (every
-    // trigger a time-travelable version of the aggregate). Append
-    // mode appends as usual.
-    if (upsertKeys.nonEmpty)
-      Versioned.idempotentMerge(spark, dir, batch, upsertKeys,
-        appId, batchId)
+    // Update mode: each batch row upserts (or, with an op column,
+    // deletes) its key. Complete mode: the batch is the WHOLE result
+    // table — a stamped replace (every trigger a time-travelable
+    // version of the aggregate). Append mode appends as usual.
+    if (upsertKeys.nonEmpty) opCol match {
+      case Some(oc) =>
+        Seq(oc -> "opColumn", seqCol.get -> "seqColumn").foreach {
+          case (c, o) => require(batch.columns.contains(c),
+            s"graft sink $o names '$c', which is not in the stream's " +
+              s"columns ${batch.columns.mkString("[", ", ", "]")}")
+        }
+        Versioned.idempotentMergeCdc(spark, dir, batch, upsertKeys,
+          seqCol.get, oc, deleteOp, appId, batchId,
+          retainTombstones = retainTombstones)
+      case None =>
+        val pre = seqCol match {
+          case None => batch
+          case Some(sc) =>
+            // within-batch last-writer-wins by the declared ordering:
+            // one winner row per key crosses into the merge (the
+            // multi-row-per-key Update contract)
+            import org.apache.spark.sql.functions.{col, max, struct}
+            require(batch.columns.contains(sc),
+              s"graft sink seqColumn names '$sc', which is not in the " +
+                s"stream's columns ${batch.columns.mkString("[", ", ", "]")}")
+            val rest = batch.columns.toSeq.filterNot(c =>
+              upsertKeys.contains(c) || c == sc)
+            val ordered = sc +: rest
+            batch.groupBy(upsertKeys.map(col): _*)
+              .agg(max(struct(ordered.map(col): _*)).as("__w"))
+              .select(upsertKeys.map(col) ++
+                ordered.map(c => col(s"__w.`$c`").as(c)): _*)
+        }
+        try Versioned.idempotentMerge(spark, dir, pre, upsertKeys,
+          appId, batchId)
+        catch {
+          case e: IllegalArgumentException
+              if seqCol.isEmpty && Option(e.getMessage)
+                .exists(_.contains("duplicate keys")) =>
+            // the flatMapGroupsWithState shape fails PREDICTABLY:
+            // name the contract and the knob that opts into it
+            throw new IllegalArgumentException(e.getMessage +
+              " — an Update-mode batch with several rows per key " +
+              "needs an explicit ordering: declare " +
+              ".option(\"seqColumn\", <col>) for last-writer-wins " +
+              "within the batch, or aggregate upstream so each " +
+              "trigger emits one row per key", e)
+        }
+    }
     else
       Versioned.idempotentCommit(spark, dir, batch, appId, batchId,
         replace = complete)

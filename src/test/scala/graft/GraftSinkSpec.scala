@@ -383,4 +383,171 @@ class GraftSinkSpec extends SparkSuite {
     assert(Versioned.txnHighWater(spark, table, "manual-writer")
       .contains(0L))
   }
+
+  // ------------------------------------------------- CDC sink (r18)
+
+  private val cdcSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("seq",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.StringType)))
+
+  private def writeCdcFile(dir: String,
+      rows: Seq[(Long, Long, String, String)]): Unit =
+    rows.toDF("user_id", "seq", "op", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def cdcStream(src: String) = {
+    new java.io.File(src).mkdirs() // a not-yet-fed source dir
+    spark.readStream.schema(cdcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+  }
+
+  test("opColumn Update mode is exactly-once CDC apply: deletes " +
+      "tombstone their key, multi-row batches pre-compact by seq, a " +
+      "kill/restart loses nothing, and a LATE update older than an " +
+      "applied delete does NOT resurrect the key") {
+    val src = tmpDir() + "/cdc-src"
+    val table = tmpDir() + "/cdc-table"
+    val ckpt = tmpDir() + "/cdc-ckpt"
+    def run(upTo: Seq[Seq[(Long, Long, String, String)]]): String = {
+      val q = cdcStream(src).writeStream.format("graft")
+        .outputMode("update")
+        .option("keyCols", "user_id")
+        .option("opColumn", "op").option("seqColumn", "seq")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try upTo.foreach { b =>
+        writeCdcFile(src, b); q.processAllAvailable()
+      } finally q.stop()
+      q.id.toString
+    }
+    // phase 1: two batches — b0 carries TWO rows for u1 (the
+    // multi-row-per-key shape: seq pre-compaction picks seq=3);
+    // b1 deletes u2 and inserts u3 — then the query is killed
+    val id1 = run(Seq(
+      Seq((1L, 1L, "U", "a1"), (2L, 2L, "U", "b1"), (1L, 3L, "U", "a2")),
+      Seq((2L, 4L, "D", "b1"), (3L, 5L, "U", "c1"))))
+    // b2 lands while the query is down: a LATE update of u2 with a
+    // seq OLDER than its applied delete, plus a fresh u4. The
+    // restart keeps the query id; the late update must LOSE to the
+    // tombstone (the max-semilattice point of retaining it).
+    val id2 = run(Seq(
+      Seq((2L, 3L, "U", "late"), (4L, 6L, "U", "d1"))))
+    assert(id1 == id2, "restart must keep the streaming query id")
+    assert(Versioned.latestVersion(spark, table).contains(2),
+      "expected exactly one CDC-merge version per micro-batch")
+    val state = Versioned.read(spark, table)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(state == Set(
+      (1L, 3L, "U", "a2"),   // within-batch LWW winner
+      (2L, 4L, "D", "b1"),   // tombstone beat the late update
+      (3L, 5L, "U", "c1"),
+      (4L, 6L, "U", "d1")), s"got $state")
+    // the live view is one filter away
+    assert(Versioned.read(spark, table).filter(col("op") =!= "D")
+      .count() == 3)
+    // a crash-replay of the last batch stamp-skips the CDC merge
+    assert(Versioned.idempotentMergeCdc(spark, table,
+      Seq((9L, 9L, "U", "x")).toDF("user_id", "seq", "op", "v"),
+      Seq("user_id"), "seq", "op", "D", id1, batchId = 2).isEmpty,
+      "replayed CDC batch merged twice")
+  }
+
+  test("tombstones=drop is the live-table shape: a winning delete " +
+      "REMOVES the row, delete-of-absent is a no-op") {
+    val src = tmpDir() + "/cdcd-src"
+    val table = tmpDir() + "/cdcd-table"
+    val ckpt = tmpDir() + "/cdcd-ckpt"
+    val q = cdcStream(src).writeStream.format("graft")
+      .outputMode("update")
+      .option("keyCols", "user_id")
+      .option("opColumn", "op").option("seqColumn", "seq")
+      .option("tombstones", "drop")
+      .option("path", table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      writeCdcFile(src, Seq((1L, 1L, "U", "a"), (2L, 2L, "U", "b"),
+        (9L, 3L, "D", "gone"))) // delete of an absent key: no-op
+      q.processAllAvailable()
+      writeCdcFile(src, Seq((2L, 4L, "D", "b"), (3L, 5L, "U", "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = Versioned.read(spark, table)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(state == Set((1L, 1L, "U", "a"), (3L, 5L, "U", "c")),
+      s"deleted keys must leave the live table, got $state")
+  }
+
+  test("seqColumn without opColumn: multi-row-per-key Update batches " +
+      "apply last-writer-wins within the batch; without seqColumn " +
+      "the refusal names the contract") {
+    val src = tmpDir() + "/lww-src"
+    val table = tmpDir() + "/lww-table"
+    val ckpt = tmpDir() + "/lww-ckpt"
+    val q = cdcStream(src).writeStream.format("graft")
+      .outputMode("update")
+      .option("keyCols", "user_id").option("seqColumn", "seq")
+      .option("path", table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      writeCdcFile(src, Seq((1L, 1L, "U", "old"), (1L, 2L, "U", "new"),
+        (2L, 1L, "U", "b")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Versioned.read(spark, table)
+      .select("user_id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "new"), (2L, "b")))
+    // the undeclared shape fails predictably, naming the knob
+    val table2 = tmpDir() + "/lww-t2"
+    Versioned.commit(spark, table2,
+      Seq((1L, 0L, "U", "x")).toDF("user_id", "seq", "op", "v"))
+    val sink = new graft.streaming.GraftSink(spark.sqlContext,
+      Map("path" -> table2, "txnappid" -> "w"),
+      upsertKeys = Seq("user_id"))
+    val dup = Seq((1L, 1L, "U", "p"), (1L, 2L, "U", "q"))
+      .toDF("user_id", "seq", "op", "v")
+    val e = intercept[IllegalArgumentException](sink.addBatch(5L, dup))
+    assert(e.getMessage.contains("seqColumn") &&
+      e.getMessage.contains("duplicate keys"), e.getMessage)
+  }
+
+  test("CDC option validation: opColumn without seqColumn, CDC " +
+      "options outside Update mode, and a bad tombstones value all " +
+      "refuse at query start") {
+    val src = tmpDir() + "/val-src"
+    writeCdcFile(src, Seq((1L, 1L, "U", "a")))
+    def start(mode: String, opts: Map[String, String]) = {
+      val w = cdcStream(src).writeStream.format("graft")
+        .outputMode(mode)
+        .option("path", tmpDir() + "/val-table")
+        .option("checkpointLocation", tmpDir() + "/val-ckpt")
+      opts.foreach { case (k, v) => w.option(k, v) }
+      val q = w.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val e1 = intercept[Exception](start("update",
+      Map("keyCols" -> "user_id", "opColumn" -> "op")))
+    assert(Iterator.iterate(e1: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(_.contains("seqColumn"))), e1.getMessage)
+    val e2 = intercept[Exception](start("append",
+      Map("opColumn" -> "op", "seqColumn" -> "seq")))
+    assert(Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(_.contains("Update output mode only"))), e2.getMessage)
+    val e3 = intercept[Exception](start("update",
+      Map("keyCols" -> "user_id", "opColumn" -> "op",
+        "seqColumn" -> "seq", "tombstones" -> "sometimes")))
+    assert(Iterator.iterate(e3: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(_.contains("'retain' or 'drop'"))), e3.getMessage)
+  }
 }
