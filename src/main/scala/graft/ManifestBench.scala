@@ -144,25 +144,38 @@ object ManifestBench {
       // to the writers active within the horizon.
       val ledgerResults = scala.collection.mutable.ArrayBuffer.empty[String]
       for (n <- Seq(100, 1000, 10000)) {
-        val dir = s"$root/ledger$n"
-        graft.lake.Versioned.commit(spark, dir,
-          Seq((1L, "a")).toDF("id", "s").coalesce(1))
-        val mdir = java.nio.file.Paths.get(dir, "_manifest")
-        val headPath = mdir.resolve("v00000.txt")
-        val lines = new String(java.nio.file.Files
-          .readAllBytes(headPath), "UTF-8").linesIterator.toSeq
-        val (hdr, data) = lines.span(_.startsWith("#"))
-        val churn = (0 until n).map(i => s"#txnhw\tw$i\t3\t1000")
-        java.nio.file.Files.write(headPath,
-          (hdr ++ churn ++ Seq("#txnseal\t1") ++ data)
-            .mkString("", "\n", "\n").getBytes("UTF-8"))
+        // TWO tables, same synthetic churn: an undeclared-retention
+        // commit renders the ledger WITHOUT instants (byte-compat
+        // until the feature is used — the protocol-gate rule), so
+        // declaring the horizon afterwards can only age those entries
+        // from the declaration (conservative, never dropped early).
+        // Measuring the knob's real contract therefore needs the
+        // horizon declared while the recorded instants still exist —
+        // a separate table, not a later commit on the first one.
+        def seedChurn(dir: String): Unit = {
+          graft.lake.Versioned.commit(spark, dir,
+            Seq((1L, "a")).toDF("id", "s").coalesce(1))
+          val headPath = java.nio.file.Paths.get(dir, "_manifest")
+            .resolve("v00000.txt")
+          val lines = new String(java.nio.file.Files
+            .readAllBytes(headPath), "UTF-8").linesIterator.toSeq
+          val (hdr, data) = lines.span(_.startsWith("#"))
+          val churn = (0 until n).map(i => s"#txnhw\tw$i\t3\t1000")
+          java.nio.file.Files.write(headPath,
+            (hdr ++ churn ++ Seq("#txnseal\t1") ++ data)
+              .mkString("", "\n", "\n").getBytes("UTF-8"))
+        }
         val one = Seq((2L, "b")).toDF("id", "s").coalesce(1)
-        val vNo = graft.lake.Versioned.commit(spark, dir, one)
-        val noRetention = manifestBytes(dir, vNo)
-        graft.lake.Versioned.setPolicy(spark, dir,
+        val dirNo = s"$root/ledger$n-no"
+        seedChurn(dirNo)
+        val vNo = graft.lake.Versioned.commit(spark, dirNo, one)
+        val noRetention = manifestBytes(dirNo, vNo)
+        val dirYes = s"$root/ledger$n-yes"
+        seedChurn(dirYes)
+        graft.lake.Versioned.setPolicy(spark, dirYes,
           txnRetention = Some(Some(3600000L))) // 1 h horizon
-        val vYes = graft.lake.Versioned.commit(spark, dir, one)
-        val withRetention = manifestBytes(dir, vYes)
+        val vYes = graft.lake.Versioned.commit(spark, dirYes, one)
+        val withRetention = manifestBytes(dirYes, vYes)
         ledgerResults += (s"""{"writers":$n,""" +
           s""""no_retention_bytes":$noRetention,""" +
           s""""retention_bytes":$withRetention}""")
