@@ -3290,6 +3290,10 @@ object Versioned {
     *  - `dvDebtAbove`: files whose live deleted-position fraction is
     *    at or above the threshold (materialize DV debt; a file with
     *    DVs but no recorded row count counts as debt — conservative).
+    *  - `overlapsAbove`: files whose leading-cluster-key range
+    *    intersects at least that many OTHER files' ranges (the
+    *    cross-commit overlap debt — selects the whole mutual cohort,
+    *    which is what makes the merge land disjoint).
     * `maxFiles` caps one run's bite for scheduling: highest DV debt
     * first, then smallest files (most debt retired per byte moved).
     *
@@ -3322,18 +3326,22 @@ object Versioned {
       maxFiles: Option[Int] = None,
       targetBytes: Long = 128L << 20,
       clusterBy: Option[Seq[String]] = None,
-      baseVersion: Option[Int] = None): Int = {
+      baseVersion: Option[Int] = None,
+      overlapsAbove: Option[Int] = None): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     require(where.isDefined || smallFileBytes.isDefined ||
-      dvDebtAbove.isDefined,
+      dvDebtAbove.isDefined || overlapsAbove.isDefined,
       "compactSubset needs a selector (where / smallFileBytes / " +
-        "dvDebtAbove) — compactCommit is the whole-table rewrite")
+        "dvDebtAbove / overlapsAbove) — compactCommit is the " +
+        "whole-table rewrite")
     smallFileBytes.foreach(b => require(b > 0,
       s"smallFileBytes must be positive: $b"))
     dvDebtAbove.foreach(f => require(f >= 0 && f <= 1,
       s"dvDebtAbove must be a fraction in [0,1]: $f"))
     maxFiles.foreach(n => require(n >= 1,
       s"maxFiles must be >= 1: $n"))
+    overlapsAbove.foreach(n => require(n >= 1,
+      s"overlapsAbove must be >= 1: $n"))
     val fs = fileSystem(spark, dir)
     val baseV = baseVersion.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $dir"))
@@ -3381,8 +3389,24 @@ object Versioned {
         m.dvs.map(_._1).distinct
           .filter(f => debtOf.getOrElse(f, 0.0) >= th).toSet
     }
+    // overlap selector: the files whose leading-cluster-key ranges
+    // intersect at least `overlapsAbove` OTHERS — the cross-commit
+    // layout debt only a merge repairs. Selecting the whole cohort
+    // is what makes the rewrite productive: merging all mutual
+    // overlappers yields disjoint ranges; merging one alone cannot.
+    val overlapRels: Set[String] = overlapsAbove match {
+      case None => Set.empty
+      case Some(th) =>
+        val counts = overlapCounts(m)
+        require(m.clusterCols.nonEmpty,
+          "overlapsAbove selects on the table's declared cluster " +
+            "key — declare clustering (graft.cluster.cols / CLUSTER " +
+            "BY) first")
+        counts.filter(_._2 >= th).keySet
+    }
     val lineRels = m.lines.map(parseLine(_)._1).toSet
-    val selectedAll = (whereRels ++ smallRels ++ dvRels) & lineRels
+    val selectedAll =
+      (whereRels ++ smallRels ++ dvRels ++ overlapRels) & lineRels
     val selected: Set[String] = maxFiles match {
       case Some(cap) if selectedAll.size > cap =>
         selectedAll.toSeq.sortBy(r =>
@@ -6296,6 +6320,9 @@ object Versioned {
     "maxfiles" -> { v: String =>
       require(v.toIntOption.exists(_ >= 1),
         s"graft.maintain.maxfiles must be >= 1, got '$v'") },
+    "overlaps" -> { v: String =>
+      require(v.toIntOption.exists(_ >= 1),
+        s"graft.maintain.overlaps must be >= 1, got '$v'") },
     "target.bytes" -> { v: String =>
       require(v.toLongOption.exists(_ > 0),
         s"graft.maintain.target.bytes must be a positive byte " +
@@ -6341,10 +6368,28 @@ object Versioned {
       val rel = parseLine(l)._1
       rel -> fs.getFileStatus(new Path(dir, rel)).getLen
     }.toMap
-    // overlap sweep on the leading cluster key's recorded ranges:
-    // sort by min; a file overlaps every earlier file whose max
-    // reaches its min (count via the sorted maxes — O(n log n))
-    val overlapsOf: Map[String, Int] = m.clusterCols.headOption match {
+    val overlapsOf = overlapCounts(m)
+    val withBytes = dvDebt(spark, dir, Some(v))
+      .withColumnRenamed("fraction", "dv_fraction")
+    import spark.implicits._
+    val extras = bytesOf.toSeq.map { case (rel, b) =>
+      (rel, b, overlapsOf.get(rel))
+    }.toDF("file", "bytes", "overlaps")
+    withBytes.join(extras, Seq("file"), "left_outer")
+      .select(col("file"), col("bytes"), col("rows"), col("deleted"),
+        col("dv_fraction"), col("overlaps"))
+  }
+
+  /** Per-file CROSS-COMMIT OVERLAP count on the table's leading
+    * cluster key: how many OTHER files' recorded [min,max] intersect
+    * each file's — the layout debt write-time clustering cannot
+    * repair (each commit range-sorts only its OWN rows) and a subset
+    * compaction merges away. Empty when the table declares no
+    * clustering or the key has no recorded stats. O(n log n) sweep
+    * over manifest lines: overlaps(i) = n-1 − (#max_j < min_i) −
+    * (#min_j > max_i). */
+  private def overlapCounts(m: Manifest): Map[String, Int] =
+    m.clusterCols.headOption match {
       case None => Map.empty
       case Some(key) =>
         val ranged = m.lines.flatMap { l =>
@@ -6352,9 +6397,6 @@ object Versioned {
           gs.find(g => g.col == key && g.rows.forall(_ > 0))
             .map(g => (rel, g.min, g.max))
         }
-        // interval-overlap count without the O(n^2) pair walk:
-        // overlaps(i) = n-1 - (#files whose max < my min)
-        //                   - (#files whose min > my max)
         val mins = ranged.map(_._2).sorted.toArray
         val maxes = ranged.map(_._3).sorted.toArray
         def lowerBound(a: Array[Long], x: Long): Int = {
@@ -6371,16 +6413,6 @@ object Versioned {
           rel -> (mins.length - 1 - disjointBelow - disjointAbove)
         }.toMap
     }
-    val withBytes = dvDebt(spark, dir, Some(v))
-      .withColumnRenamed("fraction", "dv_fraction")
-    import spark.implicits._
-    val extras = bytesOf.toSeq.map { case (rel, b) =>
-      (rel, b, overlapsOf.get(rel))
-    }.toDF("file", "bytes", "overlaps")
-    withBytes.join(extras, Seq("file"), "left_outer")
-      .select(col("file"), col("bytes"), col("rows"), col("deleted"),
-        col("dv_fraction"), col("overlaps"))
-  }
 
   /** The MAINTENANCE DRIVER — `CALL graft.system.maintain('db.t')`:
     * run [[compactSubset]] with the table's DECLARED thresholds
@@ -6389,8 +6421,10 @@ object Versioned {
     * table says what its debt is, the driver compacts exactly the
     * files over it. Selection = files below
     * `graft.maintain.smallfile.bytes` ∪ files at/above
-    * `graft.maintain.dvdebt`, capped by `graft.maintain.maxfiles`,
-    * packed to `graft.maintain.target.bytes` (default 128 MB) under
+    * `graft.maintain.dvdebt` ∪ files whose cluster-key range overlaps
+    * at least `graft.maintain.overlaps` others, capped by
+    * `graft.maintain.maxfiles`, packed to
+    * `graft.maintain.target.bytes` (default 128 MB) under
     * the table's declared clustering. Returns
     * `(newVersion, filesRewritten)` — `(head, 0)` when no debt
     * exceeds a threshold. Refuses when the table declares no
@@ -6411,11 +6445,14 @@ object Versioned {
         "\"no debt\" forever")
     val small = kv.get("smallfile.bytes").map(_.toLong)
     val dv = kv.get("dvdebt").map(_.toDouble)
-    require(small.isDefined || dv.isDefined,
-      s"table $dir declares no maintenance SELECTOR (smallfile.bytes " +
-        "or dvdebt) — maxfiles/target.bytes only bound a selection")
+    val overlaps = kv.get("overlaps").map(_.toInt)
+    require(small.isDefined || dv.isDefined || overlaps.isDefined,
+      s"table $dir declares no maintenance SELECTOR (smallfile.bytes, " +
+        "dvdebt, or overlaps) — maxfiles/target.bytes only bound a " +
+        "selection")
     val v = compactSubset(spark, dir,
       smallFileBytes = small, dvDebtAbove = dv,
+      overlapsAbove = overlaps,
       maxFiles = kv.get("maxfiles").map(_.toInt),
       targetBytes = kv.get("target.bytes").map(_.toLong)
         .getOrElse(128L << 20),

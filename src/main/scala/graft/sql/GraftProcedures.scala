@@ -205,16 +205,19 @@ final case class ExpireProcedure(catalog: GraftCatalog)
 /** `CALL graft.system.compact('db.t' [, cluster_by => 'k1,k2'
   * [, zorder => true] [, target_bytes => N]
   * [, where => '<pred>'] [, small_file_bytes => N]
-  * [, dv_debt_above => f] [, max_files => N]])`.
+  * [, dv_debt_above => f] [, overlaps_above => N]
+  * [, max_files => N]])`.
   *
   * With no selector: [[Versioned.compactCommit]] — the whole-table
   * rewrite (bin-pack to the target size, materialize every deletion
   * vector; `cluster_by` range-clusters, `zorder => true` interleaves
   * two keys so stats stay selective on both). With ANY of `where` /
-  * `small_file_bytes` / `dv_debt_above`: [[Versioned.compactSubset]]
+  * `small_file_bytes` / `dv_debt_above` / `overlaps_above`:
+  * [[Versioned.compactSubset]]
   * — the SCHEDULABLE shape, rewriting only the selected files
-  * (stats-admitted by the predicate, physically below the floor, or
-  * carrying at least the DV fraction), capped per run by
+  * (stats-admitted by the predicate, physically below the floor,
+  * carrying at least the DV fraction, or overlapping at least that
+  * many cluster-key ranges), capped per run by
   * `max_files`, everything else republished verbatim; `cluster_by`
   * defaults to the table's declared clustering so the rewrite merges
   * cross-commit key overlap. Returns the new head version. */
@@ -244,6 +247,8 @@ final case class CompactProcedure(catalog: GraftCatalog)
       org.apache.spark.sql.types.DoubleType)
       .defaultValue("CAST(NULL AS DOUBLE)").build(),
     ProcedureParameter.in("max_files", IntegerType)
+      .defaultValue("CAST(NULL AS INT)").build(),
+    ProcedureParameter.in("overlaps_above", IntegerType)
       .defaultValue("CAST(NULL AS INT)").build())
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val clusterBy =
@@ -265,12 +270,14 @@ final case class CompactProcedure(catalog: GraftCatalog)
       if (input.isNullAt(6)) None else Some(input.getDouble(6))
     val maxFiles =
       if (input.isNullAt(7)) None else Some(input.getInt(7))
+    val overlapsAbove =
+      if (input.isNullAt(8)) None else Some(input.getInt(8))
     val dir = dirOf(input.getUTF8String(0).toString)
     val subset = where.isDefined || smallBytes.isDefined ||
-      dvAbove.isDefined
+      dvAbove.isDefined || overlapsAbove.isDefined
     require(subset || maxFiles.isEmpty,
       "max_files caps a SUBSET compaction — give a selector too " +
-        "(where / small_file_bytes / dv_debt_above)")
+        "(where / small_file_bytes / dv_debt_above / overlaps_above)")
     require(!(subset && zOrder),
       "zorder is a whole-table re-layout; a subset rewrite uses " +
         "plain cluster_by (lexicographic range sort)")
@@ -278,6 +285,7 @@ final case class CompactProcedure(catalog: GraftCatalog)
       if (subset)
         Versioned.compactSubset(session, dir, where = where,
           smallFileBytes = smallBytes, dvDebtAbove = dvAbove,
+          overlapsAbove = overlapsAbove,
           maxFiles = maxFiles, targetBytes = targetBytes,
           clusterBy = if (clusterBy.isEmpty) None else Some(clusterBy))
       else Versioned.compactCommit(session, dir,

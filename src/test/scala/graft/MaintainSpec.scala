@@ -129,10 +129,14 @@ class MaintainSpec extends SparkSuite {
       assert(props().get("graft.maintain.maxfiles").contains("8"))
       // per-key merge: tuning one threshold keeps the others
       s.sql("ALTER TABLE graft.db.m SET TBLPROPERTIES " +
-        "('graft.maintain.dvdebt'='0.25')")
+        "('graft.maintain.dvdebt'='0.25', " +
+        "'graft.maintain.overlaps'='4')")
       assert(props().get("graft.maintain.smallfile.bytes")
         .contains("65536"))
       assert(props().get("graft.maintain.dvdebt").contains("0.25"))
+      assert(props().get("graft.maintain.overlaps").contains("4"))
+      s.sql("ALTER TABLE graft.db.m UNSET TBLPROPERTIES " +
+        "('graft.maintain.overlaps')")
       // per-key drop
       s.sql("ALTER TABLE graft.db.m UNSET TBLPROPERTIES " +
         "('graft.maintain.maxfiles')")

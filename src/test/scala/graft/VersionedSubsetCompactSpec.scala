@@ -219,6 +219,44 @@ class VersionedSubsetCompactSpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() == 298)
   }
 
+  test("overlapsAbove selects the cross-commit overlap cohort on the " +
+      "declared cluster key: interleaved files merge to disjoint " +
+      "ranges, the disjoint file carries verbatim, undeclared " +
+      "clustering refuses") {
+    val dir = tmpDir() + "/overlaps"
+    Versioned.commitWithStats(spark, dir,
+      rows(0, 10, "x").limit(0), Seq("id"), replace = false)    // v0
+    Versioned.setPolicy(spark, dir, clusterBy = Some(Seq("id")))
+    // two interleaved commits (even/odd ids — ranges overlap) + one
+    // disjoint high-range commit; each lands one file
+    Versioned.commit(spark, dir, (0 until 100).filter(_ % 2 == 0)
+      .map(i => (i.toLong, "even")).toDF("id", "s").coalesce(1))
+    Versioned.commit(spark, dir, (0 until 100).filter(_ % 2 == 1)
+      .map(i => (i.toLong, "odd")).toDF("id", "s").coalesce(1))
+    Versioned.commit(spark, dir, rows(5000, 5100, "hi").coalesce(1))
+    val head = Versioned.latestVersion(spark, dir).get
+    val before = Versioned.manifestDataLines(spark, dir, head)
+    val hiLine = before.find(_.contains("\tid\t5000\t5099")).get
+    val v = Versioned.compactSubset(spark, dir,
+      overlapsAbove = Some(1), targetBytes = 1L << 30)
+    val after = Versioned.manifestDataLines(spark, dir, v)
+    assert(after.contains(hiLine),
+      "the overlap-free file's line must republish verbatim")
+    assert(after.size == 3, // zero-row v0 file + merged pair + hi
+      s"the overlapping pair must merge: $after")
+    assert(Versioned.read(spark, dir).count() == 200)
+    // post-merge the table carries no overlap debt: a second run
+    // finds nothing and returns the head unchanged
+    assert(Versioned.compactSubset(spark, dir,
+      overlapsAbove = Some(1)) == v)
+    // without declared clustering the selector refuses loudly
+    val dir2 = tmpDir() + "/overlaps-none"
+    Versioned.commit(spark, dir2, rows(0, 10, "x"))
+    val e = intercept[IllegalArgumentException](
+      Versioned.compactSubset(spark, dir2, overlapsAbove = Some(1)))
+    assert(e.getMessage.contains("cluster"))
+  }
+
   test("stats and blooms survive the subset rewrite at recorded " +
       "sizing: readPruned file-skips and the rewritten file carries " +
       "fresh bloom pointers") {
