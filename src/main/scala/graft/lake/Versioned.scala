@@ -899,8 +899,13 @@ object Versioned {
         l.stripPrefix(ClusterColsHeader).split('\t').toSeq
           .map(java.net.URLDecoder.decode(_, "UTF-8"))
     }.getOrElse(Nil)
-    val maintain = raw.collect { case l if l.startsWith(MaintainHeader) =>
-      val Array(k, v) = l.stripPrefix(MaintainHeader).split('\t')
+    // advisory header: a malformed line from a foreign writer is
+    // DROPPED, never a parse failure — bricking every read over a
+    // hint would invert the "ignoring it degrades nothing" contract
+    val maintain = raw.collect {
+      case l if l.startsWith(MaintainHeader) =>
+        l.stripPrefix(MaintainHeader).split('\t')
+    }.collect { case Array(k, v) =>
       (java.net.URLDecoder.decode(k, "UTF-8"),
         java.net.URLDecoder.decode(v, "UTF-8"))
     }
@@ -1932,15 +1937,21 @@ object Versioned {
       clusterBy: Option[Seq[String]] = None,
       txnRetention: Option[Option[Long]] = None,
       schemaEnforce: Option[Boolean] = None,
-      maintain: Option[Seq[(String, String)]] = None): Int = {
+      maintainSet: Seq[(String, String)] = Nil,
+      maintainUnset: Seq[String] = Nil): Int = {
     require(statCols.isDefined || bloomCfg.isDefined ||
       manifestCheckpointEvery.isDefined || clusterBy.isDefined ||
       txnRetention.isDefined || schemaEnforce.isDefined ||
-      maintain.isDefined,
+      maintainSet.nonEmpty || maintainUnset.nonEmpty,
       "setPolicy needs a stats, bloom, checkpoint-cadence, " +
         "clustering, txn-retention, schema-enforcement, or " +
         "maintenance declaration")
-    maintain.foreach(validateMaintain)
+    // maintenance thresholds are PER-KEY DELTAS applied against the
+    // head INSIDE the CAS loop (set updates/adds, unset drops,
+    // undeclared keys carry) — a read-merge-publish in the caller
+    // would let two concurrent single-key ALTERs silently drop each
+    // other's keys
+    validateMaintain(maintainSet)
     txnRetention.flatten.foreach(r => require(r > 0,
       s"txn retention must be a positive duration in ms: $r"))
     manifestCheckpointEvery.flatten.foreach(n => require(n >= 1,
@@ -1992,7 +2003,10 @@ object Versioned {
             clusterColsOverride = clusterBy.map(_.distinct),
             txnRetentionOverride = txnRetention,
             schemaEnforceOverride = schemaEnforce,
-            maintainOverride = maintain.map(_.sortBy(_._1)))))
+            maintainOverride =
+              if (maintainSet.isEmpty && maintainUnset.isEmpty) None
+              else Some((m.maintain.toMap -- maintainUnset ++
+                maintainSet).toSeq.sortBy(_._1)))))
         return head + 1
       attempts += 1
       require(attempts < 1000,
@@ -3313,8 +3327,10 @@ object Versioned {
     * schedulable on a hot table.
     *
     * Returns the new version, or the base version unchanged when the
-    * selection is empty or provably pure churn (one file, no DVs to
-    * materialize, no clustering to apply). `baseVersion` pins the
+    * selection is empty or provably pure churn (one lone file with no
+    * DVs to materialize — merging needs two, and a below-floor
+    * singleton must not re-rewrite on every scheduled run).
+    * `baseVersion` pins the
     * version the selection and rewrite read (default: head at call
     * time) — the same deterministic stale-base hook the DML verbs
     * carry; the publish still swaps against the live head.
@@ -3327,7 +3343,23 @@ object Versioned {
       targetBytes: Long = 128L << 20,
       clusterBy: Option[Seq[String]] = None,
       baseVersion: Option[Int] = None,
-      overlapsAbove: Option[Int] = None): Int = {
+      overlapsAbove: Option[Int] = None): Int =
+    compactSubsetImpl(spark, dir, where, smallFileBytes, dvDebtAbove,
+      maxFiles, targetBytes, clusterBy, baseVersion, overlapsAbove)._1
+
+  /** [[compactSubset]] plus the SELECTED-file count — what
+    * [[maintain]] reports as `files_rewritten` (counting a manifest
+    * diff instead would attribute files interleaved commits removed
+    * to the compaction). (0 on a no-op.) */
+  private[graft] def compactSubsetImpl(spark: SparkSession, dir: String,
+      where: Option[Column] = None,
+      smallFileBytes: Option[Long] = None,
+      dvDebtAbove: Option[Double] = None,
+      maxFiles: Option[Int] = None,
+      targetBytes: Long = 128L << 20,
+      clusterBy: Option[Seq[String]] = None,
+      baseVersion: Option[Int] = None,
+      overlapsAbove: Option[Int] = None): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     require(where.isDefined || smallFileBytes.isDefined ||
       dvDebtAbove.isDefined || overlapsAbove.isDefined,
@@ -3348,10 +3380,10 @@ object Versioned {
     require(fs.exists(manifestPath(dir, baseV)),
       s"version $baseV not found in $dir")
     val m = readManifest(fs, dir, baseV)
-    if (m.lines.isEmpty) return baseV
+    if (m.lines.isEmpty) return (baseV, 0)
     val schema = versionSchema(spark, dir, m) match {
       case Some(s) => s
-      case None => return baseV
+      case None => return (baseV, 0)
     }
     val cluster = clusterBy.getOrElse(m.clusterCols)
       .filter(schema.fieldNames.contains)
@@ -3363,15 +3395,18 @@ object Versioned {
         pruneWithIndex(spark, dir, m, resolvedPredicate(spark, schema, p))
           .map(parseLine(_)._1).toSet
     }
-    // physical size per file: needed for the small-file selector AND
-    // the output file-count sizing, so measure once
-    lazy val bytesOf: Map[String, Long] = m.lines.map { l =>
-      val rel = parseLine(l)._1
-      rel -> fs.getFileStatus(new Path(dir, rel)).getLen
-    }.toMap
+    // physical sizes are statused PER REL on demand and cached: only
+    // the small-file selector walks every manifest line — a
+    // where/dvDebt/overlap selection on a 100k-file table must not
+    // pay 100k getFileStatus round trips for the ~16 files it picked
+    // (the O(selected) schedulability contract, on object stores too)
+    val bytesCache = scala.collection.mutable.Map.empty[String, Long]
+    def bytesOf(rel: String): Long = bytesCache.getOrElseUpdate(rel,
+      fs.getFileStatus(new Path(dir, rel)).getLen)
     val smallRels: Set[String] = smallFileBytes match {
       case None => Set.empty
-      case Some(floor) => bytesOf.filter(_._2 < floor).keySet
+      case Some(floor) =>
+        m.lines.map(parseLine(_)._1).filter(bytesOf(_) < floor).toSet
     }
     lazy val debtOf: Map[String, Double] = {
       import spark.implicits._
@@ -3409,15 +3444,21 @@ object Versioned {
       (whereRels ++ smallRels ++ dvRels ++ overlapRels) & lineRels
     val selected: Set[String] = maxFiles match {
       case Some(cap) if selectedAll.size > cap =>
+        // the documented bite order: highest DELETED FRACTION first
+        // (most debt retired per byte moved), then smallest files
         selectedAll.toSeq.sortBy(r =>
-          (-m.dvs.count(_._1 == r).toDouble, bytesOf(r), r))
+          (-debtOf.getOrElse(r, 0.0), bytesOf(r), r))
           .take(cap).toSet
       case _ => selectedAll
     }
-    if (selected.isEmpty) return baseV
+    if (selected.isEmpty) return (baseV, 0)
     val hasDv = m.dvs.exists(d => selected.contains(d._1))
-    if (selected.size == 1 && !hasDv && cluster.isEmpty)
-      return baseV // pure churn: nothing to merge, drop, or sort
+    // pure churn: a LONE selected file with no DV to materialize
+    // gains nothing from a rewrite — merging needs two, and
+    // re-sorting one already-clustered file would re-select and
+    // rewrite it on EVERY scheduled maintain() run forever (a
+    // below-floor singleton is steady state, not debt)
+    if (selected.size == 1 && !hasDv) return (baseV, 0)
     val (selLines, _) = m.lines.partition(l =>
       selected.contains(parseLine(l)._1))
     // --- rewrite (O(selected) bytes; DVs materialize — scanVisible
@@ -3441,8 +3482,8 @@ object Versioned {
     val stagedBlooms = stageBlooms(spark, dir, staged, bloomCfgOf(m),
       m.colMap)
     val baseDvsOnSelected = m.dvs.filter(d => selected.contains(d._1)).toSet
-    subsetSwapLoop(spark, dir, staged, selected, baseDvsOnSelected,
-      schema, stagedBlooms)
+    (subsetSwapLoop(spark, dir, staged, selected, baseDvsOnSelected,
+      schema, stagedBlooms), selected.size)
   }
 
   /** The subset-compaction publish loop: swap `selectedRels` for
@@ -4692,11 +4733,27 @@ object Versioned {
     * stat-prune → refine path; the idempotence guard is the O(1)
     * sealed-ledger read. Returns None on a replayed batchId.
     */
+  /** ONE winner row per key: `max(struct(ordered))` — the
+    * map-side-combinable per-key compaction both the CDC apply and
+    * the sink's within-batch last-writer-wins share. `ordered` lists
+    * the priority columns most-significant first; output keeps `df`'s
+    * OWN column order (a first commit through this must not reorder
+    * the table's birth schema away from the stream's). */
+  private[graft] def compactByKey(df: DataFrame, keyCols: Seq[String],
+      ordered: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    df.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(max(struct(ordered.map(c => col(s"`$c`")): _*)).as("__w"))
+      .select(df.columns.toSeq.map(c =>
+        if (keyCols.contains(c)) col(s"`$c`")
+        else col(s"__w.`$c`").as(c)): _*)
+  }
+
   def idempotentMergeCdc(spark: SparkSession, dir: String,
       source: DataFrame, keyCols: Seq[String], seqCol: String,
       opCol: String, deleteOp: String, appId: String, batchId: Long,
       retainTombstones: Boolean = true): Option[Int] = {
-    import org.apache.spark.sql.functions.{col, max, struct}
+    import org.apache.spark.sql.functions.{col, struct}
     require(appId.nonEmpty, "idempotentMergeCdc needs a non-empty appId")
     Seq(seqCol, opCol).foreach(c => require(source.columns.contains(c),
       s"CDC column '$c' not in source columns " +
@@ -4714,11 +4771,7 @@ object Versioned {
     // ChangeApply.compactLog's `ordered` (seq, then op/payload as the
     // deterministic tiebreak a malformed duplicate-seq feed needs)
     val ordered = seqCol +: (opCol +: payload)
-    val compacted = source
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(struct(ordered.map(col): _*)).as("__w"))
-      .select(keyCols.map(col) ++
-        ordered.map(c => col(s"__w.`$c`").as(c)): _*)
+    val compacted = compactByKey(source, keyCols, ordered)
     val stamp = Some((appId, batchId))
     latestVersion(spark, dir) match {
       case None =>
@@ -6392,9 +6445,14 @@ object Versioned {
     m.clusterCols.headOption match {
       case None => Map.empty
       case Some(key) =>
+        // only VALID long ranges enter the sweep: a string cluster
+        // key's group and an all-NULL-key file both record the
+        // inverted sentinel (min=MaxValue > max=MinValue), which
+        // would deflate every count (even below zero) if admitted
         val ranged = m.lines.flatMap { l =>
           val (rel, gs) = parseStatsFull(l)
-          gs.find(g => g.col == key && g.rows.forall(_ > 0))
+          gs.find(g => g.col == key && g.min <= g.max &&
+              g.rows.forall(_ > 0))
             .map(g => (rel, g.min, g.max))
         }
         val mins = ranged.map(_._2).sorted.toArray
@@ -6416,7 +6474,7 @@ object Versioned {
 
   /** The MAINTENANCE DRIVER — `CALL graft.system.maintain('db.t')`:
     * run [[compactSubset]] with the table's DECLARED thresholds
-    * (TBLPROPERTIES `graft.maintain.*` / [[setPolicy]]'s `maintain`),
+    * (TBLPROPERTIES `graft.maintain.*` / [[setPolicy]]'s `maintainSet`),
     * so a scheduler needs one verb and zero per-table knowledge: the
     * table says what its debt is, the driver compacts exactly the
     * files over it. Selection = files below
@@ -6441,29 +6499,34 @@ object Versioned {
       s"table $dir declares no maintenance policy — SET TBLPROPERTIES " +
         "('graft.maintain.smallfile.bytes'=…, 'graft.maintain.dvdebt'" +
         "=…, 'graft.maintain.maxfiles'=…) or Versioned.setPolicy(" +
-        "maintain = …) first; an undeclared maintain() would read as " +
+        "maintainSet = …) first; an undeclared maintain() would read " +
+        "as " +
         "\"no debt\" forever")
-    val small = kv.get("smallfile.bytes").map(_.toLong)
-    val dv = kv.get("dvdebt").map(_.toDouble)
-    val overlaps = kv.get("overlaps").map(_.toInt)
+    // declared values parse LOUDLY but informatively (a foreign
+    // writer could have written anything into the advisory header);
+    // keys this binary does not know are ignored — additive advisory
+    // vocabulary must stay forward-compatible for the consumer too
+    def num[A](key: String, parse: String => Option[A]): Option[A] =
+      kv.get(key).map(v => parse(v).getOrElse(
+        throw new IllegalArgumentException(
+          s"table $dir carries a malformed graft.maintain.$key " +
+            s"value '$v' — re-declare it (SET TBLPROPERTIES) or " +
+            "UNSET it")))
+    val small = num("smallfile.bytes", _.toLongOption.filter(_ > 0))
+    val dv = num("dvdebt", _.toDoubleOption.filter(f => f >= 0 && f <= 1))
+    val overlaps = num("overlaps", _.toIntOption.filter(_ >= 1))
     require(small.isDefined || dv.isDefined || overlaps.isDefined,
       s"table $dir declares no maintenance SELECTOR (smallfile.bytes, " +
         "dvdebt, or overlaps) — maxfiles/target.bytes only bound a " +
         "selection")
-    val v = compactSubset(spark, dir,
+    val (v, rewritten) = compactSubsetImpl(spark, dir,
       smallFileBytes = small, dvDebtAbove = dv,
       overlapsAbove = overlaps,
-      maxFiles = kv.get("maxfiles").map(_.toInt),
-      targetBytes = kv.get("target.bytes").map(_.toLong)
+      maxFiles = num("maxfiles", _.toIntOption.filter(_ >= 1)),
+      targetBytes = num("target.bytes", _.toLongOption.filter(_ > 0))
         .getOrElse(128L << 20),
       baseVersion = Some(head))
-    if (v == head) (head, 0)
-    else {
-      val before = m.lines.map(parseLine(_)._1).toSet
-      val after = readManifest(fs, dir, v).lines
-        .map(parseLine(_)._1).toSet
-      (v, (before -- after).size)
-    }
+    (v, rewritten)
   }
 
   /** The newest retained version whose COMMIT INSTANT is at or before

@@ -229,7 +229,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         clusterBy = clusterBy,
         txnRetention = txnRetention.map(ms => Some(ms)),
         schemaEnforce = schemaEnforce.filter(identity),
-        maintain = if (maintain.isEmpty) None else Some(maintain))
+        maintainSet = maintain)
     loadTable(ident)
   }
 
@@ -341,26 +341,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else if (removes.contains(GraftTableProps.SchemaEnforceKey))
             Some(false)
           else None
-        // maintenance thresholds merge per KEY: SET updates/adds its
-        // key, UNSET drops it, undeclared keys carry — so tuning one
-        // threshold never silently clears the others
+        // maintenance thresholds merge per KEY — delta semantics
+        // applied inside setPolicy's CAS loop, so tuning one
+        // threshold never silently clears the others, even under
+        // concurrent ALTERs
         val maintainRemoves = removes
           .filter(_.startsWith(GraftTableProps.MaintainPrefix))
           .map(_.stripPrefix(GraftTableProps.MaintainPrefix))
-        val maintainOpt: Option[Seq[(String, String)]] =
-          if (maintainSets.isEmpty && maintainRemoves.isEmpty) None
-          else {
-            val current = Versioned.policyBundle(session, dir)._8.toMap
-            Some((current -- maintainRemoves ++ maintainSets)
-              .toSeq.sortBy(_._1))
-          }
+        val maintainTouched =
+          maintainSets.nonEmpty || maintainRemoves.nonEmpty
         // a mode UPGRADE is its own commit; the policy halves follow
         colMapMode.foreach(m =>
           Versioned.setColumnMapping(session, dir, m))
         require(statOpt.isDefined || bloomOpt.isDefined ||
             cadenceOpt.isDefined || colMapMode.isDefined ||
             clusterOpt.isDefined || txnRetOpt.isDefined ||
-            enforceOpt.isDefined || maintainOpt.isDefined,
+            enforceOpt.isDefined || maintainTouched,
           "SET TBLPROPERTIES must declare " +
             s"${GraftTableProps.StatsKey}, ${GraftTableProps.BloomKey}, " +
             s"${GraftTableProps.CadenceKey}, " +
@@ -372,11 +368,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (statOpt.isDefined || bloomOpt.isDefined ||
             cadenceOpt.isDefined || clusterOpt.isDefined ||
             txnRetOpt.isDefined || enforceOpt.isDefined ||
-            maintainOpt.isDefined)
+            maintainTouched)
           Versioned.setPolicy(session, dir, statOpt, bloomOpt,
             cadenceOpt, clusterBy = clusterOpt,
             txnRetention = txnRetOpt, schemaEnforce = enforceOpt,
-            maintain = maintainOpt)
+            maintainSet = maintainSets.toSeq.sortBy(_._1),
+            maintainUnset = maintainRemoves.toSeq)
         return loadTable(ident)
       // ALTER TABLE … RENAME COLUMN: a metadata-only commit through
       // the lake's column mapping (physical names stay on disk; time

@@ -565,7 +565,7 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
         clusterBy = clusterBy,
         txnRetention = txnRetention.map(ms => Some(ms)),
         schemaEnforce = schemaEnforce,
-        maintain = if (maintain.isEmpty) None else Some(maintain))
+        maintainSet = maintain)
     if (statCols.isEmpty && bloomCfg.isEmpty)
       Versioned.commit(session, catalog.tableDir(ident), df)
     else
@@ -582,7 +582,7 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
         manifestCheckpointEvery = ckptEvery.map(n => Some(n)),
         txnRetention = txnRetention.map(ms => Some(ms)),
         schemaEnforce = schemaEnforce,
-        maintain = if (maintain.isEmpty) None else Some(maintain))
+        maintainSet = maintain)
     Seq.empty
   }
 }

@@ -140,17 +140,12 @@ final class GraftSink(sqlContext: SQLContext,
             // within-batch last-writer-wins by the declared ordering:
             // one winner row per key crosses into the merge (the
             // multi-row-per-key Update contract)
-            import org.apache.spark.sql.functions.{col, max, struct}
             require(batch.columns.contains(sc),
               s"graft sink seqColumn names '$sc', which is not in the " +
                 s"stream's columns ${batch.columns.mkString("[", ", ", "]")}")
             val rest = batch.columns.toSeq.filterNot(c =>
               upsertKeys.contains(c) || c == sc)
-            val ordered = sc +: rest
-            batch.groupBy(upsertKeys.map(col): _*)
-              .agg(max(struct(ordered.map(col): _*)).as("__w"))
-              .select(upsertKeys.map(col) ++
-                ordered.map(c => col(s"__w.`$c`").as(c)): _*)
+            Versioned.compactByKey(batch, upsertKeys, sc +: rest)
         }
         try Versioned.idempotentMerge(spark, dir, pre, upsertKeys,
           appId, batchId)

@@ -32,9 +32,9 @@ class MaintainSpec extends SparkSuite {
     // 40% of the dvheavy file deletes merge-on-read
     Versioned.deleteWhereMor(spark, dir,
       col("id") >= 20000L && col("id") < 28000L)                   // v4
-    Versioned.setPolicy(spark, dir, maintain = Some(Seq(
+    Versioned.setPolicy(spark, dir, maintainSet = Seq(
       "smallfile.bytes" -> (64L << 10).toString,
-      "dvdebt" -> "0.3")))                                         // v5
+      "dvdebt" -> "0.3"))                                         // v5
     val head = Versioned.latestVersion(spark, dir).get
     val before = Versioned.manifestDataLines(spark, dir, head)
     val cleanLine = before.find(_.contains("\tid\t0\t19999")).get
@@ -60,18 +60,18 @@ class MaintainSpec extends SparkSuite {
       Versioned.maintain(spark, dir))
     assert(e.getMessage.contains("declares no maintenance policy"))
     Versioned.setPolicy(spark, dir,
-      maintain = Some(Seq("maxfiles" -> "4")))
+      maintainSet = Seq("maxfiles" -> "4"))
     val e2 = intercept[IllegalArgumentException](
       Versioned.maintain(spark, dir))
     assert(e2.getMessage.contains("SELECTOR"))
     // unknown keys and malformed values refuse at declaration
     val e3 = intercept[IllegalArgumentException](
       Versioned.setPolicy(spark, dir,
-        maintain = Some(Seq("frobnicate" -> "1"))))
+        maintainSet = Seq("frobnicate" -> "1")))
     assert(e3.getMessage.contains("unknown maintenance key"))
     val e4 = intercept[IllegalArgumentException](
       Versioned.setPolicy(spark, dir,
-        maintain = Some(Seq("dvdebt" -> "1.5"))))
+        maintainSet = Seq("dvdebt" -> "1.5")))
     assert(e4.getMessage.contains("fraction"))
   }
 
