@@ -22,8 +22,19 @@ object Verify {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val df = fn(spark, sfDir)
+          // The dump encoding is part of the oracle contract: DuckDB/
+          // pandas read INT96 as NAIVE wall-clock timestamps, matching
+          // the oracle's own arithmetic. Lake fixtures pin the ENGINE's
+          // staged files to INT64 TIMESTAMP_MICROS (Versioned.stage,
+          // sticky session conf — footer stats + pushdown need it);
+          // that must not bleed into the dump files, so re-pin the
+          // dump's own encoding after the fixture has run.
+          spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           errors(name) =
             e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)

@@ -1852,6 +1852,12 @@ object DeltaQueries {
         .filter(col("user_id").isNotNull)
         .select("event_id", "user_id")
       writeIdBatches(events, "event_id", stage)
+      // per-batch aggregation state at this scale doesn't need 32
+      // shuffle partitions (= 32 state stores per trigger) — the q108
+      // streaming pin, see Q.streamParts
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
+      try {
       def run(): String = {
         val q = s.readStream.schema(events.schema)
           .option("maxFilesPerTrigger", 1)
@@ -1888,6 +1894,7 @@ object DeltaQueries {
           lit(999L).as("n_events")),
         Seq("user_id"), id1, batchId = 2).isEmpty,
         "replayed Update batch merged twice")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       Versioned.read(s, table.toString)
         .orderBy("user_id")
         .localCheckpoint(true)
@@ -2106,6 +2113,11 @@ object DeltaQueries {
             .otherwise(lit("U")).as("op"),
           col("event_type").as("v"), col("event_id"))
       writeIdBatches(feed, "event_id", stage)
+      // the sink's per-batch CDC merge joins at this scale don't need
+      // 32 shuffle partitions — the q108 streaming pin, Q.streamParts
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", Q.streamParts)
+      try {
       def run(): String = {
         val q = s.readStream
           .schema(feed.drop("event_id").schema)
@@ -2138,10 +2150,12 @@ object DeltaQueries {
       require(hist.select("app_id").collect()
         .forall(r => r.getString(0) == id1),
         "every CDC version must stamp the query id")
-      val perBatch = (0 to 2).map(b =>
-        feed.filter(pmod(col("event_id"), lit(3)) === b).limit(1)
-          .count())
-      if (perBatch.forall(_ > 0))
+      // one pass answers "did every mod-3 batch carry rows" (was three
+      // limit(1).count() probes — three scans of the feed)
+      val batchesSeen = feed
+        .select(countDistinct(pmod(col("event_id"), lit(3))).as("n"))
+        .head().getLong(0)
+      if (batchesSeen == 3)
         require(Versioned.latestVersion(s, table.toString).contains(2),
           "expected exactly one CDC-merge version per micro-batch")
       // a crash-replay at the recorded high-water stamp-skips
@@ -2152,6 +2166,7 @@ object DeltaQueries {
           Seq("user_id"), "seq", "op", "D", id1, batchId = hw).isEmpty,
           "replayed CDC batch merged twice")
       }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       Versioned.read(s, table.toString)
         .orderBy("user_id")
         .localCheckpoint(true)
