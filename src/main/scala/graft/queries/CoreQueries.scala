@@ -26,8 +26,27 @@ object Q {
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+    val path = s"$dir/$name.parquet"
+    // SCHEMA memo (optimization round 18): resolving a bare-path
+    // parquet read re-infers the schema from file footers on EVERY
+    // call — measured ~60 ms per Q.t at sf0.1, ~6× the whole
+    // schema-supplied construct, and the suite calls Q.t hundreds of
+    // times per bench run. Spark caches relations for CATALOG tables
+    // (spark.sql.filesourceTableRelationCacheSize) but not bare
+    // paths; this memo is that cache for the harness's table loader.
+    // Keyed by path alone: testdata is immutable within a run, and
+    // inference is deterministic (the nanosAsLong flag above is
+    // always set before the first read). Only the SCHEMA is reused —
+    // every call still builds a fresh DataFrame (fresh attribute ids,
+    // so self-joins of the same table disambiguate exactly as
+    // before), and every action re-scans the files.
+    val schema = tSchemaCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    normalizeTs(s.read.schema(schema).parquet(path))
   }
+
+  private val tSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   /** Shuffle-partition count the streaming queries pin for their
     * micro-batch joins/aggregates (state-store count is fixed by the
@@ -149,6 +168,55 @@ object Q {
         StandardCopyOption.REPLACE_EXISTING)
       ()
     }
+  }
+
+  /** Shared streaming-fixture input writer: split `df` into three
+    * single-file batches (`idCol % 3` — plain `%`, so a negative id
+    * falls in no class and is dropped, exactly as the per-class
+    * `filter(col % 3 === b)` always did) under `tmp` with strictly
+    * ascending mod-times so the file source replays them oldest-first.
+    * ONE scan+write job instead of three (optimization round 18): the
+    * frame is written once, partitioned by the class, and the part
+    * files move into place; a class with no rows still gets an
+    * (empty) file so the stream's batch numbering stays
+    * corpus-independent.
+    */
+  def writeModBatches(df: DataFrame, idCol: String,
+      tmp: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, attribute}
+    def firstPart(dir: java.nio.file.Path): Option[java.nio.file.Path] = {
+      if (!Files.isDirectory(dir)) return None
+      val st = Files.list(dir)
+      try {
+        val it = st.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst()
+        if (it.isPresent) Some(it.get()) else None
+      } finally st.close()
+    }
+    val stage = Files.createTempDirectory("graft-batch-stage")
+    try {
+      df.withColumn("__b", col(idCol) % 3)
+        .coalesce(1)
+        .write.partitionBy("__b").mode("overwrite")
+        .parquet(stage.toString)
+      (0 to 2).foreach { b =>
+        val dst = tmp.resolve(s"b$b.parquet")
+        firstPart(stage.resolve(s"__b=$b")) match {
+          case Some(p) => Files.move(p, dst); ()
+          case None => // empty class (tiny/empty corpora): schema-only file
+            val es = Files.createTempDirectory("graft-batch-empty")
+            try {
+              df.limit(0).coalesce(1).write.mode("overwrite")
+                .parquet(es.toString)
+              Files.move(firstPart(es).get, dst); ()
+            } finally deleteRecursively(es)
+        }
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+        ()
+      }
+    } finally deleteRecursively(stage)
   }
 
   /** Per-run scratch warehouse root for the harness mains (Verify /

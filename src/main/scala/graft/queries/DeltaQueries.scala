@@ -365,28 +365,8 @@ object DeltaQueries {
     * so the file source replays them oldest-first in batch order.
     */
   private def writeIdBatches(df: DataFrame, idCol: String,
-      tmp: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, attribute}
-    (0 to 2).foreach { b =>
-      val stage = Files.createTempDirectory(s"graft-enrich-stage$b")
-      try {
-        df.filter(col(idCol) % 3 === b).coalesce(1)
-          .write.mode("overwrite").parquet(stage.toString)
-        val part = {
-          val st = Files.list(stage)
-          try st.filter(p => p.getFileName.toString.startsWith("part-") &&
-              p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st.close()
-        }
-        val dst = tmp.resolve(s"b$b.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
-        ()
-      } finally Q.deleteRecursively(stage)
-    }
-  }
+      tmp: java.nio.file.Path): Unit =
+    Q.writeModBatches(df, idCol, tmp)
 
   // ---------------------------------------------------------------- q128
   // Stats-pruned versioned read: three range-clustered commits record

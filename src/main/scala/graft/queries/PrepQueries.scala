@@ -215,28 +215,8 @@ object PrepQueries {
     * batch order.
     */
   private def writeDailyBatches(docs: DataFrame,
-      tmp: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, attribute}
-    (0 to 2).foreach { b =>
-      val stage = Files.createTempDirectory(s"graft-ingest-stage$b")
-      try {
-        docs.filter(col("doc_id") % 3 === b).coalesce(1)
-          .write.mode("overwrite").parquet(stage.toString)
-        val part = {
-          val st = Files.list(stage)
-          try st.filter(p => p.getFileName.toString.startsWith("part-") &&
-              p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st.close()
-        }
-        val dst = tmp.resolve(s"b$b.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
-        ()
-      } finally Q.deleteRecursively(stage)
-    }
-  }
+      tmp: java.nio.file.Path): Unit =
+    Q.writeModBatches(docs, "doc_id", tmp)
 
   // ---------------------------------------------------------------- q70
   // Continuous-ingest exact dedup: documents split into three "daily"
