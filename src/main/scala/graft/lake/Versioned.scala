@@ -2136,7 +2136,9 @@ object Versioned {
     // layer ever serves footers the reader cannot trust)
     if (!sys.props.get("graft.stats.footer").contains("off"))
       footerStatLines(spark, dir, rels, cols, schema, colMap) match {
-        case Some(lines) => return lines
+        case Some(lines) =>
+          footerStatHits.incrementAndGet()
+          return lines
         case None => ()
       }
     // stats groups speak LOGICAL names; staged files carry PHYSICAL
@@ -2383,6 +2385,12 @@ object Versioned {
     * whole set back to the scan path. */
   private object Refuse
     extends RuntimeException("footer stats refused", null, false, false)
+
+  /** Times the footer fast path actually ANSWERED a measurement (spec
+    * hook: the A/B comparison alone cannot distinguish "footer path
+    * fired" from "silently fell back to the scan every time"). */
+  private[graft] val footerStatHits =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   // bloom sidecar rows: one (data file, column, serialized filter)
   private[lake] val BloomSchema = StructType(Seq(
@@ -6325,7 +6333,10 @@ object Versioned {
       }
     }.toArray
     val root = fs.makeQualified(new Path(dir))
-    val index = new FileIndex {
+    // a NAMED class (not anonymous) so the physical plan's scan node
+    // prints `Location: GraftManifestIndex [...]` — the auditable
+    // signal that a read planned from the manifest, not a listing
+    final class GraftManifestIndex extends FileIndex {
       override def rootPaths: Seq[Path] = Seq(root)
       override def listFiles(partitionFilters: Seq[Expression],
           dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
@@ -6336,6 +6347,7 @@ object Versioned {
       override def sizeInBytes: Long = statuses.map(_.getLen).sum
       override def partitionSchema: StructType = StructType(Nil)
     }
+    val index = new GraftManifestIndex
     // Nullable-read matches `spark.read.schema(...)` exactly: file
     // sources are always nullable-read (a required Catalyst field
     // over an optional parquet column would silently zero-fill NULLs).

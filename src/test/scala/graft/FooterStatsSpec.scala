@@ -35,10 +35,18 @@ class FooterStatsSpec extends SparkSuite {
         linesOf(dir.toString).map(_.dropWhile(_ != '\t')) }
       finally Q.deleteRecursively(dir)
     }
+    val hitsBefore = Versioned.footerStatHits.get()
     val withFooter = run()
+    assert(Versioned.footerStatHits.get() > hitsBefore,
+      "the footer fast path must actually FIRE for this case — an " +
+        "identical-lines comparison alone cannot tell a working fast " +
+        "path from one that silently falls back to the scan every time")
     System.setProperty("graft.stats.footer", "off")
+    val hitsMid = Versioned.footerStatHits.get()
     val withScan = try run()
     finally System.clearProperty("graft.stats.footer")
+    assert(Versioned.footerStatHits.get() == hitsMid,
+      "the kill switch must force the scan path")
     assert(withFooter == withScan,
       s"footer-path lines must equal scan-path lines:\n" +
         s"footer: ${withFooter.mkString(" | ")}\n" +
@@ -104,7 +112,10 @@ class FooterStatsSpec extends SparkSuite {
     try {
       val df = Seq((1L, 1.5), (2L, 7.25), (3L, -2.5))
         .toDF("k", "d").coalesce(1)
+      val hits = Versioned.footerStatHits.get()
       Versioned.commitWithStats(spark, dir.toString, df, Seq("k", "d"), replace = false)
+      assert(Versioned.footerStatHits.get() == hits,
+        "an FP stat column must REFUSE the footer path")
       val lines = linesOf(dir.toString)
       assert(lines.exists(_.contains("\tk\t1\t3")),
         s"long range must still record: $lines")
